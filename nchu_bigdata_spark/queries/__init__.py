@@ -1,0 +1,13 @@
+"""Query families (SURVEY.md §2.B). Importing this package registers
+every query in ``nchu_bigdata_spark.registry.REGISTRY``."""
+
+from nchu_bigdata_spark.queries import (  # noqa: F401
+    aggregates,
+    joins,
+    relational,
+    scalar_fns,
+    sets_sorts,
+    streaming_batch,
+    udfs,
+    windows,
+)

@@ -1,0 +1,204 @@
+"""B-4 Aggregations (SURVEY.md §2.B-4).
+
+Generalizes the reference's group-by-key + per-group vector mean
+(``hadoop_tutorial/src/Kmeans.java:79,101-112`` — Hadoop shuffle with NO
+combiner, whole group buffered in reducer RAM). Spark's hash aggregate
+does partial (map-side) + final aggregation automatically, so none of
+these queries move raw rows across the shuffle — only partial states.
+At 100 TB that's the difference between shuffling terabytes and
+megabytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.compat import (
+    davg,
+    dround,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+
+@register(
+    "agg_hash",
+    tags=("b4", "flagship"),
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_charge,
+            CAST(ROUND(AVG(l_quantity), 4) AS DECIMAL(18,4)) AS avg_qty,
+            CAST(ROUND(AVG(l_extendedprice), 4) AS DECIMAL(18,4)) AS avg_price,
+            CAST(ROUND(AVG(l_discount), 4) AS DECIMAL(18,4)) AS avg_disc,
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship query.
+
+    Scan → filter (pushed to parquet) → hash agg (partial+final) on two
+    low-cardinality keys. Generalizes ref A9/A10
+    (``src/Kmeans.java:79,101-112``).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    tags=("b4",),
+    oracle="""
+        SELECT
+            l_returnflag,
+            COUNT(DISTINCT l_orderkey) AS n_orders,
+            COUNT(DISTINCT l_suppkey) AS n_suppliers,
+            LIST_SORT(LIST_DISTINCT(LIST(l_linestatus))) AS statuses
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + collect_set (sorted for determinism)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+    )
+
+
+@register(
+    "agg_approx",
+    tags=("b4", "rows-only"),
+    oracle=None,  # nondeterministic sketches — verified by property test
+    doc="approx_count_distinct (HLL++) + approx percentiles; rows-only.",
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — sketch-based, scale path for 100 TB
+    cardinality/quantile estimation. Accuracy asserted by pytest property
+    (within rsd of exact), not by the DuckDB oracle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
+            "price_quartiles"
+        ),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    tags=("b4",),
+    oracle="""
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS total,
+            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+            CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING markers (subtotal + grand-total rows)."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+    )
+
+
+@register(
+    "agg_pivot",
+    tags=("b4",),
+    oracle="""
+        SELECT
+            l_returnflag,
+            CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS F,
+            CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS O
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide (ref §1: the PM2.5 24-hour wide layout is a pivot
+    of the tidy form). Pivot values are enumerated explicitly — at scale,
+    letting Spark infer them costs an extra full pass."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+@register(
+    "agg_vector_mean",
+    tags=("b4", "b10"),
+    oracle="""
+        WITH ex AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        m AS (
+            SELECT label, pos,
+                   CAST(ROUND(AVG(v), 4) AS DECIMAL(18,4)) AS mv
+            FROM ex GROUP BY label, pos
+        )
+        SELECT label, LIST(mv ORDER BY pos) AS mean_vec
+        FROM m GROUP BY label
+    """,
+)
+def agg_vector_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean of an array column per group (ref A10: per-cluster
+    centroid mean, ``src/Kmeans.java:101-112``).
+
+    posexplode → (label, pos) hash agg → re-assemble with
+    sort_array(collect_list(struct)). Fully shuffle-parallel: no single
+    reducer ever sees a whole group's raw vectors, unlike the reference's
+    reducer which buffers the entire cluster in RAM
+    (``src/Kmeans.java:93-97``).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    per_dim = exploded.groupBy("label", "pos").agg(davg("v").alias("mv"))
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
+        ).alias("mean_vec")
+    )

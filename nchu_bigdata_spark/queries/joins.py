@@ -1,0 +1,236 @@
+"""B-3 Joins (SURVEY.md §2.B-3).
+
+Generalizes the reference's only join: a broadcast-style nested loop of
+every row against k centroids loaded as a side input
+(``hadoop_tutorial/src/Kmeans.java:39-46,62-77`` — re-read from HDFS by
+EVERY task). Here the small side is broadcast once per executor by
+Spark; big-big joins shuffle both sides on the key and AQE handles skew
+at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.compat import dround, dsum
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+
+@register(
+    "join_broadcast",
+    tags=("b3",),
+    oracle="""
+        SELECT n.n_name, r.r_name AS region_name, n.n_nationkey
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash equi-join: tiny dim side ships to every executor,
+    zero shuffle of the probe side (ref A3/A5 side-input pattern done
+    right — one torrent broadcast instead of per-task HDFS reads)."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
+    ).select("n_name", F.col("r_name").alias("region_name"), "n_nationkey")
+
+
+@register(
+    "join_shuffle",
+    tags=("b3",),
+    oracle="""
+        SELECT
+            c.c_mktsegment,
+            o.o_orderstatus,
+            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS revenue,
+            COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderstatus
+    """,
+)
+def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way fact⋈dim⋈dim join + hash agg (TPC-H Q3 shape).
+
+    lineitem⋈orders is hinted sort-merge — at 100 TB both sides are huge
+    and SMJ with AQE skew-splitting is the safe strategy; orders⋈customer
+    stays broadcast-eligible. At this test scale AQE may demote SMJ to
+    broadcast; semantics are identical.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").hint("merge")
+    cust = table(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "join_outer",
+    tags=("b3",),
+    oracle="""
+        SELECT
+            c.c_custkey,
+            COUNT(o.o_orderkey) AS n_orders,
+            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS spend
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+        GROUP BY c.c_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with no matching orders
+    (COUNT over the null-extended side counts 0)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "F"),
+        "left",
+    )
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        dsum("o_totalprice").alias("spend"),
+    )
+
+
+@register(
+    "join_semi",
+    tags=("b3",),
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): emits each qualifying left row once,
+    never widens rows — cheaper than inner-join+distinct at scale."""
+    cust = table(spark, sf_dir, "customer")
+    big_orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_anti",
+    tags=("b3",),
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS)."""
+    cust = table(spark, sf_dir, "customer")
+    big_orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_theta_range",
+    tags=("b3",),
+    oracle="""
+        WITH bands(band, lo, hi) AS (
+            VALUES ('low', 0.0, 905.0),
+                   ('mid', 905.0, 910.0),
+                   ('high', 910.0, 915.0),
+                   ('top', 915.0, 1e12)
+        )
+        SELECT b.band,
+               COUNT(*) AS n_parts,
+               CAST(ROUND(AVG(p.p_retailprice), 4) AS DECIMAL(18,4)) AS avg_price
+        FROM part p
+        JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+        GROUP BY b.band
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join (price banding): broadcast nested-loop against
+    a tiny band dim. With a small inner side this is the right physical
+    plan even at 100 TB — each probe row tests a handful of bands."""
+    from nchu_bigdata_spark.compat import davg
+
+    part = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 905.0),
+            ("mid", 905.0, 910.0),
+            ("high", 910.0, 915.0),
+            ("top", 915.0, 1e12),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            davg("p_retailprice").alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "join_cross_argmin",
+    tags=("b3", "ref-parity"),
+    oracle="""
+        WITH dists AS (
+            SELECT s.s_suppkey,
+                   c.c_custkey,
+                   CAST(ROUND(ABS(s.s_acctbal - c.c_acctbal), 4) AS DECIMAL(18,4)) AS dist
+            FROM supplier s CROSS JOIN customer c
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY s_suppkey ORDER BY dist, c_custkey
+            ) AS rn
+            FROM dists
+        )
+        SELECT s_suppkey, c_custkey AS nearest_custkey, dist
+        FROM ranked WHERE rn = 1
+    """,
+)
+def join_cross_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k×N broadcast cross join + per-row argmin — the reference's
+    nearest-centroid kernel (``src/Kmeans.java:58-79``) in relational
+    form. Ties break on the lower key, mirroring the reference's strict
+    ``<`` comparison keeping the first minimum
+    (``src/Kmeans.java:73-76``).
+
+    min(struct(dist, key)) is a hash aggregate (partial+final) — no
+    window sort over the cross product, and the full k×N never shuffles.
+    """
+    sup = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    dist = dround(F.abs(sup.s_acctbal - cust.c_acctbal), 4).alias("dist")
+    pairs = sup.crossJoin(F.broadcast(cust)).select("s_suppkey", "c_custkey", dist)
+    best = pairs.groupBy("s_suppkey").agg(
+        F.min(F.struct("dist", "c_custkey")).alias("m")
+    )
+    return best.select(
+        "s_suppkey",
+        F.col("m.c_custkey").alias("nearest_custkey"),
+        F.col("m.dist").alias("dist"),
+    )

@@ -1,0 +1,218 @@
+"""B-1 scans/sources/sinks + B-2 projection/filter (SURVEY.md §2.B-1/2).
+
+The reference's only source is an HDFS text-line scan with positional
+CSV tokenizing (``hadoop_tutorial/src/Kmeans.java:155,226-236``) and its
+only sink is a text write (``:131``). Here: parquet is the native format
+(columnar, pushdown, splittable); CSV/JSON take explicit schemas (never
+``inferSchema`` — it's an extra full pass at scale); the partitioned
+sink writes hive-style directory partitions for downstream partition
+pruning.
+
+The CSV/JSON scan queries materialize a deterministic copy of a testdata
+table in the repo-local scratch dir first, then exercise the real
+scan path on it; the oracle reads the original parquet, so byte-level
+round-trip fidelity is part of what's checked.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nchu_bigdata_spark.compat import dround, dsum
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def scratch_dir(sf_dir: str, name: str) -> str:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_SCRATCH, sf_tag, name)
+
+
+@register(
+    "scan_parquet",
+    tags=("b1",),
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with filter + projection pushed into the reader
+    (``.explain`` shows PushedFilters + a 4-column ReadSchema)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+    ]
+)
+
+
+@register(
+    "scan_csv",
+    tags=("b1", "ref-parity"),
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with an explicit positional schema (ref A1/A2:
+    ``textToArray`` comma-split + positional casts,
+    ``src/Kmeans.java:226-236``). Round-trips lineitem through CSV and
+    aggregates; the oracle reads the original parquet, so lossless
+    CSV serde is part of the check."""
+    out = scratch_dir(sf_dir, "lineitem_csv")
+    li = table(spark, sf_dir, "lineitem").select(*[f.name for f in _CSV_SCHEMA.fields])
+    li.write.mode("overwrite").csv(out)
+    csv = spark.read.schema(_CSV_SCHEMA).csv(out)
+    return csv.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "scan_json",
+    tags=("b1",),
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_value,
+               MIN(epoch_us(ts)) AS first_us
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with explicit schema. Timestamps travel as epoch
+    micros (bigint) — JSON has no timestamp type, and micros round-trip
+    exactly."""
+    out = scratch_dir(sf_dir, "events_json")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ev.write.mode("overwrite").json(out)
+    js = spark.read.schema(_JSON_SCHEMA).json(out)
+    return js.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
+        F.min("ts_us").alias("first_us"),
+    )
+
+
+@register(
+    "sink_partitioned",
+    tags=("b1",),
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + read-back. Hive-style partition dirs
+    (``l_returnflag=R/...``) give later scans free partition pruning —
+    the 100 TB answer to 'only read the slice you need'. The read-back
+    aggregate must match the oracle over the original table, proving the
+    sink is lossless (partition column round-trips from dir names)."""
+    out = scratch_dir(sf_dir, "lineitem_by_flag")
+    li = table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@register(
+    "project_select",
+    tags=("b2",),
+    oracle="""
+        SELECT l_orderkey,
+               l_linenumber,
+               CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4)) AS disc_price,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               upper(l_returnflag) || '/' || l_linestatus AS flag_status
+        FROM lineitem
+    """,
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + computed columns (ref A4: positional column skip,
+    ``src/Kmeans.java:66,102-103``). Catalyst prunes the parquet scan to
+    exactly the referenced columns."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "disc_price"
+        ),
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.concat_ws("/", F.upper("l_returnflag"), F.col("l_linestatus")).alias(
+            "flag_status"
+        ),
+    )
+
+
+@register(
+    "filter_pred",
+    tags=("b2",),
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        FROM customer
+        WHERE (
+            c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+            AND c_acctbal BETWEEN 1000 AND 8000
+        )
+        OR (c_name LIKE '%001%' AND c_nationkey IS NOT NULL)
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive/disjunctive predicates: IN, BETWEEN, LIKE, IS NULL —
+    all pushed to the parquet scan where the format supports them."""
+    c = table(spark, sf_dir, "customer")
+    pred = (
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+        & F.col("c_acctbal").between(1000, 8000)
+    ) | (F.col("c_name").like("%001%") & F.col("c_nationkey").isNotNull())
+    return c.filter(pred).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")

@@ -1,0 +1,200 @@
+"""B-7 Scalar function library (SURVEY.md §2.B-7).
+
+One composite query per function family, pinned to forms whose semantics
+agree between Spark and DuckDB (regex dialect, day-of-week numbering,
+natural log, decimal rounding — see per-query notes). All expressions
+are built-in ``pyspark.sql.functions`` — JVM-side, inside whole-stage
+codegen; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.compat import dround
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+
+@register(
+    "fn_string",
+    tags=("b7",),
+    oracle="""
+        SELECT doc_id,
+               upper(lang) AS lang_uc,
+               substring(text, 1, 20) AS head,
+               CAST(length(text) AS BIGINT) AS n_len,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               regexp_extract(text, '([a-z]+)', 1) AS first_word,
+               concat_ws('|', lang, source) AS tag,
+               trim('  ' || lang || '  ') AS trimmed
+        FROM documents
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/substring/length/split/regexp_extract/
+    concat_ws/trim (ref A12's concat-formatting sink,
+    ``src/Kmeans.java:130-131``, generalized)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_uc"),
+        F.substring("text", 1, 20).alias("head"),
+        F.length("text").cast("long").alias("n_len"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.concat_ws("|", "lang", "source").alias("tag"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@register(
+    "fn_date",
+    tags=("b7",),
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS od,
+               CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS m,
+               CAST(isodow(o_orderdate) AS INT) AS dow_iso,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family (ref §1: `yyyy/MM/dd` date strings upgraded to real
+    DATEs). Day-of-week pinned to ISO numbering (Mon=1): Spark's
+    ``dayofweek`` is Sun=1, DuckDB's ``dayofweek`` is Sun=0 — both
+    remapped to ``isodow``."""
+    o = table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        od.alias("od"),
+        F.year(od).cast("int").alias("y"),
+        F.month(od).cast("int").alias("m"),
+        (((F.dayofweek(od) + 5) % 7) + 1).cast("int").alias("dow_iso"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), od).cast("int").alias(
+            "days_to_2002"
+        ),
+        F.add_months(od, 3).alias("plus3m"),
+    )
+
+
+@register(
+    "fn_math",
+    tags=("b7",),
+    oracle="""
+        SELECT p_partkey,
+               abs(p_size - 25) AS size_dev,
+               CAST(p_size % 7 AS INT) AS size_mod,
+               CAST(ROUND(sqrt(p_retailprice), 6) AS DECIMAL(18,6)) AS price_sqrt,
+               CAST(ROUND(ln(p_retailprice + 1), 6) AS DECIMAL(18,6)) AS price_ln,
+               CAST(ROUND(pow(CAST(p_size AS DOUBLE), 2), 6) AS DECIMAL(18,6)) AS size_sq,
+               CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+               CAST(floor(p_retailprice) AS BIGINT) AS price_floor
+        FROM part
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/pow (ref A6, ``src/Kmeans.java:67-69``), sqrt,
+    natural log, ceil/floor, modulo."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+        dround(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        dround(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+        dround(F.pow(F.col("p_size").cast("double"), 2), 6).alias("size_sq"),
+        F.ceil("p_retailprice").cast("long").alias("price_ceil"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+    )
+
+
+@register(
+    "fn_array",
+    tags=("b7", "b10"),
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               CAST(ROUND(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4)
+                    AS DECIMAL(18,4)) AS sq_norm,
+               CAST(ROUND(list_sum(list_transform(embedding[1:8],
+                        x -> abs(CAST(x AS DOUBLE)))), 4)
+                    AS DECIMAL(18,4)) AS head_l1,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+        FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order family: transform/filter/aggregate/slice — the
+    vector kernel of the reference's distance loop (ref A6,
+    ``src/Kmeans.java:66-70``) expressed with higher-order functions."""
+    e = table(spark, sf_dir, "embeddings")
+    as_dbl = F.transform("embedding", lambda x: x.cast("double"))
+    sq_norm = F.aggregate(
+        as_dbl, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    head_l1 = F.aggregate(
+        F.slice(as_dbl, 1, 8), F.lit(0.0), lambda acc, x: acc + F.abs(x)
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        dround(sq_norm, 4).alias("sq_norm"),
+        dround(head_l1, 4).alias("head_l1"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
+    )
+
+
+@register(
+    "fn_map",
+    tags=("b7",),
+    oracle="""
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS len_from_map,
+               list_sort(map_keys(MAP {'len': n_chars, 'docid': doc_id})) AS keys_sorted
+        FROM documents
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: construct, element_at, map_keys. Maps never appear
+    raw in output (entry order is engine-dependent); only lookups and
+    sorted key lists."""
+    d = table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("len"), F.col("n_chars"), F.lit("docid"), F.col("doc_id")
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(m, "len").alias("len_from_map"),
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+    )
+
+
+@register(
+    "fn_json",
+    tags=("b7",),
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k,
+               CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod
+        FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over ``events.props`` (JSON strings): schema-directed
+    from_json + path extraction."""
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        (parsed.getField("k") % 10).alias("k_mod"),
+    )

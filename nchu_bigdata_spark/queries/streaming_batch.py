@@ -1,0 +1,170 @@
+"""B-9 Streaming operators — batch-equivalent forms (SURVEY.md §2.B-9).
+
+Structured Streaming reuses the batch engine (incrementalized Catalyst
+plans), so each streaming operator is registered here in its
+oracle-checkable batch form; ``nchu_bigdata_spark.streaming.runner``
+re-runs the same plans as true ``readStream`` queries and the test suite
+asserts batch↔stream parity (SURVEY.md §5.3).
+
+Window starts are compared as epoch microseconds: Spark's ``window()``
+buckets align to the Unix epoch, which is exactly
+``floor(epoch_us/width)*width`` on the oracle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.compat import dsum
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+_5M_US = 5 * 60 * 1_000_000
+_10M_US = 10 * 60 * 1_000_000
+
+
+@register(
+    "stream_tumbling",
+    tags=("b9",),
+    oracle=f"""
+        SELECT (epoch_us(ts) // {_5M_US}) * {_5M_US} AS wstart_us,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window count/sum keyed by event_type."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("wstart_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    tags=("b9",),
+    oracle=f"""
+        WITH buckets AS (
+            SELECT UNNEST([
+                       (epoch_us(ts) // {_5M_US}) * {_5M_US},
+                       (epoch_us(ts) // {_5M_US}) * {_5M_US} - {_5M_US}
+                   ]) AS wstart_us,
+                   event_type, value
+            FROM events
+        )
+        SELECT wstart_us, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_value
+        FROM buckets
+        GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10-minute length, 5-minute slide): every event
+    lands in exactly two windows; the oracle materializes both bucket
+    starts explicitly."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("wstart_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session",
+    tags=("b9",),
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_10M_US}
+                        OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS session_start_us,
+               MAX(epoch_us(ts)) + {_10M_US} AS session_end_us,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session window (10-minute gap). Spark's native
+    ``session_window`` (start = first event, end = last event + gap);
+    the oracle emulates it with gaps-and-islands SQL."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_dedup",
+    tags=("b9",),
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dropDuplicates, batch form. (The streaming runner applies
+    it with a watermark so state is bounded — old keys expire instead of
+    accumulating forever, the 100 TB requirement for streaming dedup.)"""
+    ev = table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+@register(
+    "stream_watermark_late",
+    tags=("b9", "rows-only"),
+    oracle=None,
+    doc="Watermark + late-data drop; verified by the streaming parity "
+    "tests (late rows measurably dropped), not by the batch oracle — "
+    "watermarking is a no-op in batch mode.",
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling agg with a 10-minute watermark declared. In batch this
+    matches stream_tumbling; in the streaming runner the watermark
+    bounds state and drops late rows (tests assert the drop)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("wstart_us"), "event_type", "n")
+    )

@@ -1,0 +1,119 @@
+"""B-8 UDF / UDAF / UDTF surface (SURVEY.md §2.B-8).
+
+Python is the slow path: every UDF here is Arrow-vectorized (Pandas
+UDF), never row-at-a-time. Each query's semantics are also
+SQL-expressible, so the DuckDB oracle verifies the UDF plumbing
+end-to-end (batch shapes, Arrow transfer, grouped dispatch) — not just
+"rows came back".
+
+At 100 TB: scalar Pandas UDFs stream Arrow batches per partition;
+grouped variants shuffle once on the group key. A group must fit in one
+worker's memory for applyInPandas — group keys here are bounded
+(user_id, returnflag), which is the operator's documented contract.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql.types import DoubleType
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.compat import dround
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+
+@F.pandas_udf(DoubleType())
+def _disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+    """Vectorized (price, discount) -> discounted price. IEEE double ops
+    on identical inputs — bit-identical to the SQL expression."""
+    return price * (1.0 - disc)
+
+
+@register(
+    "udf_scalar_pandas",
+    tags=("b8",),
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4)) AS disc_price
+        FROM lineitem
+        WHERE l_returnflag = 'A'
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF (Series→Series over Arrow batches)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(_disc_price("l_extendedprice", "l_discount"), 4).alias("disc_price"),
+    )
+
+
+@F.pandas_udf(DoubleType())
+def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+    """Grouped-agg Pandas UDF: quantity-weighted mean price."""
+    return float((price * qty).sum() / qty.sum())
+
+
+@register(
+    "udaf_grouped_pandas",
+    tags=("b8",),
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+                    AS DECIMAL(18,4)) AS w_avg_price
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (whole group's columns → one scalar).
+    Rounded to 4 decimals: the quotient shrinks summation-order noise by
+    ~the group count, leaving it far below the rounding grid."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dround(_weighted_avg_price("l_extendedprice", "l_quantity"), 4).alias(
+            "w_avg_price"
+        )
+    )
+
+
+def _center_values(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group table function: deviation from the group mean (the
+    reference's per-cluster centroid update kernel,
+    src/Kmeans.java:101-112, as a grouped-map UDF).
+
+    Output is the deviation scaled by 100·n (``n·cents − Σcents``) — an
+    exact integer. Floats here would sit on rounding boundaries by
+    construction (2-decimal data minus a rational mean), so the operator
+    emits the exact form and leaves presentation scaling to the caller.
+    """
+    cents = (pdf["value"] * 100).round().astype("int64")
+    out = pdf[["event_id", "user_id"]].copy()
+    out["dev_scaled"] = len(pdf) * cents - cents.sum()
+    return out
+
+
+@register(
+    "udtf_apply_in_pandas",
+    tags=("b8",),
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(
+                   COUNT(*) OVER w * CAST(ROUND(value * 100) AS BIGINT)
+                   - SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+               AS BIGINT) AS dev_scaled
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (table in → table out per group)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(
+        _center_values, schema="event_id long, user_id long, dev_scaled long"
+    )

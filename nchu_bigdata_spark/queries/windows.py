@@ -1,0 +1,158 @@
+"""B-5 Window functions (SURVEY.md §2.B-5).
+
+Generalizes ref A11 (per-group representative-row selection,
+``hadoop_tutorial/src/Kmeans.java:114-130`` — which is buggy there: the
+running minimum is never updated, ``:125-127``; we implement the correct
+argmin). All window orderings include a unique key as tie-break so the
+result set is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.compat import dround
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+
+@register(
+    "win_rank",
+    tags=("b5",),
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+        QUALIFY rn <= 50
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per partition. row_number's
+    ordering carries the unique key so ties resolve identically on both
+    engines; rank/dense_rank are tie-stable by definition."""
+    o = table(spark, sf_dir, "orders")
+    w_val = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    w_uniq = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w_val).alias("rnk"),
+            F.dense_rank().over(w_val).alias("drnk"),
+            F.row_number().over(w_uniq).alias("rn"),
+        )
+        .filter(F.col("rn") <= 50)
+    )
+
+
+@register(
+    "win_lag_lead",
+    tags=("b5",),
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(ROUND(value - LAG(value) OVER w, 4) AS DECIMAL(18,4)) AS delta_prev,
+               LEAD(event_type) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per user ordered by time (day-over-day-delta shape)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        dround(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta_prev"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_frame_avg",
+    tags=("b5",),
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(ROUND(AVG(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ), 4) AS DECIMAL(18,4)) AS moving_avg
+        FROM events
+    """,
+)
+def win_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 4-row frame (hourly-smoothing shape)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).cast("decimal(18,4)").alias("moving_avg"),
+    )
+
+
+@register(
+    "win_argmin",
+    tags=("b5", "ref-parity"),
+    oracle="""
+        SELECT c_nationkey, c_custkey, c_acctbal
+        FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                   ) AS rn
+            FROM customer
+        ) WHERE rn = 1
+    """,
+)
+def win_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group representative row — correct version of ref A11
+    (``src/Kmeans.java:114-130``, whose running-min update is missing).
+    Ties break on the unique key."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "win_running_total",
+    tags=("b5",),
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DECIMAL(38,6)) AS running_spend
+        FROM orders
+    """,
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per customer (decimal-exact so partial-order
+    differences can't perturb the hash)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+        .over(w)
+        .cast("decimal(38,6)")
+        .alias("running_spend"),
+    )

@@ -1,0 +1,68 @@
+"""SparkSession construction.
+
+One place to pin every config that matters for correctness (UTC
+timestamps for oracle comparison, ANSI off to match reference semantics)
+and for scale (AQE on, Arrow on, shuffle partitions sized to cores).
+
+At 100 TB the same code runs unchanged on a real cluster: only
+``master``/memory/partition counts move to spark-submit conf. Nothing in
+the engine assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Local test rig: single JVM, N threads. The driver runs bench on
+# local[$SPARK_GRAFT_CPUS]; default to all cores.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_session(
+    app_name: str = "nchu_bigdata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Correctness-critical configs:
+      * ``spark.sql.session.timeZone=UTC`` — Spark timestamps are
+        session-TZ-relative; DuckDB's are UTC-naive. Pinning UTC makes
+        oracle comparison deterministic.
+    Scale-critical configs:
+      * AQE + partition coalescing + skew-join: runtime re-planning is the
+        first line of defense against skewed keys at 100 TB.
+      * Arrow: vectorized Python<->JVM transfer for the Pandas-UDF ops.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", _DEFAULT_CPUS)
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # Reference parity: Hadoop job had no ANSI mode; keep Spark's
+        # permissive casts so 0-as-missing flows like the reference's
+        # Double.parseDouble path (src/Kmeans.java:67-68).
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
