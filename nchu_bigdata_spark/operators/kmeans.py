@@ -1,0 +1,292 @@
+"""Iterative K-means — the reference's entire algorithm
+(``hadoop_tutorial/src/Kmeans.java:1-282``), re-architected for Spark.
+
+Reference shape (per iteration): full MapReduce job; every task re-reads
+the centroid file from HDFS (``src/Kmeans.java:39-46,186-216``); all raw
+rows shuffle on cluster id with no combiner (``:79``); the reducer
+buffers an entire cluster in RAM (``:93-97``); new centroids are written
+back to HDFS by truncate-and-copy (``:259-276``).
+
+This design: centroids are a k-row Python list embedded into the plan as
+*literals*, so
+
+  * assignment is a pure projection — no join, no shuffle, no side-input
+    I/O; whole-stage codegen evaluates k distances per row;
+  * the update is a posexplode + hash agg — partial aggregation means
+    only k×dim partial sums cross the shuffle, never raw vectors;
+  * per iteration exactly one ``collect()`` of k centroid rows crosses
+    the cluster↔driver boundary (the input DataFrame is cached once and
+    re-projected, so lineage never grows — no checkpoint needed).
+
+At 100 TB: the scan is the only big cost per iteration and it's
+embarrassingly parallel; shuffle volume is k·dim·partitions doubles.
+
+Metrics (SURVEY.md §2.A):
+  * ``sq_euclidean``      — Σ (a−b)²  (textbook)
+  * ``sq_euclidean_abs``  — Σ (|a|−|b|)²  (the reference's exact metric,
+    ``src/Kmeans.java:66-70``)
+  * ``normalized_sq``     — Σ ((|a|−|b|)/(|a|+|b|))²  (draft variant,
+    ``Kmeans/kmeans.java:59-71``)
+
+Ties keep the lowest center index (reference uses strict ``<``,
+``src/Kmeans.java:73-76``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.compat import dround
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+Metric = str  # 'sq_euclidean' | 'sq_euclidean_abs' | 'normalized_sq'
+
+
+def _pair_term(metric: Metric, x: Column, y: Column) -> Column:
+    if metric == "sq_euclidean":
+        d = x - y
+        return d * d
+    if metric == "sq_euclidean_abs":
+        d = F.abs(x) - F.abs(y)
+        return d * d
+    if metric == "normalized_sq":
+        num = F.abs(x) - F.abs(y)
+        den = F.abs(x) + F.abs(y)
+        r = F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+        return r * r
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def distance_to(center: list[float], vec: Column, metric: Metric) -> Column:
+    """Distance from an array column to one literal center — evaluated
+    entirely inside codegen."""
+    c = F.array(*[F.lit(float(v)) for v in center])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: _pair_term(metric, x, y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign(
+    df: DataFrame,
+    centers: list[list[float]],
+    feature_col: str = "features",
+    metric: Metric = "sq_euclidean",
+    cluster_col: str = "cluster",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment (ref A5–A8) as ONE projection.
+
+    Builds ``array_min(array(struct(dist_i, i)))`` over the k literal
+    centers: struct ordering gives argmin with lowest-index tie-break.
+    Cluster ids are 1-based like the reference's ``index+1``
+    (``src/Kmeans.java:79``).
+    """
+    vec = F.transform(F.col(feature_col), lambda x: x.cast("double"))
+    pairs = F.array(
+        *[
+            F.struct(
+                distance_to(c, vec, metric).alias("dist"),
+                F.lit(i + 1).alias("idx"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    best = F.array_min(pairs)
+    out = df.withColumn(cluster_col, best.getField("idx"))
+    if dist_col:
+        out = out.withColumn(dist_col, best.getField("dist"))
+    return out
+
+
+def update(
+    df: DataFrame, feature_col: str = "features", cluster_col: str = "cluster"
+) -> DataFrame:
+    """Per-cluster element-wise mean (ref A10, ``src/Kmeans.java:101-112``)
+    via posexplode + hash agg: only (cluster, dim) partial sums shuffle."""
+    ex = df.select(
+        cluster_col, F.posexplode(feature_col).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    per_dim = ex.groupBy(cluster_col, "pos").agg(F.avg("v").alias("mv"))
+    return per_dim.groupBy(cluster_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
+        ).alias("centroid")
+    )
+
+
+@dataclass
+class KMeansResult:
+    centers: list[list[float]]
+    iterations: int
+    costs: list[float]  # per-iteration total within-cluster cost
+    converged: bool
+
+
+def fit(
+    df: DataFrame,
+    init_centers: list[list[float]],
+    feature_col: str = "features",
+    metric: Metric = "sq_euclidean",
+    max_iter: int = 5,
+    tol: float | None = None,
+) -> KMeansResult:
+    """Lloyd iterations (ref A14, ``src/Kmeans.java:170-183``).
+
+    ``tol=None`` reproduces the reference exactly: its convergence
+    short-circuit is commented out (``src/Kmeans.java:254-257``), so it
+    always runs ``max_iter`` full passes. With a tol, stops when the
+    summed squared centroid delta (ref A13, ``compareCenters``,
+    ``src/Kmeans.java:238-252``) falls below it.
+
+    Empty clusters keep their previous centroid (the reference can never
+    emit one — Hadoop reducers only see non-empty groups).
+    """
+    df = df.select(feature_col).cache()
+    try:
+        centers = [list(map(float, c)) for c in init_centers]
+        costs: list[float] = []
+        converged = False
+        it = 0
+        for it in range(1, max_iter + 1):
+            assigned = assign(df, centers, feature_col, metric, dist_col="_dist")
+            # one tiny action: k centroid rows + the iteration's cost
+            rows = (
+                update(assigned, feature_col)
+                .join(
+                    assigned.groupBy("cluster").agg(F.sum("_dist").alias("cost")),
+                    "cluster",
+                )
+                .collect()
+            )
+            new_centers = list(centers)
+            cost = 0.0
+            for r in rows:
+                new_centers[r["cluster"] - 1] = [float(v) for v in r["centroid"]]
+                cost += float(r["cost"])
+            costs.append(cost)
+            delta = sum(
+                (a - b) * (a - b)
+                for nc, oc in zip(new_centers, centers)
+                for a, b in zip(nc, oc)
+            )
+            centers = new_centers
+            if tol is not None and delta <= tol:
+                converged = True
+                break
+        return KMeansResult(centers, it, costs, converged)
+    finally:
+        df.unpersist()
+
+
+def label(
+    df: DataFrame,
+    centers: list[list[float]],
+    feature_col: str = "features",
+    metric: Metric = "sq_euclidean",
+) -> DataFrame:
+    """Final map-only labeling pass (ref A15, ``src/Kmeans.java:148-153``)."""
+    return assign(df, centers, feature_col, metric)
+
+
+# --------------------------------------------------------------------------
+# Registered queries over the driver's `embeddings` table
+# --------------------------------------------------------------------------
+
+_K = 4
+
+
+def _seed_centers(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic k=4 seeds: the embeddings with vec_id 0..3 (mirrors
+    the reference seeding from a small preset file,
+    ``pm25.cluster.center.conf.txt:1-4``). k rows collected — the only
+    driver-side materialization."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < _K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+@register(
+    "kmeans_assign",
+    tags=("b10", "ref-parity"),
+    oracle=f"""
+        WITH centers AS (
+            SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id < {_K}
+        ),
+        dists AS (
+            SELECT e.vec_id,
+                   c.cid + 1 AS cluster,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> (CAST(e.embedding[i] AS DOUBLE)
+                             - CAST(c.cvec[i] AS DOUBLE)) ^ 2)) AS dist
+            FROM embeddings e CROSS JOIN centers c
+        ),
+        best AS (
+            SELECT vec_id, cluster, dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cluster
+                   ) AS rn
+            FROM dists
+        )
+        SELECT vec_id, CAST(cluster AS INT) AS cluster,
+               CAST(ROUND(dist, 4) AS DECIMAL(18,4)) AS dist
+        FROM best WHERE rn = 1
+    """,
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (ref A5-A8) on `embeddings`, k=4
+    centers seeded from vec_id 0..3."""
+    centers = _seed_centers(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    out = assign(emb, centers, "embedding", "sq_euclidean", dist_col="dist")
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        dround("dist", 4).alias("dist"),
+    )
+
+
+@register(
+    "kmeans_fit",
+    tags=("b10", "rows-only"),
+    oracle=None,
+    doc="Full Lloyd iteration (5 iters, k=4) on embeddings; cluster "
+    "sizes + rounded final centroid norm per cluster. Rows-only: the "
+    "iterative float pipeline isn't reproducible in one SQL statement; "
+    "pytest asserts cost monotonicity + size conservation instead.",
+)
+def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means fit (ref A10-A14): 5 fixed iterations like the reference
+    (``README.md:18``), then a labeling pass; returns per-cluster sizes
+    and centroid L2 norms."""
+    centers = _seed_centers(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    res = fit(
+        emb.select(F.col("embedding").alias("features")),
+        centers,
+        max_iter=5,
+        metric="sq_euclidean",
+    )
+    labeled = label(emb.withColumnRenamed("embedding", "features"), res.centers)
+    sizes = labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    norms = spark.createDataFrame(
+        [
+            (i + 1, round(sum(v * v for v in c) ** 0.5, 6))
+            for i, c in enumerate(res.centers)
+        ],
+        "cluster int, centroid_norm double",
+    )
+    return sizes.join(norms, "cluster").select(
+        F.col("cluster").cast("int"), "n", "centroid_norm"
+    )
