@@ -1,0 +1,397 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md
+§2.B-10; north-star LLM-data-pipeline surface).
+
+The reference's only text processing is CSV tokenization
+(``hadoop_tutorial/src/Kmeans.java:226-236``); these operators extend
+that capability to corpus analytics: per-source stats, tf-idf,
+naive-Bayes language ID, quality scoring, token counting, and
+winnowing document fingerprints.
+
+Scale notes (100 TB):
+  * Everything here is explode → hash-agg → join — all JVM-side
+    codegen, no Python. Token explosion multiplies rows ~100× but the
+    exploded rows are tiny (doc_id + short word) and aggregate
+    map-side before shuffling.
+  * Language profiles / idf tables are tiny aggregates (vocab × langs)
+    — Catalyst broadcasts them back onto the token stream, so the big
+    side never reshuffles twice.
+  * Fingerprints use md5 (a built-in on both engines, bit-identical
+    everywhere) rather than xxhash so the oracle can replay them; at
+    scale swap in ``xxhash64`` (cheaper) — the plan shape is identical.
+
+Determinism: float terms (ln) are rounded to a fixed grid and cast to
+decimal *before* aggregation, so partial-agg order can't change sums
+(see compat.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.compat import davg, sql_davg
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+STOPWORDS = ("the", "a")
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, word) — one row per token occurrence."""
+    return docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+
+
+# --------------------------------------------------------------------------
+# text_stats — per (lang, source) corpus statistics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    tags=("b10",),
+    oracle=f"""
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               {sql_davg("n_chars")} AS avg_chars,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) document stats — the EDBT'16
+    sentiment-at-scale aggregation shape."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_tokenize_tfidf — tokenize, term frequency, smoothed tf-idf
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenize_tfidf",
+    tags=("b10",),
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, word
+        ),
+        df AS (
+            SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok GROUP BY word
+        ),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT tf.doc_id, tf.word, tf.tf, df.df,
+               CAST(ROUND(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                    AS DECIMAL(18,6)) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    """,
+)
+def text_tokenize_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed tf-idf per (doc, term): tf · (ln((N+1)/(df+1)) + 1).
+
+    The doc-frequency table is a vocab-sized aggregate — broadcast back
+    onto the tf stream, so only the token explosion shuffles (once)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = tokens(docs)
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    idf = F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).cast("decimal(18,6)").alias("tfidf"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_langid — naive-Bayes language ID from corpus word profiles
+# --------------------------------------------------------------------------
+
+_LN_SCALE = 7  # per-term rounding grid; decimals make the sum order-free
+
+
+@register(
+    "text_langid",
+    tags=("b10",),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, word
+        ),
+        profile AS (
+            SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY lang, word
+        ),
+        tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot FROM tok GROUP BY lang),
+        v AS (SELECT COUNT(DISTINCT word) AS v FROM tok),
+        scored AS (
+            SELECT tf.doc_id, t.lang,
+                   SUM(CAST(ROUND(tf.tf * ln((COALESCE(p.cnt, 0) + 1.0)
+                                             / (t.tot + v.v)), {_LN_SCALE})
+                            AS DECIMAL(20,{_LN_SCALE}))) AS score
+            FROM tf
+            CROSS JOIN tot t
+            CROSS JOIN v
+            LEFT JOIN profile p ON p.lang = t.lang AND p.word = tf.word
+            GROUP BY tf.doc_id, t.lang
+        ),
+        best AS (
+            SELECT doc_id, lang, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, lang
+                   ) AS rn
+            FROM scored
+        )
+        SELECT b.doc_id, b.lang AS pred_lang,
+               CAST(b.score AS DECIMAL(38,{_LN_SCALE})) AS score,
+               d.lang AS true_lang, (b.lang = d.lang) AS correct
+        FROM best b JOIN documents d USING (doc_id)
+        WHERE rn = 1
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: multinomial naive Bayes with add-one smoothing,
+    profiles learned from the corpus itself.
+
+    score(d, L) = Σ_w tf(d,w) · ln((cnt(L,w)+1)/(tot(L)+V)); predict
+    argmax (ties → lexicographically first lang). The per-lang profile
+    is a (langs × vocab) aggregate — broadcast; the only big shuffle is
+    the token tf aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    tok = tokens(docs)
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    profile = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    v = tok.agg(F.countDistinct("word").alias("v"))
+    term = F.round(
+        F.col("tf")
+        * F.log(
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+            / (F.col("tot") + F.col("v"))
+        ),
+        _LN_SCALE,
+    ).cast(f"decimal(20,{_LN_SCALE})")
+    scored = (
+        tf.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(v))
+        .join(
+            F.broadcast(profile),
+            ["lang", "word"],
+            "left",
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(term).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        best.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            F.col("score").cast(f"decimal(38,{_LN_SCALE})").alias("score"),
+            "true_lang",
+            (F.col("lang") == F.col("true_lang")).alias("correct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_quality — per-doc quality heuristics
+# --------------------------------------------------------------------------
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_quality",
+    tags=("b10",),
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w IN ({_SW_LIST}))) AS n_stop,
+                   n_chars
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               CAST(ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS distinct_ratio,
+               CAST(ROUND(n_stop / CAST(n_tokens AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS stopword_ratio,
+               CAST(ROUND((n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS avg_token_len,
+               CASE WHEN n_tokens >= 50 AND n_distinct / CAST(n_tokens AS DOUBLE) >= 0.3
+                    THEN 'high'
+                    WHEN n_tokens >= 20 THEN 'medium'
+                    ELSE 'low' END AS quality_bucket
+        FROM base
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality heuristics: token count, lexical diversity,
+    stopword ratio, mean token length, and a bucketed quality label.
+    Pure narrow transformations — no shuffle at all."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(
+        F.filter(toks, lambda w: w.isin(*STOPWORDS))
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        F.round(n_distinct / dbl(n_tokens), 6)
+        .cast("decimal(18,6)")
+        .alias("distinct_ratio"),
+        F.round(n_stop / dbl(n_tokens), 6)
+        .cast("decimal(18,6)")
+        .alias("stopword_ratio"),
+        F.round((F.col("n_chars") - n_tokens + 1) / dbl(n_tokens), 6)
+        .cast("decimal(18,6)")
+        .alias("avg_token_len"),
+        F.when(
+            (n_tokens >= 50) & (n_distinct / dbl(n_tokens) >= 0.3), "high"
+        )
+        .when(n_tokens >= 20, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_token_count — whitespace + BPE-ish subword counting
+# --------------------------------------------------------------------------
+
+_SUBWORD_RE = r"[aeiou]+|[^aeiou\s]+"  # vowel/consonant runs ≈ subword pieces
+
+
+@register(
+    "text_token_count",
+    tags=("b10",),
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou\s]+'))
+                    AS BIGINT) AS subword_tokens,
+               CAST(ROUND(n_chars / CAST(len(regexp_extract_all(
+                        text, '[aeiou]+|[^aeiou\s]+')) AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS chars_per_subword
+        FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish
+    subword estimate (maximal vowel/consonant runs). Narrow — no
+    shuffle; regexp stays in codegen."""
+    docs = table(spark, sf_dir, "documents")
+    subw = F.regexp_count("text", F.lit(_SUBWORD_RE))
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        subw.cast("bigint").alias("subword_tokens"),
+        F.round(F.col("n_chars") / subw.cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("chars_per_subword"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_fingerprint — winnowing document fingerprints (rolling k-gram hash)
+# --------------------------------------------------------------------------
+
+_K = 3  # tokens per shingle
+_W = 4  # winnowing window (shingles)
+
+
+@register(
+    "text_fingerprint",
+    tags=("b10",),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   substr(md5(array_to_string(t[i : i + {_K} - 1], ' ')), 1, 8) AS h
+            FROM toks, unnest(range(1, len(t) - {_K} + 2)) AS r(i)
+        ),
+        wins AS (
+            SELECT doc_id,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {_W - 1} FOLLOWING) AS fp,
+                   COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND {_W - 1} FOLLOWING) AS wn
+            FROM grams
+        )
+        SELECT DISTINCT doc_id, fp FROM wins WHERE wn = {_W}
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    {k}-token shingle, slide a {w}-shingle window, keep each window's
+    min hash, dedup. Output (doc_id, fp) pairs — joining on fp finds
+    near-duplicate / plagiarized spans at corpus scale.
+
+    md5-prefix hashes make the result engine-portable; the plan is
+    explode → window-min (one shuffle on doc_id) → distinct."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - _K),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i + 1, _K))), 1, 8
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _W - 1)
+    wins = grams.select(
+        "doc_id",
+        F.min("h").over(w).alias("fp"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    return wins.filter(F.col("wn") == _W).select("doc_id", "fp").distinct()
