@@ -1,0 +1,420 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §2.B-10;
+north-star LLM-data-pipeline surface).
+
+The reference has no dedup (its whole surface is k-means,
+``hadoop_tutorial/src/Kmeans.java``); these generalize its
+hash-partition + group-aggregate machinery (``src/Kmeans.java:79,
+101-112``) to the standard training-data dedup ladder:
+
+  * ``dedup_exact``        — content-hash groupBy (bit-identical copies)
+  * ``dedup_ngram_jaccard`` — shingle inverted-index join, exact Jaccard
+  * ``dedup_minhash``      — MinHash signatures + LSH banding, then
+                             exact-Jaccard verification of candidates
+  * ``dedup_simhash``      — 32-bit SimHash fingerprint + hamming bands
+
+Scale notes (100 TB):
+  * ``dedup_exact`` is one hash-agg: map-side partial → tiny shuffle of
+    (hash, min, count) partials. The canonical first pass.
+  * The quadratic danger in similarity dedup is hot shingles (boilerplate
+    n-grams shared by millions of docs). Candidate generation therefore
+    drops shingles with document frequency > ``_MAX_DF`` *in both
+    engines* (stop-shingle removal, standard in MinHash pipelines); the
+    surviving inverted-index self-join is near-linear.
+  * Per-doc shingle *sets* are recomputed narrowly from ``text`` (no
+    shuffle) when verifying candidate pairs, so the only shuffles are
+    the candidate join and one hash-agg.
+  * All hashes are md5-derived (``conv(substr(md5(x),1,15),16,10)``):
+    bit-identical on any engine/JVM, so the DuckDB oracle can replay
+    signatures exactly. At production scale swap ``xxhash64`` (same plan
+    shape, cheaper) — portability is only needed for the differential
+    gate.
+
+Determinism: MinHash/SimHash are integer arithmetic end-to-end (no
+floats), so results are bit-stable regardless of partial-agg order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.compat import dround, sql_dround
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+_K = 3  # tokens per shingle
+_MAX_DF = 100  # stop-shingle cutoff for candidate generation
+_JACCARD_T = 0.5  # near-dup threshold
+_H = 32  # minhash functions
+_BANDS, _ROWS = 8, 4  # LSH banding: 8 bands x 4 rows = 32
+
+
+def _h60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as int64.
+    Oracle form: ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _h32(col: Column) -> Column:
+    """Portable 32-bit hash (first 8 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def shingle_set(text: Column | None = None) -> Column:
+    """Distinct k-token shingles of a document — a narrow expression
+    (no shuffle): split → slide a k-window → distinct."""
+    w = F.split(F.col("text") if text is None else text, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - _K),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, _K)),
+        )
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) exploded distinct shingles; docs shorter than k
+    tokens contribute nothing."""
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= _K)
+        .select("doc_id", F.explode(shingle_set()).alias("sh"))
+    )
+
+
+_SQL_SHINGLES = f"""
+        tok AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE len(string_split(text, ' ')) >= {_K}
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(w[i : i + {_K} - 1], ' ') AS sh
+            FROM tok, unnest(range(1, len(w) - {_K} + 2)) AS r(i)
+        )
+"""
+
+_SQL_SHINGLE_SETS = f"""
+        ssets AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i : i + {_K} - 1], ' ')
+                                  for i in range(1, len(w) - {_K} + 2)]) AS sset
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                  WHERE len(string_split(text, ' ')) >= {_K}) t
+        )
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_exact — content-hash groups
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    tags=("b10",),
+    oracle="""
+        SELECT sha256(text) AS content_hash,
+               MIN(doc_id) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by sha256(text), keep the lowest doc_id of
+    each group. One hash-agg — partials collapse map-side, so only
+    (hash, min, count) triples shuffle; the canonical first dedup pass
+    at corpus scale."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard — inverted-index candidates + exact Jaccard
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        rare AS (
+            SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+            WHERE df <= {_MAX_DF}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            JOIN rare r ON a.sh = r.sh
+        ),
+        {_SQL_SHINGLE_SETS}
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_inter,
+               CAST(len(sa.sset) + len(sb.sset)
+                    - len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_union,
+               {sql_dround(
+                   "len(list_intersect(sa.sset, sb.sset)) / "
+                   "CAST(len(sa.sset) + len(sb.sset) "
+                   "- len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)", 6)}
+                   AS jaccard
+        FROM cand c
+        JOIN ssets sa ON sa.doc_id = c.doc_a
+        JOIN ssets sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.sset, sb.sset))
+              / CAST(len(sa.sset) + len(sb.sset)
+                     - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+              >= {_JACCARD_T}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact {k}-gram Jaccard ≥ {t}, candidates from a
+    shingle inverted-index self-join with a stop-shingle df cutoff.
+
+    Plan: explode shingles (one shuffle to count df + the index join);
+    per-doc shingle sets for verification are narrow recomputes of
+    ``text``, so candidate verification adds two hash-joins but no extra
+    pass over the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_DF)
+        .select("sh")
+    )
+    idx = sh.join(rare, "sh")
+    cand = (
+        idx.alias("a")
+        .join(idx.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = docs.filter(F.size(F.split("text", " ")) >= _K).select(
+        "doc_id", shingle_set().alias("sset")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")), "doc_b")
+        .filter(inter / union.cast("double") >= _JACCARD_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_inter"),
+            union.cast("bigint").alias("n_union"),
+            dround(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash — MinHash signatures + LSH banding + exact verification
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        mh AS (
+            SELECT doc_id, i,
+                   MIN(('0x' || substr(md5(i::VARCHAR || '|' || sh), 1, 15))::BIGINT)
+                       AS mh
+            FROM sh, unnest(range({_H})) AS r(i)
+            GROUP BY doc_id, i
+        ),
+        band AS (
+            SELECT doc_id, i // {_ROWS} AS band_id,
+                   md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key
+            FROM mh GROUP BY doc_id, i // {_ROWS}
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+            FROM band a
+            JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        {_SQL_SHINGLE_SETS}
+        SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+               {sql_dround(
+                   "len(list_intersect(sa.sset, sb.sset)) / "
+                   "CAST(len(sa.sset) + len(sb.sset) "
+                   "- len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)", 6)}
+                   AS jaccard
+        FROM cand c
+        JOIN ssets sa ON sa.doc_id = c.doc_a
+        JOIN ssets sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.sset, sb.sset))
+              / CAST(len(sa.sset) + len(sb.sset)
+                     - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+              >= {_JACCARD_T}
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection (Broder '97 / MMDS ch.3):
+    {h} salted md5 min-hashes per doc, banded {b}×{r}; docs sharing any
+    band bucket become candidates, then exact Jaccard ≥ {t} verifies.
+
+    Plan: shingle explode ×{h} hash indices → partial min-agg map-side
+    (the blowup collapses before the shuffle) → per-doc signature →
+    band-key self-join (tiny rows: doc_id + 16-byte key) → narrow
+    shingle-set recompute for verification. No floats anywhere until
+    the final reported Jaccard, so signatures are bit-stable."""
+    docs = table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    mh = (
+        sh.select(
+            "doc_id", "sh", F.explode(F.sequence(F.lit(0), F.lit(_H - 1))).alias("i")
+        )
+        .select(
+            "doc_id",
+            "i",
+            _h60(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("sh"))).alias(
+                "mhv"
+            ),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("mhv").alias("mh"))
+    )
+    band = (
+        mh.withColumn("band_id", (F.col("i") / _ROWS).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        band.alias("a")
+        .join(band.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    sets = docs.filter(F.size(F.split("text", " ")) >= _K).select(
+        "doc_id", shingle_set().alias("sset")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")), "doc_b")
+        .filter(inter / union.cast("double") >= _JACCARD_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            dround(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash — 32-bit SimHash fingerprint + hamming band bytes
+# --------------------------------------------------------------------------
+
+_SIM_BITS = 32
+
+
+@register(
+    "dedup_simhash",
+    tags=("b10",),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+            FROM tok
+        ),
+        bits AS (
+            SELECT doc_id, j,
+                   SUM(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                            THEN 1 ELSE -1 END) AS weight
+            FROM th, unnest(range({_SIM_BITS})) AS r(j)
+            GROUP BY doc_id, j
+        ),
+        fp AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN weight > 0
+                            THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT doc_id, simhash,
+               (simhash // 16777216) % 256 AS b3,
+               (simhash // 65536) % 256 AS b2,
+               (simhash // 256) % 256 AS b1,
+               simhash % 256 AS b0
+        FROM fp
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (Charikar '02, as deployed for web dedup in
+    Manku et al. WWW'07): per doc, bit j of the fingerprint is the sign
+    of Σ_tokens ±1 (+ if bit j of the token's 32-bit hash is set).
+    The 4 byte-bands b3..b0 are the hamming-LSH keys: fingerprints
+    within hamming distance 3 must share at least one band (pigeonhole),
+    so near-dup candidate pairs come from 4 cheap equi-joins instead of
+    an O(N²) hamming scan.
+
+    Integer arithmetic end-to-end → bit-stable under any agg order.
+    Plan: token explode ×{_SIM_BITS} bit index → one hash-agg on
+    (doc, bit) with map-side partials → one tiny per-doc agg."""
+    docs = table(spark, sf_dir, "documents")
+    th = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).select("doc_id", _h32(F.col("word")).alias("h"))
+    bits = (
+        th.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(_SIM_BITS - 1))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            F.when(
+                F.expr("(h div cast(pow(2, j) as bigint)) % 2") == 1, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .alias("contrib"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("weight"))
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("weight") > 0, F.expr("cast(pow(2, j) as bigint)")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+    return fp.select(
+        "doc_id",
+        "simhash",
+        ((F.col("simhash") / 16777216).cast("long") % 256).alias("b3"),
+        ((F.col("simhash") / 65536).cast("long") % 256).alias("b2"),
+        ((F.col("simhash") / 256).cast("long") % 256).alias("b1"),
+        (F.col("simhash") % 256).alias("b0"),
+    )

@@ -1,0 +1,391 @@
+"""Similarity search over ``embeddings`` (SURVEY.md §2.B-10 ``sim_topk``
+and the ANN scale path; north-star LLM-data-pipeline surface).
+
+The reference's k×N nearest-centroid scan (``hadoop_tutorial/src/
+Kmeans.java:62-77``) is the 4-centroid special case of similarity
+search; these operators generalize it to top-k retrieval over an
+``array<float>`` embedding column:
+
+  * ``sim_topk``           — exact brute-force cosine top-k (the recall
+                             baseline), two-stage top-k so no single
+                             reducer sees all candidates
+  * ``sim_ann_ivf``        — IVF: coarse-quantize into cells, probe the
+                             ``_NPROBE`` nearest cells only
+  * ``dedup_embed_cosine`` — near-dup pairs via random-hyperplane LSH
+                             buckets + exact cosine verification
+
+Scale notes (100 TB):
+  * Cosines are computed on *pre-normalized* scalars: each vector's
+    norm is a narrow per-row expression computed once, so a pair costs
+    one fused ``zip_with``/``aggregate`` fold (JVM codegen, no Python).
+  * ``sim_topk`` salts the per-query top-k into {_SALT} partial top-ks
+    before the final merge — the classic two-stage TakeOrdered — so the
+    per-query shuffle fan-in is k×{_SALT} rows, not N. Queries are tiny
+    and broadcast; the big side is scanned once, never shuffled.
+  * ``sim_ann_ivf`` is the honest 100 TB path: the big side shuffles
+    once on cell id (→ cell-partitioned layout, in production persisted
+    bucketed-by-cell so queries touch ``nprobe/ncells`` of the data).
+  * LSH signatures are integer arithmetic over a quantized grid
+    (``round(x·1e6)``) with md5-derived hyperplanes — bit-stable on any
+    engine, which is what lets DuckDB replay them for the oracle.
+
+Determinism: every ranking orders by ``(round(cos,6) DESC, vec_id)`` —
+the rounded value is compared, so float noise below 1e-6 can't flip an
+order across engines (dot products verified bit-identical anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+_TOPK = 5
+_NQUERY = 10  # query set = vec_id <= 10
+_SALT = 16  # stage-1 partial top-k fan-out
+_NCELLS = 8  # IVF coarse centroids = vec_id 1.._NCELLS
+_NPROBE = 2
+_PLANES = 16  # LSH hyperplanes (4 bands x 4 bits)
+_LSH_BANDS, _LSH_BITS = 4, 4
+_COS_T = 0.4  # near-dup cosine threshold
+_Q = 1_000_000  # integer quantization grid for LSH
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, v double[], n norm) — norm computed once per row."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select("vec_id", "label", v.alias("v")).withColumn(
+        "n", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def _cos(va: str, vb: str, na: str, nb: str) -> Column:
+    """round(cos, 6) — ranked/compared only in rounded form."""
+    return F.round(_dot(va, vb) / (F.col(na) * F.col(nb)), 6)
+
+
+_SQL_E = """
+        e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS n
+            FROM embeddings
+        )
+"""
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"ROUND(list_dot_product({a}.v, {b}.v) / ({a}.n * {b}.n), 6)"
+
+
+# --------------------------------------------------------------------------
+# sim_topk — exact brute-force cosine top-k (two-stage)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_E}
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               CAST({_sql_cos('q', 'c')} AS DECIMAL(18,6)) AS cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_sql_cos('q', 'c')} DESC, c.vec_id
+               ) AS INT) AS rnk
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id <= {_NQUERY}
+        QUALIFY rnk <= {_TOPK}
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{k} cosine neighbors for each query vector (vec_id ≤
+    {nq}) — the ANN recall baseline.
+
+    Two-stage top-k: candidates are first reduced to a per-(query,
+    salt) top-{k} inside {s} salted groups, then merged; the final
+    per-query sort sees ≤ {k}·{s} rows however large N grows. The
+    corpus side is broadcast-joined against the tiny query set — one
+    scan, no shuffle of the big side."""
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") <= _NQUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("n").alias("qn")
+    )
+    cand = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _cos("qv", "v", "qn", "n").alias("cos_sim"),
+        )
+    )
+    salt = F.pmod(F.col("vec_id"), F.lit(_SALT))
+    w1 = Window.partitionBy("q_id", salt).orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        cand.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _TOPK)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= _TOPK)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("cos_sim").cast("decimal(18,6)").alias("cos_sim"),
+            "rnk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_ann_ivf — IVF coarse quantization + probe
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_ann_ivf",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_E},
+        cent AS (SELECT vec_id AS c_id, v, n FROM e WHERE vec_id <= {_NCELLS}),
+        assign AS (
+            SELECT vec_id, cell, v, n FROM (
+                SELECT e.vec_id, c.c_id AS cell, e.v, e.n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cos('e', 'c')} DESC, c.c_id
+                       ) AS rn
+                FROM e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT q_id, cell, qv, qn FROM (
+                SELECT q.vec_id AS q_id, c.c_id AS cell, q.v AS qv, q.n AS qn,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_sql_cos('q', 'c')} DESC, c.c_id
+                       ) AS rn
+                FROM e q CROSS JOIN cent c
+                WHERE q.vec_id <= {_NQUERY}
+            ) WHERE rn <= {_NPROBE}
+        )
+        SELECT q_id, vec_id, cos_sim, rnk FROM (
+            SELECT p.q_id, a.vec_id,
+                   CAST(ROUND(list_dot_product(p.qv, a.v) / (p.qn * a.n), 6)
+                        AS DECIMAL(18,6)) AS cos_sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY ROUND(list_dot_product(p.qv, a.v)
+                                      / (p.qn * a.n), 6) DESC, a.vec_id
+                   ) AS INT) AS rnk
+            FROM probe p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> p.q_id
+        ) WHERE rnk <= {_TOPK}
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-{k}: coarse-quantize every vector to its
+    nearest of {c} centroid cells (here: the vectors with vec_id ≤ {c},
+    deterministic; production would k-means them), then answer each
+    query from its {p} nearest cells only.
+
+    This is the 100 TB layout: one shuffle of the corpus on cell id —
+    persisted bucketed-by-cell, a query then scans nprobe/ncells of the
+    data. Centroids and the (query × probed-cell) list are broadcast;
+    candidate scoring is partition-local."""
+    e = _vecs(spark, sf_dir)
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") <= _NCELLS).select(
+            F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("n").alias("cn")
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), "c_id"
+    )
+    assign = (
+        e.crossJoin(cent)
+        .withColumn("c_cos", _cos("v", "cv", "n", "cn"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("cell"), "v", "n")
+    )
+    probe = F.broadcast(
+        e.filter(F.col("vec_id") <= _NQUERY)
+        .crossJoin(cent)
+        .withColumn("c_cos", _cos("v", "cv", "n", "cn"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= _NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("c_id").alias("cell"),
+            F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        assign.join(probe, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _cos("qv", "v", "qn", "n").alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _TOPK)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("cos_sim").cast("decimal(18,6)").alias("cos_sim"),
+            "rnk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_embed_cosine — random-hyperplane LSH + exact cosine verification
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embed_cosine",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_E},
+        qe AS (
+            SELECT vec_id, v, n,
+                   [CAST(ROUND(x * {_Q}, 0) AS BIGINT) FOR x IN v] AS qv
+            FROM e
+        ),
+        planes AS (
+            SELECT p, d,
+                   CASE WHEN ('0x' || substr(md5(p::VARCHAR || '|' || d::VARCHAR),
+                                             1, 8))::BIGINT % 2 = 1
+                        THEN 1 ELSE -1 END AS coef
+            FROM unnest(range({_PLANES})) AS rp(p),
+                 unnest(range(64)) AS rd(d)
+        ),
+        sig AS (
+            SELECT vec_id, p,
+                   CASE WHEN SUM(coef * qv[d + 1]) > 0 THEN 1 ELSE 0 END AS bit
+            FROM qe, unnest(range(64)) AS rd(d)
+            JOIN planes USING (d)
+            GROUP BY vec_id, p
+        ),
+        sig16 AS (
+            SELECT vec_id,
+                   SUM(bit * CAST(pow(2, p) AS BIGINT)) AS s
+            FROM sig GROUP BY vec_id
+        ),
+        bands AS (
+            SELECT vec_id, k,
+                   (s // CAST(pow(2, k * {_LSH_BITS}) AS BIGINT))
+                       % {2 ** _LSH_BITS} AS bv
+            FROM sig16, unnest(range({_LSH_BANDS})) AS rk(k)
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a JOIN bands b
+              ON a.k = b.k AND a.bv = b.bv AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
+               CAST({_sql_cos('x', 'y')} AS DECIMAL(18,6)) AS cos_sim
+        FROM cand c
+        JOIN e x ON x.vec_id = c.vec_a
+        JOIN e y ON y.vec_id = c.vec_b
+        WHERE {_sql_cos('x', 'y')} >= {_COS_T}
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH (Charikar '02)
+    generates candidates, exact cosine ≥ {t} verifies.
+
+    Signatures are exact integers: coordinates quantized to a 1e-6
+    grid, hyperplane coefficients ±1 derived from md5(p|d) — so the
+    {b}×{r}-bit banding is bit-stable and oracle-replayable. Plan:
+    narrow quantize → explode (vec × 64 dims) joined to the broadcast
+    1024-row plane table → two hash-aggs (partial map-side) → tiny
+    band self-join → exact verify on the candidate pairs only. The
+    full O(N²) pair space is never materialized."""
+    e = _vecs(spark, sf_dir)
+    qe = e.withColumn(
+        "qv", F.transform("v", lambda x: F.round(x * _Q, 0).cast("bigint"))
+    )
+    planes = F.broadcast(
+        spark.range(_PLANES)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("d")))
+        .select(
+            "p",
+            "d",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col("p"), F.col("d"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                * 2
+                - 1
+            ).alias("coef"),
+        )
+    )
+    sig = (
+        qe.select("vec_id", F.posexplode("qv").alias("d", "qd"))
+        .join(planes, "d")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.when(F.sum(F.col("coef") * F.col("qd")) > 0, 1)
+            .otherwise(0)
+            .alias("bit")
+        )
+    )
+    sig16 = sig.groupBy("vec_id").agg(
+        F.sum(F.col("bit") * F.expr("cast(pow(2, p) as bigint)")).alias("s")
+    )
+    bands = sig16.select(
+        "vec_id",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1))).alias("k"),
+    ).select(
+        "vec_id",
+        "k",
+        F.expr(f"(s div cast(pow(2, k * {_LSH_BITS}) as bigint)) % {2 ** _LSH_BITS}").alias(
+            "bv"
+        ),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["k", "bv"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")),
+            "vec_a",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")),
+            "vec_b",
+        )
+        .filter(_cos("va", "vb", "na", "nb") >= _COS_T)
+        .select(
+            "vec_a",
+            "vec_b",
+            _cos("va", "vb", "na", "nb").cast("decimal(18,6)").alias("cos_sim"),
+        )
+    )
