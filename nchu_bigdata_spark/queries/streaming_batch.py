@@ -38,7 +38,12 @@ _10M_US = 10 * 60 * 1_000_000
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute window count/sum keyed by event_type."""
-    ev = table(spark, sf_dir, "events")
+    return tumbling_transform(table(spark, sf_dir, "events"))
+
+
+def tumbling_transform(ev: DataFrame) -> DataFrame:
+    """Core tumbling-window plan — shared verbatim by the batch query
+    and the Structured Streaming runner (parity tested, SURVEY.md §5.3)."""
     return (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
@@ -74,7 +79,12 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (10-minute length, 5-minute slide): every event
     lands in exactly two windows; the oracle materializes both bucket
     starts explicitly."""
-    ev = table(spark, sf_dir, "events")
+    return sliding_transform(table(spark, sf_dir, "events"))
+
+
+def sliding_transform(ev: DataFrame) -> DataFrame:
+    """Core sliding-window plan — shared by batch query and streaming
+    runner."""
     return (
         ev.groupBy(
             F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
@@ -121,7 +131,12 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session window (10-minute gap). Spark's native
     ``session_window`` (start = first event, end = last event + gap);
     the oracle emulates it with gaps-and-islands SQL."""
-    ev = table(spark, sf_dir, "events")
+    return session_transform(table(spark, sf_dir, "events"))
+
+
+def session_transform(ev: DataFrame) -> DataFrame:
+    """Core session-window plan — shared by batch query and streaming
+    runner."""
     return (
         ev.groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -140,10 +155,19 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful dropDuplicates, batch form. (The streaming runner applies
-    it with a watermark so state is bounded — old keys expire instead of
-    accumulating forever, the 100 TB requirement for streaming dedup.)"""
-    ev = table(spark, sf_dir, "events")
+    """Stateful dropDuplicates, batch form — the streaming runner runs
+    this exact plan as a stateful streaming dedup (parity-tested). At
+    100 TB the production deployment adds ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` so key state expires instead of
+    accumulating forever; that variant trades exact global dedup for
+    bounded state, so the parity-tested form here keeps the exact
+    semantics."""
+    return dedup_transform(table(spark, sf_dir, "events"))
+
+
+def dedup_transform(ev: DataFrame) -> DataFrame:
+    """Core stateful-dedup plan — shared by batch query and streaming
+    runner."""
     return ev.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
@@ -161,7 +185,12 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling agg with a 10-minute watermark declared. In batch this
     matches stream_tumbling; in the streaming runner the watermark
     bounds state and drops late rows (tests assert the drop)."""
-    ev = table(spark, sf_dir, "events")
+    return watermark_transform(table(spark, sf_dir, "events"))
+
+
+def watermark_transform(ev: DataFrame) -> DataFrame:
+    """Core watermarked tumbling plan — in streaming the watermark
+    bounds state and drops late rows (asserted by the parity tests)."""
     return (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")

@@ -1,0 +1,104 @@
+"""Run the B-9 operators as true Structured Streaming queries.
+
+Design: ``readStream`` file source over the same parquet → the exact
+batch transform → memory sink, ``Trigger.AvailableNow`` so the query
+drains all available input and stops. Because every transform is the
+same DataFrame plan object the batch query uses, parity is structural —
+Structured Streaming is the batch engine incrementalized.
+
+Scale notes:
+  * The file source is only the test harness's ingress; in production
+    the same transforms run unchanged over Kafka/queue sources — the
+    plan below the source node is identical.
+  * Stateful operators (windowed aggs, session windows, dedup) keep
+    their state in the state store, partitioned by grouping key across
+    executors; watermarks bound that state — see
+    ``test_streaming_parity.py`` for the late-data-drop demonstration.
+  * The memory sink collects to the driver — test-only; production
+    sinks (kafka/parquet/foreachBatch) stay distributed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from uuid import uuid4
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nchu_bigdata_spark.queries.streaming_batch import (
+    dedup_transform,
+    session_transform,
+    sliding_transform,
+    tumbling_transform,
+    watermark_transform,
+)
+
+# Parquet stores events.ts as TIMESTAMP(NANOS); with nanosAsLong the
+# scan yields int64 nanos which we cast to microsecond timestamps
+# (lossless here) — same policy as nchu_bigdata_spark.io.table.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# transform + required sink output mode for each streaming query id
+STREAM_TRANSFORMS: dict[str, tuple[Callable[[DataFrame], DataFrame], str]] = {
+    "stream_tumbling": (tumbling_transform, "complete"),
+    "stream_sliding": (sliding_transform, "complete"),
+    "stream_session": (session_transform, "complete"),
+    "stream_dedup": (dedup_transform, "append"),
+    "stream_watermark_late": (watermark_transform, "complete"),
+}
+
+
+def _decode_ts(raw: DataFrame) -> DataFrame:
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+def events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming scan of an events parquet path (file or directory
+    glob), decoded to the engine's canonical events schema."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return _decode_ts(raw)
+
+
+def run_events_stream(
+    spark: SparkSession,
+    path: str,
+    transform: Callable[[DataFrame], DataFrame],
+    output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Run ``transform`` over a streaming scan of ``path`` until all
+    currently-available input is drained (AvailableNow), and return the
+    materialized result (memory sink table).
+
+    ``max_files_per_trigger`` splits input files into multiple
+    microbatches — used by tests to advance the watermark between
+    batches and observe late-data drops."""
+    name = f"stream_result_{uuid4().hex[:12]}"
+    src = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = transform(_decode_ts(src.parquet(path)))
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

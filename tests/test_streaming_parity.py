@@ -1,0 +1,118 @@
+"""Batch ↔ Structured Streaming parity (SURVEY.md §5.3) plus the
+watermark late-data-drop demonstration.
+
+Each B-9 operator is one transform run two ways: the registered batch
+query (oracle-checked elsewhere) and a true readStream → memory-sink
+run via the streaming runner. Results must match exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nchu_bigdata_spark.registry import load_all_queries
+from nchu_bigdata_spark.streaming import STREAM_TRANSFORMS, run_events_stream
+
+from tests.helpers import canon_rows
+
+SPECS = load_all_queries()
+
+PARITY_IDS = [
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_watermark_late",
+]
+
+
+def _rows(df):
+    return canon_rows(df.columns, [tuple(r) for r in df.collect()])
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    """The file stream source requires a directory; link the single
+    events parquet into one."""
+    d = tmp_path_factory.mktemp("events_stream_src")
+    os.symlink(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", PARITY_IDS)
+def test_stream_matches_batch(name, spark, sf_dir, events_dir):
+    transform, mode = STREAM_TRANSFORMS[name]
+    batch = SPECS[name].fn(spark, sf_dir)
+    stream = run_events_stream(spark, events_dir, transform, output_mode=mode)
+    assert sorted(stream.columns) == sorted(batch.columns)
+    assert _rows(stream.select(*batch.columns)) == _rows(batch)
+
+
+_MIN = 60 * 1_000_000_000  # one minute in nanos
+
+
+def _write_events(path: str, rows: list[tuple[int, int]]) -> None:
+    """(event_id, ts_nanos) click events, one single-file parquet."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        path,
+    )
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Three microbatches (maxFilesPerTrigger=1): batch 0 carries data
+    that advances the watermark past window [t0, t0+5m); batch 2 then
+    delivers a late row into that window, which the 10-minute watermark
+    must drop (numRowsDroppedByWatermark fires).
+
+    The intermediate batch 1 matters: Spark applies the late-row filter
+    with the watermark that was *operative at the start of a batch*, so
+    a row arriving in the very batch where the watermark first passed
+    its window is still admitted — drops are guaranteed only from the
+    following batch on. Append mode emits each finalized window once,
+    so the final table proves the drop: window t0 counts 5, not 6."""
+    t0 = 1_755_000_000 * 1_000_000_000  # arbitrary epoch-aligned base
+    t0 -= t0 % (5 * _MIN)  # align to a 5-minute window start
+    src = tmp_path / "events"
+    src.mkdir()
+    # batch 0: five on-time rows in window [t0, t0+5m) + one at t0+30m
+    # → watermark after the batch: t0+20m
+    _write_events(
+        str(src / "a.parquet"),
+        [(i, t0 + i * _MIN) for i in range(5)] + [(99, t0 + 30 * _MIN)],
+    )
+    # batch 1: one on-time row; watermark t0+20m now operative (→ t0+21m)
+    _write_events(str(src / "b.parquet"), [(50, t0 + 31 * _MIN)])
+    # batch 2: a LATE row for the first window (its end t0+5m is far
+    # behind the operative watermark → dropped) + one at t0+45m
+    # (watermark → t0+35m, finalizing the [t0+30m, t0+35m) window)
+    _write_events(
+        str(src / "c.parquet"),
+        [(100, t0 + 1 * _MIN), (101, t0 + 45 * _MIN)],
+    )
+    for i, f in enumerate(("a", "b", "c")):
+        os.utime(src / f"{f}.parquet", ((i + 1) * 1_000_000,) * 2)
+
+    transform, _ = STREAM_TRANSFORMS["stream_watermark_late"]
+    out = run_events_stream(
+        spark, str(src), transform, output_mode="append", max_files_per_trigger=1
+    )
+    got = {r.wstart_us: r.n for r in out.collect()}
+    w0 = t0 // 1000  # nanos -> micros
+    assert got[w0] == 5, f"late row was not dropped: {got}"
+    assert got[w0 + 30 * _MIN // 1000] == 2  # t0+30m and t0+31m rows
+    # the t0+45m window is still open (watermark t0+35m) → not emitted
+    assert len(got) == 2, got
