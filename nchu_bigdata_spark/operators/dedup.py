@@ -48,6 +48,26 @@ _JACCARD_T = 0.5  # near-dup threshold
 _H = 32  # minhash functions
 _BANDS, _ROWS = 8, 4  # LSH banding: 8 bands x 4 rows = 32
 
+# Universal-hash family for MinHash: mh_i(s) = (A[i]*h32(s) + B[i]) mod P.
+# One md5 per shingle; the _H permutations are integer arithmetic, so the
+# per-shingle cost is 1 hash + _H mult-adds instead of _H salted hashes.
+# P is the smallest prime > 2^32; A < 2^30 keeps A*h < 2^62 (no int64
+# overflow in either engine). Constants are fixed (seed 20260813) so the
+# DuckDB oracle replays signatures bit-for-bit.
+_P = 4294967311
+_A = [1064082031, 199401392, 298493742, 573612697, 958392528, 739673739,
+      486173717, 58225162, 145609951, 215489561, 117017238, 703471044,
+      880590498, 633842771, 462017659, 586349398, 1019488620, 201319703,
+      1071644562, 678835136, 677911910, 1056605313, 334462875, 126328945,
+      588912590, 214015921, 848272349, 115448327, 397332018, 879404501,
+      740016488, 429239620]
+_B = [527406850, 106582524, 87966394, 666804717, 490296874, 955195195,
+      331877174, 890048279, 664594620, 970348799, 767008894, 811038816,
+      297044272, 788724776, 1035172614, 307572219, 961940036, 104594903,
+      780298046, 659097172, 149015098, 498454948, 559603889, 786406854,
+      789412482, 50110506, 306798126, 794769926, 638166887, 303201955,
+      27439071, 669514760]
+
 
 def _h60(col: Column) -> Column:
     """Portable 60-bit hash: first 15 hex chars of md5 as int64.
@@ -225,11 +245,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("b10",),
     oracle=f"""
         WITH {_SQL_SHINGLES},
+        sh32 AS (
+            SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+            FROM sh
+        ),
         mh AS (
             SELECT doc_id, i,
-                   MIN(('0x' || substr(md5(i::VARCHAR || '|' || sh), 1, 15))::BIGINT)
-                       AS mh
-            FROM sh, unnest(range({_H})) AS r(i)
+                   MIN(({_A}[i + 1] * h + {_B}[i + 1]) % {_P}) AS mh
+            FROM sh32, unnest(range({_H})) AS r(i)
             GROUP BY doc_id, i
         ),
         band AS (
@@ -263,44 +286,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection (Broder '97 / MMDS ch.3):
-    {h} salted md5 min-hashes per doc, banded {b}×{r}; docs sharing any
-    band bucket become candidates, then exact Jaccard ≥ {t} verifies.
+    {h} universal-hash min-hashes per doc, banded {b}×{r}; docs sharing
+    any band bucket become candidates, then exact Jaccard ≥ {t} verifies.
 
-    Plan: shingle explode ×{h} hash indices → partial min-agg map-side
-    (the blowup collapses before the shuffle) → per-doc signature →
-    band-key self-join (tiny rows: doc_id + 16-byte key) → narrow
-    shingle-set recompute for verification. No floats anywhere until
-    the final reported Jaccard, so signatures are bit-stable."""
+    Plan: one md5 per shingle, then the {h} permutations are mult-adds
+    over that base hash computed as {h} parallel ``min`` aggregates of a
+    single ``groupBy(doc_id)`` — no ×{h} row blowup, no (doc_id, i)
+    composite shuffle key; partial mins collapse map-side so only one
+    {h}-long signature row per doc crosses the wire. Band keys are
+    derived column-wise from the signature row and posexploded into the
+    tiny band self-join (doc_id + 16-byte key rows). No floats anywhere
+    until the final reported Jaccard, so signatures are bit-stable."""
     docs = table(spark, sf_dir, "documents")
     sh = _doc_shingles(docs)
-    mh = (
-        sh.select(
-            "doc_id", "sh", F.explode(F.sequence(F.lit(0), F.lit(_H - 1))).alias("i")
-        )
-        .select(
-            "doc_id",
-            "i",
-            _h60(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("sh"))).alias(
-                "mhv"
-            ),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("mhv").alias("mh"))
-    )
-    band = (
-        mh.withColumn("band_id", (F.col("i") / _ROWS).cast("int"))
-        .groupBy("doc_id", "band_id")
+    sig = (
+        sh.select("doc_id", _h32(F.col("sh")).alias("h"))
+        .groupBy("doc_id")
         .agg(
+            *[
+                F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(_P)).alias(
+                    f"m{i}"
+                )
+                for i in range(_H)
+            ]
+        )
+    )
+    band_keys = F.array(
+        *[
             F.md5(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                        lambda s: s["mh"].cast("string"),
-                    ),
+                    *[
+                        F.col(f"m{b * _ROWS + r}").cast("string")
+                        for r in range(_ROWS)
+                    ],
                 )
-            ).alias("band_key")
-        )
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    band = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
     )
     cand = (
         band.alias("a")

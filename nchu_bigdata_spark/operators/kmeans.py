@@ -148,6 +148,7 @@ def fit(
     emit one — Hadoop reducers only see non-empty groups).
     """
     df = df.select(feature_col).cache()
+    dim = len(init_centers[0])
     try:
         centers = [list(map(float, c)) for c in init_centers]
         costs: list[float] = []
@@ -155,19 +156,27 @@ def fit(
         it = 0
         for it in range(1, max_iter + 1):
             assigned = assign(df, centers, feature_col, metric, dist_col="_dist")
-            # one tiny action: k centroid rows + the iteration's cost
-            rows = (
-                update(assigned, feature_col)
-                .join(
-                    assigned.groupBy("cluster").agg(F.sum("_dist").alias("cost")),
-                    "cluster",
-                )
-                .collect()
-            )
+            # ONE fused hash-agg per iteration: per-dim sums + count +
+            # cost in the same groupBy, so a single job runs and only
+            # k rows of (dim+2) doubles shuffle (partials map-side).
+            # Means are sum/count on the driver (k·dim floats).
+            rows = assigned.groupBy("cluster").agg(
+                *[
+                    F.sum(
+                        F.element_at(feature_col, i + 1).cast("double")
+                    ).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_dist").alias("cost"),
+            ).collect()
             new_centers = list(centers)
             cost = 0.0
             for r in rows:
-                new_centers[r["cluster"] - 1] = [float(v) for v in r["centroid"]]
+                n = float(r["n"])
+                new_centers[r["cluster"] - 1] = [
+                    float(r[f"s{i}"]) / n for i in range(dim)
+                ]
                 cost += float(r["cost"])
             costs.append(cost)
             delta = sum(
