@@ -8,6 +8,7 @@ from nchu_bigdata_spark.queries import (  # noqa: F401
     scalar_fns,
     sets_sorts,
     streaming_batch,
+    subqueries,
     udfs,
     windows,
 )

@@ -216,3 +216,76 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("c_acctbal").between(1000, 8000)
     ) | (F.col("c_name").like("%001%") & F.col("c_nationkey").isNotNull())
     return c.filter(pred).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "scan_orc",
+    tags=("b1",),
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6))
+                   AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan: round-trips lineitem through ORC (the other columnar
+    format Spark ships a vectorized reader for) and aggregates; the
+    oracle reads the original parquet, so lossless serde is checked."""
+    out = scratch_dir(sf_dir, "lineitem_orc")
+    cols = ["l_orderkey", "l_returnflag", "l_extendedprice"]
+    table(spark, sf_dir, "lineitem").select(*cols).write.mode(
+        "overwrite"
+    ).orc(out)
+    orc = spark.read.orc(out)
+    return orc.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@register(
+    "lateral_explode",
+    tags=("b2",),
+    oracle="""
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS word
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE doc_id < 100
+        ) t, unnest(range(1, len(w) + 1)) AS r(i)
+    """,
+)
+def lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral flatten: posexplode of the tokenized text — one row per
+    (doc, position, token). The table-generator runs inside the scan
+    stage (no shuffle); the doc_id predicate is pushed below it."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+
+
+@register(
+    "sample_hash",
+    tags=("b2",),
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+              % 100 < 5
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% systematic sample by key hash. Unlike
+    ``df.sample`` (RNG per partition — irreproducible across engines,
+    partitionings, and reruns), hash-mod sampling is a pure scan
+    predicate: stable under retries and identical on any engine, which
+    is what a 100 TB pipeline needs for resumable subsampling."""
+    orders = table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return orders.filter(h % 100 < 5).select("o_orderkey", "o_totalprice")

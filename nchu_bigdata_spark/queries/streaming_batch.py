@@ -197,3 +197,77 @@ def watermark_transform(ev: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.unix_micros("w.start").alias("wstart_us"), "event_type", "n")
     )
+
+
+@register(
+    "stream_stateful",
+    tags=("b9",),
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS val_sum_scaled,
+               MAX(epoch_us(ts)) AS max_ts_us
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-key tracker, batch form: per user the event
+    count, cent-scaled value sum, and latest event time. The streaming
+    runner computes the identical result with a hand-written
+    ``applyInPandasWithState`` operator (``stateful_transform``) whose
+    per-key state lives in the state store; the parity test asserts the
+    two agree. Sums are integer cents end-to-end so state accumulation
+    order can't produce float drift."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "val_sum_scaled"
+        ),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )
+
+
+def stateful_transform(ev: DataFrame) -> DataFrame:
+    """Streaming-only form of ``stream_stateful``: arbitrary stateful
+    processing via ``applyInPandasWithState`` (SURVEY.md §2.B-9; the
+    engine's escape hatch for operators windowed aggs can't express).
+
+    Per-key state is a (count, cent_sum, max_ts_us) triple in the state
+    store — constant size per user, partitioned across executors, and
+    checkpointable; each microbatch emits the updated running totals
+    (update mode), so the final row per key equals the batch aggregate.
+    Rounding is explicit half-up (``floor(v*100 + .5)``, values are
+    non-negative) to match Spark's ``F.round`` — pandas' default
+    ``round`` is half-even and would drift on exact cent boundaries."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        n, s, mx = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+            ts_us = pdf["ts"].astype("int64").to_numpy() // 1_000
+            mx = max(mx, int(ts_us.max()))
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "val_sum_scaled": [s],
+                "max_ts_us": [mx],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n long, val_sum_scaled long, "
+        "max_ts_us long",
+        stateStructType="n long, s long, mx long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

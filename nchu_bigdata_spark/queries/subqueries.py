@@ -1,0 +1,212 @@
+"""Subqueries + classic TPC-H-shaped composites (SURVEY.md §2.B-11).
+
+The reference has no query language at all (its one "plan" is hard-coded
+Java, ``hadoop_tutorial/src/Kmeans.java:137-160``); these exercise the
+part of a real engine the reference lacks entirely: Catalyst's analyzer
+and optimizer on declarative SQL — correlated-subquery decorrelation
+(rewritten to joins), IN-to-semi-join conversion, multi-way join
+ordering, and scan-level predicate pushdown.
+
+The subquery trio runs through ``spark.sql`` over registered temp views
+on purpose: the point is that the engine accepts ANSI subquery SQL and
+Catalyst plans it, not that we hand-build the equivalent joins.
+
+Scale notes (100 TB):
+  * ``sub_exists`` / ``sub_in`` decorrelate to semi-joins — one shuffle
+    each, no row blowup regardless of match multiplicity.
+  * ``sub_scalar`` decorrelates to an aggregate + equi-join on the
+    correlation key; partial max collapses map-side.
+  * ``tpch_q5`` is the join-order showcase: region/nation/supplier are
+    broadcast-size, orders is date-filtered before the fact join, and
+    only lineitem⋈orders shuffles big.
+  * ``tpch_q6`` is pure scan+filter+agg: every predicate reaches the
+    parquet reader (PushedFilters), zero shuffle beyond one partial-agg
+    exchange of a single row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.compat import dsum, sql_dsum
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "sub_exists",
+    tags=("b11",),
+    oracle="""
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+)
+def sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst decorrelates to a left-semi join
+    (same physical shape as ``join_semi``, but arrived at from ANSI SQL
+    by the optimizer, not by hand)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+        """
+    )
+
+
+@register(
+    "sub_scalar",
+    tags=("b11",),
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM lineitem l
+        WHERE l.l_extendedprice = (
+            SELECT MAX(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_orderkey = l.l_orderkey
+        )
+    """,
+)
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-order max line) — decorrelated to
+    a grouped MAX + equi-join on the correlation key. MAX (not AVG) so
+    the compared value is an exact input double on both engines."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM lineitem l
+        WHERE l.l_extendedprice = (
+            SELECT MAX(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_orderkey = l.l_orderkey
+        )
+        """
+    )
+
+
+@register(
+    "sub_in",
+    tags=("b11",),
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        AND o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
+    """,
+)
+def sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated IN subquery + NOT IN value list — IN converts to a
+    left-semi join; the NOT IN list folds to a scan predicate."""
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        AND o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
+        """
+    )
+
+
+@register(
+    "tpch_q5",
+    tags=("b11",),
+    oracle=f"""
+        SELECT n.n_name,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               COUNT(*) AS n_lines
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, local-supplier revenue by nation.
+
+    Join-order showcase: region→nation→supplier prune first and stay
+    broadcast-size; orders is date-filtered at the scan before touching
+    lineitem, so the only large shuffle is lineitem⋈orders (AQE may
+    demote even that to broadcast at small SF)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "tpch_q6",
+    tags=("b11",),
+    oracle=f"""
+        SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast-revenue-change — scan, three pushed
+    predicates, one global agg. The canonical pushdown probe: at 100 TB
+    this reads only 4 columns and row-groups surviving min/max pruning;
+    a single partial-agg row per partition crosses the wire."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

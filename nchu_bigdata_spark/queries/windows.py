@@ -156,3 +156,73 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("running_spend"),
     )
+
+
+@register(
+    "win_range_frame",
+    tags=("b5",),
+    oracle="""
+        SELECT event_id,
+               CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+               ) AS DECIMAL(38,6)) AS val_sum_10m,
+               COUNT(*) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+               ) AS n_10m
+        FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on event time: per user, the trailing-10-minute
+    sum/count at every event (value-based frame bounds, unlike the
+    ROWS frame of ``win_frame_avg``). Sums go through decimal so the
+    set-valued frame is order-insensitive bit-exact on both engines."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(20,6)"))
+        .over(w)
+        .cast("decimal(38,6)")
+        .alias("val_sum_10m"),
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+    )
+
+
+@register(
+    "win_ntile",
+    tags=("b5",),
+    oracle="""
+        SELECT c_custkey,
+               NTILE(4) OVER w AS quartile,
+               FIRST_VALUE(c_name) OVER w AS poorest_in_nation,
+               LAST_VALUE(c_name) OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS richest_in_nation
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing + FIRST_VALUE/LAST_VALUE per partition (LAST over
+    the full frame — the default running frame would just echo the
+    current row). Ordering includes c_custkey so ties are deterministic."""
+    cust = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("c_name").over(w).alias("poorest_in_nation"),
+        F.last("c_name").over(wfull).alias("richest_in_nation"),
+    )

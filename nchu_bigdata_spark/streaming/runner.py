@@ -31,6 +31,7 @@ from nchu_bigdata_spark.queries.streaming_batch import (
     dedup_transform,
     session_transform,
     sliding_transform,
+    stateful_transform,
     tumbling_transform,
     watermark_transform,
 )
@@ -56,6 +57,9 @@ STREAM_TRANSFORMS: dict[str, tuple[Callable[[DataFrame], DataFrame], str]] = {
     "stream_session": (session_transform, "complete"),
     "stream_dedup": (dedup_transform, "append"),
     "stream_watermark_late": (watermark_transform, "complete"),
+    # update mode: each microbatch emits the refreshed running totals
+    # per key; the LAST emission per key equals the batch aggregate.
+    "stream_stateful": (stateful_transform, "update"),
 }
 
 

@@ -116,3 +116,23 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got[w0 + 30 * _MIN // 1000] == 2  # t0+30m and t0+31m rows
     # the t0+45m window is still open (watermark t0+35m) → not emitted
     assert len(got) == 2, got
+
+
+def test_stateful_stream_matches_batch(spark, sf_dir, events_dir):
+    """applyInPandasWithState running totals: the last emission per key
+    (update mode re-emits refreshed state each microbatch) must equal
+    the batch groupBy aggregate."""
+    from pyspark.sql import functions as F
+
+    transform, mode = STREAM_TRANSFORMS["stream_stateful"]
+    batch = SPECS["stream_stateful"].fn(spark, sf_dir)
+    stream = run_events_stream(spark, events_dir, transform, output_mode=mode)
+    last = (
+        stream.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("val_sum_scaled").alias("val_sum_scaled"),
+            F.max("max_ts_us").alias("max_ts_us"),
+        )
+    )
+    assert _rows(last.select(*batch.columns)) == _rows(batch)
