@@ -6,6 +6,7 @@ from nchu_bigdata_spark.queries import (  # noqa: F401
     joins,
     relational,
     scalar_fns,
+    scale,
     sets_sorts,
     streaming_batch,
     subqueries,

@@ -1,0 +1,140 @@
+"""B-12 Scale techniques (SURVEY.md §2.B-12): the shuffle-elimination
+and skew-mitigation patterns a 100 TB deployment leans on, expressed as
+oracle-checked operators so the techniques are *tested*, not just
+claimed.
+
+The reference's only partitioning strategy is Hadoop's default hash
+partition on ≤4 reduce keys with observed skew 36/73/137/119
+(``hadoop_tutorial/src/Kmeans.java:146-147``,
+``Kmeans/kmeans.hdfs/part-r-00000``); it has no answer to either
+problem these operators solve.
+
+  * ``join_bucketed`` — bucketing: pre-shuffle both fact tables once at
+    write time into the same bucket layout; every later join/agg on the
+    bucket key is exchange-free. At 100 TB this converts the dominant
+    recurring shuffle into a one-time layout cost.
+  * ``join_skew_salted`` — salting: explode a hot build side ×S and
+    spread the probe side across the S salts, so one hot key fans out
+    over S tasks instead of stalling one straggler. (AQE skew-join
+    splitting is enabled engine-wide too; explicit salting is the
+    deterministic form that also works pre-AQE and for aggregations.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.compat import dsum, sql_dsum
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.queries.relational import scratch_dir
+from nchu_bigdata_spark.registry import register
+
+_N_BUCKETS = 8
+_N_SALTS = 8
+
+
+@register(
+    "join_bucketed",
+    tags=("b12",),
+    oracle=f"""
+        SELECT l.l_returnflag,
+               COUNT(*) AS n_lines,
+               {sql_dsum("l.l_extendedprice")} AS sum_price
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free sort-merge join via bucketing.
+
+    Both sides are written once as tables bucketed+sorted by orderkey
+    into the same {n} buckets; the join then reads co-located buckets
+    directly — the physical plan has NO Exchange on the join key (the
+    plan audit asserts this). This is the 100 TB pattern for a fact
+    table joined on the same key daily: one layout shuffle at ingest,
+    zero at query time."""
+    warehouse = scratch_dir(sf_dir, "bucketed")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li_tbl, o_tbl = f"li_bkt_{sf_tag}", f"ord_bkt_{sf_tag}"
+    for tbl, name, key, cols in (
+        (li_tbl, "lineitem", "l_orderkey",
+         ["l_orderkey", "l_returnflag", "l_extendedprice"]),
+        (o_tbl, "orders", "o_orderkey",
+         ["o_orderkey", "o_orderpriority"]),
+    ):
+        if not spark.catalog.tableExists(tbl):
+            (
+                table(spark, sf_dir, name)
+                .select(*cols)
+                .write.bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", os.path.join(warehouse, tbl))
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    # hint("merge"): at test SF the filtered side fits a broadcast, which
+    # would hide the property under test; at 100 TB both sides are huge
+    # and SMJ over co-located buckets IS the plan, so pin it.
+    li = spark.table(li_tbl).hint("merge")
+    orders = spark.table(o_tbl).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "join_skew_salted",
+    tags=("b12",),
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_lines,
+               {sql_dsum("l.l_extendedprice")} AS sum_price
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: identical result to the plain join (the
+    oracle IS the plain join), different physical distribution.
+
+    The build side (orders) is exploded ×{s} salts; each probe row
+    (lineitem) picks one deterministic salt from a row-local column, so
+    a hot orderkey's probe rows spread over {s} shuffle partitions
+    instead of one straggler task. Build-side blowup is bounded (×{s})
+    and the join key becomes (key, salt). Salting is the deterministic
+    complement to AQE's runtime skew-split — and the only option for
+    skewed *aggregations* (two-phase agg over the salted key)."""
+    # hint("merge") pins the shuffled join so the salted distribution —
+    # Exchange on (key, salt) — is the physical plan under test, as it
+    # would be with a broadcast-ineligible hot build side at scale.
+    li = table(spark, sf_dir, "lineitem").hint("merge").withColumn(
+        "salt", (F.col("l_linenumber") % _N_SALTS).cast("int")
+    )
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "salt",
+        F.explode(F.array(*[F.lit(i) for i in range(_N_SALTS)])),
+    )
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Physical-plan audit — the 100 TB design gate.
+
+Correctness is checked by the DuckDB oracle; this tool checks that each
+query would still be the *right plan at scale*: filters reach the
+parquet scan, projections prune columns, small dims broadcast, big joins
+shuffle on keys (not nested loops), and the hot path stays inside
+whole-stage codegen.
+
+For every registered query it captures ``explain('formatted')`` and
+greps for the assertions declared in ``EXPECT`` below; anything not
+listed gets the default checks. Exit code 1 on any violation.
+
+Usage:
+    python tools/explain_audit.py [sf_dir] [query ...]
+    python tools/explain_audit.py --dump sort_limit   # print full plan
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+from nchu_bigdata_spark.registry import load_all_queries
+from nchu_bigdata_spark.session import get_session
+
+# name -> (must_contain regexes, must_NOT_contain regexes)
+# Defaults applied to every query: no CartesianProduct (the only sanctioned
+# cross join is the k×N broadcast in join_cross_argmin / kmeans — broadcast
+# nested loop, never a shuffled cartesian).
+DEFAULT_FORBID = [r"CartesianProduct"]
+
+EXPECT: dict[str, tuple[list[str], list[str]]] = {
+    # scans: pushdown + pruning must reach the reader
+    "scan_parquet": ([r"PushedFilters: \[.*IsNotNull", r"ReadSchema:.*l_orderkey"], []),
+    "tpch_q6": ([r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", r"LessThan\(l_quantity"], []),
+    "filter_pred": ([r"PushedFilters: \[.*\]"], []),
+    # joins: broadcast where a side is dim-sized; never nested-loop a big pair
+    "join_broadcast": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    "tpch_q5": ([r"BroadcastHashJoin"], []),
+    "join_theta_range": ([r"BroadcastNestedLoopJoin"], []),
+    # bucketing: the whole point is NO exchange on the bucket key
+    "join_bucketed": (
+        [r"SortMergeJoin|ShuffledHashJoin"],
+        [r"hashpartitioning\((l_orderkey|o_orderkey)"],
+    ),
+    "join_skew_salted": ([r"hashpartitioning\([^)]*salt"], []),
+    "join_cross_argmin": ([r"BroadcastNestedLoopJoin|BroadcastHashJoin"], []),
+    # aggregation: partial/final hash agg (map-side combine the reference lacks)
+    "agg_hash": ([r"HashAggregate"], []),
+    "stream_tumbling": ([r"HashAggregate"], []),
+    # top-k must be TakeOrderedAndProject, not a global sort
+    "sort_limit": ([r"TakeOrderedAndProject"], []),
+}
+
+
+def audit(name: str, df, dump: bool = False) -> list[str]:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    if dump:
+        print(plan)
+        return []
+    errors = []
+    must, forbid = EXPECT.get(name, ([], []))
+    for rx in must:
+        if not re.search(rx, plan):
+            errors.append(f"missing /{rx}/")
+    for rx in list(forbid) + DEFAULT_FORBID:
+        if re.search(rx, plan):
+            errors.append(f"forbidden /{rx}/ present")
+    # Parquet scans must use the vectorized (batched) reader — the
+    # columnar fast path that feeds whole-stage codegen. (Codegen ids
+    # themselves aren't visible in formatted explain under AQE until
+    # execution, so the scan's Batched flag is the static proxy.)
+    if "Scan parquet" in plan and "Batched: true" not in plan:
+        errors.append("parquet scan not vectorized (Batched: false)")
+    return errors
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    dump = "--dump" in args
+    if dump:
+        args.remove("--dump")
+    sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
+    names = [a for a in args if not a.startswith("/")]
+    specs = load_all_queries()
+    spark = get_session()
+    failed = 0
+    for name, spec in sorted(specs.items()):
+        if names and name not in names:
+            continue
+        try:
+            df = spec.fn(spark, sf_dir)
+        except Exception as e:  # side-effect queries may need scratch setup
+            print(f"  SKIP {name}: {e.__class__.__name__}")
+            continue
+        errs = audit(name, df, dump=dump)
+        if errs:
+            failed += 1
+            print(f"  FAIL {name}: " + "; ".join(errs))
+        elif not dump:
+            print(f"  ok   {name}")
+    print(f"\n{failed} plan violations")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
