@@ -36,6 +36,39 @@ HEADLINE = [
 ]
 
 
+def warm(spark) -> None:
+    """One-time runtime initialization, excluded from measurement: JVM
+    codegen + shuffle machinery, the parquet datasource / vectorized
+    reader / noop sink classes, the Arrow Python-worker pool (each
+    worker imports pandas on first use), and the ml typed aggregators.
+    Synthetic data only — no benchmark table is touched, so nothing a
+    measured query computes is cached."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+    from pyspark.sql import functions as F
+
+    spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    tmp = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench_warm"
+    )
+    spark.range(1000).withColumn("x", F.rand(7)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").format("noop").save()
+    n = spark.sparkContext.defaultParallelism
+    inc = F.pandas_udf(lambda s: s + 1, "double")
+    base = spark.range(n * 4).select(F.col("id").cast("double").alias("x"))
+    base.repartition(n).select(inc("x")).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    base.groupBy((F.col("x") % 2).alias("g")).applyInPandas(
+        lambda pdf: pdf, "x double"
+    ).write.mode("overwrite").format("noop").save()
+    spark.range(64).select(
+        array_to_vector(F.array(F.col("id").cast("double"))).alias("v")
+    ).agg(Summarizer.mean(F.col("v"))).collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -43,9 +76,7 @@ def main() -> None:
     specs = load_all_queries()
     names = [n for n in HEADLINE if n in specs]
 
-    # Warm the JVM/codegen once on a trivial action so q1 isn't charged
-    # for session startup.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    warm(spark)
 
     times: dict[str, float] = {}
     for name in names:

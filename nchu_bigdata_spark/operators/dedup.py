@@ -296,9 +296,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     {h}-long signature row per doc crosses the wire. Band keys are
     derived column-wise from the signature row and posexploded into the
     tiny band self-join (doc_id + 16-byte key rows). No floats anywhere
-    until the final reported Jaccard, so signatures are bit-stable."""
+    until the final reported Jaccard, so signatures are bit-stable.
+
+    The exploded shingle rows are materialized once (``localCheckpoint``
+    — the persisted intermediate every production MinHash pipeline
+    keeps) and feed all four consumers: signatures, set sizes, and both
+    verification sides. Candidate verification joins shingle *rows*
+    against the (small, broadcast) candidate-pair list; nothing ever
+    broadcasts per-doc shingle arrays, whose driver-side build is both
+    a memory cliff at scale and an erratic GC cost even at small SF."""
     docs = table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs)
+    # The exploded shingle rows feed four consumers (signatures, set
+    # sizes, both verification sides); materialize them once instead of
+    # re-running split/transform/md5 per consumer.
+    sh = _doc_shingles(docs).localCheckpoint()
     sig = (
         sh.select("doc_id", _h32(F.col("sh")).alias("h"))
         .groupBy("doc_id")
@@ -337,21 +348,29 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    sets = docs.filter(F.size(F.split("text", " ")) >= _K).select(
-        "doc_id", shingle_set().alias("sset")
+    # Exact-Jaccard verification over shingle ROWS: the candidate list
+    # (rare near-dup pairs) broadcasts into the shingle stream, the
+    # intersection is a count of matching (pair, shingle) rows, and set
+    # sizes come from a per-doc count. Every shuffle key is a scalar;
+    # pairs with an empty intersection drop out of the inner join, which
+    # is consistent with the oracle (jaccard 0 < threshold).
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(F.broadcast(cand), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b", "n_shared_bands")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
+    jac = F.col("n_inter") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
     return (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")), "doc_b")
-        .filter(inter / union.cast("double") >= _JACCARD_T)
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_shared_bands",
-            dround(inter / union.cast("double"), 6).alias("jaccard"),
-        )
+        F.broadcast(inter)
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .filter(jac >= _JACCARD_T)
+        .select("doc_a", "doc_b", "n_shared_bands", dround(jac, 6).alias("jaccard"))
     )
 
 

@@ -12,8 +12,11 @@ This design: centroids are a k-row Python list embedded into the plan as
 
   * assignment is a pure projection — no join, no shuffle, no side-input
     I/O; whole-stage codegen evaluates k distances per row;
-  * the update is a posexplode + hash agg — partial aggregation means
-    only k×dim partial sums cross the shuffle, never raw vectors;
+  * the update is one fused hash agg whose vector mean is a
+    ``Summarizer`` typed aggregator — partial aggregation means only
+    k×dim partial sums cross the shuffle (never raw vectors), and the
+    plan stays constant-size in dim so Catalyst re-planning per
+    iteration is O(k), not O(k·dim);
   * per iteration exactly one ``collect()`` of k centroid rows crosses
     the cluster↔driver boundary (the input DataFrame is cached once and
     re-projected, so lineage never grows — no checkpoint needed).
@@ -36,6 +39,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.ml.functions import array_to_vector
+from pyspark.ml.stat import Summarizer
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -147,8 +152,12 @@ def fit(
     Empty clusters keep their previous centroid (the reference can never
     emit one — Hadoop reducers only see non-empty groups).
     """
-    df = df.select(feature_col).cache()
-    dim = len(init_centers[0])
+    df = df.select(
+        array_to_vector(
+            F.transform(F.col(feature_col), lambda x: x.cast("double"))
+        ).alias("_vec"),
+        F.col(feature_col),
+    ).cache()
     try:
         centers = [list(map(float, c)) for c in init_centers]
         costs: list[float] = []
@@ -156,27 +165,21 @@ def fit(
         it = 0
         for it in range(1, max_iter + 1):
             assigned = assign(df, centers, feature_col, metric, dist_col="_dist")
-            # ONE fused hash-agg per iteration: per-dim sums + count +
-            # cost in the same groupBy, so a single job runs and only
-            # k rows of (dim+2) doubles shuffle (partials map-side).
-            # Means are sum/count on the driver (k·dim floats).
+            # ONE fused hash-agg per iteration: Summarizer.mean is a
+            # TypedImperativeAggregate, so per-partition partials of
+            # (k × dim) doubles merge map-side and only k rows reach the
+            # driver. Crucially the plan size is CONSTANT in dim —
+            # per-dim sum columns would make Catalyst re-plan/codegen an
+            # O(dim)-wide aggregate every iteration, which dominates
+            # wall time at small SF and planning time at any SF.
             rows = assigned.groupBy("cluster").agg(
-                *[
-                    F.sum(
-                        F.element_at(feature_col, i + 1).cast("double")
-                    ).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-                F.count(F.lit(1)).alias("n"),
+                Summarizer.mean(F.col("_vec")).alias("mean"),
                 F.sum("_dist").alias("cost"),
             ).collect()
             new_centers = list(centers)
             cost = 0.0
             for r in rows:
-                n = float(r["n"])
-                new_centers[r["cluster"] - 1] = [
-                    float(r[f"s{i}"]) / n for i in range(dim)
-                ]
+                new_centers[r["cluster"] - 1] = [float(v) for v in r["mean"]]
                 cost += float(r["cost"])
             costs.append(cost)
             delta = sum(
