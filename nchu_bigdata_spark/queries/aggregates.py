@@ -202,3 +202,81 @@ def agg_vector_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
         ).alias("mean_vec")
     )
+
+
+@register(
+    "rollup_hypertable",
+    tags=("b4",),
+    oracle="""
+        WITH fine AS (
+            SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(value AS DECIMAL(20,6))) AS sv
+            FROM events GROUP BY 1, 2
+        ),
+        hr AS (
+            SELECT event_type, date_trunc('hour', b) AS b,
+                   SUM(n) AS n, SUM(sv) AS sv
+            FROM fine GROUP BY 1, 2
+        ),
+        dy AS (
+            SELECT event_type, date_trunc('day', b) AS b,
+                   SUM(n) AS n, SUM(sv) AS sv
+            FROM hr GROUP BY 1, 2
+        )
+        SELECT '15m' AS granularity, event_type, epoch_us(b) AS bucket_us,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(sv AS DECIMAL(38,6)) AS sum_value
+        FROM fine
+        UNION ALL
+        SELECT '1h', event_type, epoch_us(b), CAST(n AS BIGINT),
+               CAST(sv AS DECIMAL(38,6))
+        FROM hr
+        UNION ALL
+        SELECT '1d', event_type, epoch_us(b), CAST(n AS BIGINT),
+               CAST(sv AS DECIMAL(38,6))
+        FROM dy
+    """,
+)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass over raw
+    events builds the finest (15-minute) buckets; hourly and daily
+    levels RE-AGGREGATE the next-finer level's partial states (exact
+    decimal sums are associative, so re-agg == direct agg).
+
+    This is the 100 TB time-series pattern: raw data is scanned exactly
+    once (the fine level is materialized via ``localCheckpoint``, the
+    stand-in for a persisted continuous aggregate); each coarser level
+    aggregates ~bucket-count rows, not the corpus. Bucket alignment is
+    engine-neutral because 15 minutes divides the hour."""
+    ev = table(spark, sf_dir, "events")
+    fine = (
+        ev.groupBy("event_type", F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sv"),
+        )
+        .select("event_type", F.col("w.start").alias("b"), "n", "sv")
+        .localCheckpoint()
+    )
+    hr = (
+        fine.groupBy("event_type", F.date_trunc("hour", "b").alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    dy = (
+        hr.groupBy("event_type", F.date_trunc("day", "b").alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+
+    def level(df: DataFrame, g: str) -> DataFrame:
+        return df.select(
+            F.lit(g).alias("granularity"),
+            "event_type",
+            F.unix_micros("b").alias("bucket_us"),
+            F.col("n").cast("long").alias("n_events"),
+            F.col("sv").cast("decimal(38,6)").alias("sum_value"),
+        )
+
+    return level(fine, "15m").unionAll(level(hr, "1h")).unionAll(
+        level(dy, "1d")
+    )

@@ -138,3 +138,59 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_price"),
         )
     )
+
+
+@register(
+    "join_dpp",
+    tags=("b12",),
+    oracle=f"""
+        WITH dim AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d
+            FROM events
+            WHERE event_type = 'error' AND value > 300
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum("e.value")} AS sum_value
+        FROM events e
+        JOIN dim ON CAST(e.ts AS DATE) = dim.d
+        GROUP BY e.event_type
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out partitioned
+    by day (the standard ingest layout for event data); a selective
+    dimension derived at runtime prunes fact partitions *before* they
+    are read. The physical plan carries a
+    ``dynamicpruningexpression`` in the fact scan's PartitionFilters
+    (asserted by the plan audit) — at 100 TB this is the difference
+    between scanning 30 days and scanning the days that matter.
+
+    The date-partitioned copy is written once per SF to scratch
+    (``repartition`` by the partition column first, so each day is one
+    file instead of one-per-task)."""
+    fact_path = scratch_dir(sf_dir, "events_by_day")
+    if not os.path.exists(os.path.join(fact_path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(fact_path)
+        )
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "error") & (F.col("value") > 300))
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact.event_date == dim.d)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )

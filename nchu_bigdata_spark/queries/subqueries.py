@@ -210,3 +210,66 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "tpch_q3",
+    tags=("b11",),
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               epoch_us(o.o_orderdate) AS orderdate_us,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-07-01'
+          AND l.l_shipdate  > TIMESTAMP '1998-07-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-10): selective dim filter,
+    two equi-joins, grouped revenue, global top-k.
+
+    Scale shape: `customer` filtered to one segment broadcasts;
+    orders⋈lineitem is the only big shuffle, with both date predicates
+    pushed to the scans; the final top-10 is TakeOrderedAndProject
+    (per-partition heaps + driver merge of 10 rows), never a global
+    sort. Revenue is an exact decimal sum, so `LIMIT 10` with the
+    (revenue, orderkey) tie-break selects the same rows on any engine.
+    """
+    from nchu_bigdata_spark.compat import ts_micros
+
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-07-01"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-07-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            ts_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

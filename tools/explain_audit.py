@@ -48,6 +48,10 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"hashpartitioning\((l_orderkey|o_orderkey)"],
     ),
     "join_skew_salted": ([r"hashpartitioning\([^)]*salt"], []),
+    # dynamic partition pruning: the fact scan must carry a runtime
+    # pruning subquery in its PartitionFilters
+    "join_dpp": ([r"dynamicpruningexpression"], []),
+    "tpch_q3": ([r"TakeOrderedAndProject", r"BroadcastHashJoin"], []),
     "join_cross_argmin": ([r"BroadcastNestedLoopJoin|BroadcastHashJoin"], []),
     # aggregation: partial/final hash agg (map-side combine the reference lacks)
     "agg_hash": ([r"HashAggregate"], []),
