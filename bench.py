@@ -5,8 +5,16 @@ Each headline query is forced end-to-end with the `noop` sink (full
 computation, no driver-side materialization — collect() would make the
 driver the bottleneck and measure the wrong thing).
 
+Each query is timed over SPARK_GRAFT_BENCH_REPS runs (default 2) and
+reports the MINIMUM — the host is time-shared and bursty contention
+otherwise lands on whichever query happens to be running. Every rep
+re-plans the query from scratch (fresh DataFrame build through Catalyst),
+so planning cost stays in the measurement; only one-time JIT/class
+loading is amortized, as intended.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default all cores).
+     SPARK_GRAFT_CPUS (default all cores),
+     SPARK_GRAFT_BENCH_REPS (default 2).
 """
 
 from __future__ import annotations
@@ -78,12 +86,16 @@ def main() -> None:
 
     warm(spark)
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
