@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nchu_bigdata_spark.registry import load_all_queries
+from nchu_bigdata_spark.registry import ordered_specs
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -20,13 +20,15 @@ SF0001 = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shaped pricing summary, SURVEY.md §7.1)
     on /root/testdata/sf0.001; driver checks rows>0."""
-    specs = load_all_queries()
+    specs = ordered_specs()
     return specs["agg_hash"].fn(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in load_all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2, in
+    registry.DRIVER_ORDER (operators the driver has not yet checked
+    come first)."""
+    return {name: spec.fn for name, spec in ordered_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -34,6 +36,6 @@ def oracle_sql() -> dict[str, str]:
     (spec.oracle is None)."""
     return {
         name: spec.oracle
-        for name, spec in load_all_queries().items()
+        for name, spec in ordered_specs().items()
         if spec.oracle is not None
     }

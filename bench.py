@@ -88,16 +88,19 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     times: dict[str, float] = {}
+    means: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(min(samples), 3)
+        means[name] = round(sum(samples) / len(samples), 3)
 
     total = round(sum(times.values()), 3)
+    total_mean = round(sum(means.values()), 3)
     print(
         json.dumps(
             {
@@ -106,6 +109,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Methodology (recorded so rounds stay comparable): each
+                # query timed `reps` times after a warm() pass; headline
+                # value is per-query MIN; means give the cross-check.
+                "reps": reps,
+                "warmup": True,
+                "agg": "min",
+                "queries_mean": means,
+                "value_mean": total_mean,
             }
         )
     )

@@ -20,11 +20,23 @@ Policy:
   * **Timestamps** → compare as ``unix_micros`` bigints (Spark) /
     ``epoch_us`` (DuckDB), or format as strings; never raw timestamps
     (session-TZ vs naive semantics).
+  * **Final output layer** (round 2): the driver canonicalizes results
+    through *pandas* (Spark ``toPandas()`` ↔ DuckDB ``.df()``). Spark
+    DECIMAL arrives there as ``decimal.Decimal`` objects while DuckDB
+    DECIMAL arrives as float64 — same values, different canonical form,
+    so every decimal-emitting query hash-failed in round 1. Fix:
+    ``finalize_output``/``finalize_oracle`` cast every **top-level**
+    DECIMAL output column to DOUBLE on both engines as the last step.
+    Decimal→double conversion is correctly rounded on both engines, so
+    the bit-stability of the decimal-internal math carries through to
+    identical float64 values. Collection (array/map) outputs are banned
+    outright — the driver's pandas sort crashes on them — and queries
+    serialize them to strings or tidy rows instead.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SUM_DECIMAL_IN = "decimal(20,6)"
@@ -68,6 +80,76 @@ def dround(col: Column | str, scale: int = 4) -> Column:
 
 def sql_dround(expr: str, scale: int = 4) -> str:
     return f"CAST(ROUND({expr}, {scale}) AS DECIMAL(18,{scale}))"
+
+
+def finalize_output(df: DataFrame) -> DataFrame:
+    """Driver-compat output layer: cast top-level DECIMAL columns to
+    DOUBLE (see module doc). Applied to every registered query by
+    ``registry.register``; a no-op (same DataFrame object) when no
+    decimal columns exist, so plans of non-decimal queries are
+    untouched."""
+    from pyspark.sql import types as T
+
+    if not any(isinstance(f.dataType, T.DecimalType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, T.DecimalType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+_PROBE_SF_DIR = "/root/testdata/sf0.001"
+_probe_con = None
+
+
+def _oracle_probe():
+    """Lazy in-memory DuckDB connection with the standard views, used
+    only to DESCRIBE oracle SQL (binds schemas; never executes)."""
+    global _probe_con
+    if _probe_con is None:
+        import duckdb
+
+        from nchu_bigdata_spark.io import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{_PROBE_SF_DIR}/{t}.parquet'"
+            )
+        _probe_con = con
+    return _probe_con
+
+
+def finalize_oracle(sql: str) -> str:
+    """Mirror of ``finalize_output`` for the DuckDB oracle: introspect
+    the SQL's result types via DESCRIBE and wrap DECIMAL columns in
+    ``CAST(... AS DOUBLE)`` (and HUGEINT in ``CAST(... AS BIGINT)``)
+    so both engines hand the driver the same pandas dtypes. Returns the
+    SQL unchanged when nothing needs normalizing or the probe is
+    unavailable."""
+    try:
+        desc = _oracle_probe().execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:  # pragma: no cover - probe env missing
+        return sql
+    needs = [
+        t.upper().startswith("DECIMAL") or t.upper() == "HUGEINT"
+        for _, t, *_ in desc
+    ]
+    if not any(needs):
+        return sql
+    cols = []
+    for (name, typ, *_), n in zip(desc, needs):
+        if not n:
+            cols.append(f'"{name}"')
+        elif typ.upper() == "HUGEINT":
+            cols.append(f'CAST("{name}" AS BIGINT) AS "{name}"')
+        else:
+            cols.append(f'CAST("{name}" AS DOUBLE) AS "{name}"')
+    return f"SELECT {', '.join(cols)} FROM (\n{sql}\n) __drvfin"
 
 
 def ts_micros(col: Column | str) -> Column:

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import dround, sql_dround
 from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.materialize import shared_intermediate
 from nchu_bigdata_spark.registry import register
 
 _K = 3  # tokens per shingle
@@ -298,9 +299,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny band self-join (doc_id + 16-byte key rows). No floats anywhere
     until the final reported Jaccard, so signatures are bit-stable.
 
-    The exploded shingle rows are materialized once (``localCheckpoint``
-    — the persisted intermediate every production MinHash pipeline
-    keeps) and feed all four consumers: signatures, set sizes, and both
+    The exploded shingle rows are materialized once (tagged eager
+    ``localCheckpoint`` with bounded generations, ``materialize.py`` —
+    the persisted intermediate every production MinHash pipeline keeps)
+    and feed all four consumers: signatures, set sizes, and both
     verification sides. Candidate verification joins shingle *rows*
     against the (small, broadcast) candidate-pair list; nothing ever
     broadcasts per-doc shingle arrays, whose driver-side build is both
@@ -308,8 +310,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # The exploded shingle rows feed four consumers (signatures, set
     # sizes, both verification sides); materialize them once instead of
-    # re-running split/transform/md5 per consumer.
-    sh = _doc_shingles(docs).localCheckpoint()
+    # re-running split/transform/md5 per consumer. One live generation
+    # per tag (materialize.py): no storage accumulation across repeated
+    # invocations.
+    sh = shared_intermediate("dedup_minhash.shingles", _doc_shingles(docs))
     sig = (
         sh.select("doc_id", _h32(F.col("sh")).alias("h"))
         .groupBy("doc_id")

@@ -75,7 +75,7 @@ def with_payload(docs: DataFrame) -> DataFrame:
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS modality,
-               encode(text) AS payload,
+               substring(hex(encode(text)), 1, 32) AS payload_head_hex,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS payload_md5
         FROM documents
@@ -84,15 +84,21 @@ def with_payload(docs: DataFrame) -> DataFrame:
 def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal table: BinaryType payload + modality tag + metadata
     (byte length, content digest). All narrow JVM expressions — blob
-    metadata never leaves the scan stage.
+    metadata never leaves the scan stage. The BinaryType column itself
+    stays internal: the output carries its first-16-bytes hex prefix,
+    byte length, and digest (raw binary output is a bytearray in pandas,
+    which crashes the driver's canonicalizer — and at 100 TB you never
+    ship blobs to a result set anyway).
 
     (Oracle note: DuckDB 1.0 md5 only takes VARCHAR; md5(text) equals
-    md5 of its UTF-8 bytes, which is what Spark hashes.)"""
+    md5 of its UTF-8 bytes, which is what Spark hashes. The hex prefix
+    is sliced from the full hex string — character-safe on both engines,
+    unlike byte-slicing multibyte text.)"""
     docs = table(spark, sf_dir, "documents")
     return with_payload(docs).select(
         "doc_id",
         "modality",
-        "payload",
+        F.substring(F.hex(F.col("payload")), 1, 32).alias("payload_head_hex"),
         F.octet_length("payload").cast("bigint").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     )

@@ -22,6 +22,7 @@ from nchu_bigdata_spark.compat import (
     sql_dsum,
 )
 from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.materialize import shared_intermediate
 from nchu_bigdata_spark.registry import register
 
 
@@ -79,18 +80,22 @@ def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             l_returnflag,
             COUNT(DISTINCT l_orderkey) AS n_orders,
             COUNT(DISTINCT l_suppkey) AS n_suppliers,
-            LIST_SORT(LIST_DISTINCT(LIST(l_linestatus))) AS statuses
+            ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(l_linestatus))), ',') AS statuses
         FROM lineitem
         GROUP BY l_returnflag
     """,
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT(DISTINCT) + collect_set (sorted for determinism)."""
+    """COUNT(DISTINCT) + collect_set (sorted, then serialized to a
+    ``,``-joined string — raw array output crashes the driver's pandas
+    canonicalizer, see compat.py)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
     )
 
 
@@ -103,13 +108,15 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — sketch-based, scale path for 100 TB
     cardinality/quantile estimation. Accuracy asserted by pytest property
-    (within rsd of exact), not by the DuckDB oracle."""
+    (within rsd of exact), not by the DuckDB oracle. Quartiles are three
+    scalar columns (an array output would crash the driver's pandas
+    canonicalizer even on this rows-only check)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
-            "price_quartiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("price_p25"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("price_p75"),
     )
 
 
@@ -172,35 +179,32 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                    generate_subscripts(embedding, 1) AS pos,
                    CAST(UNNEST(embedding) AS DOUBLE) AS v
             FROM embeddings
-        ),
-        m AS (
-            SELECT label, pos,
-                   CAST(ROUND(AVG(v), 4) AS DECIMAL(18,4)) AS mv
-            FROM ex GROUP BY label, pos
         )
-        SELECT label, LIST(mv ORDER BY pos) AS mean_vec
-        FROM m GROUP BY label
+        SELECT label,
+               CAST(pos AS INT) AS pos,
+               CAST(ROUND(AVG(v), 4) AS DECIMAL(18,4)) AS mv
+        FROM ex GROUP BY label, pos
     """,
 )
 def agg_vector_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise mean of an array column per group (ref A10: per-cluster
     centroid mean, ``src/Kmeans.java:101-112``).
 
-    posexplode → (label, pos) hash agg → re-assemble with
-    sort_array(collect_list(struct)). Fully shuffle-parallel: no single
-    reducer ever sees a whole group's raw vectors, unlike the reference's
-    reducer which buffers the entire cluster in RAM
-    (``src/Kmeans.java:93-97``).
+    posexplode → (label, pos) hash agg, emitted in tidy form — one row
+    per (group, dimension), 1-based ``pos`` matching SQL subscripts.
+    Fully shuffle-parallel: no single reducer ever sees a whole group's
+    raw vectors, unlike the reference's reducer which buffers the entire
+    cluster in RAM (``src/Kmeans.java:93-97``). The tidy output (rather
+    than reassembled arrays) is deliberate: array columns crash the
+    driver's pandas canonicalizer; `operators/kmeans.py` shows the
+    array-native composition where vectors stay internal.
     """
     emb = table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     ).withColumn("v", F.col("v").cast("double"))
-    per_dim = exploded.groupBy("label", "pos").agg(davg("v").alias("mv"))
-    return per_dim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
-        ).alias("mean_vec")
+    return exploded.groupBy("label", (F.col("pos") + 1).cast("int").alias("pos")).agg(
+        davg("v").alias("mv")
     )
 
 
@@ -245,8 +249,9 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sums are associative, so re-agg == direct agg).
 
     This is the 100 TB time-series pattern: raw data is scanned exactly
-    once (the fine level is materialized via ``localCheckpoint``, the
-    stand-in for a persisted continuous aggregate); each coarser level
+    once (the fine level is materialized via a tagged eager
+    ``localCheckpoint``, ``materialize.py`` — the stand-in for a
+    persisted continuous aggregate); each coarser level
     aggregates ~bucket-count rows, not the corpus. Bucket alignment is
     engine-neutral because 15 minutes divides the hour."""
     ev = table(spark, sf_dir, "events")
@@ -257,8 +262,8 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sv"),
         )
         .select("event_type", F.col("w.start").alias("b"), "n", "sv")
-        .localCheckpoint()
     )
+    fine = shared_intermediate("rollup_hypertable.fine", fine)
     hr = (
         fine.groupBy("event_type", F.date_trunc("hour", "b").alias("b"))
         .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))

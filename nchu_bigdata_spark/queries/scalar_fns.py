@@ -159,14 +159,15 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                CAST(n_chars AS BIGINT) AS len_from_map,
-               list_sort(map_keys(MAP {'len': n_chars, 'docid': doc_id})) AS keys_sorted
+               ARRAY_TO_STRING(list_sort(map_keys(MAP {'len': n_chars, 'docid': doc_id})), ',') AS keys_sorted
         FROM documents
     """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: construct, element_at, map_keys. Maps never appear
     raw in output (entry order is engine-dependent); only lookups and
-    sorted key lists."""
+    sorted key lists, serialized to a ``,``-joined string (array output
+    crashes the driver's pandas canonicalizer, see compat.py)."""
     d = table(spark, sf_dir, "documents")
     m = F.create_map(
         F.lit("len"), F.col("n_chars"), F.lit("docid"), F.col("doc_id")
@@ -174,7 +175,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.element_at(m, "len").alias("len_from_map"),
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
     )
 
 

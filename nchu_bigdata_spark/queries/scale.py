@@ -120,8 +120,14 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hint("merge") pins the shuffled join so the salted distribution —
     # Exchange on (key, salt) — is the physical plan under test, as it
     # would be with a broadcast-ineligible hot build side at scale.
+    # Salt from a hash of row-local columns, NOT l_linenumber % N:
+    # linenumber is 1..7 in TPC-H so a modulo would never produce salt 0
+    # (1/N of the exploded build side dead, hot keys spread over N-1
+    # partitions non-uniformly). pmod(hash(...), N) covers all N salts
+    # uniformly.
     li = table(spark, sf_dir, "lineitem").hint("merge").withColumn(
-        "salt", (F.col("l_linenumber") % _N_SALTS).cast("int")
+        "salt",
+        F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(_N_SALTS)).cast("int"),
     )
     orders = table(spark, sf_dir, "orders").withColumn(
         "salt",

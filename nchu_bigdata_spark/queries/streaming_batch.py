@@ -239,9 +239,13 @@ def stateful_transform(ev: DataFrame) -> DataFrame:
     store — constant size per user, partitioned across executors, and
     checkpointable; each microbatch emits the updated running totals
     (update mode), so the final row per key equals the batch aggregate.
-    Rounding is explicit half-up (``floor(v*100 + .5)``, values are
-    non-negative) to match Spark's ``F.round`` — pandas' default
-    ``round`` is half-even and would drift on exact cent boundaries."""
+    Rounding is explicit half-up to match Spark's ``F.round`` (BigDecimal
+    HALF_UP) — pandas' default ``round`` is half-even and would drift on
+    exact cent boundaries. The half-up is computed by *comparing* the
+    fractional part against 0.5 (``frac >= 0.5``), not by adding 0.5:
+    ``floor(x + 0.5)`` is lossy at the double edge case where ``x*100``
+    lands on ``k.49999999999999994`` (adding 0.5 rounds the sum up to
+    ``k+1.0`` in float, one cent more than F.round emits)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -250,7 +254,9 @@ def stateful_transform(ev: DataFrame) -> DataFrame:
         n, s, mx = state.get if state.exists else (0, 0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            s += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+            cents = pdf["value"].to_numpy() * 100
+            whole = np.floor(cents)
+            s += int((whole + (cents - whole >= 0.5)).sum())
             ts_us = pdf["ts"].astype("int64").to_numpy() // 1_000
             mx = max(mx, int(ts_us.max()))
         state.update((n, s, mx))

@@ -45,12 +45,132 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query id {name!r}")
+
+        # Driver-compat output layer (compat.py module doc): every
+        # registered query's final DECIMAL columns become DOUBLE on both
+        # engines so the driver's pandas canonicalizer sees identical
+        # dtypes. No-op for queries without decimal outputs.
+        from nchu_bigdata_spark.compat import finalize_oracle, finalize_output
+
+        def final_fn(spark: SparkSession, sf_dir: str, _fn: QueryFn = fn) -> DataFrame:
+            return finalize_output(_fn(spark, sf_dir))
+
+        final_fn.__name__ = fn.__name__
+        final_fn.__doc__ = fn.__doc__
+        final_fn.__wrapped__ = fn
+
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or "")
+            name=name,
+            fn=final_fn,
+            oracle=finalize_oracle(oracle) if oracle is not None else None,
+            tags=tags,
+            doc=doc or (fn.__doc__ or ""),
         )
         return fn
 
     return deco
+
+
+# Driver presentation order. Round 1's driver checked only the FIRST 50
+# registered queries, leaving every window/dedup/similarity/kmeans/text/
+# multimodal operator without a CORRECTNESS row. The registry itself is
+# unordered; this list pins the order `__spark_entry__.queries()` hands
+# to the driver: the 28 previously-unchecked operators first, then the
+# 28 queries whose decimal/collection outputs were fixed this round,
+# then the queries already driver-green in round 1.
+DRIVER_ORDER = [
+    # -- previously driver-unchecked (round 1 cut at 50 entries) --
+    "win_rank",
+    "win_lag_lead",
+    "win_frame_avg",
+    "win_argmin",
+    "win_running_total",
+    "win_range_frame",
+    "win_ntile",
+    "udaf_grouped_pandas",
+    "udtf_apply_in_pandas",
+    "join_asof",
+    "kmeans_assign",
+    "kmeans_fit",
+    "sim_topk",
+    "sim_ann_ivf",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embed_cosine",
+    "text_tokenize_tfidf",
+    "text_stats",
+    "text_langid",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_cols",
+    "multimodal_decode",
+    "multimodal_framesample",
+    # -- round-1 hash-fail / canonicalizer-err queries, fixed this round --
+    "agg_hash",
+    "agg_distinct",
+    "agg_approx",
+    "fn_map",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_vector_mean",
+    "rollup_hypertable",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "join_shuffle",
+    "join_outer",
+    "join_theta_range",
+    "join_cross_argmin",
+    "join_bucketed",
+    "join_skew_salted",
+    "join_dpp",
+    "udf_scalar_pandas",
+    "stream_tumbling",
+    "stream_sliding",
+    "fn_math",
+    "fn_array",
+    "scan_csv",
+    "scan_json",
+    "scan_orc",
+    "sink_partitioned",
+    "project_select",
+    # -- already driver-green in round 1 --
+    "scan_parquet",
+    "filter_pred",
+    "lateral_explode",
+    "sample_hash",
+    "join_broadcast",
+    "join_semi",
+    "join_anti",
+    "sort_limit",
+    "topk_per_group",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "fn_string",
+    "fn_date",
+    "fn_json",
+    "stream_session",
+    "stream_dedup",
+    "stream_stateful",
+    "stream_watermark_late",
+    "sub_exists",
+    "sub_scalar",
+    "sub_in",
+]
+
+
+def ordered_specs() -> dict[str, QuerySpec]:
+    """Registry in driver presentation order (DRIVER_ORDER first, any
+    unlisted registrations appended alphabetically so nothing is ever
+    silently dropped)."""
+    specs = load_all_queries()
+    ordered = [n for n in DRIVER_ORDER if n in specs]
+    ordered += sorted(n for n in specs if n not in DRIVER_ORDER)
+    return {n: specs[n] for n in ordered}
 
 
 def load_all_queries() -> dict[str, QuerySpec]:

@@ -28,16 +28,28 @@ def test_plan_expectations(name, spark, sf_dir):
     assert not errs, f"{name}: {errs}"
 
 
+# Queries whose builder is ALLOWED to raise during the sweep (setup
+# side effects that need scratch state unavailable here). Anything else
+# that raises is lost plan coverage and fails the test — a silent skip
+# would let a broken query drop out of the gate while staying green.
+EXPECTED_SKIPS: set[str] = set()
+
+
 def test_no_query_plans_cartesian_or_rowwise_scan(spark, sf_dir):
     failures = {}
+    skipped = set()
     for name, spec in sorted(SPECS.items()):
         if name in EXPECT:
             continue
         try:
             df = spec.fn(spark, sf_dir)
-        except Exception:  # side-effect setup problems surface elsewhere
+        except Exception as e:  # noqa: BLE001
+            skipped.add(name)
+            if name not in EXPECTED_SKIPS:
+                failures[name] = [f"builder raised: {type(e).__name__}: {e}"]
             continue
         errs = audit(name, df)
         if errs:
             failures[name] = errs
     assert not failures, failures
+    assert skipped <= EXPECTED_SKIPS, f"unexpected skips: {skipped}"

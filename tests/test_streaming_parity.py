@@ -14,6 +14,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from nchu_bigdata_spark.compat import finalize_output
 from nchu_bigdata_spark.registry import load_all_queries
 from nchu_bigdata_spark.streaming import STREAM_TRANSFORMS, run_events_stream
 
@@ -47,7 +48,12 @@ def events_dir(sf_dir, tmp_path_factory):
 def test_stream_matches_batch(name, spark, sf_dir, events_dir):
     transform, mode = STREAM_TRANSFORMS[name]
     batch = SPECS[name].fn(spark, sf_dir)
-    stream = run_events_stream(spark, events_dir, transform, output_mode=mode)
+    # Registered queries pass through the driver-compat output layer
+    # (DECIMAL → DOUBLE, compat.py); normalize the stream side the same
+    # way so parity compares semantics, not representation.
+    stream = finalize_output(
+        run_events_stream(spark, events_dir, transform, output_mode=mode)
+    )
     assert sorted(stream.columns) == sorted(batch.columns)
     assert _rows(stream.select(*batch.columns)) == _rows(batch)
 
@@ -126,7 +132,9 @@ def test_stateful_stream_matches_batch(spark, sf_dir, events_dir):
 
     transform, mode = STREAM_TRANSFORMS["stream_stateful"]
     batch = SPECS["stream_stateful"].fn(spark, sf_dir)
-    stream = run_events_stream(spark, events_dir, transform, output_mode=mode)
+    stream = finalize_output(
+        run_events_stream(spark, events_dir, transform, output_mode=mode)
+    )
     last = (
         stream.groupBy("user_id")
         .agg(

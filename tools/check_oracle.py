@@ -1,8 +1,20 @@
 """Local differential checker — mirrors the driver's correctness gate.
 
 Runs every registered query's Spark implementation AND its DuckDB oracle
-at a given sf dir, compares row-count + column names + order-insensitive
-canonicalized values (stricter than a hash: full multiset equality).
+at a given sf dir and compares row-count + column names + canonicalized
+values (full multiset equality — stricter than the driver's hash).
+
+Round-2 change: canonicalization now goes through **pandas on both
+sides** (Spark ``toPandas()`` ↔ DuckDB ``.df()``), exactly like the
+driver's canonicalizer, instead of ``collect()``/``fetchall()``. Round 1
+passed 78/78 locally while 28 queries failed at the driver because the
+tuple path represents DECIMAL as ``decimal.Decimal`` on *both* engines,
+while the pandas path gets ``Decimal`` objects from Spark but float64
+from DuckDB — representation drift the old checker could not see. The
+pandas path also crashes on list-valued columns during sort, just like
+the driver, so collection outputs are caught locally too. Rows-only
+queries (no oracle) are still canonicalized on the Spark side because
+the driver does the same even without an oracle.
 
 Usage:
     python tools/check_oracle.py [sf_dir] [query ...]
@@ -16,66 +28,96 @@ from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
 from nchu_bigdata_spark.io import TABLES
-from nchu_bigdata_spark.registry import load_all_queries
+from nchu_bigdata_spark.registry import ordered_specs
 from nchu_bigdata_spark.session import get_session
 
 
 def canon(v):
-    """Canonical, engine-independent string form of one value."""
+    """Canonical, engine-independent string form of one value.
+
+    Deliberately type-tagged: ``Decimal('1.5')`` and ``1.5`` canonicalize
+    differently, because the driver's hash distinguishes them too.
+    """
     if v is None:
         return "∅"
     if isinstance(v, Decimal):
         return f"dec:{v.normalize():f}"
-    if isinstance(v, float):
-        return f"f:{v!r}"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, int):
-        return f"i:{v}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        if np.isnan(v):
+            return "∅"
+        return f"f:{float(v)!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return "∅"
+        # DuckDB's .df() renders DATE as a midnight Timestamp while
+        # Spark's toPandas keeps datetime.date; the driver hashes these
+        # equal (fn_date passed round 1), so canonicalize midnight
+        # timestamps as dates.
+        if v.tz is None and (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return f"d:{v.date().isoformat()}"
+        return f"ts:{v.isoformat()}"
     if isinstance(v, datetime):
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0) and v.tzinfo is None:
+            return f"d:{v.date().isoformat()}"
         return f"ts:{v.isoformat()}"
     if isinstance(v, date):
         return f"d:{v.isoformat()}"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}={canon(v[k])}" for k in sorted(v)) + "}"
     if isinstance(v, (bytes, bytearray)):
         return f"x:{bytes(v).hex()}"
+    if v is pd.NaT:
+        return "∅"
     return f"s:{v}"
 
 
-def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+def canon_pdf(pdf: pd.DataFrame) -> list[str]:
+    """Driver-style canonicalization: order columns by name, sort rows
+    with pandas ``sort_values`` (this is what crashes on list columns —
+    intentionally not caught), then render each row."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return sorted(
+        "|".join(canon(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
 
 
 def compare(name: str, spark, con, sf_dir: str, spec) -> tuple[bool, str]:
-    sdf = spec.fn(spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
+    spdf = spec.fn(spark, sf_dir).toPandas()
     res = con.execute(spec.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    if sorted(scols) != sorted(ocols):
-        return False, f"columns differ: spark={sorted(scols)} oracle={sorted(ocols)}"
-    if len(srows) != len(orows):
-        return False, f"row count differs: spark={len(srows)} oracle={len(orows)}"
-    cs, co = canon_rows(scols, srows), canon_rows(ocols, orows)
+    opdf = res.df()
+    if sorted(spdf.columns) != sorted(opdf.columns):
+        return False, (
+            f"columns differ: spark={sorted(spdf.columns)} "
+            f"oracle={sorted(opdf.columns)}"
+        )
+    if len(spdf) != len(opdf):
+        return False, f"row count differs: spark={len(spdf)} oracle={len(opdf)}"
+    cs, co = canon_pdf(spdf), canon_pdf(opdf)
     if cs != co:
         diffs = [(a, b) for a, b in zip(cs, co) if a != b][:3]
         return False, f"values differ; first diffs: {diffs}"
-    return True, f"{len(srows)} rows"
+    return True, f"{len(spdf)} rows"
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    specs = load_all_queries()
+    specs = ordered_specs()
     spark = get_session("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -83,17 +125,28 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     failed, skipped = [], []
-    for name, spec in sorted(specs.items()):
+    for name, spec in specs.items():
         if only and name not in only:
             continue
-        if spec.oracle is None:
-            # rows-only: just materialize and require a stable schema
-            t0 = time.time()
-            n = spec.fn(spark, sf_dir).count()
-            print(f"  ROWS-ONLY {name}: {n} rows ({time.time()-t0:.1f}s)")
-            skipped.append(name)
-            continue
         t0 = time.time()
+        if spec.oracle is None:
+            # rows-only: the driver still canonicalizes the Spark side,
+            # so run the same pandas canon to catch unsortable outputs.
+            try:
+                pdf = spec.fn(spark, sf_dir).toPandas()
+                canon_pdf(pdf)
+                print(
+                    f"  ROWS-ONLY {name}: {len(pdf)} rows "
+                    f"({time.time()-t0:.1f}s)"
+                )
+                skipped.append(name)
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"  FAIL {name}: rows-only canon crash: "
+                    f"{type(e).__name__}: {e} ({time.time()-t0:.1f}s)"
+                )
+                failed.append(name)
+            continue
         try:
             ok, msg = compare(name, spark, con, sf_dir, spec)
         except Exception as e:  # noqa: BLE001
