@@ -5,7 +5,7 @@ Each headline query is forced end-to-end with the `noop` sink (full
 computation, no driver-side materialization — collect() would make the
 driver the bottleneck and measure the wrong thing).
 
-Each query is timed over SPARK_GRAFT_BENCH_REPS runs (default 2) and
+Each query is timed over SPARK_GRAFT_BENCH_REPS runs (default 5) and
 reports the MINIMUM — the host is time-shared and bursty contention
 otherwise lands on whichever query happens to be running. Every rep
 re-plans the query from scratch (fresh DataFrame build through Catalyst),
@@ -14,7 +14,7 @@ loading is amortized, as intended.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores),
-     SPARK_GRAFT_BENCH_REPS (default 2).
+     SPARK_GRAFT_BENCH_REPS (default 5).
 """
 
 from __future__ import annotations
@@ -86,7 +86,7 @@ def main() -> None:
 
     warm(spark)
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     times: dict[str, float] = {}
     means: dict[str, float] = {}
     for name in names:

@@ -151,6 +151,38 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def parallel_table(
+    spark: SparkSession, sf_dir: str, name: str, min_parts: int | None = None
+) -> DataFrame:
+    """``table()`` plus a fill-the-cluster guard for CPU-dense pipelines
+    (shingling/hashing, per-row vector math, Arrow/pandas stages).
+
+    The testdata parquet files are single-row-group, so the vectorized
+    reader cannot split them: the scan yields ONE partition and every
+    narrow stage above it runs on one core of a 32-core host. When the
+    scan underfills ``defaultParallelism``, round-robin repartition once
+    right after the scan. At production scale (many files / row groups)
+    the scan already has >= cores splits and this is a no-op — the guard
+    never *reduces* partitioning and never fires a shuffle that the
+    cluster wouldn't want anyway for a compute-bound stage.
+
+    Used only where A/B-measured to pay (sf0.1, min of 3): the win
+    requires heavy narrow compute *before* the first shuffle —
+    shingling/md5 (dedup_minhash 4.4→2.5s, dedup_simhash 2.0→0.7s,
+    text_fingerprint 2.0→1.0s, dedup_ngram_jaccard) and per-row vector
+    math (similarity ``_vecs``). Everywhere else the extra round-robin
+    Exchange costs more than the parallelism buys (text_tfidf/langid
+    shuffle immediately anyway; kmeans/embeddings and multimodal rows
+    are too few for task overhead) — those keep the raw ``table()``
+    scan, which also lets filter pushdown reach the reader without an
+    Exchange in between."""
+    df = table(spark, sf_dir, name)
+    n = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

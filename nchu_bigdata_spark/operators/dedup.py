@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import dround, sql_dround
-from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.io import parallel_table, table
 from nchu_bigdata_spark.materialize import shared_intermediate
 from nchu_bigdata_spark.registry import register
 
@@ -102,6 +102,22 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def _doc_shingle_h32(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) exploded distinct 32-bit shingle hashes. MinHash and
+    its Jaccard verification only ever need shingle *identity*, never
+    the text, so hashing at materialization time (one md5 per shingle,
+    computed exactly once) shrinks the persisted intermediate to two
+    int64 columns and makes every downstream join/agg key a long.
+    ``array_distinct`` after hashing keeps per-doc sets exact even if
+    two shingles collide in 32 bits — the oracle applies the same
+    DISTINCT so both engines agree bit-for-bit."""
+    hs = F.array_distinct(F.transform(shingle_set(), _h32))
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= _K)
+        .select("doc_id", F.explode(hs).alias("h"))
+    )
+
+
 _SQL_SHINGLES = f"""
         tok AS (
             SELECT doc_id, string_split(text, ' ') AS w
@@ -145,7 +161,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by sha256(text), keep the lowest doc_id of
     each group. One hash-agg — partials collapse map-side, so only
     (hash, min, count) triples shuffle; the canonical first dedup pass
-    at corpus scale."""
+    at corpus scale. Plain scan: the sha256 hash-agg is cheap
+    enough that a repartition costs more than it buys (A/B at sf0.1:
+    0.22s plain vs 0.59s guarded)."""
     docs = table(spark, sf_dir, "documents")
     return docs.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
         F.min("doc_id").alias("keep_doc_id"),
@@ -199,7 +217,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc shingle sets for verification are narrow recomputes of
     ``text``, so candidate verification adds two hash-joins but no extra
     pass over the corpus."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     sh = _doc_shingles(docs)
     rare = (
         sh.groupBy("sh")
@@ -247,7 +265,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_SQL_SHINGLES},
         sh32 AS (
-            SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
             FROM sh
         ),
         mh AS (
@@ -269,19 +288,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         ),
-        {_SQL_SHINGLE_SETS}
+        hsets AS (
+            SELECT doc_id, list(h) AS hset FROM sh32 GROUP BY doc_id
+        )
         SELECT c.doc_a, c.doc_b, c.n_shared_bands,
                {sql_dround(
-                   "len(list_intersect(sa.sset, sb.sset)) / "
-                   "CAST(len(sa.sset) + len(sb.sset) "
-                   "- len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)", 6)}
+                   "len(list_intersect(sa.hset, sb.hset)) / "
+                   "CAST(len(sa.hset) + len(sb.hset) "
+                   "- len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)", 6)}
                    AS jaccard
         FROM cand c
-        JOIN ssets sa ON sa.doc_id = c.doc_a
-        JOIN ssets sb ON sb.doc_id = c.doc_b
-        WHERE len(list_intersect(sa.sset, sb.sset))
-              / CAST(len(sa.sset) + len(sb.sset)
-                     - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+        JOIN hsets sa ON sa.doc_id = c.doc_a
+        JOIN hsets sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.hset, sb.hset))
+              / CAST(len(sa.hset) + len(sb.hset)
+                     - len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
               >= {_JACCARD_T}
     """,
 )
@@ -290,7 +311,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     {h} universal-hash min-hashes per doc, banded {b}×{r}; docs sharing
     any band bucket become candidates, then exact Jaccard ≥ {t} verifies.
 
-    Plan: one md5 per shingle, then the {h} permutations are mult-adds
+    Plan: one md5 per shingle (hashed at materialization; downstream
+    only ever sees int64 keys), then the {h} permutations are mult-adds
     over that base hash computed as {h} parallel ``min`` aggregates of a
     single ``groupBy(doc_id)`` — no ×{h} row blowup, no (doc_id, i)
     composite shuffle key; partial mins collapse map-side so only one
@@ -299,24 +321,24 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny band self-join (doc_id + 16-byte key rows). No floats anywhere
     until the final reported Jaccard, so signatures are bit-stable.
 
-    The exploded shingle rows are materialized once (tagged eager
-    ``localCheckpoint`` with bounded generations, ``materialize.py`` —
-    the persisted intermediate every production MinHash pipeline keeps)
-    and feed all four consumers: signatures, set sizes, and both
-    verification sides. Candidate verification joins shingle *rows*
-    against the (small, broadcast) candidate-pair list; nothing ever
-    broadcasts per-doc shingle arrays, whose driver-side build is both
-    a memory cliff at scale and an erratic GC cost even at small SF."""
-    docs = table(spark, sf_dir, "documents")
-    # The exploded shingle rows feed four consumers (signatures, set
-    # sizes, both verification sides); materialize them once instead of
-    # re-running split/transform/md5 per consumer. One live generation
+    The exploded (doc_id, h) shingle-hash rows are materialized once
+    (tagged eager ``localCheckpoint`` with bounded generations,
+    ``materialize.py`` — the persisted intermediate every production
+    MinHash pipeline keeps) and feed all four consumers: signatures,
+    set sizes, and both verification sides. Candidate verification
+    joins shingle-hash *rows* against the (small, broadcast)
+    candidate-pair list; nothing ever broadcasts per-doc shingle
+    arrays, whose driver-side build is both a memory cliff at scale
+    and an erratic GC cost even at small SF."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    # The exploded shingle-hash rows feed four consumers (signatures,
+    # set sizes, both verification sides); materialize them once instead
+    # of re-running split/transform/md5 per consumer. One live generation
     # per tag (materialize.py): no storage accumulation across repeated
     # invocations.
-    sh = shared_intermediate("dedup_minhash.shingles", _doc_shingles(docs))
+    sh = shared_intermediate("dedup_minhash.shingles", _doc_shingle_h32(docs))
     sig = (
-        sh.select("doc_id", _h32(F.col("sh")).alias("h"))
-        .groupBy("doc_id")
+        sh.groupBy("doc_id")
         .agg(
             *[
                 F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(_P)).alias(
@@ -352,17 +374,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    # Exact-Jaccard verification over shingle ROWS: the candidate list
-    # (rare near-dup pairs) broadcasts into the shingle stream, the
-    # intersection is a count of matching (pair, shingle) rows, and set
-    # sizes come from a per-doc count. Every shuffle key is a scalar;
+    # Exact-Jaccard verification over shingle-hash ROWS: the candidate
+    # list (rare near-dup pairs) broadcasts into the shingle stream, the
+    # intersection is a count of matching (pair, h) rows, and set sizes
+    # come from a per-doc count. Every shuffle/join key is an int64;
     # pairs with an empty intersection drop out of the inner join, which
     # is consistent with the oracle (jaccard 0 < threshold).
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        sh.select(F.col("doc_id").alias("doc_a"), "h")
         .join(F.broadcast(cand), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b", "n_shared_bands")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -430,7 +452,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer arithmetic end-to-end → bit-stable under any agg order.
     Plan: token explode ×{_SIM_BITS} bit index → one hash-agg on
     (doc, bit) with map-side partials → one tiny per-doc agg."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     th = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).select("doc_id", _h32(F.col("word")).alias("h"))

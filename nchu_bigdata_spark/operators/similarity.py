@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.io import parallel_table
 from nchu_bigdata_spark.registry import register
 
 _TOPK = 5
@@ -55,7 +55,7 @@ _Q = 1_000_000  # integer quantization grid for LSH
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, v double[], n norm) — norm computed once per row."""
-    e = table(spark, sf_dir, "embeddings")
+    e = parallel_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     return e.select("vec_id", "label", v.alias("v")).withColumn(
         "n", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
