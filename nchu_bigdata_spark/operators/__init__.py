@@ -7,7 +7,15 @@ import importlib
 
 # Modules land incrementally; import those present so the registry
 # stays usable mid-build.
-for _mod in ("kmeans", "asof", "dedup", "similarity", "text", "multimodal"):
+for _mod in (
+    "kmeans",
+    "asof",
+    "dedup",
+    "similarity",
+    "text",
+    "multimodal",
+    "pipeline",
+):
     try:
         importlib.import_module(f"nchu_bigdata_spark.operators.{_mod}")
     except ModuleNotFoundError as e:
