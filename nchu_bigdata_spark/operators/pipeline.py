@@ -31,7 +31,7 @@ pure integer comparisons (no float thresholds to straddle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import dround, sql_dround
@@ -292,4 +292,75 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("is_repetitive"),
+    )
+
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    tags=("pipeline",),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS cum_before
+            FROM t
+            WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT doc_id, lang, source, n_tokens,
+               CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+               CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS seq_offset,
+               CAST(CASE WHEN cum_before % {_PACK_BUDGET} + n_tokens
+                              > {_PACK_BUDGET}
+                     THEN 1 ELSE 0 END AS INT) AS spans_boundary
+        FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay each (lang, source)
+    stream of documents end-to-end in doc_id order and cut it into
+    fixed token-budget training sequences, emitting for every document
+    the sequence it starts in, its token offset there, and whether it
+    spans a sequence boundary — the classic packing layout (documents
+    concatenated with separators, chunked to context length).
+
+    Scale design: packing is windowed *per (lang, source) shard*, never
+    globally — a single global running total would serialize the corpus
+    through one partition, while per-shard windows parallelize across
+    shards exactly like the shard-per-worker layout a training job
+    reads. One shuffle (the window partition), integer arithmetic only.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.select(
+        "doc_id", "lang", "source", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "cum_before",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+    )
+    b = F.lit(_PACK_BUDGET)
+    return c.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        # integer division on both engines: `/` would be a double
+        # quotient that DuckDB's BIGINT cast rounds but Spark truncates
+        F.expr(f"cum_before div {_PACK_BUDGET}").cast("long").alias("seq_id"),
+        (F.col("cum_before") % b).cast("long").alias("seq_offset"),
+        (F.col("cum_before") % b + F.col("n_tokens") > b)
+        .cast("int")
+        .alias("spans_boundary"),
     )

@@ -112,6 +112,7 @@ DRIVER_ORDER = [
     "decontam_ngram",
     "sample_stratified",
     "text_repetition",
+    "pack_sequences",
     # -- round-1 hash-fail / canonicalizer-err queries, fixed this round --
     "agg_hash",
     "agg_distinct",
@@ -130,13 +131,14 @@ DRIVER_ORDER = [
     "join_bucketed",
     "join_skew_salted",
     "join_dpp",
-    "udf_scalar_pandas",
     "stream_tumbling",
     # -- below here: past the driver's 50-entry check window. Entries
     # whose fix/mechanism is verified by an in-window sibling
     # (join_cross_argmin ~ win_argmin, stream_sliding ~ stream_tumbling,
-    # fn_math ~ every decimal-finalized agg) yield their slots to the
-    # round-2 pipeline operators above. --
+    # fn_math ~ every decimal-finalized agg, udf_scalar_pandas ~
+    # udaf_grouped_pandas/udtf for the pandas machinery) yield their
+    # slots to the round-2 pipeline operators above. --
+    "udf_scalar_pandas",
     "join_cross_argmin",
     "stream_sliding",
     "fn_math",
