@@ -259,11 +259,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "dedup_minhash",
-    tags=("b10",),
-    oracle=f"""
-        WITH {_SQL_SHINGLES},
+# The full MinHash-LSH pair derivation as a reusable CTE chain ending in
+# `pairs` (verified near-dup pairs). Shared by the dedup_minhash oracle
+# and the dedup_clusters oracle, which runs connected components on top.
+_SQL_MINHASH_PAIRS = f"""
+        {_SQL_SHINGLES},
         sh32 AS (
             SELECT DISTINCT doc_id,
                    ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
@@ -290,20 +290,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         hsets AS (
             SELECT doc_id, list(h) AS hset FROM sh32 GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+                   {sql_dround(
+                       "len(list_intersect(sa.hset, sb.hset)) / "
+                       "CAST(len(sa.hset) + len(sb.hset) "
+                       "- len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)", 6)}
+                       AS jaccard
+            FROM cand c
+            JOIN hsets sa ON sa.doc_id = c.doc_a
+            JOIN hsets sb ON sb.doc_id = c.doc_b
+            WHERE len(list_intersect(sa.hset, sb.hset))
+                  / CAST(len(sa.hset) + len(sb.hset)
+                         - len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                  >= {_JACCARD_T}
         )
-        SELECT c.doc_a, c.doc_b, c.n_shared_bands,
-               {sql_dround(
-                   "len(list_intersect(sa.hset, sb.hset)) / "
-                   "CAST(len(sa.hset) + len(sb.hset) "
-                   "- len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)", 6)}
-                   AS jaccard
-        FROM cand c
-        JOIN hsets sa ON sa.doc_id = c.doc_a
-        JOIN hsets sb ON sb.doc_id = c.doc_b
-        WHERE len(list_intersect(sa.hset, sb.hset))
-              / CAST(len(sa.hset) + len(sb.hset)
-                     - len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
-              >= {_JACCARD_T}
+"""
+
+
+@register(
+    "dedup_minhash",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_MINHASH_PAIRS}
+        SELECT doc_a, doc_b, n_shared_bands, jaccard FROM pairs
     """,
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,4 +499,112 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("simhash") / 65536).cast("long") % 256).alias("b2"),
         ((F.col("simhash") / 256).cast("long") % 256).alias("b1"),
         (F.col("simhash") % 256).alias("b0"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_clusters — connected components over verified near-dup pairs
+# --------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 15  # safety cap; dup graphs converge in O(diameter) rounds
+
+
+@register(
+    "dedup_clusters",
+    tags=("b10",),
+    oracle=f"""
+        WITH RECURSIVE {_SQL_MINHASH_PAIRS},
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(doc_id, lbl) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM sym) n
+            UNION
+            SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.doc_id
+        ),
+        cc AS (
+            SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        sz AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM cc GROUP BY cluster_id
+        )
+        SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
+               CAST(cc.doc_id = cc.cluster_id AS INT) AS is_canonical
+        FROM cc JOIN sz USING (cluster_id)
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    verified MinHash near-dup pair graph, labeling every involved doc
+    with its component's minimum doc_id (``cluster_id``), the component
+    size, and an ``is_canonical`` flag — the step every production dedup
+    pipeline runs after pairwise matching, because "keep one copy per
+    duplicate GROUP" needs transitive closure, not pairs (A~B, B~C must
+    collapse to one cluster even when A~C was never emitted).
+
+    Spark plan: iterative min-label propagation — per round, one
+    broadcast-ready join of the (tiny, pairs-only) label table into the
+    symmetric edge list and one min-agg, with ``localCheckpoint``
+    truncating lineage per round so the plan stays constant-size (the
+    GraphX/GraphFrames CC pattern). Rounds = graph diameter; near-dup
+    graphs are unions of near-cliques (diameter ≤ 3 in practice), so
+    this converges in 2-4 rounds. For adversarial long-chain graphs the
+    same per-round plan shape supports the alternating large-star /
+    small-star algorithm (Kiveris et al., SoCC'14) in O(log n) rounds —
+    the swap is localized to the neighbor-select step.
+
+    Scale notes (100 TB): the CC input is the *pair graph*, orders of
+    magnitude smaller than the corpus (only docs with a verified
+    near-dup). Label tables are two-int64 columns; every join key is an
+    int64. Alternating checkpoint generations bound executor storage at
+    two label tables regardless of round count.
+
+    The reference has no graph surface at all (its whole workload is
+    k-means, ``src/Kmeans.java``); this extends its iterate-until-stable
+    driver loop (``src/Kmeans.java:V2 main``) to graph closure.
+    """
+    pairs = shared_intermediate(
+        "dedup_clusters.pairs",
+        dedup_minhash(spark, sf_dir).select("doc_a", "doc_b"),
+    )
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+    cur = shared_intermediate(
+        "dedup_clusters.labels.0",
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id")),
+    )
+    for it in range(_CC_MAX_ITERS):
+        # new label = min(own, min over in-neighbors). Alternating
+        # checkpoint tags keep the previous generation's blocks alive
+        # for the convergence diff, releasing the generation before it.
+        nbr = (
+            sym.join(cur.withColumnRenamed("doc_id", "dst"), "dst")
+            .select(F.col("src").alias("doc_id"), "label")
+        )
+        new = shared_intermediate(
+            f"dedup_clusters.labels.{(it + 1) % 2}",
+            nbr.union(cur).groupBy("doc_id").agg(F.min("label").alias("label")),
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(cur, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        cur = new
+        if changed == 0:
+            break
+    cc = cur.withColumnRenamed("label", "cluster_id")
+    sz = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(F.broadcast(sz), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )

@@ -113,6 +113,7 @@ DRIVER_ORDER = [
     "sample_stratified",
     "text_repetition",
     "pack_sequences",
+    "dedup_clusters",
     # -- round-1 hash-fail / canonicalizer-err queries, fixed this round --
     "agg_hash",
     "agg_distinct",
@@ -124,7 +125,6 @@ DRIVER_ORDER = [
     "rollup_hypertable",
     "tpch_q3",
     "tpch_q5",
-    "tpch_q6",
     "join_shuffle",
     "join_outer",
     "join_theta_range",
@@ -136,8 +136,10 @@ DRIVER_ORDER = [
     # whose fix/mechanism is verified by an in-window sibling
     # (join_cross_argmin ~ win_argmin, stream_sliding ~ stream_tumbling,
     # fn_math ~ every decimal-finalized agg, udf_scalar_pandas ~
-    # udaf_grouped_pandas/udtf for the pandas machinery) yield their
-    # slots to the round-2 pipeline operators above. --
+    # udaf_grouped_pandas/udtf for the pandas machinery, tpch_q6 ~
+    # tpch_q3/q5 for the decimal-cast fix) yield their slots to the
+    # round-2 pipeline operators above. --
+    "tpch_q6",
     "udf_scalar_pandas",
     "join_cross_argmin",
     "stream_sliding",
