@@ -570,6 +570,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_clusters.pairs",
         dedup_minhash(spark, sf_dir).select("doc_a", "doc_b"),
     )
+    return connected_components(pairs)
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Connected components over an undirected edge list ``(doc_a,
+    doc_b)`` by iterative min-label propagation; see ``dedup_clusters``
+    for the algorithm/scale discussion. Returns one row per node:
+    ``(doc_id, cluster_id, cluster_size, is_canonical)`` with
+    ``cluster_id`` = the component's minimum doc_id. Raises if the
+    graph hasn't converged within ``max_iters`` rounds (diameter bound)
+    rather than silently returning partial closure."""
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
@@ -579,7 +592,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id")),
     )
-    for it in range(_CC_MAX_ITERS):
+    converged = False
+    for it in range(max_iters):
         # new label = min(own, min over in-neighbors). Alternating
         # checkpoint tags keep the previous generation's blocks alive
         # for the convergence diff, releasing the generation before it.
@@ -599,7 +613,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_iters} rounds "
+            "(graph diameter exceeds the cap; raise max_iters or switch "
+            "the neighbor-select step to large-star/small-star)"
+        )
     cc = cur.withColumnRenamed("label", "cluster_id")
     sz = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(F.broadcast(sz), "cluster_id").select(
