@@ -364,3 +364,129 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("spans_boundary"),
     )
+
+
+# Integer-exact curation gates (no float thresholds to straddle):
+#   low quality : n_tokens < 20  OR  10*n_distinct < 3*n_tokens (<0.3)
+#   repetitive  : 5*max_tf > n_tokens  OR  2*dup_bigrams > n_bigrams
+#   exact dup   : doc_id != min(doc_id) over sha256(text)
+_CURATE_MIN_TOKENS = 20
+
+
+@register(
+    "curate_corpus",
+    tags=("pipeline",),
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lang, source, text,
+                   string_split(text, ' ') AS w,
+                   MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep_doc
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, lang, source, keep_doc,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+                   CAST(list_max(list_transform(
+                       list_distinct(w),
+                       x -> len(list_filter(w, y -> y = x))
+                   )) AS BIGINT) AS max_tf,
+                   CAST(GREATEST(len(w) - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(GREATEST(len(w) - 1, 0)
+                        - len(list_distinct(
+                            [array_to_string(w[i : i + 1], ' ')
+                             for i in range(1, len(w))]))
+                        AS BIGINT) AS dup_bigrams
+            FROM base
+        )
+        SELECT doc_id, lang, source, n_tokens,
+               CAST(CASE WHEN n_tokens < {_CURATE_MIN_TOKENS}
+                          OR 10 * n_distinct < 3 * n_tokens
+                     THEN 1 ELSE 0 END AS INT) AS is_low_quality,
+               CAST(CASE WHEN 5 * max_tf > n_tokens
+                          OR 2 * dup_bigrams > n_bigrams
+                     THEN 1 ELSE 0 END AS INT) AS is_repetitive,
+               CAST(CASE WHEN doc_id <> keep_doc THEN 1 ELSE 0 END AS INT)
+                   AS is_exact_dup,
+               CAST(CASE WHEN n_tokens >= {_CURATE_MIN_TOKENS}
+                          AND 10 * n_distinct >= 3 * n_tokens
+                          AND NOT (5 * max_tf > n_tokens
+                                   OR 2 * dup_bigrams > n_bigrams)
+                          AND doc_id = keep_doc
+                     THEN 1 ELSE 0 END AS INT) AS keep
+        FROM m
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation verdict — the composed funnel a
+    training-data pipeline actually runs (C4/Gopher-style): per document
+    a quality gate (length + lexical diversity), a repetition gate
+    (top-word / duplicate-bigram, Gopher §A.1.1 shape), an exact-dedup
+    gate (keep the lowest doc_id per sha256), and the final ``keep``
+    bit. Emitting per-gate flags rather than a filtered corpus is
+    deliberate: curation runs are audited by "what did each gate kill",
+    and the kept corpus is ``WHERE keep = 1`` away.
+
+    Plan shape: every gate except dedup is a narrow per-row array
+    expression inside whole-stage codegen; exact-dedup is ONE window
+    shuffle on sha256(text) (min doc_id per content group — no join, no
+    second pass over text). So the whole funnel costs a single shuffle
+    of (hash, doc_id)-sized rows at any corpus size. Near-dup removal
+    plugs in as a pre-computed kill list from ``dedup_clusters``
+    (production would anti-join it here; kept separate so each stage
+    stays independently oracle-checkable).
+
+    All gates are integer comparisons — no float threshold can straddle
+    engines.
+    """
+    docs = parallel_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    keep_doc = F.min("doc_id").over(
+        Window.partitionBy(F.sha2(F.col("text"), 256))
+    )
+    max_tf = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda x: F.size(F.filter(w, lambda y: y == x)),
+        )
+    ).cast("long")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        keep_doc.alias("keep_doc"),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        max_tf.alias("max_tf"),
+        F.greatest(F.size(w) - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+        (
+            F.greatest(F.size(w) - 1, F.lit(0))
+            - F.size(F.array_distinct(bigrams))
+        )
+        .cast("long")
+        .alias("dup_bigrams"),
+    )
+    low_q = (F.col("n_tokens") < _CURATE_MIN_TOKENS) | (
+        10 * F.col("n_distinct") < 3 * F.col("n_tokens")
+    )
+    rep = (5 * F.col("max_tf") > F.col("n_tokens")) | (
+        2 * F.col("dup_bigrams") > F.col("n_bigrams")
+    )
+    dup = F.col("doc_id") != F.col("keep_doc")
+    return m.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        low_q.cast("int").alias("is_low_quality"),
+        rep.cast("int").alias("is_repetitive"),
+        dup.cast("int").alias("is_exact_dup"),
+        (~low_q & ~rep & ~dup).cast("int").alias("keep"),
+    )
