@@ -71,74 +71,20 @@ def register(
     return deco
 
 
-# Driver presentation order. Round 1's driver checked only the FIRST 50
-# registered queries, leaving every window/dedup/similarity/kmeans/text/
-# multimodal operator without a CORRECTNESS row. The registry itself is
-# unordered; this list pins the order `__spark_entry__.queries()` hands
-# to the driver: the 28 previously-unchecked operators first, then the
-# 28 queries whose decimal/collection outputs were fixed this round,
-# then the queries already driver-green in round 1.
+# Driver presentation order. The driver checks the FIRST 50 registered
+# queries each round; rotating this list is how every SURVEY §2.B id
+# accumulates a driver CORRECTNESS row across rounds. Round 1 checked
+# the relational/join/agg/fn/stream/sub family; round 2 checked the
+# window/UDF/dedup/similarity/kmeans/text/multimodal/pipeline family
+# (47 pass + 3 rows-only, 0 fail). Round 3 front-loads the 34 ids with
+# no round-2 row — first the 12 whose *latest* driver signal is still a
+# round-1 hash-fail (since fixed; local strict checker green), then
+# curate_corpus (never driver-checked), then the round-1 greens that
+# predate the current canonicalizer — and fills the remaining window
+# slots with re-confirmations of round-2 passes.
 DRIVER_ORDER = [
-    # -- previously driver-unchecked (round 1 cut at 50 entries) --
-    "win_rank",
-    "win_lag_lead",
-    "win_frame_avg",
-    "win_argmin",
-    "win_running_total",
-    "win_range_frame",
-    "win_ntile",
-    "udaf_grouped_pandas",
-    "udtf_apply_in_pandas",
-    "join_asof",
-    "kmeans_assign",
-    "kmeans_fit",
-    "sim_topk",
-    "sim_ann_ivf",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embed_cosine",
-    "text_tokenize_tfidf",
-    "text_stats",
-    "text_langid",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_cols",
-    "multimodal_decode",
-    "multimodal_framesample",
-    # -- new round-2 corpus-curation operators (pipeline.py) --
-    "decontam_ngram",
-    "sample_stratified",
-    "text_repetition",
-    "pack_sequences",
-    "dedup_clusters",
-    # -- round-1 hash-fail / canonicalizer-err queries, fixed this round --
-    "agg_hash",
-    "agg_distinct",
-    "agg_approx",
-    "fn_map",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_vector_mean",
-    "rollup_hypertable",
-    "tpch_q3",
-    "tpch_q5",
-    "join_shuffle",
-    "join_outer",
-    "join_theta_range",
-    "join_bucketed",
-    "join_skew_salted",
-    "join_dpp",
-    "stream_tumbling",
-    # -- below here: past the driver's 50-entry check window. Entries
-    # whose fix/mechanism is verified by an in-window sibling
-    # (join_cross_argmin ~ win_argmin, stream_sliding ~ stream_tumbling,
-    # fn_math ~ every decimal-finalized agg, udf_scalar_pandas ~
-    # udaf_grouped_pandas/udtf for the pandas machinery, tpch_q6 ~
-    # tpch_q3/q5 for the decimal-cast fix) yield their slots to the
-    # round-2 pipeline operators above. --
+    # -- latest driver signal = r1 hash-fail; decimal/collection fixes
+    # landed in r2 but are so far only locally verified --
     "tpch_q6",
     "udf_scalar_pandas",
     "join_cross_argmin",
@@ -150,7 +96,11 @@ DRIVER_ORDER = [
     "scan_orc",
     "sink_partitioned",
     "project_select",
-    # -- already driver-green in round 1 --
+    # -- never driver-checked (registered in r2 beyond the survey) --
+    "curate_corpus",
+    # -- rows-only by design; last ran under the r1 driver --
+    "stream_watermark_late",
+    # -- r1-green, but not re-confirmed under the r2 canonicalizer --
     "scan_parquet",
     "filter_pred",
     "lateral_explode",
@@ -169,10 +119,62 @@ DRIVER_ORDER = [
     "stream_session",
     "stream_dedup",
     "stream_stateful",
-    "stream_watermark_late",
     "sub_exists",
     "sub_scalar",
     "sub_in",
+    # -- 34 unchecked ids end here; remaining window slots re-confirm
+    # round-2 passes (highest-value family first) --
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embed_cosine",
+    "dedup_clusters",
+    "decontam_ngram",
+    "sample_stratified",
+    "text_repetition",
+    "pack_sequences",
+    "sim_topk",
+    "sim_ann_ivf",
+    "kmeans_assign",
+    "kmeans_fit",
+    "multimodal_decode",
+    "tpch_q3",
+    # -- 50-entry window ends here --
+    "tpch_q5",
+    "agg_hash",
+    "agg_distinct",
+    "agg_approx",
+    "fn_map",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_vector_mean",
+    "rollup_hypertable",
+    "join_shuffle",
+    "join_outer",
+    "join_theta_range",
+    "join_bucketed",
+    "join_skew_salted",
+    "join_dpp",
+    "stream_tumbling",
+    "win_rank",
+    "win_lag_lead",
+    "win_frame_avg",
+    "win_argmin",
+    "win_running_total",
+    "win_range_frame",
+    "win_ntile",
+    "udaf_grouped_pandas",
+    "udtf_apply_in_pandas",
+    "join_asof",
+    "text_tokenize_tfidf",
+    "text_stats",
+    "text_langid",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_cols",
+    "multimodal_framesample",
 ]
 
 
