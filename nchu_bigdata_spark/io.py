@@ -129,10 +129,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain ``spark.read.parquet`` so Catalyst
     can push filters and prune columns into the scan.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; it's read as raw nanos (``nanosAsLong``) and cast to
-    a microsecond TimestampType (the testdata carries no sub-microsecond
-    components, so the cast is lossless)."""
+    ``events.ts`` is parquet TIMESTAMP(NANOS). How a session surfaces it
+    varies by Spark version/config: as raw BIGINT nanos (legacy
+    ``nanosAsLong``), as TIMESTAMP_NTZ (Spark 4.x native nanos read,
+    truncated to micros), or already as a session-TZ timestamp. The
+    branch below normalizes every case to a microsecond TimestampType on
+    the UTC session clock, so downstream window/date logic and the
+    DuckDB oracle agree regardless of which session constructed the
+    read (the testdata carries no sub-microsecond components, so all
+    paths are lossless and identical)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
     # Queries may run under a caller-provided session (the driver's);
@@ -141,13 +146,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            # Older readers reject TIMESTAMP(NANOS) outright unless the
+            # legacy long-read flag is set.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+        elif isinstance(dt, T.TimestampType):
+            ts = F.col("ts")
+        else:
+            # TIMESTAMP_NTZ: wall-clock equals the UTC instant the nanos
+            # encode; casting under the UTC session TZ reproduces it.
+            ts = F.col("ts").cast(T.TimestampType())
+        return df.withColumn("ts", ts).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return spark.read.parquet(path)
 
 

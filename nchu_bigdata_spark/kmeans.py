@@ -179,20 +179,31 @@ def run(
 
     # Representative day per cluster: CORRECT argmin of the reference's
     # rep-day metric (plain squared distance on abs values,
-    # src/Kmeans.java:119-124); ties break to the lowest line id.
+    # src/Kmeans.java:119-124); ties break to the lowest line id. ONE
+    # job for all clusters: the per-row distance to its own cluster's
+    # center is a literal-center CASE expression (same codegen style as
+    # assign), then a single ``min_by(obs_date, (d, line_id))`` agg —
+    # k rows out, instead of k sequential .first() jobs.
     from nchu_bigdata_spark.operators.vectors import sq_euclidean_abs
 
-    reps: dict[int, str] = {}
+    d_own: F.Column | None = None
     for cid in sorted(centers):
         lit_c = F.array(*[F.lit(float(v)) for v in centers[cid]])
-        row = (
-            labeled.filter(F.col("cluster") == cid)
-            .withColumn("d", sq_euclidean_abs(F.col("features"), lit_c))
-            .orderBy("d", "line_id")
-            .select("obs_date")
-            .first()
+        d_cid = sq_euclidean_abs(F.col("features"), lit_c)
+        d_own = (
+            F.when(F.col("cluster") == cid, d_cid)
+            if d_own is None
+            else d_own.when(F.col("cluster") == cid, d_cid)
         )
-        reps[cid] = row["obs_date"] if row else ""
+    rep_rows = (
+        labeled.withColumn("d", d_own)
+        .groupBy("cluster")
+        .agg(F.min_by("obs_date", F.struct("d", "line_id")).alias("obs_date"))
+        .collect()
+    )
+    reps = {int(r["cluster"]): r["obs_date"] for r in rep_rows}
+    for cid in centers:  # empty clusters have no rows to argmin over
+        reps.setdefault(cid, "")
 
     with open(os.path.join(out_dir, "centers.txt"), "w", encoding="utf-8") as f:
         for line in format_center_lines(reps, centers):

@@ -574,18 +574,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+    pairs: DataFrame,
+    max_iters: int = _CC_MAX_ITERS,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over an undirected edge list ``(doc_a,
-    doc_b)`` by iterative min-label propagation; see ``dedup_clusters``
-    for the algorithm/scale discussion. Returns one row per node:
-    ``(doc_id, cluster_id, cluster_size, is_canonical)`` with
-    ``cluster_id`` = the component's minimum doc_id. Raises if the
-    graph hasn't converged within ``max_iters`` rounds (diameter bound)
-    rather than silently returning partial closure."""
+    doc_b)``; see ``dedup_clusters`` for the scale discussion. Returns
+    one row per node: ``(doc_id, cluster_id, cluster_size,
+    is_canonical)`` with ``cluster_id`` = the component's minimum
+    doc_id.
+
+    ``algorithm``:
+      * ``"label"`` — iterative min-label propagation, O(diameter)
+        rounds; raises if no fixpoint within ``max_iters`` (rather than
+        silently returning partial closure). Fastest on real near-dup
+        graphs (unions of near-cliques, diameter ≤ 3).
+      * ``"star"``  — alternating large-star/small-star (Kiveris et
+        al., SoCC'14), O(log n) rounds regardless of diameter; the
+        adversarial-graph-safe path.
+      * ``"auto"`` (default) — label propagation first; if the round
+        cap is hit (pathologically deep graph), transparently restart
+        with the star algorithm instead of raising.
+    """
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+    if algorithm == "star":
+        return _finish_components(_star_labels(sym))
     cur = shared_intermediate(
         "dedup_clusters.labels.0",
         sym.select(F.col("src").alias("doc_id"))
@@ -616,12 +633,107 @@ def connected_components(
             converged = True
             break
     if not converged:
+        if algorithm == "auto":
+            # Diameter exceeds the cap: restart with the O(log n)
+            # star algorithm instead of failing the job.
+            return _finish_components(_star_labels(sym))
         raise RuntimeError(
             f"connected_components: no fixpoint within {max_iters} rounds "
-            "(graph diameter exceeds the cap; raise max_iters or switch "
-            "the neighbor-select step to large-star/small-star)"
+            "(graph diameter exceeds the cap; raise max_iters or use "
+            "algorithm='star'/'auto' for the O(log n) path)"
         )
-    cc = cur.withColumnRenamed("label", "cluster_id")
+    return _finish_components(cur.withColumnRenamed("label", "cluster_id"))
+
+
+# Star rounds are O(log n); 40 alternations cover any conceivable graph
+# (2^40 nodes) — the cap exists only to turn an algorithmic regression
+# into a loud error instead of an infinite loop.
+_STAR_MAX_ITERS = 40
+
+
+def _star_labels(sym: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    converges in O(log n) rounds on ANY graph — chains included — where
+    min-label propagation needs O(diameter).
+
+    Per round, each phase is one groupBy-min + one join on the *edge*
+    table (never the corpus):
+
+      * large-star(u): m = min(Γ(u) ∪ {u}); connect every strictly
+        larger neighbor to m: emit (v, m) for v ∈ Γ(u), v > u.
+      * small-star(u), edges oriented high→low: m = min(Γ(u) ∪ {u});
+        emit (v, m) for the smaller neighbors v ≠ m, plus (u, m).
+
+    At fixpoint the edge set is a union of stars: every node points at
+    its component's minimum. Returns ``(doc_id, cluster_id)``.
+
+    Scale: edge-linear work per round with map-side combinable mins;
+    alternating ``localCheckpoint`` generations bound storage at two
+    edge tables, same as the label-prop loop.
+    """
+    # Canonical undirected edge set, oriented high→low, no self-loops.
+    cur = shared_intermediate(
+        "dedup_clusters.star.0",
+        sym.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+    )
+    for it in range(_STAR_MAX_ITERS):
+        both = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: min over full neighborhood (and self)
+        lmin = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            both.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the high→low orientation of large's output
+        e = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smin = e.groupBy("u").agg(F.min("v").alias("m"))
+        new = shared_intermediate(
+            f"dedup_clusters.star.{(it + 1) % 2}",
+            e.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .distinct(),
+        )
+        # Fixpoint: identical edge sets (both sides are distinct sets,
+        # so equal counts + empty difference ⇔ equality).
+        if new.count() == cur.count() and new.exceptAll(cur).count() == 0:
+            cur = new
+            break
+        cur = new
+    else:  # pragma: no cover - 2^40-node graphs don't fit this planet
+        raise RuntimeError(
+            f"star components: no fixpoint within {_STAR_MAX_ITERS} rounds"
+        )
+    # Stars point non-roots at roots; roots appear only on the v side.
+    non_roots = cur.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = (
+        cur.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .join(cur.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return non_roots.union(roots)
+
+
+def _finish_components(cc: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) → final cluster table with sizes and the
+    canonical-representative flag. The size table has one row per
+    cluster — broadcast it."""
     sz = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(F.broadcast(sz), "cluster_id").select(
         "doc_id",

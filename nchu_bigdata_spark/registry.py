@@ -76,71 +76,23 @@ def register(
 # accumulates a driver CORRECTNESS row across rounds. Round 1 checked
 # the relational/join/agg/fn/stream/sub family; round 2 checked the
 # window/UDF/dedup/similarity/kmeans/text/multimodal/pipeline family
-# (47 pass + 3 rows-only, 0 fail). Round 3 front-loads the 34 ids with
-# no round-2 row — first the 12 whose *latest* driver signal is still a
-# round-1 hash-fail (since fixed; local strict checker green), then
-# curate_corpus (never driver-checked), then the round-1 greens that
-# predate the current canonicalizer — and fills the remaining window
-# slots with re-confirmations of round-2 passes.
+# (47 pass + 3 rows-only, 0 fail). Round 3 checked the remaining 34 —
+# 41 pass + 2 rows-only, but the 7 events-table queries below errored
+# because the round-3 session (pyspark 4.1.2) reads parquet
+# TIMESTAMP(NANOS) as TIMESTAMP_NTZ, which io.table() then mishandled.
+# That is fixed (io.py branches on the actual ts dtype); round 4
+# front-loads those 7, then refreshes the 34 ids whose latest driver
+# signal is round-2, then re-confirms 9 round-3 greens.
 DRIVER_ORDER = [
-    # -- latest driver signal = r1 hash-fail; decimal/collection fixes
-    # landed in r2 but are so far only locally verified --
-    "tpch_q6",
-    "udf_scalar_pandas",
-    "join_cross_argmin",
+    # -- errored in r3 (TIMESTAMP_NTZ events read, since fixed) --
     "stream_sliding",
-    "fn_math",
-    "fn_array",
-    "scan_csv",
     "scan_json",
-    "scan_orc",
-    "sink_partitioned",
-    "project_select",
-    # -- never driver-checked (registered in r2 beyond the survey) --
-    "curate_corpus",
-    # -- rows-only by design; last ran under the r1 driver --
-    "stream_watermark_late",
-    # -- r1-green, but not re-confirmed under the r2 canonicalizer --
-    "scan_parquet",
-    "filter_pred",
-    "lateral_explode",
-    "sample_hash",
-    "join_broadcast",
-    "join_semi",
-    "join_anti",
-    "sort_limit",
-    "topk_per_group",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "fn_string",
-    "fn_date",
     "fn_json",
     "stream_session",
     "stream_dedup",
     "stream_stateful",
-    "sub_exists",
-    "sub_scalar",
-    "sub_in",
-    # -- 34 unchecked ids end here; remaining window slots re-confirm
-    # round-2 passes (highest-value family first) --
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embed_cosine",
-    "dedup_clusters",
-    "decontam_ngram",
-    "sample_stratified",
-    "text_repetition",
-    "pack_sequences",
-    "sim_topk",
-    "sim_ann_ivf",
-    "kmeans_assign",
-    "kmeans_fit",
-    "multimodal_decode",
-    "tpch_q3",
-    # -- 50-entry window ends here --
+    "stream_watermark_late",  # rows-only by design
+    # -- latest driver signal is round-2 (green); refresh under r4 --
     "tpch_q5",
     "agg_hash",
     "agg_distinct",
@@ -175,6 +127,51 @@ DRIVER_ORDER = [
     "text_fingerprint",
     "multimodal_cols",
     "multimodal_framesample",
+    # -- round-3 greens, re-confirmed with the remaining window slots --
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embed_cosine",
+    "dedup_clusters",
+    "decontam_ngram",
+    "pack_sequences",
+    "curate_corpus",
+    # -- 50-entry window ends here --
+    "sample_stratified",
+    "text_repetition",
+    "sim_topk",
+    "sim_ann_ivf",
+    "kmeans_assign",
+    "kmeans_fit",
+    "multimodal_decode",
+    "tpch_q3",
+    "tpch_q6",
+    "udf_scalar_pandas",
+    "join_cross_argmin",
+    "fn_math",
+    "fn_array",
+    "scan_csv",
+    "scan_orc",
+    "sink_partitioned",
+    "project_select",
+    "scan_parquet",
+    "filter_pred",
+    "lateral_explode",
+    "sample_hash",
+    "join_broadcast",
+    "join_semi",
+    "join_anti",
+    "sort_limit",
+    "topk_per_group",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "fn_string",
+    "fn_date",
+    "sub_exists",
+    "sub_scalar",
+    "sub_in",
 ]
 
 

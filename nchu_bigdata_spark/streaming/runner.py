@@ -36,19 +36,30 @@ from nchu_bigdata_spark.queries.streaming_batch import (
     watermark_transform,
 )
 
-# Parquet stores events.ts as TIMESTAMP(NANOS); with nanosAsLong the
-# scan yields int64 nanos which we cast to microsecond timestamps
-# (lossless here) — same policy as nchu_bigdata_spark.io.table.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Parquet stores events.ts as TIMESTAMP(NANOS); how a session surfaces
+# it varies (raw int64 nanos under legacy nanosAsLong, TIMESTAMP_NTZ on
+# Spark 4.x, plain int64 in synthetic test fixtures). The streaming
+# source needs the schema up front, so ``_probe_ts_type`` batch-reads
+# the path's footer once (schema only, no data job) and the decode
+# branch normalizes to microsecond TimestampType — same policy as
+# ``nchu_bigdata_spark.io.table``.
+
+
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _probe_ts_type(spark: SparkSession, path: str) -> T.DataType:
+    return spark.read.parquet(path).schema["ts"].dataType
 
 # transform + required sink output mode for each streaming query id
 STREAM_TRANSFORMS: dict[str, tuple[Callable[[DataFrame], DataFrame], str]] = {
@@ -64,7 +75,16 @@ STREAM_TRANSFORMS: dict[str, tuple[Callable[[DataFrame], DataFrame], str]] = {
 
 
 def _decode_ts(raw: DataFrame) -> DataFrame:
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+    dt = raw.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # raw int64 nanos (legacy flag or synthetic fixture)
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    elif isinstance(dt, T.TimestampType):
+        ts = F.col("ts")
+    else:
+        # TIMESTAMP_NTZ under the UTC session clock (io.py rationale)
+        ts = F.col("ts").cast(T.TimestampType())
+    return raw.withColumn("ts", ts).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
 
@@ -73,8 +93,8 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming scan of an events parquet path (file or directory
     glob), decoded to the engine's canonical events schema."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    schema = _events_raw_schema(_probe_ts_type(spark, path))
+    raw = spark.readStream.schema(schema).parquet(path)
     return _decode_ts(raw)
 
 
@@ -93,7 +113,8 @@ def run_events_stream(
     microbatches — used by tests to advance the watermark between
     batches and observe late-data drops."""
     name = f"stream_result_{uuid4().hex[:12]}"
-    src = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = spark.readStream.schema(_events_raw_schema(_probe_ts_type(spark, path)))
     if max_files_per_trigger is not None:
         src = src.option("maxFilesPerTrigger", max_files_per_trigger)
     df = transform(_decode_ts(src.parquet(path)))

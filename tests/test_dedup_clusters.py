@@ -43,6 +43,34 @@ def test_disjoint_components_and_edge_direction(spark):
 
 
 def test_iteration_cap_raises_instead_of_partial_result(spark):
+    # algorithm="label" keeps the strict contract: cap hit → loud error.
     chain = [(i, i + 1) for i in range(9)]
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        _cc(spark, chain, max_iters=3)
+        _cc(spark, chain, max_iters=3, algorithm="label")
+
+
+def test_star_algorithm_matches_label_prop(spark):
+    # Same component structure from both algorithms on a mixed graph:
+    # a triangle, a 4-chain given in scrambled orientation, a pair.
+    edges = [(3, 1), (1, 2), (2, 3), (7, 6), (5, 6), (7, 8), (11, 10)]
+    assert _cc(spark, edges, algorithm="star") == _cc(
+        spark, edges, algorithm="label"
+    )
+
+
+def test_star_handles_deep_chain_in_log_rounds(spark):
+    # Diameter-19 path: label propagation would need ~19 rounds; the
+    # large-star/small-star alternation collapses it in O(log n).
+    chain = [(i, i + 1) for i in range(19)]
+    got = _cc(spark, chain, algorithm="star")
+    assert set(got) == set(range(20))
+    assert all(v == (0, 20, int(k == 0)) for k, v in got.items())
+
+
+def test_auto_falls_back_to_star_past_the_cap(spark):
+    # auto: min-label hits the 3-round cap on a deep chain, then
+    # transparently restarts with the star algorithm — full closure,
+    # no RuntimeError, no partial result.
+    chain = [(i, i + 1) for i in range(19)]
+    got = _cc(spark, chain, max_iters=3, algorithm="auto")
+    assert all(v == (0, 20, int(k == 0)) for k, v in got.items())

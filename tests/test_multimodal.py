@@ -1,13 +1,17 @@
 """Multimodal operator contracts (SURVEY.md §2.B-10).
 
 The oracle gate covers ``multimodal_cols`` / ``multimodal_framesample``
-values; this file pins the parts the oracle can't see: the decode
-plumbing's batch shape and the honest-stub contract of the real
-decoders (pillow/soundfile are not in this container — the stubs must
-raise ``NotImplementedError``, not silently fake a decode)."""
+values; this file pins the parts the oracle can't see: the real stdlib
+BMP/WAV codecs (round-trip + known-value decode), the honest-stub
+contract for formats that genuinely need pillow/soundfile, and the
+decode plumbing's batch shape / no-shuffle plan."""
 
 from __future__ import annotations
 
+import struct
+import wave
+
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -22,6 +26,64 @@ def _has(mod: str) -> bool:
         return False
 
 
+# --------------------------------------------------------------------------
+# Real codecs
+# --------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_known_values():
+    """encode_bmp produces a spec-correct 24-bpp BMP; decode_image
+    recovers dimensions and exact pixel moments."""
+    # 2 rows of 16 BGR pixels = 96 bytes, values 0..95
+    px = bytes(range(96))
+    blob = multimodal.encode_bmp(px, width=16)
+    assert blob[:2] == b"BM"
+    (file_sz,) = struct.unpack_from("<I", blob, 2)
+    assert file_sz == len(blob)
+    feats = multimodal.decode_image(blob)
+    assert feats["decoder"] == "bmp24"
+    assert (feats["width"], feats["height"]) == (16, 2)
+    assert feats["n_samples"] == 32
+    arr = np.arange(96, dtype=np.float64)
+    assert feats["feat_mean"] == pytest.approx(arr.mean(), abs=1e-6)
+    assert feats["feat_std"] == pytest.approx(round(arr.std(), 6), abs=1e-6)
+
+
+def test_bmp_row_padding_and_bottom_up():
+    """Width 3 → 9-byte rows padded to 12; decoder must strip padding
+    and un-flip bottom-up row order."""
+    px = bytes([10] * 9 + [20] * 9)  # two distinct rows
+    blob = multimodal.encode_bmp(px, width=3)
+    feats = multimodal.decode_image(blob)
+    assert (feats["width"], feats["height"]) == (3, 2)
+    # mean over REAL pixels only — padding zeros must not dilute it
+    assert feats["feat_mean"] == pytest.approx(15.0)
+
+
+def test_wav_roundtrip_known_values():
+    blob = multimodal.encode_wav(bytes([128, 129, 127, 128]), sr=8000)
+    with wave.open(__import__("io").BytesIO(blob), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 8000)
+    feats = multimodal.decode_audio(blob)
+    assert feats["decoder"] == "wav-pcm16"
+    assert feats["sample_rate"] == 8000
+    assert feats["n_samples"] == 4
+    # samples: (b-128)<<8 → [0, 256, -256, 0]
+    assert feats["feat_mean"] == pytest.approx(0.0)
+    assert feats["feat_std"] == pytest.approx(np.std([0, 256, -256, 0]), abs=1e-6)
+
+
+def test_codecs_deterministic():
+    raw = b"deterministic payload bytes"
+    assert multimodal.encode_bmp(raw) == multimodal.encode_bmp(raw)
+    assert multimodal.encode_wav(raw) == multimodal.encode_wav(raw)
+
+
+# --------------------------------------------------------------------------
+# Honest stubs for formats needing external libs
+# --------------------------------------------------------------------------
+
+
 @pytest.mark.skipif(_has("PIL"), reason="pillow present: stub contract n/a")
 def test_decode_image_stub_contract():
     with pytest.raises(NotImplementedError):
@@ -31,39 +93,63 @@ def test_decode_image_stub_contract():
 @pytest.mark.skipif(_has("soundfile"), reason="soundfile present")
 def test_decode_audio_stub_contract():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"RIFF")
+        multimodal.decode_audio(b"OggS\x00\x00")
 
 
-def test_extract_features_batch_shape():
-    """The mapInPandas worker fn: per-batch in/out, schema-stable, and
-    deterministic byte moments (what the rows-only driver check sees)."""
+def test_decode_image_rejects_unsupported_bpp():
+    bad = multimodal.encode_bmp(b"x" * 48)
+    bad = bad[:28] + struct.pack("<H", 8) + bad[30:]  # claim 8 bpp
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(bad)
+
+
+# --------------------------------------------------------------------------
+# Arrow plumbing
+# --------------------------------------------------------------------------
+
+
+def test_synth_and_decode_batch_shape():
+    """The mapInPandas worker fn: per-batch in/out, schema-stable;
+    image rows really decoded as BMP, audio as WAV, video fallback."""
     batch = pd.DataFrame(
         {
-            "doc_id": [1, 2],
-            "modality": ["image", "audio"],
-            "payload": [b"abc", b""],
+            "doc_id": [1, 2, 3],
+            "modality": ["image", "audio", "video"],
+            "payload": [b"a" * 48, b"abc", b"xyz"],
         }
     )
-    out = list(multimodal._extract_features(iter([batch, batch])))
+    out = list(multimodal._synth_and_decode(iter([batch, batch])))
     assert len(out) == 2  # one output batch per input batch
     first = out[0]
-    assert list(first.columns) == [
-        "doc_id", "modality", "n_bytes", "byte_mean", "byte_std", "decoder",
+    assert list(first.columns) == [f.name for f in multimodal._DECODE_SCHEMA.fields]
+    assert first["decoder"].tolist() == [
+        "bmp24",
+        "wav-pcm16",
+        "byte-moments-fallback",
     ]
-    assert first["n_bytes"].tolist() == [3, 0]
-    # byte moments of b"abc": mean of (97,98,99)
-    assert first["byte_mean"].iloc[0] == pytest.approx(98.0)
-    assert first["byte_mean"].iloc[1] == 0.0  # empty payload guarded
-    assert (first["decoder"] == "byte-moments-stub").all()
+    img = first.iloc[0]
+    assert (img["width"], img["height"]) == (16, 1)
+    assert img["feat_mean"] == pytest.approx(97.0)  # all-'a' pixels
+    aud = first.iloc[1]
+    assert aud["sample_rate"] == 8000 and aud["n_samples"] == 3
     # deterministic across batches
     assert out[1].equals(first)
 
 
 def test_decode_plumbing_runs_on_spark(spark, sf_dir):
-    """End-to-end: binary column → Arrow batch → python → typed rows.
-    Partition-preserving (no shuffle in the plan) and row-conserving."""
+    """End-to-end: binary column → Arrow batch → python decode → typed
+    rows. Partition-preserving (no shuffle in the plan), row-conserving,
+    and every image/audio row got a real decoder."""
     df = multimodal.multimodal_decode(spark, sf_dir)
     n_docs = multimodal.table(spark, sf_dir, "documents").count()
-    assert df.count() == n_docs
+    rows = df.collect()
+    assert len(rows) == n_docs
+    for r in rows:
+        if r.modality == "image":
+            assert r.decoder == "bmp24" and r.width == 16 and r.height >= 1
+        elif r.modality == "audio":
+            assert r.decoder == "wav-pcm16" and r.sample_rate == 8000
+        else:
+            assert r.decoder == "byte-moments-fallback"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # decode must not shuffle blobs

@@ -32,6 +32,57 @@ def test_rows_only_query_runs(name, spark, sf_dir):
     assert n >= 0
 
 
+def test_agg_approx_within_documented_bounds(spark, sf_dir):
+    """agg_approx is rows-only at the driver (sketches aren't
+    SQL-reproducible), so back it with a real accuracy bound here:
+
+    * ``approx_count_distinct(rsd=0.02)`` (HLL++): relative error vs
+      the exact distinct count within 5×rsd (±5 standard deviations —
+      far beyond any realistic flake rate).
+    * ``percentile_approx(q, accuracy=10000)`` (KLL-style): the
+      returned value's RANK in the sorted group is within
+      ``n/accuracy`` (+1 slack) of ``q*n`` — the algorithm's documented
+      guarantee, checked as rank error, not value error.
+    """
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    from nchu_bigdata_spark.io import table
+
+    got = {r["l_returnflag"]: r for r in SPECS["agg_approx"].fn(spark, sf_dir).collect()}
+    li = table(spark, sf_dir, "lineitem")
+    exact_counts = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    prices = {
+        r["l_returnflag"]: sorted(r["vs"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.collect_list("l_extendedprice").alias("vs"))
+        .collect()
+    }
+    assert set(got) == set(exact_counts)
+    for flag, row in got.items():
+        exact = exact_counts[flag]
+        assert abs(row["approx_orders"] - exact) <= max(1, 5 * 0.02 * exact), (
+            flag,
+            row["approx_orders"],
+            exact,
+        )
+        vs = prices[flag]
+        n = len(vs)
+        tol = n / 10000 + 1
+        for q, col in ((0.25, "price_p25"), (0.5, "price_p50"), (0.75, "price_p75")):
+            v = row[col]
+            # rank range the value occupies in the sorted data
+            lo = bisect.bisect_left(vs, v)
+            hi = bisect.bisect_right(vs, v)
+            assert lo - tol <= q * n <= hi + tol, (flag, col, v, lo, hi, q * n)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
