@@ -163,6 +163,7 @@ def encode_bmp(pixel_bytes: bytes, width: int = _BMP_W) -> bytes:
     rows; at least one row is always emitted."""
     import struct
 
+    pixel_bytes = pixel_bytes or b"\x00"  # empty payload → one black px row
     row_px = width * 3
     n_rows = max(1, len(pixel_bytes) // row_px)
     need = n_rows * row_px

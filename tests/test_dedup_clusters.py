@@ -67,6 +67,41 @@ def test_star_handles_deep_chain_in_log_rounds(spark):
     assert all(v == (0, 20, int(k == 0)) for k, v in got.items())
 
 
+def test_random_graph_matches_union_find(spark):
+    # Seeded random graph cross-checked against a pure-Python
+    # union-find reference — both algorithms must reproduce component
+    # membership, min-id labeling, sizes, and canonical flags exactly.
+    import random
+
+    rng = random.Random(20260813)
+    nodes = list(range(1, 61))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps: dict[int, list[int]] = {}
+    touched = {n for e in edges for n in e}
+    for n in touched:
+        comps.setdefault(find(n), []).append(n)
+    expected = {}
+    for members in comps.values():
+        lbl, size = min(members), len(members)
+        for n in members:
+            expected[n] = (lbl, size, int(n == lbl))
+
+    for algo in ("label", "star"):
+        assert _cc(spark, edges, algorithm=algo) == expected, algo
+
+
 def test_auto_falls_back_to_star_past_the_cap(spark):
     # auto: min-label hits the 3-round cap on a deep chain, then
     # transparently restarts with the star algorithm — full closure,
