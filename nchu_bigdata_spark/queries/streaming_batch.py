@@ -199,6 +199,83 @@ def watermark_transform(ev: DataFrame) -> DataFrame:
     )
 
 
+_30M_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "stream_stream_join",
+    tags=("b9",),
+    oracle=f"""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               e.event_id AS next_id,
+               e.event_type AS next_type,
+               epoch_us(c.ts) AS click_us,
+               epoch_us(e.ts) AS next_us
+        FROM events c JOIN events e
+          ON e.user_id = c.user_id
+         AND c.event_type = 'click'
+         AND e.event_id <> c.event_id
+         AND epoch_us(e.ts) >= epoch_us(c.ts)
+         AND epoch_us(e.ts) <= epoch_us(c.ts) + {_30M_US}
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch form: every event a user
+    produces inside the 30-minute post-click attribution window (the
+    funnel/attribution join every event pipeline runs). The streaming
+    runner executes the identical transform as a true watermarked
+    stream-stream self-join (parity-tested) — Spark buffers both sides
+    in the state store and the watermark + time-range condition bound
+    how long a row waits for matches, so state is finite at 100 TB/day
+    event volumes."""
+    return stream_join_transform(table(spark, sf_dir, "events"))
+
+
+def stream_join_transform(ev: DataFrame) -> DataFrame:
+    """Core interval self-join plan — shared by the batch query and the
+    streaming runner. Watermarks are declared AFTER the rename so the
+    event-time tag rides the joined column name on each branch; they are
+    no-ops in batch mode. The join key leads with ``user_id`` so the
+    state-store partitioning (and the batch shuffle) hashes on the user,
+    and the time bounds let streaming evict buffered rows once the other
+    side's watermark passes ``click_ts + 30 minutes``."""
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    nxt = (
+        ev.select(
+            F.col("user_id").alias("n_user_id"),
+            F.col("event_id").alias("next_id"),
+            F.col("event_type").alias("next_type"),
+            F.col("ts").alias("next_ts"),
+        )
+        .withWatermark("next_ts", "10 minutes")
+    )
+    return clicks.join(
+        nxt,
+        [
+            F.col("user_id") == F.col("n_user_id"),
+            F.col("next_id") != F.col("click_id"),
+            F.col("next_ts") >= F.col("click_ts"),
+            F.col("next_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"),
+        ],
+    ).select(
+        "user_id",
+        "click_id",
+        "next_id",
+        "next_type",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("next_ts").alias("next_us"),
+    )
+
+
 @register(
     "stream_stateful",
     tags=("b9",),

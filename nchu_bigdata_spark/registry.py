@@ -92,6 +92,8 @@ DRIVER_ORDER = [
     "stream_dedup",
     "stream_stateful",
     "stream_watermark_late",  # rows-only by design
+    # -- new in round 4 (never driver-checked) --
+    "stream_stream_join",
     # -- latest driver signal is round-2 (green); refresh under r4 --
     "tpch_q5",
     "agg_hash",
@@ -136,8 +138,8 @@ DRIVER_ORDER = [
     "dedup_clusters",
     "decontam_ngram",
     "pack_sequences",
-    "curate_corpus",
     # -- 50-entry window ends here --
+    "curate_corpus",
     "sample_stratified",
     "text_repetition",
     "sim_topk",

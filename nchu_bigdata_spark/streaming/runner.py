@@ -32,6 +32,7 @@ from nchu_bigdata_spark.queries.streaming_batch import (
     session_transform,
     sliding_transform,
     stateful_transform,
+    stream_join_transform,
     tumbling_transform,
     watermark_transform,
 )
@@ -68,6 +69,8 @@ STREAM_TRANSFORMS: dict[str, tuple[Callable[[DataFrame], DataFrame], str]] = {
     "stream_session": (session_transform, "complete"),
     "stream_dedup": (dedup_transform, "append"),
     "stream_watermark_late": (watermark_transform, "complete"),
+    # stream-stream inner joins emit each match exactly once → append
+    "stream_stream_join": (stream_join_transform, "append"),
     # update mode: each microbatch emits the refreshed running totals
     # per key; the LAST emission per key equals the batch aggregate.
     "stream_stateful": (stateful_transform, "update"),

@@ -28,6 +28,9 @@ PARITY_IDS = [
     "stream_session",
     "stream_dedup",
     "stream_watermark_late",
+    # true watermarked stream-stream self-join (append mode): both
+    # branches buffer in the state store; matches emitted exactly once
+    "stream_stream_join",
 ]
 
 
