@@ -611,24 +611,26 @@ def connected_components(
     )
     converged = False
     for it in range(max_iters):
-        # new label = min(own, min over in-neighbors). Alternating
-        # checkpoint tags keep the previous generation's blocks alive
-        # for the convergence diff, releasing the generation before it.
-        nbr = (
-            sym.join(cur.withColumnRenamed("doc_id", "dst"), "dst")
-            .select(F.col("src").alias("doc_id"), "label")
+        # new label = min(own, min over in-neighbors). The convergence
+        # check rides the same aggregation: self rows carry a flag so
+        # the group emits (new_label, old_label) together, making
+        # "changed" a narrow filter-count over the checkpointed result
+        # instead of a second shuffle join per round. Alternating
+        # checkpoint tags bound storage at two generations.
+        nbr = sym.join(cur.withColumnRenamed("doc_id", "dst"), "dst").select(
+            F.col("src").alias("doc_id"), "label", F.lit(False).alias("own")
         )
         new = shared_intermediate(
             f"dedup_clusters.labels.{(it + 1) % 2}",
-            nbr.union(cur).groupBy("doc_id").agg(F.min("label").alias("label")),
+            nbr.union(cur.withColumn("own", F.lit(True)))
+            .groupBy("doc_id")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("old_label"),
+            ),
         )
-        changed = (
-            new.withColumnRenamed("label", "new_label")
-            .join(cur, "doc_id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        cur = new
+        changed = new.filter(F.col("label") != F.col("old_label")).count()
+        cur = new.select("doc_id", "label")
         if changed == 0:
             converged = True
             break

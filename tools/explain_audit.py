@@ -53,6 +53,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     "join_dpp": ([r"dynamicpruningexpression"], []),
     "tpch_q3": ([r"TakeOrderedAndProject", r"BroadcastHashJoin"], []),
     "join_cross_argmin": ([r"BroadcastNestedLoopJoin|BroadcastHashJoin"], []),
+    # stream-stream interval join: must hash on the user key; the time
+    # range rides as join condition, never a nested-loop over pairs
+    "stream_stream_join": (
+        [r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", r"Left keys.*user_id"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
     # aggregation: partial/final hash agg (map-side combine the reference lacks)
     "agg_hash": ([r"HashAggregate"], []),
     "stream_tumbling": ([r"HashAggregate"], []),
