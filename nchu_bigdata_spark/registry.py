@@ -53,6 +53,17 @@ def register(
         from nchu_bigdata_spark.compat import finalize_oracle, finalize_output
 
         def final_fn(spark: SparkSession, sf_dir: str, _fn: QueryFn = fn) -> DataFrame:
+            # Queries run under caller-owned sessions (the driver's);
+            # pin the runtime confs that change result SEMANTICS so
+            # behavior can't drift with the caller's defaults: UTC
+            # session clock (timestamp bucketing/formatting), ANSI off
+            # (permissive casts, matching both the reference's
+            # Double.parseDouble semantics and the DuckDB oracles as
+            # written), Arrow on (the pandas-UDF operators assume
+            # vectorized transfer).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
             return finalize_output(_fn(spark, sf_dir))
 
         final_fn.__name__ = fn.__name__
@@ -94,6 +105,7 @@ DRIVER_ORDER = [
     "stream_watermark_late",  # rows-only by design
     # -- new in round 4 (never driver-checked) --
     "stream_stream_join",
+    "multimodal_decode_meta",
     # -- latest driver signal is round-2 (green); refresh under r4 --
     "tpch_q5",
     "agg_hash",
@@ -137,8 +149,8 @@ DRIVER_ORDER = [
     "dedup_embed_cosine",
     "dedup_clusters",
     "decontam_ngram",
-    "pack_sequences",
     # -- 50-entry window ends here --
+    "pack_sequences",
     "curate_corpus",
     "sample_stratified",
     "text_repetition",
