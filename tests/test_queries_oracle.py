@@ -99,3 +99,13 @@ def test_contract_shape():
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 1
+
+
+def test_driver_order_covers_registry_exactly():
+    """DRIVER_ORDER is the driver's presentation order; a typo'd or
+    missing id would silently fall to alphabetical append (or worse,
+    shrink the checked window). Enforce the 1:1 correspondence."""
+    from nchu_bigdata_spark.registry import DRIVER_ORDER
+
+    assert len(DRIVER_ORDER) == len(set(DRIVER_ORDER)), "duplicate ids"
+    assert set(DRIVER_ORDER) == set(SPECS), set(DRIVER_ORDER) ^ set(SPECS)
