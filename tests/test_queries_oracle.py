@@ -101,6 +101,26 @@ def test_contract_shape():
     assert len(q) >= 1
 
 
+def test_queries_immune_to_caller_session_defaults(spark, sf_dir):
+    """Registered queries pin UTC/ANSI-off/Arrow-on at invocation
+    (registry.final_fn), so a caller session with hostile defaults —
+    Spark 4 ships ANSI on; a driver box may sit in any timezone — must
+    produce byte-identical results to the engine's own session. fn_date
+    is the most TZ-sensitive query (to_date/year/dayofweek buckets);
+    agg_hash covers decimal aggregation under ANSI."""
+    from tests.helpers import canon_rows
+
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.ansi.enabled", "true")
+    hostile.conf.set("spark.sql.session.timeZone", "Asia/Taipei")
+    for name in ("fn_date", "agg_hash"):
+        base = SPECS[name].fn(spark, sf_dir)
+        other = SPECS[name].fn(hostile, sf_dir)
+        rows_a = canon_rows(base.columns, [tuple(r) for r in base.collect()])
+        rows_b = canon_rows(other.columns, [tuple(r) for r in other.collect()])
+        assert rows_a == rows_b, name
+
+
 def test_driver_order_covers_registry_exactly():
     """DRIVER_ORDER is the driver's presentation order; a typo'd or
     missing id would silently fall to alphabetical append (or worse,
