@@ -12,7 +12,13 @@ asserts batch↔stream parity (SURVEY.md §5.3).
 from nchu_bigdata_spark.streaming.runner import (
     events_stream,
     run_events_stream,
+    run_events_stream_to_parquet,
     STREAM_TRANSFORMS,
 )
 
-__all__ = ["events_stream", "run_events_stream", "STREAM_TRANSFORMS"]
+__all__ = [
+    "events_stream",
+    "run_events_stream",
+    "run_events_stream_to_parquet",
+    "STREAM_TRANSFORMS",
+]

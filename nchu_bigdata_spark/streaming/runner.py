@@ -101,6 +101,35 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     return _decode_ts(raw)
 
 
+def run_events_stream_to_parquet(
+    spark: SparkSession,
+    path: str,
+    transform: Callable[[DataFrame], DataFrame],
+    sink_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Production-shaped sink: ``writeStream`` to parquet (append mode)
+    with a checkpoint location. Re-invoking with the same checkpoint
+    resumes from the recorded source offsets — already-committed input
+    files are not reprocessed, so the sink stays exactly-once across
+    restarts (asserted by the recovery test). Drains available input
+    (AvailableNow) and returns when the query stops."""
+    src = spark.readStream.schema(_events_raw_schema(_probe_ts_type(spark, path)))
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = transform(_decode_ts(src.parquet(path)))
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_events_stream(
     spark: SparkSession,
     path: str,

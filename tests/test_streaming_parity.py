@@ -127,6 +127,37 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert len(got) == 2, got
 
 
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Restart recovery: three runs against the same checkpoint dir —
+    (1) file A present → sink holds A's rows; (2) file B added → sink
+    holds A+B with A NOT reprocessed; (3) nothing new → sink unchanged.
+    This is the production exactly-once story for the file sink: source
+    offsets live in the checkpoint, committed batches are never
+    re-emitted."""
+    from nchu_bigdata_spark.streaming import run_events_stream_to_parquet
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    t0 = 1_755_000_000 * 1_000_000_000
+
+    passthrough = lambda df: df  # noqa: E731 - stateless append projection
+
+    _write_events(str(src / "a.parquet"), [(i, t0 + i * _MIN) for i in range(5)])
+    run_events_stream_to_parquet(spark, str(src), passthrough, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 5
+
+    _write_events(str(src / "b.parquet"), [(i, t0 + i * _MIN) for i in range(5, 9)])
+    run_events_stream_to_parquet(spark, str(src), passthrough, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == 9  # A not reprocessed, B appended
+    assert out.select("event_id").distinct().count() == 9  # no duplicates
+
+    run_events_stream_to_parquet(spark, str(src), passthrough, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 9  # idempotent restart
+
+
 def test_stateful_stream_matches_batch(spark, sf_dir, events_dir):
     """applyInPandasWithState running totals: the last emission per key
     (update mode re-emits refreshed state each microbatch) must equal
