@@ -59,6 +59,9 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", r"Left keys.*user_id"],
         [r"BroadcastNestedLoopJoin"],
     ),
+    # multimodal decode: Arrow mapInPandas must stay partition-preserving
+    # — blob bytes cross to Python once and never shuffle
+    "multimodal_decode_meta": ([r"MapInPandas"], [r"Exchange"]),
     # aggregation: partial/final hash agg (map-side combine the reference lacks)
     "agg_hash": ([r"HashAggregate"], []),
     "stream_tumbling": ([r"HashAggregate"], []),
