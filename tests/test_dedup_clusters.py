@@ -67,6 +67,20 @@ def test_star_handles_deep_chain_in_log_rounds(spark):
     assert all(v == (0, 20, int(k == 0)) for k, v in got.items())
 
 
+def test_self_loops_and_duplicate_edges(spark):
+    # Messy edge lists happen (a doc paired with itself by a degenerate
+    # band, the same pair emitted twice, both orientations present) —
+    # neither algorithm may double-count or crash on them.
+    edges = [(1, 1), (2, 1), (1, 2), (2, 1), (3, 3)]
+    for algo in ("label", "star"):
+        got = _cc(spark, edges, algorithm=algo)
+        assert got[1] == (1, 2, 1) and got[2] == (1, 2, 0), (algo, got)
+        # 3 only ever self-pairs: label-prop keeps it as a singleton
+        # component; the star path drops self-loops outright — either
+        # way it must not merge into the 1-2 component
+        assert got.get(3, (3, 1, 1))[0] == 3, (algo, got)
+
+
 def test_random_graph_matches_union_find(spark):
     # Seeded random graph cross-checked against a pure-Python
     # union-find reference — both algorithms must reproduce component
