@@ -20,6 +20,53 @@ Layout:
 from nchu_bigdata_spark.session import get_session
 from nchu_bigdata_spark.registry import REGISTRY, register, QuerySpec
 
-__all__ = ["get_session", "REGISTRY", "register", "QuerySpec"]
+
+def __getattr__(name: str):
+    """Lazy re-exports of the general-purpose operator APIs (the
+    functions that take arbitrary DataFrames, not testdata paths), so
+    library users get a stable facade without paying the pyspark import
+    cost at package import:
+
+        from nchu_bigdata_spark import kmeans_fit, connected_components
+    """
+    lazy = {
+        "kmeans_fit": ("nchu_bigdata_spark.operators.kmeans", "fit"),
+        "kmeans_assign": ("nchu_bigdata_spark.operators.kmeans", "assign"),
+        "kmeans_label": ("nchu_bigdata_spark.operators.kmeans", "label"),
+        "connected_components": (
+            "nchu_bigdata_spark.operators.dedup",
+            "connected_components",
+        ),
+        "asof_join": ("nchu_bigdata_spark.operators.asof", "asof_join"),
+        "run_events_stream": (
+            "nchu_bigdata_spark.streaming",
+            "run_events_stream",
+        ),
+        "run_events_stream_to_parquet": (
+            "nchu_bigdata_spark.streaming",
+            "run_events_stream_to_parquet",
+        ),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "get_session",
+    "REGISTRY",
+    "register",
+    "QuerySpec",
+    "kmeans_fit",
+    "kmeans_assign",
+    "kmeans_label",
+    "connected_components",
+    "asof_join",
+    "run_events_stream",
+    "run_events_stream_to_parquet",
+]
 
 __version__ = "0.1.0"
