@@ -15,6 +15,11 @@ Mechanism choice (measured, sf0.1 MinHash shingles, warm session):
   cache: **10-44 s/run, erratic** (building compressed columnar batches
   for millions of short strings costs more than the query itself).
 
+Re-measured after the Spark 4.1.2 upgrade (round 4, dedup_minhash sf0.1,
+3 warm reps): localCheckpoint 1.9-2.4 s vs eager persist 2.1-2.9 s —
+the gap narrowed (the 4.x cache builder is much faster) but checkpoint
+still wins; decision stands.
+
 So: eager ``localCheckpoint``, with the leak the advisor flagged fixed —
 round 1 never released checkpoint blocks, so repeated invocations
 (bench reps, plan-audit sweeps, oracle runs) accumulated executor
