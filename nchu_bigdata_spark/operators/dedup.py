@@ -729,7 +729,19 @@ def _star_labels(sym: DataFrame) -> DataFrame:
         .join(cur.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti")
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    return non_roots.union(roots)
+    labeled = non_roots.union(roots)
+    # Nodes whose only edges are self-loops vanish from `cur` at the
+    # initial u != v filter, yet label propagation emits them as
+    # singleton clusters — and `algorithm='auto'` may switch between the
+    # two mid-run, so both must return the SAME row set (one row per
+    # node of `sym`). Seed them back as their own cluster.
+    singletons = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .join(labeled, "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labeled.union(singletons)
 
 
 def _finish_components(cc: DataFrame) -> DataFrame:

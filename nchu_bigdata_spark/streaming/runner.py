@@ -60,7 +60,13 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
 
 
 def _probe_ts_type(spark: SparkSession, path: str) -> T.DataType:
-    return spark.read.parquet(path).schema["ts"].dataType
+    try:
+        return spark.read.parquet(path).schema["ts"].dataType
+    except Exception:
+        # Pre-4.x readers reject parquet TIMESTAMP(NANOS) outright unless
+        # the legacy long-read flag is set — same retry as io.table().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).schema["ts"].dataType
 
 # transform + required sink output mode for each streaming query id
 STREAM_TRANSFORMS: dict[str, tuple[Callable[[DataFrame], DataFrame], str]] = {
@@ -115,6 +121,11 @@ def run_events_stream_to_parquet(
     files are not reprocessed, so the sink stays exactly-once across
     restarts (asserted by the recovery test). Drains available input
     (AvailableNow) and returns when the query stops."""
+    # Pin the session clock BEFORE the schema probe: when the source
+    # surfaces ts as TIMESTAMP_NTZ, _decode_ts's NTZ->Timestamp cast
+    # resolves against the session TZ, so a hostile caller default would
+    # otherwise write shifted instants to the parquet sink.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = spark.readStream.schema(_events_raw_schema(_probe_ts_type(spark, path)))
     if max_files_per_trigger is not None:
         src = src.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -75,10 +75,12 @@ def test_self_loops_and_duplicate_edges(spark):
     for algo in ("label", "star"):
         got = _cc(spark, edges, algorithm=algo)
         assert got[1] == (1, 2, 1) and got[2] == (1, 2, 0), (algo, got)
-        # 3 only ever self-pairs: label-prop keeps it as a singleton
-        # component; the star path drops self-loops outright — either
-        # way it must not merge into the 1-2 component
-        assert got.get(3, (3, 1, 1))[0] == 3, (algo, got)
+        # 3 only ever self-pairs: BOTH algorithms must emit it as a
+        # singleton cluster — algorithm='auto' can switch between them
+        # mid-run, so the output row set must not depend on the path
+        # taken ("one row per node" docstring contract).
+        assert got[3] == (3, 1, 1), (algo, got)
+        assert set(got) == {1, 2, 3}, (algo, got)
 
 
 def test_random_graph_matches_union_find(spark):

@@ -158,6 +158,47 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 9  # idempotent restart
 
 
+def test_parquet_sink_immune_to_hostile_session_tz(spark, sf_dir, tmp_path):
+    """The parquet sink path must pin UTC itself: the real events
+    parquet surfaces ts as TIMESTAMP_NTZ on Spark 4.x, and the
+    NTZ→Timestamp decode resolves against the session clock — under a
+    hostile caller TZ an unpinned run writes shifted instants to the
+    sink. Compare instants (unix_micros, session-TZ-independent)
+    against the batch reader, which pins UTC internally."""
+    from pyspark.sql import functions as F
+
+    from nchu_bigdata_spark.io import table
+    from nchu_bigdata_spark.streaming import run_events_stream_to_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", src / "events.parquet")
+    expected = {
+        (r.event_id, r.us)
+        for r in table(spark, sf_dir, "events")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Taipei")
+    try:
+        run_events_stream_to_parquet(
+            spark,
+            str(src),
+            lambda df: df,
+            str(tmp_path / "sink"),
+            str(tmp_path / "ckpt"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = {
+        (r.event_id, r.us)
+        for r in spark.read.parquet(str(tmp_path / "sink"))
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_stateful_stream_matches_batch(spark, sf_dir, events_dir):
     """applyInPandasWithState running totals: the last emission per key
     (update mode re-emits refreshed state each microbatch) must equal

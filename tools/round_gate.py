@@ -37,6 +37,9 @@ def main() -> int:
     out_path = None
     args = sys.argv[1:]
     if args[:1] == ["--out"]:
+        if len(args) < 2:
+            print("usage: round_gate.py [--out FILE]", file=sys.stderr)
+            return 2
         out_path = args[1]
     results: dict[str, dict] = {}
     for name, cmd in GATES.items():
@@ -44,11 +47,15 @@ def main() -> int:
         proc = subprocess.run(
             cmd, cwd=REPO, capture_output=True, text=True
         )
-        tail = (proc.stdout or proc.stderr).strip().splitlines()[-3:]
+        # Keep tails of BOTH streams: pytest failures land on stdout,
+        # but a crash in a gate tool tracebacks to stderr only.
+        tail = proc.stdout.strip().splitlines()[-3:]
+        err_tail = proc.stderr.strip().splitlines()[-3:]
         results[name] = {
             "rc": proc.returncode,
             "secs": round(time.time() - t0, 1),
             "tail": tail,
+            "err_tail": err_tail,
         }
         print(f"[gate] {name}: rc={proc.returncode} ({results[name]['secs']}s)")
     summary = {
