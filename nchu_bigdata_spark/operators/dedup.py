@@ -413,16 +413,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # dedup_simhash — 32-bit SimHash fingerprint + hamming band bytes
+# dedup_simhash_pairs — hamming-band candidate join + verified pairs
 # --------------------------------------------------------------------------
 
 _SIM_BITS = 32
+_SIM_BANDS = 4  # byte bands: hamming <= _SIM_BANDS-1 pigeonholes a share
+_HAM_T = 3  # near-dup threshold: verified hamming distance
 
-
-@register(
-    "dedup_simhash",
-    tags=("b10",),
-    oracle=f"""
-        WITH tok AS (
+# Shared fingerprint derivation (CTE chain ending in ``fp(doc_id,
+# simhash)``) — used by both simhash oracles so the pair query provably
+# joins the same fingerprints the fingerprint query emits.
+_SQL_SIMHASH_FP = f"""
+        tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS word
             FROM documents
         ),
@@ -443,27 +445,16 @@ _SIM_BITS = 32
                             THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
             FROM bits GROUP BY doc_id
         )
-        SELECT doc_id, simhash,
-               (simhash // 16777216) % 256 AS b3,
-               (simhash // 65536) % 256 AS b2,
-               (simhash // 256) % 256 AS b1,
-               simhash % 256 AS b0
-        FROM fp
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (Charikar '02, as deployed for web dedup in
-    Manku et al. WWW'07): per doc, bit j of the fingerprint is the sign
-    of Σ_tokens ±1 (+ if bit j of the token's 32-bit hash is set).
-    The 4 byte-bands b3..b0 are the hamming-LSH keys: fingerprints
-    within hamming distance 3 must share at least one band (pigeonhole),
-    so near-dup candidate pairs come from 4 cheap equi-joins instead of
-    an O(N²) hamming scan.
+"""
 
-    Integer arithmetic end-to-end → bit-stable under any agg order.
-    Plan: token explode ×{_SIM_BITS} bit index → one hash-agg on
-    (doc, bit) with map-side partials → one tiny per-doc agg."""
-    docs = parallel_table(spark, sf_dir, "documents")
+
+def _simhash_fp(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 32-bit SimHash fingerprints (Charikar '02):
+    bit j of the fingerprint is the sign of Σ_tokens ±1 (+ if bit j of
+    the token's 32-bit hash is set). Integer arithmetic end-to-end →
+    bit-stable under any agg order. Plan: token explode ×{_SIM_BITS}
+    bit index → one hash-agg on (doc, bit) with map-side partials →
+    one tiny per-doc agg."""
     th = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).select("doc_id", _h32(F.col("word")).alias("h"))
@@ -485,13 +476,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "j")
         .agg(F.sum("contrib").alias("weight"))
     )
-    fp = bits.groupBy("doc_id").agg(
+    return bits.groupBy("doc_id").agg(
         F.sum(
             F.when(
                 F.col("weight") > 0, F.expr("cast(pow(2, j) as bigint)")
             ).otherwise(F.lit(0))
         ).alias("simhash")
     )
+
+
+@register(
+    "dedup_simhash",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_SIMHASH_FP}
+        SELECT doc_id, simhash,
+               (simhash // 16777216) % 256 AS b3,
+               (simhash // 65536) % 256 AS b2,
+               (simhash // 256) % 256 AS b1,
+               simhash % 256 AS b0
+        FROM fp
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint table (Charikar '02, as deployed for web
+    dedup in Manku et al. WWW'07) with its 4 hamming-LSH byte-band
+    keys b3..b0: fingerprints within hamming distance {_HAM_T} must
+    share at least one band (pigeonhole), so near-dup candidates come
+    from {_SIM_BANDS} cheap equi-joins instead of an O(N²) hamming
+    scan. ``dedup_simhash_pairs`` materializes that candidate join."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    fp = _simhash_fp(docs)
     return fp.select(
         "doc_id",
         "simhash",
@@ -499,6 +514,89 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("simhash") / 65536).cast("long") % 256).alias("b2"),
         ((F.col("simhash") / 256).cast("long") % 256).alias("b1"),
         (F.col("simhash") % 256).alias("b0"),
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_SIMHASH_FP},
+        bands AS (
+            SELECT doc_id, simhash, k,
+                   (simhash // CAST(pow(2, k * 8) AS BIGINT)) % 256 AS bv
+            FROM fp, unnest(range({_SIM_BANDS})) AS rk(k)
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+            FROM bands a
+            JOIN bands b ON a.k = b.k AND a.bv = b.bv
+                        AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.simhash, b.simhash
+        )
+        SELECT doc_a, doc_b, n_shared_bands,
+               CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {_HAM_T}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: the hamming-band candidate join over
+    ``dedup_simhash``'s fingerprints (Manku et al. WWW'07), verified by
+    exact hamming distance ≤ {_HAM_T} via ``bit_count(sh_a ^ sh_b)``.
+
+    Plan: fingerprints (see ``_simhash_fp``) → derive the {_SIM_BANDS}
+    byte-band values as narrow integer expressions, posexplode into a
+    (doc_id, band, value) table → band-bucketed self-join generates
+    candidates, pigeonhole-complete for hamming ≤ {_SIM_BANDS}-1 →
+    the verify step is a free column expression (both fingerprints
+    already ride the joined row; no re-join against the fp table).
+
+    Scale notes (100 TB): candidate volume is governed by band width —
+    8-bit bands give 256 buckets each, plenty at test scale but hot at
+    billions of docs; the production knob is a 64-bit fingerprint with
+    16-bit bands (65k buckets/band, Manku's deployed config), which
+    changes only ``_SIM_BITS``/band arithmetic, not the plan shape.
+    The self-join shuffles only (doc_id, simhash, band) int64 rows —
+    never text — and the verified-pair output is O(near-dups). The fp
+    table (two int64 columns per doc) is materialized once so the
+    band self-join's two sides don't each recompute the token-explode
+    fingerprint pipeline, and AQE picks the join strategy from its
+    *actual* size instead of scan estimates."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    fp = shared_intermediate("dedup_simhash_pairs.fp", _simhash_fp(docs))
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash div {256 ** k}) % 256")
+                    for k in range(_SIM_BANDS)
+                ]
+            )
+        ).alias("k", "bv"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["k", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(ham <= _HAM_T).select(
+        "doc_a",
+        "doc_b",
+        "n_shared_bands",
+        ham.cast("bigint").alias("hamming"),
     )
 
 

@@ -59,6 +59,13 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", r"Left keys.*user_id"],
         [r"BroadcastNestedLoopJoin"],
     ),
+    # simhash pair join: band self-join must be a hash join over the
+    # materialized fingerprint table (verify rides the joined row — no
+    # extra join back against fp, so exactly one join in the plan)
+    "dedup_simhash_pairs": (
+        [r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", r"HashAggregate"],
+        [r"Scan parquet"],
+    ),
     # multimodal decode: Arrow mapInPandas must stay partition-preserving
     # — blob bytes cross to Python once and never shuffle
     "multimodal_decode_meta": ([r"MapInPandas"], [r"Exchange"]),
