@@ -392,9 +392,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs with an empty intersection drop out of the inner join, which
     # is consistent with the oracle (jaccard 0 < threshold).
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # No broadcast hints on the pair tables: near-dup pair cardinality
+    # is data-dependent (O(N) on boilerplate-heavy corpora), so an
+    # unconditional hint is a driver/executor OOM at scale. AQE is the
+    # size gate — it sees the candidate table's ACTUAL shuffle size and
+    # converts these joins to broadcast when (and only when) it fits
+    # under autoBroadcastJoinThreshold, falling back to a shuffle join
+    # on the int64 pair keys otherwise.
     inter = (
         sh.select(F.col("doc_id").alias("doc_a"), "h")
-        .join(F.broadcast(cand), "doc_a")
+        .join(cand, "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b", "n_shared_bands")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -403,7 +410,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("n_inter")
     ).cast("double")
     return (
-        F.broadcast(inter)
+        inter
         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
         .filter(jac >= _JACCARD_T)
@@ -845,9 +852,11 @@ def _star_labels(sym: DataFrame) -> DataFrame:
 def _finish_components(cc: DataFrame) -> DataFrame:
     """(doc_id, cluster_id) → final cluster table with sizes and the
     canonical-representative flag. The size table has one row per
-    cluster — broadcast it."""
+    cluster — O(N) worst-case (all-singleton graph), so no broadcast
+    hint: AQE converts to broadcast from the actual shuffle size when
+    it fits, else keeps the shuffle join on the int64 cluster key."""
     sz = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return cc.join(F.broadcast(sz), "cluster_id").select(
+    return cc.join(sz, "cluster_id").select(
         "doc_id",
         "cluster_id",
         "cluster_size",

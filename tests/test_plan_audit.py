@@ -35,6 +35,28 @@ def test_plan_expectations(name, spark, sf_dir):
 EXPECTED_SKIPS: set[str] = set()
 
 
+# Pair-graph cardinality is data-dependent (O(N) on boilerplate-heavy
+# corpora), so the dedup family must never FORCE a broadcast with a
+# hint — broadcast decisions belong to AQE, which sees actual sizes.
+# Hints survive analysis as ResolvedHint nodes in the logical plan.
+DEDUP_FAMILY = [
+    "dedup_minhash",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+]
+
+
+@pytest.mark.parametrize("name", DEDUP_FAMILY)
+def test_dedup_family_has_no_unconditional_broadcast(name, spark, sf_dir):
+    df = SPECS[name].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        f"{name}: broadcast hint on an unbounded-cardinality table"
+    )
+
+
 def test_no_query_plans_cartesian_or_rowwise_scan(spark, sf_dir):
     failures = {}
     skipped = set()
