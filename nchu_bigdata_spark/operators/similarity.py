@@ -154,6 +154,18 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _cos_lit_sql(v_col: str, n_col: str, cv: list[float], cn: float) -> str:
+    """round(cos, 6) against ONE literal centroid, as a SQL string —
+    ``repr`` round-trips IEEE doubles exactly, and one ``F.expr`` parse
+    beats O(k·dim) Column-API Py4J round-trips (same rationale as
+    ``operators/kmeans.py distance_sql``)."""
+    c = "array(" + ", ".join(repr(float(x)) + "D" for x in cv) + ")"
+    return (
+        f"round(aggregate(zip_with({v_col}, {c}, (x, y) -> x * y), 0.0D,"
+        f" (acc, z) -> acc + z) / ({n_col} * {repr(float(cn))}D), 6)"
+    )
+
+
 @register(
     "sim_ann_ivf",
     tags=("b10",),
@@ -201,37 +213,41 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic; production would k-means them), then answer each
     query from its {p} nearest cells only.
 
-    This is the 100 TB layout: one shuffle of the corpus on cell id —
-    persisted bucketed-by-cell, a query then scans nprobe/ncells of the
-    data. Centroids and the (query × probed-cell) list are broadcast;
-    candidate scoring is partition-local."""
+    This is the 100 TB layout: the ONLY shuffle of the corpus is on
+    cell id — persisted bucketed-by-cell in production, so a query
+    scans nprobe/ncells of the data. Coarse assignment is a fused
+    projection against the k collected centroid literals (the
+    ``operators/kmeans.py assign`` pattern): ``array_min`` over k
+    ``(−cos, c_id)`` structs gives the argmax with the oracle's
+    (cos DESC, c_id) tie-break as a narrow, zero-shuffle,
+    whole-stage-codegen expression — no k×N crossJoin row blowup, no
+    ``row_number`` window over corpus×k rows. Probe cells come from
+    the same struct array sorted and sliced to {p}. The centroid
+    collect is k rows (sanctioned, like the k-means driver loop)."""
     e = _vecs(spark, sf_dir)
-    cent = F.broadcast(
-        e.filter(F.col("vec_id") <= _NCELLS).select(
-            F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("n").alias("cn")
-        )
+    cent = (
+        e.filter(F.col("vec_id") <= _NCELLS)
+        .select(F.col("vec_id").alias("c_id"), "v", "n")
+        .collect()
+    )  # k = _NCELLS rows — the sanctioned small-side driver collect
+    structs = ", ".join(
+        f"named_struct('negcos', -{_cos_lit_sql('v', 'n', r.v, r.n)},"
+        f" 'c_id', {int(r.c_id)})"
+        for r in sorted(cent, key=lambda r: r.c_id)
     )
-    wv = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), "c_id"
+    nearest_cell = f"(array_min(array({structs}))).c_id"
+    probe_cells = (
+        f"transform(slice(array_sort(array({structs})), 1, {_NPROBE}),"
+        f" s -> s.c_id)"
     )
-    assign = (
-        e.crossJoin(cent)
-        .withColumn("c_cos", _cos("v", "cv", "n", "cn"))
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_id").alias("cell"), "v", "n")
-    )
+    assign = e.select("vec_id", "v", "n", F.expr(nearest_cell).alias("cell"))
+    # q_id × probed-cell rows: bounded at _NQUERY × _NPROBE, broadcast.
     probe = F.broadcast(
-        e.filter(F.col("vec_id") <= _NQUERY)
-        .crossJoin(cent)
-        .withColumn("c_cos", _cos("v", "cv", "n", "cn"))
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") <= _NPROBE)
-        .select(
+        e.filter(F.col("vec_id") <= _NQUERY).select(
             F.col("vec_id").alias("q_id"),
-            F.col("c_id").alias("cell"),
             F.col("v").alias("qv"),
             F.col("n").alias("qn"),
+            F.explode(F.expr(probe_cells)).alias("cell"),
         )
     )
     wq = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")

@@ -59,6 +59,14 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", r"Left keys.*user_id"],
         [r"BroadcastNestedLoopJoin"],
     ),
+    # IVF coarse assignment is a fused literal-centroid projection:
+    # the corpus must never shuffle on vec_id (the old crossJoin +
+    # row_number argmin did); the only corpus key shuffle is the final
+    # per-query top-k window, and the probe side broadcasts
+    "sim_ann_ivf": (
+        [r"BroadcastHashJoin", r"hashpartitioning\(q_id"],
+        [r"hashpartitioning\(vec_id"],
+    ),
     # simhash pair join: band self-join must be a hash join over the
     # materialized fingerprint table (verify rides the joined row — no
     # extra join back against fp, so exactly one join in the plan)
