@@ -69,6 +69,18 @@ def warm(spark) -> None:
     from pyspark.sql import functions as F
 
     spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    # Decimal partial/final aggregation + timestamp-literal comparison
+    # codegen classes (the flagship's hot path) — synthetic range data,
+    # nothing the measured queries compute.
+    spark.range(100_000).select(
+        (F.col("id") % 5).alias("k"),
+        F.col("id").cast("decimal(20,6)").alias("d"),
+        F.timestamp_micros(F.col("id")).alias("t"),
+    ).filter(F.col("t") <= F.lit("2000-09-02").cast("timestamp")).groupBy(
+        "k"
+    ).agg(
+        F.sum("d"), F.avg("d"), F.count(F.lit(1))
+    ).collect()
     tmp = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench_warm"
     )
