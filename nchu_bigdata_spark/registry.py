@@ -84,81 +84,33 @@ def register(
 
 # Driver presentation order. The driver checks the FIRST 50 registered
 # queries each round; rotating this list is how every SURVEY §2.B id
-# accumulates a driver CORRECTNESS row across rounds. Round 1 checked
-# the relational/join/agg/fn/stream/sub family; round 2 checked the
-# window/UDF/dedup/similarity/kmeans/text/multimodal/pipeline family
-# (47 pass + 3 rows-only, 0 fail). Round 3 checked the remaining 34 —
-# 41 pass + 2 rows-only, but the 7 events-table queries below errored
-# because the round-3 session (pyspark 4.1.2) reads parquet
-# TIMESTAMP(NANOS) as TIMESTAMP_NTZ, which io.table() then mishandled.
-# That is fixed (io.py branches on the actual ts dtype); round 4
-# front-loads those 7, then refreshes the 34 ids whose latest driver
-# signal is round-2, then re-confirms 9 round-3 greens.
+# accumulates a driver CORRECTNESS row across rounds. History: r1
+# relational/join/agg/fn/stream/sub; r2 window/UDF/dedup/similarity/
+# kmeans/text/multimodal/pipeline; r3 the remainder (7 events queries
+# errored on the TIMESTAMP_NTZ read, since fixed); r4 re-confirmed the
+# errored 7 + refreshed every round-2-signal id (50 checked: 46 pass,
+# 4 rows-only by design, 0 fail). Round 5 front-loads (a) the new
+# dedup_simhash_pairs, (b) the operators whose plans changed this
+# round (dedup family de-hinting, sim_ann_ivf fused assignment), and
+# (c) the 36 ids whose latest driver signal is r3; leftover slots
+# re-confirm a rotating handful of r4 greens.
 DRIVER_ORDER = [
-    # -- errored in r3 (TIMESTAMP_NTZ events read, since fixed) --
-    "stream_sliding",
-    "scan_json",
-    "fn_json",
-    "stream_session",
-    "stream_dedup",
-    "stream_stateful",
-    "stream_watermark_late",  # rows-only by design
-    # -- new in round 4 (never driver-checked) --
-    "stream_stream_join",
-    "multimodal_decode_meta",
-    # -- latest driver signal is round-2 (green); refresh under r4 --
-    "tpch_q5",
-    "agg_hash",
-    "agg_distinct",
-    "agg_approx",
-    "fn_map",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_vector_mean",
-    "rollup_hypertable",
-    "join_shuffle",
-    "join_outer",
-    "join_theta_range",
-    "join_bucketed",
-    "join_skew_salted",
-    "join_dpp",
-    "stream_tumbling",
-    "win_rank",
-    "win_lag_lead",
-    "win_frame_avg",
-    "win_argmin",
-    "win_running_total",
-    "win_range_frame",
-    "win_ntile",
-    "udaf_grouped_pandas",
-    "udtf_apply_in_pandas",
-    "join_asof",
-    "text_tokenize_tfidf",
-    "text_stats",
-    "text_langid",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_cols",
-    "multimodal_framesample",
-    # -- round-3 greens, re-confirmed with the remaining window slots --
-    "dedup_exact",
+    # -- new in round 5 (never driver-checked) --
+    "dedup_simhash_pairs",
+    # -- plans changed in round 5; re-confirm under the new shapes --
     "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embed_cosine",
     "dedup_clusters",
-    "decontam_ngram",
-    # -- 50-entry window ends here --
+    "dedup_simhash",
+    "sim_ann_ivf",
+    # -- latest driver signal is round-3 (green); refresh under r5 --
     "pack_sequences",
     "curate_corpus",
     "sample_stratified",
     "text_repetition",
     "sim_topk",
-    "sim_ann_ivf",
     "kmeans_assign",
-    "kmeans_fit",
-    "multimodal_decode",
+    "kmeans_fit",  # rows-only by design
+    "multimodal_decode",  # rows-only by design
     "tpch_q3",
     "tpch_q6",
     "udf_scalar_pandas",
@@ -186,6 +138,55 @@ DRIVER_ORDER = [
     "sub_exists",
     "sub_scalar",
     "sub_in",
+    # -- round-4 greens, re-confirmed with the remaining window slots --
+    "agg_hash",
+    "stream_sliding",
+    "stream_stream_join",
+    "multimodal_decode_meta",
+    "tpch_q5",
+    "join_dpp",
+    "win_argmin",
+    "udtf_apply_in_pandas",
+    "text_tokenize_tfidf",
+    "join_asof",
+    # -- 50-entry window ends here --
+    "scan_json",
+    "fn_json",
+    "stream_session",
+    "stream_dedup",
+    "stream_stateful",
+    "stream_watermark_late",  # rows-only by design
+    "stream_tumbling",
+    "agg_distinct",
+    "agg_approx",
+    "fn_map",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_vector_mean",
+    "rollup_hypertable",
+    "join_shuffle",
+    "join_outer",
+    "join_theta_range",
+    "join_bucketed",
+    "join_skew_salted",
+    "win_rank",
+    "win_lag_lead",
+    "win_frame_avg",
+    "win_running_total",
+    "win_range_frame",
+    "win_ntile",
+    "udaf_grouped_pandas",
+    "text_stats",
+    "text_langid",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_cols",
+    "multimodal_framesample",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embed_cosine",
+    "decontam_ngram",
 ]
 
 
