@@ -102,6 +102,33 @@ def warm(spark) -> None:
     ).agg(Summarizer.mean(F.col("v"))).collect()
 
 
+def prev_llm_numbers() -> tuple[int, dict[str, float]] | None:
+    """Latest prior round's recorded LLM-group timings (BENCH_r{N}.json
+    written by the driver; its 'parsed' key holds our JSON line). Used
+    to report round-over-round deltas so the LLM family gets the same
+    regression discipline as the baseline-compared headline group."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict[str, float]] | None = None
+    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p, encoding="utf-8") as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = d.get("parsed") or {}
+        if d.get("rc") == 0 and parsed.get("llm_queries"):
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, parsed["llm_queries"])
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -132,6 +159,19 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     total_mean = round(sum(means.values()), 3)
+    prev = prev_llm_numbers()
+    llm_delta = (
+        {
+            "vs_round": prev[0],
+            **{
+                q: round(t - prev[1][q], 3)
+                for q, t in llm_times.items()
+                if q in prev[1]
+            },
+        }
+        if prev
+        else None
+    )
     print(
         json.dumps(
             {
@@ -153,6 +193,9 @@ def main() -> None:
                 "llm_queries": llm_times,
                 "llm_total": round(sum(llm_times.values()), 3),
                 "llm_queries_mean": llm_means,
+                # Round-over-round LLM-group regression deltas (secs vs
+                # the latest recorded BENCH_r{N}; negative = faster).
+                "llm_delta": llm_delta,
             }
         )
     )

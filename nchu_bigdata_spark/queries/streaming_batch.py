@@ -175,11 +175,19 @@ def dedup_transform(ev: DataFrame) -> DataFrame:
 
 @register(
     "stream_watermark_late",
-    tags=("b9", "rows-only"),
-    oracle=None,
-    doc="Watermark + late-data drop; verified by the streaming parity "
-    "tests (late rows measurably dropped), not by the batch oracle — "
-    "watermarking is a no-op in batch mode.",
+    tags=("b9",),
+    # Watermarking is a no-op in batch mode, so the shared transform's
+    # batch form IS oracle-checkable (tumbling count per window/type).
+    # The watermark's real teeth — late rows measurably dropped — are
+    # asserted by the streaming parity test, which the oracle cannot
+    # express (test_streaming_parity.test_watermark_drops_late_rows).
+    oracle=f"""
+        SELECT (epoch_us(ts) // {_5M_US}) * {_5M_US} AS wstart_us,
+               event_type,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
 )
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling agg with a 10-minute watermark declared. In batch this
