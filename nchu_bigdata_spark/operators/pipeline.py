@@ -490,3 +490,72 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.cast("int").alias("is_exact_dup"),
         (~low_q & ~rep & ~dup).cast("int").alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# sample_token_budget — budget-capped corpus mixing per (lang, source)
+# --------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 300  # token budget per (lang, source) mixture cell
+
+
+@register(
+    "sample_token_budget",
+    tags=("pipeline",),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       AS rnd
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY lang, source ORDER BY rnd, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, lang, source, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped corpus mixing: fill each (lang, source) mixture
+    cell with documents until a fixed TOKEN budget is exhausted — the
+    public LLM corpus-recipe shape (mixture weights are specified in
+    tokens, not document counts or keep-rates, which is what separates
+    this from ``sample_stratified``). Documents are admitted in a
+    deterministic pseudo-random order (md5 of doc_id), so the selection
+    is reproducible across engines, runs, and backfills, and adding a
+    new source never reshuffles the sample of existing cells.
+
+    Plan: one running-total window per (lang, source) shard — same
+    sharding rationale as ``pack_sequences``: the serial prefix-sum is
+    per-cell, and cells are the parallelism unit, so no global serial
+    window ever forms. At 100 TB the budgets live in exactly this
+    per-cell form (a recipe table), and a cell's scan stops mattering
+    once its cumsum passes budget — in production the window input is
+    pre-pruned by the per-cell doc count. Integer token counts only;
+    no float thresholds to straddle."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    rnd = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("rnd", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = docs.select(
+        "doc_id", "lang", "source",
+        n_tokens.alias("n_tokens"), rnd.alias("rnd"),
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select("doc_id", "lang", "source", "n_tokens", "cum_tokens")
+    )

@@ -397,3 +397,67 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("wn"),
     )
     return wins.filter(F.col("wn") == _W).select("doc_id", "fp").distinct()
+
+
+# --------------------------------------------------------------------------
+# text_ngram_stats — corpus-level top-k bigram profile per language
+# --------------------------------------------------------------------------
+
+_NG_TOPK = 5
+
+
+@register(
+    "text_ngram_stats",
+    tags=("b10",),
+    oracle=f"""
+        WITH tok AS (
+            SELECT lang, string_split(text, ' ') AS w
+            FROM documents WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (
+            SELECT lang, array_to_string(w[i : i + 1], ' ') AS bigram
+            FROM tok, unnest(range(1, len(w))) AS r(i)
+        ),
+        c AS (
+            SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bg GROUP BY lang, bigram
+        )
+        SELECT lang, bigram, n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY n DESC, bigram
+               ) AS INT) AS rnk
+        FROM c
+        QUALIFY rnk <= {_NG_TOPK}
+    """,
+)
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profiling: the top-{k} most frequent bigrams
+    per language — the corpus-statistics pass every training-data
+    pipeline runs to spot boilerplate n-grams (the inputs to stop-gram
+    cutoffs like dedup's ``_MAX_DF`` and decontam's hot-gram filter).
+
+    Plan: bigrams are a narrow array expression (no hashing), exploded
+    into ONE hash-agg on (lang, bigram) — map-side partials collapse
+    duplicate bigrams before the shuffle, so wire volume is
+    vocabulary-sized, not corpus-sized. The top-k window then runs on
+    the aggregated counts (vocab rows only) with WindowGroupLimit
+    pruning per-partition; ties break on the bigram string so the
+    result is deterministic on any engine."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bg = docs.filter(F.size(w) >= 2).select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+            )
+        ).alias("bigram"),
+    )
+    counts = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    wk = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counts.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= _NG_TOPK)
+        .select("lang", "bigram", "n", "rnk")
+    )

@@ -273,3 +273,60 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "tpch_q18",
+    tags=("b11",),
+    oracle="""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               epoch_us(o.o_orderdate) AS orderdate_us,
+               o.o_totalprice,
+               SUM(l.l_quantity) AS sum_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN subquery over a
+    grouped HAVING aggregate, feeding a 3-way join and a global top-k.
+    Exercises the analyzer path the other B-11 queries don't: an
+    uncorrelated IN whose subquery is itself an aggregate — Catalyst
+    rewrites it to a left-semi join against the agg output.
+
+    Scale shape: the HAVING aggregate reduces lineitem to (orderkey,
+    sum) partials map-side, so the semi-join input is order-cardinality,
+    not lineitem-cardinality; the fact join shuffles on the same
+    o_orderkey, so AQE can reuse the exchange; top-100 by totalprice is
+    TakeOrderedAndProject with the o_orderkey tie-break making LIMIT
+    deterministic on any engine. l_quantity is integral, so the double
+    SUM is exact (< 2^53) and hash-comparable across engines."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               unix_micros(cast(o.o_orderdate AS timestamp)) AS orderdate_us,
+               o.o_totalprice,
+               SUM(l.l_quantity) AS sum_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+        """
+    )

@@ -97,6 +97,9 @@ def register(
 DRIVER_ORDER = [
     # -- new in round 5 (never driver-checked) --
     "dedup_simhash_pairs",
+    "text_ngram_stats",
+    "sample_token_budget",
+    "tpch_q18",
     # -- plans changed in round 5; re-confirm under the new shapes --
     "dedup_minhash",
     "dedup_clusters",

@@ -52,6 +52,9 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # pruning subquery in its PartitionFilters
     "join_dpp": ([r"dynamicpruningexpression"], []),
     "tpch_q3": ([r"TakeOrderedAndProject", r"BroadcastHashJoin"], []),
+    # Q18: the IN-over-HAVING subquery must decorrelate to a semi join
+    # (never re-scan lineitem per row), and top-100 must be a heap
+    "tpch_q18": ([r"LeftSemi", r"TakeOrderedAndProject"], []),
     "join_cross_argmin": ([r"BroadcastNestedLoopJoin|BroadcastHashJoin"], []),
     # stream-stream interval join: must hash on the user key; the time
     # range rides as join condition, never a nested-loop over pairs
