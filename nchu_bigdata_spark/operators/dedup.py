@@ -181,75 +181,99 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("b10",),
     oracle=f"""
         WITH {_SQL_SHINGLES},
+        sh32 AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+            FROM sh
+        ),
         rare AS (
-            SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+            SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh32 GROUP BY h)
             WHERE df <= {_MAX_DF}
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            JOIN rare r ON a.sh = r.sh
+            FROM sh32 a JOIN sh32 b ON a.h = b.h AND a.doc_id < b.doc_id
+            JOIN rare r ON a.h = r.h
         ),
-        {_SQL_SHINGLE_SETS}
-        SELECT c.doc_a, c.doc_b,
-               CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_inter,
-               CAST(len(sa.sset) + len(sb.sset)
-                    - len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_union,
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM sh32 GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM cand c
+            JOIN sh32 a ON a.doc_id = c.doc_a
+            JOIN sh32 b ON b.doc_id = c.doc_b AND b.h = a.h
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b, i.n_inter,
+               sa.n_sh + sb.n_sh - i.n_inter AS n_union,
                {sql_dround(
-                   "len(list_intersect(sa.sset, sb.sset)) / "
-                   "CAST(len(sa.sset) + len(sb.sset) "
-                   "- len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)", 6)}
-                   AS jaccard
-        FROM cand c
-        JOIN ssets sa ON sa.doc_id = c.doc_a
-        JOIN ssets sb ON sb.doc_id = c.doc_b
-        WHERE len(list_intersect(sa.sset, sb.sset))
-              / CAST(len(sa.sset) + len(sb.sset)
-                     - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+                   "i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter"
+                   " AS DOUBLE)", 6)} AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)
               >= {_JACCARD_T}
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact {k}-gram Jaccard ≥ {t}, candidates from a
-    shingle inverted-index self-join with a stop-shingle df cutoff.
+    """Near-dup pairs by {k}-gram Jaccard ≥ {t} over hashed shingle
+    identity, candidates from a shingle inverted-index self-join with a
+    stop-shingle df cutoff.
 
-    Plan: explode shingles (one shuffle to count df + the index join);
-    per-doc shingle sets for verification are narrow recomputes of
-    ``text``, so candidate verification adds two hash-joins but no extra
-    pass over the corpus."""
+    Every join/agg key is an int64 shingle hash (one md5 per shingle at
+    materialization, ``_doc_shingle_h32``) — at corpus scale, shuffling
+    15-byte hashes instead of arbitrary-length shingle STRINGS is the
+    difference between wire volume proportional to token bytes and to
+    row count. The DuckDB oracle replays the identical hashing, so both
+    engines agree bit-for-bit even on 32-bit collisions. Plan mirrors
+    ``dedup_minhash``'s verification: the hashed rows materialize once
+    and feed df counts, the index join, set sizes, and both
+    verification sides; intersections are counts of matching (pair, h)
+    rows, never driver-built arrays."""
     docs = parallel_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs)
+    sh = shared_intermediate(
+        "dedup_ngram_jaccard.shingles", _doc_shingle_h32(docs)
+    )
     rare = (
-        sh.groupBy("sh")
+        sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _MAX_DF)
-        .select("sh")
+        .select("h")
     )
-    idx = sh.join(rare, "sh")
+    idx = sh.join(rare, "h")
     cand = (
         idx.alias("a")
-        .join(idx.alias("b"), "sh")
+        .join(idx.alias("b"), "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    sets = docs.filter(F.size(F.split("text", " ")) >= _K).select(
-        "doc_id", shingle_set().alias("sset")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(cand, "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
+    union = F.col("na") + F.col("nb") - F.col("n_inter")
+    jac = F.col("n_inter") / union.cast("double")
     return (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")), "doc_b")
-        .filter(inter / union.cast("double") >= _JACCARD_T)
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .filter(jac >= _JACCARD_T)
         .select(
             "doc_a",
             "doc_b",
-            inter.cast("bigint").alias("n_inter"),
+            F.col("n_inter").cast("bigint").alias("n_inter"),
             union.cast("bigint").alias("n_union"),
-            dround(inter / union.cast("double"), 6).alias("jaccard"),
+            dround(jac, 6).alias("jaccard"),
         )
     )
 
