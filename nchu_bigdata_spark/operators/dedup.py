@@ -597,6 +597,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint pipeline, and AQE picks the join strategy from its
     *actual* size instead of scan estimates."""
     docs = parallel_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = _HAM_T) -> DataFrame:
+    """Band-join + hamming-verify over any ``(doc_id, text)`` frame —
+    see ``dedup_simhash_pairs``. Split out so the pigeonhole
+    completeness property (hamming ≤ {_HAM_T} ⇒ some band shared, i.e.
+    the banded join finds EVERY such pair) is brute-force testable on
+    synthetic corpora (``tests/test_dedup_simhash_pairs.py``) — the
+    DuckDB oracle can't check that, it replays the same banding."""
     fp = shared_intermediate("dedup_simhash_pairs.fp", _simhash_fp(docs))
     bands = fp.select(
         "doc_id",
@@ -623,7 +633,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.filter(ham <= _HAM_T).select(
+    return cand.filter(ham <= max_hamming).select(
         "doc_a",
         "doc_b",
         "n_shared_bands",
