@@ -54,6 +54,9 @@ LLM_GROUP = [
     "curate_corpus",
     "pack_sequences",
     "dedup_clusters",
+    # added round 5 (no prior round to delta against; trend starts here)
+    "sample_token_budget",
+    "text_ngram_stats",
 ]
 
 

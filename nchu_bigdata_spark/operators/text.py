@@ -442,8 +442,11 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized, not corpus-sized. The top-k window then runs on
     the aggregated counts (vocab rows only) with WindowGroupLimit
     pruning per-partition; ties break on the bigram string so the
-    result is deterministic on any engine."""
-    docs = table(spark, sf_dir, "documents")
+    result is deterministic on any engine. Parallelism-guarded scan:
+    the ×tokens bigram explode is heavy narrow compute BEFORE the
+    first shuffle, so a single-row-group file must not pin it to one
+    core (A/B at sf0.1, best-of-4: 1.59s → 0.73s)."""
+    docs = parallel_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
     bg = docs.filter(F.size(w) >= 2).select(
         "lang",
