@@ -1,0 +1,171 @@
+"""Composite event analytics: ordered funnels and cohort retention
+(SURVEY.md §2.B-ext — capability extensions over the ``events`` table).
+
+The reference has no event-sequence surface at all (its one workload is
+k-means over daily vectors, ``hadoop_tutorial/src/Kmeans.java``); these
+add the two product-analytics staples every event warehouse answers,
+expressed as plain DataFrame aggregations so Catalyst plans them.
+
+Scale notes (100 TB):
+  * ``events_funnel`` — three conditional hash-aggs keyed on user_id
+    with two user-keyed joins between them: every shuffle shares the
+    SAME key, so AQE reuses the exchange layout, and each agg collapses
+    map-side to one row per user. No window over the raw event stream,
+    no per-user event sorting — first-timestamp semantics come from
+    ``min`` with a predicate, which is partial-aggregable.
+  * ``events_retention`` — per-user first-activity cohort assignment is
+    one min-agg; per-(user, week) activity is a distinct-agg; both
+    shuffle only user-keyed partials. The cohort×offset matrix at the
+    end is tiny (weeks² rows).
+
+Timestamps are compared as epoch microseconds; week buckets use
+``date_trunc('week', …)`` (ISO Monday) which Spark and DuckDB agree on,
+and week offsets are exact integer arithmetic on aligned boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+_WEEK_US = 7 * 86400 * 1_000_000
+_CONV_WINDOW_US = 24 * 3600 * 1_000_000  # funnel conversion window
+
+
+@register(
+    "events_funnel",
+    tags=("bext",),
+    oracle=f"""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS v_ts
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS c_ts
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.v_ts
+              AND epoch_us(e.ts) <= epoch_us(v.v_ts) + {_CONV_WINDOW_US}
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+              AND epoch_us(e.ts) <= epoch_us(c.c_ts) + {_CONV_WINDOW_US}
+            GROUP BY e.user_id
+        )
+        SELECT stage, n_users FROM (
+            SELECT 1 AS ord, 'view' AS stage,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_users
+            UNION ALL
+            SELECT 2, 'click_after_view',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+            UNION ALL
+            SELECT 3, 'purchase_after_click',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM p)
+        ) ORDER BY ord
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase) with a 24-hour
+    conversion window: a user counts for a stage only if the stage's
+    FIRST qualifying event happens strictly after — and within the
+    window of — the previous stage's first qualifying event. Ordering
+    and recency both matter (plain existence would be ``join_semi``);
+    at sf0.01 the funnel reads 150 → 60 → 25 users. Window arithmetic
+    is integer epoch-microseconds, identical on both engines.
+
+    Three user-keyed conditional min-aggs chained by joins; see module
+    docstring for the scale shape."""
+    ev = table(spark, sf_dir, "events")
+    in_window = lambda prev: (F.col("ts") > F.col(prev)) & (  # noqa: E731
+        F.unix_micros("ts") <= F.unix_micros(prev) + _CONV_WINDOW_US
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(in_window("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(in_window("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stages = [
+        (1, "view", v),
+        (2, "click_after_view", c),
+        (3, "purchase_after_click", p),
+    ]
+    out = None
+    for ordn, name, df in stages:
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(ordn).alias("ord"), F.lit(name).alias("stage"), "n_users"
+        )
+        out = row if out is None else out.union(row)
+    return out.orderBy("ord").select("stage", "n_users")
+
+
+@register(
+    "events_retention",
+    tags=("bext",),
+    oracle=f"""
+        WITH first AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events
+        )
+        SELECT epoch_us(f.cohort_week) AS cohort_week_us,
+               CAST((epoch_us(a.week) - epoch_us(f.cohort_week))
+                    // {_WEEK_US} AS BIGINT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM first f JOIN activity a ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the ISO week of their
+    first event (cohort), counted in every week they were active,
+    keyed by offset from their cohort week — the warehouse query behind
+    every retention curve.
+
+    One min-agg (cohort), one distinct-agg (activity weeks), one
+    user-keyed join, and a tiny final agg over (cohort, offset); week
+    offsets are exact integer math on week-aligned microsecond epochs
+    so both engines agree bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        first.join(activity, "user_id")
+        .groupBy(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            (
+                (F.unix_micros("week") - F.unix_micros("cohort_week"))
+                / F.lit(_WEEK_US)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("cohort_week_us", "week_offset", "n_users")
+    )

@@ -100,6 +100,8 @@ DRIVER_ORDER = [
     "text_ngram_stats",
     "sample_token_budget",
     "tpch_q18",
+    "events_funnel",
+    "events_retention",
     # -- plans changed in round 5; re-confirm under the new shapes --
     "dedup_minhash",
     "dedup_clusters",
