@@ -57,6 +57,9 @@ LLM_GROUP = [
     # added round 5 (no prior round to delta against; trend starts here)
     "sample_token_budget",
     "text_ngram_stats",
+    # the most expensive single query in the suite — tracked so its
+    # cost is visible and disciplined, not hidden from the bench
+    "dedup_ngram_jaccard",
 ]
 
 
