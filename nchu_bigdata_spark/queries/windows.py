@@ -226,3 +226,41 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_name").over(w).alias("poorest_in_nation"),
         F.last("c_name").over(wfull).alias("richest_in_nation"),
     )
+
+
+@register(
+    "win_distribution",
+    tags=("b5",),
+    oracle="""
+        SELECT s_suppkey, s_nationkey,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               CAST(NTILE(10) OVER (
+                   PARTITION BY s_nationkey
+                   ORDER BY s_acctbal, s_suppkey
+               ) AS INT) AS decile
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank (rank-1)/(n-1) and
+    cume_dist, the relative-standing family the other window queries
+    don't cover, plus a unique-ordered decile. percent_rank/cume_dist
+    are tie-stable by definition (equal values share a value); their
+    ratios are rounded to 6 places so the k/(n-1) doubles compare
+    bit-identically across engines.
+
+    Same scale shape as every window query: ONE hash-partition shuffle
+    on the partition key, then a per-partition sort — no global sort,
+    no driver involvement."""
+    s = table(spark, sf_dir, "supplier")
+    w_val = W.partitionBy("s_nationkey").orderBy("s_acctbal")
+    w_uniq = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cume"),
+        F.ntile(10).over(w_uniq).alias("decile"),
+    )

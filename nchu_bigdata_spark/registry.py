@@ -102,6 +102,7 @@ DRIVER_ORDER = [
     "tpch_q18",
     "events_funnel",
     "events_retention",
+    "win_distribution",
     # -- plans changed in round 5; re-confirm under the new shapes --
     "dedup_minhash",
     "dedup_clusters",
