@@ -181,11 +181,12 @@ def encode_bmp(pixel_bytes: bytes, width: int = _BMP_W) -> bytes:
     return header + dib + pixel_data
 
 
-def decode_image(payload: bytes) -> dict:
-    """Real decode for 24-bpp uncompressed BMP via ``struct`` header
-    parse + numpy pixel array (strips row padding, un-flips bottom-up
-    rows). Formats needing pillow (PNG/JPEG/…) raise NotImplementedError
-    with the dependency named — an honest stub, not silent garbage."""
+def _bmp_pixels(payload: bytes):
+    """(h, w, 3) uint8 top-down BGR pixel array from a 24-bpp BI_RGB
+    BMP (strips row padding, un-flips bottom-up rows). Shared by
+    ``decode_image`` (moments) and ``resize_image`` (nearest-neighbor).
+    Formats needing pillow (PNG/JPEG/…) raise NotImplementedError with
+    the dependency named — an honest stub, not silent garbage."""
     import struct
 
     import numpy as np
@@ -211,7 +212,17 @@ def decode_image(payload: bytes) -> dict:
     rows = raw.reshape(n_rows, stride)[:, :row_px]
     if height > 0:  # bottom-up: un-flip to top-down
         rows = rows[::-1]
-    px = rows.reshape(n_rows, width, 3).astype(np.float64)  # BGR
+    return rows.reshape(n_rows, width, 3)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real decode for 24-bpp uncompressed BMP via ``struct`` header
+    parse + numpy pixel array (``_bmp_pixels``)."""
+    import numpy as np
+
+    raw = _bmp_pixels(payload)
+    n_rows, width = raw.shape[0], raw.shape[1]
+    px = raw.astype(np.float64)  # BGR
     return {
         "width": int(width),
         "height": int(n_rows),
@@ -223,29 +234,35 @@ def decode_image(payload: bytes) -> dict:
     }
 
 
-def encode_wav(sample_bytes: bytes, sr: int = _WAV_SR) -> bytes:
-    """Build a real 16-bit PCM mono .wav blob via the stdlib ``wave``
-    writer. Each input byte becomes one centered int16 sample
-    ((b - 128) << 8) — deterministic, full container with RIFF header."""
+def _encode_wav_pcm(samples, sr: int) -> bytes:
+    """16-bit PCM mono .wav container around an int16 sample array."""
     import io
     import wave
 
-    import numpy as np
-
-    b = np.frombuffer(sample_bytes or b"\x80", dtype=np.uint8)
-    samples = ((b.astype(np.int16) - 128) << 8).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sr)
-        w.writeframes(samples.tobytes())
+        w.writeframes(samples.astype("<i2").tobytes())
     return buf.getvalue()
 
 
-def decode_audio(payload: bytes) -> dict:
-    """Real decode for PCM WAV via the stdlib ``wave`` reader (any
-    channel count; 16-bit samples). Compressed audio (FLAC/OGG/…) raises
+def encode_wav(sample_bytes: bytes, sr: int = _WAV_SR) -> bytes:
+    """Build a real 16-bit PCM mono .wav blob via the stdlib ``wave``
+    writer. Each input byte becomes one centered int16 sample
+    ((b - 128) << 8) — deterministic, full container with RIFF header."""
+    import numpy as np
+
+    b = np.frombuffer(sample_bytes or b"\x80", dtype=np.uint8)
+    samples = ((b.astype(np.int16) - 128) << 8).astype("<i2")
+    return _encode_wav_pcm(samples, sr)
+
+
+def _wav_pcm(payload: bytes):
+    """(int16 sample array, sample_rate, n_channels) from a PCM WAV via
+    the stdlib ``wave`` reader. Shared by ``decode_audio`` (moments) and
+    ``resize_audio`` (decimation). Compressed audio (FLAC/OGG/…) raises
     NotImplementedError naming the missing dependency."""
     import io
     import wave
@@ -269,7 +286,18 @@ def decode_audio(payload: bytes) -> dict:
         )
         if sampwidth != 2:
             raise NotImplementedError(f"only 16-bit PCM supported (got {sampwidth*8})")
-        pcm = np.frombuffer(w.readframes(n_frames), dtype="<i2").astype(np.float64)
+        pcm = np.frombuffer(w.readframes(n_frames), dtype="<i2")
+    return pcm, sr, n_ch
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Real decode for PCM WAV via the stdlib ``wave`` reader (any
+    channel count; 16-bit samples)."""
+    import numpy as np
+
+    raw, sr, n_ch = _wav_pcm(payload)
+    n_frames = raw.size // max(1, n_ch)
+    pcm = raw.astype(np.float64)
     return {
         "width": None,
         "height": None,
@@ -422,3 +450,136 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     video container exists)."""
     docs = table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(_synth_and_decode, _DECODE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# multimodal_resize — real nearest-neighbor downsample over the codecs
+# --------------------------------------------------------------------------
+
+
+def resize_image(payload: bytes) -> bytes:
+    """Nearest-neighbor 2× downsample of a 24-bpp BMP: keep every 2nd
+    pixel in both axes (``px[::2, ::2]`` — exact integer selection, no
+    interpolation float drift), re-encoded as a real BMP container."""
+    px = _bmp_pixels(payload)
+    out = px[::2, ::2]
+    return encode_bmp(out.tobytes(), width=out.shape[1])
+
+
+def resize_audio(payload: bytes) -> bytes:
+    """2× decimation of PCM WAV: every 2nd sample at half the sample
+    rate — the exact-integer resample (a production pipeline would
+    low-pass first; decimation keeps both engines bit-deterministic)."""
+    pcm, sr, _n_ch = _wav_pcm(payload)
+    return _encode_wav_pcm(pcm[::2], max(1, sr // 2))
+
+
+_RESIZERS = {
+    "image": resize_image,
+    "audio": resize_audio,
+    "video": lambda b: bytes(b[::2]),  # byte-stride decimation fallback
+}
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("in_bytes", T.LongType()),
+        T.StructField("out_bytes", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_sample_rate", T.IntegerType()),
+        T.StructField("out_samples", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _synth_and_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-batch: synth the real container, resize it with the real
+    codec, then RE-DECODE the resized container for its structural
+    metadata — one Arrow pass, blob bytes cross to Python once."""
+    for pdf in batches:
+        rows = []
+        for doc_id, modality, payload in zip(
+            pdf["doc_id"], pdf["modality"], pdf["payload"]
+        ):
+            raw = bytes(payload)
+            blob = _SYNTH.get(str(modality), lambda b: b)(raw)
+            small = _RESIZERS[str(modality)](blob)
+            feats = _DECODERS.get(str(modality), _byte_moments)(small)
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "modality": str(modality),
+                    "in_bytes": len(blob),
+                    "out_bytes": len(small),
+                    "out_width": feats["width"],
+                    "out_height": feats["height"],
+                    "out_sample_rate": feats["sample_rate"],
+                    "out_samples": feats["n_samples"],
+                    "decoder": feats["decoder"],
+                }
+            )
+        out = pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+        out["out_width"] = out["out_width"].astype("Int32")
+        out["out_height"] = out["out_height"].astype("Int32")
+        out["out_sample_rate"] = out["out_sample_rate"].astype("Int32")
+        out["out_samples"] = out["out_samples"].astype("Int64")
+        yield out
+
+
+@register(
+    "multimodal_resize",
+    tags=("b10",),
+    # Every structural output of a nearest-neighbor 2x downsample is
+    # derivable in closed form from the payload length, so this gets a
+    # HARD oracle; pixel/sample-level exactness of the resizers is
+    # pinned by tests/test_multimodal_resize.py.
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   octet_length(encode(text)) AS n,
+                   GREATEST(1, octet_length(encode(text)) // 48) AS img_h,
+                   GREATEST(1, octet_length(encode(text))) AS n_smp
+            FROM documents
+        )
+        SELECT doc_id, modality,
+               CAST(CASE WHEN modality = 'image' THEN 54 + img_h * 48
+                         WHEN modality = 'audio' THEN 44 + 2 * n_smp
+                         ELSE n END AS BIGINT) AS in_bytes,
+               CAST(CASE WHEN modality = 'image'
+                             THEN 54 + ((img_h + 1) // 2) * 24
+                         WHEN modality = 'audio'
+                             THEN 44 + 2 * ((n_smp + 1) // 2)
+                         ELSE (n + 1) // 2 END AS BIGINT) AS out_bytes,
+               CAST(CASE WHEN modality = 'image' THEN 8 END AS INT) AS out_width,
+               CAST(CASE WHEN modality = 'image' THEN (img_h + 1) // 2 END
+                    AS INT) AS out_height,
+               CAST(CASE WHEN modality = 'audio' THEN 4000 END AS INT)
+                   AS out_sample_rate,
+               CAST(CASE WHEN modality = 'image' THEN ((img_h + 1) // 2) * 8
+                         WHEN modality = 'audio' THEN (n_smp + 1) // 2
+                         ELSE (n + 1) // 2 END AS BIGINT) AS out_samples,
+               CASE WHEN modality = 'image' THEN 'bmp24'
+                    WHEN modality = 'audio' THEN 'wav-pcm16'
+                    ELSE 'byte-moments-fallback' END AS decoder
+        FROM m
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media resize over the binary column: BMP images get an
+    exact nearest-neighbor 2× downsample (``px[::2, ::2]``, re-encoded
+    as a real BMP), PCM WAV gets 2× sample decimation at half rate,
+    video-tagged blobs get the labeled byte-stride fallback. Same
+    Arrow ``mapInPandas`` shape as ``multimodal_decode``:
+    partition-preserving, no shuffle, blobs cross to Python once, and
+    the resized container is re-decoded so the reported structure is
+    measured from real output bytes, not predicted. The closed-form
+    oracle hash-checks every structural column; pixel/sample exactness
+    is pinned by unit tests on known arrays."""
+    docs = table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(_synth_and_resize, _RESIZE_SCHEMA)

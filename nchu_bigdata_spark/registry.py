@@ -103,6 +103,7 @@ DRIVER_ORDER = [
     "events_funnel",
     "events_retention",
     "win_distribution",
+    "multimodal_resize",
     # -- plans changed in round 5; re-confirm under the new shapes --
     "dedup_minhash",
     "dedup_clusters",
