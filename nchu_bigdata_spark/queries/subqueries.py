@@ -330,3 +330,69 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 100
         """
     )
+
+
+_DAY_US = 86400 * 1_000_000
+
+
+@register(
+    "sub_recursive",
+    tags=("b11",),
+    oracle=f"""
+        WITH RECURSIVE days AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+            FROM events WHERE event_type = 'purchase'
+        ),
+        streak(user_id, d, len) AS (
+            SELECT user_id, d, 1 FROM days w
+            WHERE NOT EXISTS (
+                SELECT 1 FROM days p WHERE p.user_id = w.user_id
+                  AND epoch_us(p.d) = epoch_us(w.d) - {_DAY_US}
+            )
+            UNION ALL
+            SELECT w.user_id, w.d, s.len + 1
+            FROM days w JOIN streak s
+              ON s.user_id = w.user_id
+             AND epoch_us(w.d) = epoch_us(s.d) + {_DAY_US}
+        )
+        SELECT user_id, CAST(MAX(len) AS INT) AS longest_streak
+        FROM streak GROUP BY user_id
+    """,
+)
+def sub_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x `WITH RECURSIVE`): longest run of
+    CONSECUTIVE purchase days per user — streak anchors are days with
+    no predecessor (correlated NOT EXISTS inside the anchor branch),
+    and each recursion step extends a streak by one adjacent day.
+    Exercises the analyzer surface none of the other B-11 queries
+    touch: Catalyst's UnionLoop execution of a self-referencing CTE,
+    with the same ANSI text running on both engines (modulo the
+    epoch-function spelling).
+
+    Scale shape: the recursion operates on the distinct (user, day)
+    table — activity-cardinality, not event-cardinality — and each
+    step is one user-keyed equi-join; depth is bounded by the longest
+    streak (8 at sf0.01), far under the engine's recursion cap."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE days AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+            FROM events WHERE event_type = 'purchase'
+        ),
+        streak(user_id, d, len) AS (
+            SELECT user_id, d, 1 FROM days w
+            WHERE NOT EXISTS (
+                SELECT 1 FROM days p WHERE p.user_id = w.user_id
+                  AND unix_micros(p.d) = unix_micros(w.d) - {_DAY_US}
+            )
+            UNION ALL
+            SELECT w.user_id, w.d, s.len + 1
+            FROM days w JOIN streak s
+              ON s.user_id = w.user_id
+             AND unix_micros(w.d) = unix_micros(s.d) + {_DAY_US}
+        )
+        SELECT user_id, CAST(MAX(len) AS INT) AS longest_streak
+        FROM streak GROUP BY user_id
+        """
+    )

@@ -138,3 +138,47 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="event_id long, user_id long, dev_scaled long",
         )
     )
+
+
+@register(
+    "udtf_python_arrow",
+    tags=("b8",),
+    oracle="""
+        SELECT doc_id, w[i + 1] AS word, CAST(i AS INT) AS pos,
+               CAST(len(w[i + 1]) AS INT) AS word_len
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(range(len(w))) AS r(i)
+    """,
+)
+def udtf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (Spark 4.x ``@udtf``) with Arrow transfer:
+    a per-row table function lateral-joined in SQL — the user-defined
+    generator surface ``lateral_explode`` provides built-in and
+    ``udtf_apply_in_pandas`` provides per-GROUP; this is the per-ROW
+    form with arbitrary Python logic per emitted row.
+
+    The UDTF is declared with ``useArrow=True`` so rows cross the
+    boundary in Arrow batches (the repo's no-row-at-a-time-transfer
+    rule); the generator itself is plain Python — the escape hatch for
+    logic ``explode``-style builtins can't express. Tokenization with
+    positions keeps the DuckDB oracle exact.
+
+    Scale shape: the lateral join is generator-in-scan-stage like
+    ``lateral_explode`` — no shuffle; output rows stream out of the
+    same partition that scanned the doc."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int, word_len: int", useArrow=True)
+    class TokenizeWithPos:
+        def eval(self, text: str):  # noqa: ANN001 - Spark UDTF protocol
+            for i, w in enumerate((text or "").split(" ")):
+                yield w, i, len(w)
+
+    spark.udtf.register("tokenize_with_pos", TokenizeWithPos)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.pos, t.word_len
+        FROM documents d, LATERAL tokenize_with_pos(d.text) t
+        """
+    )

@@ -104,6 +104,8 @@ DRIVER_ORDER = [
     "events_retention",
     "win_distribution",
     "multimodal_resize",
+    "sub_recursive",
+    "udtf_python_arrow",
     # -- plans changed in round 5; re-confirm under the new shapes --
     "dedup_minhash",
     "dedup_clusters",
