@@ -11,6 +11,8 @@ hash-partition + group-aggregate machinery (``src/Kmeans.java:79,
   * ``dedup_minhash``      — MinHash signatures + LSH banding, then
                              exact-Jaccard verification of candidates
   * ``dedup_simhash``      — 32-bit SimHash fingerprint + hamming bands
+  * ``dedup_simhash_pairs`` — hamming-band candidate join, verified
+                             pairs at hamming ≤ 3
 
 Scale notes (100 TB):
   * ``dedup_exact`` is one hash-agg: map-side partial → tiny shuffle of
@@ -20,9 +22,10 @@ Scale notes (100 TB):
     drops shingles with document frequency > ``_MAX_DF`` *in both
     engines* (stop-shingle removal, standard in MinHash pipelines); the
     surviving inverted-index self-join is near-linear.
-  * Per-doc shingle *sets* are recomputed narrowly from ``text`` (no
-    shuffle) when verifying candidate pairs, so the only shuffles are
-    the candidate join and one hash-agg.
+  * Candidate verification joins hashed shingle ROWS against the
+    (small) candidate-pair list — intersections are counts of matching
+    (pair, h) rows; per-doc shingle arrays are never built driver-side
+    or shuffled.
   * All hashes are md5-derived (``conv(substr(md5(x),1,15),16,10)``):
     bit-identical on any engine/JVM, so the DuckDB oracle can replay
     signatures exactly. At production scale swap ``xxhash64`` (same plan
@@ -93,15 +96,6 @@ def shingle_set(text: Column | None = None) -> Column:
     )
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) exploded distinct shingles; docs shorter than k
-    tokens contribute nothing."""
-    return (
-        docs.filter(F.size(F.split("text", " ")) >= _K)
-        .select("doc_id", F.explode(shingle_set()).alias("sh"))
-    )
-
-
 def _doc_shingle_h32(docs: DataFrame) -> DataFrame:
     """(doc_id, h) exploded distinct 32-bit shingle hashes. MinHash and
     its Jaccard verification only ever need shingle *identity*, never
@@ -129,17 +123,6 @@ _SQL_SHINGLES = f"""
             FROM tok, unnest(range(1, len(w) - {_K} + 2)) AS r(i)
         )
 """
-
-_SQL_SHINGLE_SETS = f"""
-        ssets AS (
-            SELECT doc_id,
-                   list_distinct([array_to_string(w[i : i + {_K} - 1], ' ')
-                                  for i in range(1, len(w) - {_K} + 2)]) AS sset
-            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-                  WHERE len(string_split(text, ' ')) >= {_K}) t
-        )
-"""
-
 
 # --------------------------------------------------------------------------
 # dedup_exact — content-hash groups
