@@ -110,6 +110,7 @@ DRIVER_ORDER = [
     "dedup_minhash",
     "dedup_clusters",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "sim_ann_ivf",
     # -- latest driver signal is round-3 (green); refresh under r5 --
     "pack_sequences",
@@ -193,7 +194,6 @@ DRIVER_ORDER = [
     "multimodal_cols",
     "multimodal_framesample",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_embed_cosine",
     "decontam_ngram",
 ]
