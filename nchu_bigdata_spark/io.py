@@ -125,6 +125,30 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def read_events_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read an events parquet path, retrying under the legacy
+    ``nanosAsLong`` flag for pre-4.x readers that reject
+    TIMESTAMP(NANOS) outright. Shared by ``table`` and the streaming
+    runner's schema probe. If the retry ALSO fails (bad path, corrupt
+    file — not a nanos problem), the conf flip is undone so an
+    unrelated error can't leave the caller's session permanently
+    reading nanos columns as BIGINT."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+            raise
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain ``spark.read.parquet`` so Catalyst
     can push filters and prune columns into the scan.
@@ -148,13 +172,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        try:
-            df = spark.read.parquet(path)
-        except Exception:
-            # Older readers reject TIMESTAMP(NANOS) outright unless the
-            # legacy long-read flag is set.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path)
+        df = read_events_parquet(spark, path)
         dt = df.schema["ts"].dataType
         if isinstance(dt, T.LongType):
             ts = F.timestamp_micros(F.expr("ts div 1000"))

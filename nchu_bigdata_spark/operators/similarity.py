@@ -230,9 +230,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("c_id"), "v", "n")
         .collect()
     )  # k = _NCELLS rows — the sanctioned small-side driver collect
+    # coalesce: a NULL cosine (zero-norm vector/centroid) must rank
+    # LAST like the oracle's DESC NULLS LAST — a bare NULL struct field
+    # would sort FIRST in array_min and steal every assignment.
     structs = ", ".join(
-        f"named_struct('negcos', -{_cos_lit_sql('v', 'n', r.v, r.n)},"
-        f" 'c_id', {int(r.c_id)})"
+        f"named_struct('negcos', coalesce(-{_cos_lit_sql('v', 'n', r.v, r.n)},"
+        f" cast('Infinity' as double)), 'c_id', {int(r.c_id)})"
         for r in sorted(cent, key=lambda r: r.c_id)
     )
     nearest_cell = f"(array_min(array({structs}))).c_id"

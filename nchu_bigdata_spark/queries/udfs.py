@@ -171,7 +171,9 @@ def udtf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word: string, pos: int, word_len: int", useArrow=True)
     class TokenizeWithPos:
         def eval(self, text: str):  # noqa: ANN001 - Spark UDTF protocol
-            for i, w in enumerate((text or "").split(" ")):
+            if text is None:  # match the oracle: NULL text -> no rows
+                return
+            for i, w in enumerate(text.split(" ")):
                 yield w, i, len(w)
 
     spark.udtf.register("tokenize_with_pos", TokenizeWithPos)

@@ -89,11 +89,12 @@ def register(
 # kmeans/text/multimodal/pipeline; r3 the remainder (7 events queries
 # errored on the TIMESTAMP_NTZ read, since fixed); r4 re-confirmed the
 # errored 7 + refreshed every round-2-signal id (50 checked: 46 pass,
-# 4 rows-only by design, 0 fail). Round 5 front-loads (a) the new
-# dedup_simhash_pairs, (b) the operators whose plans changed this
-# round (dedup family de-hinting, sim_ann_ivf fused assignment), and
-# (c) the 36 ids whose latest driver signal is r3; leftover slots
-# re-confirm a rotating handful of r4 greens.
+# 4 rows-only by design, 0 fail). Round 5's window is exactly full:
+# (a) the 10 new round-5 ids, (b) the 5 operators whose plans or
+# semantics changed this round (dedup de-hinting + jaccard hashed
+# keys, sim_ann_ivf fused assignment), and (c) the 35 ids whose
+# latest driver signal is r3. The r4 greens listed after the window
+# marker are unchanged code with r4 signals; they rotate back in r6.
 DRIVER_ORDER = [
     # -- new in round 5 (never driver-checked) --
     "dedup_simhash_pairs",
@@ -112,7 +113,8 @@ DRIVER_ORDER = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "sim_ann_ivf",
-    # -- latest driver signal is round-3 (green); refresh under r5 --
+    # -- latest driver signal is round-3 (green); refresh under r5
+    #    (35 ids, filling the window exactly through sub_in) --
     "pack_sequences",
     "curate_corpus",
     "sample_stratified",
@@ -148,7 +150,8 @@ DRIVER_ORDER = [
     "sub_exists",
     "sub_scalar",
     "sub_in",
-    # -- round-4 greens, re-confirmed with the remaining window slots --
+    # -- 50-entry window ends here --
+    # -- round-4 greens, unchanged code; rotate back into the r6 window --
     "agg_hash",
     "stream_sliding",
     "stream_stream_join",
@@ -159,13 +162,12 @@ DRIVER_ORDER = [
     "udtf_apply_in_pandas",
     "text_tokenize_tfidf",
     "join_asof",
-    # -- 50-entry window ends here --
     "scan_json",
     "fn_json",
     "stream_session",
     "stream_dedup",
     "stream_stateful",
-    "stream_watermark_late",  # rows-only by design
+    "stream_watermark_late",
     "stream_tumbling",
     "agg_distinct",
     "agg_approx",

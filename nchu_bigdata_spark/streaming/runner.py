@@ -60,13 +60,9 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
 
 
 def _probe_ts_type(spark: SparkSession, path: str) -> T.DataType:
-    try:
-        return spark.read.parquet(path).schema["ts"].dataType
-    except Exception:
-        # Pre-4.x readers reject parquet TIMESTAMP(NANOS) outright unless
-        # the legacy long-read flag is set — same retry as io.table().
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).schema["ts"].dataType
+    from nchu_bigdata_spark.io import read_events_parquet
+
+    return read_events_parquet(spark, path).schema["ts"].dataType
 
 # transform + required sink output mode for each streaming query id
 STREAM_TRANSFORMS: dict[str, tuple[Callable[[DataFrame], DataFrame], str]] = {

@@ -158,6 +158,20 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 9  # idempotent restart
 
 
+def test_failed_events_read_does_not_leak_nanos_conf(spark, tmp_path):
+    """The legacy-nanos retry must not leave the session conf flipped
+    when the retry ALSO fails (bad path is not a nanos problem): a
+    later unrelated read would silently surface nanos columns as
+    BIGINT."""
+    from nchu_bigdata_spark.io import read_events_parquet
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    with pytest.raises(Exception):
+        read_events_parquet(spark, str(tmp_path / "nope.parquet"))
+    assert spark.conf.get(key, None) == prev
+
+
 def test_parquet_sink_immune_to_hostile_session_tz(spark, sf_dir, tmp_path):
     """The parquet sink path must pin UTC itself: the real events
     parquet surfaces ts as TIMESTAMP_NTZ on Spark 4.x, and the
