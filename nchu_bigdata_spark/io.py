@@ -132,7 +132,21 @@ def read_events_parquet(spark: SparkSession, path: str) -> DataFrame:
     runner's schema probe. If the retry ALSO fails (bad path, corrupt
     file — not a nanos problem), the conf flip is undone so an
     unrelated error can't leave the caller's session permanently
-    reading nanos columns as BIGINT."""
+    reading nanos columns as BIGINT.
+
+    DELIBERATE CONF LEAK on the success path: when the legacy retry
+    succeeds, ``nanosAsLong`` stays ``true`` for the session. The conf
+    is consulted again at *execution* time (per-file schema conversion
+    in the parquet read support), not just at plan creation, so
+    restoring it before the returned DataFrame is acted on would break
+    the very scan this function just built. Consequences, contained by
+    design: (a) later ``table('events')`` calls in the same session see
+    ts as BIGINT nanos on the *first* read attempt — ``table`` branches
+    on the actual dtype and normalizes, so results are unchanged;
+    (b) an unrelated TIMESTAMP(NANOS) parquet read by an external
+    caller will surface BIGINT — callers doing their own nanos reads
+    should re-pin the conf per query. On modern Spark (4.x) the native
+    read succeeds and this branch never triggers."""
     try:
         return spark.read.parquet(path)
     except Exception:

@@ -104,8 +104,26 @@ def _doc_shingle_h32(docs: DataFrame) -> DataFrame:
     int64 columns and makes every downstream join/agg key a long.
     ``array_distinct`` after hashing keeps per-doc sets exact even if
     two shingles collide in 32 bits — the oracle applies the same
-    DISTINCT so both engines agree bit-for-bit."""
+    DISTINCT so both engines agree bit-for-bit. 32 bits are REQUIRED
+    here (not just convenient): the universal-hash MinHash family needs
+    h < 2^32 so A*h stays below 2^62 without int64 overflow."""
     hs = F.array_distinct(F.transform(shingle_set(), _h32))
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= _K)
+        .select("doc_id", F.explode(hs).alias("h"))
+    )
+
+
+def _doc_shingle_h60(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) exploded distinct 60-bit shingle hashes — the
+    identity/verification table for ``dedup_ngram_jaccard``. 60-bit
+    keys instead of 32: cross-doc 32-bit collisions count as spurious
+    intersections and same-doc collisions shrink set sizes, drifting
+    the emitted Jaccard above the true shingle Jaccard at corpus scale
+    (millions of distinct shingles make 32-bit collisions routine).
+    At 60 bits the collision probability is negligible while the join
+    key stays a plain int64 — identical plan shape and wire cost."""
+    hs = F.array_distinct(F.transform(shingle_set(), _h60))
     return (
         docs.filter(F.size(F.split("text", " ")) >= _K)
         .select("doc_id", F.explode(hs).alias("h"))
@@ -164,29 +182,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("b10",),
     oracle=f"""
         WITH {_SQL_SHINGLES},
-        sh32 AS (
+        sh60 AS (
             SELECT DISTINCT doc_id,
-                   ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+                   ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
             FROM sh
         ),
         rare AS (
-            SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh32 GROUP BY h)
+            SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh60 GROUP BY h)
             WHERE df <= {_MAX_DF}
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sh32 a JOIN sh32 b ON a.h = b.h AND a.doc_id < b.doc_id
+            FROM sh60 a JOIN sh60 b ON a.h = b.h AND a.doc_id < b.doc_id
             JOIN rare r ON a.h = r.h
         ),
         sizes AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
-            FROM sh32 GROUP BY doc_id
+            FROM sh60 GROUP BY doc_id
         ),
         inter AS (
             SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
             FROM cand c
-            JOIN sh32 a ON a.doc_id = c.doc_a
-            JOIN sh32 b ON b.doc_id = c.doc_b AND b.h = a.h
+            JOIN sh60 a ON a.doc_id = c.doc_a
+            JOIN sh60 b ON b.doc_id = c.doc_b AND b.h = a.h
             GROUP BY c.doc_a, c.doc_b
         )
         SELECT i.doc_a, i.doc_b, i.n_inter,
@@ -206,55 +224,93 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity, candidates from a shingle inverted-index self-join with a
     stop-shingle df cutoff.
 
-    Every join/agg key is an int64 shingle hash (one md5 per shingle at
-    materialization, ``_doc_shingle_h32``) — at corpus scale, shuffling
-    15-byte hashes instead of arbitrary-length shingle STRINGS is the
-    difference between wire volume proportional to token bytes and to
-    row count. The DuckDB oracle replays the identical hashing, so both
-    engines agree bit-for-bit even on 32-bit collisions. Plan mirrors
-    ``dedup_minhash``'s verification: the hashed rows materialize once
-    and feed df counts, the index join, set sizes, and both
-    verification sides; intersections are counts of matching (pair, h)
-    rows, never driver-built arrays."""
+    Every join/agg key is an int64 60-bit shingle hash (one md5 per
+    shingle at materialization, ``_doc_shingle_h60``) — at corpus
+    scale, shuffling fixed 8-byte hashes instead of arbitrary-length
+    shingle STRINGS is the difference between wire volume proportional
+    to token bytes and to row count; 60 bits (not 32) keeps hash
+    collisions from inflating the verified Jaccard. The DuckDB oracle
+    replays the identical hashing, so both engines agree bit-for-bit.
+
+    Plan (round-6 restructure — one pass over the index instead of
+    candidate-distinct + double re-join): the global-df split makes the
+    intersection separable, ``n_inter = n_inter_rare + |common_a ∩
+    common_b|``, because a shared hash has exactly one global df and is
+    rare or common for BOTH docs. So
+
+      * the rare-index self-join feeds a hash-agg DIRECTLY — its
+        ``count per (doc_a, doc_b)`` IS the rare-intersection size and
+        its key set IS the candidate set (no ``distinct()``, and the
+        (pair, h) rows never re-join the shingle table);
+      * per-doc set size and the (tiny, df-bounded-from-below) hot
+        shingle set come from ONE groupBy(doc_id) over the df-annotated
+        rows; the common part of each intersection is a JVM-side
+        ``array_intersect`` on those per-doc hot sets in the final
+        sizes join — each doc carries at most (corpus shingle rows /
+        {_MAX_DF}) hot hashes, bounded per doc by its own length.
+
+    Passes over the shingle table: df-agg, df-join, stats-agg, and the
+    index self-join — down from round-5's seven (df, index join,
+    distinct, sizes, two verify sides). The verify stage of the old
+    plan (64% of the LLM bench group) is gone entirely; the oracle
+    keeps the naive declarative form, which is the point of a
+    differential gate: two independent derivations, one answer."""
     docs = parallel_table(spark, sf_dir, "documents")
     sh = shared_intermediate(
-        "dedup_ngram_jaccard.shingles", _doc_shingle_h32(docs)
+        "dedup_ngram_jaccard.shingles", _doc_shingle_h60(docs)
     )
-    rare = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _MAX_DF)
-        .select("h")
-    )
-    idx = sh.join(rare, "h")
+    dfs = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # df-annotated shingle rows: feeds the rare index (twice, as the
+    # self-join's two sides) and the per-doc stats agg — AQE splits any
+    # hot-shingle skew in this join, which a window-count could not.
+    shj = shared_intermediate("dedup_ngram_jaccard.shj", sh.join(dfs, "h"))
+    idx = shj.filter(F.col("df") <= _MAX_DF).select("doc_id", "h")
     cand = (
         idx.alias("a")
         .join(idx.alias("b"), "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_inter_rare"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        sh.select(F.col("doc_id").alias("doc_a"), "h")
-        .join(cand, "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    stats = shj.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        # collect_set skips the NULLs the when() emits for rare rows;
+        # all-rare docs get an empty array, not NULL.
+        F.collect_set(
+            F.when(F.col("df") > _MAX_DF, F.col("h"))
+        ).alias("ch"),
     )
-    union = F.col("na") + F.col("nb") - F.col("n_inter")
-    jac = F.col("n_inter") / union.cast("double")
+    n_inter = F.col("n_inter_rare") + F.coalesce(
+        F.size(F.array_intersect("cha", "chb")), F.lit(0)
+    )
+    union = F.col("na") + F.col("nb") - n_inter
+    jac = n_inter / union.cast("double")
     return (
-        inter
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        cand
+        .join(
+            stats.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_sh").alias("na"),
+                F.col("ch").alias("cha"),
+            ),
+            "doc_a",
+        )
+        .join(
+            stats.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_sh").alias("nb"),
+                F.col("ch").alias("chb"),
+            ),
+            "doc_b",
+        )
         .filter(jac >= _JACCARD_T)
         .select(
             "doc_a",
             "doc_b",
-            F.col("n_inter").cast("bigint").alias("n_inter"),
+            n_inter.cast("bigint").alias("n_inter"),
             union.cast("bigint").alias("n_union"),
             dround(jac, 6).alias("jaccard"),
         )

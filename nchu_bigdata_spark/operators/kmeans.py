@@ -44,7 +44,7 @@ from pyspark.ml.stat import Summarizer
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nchu_bigdata_spark.compat import dround
+from nchu_bigdata_spark.compat import dround, sql_dround
 from nchu_bigdata_spark.io import table
 from nchu_bigdata_spark.registry import register
 
@@ -288,19 +288,105 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lloyd_oracle_sql(iters: int = 5, k: int = _K) -> str:
+    """Round-6 hard oracle for ``kmeans_fit``: replay Lloyd entirely in
+    DuckDB by unrolling the ``iters`` iterations as CTE pairs
+    (assignment → centroid update). Each assignment is the same
+    cross-join argmin the ``kmeans_assign`` oracle uses (ties → lowest
+    cluster id, matching the reference's strict ``<``); each update is
+    an element-wise mean via zipped UNNEST + AVG, re-assembled with
+    ``list(... ORDER BY i)``; empty clusters keep the previous centroid
+    via LEFT JOIN + COALESCE, mirroring ``fit``'s carry-over. Per
+    compat.py policy the only float outputs are 6-decimal-rounded
+    centroid norms — iteration means differ between engines only in
+    final ulps (double summation order), orders of magnitude below the
+    rounding grid, and argmin decisions are robust to ulp noise."""
+    dist = (
+        "list_sum(list_transform(range(1, len(p.v) + 1),"
+        " i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])))"
+    )
+    parts = [
+        f"""
+        pts AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id + 1 AS cluster,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+            FROM embeddings WHERE vec_id < {k}
+        )"""
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        a{t} AS (
+            SELECT vec_id, v, cluster FROM (
+                SELECT p.vec_id, p.v, c.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY {dist}, c.cluster
+                       ) AS rn
+                FROM pts p CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ),
+        c{t} AS (
+            SELECT pc.cluster, COALESCE(m.c, pc.c) AS c
+            FROM {prev} pc LEFT JOIN (
+                SELECT cluster, list(mv ORDER BY i) AS c FROM (
+                    SELECT cluster, i, AVG(val) AS mv FROM (
+                        SELECT cluster, UNNEST(v) AS val,
+                               UNNEST(range(1, len(v) + 1)) AS i
+                        FROM a{t}
+                    ) GROUP BY cluster, i
+                ) GROUP BY cluster
+            ) m ON m.cluster = pc.cluster
+        )""")
+        prev = f"c{t}"
+    parts.append(f"""
+        lab AS (
+            SELECT vec_id, cluster FROM (
+                SELECT p.vec_id, c.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY {dist}, c.cluster
+                       ) AS rn
+                FROM pts p CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ),
+        sizes AS (
+            SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lab GROUP BY cluster
+        ),
+        norms AS (
+            SELECT cluster,
+                   {sql_dround("sqrt(list_sum(list_transform(c, x -> x * x)))", 6)}
+                       AS centroid_norm
+            FROM {prev}
+        )""")
+    return (
+        "WITH " + ",".join(parts) + """
+        SELECT CAST(s.cluster AS INT) AS cluster, s.n, nm.centroid_norm
+        FROM sizes s JOIN norms nm USING (cluster)
+    """
+    )
+
+
 @register(
     "kmeans_fit",
-    tags=("b10", "rows-only"),
-    oracle=None,
-    doc="Full Lloyd iteration (5 iters, k=4) on embeddings; cluster "
-    "sizes + rounded final centroid norm per cluster. Rows-only: the "
-    "iterative float pipeline isn't reproducible in one SQL statement; "
-    "pytest asserts cost monotonicity + size conservation instead.",
+    tags=("b10",),
+    oracle=_lloyd_oracle_sql(),
 )
 def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means fit (ref A10-A14): 5 fixed iterations like the reference
     (``README.md:18``), then a labeling pass; returns per-cluster sizes
-    and centroid L2 norms."""
+    and centroid L2 norms. Hash-checked since round 6 against a full
+    DuckDB Lloyd replay (``_lloyd_oracle_sql``) — previously rows-only;
+    pytest additionally asserts cost monotonicity + size conservation
+    and golden parity with the reference run."""
+    import math
+
     centers = _seed_centers(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
     res = fit(
@@ -311,13 +397,18 @@ def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = label(emb.withColumnRenamed("embedding", "features"), res.centers)
     sizes = labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    # math.sqrt (correctly-rounded IEEE, same as DuckDB's sqrt) over a
+    # left-fold sum — mirrors the oracle's sqrt(list_sum(...)); the
+    # 6-decimal dround absorbs summation-order ulps per compat policy.
     norms = spark.createDataFrame(
         [
-            (i + 1, round(sum(v * v for v in c) ** 0.5, 6))
+            (i + 1, math.sqrt(sum(v * v for v in c)))
             for i, c in enumerate(res.centers)
         ],
         "cluster int, centroid_norm double",
     )
     return sizes.join(norms, "cluster").select(
-        F.col("cluster").cast("int"), "n", "centroid_norm"
+        F.col("cluster").cast("int"),
+        "n",
+        dround("centroid_norm", 6).alias("centroid_norm"),
     )

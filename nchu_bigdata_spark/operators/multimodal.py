@@ -506,7 +506,10 @@ def _synth_and_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         ):
             raw = bytes(payload)
             blob = _SYNTH.get(str(modality), lambda b: b)(raw)
-            small = _RESIZERS[str(modality)](blob)
+            # .get fallback mirrors _SYNTH/_DECODERS: an unexpected
+            # modality degrades to the labeled byte-stride fallback
+            # instead of a KeyError task failure inside the Arrow worker.
+            small = _RESIZERS.get(str(modality), lambda b: bytes(b[::2]))(blob)
             feats = _DECODERS.get(str(modality), _byte_moments)(small)
             rows.append(
                 {

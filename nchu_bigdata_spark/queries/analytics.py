@@ -33,6 +33,11 @@ from nchu_bigdata_spark.registry import register
 
 _WEEK_US = 7 * 86400 * 1_000_000
 _CONV_WINDOW_US = 24 * 3600 * 1_000_000  # funnel conversion window
+# 1970-01-01 was a Thursday; the first Monday is 1970-01-05 (day 4).
+# Week truncation is done in pure epoch arithmetic aligned to this
+# offset so both engines agree regardless of the host/session TimeZone
+# (DuckDB's date_trunc('week', TIMESTAMPTZ) truncates in session TZ).
+_EPOCH_MONDAY_US = 4 * 86400 * 1_000_000
 
 
 @register(
@@ -123,15 +128,19 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("bext",),
     oracle=f"""
         WITH first AS (
-            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            SELECT user_id,
+                   (epoch_us(MIN(ts)) - {_EPOCH_MONDAY_US}) // {_WEEK_US}
+                       * {_WEEK_US} + {_EPOCH_MONDAY_US} AS cohort_week_us
             FROM events GROUP BY user_id
         ),
         activity AS (
-            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            SELECT DISTINCT user_id,
+                   (epoch_us(ts) - {_EPOCH_MONDAY_US}) // {_WEEK_US}
+                       * {_WEEK_US} + {_EPOCH_MONDAY_US} AS week_us
             FROM events
         )
-        SELECT epoch_us(f.cohort_week) AS cohort_week_us,
-               CAST((epoch_us(a.week) - epoch_us(f.cohort_week))
+        SELECT f.cohort_week_us AS cohort_week_us,
+               CAST((a.week_us - f.cohort_week_us)
                     // {_WEEK_US} AS BIGINT) AS week_offset,
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM first f JOIN activity a ON a.user_id = f.user_id
@@ -146,21 +155,31 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One min-agg (cohort), one distinct-agg (activity weeks), one
     user-keyed join, and a tiny final agg over (cohort, offset); week
-    offsets are exact integer math on week-aligned microsecond epochs
-    so both engines agree bit-for-bit."""
+    truncation AND offsets are exact integer math on Monday-aligned
+    microsecond epochs (no engine date_trunc), so both engines agree
+    bit-for-bit in ANY session TimeZone."""
     ev = table(spark, sf_dir, "events")
+
+    def trunc_week_us(col):
+        # floor-to-Monday in pure integer epoch space; timestamps are
+        # post-1970 so truncating division == floor division.
+        shifted = F.unix_micros(col) - F.lit(_EPOCH_MONDAY_US)
+        return (shifted / F.lit(_WEEK_US)).cast("bigint") * F.lit(
+            _WEEK_US
+        ) + F.lit(_EPOCH_MONDAY_US)
+
     first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        trunc_week_us(F.min("ts")).alias("cohort_week_us")
     )
     activity = ev.select(
-        "user_id", F.date_trunc("week", "ts").alias("week")
+        "user_id", trunc_week_us(F.col("ts")).alias("week_us")
     ).distinct()
     return (
         first.join(activity, "user_id")
         .groupBy(
-            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            "cohort_week_us",
             (
-                (F.unix_micros("week") - F.unix_micros("cohort_week"))
+                (F.col("week_us") - F.col("cohort_week_us"))
                 / F.lit(_WEEK_US)
             )
             .cast("bigint")

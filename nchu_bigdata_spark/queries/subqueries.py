@@ -340,20 +340,21 @@ _DAY_US = 86400 * 1_000_000
     tags=("b11",),
     oracle=f"""
         WITH RECURSIVE days AS (
-            SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // {_DAY_US} * {_DAY_US} AS d
             FROM events WHERE event_type = 'purchase'
         ),
         streak(user_id, d, len) AS (
             SELECT user_id, d, 1 FROM days w
             WHERE NOT EXISTS (
                 SELECT 1 FROM days p WHERE p.user_id = w.user_id
-                  AND epoch_us(p.d) = epoch_us(w.d) - {_DAY_US}
+                  AND p.d = w.d - {_DAY_US}
             )
             UNION ALL
             SELECT w.user_id, w.d, s.len + 1
             FROM days w JOIN streak s
               ON s.user_id = w.user_id
-             AND epoch_us(w.d) = epoch_us(s.d) + {_DAY_US}
+             AND w.d = s.d + {_DAY_US}
         )
         SELECT user_id, CAST(MAX(len) AS INT) AS longest_streak
         FROM streak GROUP BY user_id
@@ -367,7 +368,9 @@ def sub_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises the analyzer surface none of the other B-11 queries
     touch: Catalyst's UnionLoop execution of a self-referencing CTE,
     with the same ANSI text running on both engines (modulo the
-    epoch-function spelling).
+    epoch-function spelling). Day truncation is pure integer epoch
+    arithmetic — not date_trunc — so DuckDB's session-TZ TIMESTAMPTZ
+    truncation can never diverge from Spark's UTC pin on non-UTC hosts.
 
     Scale shape: the recursion operates on the distinct (user, day)
     table — activity-cardinality, not event-cardinality — and each
@@ -377,20 +380,21 @@ def sub_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         WITH RECURSIVE days AS (
-            SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+            SELECT DISTINCT user_id,
+                   unix_micros(ts) div {_DAY_US} * {_DAY_US} AS d
             FROM events WHERE event_type = 'purchase'
         ),
         streak(user_id, d, len) AS (
             SELECT user_id, d, 1 FROM days w
             WHERE NOT EXISTS (
                 SELECT 1 FROM days p WHERE p.user_id = w.user_id
-                  AND unix_micros(p.d) = unix_micros(w.d) - {_DAY_US}
+                  AND p.d = w.d - {_DAY_US}
             )
             UNION ALL
             SELECT w.user_id, w.d, s.len + 1
             FROM days w JOIN streak s
               ON s.user_id = w.user_id
-             AND unix_micros(w.d) = unix_micros(s.d) + {_DAY_US}
+             AND w.d = s.d + {_DAY_US}
         )
         SELECT user_id, CAST(MAX(len) AS INT) AS longest_streak
         FROM streak GROUP BY user_id

@@ -88,70 +88,22 @@ def register(
 # relational/join/agg/fn/stream/sub; r2 window/UDF/dedup/similarity/
 # kmeans/text/multimodal/pipeline; r3 the remainder (7 events queries
 # errored on the TIMESTAMP_NTZ read, since fixed); r4 re-confirmed the
-# errored 7 + refreshed every round-2-signal id (50 checked: 46 pass,
-# 4 rows-only by design, 0 fail). Round 5's window is exactly full:
-# (a) the 10 new round-5 ids, (b) the 5 operators whose plans or
-# semantics changed this round (dedup de-hinting + jaccard hashed
-# keys, sim_ann_ivf fused assignment), and (c) the 35 ids whose
-# latest driver signal is r3. The r4 greens listed after the window
-# marker are unchanged code with r4 signals; they rotate back in r6.
+# errored 7 + refreshed every round-2-signal id; r5 covered the 10 new
+# ids + 5 changed plans + all 35 r3-signal ids (50 checked, 0 fail).
+# Round 6's window: (a) the 4 ids whose code or oracle changed this
+# round (jaccard restructure + 60-bit keys; TZ-free retention/streak
+# oracles; kmeans_fit's new Lloyd-replay oracle), then (b) all 46 ids
+# whose latest driver signal is r4 — after this round every id has a
+# driver row from r5-or-r6 state. The r5 greens after the window
+# marker are unchanged code; they rotate back in r7.
 DRIVER_ORDER = [
-    # -- new in round 5 (never driver-checked) --
-    "dedup_simhash_pairs",
-    "text_ngram_stats",
-    "sample_token_budget",
-    "tpch_q18",
-    "events_funnel",
-    "events_retention",
-    "win_distribution",
-    "multimodal_resize",
-    "sub_recursive",
-    "udtf_python_arrow",
-    # -- plans changed in round 5; re-confirm under the new shapes --
-    "dedup_minhash",
-    "dedup_clusters",
-    "dedup_simhash",
+    # -- code/oracle changed in round 6; re-confirm under new shapes --
     "dedup_ngram_jaccard",
-    "sim_ann_ivf",
-    # -- latest driver signal is round-3 (green); refresh under r5
-    #    (35 ids, filling the window exactly through sub_in) --
-    "pack_sequences",
-    "curate_corpus",
-    "sample_stratified",
-    "text_repetition",
-    "sim_topk",
-    "kmeans_assign",
-    "kmeans_fit",  # rows-only by design
-    "multimodal_decode",  # rows-only by design
-    "tpch_q3",
-    "tpch_q6",
-    "udf_scalar_pandas",
-    "join_cross_argmin",
-    "fn_math",
-    "fn_array",
-    "scan_csv",
-    "scan_orc",
-    "sink_partitioned",
-    "project_select",
-    "scan_parquet",
-    "filter_pred",
-    "lateral_explode",
-    "sample_hash",
-    "join_broadcast",
-    "join_semi",
-    "join_anti",
-    "sort_limit",
-    "topk_per_group",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "fn_string",
-    "fn_date",
-    "sub_exists",
-    "sub_scalar",
-    "sub_in",
-    # -- 50-entry window ends here --
-    # -- round-4 greens, unchanged code; rotate back into the r6 window --
+    "events_retention",
+    "sub_recursive",
+    "kmeans_fit",
+    # -- latest driver signal is round-4 (green); refresh under r6
+    #    (46 ids, filling the window exactly) --
     "agg_hash",
     "stream_sliding",
     "stream_stream_join",
@@ -198,6 +150,54 @@ DRIVER_ORDER = [
     "dedup_exact",
     "dedup_embed_cosine",
     "decontam_ngram",
+    # -- 50-entry window ends here --
+    # -- round-5 greens, unchanged code; rotate back in the r7 window --
+    "dedup_simhash_pairs",
+    "text_ngram_stats",
+    "sample_token_budget",
+    "tpch_q18",
+    "events_funnel",
+    "win_distribution",
+    "multimodal_resize",
+    "udtf_python_arrow",
+    "dedup_minhash",
+    "dedup_clusters",
+    "dedup_simhash",
+    "sim_ann_ivf",
+    "pack_sequences",
+    "curate_corpus",
+    "sample_stratified",
+    "text_repetition",
+    "sim_topk",
+    "kmeans_assign",
+    "multimodal_decode",
+    "tpch_q3",
+    "tpch_q6",
+    "udf_scalar_pandas",
+    "join_cross_argmin",
+    "fn_math",
+    "fn_array",
+    "scan_csv",
+    "scan_orc",
+    "sink_partitioned",
+    "project_select",
+    "scan_parquet",
+    "filter_pred",
+    "lateral_explode",
+    "sample_hash",
+    "join_broadcast",
+    "join_semi",
+    "join_anti",
+    "sort_limit",
+    "topk_per_group",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "fn_string",
+    "fn_date",
+    "sub_exists",
+    "sub_scalar",
+    "sub_in",
 ]
 
 

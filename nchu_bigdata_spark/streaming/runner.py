@@ -120,21 +120,32 @@ def run_events_stream_to_parquet(
     # Pin the session clock BEFORE the schema probe: when the source
     # surfaces ts as TIMESTAMP_NTZ, _decode_ts's NTZ->Timestamp cast
     # resolves against the session TZ, so a hostile caller default would
-    # otherwise write shifted instants to the parquet sink.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    src = spark.readStream.schema(_events_raw_schema(_probe_ts_type(spark, path)))
-    if max_files_per_trigger is not None:
-        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = transform(_decode_ts(src.parquet(path)))
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # otherwise write shifted instants to the parquet sink. The pin is
+    # scoped to this call: AvailableNow blocks until the sink drains, so
+    # the caller's TZ is restored before control returns and their
+    # subsequent TZ-sensitive queries keep their own semantics.
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key, None)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        src = spark.readStream.schema(_events_raw_schema(_probe_ts_type(spark, path)))
+        if max_files_per_trigger is not None:
+            src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+        df = transform(_decode_ts(src.parquet(path)))
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_tz is None:
+            spark.conf.unset(tz_key)
+        else:
+            spark.conf.set(tz_key, prev_tz)
 
 
 def run_events_stream(

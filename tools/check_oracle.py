@@ -120,6 +120,11 @@ def main() -> int:
     specs = ordered_specs()
     spark = get_session("oracle-check")
     con = duckdb.connect()
+    # Pin the oracle session TZ: DuckDB reads events.ts as TIMESTAMPTZ and
+    # date_trunc's in its session TimeZone (host-local by default), while
+    # the Spark side pins UTC. Without this, events_retention/sub_recursive
+    # report false divergences on any non-UTC host.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
