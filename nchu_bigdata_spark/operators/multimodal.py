@@ -215,21 +215,48 @@ def _bmp_pixels(payload: bytes):
     return rows.reshape(n_rows, width, 3)
 
 
+def _int_moments(values) -> tuple[float, float]:
+    """(mean, population std) of an integer array via EXACT integer
+    sums S1=Σv, S2=Σv² and the fixed IEEE expression
+
+        mean = S1/n ;  std = sqrt(max(S2/n − mean·mean, 0))
+
+    Both sums are exact int64 (|v| ≤ 2^15, n ≤ ~10^7 here), and every
+    float op is a single correctly-rounded IEEE operation, so ANY
+    engine evaluating the same expression over the same integers gets
+    bit-identical doubles — this is what lets the multimodal_decode
+    oracle replay float moments in closed form (round 6; previously the
+    numpy two-pass moments were engine-order-dependent and the query
+    was rows-only). For integer data this is also exact-sum accurate:
+    no cancellation risk, unlike E[x²]−E[x]² over floats."""
+    import math
+
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.int64)
+    n = int(v.size)
+    if n == 0:
+        return 0.0, 0.0
+    s1 = int(v.sum())
+    s2 = int((v * v).sum())
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    return mean, math.sqrt(var if var > 0.0 else 0.0)
+
+
 def decode_image(payload: bytes) -> dict:
     """Real decode for 24-bpp uncompressed BMP via ``struct`` header
     parse + numpy pixel array (``_bmp_pixels``)."""
-    import numpy as np
-
     raw = _bmp_pixels(payload)
     n_rows, width = raw.shape[0], raw.shape[1]
-    px = raw.astype(np.float64)  # BGR
+    mean, std = _int_moments(raw.reshape(-1))
     return {
         "width": int(width),
         "height": int(n_rows),
         "n_samples": int(n_rows * width),
         "sample_rate": None,
-        "feat_mean": float(round(px.mean(), 6)),
-        "feat_std": float(round(px.std(), 6)),
+        "feat_mean": mean,
+        "feat_std": std,
         "decoder": "bmp24",
     }
 
@@ -293,18 +320,16 @@ def _wav_pcm(payload: bytes):
 def decode_audio(payload: bytes) -> dict:
     """Real decode for PCM WAV via the stdlib ``wave`` reader (any
     channel count; 16-bit samples)."""
-    import numpy as np
-
     raw, sr, n_ch = _wav_pcm(payload)
     n_frames = raw.size // max(1, n_ch)
-    pcm = raw.astype(np.float64)
+    mean, std = _int_moments(raw)
     return {
         "width": None,
         "height": None,
         "n_samples": int(n_frames * n_ch),
         "sample_rate": int(sr),
-        "feat_mean": float(round(pcm.mean(), 6)) if pcm.size else 0.0,
-        "feat_std": float(round(pcm.std(), 6)) if pcm.size else 0.0,
+        "feat_mean": mean,
+        "feat_std": std,
         "decoder": "wav-pcm16",
     }
 
@@ -315,13 +340,14 @@ def _byte_moments(payload: bytes) -> dict:
     import numpy as np
 
     b = np.frombuffer(payload, dtype=np.uint8)
+    mean, std = _int_moments(b)
     return {
         "width": None,
         "height": None,
         "n_samples": int(b.size),
         "sample_rate": None,
-        "feat_mean": float(round(b.mean(), 6)) if b.size else 0.0,
-        "feat_std": float(round(b.std(), 6)) if b.size else 0.0,
+        "feat_mean": mean,
+        "feat_std": std,
         "decoder": "byte-moments-fallback",
     }
 
@@ -435,10 +461,84 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Closed-form replay of the synth→decode pipeline (round 6 — was
+# rows-only). Every decoded value is a pure function of the UTF-8
+# payload bytes: BMP pixels are the bytes tiled to whole 48-byte rows,
+# WAV samples are (b−128)·256 per byte, video is the raw bytes. The
+# oracle re-derives the byte stream positionally from hex(payload)
+# (i % m tiling), takes EXACT integer sums S1/S2, and evaluates the
+# same fixed IEEE expression as ``_int_moments`` — bit-identical
+# doubles, so the 6-decimal dround can never boundary-straddle.
+_DECODE_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, doc_id % 3 AS m3,
+               octet_length(encode(text)) AS n0,
+               CASE WHEN octet_length(encode(text)) = 0 THEN
+                    CASE WHEN doc_id % 3 = 0 THEN '00'
+                         WHEN doc_id % 3 = 1 THEN '80'
+                         ELSE '' END
+                    ELSE hex(encode(text)) END AS hx
+        FROM documents
+    ),
+    dims AS (
+        SELECT *,
+               CASE WHEN n0 = 0 AND m3 < 2 THEN 1 ELSE n0 END AS m,
+               CASE WHEN m3 = 0 THEN
+                        GREATEST(1, (CASE WHEN n0 = 0 THEN 1 ELSE n0 END)
+                                    // 48) * 48
+                    WHEN m3 = 1 THEN CASE WHEN n0 = 0 THEN 1 ELSE n0 END
+                    ELSE n0 END AS nv
+        FROM base
+    ),
+    vals AS (
+        SELECT doc_id,
+               CASE WHEN m3 = 1 THEN
+                   (('0x' || substr(hx, ((i % m) * 2 + 1)::INT, 2))::BIGINT
+                    - 128) * 256
+               ELSE
+                   ('0x' || substr(hx, ((i % m) * 2 + 1)::INT, 2))::BIGINT
+               END AS v
+        FROM dims, unnest(range(nv)) AS r(i)
+        WHERE nv > 0
+    ),
+    mom AS (
+        SELECT doc_id,
+               CAST(SUM(v) AS BIGINT) AS s1,
+               CAST(SUM(v * v) AS BIGINT) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS nm
+        FROM vals GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.m3 = 0 THEN 'image'
+                WHEN d.m3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(CASE WHEN d.m3 = 0 THEN 54 + d.nv
+                     WHEN d.m3 = 1 THEN 44 + 2 * d.nv
+                     ELSE d.n0 END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN d.m3 = 0 THEN 16 END AS INT) AS width,
+           CAST(CASE WHEN d.m3 = 0 THEN d.nv // 48 END AS INT) AS height,
+           CAST(CASE WHEN d.m3 = 1 THEN 8000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN d.m3 = 0 THEN (d.nv // 48) * 16
+                     ELSE d.nv END AS BIGINT) AS n_samples,
+           {sql_dround("COALESCE(CAST(m.s1 AS DOUBLE) / m.nm, 0.0)", 6)}
+               AS feat_mean,
+           {sql_dround(
+               "COALESCE(sqrt(GREATEST("
+               "CAST(m.s2 AS DOUBLE) / m.nm"
+               " - (CAST(m.s1 AS DOUBLE) / m.nm)"
+               " * (CAST(m.s1 AS DOUBLE) / m.nm), 0.0)), 0.0)", 6)}
+               AS feat_std,
+           CASE WHEN d.m3 = 0 THEN 'bmp24'
+                WHEN d.m3 = 1 THEN 'wav-pcm16'
+                ELSE 'byte-moments-fallback' END AS decoder
+    FROM dims d LEFT JOIN mom m ON m.doc_id = d.doc_id
+"""
+
+
 @register(
     "multimodal_decode",
     tags=("b10",),
-    oracle=None,  # rows-only: float features from the python decode path
+    oracle=_DECODE_ORACLE,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode over the binary column via ``mapInPandas``
@@ -447,9 +547,24 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Image rows are real BMP containers decoded by the struct/numpy BMP
     parser; audio rows are real PCM WAV decoded by the stdlib ``wave``
     reader; video rows use the labeled byte-moments fallback (no stdlib
-    video container exists)."""
+    video container exists). Hash-checked since round 6 — float moments
+    use exact-integer-sum arithmetic (``_int_moments``) that the DuckDB
+    oracle replays in closed form; rounding follows compat dround
+    policy."""
     docs = table(spark, sf_dir, "documents")
-    return with_payload(docs).mapInPandas(_synth_and_decode, _DECODE_SCHEMA)
+    out = with_payload(docs).mapInPandas(_synth_and_decode, _DECODE_SCHEMA)
+    return out.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "width",
+        "height",
+        "sample_rate",
+        "n_samples",
+        dround("feat_mean", 6).alias("feat_mean"),
+        dround("feat_std", 6).alias("feat_std"),
+        "decoder",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -9,6 +9,9 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+import pytest
+
+from nchu_bigdata_spark.operators import multimodal
 from nchu_bigdata_spark.operators.multimodal import (
     decode_audio,
     decode_image,
@@ -30,12 +33,20 @@ def test_bmp_roundtrip_property(data, width):
     n_rows = max(1, len(src) // row_px)
     need = n_rows * row_px
     px = (src * (need // len(src) + 1))[:need]
-    ref = np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+    ref = np.frombuffer(px, dtype=np.uint8)
     assert feats["width"] == width
     assert feats["height"] == n_rows
     assert feats["n_samples"] == n_rows * width
-    assert feats["feat_mean"] == round(float(ref.mean()), 6)
-    assert feats["feat_std"] == round(float(ref.std()), 6)
+    # exact contract: the decoder's moments ARE _int_moments of the
+    # tiled bytes (bit-for-bit — this is what the closed-form DuckDB
+    # oracle replays); numpy's two-pass moments agree to float noise.
+    mean, std = multimodal._int_moments(ref)
+    assert feats["feat_mean"] == mean
+    assert feats["feat_std"] == std
+    assert feats["feat_mean"] == pytest.approx(ref.astype(np.float64).mean())
+    assert feats["feat_std"] == pytest.approx(
+        ref.astype(np.float64).std(), abs=1e-9
+    )
 
 
 @settings(max_examples=200, deadline=None)
@@ -44,13 +55,16 @@ def test_wav_roundtrip_property(data):
     blob = encode_wav(data)
     feats = decode_audio(blob)
     src = data or b"\x80"  # encoder substitutes one centered sample
-    ref = ((np.frombuffer(src, dtype=np.uint8).astype(np.int64) - 128) << 8).astype(
-        np.float64
-    )
+    ref = (np.frombuffer(src, dtype=np.uint8).astype(np.int64) - 128) << 8
     assert feats["sample_rate"] == 8000
     assert feats["n_samples"] == len(src)
-    assert feats["feat_mean"] == round(float(ref.mean()), 6)
-    assert feats["feat_std"] == round(float(ref.std()), 6)
+    mean, std = multimodal._int_moments(ref)
+    assert feats["feat_mean"] == mean
+    assert feats["feat_std"] == std
+    assert feats["feat_mean"] == pytest.approx(ref.astype(np.float64).mean())
+    assert feats["feat_std"] == pytest.approx(
+        ref.astype(np.float64).std(), abs=1e-6
+    )
 
 
 @settings(max_examples=100, deadline=None)

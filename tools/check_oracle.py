@@ -114,6 +114,59 @@ def compare(name: str, spark, con, sf_dir: str, spec) -> tuple[bool, str]:
     return True, f"{len(spdf)} rows"
 
 
+def bounded_agg_approx(con, spdf: pd.DataFrame) -> tuple[bool, str]:
+    """Promoted accuracy gate for the one remaining oracle-less query:
+    sketches aren't SQL-replayable value-for-value, but their DOCUMENTED
+    error bounds are checkable against DuckDB exact aggregates —
+    * HLL++ ``approx_count_distinct(rsd=0.02)``: |approx − exact| ≤
+      max(1, 5·rsd·exact) (±5 standard deviations);
+    * ``percentile_approx(q, accuracy=10000)``: the returned value's
+      rank in the sorted group is within n/accuracy (+1) of q·n.
+    Mirrors tests/test_queries_oracle.py so the sweep itself certifies
+    the bound, not just pytest."""
+    exact = {
+        f: int(n)
+        for f, n in con.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_orderkey)"
+            " FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    if set(spdf["l_returnflag"]) != set(exact):
+        return False, f"group keys differ: {sorted(spdf['l_returnflag'])}"
+    for _, row in spdf.iterrows():
+        flag = row["l_returnflag"]
+        ex = exact[flag]
+        if abs(int(row["approx_orders"]) - ex) > max(1, 5 * 0.02 * ex):
+            return False, (
+                f"HLL bound violated for {flag!r}: "
+                f"approx={row['approx_orders']} exact={ex}"
+            )
+        for q, col in ((0.25, "price_p25"), (0.5, "price_p50"), (0.75, "price_p75")):
+            lo, hi, n = con.execute(
+                "SELECT COUNT(*) FILTER (WHERE l_extendedprice < ?),"
+                "       COUNT(*) FILTER (WHERE l_extendedprice <= ?),"
+                "       COUNT(*)"
+                " FROM lineitem WHERE l_returnflag = ?",
+                [float(row[col]), float(row[col]), flag],
+            ).fetchone()
+            tol = n / 10000 + 1
+            target = q * n
+            # value occupies ranks [lo, hi]; nearest distance to target
+            dist = max(lo - target, target - hi, 0)
+            if dist > tol:
+                return False, (
+                    f"percentile rank bound violated for {flag!r} {col}: "
+                    f"value={row[col]} ranks=[{lo},{hi}] target={target:.1f}"
+                )
+    return True, f"{len(spdf)} rows, HLL+percentile bounds hold"
+
+
+# Rows-only queries with a promoted bounded accuracy check: the sweep
+# runs these against DuckDB exact aggregates instead of recording a
+# bare rows-only line.
+BOUNDED_CHECKS = {"agg_approx": bounded_agg_approx}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -137,14 +190,28 @@ def main() -> int:
         if spec.oracle is None:
             # rows-only: the driver still canonicalizes the Spark side,
             # so run the same pandas canon to catch unsortable outputs.
+            # Queries in BOUNDED_CHECKS additionally have their
+            # documented accuracy bounds certified against DuckDB exact
+            # aggregates (promoted from pytest, VERDICT r5 item 6).
             try:
                 pdf = spec.fn(spark, sf_dir).toPandas()
                 canon_pdf(pdf)
-                print(
-                    f"  ROWS-ONLY {name}: {len(pdf)} rows "
-                    f"({time.time()-t0:.1f}s)"
-                )
-                skipped.append(name)
+                bounded = BOUNDED_CHECKS.get(name)
+                if bounded is not None:
+                    ok, msg = bounded(con, pdf)
+                    status = "OK" if ok else "FAIL"
+                    print(
+                        f"  {status} {name}: bounded-check {msg} "
+                        f"({time.time()-t0:.1f}s)"
+                    )
+                    if not ok:
+                        failed.append(name)
+                else:
+                    print(
+                        f"  ROWS-ONLY {name}: {len(pdf)} rows "
+                        f"({time.time()-t0:.1f}s)"
+                    )
+                    skipped.append(name)
             except Exception as e:  # noqa: BLE001
                 print(
                     f"  FAIL {name}: rows-only canon crash: "
