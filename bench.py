@@ -60,6 +60,10 @@ LLM_GROUP = [
     # the most expensive single query in the suite — tracked so its
     # cost is visible and disciplined, not hidden from the bench
     "dedup_ngram_jaccard",
+    # added round 6: the remaining heavy ops that had no bench entry,
+    # so regressions there were invisible (VERDICT r5 item 9)
+    "dedup_simhash_pairs",
+    "sim_ann_ivf",
 ]
 
 

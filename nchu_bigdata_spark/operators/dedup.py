@@ -830,6 +830,11 @@ def connected_components(
 # into a loud error instead of an infinite loop.
 _STAR_MAX_ITERS = 40
 
+# Rounds the most recent _star_labels call used — observability hook so
+# the O(log n) convergence claim is testable (tests pin path/hub graphs
+# and assert the bound) instead of folklore.
+LAST_STAR_ROUNDS = 0
+
 
 def _star_labels(sym: DataFrame) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris
@@ -891,6 +896,8 @@ def _star_labels(sym: DataFrame) -> DataFrame:
         )
         # Fixpoint: identical edge sets (both sides are distinct sets,
         # so equal counts + empty difference ⇔ equality).
+        global LAST_STAR_ROUNDS
+        LAST_STAR_ROUNDS = it + 1
         if new.count() == cur.count() and new.exceptAll(cur).count() == 0:
             cur = new
             break

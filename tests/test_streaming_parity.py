@@ -233,3 +233,68 @@ def test_stateful_stream_matches_batch(spark, sf_dir, events_dir):
         )
     )
     assert _rows(last.select(*batch.columns)) == _rows(batch)
+
+
+def test_stream_join_state_survives_restart(spark, tmp_path):
+    """Kill-and-restart parity for the stateful interval join
+    (stream_stream_join through the checkpointed parquet sink):
+
+    * run 1 sees a click and one in-window event → 1 match emitted;
+    * run 2 (a fresh query against the same checkpoint) adds an event
+      that joins a click from run 1 — the match can ONLY come from the
+      state store restored at restart, proving state recovery rather
+      than mere source-offset recovery — plus a new click+event pair;
+    * run 3 with no new input must change nothing (exactly-once).
+    """
+    from nchu_bigdata_spark.queries.streaming_batch import stream_join_transform
+    from nchu_bigdata_spark.streaming import run_events_stream_to_parquet
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    t0 = 1_755_000_000 * 1_000_000_000
+    t0 -= t0 % (5 * _MIN)
+
+    def rows_typed(path, rows):
+        """(event_id, ts, event_type) single-file parquet."""
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows]),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            path,
+        )
+
+    # run 1: click 1 @ t0 and an in-window view 2 @ t0+5m
+    rows_typed(str(src / "a.parquet"), [(1, t0, "click"), (2, t0 + 5 * _MIN, "view")])
+    run_events_stream_to_parquet(spark, str(src), stream_join_transform, sink, ckpt)
+    out1 = {(r.click_id, r.next_id) for r in spark.read.parquet(sink).collect()}
+    assert out1 == {(1, 2)}
+
+    # run 2: view 3 @ t0+10m joins the RESTORED click-1 state; click 4
+    # and view 5 are a fresh post-restart pair
+    rows_typed(
+        str(src / "b.parquet"),
+        [
+            (3, t0 + 10 * _MIN, "view"),
+            (4, t0 + 40 * _MIN, "click"),
+            (5, t0 + 41 * _MIN, "view"),
+        ],
+    )
+    run_events_stream_to_parquet(spark, str(src), stream_join_transform, sink, ckpt)
+    out2 = spark.read.parquet(sink)
+    got = sorted((r.click_id, r.next_id) for r in out2.collect())
+    assert got == [(1, 2), (1, 3), (4, 5)], got
+
+    # run 3: nothing new → nothing re-emitted, no duplicates
+    run_events_stream_to_parquet(spark, str(src), stream_join_transform, sink, ckpt)
+    assert sorted(
+        (r.click_id, r.next_id) for r in spark.read.parquet(sink).collect()
+    ) == [(1, 2), (1, 3), (4, 5)]
