@@ -64,6 +64,11 @@ LLM_GROUP = [
     # so regressions there were invisible (VERDICT r5 item 9)
     "dedup_simhash_pairs",
     "sim_ann_ivf",
+    # born round 6: PII scrub, int8 quantization, batch-vs-corpus
+    # incremental dedup (trend starts here)
+    "text_pii_scrub",
+    "embed_quantize",
+    "dedup_incremental",
 ]
 
 

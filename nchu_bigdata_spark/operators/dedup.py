@@ -942,3 +942,229 @@ def _finish_components(cc: DataFrame) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_incremental — new-batch-vs-corpus dedup (exact + MinHash-LSH)
+# --------------------------------------------------------------------------
+
+_INC_SPLIT = 8  # doc_id % 10 >= _INC_SPLIT → incoming batch (~20%); else corpus
+
+
+@register(
+    "dedup_incremental",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        sh60 AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+            FROM sh
+        ),
+        batch AS (
+            SELECT doc_id, sha256(text) AS ch FROM documents
+            WHERE doc_id % 10 >= {_INC_SPLIT}
+        ),
+        corpus_exact AS (
+            SELECT sha256(text) AS ch, MIN(doc_id) AS exact_match
+            FROM documents WHERE doc_id % 10 < {_INC_SPLIT}
+            GROUP BY sha256(text)
+        ),
+        mh AS (
+            SELECT doc_id, i,
+                   MIN(({_A}[i + 1] * (h // 268435456) + {_B}[i + 1]) % {_P})
+                       AS mh
+            FROM sh60, unnest(range({_H})) AS r(i)
+            GROUP BY doc_id, i
+        ),
+        band AS (
+            SELECT doc_id, i // {_ROWS} AS band_id,
+                   md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key
+            FROM mh GROUP BY doc_id, i // {_ROWS}
+        ),
+        cand AS (
+            SELECT b.doc_id AS doc_id, c.doc_id AS c_doc
+            FROM band b
+            JOIN band c ON b.band_id = c.band_id AND b.band_key = c.band_key
+            WHERE b.doc_id % 10 >= {_INC_SPLIT} AND c.doc_id % 10 < {_INC_SPLIT}
+            GROUP BY b.doc_id, c.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM sh60 GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT cd.doc_id, cd.c_doc, CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM cand cd
+            JOIN sh60 a ON a.doc_id = cd.doc_id
+            JOIN sh60 b ON b.doc_id = cd.c_doc AND b.h = a.h
+            GROUP BY cd.doc_id, cd.c_doc
+        ),
+        ver AS (
+            SELECT i.doc_id, i.c_doc,
+                   {sql_dround(
+                       "i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter"
+                       " AS DOUBLE)", 6)} AS jac
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_id
+            JOIN sizes sb ON sb.doc_id = i.c_doc
+            WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)
+                  >= {_JACCARD_T}
+        ),
+        near AS (
+            SELECT doc_id, MIN(c_doc) AS near_match,
+                   arg_min(jac, c_doc) AS near_jac
+            FROM ver GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CASE WHEN e.exact_match IS NOT NULL THEN 'exact'
+                    WHEN n.near_match IS NOT NULL THEN 'near'
+                    ELSE 'new' END AS verdict,
+               COALESCE(e.exact_match, n.near_match) AS match_doc_id,
+               CASE WHEN e.exact_match IS NOT NULL THEN NULL
+                    ELSE n.near_jac END AS jaccard
+        FROM batch b
+        LEFT JOIN corpus_exact e USING (ch)
+        LEFT JOIN near n USING (doc_id)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit an incoming batch (docs with
+    ``doc_id % 10 >= {s}``, standing in for today's crawl) against the
+    existing corpus, WITHOUT re-deduping the corpus against itself.
+    Per batch doc: ``exact`` (sha256 matches a corpus doc), ``near``
+    (MinHash-LSH candidate vs corpus, verified shingle-Jaccard ≥ {t}),
+    else ``new`` — plus the matched corpus doc and the verified Jaccard.
+
+    This is the shape production pipelines actually run at 100 TB:
+    the full self-join dedup (``dedup_minhash``) happens once, then
+    every new batch only ever joins BATCH×CORPUS — cost scales with
+    the batch and its collision set, never with corpus². The corpus
+    band/fingerprint and content-hash tables are the persisted index;
+    here they are derived inline from the split but the plan is
+    identical if they were read from a bucketed table (one hash join
+    per layer, batch side small → AQE broadcasts it).
+
+    Plan details:
+      * ONE shingle materialization (60-bit hashed rows) serves both
+        layers: MinHash signatures derive their required 32-bit base as
+        ``h div 2^28`` (both are prefixes of the same md5, and MIN-aggs
+        are multiset-invariant, so deriving h32 from the h60-distinct
+        rows yields bit-identical signatures to hashing at 32 bits
+        directly) while verification joins the collision-safe 60-bit
+        rows themselves.
+      * Exact layer: corpus hash-agg (content_hash → min doc_id), batch
+        LEFT-joins it — at scale this is the only full-corpus pass, and
+        it is a single map-side-combined agg.
+      * Near layer: band self-join is batch-bands × corpus-bands (never
+        corpus × corpus); verified pairs collapse to one row per batch
+        doc via a struct-min (lowest corpus doc id, its Jaccard riding
+        along) so the output is deterministic.
+      * NULL semantics: ``match_doc_id``/``jaccard`` are NULL for
+        ``new`` docs, and ``jaccard`` is NULL for ``exact`` (no shingle
+        verification ran) — mirrored in the oracle's CASE."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    sh = shared_intermediate("dedup_incremental.sh", _doc_shingle_h60(docs))
+    in_batch = (F.col("doc_id") % 10) >= _INC_SPLIT
+
+    hashes = docs.select("doc_id", F.sha2("text", 256).alias("ch"))
+    corpus_exact = (
+        hashes.filter(~in_batch)
+        .groupBy("ch")
+        .agg(F.min("doc_id").alias("exact_match"))
+    )
+    batch = hashes.filter(in_batch)
+
+    h32 = F.expr("h div 268435456")
+    sig = (
+        sh.select("doc_id", h32.alias("h32"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(_A[i]) * F.col("h32") + F.lit(_B[i])) % F.lit(_P)
+                ).alias(f"m{i}")
+                for i in range(_H)
+            ]
+        )
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * _ROWS + r}").cast("string")
+                        for r in range(_ROWS)
+                    ],
+                )
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    band = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    cand = (
+        band.filter(in_batch)
+        .alias("b")
+        .join(
+            band.filter(~in_batch)
+            .select(
+                F.col("doc_id").alias("c_doc"), "band_id", "band_key"
+            )
+            .alias("c"),
+            ["band_id", "band_key"],
+        )
+        .groupBy("doc_id", "c_doc")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .select("doc_id", "c_doc")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.join(cand, "doc_id")
+        .join(
+            sh.select(F.col("doc_id").alias("c_doc"), "h"), ["c_doc", "h"]
+        )
+        .groupBy("doc_id", "c_doc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    ver = (
+        inter.join(
+            sizes.select("doc_id", F.col("n_sh").alias("na")), "doc_id"
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("c_doc"), F.col("n_sh").alias("nb")
+            ),
+            "c_doc",
+        )
+        .filter(jac >= _JACCARD_T)
+        .select("doc_id", "c_doc", dround(jac, 6).alias("jac"))
+    )
+    near = ver.groupBy("doc_id").agg(
+        F.min(F.struct("c_doc", "jac")).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.c_doc").alias("near_match"),
+        F.col("s.jac").alias("near_jac"),
+    )
+    exact_hit = F.col("exact_match").isNotNull()
+    return (
+        batch.join(corpus_exact, "ch", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(exact_hit, F.lit("exact"))
+            .when(F.col("near_match").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_doc_id"),
+            F.when(exact_hit, F.lit(None).cast("decimal(18,6)"))
+            .otherwise(F.col("near_jac"))
+            .alias("jaccard"),
+        )
+    )

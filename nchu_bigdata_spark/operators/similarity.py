@@ -410,3 +410,103 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cos("va", "vb", "na", "nb").cast("decimal(18,6)").alias("cos_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embed_quantize — symmetric int8 vector quantization (+ audit scalars)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embed_quantize",
+    tags=("b10",),
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, label, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+            FROM e
+        ),
+        q AS (
+            SELECT vec_id, label, scale,
+                   CASE WHEN scale = 0
+                        THEN list_transform(v, x -> 0)
+                        ELSE list_transform(v, x -> CAST(greatest(-127.0,
+                             least(127.0, floor(x / scale + 0.5))) AS BIGINT))
+                   END AS qv,
+                   CASE WHEN scale = 0
+                        THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> abs(x - greatest(-127.0,
+                             least(127.0, floor(x / scale + 0.5))) * scale))
+                   END AS err
+            FROM s
+        )
+        SELECT vec_id, label,
+               CAST(ROUND(scale, 6) AS DECIMAL(18,6)) AS scale_r,
+               CAST(list_min(qv) AS INT) AS qmin,
+               CAST(list_max(qv) AS INT) AS qmax,
+               CAST(list_sum(qv) AS BIGINT) AS qsum,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+                   AS qnorm2,
+               CAST(ROUND(list_max(err), 6) AS DECIMAL(18,6)) AS max_err_r
+        FROM q
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the compression step real ANN deployments run before indexing
+    (float32 → int8 is 4× less storage/bandwidth; at 100 TB of
+    embeddings that is the difference between an index that fits on the
+    cluster and one that doesn't). scale = max|x|/127; q_i =
+    clamp(⌊x_i/scale + 0.5⌋, ±127). Emits per-vector audit scalars
+    (scale, q min/max, Σq, Σq² for int8 dot products, max
+    reconstruction error ≤ scale/2) rather than the int8 array itself
+    because the driver's canonicalizer bans collection outputs; the
+    integer checksums pin the full quantized vector anyway (any
+    element-level divergence moves Σq or Σq²).
+
+    Plan: ONE narrow projection — abs/max/divide/floor are per-row
+    higher-order array expressions, no shuffle, no Python; the only
+    exchange is the single-row-group scan's fill-the-cluster round-robin
+    guard (a no-op at production file counts). Determinism: every float
+    step (cast, divide, floor(+0.5), multiply, abs, max) is a single
+    IEEE-754 double op replayed identically by DuckDB — no summation-
+    order hazard because the only sums are exact integers; floor(x+0.5)
+    instead of round() sidesteps any half-even/half-up divergence."""
+    e = parallel_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    s = e.select("vec_id", "label", v.alias("v")).withColumn(
+        "scale", F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    )
+
+    def qi(x: Column) -> Column:
+        return F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x / F.col("scale") + F.lit(0.5)).cast("double")),
+        )
+
+    q = s.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.when(F.col("scale") == 0, F.transform("v", lambda x: F.lit(0).cast("bigint")))
+        .otherwise(F.transform("v", lambda x: qi(x).cast("bigint")))
+        .alias("qv"),
+        F.when(F.col("scale") == 0, F.transform("v", lambda x: F.lit(0.0)))
+        .otherwise(F.transform("v", lambda x: F.abs(x - qi(x) * F.col("scale"))))
+        .alias("err"),
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).cast("decimal(18,6)").alias("scale_r"),
+        F.array_min("qv").cast("int").alias("qmin"),
+        F.array_max("qv").cast("int").alias("qmax"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("qsum"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x * x).alias(
+            "qnorm2"
+        ),
+        F.round(F.array_max("err"), 6).cast("decimal(18,6)").alias("max_err_r"),
+    )

@@ -464,3 +464,128 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _NG_TOPK)
         .select("lang", "bigram", "n", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# text_pii_scrub — regex PII redaction with per-class counts
+# --------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (ASCII \d,
+# \b word boundaries, greedy bounded repeats, no backreferences or
+# lookarounds) so Spark's JVM regex engine and DuckDB's RE2 accept the
+# SAME string and match the SAME language. Applied in a FIXED order
+# (email → ipv4 → phone) on both engines, so overlap resolution is
+# deterministic and identical.
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers from ``text_col``,
+    emitting per-class match counts (on the ORIGINAL text, so classes
+    count independently) plus the sha256 of the sequentially-scrubbed
+    text. Pure column expressions — see ``text_pii_scrub``."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, repl in _PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    out = docs.select("doc_id", *counts, F.sha2(scrubbed, 256).alias("scrubbed_hash"))
+    return out.withColumn(
+        "n_pii",
+        sum(F.col(f"n_{name}") for name, _, _ in _PII_PATTERNS),
+    ).select("doc_id", "n_email", "n_ip", "n_phone", "n_pii", "scrubbed_hash")
+
+
+def _pii_raw_expr_sql() -> str:
+    """DuckDB expression mirroring ``_pii_raw_col`` bit-for-bit."""
+    return (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.0.' || CAST(doc_id % 250 AS VARCHAR)"
+        " || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || '-1234'"
+    )
+
+
+def _pii_raw_col() -> F.Column:
+    """documents.text plus a deterministic doc_id-derived contact line
+    (one email, one IPv4, one phone per doc). The synthetic corpus
+    contains no organic PII, so scrubbing raw ``text`` would be an
+    identity map and the differential gate would never exercise the
+    redaction regexes; the injected suffix makes every row test all
+    three patterns end-to-end while staying a pure function of the
+    input row (both engines derive it from the same columns)."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-1234"),
+    )
+
+
+@register(
+    "text_pii_scrub",
+    tags=("b10",),
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, {_pii_raw_expr_sql()} AS text FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '{_PII_PATTERNS[0][1]}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                   '{_PII_PATTERNS[1][1]}')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(text,
+                   '{_PII_PATTERNS[2][1]}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text, '{_PII_PATTERNS[0][1]}'))
+                  + len(regexp_extract_all(text, '{_PII_PATTERNS[1][1]}'))
+                  + len(regexp_extract_all(text, '{_PII_PATTERNS[2][1]}'))
+                  AS BIGINT) AS n_pii,
+               sha256(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '{_PII_PATTERNS[0][1]}', '<EMAIL>', 'g'),
+                           '{_PII_PATTERNS[1][1]}', '<IP>', 'g'),
+                       '{_PII_PATTERNS[2][1]}', '<PHONE>', 'g')
+               ) AS scrubbed_hash
+        FROM raw
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub pass every production training-data
+    pipeline runs before anything else (C4 removed pages on bad-word
+    lists; modern pipelines regex-redact emails/IPs/phones in place).
+    Emits per-class counts on the original text plus the sha256 of the
+    scrubbed text, so downstream exact-dedup keys on CLEAN content and
+    an audit table shows what was removed where.
+
+    Plan: one projection — three ``regexp_count`` and three chained
+    ``regexp_replace`` column expressions plus a sha2, all inside
+    whole-stage codegen on the scan. ZERO shuffles, zero Python: at
+    100 TB this is a pure map over the corpus, embarrassingly parallel,
+    bounded by scan + regex CPU (plan-audited Exchange-free). The
+    DuckDB oracle replays the identical pattern sequence under RE2
+    ('g' = replace-all, matching Spark's default), which the common
+    regex subset above keeps bit-identical; the scrubbed-text HASH is
+    the strongest possible check that both engines redacted the same
+    spans. Counts are taken on the original text per class (classes
+    independent); replacement is sequential, so a span claimed by an
+    earlier class can't be re-matched by a later one."""
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _pii_raw_col().alias("text"))
+    return pii_scrub(raw)

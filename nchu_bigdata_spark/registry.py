@@ -151,6 +151,12 @@ DRIVER_ORDER = [
     "dedup_embed_cosine",
     "decontam_ngram",
     # -- 50-entry window ends here --
+    # -- born in round 6 (sweep-checked + pytest-oracle-checked r6;
+    #    FIRST in the r7 driver window so they get official rows
+    #    without evicting the 46 stale-refresh ids above) --
+    "text_pii_scrub",
+    "embed_quantize",
+    "dedup_incremental",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

@@ -1,0 +1,181 @@
+"""Semantics unit tests for the round-6-born operators
+(text_pii_scrub, embed_quantize, dedup_incremental).
+
+The oracle differential confirms Spark and DuckDB agree; these tests
+pin WHAT they agree on with hand-computable fixtures — including the
+branches the synthetic corpus never exercises (the 'exact' verdict of
+dedup_incremental, the all-zero vector of embed_quantize, each PII
+pattern class in isolation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nchu_bigdata_spark.operators.text import pii_scrub
+from nchu_bigdata_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+
+# --------------------------------------------------------------------------
+# text_pii_scrub
+# --------------------------------------------------------------------------
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def test_pii_scrub_patterns_and_hash(spark):
+    cases = [
+        # (raw, scrubbed, n_email, n_ip, n_phone)
+        ("mail me at bob.smith+x@sub.example.org now",
+         "mail me at <EMAIL> now", 1, 0, 0),
+        ("server 192.168.0.1 and 10.0.255.254 up",
+         "server <IP> and <IP> up", 0, 2, 0),
+        ("call 555-123-4567 or 555 2345 6789",
+         "call <PHONE> or <PHONE>", 0, 0, 2),
+        ("a@b.io from 127.0.0.1 tel 555.0042.1234",
+         "<EMAIL> from <IP> tel <PHONE>", 1, 1, 1),
+        ("no pii here at all", "no pii here at all", 0, 0, 0),
+        # version strings must NOT be IPs (3 octets), short digit runs
+        # must NOT be phones
+        ("v1.2.3 build 12-34-56", "v1.2.3 build 12-34-56", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    for i, (_, scrubbed, ne, ni, np_) in enumerate(cases):
+        r = got[i]
+        assert (r.n_email, r.n_ip, r.n_phone) == (ne, ni, np_), cases[i]
+        assert r.n_pii == ne + ni + np_
+        assert r.scrubbed_hash == _sha(scrubbed), cases[i]
+
+
+# --------------------------------------------------------------------------
+# embed_quantize
+# --------------------------------------------------------------------------
+
+
+def _write_embeddings(path, vecs):
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        str(path),
+    )
+
+
+def test_embed_quantize_semantics(spark, tmp_path):
+    vecs = [
+        [1.0, -1.0, 0.5],          # amax 1.0: q = [127, -127, 64]
+        [0.0, 0.0, 0.0],           # all-zero: scale 0, q = 0, err 0
+        [127.0, 1.5, -64.25],      # amax 127 → scale exactly 1.0
+    ]
+    _write_embeddings(tmp_path / "embeddings.parquet", vecs)
+    rows = {
+        r.vec_id: r
+        for r in SPECS["embed_quantize"].fn(spark, str(tmp_path)).collect()
+    }
+    r0 = rows[0]
+    # q_i = floor(x_i/scale + 0.5); scale = 1/127 → q = [127, -127, 64]
+    # (0.5*127 = 63.5 → floor(64.0) = 64)
+    assert (r0.qmin, r0.qmax) == (-127, 127)
+    assert r0.qsum == 127 - 127 + 64
+    assert r0.qnorm2 == 127**2 + 127**2 + 64**2
+    assert abs(r0.scale_r - 1.0 / 127) < 1e-6
+    # max reconstruction error of symmetric int8 is <= scale/2
+    assert r0.max_err_r <= r0.scale_r / 2 + 1e-9
+
+    r1 = rows[1]
+    assert (r1.qmin, r1.qmax, r1.qsum, r1.qnorm2) == (0, 0, 0, 0)
+    assert float(r1.scale_r) == 0.0 and float(r1.max_err_r) == 0.0
+
+    r2 = rows[2]
+    # scale = 1.0 exactly; q = floor(x+0.5) = [127, 2, -64]
+    assert (r2.qmin, r2.qmax) == (-64, 127)
+    assert float(r2.scale_r) == 1.0
+    assert r2.qsum == 127 + 2 - 64
+    assert r2.qnorm2 == 127**2 + 4 + 64**2
+    # 1.5 rounds up to 2: err hits the scale/2 bound exactly
+    assert float(r2.max_err_r) == 0.5
+
+
+def test_embed_quantize_bounds_on_corpus(spark, sf_dir):
+    out = SPECS["embed_quantize"].fn(spark, sf_dir)
+    bad = out.filter(
+        (out.qmax > 127)
+        | (out.qmin < -127)
+        # scale_r and max_err_r are 6-dp-rounded outputs, so the exact
+        # err <= scale/2 bound can drift by one rounding grid step
+        | (out.max_err_r > out.scale_r / 2 + 1.1e-6)
+    ).count()
+    assert bad == 0
+
+
+# --------------------------------------------------------------------------
+# dedup_incremental
+# --------------------------------------------------------------------------
+
+
+def _write_documents(path, rows):
+    """rows = (doc_id, text)."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["t"] * len(rows)),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(path),
+    )
+
+
+def test_dedup_incremental_verdicts(spark, tmp_path):
+    base = " ".join(f"w{i}" for i in range(30))          # 28 shingles
+    near = " ".join(f"w{i}" for i in range(28)) + " x y"  # ~0.81 jaccard
+    rows = [
+        # corpus (doc_id % 10 < 8)
+        (3, base),
+        (12, "completely different corpus text about spark engines ok"),
+        # batch (doc_id % 10 >= 8)
+        (8, base),                                   # exact dup of 3
+        (19, near),                                  # near dup of 3
+        (28, "fresh unseen document with novel content entirely here"),
+        # batch-internal exact pair: must BOTH be 'new' (corpus-scoped)
+        (38, "batch internal duplicate text which repeats verbatim"),
+        (48, "batch internal duplicate text which repeats verbatim"),
+    ]
+    _write_documents(tmp_path / "documents.parquet", rows)
+    got = {
+        r.doc_id: r
+        for r in SPECS["dedup_incremental"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {8, 19, 28, 38, 48}
+
+    assert got[8].verdict == "exact" and got[8].match_doc_id == 3
+    assert got[8].jaccard is None
+
+    assert got[19].verdict == "near" and got[19].match_doc_id == 3
+    # base/near share 26 of their 28 shingles each: 26/(28+28-26)
+    assert got[19].jaccard == pytest.approx(26 / 30, abs=1e-6)
+
+    for d in (28, 38, 48):
+        assert got[d].verdict == "new", d
+        assert got[d].match_doc_id is None and got[d].jaccard is None

@@ -80,6 +80,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # multimodal decode: Arrow mapInPandas must stay partition-preserving
     # — blob bytes cross to Python once and never shuffle
     "multimodal_decode_meta": ([r"MapInPandas"], [r"Exchange"]),
+    # PII scrub is a pure map over the corpus: regex+sha2 in one
+    # codegen'd projection on the scan — NO exchange of any kind
+    "text_pii_scrub": ([r"Project"], [r"Exchange"]),
+    # int8 quantization is per-row array math: no hash shuffle, no join
+    # (the only exchange is the fill-the-cluster round-robin guard)
+    "embed_quantize": ([r"Project"], [r"hashpartitioning", r"Join"]),
+    # incremental dedup must join BATCH×CORPUS only — hash joins
+    # throughout, never a nested loop over the pair space
+    "dedup_incremental": (
+        [r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
     # aggregation: partial/final hash agg (map-side combine the reference lacks)
     "agg_hash": ([r"HashAggregate"], []),
     "stream_tumbling": ([r"HashAggregate"], []),
