@@ -1121,10 +1121,20 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "c_doc")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Verification joins only ever pair batch shingles with corpus
+    # shingles, so pre-filter each side to its split (narrow filters on
+    # the materialized rows — candidate doc_ids are batch-only and
+    # c_doc corpus-only by construction, so this drops no pairs but
+    # keeps the corpus-side shuffle from carrying batch rows and vice
+    # versa).
     inter = (
-        sh.join(cand, "doc_id")
+        sh.filter(in_batch)
+        .join(cand, "doc_id")
         .join(
-            sh.select(F.col("doc_id").alias("c_doc"), "h"), ["c_doc", "h"]
+            sh.filter(~in_batch).select(
+                F.col("doc_id").alias("c_doc"), "h"
+            ),
+            ["c_doc", "h"],
         )
         .groupBy("doc_id", "c_doc")
         .agg(F.count(F.lit(1)).alias("n_inter"))
