@@ -179,3 +179,114 @@ def test_dedup_incremental_verdicts(spark, tmp_path):
     for d in (28, 38, 48):
         assert got[d].verdict == "new", d
         assert got[d].match_doc_id is None and got[d].jaccard is None
+
+
+# --------------------------------------------------------------------------
+# property tests: engine-independence of the PII patterns and quantizer
+# --------------------------------------------------------------------------
+#
+# The oracle differential proves Spark == DuckDB on the corpus; these
+# prove Spark == a THIRD independent implementation (Python re / float
+# arithmetic) on adversarial inputs the corpus never contains, so the
+# "Java-regex ∩ RE2 common subset" claim is tested, not asserted.
+
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nchu_bigdata_spark.operators.text import _PII_PATTERNS
+
+
+def _py_scrub(text: str):
+    counts = []
+    scrubbed = text
+    for _, pat, repl in _PII_PATTERNS:
+        counts.append(len(_re.findall(pat, text)))
+        scrubbed = _re.sub(pat, repl, scrubbed)
+    return counts, scrubbed
+
+
+_PII_FRAGMENTS = st.sampled_from(
+    [
+        "a@b.io", "x.y@sub.dom.org", "@", ".", "-", " ", "..",
+        "1.2.3.4", "255.255.255.255", "1.2.3", "1.2.3.4.5",
+        "555-123-4567", "555 1234 5678", "12-34-56", "555-12-34567",
+        "v1.2.3", "a@b", "@b.co", "9", "999", "9999",
+    ]
+)
+_PII_TEXT = st.lists(
+    st.one_of(
+        _PII_FRAGMENTS,
+        st.text(
+            alphabet="abzAZ019@.- _%+", min_size=0, max_size=8
+        ),
+    ),
+    min_size=0,
+    max_size=12,
+).map("".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=st.lists(_PII_TEXT, min_size=1, max_size=24))
+def test_pii_scrub_matches_python_re(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    for i, t in enumerate(texts):
+        (ne, ni, np_), scrubbed = _py_scrub(t)
+        r = got[i]
+        assert (r.n_email, r.n_ip, r.n_phone) == (ne, ni, np_), repr(t)
+        assert r.scrubbed_hash == _sha(scrubbed), repr(t)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e4,
+                max_value=1e4,
+                allow_nan=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_embed_quantize_matches_python(spark, tmp_path_factory, vecs):
+    import math
+
+    path = tmp_path_factory.mktemp("q") / "embeddings.parquet"
+    _write_embeddings(path, vecs)
+    rows = {
+        r.vec_id: r
+        for r in SPECS["embed_quantize"].fn(spark, str(path.parent)).collect()
+    }
+    for vid, vec in enumerate(vecs):
+        # replay in python over the float32-rounded values
+        import struct
+
+        v = [struct.unpack("f", struct.pack("f", x))[0] for x in vec]
+        amax = max(abs(x) for x in v)
+        scale = amax / 127.0
+        if scale == 0:
+            q = [0] * len(v)
+            err = 0.0
+        else:
+            q = [
+                int(max(-127.0, min(127.0, math.floor(x / scale + 0.5))))
+                for x in v
+            ]
+            err = max(abs(x - qi * scale) for x, qi in zip(v, q))
+        r = rows[vid]
+        assert r.qsum == sum(q) and r.qnorm2 == sum(x * x for x in q), vec
+        assert (r.qmin, r.qmax) == (min(q), max(q)), vec
+        assert float(r.scale_r) == round(scale, 6) or abs(
+            float(r.scale_r) - scale
+        ) < 2e-6, vec
+        assert abs(float(r.max_err_r) - err) < 2e-6, vec
