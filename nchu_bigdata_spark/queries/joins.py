@@ -234,3 +234,81 @@ def join_cross_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.c_custkey").alias("nearest_custkey"),
         F.col("m.dist").alias("dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# merge_upsert — SCD-1 MERGE (update-matched, insert-new) as a join plan
+# --------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert",
+    tags=("b3",),
+    oracle="""
+        WITH upd AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   o_totalprice + 1000.0 AS o_totalprice
+            FROM orders WHERE o_orderkey % 100 < 3
+            UNION ALL
+            SELECT o_orderkey + 1000000000, 'N', o_totalprice
+            FROM orders WHERE o_orderkey % 100 = 3
+        )
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS o_totalprice,
+               src
+        FROM (
+            SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice,
+                   'kept' AS src
+            FROM orders t ANTI JOIN upd u ON t.o_orderkey = u.o_orderkey
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice, 'merged'
+            FROM upd
+        )
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse MERGE INTO (SCD type 1) expressed Spark-first: keep =
+    target ANTI JOIN updates on the key, then UNION ALL the update set
+    (which carries both matched-row replacements and brand-new keys) —
+    upsert without a MERGE statement, table format, or any row-at-a-
+    time path. The deterministic update set is derived from ``orders``
+    itself (keys ``% 100 < 3`` replaced with status 'U' and a price
+    bump; keys ``% 100 = 3`` re-keyed past the key space as inserts),
+    so both engines construct the identical delta.
+
+    Scale shape: ONE anti hash-join on the merge key plus a union —
+    exactly the plan Delta/Iceberg's MERGE compiles to for
+    whole-partition rewrites. The big target never shuffles twice: the
+    anti join is its only exchange, union is exchange-free, and with
+    the target bucketed on the key (``join_bucketed`` layout) even
+    that exchange disappears. The delta side is typically tiny and AQE
+    broadcasts it, turning MERGE into a scan-speed map over the
+    target."""
+    t = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = (
+        t.filter(F.col("o_orderkey") % 100 < 3)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            t.filter(F.col("o_orderkey") % 100 == 3).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    kept = t.join(upd.select("o_orderkey"), "o_orderkey", "left_anti")
+    merged = kept.withColumn("src", F.lit("kept")).unionByName(
+        upd.withColumn("src", F.lit("merged"))
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("o_totalprice"),
+        "src",
+    )

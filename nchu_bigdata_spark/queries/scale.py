@@ -200,3 +200,66 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_bloom_prune — runtime bloom-filter semi-join reduction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_bloom_prune",
+    tags=("b12",),
+    oracle=f"""
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {sql_dsum("l.l_extendedprice")} AS sum_price
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: when BOTH join sides are too
+    big to broadcast, Catalyst's ``InjectRuntimeFilter`` builds a bloom
+    filter over the selective (filtered) side's join keys and pushes a
+    ``might_contain`` predicate into the big side's scan — so fact rows
+    that cannot match are dropped BEFORE the shuffle, the exact shuffle
+    -volume killer at 100 TB (a 5%-selective dim filter cuts the fact
+    exchange ~20×; DPP does this for partition columns, the bloom
+    filter does it for arbitrary keys). The plan audit asserts both the
+    ``bloom_filter_agg`` build and the ``might_contain`` probe.
+
+    At test scale every dim fits under the broadcast threshold and
+    Spark then (correctly) skips bloom injection — a BHJ already
+    prunes at the hash table. To demonstrate the big-big case the
+    query disables auto-broadcast and widens the bloom thresholds FOR
+    ITSELF; these are plan-choice confs that must stay overridden
+    through this query's own lazy execution, so the registry wrapper —
+    not this function — restores the defaults on entry to every other
+    query (see ``register.final_fn``). Results are conf-independent:
+    the bloom filter is a pure may-contain reduction, never a
+    semantic change."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

@@ -64,6 +64,23 @@ def register(
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.ansi.enabled", "false")
             spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+            # Plan-choice confs, re-pinned to Spark defaults: a query
+            # that overrides them for its own demonstration (e.g.
+            # join_bloom_prune disables broadcast so the runtime bloom
+            # filter can inject) must stay overridden through its OWN
+            # lazy execution, so it can't restore them itself — instead
+            # every query entry re-pins, bounding any override's blast
+            # radius to exactly one query.
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                "10MB",
+            )
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+                "10GB",
+            )
             return finalize_output(_fn(spark, sf_dir))
 
         final_fn.__name__ = fn.__name__
@@ -157,6 +174,8 @@ DRIVER_ORDER = [
     "text_pii_scrub",
     "embed_quantize",
     "dedup_incremental",
+    "join_bloom_prune",
+    "merge_upsert",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

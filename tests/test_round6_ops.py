@@ -290,3 +290,39 @@ def test_embed_quantize_matches_python(spark, tmp_path_factory, vecs):
             float(r.scale_r) - scale
         ) < 2e-6, vec
         assert abs(float(r.max_err_r) - err) < 2e-6, vec
+
+
+# --------------------------------------------------------------------------
+# join_bloom_prune / merge_upsert
+# --------------------------------------------------------------------------
+
+
+def test_bloom_prune_injects_and_confs_stay_scoped(spark, sf_dir):
+    df = SPECS["join_bloom_prune"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan and "bloom_filter_agg" in plan
+    assert "BroadcastHashJoin" not in plan
+    # the override is live for THIS query's lazy execution...
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    # ...and the registry wrapper re-pins defaults on entry to the next
+    # query, whose dim join must broadcast again
+    df2 = SPECS["join_broadcast"].fn(spark, sf_dir)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10MB"
+    assert "BroadcastHashJoin" in df2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_merge_upsert_semantics(spark, sf_dir):
+    out = SPECS["merge_upsert"].fn(spark, sf_dir)
+    rows = out.collect()
+    by_key = {}
+    for r in rows:
+        assert r.o_orderkey not in by_key, "duplicate key after merge"
+        by_key[r.o_orderkey] = r
+    # every updated key carries the replacement row, never the original
+    for r in rows:
+        if r.o_orderkey < 1_000_000_000 and r.o_orderkey % 100 < 3:
+            assert r.o_orderstatus == "U" and r.src == "merged"
+        elif r.o_orderkey >= 1_000_000_000:
+            assert r.o_orderstatus == "N" and r.src == "merged"
+        else:
+            assert r.src == "kept"

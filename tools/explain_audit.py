@@ -51,6 +51,17 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # dynamic partition pruning: the fact scan must carry a runtime
     # pruning subquery in its PartitionFilters
     "join_dpp": ([r"dynamicpruningexpression"], []),
+    # runtime bloom filter: the selective side must build a
+    # bloom_filter_agg and the fact side must probe might_contain
+    # BEFORE its exchange; the join itself is big-big (never broadcast)
+    "join_bloom_prune": (
+        [r"might_contain", r"bloom_filter_agg", r"SortMergeJoin|ShuffledHashJoin"],
+        [r"BroadcastHashJoin"],
+    ),
+    # MERGE-as-join: one anti hash-join on the merge key plus a
+    # shuffle-free union — never a nested loop, never a second target
+    # exchange
+    "merge_upsert": ([r"LeftAnti", r"Union"], [r"BroadcastNestedLoopJoin"]),
     "tpch_q3": ([r"TakeOrderedAndProject", r"BroadcastHashJoin"], []),
     # Q18: the IN-over-HAVING subquery must decorrelate to a semi join
     # (never re-scan lineitem per row), and top-100 must be a heap
