@@ -92,11 +92,10 @@ def _sql_cos(a: str, b: str) -> str:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "sim_topk",
-    tags=("b10",),
-    oracle=f"""
-        WITH {_SQL_E}
+# Oracle core for exact top-k, shared by sim_topk and ann_recall_eval
+# (one definition so the recall oracle can never drift from the
+# baseline it grades against). Expects the ``e`` CTE (_SQL_E) in scope.
+_SQL_TOPK_CORE = f"""
         SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
                CAST({_sql_cos('q', 'c')} AS DECIMAL(18,6)) AS cos_sim,
                CAST(ROW_NUMBER() OVER (
@@ -106,6 +105,15 @@ def _sql_cos(a: str, b: str) -> str:
         FROM e q JOIN e c ON c.vec_id <> q.vec_id
         WHERE q.vec_id <= {_NQUERY}
         QUALIFY rnk <= {_TOPK}
+"""
+
+
+@register(
+    "sim_topk",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_E}
+        {_SQL_TOPK_CORE}
     """,
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,11 +176,9 @@ def _cos_lit_sql(v_col: str, n_col: str, cv: list[float], cn: float) -> str:
     )
 
 
-@register(
-    "sim_ann_ivf",
-    tags=("b10",),
-    oracle=f"""
-        WITH {_SQL_E},
+# Oracle core for the IVF CTE chain (cent/assign/probe + final ranked
+# select), shared by sim_ann_ivf and ann_recall_eval. Expects ``e``.
+_SQL_IVF_CTES = f"""
         cent AS (SELECT vec_id AS c_id, v, n FROM e WHERE vec_id <= {_NCELLS}),
         assign AS (
             SELECT vec_id, cell, v, n FROM (
@@ -195,6 +201,9 @@ def _cos_lit_sql(v_col: str, n_col: str, cv: list[float], cn: float) -> str:
                 WHERE q.vec_id <= {_NQUERY}
             ) WHERE rn <= {_NPROBE}
         )
+"""
+
+_SQL_IVF_CORE = f"""
         SELECT q_id, vec_id, cos_sim, rnk FROM (
             SELECT p.q_id, a.vec_id,
                    CAST(ROUND(list_dot_product(p.qv, a.v) / (p.qn * a.n), 6)
@@ -207,6 +216,16 @@ def _cos_lit_sql(v_col: str, n_col: str, cv: list[float], cn: float) -> str:
             FROM probe p JOIN assign a ON a.cell = p.cell
             WHERE a.vec_id <> p.q_id
         ) WHERE rnk <= {_TOPK}
+"""
+
+
+@register(
+    "sim_ann_ivf",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_E},
+        {_SQL_IVF_CTES}
+        {_SQL_IVF_CORE}
     """,
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,4 +528,74 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qnorm2"
         ),
         F.round(F.array_max("err"), 6).cast("decimal(18,6)").alias("max_err_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ann_recall_eval — recall@k of the IVF index vs the exact baseline
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_recall_eval",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_E},
+        exact AS (
+        {_SQL_TOPK_CORE}
+        ),
+        {_SQL_IVF_CTES},
+        approx AS (
+        {_SQL_IVF_CORE}
+        ),
+        hits AS (
+            SELECT a.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM approx a JOIN exact x
+              ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+            GROUP BY a.q_id
+        )
+        SELECT q.q_id,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               CAST(ROUND(COALESCE(h.n_hits, 0) / CAST({_TOPK} AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS recall_at_k
+        FROM (SELECT DISTINCT q_id FROM exact) q
+        LEFT JOIN hits h ON h.q_id = q.q_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the IVF index against the exact brute-force
+    baseline, per query — the quality gate every ANN deployment runs
+    before trusting an index (tune nprobe/ncells until recall clears
+    the bar, then ship). Composes the registered ``sim_topk`` (ground
+    truth) and ``sim_ann_ivf`` (approximation) pipelines UNCHANGED and
+    grades one against the other with a per-query semi-match count:
+    recall = |approx ∩ exact| / k.
+
+    Scale shape: both sub-pipelines keep their audited plans (corpus
+    broadcast-scan for exact, cell-bucketed probe for IVF); the grading
+    join is (nq·k)×(nq·k) rows — trivially AQE-broadcast — and the
+    base/hits LEFT join keeps queries whose probed cells missed
+    everything (recall 0) instead of silently dropping them. The
+    oracle composes the SAME shared SQL cores the two sub-operators
+    register (``_SQL_TOPK_CORE``/``_SQL_IVF_CORE``), so the graded
+    baseline can never drift from the baseline operator."""
+    exact = sim_topk(spark, sf_dir).select("q_id", "vec_id")
+    approx = sim_ann_ivf(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        approx.join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = exact.select("q_id").distinct()
+    return (
+        base.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(float(_TOPK)), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("recall_at_k"),
+        )
     )

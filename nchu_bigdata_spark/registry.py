@@ -176,6 +176,7 @@ DRIVER_ORDER = [
     "dedup_incremental",
     "join_bloom_prune",
     "merge_upsert",
+    "ann_recall_eval",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",
