@@ -326,3 +326,18 @@ def test_merge_upsert_semantics(spark, sf_dir):
             assert r.o_orderstatus == "N" and r.src == "merged"
         else:
             assert r.src == "kept"
+
+
+# --------------------------------------------------------------------------
+# ann_recall_eval
+# --------------------------------------------------------------------------
+
+
+def test_ann_recall_eval_bounds_and_consistency(spark, sf_dir):
+    out = {r.q_id: r for r in SPECS["ann_recall_eval"].fn(spark, sf_dir).collect()}
+    exact = SPECS["sim_topk"].fn(spark, sf_dir)
+    # one grade per exact-baseline query, recall in [0, 1], n_hits <= k
+    assert set(out) == {r.q_id for r in exact.select("q_id").distinct().collect()}
+    for r in out.values():
+        assert 0 <= r.n_hits <= 5
+        assert abs(float(r.recall_at_k) - r.n_hits / 5) < 1e-9
