@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nchu_bigdata_spark.compat import dround, sql_dround
 from nchu_bigdata_spark.io import parallel_table
 from nchu_bigdata_spark.registry import register
 
@@ -439,7 +440,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embed_quantize",
     tags=("b10",),
-    oracle="""
+    oracle=f"""
         WITH e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         ),
@@ -463,13 +464,13 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM s
         )
         SELECT vec_id, label,
-               CAST(ROUND(scale, 6) AS DECIMAL(18,6)) AS scale_r,
+               {sql_dround("scale", 6)} AS scale_r,
                CAST(list_min(qv) AS INT) AS qmin,
                CAST(list_max(qv) AS INT) AS qmax,
                CAST(list_sum(qv) AS BIGINT) AS qsum,
                CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
                    AS qnorm2,
-               CAST(ROUND(list_max(err), 6) AS DECIMAL(18,6)) AS max_err_r
+               {sql_dround("list_max(err)", 6)} AS max_err_r
         FROM q
     """,
 )
@@ -520,14 +521,14 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         "label",
-        F.round("scale", 6).cast("decimal(18,6)").alias("scale_r"),
+        dround("scale", 6).alias("scale_r"),
         F.array_min("qv").cast("int").alias("qmin"),
         F.array_max("qv").cast("int").alias("qmax"),
         F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("qsum"),
         F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x * x).alias(
             "qnorm2"
         ),
-        F.round(F.array_max("err"), 6).cast("decimal(18,6)").alias("max_err_r"),
+        dround(F.array_max("err"), 6).alias("max_err_r"),
     )
 
 
@@ -556,8 +557,8 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT q.q_id,
                COALESCE(h.n_hits, 0) AS n_hits,
-               CAST(ROUND(COALESCE(h.n_hits, 0) / CAST({_TOPK} AS DOUBLE), 6)
-                    AS DECIMAL(18,6)) AS recall_at_k
+               {sql_dround(f"COALESCE(h.n_hits, 0) / CAST({_TOPK} AS DOUBLE)", 6)}
+                   AS recall_at_k
         FROM (SELECT DISTINCT q_id FROM exact) q
         LEFT JOIN hits h ON h.q_id = q.q_id
     """,
@@ -592,10 +593,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(
+            dround(
                 F.coalesce("n_hits", F.lit(0)) / F.lit(float(_TOPK)), 6
-            )
-            .cast("decimal(18,6)")
-            .alias("recall_at_k"),
+            ).alias("recall_at_k"),
         )
     )

@@ -218,32 +218,39 @@ def agg_vector_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_hypertable",
     tags=("b4",),
     oracle="""
+        -- TZ-free epoch arithmetic throughout (like the streaming
+        -- oracles): time_bucket/date_trunc on TIMESTAMPTZ truncate in
+        -- DuckDB's SESSION TimeZone, so on a non-UTC driver host the
+        -- '1h'/'1d' buckets would shift against Spark's UTC-pinned
+        -- date_trunc. Integer flooring of epoch_us is engine- and
+        -- TZ-invariant (events are post-1970, so // floors exactly).
         WITH fine AS (
-            SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS b,
+            SELECT event_type,
+                   (epoch_us(ts) // 900000000) * 900000000 AS bu,
                    CAST(COUNT(*) AS BIGINT) AS n,
                    SUM(CAST(value AS DECIMAL(20,6))) AS sv
             FROM events GROUP BY 1, 2
         ),
         hr AS (
-            SELECT event_type, date_trunc('hour', b) AS b,
+            SELECT event_type, (bu // 3600000000) * 3600000000 AS bu,
                    SUM(n) AS n, SUM(sv) AS sv
             FROM fine GROUP BY 1, 2
         ),
         dy AS (
-            SELECT event_type, date_trunc('day', b) AS b,
+            SELECT event_type, (bu // 86400000000) * 86400000000 AS bu,
                    SUM(n) AS n, SUM(sv) AS sv
             FROM hr GROUP BY 1, 2
         )
-        SELECT '15m' AS granularity, event_type, epoch_us(b) AS bucket_us,
+        SELECT '15m' AS granularity, event_type, bu AS bucket_us,
                CAST(n AS BIGINT) AS n_events,
                CAST(sv AS DECIMAL(38,6)) AS sum_value
         FROM fine
         UNION ALL
-        SELECT '1h', event_type, epoch_us(b), CAST(n AS BIGINT),
+        SELECT '1h', event_type, bu, CAST(n AS BIGINT),
                CAST(sv AS DECIMAL(38,6))
         FROM hr
         UNION ALL
-        SELECT '1d', event_type, epoch_us(b), CAST(n AS BIGINT),
+        SELECT '1d', event_type, bu, CAST(n AS BIGINT),
                CAST(sv AS DECIMAL(38,6))
         FROM dy
     """,

@@ -161,12 +161,16 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
 
     def trunc_week_us(col):
-        # floor-to-Monday in pure integer epoch space; timestamps are
-        # post-1970 so truncating division == floor division.
+        # floor-to-Monday in pure integer epoch space: long % long is
+        # exact in Spark, so `shifted - shifted % week` is the floor
+        # multiple with NO double-precision round-trip (a `/` quotient
+        # would pass through DOUBLE and can misround one microsecond
+        # before a boundary once quotients grow large). Matches the
+        # oracle's integer `//`. (The week_offset division below stays
+        # a plain `/`: its numerator is an exact multiple of the week,
+        # and exact-multiple ÷ divisor is exact in IEEE doubles.)
         shifted = F.unix_micros(col) - F.lit(_EPOCH_MONDAY_US)
-        return (shifted / F.lit(_WEEK_US)).cast("bigint") * F.lit(
-            _WEEK_US
-        ) + F.lit(_EPOCH_MONDAY_US)
+        return shifted - (shifted % F.lit(_WEEK_US)) + F.lit(_EPOCH_MONDAY_US)
 
     first = ev.groupBy("user_id").agg(
         trunc_week_us(F.min("ts")).alias("cohort_week_us")

@@ -64,23 +64,19 @@ def register(
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.ansi.enabled", "false")
             spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-            # Plan-choice confs, re-pinned to Spark defaults: a query
-            # that overrides them for its own demonstration (e.g.
-            # join_bloom_prune disables broadcast so the runtime bloom
-            # filter can inject) must stay overridden through its OWN
-            # lazy execution, so it can't restore them itself — instead
-            # every query entry re-pins, bounding any override's blast
-            # radius to exactly one query.
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-            spark.conf.set(
-                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-                "10MB",
-            )
-            spark.conf.set(
-                "spark.sql.optimizer.runtime.bloomFilter."
-                "applicationSideScanSizeThreshold",
-                "10GB",
-            )
+            # Plan-choice confs, re-pinned to the engine's declared
+            # values (session.PLAN_CONF_PINS — the same single source
+            # get_session builds with): a query that overrides them for
+            # its own demonstration (e.g. join_bloom_prune disables
+            # broadcast so the runtime bloom filter can inject) must
+            # stay overridden through its OWN lazy execution, so it
+            # can't restore them itself — instead every query entry
+            # re-pins, bounding any override's blast radius to exactly
+            # one query.
+            from nchu_bigdata_spark.session import PLAN_CONF_PINS
+
+            for k, v in PLAN_CONF_PINS.items():
+                spark.conf.set(k, v)
             return finalize_output(_fn(spark, sf_dir))
 
         final_fn.__name__ = fn.__name__
@@ -107,20 +103,28 @@ def register(
 # errored on the TIMESTAMP_NTZ read, since fixed); r4 re-confirmed the
 # errored 7 + refreshed every round-2-signal id; r5 covered the 10 new
 # ids + 5 changed plans + all 35 r3-signal ids (50 checked, 0 fail).
-# Round 6's window: (a) the 4 ids whose code or oracle changed this
+# Round 6's window: (a) the 6 ids whose code or oracle changed this
 # round (jaccard restructure + 60-bit keys; TZ-free retention/streak
-# oracles; kmeans_fit's new Lloyd-replay oracle), then (b) all 46 ids
-# whose latest driver signal is r4 — after this round every id has a
-# driver row from r5-or-r6 state. The r5 greens after the window
-# marker are unchanged code; they rotate back in r7.
+# oracles; kmeans_fit's new Lloyd-replay oracle; multimodal_decode's
+# moment-hash oracle; sim_topk's de-salted plan), then (b) 44 of the
+# 46 ids whose latest driver signal is r4 (the last two yield their
+# slots and refresh first in r7). The r5 greens and r6-born ids after
+# the window marker rotate in from r7.
 DRIVER_ORDER = [
     # -- code/oracle changed in round 6; re-confirm under new shapes --
     "dedup_ngram_jaccard",
     "events_retention",
     "sub_recursive",
     "kmeans_fit",
+    # changed later in round 6 (d62b140 gave multimodal_decode its
+    # moment-hash oracle; 60b3290 de-salted sim_topk's window plan):
+    # changed-code coverage outranks stale-green refresh, so these two
+    # enter the window and the two last r4-stale ids below move to r7
+    "multimodal_decode",
+    "sim_topk",
     # -- latest driver signal is round-4 (green); refresh under r6
-    #    (46 ids, filling the window exactly) --
+    #    (44 of the 46 r4-signal ids — the last two yield their slots
+    #    to the late-round changed ids above and refresh first in r7) --
     "agg_hash",
     "stream_sliding",
     "stream_stream_join",
@@ -165,9 +169,11 @@ DRIVER_ORDER = [
     "multimodal_cols",
     "multimodal_framesample",
     "dedup_exact",
+    # -- 50-entry window ends here --
+    # -- r4-stale ids displaced by the two late-round changed ids
+    #    above; first of the r7 refresh block --
     "dedup_embed_cosine",
     "decontam_ngram",
-    # -- 50-entry window ends here --
     # -- born in round 6 (sweep-checked + pytest-oracle-checked r6;
     #    FIRST in the r7 driver window so they get official rows
     #    without evicting the 46 stale-refresh ids above) --

@@ -19,6 +19,21 @@ from pyspark.sql import SparkSession
 # local[$SPARK_GRAFT_CPUS]; default to all cores.
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
+# Plan-choice confs with ONE source of truth: pinned here at session
+# build and re-pinned by the registry wrapper on entry to every
+# registered query (registry.final_fn), so a query that overrides them
+# for its own demonstration (join_bloom_prune disables auto-broadcast
+# to force the big-big runtime-filter path) cannot leak plans into the
+# next query — and the re-pin restores the ENGINE's declared values,
+# never a hardcoded Spark default that would silently clobber this
+# module's deliberate 64MB broadcast threshold.
+PLAN_CONF_PINS = {
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "10GB",
+}
+
 
 def get_session(
     app_name: str = "nchu_bigdata_spark",
@@ -51,7 +66,6 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -60,6 +74,8 @@ def get_session(
         # Double.parseDouble path (src/Kmeans.java:67-68).
         .config("spark.sql.ansi.enabled", "false")
     )
+    for k, v in PLAN_CONF_PINS.items():
+        builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

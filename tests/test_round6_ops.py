@@ -304,10 +304,15 @@ def test_bloom_prune_injects_and_confs_stay_scoped(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     # the override is live for THIS query's lazy execution...
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
-    # ...and the registry wrapper re-pins defaults on entry to the next
-    # query, whose dim join must broadcast again
+    # ...and the registry wrapper re-pins the engine's declared values
+    # on entry to the next query, whose dim join must broadcast again
+    from nchu_bigdata_spark.session import PLAN_CONF_PINS
+
     df2 = SPECS["join_broadcast"].fn(spark, sf_dir)
-    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10MB"
+    assert (
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        == PLAN_CONF_PINS["spark.sql.autoBroadcastJoinThreshold"]
+    )
     assert "BroadcastHashJoin" in df2._jdf.queryExecution().executedPlan().toString()
 
 
