@@ -776,6 +776,8 @@ def connected_components(
     """
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    global LAST_STAR_ROUNDS
+    LAST_STAR_ROUNDS = None  # set by _star_labels iff the star path runs
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
@@ -832,8 +834,12 @@ _STAR_MAX_ITERS = 40
 
 # Rounds the most recent _star_labels call used — observability hook so
 # the O(log n) convergence claim is testable (tests pin path/hub graphs
-# and assert the bound) instead of folklore.
-LAST_STAR_ROUNDS = 0
+# and assert the bound) instead of folklore. Reset to None on entry to
+# every connected_components call, so a reader can never observe a
+# PREVIOUS run's count after a label-propagation run (which doesn't
+# use star rounds at all) — stale-read hazard flagged in the round-6
+# self-review.
+LAST_STAR_ROUNDS: int | None = None
 
 
 def _star_labels(sym: DataFrame) -> DataFrame:

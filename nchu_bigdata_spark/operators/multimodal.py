@@ -406,61 +406,6 @@ def _synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield out
 
 
-@register(
-    "multimodal_decode_meta",
-    tags=("b10",),
-    oracle="""
-        SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0 THEN 'image'
-                    WHEN doc_id % 3 = 1 THEN 'audio'
-                    ELSE 'video' END AS modality,
-               CAST(CASE
-                   WHEN doc_id % 3 = 0 THEN
-                       54 + GREATEST(1, octet_length(encode(text)) // 48) * 48
-                   WHEN doc_id % 3 = 1 THEN
-                       44 + 2 * GREATEST(1, octet_length(encode(text)))
-                   ELSE octet_length(encode(text))
-               END AS BIGINT) AS n_bytes,
-               CAST(CASE WHEN doc_id % 3 = 0 THEN 16 END AS INT) AS width,
-               CAST(CASE WHEN doc_id % 3 = 0 THEN
-                   GREATEST(1, octet_length(encode(text)) // 48)
-               END AS INT) AS height,
-               CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 END AS INT)
-                   AS sample_rate,
-               CAST(CASE
-                   WHEN doc_id % 3 = 0 THEN
-                       GREATEST(1, octet_length(encode(text)) // 48) * 16
-                   WHEN doc_id % 3 = 1 THEN
-                       GREATEST(1, octet_length(encode(text)))
-                   ELSE octet_length(encode(text))
-               END AS BIGINT) AS n_samples,
-               CASE WHEN doc_id % 3 = 0 THEN 'bmp24'
-                    WHEN doc_id % 3 = 1 THEN 'wav-pcm16'
-                    ELSE 'byte-moments-fallback' END AS decoder
-        FROM documents
-    """,
-)
-def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structural projection of ``multimodal_decode`` — everything the
-    real decoders recover that is ALSO derivable in closed form from
-    the payload length (container byte size incl. headers/row padding,
-    image dimensions, PCM sample count/rate, decoder id). Running the
-    full synth→decode path and hash-comparing these columns against the
-    DuckDB closed forms gives the codec pipeline a hard differential
-    check; the float moment features stay covered by the hypothesis
-    round-trip properties (``tests/test_codecs_property.py``)."""
-    return multimodal_decode(spark, sf_dir).select(
-        "doc_id",
-        "modality",
-        "n_bytes",
-        "width",
-        "height",
-        "sample_rate",
-        "n_samples",
-        "decoder",
-    )
-
-
 # Closed-form replay of the synth→decode pipeline (round 6 — was
 # rows-only). Every decoded value is a pure function of the UTF-8
 # payload bytes: BMP pixels are the bytes tiled to whole 48-byte rows,
@@ -533,6 +478,42 @@ _DECODE_ORACLE = f"""
                 ELSE 'byte-moments-fallback' END AS decoder
     FROM dims d LEFT JOIN mom m ON m.doc_id = d.doc_id
 """
+
+
+@register(
+    "multimodal_decode_meta",
+    tags=("b10",),
+    # ONE closed-form definition: the meta oracle is the same column
+    # projection of _DECODE_ORACLE that the Spark side applies to
+    # multimodal_decode — the codec constants (54/44-byte headers,
+    # 48-byte rows, width 16, rate 8000) live in exactly one SQL
+    # fragment, so a codec change cannot half-update the two oracles
+    # (drift hazard flagged in the round-6 self-review).
+    oracle=f"""
+        SELECT doc_id, modality, n_bytes, width, height, sample_rate,
+               n_samples, decoder
+        FROM ({_DECODE_ORACLE}) _decode
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural projection of ``multimodal_decode`` — everything the
+    real decoders recover that is ALSO derivable in closed form from
+    the payload length (container byte size incl. headers/row padding,
+    image dimensions, PCM sample count/rate, decoder id). Running the
+    full synth→decode path and hash-comparing these columns against the
+    DuckDB closed forms gives the codec pipeline a hard differential
+    check; the float moment features stay covered by the hypothesis
+    round-trip properties (``tests/test_codecs_property.py``)."""
+    return multimodal_decode(spark, sf_dir).select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "width",
+        "height",
+        "sample_rate",
+        "n_samples",
+        "decoder",
+    )
 
 
 @register(
