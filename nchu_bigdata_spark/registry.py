@@ -200,9 +200,7 @@ DRIVER_ORDER = [
     "curate_corpus",
     "sample_stratified",
     "text_repetition",
-    "sim_topk",
     "kmeans_assign",
-    "multimodal_decode",
     "tpch_q3",
     "tpch_q6",
     "udf_scalar_pandas",
