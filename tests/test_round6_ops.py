@@ -404,3 +404,30 @@ def test_kmeans_fit_oracle_margins_dwarf_engine_drift(spark, gate_sf):
         for r in SPECS["kmeans_fit"].fn(spark, gate_sf).collect()
     }
     assert got == np_sizes
+
+
+# --------------------------------------------------------------------------
+# agg_sketch_merge
+# --------------------------------------------------------------------------
+
+
+def test_sketch_merge_equals_direct_and_bounds(spark, sf_dir, duck):
+    rows = SPECS["agg_sketch_merge"].fn(spark, sf_dir).collect()
+    exact = dict(
+        duck.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_orderkey)"
+            " FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert {r.l_returnflag for r in rows} == set(exact)
+    for r in rows:
+        # merged and direct are NOT bit-identical (sparse→dense coupon
+        # promotion / union widening differ) but must agree within a
+        # few sketch standard deviations of each other
+        assert abs(r.est_merged - r.est_direct) <= max(
+            1, 3 * 0.0163 * max(r.est_merged, r.est_direct)
+        ), r
+        assert r.n_shards >= 1
+        ex = exact[r.l_returnflag]
+        for est in (r.est_merged, r.est_direct):
+            assert abs(est - ex) <= max(1, 5 * 0.0163 * ex), (r, ex)

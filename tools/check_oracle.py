@@ -161,10 +161,47 @@ def bounded_agg_approx(con, spdf: pd.DataFrame) -> tuple[bool, str]:
     return True, f"{len(spdf)} rows, HLL+percentile bounds hold"
 
 
+def bounded_agg_sketch_merge(con, spdf: pd.DataFrame) -> tuple[bool, str]:
+    """agg_sketch_merge: the merged and direct DataSketches-HLL
+    estimates must agree within a few sketch standard deviations of
+    each other (they are NOT bit-identical — sparse→dense coupon
+    promotion and HLL_4→HLL_8 union widening differ between the two
+    paths; measured ~0.1% apart at sf0.01), and BOTH must sit within
+    ±5 standard deviations of DuckDB's exact distinct count (default
+    lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%)."""
+    exact = {
+        f: int(n)
+        for f, n in con.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_orderkey)"
+            " FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    if set(spdf["l_returnflag"]) != set(exact):
+        return False, f"group keys differ: {sorted(spdf['l_returnflag'])}"
+    for _, row in spdf.iterrows():
+        em, ed = int(row["est_merged"]), int(row["est_direct"])
+        if abs(em - ed) > max(1, 3 * 0.0163 * max(em, ed)):
+            return False, (
+                f"merged/direct disagree for {row['l_returnflag']!r}: "
+                f"{em} vs {ed}"
+            )
+        ex = exact[row["l_returnflag"]]
+        for est, lbl in ((em, "merged"), (ed, "direct")):
+            if abs(est - ex) > max(1, 5 * 0.0163 * ex):
+                return False, (
+                    f"HLL bound violated for {row['l_returnflag']!r} "
+                    f"({lbl}): est={est} exact={ex}"
+                )
+    return True, f"{len(spdf)} rows, merged~direct & HLL bounds hold"
+
+
 # Rows-only queries with a promoted bounded accuracy check: the sweep
 # runs these against DuckDB exact aggregates instead of recording a
 # bare rows-only line.
-BOUNDED_CHECKS = {"agg_approx": bounded_agg_approx}
+BOUNDED_CHECKS = {
+    "agg_approx": bounded_agg_approx,
+    "agg_sketch_merge": bounded_agg_sketch_merge,
+}
 
 
 def main() -> int:
