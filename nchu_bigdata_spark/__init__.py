@@ -46,6 +46,12 @@ def __getattr__(name: str):
             "nchu_bigdata_spark.streaming",
             "run_events_stream_to_parquet",
         ),
+        # round 6: DataFrame-in APIs of the new pipeline operators
+        "pii_scrub": ("nchu_bigdata_spark.operators.text", "pii_scrub"),
+        "simhash_pairs": (
+            "nchu_bigdata_spark.operators.dedup",
+            "simhash_pairs",
+        ),
     }
     if name in lazy:
         import importlib
@@ -67,6 +73,8 @@ __all__ = [
     "asof_join",
     "run_events_stream",
     "run_events_stream_to_parquet",
+    "pii_scrub",
+    "simhash_pairs",
 ]
 
 __version__ = "0.1.0"
