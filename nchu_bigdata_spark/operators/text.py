@@ -589,3 +589,186 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     raw = docs.select("doc_id", _pii_raw_col().alias("text"))
     return pii_scrub(raw)
+
+
+# --------------------------------------------------------------------------
+# text_collocation_pmi — corpus collocations by pointwise mutual information
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 10  # bigram support cutoff before scoring
+_PMI_TOPK = 20
+
+
+@register(
+    "text_collocation_pmi",
+    tags=("b10",),
+    oracle=f"""
+        WITH tok AS (
+            SELECT string_split(text, ' ') AS w FROM documents
+        ),
+        uni AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(w) AS word FROM tok)
+            WHERE word <> '' GROUP BY word
+        ),
+        nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+        bg AS (
+            SELECT w[i] AS l_tok, w[i + 1] AS r_tok
+            FROM tok, unnest(range(1, len(w))) AS r(i)
+        ),
+        bgc AS (
+            SELECT l_tok, r_tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bg WHERE l_tok <> '' AND r_tok <> ''
+            GROUP BY l_tok, r_tok
+        ),
+        nb AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bgc)
+        SELECT b.l_tok, b.r_tok, b.c AS n_pair,
+               ROUND(LN((b.c / nb.n) / ((ul.c / nt.n) * (ur.c / nt.n))), 4) AS pmi
+        FROM bgc b, nb, nt
+        JOIN uni ul ON ul.word = b.l_tok
+        JOIN uni ur ON ur.word = b.r_tok
+        WHERE b.c >= {_PMI_MIN_COUNT}
+        ORDER BY pmi DESC, b.l_tok, b.r_tok
+        LIMIT {_PMI_TOPK}
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top bigrams by pointwise mutual
+    information, ``pmi = ln(p(l,r) / (p(l)·p(r)))`` — the classic
+    signal for multiword expressions (and for spotting templated
+    boilerplate a frequency-only profile like ``text_ngram_stats``
+    misses, because PMI normalizes away individually-common words).
+
+    Plan: unigram and bigram vocabularies are each ONE hash-agg over
+    the exploded token stream (map-side partials collapse before the
+    shuffle, wire volume is vocab-sized). The two corpus totals ride
+    as 1-row broadcast cross joins; the two unigram probability
+    lookups are vocab×vocab equi-joins on the AQE-sized path (vocab ≪
+    corpus, typically broadcast). Final top-k is sort+limit — a
+    per-partition heap (TakeOrderedAndProject), never a global sort.
+    Support cutoff first, so PMI's low-count noise never reaches the
+    joins. Determinism: counts are exact ints, the pmi double is
+    rounded to 4dp, ties break on the token pair."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    toks = docs.select(F.explode(w).alias("word")).filter(F.col("word") != "")
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    nt = uni.agg(F.sum("c").alias("n_tok"))
+
+    pairs = (
+        docs.filter(F.size(w) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 2),
+                    lambda i: F.struct(
+                        F.element_at(w, i + 1).alias("l_tok"),
+                        F.element_at(w, i + 2).alias("r_tok"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.l_tok", "p.r_tok")
+        .filter((F.col("l_tok") != "") & (F.col("r_tok") != ""))
+    )
+    bgc = pairs.groupBy("l_tok", "r_tok").agg(F.count(F.lit(1)).alias("n_pair"))
+    nb = bgc.agg(F.sum("n_pair").alias("n_bg"))
+
+    ul = uni.select(F.col("word").alias("l_tok"), F.col("c").alias("c_l"))
+    ur = uni.select(F.col("word").alias("r_tok"), F.col("c").alias("c_r"))
+    scored = (
+        bgc.filter(F.col("n_pair") >= _PMI_MIN_COUNT)
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nt))
+        .join(ul, "l_tok")
+        .join(ur, "r_tok")
+        .select(
+            "l_tok",
+            "r_tok",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("n_bg"))
+                    / ((F.col("c_l") / F.col("n_tok")) * (F.col("c_r") / F.col("n_tok")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "l_tok", "r_tok"
+    ).limit(_PMI_TOPK)
+
+
+# --------------------------------------------------------------------------
+# text_bpe_pairs — BPE-style adjacent-symbol pair counts over the vocabulary
+# --------------------------------------------------------------------------
+
+_BPE_TOPK = 30
+
+
+@register(
+    "text_bpe_pairs",
+    tags=("b10",),
+    oracle=f"""
+        WITH tf AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            )
+            WHERE word <> '' GROUP BY word
+        ),
+        pr AS (
+            SELECT substr(word, i, 2) AS pair, f, word
+            FROM tf, unnest(range(1, len(word))) AS r(i)
+            WHERE len(word) >= 2
+        )
+        SELECT pair,
+               CAST(SUM(f) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types
+        FROM pr GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT {_BPE_TOPK}
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of byte-pair-encoding vocabulary induction:
+    corpus-frequency-weighted counts of adjacent character pairs, the
+    argmax of which is BPE's first merge. Emits the top pairs with
+    both occurrence weight (``n``) and type support (``n_types``).
+
+    Scale trick: the corpus collapses to its VOCABULARY first (one
+    token hash-agg, map-side combined), and the character-pair explode
+    runs over distinct-token rows only — ~10⁵ vocabulary rows instead
+    of ~10⁹ corpus token occurrences, a 4-orders-of-magnitude cheaper
+    explode with an identical result because the pair count is
+    frequency-weighted (``sum(f)``). A token contributes a repeated
+    pair once per position ("aaa" → "aa" twice), matching textbook BPE
+    counting. Top-k is again a sort+limit heap."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    tf = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    pr = (
+        tf.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "f",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.expr("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pr.groupBy("pair")
+        .agg(
+            F.sum("f").alias("n"),
+            F.count_distinct("word").alias("n_types"),
+        )
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOPK)
+    )

@@ -11,6 +11,8 @@ from nchu_bigdata_spark.queries import (  # noqa: F401
     sets_sorts,
     streaming_batch,
     subqueries,
+    tpch_more,
     udfs,
+    warehouse,
     windows,
 )

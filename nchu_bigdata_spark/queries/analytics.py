@@ -192,3 +192,65 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select("cohort_week_us", "week_offset", "n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# events_anomaly — per-key z-score outlier detection
+# --------------------------------------------------------------------------
+
+# Minimum per-key sample size before a z-score is meaningful; keys with
+# fewer observations are skipped (their sample std is noise).
+_ANOM_MIN_N = 10
+_ANOM_Z = 3.0
+
+
+@register(
+    "events_anomaly",
+    tags=("b12",),
+    oracle=f"""
+        WITH stats AS (
+            SELECT user_id, event_type,
+                   AVG(value) AS mu,
+                   STDDEV_SAMP(value) AS sd,
+                   COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT e.user_id, e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_anomalies,
+               MAX(ROUND(ABS(e.value - s.mu) / s.sd, 4)) AS max_z
+        FROM events e
+        JOIN stats s ON s.user_id = e.user_id AND s.event_type = e.event_type
+        WHERE s.n >= {_ANOM_MIN_N} AND s.sd > 0
+          AND ROUND(ABS(e.value - s.mu) / s.sd, 4) > {_ANOM_Z}
+        GROUP BY e.user_id, e.event_type
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) z-score outlier detection: flag events
+    more than 3 sample standard deviations from their key's mean, and
+    report anomaly count + the worst z per key — the metrics-monitoring
+    staple (fraud spikes, sensor faults, bot bursts).
+
+    Plan: per-key moments are ONE hash-agg (count/avg/stddev partials
+    all map-side combinable); the tiny stats table joins back onto the
+    stream on the SAME key, so AQE reuses the exchange layout from the
+    agg — the event stream shuffles once, total. z is rounded to 4dp
+    BEFORE the threshold compare on both engines so partial-agg ulp
+    drift in mu/sd can't flip a boundary row (compat.py policy, same
+    grid as the PMI scorer)."""
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id", "event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = F.round(F.abs(F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        ev.join(stats, ["user_id", "event_type"])
+        .filter((F.col("n") >= _ANOM_MIN_N) & (F.col("sd") > 0) & (z > _ANOM_Z))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_anomalies"),
+            F.max(z).alias("max_z"),
+        )
+    )

@@ -362,3 +362,45 @@ def stateful_transform(ev: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+@register(
+    "stream_cdc_upsert",
+    tags=("b9",),
+    oracle="""
+        SELECT user_id,
+               event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+               CAST(event_id AS BIGINT) AS last_event_id,
+               value AS last_value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC
+        ) = 1
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC streaming upsert, run as a REAL Structured Streaming query
+    (foreachBatch + ordered merge into a ping-pong parquet target; see
+    ``streaming.runner.run_events_cdc_upsert`` for mechanics and the
+    100 TB notes). The oracle states the end-state invariant — the
+    target holds exactly the latest (by ts, then event_id) row per
+    (user_id, event_type) — which the struct-max merge guarantees
+    regardless of micro-batch boundaries or arrival order; the unit
+    test additionally forces multi-batch out-of-order delivery."""
+    import os
+
+    from nchu_bigdata_spark.queries.relational import scratch_dir
+    from nchu_bigdata_spark.streaming.runner import run_events_cdc_upsert
+
+    # The file streaming source needs a DIRECTORY; stage the events
+    # parquet into one via symlink (same trick as the parity tests).
+    src_dir = scratch_dir(sf_dir, "cdc_src")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return run_events_cdc_upsert(
+        spark, src_dir, scratch_dir(sf_dir, "cdc_target")
+    )

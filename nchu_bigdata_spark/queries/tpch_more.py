@@ -1,0 +1,204 @@
+"""TPC-H composite shapes beyond Q3/Q5/Q6/Q18 (SURVEY.md §2.B-11).
+
+Q7 (volume shipping), Q12 (shipping priority), Q17 (small-quantity
+revenue) — each adapted to the synthetic star schema's column set
+(no l_shipmode/l_receiptdate/p_container in the driver fixtures), but
+keeping the query SHAPE that makes each one a planner benchmark:
+
+  * ``tpch_q7``  — 6-way join with a disjunctive cross-nation pair
+    predicate that Catalyst must keep ABOVE the two nation joins (it
+    references both sides), plus a year() projection feeding the
+    group-by. The two nation dims broadcast; the one large shuffle is
+    lineitem⋈orders.
+  * ``tpch_q12`` — big-big join (orders⋈lineitem) where BOTH inputs are
+    date/priority-filtered at the scan, with conditional aggregation
+    (CASE inside SUM) — the canonical "filter early, classify late"
+    plan.
+  * ``tpch_q17`` — correlated scalar subquery (per-part average
+    quantity) that must decorrelate into an aggregate + equi-join on
+    the correlation key, never a per-row re-scan. The part dim filter
+    lands BEFORE the join on both branches.
+
+The reference has no query language (its one hard-coded plan is
+``hadoop_tutorial/src/Kmeans.java:137-160``); these exercise Catalyst's
+analyzer/optimizer surface a user of any real engine relies on.
+
+Scale (100 TB): every shape here is one big shuffle plus broadcast
+dims. Q17's decorrelated aggregate shuffles lineitem once on
+l_partkey; AQE handles the (part-filtered) probe side becoming
+broadcast-size after filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.compat import dround, dsum, sql_dsum
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+# Q7's trading-nation pair (fixture nations are NATION_0..NATION_24).
+_Q7_A, _Q7_B = "NATION_1", "NATION_2"
+
+
+@register(
+    "tpch_q7",
+    tags=("b11",),
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = '{_Q7_A}' AND n2.n_name = '{_Q7_B}')
+           OR (n1.n_name = '{_Q7_B}' AND n2.n_name = '{_Q7_A}')
+        GROUP BY n1.n_name, n2.n_name, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year.
+
+    The pair predicate is DISJUNCTIVE across the supplier-side and
+    customer-side nation names, so it can't be pushed below either
+    nation join — but Catalyst can (and does) infer the per-side
+    domain filter ``n_name IN (A, B)`` and push THAT into both
+    broadcast dims, so each dim join keeps only 2 of 25 nations before
+    the residual pair condition runs. lineitem⋈orders is the only
+    large shuffle; supplier/customer/nation broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == _Q7_A) & (F.col("cust_nation") == _Q7_B)
+    ) | ((F.col("supp_nation") == _Q7_B) & (F.col("cust_nation") == _Q7_A))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "tpch_q12",
+    tags=("b11",),
+    oracle="""
+        SELECT l.l_linestatus AS ship_class,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l.l_shipdate >= o.o_orderdate
+        GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: shipping-priority classification. The fixture
+    schema has no l_shipmode/l_receiptdate, so the group key is
+    l_linestatus and the lateness predicate is ship-after-order
+    (``l_shipdate >= o_orderdate`` — a cross-table residual that must
+    ride the join, not the scan).
+
+    Plan: the ship-year range pushes into the lineitem SCAN
+    (PushedFilters), the cross-table predicate evaluates on the joined
+    row, and the CASE classification happens inside one partial+final
+    hash aggregate — 2 result rows cross the final exchange."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# Q17's brand filter and the avg-quantity threshold factor. The
+# threshold is ROUNDED to 6 decimals on both engines before the
+# comparison: the per-part AVG is a double whose last ulp depends on
+# summation order (Spark partial aggs vs DuckDB), and an unrounded
+# threshold could flip a row at the boundary.
+_Q17_BRAND = "Brand#23"
+
+
+@register(
+    "tpch_q17",
+    tags=("b11",),
+    oracle=f"""
+        SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(20,6))) / 7.0, 2)
+                    AS DOUBLE) AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = '{_Q17_BRAND}'
+          AND l.l_quantity < (
+              SELECT ROUND(0.2 * AVG(l2.l_quantity), 6)
+              FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue via a correlated
+    scalar subquery (per-part average quantity).
+
+    Expressed as the DECORRELATED plan Catalyst would produce from the
+    SQL: aggregate lineitem once on l_partkey (one shuffle, partial
+    averages collapse map-side), join the per-part thresholds back to
+    the brand-filtered lines, filter, and global-agg. The per-row
+    re-scan a naive evaluator would do is O(|lineitem|²) — the
+    decorrelated form is one pass + one join, which is the only shape
+    that survives 100 TB. The brand filter lands before the threshold
+    join, so the probe side is ~1/|brands| of lineitem and AQE
+    broadcast-demotes it at small SF."""
+    li = table(spark, sf_dir, "lineitem")
+    part_f = table(spark, sf_dir, "part").filter(F.col("p_brand") == _Q17_BRAND)
+    thresholds = li.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_cap")
+    )
+    branded = li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey).select(
+        li.l_partkey, "l_quantity", "l_extendedprice"
+    )
+    small = branded.join(thresholds, "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_cap")
+    )
+    return small.agg(
+        dround(F.sum(F.col("l_extendedprice").cast("decimal(20,6)")) / 7.0, 2)
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -1,0 +1,148 @@
+"""Warehouse temporal operators (SURVEY.md §2.B-3/§2.B-4 extensions):
+SCD-2 history construction and a big-big interval-overlap join.
+
+  * ``scd2_history`` — slowly-changing-dimension type-2 versioning:
+    turn an event-log table (orders per customer) into versioned rows
+    with [valid_from, valid_to) ranges and an is_current flag. The
+    companion to ``merge_upsert`` (SCD-1) in ``queries/joins.py``.
+  * ``join_interval_overlap`` — interval × point overlap join where
+    BOTH sides are fact-sized. The naive form is a non-equi theta join
+    (nested loop, O(n²) per key at scale); the engine's form bins the
+    time axis so the join becomes an EQUI join on (key, month-bin)
+    with the exact range predicate as a residual — the standard
+    bin/bucket decomposition every distributed range-join implements
+    (Spark's own storage-partitioned range joins, DuckDB's IEJoin
+    literature). Each interval explodes into the ≤3 calendar months it
+    covers; each point lands in exactly 1 bin, so no pair is counted
+    twice and no dedup pass is needed.
+
+Scale (100 TB): ``scd2_history`` is one hash shuffle on the dimension
+key + a per-key sort (bounded by versions-per-entity, never global).
+``join_interval_overlap`` shuffles both sides on (custkey, month) —
+per-group size is orders-per-customer-per-month, so group width is
+bounded and skew-resistant regardless of total volume; the 30-day span
+bounds the explode factor at 3×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+
+@register(
+    "scd2_history",
+    tags=("b3",),
+    oracle="""
+        SELECT o_custkey,
+               CAST(ROW_NUMBER() OVER w AS INT) AS version,
+               o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+               strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+               (LEAD(o_orderdate) OVER w IS NULL) AS is_current,
+               o_totalprice
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each customer's order stream becomes
+    versioned rows with half-open validity ranges — ``valid_from`` =
+    the change date, ``valid_to`` = the NEXT change date (NULL while
+    current), plus a monotone version number. This is the windowed
+    plan a warehouse MERGE-with-history compiles to, and the batch
+    form of CDC snapshot reconstruction.
+
+    Plan: ONE shuffle on the entity key, then rank/lead share a single
+    per-key sort (same window frame ⇒ one Window operator). Validity
+    bounds are emitted as 'yyyy-MM-dd' strings per the compat policy
+    (compat.py module doc: never compare raw timestamps across
+    engines). Ties on the change date break on o_orderkey, so
+    versioning is deterministic."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.row_number().over(w).alias("version"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "o_totalprice",
+    )
+
+
+# Overlap window length in days: o2 overlaps o1 iff
+# o1.date <= o2.date < o1.date + _SPAN_DAYS.
+_SPAN_DAYS = 30
+
+
+def _month_id(c: Column) -> Column:
+    """Calendar month as a dense int (year*12 + month-1) — the bin key."""
+    return F.year(c) * 12 + F.month(c) - 1
+
+
+@register(
+    "join_interval_overlap",
+    tags=("b3",),
+    oracle=f"""
+        SELECT o1.o_custkey AS c_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_overlaps
+        FROM orders o1
+        JOIN orders o2
+          ON o1.o_custkey = o2.o_custkey
+         AND o1.o_orderkey <> o2.o_orderkey
+         AND o2.o_orderdate >= o1.o_orderdate
+         AND o2.o_orderdate <  o1.o_orderdate + INTERVAL {_SPAN_DAYS} DAY
+        GROUP BY o1.o_custkey
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact×fact interval-overlap join, binned: per customer, count
+    ordered pairs of orders whose 30-day fulfillment windows overlap
+    (order j placed inside order i's window).
+
+    The oracle states the naive theta join; the engine NEVER executes
+    that shape (the plan audit forbids nested-loop here). Instead the
+    time axis is binned by calendar month:
+
+      * interval side: each order explodes into the months its
+        [date, date+30d) window touches — ≤3 bins (a 30-day
+        span covers 3 calendar months only when it contains all of a
+        short February), via sequence(month(start), month(last_day)).
+      * point side: each order keys by the single month of its date.
+
+    The join is then EQUI on (custkey, month) — a plain shuffled hash
+    join — with the exact range test as a residual filter. A point's
+    bin is unique, so every qualifying (i, j) pair matches in exactly
+    one bin: no double counting, no distinct pass. This is the
+    bin-decomposed range join that stays O(rows-per-key-per-month) at
+    100 TB where the theta form is O(rows-per-key²)."""
+    orders = table(spark, sf_dir, "orders")
+    start = F.col("o_orderdate")
+    last = start + F.expr(f"INTERVAL {_SPAN_DAYS - 1} DAYS")
+    iv = orders.select(
+        F.col("o_custkey").alias("i_custkey"),
+        F.col("o_orderkey").alias("i_orderkey"),
+        start.alias("i_start"),
+        F.explode(F.sequence(_month_id(start), _month_id(last))).alias("bin"),
+    )
+    pt = orders.select(
+        F.col("o_custkey").alias("j_custkey"),
+        F.col("o_orderkey").alias("j_orderkey"),
+        F.col("o_orderdate").alias("j_date"),
+        _month_id(F.col("o_orderdate")).alias("bin"),
+    )
+    pairs = iv.join(
+        pt, (iv.i_custkey == pt.j_custkey) & (iv.bin == pt.bin)
+    ).filter(
+        (F.col("j_orderkey") != F.col("i_orderkey"))
+        & (F.col("j_date") >= F.col("i_start"))
+        & (F.col("j_date") < F.col("i_start") + F.expr(f"INTERVAL {_SPAN_DAYS} DAYS"))
+    )
+    return pairs.groupBy(F.col("i_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )

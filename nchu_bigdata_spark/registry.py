@@ -184,6 +184,15 @@ DRIVER_ORDER = [
     "merge_upsert",
     "ann_recall_eval",
     "agg_sketch_merge",
+    "tpch_q7",
+    "tpch_q12",
+    "tpch_q17",
+    "scd2_history",
+    "join_interval_overlap",
+    "text_collocation_pmi",
+    "text_bpe_pairs",
+    "events_anomaly",
+    "stream_cdc_upsert",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

@@ -177,3 +177,108 @@ def run_events_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_events_cdc_upsert(
+    spark: SparkSession,
+    path: str,
+    target_root: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """CDC-style streaming upsert: consume the events stream as a feed
+    of upserts keyed by (user_id, event_type) and maintain a compacted
+    parquet target holding each key's LATEST row — ordered by
+    (ts, event_id), so a late-arriving older change can never clobber
+    newer state (the correctness property blind last-write-wins merges
+    violate; pinned by the out-of-order test).
+
+    Mechanics: ``foreachBatch`` + ordered merge. Each micro-batch
+    first compacts itself (one hash-agg: ``max(struct(ts, id, val))``
+    per key), then full-merges with the live target generation via the
+    same struct-max — associative and commutative, so the final state
+    is independent of batch boundaries and arrival order. The target
+    ping-pongs between two generation dirs because overwriting the
+    parquet dir a lazy plan is reading from would destroy its own
+    input mid-job.
+
+    Scale notes: per batch this is |batch| + |target| scanned, one
+    shuffle on the merge key — the standard compacting-upsert pattern
+    (what Delta/Hudi MERGE does per commit, minus file-level skipping).
+    At 100 TB the target would be bucketed by the merge key so the
+    merge shuffle touches only the buckets a batch hits; the ping-pong
+    becomes table versions (snapshot isolation) in a real table
+    format. State here lives in the TARGET, not the state store, so
+    unbounded key cardinality never pressures executor memory.
+
+    Each invocation starts fresh (wipes ``target_root``), making the
+    registered query deterministic and idempotent."""
+    import os
+    import shutil
+
+    shutil.rmtree(target_root, ignore_errors=True)
+    os.makedirs(target_root, exist_ok=True)
+    gens = [os.path.join(target_root, f"gen{i}") for i in (0, 1)]
+    ckpt = os.path.join(target_root, "_ckpt")
+    live = {"cur": -1}  # index of the live generation; -1 = empty target
+
+    def _packed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            "event_type",
+            F.struct("last_ts_us", "last_event_id", "last_value").alias("s"),
+        )
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        latest = (
+            batch.select(
+                "user_id",
+                "event_type",
+                F.struct(
+                    F.unix_micros("ts").alias("last_ts_us"),
+                    F.col("event_id").cast("long").alias("last_event_id"),
+                    F.col("value").alias("last_value"),
+                ).alias("s"),
+            )
+            .groupBy("user_id", "event_type")
+            .agg(F.max("s").alias("s"))
+        )
+        if live["cur"] >= 0:
+            tgt = _packed(batch.sparkSession.read.parquet(gens[live["cur"]]))
+            latest = (
+                tgt.unionByName(latest)
+                .groupBy("user_id", "event_type")
+                .agg(F.max("s").alias("s"))
+            )
+        nxt = (live["cur"] + 1) % 2
+        latest.select(
+            "user_id", "event_type", "s.last_ts_us", "s.last_event_id", "s.last_value"
+        ).write.mode("overwrite").parquet(gens[nxt])
+        live["cur"] = nxt
+
+    src = spark.readStream.schema(_events_raw_schema(_probe_ts_type(spark, path)))
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key, None)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        q = (
+            _decode_ts(src.parquet(path))
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_tz is None:
+            spark.conf.unset(tz_key)
+        else:
+            spark.conf.set(tz_key, prev_tz)
+    if live["cur"] < 0:  # no input at all
+        return spark.createDataFrame(
+            [],
+            "user_id long, event_type string, last_ts_us long, "
+            "last_event_id long, last_value double",
+        )
+    return spark.read.parquet(gens[live["cur"]])

@@ -298,3 +298,75 @@ def test_stream_join_state_survives_restart(spark, tmp_path):
     assert sorted(
         (r.click_id, r.next_id) for r in spark.read.parquet(sink).collect()
     ) == [(1, 2), (1, 3), (4, 5)]
+
+
+# --------------------------------------------------------------------------
+# stream_cdc_upsert — ordered merge across out-of-order micro-batches
+# --------------------------------------------------------------------------
+
+
+def _write_cdc_events(path: str, rows) -> None:
+    """rows: (event_id, ts_nanos, user_id, event_type, value)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        path,
+    )
+
+
+def test_cdc_upsert_out_of_order_batches(spark, tmp_path):
+    """A later micro-batch delivering OLDER changes must not clobber
+    newer target state (the ordered-merge property); newer changes must
+    overwrite; ts ties break on event_id; unseen keys insert."""
+    from nchu_bigdata_spark.streaming.runner import run_events_cdc_upsert
+
+    t0 = 1_755_000_000 * 1_000_000_000
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    # batch 0 (oldest mtime → processed first): NEWER state for key
+    # (1, click); tie pair for key (2, view) — event 21 vs 20 at the
+    # same ts, higher id must win; initial state for (3, buy)
+    _write_cdc_events(
+        str(src / "a.parquet"),
+        [
+            (10, t0 + 5 * _MIN, 1, "click", 10.5),
+            (21, t0 + 1 * _MIN, 2, "view", 21.0),
+            (20, t0 + 1 * _MIN, 2, "view", 20.0),
+            (30, t0, 3, "buy", 30.0),
+        ],
+    )
+    # batch 1: an OLDER change for (1, click) — must NOT clobber — plus
+    # a NEWER change for (3, buy) and a brand-new key (4, click)
+    _write_cdc_events(
+        str(src / "b.parquet"),
+        [
+            (9, t0 + 1 * _MIN, 1, "click", 9.0),
+            (31, t0 + 9 * _MIN, 3, "buy", 31.0),
+            (40, t0 + 2 * _MIN, 4, "click", 40.0),
+        ],
+    )
+    os.utime(str(src / "a.parquet"), (1_000_000, 1_000_000))
+    os.utime(str(src / "b.parquet"), (2_000_000, 2_000_000))
+
+    out = run_events_cdc_upsert(
+        spark, str(src), str(tmp_path / "cdc_tgt"), max_files_per_trigger=1
+    )
+    got = {
+        (r.user_id, r.event_type): (r.last_event_id, r.last_ts_us, r.last_value)
+        for r in out.collect()
+    }
+    us = lambda n: n // 1000  # noqa: E731 — nanos fixture, micros state
+    assert got == {
+        (1, "click"): (10, us(t0 + 5 * _MIN), 10.5),  # older b-row rejected
+        (2, "view"): (21, us(t0 + 1 * _MIN), 21.0),  # tie → higher event_id
+        (3, "buy"): (31, us(t0 + 9 * _MIN), 31.0),  # newer b-row applied
+        (4, "click"): (40, us(t0 + 2 * _MIN), 40.0),  # insert
+    }

@@ -103,6 +103,36 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
         [r"BroadcastNestedLoopJoin"],
     ),
+    # Q7: both nation dims broadcast; the disjunctive pair predicate
+    # must not force a nested loop anywhere
+    "tpch_q7": ([r"BroadcastHashJoin"], [r"BroadcastNestedLoopJoin"]),
+    # Q12: the ship-year range must reach the lineitem scan even though
+    # the lateness predicate is a cross-table residual on the join
+    "tpch_q12": (
+        [r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", r"HashAggregate"],
+        [],
+    ),
+    # Q17: the correlated avg must run as ONE aggregate + join on the
+    # correlation key — never a per-row re-scan (no nested loop)
+    "tpch_q17": ([r"HashAggregate"], [r"BroadcastNestedLoopJoin"]),
+    # SCD-2: rank + lead must share one Window over one sort — a second
+    # sort means the frames didn't merge
+    "scd2_history": ([r"Window"], []),
+    # binned interval join: EQUI hash/merge join on (custkey, bin) with
+    # the range test as residual — the nested-loop theta form the
+    # oracle states is forbidden in the engine plan
+    "join_interval_overlap": (
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
+    # PMI: corpus collapses to vocab in hash-aggs; final top-k is a
+    # heap, never a global sort of the scored vocab
+    "text_collocation_pmi": ([r"HashAggregate", r"TakeOrderedAndProject"], []),
+    # BPE pairs: the char-pair explode must run over the aggregated
+    # vocabulary (HashAggregate BEFORE Generate in the plan tree —
+    # checked here by both being present; the vocab-first shape is
+    # pinned by the unit test on a repeated-token corpus)
+    "text_bpe_pairs": ([r"HashAggregate", r"TakeOrderedAndProject", r"Generate"], []),
     # aggregation: partial/final hash agg (map-side combine the reference lacks)
     "agg_hash": ([r"HashAggregate"], []),
     "stream_tumbling": ([r"HashAggregate"], []),
