@@ -15,6 +15,7 @@ for _mod in (
     "text",
     "multimodal",
     "pipeline",
+    "graph",
 ):
     try:
         importlib.import_module(f"nchu_bigdata_spark.operators.{_mod}")

@@ -1,0 +1,203 @@
+"""Graph analytics over the part co-purchase graph (SURVEY.md
+§2.B-ext): PageRank and triangle counting.
+
+The graph: parts are vertices; an undirected edge connects two parts
+that appear together in at least one order ("frequently bought
+together") — derived with one lineitem self-join on ``l_orderkey``
+(per-order width bounds the pair blowup) + a distinct. The reference
+has no graph surface at all; these add the two canonical iterative /
+combinatorial graph kernels every warehouse-adjacent engine ends up
+needing (influence ranking, community density).
+
+Cross-engine determinism (the hard part of iterative float algorithms)
+is solved by working in SCALED INT64 ARITHMETIC: ranks are integers
+(1e9 = rank 1.0), every per-edge contribution is an integer division
+``r div deg``, and the damping update is ``(85 * sum) div 100`` — all
+exact, associative, and bit-identical on Spark and DuckDB, so a
+5-iteration PageRank hash-checks against an UNROLLED 5-CTE SQL replay
+with no float tolerance anywhere.
+
+Scale notes (100 TB):
+  * Edge derivation: shuffle on l_orderkey (bounded per-order groups),
+    distinct on (u, v) — one more shuffle, vocabulary-sized output.
+  * PageRank: each iteration is ONE shuffle (contributions aggregated
+    by destination, partial sums map-side); edges and degrees are
+    checkpointed once and reused across iterations instead of being
+    recomputed 5× (``materialize.shared_intermediate``). Per-node
+    state is a DataFrame — never collected to the driver — so vertex
+    cardinality is unbounded.
+  * Triangles: edges are ORIENTED from lower to higher (degree, id)
+    before the wedge join — the classic trick that bounds every
+    vertex's out-degree by O(sqrt(|E|)), making wedge counts (and the
+    join's skew) survive power-law degree distributions that would
+    square a hub's degree in the naive formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.materialize import shared_intermediate
+from nchu_bigdata_spark.registry import register
+
+# Scaled-integer PageRank parameters: rank 1.0 == _PR_SCALE; damping
+# 0.85 expressed as the exact integer update (85 * x) div 100.
+_PR_SCALE = 1_000_000_000
+_PR_BASE = 150_000_000  # (1 - 0.85) * _PR_SCALE
+_PR_ITERS = 5
+
+# Shared edge-derivation SQL (both graph oracles start from this).
+_EDGES_SQL = """
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (symmetrized) distinct co-purchase edges (u, v)."""
+    a = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration integer-PageRank CTE chain — the exact
+    replay of the DataFrame loop (same scaled-int recurrence)."""
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u)",
+        f"r0 AS (SELECT u AS node, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+                SELECT e.v AS node,
+                       CAST({_PR_BASE} + (85 * SUM(r.r // d.d)) // 100 AS BIGINT) AS r
+                FROM edges e
+                JOIN r{i - 1} r ON r.node = e.u
+                JOIN deg d ON d.u = e.u
+                GROUP BY e.v
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT node AS p_partkey, r AS rank_scaled FROM r{_PR_ITERS}"
+    )
+
+
+@register("graph_pagerank", tags=("graph",), oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, damping 0.85) over the part
+    co-purchase graph, in exact scaled-int64 arithmetic (module doc).
+    ``rank_scaled`` is the per-node-scale rank × 1e9; the per-node base
+    term makes the recurrence N-independent.
+
+    Plan: edges + degrees computed once and localCheckpointed (reused
+    by all 5 iterations AND as both join sides); each iteration is
+    edges ⋈ ranks ⋈ degrees on u followed by one hash-agg on the
+    destination — partial integer sums combine map-side, and the rank
+    state never leaves the cluster (contrast: ``kmeans_fit`` collects
+    k centroid rows; here the state is vertex-cardinality, so it
+    stays a DataFrame)."""
+    edges = shared_intermediate("pagerank_edges", _copurchase_edges(spark, sf_dir))
+    deg = shared_intermediate(
+        "pagerank_deg", edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranks = deg.select(F.col("u").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.u == ranks.node)
+            .join(deg, "u")
+            .select("v", F.expr("r DIV d").alias("c"))
+        )
+        ranks = contrib.groupBy("v").agg(
+            (F.lit(_PR_BASE) + F.expr("85 * sum(c) DIV 100"))
+            .cast("long")
+            .alias("r")
+        ).select(F.col("v").alias("node"), "r")
+    return ranks.select(F.col("node").alias("p_partkey"), F.col("r").alias("rank_scaled"))
+
+
+@register(
+    "graph_triangles",
+    tags=("graph",),
+    oracle=f"""
+        WITH sym AS ({_EDGES_SQL}),
+        pairs AS (SELECT u AS x, v AS y FROM sym WHERE u < v),
+        deg AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT x AS n FROM pairs UNION ALL SELECT y FROM pairs)
+            GROUP BY n
+        ),
+        o AS (
+            SELECT CASE WHEN (dx.d, p.x) < (dy.d, p.y) THEN p.x ELSE p.y END AS u,
+                   CASE WHEN (dx.d, p.x) < (dy.d, p.y) THEN p.y ELSE p.x END AS v
+            FROM pairs p
+            JOIN deg dx ON dx.n = p.x
+            JOIN deg dy ON dy.n = p.y
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM o e1
+        JOIN o e2 ON e2.u = e1.v
+        JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the undirected part co-purchase graph, with
+    node/edge counts — the graph-density probe behind clustering
+    coefficients and community detection.
+
+    Degree-ordered orientation (module doc): every edge points from
+    its lower (degree, id) endpoint to the higher, so each triangle is
+    counted EXACTLY once as u→v, v→w, u→w, and the wedge join's
+    per-key fan-out is bounded by out-degree ≤ O(sqrt(|E|)) even on
+    power-law hubs. Both joins are equi hash joins on vertex keys."""
+    sym = _copurchase_edges(spark, sf_dir)
+    pairs = sym.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    deg = (
+        pairs.select(F.col("x").alias("n"))
+        .unionAll(pairs.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    lt = F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
+    o = shared_intermediate(
+        "triangles_oriented",
+        pairs.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.when(lt, F.col("x")).otherwise(F.col("y")).alias("u"),
+            F.when(lt, F.col("y")).otherwise(F.col("x")).alias("v"),
+        ),
+    )
+    e1 = o
+    e2 = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = o.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        F.broadcast(o.agg(F.count(F.lit(1)).alias("n_edges")))
+    )
+    return F.broadcast(counts).crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

@@ -559,3 +559,52 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .select("doc_id", "lang", "source", "n_tokens", "cum_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# sample_reservoir — deterministic fixed-k per-stratum sample
+# --------------------------------------------------------------------------
+
+_RSV_K = 5
+
+
+@register(
+    "sample_reservoir",
+    tags=("pipeline",),
+    oracle=f"""
+        SELECT lang, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS rk
+        FROM documents
+        QUALIFY rk <= {_RSV_K}
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample: exactly k documents per language
+    (or all of them if the stratum is smaller), selected by hash order
+    — the distributed, rerun-stable stand-in for reservoir sampling.
+    Complements ``sample_stratified`` (FRACTION per stratum: output
+    scales with the corpus) when the consumer needs a bounded-size
+    sample per group — eval slices, human-review draws, per-domain
+    probes — no matter how big the corpus grows.
+
+    Determinism: the order key is ``md5(doc_id)`` — uniform,
+    engine-identical, and independent of input row order — so the
+    sample is a function of the DATA, not the execution (same property
+    the hash-mod ``sample_hash`` relies on; doc_id tiebreak covers the
+    impossible-in-practice hash collision).
+
+    Scale: rank-filter-over-window compiles to WindowGroupLimit
+    (asserted in the plan audit): each task heap-prunes its partition
+    to k rows per stratum BEFORE the one shuffle, so wire volume is
+    O(k × strata × tasks), not corpus-sized."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("int").alias("rk"))
+        .filter(F.col("rk") <= _RSV_K)
+    )

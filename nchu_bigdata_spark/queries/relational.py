@@ -289,3 +289,39 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
     ).cast("long")
     return orders.filter(h % 100 < 5).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "scan_text",
+    tags=("b1",),
+    oracle="""
+        SELECT doc_id, CAST(len(text) AS INT) AS n_chars_rt
+        FROM documents
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source (the raw-log / WET-file ingestion
+    path): write the corpus as tab-delimited text lines, read it back
+    with ``spark.read.text``, and prove the round trip lossless by
+    re-deriving every document's id + char length from the parsed
+    lines (the oracle computes the same from the parquet table, so any
+    mangled line breaks the hash).
+
+    Scale notes: the text source splits by line across tasks exactly
+    like a 100 TB log ingest; parsing is one codegen'd split/cast
+    projection, no shuffle anywhere. limit=2 on the split keeps tabs
+    INSIDE a document's text intact (only the first tab delimits)."""
+    out = scratch_dir(sf_dir, "documents_txt")
+    docs = table(spark, sf_dir, "documents")
+    docs.select(
+        F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), F.col("text")
+        ).alias("value")
+    ).write.mode("overwrite").text(out)
+    parsed = spark.read.text(out).select(
+        F.split("value", "\t", 2).alias("p")
+    )
+    return parsed.select(
+        F.element_at("p", 1).cast("long").alias("doc_id"),
+        F.length(F.element_at("p", 2)).cast("int").alias("n_chars_rt"),
+    )

@@ -193,6 +193,10 @@ DRIVER_ORDER = [
     "text_bpe_pairs",
     "events_anomaly",
     "stream_cdc_upsert",
+    "graph_pagerank",
+    "graph_triangles",
+    "scan_text",
+    "sample_reservoir",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

@@ -1,0 +1,155 @@
+"""Semantics tests for the graph operators (graph_pagerank,
+graph_triangles) and the round-6 source/sampling additions
+(scan_text, sample_reservoir) on hand-computable fixtures.
+
+The registry-wide oracle differential proves Spark↔DuckDB agreement on
+the synthetic corpus; these pin the algorithms themselves: the exact
+scaled-int PageRank recurrence against an independent Python replay,
+triangle counts on graphs with known closed forms, input-order
+invariance of the reservoir sample, and tab-preservation in the text
+round trip.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from nchu_bigdata_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+_PR_SCALE = 1_000_000_000
+_PR_BASE = 150_000_000
+
+
+def _write_lineitem_orders(path, orders: dict[int, list[int]]) -> None:
+    """orders: {orderkey: [partkeys]} — minimal lineitem fixture."""
+    ok, pk = [], []
+    for o, parts in orders.items():
+        for p in parts:
+            ok.append(o)
+            pk.append(p)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_partkey": pa.array(pk, pa.int64()),
+            }
+        ),
+        str(path / "lineitem.parquet"),
+    )
+
+
+def _pagerank_replay(edges: set[tuple[int, int]], iters: int = 5) -> dict[int, int]:
+    """Independent integer-recurrence replay (symmetrized edges in)."""
+    out = defaultdict(list)
+    for u, v in edges:
+        out[u].append(v)
+    deg = {u: len(vs) for u, vs in out.items()}
+    r = {u: _PR_SCALE for u in deg}
+    for _ in range(iters):
+        acc: dict[int, int] = defaultdict(int)
+        for u, vs in out.items():
+            c = r[u] // deg[u]
+            for v in vs:
+                acc[v] += c
+        r = {v: _PR_BASE + (85 * s) // 100 for v, s in acc.items()}
+    return r
+
+
+def _sym(pairs):
+    s = set()
+    for a, b in pairs:
+        s.add((a, b))
+        s.add((b, a))
+    return s
+
+
+def test_pagerank_matches_integer_replay(spark, tmp_path):
+    # path-with-hub: orders chain parts 1-2, 2-3, 3-4 plus a hub order
+    # {1, 5, 6} — irregular degrees so ranks differ per node
+    _write_lineitem_orders(
+        tmp_path, {10: [1, 2], 11: [2, 3], 12: [3, 4], 13: [1, 5, 6]}
+    )
+    edges = _sym([(1, 2), (2, 3), (3, 4), (1, 5), (1, 6), (5, 6)])
+    expect = _pagerank_replay(edges)
+    got = {
+        r.p_partkey: r.rank_scaled
+        for r in SPECS["graph_pagerank"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    # the hub (part 1, degree 4) must outrank every leaf
+    assert got[1] == max(got.values())
+
+
+def test_triangles_closed_forms(spark, tmp_path):
+    # one K4 order (C(4,3)=4 triangles) + a disjoint path 10-11-12
+    # (0 triangles) + an order that closes 10-11-12 into a K3 (+1)
+    _write_lineitem_orders(
+        tmp_path,
+        {1: [1, 2, 3, 4], 2: [10, 11], 3: [11, 12], 4: [10, 11, 12]},
+    )
+    row = SPECS["graph_triangles"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_nodes == 7
+    assert row.n_edges == 6 + 3  # K4 + K3(10,11,12)
+    assert row.n_triangles == 4 + 1
+
+
+def _write_documents(path, rows) -> None:
+    """rows: (doc_id, lang, text)."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[2] for r in rows]),
+                "lang": pa.array([r[1] for r in rows]),
+                "source": pa.array(["s"] * len(rows)),
+                "n_chars": pa.array([len(r[2]) for r in rows], pa.int32()),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+
+
+def test_sample_reservoir_sizes_and_order_invariance(spark, tmp_path):
+    big = [(i, "en", f"doc {i}") for i in range(40)]
+    small = [(100 + i, "fr", "petit") for i in range(3)]
+
+    d1 = tmp_path / "a"
+    d1.mkdir()
+    _write_documents(d1, big + small)
+    r1 = sorted(
+        (r.lang, r.doc_id, r.rk)
+        for r in SPECS["sample_reservoir"].fn(spark, str(d1)).collect()
+    )
+    # exactly k=5 for the big stratum, ALL 3 for the small one
+    assert sum(1 for t in r1 if t[0] == "en") == 5
+    assert sum(1 for t in r1 if t[0] == "fr") == 3
+
+    # same data, reversed input order -> identical sample (the order
+    # key is a function of the data, not the execution)
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    _write_documents(d2, list(reversed(big + small)))
+    r2 = sorted(
+        (r.lang, r.doc_id, r.rk)
+        for r in SPECS["sample_reservoir"].fn(spark, str(d2)).collect()
+    )
+    assert r1 == r2
+
+
+def test_scan_text_preserves_inner_tabs(spark, tmp_path):
+    # a tab INSIDE the document text must survive the round trip (the
+    # parser splits on the first tab only)
+    _write_documents(
+        tmp_path,
+        [(1, "en", "left\tright"), (2, "en", "plain words")],
+    )
+    got = {
+        r.doc_id: r.n_chars_rt
+        for r in SPECS["scan_text"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: len("left\tright"), 2: len("plain words")}

@@ -133,6 +133,25 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # checked here by both being present; the vocab-first shape is
     # pinned by the unit test on a repeated-token corpus)
     "text_bpe_pairs": ([r"HashAggregate", r"TakeOrderedAndProject", r"Generate"], []),
+    # PageRank: per-iteration contribution agg must be a hash agg (one
+    # destination-keyed shuffle per iteration); edges/degrees ride as
+    # checkpointed RDD scans, never recomputed lineitem self-joins
+    "graph_pagerank": ([r"HashAggregate", r"Scan ExistingRDD"], []),
+    # triangles: wedge + closure joins are equi hash joins on vertex
+    # keys (the 1-row stat crossJoins are broadcast and harmless)
+    "graph_triangles": (
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [],
+    ),
+    # fixed-k per-stratum sample: the rank filter must compile to
+    # WindowGroupLimit BEFORE the exchange (per-task heap pruning) —
+    # without it the full corpus crosses the wire
+    "sample_reservoir": (
+        [r"WindowGroupLimit[\s\S]*Exchange[\s\S]*WindowGroupLimit"],
+        [],
+    ),
+    # text source round trip: the read-back must be a real text scan
+    "scan_text": ([r"Scan text"], []),
     # aggregation: partial/final hash agg (map-side combine the reference lacks)
     "agg_hash": ([r"HashAggregate"], []),
     "stream_tumbling": ([r"HashAggregate"], []),
