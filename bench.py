@@ -71,6 +71,23 @@ LLM_GROUP = [
     "dedup_incremental",
 ]
 
+# Third tracked group (born round 6): SQL/warehouse/graph composites
+# heavy enough that silent regressions would matter — TPC-H shapes,
+# the binned interval join, the CDC upsert, and the graph kernels.
+# Reported as sql_queries / sql_total; trend starts this round.
+SQL_GROUP = [
+    "tpch_q7",
+    "tpch_q17",
+    "join_interval_overlap",
+    "scd2_history",
+    "stream_cdc_upsert",
+    "graph_pagerank",
+    "graph_triangles",
+    "text_collocation_pmi",
+    "events_anomaly",
+]
+
+
 
 def warm(spark) -> None:
     """One-time runtime initialization, excluded from measurement: JVM
@@ -155,12 +172,14 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
-    def run_group(group: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+    def run_group(
+        group: list[str], group_reps: int | None = None
+    ) -> tuple[dict[str, float], dict[str, float]]:
         times: dict[str, float] = {}
         means: dict[str, float] = {}
         for name in group:
             samples = []
-            for _ in range(reps):
+            for _ in range(group_reps or reps):
                 t0 = time.perf_counter()
                 df = specs[name].fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
@@ -171,6 +190,11 @@ def main() -> None:
 
     times, means = run_group(names)
     llm_times, llm_means = run_group([n for n in LLM_GROUP if n in specs])
+    # SQL/graph composites are the slowest group; 3 reps bounds the
+    # bench's wall clock while min-of-3 still rejects warmup noise.
+    sql_times, sql_means = run_group(
+        [n for n in SQL_GROUP if n in specs], group_reps=min(reps, 3)
+    )
 
     total = round(sum(times.values()), 3)
     total_mean = round(sum(means.values()), 3)
@@ -211,6 +235,10 @@ def main() -> None:
                 # Round-over-round LLM-group regression deltas (secs vs
                 # the latest recorded BENCH_r{N}; negative = faster).
                 "llm_delta": llm_delta,
+                # SQL/warehouse/graph composite group (round 6+).
+                "sql_queries": sql_times,
+                "sql_total": round(sum(sql_times.values()), 3),
+                "sql_queries_mean": sql_means,
             }
         )
     )

@@ -105,30 +105,40 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rank_scaled`` is the per-node-scale rank × 1e9; the per-node base
     term makes the recurrence N-independent.
 
-    Plan: edges + degrees computed once and localCheckpointed (reused
-    by all 5 iterations AND as both join sides); each iteration is
-    edges ⋈ ranks ⋈ degrees on u followed by one hash-agg on the
-    destination — partial integer sums combine map-side, and the rank
-    state never leaves the cluster (contrast: ``kmeans_fit`` collects
-    k centroid rows; here the state is vertex-cardinality, so it
-    stays a DataFrame)."""
-    edges = shared_intermediate("pagerank_edges", _copurchase_edges(spark, sf_dir))
-    deg = shared_intermediate(
-        "pagerank_deg", edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    Plan: the edge table (with out-degree folded in) is computed once
+    and localCheckpointed; each iteration is then ONE join
+    (edges ⋈ ranks on the source) + one hash-agg on the destination —
+    partial integer sums combine map-side, and the rank state never
+    leaves the cluster (contrast: ``kmeans_fit`` collects k centroid
+    rows; here the state is vertex-cardinality, so it stays a
+    DataFrame)."""
+    raw = _copurchase_edges(spark, sf_dir)
+    deg = raw.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # Fold the out-degree INTO the checkpointed edge table once, so
+    # every iteration is a single join (edges⋈ranks) instead of two —
+    # at 100 TB that's one shuffle less per iteration, forever.
+    edges = shared_intermediate("pagerank_edges", raw.join(deg, "u"))
+    # Initial ranks come FROM the checkpoint (distinct sources), so the
+    # lineitem self-join runs exactly once for the whole query.
+    ranks = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.lit(_PR_SCALE).cast("long").alias("r")
     )
-    ranks = deg.select(F.col("u").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(ranks, edges.u == ranks.node)
-            .join(deg, "u")
-            .select("v", F.expr("r DIV d").alias("c"))
+        contrib = edges.join(ranks, edges.u == ranks.node).select(
+            "v", F.expr("r DIV d").alias("c")
         )
-        ranks = contrib.groupBy("v").agg(
-            (F.lit(_PR_BASE) + F.expr("85 * sum(c) DIV 100"))
-            .cast("long")
-            .alias("r")
-        ).select(F.col("v").alias("node"), "r")
-    return ranks.select(F.col("node").alias("p_partkey"), F.col("r").alias("rank_scaled"))
+        ranks = (
+            contrib.groupBy("v")
+            .agg(
+                (F.lit(_PR_BASE) + F.expr("85 * sum(c) DIV 100"))
+                .cast("long")
+                .alias("r")
+            )
+            .select(F.col("v").alias("node"), "r")
+        )
+    return ranks.select(
+        F.col("node").alias("p_partkey"), F.col("r").alias("rank_scaled")
+    )
 
 
 @register(
