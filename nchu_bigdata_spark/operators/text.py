@@ -772,3 +772,72 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# text_compression_ratio — zlib compressibility quality signal
+# --------------------------------------------------------------------------
+
+_ZLIB_LEVEL = 6
+# Gopher-style boilerplate flag: extremely compressible text (templated
+# markup, repeated spans) — integer-percent threshold on deflate ratio.
+_ZLIB_FLAG_BELOW_PCT = 35
+
+
+def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, raw_len, comp_len, ratio_bp, flag_boilerplate) — per-doc
+    zlib(deflate, level 6) compressibility. See ``text_compression_ratio``."""
+    import pandas as pd  # noqa: F401 — Arrow batches arrive as pandas
+
+    def _batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].str.encode("utf-8")
+            raw_len = raw.str.len().astype("int64")
+            comp_len = raw.map(
+                lambda b: len(zlib.compress(b, _ZLIB_LEVEL))
+            ).astype("int64")
+            # EXACT integer basis points (floor), never a rounded float:
+            # ratios like 207/480 = 0.43125 sit ON the half-grid and
+            # round differently across float paths — integer math is the
+            # same policy the pipeline samplers use (pipeline.py doc).
+            ratio_bp = (comp_len * 10_000) // raw_len.clip(lower=1)
+            out = pdf[["doc_id"]].copy()
+            out["raw_len"] = raw_len.astype("int32")
+            out["comp_len"] = comp_len.astype("int32")
+            out["ratio_bp"] = ratio_bp.astype("int32")
+            out["flag_boilerplate"] = comp_len * 100 < _ZLIB_FLAG_BELOW_PCT * raw_len
+            yield out
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        _batches,
+        "doc_id long, raw_len int, comp_len int, ratio_bp int, "
+        "flag_boilerplate boolean",
+    )
+
+
+@register(
+    "text_compression_ratio",
+    tags=("b10",),
+    oracle=None,  # zlib is not SQL-expressible; exactness pinned by the
+    # pytest replay against Python's zlib on the same bytes
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality scoring: per-document deflate ratio
+    (zlib level 6), the Gopher/Dolma-class signal for templated
+    boilerplate (very low ratio) and binary-ish noise (ratio ≈ 1) that
+    length/stopword heuristics (``text_quality``) miss.
+
+    Rows-only BY DESIGN: a DEFLATE encoder is not expressible in SQL,
+    so there is no DuckDB oracle — instead the pytest suite replays
+    Python's zlib on the same UTF-8 bytes and asserts EXACT equality
+    of every output row, plus the monotonicity property (repetitive
+    text compresses strictly better than high-entropy text).
+
+    Plan/scale: compression is CPU-dense narrow work — Arrow-batched
+    ``mapInPandas`` over a parallelism-guarded scan, zero shuffle; at
+    100 TB this runs embarrassingly parallel at scan locality, exactly
+    like the multimodal decode path (``multimodal.py`` notes). Bytes
+    cross to Python once per row; output is 5 small columns."""
+    return compression_ratio(parallel_table(spark, sf_dir, "documents"))

@@ -349,3 +349,49 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(direct, "l_returnflag").select(
         "l_returnflag", "n_shards", "est_merged", "est_direct"
     )
+
+
+# --------------------------------------------------------------------------
+# agg_percentile_exact — exact interpolated percentiles per group
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentile_exact",
+    tags=("b4",),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS p50_qty,
+               CAST(ROUND(quantile_cont(l_quantity, 0.95), 4) AS DOUBLE) AS p95_qty,
+               CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50_price,
+               CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE) AS p99_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (linear interpolation between order
+    statistics — the PERCENTILE_CONT definition both engines share),
+    complementing ``agg_approx``'s sketch path: approx is the 100 TB
+    default, exact is what you run to calibrate the sketch's error on
+    a sample, and both now live in the same engine.
+
+    Plan: Spark's ``percentile`` is a typed-aggregate: per-partition
+    partial state (value buffer) merges at the final agg — one shuffle
+    keyed by group, no global sort of the table (contrast a naive
+    row_number-over-full-sort implementation). Exact percentiles
+    buffer each group's values, so at 100 TB this is for
+    bounded-cardinality groups or sampled calibration — precisely how
+    it's framed vs agg_approx. Interpolated results are rounded to 4dp
+    (compat.py policy) since the interpolation arithmetic is float."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def pct(col: str, p: float, alias: str):
+        return F.round(F.percentile(col, F.lit(p)), 4).cast("double").alias(alias)
+
+    return li.groupBy("l_returnflag").agg(
+        pct("l_quantity", 0.5, "p50_qty"),
+        pct("l_quantity", 0.95, "p95_qty"),
+        pct("l_extendedprice", 0.5, "p50_price"),
+        pct("l_extendedprice", 0.99, "p99_price"),
+    )

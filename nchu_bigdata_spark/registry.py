@@ -197,6 +197,8 @@ DRIVER_ORDER = [
     "graph_triangles",
     "scan_text",
     "sample_reservoir",
+    "agg_percentile_exact",
+    "text_compression_ratio",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

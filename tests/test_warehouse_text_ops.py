@@ -258,3 +258,65 @@ def test_tpch_q12_lateness_residual(spark, tmp_path):
     r = rows[0]
     # only order 1's line ships after its order date; priority 5-LOW
     assert (r.ship_class, r.high_line_count, r.low_line_count) == ("O", 0, 1)
+
+
+# --------------------------------------------------------------------------
+# text_compression_ratio — exact zlib replay + monotonicity
+# --------------------------------------------------------------------------
+
+
+def test_compression_ratio_exact_replay(spark, tmp_path):
+    import zlib
+
+    prose = (
+        "compression behaves differently on natural language because "
+        "letter frequencies and common digraphs give the encoder short "
+        "codes while sentence structure repeats only loosely across a "
+        "paragraph of ordinary descriptive writing"
+    )
+    # genuinely high-entropy printable text (chained sha256 bytes; a
+    # polynomial-mod generator is periodic and compresses to ~0.25)
+    import hashlib
+
+    chunks, seed = [], b"entropy"
+    while sum(len(c) for c in chunks) < 220:
+        seed = hashlib.sha256(seed).digest()
+        chunks.append("".join(chr(33 + b % 94) for b in seed))
+    noise = "".join(chunks)[:220]
+    texts = [
+        "spam " * 200,  # highly repetitive
+        prose,          # ordinary language (mid ratio)
+        noise,          # pseudo-random printable (near-incompressible)
+        "",             # empty (clip guard)
+    ]
+    _write_documents(tmp_path, texts)
+    rows = SPECS["text_compression_ratio"].fn(spark, str(tmp_path)).collect()
+    got = {r.doc_id: r for r in rows}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        r = got[i]
+        assert (r.raw_len, r.comp_len) == (len(raw), len(comp)), i
+        assert r.ratio_bp == len(comp) * 10_000 // max(len(raw), 1), i
+    # monotonicity: repetitive < prose < noise
+    assert got[0].ratio_bp < got[1].ratio_bp < got[2].ratio_bp
+    assert got[0].flag_boilerplate and not got[2].flag_boilerplate
+
+
+def test_percentile_exact_interpolation(spark, tmp_path):
+    # 4 known values -> p50 must interpolate (PERCENTILE_CONT), not
+    # pick a nearest-rank value
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(["A"] * 4),
+                "l_quantity": pa.array([1.0, 2.0, 3.0, 10.0], pa.float64()),
+                "l_extendedprice": pa.array([1.0, 1.0, 1.0, 1.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    r = SPECS["agg_percentile_exact"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.p50_qty == 2.5          # (2+3)/2
+    assert r.p95_qty == 8.95         # 3 + 0.85*(10-3) at rank 2.85
+    assert r.p50_price == 1.0

@@ -195,12 +195,48 @@ def bounded_agg_sketch_merge(con, spdf: pd.DataFrame) -> tuple[bool, str]:
     return True, f"{len(spdf)} rows, merged~direct & HLL bounds hold"
 
 
+def exact_compression_ratio(con, spdf: pd.DataFrame) -> tuple[bool, str]:
+    """text_compression_ratio: a DEFLATE encoder is not SQL-expressible,
+    but the checker is Python — replay zlib(level 6) over the same
+    UTF-8 bytes (documents fetched via DuckDB) and demand EXACT
+    equality of every output row. Harder than a bounded check; only
+    the transport differs from a real oracle."""
+    import zlib
+
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    expect = {}
+    for doc_id, text in docs:
+        raw = text.encode("utf-8")
+        comp_len = len(zlib.compress(raw, 6))
+        ratio_bp = comp_len * 10_000 // max(len(raw), 1)
+        expect[int(doc_id)] = (
+            len(raw),
+            comp_len,
+            ratio_bp,
+            comp_len * 100 < 35 * len(raw),
+        )
+    got = {
+        int(r["doc_id"]): (
+            int(r["raw_len"]),
+            int(r["comp_len"]),
+            int(r["ratio_bp"]),
+            bool(r["flag_boilerplate"]),
+        )
+        for _, r in spdf.iterrows()
+    }
+    if got != expect:
+        bad = [k for k in expect if got.get(k) != expect[k]][:3]
+        return False, f"zlib replay mismatch, e.g. doc_ids {bad}"
+    return True, f"{len(got)} rows, exact zlib replay"
+
+
 # Rows-only queries with a promoted bounded accuracy check: the sweep
 # runs these against DuckDB exact aggregates instead of recording a
 # bare rows-only line.
 BOUNDED_CHECKS = {
     "agg_approx": bounded_agg_approx,
     "agg_sketch_merge": bounded_agg_sketch_merge,
+    "text_compression_ratio": exact_compression_ratio,
 }
 
 

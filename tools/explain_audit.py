@@ -152,6 +152,16 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     ),
     # text source round trip: the read-back must be a real text scan
     "scan_text": ([r"Scan text"], []),
+    # exact percentiles: typed partial/final ObjectHashAggregate — one
+    # group-keyed exchange, never a global sort of the table
+    "agg_percentile_exact": (
+        [r"ObjectHashAggregate[\s\S]*Exchange[\s\S]*ObjectHashAggregate"],
+        [r"Sort "],
+    ),
+    # zlib scoring: Arrow mapInPandas over the scan; the only exchange
+    # allowed is the parallelism-guard round robin (never a hash/key
+    # shuffle — compression is embarrassingly parallel)
+    "text_compression_ratio": ([r"MapInPandas"], [r"hashpartitioning"]),
     # aggregation: partial/final hash agg (map-side combine the reference lacks)
     "agg_hash": ([r"HashAggregate"], []),
     "stream_tumbling": ([r"HashAggregate"], []),
