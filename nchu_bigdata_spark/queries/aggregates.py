@@ -395,3 +395,46 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct("l_extendedprice", 0.5, "p50_price"),
         pct("l_extendedprice", 0.99, "p99_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_corr — per-group correlation / covariance moments
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_corr",
+    tags=("b4",),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DOUBLE)
+                   AS qty_price_corr,
+               CAST(ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE)
+                   AS qty_price_cov,
+               CAST(ROUND(stddev_samp(l_quantity), 4) AS DOUBLE) AS qty_std
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group second-moment statistics: Pearson correlation, sample
+    covariance, and sample stddev — the profiling pass behind feature
+    selection and drift monitoring.
+
+    Plan: all three are DECLARED co-moment aggregates (count/mean/M2
+    partial states merged associatively), so one partial+final hash agg
+    computes everything — no two-pass mean-then-residual dance and no
+    window. Results round to a fixed grid (compat.py): the co-moment
+    merge order differs between engines only in final ulps."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+        .cast("double")
+        .alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+        .cast("double")
+        .alias("qty_price_cov"),
+        F.round(F.stddev_samp("l_quantity"), 4).cast("double").alias("qty_std"),
+    )

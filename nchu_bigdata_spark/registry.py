@@ -199,6 +199,7 @@ DRIVER_ORDER = [
     "sample_reservoir",
     "agg_percentile_exact",
     "text_compression_ratio",
+    "agg_corr",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",
