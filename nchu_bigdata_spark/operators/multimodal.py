@@ -682,3 +682,91 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned by unit tests on known arrays."""
     docs = table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(_synth_and_resize, _RESIZE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash — 64-bit average-hash image fingerprints (aHash)
+# --------------------------------------------------------------------------
+
+
+def ahash_image(payload: bytes) -> int:
+    """64-bit average hash (aHash) of a 24-bpp BMP in EXACT integer
+    arithmetic — the perceptual-dedup fingerprint (near-identical
+    images agree on most bits; hamming distance measures similarity).
+
+    Definition (the sweep's pure-Python replay reimplements exactly
+    this spec, independently of numpy and of the BMP parser):
+      * gray(r, c) = B+G+R of pixel (r, c)  (0..765, no division)
+      * cell (i, j), i,j ∈ 0..7 averages gray over pixel rows
+        [i*h//8, max((i+1)*h//8, i*h//8+1)) × cols
+        [j*w//8, max((j+1)*w//8, j*w//8+1))  — integer block mean
+        (floor); when the image has fewer than 8 rows/cols the block
+        degenerates to the single nearest row/col (nearest-neighbor
+        upsample), so the hash is defined for every payload size.
+      * threshold = (Σ all 64 cell means) // 64
+      * bit k (k = 8·i + j) set iff cell(i, j) > threshold.
+    """
+    import numpy as np
+
+    gray = _bmp_pixels(payload).astype(np.int64).sum(axis=2)
+    h, w = gray.shape
+    cells = [[0] * 8 for _ in range(8)]
+    for i in range(8):
+        r0 = i * h // 8
+        r1 = max((i + 1) * h // 8, r0 + 1)
+        for j in range(8):
+            c0 = j * w // 8
+            c1 = max((j + 1) * w // 8, c0 + 1)
+            block = gray[r0:r1, c0:c1]
+            cells[i][j] = int(block.sum()) // block.size
+    thr = sum(sum(row) for row in cells) // 64
+    v = 0
+    for i in range(8):
+        for j in range(8):
+            if cells[i][j] > thr:
+                v |= 1 << (8 * i + j)
+    return v - (1 << 64) if v & (1 << 63) else v  # two's-complement int64
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _synth_and_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            blob = encode_bmp(bytes(payload))
+            rows.append((int(doc_id), len(bytes(payload)), ahash_image(blob)))
+        yield pd.DataFrame(rows, columns=[f.name for f in _PHASH_SCHEMA.fields])
+
+
+@register(
+    "multimodal_phash",
+    tags=("b10",),
+    oracle=None,  # BMP parsing isn't SQL; the sweep replays the spec in
+    # pure Python (independent of numpy AND of the module's parser) and
+    # demands exact per-row equality — promoted check, not rows-only
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprints: synthesize each image-modality
+    document's BMP payload (same deterministic synth as
+    ``multimodal_decode``) and emit its 64-bit average hash — the
+    standard near-duplicate-image primitive (crop/re-encode/resize
+    survivors agree on most bits). Downstream, the hamming-band pair
+    machinery of ``dedup_simhash_pairs`` applies to this column
+    unchanged (band the 4×16-bit chunks, verify with bit_count(a^b)).
+
+    Plan/scale: identical to the decode path — Arrow ``mapInPandas``
+    over the payload column, partition-preserving, zero shuffle; at
+    100 TB the hash runs at scan locality and only 24 bytes per image
+    leave the stage. Exact integer math end-to-end (see
+    ``ahash_image``), so the fingerprint is engine- and
+    platform-independent — safe to persist as an index."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return with_payload(docs).mapInPandas(_synth_and_phash, _PHASH_SCHEMA)

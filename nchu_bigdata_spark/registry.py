@@ -200,6 +200,7 @@ DRIVER_ORDER = [
     "agg_percentile_exact",
     "text_compression_ratio",
     "agg_corr",
+    "multimodal_phash",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

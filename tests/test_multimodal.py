@@ -153,3 +153,30 @@ def test_decode_plumbing_runs_on_spark(spark, sf_dir):
             assert r.decoder == "byte-moments-fallback"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # decode must not shuffle blobs
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash — perceptual-similarity sanity
+# --------------------------------------------------------------------------
+
+
+def test_phash_similarity_ordering():
+    """Identical payloads hash identically; a one-word edit lands far
+    closer in hamming space than unrelated content (the property that
+    makes aHash a near-dup primitive)."""
+    from nchu_bigdata_spark.operators.multimodal import ahash_image, encode_bmp
+
+    base = ("the quick brown fox jumps over the lazy dog again and " * 8).encode()
+    edited = ("the quick brown fox leaps over the lazy dog again and " * 8).encode()
+    other = bytes((i * 37 + 11) % 251 for i in range(len(base)))
+
+    h_base = ahash_image(encode_bmp(base))
+    assert ahash_image(encode_bmp(base)) == h_base  # deterministic
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    d_edit = ham(h_base, ahash_image(encode_bmp(edited)))
+    d_other = ham(h_base, ahash_image(encode_bmp(other)))
+    assert d_edit < d_other
+    assert d_edit <= 16  # localized edit flips few cells

@@ -230,6 +230,57 @@ def exact_compression_ratio(con, spdf: pd.DataFrame) -> tuple[bool, str]:
     return True, f"{len(got)} rows, exact zlib replay"
 
 
+def exact_multimodal_phash(con, spdf: pd.DataFrame) -> tuple[bool, str]:
+    """multimodal_phash: replay the documented aHash SPEC in pure
+    Python — independent of numpy AND of the module's BMP encode/parse
+    (the pixel tiling is reconstructed straight from the payload
+    definition) — and demand exact per-row equality."""
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0"
+    ).fetchall()
+    expect = {}
+    for doc_id, text in docs:
+        data = text.encode("utf-8") or b"\x00"
+        row_px = 16 * 3
+        n_rows = max(1, len(data) // row_px)
+        need = n_rows * row_px
+        px = (data * (need // len(data) + 1))[:need]
+        gray = [
+            [
+                px[r * row_px + c * 3]
+                + px[r * row_px + c * 3 + 1]
+                + px[r * row_px + c * 3 + 2]
+                for c in range(16)
+            ]
+            for r in range(n_rows)
+        ]
+        h, w = n_rows, 16
+        cells = [[0] * 8 for _ in range(8)]
+        for i in range(8):
+            r0, r1 = i * h // 8, max((i + 1) * h // 8, i * h // 8 + 1)
+            for j in range(8):
+                c0, c1 = j * w // 8, max((j + 1) * w // 8, j * w // 8 + 1)
+                vals = [gray[r][c] for r in range(r0, r1) for c in range(c0, c1)]
+                cells[i][j] = sum(vals) // len(vals)
+        thr = sum(sum(row) for row in cells) // 64
+        v = 0
+        for i in range(8):
+            for j in range(8):
+                if cells[i][j] > thr:
+                    v |= 1 << (8 * i + j)
+        if v & (1 << 63):
+            v -= 1 << 64
+        expect[int(doc_id)] = (len(text.encode("utf-8")), v)
+    got = {
+        int(r["doc_id"]): (int(r["n_bytes"]), int(r["phash"]))
+        for _, r in spdf.iterrows()
+    }
+    if got != expect:
+        bad = [k for k in expect if got.get(k) != expect[k]][:3]
+        return False, f"aHash spec replay mismatch, e.g. doc_ids {bad}"
+    return True, f"{len(got)} rows, exact aHash spec replay"
+
+
 # Rows-only queries with a promoted bounded accuracy check: the sweep
 # runs these against DuckDB exact aggregates instead of recording a
 # bare rows-only line.
@@ -237,6 +288,7 @@ BOUNDED_CHECKS = {
     "agg_approx": bounded_agg_approx,
     "agg_sketch_merge": bounded_agg_sketch_merge,
     "text_compression_ratio": exact_compression_ratio,
+    "multimodal_phash": exact_multimodal_phash,
 }
 
 

@@ -162,6 +162,9 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # allowed is the parallelism-guard round robin (never a hash/key
     # shuffle — compression is embarrassingly parallel)
     "text_compression_ratio": ([r"MapInPandas"], [r"hashpartitioning"]),
+    # aHash fingerprints: partition-preserving Arrow stage over the
+    # payload scan — no exchange of any kind (like decode_meta)
+    "multimodal_phash": ([r"MapInPandas"], [r"Exchange"]),
     # aggregation: partial/final hash agg (map-side combine the reference lacks)
     "agg_hash": ([r"HashAggregate"], []),
     "stream_tumbling": ([r"HashAggregate"], []),
