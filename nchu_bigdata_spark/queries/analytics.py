@@ -195,62 +195,101 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# events_anomaly — per-key z-score outlier detection
+# events_anomaly — per-key z-score outlier detection (exact integer test)
 # --------------------------------------------------------------------------
 
 # Minimum per-key sample size before a z-score is meaningful; keys with
 # fewer observations are skipped (their sample std is noise).
 _ANOM_MIN_N = 10
-_ANOM_Z = 3.0
+_ANOM_Z = 3  # threshold in standard deviations (integer, used squared)
 
 
 @register(
     "events_anomaly",
     tags=("b12",),
     oracle=f"""
-        WITH stats AS (
+        WITH c AS (
+            SELECT user_id, event_type, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        stats AS (
             SELECT user_id, event_type,
-                   AVG(value) AS mu,
-                   STDDEV_SAMP(value) AS sd,
-                   COUNT(*) AS n
-            FROM events GROUP BY user_id, event_type
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s1,
+                   CAST(SUM(cents * cents) AS BIGINT) AS s2
+            FROM c GROUP BY user_id, event_type
         )
-        SELECT e.user_id, e.event_type,
+        SELECT c.user_id, c.event_type,
                CAST(COUNT(*) AS BIGINT) AS n_anomalies,
-               MAX(ROUND(ABS(e.value - s.mu) / s.sd, 4)) AS max_z
-        FROM events e
-        JOIN stats s ON s.user_id = e.user_id AND s.event_type = e.event_type
-        WHERE s.n >= {_ANOM_MIN_N} AND s.sd > 0
-          AND ROUND(ABS(e.value - s.mu) / s.sd, 4) > {_ANOM_Z}
-        GROUP BY e.user_id, e.event_type
+               CAST(MAX(ABS(s.n * c.cents - s.s1)) AS BIGINT) AS max_dev_scaled
+        FROM c
+        JOIN stats s ON s.user_id = c.user_id AND s.event_type = c.event_type
+        WHERE s.n >= {_ANOM_MIN_N}
+          AND s.n * s.s2 > s.s1 * s.s1
+          AND CAST(s.n * c.cents - s.s1 AS HUGEINT)
+              * CAST(s.n * c.cents - s.s1 AS HUGEINT) * (s.n - 1)
+              > {_ANOM_Z * _ANOM_Z} * CAST(s.n AS HUGEINT)
+                * (CAST(s.n AS HUGEINT) * s.s2 - CAST(s.s1 AS HUGEINT) * s.s1)
+        GROUP BY c.user_id, c.event_type
     """,
 )
 def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, event_type) z-score outlier detection: flag events
     more than 3 sample standard deviations from their key's mean, and
-    report anomaly count + the worst z per key — the metrics-monitoring
-    staple (fraud spikes, sensor faults, bot bursts).
+    report anomaly count + the worst scaled deviation per key — the
+    metrics-monitoring staple (fraud spikes, sensor faults, bot bursts).
 
-    Plan: per-key moments are ONE hash-agg (count/avg/stddev partials
-    all map-side combinable); the tiny stats table joins back onto the
-    stream on the SAME key, so AQE reuses the exchange layout from the
-    agg — the event stream shuffles once, total. z is rounded to 4dp
-    BEFORE the threshold compare on both engines so partial-agg ulp
-    drift in mu/sd can't flip a boundary row (compat.py policy, same
-    grid as the PMI scorer)."""
+    The z-test runs in EXACT integer arithmetic (review finding: a
+    float z rounded to any grid can still straddle the threshold when
+    each engine computes mu/sd with its own summation order). Values
+    have 2 decimals, so cents are exact int64; the test
+    ``|x − mu| > z·sd`` is squared and cleared of denominators into
+        (n·c − S1)² · (n−1)  >  z² · n · (n·S2 − S1²)
+    over integer sums S1=Σc, S2=Σc² — 128-bit-safe as DECIMAL(38,0) on
+    Spark and HUGEINT on DuckDB, bit-identical on both, no float
+    anywhere. ``max_dev_scaled`` = max |n·c − S1| (= n·|x−mu| in
+    cents) is likewise exact; a float z is display-only derivable
+    downstream.
+
+    Plan: per-key integer sums are ONE hash-agg (map-side combinable);
+    the tiny stats table joins back on the SAME key — the event stream
+    shuffles once total."""
     ev = table(spark, sf_dir, "events")
-    stats = ev.groupBy("user_id", "event_type").agg(
-        F.avg("value").alias("mu"),
-        F.stddev_samp("value").alias("sd"),
-        F.count(F.lit(1)).alias("n"),
+    c = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    z = F.round(F.abs(F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    stats = c.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    dec = "decimal(38,0)"
+    dev = F.col("n") * F.col("cents") - F.col("s1")  # int64-safe
+    lhs = (
+        dev.cast(dec) * dev.cast(dec) * (F.col("n") - 1).cast(dec)
+    )
+    rhs = (
+        F.lit(_ANOM_Z * _ANOM_Z).cast(dec)
+        * F.col("n").cast(dec)
+        * (
+            F.col("n").cast(dec) * F.col("s2").cast(dec)
+            - F.col("s1").cast(dec) * F.col("s1").cast(dec)
+        )
+    )
     return (
-        ev.join(stats, ["user_id", "event_type"])
-        .filter((F.col("n") >= _ANOM_MIN_N) & (F.col("sd") > 0) & (z > _ANOM_Z))
+        c.join(stats, ["user_id", "event_type"])
+        .filter(
+            (F.col("n") >= _ANOM_MIN_N)
+            & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+            & (lhs > rhs)
+        )
         .groupBy("user_id", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_anomalies"),
-            F.max(z).alias("max_z"),
+            F.max(F.abs(dev)).alias("max_dev_scaled"),
         )
     )

@@ -307,15 +307,24 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines (the oracle computes the same from the parquet table, so any
     mangled line breaks the hash).
 
+    The payload travels HEX-ARMORED: a line sink is only record-safe
+    for content with no newlines, and document text can contain them
+    (review finding: a raw write split an embedded ``\\n`` into an
+    orphan record). Hex framing is line-safe by construction — NOT
+    base64: Spark's ``base64`` is the MIME variant and itself inserts
+    CRLF every 76 chars. Length is derived from the DECODED payload so
+    the armor never leaks into the result.
+
     Scale notes: the text source splits by line across tasks exactly
-    like a 100 TB log ingest; parsing is one codegen'd split/cast
-    projection, no shuffle anywhere. limit=2 on the split keeps tabs
-    INSIDE a document's text intact (only the first tab delimits)."""
+    like a 100 TB log ingest; armor+parse are codegen'd projections,
+    no shuffle anywhere."""
     out = scratch_dir(sf_dir, "documents_txt")
     docs = table(spark, sf_dir, "documents")
     docs.select(
         F.concat_ws(
-            "\t", F.col("doc_id").cast("string"), F.col("text")
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.hex(F.encode("text", "UTF-8")),
         ).alias("value")
     ).write.mode("overwrite").text(out)
     parsed = spark.read.text(out).select(
@@ -323,5 +332,7 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.select(
         F.element_at("p", 1).cast("long").alias("doc_id"),
-        F.length(F.element_at("p", 2)).cast("int").alias("n_chars_rt"),
+        F.length(F.decode(F.unhex(F.element_at("p", 2)), "UTF-8"))
+        .cast("int")
+        .alias("n_chars_rt"),
     )

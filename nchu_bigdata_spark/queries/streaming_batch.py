@@ -396,11 +396,21 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The file streaming source needs a DIRECTORY; stage the events
     # parquet into one via symlink (same trick as the parity tests).
+    # scratch_dir keys on the sf-dir BASENAME only and .scratch
+    # persists across runs, so a pre-existing link may point at a
+    # DIFFERENT sf dir with the same basename (silent stale read) or
+    # dangle (os.path.exists follows the link → False → symlink raises
+    # FileExistsError). Check the link itself (lexists) and retarget.
     src_dir = scratch_dir(sf_dir, "cdc_src")
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if os.path.lexists(link) and (
+        not os.path.islink(link) or os.readlink(link) != target
+    ):
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
     return run_events_cdc_upsert(
         spark, src_dir, scratch_dir(sf_dir, "cdc_target")
     )

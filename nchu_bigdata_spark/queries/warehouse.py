@@ -110,9 +110,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     time axis is binned by calendar month:
 
       * interval side: each order explodes into the months its
-        [date, date+30d) window touches — ≤3 bins (a 30-day
-        span covers 3 calendar months only when it contains all of a
-        short February), via sequence(month(start), month(last_day)).
+        [date, date+30d) window touches — ≤3 bins, via
+        sequence(month(start), month(start+30d−1µs)) (the last INSTANT
+        of the half-open window, so time-of-day starts can't leak past
+        the top bin).
       * point side: each order keys by the single month of its date.
 
     The join is then EQUI on (custkey, month) — a plain shuffled hash
@@ -123,7 +124,19 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB where the theta form is O(rows-per-key²)."""
     orders = table(spark, sf_dir, "orders")
     start = F.col("o_orderdate")
-    last = start + F.expr(f"INTERVAL {_SPAN_DAYS - 1} DAYS")
+    # Bins must cover through the last INSTANT inside the half-open
+    # window, i.e. month(start + 30d − 1µs) — NOT month(start + 29d):
+    # with a time-of-day component (TimestampType permits it), a window
+    # starting Jan 30 23:00 admits points up to Mar 1 22:59:59.999999,
+    # one month beyond start+29d (= Feb 28 23:00). Deriving the high
+    # bin from start+29d silently drops those pairs (review finding,
+    # reproduced with non-midnight fixtures). Still ≤3 months: two full
+    # interior months would need a ≥59-day span.
+    last = (
+        start
+        + F.expr(f"INTERVAL {_SPAN_DAYS} DAYS")
+        - F.expr("INTERVAL 1 MICROSECOND")
+    )
     iv = orders.select(
         F.col("o_custkey").alias("i_custkey"),
         F.col("o_orderkey").alias("i_orderkey"),

@@ -141,15 +141,18 @@ def test_sample_reservoir_sizes_and_order_invariance(spark, tmp_path):
     assert r1 == r2
 
 
-def test_scan_text_preserves_inner_tabs(spark, tmp_path):
-    # a tab INSIDE the document text must survive the round trip (the
-    # parser splits on the first tab only)
-    _write_documents(
-        tmp_path,
-        [(1, "en", "left\tright"), (2, "en", "plain words")],
-    )
-    got = {
-        r.doc_id: r.n_chars_rt
-        for r in SPECS["scan_text"].fn(spark, str(tmp_path)).collect()
+def test_scan_text_survives_hostile_content(spark, tmp_path):
+    # tabs, embedded NEWLINES (review finding: a raw line sink split
+    # them into orphan records), and CRs must all survive the armored
+    # round trip as single records with exact char lengths
+    texts = {
+        1: "left\tright",
+        2: "line one\nline two\nline three",
+        3: "cr\r\nlf mix",
+        4: "plain words",
     }
-    assert got == {1: len("left\tright"), 2: len("plain words")}
+    _write_documents(tmp_path, [(k, "en", v) for k, v in texts.items()])
+    rows = SPECS["scan_text"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == len(texts)  # no orphan records
+    got = {r.doc_id: r.n_chars_rt for r in rows}
+    assert got == {k: len(v) for k, v in texts.items()}

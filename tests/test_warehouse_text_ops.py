@@ -320,3 +320,26 @@ def test_percentile_exact_interpolation(spark, tmp_path):
     assert r.p50_qty == 2.5          # (2+3)/2
     assert r.p95_qty == 8.95         # 3 + 0.85*(10-3) at rank 2.85
     assert r.p50_price == 1.0
+
+
+def test_interval_overlap_non_midnight_timestamps(spark, tmp_path):
+    """Review-finding regression: a window starting at 23:00 admits
+    points up to start+30d (exclusive) — one calendar month past
+    month(start+29d). The bin explode must reach that month."""
+    _write_orders(
+        tmp_path,
+        [
+            (1, 1, "2023-01-30T23:00:00", 1.0),
+            # inside [Jan 30 23:00, Mar 1 23:00): must be found, and its
+            # month (March) is beyond month(start + 29d) = February
+            (2, 1, "2023-03-01T10:00:00", 1.0),
+            # exactly start+30d -> excluded (half-open)
+            (3, 1, "2023-03-01T23:00:00", 1.0),
+        ],
+    )
+    got = {
+        r.c_custkey: r.n_overlaps
+        for r in SPECS["join_interval_overlap"].fn(spark, str(tmp_path)).collect()
+    }
+    # pairs: 1->2 only... plus 2->3 (Mar 1 23:00 inside [Mar 1 10:00, +30d))
+    assert got == {1: 2}
