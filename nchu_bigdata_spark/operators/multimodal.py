@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 
 from nchu_bigdata_spark.compat import dround, sql_dround
 from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.materialize import shared_intermediate
 from nchu_bigdata_spark.registry import register
 
 _FRAME_LEN = 128  # chars per sampled frame
@@ -770,3 +771,75 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     platform-independent — safe to persist as an index."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     return with_payload(docs).mapInPandas(_synth_and_phash, _PHASH_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash_pairs — near-duplicate image pairs via hamming bands
+# --------------------------------------------------------------------------
+
+_PH_BANDS = 4  # 4 × 16-bit bands over the 64-bit aHash
+_PH_HAM_T = 6  # verified hamming threshold
+
+
+@register(
+    "multimodal_phash_pairs",
+    tags=("b10",),
+    oracle=None,  # replayed exactly in pure Python by the sweep (band
+    # condition + hamming verify on spec-replayed hashes)
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs: hamming-band candidate join over the
+    aHash fingerprints (``multimodal_phash``), verified by exact
+    ``bit_count(a ^ b)`` ≤ 6 — the image-side mirror of
+    ``dedup_simhash_pairs`` (same Manku-style banding, 4×16-bit bands,
+    pigeonhole-complete for hamming ≤ 3; beyond that, banding recall is
+    part of the operator's DEFINITION and the sweep's replay applies
+    the identical band condition, so the output is deterministic).
+
+    Plan/scale notes mirror dedup_simhash_pairs: the self-join
+    shuffles only (doc_id, phash, band_val) int64 rows — never
+    payloads — candidates bucket by 16-bit band value (65k buckets per
+    band, Manku's deployed config), the verify is a free column
+    expression on the joined row, and output is O(near-dup pairs)."""
+    fp = shared_intermediate(
+        "phash_pairs.fp",
+        multimodal_phash(spark, sf_dir).select("doc_id", "phash"),
+    )
+    bands = fp.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(_PH_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band",
+        "band_val",
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "ph_a", "ph_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(ham <= _PH_HAM_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            ham.cast("int").alias("hamming"),
+            F.col("n_bands").cast("int").alias("n_bands"),
+        )
+    )

@@ -201,6 +201,7 @@ DRIVER_ORDER = [
     "text_compression_ratio",
     "agg_corr",
     "multimodal_phash",
+    "multimodal_phash_pairs",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

@@ -180,3 +180,58 @@ def test_phash_similarity_ordering():
     d_other = ham(h_base, ahash_image(encode_bmp(other)))
     assert d_edit < d_other
     assert d_edit <= 16  # localized edit flips few cells
+
+
+def test_phash_pairs_matches_bruteforce(spark, tmp_path):
+    """Band+hamming pair join vs an O(n²) Python replay, including an
+    exact-duplicate pair (hamming 0, all 4 bands) and unrelated docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nchu_bigdata_spark.operators.multimodal import ahash_image, encode_bmp
+    from nchu_bigdata_spark.registry import load_all_queries
+
+    texts = {
+        0: "the same repeated sentence " * 10,
+        3: "the same repeated sentence " * 10,   # exact dup of doc 0
+        6: "the same repeated sentence " * 10 + "tail edit",  # near dup
+        9: "completely different content with other words " * 6,
+        12: "".join(chr(33 + (i * 41) % 94) for i in range(260)),
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values())),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts.values()], pa.int32()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    hashes = {
+        k: ahash_image(encode_bmp(v.encode())) & ((1 << 64) - 1)
+        for k, v in texts.items()
+    }
+    ids = sorted(hashes)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            nb = sum(
+                1
+                for s in range(4)
+                if (hashes[a] >> (16 * s)) & 0xFFFF == (hashes[b] >> (16 * s)) & 0xFFFF
+            )
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if nb and ham <= 6:
+                expect[(a, b)] = (ham, nb)
+    assert expect[(0, 3)] == (0, 4)  # the planted exact dup
+
+    got = {
+        (r.doc_a, r.doc_b): (r.hamming, r.n_bands)
+        for r in load_all_queries()["multimodal_phash_pairs"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect

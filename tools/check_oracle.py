@@ -230,11 +230,11 @@ def exact_compression_ratio(con, spdf: pd.DataFrame) -> tuple[bool, str]:
     return True, f"{len(got)} rows, exact zlib replay"
 
 
-def exact_multimodal_phash(con, spdf: pd.DataFrame) -> tuple[bool, str]:
-    """multimodal_phash: replay the documented aHash SPEC in pure
+def _replay_phashes(con) -> dict[int, tuple[int, int]]:
+    """doc_id -> (n_bytes, phash): the aHash SPEC replayed in pure
     Python — independent of numpy AND of the module's BMP encode/parse
     (the pixel tiling is reconstructed straight from the payload
-    definition) — and demand exact per-row equality."""
+    definition). Shared by the phash and phash-pairs checks."""
     docs = con.execute(
         "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0"
     ).fetchall()
@@ -271,6 +271,12 @@ def exact_multimodal_phash(con, spdf: pd.DataFrame) -> tuple[bool, str]:
         if v & (1 << 63):
             v -= 1 << 64
         expect[int(doc_id)] = (len(text.encode("utf-8")), v)
+    return expect
+
+
+def exact_multimodal_phash(con, spdf: pd.DataFrame) -> tuple[bool, str]:
+    """multimodal_phash: exact per-row equality vs the spec replay."""
+    expect = _replay_phashes(con)
     got = {
         int(r["doc_id"]): (int(r["n_bytes"]), int(r["phash"]))
         for _, r in spdf.iterrows()
@@ -281,6 +287,40 @@ def exact_multimodal_phash(con, spdf: pd.DataFrame) -> tuple[bool, str]:
     return True, f"{len(got)} rows, exact aHash spec replay"
 
 
+def exact_multimodal_phash_pairs(con, spdf: pd.DataFrame) -> tuple[bool, str]:
+    """multimodal_phash_pairs: brute-force replay of the operator's
+    DEFINITION — pairs sharing ≥1 of the 4×16-bit bands with exact
+    hamming ≤ 6 — over the spec-replayed hashes. O(n²) in Python is
+    fine at check scale and fully independent of the join machinery."""
+    hashes = {k: v for k, (_n, v) in _replay_phashes(con).items()}
+    ids = sorted(hashes)
+    M = (1 << 64) - 1
+    expect = {}
+    for i, a in enumerate(ids):
+        ha = hashes[a] & M
+        for b in ids[i + 1 :]:
+            hb = hashes[b] & M
+            nb = sum(
+                1
+                for s in range(4)
+                if (ha >> (16 * s)) & 0xFFFF == (hb >> (16 * s)) & 0xFFFF
+            )
+            if nb == 0:
+                continue
+            ham = bin(ha ^ hb).count("1")
+            if ham <= 6:
+                expect[(a, b)] = (ham, nb)
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): (int(r["hamming"]), int(r["n_bands"]))
+        for _, r in spdf.iterrows()
+    }
+    if got != expect:
+        miss = [k for k in expect if k not in got][:3]
+        extra = [k for k in got if k not in expect][:3]
+        return False, f"pair replay mismatch: missing {miss}, extra {extra}"
+    return True, f"{len(got)} pairs, exact band+hamming replay"
+
+
 # Rows-only queries with a promoted bounded accuracy check: the sweep
 # runs these against DuckDB exact aggregates instead of recording a
 # bare rows-only line.
@@ -289,6 +329,7 @@ BOUNDED_CHECKS = {
     "agg_sketch_merge": bounded_agg_sketch_merge,
     "text_compression_ratio": exact_compression_ratio,
     "multimodal_phash": exact_multimodal_phash,
+    "multimodal_phash_pairs": exact_multimodal_phash_pairs,
 }
 
 

@@ -165,6 +165,13 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # aHash fingerprints: partition-preserving Arrow stage over the
     # payload scan — no exchange of any kind (like decode_meta)
     "multimodal_phash": ([r"MapInPandas"], [r"Exchange"]),
+    # phash pair join: band-bucketed equi self-join over the
+    # checkpointed fingerprint table — hash join, never a nested loop
+    # over the image pair space
+    "multimodal_phash_pairs": (
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"Scan ExistingRDD"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
     # aggregation: partial/final hash agg (map-side combine the reference lacks)
     "agg_hash": ([r"HashAggregate"], []),
     "stream_tumbling": ([r"HashAggregate"], []),
