@@ -177,9 +177,20 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted EXACTLY once as u→v, v→w, u→w, and the wedge join's
     per-key fan-out is bounded by out-degree ≤ O(sqrt(|E|)) even on
     power-law hubs. Both joins are equi hash joins on vertex keys."""
-    sym = _copurchase_edges(spark, sf_dir)
-    pairs = sym.filter(F.col("u") < F.col("v")).select(
-        F.col("u").alias("x"), F.col("v").alias("y")
+    # Undirected pairs directly: apply u < v BEFORE the distinct, so
+    # the dedup shuffle carries half the rows the symmetrized edge
+    # table would (pagerank needs both directions; triangles don't).
+    a = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .distinct()
     )
     deg = (
         pairs.select(F.col("x").alias("n"))
