@@ -85,6 +85,7 @@ SQL_GROUP = [
     "graph_triangles",
     "text_collocation_pmi",
     "events_anomaly",
+    "multimodal_phash_pairs",
 ]
 
 
