@@ -438,3 +438,96 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qty_price_cov"),
         F.round(F.stddev_samp("l_quantity"), 4).cast("double").alias("qty_std"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_bitmap_distinct — exact distinct counting via mergeable bitmaps
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_bitmap_distinct",
+    tags=("b4",),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bucketed roaring-style bitmaps —
+    the warehouse bitmap-index pattern (Doris/ClickHouse/StarRocks
+    `bitmap_union_count`): keys map to (bucket, bit position), each
+    shard builds per-bucket bitmaps, shards merge with a cheap
+    bitwise OR, and the count is the sum of per-bucket popcounts.
+
+    Next to the two other distinct paths the engine carries this
+    completes the trade-off triangle: `agg_distinct` (shuffle raw
+    keys — exact, wide), `agg_approx`/`agg_sketch_merge` (sketches —
+    tiny state, bounded error), and THIS (exact AND mergeable state:
+    bitmap bytes are a constant factor of the key range per bucket,
+    and re-aggregation across shards/days is an OR, not a re-scan —
+    the pattern that makes exact daily→monthly distinct rollups
+    feasible at 100 TB). The deliberate extra shard level below proves
+    the merge path (bitmap_or_agg), mirroring agg_sketch_merge's
+    shape with an exact answer the oracle can hash-check.
+
+    Plan: two hash-agg levels + final sum — all map-side combinable;
+    the only wide rows are the per-(group, bucket) bitmaps."""
+    li = table(spark, sf_dir, "lineitem")
+    bucketed = li.select(
+        "l_returnflag",
+        F.bitmap_bucket_number("l_orderkey").alias("bkt"),
+        F.bitmap_bit_position("l_orderkey").alias("pos"),
+        (F.col("l_orderkey") % 4).alias("shard"),
+    )
+    shard_maps = bucketed.groupBy("l_returnflag", "bkt", "shard").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    merged = shard_maps.groupBy("l_returnflag", "bkt").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return merged.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct")
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_regression — per-group OLS moments (slope/intercept/r²)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_regression",
+    tags=("b4",),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+               CAST(ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE)
+                   AS slope,
+               CAST(ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS DOUBLE)
+                   AS intercept,
+               CAST(ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS DOUBLE) AS r2
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares moments (price ~ quantity):
+    the SQL-standard REGR_* family — slope, intercept, r² — computed
+    as declared co-moment aggregates, completing `agg_corr`'s
+    second-moment profile with the fitted-line view (drift dashboards,
+    quick elasticity probes).
+
+    Plan: like `agg_corr`, everything reduces to (n, Σx, Σy, Σxy, Σx²,
+    Σy²) partials merged associatively — ONE partial+final hash agg,
+    no second pass. Fixed-grid rounding per compat.py."""
+    li = table(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).cast("double").alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).cast("double").alias("intercept"),
+        F.round(F.regr_r2(y, x), 4).cast("double").alias("r2"),
+    )

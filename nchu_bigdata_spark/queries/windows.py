@@ -264,3 +264,39 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w_val), 6).alias("cume"),
         F.ntile(10).over(w_uniq).alias("decile"),
     )
+
+
+@register(
+    "win_first_last",
+    tags=("b5",),
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER wf AS latest_price,
+               nth_value(o_totalprice, 2) OVER wf AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window VALUE functions: each order annotated with its customer's
+    first, latest, and second order price — `first_value` on the
+    default growing frame, `last_value`/`nth_value` on the FULL frame
+    (the classic gotcha: default-frame last_value is just the current
+    row; the full frame is almost always what's meant).
+
+    Plan: all three share one partition key and one sort order, so
+    Catalyst evaluates them in a single Window operator over a single
+    shuffle+sort — adding frames to an existing window is free."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )

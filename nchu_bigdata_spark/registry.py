@@ -202,6 +202,9 @@ DRIVER_ORDER = [
     "agg_corr",
     "multimodal_phash",
     "multimodal_phash_pairs",
+    "agg_bitmap_distinct",
+    "agg_regression",
+    "win_first_last",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

@@ -152,6 +152,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     ),
     # text source round trip: the read-back must be a real text scan
     "scan_text": ([r"Scan text"], []),
+    # bitmap distinct: construct/OR/count levels are all hash aggs —
+    # raw keys must never shuffle past the first (bucketing) level
+    "agg_bitmap_distinct": ([r"HashAggregate|ObjectHashAggregate"], []),
+    # value functions: one shared partition key + sort order must fold
+    # into a single Window evaluation
+    "win_first_last": ([r"Window"], []),
     # exact percentiles: typed partial/final ObjectHashAggregate — one
     # group-keyed exchange, never a global sort of the table
     "agg_percentile_exact": (
