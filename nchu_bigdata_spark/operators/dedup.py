@@ -639,6 +639,35 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs)
 
 
+def band_pair_candidates(
+    fp: DataFrame, fp_col: str, band_exprs: list
+) -> DataFrame:
+    """Generic Manku-style banding join over any int fingerprint
+    column: explode ``band_exprs`` into a (doc_id, band, value) table,
+    band-bucketed self-join, candidate pairs collapse to one row with
+    the shared-band count — both fingerprints ride the joined row so
+    the hamming verify downstream is a free column expression.
+    Shared by ``simhash_pairs`` (text) and ``multimodal_phash_pairs``
+    (images); returns (doc_a, doc_b, fp_a, fp_b, n_shared)."""
+    bands = fp.select(
+        "doc_id",
+        fp_col,
+        F.posexplode(F.array(*band_exprs)).alias("k", "bv"),
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["k", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col(f"a.{fp_col}").alias("fp_a"),
+            F.col(f"b.{fp_col}").alias("fp_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = _HAM_T) -> DataFrame:
     """Band-join + hamming-verify over any ``(doc_id, text)`` frame —
     see ``dedup_simhash_pairs``. Split out so the pigeonhole
@@ -647,35 +676,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = _HAM_T) -> DataFrame:
     synthetic corpora (``tests/test_dedup_simhash_pairs.py``) — the
     DuckDB oracle can't check that, it replays the same banding."""
     fp = shared_intermediate("dedup_simhash_pairs.fp", _simhash_fp(docs))
-    bands = fp.select(
-        "doc_id",
+    cand = band_pair_candidates(
+        fp,
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(f"(simhash div {256 ** k}) % 256")
-                    for k in range(_SIM_BANDS)
-                ]
-            )
-        ).alias("k", "bv"),
+        [F.expr(f"(simhash div {256 ** k}) % 256") for k in range(_SIM_BANDS)],
     )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["k", "bv"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return cand.filter(ham <= max_hamming).select(
         "doc_a",
         "doc_b",
-        "n_shared_bands",
+        F.col("n_shared").alias("n_shared_bands"),
         ham.cast("bigint").alias("hamming"),
     )
 

@@ -57,20 +57,21 @@ _EDGES_SQL = """
 """
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed (symmetrized) distinct co-purchase edges (u, v)."""
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, undirected: bool = False
+) -> DataFrame:
+    """Distinct co-purchase edges (u, v): symmetrized by default
+    (PageRank needs both directions); ``undirected=True`` keeps only
+    u < v, applied BEFORE the distinct so the dedup shuffle carries
+    half the rows (triangles)."""
     a = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
     )
     b = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
     )
-    return (
-        a.join(b, "ok")
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    cond = F.col("u") < F.col("v") if undirected else F.col("u") != F.col("v")
+    return a.join(b, "ok").filter(cond).select("u", "v").distinct()
 
 
 def _pagerank_oracle() -> str:
@@ -177,20 +178,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted EXACTLY once as u→v, v→w, u→w, and the wedge join's
     per-key fan-out is bounded by out-degree ≤ O(sqrt(|E|)) even on
     power-law hubs. Both joins are equi hash joins on vertex keys."""
-    # Undirected pairs directly: apply u < v BEFORE the distinct, so
-    # the dedup shuffle carries half the rows the symmetrized edge
-    # table would (pagerank needs both directions; triangles don't).
-    a = table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
-    )
-    b = table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
-    )
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select(F.col("u").alias("x"), F.col("v").alias("y"))
-        .distinct()
+    pairs = _copurchase_edges(spark, sf_dir, undirected=True).select(
+        F.col("u").alias("x"), F.col("v").alias("y")
     )
     deg = (
         pairs.select(F.col("x").alias("n"))

@@ -801,45 +801,24 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads — candidates bucket by 16-bit band value (65k buckets per
     band, Manku's deployed config), the verify is a free column
     expression on the joined row, and output is O(near-dup pairs)."""
+    from nchu_bigdata_spark.operators.dedup import band_pair_candidates
+
     fp = shared_intermediate(
         "phash_pairs.fp",
         multimodal_phash(spark, sf_dir).select("doc_id", "phash"),
     )
-    bands = fp.select(
-        "doc_id",
+    cand = band_pair_candidates(
+        fp,
         "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("phash", 16 * b).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(_PH_BANDS)
-                ]
-            )
-        ).alias("band", "band_val"),
+        [
+            F.shiftright("phash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+            for b in range(_PH_BANDS)
+        ],
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("phash").alias("ph_a"),
-        "band",
-        "band_val",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("phash").alias("ph_b"),
-        "band",
-        "band_val",
-    )
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "ph_a", "ph_b")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-        .filter(ham <= _PH_HAM_T)
-        .select(
-            "doc_a",
-            "doc_b",
-            ham.cast("int").alias("hamming"),
-            F.col("n_bands").cast("int").alias("n_bands"),
-        )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.filter(ham <= _PH_HAM_T).select(
+        "doc_a",
+        "doc_b",
+        ham.cast("int").alias("hamming"),
+        F.col("n_shared").cast("int").alias("n_bands"),
     )

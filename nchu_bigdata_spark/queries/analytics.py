@@ -209,15 +209,15 @@ _ANOM_Z = 3  # threshold in standard deviations (integer, used squared)
     tags=("b12",),
     oracle=f"""
         WITH c AS (
-            SELECT user_id, event_type, event_id,
+            SELECT user_id, event_type,
                    CAST(ROUND(value * 100) AS BIGINT) AS cents
             FROM events
         ),
         stats AS (
             SELECT user_id, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(cents) AS BIGINT) AS s1,
-                   CAST(SUM(cents * cents) AS BIGINT) AS s2
+                   SUM(CAST(cents AS HUGEINT)) AS s1,
+                   SUM(CAST(cents AS HUGEINT) * cents) AS s2
             FROM c GROUP BY user_id, event_type
         )
         SELECT c.user_id, c.event_type,
@@ -226,11 +226,8 @@ _ANOM_Z = 3  # threshold in standard deviations (integer, used squared)
         FROM c
         JOIN stats s ON s.user_id = c.user_id AND s.event_type = c.event_type
         WHERE s.n >= {_ANOM_MIN_N}
-          AND s.n * s.s2 > s.s1 * s.s1
-          AND CAST(s.n * c.cents - s.s1 AS HUGEINT)
-              * CAST(s.n * c.cents - s.s1 AS HUGEINT) * (s.n - 1)
-              > {_ANOM_Z * _ANOM_Z} * CAST(s.n AS HUGEINT)
-                * (CAST(s.n AS HUGEINT) * s.s2 - CAST(s.s1 AS HUGEINT) * s.s1)
+          AND (s.n * c.cents - s.s1) * (s.n * c.cents - s.s1) * (s.n - 1)
+              > {_ANOM_Z * _ANOM_Z} * s.n * (s.n * s.s2 - s.s1 * s.s1)
         GROUP BY c.user_id, c.event_type
     """,
 )
@@ -255,41 +252,37 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: per-key integer sums are ONE hash-agg (map-side combinable);
     the tiny stats table joins back on the SAME key — the event stream
     shuffles once total."""
+    dec = "decimal(38,0)"
     ev = table(spark, sf_dir, "events")
     c = ev.select(
         "user_id",
         "event_type",
-        "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    # Sums in DECIMAL(38,0) from the start (review finding: int64
+    # Σcents² wraps silently under ANSI-off once |value| ≈ $10M with
+    # 10+ rows per key; DuckDB promotes to HUGEINT, so wrap there
+    # would DIVERGE, not error-match). The zero-variance guard the
+    # first version carried was redundant — constant values give
+    # dev = 0, so lhs > rhs already fails.
     stats = c.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        F.sum(F.col("cents").cast(dec)).alias("s1"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).alias("s2"),
     )
-    dec = "decimal(38,0)"
-    dev = F.col("n") * F.col("cents") - F.col("s1")  # int64-safe
-    lhs = (
-        dev.cast(dec) * dev.cast(dec) * (F.col("n") - 1).cast(dec)
-    )
+    dev = F.col("n").cast(dec) * F.col("cents") - F.col("s1")
+    lhs = dev * dev * (F.col("n") - 1).cast(dec)
     rhs = (
         F.lit(_ANOM_Z * _ANOM_Z).cast(dec)
         * F.col("n").cast(dec)
-        * (
-            F.col("n").cast(dec) * F.col("s2").cast(dec)
-            - F.col("s1").cast(dec) * F.col("s1").cast(dec)
-        )
+        * (F.col("n").cast(dec) * F.col("s2") - F.col("s1") * F.col("s1"))
     )
     return (
         c.join(stats, ["user_id", "event_type"])
-        .filter(
-            (F.col("n") >= _ANOM_MIN_N)
-            & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
-            & (lhs > rhs)
-        )
+        .filter((F.col("n") >= _ANOM_MIN_N) & (lhs > rhs))
         .groupBy("user_id", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_anomalies"),
-            F.max(F.abs(dev)).alias("max_dev_scaled"),
+            F.max(F.abs(dev)).cast("long").alias("max_dev_scaled"),
         )
     )
