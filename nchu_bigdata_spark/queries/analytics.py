@@ -25,7 +25,7 @@ and week offsets are exact integer arithmetic on aligned boundaries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.io import table
@@ -284,5 +284,71 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_anomalies"),
             F.max(F.abs(dev)).cast("long").alias("max_dev_scaled"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_markov — event-type transition matrix (first-order Markov)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_markov",
+    tags=("b12",),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ),
+        cnt AS (
+            SELECT prev AS from_type, event_type AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE prev IS NOT NULL
+            GROUP BY prev, event_type
+        ),
+        tot AS (
+            SELECT from_type, CAST(SUM(n) AS BIGINT) AS t
+            FROM cnt GROUP BY from_type
+        )
+        SELECT c.from_type, c.to_type, c.n,
+               CAST(c.n * 10000 // t.t AS INT) AS p_bp
+        FROM cnt c JOIN tot t USING (from_type)
+    """,
+)
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: counts and row-normalized probabilities of event_type A
+    being followed by event_type B — the sequence-analytics staple
+    behind next-action prediction, funnel leak diagnosis, and bot
+    detection (bots have unnaturally peaked transition rows).
+
+    Determinism: transition order is (ts, event_id) — total, no tie
+    ambiguity; probabilities are emitted as integer BASIS POINTS
+    (n·10⁴ div total) per the engine's integer-math policy, never a
+    rounded float division.
+
+    Plan: ONE user-keyed window (lag over each user's stream — state
+    is per-user, sort is per-user, never global), then the transition
+    counts collapse in a types²-sized hash agg; the row-total join is
+    a types-sized broadcast. The raw stream shuffles once."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return (
+        cnt.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("CAST(n * 10000 DIV t AS INT)").alias("p_bp"),
         )
     )

@@ -205,6 +205,7 @@ DRIVER_ORDER = [
     "agg_bitmap_distinct",
     "agg_regression",
     "win_first_last",
+    "events_markov",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",
