@@ -202,3 +202,102 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "tpch_q10",
+    tags=("b11",),
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-10-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter — the "who should we call" report.
+
+    Plan: both fact filters (order-date range, returnflag='R') push to
+    their scans BEFORE the joins; customer/nation broadcast; the only
+    big shuffle is lineitem⋈orders. Top-20 rides a per-partition heap
+    (TakeOrderedAndProject, asserted) ordered on the EXACT decimal
+    revenue with c_custkey tiebreak, so the result set is deterministic
+    on both engines."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-10-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14",
+    tags=("b11",),
+    oracle=f"""
+        WITH s AS (
+            SELECT
+                {sql_dsum("CASE WHEN p.p_type = 'PROMO' "
+                          "THEN l.l_extendedprice * (1 - l.l_discount) "
+                          "ELSE 0 END")} AS promo,
+                {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS total
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+        )
+        SELECT CAST(ROUND(100.0 * (CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)), 4)
+                    AS DOUBLE) AS promo_revenue_pct,
+               CAST(promo AS DOUBLE) AS promo_revenue
+        FROM s
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one month
+    (conditional-aggregate ratio; the fixture's p_type is a flat
+    category so the predicate is equality, not LIKE 'PROMO%').
+
+    Determinism: both sums are exact decimals (compat policy); the
+    ratio is ONE double division of identical decimal-cast inputs on
+    both engines — same IEEE operation, same result — then a 4dp
+    round. Plan: ship-month pushed to the lineitem scan, part dim
+    broadcast, single partial+final agg row."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    s = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        dsum(promo_rev).alias("promo"), dsum(rev).alias("total")
+    )
+    return s.select(
+        F.round(
+            100.0 * (F.col("promo").cast("double") / F.col("total").cast("double")),
+            4,
+        )
+        .cast("double")
+        .alias("promo_revenue_pct"),
+        F.col("promo").cast("double").alias("promo_revenue"),
+    )

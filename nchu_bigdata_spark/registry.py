@@ -206,6 +206,8 @@ DRIVER_ORDER = [
     "agg_regression",
     "win_first_last",
     "events_markov",
+    "tpch_q10",
+    "tpch_q14",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

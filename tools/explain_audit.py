@@ -63,6 +63,7 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # exchange
     "merge_upsert": ([r"LeftAnti", r"Union"], [r"BroadcastNestedLoopJoin"]),
     "tpch_q3": ([r"TakeOrderedAndProject", r"BroadcastHashJoin"], []),
+    "tpch_q10": ([r"TakeOrderedAndProject", r"BroadcastHashJoin"], []),
     # Q18: the IN-over-HAVING subquery must decorrelate to a semi join
     # (never re-scan lineitem per row), and top-100 must be a heap
     "tpch_q18": ([r"LeftSemi", r"TakeOrderedAndProject"], []),
