@@ -300,3 +300,70 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(wf).alias("latest_price"),
         F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
     )
+
+
+_SESS_GAP_US = 10 * 60 * 1_000_000  # matches stream_session's 10-minute gap
+
+
+@register(
+    "win_sessionize",
+    tags=("b5",),
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             > {_SESS_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tagged AS (
+            SELECT user_id, ts_us,
+                   CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                   ) AS INT) AS session_id
+            FROM seq
+        )
+        SELECT user_id, session_id,
+               MIN(ts_us) AS session_start_us,
+               MAX(ts_us) + {_SESS_GAP_US} AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM tagged
+        GROUP BY user_id, session_id
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: per-user integer session ids
+    assigned with pure window functions (lag-gap boundary flag →
+    running sum), then per-session aggregates. This is the BATCH
+    counterpart to ``stream_session``'s built-in ``session_window`` —
+    same 10-minute gap, same [first, last+gap) extents — implemented
+    through an entirely different mechanism, so the two cross-validate
+    (pinned by a unit test); the window form additionally yields a
+    stable ordinal session id the built-in doesn't expose.
+
+    Plan: ONE shuffle on user_id; lag, running sum, and the final
+    per-session agg all share the per-user sort (two Window frames
+    fold onto one sort; the agg keys on the window's output). Session
+    assignment is integer comparisons on epoch micros — exact on both
+    engines."""
+    from nchu_bigdata_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    prev = F.lag(ts_us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((ts_us - prev) > _SESS_GAP_US), 1
+    ).otherwise(0)
+    tagged = ev.select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.sum(new_sess).over(w).cast("int").alias("session_id"),
+    )
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("session_start_us"),
+        (F.max("ts_us") + _SESS_GAP_US).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -208,6 +208,7 @@ DRIVER_ORDER = [
     "events_markov",
     "tpch_q10",
     "tpch_q14",
+    "win_sessionize",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",
