@@ -400,3 +400,46 @@ def sub_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM streak GROUP BY user_id
         """
     )
+
+
+@register(
+    "sub_lateral",
+    tags=("b11",),
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t ON TRUE
+    """,
+)
+def sub_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each
+    customer's top-3 orders by value, written as the ANSI LATERAL join
+    (the "top-N per row" idiom ORMs and report generators emit).
+
+    The point is what Catalyst does with it: the correlated per-row
+    LIMIT — naively a re-executed subquery per customer row —
+    DECORRELATES into a per-key WindowGroupLimit (partial heap before
+    the exchange, final after) + one equi join. Verified by the plan
+    audit: the lateral NEVER executes per-row; at 100 TB this is a
+    single orders shuffle with heap-pruned wire volume, same shape as
+    ``topk_per_group`` arrived at from SQL by the optimizer."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t
+        """
+    )

@@ -209,6 +209,7 @@ DRIVER_ORDER = [
     "tpch_q10",
     "tpch_q14",
     "win_sessionize",
+    "sub_lateral",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

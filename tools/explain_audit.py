@@ -64,6 +64,13 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     "merge_upsert": ([r"LeftAnti", r"Union"], [r"BroadcastNestedLoopJoin"]),
     "tpch_q3": ([r"TakeOrderedAndProject", r"BroadcastHashJoin"], []),
     "tpch_q10": ([r"TakeOrderedAndProject", r"BroadcastHashJoin"], []),
+    # LATERAL top-N per row must decorrelate to a per-key heap
+    # (WindowGroupLimit) + equi join — never a per-row re-execution
+    # (which would show as a nested loop)
+    "sub_lateral": (
+        [r"WindowGroupLimit", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
     # Q18: the IN-over-HAVING subquery must decorrelate to a semi join
     # (never re-scan lineitem per row), and top-100 must be a heap
     "tpch_q18": ([r"LeftSemi", r"TakeOrderedAndProject"], []),
