@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nchu_bigdata_spark.compat import dround, dsum, sql_dsum
+from nchu_bigdata_spark.compat import dround, dsum, sql_dround, sql_dsum
 from nchu_bigdata_spark.io import table
 from nchu_bigdata_spark.registry import register
 
@@ -267,8 +267,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
               AND l.l_shipdate <  TIMESTAMP '1997-04-01'
         )
-        SELECT CAST(ROUND(100.0 * (CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)), 4)
-                    AS DOUBLE) AS promo_revenue_pct,
+        SELECT {sql_dround("100.0 * (CAST(promo AS DOUBLE) / CAST(total AS DOUBLE))", 4)}
+                   AS promo_revenue_pct,
                CAST(promo AS DOUBLE) AS promo_revenue
         FROM s
     """,
@@ -293,11 +293,9 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(promo_rev).alias("promo"), dsum(rev).alias("total")
     )
     return s.select(
-        F.round(
+        dround(
             100.0 * (F.col("promo").cast("double") / F.col("total").cast("double")),
             4,
-        )
-        .cast("double")
-        .alias("promo_revenue_pct"),
+        ).alias("promo_revenue_pct"),
         F.col("promo").cast("double").alias("promo_revenue"),
     )

@@ -302,7 +302,9 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SESS_GAP_US = 10 * 60 * 1_000_000  # matches stream_session's 10-minute gap
+# The ONE session-gap constant, shared with stream_session's built-in
+# session_window path so the two mechanisms can't silently diverge.
+from nchu_bigdata_spark.queries.streaming_batch import _10M_US as _SESS_GAP_US  # noqa: E402
 
 
 @register(
@@ -348,8 +350,6 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold onto one sort; the agg keys on the window's output). Session
     assignment is integer comparisons on epoch micros — exact on both
     engines."""
-    from nchu_bigdata_spark.io import table
-
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ts_us = F.unix_micros("ts")

@@ -370,3 +370,20 @@ def test_cdc_upsert_out_of_order_batches(spark, tmp_path):
         (3, "buy"): (31, us(t0 + 9 * _MIN), 31.0),  # newer b-row applied
         (4, "click"): (40, us(t0 + 2 * _MIN), 40.0),  # insert
     }
+
+
+def test_win_sessionize_agrees_with_session_window(spark, sf_dir):
+    """Two independent sessionization mechanisms — gaps-and-islands
+    window functions (win_sessionize) vs Spark's built-in
+    session_window (stream_session) — must produce the SAME session
+    extents and event counts on the same stream; they share one gap
+    constant, so a divergence means a mechanism bug."""
+    a = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in SPECS["win_sessionize"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in SPECS["stream_session"].fn(spark, sf_dir).collect()
+    }
+    assert a == b and len(a) > 0

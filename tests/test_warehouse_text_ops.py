@@ -343,18 +343,3 @@ def test_interval_overlap_non_midnight_timestamps(spark, tmp_path):
     }
     # pairs: 1->2 only... plus 2->3 (Mar 1 23:00 inside [Mar 1 10:00, +30d))
     assert got == {1: 2}
-
-
-def test_win_sessionize_agrees_with_session_window(spark, sf_dir):
-    """Two independent sessionization mechanisms — gaps-and-islands
-    window functions vs Spark's built-in session_window — must produce
-    the SAME session extents and event counts on the same stream."""
-    a = {
-        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
-        for r in SPECS["win_sessionize"].fn(spark, sf_dir).collect()
-    }
-    b = {
-        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
-        for r in SPECS["stream_session"].fn(spark, sf_dir).collect()
-    }
-    assert a == b and len(a) > 0
