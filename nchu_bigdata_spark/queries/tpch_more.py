@@ -299,3 +299,148 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         F.col("promo").cast("double").alias("promo_revenue"),
     )
+
+
+@register(
+    "tpch_q4",
+    tags=("b11",),
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — count a quarter's
+    orders that had at least one late-shipping line (the fixture has
+    no commit/receipt dates, so lateness is ship-after-order; the
+    correlated comparison rides the semi-join condition).
+
+    Plan: the EXISTS decorrelates to a LEFT SEMI join with the
+    cross-table date comparison as the join residual — lineitem
+    match multiplicity can never duplicate an order row, which is the
+    entire point of semi-join semantics (a plain join + distinct
+    would shuffle the blowup first and dedup after)."""
+    from nchu_bigdata_spark.queries.subqueries import _views
+
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@register(
+    "tpch_q13",
+    tags=("b11",),
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+                   ON c.c_custkey = o.o_custkey
+                  AND o.o_orderpriority <> '5-LOW'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer distribution — how many customers
+    placed 0, 1, 2, … qualifying orders (the priority filter stands in
+    for the original comment-pattern filter).
+
+    The two shapes that matter:
+      * the filter rides the LEFT JOIN **condition**, not the WHERE —
+        moving it to WHERE would silently delete the zero-order
+        customers the query exists to count;
+      * a count-of-counts: first agg keys on customer (fact-sized),
+        the second on the count value (tiny) — the histogram pattern.
+    COUNT(o_orderkey) counts matches only (NULL from the outer side
+    doesn't count), yielding the 0 bucket for free."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q22",
+    tags=("b11",),
+    oracle=f"""
+        SELECT c.c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               {sql_dsum("c.c_acctbal")} AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                  SELECT ROUND(AVG(c2.c_acctbal), 6)
+                  FROM customer c2 WHERE c2.c_acctbal > 0.0
+              )
+          AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+              )
+        GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-sales-opportunity — wealthy-but-inactive
+    customers per nation (above-average positive balance, no urgent
+    orders; the fixture keys geography by nationkey, and every
+    customer has SOME order, so inactivity is no-URGENT-order).
+
+    Plan: the uncorrelated scalar AVG computes once (1-row subquery,
+    broadcast into the filter — rounded to 6dp on both engines so a
+    balance sitting within an ulp of the unrounded mean can't flip,
+    per the q17 policy); the NOT EXISTS decorrelates to a LEFT ANTI
+    join on the customer key. One customer-keyed shuffle total."""
+    from nchu_bigdata_spark.queries.subqueries import _views
+
+    _views(spark, sf_dir, "customer", "orders")
+    inner = spark.sql(
+        """
+        SELECT c.c_nationkey, c.c_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                  SELECT ROUND(AVG(c2.c_acctbal), 6)
+                  FROM customer c2 WHERE c2.c_acctbal > 0.0
+              )
+          AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+              )
+        """
+    )
+    return inner.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum("c_acctbal").alias("totacctbal"),
+    )

@@ -210,6 +210,9 @@ DRIVER_ORDER = [
     "tpch_q14",
     "win_sessionize",
     "sub_lateral",
+    "tpch_q4",
+    "tpch_q13",
+    "tpch_q22",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

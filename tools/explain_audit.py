@@ -64,6 +64,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     "merge_upsert": ([r"LeftAnti", r"Union"], [r"BroadcastNestedLoopJoin"]),
     "tpch_q3": ([r"TakeOrderedAndProject", r"BroadcastHashJoin"], []),
     "tpch_q10": ([r"TakeOrderedAndProject", r"BroadcastHashJoin"], []),
+    # Q4: the correlated EXISTS must become a LEFT SEMI join (match
+    # multiplicity can never duplicate an order row)
+    "tpch_q4": ([r"LeftSemi"], [r"BroadcastNestedLoopJoin"]),
+    # Q22: the NOT EXISTS must become a LEFT ANTI join; the scalar avg
+    # is a 1-row subquery, never re-evaluated per customer
+    "tpch_q22": ([r"LeftAnti"], [r"BroadcastNestedLoopJoin"]),
     # LATERAL top-N per row must decorrelate to a per-key heap
     # (WindowGroupLimit) + equi join — never a per-row re-execution
     # (which would show as a nested loop)
