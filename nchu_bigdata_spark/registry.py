@@ -213,6 +213,9 @@ DRIVER_ORDER = [
     "tpch_q4",
     "tpch_q13",
     "tpch_q22",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

@@ -70,6 +70,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # Q22: the NOT EXISTS must become a LEFT ANTI join; the scalar avg
     # is a 1-row subquery, never re-evaluated per customer
     "tpch_q22": ([r"LeftAnti"], [r"BroadcastNestedLoopJoin"]),
+    # Q16: NOT IN over a subquery must plan as an anti join (Catalyst's
+    # null-aware handling), never a per-row re-evaluation
+    "tpch_q16": ([r"LeftAnti", r"HashAggregate"], [r"BroadcastNestedLoopJoin"]),
+    # Q19: the per-side implied filters of the OR-of-conjunctions must
+    # reach the scans (quantity bound on the lineitem reader)
+    "tpch_q19": ([r"PushedFilters: \[.*l_quantity"], [r"BroadcastNestedLoopJoin"]),
     # LATERAL top-N per row must decorrelate to a per-key heap
     # (WindowGroupLimit) + equi join — never a per-row re-execution
     # (which would show as a nested loop)
