@@ -586,3 +586,109 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "tpch_q11",
+    tags=("b11",),
+    oracle="""
+        WITH v AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6)))
+                        AS DECIMAL(38,6)) AS part_value
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, part_value
+        FROM v
+        WHERE part_value * 2 * (SELECT COUNT(*) FROM v)
+              > 3 * (SELECT SUM(part_value) FROM v)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock identification — parts whose
+    inventory value exceeds a FRACTION of the global total (lineitem
+    value standing in for the fixture's missing partsupp).
+
+    The planner shape: a grouped view compared against TWO uncorrelated
+    scalar aggregates OVER THE SAME VIEW (the HAVING-vs-global-total
+    idiom). The test is scale-invariant — ``value × 2·n_parts >
+    3 × total`` selects parts worth more than 1.5× the AVERAGE part —
+    the ~top-percentile tail at every fixture scale (TPC-H's own
+    fraction divides by SF for the same reason) — and
+    stays in the exact-decimal domain: decimal × integer count, never
+    a decimal-by-double product that would reintroduce ulp boundaries.
+    Plan: one partkey shuffle for the view; the scalar count/total are
+    a 1-row re-aggregation broadcast into the filter."""
+    li = table(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(dsum("l_extendedprice").alias("part_value"))
+    total = v.agg(
+        F.sum("part_value").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value") * 2 * F.col("n_parts") > 3 * F.col("total")
+        )
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "tpch_q21",
+    tags=("b11",),
+    oracle="""
+        SELECT l1.l_suppkey AS s_suppkey,
+               CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY l1.l_suppkey
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept orders waiting — per
+    supplier, multi-supplier orders where THEIR line shipped >60 days
+    late and NO other supplier's line did (lateness = ship-after-order
+    in the fixture schema).
+
+    The planner stress: BOTH an EXISTS and a NOT EXISTS correlated to
+    the same outer row over the SAME table — Catalyst plans one
+    left-semi and one left-anti join against lineitem with the date
+    condition riding the anti side's residual, never re-scanning
+    lineitem per row; all three legs share the l_orderkey key, so AQE
+    reuses the exchange layout across them."""
+    from nchu_bigdata_spark.queries.subqueries import _views
+
+    _views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(
+        """
+        SELECT l1.l_suppkey AS s_suppkey,
+               COUNT(DISTINCT l1.l_orderkey) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY l1.l_suppkey
+        """
+    )

@@ -216,6 +216,8 @@ DRIVER_ORDER = [
     "tpch_q15",
     "tpch_q16",
     "tpch_q19",
+    "tpch_q11",
+    "tpch_q21",
     # -- round-5 greens, unchanged code; rotate back in the r7 window --
     "dedup_simhash_pairs",
     "text_ngram_stats",

@@ -70,6 +70,9 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # Q22: the NOT EXISTS must become a LEFT ANTI join; the scalar avg
     # is a 1-row subquery, never re-evaluated per customer
     "tpch_q22": ([r"LeftAnti"], [r"BroadcastNestedLoopJoin"]),
+    # Q21: EXISTS + NOT EXISTS correlated to the same outer row must
+    # become one semi and one anti join — never a per-row re-scan
+    "tpch_q21": ([r"LeftSemi", r"LeftAnti"], [r"BroadcastNestedLoopJoin"]),
     # Q16: NOT IN over a subquery must plan as an anti join (Catalyst's
     # null-aware handling), never a per-row re-evaluation
     "tpch_q16": ([r"LeftAnti", r"HashAggregate"], [r"BroadcastNestedLoopJoin"]),
