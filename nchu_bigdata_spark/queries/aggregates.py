@@ -107,22 +107,73 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx",
-    tags=("b4", "rows-only"),
-    oracle=None,  # nondeterministic sketches — verified by property test
-    doc="approx_count_distinct (HLL++) + approx percentiles; rows-only.",
+    tags=("b4",),
+    oracle="""
+        -- Bounded-verdict form (VERDICT r6 item 2): the sketches
+        -- themselves aren't SQL-replayable, so the query's OUTPUT is
+        -- (a) the exact distinct count — hash-checkable — and (b) one
+        -- boolean per sketch asserting its DOCUMENTED error bound vs
+        -- the exact value, computed Spark-side where both the sketch
+        -- and the exact aggregate are visible. The oracle replays the
+        -- exact side and expects every verdict TRUE: any bound
+        -- violation flips a boolean and fails the hash.
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact,
+               TRUE AS cd_within_5rsd,
+               TRUE AS p25_within_rank_tol,
+               TRUE AS p50_within_rank_tol,
+               TRUE AS p75_within_rank_tol
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — sketch-based, scale path for 100 TB
-    cardinality/quantile estimation. Accuracy asserted by pytest property
-    (within rsd of exact), not by the DuckDB oracle. Quartiles are three
-    scalar columns (an array output would crash the driver's pandas
-    canonicalizer even on this rows-only check)."""
+    cardinality/quantile estimation — certified by DETERMINISTIC
+    bounded verdicts so the driver's exact-hash oracle applies:
+
+    * ``approx_count_distinct(rsd=0.02)`` (HLL++) must sit within
+      ±5·rsd of the exact distinct count (±5 standard deviations —
+      sketch noise is orders of magnitude inside this, so the boolean
+      is stable across partition/merge orders);
+    * ``percentile_approx(q, accuracy=10000)`` guarantees a rank error
+      ≤ n/accuracy; the verdict grants the far-looser rank window
+      [q−0.05, q+0.05] via exact order-statistic bounds, again making
+      the boolean immune to sketch nondeterminism.
+
+    The exact companions (count distinct + exact percentile bounds)
+    ride the same hash-agg pass, so this is one grouped aggregation —
+    the sketch columns cost partial-state bytes, not extra passes."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("price_p25"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
-        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("price_p75"),
+    # Single array-percentile aggregates: one value buffer per group for
+    # the exact bounds (vs six separate typed aggs), one sketch for the
+    # three approx points.
+    bounds = F.array(*[F.lit(v) for v in (0.20, 0.30, 0.45, 0.55, 0.70, 0.80)])
+    approx = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("acd"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+        ).alias("pa"),
+        F.percentile("l_extendedprice", bounds).alias("pe"),
+    )
+    within = (
+        F.abs(F.col("acd") - F.col("n_orders_exact"))
+        <= 5 * 0.02 * F.col("n_orders_exact") + 1
+    )
+
+    def rank_ok(i: int):  # approx point i within exact bounds (2i, 2i+1)
+        return F.element_at("pa", i + 1).between(
+            F.element_at("pe", 2 * i + 1), F.element_at("pe", 2 * i + 2)
+        )
+
+    return approx.select(
+        "l_returnflag",
+        "n_orders_exact",
+        within.alias("cd_within_5rsd"),
+        rank_ok(0).alias("p25_within_rank_tol"),
+        rank_ok(1).alias("p50_within_rank_tol"),
+        rank_ok(2).alias("p75_within_rank_tol"),
     )
 
 
@@ -356,45 +407,133 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _pct_exact_side(
+    li: DataFrame, valcol: str, pcts: list[tuple[str, int, int]]
+) -> DataFrame:
+    """Exact PERCENTILE_CONT over one value column via integer order
+    statistics: rank the CENTS values per group, pull the lower/upper
+    order statistics at rank ``(n-1)·k div d`` / ``+1``, and emit the
+    interpolated value from exact integers with IEEE-exact ops only
+    (the identical expression tree runs in the DuckDB oracle, so the
+    doubles are bit-identical — no engine-internal quantile_cont in
+    the comparison at all, per ADVICE r6)."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(valcol) * 100, 0).cast("long")
+    wo = Window.partitionBy("l_returnflag").orderBy("v")
+    wp = Window.partitionBy("l_returnflag")
+    ranked = (
+        li.select("l_returnflag", cents.alias("v"))
+        .withColumn("rn", F.row_number().over(wo) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+    )
+    aggs = []
+    for name, k, d in pcts:
+        lo_idx = F.expr(f"((n - 1) * {k}) div {d}")
+        rem = F.expr(f"((n - 1) * {k}) % {d}")
+        hi_idx = lo_idx + (rem > 0).cast("long")
+        aggs += [
+            F.max(F.when(F.col("rn") == lo_idx, F.col("v"))).alias(f"{name}_lo"),
+            F.max(F.when(F.col("rn") == hi_idx, F.col("v"))).alias(f"{name}_hi"),
+            F.max(rem).alias(f"{name}_rem"),
+        ]
+    parts = ranked.groupBy("l_returnflag").agg(*aggs)
+    outs = [F.col("l_returnflag")]
+    for name, _k, d in pcts:
+        lo, hi, rem = (F.col(f"{name}_{s}") for s in ("lo", "hi", "rem"))
+        outs.append(
+            (
+                (lo.cast("double") + ((hi - lo) * rem).cast("double") / float(d))
+                / 100.0
+            ).alias(name)
+        )
+    return parts.select(*outs)
+
+
+def _sql_pct_exact_side(valcol: str, pcts: list[tuple[str, int, int]]) -> str:
+    """DuckDB mirror of ``_pct_exact_side`` — same integer order
+    statistics, same IEEE expression tree."""
+    agg_cols = []
+    for name, k, d in pcts:
+        agg_cols.append(
+            f"MAX(CASE WHEN rn = ((n - 1) * {k}) // {d} THEN v END) AS {name}_lo"
+        )
+        agg_cols.append(
+            "MAX(CASE WHEN rn = ((n - 1) * {k}) // {d}"
+            " + (CASE WHEN ((n - 1) * {k}) % {d} > 0 THEN 1 ELSE 0 END)"
+            " THEN v END) AS {name}_hi".format(k=k, d=d, name=name)
+        )
+        agg_cols.append(f"MAX(((n - 1) * {k}) % {d}) AS {name}_rem")
+    out_cols = [
+        f"(CAST({n}_lo AS DOUBLE)"
+        f" + CAST(({n}_hi - {n}_lo) * {n}_rem AS DOUBLE) / {float(d)})"
+        f" / 100.0 AS {n}"
+        for n, _k, d in pcts
+    ]
+    return f"""
+        WITH ranked AS (
+            SELECT l_returnflag,
+                   CAST(ROUND({valcol} * 100, 0) AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY CAST(ROUND({valcol} * 100, 0) AS BIGINT)
+                   ) - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        ),
+        parts AS (
+            SELECT l_returnflag, {', '.join(agg_cols)}
+            FROM ranked GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, {', '.join(out_cols)} FROM parts
+    """
+
+
+_PCT_QTY = [("p50_qty", 1, 2), ("p95_qty", 19, 20)]
+_PCT_PRICE = [("p50_price", 1, 2), ("p99_price", 99, 100)]
+
+
 @register(
     "agg_percentile_exact",
     tags=("b4",),
-    oracle="""
-        SELECT l_returnflag,
-               CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS p50_qty,
-               CAST(ROUND(quantile_cont(l_quantity, 0.95), 4) AS DOUBLE) AS p95_qty,
-               CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50_price,
-               CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE) AS p99_price
-        FROM lineitem
-        GROUP BY l_returnflag
+    oracle=f"""
+        -- Exact order statistics in CENTS + exact integer rank
+        -- fractions; the interpolated doubles are derived from those
+        -- identical integers with the SAME IEEE expression tree the
+        -- Spark side uses, so the comparison never touches either
+        -- engine's quantile_cont float internals (ADVICE r6: a
+        -- 4dp-ROUND of order-dependent interpolation can straddle).
+        WITH q AS ({_sql_pct_exact_side("l_quantity", _PCT_QTY)}),
+             p AS ({_sql_pct_exact_side("l_extendedprice", _PCT_PRICE)})
+        SELECT q.l_returnflag, q.p50_qty, q.p95_qty,
+               p.p50_price, p.p99_price
+        FROM q JOIN p USING (l_returnflag)
     """,
 )
 def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT per-group percentiles (linear interpolation between order
-    statistics — the PERCENTILE_CONT definition both engines share),
-    complementing ``agg_approx``'s sketch path: approx is the 100 TB
-    default, exact is what you run to calibrate the sketch's error on
-    a sample, and both now live in the same engine.
+    """EXACT per-group percentiles (PERCENTILE_CONT: linear interpolation
+    between order statistics), complementing ``agg_approx``'s sketch
+    path: approx is the 100 TB default, exact is what you run to
+    calibrate the sketch's error on a sample.
 
-    Plan: Spark's ``percentile`` is a typed-aggregate: per-partition
-    partial state (value buffer) merges at the final agg — one shuffle
-    keyed by group, no global sort of the table (contrast a naive
-    row_number-over-full-sort implementation). Exact percentiles
-    buffer each group's values, so at 100 TB this is for
-    bounded-cardinality groups or sampled calibration — precisely how
-    it's framed vs agg_approx. Interpolated results are rounded to 4dp
-    (compat.py policy) since the interpolation arithmetic is float."""
+    Determinism: rather than ROUND()-ing engine-internal interpolation
+    (whose summation/FMA choices differ in final ulps — ADVICE r6), the
+    operator extracts the lower/upper order statistics at the exact
+    integer rank ``(n-1)·k div d`` per percentile ``k/d`` and derives
+    the interpolated value from those integers with IEEE-exact ops
+    (cast/mul/div are correctly rounded on both engines → bit-identical
+    doubles, no rounding grid to straddle).
+
+    Plan: one window sort per value column — partitioned by group, so
+    each group sorts in parallel and no GLOBAL sort exists; rank
+    filtering collapses immediately into a 3-row-per-group conditional
+    agg. Exact percentiles fundamentally need each group's order
+    statistics, so at 100 TB this is for bounded-cardinality groups or
+    sampled calibration — precisely how it's framed vs agg_approx."""
     li = table(spark, sf_dir, "lineitem")
-
-    def pct(col: str, p: float, alias: str):
-        return F.round(F.percentile(col, F.lit(p)), 4).cast("double").alias(alias)
-
-    return li.groupBy("l_returnflag").agg(
-        pct("l_quantity", 0.5, "p50_qty"),
-        pct("l_quantity", 0.95, "p95_qty"),
-        pct("l_extendedprice", 0.5, "p50_price"),
-        pct("l_extendedprice", 0.99, "p99_price"),
-    )
+    q = _pct_exact_side(li, "l_quantity", _PCT_QTY)
+    p = _pct_exact_side(li, "l_extendedprice", _PCT_PRICE)
+    return q.join(p, "l_returnflag")
 
 
 # --------------------------------------------------------------------------
@@ -402,19 +541,78 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _comoment_sums(li: DataFrame) -> DataFrame:
+    """Exact integer co-moment sums in CENTS over (l_quantity,
+    l_extendedprice) per l_returnflag: n, Σx, Σy, Σxy, Σx², Σy² as
+    decimal(38,0) — decimal addition is associative, so the sums are
+    bit-identical regardless of partial-agg order (the same policy as
+    compat.dsum, extended to second moments). Shared by agg_corr and
+    agg_regression."""
+    x = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+
+    def s0(c):  # exact sum of a bigint expression
+        return F.sum(c.cast("decimal(28,0)")).cast("decimal(38,0)")
+
+    return (
+        li.filter(
+            F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+        )
+        .select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            s0(F.col("x")).alias("sx"),
+            s0(F.col("y")).alias("sy"),
+            s0(F.col("x") * F.col("y")).alias("sxy"),
+            s0(F.col("x") * F.col("x")).alias("sxx"),
+            s0(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+
+
+_SQL_COMOMENT = """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS x,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ) c
+        GROUP BY l_returnflag
+"""
+
+
 @register(
     "agg_corr",
     tags=("b4",),
-    oracle="""
+    oracle=f"""
+        -- Exact-integer co-moments (128-bit HUGEINT), then corr/cov/std
+        -- derived from the IDENTICAL exact sums with IEEE-exact ops
+        -- only (int→double cast, *, /, sqrt are all correctly rounded
+        -- on both engines) — never a ROUND of engine-internal corr()
+        -- whose summation order differs in final ulps (ADVICE r6).
+        WITH m AS ({_SQL_COMOMENT})
         SELECT l_returnflag,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DOUBLE)
+               CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
                    AS qty_price_corr,
-               CAST(ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE)
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n * (n - 1) AS DOUBLE) * 10000.0)
                    AS qty_price_cov,
-               CAST(ROUND(stddev_samp(l_quantity), 4) AS DOUBLE) AS qty_std
-        FROM lineitem
-        GROUP BY l_returnflag
+               SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE)) / 100.0
+                   AS qty_std
+        FROM m
     """,
 )
 def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,21 +620,31 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     covariance, and sample stddev — the profiling pass behind feature
     selection and drift monitoring.
 
-    Plan: all three are DECLARED co-moment aggregates (count/mean/M2
-    partial states merged associatively), so one partial+final hash agg
-    computes everything — no two-pass mean-then-residual dance and no
-    window. Results round to a fixed grid (compat.py): the co-moment
-    merge order differs between engines only in final ulps."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
-        .cast("double")
-        .alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
-        .cast("double")
-        .alias("qty_price_cov"),
-        F.round(F.stddev_samp("l_quantity"), 4).cast("double").alias("qty_std"),
+    Determinism (ADVICE r6 rework): instead of ROUND()-ing the engines'
+    own corr/covar/stddev (whose partial-merge order differs in final
+    ulps — a value within an ulp of the 4dp grid can round differently),
+    the aggregation computes EXACT integer co-moment sums in cents
+    (decimal — associative, order-independent) and derives the three
+    statistics from those identical integers with IEEE-exact operations
+    (correctly-rounded cast/mul/div/sqrt), giving bit-identical doubles
+    with no rounding grid at all. Same trick as events_anomaly's exact
+    z-test, extended to a full second-moment profile.
+
+    Plan: ONE partial+final hash agg (six decimal sums ride one pass);
+    the derivation is a 3-row projection."""
+    m = _comoment_sums(table(spark, sf_dir, "lineitem"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    denx = (n * sxx - sx * sx).cast("double")
+    deny = (n * syy - sy * sy).cast("double")
+    nn1 = (n * (n - 1)).cast("double")
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        (num / F.sqrt(denx * deny)).alias("qty_price_corr"),
+        (num / (nn1 * 10000.0)).alias("qty_price_cov"),
+        (F.sqrt(denx / nn1) / 100.0).alias("qty_std"),
     )
 
 
@@ -501,33 +709,56 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_regression",
     tags=("b4",),
-    oracle="""
+    oracle=f"""
+        -- Same exact co-moment base as agg_corr; REGR_* derived from
+        -- the identical exact integers with IEEE-exact ops only
+        -- (ADVICE r6 — no ROUND of engine-internal regr_* internals).
+        -- slope is unit-free in cents (cents/cents = units/units);
+        -- intercept converts back to price units via n·100.
+        WITH m AS ({_SQL_COMOMENT})
         SELECT l_returnflag,
-               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
-               CAST(ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE)
-                   AS slope,
-               CAST(ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS DOUBLE)
-                   AS intercept,
-               CAST(ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS DOUBLE) AS r2
-        FROM lineitem
-        GROUP BY l_returnflag
+               CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * 100.0) AS intercept,
+               (CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE))
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+        FROM m
     """,
 )
 def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group ordinary-least-squares moments (price ~ quantity):
-    the SQL-standard REGR_* family — slope, intercept, r² — computed
-    as declared co-moment aggregates, completing `agg_corr`'s
-    second-moment profile with the fitted-line view (drift dashboards,
-    quick elasticity probes).
+    the SQL-standard REGR_* family — slope, intercept, r² — completing
+    `agg_corr`'s second-moment profile with the fitted-line view
+    (drift dashboards, quick elasticity probes).
 
-    Plan: like `agg_corr`, everything reduces to (n, Σx, Σy, Σxy, Σx²,
-    Σy²) partials merged associatively — ONE partial+final hash agg,
-    no second pass. Fixed-grid rounding per compat.py."""
-    li = table(spark, sf_dir, "lineitem")
-    y, x = "l_extendedprice", "l_quantity"
-    return li.groupBy("l_returnflag").agg(
-        F.regr_count(y, x).alias("n"),
-        F.round(F.regr_slope(y, x), 4).cast("double").alias("slope"),
-        F.round(F.regr_intercept(y, x), 2).cast("double").alias("intercept"),
-        F.round(F.regr_r2(y, x), 4).cast("double").alias("r2"),
+    Determinism (ADVICE r6 rework, same as agg_corr): exact integer
+    co-moment sums in cents, REGR_* derived from those identical
+    integers with IEEE-exact ops — bit-identical doubles across
+    engines, no rounding grid to straddle. NULL pairs are excluded
+    before the sums (the REGR_COUNT contract).
+
+    Plan: ONE partial+final hash agg over six decimal sums, then a
+    3-row projection — no second pass."""
+    m = _comoment_sums(table(spark, sf_dir, "lineitem"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    denx = (n * sxx - sx * sx).cast("double")
+    deny = (n * syy - sy * sy).cast("double")
+    slope = num / denx
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        slope.alias("slope"),
+        (
+            (sy.cast("double") - slope * sx.cast("double"))
+            / (n.cast("double") * 100.0)
+        ).alias("intercept"),
+        ((num * num) / (denx * deny)).alias("r2"),
     )

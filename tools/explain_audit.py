@@ -181,11 +181,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # value functions: one shared partition key + sort order must fold
     # into a single Window evaluation
     "win_first_last": ([r"Window"], []),
-    # exact percentiles: typed partial/final ObjectHashAggregate — one
-    # group-keyed exchange, never a global sort of the table
+    # exact percentiles via integer order statistics: group-partitioned
+    # window ranks (each group sorts in parallel after ONE hash
+    # exchange) — never a global range-partitioned sort of the table
     "agg_percentile_exact": (
-        [r"ObjectHashAggregate[\s\S]*Exchange[\s\S]*ObjectHashAggregate"],
-        [r"Sort "],
+        [r"Window", r"hashpartitioning"],
+        [r"rangepartitioning"],
     ),
     # zlib scoring: Arrow mapInPandas over the scan; the only exchange
     # allowed is the parallelism-guard round robin (never a hash/key
