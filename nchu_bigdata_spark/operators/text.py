@@ -603,6 +603,11 @@ _PMI_TOPK = 20
     "text_collocation_pmi",
     tags=("b10",),
     oracle=f"""
+        -- Ranks on LIFT = p(l,r)/(p(l)p(r)) = n_pair·n_tok²/(n_bg·c_l·c_r),
+        -- one IEEE division of exact 128-bit integer products — pmi =
+        -- ln(lift) is monotone, so the top-k cut is identical, and the
+        -- hashed double is bit-identical across engines (ADVICE r6: a
+        -- 4dp-rounded ln can straddle the grid between libm variants).
         WITH tok AS (
             SELECT string_split(text, ' ') AS w FROM documents
         ),
@@ -623,21 +628,33 @@ _PMI_TOPK = 20
         ),
         nb AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bgc)
         SELECT b.l_tok, b.r_tok, b.c AS n_pair,
-               ROUND(LN((b.c / nb.n) / ((ul.c / nt.n) * (ur.c / nt.n))), 4) AS pmi
+               ul.c AS c_l, ur.c AS c_r,
+               CAST(CAST(b.c AS HUGEINT) * nt.n * nt.n AS DOUBLE)
+                   / CAST(CAST(nb.n AS HUGEINT) * ul.c * ur.c AS DOUBLE)
+                   AS lift
         FROM bgc b, nb, nt
         JOIN uni ul ON ul.word = b.l_tok
         JOIN uni ur ON ur.word = b.r_tok
         WHERE b.c >= {_PMI_MIN_COUNT}
-        ORDER BY pmi DESC, b.l_tok, b.r_tok
+        ORDER BY lift DESC, b.l_tok, b.r_tok
         LIMIT {_PMI_TOPK}
     """,
 )
 def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: the corpus's top bigrams by pointwise mutual
-    information, ``pmi = ln(p(l,r) / (p(l)·p(r)))`` — the classic
-    signal for multiword expressions (and for spotting templated
-    boilerplate a frequency-only profile like ``text_ngram_stats``
-    misses, because PMI normalizes away individually-common words).
+    information — the classic signal for multiword expressions (and for
+    spotting templated boilerplate a frequency-only profile like
+    ``text_ngram_stats`` misses, because PMI normalizes away
+    individually-common words).
+
+    The ranking/output statistic is ``lift = p(l,r)/(p(l)·p(r)) =
+    n_pair·n_tok² / (n_bg·c_l·c_r)``; pmi = ln(lift) is monotone in it,
+    so the top-k set and order are exactly PMI's. Emitting lift instead
+    of a rounded ln (ADVICE r6 rework) makes the hashed double
+    bit-identical across engines: it is ONE IEEE division of two
+    exact 128-bit integer products, whereas Spark's ``Math.log`` and
+    DuckDB's ``std::log`` are each ≤1 ulp but not bit-identical, so a
+    boundary-straddling rounded pmi could flip on other corpora.
 
     Plan: unigram and bigram vocabularies are each ONE hash-agg over
     the exploded token stream (map-side partials collapse before the
@@ -646,9 +663,8 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups are vocab×vocab equi-joins on the AQE-sized path (vocab ≪
     corpus, typically broadcast). Final top-k is sort+limit — a
     per-partition heap (TakeOrderedAndProject), never a global sort.
-    Support cutoff first, so PMI's low-count noise never reaches the
-    joins. Determinism: counts are exact ints, the pmi double is
-    rounded to 4dp, ties break on the token pair."""
+    Support cutoff first, so low-count noise never reaches the joins.
+    Ties break on the token pair."""
     docs = parallel_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
     toks = docs.select(F.explode(w).alias("word")).filter(F.col("word") != "")
@@ -676,6 +692,12 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ul = uni.select(F.col("word").alias("l_tok"), F.col("c").alias("c_l"))
     ur = uni.select(F.col("word").alias("r_tok"), F.col("c").alias("c_r"))
+
+    def d38(c):  # exact 128-bit-class integer product operand
+        return c.cast("decimal(38,0)")
+
+    num = d38(F.col("n_pair")) * d38(F.col("n_tok")) * d38(F.col("n_tok"))
+    den = d38(F.col("n_bg")) * d38(F.col("c_l")) * d38(F.col("c_r"))
     scored = (
         bgc.filter(F.col("n_pair") >= _PMI_MIN_COUNT)
         .crossJoin(F.broadcast(nb))
@@ -686,17 +708,13 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_tok",
             "r_tok",
             "n_pair",
-            F.round(
-                F.log(
-                    (F.col("n_pair") / F.col("n_bg"))
-                    / ((F.col("c_l") / F.col("n_tok")) * (F.col("c_r") / F.col("n_tok")))
-                ),
-                4,
-            ).alias("pmi"),
+            "c_l",
+            "c_r",
+            (num.cast("double") / den.cast("double")).alias("lift"),
         )
     )
     return scored.orderBy(
-        F.col("pmi").desc(), "l_tok", "r_tok"
+        F.col("lift").desc(), "l_tok", "r_tok"
     ).limit(_PMI_TOPK)
 
 

@@ -376,7 +376,7 @@ def stateful_transform(ev: DataFrame) -> DataFrame:
         FROM events
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY user_id, event_type
-            ORDER BY ts DESC, event_id DESC
+            ORDER BY ts DESC, event_id DESC, value DESC
         ) = 1
     """,
 )
@@ -385,10 +385,15 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (foreachBatch + ordered merge into a ping-pong parquet target; see
     ``streaming.runner.run_events_cdc_upsert`` for mechanics and the
     100 TB notes). The oracle states the end-state invariant — the
-    target holds exactly the latest (by ts, then event_id) row per
-    (user_id, event_type) — which the struct-max merge guarantees
-    regardless of micro-batch boundaries or arrival order; the unit
-    test additionally forces multi-batch out-of-order delivery."""
+    target holds exactly the latest (by ts, then event_id, then value)
+    row per (user_id, event_type) — which the struct-max merge
+    guarantees regardless of micro-batch boundaries or arrival order.
+    The ``value DESC`` leg mirrors the merge struct's third field
+    (ADVICE r6): event_id IS unique in the fixture, but the parity no
+    longer silently relies on that — a hypothetical duplicate
+    (ts, event_id) with two values resolves identically (max value) on
+    both sides. The unit test additionally forces multi-batch
+    out-of-order delivery."""
     import os
 
     from nchu_bigdata_spark.queries.relational import scratch_dir

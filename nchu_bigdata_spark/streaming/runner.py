@@ -228,6 +228,12 @@ def run_events_cdc_upsert(
             F.struct("last_ts_us", "last_event_id", "last_value").alias("s"),
         )
 
+    # Merge order contract: rows compete on the FULL struct
+    # (last_ts_us, last_event_id, last_value) — the third leg makes the
+    # winner well-defined even for a duplicate (ts, event_id) carrying
+    # two different values (max value wins), so end-state parity with
+    # the SQL oracle (ORDER BY ts DESC, event_id DESC, value DESC)
+    # never silently relies on event_id uniqueness (ADVICE r6).
     def merge(batch: DataFrame, epoch_id: int) -> None:
         latest = (
             batch.select(

@@ -186,9 +186,11 @@ def test_collocation_pmi_formula_replay(spark, tmp_path):
     texts = ["alpha beta"] * 12 + ["the end"] * 12 + ["the"] * 12
     _write_documents(tmp_path, texts)
     rows = SPECS["text_collocation_pmi"].fn(spark, str(tmp_path)).collect()
-    got = {(r.l_tok, r.r_tok): (r.n_pair, r.pmi) for r in rows}
+    got = {(r.l_tok, r.r_tok): (r.n_pair, r.c_l, r.c_r, r.lift) for r in rows}
 
-    # independent replay of the formula
+    # independent replay of the formula (lift = exp(pmi); the operator
+    # emits lift from exact integer products so it's bit-checkable —
+    # float(num)/float(den) below is the same IEEE division)
     uni = Counter(w for t in texts for w in t.split(" "))
     n_t = sum(uni.values())
     bg = Counter(
@@ -199,15 +201,15 @@ def test_collocation_pmi_formula_replay(spark, tmp_path):
     )
     n_b = sum(bg.values())
 
-    def pmi(pair):
+    def lift(pair):
         c = bg[pair]
-        return round(
-            math.log((c / n_b) / ((uni[pair[0]] / n_t) * (uni[pair[1]] / n_t))), 4
-        )
+        return float(c * n_t * n_t) / float(n_b * uni[pair[0]] * uni[pair[1]])
 
-    assert got[("alpha", "beta")] == (12, pmi(("alpha", "beta")))
-    assert got[("the", "end")] == (12, pmi(("the", "end")))
-    assert got[("alpha", "beta")][1] > got[("the", "end")][1]
+    assert got[("alpha", "beta")] == (12, 12, 12, lift(("alpha", "beta")))
+    assert got[("the", "end")] == (12, 24, 12, lift(("the", "end")))
+    assert got[("alpha", "beta")][3] > got[("the", "end")][3]
+    # pmi = ln(lift) stays monotone-derivable from the output
+    assert math.log(got[("alpha", "beta")][3]) > math.log(got[("the", "end")][3])
 
 
 def test_collocation_pmi_support_cutoff(spark, tmp_path):
