@@ -103,80 +103,27 @@ def register(
 # errored on the TIMESTAMP_NTZ read, since fixed); r4 re-confirmed the
 # errored 7 + refreshed every round-2-signal id; r5 covered the 10 new
 # ids + 5 changed plans + all 35 r3-signal ids (50 checked, 0 fail).
-# Round 6's window: (a) the 6 ids whose code or oracle changed this
-# round (jaccard restructure + 60-bit keys; TZ-free retention/streak
-# oracles; kmeans_fit's new Lloyd-replay oracle; multimodal_decode's
-# moment-hash oracle; sim_topk's de-salted plan), then (b) 44 of the
-# 46 ids whose latest driver signal is r4 (the last two yield their
-# slots and refresh first in r7). The r5 greens and r6-born ids after
-# the window marker rotate in from r7.
+# Round 7's window (VERDICT r6 item 1 — certify the 41 round-6-born
+# ids): (a) the 6 ids whose code or oracle changed in r7 (agg_approx's
+# bounded-verdict oracle; exact-integer reworks of agg_percentile_exact
+# / agg_corr / agg_regression; text_collocation_pmi's lift statistic;
+# stream_cdc_upsert's value-tiebreak oracle — ADVICE r6 closures), then
+# (b) the 2 r4-stale ids displaced from the r6 window, then (c) the 36
+# remaining round-6-born ids with no driver row yet, then (d) 6 of the
+# oldest r5-green refreshes. The r6-window ids (fresh r6 greens) and
+# the rest of the r5 greens rotate behind the marker for r8.
 DRIVER_ORDER = [
-    # -- code/oracle changed in round 6; re-confirm under new shapes --
-    "dedup_ngram_jaccard",
-    "events_retention",
-    "sub_recursive",
-    "kmeans_fit",
-    # changed later in round 6 (d62b140 gave multimodal_decode its
-    # moment-hash oracle; 60b3290 de-salted sim_topk's window plan):
-    # changed-code coverage outranks stale-green refresh, so these two
-    # enter the window and the two last r4-stale ids below move to r7
-    "multimodal_decode",
-    "sim_topk",
-    # -- latest driver signal is round-4 (green); refresh under r6
-    #    (44 of the 46 r4-signal ids — the last two yield their slots
-    #    to the late-round changed ids above and refresh first in r7) --
-    "agg_hash",
-    "stream_sliding",
-    "stream_stream_join",
-    "multimodal_decode_meta",
-    "tpch_q5",
-    "join_dpp",
-    "win_argmin",
-    "udtf_apply_in_pandas",
-    "text_tokenize_tfidf",
-    "join_asof",
-    "scan_json",
-    "fn_json",
-    "stream_session",
-    "stream_dedup",
-    "stream_stateful",
-    "stream_watermark_late",
-    "stream_tumbling",
-    "agg_distinct",
+    # -- code/oracle changed in round 7; certify under new shapes --
     "agg_approx",
-    "fn_map",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_vector_mean",
-    "rollup_hypertable",
-    "join_shuffle",
-    "join_outer",
-    "join_theta_range",
-    "join_bucketed",
-    "join_skew_salted",
-    "win_rank",
-    "win_lag_lead",
-    "win_frame_avg",
-    "win_running_total",
-    "win_range_frame",
-    "win_ntile",
-    "udaf_grouped_pandas",
-    "text_stats",
-    "text_langid",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_cols",
-    "multimodal_framesample",
-    "dedup_exact",
-    # -- 50-entry window ends here --
-    # -- r4-stale ids displaced by the two late-round changed ids
-    #    above; first of the r7 refresh block --
+    "agg_percentile_exact",
+    "agg_corr",
+    "agg_regression",
+    "text_collocation_pmi",
+    "stream_cdc_upsert",
+    # -- latest driver signal r4; displaced from the r6 window --
     "dedup_embed_cosine",
     "decontam_ngram",
-    # -- born in round 6 (sweep-checked + pytest-oracle-checked r6;
-    #    FIRST in the r7 driver window so they get official rows
-    #    without evicting the 46 stale-refresh ids above) --
+    # -- born in round 6; no official driver row yet --
     "text_pii_scrub",
     "embed_quantize",
     "dedup_incremental",
@@ -189,21 +136,16 @@ DRIVER_ORDER = [
     "tpch_q17",
     "scd2_history",
     "join_interval_overlap",
-    "text_collocation_pmi",
     "text_bpe_pairs",
     "events_anomaly",
-    "stream_cdc_upsert",
     "graph_pagerank",
     "graph_triangles",
     "scan_text",
     "sample_reservoir",
-    "agg_percentile_exact",
     "text_compression_ratio",
-    "agg_corr",
     "multimodal_phash",
     "multimodal_phash_pairs",
     "agg_bitmap_distinct",
-    "agg_regression",
     "win_first_last",
     "events_markov",
     "tpch_q10",
@@ -218,13 +160,15 @@ DRIVER_ORDER = [
     "tpch_q19",
     "tpch_q11",
     "tpch_q21",
-    # -- round-5 greens, unchanged code; rotate back in the r7 window --
+    # -- oldest round-5 greens; refresh in the tail of the window --
     "dedup_simhash_pairs",
     "text_ngram_stats",
     "sample_token_budget",
     "tpch_q18",
     "events_funnel",
     "win_distribution",
+    # -- 50-entry window ends here --
+    # -- round-5 greens, unchanged code; rotate into the r8 window --
     "multimodal_resize",
     "udtf_python_arrow",
     "dedup_minhash",
@@ -263,6 +207,56 @@ DRIVER_ORDER = [
     "sub_exists",
     "sub_scalar",
     "sub_in",
+    # -- round-6 window ids (fresh r6 greens; re-rotate last) --
+    "dedup_ngram_jaccard",
+    "events_retention",
+    "sub_recursive",
+    "kmeans_fit",
+    "multimodal_decode",
+    "sim_topk",
+    "agg_hash",
+    "stream_sliding",
+    "stream_stream_join",
+    "multimodal_decode_meta",
+    "tpch_q5",
+    "join_dpp",
+    "win_argmin",
+    "udtf_apply_in_pandas",
+    "text_tokenize_tfidf",
+    "join_asof",
+    "scan_json",
+    "fn_json",
+    "stream_session",
+    "stream_dedup",
+    "stream_stateful",
+    "stream_watermark_late",
+    "stream_tumbling",
+    "agg_distinct",
+    "fn_map",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_vector_mean",
+    "rollup_hypertable",
+    "join_shuffle",
+    "join_outer",
+    "join_theta_range",
+    "join_bucketed",
+    "join_skew_salted",
+    "win_rank",
+    "win_lag_lead",
+    "win_frame_avg",
+    "win_running_total",
+    "win_range_frame",
+    "win_ntile",
+    "udaf_grouped_pandas",
+    "text_stats",
+    "text_langid",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_cols",
+    "multimodal_framesample",
+    "dedup_exact",
 ]
 
 
