@@ -212,37 +212,47 @@ def main() -> None:
         if prev
         else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # Methodology (recorded so rounds stay comparable): each
-                # query timed `reps` times after a warm() pass; headline
-                # value is per-query MIN; means give the cross-check.
-                "reps": reps,
-                "warmup": True,
-                "agg": "min",
-                "queries_mean": means,
-                "value_mean": total_mean,
-                # LLM-pipeline group, tracked separately from the
-                # baseline-comparable headline total above.
-                "llm_queries": llm_times,
-                "llm_total": round(sum(llm_times.values()), 3),
-                "llm_queries_mean": llm_means,
-                # Round-over-round LLM-group regression deltas (secs vs
-                # the latest recorded BENCH_r{N}; negative = faster).
-                "llm_delta": llm_delta,
-                # SQL/warehouse/graph composite group (round 6+).
-                "sql_queries": sql_times,
-                "sql_total": round(sum(sql_times.values()), 3),
-                "sql_queries_mean": sql_means,
-            }
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Methodology (recorded so rounds stay comparable): each
+        # query timed `reps` times after a warm() pass; headline
+        # value is per-query MIN; means give the cross-check.
+        "reps": reps,
+        "warmup": True,
+        "agg": "min",
+        "queries_mean": means,
+        "value_mean": total_mean,
+        # LLM-pipeline group, tracked separately from the
+        # baseline-comparable headline total above.
+        "llm_queries": llm_times,
+        "llm_total": round(sum(llm_times.values()), 3),
+        "llm_queries_mean": llm_means,
+        # Round-over-round LLM-group regression deltas (secs vs
+        # the latest recorded BENCH_r{N}; negative = faster).
+        "llm_delta": llm_delta,
+        # SQL/warehouse/graph composite group (round 6+).
+        "sql_queries": sql_times,
+        "sql_total": round(sum(sql_times.values()), 3),
+        "sql_queries_mean": sql_means,
+    }
+    line = json.dumps(payload)
+    # Lossless side record (VERDICT r6 item 5): the driver captures the
+    # stdout TAIL, which truncated round 6's line and lost agg_hash's
+    # best-of-reps. The full JSON also lands in a committed file so the
+    # record survives any log truncation.
+    try:
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
         )
-    )
+        with open(side, "w", encoding="utf-8") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # stdout line remains the primary contract
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,175 @@
+"""Synthetic 10× scale probe for the heavy operators (VERDICT r6 item 3).
+
+/root/testdata tops out at sf0.1, so the 100×-scale claims for the
+heaviest plans rested on plan-shape argument alone. This probe converts
+the argument into measured evidence: it fabricates a 10× corpus from
+sf0.1 by unioning key-shifted copies, runs each heavy operator at 1×
+and 10×, and asserts the runtime ratio is far below the quadratic
+frontier (a quadratic plan would scale ~100×; the gate is ratio < 25,
+i.e. comfortably sub-quadratic, leaving room for constant-factor and
+scheduling noise on a time-shared host).
+
+Blow-up construction (structure-preserving, so outputs scale ~linearly
+and the 10× run exercises the same plan shapes, only bigger):
+
+* ``lineitem``: 10 copies with ``l_orderkey`` and ``l_partkey`` shifted
+  by ``i × 10^7`` — per-order group sizes are unchanged and the part
+  co-purchase graph becomes 10 disjoint isomorphic subgraphs
+  (triangles, degrees, PageRank structure all ×10, no new hubs).
+* ``documents``: 10 copies with ``doc_id`` shifted by ``i × 10^7`` and
+  every TOKEN suffixed ``_c<i>`` for copies 1..9 — copies share no
+  shingles, so near-dup pair structure per copy is identical to 1×
+  and the expected pair count is exactly ×10 (appending a copy-id to
+  the whole text would leave bodies near-identical across copies and
+  quadratically explode the pair space — a different, adversarial
+  experiment).
+
+The shift (10^7) is divisible by every modulus the operators use for
+deterministic splits (doc_id % 10, % 20, l_orderkey % 4), so split
+semantics are preserved per copy.
+
+Usage:
+    python tools/scale_probe.py [--reps 2] [--ops op1,op2,...]
+
+Prints per-op 1×/10× timings + ratio as a markdown table (paste into
+SCALE_PROBE.md) and exits non-zero if any ratio breaches the gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.registry import load_all_queries
+from nchu_bigdata_spark.session import get_session
+
+BASE_SF = "/root/testdata/sf0.1"
+COPIES = 10
+SHIFT = 10_000_000
+GATE_RATIO = 25.0  # quadratic would be ~100; linear ~10
+
+HEAVY_OPS = [
+    "graph_triangles",
+    "graph_pagerank",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+]
+
+# Tables each op reads (everything else is symlinked unchanged).
+BLOWN_TABLES = {"lineitem", "documents"}
+
+
+def build_10x(spark, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    # lineitem: shift both key spaces per copy
+    li = spark.read.parquet(os.path.join(BASE_SF, "lineitem.parquet"))
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * SHIFT))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * SHIFT))
+        )
+    big_li = parts[0]
+    for p in parts[1:]:
+        big_li = big_li.unionAll(p)
+    big_li.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+
+    # documents: shift doc_id; suffix every token for copies >= 1 so
+    # copies share no shingles (structure-preserving blow-up)
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    parts = []
+    for i in range(COPIES):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * SHIFT))
+        if i > 0:
+            d = d.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda t: F.concat(t, F.lit(f"_c{i}")),
+                    ),
+                    " ",
+                ),
+            )
+        parts.append(d)
+    big_docs = parts[0]
+    for p in parts[1:]:
+        big_docs = big_docs.unionAll(p)
+    big_docs.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    # everything else: symlink unchanged from sf0.1
+    for f in os.listdir(BASE_SF):
+        if not f.endswith(".parquet"):
+            continue
+        if f.split(".")[0] in BLOWN_TABLES:
+            continue
+        link = os.path.join(out_dir, f)
+        if not os.path.lexists(link):
+            os.symlink(os.path.abspath(os.path.join(BASE_SF, f)), link)
+
+
+def time_op(spark, specs, name: str, sf_dir: str, reps: int) -> tuple[float, int]:
+    best, rows = float("inf"), -1
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        rows = df.count()
+        best = min(best, time.perf_counter() - t0)
+    return best, rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--ops", type=str, default=",".join(HEAVY_OPS))
+    args = ap.parse_args()
+    ops = [o for o in args.ops.split(",") if o]
+
+    spark = get_session("scale-probe")
+    specs = load_all_queries()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    big_dir = os.path.join(repo, ".scratch", "scale10x")
+
+    if not os.path.exists(os.path.join(big_dir, "documents.parquet")):
+        t0 = time.perf_counter()
+        build_10x(spark, big_dir)
+        print(f"built 10x dir in {time.perf_counter()-t0:.1f}s", flush=True)
+
+    import bench
+
+    bench.warm(spark)
+
+    print("| op | 1x sec | 10x sec | ratio | 1x rows | 10x rows |")
+    print("|---|---|---|---|---|---|")
+    failed = []
+    for name in ops:
+        t1, r1 = time_op(spark, specs, name, BASE_SF, args.reps)
+        t10, r10 = time_op(spark, specs, name, big_dir, args.reps)
+        ratio = t10 / max(t1, 1e-9)
+        flag = "" if ratio < GATE_RATIO else "  **BREACH**"
+        print(
+            f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x{flag} "
+            f"| {r1} | {r10} |",
+            flush=True,
+        )
+        if ratio >= GATE_RATIO:
+            failed.append(name)
+    if failed:
+        print("gate breached:", ", ".join(failed))
+        return 1
+    print(f"all ratios < {GATE_RATIO} (quadratic would be ~100x)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
