@@ -400,7 +400,8 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_dsum("c.c_acctbal")} AS totacctbal
         FROM customer c
         WHERE c.c_acctbal > (
-                  SELECT ROUND(AVG(c2.c_acctbal), 6)
+                  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE)
                   FROM customer c2 WHERE c2.c_acctbal > 0.0
               )
           AND NOT EXISTS (
@@ -418,10 +419,13 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer has SOME order, so inactivity is no-URGENT-order).
 
     Plan: the uncorrelated scalar AVG computes once (1-row subquery,
-    broadcast into the filter — rounded to 6dp on both engines so a
-    balance sitting within an ulp of the unrounded mean can't flip,
-    per the q17 policy); the NOT EXISTS decorrelates to a LEFT ANTI
-    join on the customer key. One customer-keyed shuffle total."""
+    broadcast into the filter). The threshold is EXACT: an associative
+    decimal(20,6) sum divided by the count in ONE IEEE division — both
+    engines produce the bit-identical double, so no acctbal can ever
+    straddle it (the earlier 6dp-ROUND-of-double-AVG left a residual
+    ulp-at-the-grid tail; round-7 hardening pass). The NOT EXISTS
+    decorrelates to a LEFT ANTI join on the customer key. One
+    customer-keyed shuffle total."""
     from nchu_bigdata_spark.queries.subqueries import _views
 
     _views(spark, sf_dir, "customer", "orders")
@@ -430,7 +434,8 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_nationkey, c.c_acctbal
         FROM customer c
         WHERE c.c_acctbal > (
-                  SELECT ROUND(AVG(c2.c_acctbal), 6)
+                  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE)
                   FROM customer c2 WHERE c2.c_acctbal > 0.0
               )
           AND NOT EXISTS (
@@ -692,3 +697,307 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l1.l_suppkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# tpch_q8 — national market share (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q8",
+    tags=("b11",),
+    oracle=f"""
+        WITH vol AS (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+                   CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(20,6)) AS volume,
+                   n2.n_name AS supp_nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+            JOIN region r   ON r.r_regionkey = n1.n_regionkey
+            JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+            WHERE r.r_name = 'ASIA'
+              AND p.p_type = 'STANDARD'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                             THEN volume ELSE CAST(0 AS DECIMAL(20,6)) END)
+                    AS DECIMAL(38,6)) AS nation_volume,
+               CAST(SUM(volume) AS DECIMAL(38,6)) AS total_volume,
+               CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume
+                                  ELSE CAST(0 AS DECIMAL(20,6)) END)
+                         AS DECIMAL(38,6)) AS DOUBLE)
+                   / CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE)
+                   AS mkt_share
+        FROM vol
+        GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — NATION_3's slice of the
+    ASIA-customer STANDARD-part order volume by year. The planner
+    benchmark: an 8-way star join where the region filter must prune
+    through TWO nation hops (customer side) while the supplier-side
+    nation join stays unfiltered (it feeds the CASE, not the WHERE).
+
+    Determinism: numerator and denominator are exact associative
+    decimal sums; the share is ONE IEEE division of their decimal→
+    double casts — bit-identical on both engines, no rounding grid
+    (same policy as tpch_q14).
+
+    Plan: all five dims broadcast (part is the largest at 2000 rows ×
+    SF); lineitem⋈orders is the one big shuffle; the date range pushes
+    to the orders scan and the p_type filter to the part scan, so
+    AQE sees a heavily-reduced probe side. At 100 TB the share math
+    stays a 2-column agg over the joined fact — no second pass."""
+    from nchu_bigdata_spark.queries.subqueries import _views
+
+    _views(
+        spark, sf_dir,
+        "part", "lineitem", "supplier", "orders", "customer", "nation",
+        "region",
+    )
+    vol = spark.sql(
+        """
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(20,6)) AS volume,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'STANDARD'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        """
+    )
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(20,6)")
+        )
+    ).cast("decimal(38,6)")
+    tot = F.sum("volume").cast("decimal(38,6)")
+    return vol.groupBy("o_year").agg(
+        nat.alias("nation_volume"),
+        tot.alias("total_volume"),
+        (nat.cast("double") / tot.cast("double")).alias("mkt_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_q9 — product-type profit (round 7; cost stand-in documented)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q9",
+    tags=("b11",),
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             - 0.4 * p.p_retailprice * l.l_quantity
+                             AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS profit
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and year.
+    The fixture has no partsupp/ps_supplycost, so unit cost stands in
+    as ``0.4 × p_retailprice`` (deterministic, schema-local — the same
+    stand-in discipline as q16's lineitem-for-partsupp); the SHAPE —
+    LIKE-filtered part dim, 5-way join, profit expression mixing THREE
+    tables' columns inside one aggregate — is Q9's.
+
+    Determinism: the per-row profit expression is identical IEEE
+    arithmetic on identical doubles, cast to decimal(20,6) BEFORE the
+    sum, so the aggregate is associative and order-independent.
+
+    Plan: part (LIKE-filtered) and nation broadcast; lineitem⋈orders
+    is the big shuffle; profit folds into ONE partial+final hash agg
+    keyed by the (nation, year) pair."""
+    from nchu_bigdata_spark.queries.subqueries import _views
+
+    _views(spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             - 0.4 * p.p_retailprice * l.l_quantity
+                             AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS profit
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_q20 — potential part promotion (round 7; stock stand-in documented)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q20",
+    tags=("b11",),
+    oracle="""
+        SELECT s.s_name, n.n_name AS nation
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_suppkey IN (
+            SELECT y.l_suppkey
+            FROM (
+                SELECT l.l_suppkey, l.l_partkey,
+                       SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                                 AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+                                THEN l.l_quantity ELSE 0 END) AS q_year,
+                       SUM(l.l_quantity) AS q_total
+                FROM lineitem l
+                WHERE l.l_partkey IN (
+                    SELECT p.p_partkey FROM part p
+                    WHERE p.p_name LIKE 'small%'
+                )
+                GROUP BY l.l_suppkey, l.l_partkey
+            ) y
+            WHERE y.q_total >= 80 AND y.q_year * 2 > y.q_total
+        )
+        ORDER BY s.s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: potential part promotion — suppliers who moved
+    more than half of a 'small%' part's lifetime volume inside 1997.
+    The fixture has no partsupp/ps_availqty, so "stock" stands in as
+    the part's lifetime shipped quantity per supplier and the Q20
+    comparison ``ps_availqty > 0.5 × year_qty`` becomes
+    ``year_qty × 2 > total_qty`` with a lifetime-volume support floor
+    (``q_total >= 80``, without which single-shipment pairs trivially
+    pass and the filter selects every supplier) — EXACT integer
+    arithmetic (fixture quantities are integral), never a 0.5× float
+    product.
+
+    The shape is Q20's planner exercise: a part-name IN subquery
+    FEEDING a grouped HAVING-style derived table, itself feeding a
+    supplier IN — Catalyst must turn both INs into semi-joins and
+    push the part filter below the lineitem aggregate.
+
+    Plan: part filter broadcasts into the lineitem scan (semi join);
+    ONE (suppkey, partkey) hash agg with the year split as conditional
+    partials; the qualifying supplier set broadcasts into the
+    supplier⋈nation probe. No shuffle carries raw lineitem rows past
+    the first agg."""
+    from nchu_bigdata_spark.queries.subqueries import _views
+
+    _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT s.s_name, n.n_name AS nation
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_suppkey IN (
+            SELECT y.l_suppkey
+            FROM (
+                SELECT l.l_suppkey, l.l_partkey,
+                       SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                                 AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+                                THEN l.l_quantity ELSE 0 END) AS q_year,
+                       SUM(l.l_quantity) AS q_total
+                FROM lineitem l
+                WHERE l.l_partkey IN (
+                    SELECT p.p_partkey FROM part p
+                    WHERE p.p_name LIKE 'small%'
+                )
+                GROUP BY l.l_suppkey, l.l_partkey
+            ) y
+            WHERE y.q_total >= 80 AND y.q_year * 2 > y.q_total
+        )
+        ORDER BY s.s_name
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_q2 — minimum-cost supplier (round 7; psup stand-in documented)
+# --------------------------------------------------------------------------
+
+_Q2_SQL = """
+        WITH psup AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+            FROM lineitem l
+            GROUP BY l.l_partkey, l.l_suppkey
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name AS nation,
+               p.p_partkey, p.p_brand, ps.unit_cost
+        FROM part p
+        JOIN psup ps    ON ps.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_size = 10
+          AND ps.unit_cost = (
+              SELECT MIN(ps2.unit_cost)
+              FROM psup ps2
+              JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+              JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+              JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+              WHERE r2.r_name = 'ASIA'
+                AND ps2.l_partkey = p.p_partkey
+          )
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+"""
+
+
+@register("tpch_q2", tags=("b11",), oracle=_Q2_SQL)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier — for each size-10 part,
+    the ASIA supplier(s) achieving the minimum unit cost, ties
+    preserved, top-100 by account balance. The fixture has no
+    partsupp, so the supply-cost table derives from lineitem:
+    ``unit_cost = MIN(l_extendedprice / l_quantity)`` per (part,
+    supplier) — the same derived-view-queried-twice discipline as
+    tpch_q15.
+
+    Determinism: unit_cost is an IEEE division of identical doubles,
+    MIN is exact selection (no arithmetic), and the correlated
+    equality compares values produced by the SAME derivation on both
+    engines — a float EQUALITY that is safe precisely because both
+    sides select from one shared set of bit-identical doubles (the
+    q15 tie-safety argument).
+
+    Plan: Catalyst decorrelates the per-part scalar MIN into a
+    region-filtered aggregate on l_partkey + an equi-join — the
+    derived psup table is the one lineitem-sized shuffle (reused
+    logically on both branches); part/supplier/nation/region all
+    broadcast; the final top-100 is a TakeOrderedAndProject heap."""
+    from nchu_bigdata_spark.queries.subqueries import _views
+
+    _views(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
+    return spark.sql(_Q2_SQL)

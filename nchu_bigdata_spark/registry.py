@@ -257,6 +257,12 @@ DRIVER_ORDER = [
     "multimodal_cols",
     "multimodal_framesample",
     "dedup_exact",
+    # -- born in round 7 (behind the whole rotation per VERDICT r6
+    #    item 1: nothing outranks the pending-41 certification) --
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q20",
+    "tpch_q2",
 ]
 
 

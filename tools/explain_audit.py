@@ -89,6 +89,28 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # Q18: the IN-over-HAVING subquery must decorrelate to a semi join
     # (never re-scan lineitem per row), and top-100 must be a heap
     "tpch_q18": ([r"LeftSemi", r"TakeOrderedAndProject"], []),
+    # Q8: 8-way star — dims broadcast, the share math folds into one
+    # hash agg; no nested loop anywhere in a pure equi-join star
+    "tpch_q8": (
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
+    # Q9: LIKE-filtered part dim must broadcast; profit folds into one
+    # partial+final hash agg over the joined fact
+    "tpch_q9": (
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
+    # Q20: both INs must become semi joins (part filter below the
+    # lineitem agg; qualifying-supplier set into the supplier probe)
+    "tpch_q20": ([r"LeftSemi"], [r"BroadcastNestedLoopJoin"]),
+    # Q2: the correlated per-part scalar MIN must decorrelate to an
+    # aggregate + equi join (never a per-part re-scan of psup), and
+    # the top-100 must be a heap
+    "tpch_q2": (
+        [r"TakeOrderedAndProject", r"HashAggregate"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
     "join_cross_argmin": ([r"BroadcastNestedLoopJoin|BroadcastHashJoin"], []),
     # stream-stream interval join: must hash on the user key; the time
     # range rides as join condition, never a nested-loop over pairs
