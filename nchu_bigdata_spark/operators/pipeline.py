@@ -608,3 +608,103 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id", F.row_number().over(w).cast("int").alias("rk"))
         .filter(F.col("rk") <= _RSV_K)
     )
+
+
+# --------------------------------------------------------------------------
+# mixture_weights — corpus mixture-recipe solver (round 7)
+# --------------------------------------------------------------------------
+
+# Target language proportions in basis points (sums to 10000) — the
+# mixture a downstream training run wants, vs whatever the corpus has.
+_MIX_TARGET_BP = {"en": 4000, "zh": 1500, "es": 1500, "de": 1500, "fr": 1500}
+
+
+def _mix_target_col():
+    expr = F.when(F.lit(False), F.lit(0))
+    for lang, bp in _MIX_TARGET_BP.items():
+        expr = expr.when(F.col("lang") == lang, F.lit(bp))
+    return expr.otherwise(F.lit(0))
+
+
+def _mix_target_sql() -> str:
+    branches = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in _MIX_TARGET_BP.items()
+    )
+    return f"CASE lang {branches} ELSE 0 END"
+
+
+@register(
+    "mixture_weights",
+    tags=("pipeline",),
+    oracle=f"""
+        WITH cell AS (
+            SELECT lang,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens,
+                   CAST({_mix_target_sql()} AS BIGINT) AS target_bp
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM cell),
+        cap AS (
+            SELECT MIN(n_tokens * 10000 // target_bp) AS budget
+            FROM cell WHERE target_bp > 0
+        )
+        SELECT c.lang, c.n_tokens,
+               CAST(c.n_tokens * 10000 // t.corpus_tokens AS BIGINT)
+                   AS actual_bp,
+               c.target_bp,
+               CAST(c.target_bp * p.budget // 10000 AS BIGINT)
+                   AS desired_tokens,
+               CAST(CASE WHEN c.n_tokens = 0 THEN 0
+                         ELSE (c.target_bp * p.budget // 10000) * 10000
+                              // c.n_tokens END AS BIGINT) AS weight_bp
+        FROM cell c, tot t, cap p
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-recipe solver (the Pile/Dolma mixing step): given target
+    language proportions, compute per-language keep-rates that hit the
+    LARGEST corpus achievable at exactly those proportions. The binding
+    constraint is the scarcest language relative to its target:
+    ``budget = min_L floor(n_L · 10⁴ / target_L)`` total tokens; each
+    language then contributes ``desired_L = floor(target_L · budget /
+    10⁴)`` tokens, i.e. keep-rate ``weight_L = floor(desired_L · 10⁴ /
+    n_L)`` ≤ 10⁴ by construction. Feed the rates into deterministic
+    hash sampling (``sample_stratified``'s mechanism) to materialize.
+
+    Determinism: every quantity is integer division on exact token
+    counts — bit-identical across engines, no float shares anywhere.
+
+    Plan: ONE hash agg over per-document token counts (a narrow
+    ``size(split(...))`` projection — map-side combined); the corpus
+    total and the binding budget are 1-row broadcast cross joins. At
+    100 TB this is a metadata-sized computation riding one corpus
+    scan."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    ).withColumn("target_bp", _mix_target_col().cast("long"))
+    tot = cell.agg(F.sum("n_tokens").cast("long").alias("corpus_tokens"))
+    cap = cell.filter(F.col("target_bp") > 0).agg(
+        F.min(F.expr("n_tokens * 10000 div target_bp")).alias("budget")
+    )
+    desired = F.expr("target_bp * budget div 10000")
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cap))
+        .select(
+            "lang",
+            "n_tokens",
+            F.expr("n_tokens * 10000 div corpus_tokens").alias("actual_bp"),
+            "target_bp",
+            desired.alias("desired_tokens"),
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "(target_bp * budget div 10000) * 10000 div n_tokens"
+                )
+            )
+            .cast("long")
+            .alias("weight_bp"),
+        )
+    )

@@ -598,3 +598,110 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embed_covariance — exact d×d covariance of the embedding corpus (round 7)
+# --------------------------------------------------------------------------
+
+_COV_SCALE = 1_000_000  # 1e-6 quantization grid for exact integer moments
+
+
+@register(
+    "embed_covariance",
+    tags=("b10",),
+    oracle=f"""
+        -- Exact integer co-moments of 1e-6-quantized embedding values
+        -- (agg_corr's policy extended to the d×d case): products and
+        -- sums are 128-bit exact, the covariance doubles derive from
+        -- identical integers with IEEE-exact ops — bit-identical.
+        WITH ex AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+                   CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE)
+                              * {_COV_SCALE}) AS BIGINT) AS x
+            FROM embeddings
+        ),
+        m AS (
+            SELECT a.i AS i, b.i AS j,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(a.x AS HUGEINT) * b.x) AS spp
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY a.i, b.i
+        ),
+        s AS (SELECT i, SUM(CAST(x AS HUGEINT)) AS sv FROM ex GROUP BY i)
+        SELECT m.i, m.j, CAST(m.n AS BIGINT) AS n,
+               CAST(m.n * m.spp - si.sv * sj.sv AS DOUBLE)
+                   / (CAST(m.n * (m.n - 1) AS DOUBLE) * 1e12) AS cov
+        FROM m
+        JOIN s si ON si.i = m.i
+        JOIN s sj ON sj.i = m.j
+    """,
+)
+def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample covariance matrix of the embedding corpus (upper
+    triangle, tidy ``(i, j, n, cov)`` rows, 1-based dims) — the PCA /
+    whitening / decorrelation precursor: eigendecompose the d×d result
+    driver-side (d² is tiny) while the DATA-sized work stays
+    distributed.
+
+    Determinism: embedding values quantize to a 1e-6 grid as exact
+    integers (identical ROUND of identical doubles on both engines —
+    ties round away from zero on both); all co-moment sums are exact
+    decimal/HUGEINT; the covariance double derives from identical
+    integers via IEEE-exact cast/mul/div (agg_corr's policy, d×d).
+
+    Plan: the d(d+1)/2 products per vector are ONE narrow
+    nested-transform projection (no self-join of the exploded stream,
+    no shuffle before aggregation) feeding a (i, j)-keyed hash agg —
+    map-side partials collapse to d² rows. The per-dimension sums ride
+    a second d-row agg joined back (broadcast). At 100 TB: one corpus
+    scan, wire volume O(d² × tasks)."""
+    emb = parallel_table(spark, sf_dir, "embeddings")
+    d = F.size("embedding")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _COV_SCALE, 0).cast("long"),
+    )
+    rows = emb.select(q.alias("q"), d.alias("d"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("q"),
+            lambda x, i: F.transform(
+                F.slice(F.col("q"), i + 1, F.col("d") - i),
+                lambda y, j: F.struct(
+                    (i + 1).cast("int").alias("i"),
+                    (i + j + 1).cast("int").alias("j"),
+                    (x * y).alias("p"),
+                ),
+            ),
+        )
+    )
+    exploded = rows.select(F.explode(pairs).alias("e")).select(
+        "e.i", "e.j", "e.p"
+    )
+    m = exploded.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("p").cast("decimal(28,0)")).cast("decimal(38,0)").alias(
+            "spp"
+        ),
+    )
+    sv = (
+        rows.select(F.posexplode("q").alias("i0", "x"))
+        .groupBy((F.col("i0") + 1).cast("int").alias("i"))
+        .agg(F.sum(F.col("x").cast("decimal(28,0)")).cast("decimal(38,0)").alias("sv"))
+    )
+    si = sv.select(F.col("i"), F.col("sv").alias("si"))
+    sj = sv.select(F.col("i").alias("j"), F.col("sv").alias("sj"))
+    num = (F.col("n") * F.col("spp") - F.col("si") * F.col("sj")).cast("double")
+    den = (F.col("n") * (F.col("n") - 1)).cast("double") * F.lit(1e12)
+    return (
+        m.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            F.col("n").cast("long").alias("n"),
+            (num / den).alias("cov"),
+        )
+    )

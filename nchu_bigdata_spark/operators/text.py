@@ -859,3 +859,114 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the multimodal decode path (``multimodal.py`` notes). Bytes
     cross to Python once per row; output is 5 small columns."""
     return compression_ratio(parallel_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# text_line_dedup — C4-style boilerplate segment removal (round 7)
+# --------------------------------------------------------------------------
+
+_LD_W = 4  # tokens per segment ("pseudo-line" — fixture text has no \n)
+_LD_HOT = 3  # segments occurring >= this many times corpus-wide are removed
+
+
+@register(
+    "text_line_dedup",
+    tags=("b10",),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        seg AS (
+            SELECT doc_id, i AS s,
+                   array_to_string(
+                       w[(i * {_LD_W} + 1):(i * {_LD_W} + {_LD_W})], ' '
+                   ) AS seg
+            FROM tok,
+                 unnest(range(0, CAST(ceil(len(w) / {_LD_W}.0) AS BIGINT)))
+                     AS r(i)
+        ),
+        hot AS (
+            SELECT ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h
+            FROM seg GROUP BY 1 HAVING COUNT(*) >= {_LD_HOT}
+        ),
+        kept AS (
+            SELECT doc_id, s, seg FROM seg
+            WHERE ('0x' || substr(md5(seg), 1, 15))::BIGINT
+                  NOT IN (SELECT h FROM hot)
+        ),
+        re AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS INT) AS n_seg_kept,
+                   string_agg(seg, ' ' ORDER BY s) AS kept_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(ceil(len(t.w) / {_LD_W}.0) AS INT) AS n_seg,
+               COALESCE(re.n_seg_kept, 0) AS n_seg_kept,
+               COALESCE(re.kept_text, '') AS kept_text
+        FROM tok t LEFT JOIN re ON re.doc_id = t.doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate LINE removal: any segment occurring >= 3
+    times anywhere in the corpus is dropped from every document, and
+    each document is reassembled in original segment order (C4 §2.1
+    discards "any line occurring three or more times"; the fixture
+    text has no newlines, so consecutive 4-token windows stand in as
+    pseudo-lines — the pipeline shape, not the tokenizer, is the
+    operator).
+
+    Plan (the 100 TB shape): segments explode as a NARROW projection;
+    corpus-wide counts are ONE hash-agg over 60-bit segment hashes
+    (map-side partials collapse, wire volume is segment-vocab-sized);
+    the removal list — the small side by construction — broadcasts
+    back as a hash anti-join, so the corpus stream is never shuffled
+    for the lookup (the decontam_ngram hot-list discipline); the only
+    corpus-sized shuffle is the per-document reassembly (doc-keyed
+    collect_list + array_sort on the (position, segment) struct —
+    ordering recovers exactly, no window sort). Docs whose every
+    segment was boilerplate survive via the left join with empty
+    text."""
+    from nchu_bigdata_spark.operators.dedup import _h60
+
+    docs = parallel_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    nseg = F.ceil(F.size(w) / F.lit(float(_LD_W))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.struct(
+            i.alias("s"),
+            F.concat_ws(" ", F.slice(w, i * _LD_W + 1, _LD_W)).alias("seg"),
+        ),
+    )
+    base = docs.select("doc_id", nseg.alias("n_seg"), segs.alias("segs"))
+    exploded = base.select(
+        "doc_id", F.explode("segs").alias("e")
+    ).select("doc_id", "e.s", "e.seg", _h60(F.col("e.seg")).alias("h"))
+    hot = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _LD_HOT)
+        .select("h")
+    )
+    kept = exploded.join(F.broadcast(hot), "h", "left_anti")
+    re = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_seg_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        base.select("doc_id", "n_seg")
+        .join(re, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_seg",
+            F.coalesce("n_seg_kept", F.lit(0)).alias("n_seg_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )

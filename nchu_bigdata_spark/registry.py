@@ -263,6 +263,9 @@ DRIVER_ORDER = [
     "tpch_q9",
     "tpch_q20",
     "tpch_q2",
+    "text_line_dedup",
+    "mixture_weights",
+    "embed_covariance",
 ]
 
 

@@ -1,0 +1,164 @@
+"""Unit tests for the round-7 operators (text_line_dedup,
+mixture_weights, embed_covariance): engine output vs independent
+Python replays on hand-built fixtures with known structure."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from nchu_bigdata_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+
+def _write_documents(tmp_path, texts, langs=None):
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs or ["en"] * n),
+                "source": pa.array(["src0"] * n),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_line_dedup
+# --------------------------------------------------------------------------
+
+
+def _replay_line_dedup(texts, w=4, hot=3):
+    segs = []  # (doc, s, seg)
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        n_seg = math.ceil(len(toks) / w)
+        for s in range(n_seg):
+            segs.append((d, s, " ".join(toks[s * w : s * w + w])))
+    counts = Counter(seg for _, _, seg in segs)
+    out = {}
+    for d, t in enumerate(texts):
+        kept = [seg for dd, s, seg in segs if dd == d and counts[seg] < hot]
+        n_seg = math.ceil(len(t.split(" ")) / w)
+        out[d] = (n_seg, len(kept), " ".join(kept))
+    return out
+
+
+def test_line_dedup_removes_corpus_hot_segments(spark, tmp_path):
+    # "spam ham egg x" appears in 3 docs -> removed everywhere;
+    # unique tails survive in original order.
+    texts = [
+        "spam ham egg x alpha beta gamma delta one two",
+        "spam ham egg x epsilon zeta eta theta",
+        "prefix a b c spam ham egg x",  # hot segment mid-document
+        "solo doc with unique words only here",
+    ]
+    _write_documents(tmp_path, texts)
+    rows = SPECS["text_line_dedup"].fn(spark, str(tmp_path)).collect()
+    got = {r.doc_id: (r.n_seg, r.n_seg_kept, r.kept_text) for r in rows}
+    assert got == _replay_line_dedup(texts)
+    # the hot segment really is gone from every survivor
+    assert all("spam ham egg x" not in v[2] for v in got.values())
+
+
+def test_line_dedup_all_segments_hot_yields_empty_doc(spark, tmp_path):
+    texts = ["dup seg one two"] * 3 + ["fresh words entirely different"]
+    _write_documents(tmp_path, texts)
+    rows = SPECS["text_line_dedup"].fn(spark, str(tmp_path)).collect()
+    got = {r.doc_id: (r.n_seg, r.n_seg_kept, r.kept_text) for r in rows}
+    for d in range(3):
+        assert got[d] == (1, 0, "")
+    assert got[3] == (1, 1, "fresh words entirely different")
+
+
+# --------------------------------------------------------------------------
+# mixture_weights
+# --------------------------------------------------------------------------
+
+
+def test_mixture_weights_integer_recipe(spark, tmp_path):
+    # token counts: en=12, zh=2, es=4, de=4, fr=4 (zh is binding)
+    texts, langs = [], []
+    for lang, n_tok in (("en", 12), ("zh", 2), ("es", 4), ("de", 4), ("fr", 4)):
+        texts.append(" ".join(f"{lang}tok{i}" for i in range(n_tok)))
+        langs.append(lang)
+    _write_documents(tmp_path, texts, langs)
+    rows = SPECS["mixture_weights"].fn(spark, str(tmp_path)).collect()
+    got = {r.lang: r for r in rows}
+    target = {"en": 4000, "zh": 1500, "es": 1500, "de": 1500, "fr": 1500}
+    n = {"en": 12, "zh": 2, "es": 4, "de": 4, "fr": 4}
+    budget = min(n[L] * 10000 // target[L] for L in target)  # zh: 13
+    total = sum(n.values())
+    for L in target:
+        desired = target[L] * budget // 10000
+        assert got[L].n_tokens == n[L]
+        assert got[L].actual_bp == n[L] * 10000 // total
+        assert got[L].target_bp == target[L]
+        assert got[L].desired_tokens == desired
+        assert got[L].weight_bp == desired * 10000 // n[L]
+        assert got[L].weight_bp <= 10000
+    # the binding language is kept (nearly) whole; sum of desired
+    # tokens is within rounding of the budget's proportions
+    assert got["zh"].desired_tokens == 1  # floor(1500*13/10000)
+
+
+# --------------------------------------------------------------------------
+# embed_covariance
+# --------------------------------------------------------------------------
+
+
+def test_embed_covariance_matches_quantized_replay(spark, tmp_path):
+    rng = random.Random(7)
+    d, nvec = 5, 40
+    vecs = [[rng.uniform(-2, 2) for _ in range(d)] for _ in range(nvec)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(nvec), pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * nvec, pa.int64()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = SPECS["embed_covariance"].fn(spark, str(tmp_path)).collect()
+    got = {(r.i, r.j): (r.n, r.cov) for r in rows}
+    assert len(got) == d * (d + 1) // 2
+
+    # exact replay over the SAME float32-quantized values
+    import struct as _struct
+
+    def f32(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    q = [
+        [int(round(f32(x) * 1_000_000)) for x in v]  # noqa: RUF046
+        for v in vecs
+    ]
+    n = nvec
+    for i in range(d):
+        for j in range(i, d):
+            si = sum(v[i] for v in q)
+            sj = sum(v[j] for v in q)
+            spp = sum(v[i] * v[j] for v in q)
+            want = float(n * spp - si * sj) / (float(n * (n - 1)) * 1e12)
+            gn, gcov = got[(i + 1, j + 1)]
+            assert gn == n
+            assert math.isclose(gcov, want, rel_tol=1e-12, abs_tol=1e-15), (
+                i,
+                j,
+                gcov,
+                want,
+            )

@@ -111,6 +111,20 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"TakeOrderedAndProject", r"HashAggregate"],
         [r"BroadcastNestedLoopJoin"],
     ),
+    # line dedup: removal-list lookup must be a broadcast anti join
+    # (the corpus stream is never shuffled for it); reassembly is the
+    # one doc-keyed hash agg — no window sort, no nested loop
+    "text_line_dedup": (
+        [r"BroadcastHashJoin.*LeftAnti|LeftAnti.*BroadcastHashJoin"],
+        [r"BroadcastNestedLoopJoin", r"Window"],
+    ),
+    # covariance: products are a per-row projection feeding hash aggs;
+    # the d-row moment joins broadcast — never a sort-merge join and
+    # never a join before the aggregation collapses the corpus
+    "embed_covariance": (
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"BroadcastNestedLoopJoin"],
+    ),
     "join_cross_argmin": ([r"BroadcastNestedLoopJoin|BroadcastHashJoin"], []),
     # stream-stream interval join: must hash on the user key; the time
     # range rides as join condition, never a nested-loop over pairs
