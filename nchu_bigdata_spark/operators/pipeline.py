@@ -708,3 +708,75 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# tokenize_chunk_overlap — sliding-window chunking (round 7)
+# --------------------------------------------------------------------------
+
+_CHUNK_N = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (overlap = _CHUNK_N - _CHUNK_S = 16 tokens)
+
+
+@register(
+    "tokenize_chunk_overlap",
+    tags=("pipeline",),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, w, n,
+                   CASE WHEN n <= {_CHUNK_N} THEN 1
+                        ELSE 1 + CAST(ceil((n - {_CHUNK_N})
+                                           / {_CHUNK_S}.0) AS BIGINT)
+                   END AS n_chunks
+            FROM tok
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_id,
+               CAST(len(w[(i * {_CHUNK_S} + 1):(i * {_CHUNK_S} + {_CHUNK_N})])
+                    AS INT) AS n_tokens,
+               array_to_string(
+                   w[(i * {_CHUNK_S} + 1):(i * {_CHUNK_S} + {_CHUNK_N})], ' '
+               ) AS chunk_text
+        FROM k, unnest(range(0, n_chunks)) AS r(i)
+    """,
+)
+def tokenize_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (the RAG / long-context
+    preprocessing shape): each document splits into 64-token chunks at
+    stride 48, so consecutive chunks share 16 tokens of context and no
+    token is orphaned — ``n_chunks = 1`` for short docs, else
+    ``1 + ceil((n − 64) / 48)`` (the last chunk may run short).
+
+    Determinism: chunk boundaries are pure integer arithmetic on the
+    token count; chunk text is slicing, no arithmetic on values.
+
+    Plan: a narrow generator projection — sequence → transform →
+    explode inside the scan stage, ZERO shuffles (chunking is
+    embarrassingly parallel; the multiplier is ~n/S rows per doc,
+    bounded by document length, not corpus size)."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    n_chunks = F.when(n <= _CHUNK_N, F.lit(1).cast("long")).otherwise(
+        1 + F.ceil((n - _CHUNK_N) / F.lit(float(_CHUNK_S)))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.size(F.slice(w, i * _CHUNK_S + 1, _CHUNK_N))
+            .cast("int")
+            .alias("n_tokens"),
+            F.concat_ws(" ", F.slice(w, i * _CHUNK_S + 1, _CHUNK_N)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_text"
+    )

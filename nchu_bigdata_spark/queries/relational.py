@@ -336,3 +336,50 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_chars_rt"),
     )
+
+
+# --------------------------------------------------------------------------
+# project_unpivot — wide→long melt, the inverse of agg_pivot (round 7)
+# --------------------------------------------------------------------------
+
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "project_unpivot",
+    tags=("b2",),
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber, measure, value
+        FROM (
+            UNPIVOT (
+                SELECT l_orderkey, l_linenumber,
+                       {', '.join(_UNPIVOT_MEASURES)}
+                FROM lineitem WHERE l_orderkey % 10 = 0
+            ) ON {', '.join(_UNPIVOT_MEASURES)}
+            INTO NAME measure VALUE value
+        )
+    """,
+)
+def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt): the four lineitem measures stack into
+    (key, measure, value) rows — the inverse of ``agg_pivot`` and the
+    missing half of the §1 wide↔long story (the PM2.5 24-hour layout
+    melts to tidy form exactly this way).
+
+    Determinism: values pass through UNCHANGED (no arithmetic), so the
+    doubles are bit-identical by construction; the measure labels are
+    the source column names on both engines.
+
+    Plan: unpivot is a zero-shuffle generator projection (an Expand
+    node — each input row emits 4 output rows inside the scan stage);
+    the key filter pushes to the parquet reader. At 100 TB melt adds
+    NO exchange — column count, not row count, is what multiplies."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber", *_UNPIVOT_MEASURES
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=_UNPIVOT_MEASURES,
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

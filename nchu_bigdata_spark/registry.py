@@ -266,6 +266,8 @@ DRIVER_ORDER = [
     "text_line_dedup",
     "mixture_weights",
     "embed_covariance",
+    "project_unpivot",
+    "tokenize_chunk_overlap",
 ]
 
 

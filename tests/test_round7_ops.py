@@ -162,3 +162,63 @@ def test_embed_covariance_matches_quantized_replay(spark, tmp_path):
                 gcov,
                 want,
             )
+
+
+# --------------------------------------------------------------------------
+# tokenize_chunk_overlap / project_unpivot
+# --------------------------------------------------------------------------
+
+
+def test_chunk_overlap_boundaries(spark, tmp_path):
+    # n=64 -> exactly 1 chunk; n=65 -> 2 chunks (second has 17 tokens:
+    # starts at 48, overlap 16 + 1 new); n=10 -> 1 short chunk
+    texts = [
+        " ".join(f"t{i}" for i in range(64)),
+        " ".join(f"t{i}" for i in range(65)),
+        " ".join(f"t{i}" for i in range(10)),
+        " ".join(f"t{i}" for i in range(160)),  # 1+ceil(96/48)=3 chunks
+    ]
+    _write_documents(tmp_path, texts)
+    rows = SPECS["tokenize_chunk_overlap"].fn(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[0]) == 1 and by_doc[0][0].n_tokens == 64
+    assert len(by_doc[1]) == 2
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert (c1[0].n_tokens, c1[1].n_tokens) == (64, 17)
+    # consecutive chunks overlap by 16 tokens
+    assert c1[0].chunk_text.split(" ")[48:] == c1[1].chunk_text.split(" ")[:16]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 10
+    c3 = sorted(by_doc[3], key=lambda r: r.chunk_id)
+    assert [c.n_tokens for c in c3] == [64, 64, 64]
+    # full coverage: union of chunk tokens == original tokens
+    seen = set()
+    for c in c3:
+        seen.update(c.chunk_text.split(" "))
+    assert seen == set(texts[3].split(" "))
+
+
+def test_unpivot_roundtrips_pivot(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 20], pa.int64()),
+                "l_linenumber": pa.array([1, 1], pa.int32()),
+                "l_quantity": pa.array([3.0, 4.0], pa.float64()),
+                "l_extendedprice": pa.array([10.5, 20.25], pa.float64()),
+                "l_discount": pa.array([0.1, 0.2], pa.float64()),
+                "l_tax": pa.array([0.02, 0.04], pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    rows = SPECS["project_unpivot"].fn(spark, str(tmp_path)).collect()
+    got = {(r.l_orderkey, r.measure): r.value for r in rows}
+    assert len(rows) == 8  # 2 rows x 4 measures (both keys % 10 == 0)
+    assert got[(10, "l_quantity")] == 3.0
+    assert got[(20, "l_extendedprice")] == 20.25
+    assert got[(10, "l_tax")] == 0.02

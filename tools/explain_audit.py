@@ -125,6 +125,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"BroadcastHashJoin"],
         [r"SortMergeJoin", r"BroadcastNestedLoopJoin"],
     ),
+    # melt: an Expand generator inside the scan stage — NO exchange of
+    # any kind (column count multiplies, rows never move)
+    "project_unpivot": ([r"Expand"], [r"Exchange"]),
+    # chunking: a generator projection over the (parallelism-guarded)
+    # scan — never a key shuffle
+    "tokenize_chunk_overlap": ([r"Generate"], [r"hashpartitioning"]),
     "join_cross_argmin": ([r"BroadcastNestedLoopJoin|BroadcastHashJoin"], []),
     # stream-stream interval join: must hash on the user key; the time
     # range rides as join condition, never a nested-loop over pairs
