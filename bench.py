@@ -69,6 +69,12 @@ LLM_GROUP = [
     "text_pii_scrub",
     "embed_quantize",
     "dedup_incremental",
+    # born round 7: C4-style line dedup, RAG chunking, exact embedding
+    # covariance, mixture-recipe solver (trend starts here)
+    "text_line_dedup",
+    "tokenize_chunk_overlap",
+    "embed_covariance",
+    "mixture_weights",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites

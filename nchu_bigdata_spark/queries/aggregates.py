@@ -762,3 +762,58 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         ((num * num) / (denx * deny)).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_mode — statistical mode with explicit deterministic tiebreak (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_mode",
+    tags=("b4",),
+    oracle="""
+        -- mode() is engine-specific on ties; the explicit count +
+        -- row_number form pins the tiebreak (highest count, then
+        -- smallest value) identically on both engines.
+        SELECT l_returnflag, mode_qty, mode_count
+        FROM (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS mode_qty,
+                   CAST(COUNT(*) AS BIGINT) AS mode_count,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT)
+                   ) AS rn
+            FROM lineitem
+            GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+        ) t
+        WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group statistical MODE (most frequent quantity, ties broken
+    to the smallest value). Built as count-then-argmax rather than an
+    engine `mode()` call: mode's tie behavior is implementation-defined
+    everywhere, so the explicit form is what a correctness-portable
+    engine should run — and it states the plan honestly.
+
+    Plan: (group, value) hash agg collapses the corpus to value-vocab
+    rows map-side, then a group-keyed top-1 window — the same
+    WindowGroupLimit heap pruning `topk_per_group` compiles to. No
+    whole-group buffering (contrast a typed mode aggregate holding a
+    frequency map per group)."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    counted = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("mode_qty")
+    ).agg(F.count(F.lit(1)).alias("mode_count"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("mode_count").desc(), "mode_qty"
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", "mode_qty", "mode_count")
+    )

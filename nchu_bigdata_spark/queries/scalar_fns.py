@@ -199,3 +199,40 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k"),
         (parsed.getField("k") % 10).alias("k_mod"),
     )
+
+
+@register(
+    "fn_bitwise",
+    tags=("b7",),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(BIT_AND(l_orderkey) AS BIGINT) AS all_and,
+               CAST(BIT_OR(l_orderkey) AS BIGINT) AS any_or,
+               CAST(BIT_XOR(l_orderkey) AS BIGINT) AS parity_xor,
+               CAST(SUM(
+                   CAST((l_orderkey >> 3) & 7 AS BIGINT)
+                   + CAST((l_linenumber << 2) | 1 AS BIGINT)
+               ) AS BIGINT) AS scalar_mix
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family (B-7 completeness): the three bitwise
+    AGGREGATES (bit_and / bit_or / bit_xor — the flag-mask rollup and
+    parity-check idioms) plus scalar shifts and masks. Everything is
+    exact int64 arithmetic, bit-identical by construction.
+
+    Plan: one partial+final hash agg; the scalar expression folds into
+    whole-stage codegen before the partials."""
+    li = table(spark, sf_dir, "lineitem")
+    mix = (
+        F.shiftright("l_orderkey", 3).cast("long").bitwiseAND(F.lit(7))
+        + F.shiftleft("l_linenumber", 2).cast("long").bitwiseOR(F.lit(1))
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").alias("all_and"),
+        F.bit_or("l_orderkey").alias("any_or"),
+        F.bit_xor("l_orderkey").alias("parity_xor"),
+        F.sum(mix).cast("long").alias("scalar_mix"),
+    )

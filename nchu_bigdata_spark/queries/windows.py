@@ -367,3 +367,55 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts_us") + _SESS_GAP_US).alias("session_end_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "win_fill_forward",
+    tags=("b5",),
+    oracle="""
+        -- forward-fill: props-missing events inherit the latest prior
+        -- non-null value per user (the time-series gap-fill idiom)
+        SELECT event_id, user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               v AS raw_value,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+            FROM events
+        )
+    """,
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF — last observation carried forward): nulls
+    inherit the latest prior non-null value per user in event-time
+    order. The fixture has no nulls, so every 5th event's value is
+    masked NULL first (deterministic ``event_id % 5`` — same rule in
+    the oracle), then recovered by ``last_value(... IGNORE NULLS)``
+    over a running frame — the canonical sensor-gap / sparse-ledger
+    repair idiom, and the one window VALUE function family
+    (``IGNORE NULLS``) the B-5 surface didn't exercise yet.
+
+    Determinism: values pass through unchanged (no arithmetic);
+    (ts, event_id) is a total order per user. Plan: ONE user-keyed
+    window sort, running frame — no second shuffle."""
+    ev = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        v.alias("raw_value"),
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -268,6 +268,9 @@ DRIVER_ORDER = [
     "embed_covariance",
     "project_unpivot",
     "tokenize_chunk_overlap",
+    "fn_bitwise",
+    "win_fill_forward",
+    "agg_mode",
 ]
 
 
