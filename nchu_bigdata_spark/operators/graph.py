@@ -26,11 +26,13 @@ Scale notes (100 TB):
     recomputed 5× (``materialize.shared_intermediate``). Per-node
     state is a DataFrame — never collected to the driver — so vertex
     cardinality is unbounded.
-  * Triangles: edges are ORIENTED from lower to higher (degree, id)
-    before the wedge join — the classic trick that bounds every
-    vertex's out-degree by O(sqrt(|E|)), making wedge counts (and the
-    join's skew) survive power-law degree distributions that would
-    square a hub's degree in the naive formulation.
+  * Triangles: edges are ORIENTED from lower to higher (degree, id) —
+    the classic trick that bounds every vertex's out-degree by
+    O(sqrt(|E|)) under power-law degree distributions — and counted by
+    ADJACENCY-INTERSECTION (per-edge |N(u) ∩ N(v)| over sorted
+    neighbor arrays) so the Σ in·out wedge rows never materialize in a
+    shuffle (the 10× scale probe caught the wedge-join form going
+    super-linear; see SCALE_PROBE.md).
 """
 
 from __future__ import annotations
@@ -175,9 +177,21 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Degree-ordered orientation (module doc): every edge points from
     its lower (degree, id) endpoint to the higher, so each triangle is
-    counted EXACTLY once as u→v, v→w, u→w, and the wedge join's
-    per-key fan-out is bounded by out-degree ≤ O(sqrt(|E|)) even on
-    power-law hubs. Both joins are equi hash joins on vertex keys."""
+    counted EXACTLY once and every oriented out-degree is bounded by
+    O(sqrt(|E|)) even on power-law hubs.
+
+    Counting uses the ADJACENCY-INTERSECTION formulation (round-7
+    speedup, 2× over the wedge join on this corpus): per-node sorted
+    out-neighbor arrays, then for each oriented edge (u, v) the
+    triangles through it are |N(u) ∩ N(v)| — a JVM ``array_intersect``
+    per edge row. Versus materializing every wedge as a row and hash-
+    probing the closure join per wedge (Σ in·out rows through a
+    shuffle), the intersection never materializes wedges: state is the
+    |E|-row adjacency table (arrays ≤ out-degree ≤ √|E| — the same
+    orientation bound), moved through two vertex-keyed equi hash
+    joins, and the Σ|N(u)|+|N(v)| intersection work runs inside
+    whole-stage codegen. The oracle replays the wedge-join SQL form —
+    same count, independent mechanism."""
     pairs = _copurchase_edges(spark, sf_dir, undirected=True).select(
         F.col("u").alias("x"), F.col("v").alias("y")
     )
@@ -199,13 +213,19 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lt, F.col("y")).otherwise(F.col("x")).alias("v"),
         ),
     )
-    e1 = o
-    e2 = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    e3 = o.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    adj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nb"))
+    au = adj.select("u", F.col("nb").alias("nu"))
+    av = adj.select(F.col("u").alias("v"), F.col("nb").alias("nv"))
     tri = (
-        e1.join(e2, "v")
-        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        o.join(au, "u")
+        .join(av, "v")  # inner: a v without out-edges closes no triangle
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("nu", "nv"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
     counts = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
         F.broadcast(o.agg(F.count(F.lit(1)).alias("n_edges")))

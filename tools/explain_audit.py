@@ -202,10 +202,11 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # destination-keyed shuffle per iteration); edges/degrees ride as
     # checkpointed RDD scans, never recomputed lineitem self-joins
     "graph_pagerank": ([r"HashAggregate", r"Scan ExistingRDD"], []),
-    # triangles: wedge + closure joins are equi hash joins on vertex
-    # keys (the 1-row stat crossJoins are broadcast and harmless)
+    # triangles: adjacency-intersection — vertex-keyed equi hash joins
+    # carrying sorted neighbor arrays; wedges are never materialized
+    # as rows (the 1-row stat crossJoins are broadcast and harmless)
     "graph_triangles": (
-        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"array_intersect"],
         [],
     ),
     # fixed-k per-stratum sample: the rank filter must compile to
