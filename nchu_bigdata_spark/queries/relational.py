@@ -383,3 +383,94 @@ def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+# --------------------------------------------------------------------------
+# scan_csv_corrupt — PERMISSIVE malformed-record ingestion (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_csv_corrupt",
+    tags=("b1",),
+    oracle="""
+        -- the writer corrupts exactly the doc_id % 7 = 0 lines, so the
+        -- oracle replays the classification from the clean table
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_good,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id % 7 != 0
+        GROUP BY lang
+        UNION ALL
+        SELECT '<corrupt>' AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_good,
+               CAST(0 AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record CSV ingestion: a corpus where every 7th record
+    is garbage (no delimiter, unparseable) is read in PERMISSIVE mode
+    with ``columnNameOfCorruptRecord`` — good rows parse, bad rows land
+    intact in the corrupt-record column for quarantine instead of
+    failing the job. THE dirty-ingestion capability real pipelines
+    need first (the reference would throw on the first bad
+    ``Double.parseDouble``, ``src/Kmeans.java:67``).
+
+    The corruption is deterministic (``doc_id % 7``), so the oracle
+    replays the classification from the clean table: per-lang good
+    counts + char sums, plus one ``<corrupt>`` quarantine row.
+
+    Plan: line write + schema'd csv scan; the classification is one
+    hash agg. PERMISSIVE parsing is per-row work inside the scan —
+    no extra pass, no shuffle beyond the agg."""
+    out = scratch_dir(sf_dir, "docs_corrupt_csv")
+    docs = table(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("BAD RECORD "), F.col("doc_id")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("doc_id"),
+            F.col("lang"),
+            F.col("n_chars"),
+        )
+    )
+    docs.select(line.alias("value")).write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    # Column-pruned CSV parsing never SEES the malformed field, so
+    # _corrupt_record would stay null (the classic PERMISSIVE gotcha).
+    # Disable pruning for this query; the registry wrapper re-pins the
+    # default before every other query (session.PLAN_CONF_PINS).
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return (
+        parsed.select(
+            F.when(
+                F.col("_corrupt_record").isNotNull(), F.lit("<corrupt>")
+            )
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit(0))
+            .otherwise(F.col("n_chars"))
+            .alias("chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_good"),
+            F.sum("chars").cast("long").alias("sum_chars"),
+        )
+    )

@@ -271,6 +271,7 @@ DRIVER_ORDER = [
     "fn_bitwise",
     "win_fill_forward",
     "agg_mode",
+    "scan_csv_corrupt",
 ]
 
 

@@ -32,6 +32,12 @@ PLAN_CONF_PINS = {
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
     "spark.sql.optimizer.runtime.bloomFilter."
     "applicationSideScanSizeThreshold": "10GB",
+    # Default TRUE (parse only needed CSV columns). scan_csv_corrupt
+    # overrides to false for its own run — pruned parsing never sees
+    # the malformed field, so _corrupt_record stays null (the classic
+    # PERMISSIVE gotcha); pinning here bounds that override to one
+    # query, like the bloom-filter pins above.
+    "spark.sql.csv.parser.columnPruning.enabled": "true",
 }
 
 
