@@ -222,3 +222,51 @@ def test_unpivot_roundtrips_pivot(spark, tmp_path):
     assert got[(10, "l_quantity")] == 3.0
     assert got[(20, "l_extendedprice")] == 20.25
     assert got[(10, "l_tax")] == 0.02
+
+
+# --------------------------------------------------------------------------
+# win_fill_forward / scan_csv_corrupt edge semantics
+# --------------------------------------------------------------------------
+
+
+def test_fill_forward_leading_null_stays_null(spark, tmp_path):
+    # user 1: events 5,10 -> event 5 (id%5==0) is masked and has no
+    # prior non-null, so filled stays NULL; event 10 is also masked and
+    # ALSO has no prior non-null (both masked) -> NULL; user 2: 7,15 ->
+    # 7 keeps its value, 15 masked inherits 7's value.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000_000  # ns epoch, post-1970
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([5, 10, 7, 15], pa.int64()),
+                "ts": pa.array(
+                    [base, base + 10**9, base, base + 10**9], pa.int64()
+                ),
+                "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+                "event_type": pa.array(["click"] * 4),
+                "value": pa.array([1.5, 2.5, 3.5, 4.5], pa.float64()),
+                "props": pa.array(["{}"] * 4),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    rows = SPECS["win_fill_forward"].fn(spark, str(tmp_path)).collect()
+    got = {r.event_id: (r.raw_value, r.filled_value) for r in rows}
+    assert got[5] == (None, None)  # leading null: nothing to carry
+    assert got[10] == (None, None)  # still nothing non-null before it
+    assert got[7] == (3.5, 3.5)
+    assert got[15] == (None, 3.5)  # LOCF from event 7
+
+
+def test_csv_corrupt_quarantine_counts(spark, tmp_path):
+    texts = ["aaa", "bbbb", "cc", "ddddd", "eee", "f", "gg", "hhh"]
+    _write_documents(tmp_path, texts)  # doc_ids 0..7; 0 and 7 corrupt
+    rows = SPECS["scan_csv_corrupt"].fn(spark, str(tmp_path)).collect()
+    got = {r.lang: (r.n_good, r.sum_chars) for r in rows}
+    # docs 0 and 7 are the % 7 == 0 ids -> quarantined
+    assert got["<corrupt>"] == (2, 0)
+    good_chars = sum(len(t) for i, t in enumerate(texts) if i % 7 != 0)
+    assert got["en"] == (6, good_chars)
