@@ -231,3 +231,83 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(o.agg(F.count(F.lit(1)).alias("n_edges")))
     )
     return F.broadcast(counts).crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+# --------------------------------------------------------------------------
+# graph_bfs — frontier-expansion shortest hop distances (round 7)
+# --------------------------------------------------------------------------
+
+_BFS_DEPTH = 3
+
+
+def _bfs_oracle() -> str:
+    """Unrolled frontier CTE chain: level sets f0..f3, then MIN(dist)
+    per node — the classic re-expansion-tolerant replay (a node reached
+    at several levels keeps its smallest), which is exactly BFS
+    distance for depth <= _BFS_DEPTH."""
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "f0 AS (SELECT MIN(u) AS node FROM edges)",
+    ]
+    for d in range(1, _BFS_DEPTH + 1):
+        ctes.append(
+            f"""f{d} AS (
+                SELECT DISTINCT e.v AS node
+                FROM edges e JOIN f{d - 1} f ON e.u = f.node
+            )"""
+        )
+    levels = " UNION ALL ".join(
+        f"SELECT node, {d} AS dist FROM f{d}" for d in range(_BFS_DEPTH + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f",\nlv AS ({levels})\n"
+        "SELECT node AS p_partkey, CAST(MIN(dist) AS BIGINT) AS dist\n"
+        "FROM lv GROUP BY node"
+    )
+
+
+@register("graph_bfs", tags=("graph",), oracle=_bfs_oracle())
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search from the smallest part vertex: hop distance
+    (<= 3) over the co-purchase graph — the reachability / ego-network
+    primitive behind "parts within N recommendation hops".
+
+    Spark formulation is FRONTIER EXPANSION, the scale-safe BFS shape:
+    per level, ONE equi join (edges x frontier on the source vertex) +
+    a distinct, then a left-anti join against the visited set so
+    already-settled vertices never re-expand. Each frontier is
+    localCheckpointed (``shared_intermediate``) so iteration d+1 starts
+    from a materialized vertex set instead of replaying the whole
+    lineage — the same per-iteration budget rule as ``graph_pagerank``.
+    State (visited, frontier) is vertex-cardinality DataFrames, never
+    collected to the driver.
+
+    The oracle replays the UNROLLED level-set SQL (module helper):
+    re-expansion is allowed there and MIN(dist) recovers the BFS
+    distance — an independent mechanism, same answer.
+
+    At 100 TB: cost per level is one shuffle keyed on the frontier's
+    source vertices; the anti join keeps every frontier's row count
+    monotonically shrinking toward the BFS fringe instead of the
+    exponential re-expansion the naive unrolled form pays."""
+    edges = shared_intermediate(
+        "bfs_edges", _copurchase_edges(spark, sf_dir)
+    )
+    src = F.broadcast(edges.agg(F.min("u").alias("node"))).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    visited = src
+    frontier = src.select("node")
+    for d in range(1, _BFS_DEPTH + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        nxt = shared_intermediate(f"bfs_frontier_{d}", nxt)
+        visited = visited.unionAll(
+            nxt.select("node", F.lit(d).cast("long").alias("dist"))
+        )
+        frontier = nxt
+    return visited.select(F.col("node").alias("p_partkey"), "dist")

@@ -272,6 +272,7 @@ DRIVER_ORDER = [
     "win_fill_forward",
     "agg_mode",
     "scan_csv_corrupt",
+    "graph_bfs",
 ]
 
 

@@ -156,3 +156,32 @@ def test_scan_text_survives_hostile_content(spark, tmp_path):
     assert len(rows) == len(texts)  # no orphan records
     got = {r.doc_id: r.n_chars_rt for r in rows}
     assert got == {k: len(v) for k, v in texts.items()}
+
+
+def test_bfs_chain_distances_and_depth_cutoff(spark, tmp_path):
+    # chain 1-2-3-4-5-6 plus a disconnected pair {10, 11}: source is
+    # MIN(u)=1, so depth<=3 reaches exactly {1:0, 2:1, 3:2, 4:3};
+    # 5 and 6 lie past the cutoff and 10/11 are unreachable
+    _write_lineitem_orders(
+        tmp_path,
+        {1: [1, 2], 2: [2, 3], 3: [3, 4], 4: [4, 5], 5: [5, 6], 6: [10, 11]},
+    )
+    got = {
+        r.p_partkey: r.dist
+        for r in SPECS["graph_bfs"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_min_dist_on_cycle(spark, tmp_path):
+    # 5-cycle 1-2-3-4-5-1: node 4 is reachable both ways (1-2-3-4 at
+    # dist 3 and 1-5-4 at dist 2) — frontier anti-join must keep the
+    # SHORTER hop count, and nothing is ever reported twice
+    _write_lineitem_orders(
+        tmp_path, {1: [1, 2], 2: [2, 3], 3: [3, 4], 4: [4, 5], 5: [5, 1]}
+    )
+    got = {
+        r.p_partkey: r.dist
+        for r in SPECS["graph_bfs"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 0, 2: 1, 5: 1, 3: 2, 4: 2}
