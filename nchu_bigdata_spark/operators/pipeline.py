@@ -780,3 +780,102 @@ def tokenize_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_text"
     )
+
+
+# --------------------------------------------------------------------------
+# text_heavy_hitters — two-pass Misra-Gries frequent-token mining (round 7)
+# --------------------------------------------------------------------------
+
+_HH_PERMILLE = 1  # report tokens with frequency >= 0.1% of the stream
+_HH_CAP = 4096  # per-partition summary capacity; sound because CAP > 1000/permille
+
+
+def _mg_candidates(batches):
+    """Per-partition Misra-Gries summary over whitespace tokens.
+
+    Classic decrement sketch, maintained by merging each Arrow batch's
+    exact counts into the running summary and, whenever the summary
+    exceeds ``_HH_CAP`` entries, subtracting the (CAP+1)-th largest
+    count from everything and dropping the non-positives (the mergeable-
+    summaries formulation of the MG decrement, Agarwal et al., PODS'12).
+    Guarantee: any token whose count in THIS partition is > n_p/CAP
+    survives; combined with the pigeonhole step in the caller docstring
+    this makes the union of partition summaries a superset of every
+    global >= 1/1000 heavy hitter, which the exact second pass then
+    prunes to the true answer."""
+    counts: dict[str, int] = {}
+    for pdf in batches:
+        for text in pdf["text"]:
+            for w in text.split(" "):
+                counts[w] = counts.get(w, 0) + 1
+        if len(counts) > _HH_CAP:
+            vals = sorted(counts.values(), reverse=True)
+            thr = vals[_HH_CAP]
+            counts = {w: c - thr for w, c in counts.items() if c > thr}
+    import pandas as pd
+
+    yield pd.DataFrame({"word": list(counts.keys())})
+
+
+@register(
+    "text_heavy_hitters",
+    tags=("b10",),
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok, tot
+        GROUP BY word, tot.n
+        HAVING COUNT(*) * {1000 // _HH_PERMILLE} >= tot.n
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token mining (exact counts for every token with
+    frequency >= 0.1% of the corpus token stream) via a two-pass
+    Misra-Gries sketch — the vocabulary heavy-hitter primitive behind
+    stopword induction, boilerplate detection, and BPE seeding.
+
+    Why not a plain groupBy+HAVING (the oracle's form): at 100 TB the
+    token vocabulary is billions of distinct strings, and the single-
+    pass agg shuffles one partial-count row per (partition, distinct
+    token) — the full per-partition vocabulary. The two-pass shape
+    bounds the shuffle by the SKETCH, not the vocabulary:
+
+      pass 1  mapInPandas Misra-Gries per partition (capacity 4096)
+              -> at most P x 4096 candidate tokens, no shuffle of the
+              token stream at all (text crosses to Arrow once, whole
+              docs, never exploded);
+      pass 2  exact recount of ONLY the candidates: explode + broadcast
+              LEFT SEMI prune, then hash agg — map-side combine means
+              the shuffle carries <= P x 4096 partial rows.
+
+    Soundness (why no heavy hitter can be missed): a token with global
+    count >= N/1000 has, by pigeonhole over Sum(count_p) >= Sum(n_p)/1000,
+    at least one partition where count_p >= n_p/1000 > n_p/4096 — and MG
+    with capacity 4096 always retains such a token (``_mg_candidates``).
+    The recount then restores EXACT global counts, so the final filter
+    is deterministic and oracle-checkable even though the sketch pass
+    is approximate: any candidate superset yields the identical result.
+
+    The total-stream denominator is SUM(len(split(text))) computed
+    without exploding — one documents scan, 1-row broadcast."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    candidates = (
+        docs.select("text").mapInPandas(_mg_candidates, "word string").distinct()
+    )
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    exact = (
+        tokens.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = docs.agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n")
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * (1000 // _HH_PERMILLE) >= F.col("n"))
+        .select("word", "cnt")
+    )

@@ -273,6 +273,7 @@ DRIVER_ORDER = [
     "agg_mode",
     "scan_csv_corrupt",
     "graph_bfs",
+    "text_heavy_hitters",
 ]
 
 

@@ -270,3 +270,48 @@ def test_csv_corrupt_quarantine_counts(spark, tmp_path):
     assert got["<corrupt>"] == (2, 0)
     good_chars = sum(len(t) for i, t in enumerate(texts) if i % 7 != 0)
     assert got["en"] == (6, good_chars)
+
+
+# --------------------------------------------------------------------------
+# text_heavy_hitters
+# --------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_on_zipf_corpus(spark, tmp_path):
+    # Zipf-ish corpus: token "t0" dominates, a long tail of near-unique
+    # tokens stresses the MG eviction path (vocab >> per-doc length).
+    rng = random.Random(7)
+    texts = []
+    for d in range(200):
+        toks = []
+        for i in range(60):
+            r = rng.random()
+            if r < 0.30:
+                toks.append("t0")
+            elif r < 0.45:
+                toks.append(f"mid{rng.randrange(5)}")
+            else:
+                toks.append(f"tail{d}_{i}")  # near-unique
+        texts.append(" ".join(toks))
+    _write_documents(tmp_path, texts)
+    expect = Counter(w for t in texts for w in t.split(" "))
+    total = sum(expect.values())
+    want = {w: c for w, c in expect.items() if c * 1000 >= total}
+    got = {
+        r.word: r.cnt
+        for r in SPECS["text_heavy_hitters"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert "t0" in got  # the dominant token must always surface
+
+
+def test_heavy_hitters_uniform_corpus_reports_everything(spark, tmp_path):
+    # 100 tokens each at exactly 1% >= 0.1% threshold: nothing may be
+    # dropped even though every partition's summary stays tiny.
+    texts = [" ".join(f"w{i}" for i in range(100))] * 10
+    _write_documents(tmp_path, texts)
+    got = {
+        r.word: r.cnt
+        for r in SPECS["text_heavy_hitters"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {f"w{i}": 10 for i in range(100)}
