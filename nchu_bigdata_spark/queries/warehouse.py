@@ -159,3 +159,111 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("i_custkey").alias("c_custkey")).agg(
         F.count(F.lit(1)).alias("n_overlaps")
     )
+
+
+# --------------------------------------------------------------------------
+# ts_resample — gap-filled fixed-interval resampling with LOCF (round 7)
+# --------------------------------------------------------------------------
+
+_RS_STEP_US = 3_600_000_000  # 1-hour buckets
+
+
+@register(
+    "ts_resample",
+    tags=("b4",),
+    oracle=f"""
+        -- Epoch-us integer bucketing throughout (rollup_hypertable's
+        -- TZ-invariance policy); the spine is a per-series
+        -- generate_series over [min, max] bucket, inclusive on both
+        -- ends exactly like Spark's sequence().
+        WITH agg AS (
+            SELECT event_type,
+                   (epoch_us(ts) // {_RS_STEP_US}) * {_RS_STEP_US} AS bu,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(value AS DECIMAL(20,6))) AS sv
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(bu) AS lo, MAX(bu) AS hi
+            FROM agg GROUP BY 1
+        ),
+        spine AS (
+            SELECT b.event_type, g.bu
+            FROM bounds b,
+                 unnest(generate_series(b.lo, b.hi, {_RS_STEP_US})) AS g(bu)
+        ),
+        joined AS (
+            SELECT s.event_type, s.bu AS bucket_us,
+                   COALESCE(a.n, 0) AS n_events, a.sv
+            FROM spine s
+            LEFT JOIN agg a ON a.event_type = s.event_type AND a.bu = s.bu
+        )
+        SELECT event_type, bucket_us,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(sv AS DECIMAL(38,6)) AS sum_value,
+               CAST(LAST_VALUE(sv IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DECIMAL(38,6)) AS locf_sum
+        FROM joined
+    """,
+)
+def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval resampling with GAP FILLING: hourly buckets per
+    event series, a dense per-series time spine (every hour between
+    that series' first and last event), empty buckets emitted with
+    ``n_events = 0`` and the last observed sum carried forward
+    (``locf_sum``) — the time_bucket_gapfill / date-spine idiom every
+    time-series warehouse needs before charting or windowed ML
+    featurization (``win_fill_forward`` repairs nulls in EXISTING rows;
+    this one MANUFACTURES the missing rows first).
+
+    Plan/scale: raw events collapse to (series, bucket) partial counts
+    in ONE hash agg (map-side combine; bucket count is time-range/1h —
+    bounded by the calendar, not the corpus). The spine explodes a
+    per-series ``sequence(lo, hi, step)`` — spine cardinality is again
+    calendar-bounded, never corpus-sized. The gap-fill left join and
+    the LOCF window both key on (series, bucket): one shuffle each
+    over bucket-cardinality rows, and the window sort is per-series
+    over its own spine, never a global sort. All-integer epoch-us
+    bucketing keeps both engines TZ-invariant; sums follow the decimal
+    policy (``compat.py``)."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type",
+        # integer DIV, not `/` (double division can land an ulp under
+        # the bucket edge and truncate into the previous bucket)
+        F.expr(
+            f"(unix_micros(ts) DIV {_RS_STEP_US}) * {_RS_STEP_US}"
+        ).alias("bu"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("sv"),
+    )
+    spine = (
+        agg.groupBy("event_type")
+        .agg(F.min("bu").alias("lo"), F.max("bu").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(_RS_STEP_US))
+            ).alias("bucket_us"),
+        )
+    )
+    joined = spine.join(
+        agg.withColumnRenamed("bu", "bucket_us"),
+        ["event_type", "bucket_us"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket_us",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.col("sv").cast("decimal(38,6)").alias("sum_value"),
+        F.last("sv", ignorenulls=True).over(w).cast("decimal(38,6)").alias("locf_sum"),
+    )

@@ -274,6 +274,7 @@ DRIVER_ORDER = [
     "scan_csv_corrupt",
     "graph_bfs",
     "text_heavy_hitters",
+    "ts_resample",
 ]
 
 

@@ -315,3 +315,56 @@ def test_heavy_hitters_uniform_corpus_reports_everything(spark, tmp_path):
         for r in SPECS["text_heavy_hitters"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {f"w{i}": 10 for i in range(100)}
+
+
+# --------------------------------------------------------------------------
+# ts_resample
+# --------------------------------------------------------------------------
+
+_H_US = 3600 * 1_000_000
+
+
+def _write_valued_events(tmp_path, rows):
+    """rows = (ts_micros_offset, event_type, value); base not hour-aligned."""
+    t0 = 1_700_000_000 * 1_000_000 + 123_000_000  # deliberately unaligned
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [t0 + r[0] for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    return t0
+
+
+def test_ts_resample_manufactures_gap_rows_with_locf(spark, tmp_path):
+    # series "a": hours 0, 1, [gap, gap], 4; series "b": single event
+    rows = [
+        (0, "a", 2.5),
+        (1 * _H_US, "a", 1.5),
+        (1 * _H_US + 60_000_000, "a", 1.0),  # same bucket as previous
+        (4 * _H_US, "a", 3.0),
+        (2 * _H_US, "b", 7.0),
+    ]
+    t0 = _write_valued_events(tmp_path, rows)
+    got = {
+        (r.event_type, r.bucket_us): (r.n_events, r.sum_value, r.locf_sum)
+        for r in SPECS["ts_resample"].fn(spark, str(tmp_path)).collect()
+    }
+    b0 = (t0 // _H_US) * _H_US
+    assert got == {
+        ("a", b0): (1, 2.5, 2.5),
+        ("a", b0 + _H_US): (2, 2.5, 2.5),
+        ("a", b0 + 2 * _H_US): (0, None, 2.5),  # manufactured gap row
+        ("a", b0 + 3 * _H_US): (0, None, 2.5),
+        ("a", b0 + 4 * _H_US): (1, 3.0, 3.0),
+        ("b", b0 + 2 * _H_US): (1, 7.0, 7.0),  # 1-bucket spine
+    }
