@@ -879,3 +879,97 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * (1000 // _HH_PERMILLE) >= F.col("n"))
         .select("word", "cnt")
     )
+
+
+# --------------------------------------------------------------------------
+# sample_importance — DSIR-style target-domain importance filter (round 7)
+# --------------------------------------------------------------------------
+
+_IMP_TARGET_LANG = "en"  # the "target domain" sample the filter steers toward
+
+
+@register(
+    "sample_importance",
+    tags=("b10",),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        vocab AS (
+            SELECT word,
+                   CAST(COUNT(*) AS BIGINT) AS c_all,
+                   CAST(SUM(CASE WHEN lang = '{_IMP_TARGET_LANG}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+            FROM tok GROUP BY word
+        ),
+        tot AS (
+            SELECT SUM(c_all) AS n_all, SUM(c_tgt) AS n_tgt FROM vocab
+        ),
+        aff AS (
+            SELECT v.word,
+                   CASE WHEN v.c_tgt * (t.n_all - t.n_tgt)
+                             > (v.c_all - v.c_tgt) * t.n_tgt
+                        THEN 1 ELSE 0 END AS is_aff
+            FROM vocab v, tot t
+        )
+        SELECT k.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(a.is_aff) AS BIGINT) AS n_affine
+        FROM tok k JOIN aff a ON a.word = k.word
+        GROUP BY k.doc_id
+        HAVING 2 * SUM(a.is_aff) >= COUNT(*)
+    """,
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-based corpus selection, the integer-exact core of
+    DSIR (Data Selection with Importance Resampling, Xie et al. 2023):
+    score every document by how much its token distribution leans
+    toward a small TARGET domain (here the ``lang='en'`` slice standing
+    in for "high-quality target sample") versus the background corpus,
+    and keep documents where target-affine token occurrences hold a
+    majority. DSIR's log-ratio sum is replaced by a per-token
+    cross-multiplied integer comparison (is this token RELATIVELY more
+    frequent in target than background: ``c_tgt*n_bg > c_bg*n_tgt``) and
+    a majority vote — rank-equivalent per token to the sign of the
+    log-ratio, with zero float arithmetic anywhere (the ADVICE r6
+    boundary-straddle policy).
+
+    Plan/scale: one (word) hash agg builds the vocabulary with BOTH
+    counts in the same pass (conditional sum, no second scan); totals
+    fold off the vocabulary (1-row broadcast). The doc scoring join is
+    token-keyed vocab x occurrences — both sides hash-partition on the
+    word, per-key width is bounded by the word's corpus frequency, and
+    the downstream doc_id agg combines map-side. Nothing driver-side,
+    no floats, no all-pairs."""
+    toks = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = toks.groupBy("word").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(
+            F.when(F.col("lang") == _IMP_TARGET_LANG, 1).otherwise(0)
+        ).alias("c_tgt"),
+    )
+    tot = vocab.agg(
+        F.sum("c_all").alias("n_all"), F.sum("c_tgt").alias("n_tgt")
+    )
+    aff = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        (
+            F.col("c_tgt") * (F.col("n_all") - F.col("n_tgt"))
+            > (F.col("c_all") - F.col("c_tgt")) * F.col("n_tgt")
+        )
+        .cast("int")
+        .alias("is_aff"),
+    )
+    return (
+        toks.join(aff, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("is_aff").alias("n_affine"),
+        )
+        .filter(2 * F.col("n_affine") >= F.col("n_tok"))
+    )

@@ -275,6 +275,7 @@ DRIVER_ORDER = [
     "graph_bfs",
     "text_heavy_hitters",
     "ts_resample",
+    "sample_importance",
 ]
 
 

@@ -368,3 +368,51 @@ def test_ts_resample_manufactures_gap_rows_with_locf(spark, tmp_path):
         ("a", b0 + 4 * _H_US): (1, 3.0, 3.0),
         ("b", b0 + 2 * _H_US): (1, 7.0, 7.0),  # 1-bucket spine
     }
+
+
+# --------------------------------------------------------------------------
+# sample_importance
+# --------------------------------------------------------------------------
+
+
+def _replay_importance(docs):
+    """docs: (doc_id, lang, text). Integer replay of the DSIR-lite vote."""
+    c_all, c_tgt = Counter(), Counter()
+    for _, lang, text in docs:
+        for w in text.split(" "):
+            c_all[w] += 1
+            if lang == "en":
+                c_tgt[w] += 1
+    n_all = sum(c_all.values())
+    n_tgt = sum(c_tgt.values())
+    out = {}
+    for d, _, text in docs:
+        toks = text.split(" ")
+        aff = sum(
+            1
+            for w in toks
+            if c_tgt[w] * (n_all - n_tgt) > (c_all[w] - c_tgt[w]) * n_tgt
+        )
+        if 2 * aff >= len(toks):
+            out[d] = (len(toks), aff)
+    return out
+
+
+def test_sample_importance_majority_vote(spark, tmp_path):
+    docs = [
+        (0, "en", "alpha beta alpha beta"),        # pure target vocab
+        (1, "en", "alpha beta gamma delta"),       # mixed target doc
+        (2, "de", "gamma delta gamma delta"),      # pure background
+        (3, "de", "alpha alpha alpha delta"),      # bg doc, target-affine vocab
+        (4, "de", "gamma gamma gamma alpha"),      # bg-leaning
+    ]
+    _write_documents(
+        tmp_path, [d[2] for d in docs], langs=[d[1] for d in docs]
+    )
+    expect = _replay_importance(docs)
+    got = {
+        r.doc_id: (r.n_tok, r.n_affine)
+        for r in SPECS["sample_importance"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    assert 0 in got and 3 in got and 2 not in got  # the vote, concretely
