@@ -267,3 +267,105 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sv").cast("decimal(38,6)").alias("sum_value"),
         F.last("sv", ignorenulls=True).over(w).cast("decimal(38,6)").alias("locf_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# table_diff — snapshot differencing / CDC extraction (round 7)
+# --------------------------------------------------------------------------
+
+
+def _orders_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simulated "next snapshot" of orders, derived deterministically
+    so both engines build the identical v2: key%10==0 rows deleted,
+    key%7==0 rows get their price doubled (exact in binary FP — no
+    rounding hazard), and key%13==0 rows re-enter as inserts under the
+    collision-free key -(k+1) (orderkeys start at 0, so plain negation
+    would collide on 0)."""
+    v1 = table(spark, sf_dir, "orders")
+    updated = v1.filter(F.col("o_orderkey") % 10 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = v1.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_orderkey", -(F.col("o_orderkey") + 1)
+    )
+    return updated.unionByName(inserted)
+
+
+@register(
+    "table_diff",
+    tags=("b3",),
+    oracle="""
+        WITH v2 AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 <> 0
+            UNION ALL
+            SELECT -(o_orderkey + 1), o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 13 = 0
+        )
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'I'
+                    WHEN b.o_orderkey IS NULL THEN 'D'
+                    ELSE 'U' END AS change_type,
+               a.o_totalprice AS old_price,
+               b.o_totalprice AS new_price
+        FROM orders a
+        FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+           OR a.o_custkey      IS DISTINCT FROM b.o_custkey
+           OR a.o_orderstatus  IS DISTINCT FROM b.o_orderstatus
+           OR a.o_totalprice   IS DISTINCT FROM b.o_totalprice
+           OR a.o_orderdate    IS DISTINCT FROM b.o_orderdate
+           OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing: given two versions of a table, emit each
+    changed key once, classified I/U/D — the CDC-extraction /
+    lakehouse-snapshot-diff primitive (what `MERGE` consumes upstream,
+    the inverse of ``merge_upsert``'s apply side; ``scd2_history``
+    would ingest exactly this feed).
+
+    Change detection compares EVERY column with null-safe equality
+    (``<=>`` / IS DISTINCT FROM) rather than a row hash: hash functions
+    are engine-specific, column comparisons are portable, and at scale
+    the comparison cost is identical (both read every column once).
+    Identical rows vanish from the output — a diff of identical
+    snapshots is empty, which is the property the test pins.
+
+    Plan/scale: ONE full-outer sort-merge join keyed on the primary
+    key — the canonical shape; both snapshots shuffle once on the key,
+    per-key width is 1x1, skew-free by construction. v2 derives from
+    v1 narrowly (filter + projection, no extra shuffle), standing in
+    for reading a second snapshot's files."""
+    v1 = table(spark, sf_dir, "orders")
+    v2 = _orders_v2(spark, sf_dir)
+    a = v1.alias("a")
+    b = v2.alias("b")
+    ak, bk = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    same = (
+        F.col("a.o_custkey").eqNullSafe(F.col("b.o_custkey"))
+        & F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
+        & F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice"))
+        & F.col("a.o_orderdate").eqNullSafe(F.col("b.o_orderdate"))
+        & F.col("a.o_orderpriority").eqNullSafe(F.col("b.o_orderpriority"))
+    )
+    return (
+        a.join(b, ak == bk, "full_outer")
+        .filter(ak.isNull() | bk.isNull() | ~same)
+        .select(
+            F.coalesce(ak, bk).alias("o_orderkey"),
+            F.when(ak.isNull(), "I")
+            .when(bk.isNull(), "D")
+            .otherwise("U")
+            .alias("change_type"),
+            F.col("a.o_totalprice").alias("old_price"),
+            F.col("b.o_totalprice").alias("new_price"),
+        )
+    )

@@ -276,6 +276,7 @@ DRIVER_ORDER = [
     "text_heavy_hitters",
     "ts_resample",
     "sample_importance",
+    "table_diff",
 ]
 
 

@@ -416,3 +416,53 @@ def test_sample_importance_majority_vote(spark, tmp_path):
     }
     assert got == expect
     assert 0 in got and 3 in got and 2 not in got  # the vote, concretely
+
+
+# --------------------------------------------------------------------------
+# table_diff
+# --------------------------------------------------------------------------
+
+
+def _write_orders(tmp_path, keys):
+    import datetime
+
+    n = len(keys)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_custkey": pa.array([k % 5 for k in keys], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n),
+                "o_totalprice": pa.array([100.0 + k for k in keys], pa.float64()),
+                "o_orderdate": pa.array(
+                    [datetime.datetime(2024, 1, 1 + (k % 20)) for k in keys],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+
+
+def test_table_diff_classifies_each_change_once(spark, tmp_path):
+    # keys 0..20: %10==0 -> D (0, 10, 20), %7==0 among survivors -> U
+    # (7, 14), %13==0 -> I as -(k+1) (0, 13)
+    _write_orders(tmp_path, list(range(21)))
+    rows = SPECS["table_diff"].fn(spark, str(tmp_path)).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.change_type, set()).add(r.o_orderkey)
+    assert by_type["D"] == {0, 10, 20}
+    assert by_type["U"] == {7, 14}
+    assert by_type["I"] == {-1, -14}
+    assert len(rows) == 7  # every changed key exactly once, nothing else
+    # U rows carry exact old/new prices (doubling is FP-exact)
+    u = {r.o_orderkey: (r.old_price, r.new_price) for r in rows if r.change_type == "U"}
+    assert u == {7: (107.0, 214.0), 14: (114.0, 228.0)}
+
+
+def test_table_diff_identical_snapshots_when_no_rule_hits(spark, tmp_path):
+    # keys chosen so no delete/update/insert rule fires -> empty diff
+    _write_orders(tmp_path, [1, 2, 3, 4, 6, 8, 9, 11, 12])
+    assert SPECS["table_diff"].fn(spark, str(tmp_path)).count() == 0
