@@ -705,3 +705,69 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num / den).alias("cov"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sim_mips — maximum-inner-product top-k (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_mips",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_E}
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               CAST(ROUND(list_dot_product(q.v, c.v), 6)
+                    AS DECIMAL(18,6)) AS ip,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_dot_product(q.v, c.v), 6) DESC,
+                            c.vec_id
+               ) AS INT) AS rnk
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id <= {_NQUERY}
+        QUALIFY rnk <= {_TOPK}
+    """,
+)
+def sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) top-k — the retrieval
+    primitive for unnormalized embedding models (recommendation
+    scoring, dual-encoder retrieval where magnitude carries salience).
+    Distinct from ``sim_topk``: no normalization, so a long vector can
+    out-score a better-aligned short one.
+
+    Exact score here; the ANN-scale path is the norm-augmentation
+    reduction (Bachrach et al., RecSys'14): append sqrt(M^2 - |x|^2) to
+    corpus vectors and 0 to queries, and MIPS becomes cosine on the
+    augmented space, so the IVF/LSH machinery of ``sim_ann_ivf`` /
+    ``dedup_embed_cosine`` applies unchanged. That rank-equivalence is
+    pinned by a unit test (`test_round7_ops.py`) rather than run
+    cross-engine, because recovering the raw dot from the augmented
+    cosine re-rounds twice — the exact boundary-straddle hazard the
+    oracle policy forbids.
+
+    Plan: identical two-stage WindowGroupLimit shape as ``sim_topk``
+    (optimizer-rewritten row_number <= k: each map partition emits at
+    most k rows per query before the exchange); the corpus scans once
+    against a broadcast query set."""
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") <= _NQUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cand = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(_dot("qv", "v"), 6).alias("ip"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("ip").desc(), "vec_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("ip").cast("decimal(18,6)").alias("ip"),
+            "rnk",
+        )
+    )

@@ -236,3 +236,68 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("l_orderkey").alias("parity_xor"),
         F.sum(mix).cast("long").alias("scalar_mix"),
     )
+
+
+@register(
+    "fn_url",
+    tags=("b7",),
+    oracle="""
+        -- The oracle never parses: it re-derives every component from
+        -- the same base columns the URL was constructed from, so the
+        -- differential proves Spark's parse_url() exactly inverts the
+        -- construction (DuckDB has no parse_url; string re-derivation
+        -- is the engine-portable statement of the expected value).
+        SELECT doc_id,
+               'https://' || source || '.example.com/' || lang || '/'
+                   || CAST(doc_id AS VARCHAR) || '?q='
+                   || CAST(n_chars AS VARCHAR) || '&p='
+                   || CAST(doc_id % 7 AS VARCHAR) AS url,
+               'https' AS proto,
+               source || '.example.com' AS host,
+               '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+               'q=' || CAST(n_chars AS VARCHAR) || '&p='
+                   || CAST(doc_id % 7 AS VARCHAR) AS query_string,
+               CAST(n_chars AS VARCHAR) AS q_param,
+               CAST(doc_id % 7 AS VARCHAR) AS p_param,
+               'example.com' AS reg_domain
+        FROM documents
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family: build a synthetic but well-formed URL per document,
+    then take it apart with ``parse_url`` (PROTOCOL / HOST / PATH /
+    QUERY / per-key query param) plus a registrable-domain extraction
+    via ``substring_index`` — the web-crawl normalization toolkit
+    (host-level dedup keys, domain-balanced sampling, tracker-param
+    stripping) over the documents table.
+
+    All JVM-side codegen expressions, zero shuffle; the oracle
+    re-derives each component from the base columns, so the check
+    proves parse_url inverts the construction exactly."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.col("n_chars").cast("string"),
+        F.lit("&p="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_string"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("p")).alias("p_param"),
+        F.substring_index(
+            F.parse_url("url", F.lit("HOST")), ".", -2
+        ).alias("reg_domain"),
+    )

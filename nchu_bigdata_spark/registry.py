@@ -277,6 +277,8 @@ DRIVER_ORDER = [
     "ts_resample",
     "sample_importance",
     "table_diff",
+    "fn_url",
+    "sim_mips",
 ]
 
 

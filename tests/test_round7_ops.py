@@ -466,3 +466,71 @@ def test_table_diff_identical_snapshots_when_no_rule_hits(spark, tmp_path):
     # keys chosen so no delete/update/insert rule fires -> empty diff
     _write_orders(tmp_path, [1, 2, 3, 4, 6, 8, 9, 11, 12])
     assert SPECS["table_diff"].fn(spark, str(tmp_path)).count() == 0
+
+
+# --------------------------------------------------------------------------
+# sim_mips
+# --------------------------------------------------------------------------
+
+
+def _write_embeddings(tmp_path, vecs):
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(vecs), pa.int64()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+
+def test_mips_matches_norm_augmentation_reduction(spark, tmp_path):
+    # MIPS rank per query must equal cosine rank in the augmented space
+    # (corpus vector gets sqrt(M^2 - |x|^2) appended, query gets 0) —
+    # the Bachrach et al. reduction the docstring claims.
+    rng = random.Random(11)
+    d, nvec = 4, 30
+    vecs = [[rng.uniform(-2, 2) for _ in range(d)] for _ in range(nvec)]
+    _write_embeddings(tmp_path, vecs)
+    got = {}
+    for r in SPECS["sim_mips"].fn(spark, str(tmp_path)).collect():
+        got.setdefault(r.q_id, []).append((r.rnk, r.vec_id, r.ip))
+    # float32 storage: replay through float32 like the engine reads
+    import numpy as np
+
+    v32 = [np.array(v, dtype=np.float32).astype(np.float64) for v in vecs]
+    M2 = max(float(np.dot(v, v)) for v in v32) + 1.0
+    for q_id, ranked in got.items():
+        ranked.sort()
+        qv = v32[q_id]
+        # direct MIPS replay (same 6dp rounding + id tiebreak)
+        scores = sorted(
+            (
+                (-round(float(np.dot(qv, v32[c])), 6), c)
+                for c in range(nvec)
+                if c != q_id
+            )
+        )[:5]
+        assert [(c, -s) for s, c in scores] == [
+            (vec_id, float(ip)) for _, vec_id, ip in ranked
+        ]
+        # augmented-cosine replay: rank order must coincide
+        aug = sorted(
+            (
+                (
+                    -float(
+                        np.dot(np.append(qv, 0.0), np.append(v32[c], np.sqrt(M2 - np.dot(v32[c], v32[c]))))
+                        / (np.linalg.norm(qv) * np.sqrt(M2))
+                    ),
+                    c,
+                )
+                for c in range(nvec)
+                if c != q_id
+            )
+        )[:5]
+        assert [c for _, c in aug] == [vec_id for _, vec_id, _ in ranked]
