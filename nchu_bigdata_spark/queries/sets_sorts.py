@@ -118,3 +118,107 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _building_custkeys(spark, sf_dir).subtract(
         _f_order_custkeys(spark, sf_dir)
     )
+
+
+# --------------------------------------------------------------------------
+# sort_zorder — Z-order (Morton) clustering layout statistics (round 7)
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8  # bits per dimension interleaved into the 16-bit Morton key
+# (8, not 16: the clustered dims are custkey-mod and epoch-day-mod, and
+# 8 bits keeps BOTH cycling through their full range on the test corpus
+# — with 16 the shared high bits of the ~600-day date span collapse
+# every row into one block and the layout demo degenerates)
+_Z_BLOCKS = 64  # fixed-width key-range blocks (stand-ins for files)
+
+
+def _morton_terms(x: str, y: str, shift: str) -> str:
+    """Bit-interleave expression `zkey = Σ ((x>>i)&1)<<2i | ((y>>i)&1)<<2i+1`
+    rendered with engine-appropriate shift syntax: ``shift`` is a
+    format string, e.g. ``"shiftleft({v}, {n})"`` (Spark) or
+    ``"({v} << {n})"`` (DuckDB). Right shifts use the same renderer
+    with negative semantics avoided by pre-shifting via integer DIV,
+    which both engines share."""
+    terms = []
+    for i in range(_Z_BITS):
+        # integer DIV is spelled differently: `//` (DuckDB) vs DIV (Spark)
+        div = "//" if "<<" in shift else "DIV"
+        terms.append(
+            shift.format(v=f"(({x} {div} {1 << i}) % 2)", n=2 * i)
+        )
+        terms.append(
+            shift.format(v=f"(({y} {div} {1 << i}) % 2)", n=2 * i + 1)
+        )
+    return " + ".join(terms)
+
+
+_Z_SPARK = _morton_terms("xk", "yk", "shiftleft({v}, {n})")
+_Z_DUCK = _morton_terms("xk", "yk", "({v} << {n})")
+_Z_WIDTH = (1 << (2 * _Z_BITS)) // _Z_BLOCKS
+
+
+@register(
+    "sort_zorder",
+    tags=("b6",),
+    oracle=f"""
+        -- Same Morton interleave, DuckDB shift syntax; xk/yk are the
+        -- low {_Z_BITS} bits of custkey and epoch-day (TZ-free).
+        WITH keyed AS (
+            SELECT (o_custkey % {1 << _Z_BITS}) AS xk,
+                   ((epoch_us(o_orderdate) // 86400000000)
+                        % {1 << _Z_BITS}) AS yk
+            FROM orders
+        ),
+        z AS (SELECT xk, yk, ({_Z_DUCK}) AS zkey FROM keyed)
+        SELECT CAST(zkey // {_Z_WIDTH} AS BIGINT) AS zblock,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(xk) AS BIGINT) AS x_min,
+               CAST(MAX(xk) AS BIGINT) AS x_max,
+               CAST(MIN(yk) AS BIGINT) AS y_min,
+               CAST(MAX(yk) AS BIGINT) AS y_max
+        FROM z GROUP BY 1
+    """,
+)
+def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton space-filling curve) clustering statistics — the
+    core of a lakehouse ``OPTIMIZE ... ZORDER BY (custkey, orderdate)``:
+    interleave the bits of both dimensions into one sort key, carve the
+    key space into fixed-width blocks (the stand-ins for rewritten
+    files), and report each block's per-dimension min/max envelope —
+    exactly the footer stats a reader would prune on. Z-ordering's
+    point is that BOTH envelopes stay narrow, so predicates on EITHER
+    dimension skip most blocks; the unit test asserts that quantitative
+    claim against a single-dimension sort.
+
+    Scale design: the Morton key is a pure codegen bit expression (32
+    integer terms, no UDF); blocks are FIXED-WIDTH KEY RANGES
+    (``zkey div width``) rather than an ntile window — ntile would
+    need a single global sort partition (the classic accidental
+    serialization), while the range rule is embarrassingly parallel
+    and gives the identical layout a range-partitioned writer would
+    produce. One hash agg on the block id ends the plan."""
+    orders = table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_custkey") % (1 << _Z_BITS)).alias("xk"),
+        (
+            # o_orderdate surfaces as TIMESTAMP_NTZ; the UTC-pinned
+            # session clock (registry wrapper) makes the cast exact
+            F.expr(
+                "(unix_micros(cast(o_orderdate as timestamp)) DIV 86400000000)"
+            )
+            % (1 << _Z_BITS)
+        ).alias("yk"),
+    )
+    z = keyed.select("xk", "yk", F.expr(_Z_SPARK).alias("zkey"))
+    return (
+        z.groupBy(
+            F.expr(f"zkey DIV {_Z_WIDTH}").cast("long").alias("zblock")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xk").cast("long").alias("x_min"),
+            F.max("xk").cast("long").alias("x_max"),
+            F.min("yk").cast("long").alias("y_min"),
+            F.max("yk").cast("long").alias("y_max"),
+        )
+    )

@@ -279,6 +279,7 @@ DRIVER_ORDER = [
     "table_diff",
     "fn_url",
     "sim_mips",
+    "sort_zorder",
 ]
 
 

@@ -534,3 +534,42 @@ def test_mips_matches_norm_augmentation_reduction(spark, tmp_path):
             )
         )[:5]
         assert [c for _, c in aug] == [vec_id for _, vec_id, _ in ranked]
+
+
+# --------------------------------------------------------------------------
+# sort_zorder
+# --------------------------------------------------------------------------
+
+
+def test_zorder_blocks_are_aligned_tiles(spark, tmp_path):
+    # 1000 orders spreading both dims across their full 8-bit range.
+    # An aligned Morton block of width 1024 is exactly one 32x32 tile,
+    # so EVERY block's envelope must be narrow in BOTH dimensions —
+    # the data-skipping property a single-dim sort cannot give (its
+    # trailing dimension's envelope spans the full 0..255 range).
+    import datetime
+
+    keys = list(range(1000))
+    base = datetime.datetime(2023, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_custkey": pa.array([k * 17 % 251 for k in keys], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 1000),
+                "o_totalprice": pa.array([100.0] * 1000, pa.float64()),
+                "o_orderdate": pa.array(
+                    [base + datetime.timedelta(days=(k * 7) % 256) for k in keys],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 1000),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    rows = SPECS["sort_zorder"].fn(spark, str(tmp_path)).collect()
+    assert sum(r.n_rows for r in rows) == 1000
+    assert len(rows) > 10  # the curve really spreads across blocks
+    for r in rows:
+        assert r.x_max - r.x_min <= 31, r
+        assert r.y_max - r.y_min <= 31, r
