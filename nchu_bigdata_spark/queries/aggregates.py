@@ -817,3 +817,68 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", "mode_qty", "mode_count")
     )
+
+
+# --------------------------------------------------------------------------
+# agg_histogram — equi-width histogram (round 7)
+# --------------------------------------------------------------------------
+
+_HIST_WIDTH_CENTS = 50_000_00  # $50k buckets over o_totalprice
+_HIST_NBINS = 12  # values past the top edge clamp into the last bin
+
+
+@register(
+    "agg_histogram",
+    tags=("b4",),
+    oracle=f"""
+        -- Bucketing in exact integer cents (compat policy): 2-decimal
+        -- prices scale exactly, so bin edges can't straddle a double
+        -- rounding boundary on either engine.
+        SELECT bin,
+               CAST(bin * {_HIST_WIDTH_CENTS} AS BIGINT) AS lo_cents,
+               CAST((bin + 1) * {_HIST_WIDTH_CENTS} AS BIGINT) AS hi_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             // {_HIST_WIDTH_CENTS},
+                         {_HIST_NBINS - 1}) AS bin
+            FROM orders
+        ) t
+        GROUP BY bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals — the column-statistics
+    primitive behind optimizer NDV/selectivity estimation and data
+    profiling dashboards. Overflow values clamp into the top bin
+    (LEAST), so the bin count is fixed and the output is bounded
+    regardless of outliers.
+
+    Bucketing runs in exact integer CENTS (`round(price*100) DIV
+    width`): 2-decimal money scales to int64 exactly, where the naive
+    ``floor(price / 50000.0)`` double division can land an ulp under a
+    bin edge and flip a boundary row between engines (the ADVICE r6
+    failure mode).
+
+    Plan: ONE map-side-combining hash agg over ≤{_HIST_NBINS} groups —
+    shuffle carries at most bins × partitions tiny rows; empty bins
+    are simply absent (a presentation layer would left-join a spine,
+    as ``ts_resample`` demonstrates)."""
+    orders = table(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.expr(
+            f"CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV {_HIST_WIDTH_CENTS}"
+        ),
+        F.lit(_HIST_NBINS - 1),
+    ).alias("bin")
+    return (
+        orders.select(bin_col)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * _HIST_WIDTH_CENTS).cast("long").alias("lo_cents"),
+            ((F.col("bin") + 1) * _HIST_WIDTH_CENTS).cast("long").alias("hi_cents"),
+            "n",
+        )
+    )

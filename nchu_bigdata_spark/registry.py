@@ -280,6 +280,7 @@ DRIVER_ORDER = [
     "fn_url",
     "sim_mips",
     "sort_zorder",
+    "agg_histogram",
 ]
 
 

@@ -573,3 +573,42 @@ def test_zorder_blocks_are_aligned_tiles(spark, tmp_path):
     for r in rows:
         assert r.x_max - r.x_min <= 31, r
         assert r.y_max - r.y_min <= 31, r
+
+
+# --------------------------------------------------------------------------
+# agg_histogram
+# --------------------------------------------------------------------------
+
+
+def test_histogram_edges_and_clamp(spark, tmp_path):
+    import datetime
+
+    # prices exactly ON bin edges ($50k -> bin 1, not 0) and far past
+    # the top edge (clamped into bin 11)
+    prices = [0.0, 49999.99, 50000.0, 99999.99, 100000.0, 5_000_000.0]
+    n = len(prices)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n), pa.int64()),
+                "o_custkey": pa.array([1] * n, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array(
+                    [datetime.datetime(2024, 1, 1)] * n, pa.timestamp("us", tz="UTC")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = {
+        r.bin: (r.lo_cents, r.hi_cents, r.n)
+        for r in SPECS["agg_histogram"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (0, 5_000_000, 2),          # 0.00 and 49999.99
+        1: (5_000_000, 10_000_000, 2), # edge value 50000.00 and 99999.99
+        2: (10_000_000, 15_000_000, 1),
+        11: (55_000_000, 60_000_000, 1),  # 5M clamps into the top bin
+    }
