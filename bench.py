@@ -75,6 +75,11 @@ LLM_GROUP = [
     "tokenize_chunk_overlap",
     "embed_covariance",
     "mixture_weights",
+    # born late round 7: MG heavy hitters (two corpus passes), DSIR
+    # importance filter (vocab join), MIPS top-k (trend starts here)
+    "text_heavy_hitters",
+    "sample_importance",
+    "sim_mips",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -92,6 +97,12 @@ SQL_GROUP = [
     "text_collocation_pmi",
     "events_anomaly",
     "multimodal_phash_pairs",
+    # born late round 7: frontier BFS, snapshot diff, gap-filled
+    # resample, Morton layout stats (trend starts here)
+    "graph_bfs",
+    "table_diff",
+    "ts_resample",
+    "sort_zorder",
 ]
 
 

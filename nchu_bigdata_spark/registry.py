@@ -111,7 +111,10 @@ def register(
 # (b) the 2 r4-stale ids displaced from the r6 window, then (c) the 36
 # remaining round-6-born ids with no driver row yet, then (d) 6 of the
 # oldest r5-green refreshes. The r6-window ids (fresh r6 greens) and
-# the rest of the r5 greens rotate behind the marker for r8.
+# the rest of the r5 greens rotate behind the marker for r8. The ids
+# born DURING round 7 (tpch_q2/8/9/20 through agg_histogram at the very
+# tail) sit behind the whole rotation — nothing outranks the pending-41
+# certification — and queue for driver rows from r8 onward.
 DRIVER_ORDER = [
     # -- code/oracle changed in round 7; certify under new shapes --
     "agg_approx",
