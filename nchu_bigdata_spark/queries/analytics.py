@@ -352,3 +352,90 @@ def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n * 10000 DIV t AS INT)").alias("p_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_rfm — mean-split RFM customer segmentation (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_rfm",
+    tags=("b12",),
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(epoch_us(ts)) AS last_ts_us,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY user_id
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   SUM(CAST(last_ts_us AS HUGEINT)) AS s_ts,
+                   SUM(CAST(freq AS HUGEINT)) AS s_f,
+                   SUM(CAST(cents AS HUGEINT)) AS s_c
+            FROM per_user
+        )
+        SELECT u.user_id,
+               CAST(u.last_ts_us AS BIGINT) AS last_ts_us,
+               u.freq, u.cents,
+               CAST(CASE WHEN u.last_ts_us * t.n_users >= t.s_ts
+                         THEN 1 ELSE 0 END AS INT) AS r_flag,
+               CAST(CASE WHEN u.freq * t.n_users >= t.s_f
+                         THEN 1 ELSE 0 END AS INT) AS f_flag,
+               CAST(CASE WHEN u.cents * t.n_users >= t.s_c
+                         THEN 1 ELSE 0 END AS INT) AS m_flag,
+               CAST(CASE WHEN u.last_ts_us * t.n_users >= t.s_ts
+                         THEN 4 ELSE 0 END
+                  + CASE WHEN u.freq * t.n_users >= t.s_f
+                         THEN 2 ELSE 0 END
+                  + CASE WHEN u.cents * t.n_users >= t.s_c
+                         THEN 1 ELSE 0 END AS INT) AS segment
+        FROM per_user u, tot t
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary), the
+    classic marketing-analytics composite, in its MEAN-SPLIT form: each
+    user scores above/below the population mean on each axis, yielding
+    8 segments (champions = 7 down to dormant = 0).
+
+    Mean-split rather than quartile ntile is a deliberate SCALE choice:
+    ntile over all users is a single-partition global sort (the
+    accidental-serialization trap ``sort_zorder`` documents), while
+    mean cutoffs are one extra 1-row aggregate and a broadcast — the
+    whole plan is two map-side-combining hash aggs and a per-row
+    comparison, embarrassingly parallel at any user cardinality.
+    Comparisons are cross-multiplied integers (``metric·N >= Σmetric``)
+    — zero division, zero floats, bit-identical across engines
+    (HUGEINT/decimal sums so Σts_us·N can't overflow int64).
+
+    Recency uses last-activity epoch-us directly (bigger = more
+    recent = better), so all three axes read "1 is good"."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("last_ts_us").cast("decimal(38,0)")).alias("s_ts"),
+        F.sum(F.col("freq").cast("decimal(38,0)")).alias("s_f"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_c"),
+    )
+    j = per_user.crossJoin(F.broadcast(tot))
+    r = (F.col("last_ts_us").cast("decimal(38,0)") * F.col("n_users") >= F.col("s_ts")).cast("int")
+    f = (F.col("freq").cast("decimal(38,0)") * F.col("n_users") >= F.col("s_f")).cast("int")
+    m = (F.col("cents").cast("decimal(38,0)") * F.col("n_users") >= F.col("s_c")).cast("int")
+    return j.select(
+        "user_id",
+        "last_ts_us",
+        "freq",
+        "cents",
+        r.alias("r_flag"),
+        f.alias("f_flag"),
+        m.alias("m_flag"),
+        (r * 4 + f * 2 + m).cast("int").alias("segment"),
+    )

@@ -284,6 +284,7 @@ DRIVER_ORDER = [
     "sim_mips",
     "sort_zorder",
     "agg_histogram",
+    "events_rfm",
 ]
 
 

@@ -612,3 +612,51 @@ def test_histogram_edges_and_clamp(spark, tmp_path):
         2: (10_000_000, 15_000_000, 1),
         11: (55_000_000, 60_000_000, 1),  # 5M clamps into the top bin
     }
+
+
+# --------------------------------------------------------------------------
+# events_rfm
+# --------------------------------------------------------------------------
+
+
+def test_rfm_mean_split_flags(spark, tmp_path):
+    # 3 users with hand-computable axes. Values chosen so each axis's
+    # mean lands strictly between users, plus one exact-mean tie
+    # (>= keeps it above the line).
+    t0 = 1_700_000_000 * 1_000_000
+    rows = []  # (ts_off, user, value)
+    rows += [(0, 1, 10.0)]                       # u1: 1 event, early, $10
+    rows += [(3_600_000_000 * k, 2, 20.0) for k in range(1, 4)]   # u2: 3 events
+    rows += [(3_600_000_000 * k, 3, 50.0) for k in range(4, 6)]   # u3: 2 late events
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([t0 + r[0] for r in rows], pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(["e"] * len(rows)),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {r.user_id: r for r in SPECS["events_rfm"].fn(spark, str(tmp_path)).collect()}
+    # replay
+    per = {
+        1: (t0, 1, 1000),
+        2: (t0 + 3 * 3_600_000_000, 3, 6000),
+        3: (t0 + 5 * 3_600_000_000, 2, 10000),
+    }
+    n = 3
+    s = [sum(p[i] for p in per.values()) for i in range(3)]
+    for u, (ts, fq, c) in per.items():
+        rf, ff, mf = (int(ts * n >= s[0]), int(fq * n >= s[1]), int(c * n >= s[2]))
+        g = got[u]
+        assert (g.last_ts_us, g.freq, g.cents) == (ts, fq, c)
+        assert (g.r_flag, g.f_flag, g.m_flag) == (rf, ff, mf), u
+        assert g.segment == rf * 4 + ff * 2 + mf
+    # u2 freq (3) is exactly the mean (6/3=2 -> no; 3*3=9 >= 6 yes);
+    # concrete sanity: u3 is champion on R and M, u1 on nothing
+    assert got[3].r_flag == 1 and got[3].m_flag == 1
+    assert got[1].segment == 0
