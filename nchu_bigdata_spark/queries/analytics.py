@@ -377,20 +377,25 @@ def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(CAST(cents AS HUGEINT)) AS s_c
             FROM per_user
         )
+        -- LHS products in HUGEINT (matching the Spark side's
+        -- decimal(38,0)): epoch-us x user-count overflows int64 past
+        -- ~5k users, and DuckDB's checked BIGINT multiply would error
         SELECT u.user_id,
                CAST(u.last_ts_us AS BIGINT) AS last_ts_us,
                u.freq, u.cents,
-               CAST(CASE WHEN u.last_ts_us * t.n_users >= t.s_ts
+               CAST(CASE WHEN CAST(u.last_ts_us AS HUGEINT) * t.n_users
+                              >= t.s_ts
                          THEN 1 ELSE 0 END AS INT) AS r_flag,
-               CAST(CASE WHEN u.freq * t.n_users >= t.s_f
+               CAST(CASE WHEN CAST(u.freq AS HUGEINT) * t.n_users >= t.s_f
                          THEN 1 ELSE 0 END AS INT) AS f_flag,
-               CAST(CASE WHEN u.cents * t.n_users >= t.s_c
+               CAST(CASE WHEN CAST(u.cents AS HUGEINT) * t.n_users >= t.s_c
                          THEN 1 ELSE 0 END AS INT) AS m_flag,
-               CAST(CASE WHEN u.last_ts_us * t.n_users >= t.s_ts
+               CAST(CASE WHEN CAST(u.last_ts_us AS HUGEINT) * t.n_users
+                              >= t.s_ts
                          THEN 4 ELSE 0 END
-                  + CASE WHEN u.freq * t.n_users >= t.s_f
+                  + CASE WHEN CAST(u.freq AS HUGEINT) * t.n_users >= t.s_f
                          THEN 2 ELSE 0 END
-                  + CASE WHEN u.cents * t.n_users >= t.s_c
+                  + CASE WHEN CAST(u.cents AS HUGEINT) * t.n_users >= t.s_c
                          THEN 1 ELSE 0 END AS INT) AS segment
         FROM per_user u, tot t
     """,
