@@ -130,3 +130,50 @@ def test_corr_and_regression_match_comoment_replay(
         assert math.isclose(
             rr["intercept"], want_icpt, rel_tol=1e-12, abs_tol=1e-9
         )
+
+
+# --------------------------------------------------------------------------
+# text_heavy_hitters: exactness on arbitrary corpora (the MG sketch
+# pass is approximate, but the recount must make the OUTPUT exact —
+# superset property + exact counts, regardless of skew or vocab size)
+# --------------------------------------------------------------------------
+
+# Corpora mixing a tiny hot vocabulary (heavy hitters likely) with a
+# wide cold one (forces MG evictions): each doc is 1-40 draws.
+_HH_DOC = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=4).map(lambda i: f"hot{i}"),
+        st.integers(min_value=0, max_value=5000).map(lambda i: f"cold{i}"),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(docs=st.lists(_HH_DOC, min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_heavy_hitters_exact_on_arbitrary_corpora(spark, tmp_path_factory, docs):
+    from collections import Counter
+
+    tmp_path = tmp_path_factory.mktemp("hh")
+    texts = [" ".join(d) for d in docs]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    counts = Counter(w for t in texts for w in t.split(" "))
+    total = sum(counts.values())
+    want = {w: c for w, c in counts.items() if c * 1000 >= total}
+    got = {
+        r.word: r.cnt
+        for r in SPECS["text_heavy_hitters"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == want
