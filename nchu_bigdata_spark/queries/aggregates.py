@@ -882,3 +882,59 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_argmax — max_by/min_by argmax aggregates (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_argmax",
+    tags=("b4",),
+    oracle="""
+        -- arg_max/arg_min tie behavior is engine-arbitrary, so the
+        -- ordering key is UNIQUIFIED: cents * 1e10 + orderkey packs
+        -- (price, key) into one int64 (cents <= ~6e7 << 9e8 keeps the
+        -- product under 2^63; orderkey < 1e10). Ties on price then
+        -- break on the larger/smaller orderkey deterministically.
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               arg_max(o_orderkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           * 10000000000 + o_orderkey) AS top_orderkey,
+               arg_min(o_orderkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           * 10000000000 + o_orderkey) AS bottom_orderkey,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS top_cents
+        FROM orders
+        GROUP BY o_custkey
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX/ARGMIN as aggregates (``max_by``/``min_by``): per
+    customer, the orderkey of their most and least expensive order —
+    the "which row holds the extreme" question answered in ONE hash
+    agg instead of the window-sort ``win_argmin`` uses (both shapes
+    belong in the surface: the aggregate form is cheaper when only the
+    extreme row is needed, the window form when the whole row set must
+    be kept).
+
+    Determinism: max_by's tie behavior is engine-arbitrary, so the
+    ordering key packs (cents, orderkey) into one int64 — exact
+    integer arithmetic, unique per row, identical tiebreak on both
+    engines.
+
+    Plan: ONE map-side-combining hash agg; max_by partials carry a
+    single (key, value) pair per group per partition — the same
+    shuffle budget as MAX, never a per-group row buffer."""
+    orders = table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    okey = cents * F.lit(10_000_000_000) + F.col("o_orderkey")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max_by("o_orderkey", okey).alias("top_orderkey"),
+        F.min_by("o_orderkey", okey).alias("bottom_orderkey"),
+        F.max(cents).cast("long").alias("top_cents"),
+    )

@@ -285,6 +285,7 @@ DRIVER_ORDER = [
     "sort_zorder",
     "agg_histogram",
     "events_rfm",
+    "agg_argmax",
 ]
 
 

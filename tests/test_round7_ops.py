@@ -660,3 +660,39 @@ def test_rfm_mean_split_flags(spark, tmp_path):
     # concrete sanity: u3 is champion on R and M, u1 on nothing
     assert got[3].r_flag == 1 and got[3].m_flag == 1
     assert got[1].segment == 0
+
+
+# --------------------------------------------------------------------------
+# agg_argmax
+# --------------------------------------------------------------------------
+
+
+def test_argmax_deterministic_tiebreak(spark, tmp_path):
+    import datetime
+
+    # customer 1: unique extremes; customer 2: ALL orders tie on price
+    # -> the packed key must pick the LARGEST orderkey as argmax and
+    # the SMALLEST as argmin, identically every run
+    rows = [  # (orderkey, custkey, price)
+        (10, 1, 50.0), (11, 1, 99.0), (12, 1, 1.0),
+        (20, 2, 42.0), (21, 2, 42.0), (22, 2, 42.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(rows)),
+                "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+                "o_orderdate": pa.array(
+                    [datetime.datetime(2024, 1, 1)] * len(rows),
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = {r.o_custkey: r for r in SPECS["agg_argmax"].fn(spark, str(tmp_path)).collect()}
+    assert (got[1].top_orderkey, got[1].bottom_orderkey, got[1].top_cents) == (11, 12, 9900)
+    assert (got[2].top_orderkey, got[2].bottom_orderkey, got[2].top_cents) == (22, 20, 4200)
