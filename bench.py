@@ -258,9 +258,10 @@ def main() -> None:
     }
     line = json.dumps(payload)
     # Lossless side record (VERDICT r6 item 5): the driver captures the
-    # stdout TAIL, which truncated round 6's line and lost agg_hash's
-    # best-of-reps. The full JSON also lands in a committed file so the
-    # record survives any log truncation.
+    # stdout TAIL, which truncated rounds 6 AND 7's full line (parsed:
+    # null both times). The full JSON lands in a committed file; stdout
+    # gets only the COMPACT contract line (metric/value/unit/queries/
+    # sf + a pointer) so the driver's tail can always parse it.
     try:
         side = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
@@ -269,7 +270,11 @@ def main() -> None:
             f.write(line + "\n")
     except OSError:
         pass  # stdout line remains the primary contract
-    print(line)
+    compact = {
+        k: payload[k] for k in ("metric", "value", "unit", "queries", "sf")
+    }
+    compact["detail"] = "BENCH_LOCAL.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -646,17 +646,23 @@ def _mix_target_sql() -> str:
         ),
         tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM cell),
         cap AS (
-            SELECT MIN(n_tokens * 10000 // target_bp) AS budget
+            -- HUGEINT intermediates (ADVICE r7): BIGINT n_tokens*10000
+            -- is a CHECKED multiply in DuckDB (errors past ~9.2e14
+            -- tokens) while Spark's int64 wraps — both engines stay
+            -- exact in 128-bit.
+            SELECT MIN(CAST(n_tokens AS HUGEINT) * 10000 // target_bp)
+                AS budget
             FROM cell WHERE target_bp > 0
         )
         SELECT c.lang, c.n_tokens,
-               CAST(c.n_tokens * 10000 // t.corpus_tokens AS BIGINT)
-                   AS actual_bp,
+               CAST(CAST(c.n_tokens AS HUGEINT) * 10000
+                    // t.corpus_tokens AS BIGINT) AS actual_bp,
                c.target_bp,
-               CAST(c.target_bp * p.budget // 10000 AS BIGINT)
-                   AS desired_tokens,
+               CAST(CAST(c.target_bp AS HUGEINT) * p.budget // 10000
+                    AS BIGINT) AS desired_tokens,
                CAST(CASE WHEN c.n_tokens = 0 THEN 0
-                         ELSE (c.target_bp * p.budget // 10000) * 10000
+                         ELSE (CAST(c.target_bp AS HUGEINT) * p.budget
+                               // 10000) * 10000
                               // c.n_tokens END AS BIGINT) AS weight_bp
         FROM cell c, tot t, cap p
     """,
@@ -685,23 +691,33 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
     ).withColumn("target_bp", _mix_target_col().cast("long"))
     tot = cell.agg(F.sum("n_tokens").cast("long").alias("corpus_tokens"))
+    # decimal(38,0) intermediates mirror the oracle's HUGEINT (ADVICE
+    # r7): n_tokens * 10000 in int64 wraps silently past ~9.2e14 tokens
+    # under the pinned ANSI-off mode; a 100 TB corpus (~2.5e13 tokens)
+    # leaves only ~36x headroom. `div` on decimal operands is Spark's
+    # integral division, same floor semantics as DuckDB's `//`.
     cap = cell.filter(F.col("target_bp") > 0).agg(
-        F.min(F.expr("n_tokens * 10000 div target_bp")).alias("budget")
+        F.min(
+            F.expr("CAST(n_tokens AS decimal(38,0)) * 10000 div target_bp")
+        ).alias("budget")
     )
-    desired = F.expr("target_bp * budget div 10000")
+    desired = F.expr("CAST(target_bp AS decimal(38,0)) * budget div 10000")
     return (
         cell.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(cap))
         .select(
             "lang",
             "n_tokens",
-            F.expr("n_tokens * 10000 div corpus_tokens").alias("actual_bp"),
+            F.expr(
+                "CAST(n_tokens AS decimal(38,0)) * 10000 div corpus_tokens"
+            ).cast("long").alias("actual_bp"),
             "target_bp",
-            desired.alias("desired_tokens"),
+            desired.cast("long").alias("desired_tokens"),
             F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
             .otherwise(
                 F.expr(
-                    "(target_bp * budget div 10000) * 10000 div n_tokens"
+                    "(CAST(target_bp AS decimal(38,0)) * budget div 10000)"
+                    " * 10000 div n_tokens"
                 )
             )
             .cast("long")
@@ -955,11 +971,18 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = vocab.agg(
         F.sum("c_all").alias("n_all"), F.sum("c_tgt").alias("n_tgt")
     )
+    # The affinity cross-multiplication runs in decimal(38,0) (the
+    # events_rfm precedent): c_tgt * (n_all - n_tgt) in int64 silently
+    # wraps under the pinned ANSI-off mode once corpus totals pass
+    # ~9.2e18, while the oracle's HUGEINT stays exact — at 100 TB
+    # (~2.5e13 tokens) the product reaches ~1e26. decimal keeps both
+    # engines exact to 38 digits. (ADVICE r7, medium.)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     aff = vocab.crossJoin(F.broadcast(tot)).select(
         "word",
         (
-            F.col("c_tgt") * (F.col("n_all") - F.col("n_tgt"))
-            > (F.col("c_all") - F.col("c_tgt")) * F.col("n_tgt")
+            dec(F.col("c_tgt")) * dec(F.col("n_all") - F.col("n_tgt"))
+            > dec(F.col("c_all") - F.col("c_tgt")) * dec(F.col("n_tgt"))
         )
         .cast("int")
         .alias("is_aff"),

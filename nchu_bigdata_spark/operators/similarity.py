@@ -693,8 +693,27 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     si = sv.select(F.col("i"), F.col("sv").alias("si"))
     sj = sv.select(F.col("i").alias("j"), F.col("sv").alias("sj"))
-    num = (F.col("n") * F.col("spp") - F.col("si") * F.col("sj")).cast("double")
+    # Precision bound (ADVICE r7): n*spp and si*sj are decimal(38,0)
+    # products of ~1e12-scaled co-moments, so they stay exact up to
+    # n ~ 1e13 rows for unit-range embeddings (|q| <= ~1e6) — two
+    # orders above a 100 TB fp32-768d corpus (~1e11 rows). Past that,
+    # ANSI-off decimal overflow would yield NULL while the HUGEINT
+    # oracle stays exact; the guard below turns that silent divergence
+    # into a loud failure on the d^2-row result (cost: one null test
+    # per output row). A deeper rework would need 256-bit or
+    # mean-centered double accumulation — not worth it under the bound.
+    num_dec = F.col("n") * F.col("spp") - F.col("si") * F.col("sj")
+    num = num_dec.cast("double")
     den = (F.col("n") * (F.col("n") - 1)).cast("double") * F.lit(1e12)
+    guard = F.when(
+        num_dec.isNull(),
+        F.raise_error(
+            F.lit(
+                "embed_covariance: decimal(38,0) co-moment product "
+                "overflowed (corpus beyond the ~1e13-row exact bound)"
+            )
+        ),
+    ).otherwise(num / den)
     return (
         m.join(F.broadcast(si), "i")
         .join(F.broadcast(sj), "j")
@@ -702,7 +721,7 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             F.col("n").cast("long").alias("n"),
-            (num / den).alias("cov"),
+            guard.alias("cov"),
         )
     )
 

@@ -775,18 +775,23 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         -- mode() is engine-specific on ties; the explicit count +
         -- row_number form pins the tiebreak (highest count, then
-        -- smallest value) identically on both engines.
+        -- smallest value) identically on both engines. ROUND before
+        -- the integer cast (ADVICE r7): a bare double->BIGINT cast
+        -- truncates toward zero in Spark but rounds to nearest in
+        -- DuckDB — identical only because fixture quantities happen to
+        -- be integral. ROUND-then-cast is the boundary-straddle policy.
         SELECT l_returnflag, mode_qty, mode_count
         FROM (
             SELECT l_returnflag,
-                   CAST(l_quantity AS BIGINT) AS mode_qty,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS mode_qty,
                    CAST(COUNT(*) AS BIGINT) AS mode_count,
                    ROW_NUMBER() OVER (
                        PARTITION BY l_returnflag
-                       ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT)
+                       ORDER BY COUNT(*) DESC,
+                                CAST(ROUND(l_quantity) AS BIGINT)
                    ) AS rn
             FROM lineitem
-            GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+            GROUP BY l_returnflag, CAST(ROUND(l_quantity) AS BIGINT)
         ) t
         WHERE rn = 1
     """,
@@ -806,8 +811,12 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem")
+    # round-then-cast (ADVICE r7): Spark's bare double->long cast
+    # truncates toward zero while DuckDB's rounds to nearest; ROUND on
+    # both engines first so a non-integral quantity can't diverge.
     counted = li.groupBy(
-        "l_returnflag", F.col("l_quantity").cast("long").alias("mode_qty")
+        "l_returnflag",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("mode_qty"),
     ).agg(F.count(F.lit(1)).alias("mode_count"))
     w = Window.partitionBy("l_returnflag").orderBy(
         F.col("mode_count").desc(), "mode_qty"

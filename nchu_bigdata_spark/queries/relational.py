@@ -457,7 +457,7 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(out)
     )
-    return (
+    result = (
         parsed.select(
             F.when(
                 F.col("_corrupt_record").isNotNull(), F.lit("<corrupt>")
@@ -474,3 +474,11 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars").cast("long").alias("sum_chars"),
         )
     )
+    # Materialize while the pruning override is still active (ADVICE
+    # r7): the returned DataFrame is LAZY, and the registry wrapper
+    # re-pins columnPruning=true before the next query — if a caller
+    # executed this plan after that, one-token bad lines would parse as
+    # null-lang "good" rows and silently diverge from the oracle.
+    # localCheckpoint(eager) runs the CSV parse NOW, under the
+    # override, and pins the tiny per-lang aggregate.
+    return result.localCheckpoint(eager=True)
