@@ -358,10 +358,26 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_sketch_merge",
-    tags=("b4", "rows-only"),
-    oracle=None,  # sketch estimates — bounded-checked in the sweep
-    doc="Apache DataSketches HLL: per-shard partial sketches unioned to "
-    "group totals; merged estimate must equal the direct estimate.",
+    tags=("b4",),
+    oracle="""
+        -- Bounded-verdict form (the agg_approx pattern, round 8): the
+        -- binary sketches aren't SQL-replayable and the two estimate
+        -- paths aren't even bit-identical to EACH OTHER, so the
+        -- certified output is the exact distinct count + shard count
+        -- (both hash-checkable) plus one boolean per documented bound,
+        -- computed Spark-side where sketch and exact are both visible.
+        -- The oracle replays the exact side and expects every verdict
+        -- TRUE — a bound violation flips a boolean and fails the hash.
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT date_trunc('month', l_shipdate))
+                    AS BIGINT) AS n_shards,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+               TRUE AS merged_within_5rsd,
+               TRUE AS direct_within_5rsd,
+               TRUE AS merged_direct_agree
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
 )
 def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable cardinality sketches — THE 100 TB counting pattern:
@@ -373,18 +389,28 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard-union path. DataSketches HLL is NOT bit-identical across the
     two paths (sparse-mode coupons promote to dense registers at
     different points, and unions widen HLL_4 targets to HLL_8), so the
-    honest invariant — certified by the sweep's bounded check and
-    pytest — is that merged and direct agree within a few sketch
-    standard deviations of each other AND both sit within ±5σ of
-    DuckDB's exact distinct count (lgConfigK=12 → rsd ≈ 1.6%).
-    Measured at sf0.01 the two paths differ by ~0.1%.
+    honest invariant is bounded, not exact: merged and direct agree
+    within a few sketch standard deviations of each other AND both sit
+    within ±5σ of the exact distinct count (lgConfigK=12 → rsd ≈
+    1.6%). Measured at sf0.01 the two paths differ by ~0.1%.
+
+    Certification (round 8, closing the last structural `no_oracle`):
+    the output is the exact distinct count + shard count plus one
+    DETERMINISTIC boolean per bound — sketch noise is orders of
+    magnitude inside the ±5σ windows, so the booleans are stable
+    across partition/merge orders and the driver's exact-hash oracle
+    applies. The raw estimates stay available through the same
+    aggregates for consumers; the sweep's former bounded check is now
+    subsumed by the verdict columns.
 
     Plan: two hash-aggs over sketch partials (map-side combined binary
-    states, never raw keys on the wire) + one direct sketch agg; at
-    scale the month shards would be persisted once and every later
-    query reads ONLY sketches — this query is the re-aggregation
-    shape, the cardinality analog of ``rollup_hypertable``."""
+    states, never raw keys on the wire) + one direct sketch agg + the
+    exact-count companion riding the same passes; at scale the month
+    shards would be persisted once and every later query reads ONLY
+    sketches — this query is the re-aggregation shape, the cardinality
+    analog of ``rollup_hypertable``."""
     li = table(spark, sf_dir, "lineitem")
+    rsd = 0.0163  # lgConfigK=12: 1.04 / sqrt(4096)
     shard = li.groupBy(
         "l_returnflag", F.date_trunc("month", "l_shipdate").alias("shard")
     ).agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
@@ -395,10 +421,27 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct = li.groupBy("l_returnflag").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias(
             "est_direct"
-        )
+        ),
+        F.countDistinct("l_orderkey").alias("n_exact"),
     )
+
+    def within(est, exact, k):
+        return F.abs(est - exact) <= k * rsd * exact + 1
+
     return merged.join(direct, "l_returnflag").select(
-        "l_returnflag", "n_shards", "est_merged", "est_direct"
+        "l_returnflag",
+        "n_shards",
+        "n_exact",
+        within(F.col("est_merged"), F.col("n_exact"), 5).alias(
+            "merged_within_5rsd"
+        ),
+        within(F.col("est_direct"), F.col("n_exact"), 5).alias(
+            "direct_within_5rsd"
+        ),
+        (
+            F.abs(F.col("est_merged") - F.col("est_direct"))
+            <= 3 * rsd * F.greatest("est_merged", "est_direct") + 1
+        ).alias("merged_direct_agree"),
     )
 
 

@@ -111,29 +111,88 @@ def register(
 # (b) the 2 r4-stale ids displaced from the r6 window, then (c) the 36
 # remaining round-6-born ids with no driver row yet, then (d) 6 of the
 # oldest r5-green refreshes. The r6-window ids (fresh r6 greens) and
-# the rest of the r5 greens rotate behind the marker for r8. The ids
-# born DURING round 7 (tpch_q2/8/9/20 through agg_histogram at the very
-# tail) sit behind the whole rotation — nothing outranks the pending-41
-# certification — and queue for driver rows from r8 onward.
+# the rest of the r5 greens rotate behind the marker for r8. R7's
+# window came back 46 green + 4 no_oracle (the by-design rows-only
+# ids), so every r6-born id now holds an official green row. Round 8's
+# window: the 24 round-7-born ids (including all 5 ADVICE-r7-fixed
+# ones, certifying under the fixed shapes), agg_sketch_merge under its
+# new bounded-verdict oracle, any new r8-born ids, then the oldest
+# (r5-signal) refreshes to fill 50.
 DRIVER_ORDER = [
-    # -- code/oracle changed in round 7; certify under new shapes --
+    # -- round-8 window: born in round 7, no driver row yet (the
+    #    round bar's remaining gap); the 5 ADVICE-r7-fixed ids are
+    #    all in this group, certifying under the fixed shapes --
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q20",
+    "tpch_q2",
+    "text_line_dedup",
+    "mixture_weights",
+    "embed_covariance",
+    "project_unpivot",
+    "tokenize_chunk_overlap",
+    "fn_bitwise",
+    "win_fill_forward",
+    "agg_mode",
+    "scan_csv_corrupt",
+    "graph_bfs",
+    "text_heavy_hitters",
+    "ts_resample",
+    "sample_importance",
+    "table_diff",
+    "fn_url",
+    "sim_mips",
+    "sort_zorder",
+    "agg_histogram",
+    "events_rfm",
+    "agg_argmax",
+    # -- oracle reshaped in round 8 (bounded-verdict form closes
+    #    the last structural no_oracle; certify under it) --
+    "agg_sketch_merge",
+    # -- new round-8 operators join the window here --
+    # -- refreshes: oldest driver signal (r5) fills the window --
+    "multimodal_resize",
+    "udtf_python_arrow",
+    "dedup_minhash",
+    "dedup_clusters",
+    "dedup_simhash",
+    "sim_ann_ivf",
+    "pack_sequences",
+    "curate_corpus",
+    "sample_stratified",
+    "text_repetition",
+    "kmeans_assign",
+    "tpch_q3",
+    "tpch_q6",
+    "udf_scalar_pandas",
+    "join_cross_argmin",
+    "fn_math",
+    "fn_array",
+    "scan_csv",
+    "scan_orc",
+    "sink_partitioned",
+    "project_select",
+    "scan_parquet",
+    "filter_pred",
+    "lateral_explode",
+    "sample_hash",
+    # -- behind the 50-window: r6/r7-fresh greens rotate for r9+;
+    #    the three exact-Python-replay rows-only ids (zlib/aHash,
+    #    genuinely not SQL-expressible) sit here by design --
     "agg_approx",
     "agg_percentile_exact",
     "agg_corr",
     "agg_regression",
     "text_collocation_pmi",
     "stream_cdc_upsert",
-    # -- latest driver signal r4; displaced from the r6 window --
     "dedup_embed_cosine",
     "decontam_ngram",
-    # -- born in round 6; no official driver row yet --
     "text_pii_scrub",
     "embed_quantize",
     "dedup_incremental",
     "join_bloom_prune",
     "merge_upsert",
     "ann_recall_eval",
-    "agg_sketch_merge",
     "tpch_q7",
     "tpch_q12",
     "tpch_q17",
@@ -163,40 +222,12 @@ DRIVER_ORDER = [
     "tpch_q19",
     "tpch_q11",
     "tpch_q21",
-    # -- oldest round-5 greens; refresh in the tail of the window --
     "dedup_simhash_pairs",
     "text_ngram_stats",
     "sample_token_budget",
     "tpch_q18",
     "events_funnel",
     "win_distribution",
-    # -- 50-entry window ends here --
-    # -- round-5 greens, unchanged code; rotate into the r8 window --
-    "multimodal_resize",
-    "udtf_python_arrow",
-    "dedup_minhash",
-    "dedup_clusters",
-    "dedup_simhash",
-    "sim_ann_ivf",
-    "pack_sequences",
-    "curate_corpus",
-    "sample_stratified",
-    "text_repetition",
-    "kmeans_assign",
-    "tpch_q3",
-    "tpch_q6",
-    "udf_scalar_pandas",
-    "join_cross_argmin",
-    "fn_math",
-    "fn_array",
-    "scan_csv",
-    "scan_orc",
-    "sink_partitioned",
-    "project_select",
-    "scan_parquet",
-    "filter_pred",
-    "lateral_explode",
-    "sample_hash",
     "join_broadcast",
     "join_semi",
     "join_anti",
@@ -210,7 +241,6 @@ DRIVER_ORDER = [
     "sub_exists",
     "sub_scalar",
     "sub_in",
-    # -- round-6 window ids (fresh r6 greens; re-rotate last) --
     "dedup_ngram_jaccard",
     "events_retention",
     "sub_recursive",
@@ -260,32 +290,6 @@ DRIVER_ORDER = [
     "multimodal_cols",
     "multimodal_framesample",
     "dedup_exact",
-    # -- born in round 7 (behind the whole rotation per VERDICT r6
-    #    item 1: nothing outranks the pending-41 certification) --
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q20",
-    "tpch_q2",
-    "text_line_dedup",
-    "mixture_weights",
-    "embed_covariance",
-    "project_unpivot",
-    "tokenize_chunk_overlap",
-    "fn_bitwise",
-    "win_fill_forward",
-    "agg_mode",
-    "scan_csv_corrupt",
-    "graph_bfs",
-    "text_heavy_hitters",
-    "ts_resample",
-    "sample_importance",
-    "table_diff",
-    "fn_url",
-    "sim_mips",
-    "sort_zorder",
-    "agg_histogram",
-    "events_rfm",
-    "agg_argmax",
 ]
 
 

@@ -114,40 +114,6 @@ def compare(name: str, spark, con, sf_dir: str, spec) -> tuple[bool, str]:
     return True, f"{len(spdf)} rows"
 
 
-def bounded_agg_sketch_merge(con, spdf: pd.DataFrame) -> tuple[bool, str]:
-    """agg_sketch_merge: the merged and direct DataSketches-HLL
-    estimates must agree within a few sketch standard deviations of
-    each other (they are NOT bit-identical — sparse→dense coupon
-    promotion and HLL_4→HLL_8 union widening differ between the two
-    paths; measured ~0.1% apart at sf0.01), and BOTH must sit within
-    ±5 standard deviations of DuckDB's exact distinct count (default
-    lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%)."""
-    exact = {
-        f: int(n)
-        for f, n in con.execute(
-            "SELECT l_returnflag, COUNT(DISTINCT l_orderkey)"
-            " FROM lineitem GROUP BY 1"
-        ).fetchall()
-    }
-    if set(spdf["l_returnflag"]) != set(exact):
-        return False, f"group keys differ: {sorted(spdf['l_returnflag'])}"
-    for _, row in spdf.iterrows():
-        em, ed = int(row["est_merged"]), int(row["est_direct"])
-        if abs(em - ed) > max(1, 3 * 0.0163 * max(em, ed)):
-            return False, (
-                f"merged/direct disagree for {row['l_returnflag']!r}: "
-                f"{em} vs {ed}"
-            )
-        ex = exact[row["l_returnflag"]]
-        for est, lbl in ((em, "merged"), (ed, "direct")):
-            if abs(est - ex) > max(1, 5 * 0.0163 * ex):
-                return False, (
-                    f"HLL bound violated for {row['l_returnflag']!r} "
-                    f"({lbl}): est={est} exact={ex}"
-                )
-    return True, f"{len(spdf)} rows, merged~direct & HLL bounds hold"
-
-
 def exact_compression_ratio(con, spdf: pd.DataFrame) -> tuple[bool, str]:
     """text_compression_ratio: a DEFLATE encoder is not SQL-expressible,
     but the checker is Python — replay zlib(level 6) over the same
@@ -278,10 +244,14 @@ def exact_multimodal_phash_pairs(con, spdf: pd.DataFrame) -> tuple[bool, str]:
 # runs these against DuckDB exact aggregates instead of recording a
 # bare rows-only line.
 BOUNDED_CHECKS = {
-    # agg_approx graduated out of here in round 7: its output is now
-    # deterministic bounded VERDICTS with a real spec.oracle (VERDICT
-    # r6 item 2), so the driver's exact-hash comparison certifies it.
-    "agg_sketch_merge": bounded_agg_sketch_merge,
+    # agg_approx (r7) and agg_sketch_merge (r8) graduated out of here:
+    # their outputs are now deterministic bounded VERDICTS with a real
+    # spec.oracle, so the driver's exact-hash comparison certifies them.
+    # The three checks below are EXACT Python replays (zlib / aHash
+    # spec) - stronger than the driver hash; they stay here because a
+    # DEFLATE encoder / byte-level image tiling is genuinely not
+    # SQL-expressible, the one case the driver contract sanctions as
+    # rows-only.
     "text_compression_ratio": exact_compression_ratio,
     "multimodal_phash": exact_multimodal_phash,
     "multimodal_phash_pairs": exact_multimodal_phash_pairs,
