@@ -1194,3 +1194,85 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_edit_distance — blocked Levenshtein near-dup pairs (round 8)
+# --------------------------------------------------------------------------
+
+_ED_TITLE_LEN = 32  # leading span standing in for a title/heading field
+_ED_PREFIX = 8  # blocking key: first k chars must agree exactly
+_ED_MAXDIST = 4  # verified edit-distance threshold
+
+
+@register(
+    "dedup_edit_distance",
+    tags=("b10",),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, substr(text, 1, {_ED_TITLE_LEN}) AS title
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.title, b.title) AS INT) AS dist
+        FROM t a
+        JOIN t b
+          ON substr(a.title, 1, {_ED_PREFIX}) = substr(b.title, 1, {_ED_PREFIX})
+         AND a.doc_id < b.doc_id
+         AND abs(len(a.title) - len(b.title)) <= {_ED_MAXDIST}
+        WHERE levenshtein(a.title, b.title) <= {_ED_MAXDIST}
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs over a short text field (the
+    leading 32-char span standing in for a title/heading column):
+    the catalog/record-linkage dedup primitive for typo-level variants
+    that token-set measures (Jaccard, MinHash) miss — one transposed
+    character barely moves an n-gram set but is exactly edit distance
+    2.
+
+    Candidate generation is BLOCKED, by definition of the operator
+    (the simhash-band / phash-band precedent): a pair is considered
+    iff the first 8 characters agree exactly AND lengths differ by
+    ≤ 4 (a necessary condition for the verified distance — each edit
+    changes length by at most 1). Verification is exact
+    ``levenshtein() <= 4``, identical codepoint semantics on both
+    engines. Prefix blocking trades recall on first-8-char
+    edits for never running all-pairs — the documented, replayed
+    scheme; production stacks block on several keys (prefix, suffix,
+    sorted-signature) and union candidates, each leg this same shape.
+
+    Plan/scale: one equi self-join on the prefix key (hash join, no
+    theta/nested-loop — plan-audited) with the length prune riding the
+    join; per-block width is bounded by prefix cardinality, and the
+    quadratic-in-block verify never leaves the join operator. The
+    Levenshtein core is JVM codegen, not a UDF."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _ED_TITLE_LEN).alias("title")
+    )
+    a = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("ta"),
+        F.substring("title", 1, _ED_PREFIX).alias("blk"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("tb"),
+        F.substring("title", 1, _ED_PREFIX).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.abs(F.length("ta") - F.length("tb")) <= _ED_MAXDIST
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= _ED_MAXDIST)
+    )
+

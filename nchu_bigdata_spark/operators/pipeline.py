@@ -996,3 +996,83 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(2 * F.col("n_affine") >= F.col("n_tok"))
     )
+
+
+# --------------------------------------------------------------------------
+# tokenize_vocab_coverage — OOV-rate scoring vs corpus vocabulary (round 8)
+# --------------------------------------------------------------------------
+
+# A word is in-vocabulary iff its corpus occurrence share is at least
+# 1/_VC_RARITY (relative cutoff: scales with the corpus, no magic
+# absolute count that breaks across scale factors).
+_VC_RARITY = 2_000
+
+
+@register(
+    "tokenize_vocab_coverage",
+    tags=("pipeline",),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        vocab AS (
+            SELECT word FROM tok GROUP BY word
+            HAVING CAST(COUNT(*) AS HUGEINT) * {_VC_RARITY}
+                   >= (SELECT COUNT(*) FROM tok)
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) - COUNT(v.word) AS BIGINT) AS n_oov,
+               CAST((COUNT(*) - COUNT(v.word)) * 10000 // COUNT(*)
+                    AS BIGINT) AS oov_bp
+        FROM tok t LEFT JOIN vocab v ON v.word = t.word
+        GROUP BY t.doc_id
+    """,
+)
+def tokenize_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus-derived
+    vocabulary (words holding ≥ 1/2000 of all token occurrences) — the
+    tokenizer-coverage / domain-shift diagnostic run before committing
+    a vocab: docs full of OOV tokens fragment into byte-fallback
+    pieces, blowing up sequence length and training cost.
+
+    The cutoff is RELATIVE (share of the token stream, exact integer
+    cross-multiply — no float share, no absolute count pinned to one
+    scale factor), so the operator means the same thing at sf0.001 and
+    at 100 TB.
+
+    Plan/scale: one (word) hash agg builds candidate counts (map-side
+    combined), the 1-row stream total folds off it as a broadcast, and
+    the resulting vocabulary — small by construction — broadcasts into
+    a LEFT join against the token stream keyed per doc; the per-doc
+    agg combines map-side. Same single-scan shape as
+    ``sample_importance`` (which scores affinity; this scores
+    coverage)."""
+    toks = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("n_all"))
+    vocab = (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("c").cast("decimal(38,0)") * _VC_RARITY
+            >= F.col("n_all").cast("decimal(38,0)")
+        )
+        .select("word", F.lit(1).alias("iv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (F.count(F.lit(1)) - F.count("iv")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            F.expr("n_oov * 10000 div n_tok").alias("oov_bp"),
+        )
+    )

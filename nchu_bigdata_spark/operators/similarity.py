@@ -790,3 +790,67 @@ def sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embed_norm_stats — per-label vector-norm distribution (round 8)
+# --------------------------------------------------------------------------
+
+_NORM_SCALE = 1_000  # 1e-3 quantization grid for exact integer norms
+
+
+@register(
+    "embed_norm_stats",
+    tags=("b10",),
+    oracle=f"""
+        WITH q AS (
+            SELECT label,
+                   list_sum(list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * {_NORM_SCALE}) AS BIGINT)
+                            * CAST(round(x * {_NORM_SCALE}) AS BIGINT)
+                   )) AS norm2
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+               CAST(MAX(norm2) AS BIGINT) AS max_norm2,
+               CAST(SUM(norm2) AS BIGINT) AS sum_norm2
+        FROM q GROUP BY label
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label distribution of embedding squared L2 norms — the
+    embedding-health diagnostic (norm collapse, scale drift between
+    encoder versions, label clusters with degenerate magnitude) run
+    before any cosine/MIPS index is built. Norm statistics decide
+    whether MIPS and cosine even differ (``sim_mips`` doc) and
+    calibrate the ``embed_quantize`` scale.
+
+    Determinism: components quantize to a 1e-3 grid as exact integers
+    (the ``embed_covariance`` policy, coarser grid — round-half-away
+    identical on both engines), squared norms are exact int64 sums of
+    64 such squares, and min/max/sum over them are exact.
+
+    Plan/scale: per-row higher-order array expression (transform +
+    aggregate, whole-stage codegen, zero Python) followed by ONE
+    map-side-combining hash agg over label cardinality — one scan, one
+    tiny shuffle."""
+    emb = parallel_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _NORM_SCALE, 0).cast("long"),
+    )
+    norm2 = F.aggregate(
+        q, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    return (
+        emb.select("label", norm2.alias("norm2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+            F.sum("norm2").cast("long").alias("sum_norm2"),
+        )
+    )

@@ -5,6 +5,7 @@ from nchu_bigdata_spark.queries import (  # noqa: F401
     aggregates,
     analytics,
     joins,
+    profiling,
     relational,
     scalar_fns,
     scale,

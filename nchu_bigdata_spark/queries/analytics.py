@@ -444,3 +444,83 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.alias("m_flag"),
         (r * 4 + f * 2 + m).cast("int").alias("segment"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_ab_test — A/B variant comparison with exact-integer lift (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_test",
+    tags=("b11",),
+    oracle="""
+        -- variant assignment is deterministic (user_id % 2): the
+        -- experiment-analysis readout every product warehouse runs.
+        -- Money in exact cents; lift as integer basis points of B over
+        -- A (floor division) — no float share anywhere.
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents_a,
+               CAST(SUM(CASE WHEN user_id % 2 = 1
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents_b,
+               CAST(CASE WHEN SUM(CASE WHEN user_id % 2 = 0
+                                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                                  ELSE 0 END) = 0 THEN NULL
+                    ELSE CAST(SUM(CASE WHEN user_id % 2 = 1
+                                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                                  ELSE 0 END) AS HUGEINT) * 10000
+                         // SUM(CASE WHEN user_id % 2 = 0
+                                THEN CAST(ROUND(value * 100) AS BIGINT)
+                                ELSE 0 END)
+                    END AS BIGINT) AS lift_bp
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over the event stream: per event type,
+    event counts and value totals for the two deterministic variants
+    (``user_id % 2`` — the hash-bucket assignment real experiment
+    frameworks use, rerun-stable), plus B-over-A lift in integer basis
+    points. The statistical-significance companion is
+    ``events_anomaly``'s exact integer z-test; this is the effect-size
+    readout.
+
+    Determinism: value cents are exact ints, conditional sums ride ONE
+    hash agg, the lift is a single integer floor-division routed
+    through decimal(38,0)/HUGEINT (the ADVICE r7 overflow policy —
+    cents × 10⁴ wraps int64 past ~9e14 cents), NULL when variant A has
+    no revenue.
+
+    Plan/scale: one map-side-combining hash agg over event_type
+    cardinality — one scan, one tiny shuffle; variant assignment is a
+    pure projection, so the stream is never duplicated per variant."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    is_a = F.col("user_id") % 2 == 0
+    agg = ev.groupBy("event_type").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(is_a, cents).otherwise(0)).cast("long").alias("cents_a"),
+        F.sum(F.when(~is_a, cents).otherwise(0)).cast("long").alias("cents_b"),
+    )
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "cents_a",
+        "cents_b",
+        F.when(F.col("cents_a") == 0, F.lit(None))
+        .otherwise(
+            F.expr("CAST(cents_b AS decimal(38,0)) * 10000 div cents_a")
+        )
+        .cast("long")
+        .alias("lift_bp"),
+    )

@@ -482,3 +482,61 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint(eager) runs the CSV parse NOW, under the
     # override, and pins the tiny per-lang aggregate.
     return result.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------------
+# scan_schema_evolution — mergeSchema read across schema versions (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_schema_evolution",
+    tags=("b1",),
+    oracle="""
+        -- v1 files (doc_id % 2 = 0) predate the n_chars column, so
+        -- their rows surface NULL n_chars under the merged schema; the
+        -- oracle replays that from the clean table with a CASE.
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_chars,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: a dataset written in two generations —
+    v1 files with (doc_id, lang), v2 files with an ADDED n_chars
+    column — read back as ONE table via ``mergeSchema``, old rows
+    surfacing NULL for the new column. THE lakehouse append-evolution
+    capability (every long-lived table gains columns); the reference's
+    positional untyped schema (§1) cannot even express it.
+
+    The generation split is deterministic (``doc_id % 2``), so the
+    oracle replays the merged view from the clean table with a CASE.
+
+    Plan/scale: the two generations land in one directory as separate
+    files (real evolution: files differ, directory is the table);
+    mergeSchema unions footers at PLANNING time — per-file schemas
+    reconcile once on the driver, the scan itself stays a plain
+    vectorized parquet read (missing columns materialize as nulls in
+    the reader, no per-row work, pushdown/pruning unaffected). The
+    classification is one hash agg."""
+    out = scratch_dir(sf_dir, "docs_schema_evo")
+    docs = table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(out + "/gen=1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(out + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        out + "/gen=1", out + "/gen=2"
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
+    )

@@ -443,3 +443,70 @@ def sub_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "sub_any_all",
+    tags=("b11",),
+    oracle="""
+        -- REAL quantified subqueries on the oracle side: DuckDB
+        -- supports > ALL / > ANY natively, so the oracle states the
+        -- ANSI semantics directly — including ALL-over-empty-set =
+        -- TRUE and ANY-over-empty-set = FALSE for customers with no
+        -- orders — while the engine runs the decorrelated plan.
+        SELECT c.c_custkey,
+               CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acct_cents,
+               c.c_acctbal > ALL (
+                   SELECT o.o_totalprice FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+               ) AS gt_all_orders,
+               c.c_acctbal > ANY (
+                   SELECT o.o_totalprice FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+               ) AS gt_any_order
+        FROM customer c
+    """,
+)
+def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subqueries — ANSI ``> ALL`` / ``> ANY``
+    (is this customer's balance above EVERY / above AT LEAST ONE of
+    their order totals?) — the last classic subquery family after
+    EXISTS / IN / scalar / LATERAL (§2.B-11).
+
+    Spark's parser has no quantified-subquery syntax, so the ENGINE
+    provides the capability as the standard decorrelation every
+    optimizer applies anyway: ``> ALL`` ⇔ ``> max(...)`` and ``> ANY``
+    ⇔ ``> min(...)`` over a per-key aggregate + one LEFT equi join.
+    The empty-set semantics ride the left join's NULLs: no orders ⇒
+    ALL is vacuously TRUE, ANY is FALSE. The DuckDB oracle states the
+    REAL ``ALL``/``ANY`` forms, so the decorrelation is proven
+    semantics-equivalent on every row, empty groups included.
+
+    Floats never cross the comparison boundary: both engines compare
+    the raw doubles (bit-identical parquet values, no arithmetic), and
+    the exported balance is exact cents.
+
+    Plan: one orders hash-agg on o_custkey (map-side combined) + one
+    broadcast-or-shuffle equi join — no per-row subquery execution;
+    at 100 TB the agg collapses orders to customer cardinality before
+    the join."""
+    c = table(spark, sf_dir, "customer")
+    ext = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_totalprice").alias("max_total"),
+            F.min("o_totalprice").alias("min_total"),
+        )
+    )
+    j = c.join(ext, c.c_custkey == ext.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acct_cents"),
+        F.coalesce(
+            F.col("c_acctbal") > F.col("max_total"), F.lit(True)
+        ).alias("gt_all_orders"),
+        F.coalesce(
+            F.col("c_acctbal") > F.col("min_total"), F.lit(False)
+        ).alias("gt_any_order"),
+    )

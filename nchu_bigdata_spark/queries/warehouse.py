@@ -369,3 +369,82 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.o_totalprice").alias("new_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_ewma — dyadic exponentially-weighted moving average (round 8)
+# --------------------------------------------------------------------------
+
+_EWMA_H = 8  # trailing horizon (rows); alpha = 1/2 => dyadic weights
+
+
+def _ewma_terms(lag_fn, exists_fn) -> tuple[str, str]:
+    """(numerator, denominator) SQL fragments: Σ 2^(H-1-k)·lag_k over
+    the lags that exist. Shared verbatim by the Spark expression and
+    the DuckDB oracle so the arithmetic cannot drift."""
+    nums, dens = [], []
+    for k in range(_EWMA_H):
+        w = 1 << (_EWMA_H - 1 - k)
+        nums.append(f"{w} * {lag_fn(k)}")
+        dens.append(f"{w} * {exists_fn(k)}")
+    return " + ".join(nums), " + ".join(dens)
+
+
+def _ewma_sql_over(over: str) -> tuple[str, str]:
+    return _ewma_terms(
+        lambda k: f"COALESCE(lag(cents, {k}) OVER {over}, 0)",
+        lambda k: f"(CASE WHEN lag(cents, {k}) OVER {over} IS NULL"
+        " THEN 0 ELSE 1 END)",
+    )
+
+
+@register(
+    "ts_ewma",
+    tags=("b4",),
+    oracle=(
+        lambda n, d: f"""
+        WITH c AS (
+            SELECT user_id, event_id, ts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST({n} AS BIGINT) AS ewma_num,
+               CAST({d} AS BIGINT) AS ewma_den,
+               CAST(({n}) // ({d}) AS BIGINT) AS ewma_cents
+        FROM c
+    """
+    )(*_ewma_sql_over("(PARTITION BY user_id ORDER BY ts, event_id)")),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event values per user —
+    the trend-smoothing primitive (monitoring dashboards, per-entity
+    rate limiting, anomaly baselines). α = 1/2 over a trailing
+    8-row horizon, which makes every weight a POWER OF TWO: the
+    weighted sum is exact integer arithmetic on cents, bit-identical
+    across engines — no float pow(), no compounding rounding, the
+    boundary-straddle policy applied to a recurrence. (Truncating the
+    tail below 2⁻⁸ changes the value by < 1 cent·2⁻⁸ — inside the
+    integer floor anyway; leading rows renormalize over the lags that
+    exist, the standard adjust=True EWMA.)
+
+    Plan/scale: 8 ``lag`` calls share ONE user-keyed window sort (one
+    shuffle, per-user sort — never global); emitted num/den are the
+    exact integers, the smoothed value their single floor division.
+    At 100 TB this is the same shape as ``win_lag_lead`` — state is 8
+    rows per partition cursor, nothing driver-side."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    over = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    n, d = _ewma_sql_over(over)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr(f"CAST({n} AS BIGINT)").alias("ewma_num"),
+        F.expr(f"CAST({d} AS BIGINT)").alias("ewma_den"),
+        F.expr(f"CAST(({n}) div ({d}) AS BIGINT)").alias("ewma_cents"),
+    )

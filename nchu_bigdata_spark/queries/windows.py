@@ -419,3 +419,73 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("raw_value"),
         F.last(v, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_running_distinct — running COUNT(DISTINCT) via first-occurrence
+# flags (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_running_distinct",
+    tags=("b5",),
+    oracle="""
+        -- COUNT(DISTINCT) OVER a running frame isn't supported by most
+        -- engines (Spark included); the standard rewrite is exact:
+        -- flag each (user, event_type)'s FIRST occurrence in event-time
+        -- order, then running-sum the flags per user.
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                   ) = 1 THEN 1 ELSE 0 END AS first_seen
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(SUM(first_seen) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_types_so_far
+        FROM flagged
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count — how many DISTINCT event types has each
+    user touched up to each event (feature-adoption / exploration-depth
+    curves, micro-segment triggers like "fire when a user has used 3+
+    features"). ``COUNT(DISTINCT) OVER (... ROWS BETWEEN ...)`` is
+    unsupported SQL nearly everywhere because the frame would need a
+    per-row distinct state; the EXACT standard rewrite is two plain
+    windows: flag each (user, type)'s first occurrence, then
+    running-sum the flags per user.
+
+    Determinism: both orderings carry the (ts, event_id) tiebreak, so
+    equal-timestamp rows can't permute across engines.
+
+    Plan/scale: two window sorts on different keys — (user, type) then
+    (user) — is two shuffles; the flag column is 1 byte between them.
+    Per-partition state in each window is a cursor, not a distinct
+    set: that's the point of the rewrite (a naive per-frame distinct
+    would hold O(types) per ROW; this holds O(1))."""
+    ev = table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            (F.row_number().over(w_first) == 1).cast("int"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(w_run).cast("long").alias(
+                "n_types_so_far"
+            ),
+        )
+    )

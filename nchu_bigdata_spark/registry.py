@@ -149,7 +149,16 @@ DRIVER_ORDER = [
     # -- oracle reshaped in round 8 (bounded-verdict form closes
     #    the last structural no_oracle; certify under it) --
     "agg_sketch_merge",
-    # -- new round-8 operators join the window here --
+    # -- born in round 8: certify immediately --
+    "stats_profile",
+    "sub_any_all",
+    "scan_schema_evolution",
+    "dedup_edit_distance",
+    "embed_norm_stats",
+    "tokenize_vocab_coverage",
+    "events_ab_test",
+    "ts_ewma",
+    "win_running_distinct",
     # -- refreshes: oldest driver signal (r5) fills the window --
     "multimodal_resize",
     "udtf_python_arrow",
@@ -167,6 +176,7 @@ DRIVER_ORDER = [
     "udf_scalar_pandas",
     "join_cross_argmin",
     "fn_math",
+    # -- displaced from the r8 window by the 9 r8-born ids; r9 queue --
     "fn_array",
     "scan_csv",
     "scan_orc",

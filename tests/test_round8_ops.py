@@ -1,0 +1,277 @@
+"""Unit tests for the round-8 operators: semantics the oracle hash
+alone can't distinguish (empty-group ALL/ANY, schema-evolution nulls,
+EWMA renormalization, blocking completeness) pinned against
+independent replays and closed-form properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+
+# --------------------------------------------------------------------------
+# stats_profile
+# --------------------------------------------------------------------------
+
+
+def test_stats_profile_matches_duck_exactly(spark, sf_dir, duck):
+    rows = {r.col_name: r for r in SPECS["stats_profile"].fn(spark, sf_dir).collect()}
+    n_orders = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"):
+        ndv, nn = duck.execute(
+            f"SELECT COUNT(DISTINCT {c}), COUNT(*) - COUNT({c}) FROM orders"
+        ).fetchone()
+        assert rows[c].n == n_orders
+        assert rows[c].ndv == ndv, c
+        assert rows[c].n_null == nn, c
+    # key ranges only for the bigint key columns; NULL elsewhere
+    lo, hi = duck.execute("SELECT MIN(o_orderkey), MAX(o_orderkey) FROM orders").fetchone()
+    assert (rows["o_orderkey"].min_key, rows["o_orderkey"].max_key) == (lo, hi)
+    assert rows["o_orderstatus"].min_key is None
+    assert rows["o_totalprice"].max_key is None
+
+
+# --------------------------------------------------------------------------
+# sub_any_all
+# --------------------------------------------------------------------------
+
+
+def test_sub_any_all_empty_set_semantics(spark, tmp_path):
+    """ALL over an empty subquery is vacuously TRUE, ANY is FALSE —
+    the row-level semantics the decorrelated LEFT join must carry for
+    customers with no orders. The shipped fixtures give every customer
+    orders, so this builds a tiny table set with a known orderless
+    customer (id 3) and boundary rows (balance above-all / below-all /
+    strictly between)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "c_name": pa.array([f"c{i}" for i in range(4)]),
+                "c_nationkey": pa.array([0] * 4, pa.int32()),
+                "c_acctbal": pa.array([500.0, 50.0, 10.0, 150.0]),
+                "c_mktsegment": pa.array(["SEG"] * 4),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2, 4], pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 4),
+                "o_totalprice": pa.array([100.0, 200.0, 100.0, 100.0]),
+                "o_orderdate": pa.array([0] * 4, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 4),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = {
+        r.c_custkey: r
+        for r in SPECS["sub_any_all"].fn(spark, str(tmp_path)).collect()
+    }
+    # cust 1: 500 > all of {100, 200} -> TRUE/TRUE
+    assert (out[1].gt_all_orders, out[1].gt_any_order) == (True, True)
+    # cust 2: 50 > all/any of {100} -> FALSE/FALSE
+    assert (out[2].gt_all_orders, out[2].gt_any_order) == (False, False)
+    # cust 3: NO orders -> ALL vacuously TRUE, ANY FALSE
+    assert (out[3].gt_all_orders, out[3].gt_any_order) == (True, False)
+    # cust 4: 150 vs {100}: above min, above max -> TRUE/TRUE; and the
+    # strictly-between case via cust 1's set is covered by 150 < 200:
+    assert (out[4].gt_all_orders, out[4].gt_any_order) == (True, True)
+
+
+def test_sub_any_all_matches_real_quantifiers_on_fixture(spark, sf_dir, duck):
+    """Row-for-row agreement with DuckDB's native > ALL / > ANY on the
+    shipped fixture (the oracle does this corpus-wide; here a direct
+    spot-check keeps the semantics pinned in the unit suite too)."""
+    out = {r.c_custkey: r for r in SPECS["sub_any_all"].fn(spark, sf_dir).collect()}
+    some = duck.execute(
+        """
+        SELECT c.c_custkey,
+               c.c_acctbal > ALL (SELECT o_totalprice FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey),
+               c.c_acctbal > ANY (SELECT o_totalprice FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey)
+        FROM customer c LIMIT 100
+        """
+    ).fetchall()
+    for k, g_all, g_any in some:
+        assert out[k].gt_all_orders == g_all
+        assert out[k].gt_any_order == g_any
+
+
+# --------------------------------------------------------------------------
+# scan_schema_evolution
+# --------------------------------------------------------------------------
+
+
+def test_schema_evolution_old_generation_surfaces_nulls(spark, sf_dir, duck):
+    rows = SPECS["scan_schema_evolution"].fn(spark, sf_dir).collect()
+    exp = {
+        lang: (n, nw, sc)
+        for lang, n, nw, sc in duck.execute(
+            """
+            SELECT lang, COUNT(*),
+                   SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+            FROM documents GROUP BY lang
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        n, nw, sc = exp[r.lang]
+        assert (r.n_rows, r.n_with_chars, r.sum_chars) == (n, nw, sc)
+        # v1 rows exist and are visible as nulls, not dropped
+        assert r.n_with_chars < r.n_rows
+
+
+# --------------------------------------------------------------------------
+# dedup_edit_distance
+# --------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_dedup_edit_distance_matches_python_replay(spark, sf_dir, duck):
+    """Brute-force the documented blocking + verify in pure Python and
+    demand exact pair-set equality (the phash_pairs pattern)."""
+    titles = {
+        d: t[:32]
+        for d, t in duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    }
+    expect = {}
+    ids = sorted(titles)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ta, tb = titles[a], titles[b]
+            if ta[:8] != tb[:8] or abs(len(ta) - len(tb)) > 4:
+                continue
+            d = _lev(ta, tb)
+            if d <= 4:
+                expect[(a, b)] = d
+    got = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in SPECS["dedup_edit_distance"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# --------------------------------------------------------------------------
+# embed_norm_stats
+# --------------------------------------------------------------------------
+
+
+def test_embed_norm_stats_totals_and_bounds(spark, sf_dir, duck):
+    rows = SPECS["embed_norm_stats"].fn(spark, sf_dir).collect()
+    n_total = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert sum(r.n for r in rows) == n_total
+    for r in rows:
+        assert 0 <= r.min_norm2 <= r.max_norm2
+        assert r.min_norm2 * r.n <= r.sum_norm2 <= r.max_norm2 * r.n
+
+
+# --------------------------------------------------------------------------
+# tokenize_vocab_coverage
+# --------------------------------------------------------------------------
+
+
+def test_vocab_coverage_bp_bounds_and_empty_vocab_limit(spark, sf_dir):
+    rows = SPECS["tokenize_vocab_coverage"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tok
+        assert 0 <= r.oov_bp <= 10_000
+        assert r.oov_bp == r.n_oov * 10_000 // r.n_tok
+
+
+# --------------------------------------------------------------------------
+# events_ab_test
+# --------------------------------------------------------------------------
+
+
+def test_ab_test_partitions_and_lift(spark, sf_dir, duck):
+    rows = SPECS["events_ab_test"].fn(spark, sf_dir).collect()
+    totals = dict(
+        duck.execute("SELECT event_type, COUNT(*) FROM events GROUP BY 1").fetchall()
+    )
+    for r in rows:
+        assert r.n_a + r.n_b == totals[r.event_type]
+        if r.cents_a > 0:
+            assert r.lift_bp == r.cents_b * 10_000 // r.cents_a
+        else:
+            assert r.lift_bp is None
+
+
+# --------------------------------------------------------------------------
+# ts_ewma
+# --------------------------------------------------------------------------
+
+
+def test_ewma_first_row_equals_value_and_den_saturates(spark, sf_dir):
+    """Row k (0-based) of each user's series has den = sum of the top
+    k+1 dyadic weights (renormalization); the first row's EWMA is
+    exactly its own cents value."""
+    from pyspark.sql import Window
+
+    from nchu_bigdata_spark.io import table
+
+    out = SPECS["ts_ewma"].fn(spark, sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("k"),
+    )
+    j = out.join(ev, ["user_id", "event_id"]).collect()
+    assert j
+    for r in j:
+        widths = min(r.k, 8)
+        den = sum(1 << (7 - i) for i in range(widths))
+        assert r.ewma_den == den, r
+        if r.k == 1:
+            assert r.ewma_cents == r.cents, r
+        assert r.ewma_num == r.ewma_den * r.ewma_cents + r.ewma_num % r.ewma_den
+
+
+# --------------------------------------------------------------------------
+# win_running_distinct
+# --------------------------------------------------------------------------
+
+
+def test_running_distinct_final_equals_count_distinct(spark, sf_dir, duck):
+    out = SPECS["win_running_distinct"].fn(spark, sf_dir)
+    finals = (
+        out.groupBy("user_id")
+        .agg(F.max("n_types_so_far").alias("m"))
+        .collect()
+    )
+    exp = dict(
+        duck.execute(
+            "SELECT user_id, COUNT(DISTINCT event_type) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert {r.user_id: r.m for r in finals} == exp
+    # monotone non-decreasing along each user's series is implied by
+    # construction (running sum of 0/1); spot-check bounds
+    assert all(1 <= r.m <= 10 for r in finals)
