@@ -255,15 +255,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan (64% of the LLM bench group) is gone entirely; the oracle
     keeps the naive declarative form, which is the point of a
     differential gate: two independent derivations, one answer."""
-    docs = parallel_table(spark, sf_dir, "documents")
-    sh = shared_intermediate(
-        "dedup_ngram_jaccard.shingles", _doc_shingle_h60(docs)
+    pairs = _shingle_pair_stats(spark, sf_dir, "dedup_ngram_jaccard")
+    n_inter = _pair_n_inter()
+    union = F.col("na") + F.col("nb") - n_inter
+    jac = n_inter / union.cast("double")
+    return pairs.filter(jac >= _JACCARD_T).select(
+        "doc_a",
+        "doc_b",
+        n_inter.cast("bigint").alias("n_inter"),
+        union.cast("bigint").alias("n_union"),
+        dround(jac, 6).alias("jaccard"),
     )
+
+
+def _pair_n_inter() -> Column:
+    """Separable intersection count over the pair-stats frame (rare
+    part counted by the index self-join; common part via
+    array_intersect of the per-doc hot-shingle sets). A function, not
+    a module constant: Column construction needs a live
+    SparkContext."""
+    return F.col("n_inter_rare") + F.coalesce(
+        F.size(F.array_intersect("cha", "chb")), F.lit(0)
+    )
+
+
+def _shingle_pair_stats(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> DataFrame:
+    """Candidate near-dup pairs with intersection/size stats — the
+    shared core of ``dedup_ngram_jaccard`` and ``dedup_containment``:
+    (doc_a, doc_b, n_inter_rare, na, cha, nb, chb) where ``na``/``nb``
+    are distinct-shingle counts and ``cha``/``chb`` the per-doc hot
+    (df > ``_MAX_DF``) shingle sets. See ``dedup_ngram_jaccard`` for
+    the plan rationale (df-split separable intersection)."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    sh = shared_intermediate(f"{tag}.shingles", _doc_shingle_h60(docs))
     dfs = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # df-annotated shingle rows: feeds the rare index (twice, as the
     # self-join's two sides) and the per-doc stats agg — AQE splits any
     # hot-shingle skew in this join, which a window-count could not.
-    shj = shared_intermediate("dedup_ngram_jaccard.shj", sh.join(dfs, "h"))
+    shj = shared_intermediate(f"{tag}.shj", sh.join(dfs, "h"))
     idx = shj.filter(F.col("df") <= _MAX_DF).select("doc_id", "h")
     cand = (
         idx.alias("a")
@@ -283,11 +314,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("df") > _MAX_DF, F.col("h"))
         ).alias("ch"),
     )
-    n_inter = F.col("n_inter_rare") + F.coalesce(
-        F.size(F.array_intersect("cha", "chb")), F.lit(0)
-    )
-    union = F.col("na") + F.col("nb") - n_inter
-    jac = n_inter / union.cast("double")
     return (
         cand
         .join(
@@ -305,14 +331,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ch").alias("chb"),
             ),
             "doc_b",
-        )
-        .filter(jac >= _JACCARD_T)
-        .select(
-            "doc_a",
-            "doc_b",
-            n_inter.cast("bigint").alias("n_inter"),
-            union.cast("bigint").alias("n_union"),
-            dround(jac, 6).alias("jaccard"),
         )
     )
 
@@ -1242,11 +1260,19 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme; production stacks block on several keys (prefix, suffix,
     sorted-signature) and union candidates, each leg this same shape.
 
-    Plan/scale: one equi self-join on the prefix key (hash join, no
-    theta/nested-loop — plan-audited) with the length prune riding the
-    join; per-block width is bounded by prefix cardinality, and the
-    quadratic-in-block verify never leaves the join operator. The
-    Levenshtein core is JVM codegen, not a UDF."""
+    Plan/scale: one equi self-join on the COMPOSITE (prefix, length)
+    key — the Ukkonen length filter promoted from a post-join residual
+    into the join key itself: side A explodes each title over its
+    ±4-length admissible window (9 rows per doc, a constant), side B
+    keys by its exact length, so a qualifying pair lands in exactly
+    one (prefix, length) bucket and needs no dedup. The round-8 10×
+    scale probe forced this: with length only as a residual, block
+    width = full prefix-block size, and a low-entropy prefix
+    distribution (common leading words) went quadratic INSIDE blocks
+    (29× runtime at 10× data); keying on length too subdivides every
+    block by a second independent axis. Hash join, no theta/nested
+    loop (plan-audited); the Levenshtein core is JVM codegen, not a
+    UDF."""
     t = table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, _ED_TITLE_LEN).alias("title")
     )
@@ -1254,20 +1280,22 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_a"),
         F.col("title").alias("ta"),
         F.substring("title", 1, _ED_PREFIX).alias("blk"),
+        F.explode(
+            F.sequence(
+                F.length("title") - _ED_MAXDIST,
+                F.length("title") + _ED_MAXDIST,
+            )
+        ).alias("lb"),
     )
     b = t.select(
         F.col("doc_id").alias("doc_b"),
         F.col("title").alias("tb"),
         F.substring("title", 1, _ED_PREFIX).alias("blk"),
+        F.length("title").alias("lb"),
     )
     return (
-        a.join(b, "blk")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (
-                F.abs(F.length("ta") - F.length("tb")) <= _ED_MAXDIST
-            )
-        )
+        a.join(b, ["blk", "lb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
@@ -1276,3 +1304,87 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= _ED_MAXDIST)
     )
 
+
+
+# --------------------------------------------------------------------------
+# dedup_containment — asymmetric shingle-containment pairs (round 8)
+# --------------------------------------------------------------------------
+
+_CONTAIN_T = 0.8  # fraction of the SMALLER doc's shingles that must be shared
+
+
+@register(
+    "dedup_containment",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        sh60 AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+            FROM sh
+        ),
+        rare AS (
+            SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh60 GROUP BY h)
+            WHERE df <= {_MAX_DF}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh60 a JOIN sh60 b ON a.h = b.h AND a.doc_id < b.doc_id
+            JOIN rare r ON a.h = r.h
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM sh60 GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM cand c
+            JOIN sh60 a ON a.doc_id = c.doc_a
+            JOIN sh60 b ON b.doc_id = c.doc_b AND b.h = a.h
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b, i.n_inter,
+               LEAST(sa.n_sh, sb.n_sh) AS n_small,
+               {sql_dround("i.n_inter / CAST(LEAST(sa.n_sh, sb.n_sh)"
+                           " AS DOUBLE)", 6)} AS containment
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_inter * 10 >= LEAST(sa.n_sh, sb.n_sh) * 8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-CONTAINMENT near-dup pairs: share ≥ 80% of the SMALLER
+    document's shingles — the doc-inside-doc detector (quoted posts,
+    article + boilerplate wrapper, excerpt pages) that symmetric
+    Jaccard structurally misses: a 100-shingle doc fully contained in
+    a 10000-shingle doc has Jaccard ≈ 0.01 but containment 1.0
+    (Broder's original resemblance/containment pair, SEQUENCES '97).
+
+    The threshold test is the exact integer cross-multiplication
+    ``n_inter·10 ≥ n_small·8`` (boundary-straddle policy); the emitted
+    score is one IEEE division of the same exact integers.
+
+    Plan: identical machinery to ``dedup_ngram_jaccard`` — shared via
+    ``_shingle_pair_stats`` (separable rare/common intersection, int64
+    shingle hashes, stop-shingle cutoff) — only the final filter
+    differs, so the candidate-generation cost is the already-audited
+    one. At 100 TB the same df-cutoff bound applies; a production
+    containment pass would lower ``_MAX_DF`` for the big-doc side
+    only, which this formulation permits (the cutoff is per-shingle,
+    not per-pair)."""
+    pairs = _shingle_pair_stats(spark, sf_dir, "dedup_containment")
+    n_inter = _pair_n_inter()
+    n_small = F.least("na", "nb")
+    return (
+        pairs.filter(n_inter * 10 >= n_small * 8)
+        .select(
+            "doc_a",
+            "doc_b",
+            n_inter.cast("bigint").alias("n_inter"),
+            n_small.cast("bigint").alias("n_small"),
+            dround(
+                n_inter / n_small.cast("double"), 6
+            ).alias("containment"),
+        )
+    )

@@ -312,3 +312,74 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).cast("decimal(18,2)").alias("o_totalprice"),
         "src",
     )
+
+
+# --------------------------------------------------------------------------
+# join_null_safe — null-safe equality join (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_null_safe",
+    tags=("b3",),
+    oracle="""
+        -- NULL keys are manufactured deterministically (custkey % 11
+        -- = 0 -> NULL) on the fact side; the dim side carries exactly
+        -- one NULL row (the "unknown customer" bucket). Plain equality
+        -- drops every NULL-key order; IS NOT DISTINCT FROM routes them
+        -- all to the unknown bucket - the semantics ETL re-keying
+        -- steps actually want.
+        WITH o AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_custkey % 11 = 0 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM orders
+        ),
+        d AS (
+            SELECT c_custkey AS k, c_mktsegment FROM customer
+            UNION ALL
+            SELECT NULL AS k, '<unknown>' AS c_mktsegment
+        )
+        SELECT d.c_mktsegment, o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
+        GROUP BY d.c_mktsegment, o.o_orderstatus
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    join keys MATCH a NULL dim key instead of silently dropping — the
+    "unknown member" bucket pattern of warehouse re-keying (late
+    dimensions, unparseable keys). Plain equi-join semantics discard
+    every NULL-key row on both engines; the null-safe operator keeps
+    them auditable. NULL fact keys are manufactured deterministically
+    (``o_custkey % 11 = 0``) and the dim side carries exactly ONE NULL
+    row, so the NULL-NULL match is a many-to-one route, never a
+    cross-blowup.
+
+    Plan/scale: Spark plans `<=>` as an ordinary hash join (null-safe
+    comparison is hashable — NULL hashes to a regular bucket), so this
+    is one shuffle-or-broadcast equi join, NOT a nested loop
+    (plan-audited). Skew note: at 100 TB the NULL bucket is the
+    classic hot key — the standard mitigation is splitting the NULL
+    slice off before the join (a filter union), or AQE skew-split,
+    both compatible with this plan."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+    )
+    c = table(spark, sf_dir, "customer")
+    d = c.select(F.col("c_custkey").alias("k"), "c_mktsegment").unionAll(
+        c.sparkSession.range(1).select(
+            F.lit(None).cast("long").alias("k"),
+            F.lit("<unknown>").alias("c_mktsegment"),
+        )
+    )
+    return (
+        o.join(d, o.k.eqNullSafe(d.k))
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

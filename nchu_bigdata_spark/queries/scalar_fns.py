@@ -301,3 +301,61 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.parse_url("url", F.lit("HOST")), ".", -2
         ).alias("reg_domain"),
     )
+
+
+@register(
+    "fn_conditional",
+    tags=("b7",),
+    oracle="""
+        -- conditional/null-handling family: CASE, COALESCE, NULLIF,
+        -- IFNULL-chains, LEAST/GREATEST with NULL propagation rules.
+        -- NULLs are manufactured deterministically so both engines
+        -- exercise every branch.
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity < 10 THEN 'small'
+                    WHEN l_quantity < 30 THEN 'medium'
+                    ELSE 'large' END AS qty_band,
+               COALESCE(NULLIF(l_returnflag, 'N'), l_linestatus, '?')
+                   AS flag_or_status,
+               CAST(ROUND(LEAST(l_quantity, 25.0) * 100) AS BIGINT)
+                   AS capped_cents,
+               CAST(ROUND(GREATEST(l_quantity, 5.0) * 100) AS BIGINT)
+                   AS floored_cents,
+               CASE WHEN NULLIF(l_linenumber, 1) IS NULL
+                    THEN 'first' ELSE 'rest' END AS line_class
+        FROM lineitem
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / null-handling scalar family (§2.B-7): CASE WHEN
+    chains, COALESCE, NULLIF, LEAST/GREATEST — the branch logic every
+    transformation layer is built from, with the NULL-propagation
+    corners pinned (NULLIF producing a NULL that COALESCE then
+    recovers; LEAST/GREATEST clamping against literals).
+
+    All branches are pure codegen projections over one scan — zero
+    shuffles; money comparisons export exact cents per compat
+    policy."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("qty_band"),
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")),
+            F.col("l_linestatus"),
+            F.lit("?"),
+        ).alias("flag_or_status"),
+        F.round(F.least(F.col("l_quantity"), F.lit(25.0)) * 100, 0)
+        .cast("long")
+        .alias("capped_cents"),
+        F.round(F.greatest(F.col("l_quantity"), F.lit(5.0)) * 100, 0)
+        .cast("long")
+        .alias("floored_cents"),
+        F.when(F.nullif(F.col("l_linenumber"), F.lit(1)).isNull(), "first")
+        .otherwise("rest")
+        .alias("line_class"),
+    )

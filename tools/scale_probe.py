@@ -16,6 +16,10 @@ and the 10× run exercises the same plan shapes, only bigger):
   by ``i × 10^7`` — per-order group sizes are unchanged and the part
   co-purchase graph becomes 10 disjoint isomorphic subgraphs
   (triangles, degrees, PageRank structure all ×10, no new hubs).
+* ``events``: 10 copies with ``event_id``/``user_id`` shifted by
+  ``i × 10^7`` — per-user event streams are unchanged, so sessions,
+  Markov rows, window states and EWMA series all replicate ×10 with
+  no new hot users.
 * ``documents``: 10 copies with ``doc_id`` shifted by ``i × 10^7`` and
   every TOKEN suffixed ``_c<i>`` for copies 1..9 — copies share no
   shingles, so near-dup pair structure per copy is identical to 1×
@@ -54,15 +58,22 @@ COPIES = 10
 SHIFT = 10_000_000
 GATE_RATIO = 25.0  # quadratic would be ~100; linear ~10
 
+# r7 probe: graph_triangles, graph_pagerank, dedup_ngram_jaccard,
+# dedup_incremental (results + the triangle plan fix in SCALE_PROBE.md).
+# r8 default: the round-7/8-born heavy ops not yet probed.
 HEAVY_OPS = [
-    "graph_triangles",
-    "graph_pagerank",
-    "dedup_ngram_jaccard",
-    "dedup_incremental",
+    "graph_bfs",
+    "text_line_dedup",
+    "text_heavy_hitters",
+    "dedup_edit_distance",
+    "tokenize_vocab_coverage",
+    "sample_importance",
+    "ts_ewma",
+    "win_running_distinct",
 ]
 
 # Tables each op reads (everything else is symlinked unchanged).
-BLOWN_TABLES = {"lineitem", "documents"}
+BLOWN_TABLES = {"lineitem", "documents", "events"}
 
 
 def build_10x(spark, out_dir: str) -> None:
@@ -107,6 +118,27 @@ def build_10x(spark, out_dir: str) -> None:
         os.path.join(out_dir, "documents.parquet")
     )
 
+    # events: shift event_id and user_id per copy; timestamps and the
+    # per-user stream structure are untouched (10 disjoint user
+    # populations with identical series). 10^7 is divisible by the
+    # event_id % 5 null mask and user_id % 2 variant moduli.
+    from nchu_bigdata_spark.io import table as _table
+
+    ev = _table(spark, BASE_SF, "events")  # normalizes the NANOS stamps
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * SHIFT))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * SHIFT))
+        )
+    big_ev = parts[0]
+    for p in parts[1:]:
+        big_ev = big_ev.unionAll(p)
+    link = os.path.join(out_dir, "events.parquet")
+    if os.path.islink(link):
+        os.unlink(link)  # r7 probe symlinked events; now it's blown up
+    big_ev.write.mode("overwrite").parquet(link)
+
     # everything else: symlink unchanged from sf0.1
     for f in os.listdir(BASE_SF):
         if not f.endswith(".parquet"):
@@ -140,7 +172,9 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     big_dir = os.path.join(repo, ".scratch", "scale10x")
 
-    if not os.path.exists(os.path.join(big_dir, "documents.parquet")):
+    if not os.path.exists(
+        os.path.join(big_dir, "documents.parquet")
+    ) or os.path.islink(os.path.join(big_dir, "events.parquet")):
         t0 = time.perf_counter()
         build_10x(spark, big_dir)
         print(f"built 10x dir in {time.perf_counter()-t0:.1f}s", flush=True)
