@@ -336,3 +336,64 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = nxt
     return visited.select(F.col("node").alias("p_partkey"), "dist")
+
+
+# --------------------------------------------------------------------------
+# graph_degree_distribution — log2-bucketed degree histogram (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_distribution",
+    tags=("graph",),
+    oracle=f"""
+        WITH sym AS ({_EDGES_SQL}),
+        deg AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+        )
+        SELECT bucket,
+               CAST(2 ** bucket AS BIGINT) AS lo_degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(d) AS BIGINT) AS min_degree,
+               CAST(MAX(d) AS BIGINT) AS max_degree
+        FROM (SELECT d, CAST(length(bin(d)) - 1 AS INT) AS bucket FROM deg)
+        GROUP BY bucket
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed degree histogram of the co-purchase graph — the
+    power-law probe run BEFORE committing to a graph plan: it tells
+    you whether hubs exist (skew-join mitigation needed, triangle
+    orientation worth it) and bounds the frontier fan-out of
+    ``graph_bfs``. Every serious graph pipeline starts here; the
+    engine's own triangle orientation (degree-ordered, O(√E) bound)
+    is justified exactly by this distribution's tail.
+
+    Bucketing is EXACT integer arithmetic portable across engines:
+    ``bucket = length(bin(d)) - 1`` = floor(log₂ d) via the binary
+    string length — both engines' ``bin`` emit minimal binary digits,
+    no float log to straddle a power-of-two boundary.
+
+    Plan/scale: degree agg (one shuffle over edge endpoints, map-side
+    combined) then a ≤64-group hash agg — bucket cardinality is
+    bounded by the int64 width forever."""
+    deg = _copurchase_edges(spark, sf_dir).groupBy("u").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    bucket = (F.length(F.bin("d")) - 1).cast("int")
+    return (
+        deg.select("d", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+        )
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("lo_degree"),
+            "n_nodes",
+            "min_degree",
+            "max_degree",
+        )
+    )

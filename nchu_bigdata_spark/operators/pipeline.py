@@ -1076,3 +1076,70 @@ def tokenize_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_oov * 10000 div n_tok").alias("oov_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sample_split — deterministic train/val/test partition (round 8)
+# --------------------------------------------------------------------------
+
+# md5-bucket split: 90 / 5 / 5. Buckets are a function of doc_id only,
+# so membership is stable across runs, engines, and corpus growth
+# (adding documents never moves an existing one between splits).
+_SPLIT_BOUNDS = (("train", 0, 90), ("val", 90, 95), ("test", 95, 100))
+
+
+@register(
+    "sample_split",
+    tags=("pipeline",),
+    oracle=f"""
+        WITH b AS (
+            SELECT lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 AS bkt,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        )
+        SELECT lang,
+               CASE {' '.join(f"WHEN bkt >= {lo} AND bkt < {hi} THEN '{s}'"
+                              for s, lo, hi in _SPLIT_BOUNDS)} END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM b GROUP BY 1, 2
+    """,
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5 by md5 hash bucket of
+    ``doc_id``) with per-(lang, split) document and token counts — the
+    dataset-freeze step before training. Hash-bucket membership is a
+    pure function of the KEY: stable across runs and engines, and —
+    unlike ``df.randomSplit`` — appending new documents never moves an
+    existing one between splits (no leakage on incremental rebuilds).
+    Disjointness and exhaustiveness hold by construction (the three
+    bucket ranges partition 0..99); the per-cell counts exported here
+    are what a dataset card records.
+
+    Plan/scale: one narrow projection (md5 + bucket CASE, codegen) +
+    one map-side-combining hash agg over lang×3 cells. The actual
+    materialization step would write ``partitionBy(split)`` using the
+    same predicate — the ``sink_partitioned`` shape."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = F.when(F.lit(False), F.lit(""))
+    for s, lo, hi in _SPLIT_BOUNDS:
+        split = split.when((bkt >= lo) & (bkt < hi), F.lit(s))
+    return (
+        docs.select(
+            "lang",
+            split.otherwise(F.lit(None)).alias("split"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )

@@ -489,3 +489,81 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# win_rolling_median — exact trailing-window median (round 8)
+# --------------------------------------------------------------------------
+
+_RMED_W = 7  # trailing frame width (rows)
+
+
+@register(
+    "win_rolling_median",
+    tags=("b5",),
+    oracle=f"""
+        -- exact rolling median over a trailing 7-row frame, kept in
+        -- integers: med2 = sum of the two middle order statistics of
+        -- the sorted frame (equal for odd frame sizes -> 2*median).
+        WITH c AS (
+            SELECT user_id, event_id, ts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        f AS (
+            SELECT user_id, event_id,
+                   list_sort(list(cents) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {_RMED_W - 1} PRECEDING AND CURRENT ROW
+                   )) AS frame
+            FROM c
+        )
+        SELECT user_id, event_id,
+               CAST(len(frame) AS INT) AS n_frame,
+               CAST(frame[(len(frame) + 1) // 2]
+                    + frame[len(frame) // 2 + 1] AS BIGINT) AS med2_cents
+        FROM f
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling MEDIAN of event values over a trailing 7-row
+    frame per user — the robust-smoothing companion to ``ts_ewma``
+    (medians shrug off the single-spike outliers that drag any mean,
+    weighted or not). Median-over-frame isn't expressible as a SQL
+    window aggregate on either engine; the exact form collects the
+    frame into an array and takes order statistics. To stay on the
+    integer boundary-straddle policy the output is ``med2`` = the sum
+    of the two middle order statistics of the sorted cents frame
+    (equal values for odd frames, i.e. 2×median; their mean would be
+    a .5-float) plus the frame size — consumers divide at the edge.
+
+    Plan/scale: ONE user-keyed window sort shared by the collect; the
+    per-row frame array is bounded at 7 elements by the frame spec
+    (constant memory per cursor, unlike a whole-partition collect),
+    and the sort+index runs in codegen. The approximate companion at
+    larger frames is ``percentile_approx`` (``agg_approx``)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_RMED_W - 1), W.currentRow)
+    )
+    f = ev.select(
+        "user_id",
+        "event_id",
+        F.array_sort(F.collect_list("cents").over(w)).alias("frame"),
+    )
+    n = F.size("frame")
+    lo = F.element_at("frame", ((n + 1) / 2).cast("int"))
+    hi = F.element_at("frame", (n / 2 + 1).cast("int"))
+    return f.select(
+        "user_id",
+        "event_id",
+        n.cast("int").alias("n_frame"),
+        (lo + hi).cast("long").alias("med2_cents"),
+    )

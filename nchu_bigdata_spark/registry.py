@@ -159,6 +159,12 @@ DRIVER_ORDER = [
     "events_ab_test",
     "ts_ewma",
     "win_running_distinct",
+    "dedup_containment",
+    "join_null_safe",
+    "fn_conditional",
+    "graph_degree_distribution",
+    "sample_split",
+    "win_rolling_median",
     # -- refreshes: oldest driver signal (r5) fills the window --
     "multimodal_resize",
     "udtf_python_arrow",
@@ -170,13 +176,13 @@ DRIVER_ORDER = [
     "curate_corpus",
     "sample_stratified",
     "text_repetition",
+    # -- displaced from the r8 window by the 15 r8-born ids; r9 queue --
     "kmeans_assign",
     "tpch_q3",
     "tpch_q6",
     "udf_scalar_pandas",
     "join_cross_argmin",
     "fn_math",
-    # -- displaced from the r8 window by the 9 r8-born ids; r9 queue --
     "fn_array",
     "scan_csv",
     "scan_orc",

@@ -275,3 +275,118 @@ def test_running_distinct_final_equals_count_distinct(spark, sf_dir, duck):
     # monotone non-decreasing along each user's series is implied by
     # construction (running sum of 0/1); spot-check bounds
     assert all(1 <= r.m <= 10 for r in finals)
+
+
+# --------------------------------------------------------------------------
+# dedup_containment
+# --------------------------------------------------------------------------
+
+
+def test_containment_catches_doc_inside_doc_where_jaccard_misses(
+    spark, tmp_path
+):
+    """A small doc fully contained in a much larger one: containment
+    fires, Jaccard stays far below its threshold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    small = " ".join(f"w{i}" for i in range(10))  # 8 3-shingles
+    big = " ".join(f"w{i}" for i in range(10)) + " " + " ".join(
+        f"x{i}" for i in range(300)
+    )
+    other = " ".join(f"y{i}" for i in range(50))
+    texts = [small, big, other]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    cont = SPECS["dedup_containment"].fn(spark, str(tmp_path)).collect()
+    jac = SPECS["dedup_ngram_jaccard"].fn(spark, str(tmp_path)).collect()
+    pairs_c = {(r.doc_a, r.doc_b) for r in cont}
+    pairs_j = {(r.doc_a, r.doc_b) for r in jac}
+    assert (0, 1) in pairs_c  # small ⊂ big
+    assert (0, 1) not in pairs_j  # jaccard ~ 8/316 << 0.5
+    row = next(r for r in cont if (r.doc_a, r.doc_b) == (0, 1))
+    assert row.containment == 1.0 and row.n_small == row.n_inter
+
+
+# --------------------------------------------------------------------------
+# join_null_safe
+# --------------------------------------------------------------------------
+
+
+def test_null_safe_join_routes_null_keys_to_unknown(spark, sf_dir, duck):
+    rows = SPECS["join_null_safe"].fn(spark, sf_dir).collect()
+    n_null_orders = duck.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_custkey % 11 = 0"
+    ).fetchone()[0]
+    unk = sum(r.n for r in rows if r.c_mktsegment == "<unknown>")
+    assert unk == n_null_orders  # every NULL-key order lands exactly once
+    total = sum(r.n for r in rows)
+    n_orders = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert total == n_orders  # nothing dropped, nothing duplicated
+
+
+# --------------------------------------------------------------------------
+# graph_degree_distribution
+# --------------------------------------------------------------------------
+
+
+def test_degree_distribution_partitions_nodes(spark, sf_dir):
+    rows = SPECS["graph_degree_distribution"].fn(spark, sf_dir).collect()
+    for r in rows:
+        lo, hi = 1 << r.bucket, 1 << (r.bucket + 1)
+        assert lo == r.lo_degree
+        assert lo <= r.min_degree <= r.max_degree < hi
+    # buckets partition the node set: recompute node count
+    pr = SPECS["graph_pagerank"].fn(spark, sf_dir)
+    assert sum(r.n_nodes for r in rows) == pr.count()
+
+
+# --------------------------------------------------------------------------
+# sample_split
+# --------------------------------------------------------------------------
+
+
+def test_sample_split_covers_corpus_and_ratios(spark, sf_dir, duck):
+    rows = SPECS["sample_split"].fn(spark, sf_dir).collect()
+    n_docs = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs  # exhaustive + disjoint
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) <= {"train", "val", "test"}
+    # 90/5/5 within generous hash tolerance
+    assert by_split["train"] > 0.8 * n_docs
+
+
+# --------------------------------------------------------------------------
+# win_rolling_median
+# --------------------------------------------------------------------------
+
+
+def test_rolling_median_python_replay(spark, sf_dir, duck):
+    med = {
+        (r.user_id, r.event_id): (r.n_frame, r.med2_cents)
+        for r in SPECS["win_rolling_median"].fn(spark, sf_dir).collect()
+    }
+    rows = duck.execute(
+        "SELECT user_id, event_id, CAST(ROUND(value*100) AS BIGINT)"
+        " FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    hist: dict[int, list[int]] = {}
+    for uid, eid, cents in rows:
+        h = hist.setdefault(uid, [])
+        h.append(cents)
+        frame = sorted(h[-7:])
+        n = len(frame)
+        exp = frame[(n + 1) // 2 - 1] + frame[n // 2]
+        assert med[(uid, eid)] == (n, exp), (uid, eid)
