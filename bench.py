@@ -80,6 +80,11 @@ LLM_GROUP = [
     "text_heavy_hitters",
     "sample_importance",
     "sim_mips",
+    # born round 8: blocked levenshtein pairs, containment pairs,
+    # OOV-rate scoring (trend starts here)
+    "dedup_edit_distance",
+    "dedup_containment",
+    "tokenize_vocab_coverage",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -103,6 +108,12 @@ SQL_GROUP = [
     "table_diff",
     "ts_resample",
     "sort_zorder",
+    # born round 8: degree histogram, column-stats profile, dyadic
+    # EWMA, rolling median (trend starts here)
+    "graph_degree_distribution",
+    "stats_profile",
+    "ts_ewma",
+    "win_rolling_median",
 ]
 
 
