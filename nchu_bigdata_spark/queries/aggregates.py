@@ -990,3 +990,96 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", okey).alias("bottom_orderkey"),
         F.max(cents).cast("long").alias("top_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_approx_topk — sketch-based frequent items (round 8)
+# --------------------------------------------------------------------------
+
+_ATK_K = 5
+
+
+@register(
+    "agg_approx_topk",
+    tags=("b4",),
+    oracle=f"""
+        -- Bounded-verdict form (the agg_approx / agg_sketch_merge
+        -- pattern): the sketch's item order under count ties is
+        -- engine-internal, so the certified output is the EXACT top-k
+        -- (deterministic count-desc, value-asc tiebreak) plus one
+        -- boolean asserting the sketch reported each true heavy
+        -- hitter with its exact count (guaranteed here: value
+        -- cardinality ~50 is far under the 10^4 tracking budget, so
+        -- the sketch is in its exact regime - the boolean would flip
+        -- the moment a config change pushed it into approximation).
+        SELECT l_returnflag, qty, n, rnk,
+               TRUE AS sketch_exact
+        FROM (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY COUNT(*) DESC, CAST(ROUND(l_quantity) AS BIGINT)
+                   ) AS INT) AS rnk
+            FROM lineitem
+            GROUP BY l_returnflag, CAST(ROUND(l_quantity) AS BIGINT)
+        ) t
+        WHERE rnk <= {_ATK_K}
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent-items top-k (`approx_top_k`, Spark 4.1's
+    count-based sketch) — the streaming-friendly heavy-hitter API
+    completing the sketch family triangle: HLL for distinct
+    (`agg_sketch_merge`), KLL-style quantiles (`agg_approx`),
+    count-sketch for frequency (this; the exact two-pass MG companion
+    is `text_heavy_hitters`).
+
+    Certification follows the bounded-verdict pattern: the exact top-k
+    per group (count-desc, value-asc tiebreak — `agg_mode`'s pinned
+    determinism, k deep) is the hash-checked payload; the sketch rides
+    the same aggregate and one boolean per row asserts it reported
+    that item with the exact count. At this value cardinality (~50 ≪
+    the 10⁴ tracking budget) the sketch is provably in its EXACT
+    regime, so the boolean is deterministic — and it would flip
+    loudly if a budget change pushed the sketch into approximation.
+
+    Plan: one (group, value) hash agg (map-side combined) feeding both
+    the exact top-k WindowGroupLimit heap and the per-group sketch
+    agg; the sketch side shuffles one binary state per group."""
+    li = table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    counted = li.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "qty")
+    exact = (
+        counted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _ATK_K)
+    )
+    sk = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_top_k(CAST(ROUND(l_quantity) AS BIGINT), {_ATK_K * 4})"
+        ).alias("tk")
+    )
+    reported = sk.select(
+        "l_returnflag",
+        F.explode("tk").alias("e"),
+    ).select(
+        "l_returnflag",
+        F.col("e.item").alias("qty"),
+        F.col("e.count").alias("sk_n"),
+    )
+    return (
+        exact.join(reported, ["l_returnflag", "qty"], "left")
+        .select(
+            "l_returnflag",
+            "qty",
+            "n",
+            "rnk",
+            (F.col("sk_n") == F.col("n")).alias("sketch_exact"),
+        )
+    )

@@ -540,3 +540,67 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").alias("n_with_chars"),
         F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_binary_files — binaryFile datasource ingestion (round 8)
+# --------------------------------------------------------------------------
+
+_BIN_MOD = 50  # every 50th document materializes as a standalone blob file
+
+
+@register(
+    "scan_binary_files",
+    tags=("b1",),
+    oracle=f"""
+        -- blob files hold the UTF-8 text of every doc_id % {_BIN_MOD} = 0
+        -- document; the oracle replays per-bucket byte accounting from
+        -- the clean table (strlen = octet length in DuckDB).
+        SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+               CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+        FROM documents WHERE doc_id % {_BIN_MOD} = 0
+        GROUP BY 1
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` datasource scan — the ingestion path for raw media
+    / model-artifact blobs (images, audio, shards) that have no
+    row-oriented format: one file becomes one row of (path, length,
+    content binary). This is how the multimodal operators' payloads
+    enter a real pipeline; here a deterministic subset of documents
+    (doc_id % {_BIN_MOD} = 0) is materialized as standalone UTF-8 blob
+    files, scanned back, and byte-accounted per doc_id bucket with ids
+    re-derived from filenames (`regexp_extract` on `path`).
+
+    The fixture-synthesis write is a bounded driver-side loop (corpus/
+    {_BIN_MOD} tiny files — test plumbing, not the measured path); the
+    SCAN is the operator: Spark lists + reads files in parallel tasks,
+    and at 100 TB the same reader streams object-store blobs with
+    per-file task granularity (plus `pathGlobFilter`/
+    `recursiveFileLookup` for layout control). One hash agg after."""
+    import os as _os
+
+    out = scratch_dir(sf_dir, "docs_blobs")
+    _os.makedirs(out, exist_ok=True)
+    docs = table(spark, sf_dir, "documents")
+    subset = docs.filter(F.col("doc_id") % _BIN_MOD == 0).select(
+        "doc_id", "text"
+    )
+    for r in subset.collect():  # fixture synthesis only; corpus/50 files
+        with open(_os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(out)
+    doc_id = F.regexp_extract(
+        F.col("path"), r"doc_(\d+)\.bin$", 1
+    ).cast("long")
+    return (
+        blobs.select(doc_id.alias("doc_id"), F.col("length"))
+        .groupBy((F.col("doc_id") % 4).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").cast("long").alias("sum_bytes"),
+            F.max("length").cast("long").alias("max_bytes"),
+        )
+    )

@@ -165,6 +165,8 @@ DRIVER_ORDER = [
     "graph_degree_distribution",
     "sample_split",
     "win_rolling_median",
+    "scan_binary_files",
+    "agg_approx_topk",
     # -- refreshes: oldest driver signal (r5) fills the window --
     "multimodal_resize",
     "udtf_python_arrow",
@@ -174,9 +176,9 @@ DRIVER_ORDER = [
     "sim_ann_ivf",
     "pack_sequences",
     "curate_corpus",
+    # -- displaced from the r8 window by the 17 r8-born ids; r9 queue --
     "sample_stratified",
     "text_repetition",
-    # -- displaced from the r8 window by the 15 r8-born ids; r9 queue --
     "kmeans_assign",
     "tpch_q3",
     "tpch_q6",

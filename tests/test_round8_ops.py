@@ -390,3 +390,34 @@ def test_rolling_median_python_replay(spark, sf_dir, duck):
         n = len(frame)
         exp = frame[(n + 1) // 2 - 1] + frame[n // 2]
         assert med[(uid, eid)] == (n, exp), (uid, eid)
+
+
+# --------------------------------------------------------------------------
+# scan_binary_files / agg_approx_topk
+# --------------------------------------------------------------------------
+
+
+def test_binary_files_roundtrip_bytes(spark, sf_dir, duck):
+    rows = {r.bucket: r for r in SPECS["scan_binary_files"].fn(spark, sf_dir).collect()}
+    exp = duck.execute(
+        "SELECT doc_id % 4, COUNT(*), SUM(strlen(text)), MAX(strlen(text))"
+        " FROM documents WHERE doc_id % 50 = 0 GROUP BY 1"
+    ).fetchall()
+    assert {b: (n, s, m) for b, n, s, m in exp} == {
+        b: (r.n_files, r.sum_bytes, r.max_bytes) for b, r in rows.items()
+    }
+
+
+def test_approx_topk_matches_exact_counts(spark, sf_dir, duck):
+    rows = SPECS["agg_approx_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    exact = {}
+    for flag, qty, n in duck.execute(
+        "SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT), COUNT(*)"
+        " FROM lineitem GROUP BY 1, 2"
+    ).fetchall():
+        exact[(flag, qty)] = n
+    for r in rows:
+        assert r.sketch_exact, r  # value cardinality << budget: exact regime
+        assert exact[(r.l_returnflag, r.qty)] == r.n
+        assert 1 <= r.rnk <= 5
