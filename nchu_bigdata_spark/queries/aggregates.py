@@ -1083,3 +1083,109 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sk_n") == F.col("n")).alias("sketch_exact"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_moments — exact skewness / kurtosis (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_moments",
+    tags=("b4",),
+    oracle="""
+        -- Exact integer power sums (HUGEINT), then the scale-free
+        -- identities g1 = B / A^1.5 and g2 = C / A^2 - 3 where
+        --   A = n*S2 - S1^2          (= n^2 * m2)
+        --   B = n^2*S3 - 3n*S1*S2 + 2*S1^3      (= n^3 * m3)
+        --   C = n^3*S4 - 4n^2*S1*S3 + 6n*S1^2*S2 - 3*S1^4 (= n^4 * m4)
+        -- derived with IEEE-exact ops only (cast/mul/div/sqrt; no
+        -- pow(), which isn't correctly rounded). agg_corr's policy
+        -- extended to 3rd/4th moments.
+        WITH p AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS s1,
+                   SUM(CAST(x AS HUGEINT) * x) AS s2,
+                   SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+                   SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+            FROM (
+                SELECT l_returnflag,
+                       CAST(ROUND(l_quantity) AS BIGINT) AS x
+                FROM lineitem WHERE l_quantity IS NOT NULL
+            ) c
+            GROUP BY l_returnflag
+        ),
+        abc AS (
+            SELECT l_returnflag, n,
+                   CAST(n * s2 - s1 * s1 AS DOUBLE) AS a,
+                   CAST(n * n * s3 - 3 * n * s1 * s2
+                        + 2 * s1 * s1 * s1 AS DOUBLE) AS b,
+                   CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+                        + 6 * n * s1 * s1 * s2
+                        - 3 * s1 * s1 * s1 * s1 AS DOUBLE) AS c
+            FROM p
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               a / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m2,
+               b / (a * SQRT(a)) AS skewness,
+               c / (a * a) - 3 AS excess_kurtosis
+        FROM abc
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group SKEWNESS and EXCESS KURTOSIS (population form) of
+    order quantities — the distribution-shape profile behind outlier
+    policy and histogram-bin design, completing the moment ladder
+    (mean/var → `agg_corr`, OLS → `agg_regression`, 3rd/4th → here).
+
+    Determinism: exact integer power sums S1..S4 over ROUND(quantity)
+    units (decimal(38,0)/HUGEINT — associative, order-independent),
+    then the scale-free identities g1 = B/A^{3/2}, g2 = C/A² − 3
+    (A,B,C = n-scaled central moments, exact integers) evaluated with
+    IEEE-exact ops only — `a * sqrt(a)` instead of `pow(a, 1.5)`,
+    which is not correctly rounded. Engine skewness()/kurtosis() are
+    never called: their float partial-merge order differs in final
+    ulps across engines (the agg_corr rework rationale).
+
+    Precision bound (embed_covariance policy): the C term is ~n⁴·x⁴;
+    with |x| ≤ ~50 units the 38-digit decimals stay exact to ~1e8
+    rows per group — document-and-guard territory at 100 TB (shard
+    groups or drop to cents-anchored deviations for more headroom);
+    ANSI-off overflow would surface as NULL doubles, caught by the
+    oracle hash.
+
+    Plan: ONE partial+final hash agg (four decimal sums ride one
+    pass); the derivation is a groups-row projection."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity"), 0).cast("long")
+
+    def s0(c):
+        return F.sum(c.cast("decimal(28,0)")).cast("decimal(38,0)")
+
+    p = (
+        li.filter(F.col("l_quantity").isNotNull())
+        .select("l_returnflag", x.alias("x"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            s0(F.col("x")).alias("s1"),
+            s0(F.col("x") * F.col("x")).alias("s2"),
+            s0(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+            s0(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+        )
+    )
+    a = F.expr("CAST(n * s2 - s1 * s1 AS DOUBLE)")
+    b = F.expr("CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)")
+    c = F.expr(
+        "CAST(n * n * n * s4 - 4 * n * n * s1 * s3"
+        " + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE)"
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (a / (F.col("n").cast("double") * F.col("n").cast("double"))).alias("m2"),
+        (b / (a * F.sqrt(a))).alias("skewness"),
+        (c / (a * a) - 3).alias("excess_kurtosis"),
+    )

@@ -524,3 +524,84 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lift_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_active_users — DAU + rolling 7-day distinct actives (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_active_users",
+    tags=("b11",),
+    oracle="""
+        -- rolling distinct is the product-analytics staple SQL windows
+        -- can't express (COUNT(DISTINCT) OVER RANGE unsupported); the
+        -- exact rewrite: dedup to user-days, CONTRIBUTE each user-day
+        -- to the 7 day-windows it falls in, count distinct per window.
+        -- Day arithmetic in integer epoch-MICROS (TZ-invariant; never
+        -- float epoch: DuckDB's // on DOUBLE does not floor, so
+        -- CAST(epoch(ts)//86400 ...) rounds late-evening rows into
+        -- the next day).
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS d
+            FROM events
+        ),
+        daily AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+        ),
+        contrib AS (
+            SELECT user_id, d + i AS wd
+            FROM ud, unnest(range(0, 7)) AS r(i)
+        ),
+        rolling AS (
+            SELECT wd AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+            FROM contrib GROUP BY wd
+        )
+        SELECT daily.d AS epoch_day, daily.dau, rolling.wau7
+        FROM daily JOIN rolling ON rolling.d = daily.d
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-user curves: exact DAU and rolling 7-day distinct actives
+    (WAU) per day — THE product-analytics daily, and a window SQL
+    cannot express (`COUNT(DISTINCT) OVER RANGE` is unsupported
+    everywhere; re-aggregating daily distincts undercounts users
+    active on several days).
+
+    Exact rewrite that stays linear: dedup the stream to (user, day)
+    rows once, then each user-day CONTRIBUTES to the 7 trailing
+    day-windows containing it (a constant 7× explode of the
+    user-day table, NOT of the raw stream), and one hash agg counts
+    distinct users per window day. Day arithmetic is integer
+    epoch-days on the UTC session clock — TZ-invariant, no date
+    formatting to straddle.
+
+    Output keeps only days with actual activity (join with daily),
+    matching the dashboard convention.
+
+    Plan/scale: raw stream → one (user, day) dedup shuffle (map-side
+    combined); the 7× explode runs post-dedup over the much smaller
+    user-day table; two distinct-aggs hash-partition by day. The
+    rolling distinct never holds per-window user sets in one task
+    beyond that day's actives — same bound a per-day GROUP BY has.
+    The sketch alternative at extreme scale is `hll_union_agg` over
+    daily sketches (`agg_sketch_merge`'s mergeable pattern) — this is
+    the exact calibration side."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).distinct()
+    daily = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wd")
+    )
+    rolling = contrib.groupBy(F.col("wd").alias("d")).agg(
+        F.countDistinct("user_id").alias("wau7")
+    )
+    return (
+        daily.join(rolling, "d")
+        .select(F.col("d").alias("epoch_day"), "dau", "wau7")
+    )

@@ -167,6 +167,8 @@ DRIVER_ORDER = [
     "win_rolling_median",
     "scan_binary_files",
     "agg_approx_topk",
+    "events_active_users",
+    "agg_moments",
     # -- refreshes: oldest driver signal (r5) fills the window --
     "multimodal_resize",
     "udtf_python_arrow",
@@ -174,9 +176,9 @@ DRIVER_ORDER = [
     "dedup_clusters",
     "dedup_simhash",
     "sim_ann_ivf",
+    # -- displaced from the r8 window by the 19 r8-born ids; r9 queue --
     "pack_sequences",
     "curate_corpus",
-    # -- displaced from the r8 window by the 17 r8-born ids; r9 queue --
     "sample_stratified",
     "text_repetition",
     "kmeans_assign",

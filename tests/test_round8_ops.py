@@ -421,3 +421,52 @@ def test_approx_topk_matches_exact_counts(spark, sf_dir, duck):
         assert r.sketch_exact, r  # value cardinality << budget: exact regime
         assert exact[(r.l_returnflag, r.qty)] == r.n
         assert 1 <= r.rnk <= 5
+
+
+# --------------------------------------------------------------------------
+# events_active_users / agg_moments
+# --------------------------------------------------------------------------
+
+
+def test_active_users_python_replay(spark, sf_dir, duck):
+    rows = {r.epoch_day: (r.dau, r.wau7) for r in
+            SPECS["events_active_users"].fn(spark, sf_dir).collect()}
+    uds = duck.execute(
+        "SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    daily, windows = defaultdict(set), defaultdict(set)
+    for u, d in uds:
+        daily[d].add(u)
+        for k in range(7):
+            windows[d + k].add(u)
+    exp = {d: (len(daily[d]), len(windows[d])) for d in daily}
+    assert rows == exp
+    for d, (dau, wau) in rows.items():
+        assert wau >= dau  # a window always covers its own day
+
+
+def test_agg_moments_matches_numpy(spark, sf_dir, duck):
+    import math
+
+    rows = SPECS["agg_moments"].fn(spark, sf_dir).collect()
+    for r in rows:
+        xs = [
+            float(v)
+            for (v,) in duck.execute(
+                "SELECT ROUND(l_quantity) FROM lineitem"
+                " WHERE l_returnflag = ?", [r.l_returnflag]
+            ).fetchall()
+        ]
+        n = len(xs)
+        mean = sum(xs) / n
+        m2 = sum((v - mean) ** 2 for v in xs) / n
+        m3 = sum((v - mean) ** 3 for v in xs) / n
+        m4 = sum((v - mean) ** 4 for v in xs) / n
+        assert r.n == n
+        assert math.isclose(r.m2, m2, rel_tol=1e-9)
+        assert math.isclose(r.skewness, m3 / m2 ** 1.5, rel_tol=1e-6)
+        assert math.isclose(
+            r.excess_kurtosis, m4 / m2 ** 2 - 3, rel_tol=1e-6
+        )
