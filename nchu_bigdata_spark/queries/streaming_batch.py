@@ -419,3 +419,81 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_events_cdc_upsert(
         spark, src_dir, scratch_dir(sf_dir, "cdc_target")
     )
+
+
+# --------------------------------------------------------------------------
+# stream_enrich_static — stream-static broadcast enrichment (round 8)
+# --------------------------------------------------------------------------
+
+# Static dimension: user tier by hash bucket. Deliberately a LITERAL
+# table (not a fixture read) so the transform is self-contained for the
+# streaming runner; a production job would spark.read the dimension —
+# identical plan (static side broadcast into every microbatch).
+_TIERS = [(0, "free"), (1, "free"), (2, "pro"), (3, "pro"), (4, "enterprise")]
+
+
+def _tier_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(b, t) for b, t in _TIERS], "bucket long, tier string"
+    )
+
+
+def enrich_static_transform(ev: DataFrame) -> DataFrame:
+    """Core stream-static enrichment plan — shared by the batch query
+    and the Structured Streaming runner. The static dim joins against
+    the (possibly streaming) event source as a broadcast hash join:
+    stream-static joins are STATELESS (no watermark, no state store —
+    each microbatch probes the broadcast), which is why this is the
+    first-choice enrichment shape at scale; only stream-stream joins
+    pay state."""
+    spark = ev.sparkSession
+    dim = _tier_dim(spark)
+    enriched = ev.withColumn("bucket", F.col("user_id") % 5).join(
+        F.broadcast(dim), "bucket"
+    )
+    # no countDistinct here: distinct aggregates are unsupported on
+    # streaming DataFrames (state would be unbounded per group); the
+    # distinct-user view of this stream is events_active_users (batch)
+    # or an approx_count_distinct sketch in streaming.
+    return (
+        enriched.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "stream_enrich_static",
+    tags=("b9",),
+    oracle=f"""
+        -- the literal tier dimension replayed as a CASE
+        SELECT CASE user_id % 5
+                 {' '.join(f"WHEN {b} THEN '{t}'" for b, t in _TIERS)}
+               END AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        GROUP BY 1
+    """,
+)
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the missing B-9 join
+    shape: a streaming fact source joined to a STATIC dimension
+    (user → tier) with per-tier rollups. Stream-static joins are
+    stateless (the static side broadcasts into every microbatch; no
+    watermark, no state store), making them the default enrichment
+    mechanism before reaching for stateful stream-stream joins.
+
+    Batch form is oracle-checked (dim replayed as a CASE); the true
+    Structured-Streaming run is parity-tested against it via the
+    shared transform (`tests/test_streaming_parity.py`), like every
+    other §2.B-9 id.
+
+    Plan/scale: broadcast hash join (no shuffle of the stream) + one
+    map-side-combining hash agg over tier cardinality."""
+    return enrich_static_transform(table(spark, sf_dir, "events"))

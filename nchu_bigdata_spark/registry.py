@@ -169,14 +169,15 @@ DRIVER_ORDER = [
     "agg_approx_topk",
     "events_active_users",
     "agg_moments",
+    "stream_enrich_static",
     # -- refreshes: oldest driver signal (r5) fills the window --
     "multimodal_resize",
     "udtf_python_arrow",
     "dedup_minhash",
     "dedup_clusters",
     "dedup_simhash",
+    # -- displaced from the r8 window by the 20 r8-born ids; r9 queue --
     "sim_ann_ivf",
-    # -- displaced from the r8 window by the 19 r8-born ids; r9 queue --
     "pack_sequences",
     "curate_corpus",
     "sample_stratified",

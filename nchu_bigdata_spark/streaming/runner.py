@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 
 from nchu_bigdata_spark.queries.streaming_batch import (
     dedup_transform,
+    enrich_static_transform,
     session_transform,
     sliding_transform,
     stateful_transform,
@@ -76,6 +77,9 @@ STREAM_TRANSFORMS: dict[str, tuple[Callable[[DataFrame], DataFrame], str]] = {
     # update mode: each microbatch emits the refreshed running totals
     # per key; the LAST emission per key equals the batch aggregate.
     "stream_stateful": (stateful_transform, "update"),
+    # stream-static broadcast enrichment: stateless join, complete-mode
+    # agg on top
+    "stream_enrich_static": (enrich_static_transform, "complete"),
 }
 
 

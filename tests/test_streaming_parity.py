@@ -42,6 +42,8 @@ PARITY_IDS = [
     "stream_stream_join",
     "stream_stateful",
     "stream_cdc_upsert",
+    # round 8: stream-static broadcast enrichment (stateless join)
+    "stream_enrich_static",
 ]
 
 
