@@ -1189,3 +1189,50 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (b / (a * F.sqrt(a))).alias("skewness"),
         (c / (a * a) - 3).alias("excess_kurtosis"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_predicates — boolean/conditional aggregate family (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_predicates",
+    tags=("b4",),
+    oracle="""
+        -- boolean-aggregate family: COUNT_IF / BOOL_AND / BOOL_OR
+        -- (ANSI EVERY / ANY) — condition rollups without CASE
+        -- scaffolding. DuckDB and Spark both ship the named forms.
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT_IF(o_totalprice > 100000) AS BIGINT) AS n_big,
+               BOOL_AND(o_totalprice > 0) AS all_positive,
+               BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+               BOOL_AND(o_custkey IS NOT NULL) AS all_keyed
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def agg_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean / conditional aggregate family (§2.B-4 surface
+    completion): `count_if`, `bool_and` (ANSI EVERY), `bool_or` (ANSI
+    ANY) — the data-quality assertion rollup ("are ALL prices
+    positive, does ANY order flag urgent, how many exceed the
+    threshold") expressed first-class instead of via
+    SUM(CASE WHEN ...) scaffolding. `agg_argmax` covers the
+    which-row forms (max_by/min_by); this covers the predicate forms.
+
+    All five aggregates are condition-only — no float arithmetic
+    crosses engines (the compared doubles are raw parquet values) —
+    so results are exactly hashable with no rounding policy needed.
+
+    Plan: ONE map-side-combining hash agg over status cardinality;
+    boolean partials are single bytes on the wire."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bool_and(F.col("o_custkey").isNotNull()).alias("all_keyed"),
+    )

@@ -170,13 +170,14 @@ DRIVER_ORDER = [
     "events_active_users",
     "agg_moments",
     "stream_enrich_static",
+    "agg_predicates",
     # -- refreshes: oldest driver signal (r5) fills the window --
     "multimodal_resize",
     "udtf_python_arrow",
     "dedup_minhash",
     "dedup_clusters",
+    # -- displaced from the r8 window by the 21 r8-born ids; r9 queue --
     "dedup_simhash",
-    # -- displaced from the r8 window by the 20 r8-born ids; r9 queue --
     "sim_ann_ivf",
     "pack_sequences",
     "curate_corpus",
