@@ -448,3 +448,77 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({d} AS BIGINT)").alias("ewma_den"),
         F.expr(f"CAST(({n}) div ({d}) AS BIGINT)").alias("ewma_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# rollup_incremental — incremental aggregate maintenance (round 8)
+# --------------------------------------------------------------------------
+
+# The "already materialized" horizon: event days strictly before this
+# epoch-day are the existing aggregate table; the day(s) at/after it
+# are the newly-arrived partition being folded in.
+_RI_CUT_DAY = 19_750  # 2024-01-28
+
+
+@register(
+    "rollup_incremental",
+    tags=("b4",),
+    oracle=f"""
+        -- the invariant being demonstrated: merging the pre-computed
+        -- aggregate with the new partition's partials must equal the
+        -- full recompute — so the oracle IS the full recompute.
+        SELECT epoch_us(ts) // 86400000000 AS epoch_day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance — the REFRESH
+    step of a continuous aggregate (`rollup_hypertable`'s companion):
+    a daily (day, event_type) aggregate table already exists for the
+    history; a new day's partition arrives; the engine folds ONLY the
+    new partition's partials into the existing aggregate instead of
+    recomputing history. Correctness rests on the aggregates being
+    associative & re-aggregable (counts and exact integer cent sums —
+    the same property `agg_bitmap_distinct`/`agg_sketch_merge` provide
+    for distinct counts), which the oracle PROVES by full recompute:
+    merged-incremental must hash-equal the from-scratch answer.
+
+    Plan/scale: the "existing" side aggregates only pre-horizon days
+    (in production: read back from the materialized table — zero
+    recompute; simulated here by date-sliced aggregation of the same
+    source), the delta side aggregates only the new partition (
+    partition-pruned scan), and the merge is one re-agg over
+    day×type cardinality rows — history is never rescanned. This is
+    the batch mirror of `stream_cdc_upsert`'s merge discipline,
+    applied to additive aggregates."""
+    ev = table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("epoch_day"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def day_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("epoch_day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+    existing = day_agg(ev.filter(F.col("epoch_day") < _RI_CUT_DAY))
+    delta = day_agg(ev.filter(F.col("epoch_day") >= _RI_CUT_DAY))
+    # merge: re-aggregate the union of partials (same-key rows can
+    # only collide if a day straddles the horizon, which the slice
+    # prevents — but the re-agg keeps the merge correct even if a
+    # late-arriving partial lands for an existing day).
+    return (
+        existing.unionAll(delta)
+        .groupBy("epoch_day", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )

@@ -171,12 +171,13 @@ DRIVER_ORDER = [
     "agg_moments",
     "stream_enrich_static",
     "agg_predicates",
+    "rollup_incremental",
     # -- refreshes: oldest driver signal (r5) fills the window --
     "multimodal_resize",
     "udtf_python_arrow",
     "dedup_minhash",
+    # -- displaced from the r8 window by the 22 r8-born ids; r9 queue --
     "dedup_clusters",
-    # -- displaced from the r8 window by the 21 r8-born ids; r9 queue --
     "dedup_simhash",
     "sim_ann_ivf",
     "pack_sequences",
