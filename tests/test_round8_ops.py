@@ -470,3 +470,26 @@ def test_agg_moments_matches_numpy(spark, sf_dir, duck):
         assert math.isclose(
             r.excess_kurtosis, m4 / m2 ** 2 - 3, rel_tol=1e-6
         )
+
+
+# --------------------------------------------------------------------------
+# rollup_incremental
+# --------------------------------------------------------------------------
+
+
+def test_rollup_incremental_horizon_actually_splits(spark, sf_dir, duck):
+    """The demonstrated invariant (merged == full recompute) is only
+    meaningful if BOTH sides of the horizon are non-empty — pin that
+    the fixture straddles the cut day, and that the merged output
+    equals the full recompute row-for-row."""
+    rows = SPECS["rollup_incremental"].fn(spark, sf_dir).collect()
+    days = {r.epoch_day for r in rows}
+    assert any(d < 19_750 for d in days) and any(d >= 19_750 for d in days)
+    exp = {
+        (d, t): (n, s)
+        for d, t, n, s in duck.execute(
+            "SELECT epoch_us(ts) // 86400000000, event_type, COUNT(*),"
+            " SUM(CAST(ROUND(value*100) AS BIGINT)) FROM events GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert {(r.epoch_day, r.event_type): (r.n, r.sum_cents) for r in rows} == exp
