@@ -52,6 +52,12 @@ def __getattr__(name: str):
             "nchu_bigdata_spark.operators.dedup",
             "simhash_pairs",
         ),
+        # round 8
+        "compression_ratio": (
+            "nchu_bigdata_spark.operators.text",
+            "compression_ratio",
+        ),
+        "shingle_set": ("nchu_bigdata_spark.operators.dedup", "shingle_set"),
     }
     if name in lazy:
         import importlib
@@ -75,6 +81,8 @@ __all__ = [
     "run_events_stream_to_parquet",
     "pii_scrub",
     "simhash_pairs",
+    "compression_ratio",
+    "shingle_set",
 ]
 
 __version__ = "0.1.0"
