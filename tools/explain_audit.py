@@ -250,6 +250,58 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     "stream_tumbling": ([r"HashAggregate"], []),
     # top-k must be TakeOrderedAndProject, not a global sort
     "sort_limit": ([r"TakeOrderedAndProject"], []),
+    # ---- round 8 ----
+    # blocked levenshtein: composite-key equi HASH join (prefix,
+    # length); the verify is codegen'd levenshtein riding the join —
+    # never a nested loop over the title pair space
+    "dedup_edit_distance": (
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"levenshtein"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
+    # containment shares the jaccard machinery: checkpointed shingle
+    # tables + equi joins only
+    "dedup_containment": (
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"Scan ExistingRDD"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
+    # OOV scoring: the vocabulary must BROADCAST into the token stream
+    # (the corpus side is never shuffled for the lookup)
+    "tokenize_vocab_coverage": ([r"BroadcastHashJoin"], []),
+    # quantified ALL/ANY: the decorrelated per-key agg + ONE equi join —
+    # per-row subquery re-execution is exactly what must not happen
+    "sub_any_all": (
+        [r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
+    # null-safe join plans as an ordinary hash join (NULL hashes to a
+    # regular bucket) — the nested-loop fallback would be a plan bug
+    "join_null_safe": (
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
+    # per-user window chains: hash-partitioned per-key sorts, never a
+    # global range sort
+    "win_running_distinct": ([r"Window", r"hashpartitioning"], [r"rangepartitioning"]),
+    "win_rolling_median": ([r"Window", r"hashpartitioning"], [r"rangepartitioning"]),
+    "ts_ewma": ([r"Window", r"hashpartitioning"], [r"rangepartitioning"]),
+    # sketch top-k: the exact side must compile to the WindowGroupLimit
+    # heap (per-task pre-truncation before the exchange)
+    "agg_approx_topk": ([r"WindowGroupLimit"], []),
+    # active users: constant 7x contribution explode (Generate) over
+    # the deduped user-day table + hash aggs
+    "events_active_users": ([r"Generate", r"HashAggregate"], []),
+    # column statistics: the multi-distinct set compiles to ONE Expand
+    # pass, not per-column rescans
+    "stats_profile": ([r"Expand", r"HashAggregate"], []),
+    # stream-static enrichment: the static dim must broadcast
+    "stream_enrich_static": ([r"BroadcastHashJoin"], []),
+    # additive-aggregate maintenance: partials merge through a Union
+    # into one re-agg — history is never re-joined
+    "rollup_incremental": ([r"Union", r"HashAggregate"], []),
+    "graph_degree_distribution": ([r"HashAggregate"], []),
+    "agg_moments": ([r"HashAggregate"], []),
+    "agg_predicates": ([r"HashAggregate"], []),
+    "events_ab_test": ([r"HashAggregate"], []),
 }
 
 
