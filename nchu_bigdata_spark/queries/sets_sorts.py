@@ -222,3 +222,69 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("yk").cast("long").alias("y_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# topk_percent — top-N% per group (round 8)
+# --------------------------------------------------------------------------
+
+_TKP_BP = 1_000  # keep the top 10% (1000 basis points) per group
+
+
+@register(
+    "topk_percent",
+    tags=("b6",),
+    oracle=f"""
+        -- fraction-based top-k: keep rows whose rank is within 10% of
+        -- the group size (ceiling semantics: rank*10000 <= n*1000
+        -- flips to CEIL via the <= on integers; at least rank 1 always
+        -- qualifies in non-empty groups when n >= 10... pinned
+        -- exactly by the integer cross-multiply, no float percent).
+        SELECT o_custkey, o_orderkey, o_totalprice, rnk, n_orders
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS INT) AS rnk,
+                   CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+                       AS n_orders
+            FROM orders
+        ) t
+        WHERE CAST(rnk AS HUGEINT) * 10000 <= CAST(n_orders AS HUGEINT)
+              * {_TKP_BP}
+    """,
+)
+def topk_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-PERCENT per group (each customer's top 10% orders by
+    value) — the fraction-based sibling of ``topk_per_group``: the cut
+    adapts to group size, which is what "review the top decile of
+    every account" actually means. The qualifying test is the exact
+    integer cross-multiply ``rnk·10⁴ ≤ n·1000`` (floor-of-fraction
+    semantics, no float percent to straddle; groups smaller than 10
+    keep nothing — the strict decile, pinned in the unit suite).
+
+    Plan/scale: row_number and the group-size count share ONE
+    partition key and one sort ⇒ a single Window operator after one
+    hash exchange; per-group work is a cursor. Unlike fixed-k,
+    rank*fraction filters can't WindowGroupLimit-prune (the cut
+    depends on the full group size), so the full group crosses the
+    window — inherent to the semantics, still one shuffle."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wc = W.partitionBy("o_custkey")
+    ranked = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("int").alias("rnk"),
+        F.count(F.lit(1)).over(wc).alias("n_orders"),
+    )
+    return ranked.filter(
+        F.col("rnk").cast("decimal(38,0)") * 10000
+        <= F.col("n_orders").cast("decimal(38,0)") * _TKP_BP
+    )

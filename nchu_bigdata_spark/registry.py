@@ -172,11 +172,12 @@ DRIVER_ORDER = [
     "stream_enrich_static",
     "agg_predicates",
     "rollup_incremental",
+    "topk_percent",
     # -- refreshes: oldest driver signal (r5) fills the window --
     "multimodal_resize",
     "udtf_python_arrow",
+    # -- displaced from the r8 window by the 23 r8-born ids; r9 queue --
     "dedup_minhash",
-    # -- displaced from the r8 window by the 22 r8-born ids; r9 queue --
     "dedup_clusters",
     "dedup_simhash",
     "sim_ann_ivf",

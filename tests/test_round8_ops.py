@@ -493,3 +493,22 @@ def test_rollup_incremental_horizon_actually_splits(spark, sf_dir, duck):
         ).fetchall()
     }
     assert {(r.epoch_day, r.event_type): (r.n, r.sum_cents) for r in rows} == exp
+
+
+# --------------------------------------------------------------------------
+# topk_percent
+# --------------------------------------------------------------------------
+
+
+def test_topk_percent_decile_semantics(spark, sf_dir, duck):
+    rows = SPECS["topk_percent"].fn(spark, sf_dir).collect()
+    sizes = dict(
+        duck.execute("SELECT o_custkey, COUNT(*) FROM orders GROUP BY 1").fetchall()
+    )
+    from collections import Counter
+
+    kept = Counter(r.o_custkey for r in rows)
+    for ck, n in sizes.items():
+        assert kept.get(ck, 0) == n * 1000 // 10000  # floor decile
+    for r in rows:
+        assert r.rnk * 10000 <= r.n_orders * 1000

@@ -302,6 +302,9 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     "agg_moments": ([r"HashAggregate"], []),
     "agg_predicates": ([r"HashAggregate"], []),
     "events_ab_test": ([r"HashAggregate"], []),
+    # fraction top-k: one shared Window (rank + count on one sort),
+    # hash-partitioned — never a global range sort
+    "topk_percent": ([r"Window", r"hashpartitioning"], [r"rangepartitioning"]),
 }
 
 
