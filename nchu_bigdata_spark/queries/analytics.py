@@ -605,3 +605,74 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.join(rolling, "d")
         .select(F.col("d").alias("epoch_day"), "dau", "wau7")
     )
+
+
+# --------------------------------------------------------------------------
+# events_gap_detect — per-user activity-gap profile (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_gap_detect",
+    tags=("b11",),
+    oracle="""
+        -- classic sequence-gap detection over per-user active DAYS:
+        -- span vs distinct actives gives missing days; the largest
+        -- single gap comes from lag over the per-user day sequence.
+        -- integer epoch-micros day bucketing (the active_users policy).
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS d
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, d,
+                   d - lag(d) OVER (PARTITION BY user_id ORDER BY d) - 1
+                       AS gap
+            FROM ud
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_days_active,
+               CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n_days_span,
+               CAST(MAX(d) - MIN(d) + 1 - COUNT(*) AS BIGINT)
+                   AS n_days_missing,
+               CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days
+        FROM g
+        GROUP BY user_id
+    """,
+)
+def events_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-GAP profile: active days, calendar span,
+    missing days inside the span, and the largest single gap — the
+    sequence-completeness / data-quality diagnostic (sensor dropouts,
+    churn-risk dormancy windows, missing ingestion days) that
+    complements ``events_active_users``'s corpus-level curves with a
+    per-entity view.
+
+    Day arithmetic is integer epoch-micros division (the
+    `events_active_users` policy — float epoch banned); the gap column
+    is a single lag over the per-user day sequence, so both engines
+    compute identical integers end-to-end.
+
+    Plan/scale: one (user, day) dedup shuffle (map-side combined),
+    one user-keyed window sort over DAY-cardinality rows (not raw
+    events), one hash agg on the same key — the window and the agg
+    share the user partitioning, so AQE plans a single effective
+    exchange for both."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = ud.withColumn("gap", F.col("d") - F.lag("d").over(w) - 1)
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days_active"),
+        (F.max("d") - F.min("d") + 1).cast("long").alias("n_days_span"),
+        (F.max("d") - F.min("d") + 1 - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_days_missing"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_days"),
+    )

@@ -173,10 +173,11 @@ DRIVER_ORDER = [
     "agg_predicates",
     "rollup_incremental",
     "topk_percent",
+    "events_gap_detect",
     # -- refreshes: oldest driver signal (r5) fills the window --
     "multimodal_resize",
+    # -- displaced from the r8 window by the 24 r8-born ids; r9 queue --
     "udtf_python_arrow",
-    # -- displaced from the r8 window by the 23 r8-born ids; r9 queue --
     "dedup_minhash",
     "dedup_clusters",
     "dedup_simhash",

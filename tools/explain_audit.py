@@ -305,6 +305,7 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # fraction top-k: one shared Window (rank + count on one sort),
     # hash-partitioned — never a global range sort
     "topk_percent": ([r"Window", r"hashpartitioning"], [r"rangepartitioning"]),
+    "events_gap_detect": ([r"Window", r"HashAggregate"], [r"rangepartitioning"]),
 }
 
 
