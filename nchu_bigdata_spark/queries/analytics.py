@@ -676,3 +676,116 @@ def events_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_days_missing"),
         F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_inter_arrival — inter-event-time profile (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_inter_arrival",
+    tags=("b11",),
+    oracle="""
+        -- burstiness profile: gaps between consecutive SAME-(user,
+        -- type) events, summarized per type with exact integer order
+        -- statistics: med2 = sum of the two middle gaps (2x median,
+        -- no .5 float - the win_rolling_median policy) and p90 as the
+        -- ceil-rank order statistic. All micros integers end-to-end.
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, gap_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY gap_us
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM g WHERE gap_us IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_gaps,
+               CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(SUM(CASE WHEN rk = (n + 1) // 2
+                              OR rk = n // 2 + 1
+                             THEN gap_us ELSE 0 END)
+                    * CASE WHEN (MAX(n) + 1) // 2 = MAX(n) // 2 + 1
+                           THEN 2 ELSE 1 END
+                    AS BIGINT) AS med2_gap_us,
+               CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10
+                             THEN gap_us END) AS BIGINT) AS p90_gap_us
+        FROM r
+        GROUP BY event_type
+    """,
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type: exact min / median /
+    p90 / max of the gaps between consecutive same-(user, type)
+    events — the burstiness diagnostic behind rate-limit tuning, bot
+    detection (impossibly small p50), and session-gap calibration
+    (``stream_session``'s 30-minute gap should sit far above p90).
+
+    Exactness: gaps are integer MICROSECONDS from one lag window;
+    median is emitted as ``med2`` (sum of the two middle order
+    statistics — 2× median, never a .5 float; `win_rolling_median`'s
+    policy) and p90 as the ceil-rank single order statistic — no
+    interpolation arithmetic at all, both engines pick identical
+    integers. (The odd-n case doubles the single middle gap so med2
+    is always 2× the median.)
+
+    Plan/scale: one (user, type)-keyed lag window over the raw stream
+    (bounded per-key groups), then the `agg_percentile_exact` shape:
+    type-partitioned window ranks — each type's gap population sorts
+    in parallel after ONE hash exchange, never a global sort — and a
+    final ≤types-row hash agg."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wl)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    wn = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med_pick = F.when(
+        (F.col("rk") == F.expr("(n + 1) div 2"))
+        | (F.col("rk") == F.expr("n div 2 + 1")),
+        F.col("gap_us"),
+    ).otherwise(0)
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        (
+            F.sum(med_pick)
+            * F.expr(
+                "CASE WHEN (max(n) + 1) div 2 = max(n) div 2 + 1"
+                " THEN 2 ELSE 1 END"
+            )
+        )
+        .cast("long")
+        .alias("med2_gap_us"),
+        F.max(
+            F.when(
+                F.col("rk") == F.expr("(9 * n + 9) div 10"),
+                F.col("gap_us"),
+            )
+        )
+        .cast("long")
+        .alias("p90_gap_us"),
+    )

@@ -174,9 +174,10 @@ DRIVER_ORDER = [
     "rollup_incremental",
     "topk_percent",
     "events_gap_detect",
-    # -- refreshes: oldest driver signal (r5) fills the window --
+    "events_inter_arrival",
+    # -- displaced from the r8 window by the 25 r8-born ids (the
+    #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",
-    # -- displaced from the r8 window by the 24 r8-born ids; r9 queue --
     "udtf_python_arrow",
     "dedup_minhash",
     "dedup_clusters",

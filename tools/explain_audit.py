@@ -306,6 +306,7 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # hash-partitioned — never a global range sort
     "topk_percent": ([r"Window", r"hashpartitioning"], [r"rangepartitioning"]),
     "events_gap_detect": ([r"Window", r"HashAggregate"], [r"rangepartitioning"]),
+    "events_inter_arrival": ([r"Window", r"HashAggregate"], [r"rangepartitioning"]),
 }
 
 
