@@ -500,13 +500,18 @@ def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     j = c.join(ext, c.c_custkey == ext.o_custkey, "left")
+    # The empty-set branch keys on the JOIN MISS (o_custkey null), not
+    # on the comparison being null: a NULL c_acctbal with existing
+    # orders must stay NULL (ANSI: NULL > ALL (non-empty) is NULL),
+    # which a bare COALESCE(cmp, TRUE) would silently flip to TRUE.
+    no_orders = F.col("o_custkey").isNull()
     return j.select(
         "c_custkey",
         F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acct_cents"),
-        F.coalesce(
-            F.col("c_acctbal") > F.col("max_total"), F.lit(True)
-        ).alias("gt_all_orders"),
-        F.coalesce(
-            F.col("c_acctbal") > F.col("min_total"), F.lit(False)
-        ).alias("gt_any_order"),
+        F.when(no_orders, F.lit(True))
+        .otherwise(F.col("c_acctbal") > F.col("max_total"))
+        .alias("gt_all_orders"),
+        F.when(no_orders, F.lit(False))
+        .otherwise(F.col("c_acctbal") > F.col("min_total"))
+        .alias("gt_any_order"),
     )
