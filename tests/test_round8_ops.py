@@ -512,3 +512,55 @@ def test_topk_percent_decile_semantics(spark, sf_dir, duck):
         assert kept.get(ck, 0) == n * 1000 // 10000  # floor decile
     for r in rows:
         assert r.rnk * 10000 <= r.n_orders * 1000
+
+
+# --------------------------------------------------------------------------
+# events_gap_detect / events_inter_arrival
+# --------------------------------------------------------------------------
+
+
+def test_gap_detect_python_replay(spark, sf_dir, duck):
+    rows = {r.user_id: r for r in SPECS["events_gap_detect"].fn(spark, sf_dir).collect()}
+    uds = duck.execute(
+        "SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    days = defaultdict(list)
+    for u, d in uds:
+        days[u].append(d)
+    for u, ds in days.items():
+        ds.sort()
+        span = ds[-1] - ds[0] + 1
+        gaps = [b - a - 1 for a, b in zip(ds, ds[1:])]
+        r = rows[u]
+        assert (r.n_days_active, r.n_days_span, r.n_days_missing) == (
+            len(ds), span, span - len(ds),
+        )
+        assert r.max_gap_days == (max(gaps) if gaps else 0)
+
+
+def test_inter_arrival_python_replay(spark, sf_dir, duck):
+    rows = {r.event_type: r for r in
+            SPECS["events_inter_arrival"].fn(spark, sf_dir).collect()}
+    ev = duck.execute(
+        "SELECT user_id, event_type, epoch_us(ts), event_id FROM events"
+        " ORDER BY user_id, event_type, 3, 4"
+    ).fetchall()
+    from collections import defaultdict
+
+    gaps = defaultdict(list)
+    prev = {}
+    for u, t, us, eid in ev:
+        k = (u, t)
+        if k in prev:
+            gaps[t].append(us - prev[k])
+        prev[k] = us
+    for t, g in gaps.items():
+        g.sort()
+        n = len(g)
+        r = rows[t]
+        med2 = g[(n + 1) // 2 - 1] + g[n // 2]
+        assert (r.n_gaps, r.min_gap_us, r.max_gap_us) == (n, g[0], g[-1])
+        assert r.med2_gap_us == med2
+        assert r.p90_gap_us == g[(9 * n + 9) // 10 - 1]
