@@ -515,3 +515,69 @@ def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_acctbal") > F.col("min_total"))
         .alias("gt_any_order"),
     )
+
+
+# --------------------------------------------------------------------------
+# sub_division — relational division (the "FOR ALL" query) (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sub_division",
+    tags=("b11",),
+    oracle="""
+        -- relational division: customers whose orders span EVERY
+        -- order priority present in the corpus (Codd's ÷ operator,
+        -- the classic "suppliers who supply ALL parts" shape). The
+        -- divisor cardinality comes from the data itself, so the
+        -- query stays correct if the domain grows.
+        WITH tot AS (
+            SELECT COUNT(DISTINCT o_orderpriority) AS t FROM orders
+        ),
+        per AS (
+            SELECT o_custkey,
+                   COUNT(DISTINCT o_orderpriority) AS np,
+                   COUNT(*) AS n
+            FROM orders
+            GROUP BY o_custkey
+        )
+        SELECT per.o_custkey AS custkey,
+               CAST(per.n AS BIGINT) AS n_orders,
+               CAST(per.np AS BIGINT) AS n_priorities
+        FROM per, tot
+        WHERE per.np = tot.t
+    """,
+)
+def sub_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — the quantified "FOR ALL" join: customers
+    whose orders cover EVERY ``o_orderpriority`` value present in the
+    corpus. Completes the §2.B-11 subquery family (EXISTS / IN /
+    scalar / LATERAL / ANY-ALL / recursive) with Codd's ÷, the one
+    classical relational operator with no direct SQL keyword.
+
+    Division reduces to set-cover counting: per-divisee distinct-count
+    of the divisor attribute equals the global divisor cardinality.
+    Both engines compute pure integer counts — no floats cross the
+    comparison.
+
+    Plan/scale: one map-side-combined distinct-agg on o_custkey, one
+    1-row global distinct-agg broadcast-cross-joined in (the
+    sanctioned ≤1-row broadcast pattern, never a driver collect), one
+    codegen'd filter. At 100 TB the per-customer agg collapses orders
+    to customer cardinality before the 1-row comparison; no second
+    pass over the fact table."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("np"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = o.agg(F.countDistinct("o_orderpriority").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .where(F.col("np") == F.col("t"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("np").cast("long").alias("n_priorities"),
+        )
+    )
