@@ -1236,3 +1236,56 @@ def agg_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.bool_and(F.col("o_custkey").isNotNull()).alias("all_keyed"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_string_agg — ordered string aggregation / LISTAGG (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_string_agg",
+    tags=("b4",),
+    oracle="""
+        -- ANSI LISTAGG / string_agg: the distinct order priorities
+        -- seen per order status, concatenated in a DECLARED order
+        -- (alphabetical) so the string is a deterministic value, not
+        -- an arrival-order artifact.
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ','
+                          ORDER BY o_orderpriority) AS priorities_csv,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+                   AS n_priorities,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (ANSI ``LISTAGG`` / Postgres
+    ``string_agg``): per order status, the alphabetized CSV of
+    distinct order priorities plus distinct/row counts. The
+    string-valued aggregate family — denormalized labels, audit
+    trails, feature hashing inputs — that SUM/AVG queries can't cover.
+
+    Determinism is the whole design: concatenation order is DECLARED
+    (``array_sort`` engine-side, ``ORDER BY`` inside the oracle's
+    ``string_agg``), never the nondeterministic arrival order a bare
+    ``collect_list`` would expose — the same policy as
+    ``fn_array``'s sorted set exports.
+
+    Plan/scale: ``collect_set`` partials are bounded by the DOMAIN
+    cardinality (5 priorities), not group size, so map-side combine
+    ships ≤5-element sets per partition per group; the sort runs on
+    those tiny arrays after the final agg. One shuffle, O(cells·domain)
+    state — safe at any fact-table scale with a bounded label domain
+    (the universal LISTAGG caveat: an UNBOUNDED domain makes the
+    output string itself the scale problem, whatever the engine)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("o_orderpriority"))
+        ).alias("priorities_csv"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )

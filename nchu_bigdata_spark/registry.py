@@ -178,6 +178,7 @@ DRIVER_ORDER = [
     # -- born late in round 8 (after the 50-window filled): first in
     #    line for the round-9 rotation --
     "sub_division",
+    "agg_string_agg",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",
