@@ -359,3 +359,54 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("rest")
         .alias("line_class"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_hash — cryptographic hash function family + hash routing (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fn_hash",
+    tags=("b7",),
+    oracle="""
+        -- cross-engine hash family: md5 / sha256 over UTF-8 text are
+        -- byte-identical standards, so the hex digests — and any
+        -- routing derived from them — agree exactly. route256 is the
+        -- storage-sharding idiom (first digest byte as hex), the
+        -- engine-portable alternative to murmur3-style hash() which
+        -- no two engines implement alike.
+        SELECT doc_id,
+               md5(text) AS md5_hex,
+               sha256(text) AS sha256_hex,
+               substr(md5(text), 1, 2) AS route256,
+               md5(text) = md5(lower(text)) AS case_invariant
+        FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash function family (§2.B-7): MD5 and SHA-256
+    hex digests over document text, plus the two idioms built on them —
+    content-addressed ROUTING (first digest byte = 256-way shard key)
+    and change detection (is the digest invariant under a normalizing
+    transform?).
+
+    These are the only hash functions that are PORTABLE across
+    engines: md5/sha2 are byte-standards over UTF-8, while the fast
+    non-cryptographic hashes (Spark's murmur3 ``hash()``/``xxhash64``,
+    DuckDB's ``hash()``) differ per engine and may differ per version —
+    the engine keeps those for internal shuffles only, never in stored
+    output (the dedup modules' documented key policy).
+
+    Plan/scale: pure projection — zero shuffles, whole-stage codegen'd
+    JVM digest calls (no Python); at 100 TB this is scan-bound, and
+    the route256 column is exactly what a downstream partitioned
+    writer needs for balanced 256-way content-addressed layout."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.substring(F.md5("text"), 1, 2).alias("route256"),
+        (F.md5("text") == F.md5(F.lower("text"))).alias("case_invariant"),
+    )

@@ -179,6 +179,7 @@ DRIVER_ORDER = [
     #    line for the round-9 rotation --
     "sub_division",
     "agg_string_agg",
+    "fn_hash",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",
