@@ -88,3 +88,137 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     ).select("col_name", "n", "n_null", "ndv", "min_key", "max_key")
+
+
+# --------------------------------------------------------------------------
+# dq_constraints — declarative data-quality constraint audit (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_constraints",
+    tags=("b4",),
+    oracle="""
+        -- constraint audit as data: one row per declared constraint
+        -- with its violation count — the dbt-test / Deequ / CHECK
+        -- CONSTRAINT surface every warehouse load gate runs.
+        SELECT 'orders_pk_unique' AS check_name,
+               CAST((SELECT COUNT(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1
+               )) AS BIGINT) AS n_violations,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_checked
+        UNION ALL
+        SELECT 'orders_fk_customer',
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE o.o_custkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey)
+               ) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_fk_orders',
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey)
+               ) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'orders_status_domain',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+                        OR o_orderstatus IS NULL) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_qty_range',
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_quantity IS NULL
+                        OR l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'customer_acctbal_notnull',
+               CAST((SELECT COUNT(*) FROM customer
+                     WHERE c_acctbal IS NULL) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    """,
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint audit — the dbt-test /
+    Deequ / ANSI CHECK surface: PRIMARY-KEY uniqueness, two
+    FOREIGN-KEY orphan checks, a domain (enum) check, a numeric range
+    check, and a NOT NULL check, reported as a tidy (check, violations,
+    checked) table a load gate can assert on. Constraint checking is a
+    first-class engine capability — warehouses refuse loads on it —
+    distinct from `stats_profile`'s descriptive statistics.
+
+    Determinism: every output is a pure integer COUNT — nothing
+    float-valued crosses engines.
+
+    Plan/scale: the PK check is one map-side-combined agg on the key;
+    each FK check is ONE left-anti hash join (dimension side
+    broadcast-able; at 100 TB the fact table streams through without
+    a second pass); domain/range/null checks fold into conditional
+    aggs over single scans. The final union is 6 literal-sized rows.
+    count_if over one scan per table keeps the audit at 3 table scans
+    + 2 joins total, independent of constraint count per table."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+
+    n_orders = o.agg(F.count(F.lit(1)).alias("n"))
+    n_li = li.agg(F.count(F.lit(1)).alias("n"))
+    n_cust = c.agg(F.count(F.lit(1)).alias("n"))
+
+    pk_dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    fk_orders = (
+        o.where(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(c.select("c_custkey")),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    fk_li = (
+        li.join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    dom = o.agg(
+        F.count_if(
+            ~F.col("o_orderstatus").isin("F", "O", "P")
+            | F.col("o_orderstatus").isNull()
+        ).alias("v")
+    )
+    rng = li.agg(
+        F.count_if(
+            F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50)
+        ).alias("v")
+    )
+    nn = c.agg(F.count_if(F.col("c_acctbal").isNull()).alias("v"))
+
+    def row(name: str, viol: DataFrame, tot: DataFrame) -> DataFrame:
+        return (
+            viol.crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(name).alias("check_name"),
+                F.col("v").cast("long").alias("n_violations"),
+                F.col("n").cast("long").alias("n_checked"),
+            )
+        )
+
+    return (
+        row("orders_pk_unique", pk_dup, n_orders)
+        .unionAll(row("orders_fk_customer", fk_orders, n_orders))
+        .unionAll(row("lineitem_fk_orders", fk_li, n_li))
+        .unionAll(row("orders_status_domain", dom, n_orders))
+        .unionAll(row("lineitem_qty_range", rng, n_li))
+        .unionAll(row("customer_acctbal_notnull", nn, n_cust))
+    )
