@@ -789,3 +789,76 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_seasonality — day-of-week × hour-of-day activity matrix (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonality",
+    tags=("b11",),
+    oracle="""
+        -- seasonality heatmap: per-type activity by (day-of-week,
+        -- hour-of-day) with each cell's share of the type's total in
+        -- exact integer basis points. Calendar buckets are pure epoch
+        -- integer arithmetic (day 0 = 1970-01-01 = Thursday; dow 0 =
+        -- Sunday), immune to both engines' TZ/locale week rules.
+        WITH c AS (
+            SELECT event_type,
+                   CAST((epoch_us(ts) // 86400000000 + 4) % 7
+                        AS BIGINT) AS dow,
+                   CAST((epoch_us(ts) % 86400000000) // 3600000000
+                        AS BIGINT) AS hod,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY 1, 2, 3
+        )
+        SELECT event_type, dow, hod,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(n * 10000 //
+                    SUM(n) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS share_bp
+        FROM c
+    """,
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: the day-of-week × hour-of-day activity
+    matrix per event type, each cell carrying its share of the type's
+    traffic in exact integer basis points — capacity planning, bot
+    cadence detection, and send-time optimization all read this
+    heatmap.
+
+    Calendar bucketing is integer epoch arithmetic end-to-end (the
+    `events_gap_detect` day policy, extended with the epoch-Thursday
+    dow offset): no engine week-start/locale/TZ rule can diverge, and
+    the share is the floor cross-multiply `n·10⁴ div total` — both
+    engines integer-divide, no float share to straddle.
+
+    Plan/scale: one map-side-combined hash agg collapses the stream to
+    ≤ types·7·24 cells; the share window runs over that literal-sized
+    cell table, not raw events. One real shuffle at any scale."""
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "(unix_micros(ts) div 86400000000 + 4) % 7"
+            ).alias("dow"),
+            F.expr(
+                "(unix_micros(ts) % 86400000000) div 3600000000"
+            ).alias("hod"),
+        )
+        .groupBy("event_type", "dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.select(
+        "event_type",
+        F.col("dow").cast("long"),
+        F.col("hod").cast("long"),
+        F.col("n").cast("long").alias("n_events"),
+        F.expr("n * 10000 div sum(n) over (partition by event_type)")
+        .cast("long")
+        .alias("share_bp"),
+    )
