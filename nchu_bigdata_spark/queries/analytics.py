@@ -862,3 +862,108 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_attribution — last-touch conversion attribution (round 8)
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # last-touch lookback
+
+
+@register(
+    "events_attribution",
+    tags=("b11",),
+    oracle="""
+        -- last-touch attribution: each purchase credits the most
+        -- recent PRECEDING non-purchase event by the same user within
+        -- a 24h lookback, else the 'direct' channel. The two
+        -- IGNORE-NULLS last_value calls share one CASE condition, so
+        -- they read the same touch row; (ts, event_id) ordering makes
+        -- equal-timestamp sequences deterministic.
+        WITH t AS (
+            SELECT user_id, event_type, value,
+                   epoch_us(ts) AS us,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER w AS touch_us,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER w AS touch_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+        )
+        SELECT CASE WHEN touch_us IS NULL
+                      OR us - touch_us > 86400000000
+                    THEN 'direct' ELSE touch_type END AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM t
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH conversion attribution — the marketing-analytics
+    staple: every purchase credits the user's most recent preceding
+    non-purchase event inside a 24h lookback, falling back to the
+    'direct' channel; rollup = conversions + exact-cents revenue per
+    channel.
+
+    The touch row is recovered with two IGNORE-NULLS ``last`` calls
+    over ONE shared predicate and frame (rows unbounded-preceding →
+    1-preceding), so timestamp and type always come from the same
+    event; (ts, event_id) ordering pins equal-timestamp runs, and the
+    lookback compares integer epoch micros. Revenue sums
+    round-to-cents BIGINTs — the events_rfm money policy — so no
+    float crosses the engines.
+
+    Plan/scale: one user-keyed window sort (the inherent cost of
+    sequence attribution) feeding a tiny channel-cardinality hash agg;
+    no self-join of the event stream against itself (the naive
+    formulation is events×events per user). At 100 TB the window
+    shuffles each user's events once — same key a sessionizer already
+    uses, so AQE shares the exchange with upstream event pipelines."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    t = ev.select(
+        "event_type",
+        "value",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.last(
+            F.when(non_purchase, F.expr("unix_micros(ts)")), ignorenulls=True
+        )
+        .over(w)
+        .alias("touch_us"),
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    return (
+        t.where(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("touch_us").isNull()
+                | (F.col("us") - F.col("touch_us") > _ATTR_WINDOW_US),
+                F.lit("direct"),
+            )
+            .otherwise(F.col("touch_type"))
+            .alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
