@@ -1388,3 +1388,70 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_prefix — normalized-prefix blocking (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_prefix",
+    tags=("b10",),
+    oracle=r"""
+        -- prefix blocking: md5 over the first 64 chars of the
+        -- whitespace-normalized lowercase text. Catches boilerplate
+        -- openings and near-dups with divergent tails that full-text
+        -- hashing (dedup_exact) misses, at exactly the same cost.
+        WITH k AS (
+            SELECT doc_id,
+                   md5(substr(trim(regexp_replace(lower(text),
+                                                  '\s+', ' ', 'g')),
+                              1, 64)) AS prefix_key
+            FROM documents
+        )
+        SELECT prefix_key,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS keep_doc_id,
+               MAX(doc_id) AS max_doc_id
+        FROM k
+        GROUP BY prefix_key
+        HAVING COUNT(*) > 1
+    """,
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-PREFIX duplicate blocking: hash the first 64
+    characters of the lowercased, whitespace-collapsed text and report
+    every bucket holding more than one document. The standard cheap
+    pre-filter in corpus pipelines — catches shared boilerplate
+    openings and near-duplicates whose tails diverge, which full-text
+    hashing (``dedup_exact``) is blind to, at the identical
+    one-hash-agg cost; survivors feed the expensive MinHash/Jaccard
+    verifiers (``dedup_minhash``, ``dedup_ngram_jaccard``).
+
+    Normalization is engine-portable by construction: ``lower`` +
+    ``regexp_replace('\\s+', ' ')`` (Spark replaces all matches by
+    default; the oracle passes the 'g' flag) + ``trim`` + ``substr``,
+    then the md5 byte-standard — the ``fn_hash`` portability policy.
+
+    Plan/scale: one map-side-combined hash agg over 16-byte keys —
+    (key, count, min, max) partials only on the wire; the HAVING
+    filter prunes singleton buckets (the overwhelming mass) before
+    anything reaches the driver side of the topology."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.substring(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            1,
+            64,
+        )
+    )
+    return (
+        docs.groupBy(key.alias("prefix_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

@@ -183,6 +183,7 @@ DRIVER_ORDER = [
     "dq_constraints",
     "events_seasonality",
     "events_attribution",
+    "dedup_prefix",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",
