@@ -397,3 +397,96 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_degree",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# graph_neighbor_jaccard — per-edge neighborhood similarity (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_neighbor_jaccard",
+    tags=("graph",),
+    oracle=f"""
+        -- link-analysis staple: Jaccard similarity of the two
+        -- endpoints' neighbor sets for every edge (embeddedness /
+        -- tie-strength). Raw neighborhoods (endpoints included);
+        -- |N(u) ∪ N(v)| = du + dv − common ≥ 2, so the basis-point
+        -- floor division is always defined. Pure integers cross
+        -- engines.
+        WITH sym AS ({{edges}}),
+        half AS (SELECT u, v FROM sym WHERE u < v),
+        deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+                FROM sym GROUP BY u),
+        com AS (
+            SELECT e.u, e.v, CAST(COUNT(b.v) AS BIGINT) AS c
+            FROM half e
+            JOIN sym a ON a.u = e.u
+            LEFT JOIN sym b ON b.u = e.v AND b.v = a.v
+            GROUP BY e.u, e.v
+        )
+        SELECT com.u, com.v,
+               com.c AS common_neighbors,
+               du.d AS degree_u,
+               dv.d AS degree_v,
+               CAST(com.c * 10000 // (du.d + dv.d - com.c)
+                    AS BIGINT) AS jaccard_bp
+        FROM com
+        JOIN deg du ON du.u = com.u
+        JOIN deg dv ON dv.u = com.v
+    """.format(edges=_EDGES_SQL),
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge NEIGHBORHOOD Jaccard — the tie-strength / embeddedness
+    coefficient of link analysis (strong ties share neighbors, bridges
+    don't): for every co-purchase edge u<v, |N(u)∩N(v)| over
+    |N(u)∪N(v)| in exact basis points, with the raw degrees alongside.
+    Recommender candidate scoring and community-boundary detection
+    both read this table.
+
+    Exactness: neighborhoods are DISTINCT node sets, so intersection /
+    union sizes are integers; the score is the floor cross-multiply
+    ``c·10⁴ div (du+dv−c)`` (denominator ≥ 2 always — v∈N(u) keeps
+    the union non-empty), never a float ratio.
+
+    Plan/scale: adjacency collapses to one node→sorted-neighbor-set
+    table (ONE shuffle, map-side combined); each half-edge then takes
+    two build-side hash-join probes and a codegen'd
+    ``array_intersect`` — the dedup_ngram_jaccard hot-set pattern.
+    Work is Σ_edges(du+dv) = O(Σd²) wedge volume, the same inherent
+    bound as triangle counting; hub rows are single wide rows, not
+    row blow-ups, so AQE's skew splitter handles power-law tails."""
+    sym = _copurchase_edges(spark, sf_dir)
+    nbr = sym.groupBy("u").agg(
+        F.array_sort(F.collect_set("v")).alias("ns"),
+        F.count(F.lit(1)).alias("d"),
+    )
+    half = _copurchase_edges(spark, sf_dir, undirected=True)
+    a = nbr.select(
+        F.col("u").alias("au"), F.col("ns").alias("a_ns"),
+        F.col("d").alias("degree_u"),
+    )
+    b = nbr.select(
+        F.col("u").alias("bu"), F.col("ns").alias("b_ns"),
+        F.col("d").alias("degree_v"),
+    )
+    j = (
+        half.join(a, half.u == a.au)
+        .join(b, half.v == b.bu)
+        .select(
+            "u",
+            "v",
+            F.size(F.array_intersect("a_ns", "b_ns"))
+            .cast("long")
+            .alias("common_neighbors"),
+            F.col("degree_u").cast("long").alias("degree_u"),
+            F.col("degree_v").cast("long").alias("degree_v"),
+        )
+    )
+    return j.withColumn(
+        "jaccard_bp",
+        F.expr(
+            "common_neighbors * 10000 div "
+            "(degree_u + degree_v - common_neighbors)"
+        ).cast("long"),
+    )
