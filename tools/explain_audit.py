@@ -307,6 +307,37 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     "topk_percent": ([r"Window", r"hashpartitioning"], [r"rangepartitioning"]),
     "events_gap_detect": ([r"Window", r"HashAggregate"], [r"rangepartitioning"]),
     "events_inter_arrival": ([r"Window", r"HashAggregate"], [r"rangepartitioning"]),
+    # division: per-key distinct agg + 1-row broadcast comparison —
+    # broadcast nested loop over ONE row is the sanctioned cross shape
+    "sub_division": (
+        [r"HashAggregate", r"BroadcastHashJoin Cross|BroadcastNestedLoopJoin"],
+        [],
+    ),
+    # LISTAGG: one hash agg (collect_set partials), no window, no sort
+    # shuffle — the array sort is a projection over the final agg
+    "agg_string_agg": ([r"HashAggregate"], [r"Window", r"rangepartitioning"]),
+    # digest projection: zero exchanges — scan → project only
+    "fn_hash": ([r"Project"], [r"Exchange"]),
+    # constraint audit: FK checks must be anti HASH joins (dim side
+    # broadcast), never nested loops over the fact table
+    "dq_constraints": (
+        [r"LeftAnti", r"HashAggregate"],
+        [],
+    ),
+    "events_seasonality": ([r"HashAggregate", r"Window"], [r"rangepartitioning"]),
+    # attribution: ONE user-keyed window (hash-partitioned) + tiny agg;
+    # never an events×events self-join (no join at all in the plan)
+    "events_attribution": (
+        [r"Window", r"hashpartitioning\(user_id"],
+        [r"Join", r"rangepartitioning"],
+    ),
+    "dedup_prefix": ([r"HashAggregate"], [r"Window", r"Exchange hashpartitioning\(doc_id"]),
+    # neighbor jaccard: adjacency sets hash-join back to edges — the
+    # wedge work stays in equi hash joins, never a nested loop
+    "graph_neighbor_jaccard": (
+        [r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
