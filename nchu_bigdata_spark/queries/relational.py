@@ -604,3 +604,121 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("length").cast("long").alias("max_bytes"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# scan_nested_json — nested JSON ingestion (structs + array explode) (rd 8)
+# --------------------------------------------------------------------------
+
+_NESTED_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("value_cents", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "tags",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("tag", T.StringType()),
+                        T.StructField("ord", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+@register(
+    "scan_nested_json",
+    tags=("b1",),
+    oracle="""
+        -- the nested document is CONSTRUCTED from base columns, so the
+        -- oracle re-derives every extracted field directly: the check
+        -- proves the engine's to_json → scan → from_json → explode
+        -- chain inverts the construction exactly (the fn_url pattern,
+        -- applied to nested ingestion). Two tag rows per event: the
+        -- full type at ord 1, its initial at ord 2.
+        SELECT event_id,
+               user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+               event_type AS tag,
+               CAST(1 AS BIGINT) AS ord
+        FROM events
+        UNION ALL
+        SELECT event_id,
+               user_id,
+               CAST(ROUND(value * 100) AS BIGINT),
+               substr(event_type, 1, 1),
+               CAST(2 AS BIGINT)
+        FROM events
+    """,
+)
+def scan_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED JSON ingestion — the document-shaped source `scan_json`'s
+    flat schema can't express: structs inside structs plus an ARRAY of
+    structs per record, read back with an explicit nested schema and
+    flattened with a generator (`explode`) into one row per array
+    element. This is the API-payload / log-envelope shape (entity +
+    metadata object + repeated tag list) every ingestion layer meets.
+
+    The nested document is built from base columns (`to_json` over
+    nested `struct`/`array` constructors), written as JSON lines, and
+    re-read through ``_NESTED_SCHEMA`` — so the DuckDB oracle can
+    re-derive every extracted field from the base table and the check
+    proves the whole round-trip inverts the construction. Money rides
+    as integer cents (JSON doubles never cross engines).
+
+    Plan/scale: the explode is a generator INSIDE the scan stage (no
+    shuffle — the output is row-parallel with the input); explicit
+    schema means no sampling inference pass over 100 TB of JSON, and
+    unreferenced nested fields are pruned at the reader
+    (``spark.sql.optimizer.nestedSchemaPruning`` is on by default)."""
+    out = scratch_dir(sf_dir, "events_nested_json")
+    ev = table(spark, sf_dir, "events")
+    doc = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.struct(
+                    F.col("user_id"),
+                    F.round(F.col("value") * 100, 0)
+                    .cast("long")
+                    .alias("value_cents"),
+                ).alias("meta"),
+                F.array(
+                    F.struct(
+                        F.col("event_type").alias("tag"),
+                        F.lit(1).cast("long").alias("ord"),
+                    ),
+                    F.struct(
+                        F.substring("event_type", 1, 1).alias("tag"),
+                        F.lit(2).cast("long").alias("ord"),
+                    ),
+                ).alias("tags"),
+            )
+        ).alias("value")
+    )
+    doc.write.mode("overwrite").text(out)
+    js = spark.read.schema(_NESTED_SCHEMA).json(out)
+    t = js.select(
+        "event_id",
+        F.col("meta.user_id").alias("user_id"),
+        F.col("meta.value_cents").alias("value_cents"),
+        F.explode("tags").alias("t"),
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "value_cents",
+        F.col("t.tag").alias("tag"),
+        F.col("t.ord").alias("ord"),
+    )
