@@ -410,3 +410,67 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5("text"), 1, 2).alias("route256"),
         (F.md5("text") == F.md5(F.lower("text"))).alias("case_invariant"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_regex — regular-expression function family (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fn_regex",
+    tags=("b7",),
+    oracle=r"""
+        -- regex family over the ENGINE-PORTABLE pattern subset
+        -- (character classes + quantifiers — identical semantics in
+        -- Java regex and RE2; no lookaround/backrefs, which the two
+        -- dialects disagree on). extract_all / count / replace-all /
+        -- global match flag in one query.
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[0-9]+', 0))
+                    AS BIGINT) AS n_numbers,
+               CAST(len(regexp_extract_all(text, '[A-Z][a-z]+', 0))
+                    AS BIGINT) AS n_capitalized,
+               array_to_string(
+                   list_slice(regexp_extract_all(text, '[a-z]+', 0), 1, 3),
+                   ',') AS first3_words,
+               regexp_replace(substr(text, 1, 40), '[aeiou]', '*', 'g')
+                   AS masked_head
+        FROM documents
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression function FAMILY (§2.B-7) beyond
+    ``fn_string``'s single first-match extract: ``regexp_extract_all``
+    (all matches, as an ordered list), ``regexp_count`` (match
+    counting), and global ``regexp_replace`` (mask/scrub) — the
+    text-wrangling quartet every log/document pipeline leans on.
+
+    Portability is by PATTERN DISCIPLINE, not luck: the engine runs
+    Java regex, the oracle RE2 — the two agree exactly on the
+    character-class + quantifier subset used here and disagree on
+    lookaround/backreferences, so the latter are banned from
+    registered queries (same policy as the dedup modules' shingle
+    regexes). Spark replaces globally by default; the oracle passes
+    RE2's explicit 'g' flag.
+
+    Plan/scale: pure projection — zero shuffles, regex evaluation
+    inside whole-stage codegen on the JVM (no Python); at 100 TB
+    this is scan-bound streaming text work."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[0-9]+"))
+        .cast("long")
+        .alias("n_numbers"),
+        F.regexp_count("text", F.lit("[A-Z][a-z]+"))
+        .cast("long")
+        .alias("n_capitalized"),
+        F.array_join(
+            F.slice(F.regexp_extract_all("text", F.lit("[a-z]+"), 0), 1, 3),
+            ",",
+        ).alias("first3_words"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "*").alias(
+            "masked_head"
+        ),
+    )

@@ -186,6 +186,7 @@ DRIVER_ORDER = [
     "dedup_prefix",
     "graph_neighbor_jaccard",
     "scan_nested_json",
+    "fn_regex",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",
