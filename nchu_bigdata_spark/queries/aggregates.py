@@ -1289,3 +1289,74 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_weighted — exact weighted mean / ratio-of-sums (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted",
+    tags=("b4",),
+    oracle="""
+        -- quantity-weighted average price per return flag — the
+        -- ratio-of-sums aggregate (weighted mean), computed EXACTLY:
+        -- both legs are integer-cents sums (the events_rfm money
+        -- policy), and the export is the floor cross-multiply
+        -- ratio in cents, so no engine's float summation order
+        -- matters. Weighted aggregates are the canonical trap for
+        -- avg(x*w) misstatements — the oracle pins ratio-of-sums.
+        SELECT l_returnflag,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS wsum_cents,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS wsum,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * CAST(ROUND(l_quantity) AS BIGINT))
+                    // SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                    AS BIGINT) AS wavg_price_cents
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED mean — quantity-weighted average extended price
+    per return flag, as ratio-of-sums (Σwx / Σw), the aggregate behind
+    every blended price, weighted score, and exposure-adjusted rate.
+    Distinct from plain ``avg``: ``avg(x·w)`` is NOT a weighted mean,
+    and per-row ``x·w`` floats would re-order differently per engine —
+    so both legs are integer (cents × quantity) sums and the exported
+    mean is the floor quotient, bit-stable everywhere.
+
+    Overflow headroom: cents (≤1e7) × quantity (≤50) ≤ 5e8 per row;
+    int64 holds ~1.8e19, so ~3.7e10 rows per GROUP before wraparound —
+    beyond that the decimal(38,0) escalation (`events_rfm` precedent)
+    applies. l_quantity is a DOUBLE holding integral values, but the
+    cast still goes ROUND-then-long on BOTH engines (the agg_mode
+    boundary-straddle policy): Spark's bare long cast truncates while
+    DuckDB's rounds, and relying on integrality is exactly the silent
+    divergence ADVICE r7 flagged.
+
+    Plan/scale: ONE map-side-combining hash agg — two int64 partial
+    sums per group on the wire; the quotient is a final-projection
+    expression over flag cardinality rows."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(cents * qty).cast("long").alias("wsum_cents"),
+            F.sum(qty).cast("long").alias("wsum"),
+        )
+        .select(
+            "l_returnflag",
+            "wsum_cents",
+            "wsum",
+            F.expr("wsum_cents div wsum").cast("long").alias(
+                "wavg_price_cents"
+            ),
+        )
+    )
