@@ -822,3 +822,78 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ham.cast("int").alias("hamming"),
         F.col("n_shared").cast("int").alias("n_bands"),
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_audio_stats — exact integer PCM signal statistics (round 8)
+# --------------------------------------------------------------------------
+
+_AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def _synth_and_audio_stats(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            blob = encode_wav(bytes(payload))
+            pcm, _sr, _n_ch = _wav_pcm(blob)
+            s = pcm.astype(np.int64)
+            zc = int(np.count_nonzero(s[:-1] * s[1:] < 0)) if s.size > 1 else 0
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "n_samples": int(s.size),
+                    "peak_abs": int(np.max(np.abs(s))) if s.size else 0,
+                    "sum_samples": int(np.sum(s)),
+                    "energy": int(np.sum(s * s)),
+                    "zero_crossings": zc,
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in _AUDIO_STATS_SCHEMA])
+
+
+@register(
+    "multimodal_audio_stats",
+    tags=("b10",),
+    oracle=None,  # WAV encode/decode is not SQL-expressible; the sweep
+    # replays the sample spec ((byte − 128) << 8) in pure Python and
+    # checks every row exactly (tools/check_oracle.py PROMOTED).
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer SIGNAL statistics over the audio modality: peak
+    amplitude, DC sum, total energy (Σs²) and zero-crossing count per
+    clip — the loudness / silence / voicedness screens an audio corpus
+    pipeline runs before expensive feature extraction (clipping
+    detection = peak at full scale; silence = energy ≈ 0; ZCR proxies
+    spectral brightness). Completes the audio side of the multimodal
+    family the way ``multimodal_phash`` completes the image side.
+
+    Every statistic is INTEGER-exact: int16 samples (|s| ≤ 2¹⁵), so
+    Σs² ≤ n·2³⁰ — int64 headroom to ~8e9 samples per clip — and
+    zero-crossings count strict sign flips; no float moment crosses
+    processes, so the output is platform-independent and safe to
+    persist. The sweep replays the full synth→decode→stats chain in
+    pure Python from the sample spec (cites ``encode_wav``:
+    (byte − 128) << 8) and compares per-row.
+
+    Plan/scale: the decode path's shape — Arrow ``mapInPandas`` over
+    the payload column, partition-preserving, ZERO shuffle; 48 bytes
+    of stats per clip leave the stage, never samples. At 100 TB this
+    runs at scan locality like every other blob operator here."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    return with_payload(docs).mapInPandas(
+        _synth_and_audio_stats, _AUDIO_STATS_SCHEMA
+    )

@@ -188,6 +188,7 @@ DRIVER_ORDER = [
     "scan_nested_json",
     "fn_regex",
     "agg_weighted",
+    "multimodal_audio_stats",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -240,6 +240,42 @@ def exact_multimodal_phash_pairs(con, spdf: pd.DataFrame) -> tuple[bool, str]:
     return True, f"{len(got)} pairs, exact band+hamming replay"
 
 
+def exact_multimodal_audio_stats(con, spdf: pd.DataFrame) -> tuple[bool, str]:
+    """multimodal_audio_stats: the synth→decode→stats chain replayed in
+    pure Python from the sample SPEC (each UTF-8 byte b becomes the
+    int16 sample (b − 128) << 8; operators/multimodal.py encode_wav) —
+    independent of numpy, wave, and the module's codec code."""
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1"
+    ).fetchall()
+    expect = {}
+    for doc_id, text in docs:
+        data = text.encode("utf-8") or b"\x80"
+        s = [(b - 128) * 256 for b in data]
+        zc = sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+        expect[doc_id] = (
+            len(s),
+            max(abs(x) for x in s),
+            sum(s),
+            sum(x * x for x in s),
+            zc,
+        )
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_samples"]),
+            int(r["peak_abs"]),
+            int(r["sum_samples"]),
+            int(r["energy"]),
+            int(r["zero_crossings"]),
+        )
+        for _, r in spdf.iterrows()
+    }
+    if got != expect:
+        bad = [k for k in expect if got.get(k) != expect[k]][:3]
+        return False, f"PCM stats spec replay mismatch, e.g. doc_ids {bad}"
+    return True, f"{len(got)} rows, exact PCM stats spec replay"
+
+
 # Rows-only queries with a promoted bounded accuracy check: the sweep
 # runs these against DuckDB exact aggregates instead of recording a
 # bare rows-only line.
@@ -255,6 +291,7 @@ BOUNDED_CHECKS = {
     "text_compression_ratio": exact_compression_ratio,
     "multimodal_phash": exact_multimodal_phash,
     "multimodal_phash_pairs": exact_multimodal_phash_pairs,
+    "multimodal_audio_stats": exact_multimodal_audio_stats,
 }
 
 
