@@ -967,3 +967,119 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# basket_rules — size-2 association rules (support/confidence/lift) (rd 8)
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 3  # orders containing the pair
+
+
+@register(
+    "basket_rules",
+    tags=("b11",),
+    oracle=f"""
+        -- market-basket association rules for item PAIRS: support,
+        -- both directed confidences, and lift — all as exact integer
+        -- ratios. The lift cross-multiply routes through HUGEINT /
+        -- decimal(38,0) (pair·N·1000 can pass int64 at corpus scale —
+        -- the sample_importance ADVICE closure, applied up front).
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
+        item AS (
+            SELECT l_partkey AS p, COUNT(*) AS c FROM op GROUP BY 1
+        ),
+        pair AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+            FROM op a
+            JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+        )
+        SELECT pair.u, pair.v,
+               CAST(pair.c AS BIGINT) AS n_pair,
+               CAST(iu.c AS BIGINT) AS n_u,
+               CAST(iv.c AS BIGINT) AS n_v,
+               CAST(pair.c * 10000 // iu.c AS BIGINT) AS conf_uv_bp,
+               CAST(pair.c * 10000 // iv.c AS BIGINT) AS conf_vu_bp,
+               CAST(CAST(pair.c AS HUGEINT) * tot.n * 1000
+                    // (CAST(iu.c AS HUGEINT) * iv.c)
+                    AS BIGINT) AS lift_milli
+        FROM pair, tot
+        JOIN item iu ON iu.p = pair.u
+        JOIN item iv ON iv.p = pair.v
+    """,
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-2 MARKET-BASKET association rules — support, both directed
+    confidences, and lift per co-purchased part pair above a minimum
+    support — the classic frequent-itemset surface (recommenders,
+    cross-sell, assortment planning) that the co-purchase GRAPH ops
+    read structurally and this op reads statistically.
+
+    All three statistics are exact integer ratios: confidences are
+    int64 floor cross-multiplies (pair·10⁴ div item ≤ N·10⁴ — safe to
+    ~9e14 orders), and lift's pair·N·1000 numerator — which CAN pass
+    int64 at corpus scale — goes through decimal(38,0) `div` on the
+    engine and HUGEINT `//` on the oracle (both exact integer floor
+    division; the sample_importance overflow closure applied at birth
+    rather than in review).
+
+    Plan/scale: (order, part) dedup (one shuffle, map-side combined);
+    per-order part sets expand to C(basket,2) pairs inside codegen
+    (the _copurchase_edges derivation, but COUNTING per pair instead
+    of distinct edges); the min-support HAVING prunes the long tail
+    BEFORE the two item-count joins, so the rule table joined is
+    frequent-pairs-only. Baskets are bounded (≤7 lines here; a retail
+    cap would slice the set) — fan-out is C(basket,2), never N²."""
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    tot = op.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = op.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sets = op.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pair = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _BASKET_MIN_SUPPORT)
+    )
+    iu = item.select(F.col("p").alias("pu"), F.col("c").alias("cu"))
+    iv = item.select(F.col("p").alias("pv"), F.col("c").alias("cv"))
+    j = (
+        pair.join(iu, pair.u == iu.pu)
+        .join(iv, pair.v == iv.pv)
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = "decimal(38,0)"
+    return j.select(
+        "u",
+        "v",
+        F.col("c").cast("long").alias("n_pair"),
+        F.col("cu").cast("long").alias("n_u"),
+        F.col("cv").cast("long").alias("n_v"),
+        F.expr("c * 10000 div cu").cast("long").alias("conf_uv_bp"),
+        F.expr("c * 10000 div cv").cast("long").alias("conf_vu_bp"),
+        F.expr(
+            f"(CAST(c AS {dec}) * CAST(n AS {dec}) * CAST(1000 AS {dec}))"
+            f" div (CAST(cu AS {dec}) * CAST(cv AS {dec}))"
+        )
+        .cast("long")
+        .alias("lift_milli"),
+    )

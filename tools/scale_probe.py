@@ -62,6 +62,7 @@ GATE_RATIO = 25.0  # quadratic would be ~100; linear ~10
 # dedup_incremental (results + the triangle plan fix in SCALE_PROBE.md).
 # r8 default: the round-7/8-born heavy ops not yet probed.
 HEAVY_OPS = [
+    "graph_neighbor_jaccard",
     "graph_bfs",
     "text_line_dedup",
     "text_heavy_hitters",
