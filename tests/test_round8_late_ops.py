@@ -237,3 +237,149 @@ def test_neighbor_jaccard_python_replay(spark, sf_dir, duck):
         for r in SPECS["graph_neighbor_jaccard"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# scan_nested_json
+# --------------------------------------------------------------------------
+
+
+def test_nested_json_round_trip_inverts_construction(spark, sf_dir, duck):
+    rows = SPECS["scan_nested_json"].fn(spark, sf_dir).collect()
+    base = {
+        eid: (u, round(v * 100), et)
+        for eid, u, v, et in duck.execute(
+            "SELECT event_id, user_id, value, event_type FROM events"
+        ).fetchall()
+    }
+    assert len(rows) == 2 * len(base)
+    for r in rows:
+        u, cents, et = base[r.event_id]
+        assert (r.user_id, r.value_cents) == (u, cents)
+        assert r.tag == (et if r.ord == 1 else et[:1])
+
+
+# --------------------------------------------------------------------------
+# fn_regex
+# --------------------------------------------------------------------------
+
+
+def test_fn_regex_matches_python_re(spark, sf_dir, duck):
+    texts = dict(
+        duck.execute("SELECT doc_id, text FROM documents LIMIT 40").fetchall()
+    )
+    rows = [
+        r
+        for r in SPECS["fn_regex"].fn(spark, sf_dir).collect()
+        if r.doc_id in texts
+    ]
+    assert rows
+    for r in rows:
+        t = texts[r.doc_id]
+        assert r.n_numbers == len(re.findall(r"[0-9]+", t))
+        assert r.n_capitalized == len(re.findall(r"[A-Z][a-z]+", t))
+        assert r.first3_words == ",".join(re.findall(r"[a-z]+", t)[:3])
+        assert r.masked_head == re.sub(r"[aeiou]", "*", t[:40])
+
+
+# --------------------------------------------------------------------------
+# agg_weighted
+# --------------------------------------------------------------------------
+
+
+def test_agg_weighted_is_ratio_of_sums_not_avg_of_products(
+    spark, sf_dir, duck
+):
+    rows = {
+        r.l_returnflag: r
+        for r in SPECS["agg_weighted"].fn(spark, sf_dir).collect()
+    }
+    for flag, r in rows.items():
+        num, den = duck.execute(
+            "SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+            "           * CAST(ROUND(l_quantity) AS BIGINT)),"
+            "       SUM(CAST(ROUND(l_quantity) AS BIGINT))"
+            " FROM lineitem WHERE l_returnflag = ?",
+            [flag],
+        ).fetchone()
+        assert (r.wsum_cents, r.wsum) == (num, den)
+        assert r.wavg_price_cents == num // den
+        # weighted mean ≠ plain mean on this data (the trap is real)
+        plain = duck.execute(
+            "SELECT CAST(AVG(l_extendedprice)*100 AS BIGINT) "
+            "FROM lineitem WHERE l_returnflag = ?",
+            [flag],
+        ).fetchone()[0]
+        assert abs(r.wavg_price_cents - plain) > 100
+
+
+# --------------------------------------------------------------------------
+# multimodal_audio_stats
+# --------------------------------------------------------------------------
+
+
+def test_audio_stats_spec_replay(spark, sf_dir, duck):
+    out = {
+        r.doc_id: r
+        for r in SPECS["multimodal_audio_stats"].fn(spark, sf_dir).collect()
+    }
+    docs = duck.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1"
+    ).fetchall()
+    assert set(out) == {d for d, _ in docs}
+    for doc_id, text in docs[:40]:
+        s = [(b - 128) * 256 for b in (text.encode("utf-8") or b"\x80")]
+        r = out[doc_id]
+        assert r.n_samples == len(s)
+        assert r.peak_abs == max(abs(x) for x in s)
+        assert r.sum_samples == sum(s)
+        assert r.energy == sum(x * x for x in s)
+        assert r.zero_crossings == sum(
+            1 for a, b in zip(s, s[1:]) if a * b < 0
+        )
+
+
+# --------------------------------------------------------------------------
+# basket_rules
+# --------------------------------------------------------------------------
+
+
+def test_basket_rules_python_replay(spark, sf_dir, duck):
+    op = duck.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    baskets = defaultdict(set)
+    item = defaultdict(int)
+    for o, p in op:
+        baskets[o].add(p)
+        item[p] += 1
+    n = len(baskets)
+    pair = defaultdict(int)
+    for ps in baskets.values():
+        sp = sorted(ps)
+        for i, u in enumerate(sp):
+            for v in sp[i + 1 :]:
+                pair[(u, v)] += 1
+    want = {}
+    for (u, v), c in pair.items():
+        if c >= 3:
+            want[(u, v)] = (
+                c,
+                item[u],
+                item[v],
+                c * 10000 // item[u],
+                c * 10000 // item[v],
+                c * n * 1000 // (item[u] * item[v]),
+            )
+    got = {
+        (r.u, r.v): (
+            r.n_pair,
+            r.n_u,
+            r.n_v,
+            r.conf_uv_bp,
+            r.conf_vu_bp,
+            r.lift_milli,
+        )
+        for r in SPECS["basket_rules"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
