@@ -1360,3 +1360,59 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_cube — full CUBE lattice with GROUPING_ID (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_cube",
+    tags=("b4",),
+    oracle="""
+        -- full CUBE: all 2^k grouping combinations in one pass —
+        -- the OLAP lattice ROLLUP's hierarchy slices can't express
+        -- (rollup omits the status-only-marginal-by-priority cell).
+        -- GROUPING_ID disambiguates real NULL keys from subtotal rows.
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(GROUPING(o_orderstatus) * 2
+                    + GROUPING(o_orderpriority) AS INT) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE — every one of the 2^k grouping combinations (cell,
+    both one-dimension marginals, grand total) in ONE pass, with
+    ``grouping_id`` marking which keys are aggregated away (the only
+    way to tell a subtotal row from a genuinely-NULL key). Completes
+    the OLAP lattice family next to ``agg_grouping_sets``'s ROLLUP:
+    rollup emits k+1 hierarchy slices, cube emits the full 2^k
+    cross-marginal set a BI tool's pivot-any-axis view needs.
+
+    Money is exact cents (the events_rfm policy); the gid is computed
+    as GROUPING bits on both engines (DuckDB's GROUPING_ID argument
+    order is engine-defined, so the bit assembly is spelled out).
+
+    Plan/scale: Catalyst compiles CUBE to ONE Expand (4 replicas per
+    input row) + one map-side-combining hash agg — one shuffle of
+    4×|groups| partials, NOT four scans; at 100 TB the expand factor
+    2^k is the knob to watch (k=2 here; wide cubes should enumerate
+    explicit GROUPING SETS instead)."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+        (
+            F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+        )
+        .cast("int")
+        .alias("gid"),
+    )
