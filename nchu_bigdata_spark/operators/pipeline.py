@@ -1143,3 +1143,108 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sample_negatives — deterministic contrastive negative sampling (round 8)
+# --------------------------------------------------------------------------
+
+_NEG_K = 3  # negatives per anchor
+_NEG_BUCKETS = 8  # hash-ring shards (scale knob: ~N/bucket stays large)
+
+
+@register(
+    "sample_negatives",
+    tags=("b10",),
+    oracle=f"""
+        -- deterministic negative sampling on a hash ring: docs land on
+        -- a pseudo-random ring position (md5 60-bit int), sharded into
+        -- {_NEG_BUCKETS} buckets; each anchor's k negatives are the
+        -- next k docs around its bucket's ring (modulo wrap). Hash
+        -- ordering is uncorrelated with content, so negatives are
+        -- corpus-random — yet every engine/retry draws THE SAME ones.
+        WITH ring AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT AS h
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, h % {_NEG_BUCKETS} AS bucket,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY h % {_NEG_BUCKETS}
+                       ORDER BY h, doc_id) AS pos,
+                   COUNT(*) OVER (
+                       PARTITION BY h % {_NEG_BUCKETS}) AS n
+            FROM ring
+        )
+        SELECT a.doc_id,
+               CAST(j.j AS INT) AS neg_rank,
+               b.doc_id AS neg_doc_id
+        FROM pos a
+        CROSS JOIN (SELECT unnest(range(1, {_NEG_K} + 1)) AS j) j
+        JOIN pos b
+          ON b.bucket = a.bucket
+         AND b.pos = (a.pos - 1 + j.j) % a.n + 1
+    """,
+)
+def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE sampling for contrastive training: each
+    anchor document draws k corpus-random negatives — the
+    (anchor, negative) pair feed for embedding/reranker training —
+    with the draw fully reproducible across engines, retries, and
+    partitionings (``df.sample``'s seed is partition-layout-dependent;
+    the dedup modules ban it from stored output for exactly that
+    reason).
+
+    Mechanism: a HASH RING — every doc gets a pseudo-random 60-bit
+    position (md5 of its id, the `dedup_ngram_jaccard` key recipe),
+    the ring shards into ``_NEG_BUCKETS`` buckets, and an anchor's negatives
+    are the next k docs clockwise within its bucket (modulo wrap).
+    Hash positions are uncorrelated with content or id order, so the
+    draw is corpus-uniform in practice, while being a pure function of
+    the corpus.
+
+    Plan/scale: NO global sort — each bucket orders independently
+    (one hash-partitioned window), and the wrap resolves as ONE equi
+    self-join on (bucket, ring index), never nth_value gymnastics or
+    a driver collect. Buckets scale as the knob: keep N/bucket ≫ k so
+    wrap collisions stay impossible and windows stay wide-parallel."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ring = docs.select("doc_id", h.alias("h")).select(
+        "doc_id", "h", (F.col("h") % _NEG_BUCKETS).alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    pos = ring.select(
+        "doc_id",
+        "bucket",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("bucket")).alias("n"),
+    )
+    anchors = pos.select(
+        "doc_id",
+        "bucket",
+        "pos",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_NEG_K))
+        ).alias("neg_rank"),
+    ).withColumn(
+        "target_pos", (F.col("pos") - 1 + F.col("neg_rank")) % F.col("n") + 1
+    )
+    targets = pos.select(
+        F.col("bucket").alias("t_bucket"),
+        F.col("pos").alias("t_pos"),
+        F.col("doc_id").alias("neg_doc_id"),
+    )
+    return (
+        anchors.join(
+            targets,
+            (anchors.bucket == targets.t_bucket)
+            & (anchors.target_pos == targets.t_pos),
+        )
+        .select("doc_id", F.col("neg_rank").cast("int"), "neg_doc_id")
+    )

@@ -191,6 +191,7 @@ DRIVER_ORDER = [
     "multimodal_audio_stats",
     "basket_rules",
     "agg_cube",
+    "sample_negatives",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",
