@@ -338,6 +338,30 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
         [r"BroadcastNestedLoopJoin"],
     ),
+    # regex/hash/audio projections: zero exchanges
+    "fn_regex": ([r"Project"], [r"Exchange"]),
+    "multimodal_audio_stats": ([r"MapInPandas"], [r"Exchange"]),
+    "agg_weighted": ([r"HashAggregate"], [r"Window", r"rangepartitioning"]),
+    # CUBE must compile to ONE Expand + hash agg, never multiple scans
+    "agg_cube": ([r"Expand", r"HashAggregate"], [r"Union"]),
+    # basket rules: pair expansion in codegen (Generate), item-count
+    # joins are equi HASH joins; the only nested loop is the sanctioned
+    # 1-row broadcast of the corpus total (default forbid already bans
+    # CartesianProduct)
+    "basket_rules": (
+        [
+            r"HashAggregate",
+            r"Generate",
+            r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+        ],
+        [],
+    ),
+    # negative sampling: per-bucket windows (hash partitioned) + ONE
+    # equi self-join — never a global range sort
+    "sample_negatives": (
+        [r"Window", r"hashpartitioning\(bucket"],
+        [r"rangepartitioning", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
