@@ -383,3 +383,63 @@ def test_basket_rules_python_replay(spark, sf_dir, duck):
         for r in SPECS["basket_rules"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# agg_cube
+# --------------------------------------------------------------------------
+
+
+def test_agg_cube_lattice_is_complete_and_consistent(spark, sf_dir, duck):
+    rows = SPECS["agg_cube"].fn(spark, sf_dir).collect()
+    n_status = duck.execute(
+        "SELECT COUNT(DISTINCT o_orderstatus) FROM orders"
+    ).fetchone()[0]
+    n_prio = duck.execute(
+        "SELECT COUNT(DISTINCT o_orderpriority) FROM orders"
+    ).fetchone()[0]
+    # full lattice: cells + both marginals + grand total
+    assert len(rows) == (n_status + 1) * (n_prio + 1)
+    by_gid = defaultdict(list)
+    for r in rows:
+        by_gid[r.gid].append(r)
+    total = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    (gt,) = by_gid[3]
+    assert (gt.o_orderstatus, gt.o_orderpriority, gt.n) == (None, None, total)
+    # every marginal slice re-sums to the grand total
+    for gid in (0, 1, 2, 3):
+        assert sum(r.n for r in by_gid[gid]) == total
+        assert sum(r.total_cents for r in by_gid[gid]) == gt.total_cents
+
+
+# --------------------------------------------------------------------------
+# sample_negatives
+# --------------------------------------------------------------------------
+
+
+def test_sample_negatives_ring_replay_and_invariants(spark, sf_dir, duck):
+    out = SPECS["sample_negatives"].fn(spark, sf_dir).collect()
+    ids = [
+        d for (d,) in duck.execute("SELECT doc_id FROM documents").fetchall()
+    ]
+    # pure-Python ring replay
+    ring = defaultdict(list)
+    for d in ids:
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+        ring[h % 8].append((h, d))
+    want = set()
+    for bucket in ring.values():
+        bucket.sort()
+        n = len(bucket)
+        for i, (_, d) in enumerate(bucket):
+            for j in (1, 2, 3):
+                want.add((d, j, bucket[(i + j) % n][1]))
+    got = {(r.doc_id, r.neg_rank, r.neg_doc_id) for r in out}
+    assert got == want
+    # invariants: k rows per anchor, never self, distinct per anchor
+    per = defaultdict(set)
+    for d, _j, nd in got:
+        assert nd != d
+        per[d].add(nd)
+    assert all(len(v) == 3 for v in per.values())
+    assert set(per) == set(ids)
