@@ -1248,3 +1248,92 @@ def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("neg_rank").cast("int"), "neg_doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# sample_poisson — deterministic Poisson(1) bootstrap replicates (round 8)
+# --------------------------------------------------------------------------
+
+# Cumulative Poisson(1) CDF scaled to 2^32, floor'd to integer literals
+# (k <= 4; the >=5 tail keeps the distribution's ~0.37% remainder).
+# Frozen constants so both engines bucket the SAME hash-uniform —
+# nothing is computed with exp() at query time on either side.
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+
+
+def _pois_case_sql(u: str) -> str:
+    """CASE expression mapping a uniform 32-bit value to a Poisson(1)
+    draw via the frozen inverse-CDF thresholds (portable SQL: same
+    text runs on Spark and DuckDB)."""
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+@register(
+    "sample_poisson",
+    tags=("pipeline",),
+    oracle=f"""
+        -- Poisson bootstrap: each lineitem row enters the replicate
+        -- 0..5 times, the count drawn per-row from Poisson(1) via the
+        -- frozen inverse-CDF over a 32-bit md5 uniform — the
+        -- resampling scheme that needs NO global count and NO RNG
+        -- state, so it is embarrassingly parallel and bit-reproducible
+        -- under retries. The replicate's group sums track the actuals
+        -- within an exact integer error bound in basis points.
+        WITH k AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                   {_pois_case_sql("('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT")} AS k
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS boot_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(k * cents) AS BIGINT) AS boot_cents,
+               CAST(ABS(SUM(k * cents) - SUM(cents)) * 10000
+                    // SUM(cents) AS BIGINT) AS err_bp
+        FROM k
+        GROUP BY l_returnflag
+    """,
+)
+def sample_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap — the variance-estimation
+    workhorse for 100 TB pipelines: each row independently enters a
+    bootstrap replicate Poisson(1)-many times (0..5, tail-capped), so
+    a replicate needs no global row count, no sampling-without-
+    replacement shuffle, and no RNG state — the draw is a pure
+    function of the row key (md5 → uniform → frozen inverse-CDF
+    thresholds), reproducible across engines, partitionings, and task
+    retries. Per group the replicate's count/revenue track the actuals
+    (err_bp stays small), which is exactly the property bootstrap
+    confidence intervals lean on.
+
+    Plan/scale: one narrow codegen projection (md5 + CASE ladder) and
+    one map-side-combined hash agg — no shuffle beyond the 3-group
+    rollup; N replicates would vary the hash salt, not re-scan."""
+    li = table(spark, sf_dir, "lineitem")
+    u = (
+        "CAST(conv(substr(md5(CAST(l_orderkey AS STRING) || '-' ||"
+        " CAST(l_linenumber AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    k = li.select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr(_pois_case_sql(u)).alias("k"),
+    )
+    return k.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("boot_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(F.col("k") * F.col("cents")).cast("long").alias("boot_cents"),
+        F.expr(
+            "abs(sum(k * cents) - sum(cents)) * 10000 div sum(cents)"
+        )
+        .cast("long")
+        .alias("err_bp"),
+    )

@@ -970,3 +970,71 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_diversity — lexical diversity per language slice (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_diversity",
+    tags=("b10",),
+    oracle="""
+        -- corpus lexical-diversity profile per language: vocabulary
+        -- size (types), token mass, type-token ratio, and the Simpson
+        -- collision index (probability two random tokens are the same
+        -- word — the repetitiveness number dedup thresholds calibrate
+        -- against). Shares are floor cross-multiplies; the c² sum
+        -- rides HUGEINT <-> decimal(38,0) so no engine wraps.
+        WITH wc AS (
+            SELECT lang, w AS word, COUNT(*) AS c
+            FROM documents, unnest(string_split(text, ' ')) AS t(w)
+            GROUP BY lang, w
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) * 10000 // SUM(c) AS BIGINT) AS ttr_bp,
+               CAST(SUM(CAST(c AS HUGEINT) * c) * 1000000
+                    // (CAST(SUM(c) AS HUGEINT) * SUM(c))
+                    AS BIGINT) AS simpson_ppm
+        FROM wc
+        GROUP BY lang
+    """,
+)
+def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per language slice: type count,
+    token count, type-token ratio (basis points), and the Simpson
+    collision index (parts-per-million probability that two randomly
+    drawn tokens are the same word). TTR says how fast vocabulary
+    grows; Simpson says how template-/boilerplate-heavy the slice is
+    — together the first corpus-health dashboard a training-data
+    pipeline runs after language ID.
+
+    Determinism: everything is counting. The only divisions are floor
+    cross-multiplies (`types·10⁴ div tokens`, `Σc²·10⁶ div tokens²`)
+    with the Σc² and tokens² legs in decimal(38,0)/HUGEINT — at
+    ~2.5e13 tokens per language (100 TB), tokens² ≈ 6e26 and Σc² can
+    approach it, far past int64 but inside 38 digits.
+
+    Plan/scale: tokenize-explode is a narrow codegen stage over the
+    scan; ONE (lang, word) hash agg with map-side combine collapses
+    the token stream to vocabulary cardinality; the per-lang rollup is
+    a second tiny agg on the same lang key. No window, no join, no
+    driver materialization."""
+    toks = parallel_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    wc = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    return wc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.expr("count(1) * 10000 div sum(c)").cast("long").alias("ttr_bp"),
+        F.expr(
+            "sum(CAST(c AS decimal(38,0)) * c) * 1000000"
+            " div (CAST(sum(c) AS decimal(38,0)) * sum(c))"
+        )
+        .cast("long")
+        .alias("simpson_ppm"),
+    )

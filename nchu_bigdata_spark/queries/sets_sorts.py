@@ -288,3 +288,98 @@ def topk_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").cast("decimal(38,0)") * 10000
         <= F.col("n_orders").cast("decimal(38,0)") * _TKP_BP
     )
+
+
+# --------------------------------------------------------------------------
+# agg_skyline — Pareto frontier (skyline) with distributive pre-prune (r8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_skyline",
+    tags=("b6",),
+    oracle="""
+        -- skyline over parts: minimize price, maximize size. The
+        -- oracle is the textbook NOT-EXISTS dominance formulation —
+        -- deliberately a DIFFERENT algorithm than the engine's
+        -- window form, so the check proves the semantics, not the
+        -- plan. price in exact cents (ROUND-then-cast policy).
+        WITH c AS (
+            SELECT p_partkey,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                       AS price_cents,
+                   CAST(p_size AS BIGINT) AS size
+            FROM part
+        )
+        SELECT p.p_partkey, p.price_cents, p.size
+        FROM c p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c q
+            WHERE q.price_cents <= p.price_cents
+              AND q.size >= p.size
+              AND (q.price_cents < p.price_cents OR q.size > p.size)
+        )
+    """,
+)
+def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: the parts no other part dominates
+    (cheaper-or-equal AND bigger-or-equal, strictly better on one
+    axis). Equal (price, size) duplicates all survive — neither
+    strictly dominates the other. The product-search primitive the
+    reference's ranking surface has no answer for.
+
+    Algorithm (not the oracle's O(n²) anti-join): sort by price, keep
+    a row iff no strictly-cheaper row has size ≥ it and no equal-price
+    row has size > it — two window maxima over ONE ordering:
+      * ``max(size) RANGE UNBOUNDED..-1`` (strictly cheaper rows), and
+      * ``max(size) PARTITION BY price_cents`` (equal-price rows),
+    exact integer comparisons end-to-end.
+
+    Plan/scale: the skyline is DISTRIBUTIVE, so a pre-prune runs
+    before the global sort: a map-side-combined hash agg folds rows to
+    per-price-bucket max sizes (≤ a few hundred rows at any scale),
+    the running best over strictly-cheaper buckets broadcasts back,
+    and every row already beaten by a cheaper bucket's champion drops
+    at the scan — at 1e9 rows the global rangepartitioning sort sees
+    only near-frontier survivors (frontier-sized, not table-sized).
+    On the tiny part dim the prune is a no-op pass-through; the plan
+    shape (broadcast join + single Window sort) is the 100 TB one."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    # Distributive pre-prune: per-bucket champions (10-dollar buckets),
+    # running champion over strictly-cheaper buckets, broadcast back.
+    b = p.withColumn("b", F.expr("price_cents div 1000"))
+    champs = b.groupBy("b").agg(F.max("size").alias("bucket_best"))
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    champs = champs.select(
+        "b", F.max("bucket_best").over(wb).alias("cheaper_best")
+    )
+    pruned = (
+        b.join(F.broadcast(champs), "b")
+        .filter(
+            F.col("cheaper_best").isNull()
+            | (F.col("cheaper_best") < F.col("size"))
+        )
+        .drop("b", "cheaper_best")
+    )
+    # Exact dominance test on the survivors: one global ordering.
+    w_cheaper = W.orderBy("price_cents").rangeBetween(
+        W.unboundedPreceding, -1
+    )
+    w_same = W.partitionBy("price_cents")
+    scored = pruned.select(
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.max("size").over(w_cheaper).alias("best_cheaper"),
+        F.max("size").over(w_same).alias("best_same"),
+    )
+    return scored.filter(
+        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))
+        & (F.col("best_same") == F.col("size"))
+    ).select("p_partkey", "price_cents", "size")

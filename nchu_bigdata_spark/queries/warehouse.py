@@ -522,3 +522,143 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_cents").cast("long").alias("sum_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_interpolate — linear gap interpolation on the daily spine (round 8)
+# --------------------------------------------------------------------------
+
+_TI_STEP_US = 3_600_000_000  # hourly
+
+
+@register(
+    "ts_interpolate",
+    tags=("b4",),
+    oracle=f"""
+        -- linear interpolation across missing hours: observed buckets
+        -- carry their exact cents; manufactured gap buckets take the
+        -- integer-exact weighted average of the bracketing
+        -- observations, (prev*(nd-d) + next*(d-pd)) // (nd-pd), in
+        -- millicents so the floor loses less than 1/1000 cent. All
+        -- legs are non-negative integers, so // (floor) and Spark's
+        -- div (truncate) agree; HUGEINT <-> decimal(38,0) keeps the
+        -- cross-multiplies exact at any corpus size.
+        WITH agg AS (
+            SELECT event_type,
+                   epoch_us(ts) // {_TI_STEP_US} AS d,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(d) AS lo, MAX(d) AS hi
+            FROM agg GROUP BY 1
+        ),
+        spine AS (
+            SELECT b.event_type, g.d
+            FROM bounds b, unnest(generate_series(b.lo, b.hi)) AS g(d)
+        ),
+        j AS (
+            SELECT s.event_type, s.d, a.cents,
+                   LAST_VALUE(a.cents IGNORE NULLS) OVER wp AS prev_c,
+                   LAST_VALUE(CASE WHEN a.cents IS NOT NULL
+                                   THEN s.d END IGNORE NULLS)
+                       OVER wp AS prev_d,
+                   FIRST_VALUE(a.cents IGNORE NULLS) OVER wn AS next_c,
+                   FIRST_VALUE(CASE WHEN a.cents IS NOT NULL
+                                    THEN s.d END IGNORE NULLS)
+                       OVER wn AS next_d
+            FROM spine s
+            LEFT JOIN agg a
+              ON a.event_type = s.event_type AND a.d = s.d
+            WINDOW
+              wp AS (PARTITION BY s.event_type ORDER BY s.d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wn AS (PARTITION BY s.event_type ORDER BY s.d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, CAST(d AS BIGINT) AS bucket_idx,
+               CAST(cents IS NOT NULL AS BIGINT) AS observed,
+               CAST(COALESCE(cents, 0) AS BIGINT) AS cents,
+               CAST(CASE WHEN cents IS NOT NULL THEN cents * 1000
+                    ELSE (CAST(prev_c AS HUGEINT) * (next_d - d)
+                          + CAST(next_c AS HUGEINT) * (d - prev_d))
+                         * 1000 // (next_d - prev_d)
+                    END AS BIGINT) AS interp_millicents
+        FROM j
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over time-series gaps: the hourly
+    revenue-cents series per event type, densified to every hour in
+    the series' span, with missing days filled by the exact
+    integer-weighted average of the bracketing observed buckets —
+    the step past `ts_resample`'s LOCF (carry-forward repeats the
+    last level; interpolation draws the line the chart and the
+    downstream seasonal model actually want).
+
+    Determinism: classic float lerp (`prev + (next-prev)*frac`)
+    diverges across engines in the last ulp; the weighted-average
+    form ``(prev*(nd-d) + next*(d-pd)) div (nd-pd)`` in millicents is
+    pure integer arithmetic — exact, associative, identical. Interior
+    spine buckets always have both brackets (the spine spans min..max
+    of OBSERVED buckets), so no NULL branch survives; the hourly grain
+    leaves real gaps (~6% of the sf0.01 spine), so the interpolation
+    branch is genuinely exercised by the oracle check.
+
+    Plan/scale: events collapse to (series, bucket) partials in one
+    map-side-combined agg (calendar-bounded cardinality); the spine
+    explode and both bracket windows key on the series, so after the
+    one agg shuffle everything is partition-local per series; the two
+    opposite-direction frames share one sort order (Spark runs them
+    in a single Window operator pass over the spine)."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_TI_STEP_US}").alias("d"),
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents")
+    )
+    spine = (
+        agg.groupBy("event_type")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("d"),
+        )
+    )
+    j = spine.join(agg, ["event_type", "d"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    br = j.select(
+        "event_type",
+        "d",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("prev_c"),
+        F.last(obs_d, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("cents", ignorenulls=True).over(wn).alias("next_c"),
+        F.first(obs_d, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    interp = F.expr(
+        "(CAST(prev_c AS decimal(38,0)) * (next_d - d)"
+        " + CAST(next_c AS decimal(38,0)) * (d - prev_d))"
+        " * 1000 div (next_d - prev_d)"
+    )
+    return br.select(
+        "event_type",
+        F.col("d").cast("long").alias("bucket_idx"),
+        F.col("cents").isNotNull().cast("long").alias("observed"),
+        F.coalesce("cents", F.lit(0)).cast("long").alias("cents"),
+        F.when(F.col("cents").isNotNull(), F.col("cents") * 1000)
+        .otherwise(interp)
+        .cast("long")
+        .alias("interp_millicents"),
+    )

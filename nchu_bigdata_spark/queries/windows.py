@@ -567,3 +567,204 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("int").alias("n_frame"),
         (lo + hi).cast("long").alias("med2_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_streak — longest consecutive-day streak per user (gaps & islands, r8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_streak",
+    tags=("b5",),
+    oracle="""
+        -- gaps-and-islands: consecutive active DAYS share the island
+        -- key d - row_number() (constant within a run, distinct
+        -- across runs). Integer epoch-day bucketing (the
+        -- events_active_users policy) — no calendar/TZ rule in play.
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS d
+            FROM events
+        ),
+        isl AS (
+            SELECT user_id, d,
+                   d - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY d) AS grp
+            FROM ud
+        ),
+        runs AS (
+            SELECT user_id, grp, COUNT(*) AS len
+            FROM isl GROUP BY user_id, grp
+        )
+        SELECT user_id,
+               CAST(MAX(len) AS BIGINT) AS max_streak_days,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(SUM(len) AS BIGINT) AS active_days
+        FROM runs
+        GROUP BY user_id
+    """,
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands window: on the per-user sorted distinct-day
+    sequence, ``day - row_number()`` is constant exactly within a
+    consecutive run, so one window + two hash aggs yield run lengths
+    (engagement streaks, the complement of `events_gap_detect`'s
+    largest-gap view).
+
+    Plan/scale: the distinct (user, day) agg combines map-side and
+    shrinks events to active-days; window + both aggs all key on
+    user_id, so after the one distinct shuffle the island assignment
+    and run-length rollups stay partition-local (AQE coalesces the
+    tail). Per-user state is a sort cursor — no driver materialization
+    at any cardinality."""
+    ev = table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = ud.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("max_streak_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# win_lorenz — revenue concentration by customer decile (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_lorenz",
+    tags=("b5",),
+    oracle="""
+        -- Lorenz / concentration curve: customers ranked by revenue
+        -- (exact cents, custkey tie-break), cut into 10 equi-depth
+        -- deciles by the closed-form (rank-1)*10 // N, each decile
+        -- carrying its share of total revenue in floor basis points
+        -- plus the running (cumulative) share. The closed-form cut
+        -- (not NTILE) is what a DISTRIBUTED rank can compute without
+        -- a single-node window; the oracle uses the same formula so
+        -- both engines draw identical boundaries.
+        WITH cr AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey)
+                       AS rnk,
+                   COUNT(*) OVER () AS n
+            FROM cr
+        ),
+        agg AS (
+            SELECT (rnk - 1) * 10 // n + 1 AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM r GROUP BY 1
+        )
+        SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+               revenue_cents,
+               CAST(revenue_cents * 10000 //
+                    SUM(revenue_cents) OVER () AS BIGINT) AS share_bp,
+               CAST(SUM(revenue_cents) OVER (
+                        ORDER BY decile
+                        ROWS UNBOUNDED PRECEDING) * 10000 //
+                    SUM(revenue_cents) OVER () AS BIGINT)
+                   AS cum_share_bp
+        FROM agg
+    """,
+)
+def win_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Lorenz) curve: "the top decile of
+    customers carries X% of revenue". Customers rank by lifetime
+    revenue in exact integer cents with a custkey tie-break; deciles
+    are the closed-form equi-depth cut ``(rank-1)*10 div N``; shares
+    are floor cross-multiplies — no float division anywhere.
+
+    The global rank is the DISTRIBUTED two-pass pattern, not a
+    single-partition window (Spark executes an unpartitioned
+    ``row_number``/``ntile`` by moving ALL rows to one task — the
+    exact anti-pattern at 1e9 customers):
+      1. range-repartition + local sort on (cents DESC, custkey) — a
+         normal distributed sort, skew-handled by sampled boundaries;
+      2. per-partition row counts (tiny) → running offsets, broadcast
+         back; global_rank = partition_offset + partition-local
+         row_number.
+    Partition boundaries come from sampling and are NOT deterministic
+    — but global_rank is invariant to where they fall (the sort is a
+    total order), so the OUTPUT is bit-stable anyway.
+
+    Plan/scale: the per-customer rollup (map-side combined) shrinks
+    orders to |customers| before the rangepartitioning sort; the
+    offset table is #partitions rows (broadcast); the decile rollup
+    folds to 10 rows, so the final share windows run over a literal
+    handful."""
+    o = table(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    nparts = spark.sparkContext.defaultParallelism
+    srt = cr.repartitionByRange(
+        nparts, F.col("cents").desc(), F.col("o_custkey")
+    ).sortWithinPartitions(F.col("cents").desc(), "o_custkey")
+    pid = srt.withColumn("pid", F.spark_partition_id())
+    pc = pid.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    off = pc.select(
+        "pid",
+        F.coalesce(F.sum("pn").over(w_off), F.lit(0)).alias("off"),
+        F.sum("pn").over(W.partitionBy()).alias("n"),
+    )
+    w_local = W.partitionBy("pid").orderBy(
+        F.col("cents").desc(), "o_custkey"
+    )
+    ranked = (
+        pid.withColumn("rlocal", F.row_number().over(w_local))
+        .join(F.broadcast(off), "pid")
+        .select(
+            "cents",
+            (F.col("off") + F.col("rlocal")).alias("rnk"),
+            "n",
+        )
+    )
+    agg = (
+        ranked.groupBy(
+            F.expr("(rnk - 1) * 10 div n + 1").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    return agg.select(
+        F.col("decile").cast("long"),
+        "n_customers",
+        "revenue_cents",
+        F.expr(
+            "revenue_cents * 10000 div sum(revenue_cents) over ()"
+        )
+        .cast("long")
+        .alias("share_bp"),
+        F.expr(
+            "sum(revenue_cents) over (order by decile"
+            " rows unbounded preceding) * 10000"
+            " div sum(revenue_cents) over ()"
+        )
+        .cast("long")
+        .alias("cum_share_bp"),
+    )

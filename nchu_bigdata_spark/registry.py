@@ -177,6 +177,12 @@ DRIVER_ORDER = [
     "events_inter_arrival",
     # -- born late in round 8 (after the 50-window filled): first in
     #    line for the round-9 rotation --
+    "agg_skyline",
+    "win_streak",
+    "win_lorenz",
+    "ts_interpolate",
+    "text_diversity",
+    "sample_poisson",
     "sub_division",
     "agg_string_agg",
     "fn_hash",

@@ -1,0 +1,250 @@
+"""Unit tests for the final round-8 operators: independent pure-Python
+replays of the semantics the oracle hash alone can't localize —
+skyline dominance by brute force, streak islands, the distributed
+Lorenz rank, lerp arithmetic on the gap spine, diversity counting, and
+the Poisson inverse-CDF against hashlib."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from nchu_bigdata_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+
+# --------------------------------------------------------------------------
+# agg_skyline
+# --------------------------------------------------------------------------
+
+
+def test_skyline_matches_bruteforce_dominance(spark, sf_dir, duck):
+    pts = duck.execute(
+        "SELECT p_partkey, CAST(ROUND(p_retailprice*100) AS BIGINT), "
+        "p_size FROM part"
+    ).fetchall()
+    want = {
+        (k, c, s)
+        for k, c, s in pts
+        if not any(
+            qc <= c and qs >= s and (qc < c or qs > s)
+            for _, qc, qs in pts
+        )
+    }
+    got = {
+        (r.p_partkey, r.price_cents, r.size)
+        for r in SPECS["agg_skyline"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # frontier is non-trivial: something survives, something is pruned
+    assert want and len(want) < len(pts)
+
+
+def test_skyline_is_mutually_nondominating(spark, sf_dir):
+    rows = [
+        (r.price_cents, r.size)
+        for r in SPECS["agg_skyline"].fn(spark, sf_dir).collect()
+    ]
+    for c, s in rows:
+        for qc, qs in rows:
+            assert not (qc <= c and qs >= s and (qc < c or qs > s))
+
+
+# --------------------------------------------------------------------------
+# win_streak
+# --------------------------------------------------------------------------
+
+
+def test_streak_islands_replay(spark, sf_dir, duck):
+    days = defaultdict(set)
+    for u, d in duck.execute(
+        "SELECT DISTINCT user_id, epoch_us(ts)//86400000000 FROM events"
+    ).fetchall():
+        days[u].add(d)
+    want = {}
+    for u, ds in days.items():
+        runs, cur = [], []
+        for d in sorted(ds):
+            if cur and d == cur[-1] + 1:
+                cur.append(d)
+            else:
+                if cur:
+                    runs.append(len(cur))
+                cur = [d]
+        runs.append(len(cur))
+        want[u] = (max(runs), len(runs), sum(runs))
+    got = {
+        r.user_id: (r.max_streak_days, r.n_streaks, r.active_days)
+        for r in SPECS["win_streak"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# win_lorenz
+# --------------------------------------------------------------------------
+
+
+def test_lorenz_deciles_replay_and_shape(spark, sf_dir, duck):
+    cust = duck.execute(
+        "SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice*100) AS "
+        "BIGINT)) AS BIGINT) FROM orders GROUP BY 1"
+    ).fetchall()
+    ranked = sorted(cust, key=lambda t: (-t[1], t[0]))
+    n = len(ranked)
+    total = sum(c for _, c in ranked)
+    buckets = defaultdict(lambda: [0, 0])
+    for i, (_, c) in enumerate(ranked):
+        d = i * 10 // n + 1
+        buckets[d][0] += 1
+        buckets[d][1] += c
+    got = {
+        r.decile: (r.n_customers, r.revenue_cents, r.share_bp, r.cum_share_bp)
+        for r in SPECS["win_lorenz"].fn(spark, sf_dir).collect()
+    }
+    cum = 0
+    for d in sorted(buckets):
+        nc, cents = buckets[d]
+        cum += cents
+        assert got[d] == (
+            nc,
+            cents,
+            cents * 10000 // total,
+            cum * 10000 // total,
+        )
+    # Lorenz invariants: deciles exhaust the customers, shares
+    # monotone non-increasing (ranked by revenue), cumulative ends ~1
+    assert sum(v[0] for v in got.values()) == n
+    shares = [got[d][2] for d in sorted(got)]
+    assert shares == sorted(shares, reverse=True)
+    assert 9990 <= got[max(got)][3] <= 10000
+
+
+# --------------------------------------------------------------------------
+# ts_interpolate
+# --------------------------------------------------------------------------
+
+
+def test_interpolate_replay(spark, sf_dir, duck):
+    obs = defaultdict(dict)
+    for t, d, c in duck.execute(
+        "SELECT event_type, epoch_us(ts)//3600000000, "
+        "SUM(CAST(ROUND(value*100) AS BIGINT)) FROM events GROUP BY 1, 2"
+    ).fetchall():
+        obs[t][d] = c
+    want = {}
+    for t, series in obs.items():
+        ds = sorted(series)
+        for d in range(ds[0], ds[-1] + 1):
+            if d in series:
+                want[(t, d)] = (1, series[d], series[d] * 1000)
+            else:
+                pd = max(x for x in ds if x < d)
+                nd = min(x for x in ds if x > d)
+                pc, nc = series[pd], series[nd]
+                interp = (pc * (nd - d) + nc * (d - pd)) * 1000 // (nd - pd)
+                want[(t, d)] = (0, 0, interp)
+    got = {
+        (r.event_type, r.bucket_idx): (r.observed, r.cents, r.interp_millicents)
+        for r in SPECS["ts_interpolate"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the gap branch must actually run on the fixture
+    assert any(o == 0 for o, _, _ in want.values())
+
+
+def test_interpolate_gap_values_bracketed(spark, sf_dir):
+    rows = SPECS["ts_interpolate"].fn(spark, sf_dir).collect()
+    by_series = defaultdict(dict)
+    for r in rows:
+        by_series[r.event_type][r.bucket_idx] = r
+    for series in by_series.values():
+        for d, r in series.items():
+            if r.observed:
+                continue
+            # interpolated point lies between its bracketing observations
+            prev = max(
+                x for x, q in series.items() if q.observed and x < d
+            )
+            nxt = min(x for x, q in series.items() if q.observed and x > d)
+            lo = min(series[prev].cents, series[nxt].cents) * 1000
+            hi = max(series[prev].cents, series[nxt].cents) * 1000
+            assert lo - 1000 <= r.interp_millicents <= hi
+
+
+# --------------------------------------------------------------------------
+# text_diversity
+# --------------------------------------------------------------------------
+
+
+def test_diversity_replay(spark, sf_dir, duck):
+    counts = defaultdict(Counter)
+    for lang, text in duck.execute(
+        "SELECT lang, text FROM documents"
+    ).fetchall():
+        counts[lang].update(text.split(" "))
+    got = {
+        r.lang: (r.n_types, r.n_tokens, r.ttr_bp, r.simpson_ppm)
+        for r in SPECS["text_diversity"].fn(spark, sf_dir).collect()
+    }
+    for lang, c in counts.items():
+        types, tokens = len(c), sum(c.values())
+        collision = sum(v * v for v in c.values())
+        assert got[lang] == (
+            types,
+            tokens,
+            types * 10000 // tokens,
+            collision * 1000000 // (tokens * tokens),
+        )
+    assert set(got) == set(counts)
+
+
+# --------------------------------------------------------------------------
+# sample_poisson
+# --------------------------------------------------------------------------
+
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+
+
+def _poisson_draw(key: str) -> int:
+    u = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    for k, t in enumerate(_POIS_T):
+        if u < t:
+            return k
+    return 5
+
+
+def test_poisson_thresholds_are_the_frozen_cdf():
+    # the literals ARE floor(CDF_Poisson(1)(k) * 2^32) — recompute
+    cum = 0.0
+    for k, t in enumerate(_POIS_T):
+        cum += math.exp(-1) / math.factorial(k)
+        assert t == int(cum * 2**32)
+
+
+def test_poisson_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT l_returnflag, l_orderkey, l_linenumber, "
+        "CAST(ROUND(l_extendedprice*100) AS BIGINT) FROM lineitem"
+    ).fetchall()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for flag, ok, ln, cents in rows:
+        k = _poisson_draw(f"{ok}-{ln}")
+        a = agg[flag]
+        a[0] += 1
+        a[1] += k
+        a[2] += cents
+        a[3] += k * cents
+    got = {
+        r.l_returnflag: (r.n_rows, r.boot_rows, r.sum_cents, r.boot_cents, r.err_bp)
+        for r in SPECS["sample_poisson"].fn(spark, sf_dir).collect()
+    }
+    for flag, (n, bn, sc, bc) in agg.items():
+        assert got[flag] == (n, bn, sc, bc, abs(bc - sc) * 10000 // sc)
+    # the bootstrap replicate tracks the actuals: mean-1 Poisson keeps
+    # the resampled mass within a few percent of the original
+    for n, bn, sc, bc, err in got.values():
+        assert abs(bn - n) * 10 <= n or n < 100
+        assert err <= 500

@@ -362,6 +362,46 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"hashpartitioning\(bucket"],
         [r"rangepartitioning", r"BroadcastNestedLoopJoin"],
     ),
+    # skyline: bucket-champion pre-prune BROADCASTS back to the rows;
+    # the exact pass is window dominance — never the oracle's O(n²)
+    # anti-join shape
+    "agg_skyline": (
+        [r"BroadcastHashJoin", r"Window"],
+        [r"SortMergeJoin", r"BroadcastNestedLoopJoin"],
+    ),
+    # streak: distinct + window + both rollups all key on user_id —
+    # one hash exchange, no range sort, no join
+    "win_streak": (
+        [r"Window", r"hashpartitioning\(user_id", r"HashAggregate"],
+        [r"Join", r"rangepartitioning"],
+    ),
+    # lorenz: the distributed-rank pattern — global sort
+    # (rangepartitioning) AFTER the per-customer rollup shrank the
+    # input, tiny offset table BROADCAST back, ranks partition-local;
+    # never a shuffled join and never an all-rows single-task window
+    # (the only SinglePartition windows run over the 10-row decile agg)
+    "win_lorenz": (
+        [r"Window", r"HashAggregate", r"rangepartitioning", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"ShuffledHashJoin", r"BroadcastNestedLoopJoin"],
+    ),
+    # interpolation: spine explode (Generate) + series-keyed windows;
+    # the gap-fill join is an equi hash join on the series key
+    "ts_interpolate": (
+        [r"Window", r"Generate", r"hashpartitioning\(event_type"],
+        [r"BroadcastNestedLoopJoin", r"rangepartitioning"],
+    ),
+    # diversity: explode + two hash aggs on the same lang-prefixed
+    # keys; no window, no join
+    "text_diversity": (
+        [r"Generate", r"HashAggregate"],
+        [r"Window", r"Join"],
+    ),
+    # poisson bootstrap: a pure codegen projection + 3-group agg —
+    # nothing but the rollup exchange in the plan
+    "sample_poisson": (
+        [r"HashAggregate"],
+        [r"Window", r"Join", r"Generate", r"rangepartitioning"],
+    ),
 }
 
 
