@@ -1337,3 +1337,72 @@ def sample_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# curate_domain_balance — per-source document cap (round 8)
+# --------------------------------------------------------------------------
+
+_DB_CAP = 20  # max docs kept per source
+
+
+@register(
+    "curate_domain_balance",
+    tags=("pipeline",),
+    oracle=f"""
+        -- domain balancing: cap every source at {_DB_CAP} documents,
+        -- selected in deterministic pseudo-random order (md5 of
+        -- doc_id, doc_id tie-break) — the web-crawl rebalancing step
+        -- that stops a handful of mega-domains from dominating the
+        -- training mixture. Emits the kept docs with their selection
+        -- rank and the source's pre-cap size.
+        SELECT doc_id, source,
+               CAST(rn AS BIGINT) AS keep_rank,
+               CAST(n_source AS BIGINT) AS n_source_docs
+        FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n_source
+            FROM documents
+        )
+        WHERE rn <= {_DB_CAP}
+    """,
+)
+def curate_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most ``_DB_CAP`` documents per
+    source — the per-domain cap every web-scale corpus applies so a
+    few enormous domains can't dominate the training mixture.
+    Selection order is deterministic pseudo-random (md5 of doc_id
+    with a doc_id tie-break) — reproducible across engines, retries,
+    and partitionings, unlike a seeded shuffle.
+
+    Plan/scale: one hash shuffle on source + one window sort. The
+    ``row_number <= k`` filter compiles to WindowGroupLimit, which
+    prunes each group to its top-k on the MAP side before the
+    shuffle — a mega-domain with 1e8 docs ships k rows per input
+    partition, not 1e8, which is what makes the cap runnable at
+    crawl scale. The pre-cap size deliberately does NOT ride the
+    same window (a full-group ``count() over`` would defeat the
+    group-limit prune by forcing every row across); it is a separate
+    map-side-combined agg — source-cardinality rows — broadcast back
+    onto the capped survivors."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sizes = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_source")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DB_CAP)
+    )
+    return kept.join(F.broadcast(sizes), "source").select(
+        "doc_id",
+        "source",
+        F.col("rn").cast("long").alias("keep_rank"),
+        F.col("n_source").cast("long").alias("n_source_docs"),
+    )

@@ -1083,3 +1083,115 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lift_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_overlap_matrix — same-day cross-feature audience overlap (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_overlap_matrix",
+    tags=("b11",),
+    oracle="""
+        -- audience-overlap matrix: for every unordered pair of event
+        -- types, how many (user, day) cells saw BOTH — plus each
+        -- type's own cell count and the exact Jaccard in basis
+        -- points. The oracle states the naive self-join; the engine
+        -- never executes that shape (set-explode instead).
+        WITH c AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS d,
+                   event_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_both
+            FROM c a
+            JOIN c b
+              ON a.user_id = b.user_id AND a.d = b.d
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type, COUNT(*) AS n FROM c GROUP BY 1
+        )
+        SELECT p.type_a, p.type_b,
+               CAST(p.n_both AS BIGINT) AS n_both,
+               CAST(ma.n AS BIGINT) AS n_a,
+               CAST(mb.n AS BIGINT) AS n_b,
+               CAST(p.n_both * 10000 // (ma.n + mb.n - p.n_both)
+                    AS BIGINT) AS jaccard_bp
+        FROM pairs p
+        JOIN m ma ON ma.event_type = p.type_a
+        JOIN m mb ON mb.event_type = p.type_b
+    """,
+)
+def events_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-feature audience overlap: for every pair of event types,
+    the number of (user, day) activity cells where BOTH occurred, each
+    type's own cell count, and the exact Jaccard similarity in basis
+    points — the feature-correlation / cross-sell matrix product teams
+    read before bundling features.
+
+    The oracle is the naive cell×cell self-join; the engine instead
+    reuses the co-purchase edge-derivation shape (`graph.py`): one
+    distinct collapses events to (user, day, type) cells, per-cell
+    sorted type-sets build in a map-side-combined ``collect_set`` agg,
+    and all C(k,2) pairs generate inside codegen via nested
+    ``transform`` over the ≤|types| array — per-cell fanout is bounded
+    by the type-vocabulary, never by corpus size. Pair counts and the
+    tiny per-type marginals meet in a broadcast join; every division
+    is a floor cross-multiply.
+
+    Plan/scale: two map-side-combined hash aggs (cell distinct, pair
+    count) + one broadcast join — no self-join of the cell table, no
+    window, nothing keyed wider than (user, day)."""
+    ev = table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("d"),
+            "event_type",
+        )
+        .distinct()
+    )
+    sets = cells.groupBy("user_id", "d").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (a, i) ->"
+                    " transform(slice(ts, i + 2, size(ts)), b ->"
+                    " struct(a AS type_a, b AS type_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.type_a", "pr.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    m = cells.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ma = m.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    mb = m.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.expr("n_both * 10000 div (n_a + n_b - n_both)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )

@@ -183,6 +183,8 @@ DRIVER_ORDER = [
     "ts_interpolate",
     "text_diversity",
     "sample_poisson",
+    "events_overlap_matrix",
+    "curate_domain_balance",
     "sub_division",
     "agg_string_agg",
     "fn_hash",

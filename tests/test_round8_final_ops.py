@@ -248,3 +248,59 @@ def test_poisson_replay(spark, sf_dir, duck):
     for n, bn, sc, bc, err in got.values():
         assert abs(bn - n) * 10 <= n or n < 100
         assert err <= 500
+
+
+# --------------------------------------------------------------------------
+# events_overlap_matrix
+# --------------------------------------------------------------------------
+
+
+def test_overlap_matrix_replay(spark, sf_dir, duck):
+    cells = set(
+        duck.execute(
+            "SELECT DISTINCT user_id, epoch_us(ts)//86400000000, "
+            "event_type FROM events"
+        ).fetchall()
+    )
+    by_type = defaultdict(set)
+    for u, d, t in cells:
+        by_type[t].add((u, d))
+    got = {
+        (r.type_a, r.type_b): (r.n_both, r.n_a, r.n_b, r.jaccard_bp)
+        for r in SPECS["events_overlap_matrix"].fn(spark, sf_dir).collect()
+    }
+    types = sorted(by_type)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            both = len(by_type[a] & by_type[b])
+            if both:
+                na, nb = len(by_type[a]), len(by_type[b])
+                want[(a, b)] = (both, na, nb, both * 10000 // (na + nb - both))
+    assert got == want
+    # pairs are emitted once, in canonical (a < b) order
+    assert all(a < b for a, b in got)
+
+
+# --------------------------------------------------------------------------
+# curate_domain_balance
+# --------------------------------------------------------------------------
+
+
+def test_domain_balance_cap_and_selection_order(spark, sf_dir, duck):
+    rows = SPECS["curate_domain_balance"].fn(spark, sf_dir).collect()
+    docs = duck.execute("SELECT doc_id, source FROM documents").fetchall()
+    by_src = defaultdict(list)
+    for did, src in docs:
+        by_src[src].append(did)
+    kept = defaultdict(dict)
+    for r in rows:
+        kept[r.source][r.keep_rank] = r.doc_id
+        assert r.keep_rank <= 20
+        assert r.n_source_docs == len(by_src[r.source])
+    for src, dids in by_src.items():
+        order = sorted(
+            dids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )
+        want = {i + 1: d for i, d in enumerate(order[:20])}
+        assert kept[src] == want

@@ -402,6 +402,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"Window", r"Join", r"Generate", r"rangepartitioning"],
     ),
+    # overlap matrix: set-explode (Generate) + broadcast marginals —
+    # never a cell×cell self-join (no shuffled join at all)
+    "events_overlap_matrix": (
+        [r"Generate", r"HashAggregate", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"ShuffledHashJoin", r"BroadcastNestedLoopJoin"],
+    ),
+    # domain cap: row_number<=k MUST compile to the map-side
+    # WindowGroupLimit prune; sizes broadcast back
+    "curate_domain_balance": (
+        [r"WindowGroupLimit", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"rangepartitioning"],
+    ),
 }
 
 
