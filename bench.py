@@ -85,6 +85,11 @@ LLM_GROUP = [
     "dedup_edit_distance",
     "dedup_containment",
     "tokenize_vocab_coverage",
+    # born late round 8: lexical diversity, Poisson bootstrap,
+    # per-domain cap (trend starts here)
+    "text_diversity",
+    "sample_poisson",
+    "curate_domain_balance",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -114,6 +119,13 @@ SQL_GROUP = [
     "stats_profile",
     "ts_ewma",
     "win_rolling_median",
+    # born late round 8: skyline, streak islands, distributed-rank
+    # Lorenz, spine interpolation, overlap matrix (trend starts here)
+    "agg_skyline",
+    "win_streak",
+    "win_lorenz",
+    "ts_interpolate",
+    "events_overlap_matrix",
 ]
 
 
