@@ -722,3 +722,55 @@ def scan_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.tag").alias("tag"),
         F.col("t.ord").alias("ord"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_partition_pruned — static partition pruning on the read path (r8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_partition_pruned",
+    tags=("b1",),
+    oracle="""
+        -- the oracle reads the ORIGINAL table: the engine's partitioned
+        -- round-trip + pruned read must be indistinguishable from a
+        -- plain filtered scan.
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang = 'en'
+        GROUP BY source
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC partition pruning — the first thing a 100 TB table layout
+    buys: documents land in Hive-style ``lang=<v>/`` partition dirs,
+    and a reader filtering on the partition column must touch ONLY the
+    matching directory. `sink_partitioned` proves the layout is
+    lossless; this op proves the PRUNE — the plan audit asserts the
+    scan carries ``PartitionFilters: [... (lang = en)]`` (listing-time
+    directory elimination, zero data files opened elsewhere) and that
+    `ReadSchema` was pruned to the two referenced columns (`text`,
+    the wide column, never leaves the files). `join_dpp` is the
+    runtime sibling (filter known only mid-query); this is the
+    planning-time one (filter known up front).
+
+    Plan/scale: at 1e12 rows the pruned scan reads |one lang| of the
+    corpus and the agg combines map-side — the whole point of
+    partition-aware layout. The write happens once per sf_dir into the
+    gitignored scratch tree (same lifecycle as the other sink/scan
+    round-trip ops)."""
+    out = scratch_dir(sf_dir, "docs_by_lang")
+    docs = table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )

@@ -185,6 +185,7 @@ DRIVER_ORDER = [
     "sample_poisson",
     "events_overlap_matrix",
     "curate_domain_balance",
+    "scan_partition_pruned",
     "sub_division",
     "agg_string_agg",
     "fn_hash",

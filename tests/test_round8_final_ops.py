@@ -304,3 +304,37 @@ def test_domain_balance_cap_and_selection_order(spark, sf_dir, duck):
         )
         want = {i + 1: d for i, d in enumerate(order[:20])}
         assert kept[src] == want
+
+
+# --------------------------------------------------------------------------
+# scan_partition_pruned
+# --------------------------------------------------------------------------
+
+
+def test_partition_pruned_scan_layout_and_result(spark, sf_dir, duck):
+    import os
+
+    rows = {
+        r.source: (r.n_docs, r.sum_chars)
+        for r in SPECS["scan_partition_pruned"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        s: (n, c)
+        for s, n, c in duck.execute(
+            "SELECT source, COUNT(*), SUM(n_chars) FROM documents "
+            "WHERE lang = 'en' GROUP BY 1"
+        ).fetchall()
+    }
+    assert rows == want
+    # the scratch layout is genuinely Hive-partitioned by lang
+    from nchu_bigdata_spark.queries.relational import scratch_dir
+
+    out = scratch_dir(sf_dir, "docs_by_lang")
+    dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    langs = {
+        lang
+        for (lang,) in duck.execute(
+            "SELECT DISTINCT lang FROM documents"
+        ).fetchall()
+    }
+    assert dirs == {f"lang={l}" for l in langs}

@@ -414,6 +414,16 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"WindowGroupLimit", r"BroadcastHashJoin"],
         [r"SortMergeJoin", r"rangepartitioning"],
     ),
+    # static partition pruning: the read-back scan must eliminate
+    # directories at listing time AND prune to the two referenced
+    # columns (text never leaves the files)
+    "scan_partition_pruned": (
+        [
+            r"PartitionFilters: \[.*lang.*= en",
+            r"ReadSchema: struct<source:string,n_chars:bigint>",
+        ],
+        [r"Join", r"Window"],
+    ),
 }
 
 
