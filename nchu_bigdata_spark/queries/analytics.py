@@ -1195,3 +1195,85 @@ def events_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_forecast_snaive — seasonal-naive backtest (round 8)
+# --------------------------------------------------------------------------
+
+_SN_STEP_US = 3_600_000_000  # hourly slots
+_SN_LAG = 168  # one week of hourly slots
+
+
+@register(
+    "events_forecast_snaive",
+    tags=("b11",),
+    oracle=f"""
+        -- seasonal-naive backtest: forecast every hourly slot with the
+        -- value from the same slot one week earlier, score the slots
+        -- where both sides were observed — exact integer MAE and bias
+        -- per series. The baseline every real forecasting model must
+        -- beat before it earns cluster time.
+        WITH c AS (
+            SELECT event_type,
+                   epoch_us(ts) // {_SN_STEP_US} AS b,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2
+        )
+        SELECT a.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_scored,
+               CAST(SUM(ABS(a.cents - f.cents)) AS BIGINT)
+                   AS sum_abs_err_cents,
+               CAST(SUM(a.cents - f.cents) AS BIGINT) AS bias_cents,
+               CAST(SUM(ABS(a.cents - f.cents)) * 1000 // COUNT(*)
+                    AS BIGINT) AS mae_millicents
+        FROM c a
+        JOIN c f
+          ON f.event_type = a.event_type AND f.b = a.b - {_SN_LAG}
+        GROUP BY a.event_type
+    """,
+)
+def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hourly slot's
+    revenue with the SAME slot one week earlier and score the exact
+    integer error per series (MAE in millicents + signed bias). This
+    is the canonical forecasting baseline — a model that can't beat
+    "last week, same hour" hasn't learned the seasonality
+    `events_seasonality` displays — and the backtest join is the same
+    shape any horizon would use.
+
+    Only slots observed on BOTH sides score (no imputation inside a
+    baseline); everything is integer cents, the MAE division is a
+    floor cross-multiply.
+
+    Plan/scale: events collapse to calendar-bounded (series, slot)
+    cells in one map-side-combined agg; the week-shifted self-join is
+    EQUI on (series, slot-168) — a hash join over cell-cardinality
+    rows (AQE picks broadcast when the cell table is small); the
+    final rollup is series-sized. No window, no spine, no range
+    join."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_SN_STEP_US}").alias("b"),
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents")
+    )
+    f = c.select(
+        "event_type",
+        (F.col("b") + _SN_LAG).alias("b"),
+        F.col("cents").alias("fcents"),
+    )
+    scored = c.join(f, ["event_type", "b"])
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("cents") - F.col("fcents")))
+        .cast("long")
+        .alias("sum_abs_err_cents"),
+        F.sum(F.col("cents") - F.col("fcents"))
+        .cast("long")
+        .alias("bias_cents"),
+        F.expr("sum(abs(cents - fcents)) * 1000 div count(1)")
+        .cast("long")
+        .alias("mae_millicents"),
+    )

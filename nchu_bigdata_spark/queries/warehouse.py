@@ -662,3 +662,98 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("interp_millicents"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_cohort_ltv — acquisition-cohort lifetime-value matrix (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_cohort_ltv",
+    tags=("b4",),
+    oracle="""
+        -- cohort LTV: customers grouped by first-order month, revenue
+        -- tracked by months-since-acquisition, with the running
+        -- (cumulative) value each cohort has produced at every age —
+        -- the retention-economics matrix behind every LTV model.
+        -- Month index = year*12+month (calendar field arithmetic on
+        -- the UTC-pinned clock; no epoch division, months aren't
+        -- fixed-length).
+        WITH fo AS (
+            SELECT o_custkey,
+                   MIN(year(o_orderdate) * 12 + month(o_orderdate))
+                       AS m0
+            FROM orders GROUP BY 1
+        ),
+        cells AS (
+            SELECT fo.m0,
+                   (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                       - fo.m0 AS age,
+                   COUNT(DISTINCT o.o_custkey) AS n_active,
+                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                       AS cents
+            FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT m0, COUNT(*) AS cohort_n FROM fo GROUP BY 1
+        )
+        SELECT CAST(c.m0 AS BIGINT) AS cohort_month,
+               CAST(c.age AS BIGINT) AS age_months,
+               CAST(s.cohort_n AS BIGINT) AS cohort_size,
+               CAST(c.n_active AS BIGINT) AS n_active,
+               CAST(c.cents AS BIGINT) AS revenue_cents,
+               CAST(SUM(c.cents) OVER (
+                        PARTITION BY c.m0 ORDER BY c.age
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_revenue_cents
+        FROM cells c JOIN sizes s ON s.m0 = c.m0
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort lifetime value: customers cohorted by their
+    first-order month; every later order lands in a (cohort,
+    months-since-acquisition) cell carrying active-customer count,
+    exact-cents revenue, and the cohort's cumulative value at that
+    age — the matrix LTV curves, payback-period and retention-decay
+    analyses all read. `events_retention` answers "do they come
+    back?"; this answers "what are they worth over time?".
+
+    Plan/scale: the first-order agg and the cell agg both key on
+    custkey — ONE shuffle feeds both (the join reuses the
+    partitioning); cells and cohort sizes are calendar-bounded
+    (months × ages), so the cumulative window runs over a tiny table
+    partitioned by cohort. Month arithmetic is calendar-field based
+    on the UTC-pinned session clock — months aren't fixed-length, so
+    no epoch division is safe here."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "year(o_orderdate) * 12 + month(o_orderdate)"
+        ).alias("m"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    fo = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    cells = (
+        o.join(fo, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("age"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    sizes = fo.groupBy("m0").agg(F.count(F.lit(1)).alias("cohort_n"))
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.join(F.broadcast(sizes), "m0").select(
+        F.col("m0").cast("long").alias("cohort_month"),
+        F.col("age").cast("long").alias("age_months"),
+        F.col("cohort_n").cast("long").alias("cohort_size"),
+        F.col("n_active").cast("long"),
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.sum("cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )

@@ -186,6 +186,8 @@ DRIVER_ORDER = [
     "events_overlap_matrix",
     "curate_domain_balance",
     "scan_partition_pruned",
+    "events_forecast_snaive",
+    "orders_cohort_ltv",
     "sub_division",
     "agg_string_agg",
     "fn_hash",

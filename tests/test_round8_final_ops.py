@@ -338,3 +338,76 @@ def test_partition_pruned_scan_layout_and_result(spark, sf_dir, duck):
         ).fetchall()
     }
     assert dirs == {f"lang={l}" for l in langs}
+
+
+# --------------------------------------------------------------------------
+# events_forecast_snaive
+# --------------------------------------------------------------------------
+
+
+def test_snaive_replay(spark, sf_dir, duck):
+    cells = {}
+    for t, b, c in duck.execute(
+        "SELECT event_type, epoch_us(ts)//3600000000, "
+        "SUM(CAST(ROUND(value*100) AS BIGINT)) FROM events GROUP BY 1,2"
+    ).fetchall():
+        cells[(t, b)] = c
+    agg = defaultdict(lambda: [0, 0, 0])
+    for (t, b), c in cells.items():
+        f = cells.get((t, b - 168))
+        if f is None:
+            continue
+        a = agg[t]
+        a[0] += 1
+        a[1] += abs(c - f)
+        a[2] += c - f
+    got = {
+        r.event_type: (r.n_scored, r.sum_abs_err_cents, r.bias_cents, r.mae_millicents)
+        for r in SPECS["events_forecast_snaive"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        t: (n, sae, bias, sae * 1000 // n) for t, (n, sae, bias) in agg.items()
+    }
+    assert got == want
+    # the one-week lag genuinely scores a meaningful share of slots
+    assert all(n > 0 for n, _, _, _ in got.values())
+
+
+# --------------------------------------------------------------------------
+# orders_cohort_ltv
+# --------------------------------------------------------------------------
+
+
+def test_cohort_ltv_replay(spark, sf_dir, duck):
+    orders = duck.execute(
+        "SELECT o_custkey, year(o_orderdate)*12 + month(o_orderdate), "
+        "CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+    ).fetchall()
+    m0 = {}
+    for ck, m, _ in orders:
+        m0[ck] = min(m0.get(ck, m), m)
+    cohort_n = Counter(m0.values())
+    cells = defaultdict(lambda: [set(), 0])
+    for ck, m, cents in orders:
+        cell = cells[(m0[ck], m - m0[ck])]
+        cell[0].add(ck)
+        cell[1] += cents
+    got = {
+        (r.cohort_month, r.age_months): (
+            r.cohort_size,
+            r.n_active,
+            r.revenue_cents,
+            r.cum_revenue_cents,
+        )
+        for r in SPECS["orders_cohort_ltv"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for coh in {c for c, _ in cells}:
+        cum = 0
+        for age in sorted(a for c, a in cells if c == coh):
+            users, cents = cells[(coh, age)]
+            cum += cents
+            assert got[(coh, age)] == (cohort_n[coh], len(users), cents, cum)
+    # age 0 is always present and fully active (the acquisition month)
+    for coh, n in cohort_n.items():
+        assert got[(coh, 0)][1] <= n and got[(coh, 0)][1] > 0

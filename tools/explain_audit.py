@@ -424,6 +424,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         ],
         [r"Join", r"Window"],
     ),
+    # seasonal-naive backtest: cell agg + week-shifted EQUI self-join —
+    # never a range/theta join over the cells
+    "events_forecast_snaive": (
+        [r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"BroadcastNestedLoopJoin", r"Window", r"rangepartitioning"],
+    ),
+    # cohort LTV: custkey-keyed aggs + equi joins; the cumulative
+    # window runs over the calendar-bounded cell table
+    "orders_cohort_ltv": (
+        [r"HashAggregate", r"Window", r"hashpartitioning\(o_custkey"],
+        [r"BroadcastNestedLoopJoin", r"rangepartitioning"],
+    ),
 }
 
 
