@@ -1293,8 +1293,11 @@ def _pois_case_sql(u: str) -> str:
                CAST(SUM(k) AS BIGINT) AS boot_rows,
                CAST(SUM(cents) AS BIGINT) AS sum_cents,
                CAST(SUM(k * cents) AS BIGINT) AS boot_cents,
-               CAST(ABS(SUM(k * cents) - SUM(cents)) * 10000
-                    // SUM(cents) AS BIGINT) AS err_bp
+               -- the error leg is HUGEINT: worst-case |boot-actual|
+               -- is bounded by the sums themselves (~1e16 cents at
+               -- 100 TB), and *10^4 would overflow checked BIGINT
+               CAST(ABS(CAST(SUM(k * cents) AS HUGEINT) - SUM(cents))
+                    * 10000 // SUM(cents) AS BIGINT) AS err_bp
         FROM k
         GROUP BY l_returnflag
     """,
@@ -1332,7 +1335,8 @@ def sample_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("sum_cents"),
         F.sum(F.col("k") * F.col("cents")).cast("long").alias("boot_cents"),
         F.expr(
-            "abs(sum(k * cents) - sum(cents)) * 10000 div sum(cents)"
+            "abs(CAST(sum(k * cents) AS decimal(38,0)) - sum(cents))"
+            " * 10000 div sum(cents)"
         )
         .cast("long")
         .alias("err_bp"),

@@ -1225,8 +1225,11 @@ _SN_LAG = 168  # one week of hourly slots
                CAST(SUM(ABS(a.cents - f.cents)) AS BIGINT)
                    AS sum_abs_err_cents,
                CAST(SUM(a.cents - f.cents) AS BIGINT) AS bias_cents,
-               CAST(SUM(ABS(a.cents - f.cents)) * 1000 // COUNT(*)
-                    AS BIGINT) AS mae_millicents
+               -- HUGEINT leg: the abs-error sum scales with corpus
+               -- revenue, so *10^3 would overflow checked BIGINT at
+               -- 100 TB while Spark's int64 wraps (events_rfm policy)
+               CAST(CAST(SUM(ABS(a.cents - f.cents)) AS HUGEINT)
+                    * 1000 // COUNT(*) AS BIGINT) AS mae_millicents
         FROM c a
         JOIN c f
           ON f.event_type = a.event_type AND f.b = a.b - {_SN_LAG}
@@ -1273,7 +1276,10 @@ def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents") - F.col("fcents"))
         .cast("long")
         .alias("bias_cents"),
-        F.expr("sum(abs(cents - fcents)) * 1000 div count(1)")
+        F.expr(
+            "CAST(sum(abs(cents - fcents)) AS decimal(38,0))"
+            " * 1000 div count(1)"
+        )
         .cast("long")
         .alias("mae_millicents"),
     )

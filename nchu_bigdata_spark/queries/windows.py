@@ -677,11 +677,15 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(decile AS BIGINT) AS decile, n_customers,
                revenue_cents,
-               CAST(revenue_cents * 10000 //
+               -- HUGEINT legs: decile cents reach ~1e15 at 1e9
+               -- customers, so the *10^4 cross-multiply would overflow
+               -- a checked BIGINT here while Spark's int64 wraps —
+               -- the events_rfm decimal(38,0) precedent applies
+               CAST(CAST(revenue_cents AS HUGEINT) * 10000 //
                     SUM(revenue_cents) OVER () AS BIGINT) AS share_bp,
-               CAST(SUM(revenue_cents) OVER (
+               CAST(CAST(SUM(revenue_cents) OVER (
                         ORDER BY decile
-                        ROWS UNBOUNDED PRECEDING) * 10000 //
+                        ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 10000 //
                     SUM(revenue_cents) OVER () AS BIGINT)
                    AS cum_share_bp
         FROM agg
@@ -756,13 +760,14 @@ def win_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "revenue_cents",
         F.expr(
-            "revenue_cents * 10000 div sum(revenue_cents) over ()"
+            "CAST(revenue_cents AS decimal(38,0)) * 10000"
+            " div sum(revenue_cents) over ()"
         )
         .cast("long")
         .alias("share_bp"),
         F.expr(
-            "sum(revenue_cents) over (order by decile"
-            " rows unbounded preceding) * 10000"
+            "CAST(sum(revenue_cents) over (order by decile"
+            " rows unbounded preceding) AS decimal(38,0)) * 10000"
             " div sum(revenue_cents) over ()"
         )
         .cast("long")
