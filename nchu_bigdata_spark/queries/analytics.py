@@ -1283,3 +1283,155 @@ def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mae_millicents"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_trigram_paths — top 3-step behavioural paths (round 8)
+# --------------------------------------------------------------------------
+
+_TRI_TOP = 20
+
+
+@register(
+    "events_trigram_paths",
+    tags=("b11",),
+    oracle=f"""
+        -- top 3-step paths: per-user consecutive event-type trigrams
+        -- (ordered by time, event_id tiebreak), counted corpus-wide,
+        -- top {_TRI_TOP} with a full lexicographic tiebreak so the cut
+        -- is deterministic. events_markov is the 1-step transition
+        -- matrix; this is the 3-step path mining on top of it.
+        WITH s AS (
+            SELECT user_id, event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        c AS (
+            SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+            FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+            GROUP BY e1, e2, e3
+        )
+        SELECT e1, e2, e3, n_paths FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY n_paths DESC, e1, e2, e3) AS rk
+            FROM c
+        ) WHERE rk <= {_TRI_TOP}
+    """,
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioural paths: consecutive event-type trigrams
+    per user (time order, event_id tiebreak), counted corpus-wide,
+    top-20 under a total order (count DESC, then path lexicographic)
+    so the cut never depends on engine iteration order. The
+    path-mining step product analytics runs after `events_markov`'s
+    one-step matrix — three steps is where "view→cart→purchase"
+    funnels become visible without hand-declaring them.
+
+    Plan/scale: ONE user-keyed window sort produces both leads (shared
+    sort, same shape as win_lag_lead); the trigram count collapses to
+    ≤ |event_type|³ rows with map-side combine; the final top-k window
+    runs over that vocabulary-sized table only — the single-partition
+    sort touches ≤ cubed-vocabulary rows, never the event stream."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    cnt = tri.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(
+            F.col("n_paths").desc(), F.col("e1"), F.col("e2"), F.col("e3")
+        )
+    )
+    return (
+        cnt.withColumn("rk", rk)
+        .where(F.col("rk") <= _TRI_TOP)
+        .drop("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_burstiness — Fano factor of the hourly arrival process (round 8)
+# --------------------------------------------------------------------------
+
+_BF_STEP_US = 3_600_000_000  # hourly slots
+
+
+@register(
+    "events_burstiness",
+    tags=("b11",),
+    oracle=f"""
+        -- burstiness per series: Fano factor (variance-to-mean ratio)
+        -- of hourly event counts over the series' full calendar span,
+        -- empty slots counted as zero. Fano 1000 (milli) = Poisson;
+        -- above = bursty, below = regular — the dispersion diagnostic
+        -- behind rate-limiter sizing and anomaly thresholds.
+        -- Exact integer legs: with S slots and per-slot counts c,
+        -- fano_milli = (S·Σc² − (Σc)²)·1000 // (S·Σc), HUGEINT
+        -- intermediates (Σc² ~ 1e18 already wraps int64 cross-terms
+        -- at 100 TB).
+        WITH c AS (
+            SELECT event_type,
+                   epoch_us(ts) // {_BF_STEP_US} AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT event_type,
+                   MAX(b) - MIN(b) + 1 AS n_slots,
+                   SUM(n) AS n_events,
+                   SUM(CAST(n AS HUGEINT) * n) AS sum_n2
+            FROM c GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_slots AS BIGINT) AS n_slots,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST((CAST(n_slots AS HUGEINT) * sum_n2
+                     - CAST(n_events AS HUGEINT) * n_events) * 1000
+                    // (CAST(n_slots AS HUGEINT) * n_events)
+                    AS BIGINT) AS fano_milli
+        FROM g
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor, variance-to-mean of hourly arrival
+    counts) per event series, with empty hours inside the series'
+    calendar span counted as zero — WITHOUT materializing the empty
+    slots: with S spanned slots, Σc and Σc² over observed cells alone
+    determine the population variance (zeros add nothing), so
+    fano = (S·Σc² − (Σc)²) / (S·Σc), emitted in exact milli units via
+    a decimal(38,0) floor cross-multiply. Fano ≈ 1.0 is Poisson;
+    higher means bursty traffic — the statistic that sizes
+    rate-limiters and anomaly thresholds per series.
+
+    Plan/scale: one map-side-combined hash agg to calendar cells, one
+    series-sized rollup. No spine join for the empty slots (the
+    algebra above absorbs them), no window, no join."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_BF_STEP_US}").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = c.groupBy("event_type").agg(
+        (F.max("b") - F.min("b") + F.lit(1)).alias("n_slots"),
+        F.sum("n").alias("n_events"),
+        F.sum(F.expr("CAST(n AS decimal(38,0)) * n")).alias("sum_n2"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n_slots").cast("long").alias("n_slots"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr(
+            "(CAST(n_slots AS decimal(38,0)) * sum_n2"
+            " - CAST(n_events AS decimal(38,0)) * n_events) * 1000"
+            " div (CAST(n_slots AS decimal(38,0)) * n_events)"
+        )
+        .cast("long")
+        .alias("fano_milli"),
+    )

@@ -757,3 +757,214 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("long").alias("revenue_cents"),
         F.sum("cents").over(w).cast("long").alias("cum_revenue_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_autocorr — lag-1 autocorrelation of the hourly revenue series (round 8)
+# --------------------------------------------------------------------------
+
+_AC_STEP_US = 3_600_000_000  # hourly slots
+
+
+@register(
+    "ts_autocorr",
+    tags=("b4",),
+    oracle=f"""
+        -- lag-1 autocorrelation per series: Pearson corr between the
+        -- hourly revenue cell and its predecessor cell (pairs where
+        -- BOTH slots were observed). The memory/persistence diagnostic
+        -- that separates trending series from white noise — and the
+        -- statistic that justifies (or kills) the ts_ewma smoothing
+        -- horizon per series. agg_corr's exact-co-moment discipline
+        -- applied to a self-join: HUGEINT legs, IEEE-exact derivation,
+        -- no float tolerance anywhere.
+        WITH c AS (
+            SELECT event_type,
+                   epoch_us(ts) // {_AC_STEP_US} AS b,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT a.event_type,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(a.cents AS HUGEINT)) AS sx,
+                   SUM(CAST(p.cents AS HUGEINT)) AS sy,
+                   SUM(CAST(a.cents AS HUGEINT) * p.cents) AS sxy,
+                   SUM(CAST(a.cents AS HUGEINT) * a.cents) AS sxx,
+                   SUM(CAST(p.cents AS HUGEINT) * p.cents) AS syy
+            FROM c a JOIN c p
+              ON p.event_type = a.event_type AND p.b = a.b - 1
+            GROUP BY a.event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_pairs,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+                   AS lag1_corr
+        FROM m
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each series' hourly revenue: collapse
+    events to calendar cells, pair every cell with its predecessor
+    slot (both observed — no imputation), and derive Pearson r from
+    EXACT integer co-moment sums. High lag-1 r means the series has
+    memory (smoothing and seasonal-naive baselines will work); r near
+    zero means white noise. Completes the ts_* family: resample →
+    smooth (ewma) → interpolate → now measure whether smoothing is
+    even justified.
+
+    Determinism: the six co-moment legs are decimal(38,0) sums of
+    int64-cent products (exact, order-independent); r is derived from
+    those identical integers with IEEE-exact cast/mul/sub/div/sqrt —
+    bit-identical across engines, the agg_corr discipline. Headroom:
+    cents ~1e9/hour and 1e6 slots put n·sxy ~1e30, inside 38 digits.
+
+    Plan/scale: one map-side-combined agg to cells, an EQUI self-join
+    on (series, slot−1) over cell-cardinality rows, a series-sized
+    rollup. Same shape as events_forecast_snaive — no window, no
+    global sort."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_AC_STEP_US}").alias("b"),
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents")
+    )
+    p = c.select(
+        "event_type",
+        (F.col("b") + 1).alias("b"),
+        F.col("cents").alias("pcents"),
+    )
+    m = (
+        c.join(p, ["event_type", "b"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("pcents").cast("decimal(38,0)")).alias("sy"),
+            F.sum(F.expr("CAST(cents AS decimal(38,0)) * pcents")).alias(
+                "sxy"
+            ),
+            F.sum(F.expr("CAST(cents AS decimal(38,0)) * cents")).alias(
+                "sxx"
+            ),
+            F.sum(F.expr("CAST(pcents AS decimal(38,0)) * pcents")).alias(
+                "syy"
+            ),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    denx = (n * sxx - sx * sx).cast("double")
+    deny = (n * syy - sy * sy).cast("double")
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_pairs"),
+        (num / F.sqrt(denx * deny)).alias("lag1_corr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_fulfillment_lag — order→ship latency profile (round 8)
+# --------------------------------------------------------------------------
+
+_FL_DAY_US = 86_400_000_000
+
+
+def _fl_rank_val(frac_num: int, frac_den: int, idiv: str = "div") -> str:
+    """SQL fragment: the lag-day value at exact lower rank
+    (n-1)·num idiv den — nearest-rank-down order statistic, pure
+    integers; identical expression tree on both engines, only the
+    integer-division token differs (Spark ``div``, DuckDB ``//``)."""
+    return (
+        f"MAX(CASE WHEN rn - 1 = (n - 1) * {frac_num} {idiv} {frac_den}"
+        " THEN lag_days END)"
+    )
+
+
+@register(
+    "orders_fulfillment_lag",
+    tags=("b11",),
+    oracle=f"""
+        -- order→ship latency profile per priority class: exact integer
+        -- day lags from order date to each line's ship date, profiled
+        -- as min / p50 / p90 / max by nearest-rank-down order
+        -- statistics (the value AT integer rank (n−1)·k div 100 — no
+        -- interpolation, no floats; the VALUE at a rank is unique even
+        -- when row_number breaks ties arbitrarily because the sort key
+        -- IS the value). The SLA dashboard every fulfillment org runs.
+        WITH l AS (
+            SELECT o.o_orderpriority,
+                   (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                       // {_FL_DAY_US} AS lag_days
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        r AS (
+            SELECT o_orderpriority, lag_days,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY lag_days) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM l
+        )
+        SELECT o_orderpriority,
+               CAST(MAX(n) AS BIGINT) AS n_lines,
+               CAST(MIN(lag_days) AS BIGINT) AS min_days,
+               CAST({_fl_rank_val(50, 100, "//")} AS BIGINT) AS p50_days,
+               CAST({_fl_rank_val(90, 100, "//")} AS BIGINT) AS p90_days,
+               CAST(MAX(lag_days) AS BIGINT) AS max_days
+        FROM r GROUP BY o_orderpriority
+    """,
+)
+def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency profile per priority class: integer day lag
+    from ``o_orderdate`` to each line's ``l_shipdate``, summarized as
+    min / p50 / p90 / max where the percentiles are NEAREST-RANK-DOWN
+    order statistics (the value at rank (n−1)·k div 100) — exact
+    integers end to end, the agg_percentile_exact discipline without
+    even the interpolation legs. Answers "does PRIORITY actually ship
+    faster?", the first SLA question a fulfillment warehouse gets.
+
+    Plan/scale: the fact join is orderkey-equi (AQE broadcasts orders'
+    two columns when small; shuffles on the shared key otherwise); the
+    rank pass is a PER-PRIORITY window sort (5 parallel partitions,
+    never a global sort) that collapses immediately into a 5-row
+    conditional agg. At 100 TB the window input is the full line
+    count per class — the documented exact-percentile trade; the
+    approx path (agg_approx) is the default at that scale and this is
+    its calibration query."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.expr(
+                # l_shipdate/o_orderdate surface as TIMESTAMP_NTZ; the
+                # UTC-pinned session makes the wall-clock cast exact.
+                "(unix_micros(cast(l_shipdate AS timestamp))"
+                " - unix_micros(cast(o_orderdate AS timestamp)))"
+                f" div {_FL_DAY_US}"
+            ).alias("lag_days"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("lag_days")
+    r = lag.select(
+        "o_orderpriority",
+        "lag_days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.min("lag_days").cast("long").alias("min_days"),
+        F.expr(_fl_rank_val(50, 100)).cast("long").alias("p50_days"),
+        F.expr(_fl_rank_val(90, 100)).cast("long").alias("p90_days"),
+        F.max("lag_days").cast("long").alias("max_days"),
+    )

@@ -176,7 +176,11 @@ DRIVER_ORDER = [
     "events_gap_detect",
     "events_inter_arrival",
     # -- born late in round 8 (after the 50-window filled): first in
-    #    line for the round-9 rotation --
+    #    line for the round-9 rotation. R9 window plan: these 11, then
+    #    the 14 certifiable late-r8 ids below (sub_division ..
+    #    sample_negatives, minus multimodal_audio_stats — rows-only by
+    #    design, it can never hash-certify), then ~25 of the oldest
+    #    refreshes to fill 50. --
     "agg_skyline",
     "win_streak",
     "win_lorenz",
@@ -203,6 +207,10 @@ DRIVER_ORDER = [
     "basket_rules",
     "agg_cube",
     "sample_negatives",
+    "events_trigram_paths",
+    "events_burstiness",
+    "ts_autocorr",
+    "orders_fulfillment_lag",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1,0 +1,154 @@
+"""Unit tests for the round-8 extra operators: independent pure-Python
+replays of the semantics the oracle hash alone can't localize — the
+trigram path miner against a dict-of-Counters walk, the Fano factor
+against a literal zero-filled slot vector, lag-1 autocorrelation
+against Python's exact fractions, and the nearest-rank percentile
+against a sorted-list index."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from fractions import Fraction
+
+from nchu_bigdata_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+HOUR_US = 3_600_000_000
+
+
+# --------------------------------------------------------------------------
+# events_trigram_paths
+# --------------------------------------------------------------------------
+
+
+def _user_sequences(duck):
+    seqs = defaultdict(list)
+    for u, et in duck.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall():
+        seqs[u].append(et)
+    return seqs
+
+
+def test_trigram_paths_replay(spark, sf_dir, duck):
+    cnt = Counter()
+    for seq in _user_sequences(duck).values():
+        for i in range(len(seq) - 2):
+            cnt[tuple(seq[i : i + 3])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = sorted(
+        (((r.e1, r.e2, r.e3), r.n_paths) for r in
+         SPECS["events_trigram_paths"].fn(spark, sf_dir).collect()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert got == list(want)
+
+
+def test_trigram_paths_count_conservation(spark, sf_dir, duck):
+    # total trigram occurrences = Σ max(len(seq)-2, 0) over users
+    seqs = _user_sequences(duck)
+    total = sum(max(len(s) - 2, 0) for s in seqs.values())
+    rows = SPECS["events_trigram_paths"].fn(spark, sf_dir).collect()
+    assert len(rows) <= 20
+    # top-20 can't exceed the corpus total and must be positive
+    assert 0 < sum(r.n_paths for r in rows) <= total
+
+
+# --------------------------------------------------------------------------
+# events_burstiness
+# --------------------------------------------------------------------------
+
+
+def test_burstiness_zero_filled_replay(spark, sf_dir, duck):
+    cells = defaultdict(dict)
+    for et, b, n in duck.execute(
+        f"SELECT event_type, epoch_us(ts)//{HOUR_US}, COUNT(*) "
+        "FROM events GROUP BY 1, 2"
+    ).fetchall():
+        cells[et][b] = n
+    want = {}
+    for et, m in cells.items():
+        lo, hi = min(m), max(m)
+        xs = [m.get(b, 0) for b in range(lo, hi + 1)]  # literal zero-fill
+        S, sc, sc2 = len(xs), sum(xs), sum(x * x for x in xs)
+        want[et] = (S, sc, (S * sc2 - sc * sc) * 1000 // (S * sc))
+    got = {
+        r.event_type: (r.n_slots, r.n_events, r.fano_milli)
+        for r in SPECS["events_burstiness"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# ts_autocorr
+# --------------------------------------------------------------------------
+
+
+def test_autocorr_exact_fraction_replay(spark, sf_dir, duck):
+    cells = defaultdict(dict)
+    for et, b, c in duck.execute(
+        f"SELECT event_type, epoch_us(ts)//{HOUR_US}, "
+        "SUM(CAST(ROUND(value*100) AS BIGINT)) FROM events GROUP BY 1, 2"
+    ).fetchall():
+        cells[et][b] = c
+    rows = SPECS["ts_autocorr"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        m = cells[r.event_type]
+        pairs = [(m[b], m[b - 1]) for b in sorted(m) if b - 1 in m]
+        assert r.n_pairs == len(pairs)
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        num = Fraction(n * sxy - sx * sy)
+        den2 = Fraction(n * sxx - sx * sx) * (n * syy - sy * sy)
+        # exact-fraction check: corr² matches to float precision and the
+        # sign matches exactly (corr itself involves one irrational sqrt)
+        assert (num > 0) == (r.lag1_corr > 0)
+        assert abs(float(num * num / den2) - r.lag1_corr**2) < 1e-9
+
+
+def test_autocorr_in_unit_interval(spark, sf_dir):
+    for r in SPECS["ts_autocorr"].fn(spark, sf_dir).collect():
+        assert -1.0 <= r.lag1_corr <= 1.0
+
+
+# --------------------------------------------------------------------------
+# orders_fulfillment_lag
+# --------------------------------------------------------------------------
+
+
+def test_fulfillment_lag_sorted_index_replay(spark, sf_dir, duck):
+    lags = defaultdict(list)
+    for pri, d in duck.execute(
+        "SELECT o.o_orderpriority, "
+        "(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 "
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+    ).fetchall():
+        lags[pri].append(d)
+    want = {}
+    for pri, xs in lags.items():
+        xs.sort()
+        n = len(xs)
+        want[pri] = (
+            n, xs[0], xs[(n - 1) * 50 // 100], xs[(n - 1) * 90 // 100], xs[-1]
+        )
+    got = {
+        r.o_orderpriority: (
+            r.n_lines, r.min_days, r.p50_days, r.p90_days, r.max_days
+        )
+        for r in SPECS["orders_fulfillment_lag"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_fulfillment_lag_monotone_profile(spark, sf_dir):
+    rows = SPECS["orders_fulfillment_lag"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.min_days <= r.p50_days <= r.p90_days <= r.max_days
+        assert r.n_lines > 0
