@@ -490,3 +490,103 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(degree_u + degree_v - common_neighbors)"
         ).cast("long"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_kcore_peel — bounded-round k-core decomposition (round 8)
+# --------------------------------------------------------------------------
+
+_KC_ROUNDS = 3
+
+
+def _kcore_round_sql(i: int) -> str:
+    """One peel round as CTE fragments: edges among the previous alive
+    set, fresh degrees, fresh alive set. Shared verbatim by the unrolled
+    DuckDB oracle (only the integer-div token differs, handled by the
+    caller)."""
+    p = i - 1
+    return f"""
+        e{i} AS (
+            SELECT e.u, e.v FROM e{p} e
+            JOIN a{p} x ON e.u = x.u
+            JOIN a{p} y ON e.v = y.u
+        ),
+        d{i} AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+                 FROM e{i} GROUP BY u),
+        a{i} AS (SELECT d{i}.u FROM d{i}, kk WHERE d >= k)"""
+
+
+@register(
+    "graph_kcore_peel",
+    tags=("b11",),
+    oracle=f"""
+        -- k-core peel, {_KC_ROUNDS} rounds unrolled: k = ceil(mean
+        -- degree) (exact integers — (Σd + n − 1) // n), peel vertices
+        -- with degree < k, recompute degrees among survivors, repeat.
+        -- Survivors after round {_KC_ROUNDS} with their residual
+        -- degrees = the dense backbone of the co-purchase graph (the
+        -- community-core extraction step recommender pipelines run
+        -- before expensive clustering). Bounded rounds, like
+        -- graph_bfs's level cap — the fixpoint variant just loops the
+        -- same round shape.
+        WITH e0 AS ({{edges}}),
+        d0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+               FROM e0 GROUP BY u),
+        kk AS (SELECT (3 * SUM(d) + 4 * COUNT(*) - 1)
+                   // (4 * COUNT(*)) AS k FROM d0),
+        a0 AS (SELECT d0.u FROM d0, kk WHERE d >= k),
+        {','.join(_kcore_round_sql(i) for i in range(1, _KC_ROUNDS + 1))}
+        SELECT d{_KC_ROUNDS}.u AS part_key, d AS core_deg
+        FROM d{_KC_ROUNDS}, kk WHERE d >= k
+    """.format(edges=_EDGES_SQL),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition of the co-purchase graph: with
+    k = ceil(0.75 · mean degree) (data-dependent, exact integer
+    arithmetic — the events_rfm mean-split policy applied to graphs;
+    the 3/4 factor keeps the cascade non-trivial on a near-regular
+    co-purchase graph, where a full-mean cut peels to empty in two
+    rounds), repeatedly
+    drop vertices whose degree among survivors falls below k. Three
+    peel rounds are unrolled; survivors with their residual degrees
+    are the graph's dense backbone — what community detection and
+    recommender clustering run on after shedding the sparse fringe.
+    The fixpoint algorithm is this exact round shape looped until no
+    vertex drops (graph_bfs's bounded-level precedent).
+
+    Determinism: k derives from the initial degree table with a
+    ceiling division in integers; every round is joins + counts — no
+    floats anywhere.
+
+    Plan/scale: the symmetric edge table is localCheckpointed ONCE
+    (shared_intermediate) and each round re-filters it with two
+    alive-set hash joins (alive shrinks monotonically — AQE broadcasts
+    it as soon as it fits) followed by one map-side-combined degree
+    agg; k is a 1-row broadcast. State stays vertex/edge-cardinality
+    DataFrames — nothing is collected. Per-round cost falls as the
+    fringe sheds; the classic distributed k-core shape (Quick et al.'s
+    Pregel formulation maps to the same join-agg round)."""
+    edges = shared_intermediate(
+        "kcore_edges", _copurchase_edges(spark, sf_dir)
+    )
+    d = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    kk = d.groupBy().agg(
+        F.expr("(3 * sum(d) + 4 * count(1) - 1) div (4 * count(1))").alias("k")
+    )
+    alive = d.join(F.broadcast(kk)).where(F.col("d") >= F.col("k")).select("u")
+    cur = edges
+    for _ in range(_KC_ROUNDS):
+        cur = cur.join(alive, "u").join(
+            alive.withColumnRenamed("u", "v"), "v"
+        ).select("u", "v")
+        d = cur.groupBy("u").agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+        alive = (
+            d.join(F.broadcast(kk)).where(F.col("d") >= F.col("k")).select("u")
+        )
+    return (
+        d.join(F.broadcast(kk))
+        .where(F.col("d") >= F.col("k"))
+        .select(F.col("u").alias("part_key"), F.col("d").alias("core_deg"))
+    )

@@ -1410,3 +1410,86 @@ def curate_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("long").alias("keep_rank"),
         F.col("n_source").cast("long").alias("n_source_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# sample_temperature — temperature-scaled mixture allocation (round 8)
+# --------------------------------------------------------------------------
+
+_TS_BUDGET = 1_000  # documents to draw across sources
+_TS_SQ_SCALE = 1_000_000  # w = floor(sqrt(n · 10⁶)) ≈ 1000·√n
+
+
+@register(
+    "sample_temperature",
+    tags=("b10",),
+    oracle=f"""
+        -- temperature-scaled sampling allocation (τ=2): per-source
+        -- draw budgets ∝ n^(1/τ) = √n, vs the proportional (τ=1)
+        -- allocation. The multilingual-corpus rebalancing rule
+        -- (mT5/XLM-R style): temperature lifts the tail sources a
+        -- proportional draw starves. Weights are integers
+        -- w = floor(sqrt(n·10⁶)) — IEEE sqrt is correctly rounded on
+        -- both engines and n·10⁶ is exactly representable below 2⁵³
+        -- (n ≤ 9·10⁹ documents PER SOURCE, documented bound), so the
+        -- floor is the SAME integer everywhere; allocations are then
+        -- pure floor cross-multiplies, HUGEINT-routed.
+        WITH g AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)
+                                   * {_TS_SQ_SCALE})) AS BIGINT) AS w
+            FROM documents GROUP BY source
+        ),
+        t AS (SELECT SUM(n_docs) AS tot_n, SUM(w) AS tot_w FROM g)
+        SELECT source, n_docs, w AS w_milli,
+               CAST(CAST({_TS_BUDGET} AS HUGEINT) * n_docs // tot_n
+                    AS BIGINT) AS alloc_prop,
+               CAST(CAST({_TS_BUDGET} AS HUGEINT) * w // tot_w
+                    AS BIGINT) AS alloc_temp
+        FROM g, t
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture allocation (τ=2): how many documents
+    to draw from each source so tail sources are lifted relative to a
+    proportional draw — the multilingual/multi-domain rebalancing rule
+    (sampling ∝ n^(1/τ)) that decides a training mixture before
+    `sample_stratified` executes the draw. Emits both the τ=1
+    (proportional) and τ=2 (√n) allocations so the flattening is
+    visible per source.
+
+    Determinism: the ONLY float op is one IEEE sqrt per source —
+    correctly rounded by spec on both engines over an exactly-
+    representable integer input (n·10⁶ < 2⁵³ ⇔ n ≤ 9e9 docs/source;
+    beyond that, widen the scale or switch to an integer Newton
+    isqrt), floored to the integer weight BOTH engines agree on;
+    every division after that is a decimal(38,0)/HUGEINT floor
+    cross-multiply (Σw ~ 10⁹·√n overflows int64 cross-terms at corpus
+    scale).
+
+    Plan/scale: one map-side-combined source agg + a 1-row global
+    rollup broadcast back — the mixture_weights shape; nothing
+    driver-side, no window."""
+    g = table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            f"CAST(FLOOR(SQRT(CAST(count(1) AS DOUBLE) * {_TS_SQ_SCALE}))"
+            " AS BIGINT)"
+        ).alias("w"),
+    )
+    t = g.groupBy().agg(
+        F.sum("n_docs").alias("tot_n"), F.sum("w").alias("tot_w")
+    )
+    return g.join(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.col("w").alias("w_milli"),
+        F.expr(
+            f"CAST(CAST({_TS_BUDGET} AS decimal(38,0)) * n_docs div tot_n"
+            " AS BIGINT)"
+        ).alias("alloc_prop"),
+        F.expr(
+            f"CAST(CAST({_TS_BUDGET} AS decimal(38,0)) * w div tot_w"
+            " AS BIGINT)"
+        ).alias("alloc_temp"),
+    )

@@ -1038,3 +1038,83 @@ def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simpson_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_k_anonymity — k-anonymity audit / suppression (round 8)
+# --------------------------------------------------------------------------
+
+_KA_K = 5  # minimum equivalence-class size
+_KA_BUCKET = 100  # n_chars generalization width
+
+
+@register(
+    "text_k_anonymity",
+    tags=("b10",),
+    oracle=f"""
+        -- k-anonymity release audit over the documents table:
+        -- quasi-identifier tuple (lang, source, length-bucket) forms
+        -- equivalence classes; classes of size >= k={_KA_K} release
+        -- as-is, everything smaller collapses into ONE fully
+        -- generalized bucket ('*','*',-1) — the suppression step of a
+        -- Mondrian-style anonymizer, and the re-identification-risk
+        -- report a privacy review asks for before a corpus ships.
+        WITH g AS (
+            SELECT lang, source, n_chars // {_KA_BUCKET} AS len_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS class_n
+            FROM documents GROUP BY 1, 2, 3
+        )
+        SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+               class_n, TRUE AS released
+        FROM g WHERE class_n >= {_KA_K}
+        UNION ALL
+        SELECT '*', '*', CAST(-1 AS BIGINT), CAST(SUM(class_n) AS BIGINT),
+               FALSE
+        FROM g WHERE class_n < {_KA_K}
+        HAVING COUNT(*) > 0
+    """,
+)
+def text_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit with suppression: quasi-identifiers
+    (lang, source, 100-char length bucket) partition the corpus into
+    equivalence classes; a class releases unmodified only when at
+    least k=5 documents share the tuple — smaller classes (each a
+    re-identification risk: the tuple pins an individual document)
+    collapse into a single fully-generalized ('*','*',-1) bucket whose
+    size is reported. The structural privacy gate that runs alongside
+    `text_pii_scrub`'s content gate before a corpus ships.
+
+    Plan/scale: ONE map-side-combined hash agg to class cardinality;
+    the release/suppress split is two projections of that tiny class
+    table (Spark reuses the agg via its shuffle exchange). No window,
+    no join, nothing driver-side."""
+    docs = table(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {_KA_BUCKET}").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("class_n"))
+    ok = g.where(F.col("class_n") >= _KA_K).select(
+        "lang",
+        "source",
+        F.col("len_bucket").cast("long").alias("len_bucket"),
+        "class_n",
+        F.lit(True).alias("released"),
+    )
+    sup = (
+        g.where(F.col("class_n") < _KA_K)
+        .groupBy()
+        .agg(
+            F.sum("class_n").cast("long").alias("class_n"),
+            F.count(F.lit(1)).alias("_nc"),
+        )
+        .where(F.col("_nc") > 0)
+        .select(
+            F.lit("*").alias("lang"),
+            F.lit("*").alias("source"),
+            F.lit(-1).cast("long").alias("len_bucket"),
+            "class_n",
+            F.lit(False).alias("released"),
+        )
+    )
+    return ok.unionByName(sup)

@@ -1416,3 +1416,118 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("gid"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_countmin — count-min sketch with a portable hash family (round 8)
+# --------------------------------------------------------------------------
+
+from pyspark.sql import Window as _W  # noqa: E402  (section-local import)
+
+_CM_D = 4  # hash rows
+_CM_W = 64  # buckets per row
+_CM_TOP = 10  # point-query probes
+
+
+def _cm_bucket_sql(word_expr: str, d_expr: str, hexcast: bool) -> str:
+    """Bucket = low 32 bits of md5(word '#' row-salt) mod W — md5 is the
+    byte-portable hash family (fn_hash policy). Same expression tree on
+    both engines; only the hex→int idiom differs."""
+    salted = f"{word_expr} || '#' || CAST({d_expr} AS VARCHAR)"
+    if hexcast:  # DuckDB
+        return f"(('0x' || substr(md5({salted}), 1, 8))::BIGINT % {_CM_W})"
+    return f"(conv(substr(md5(concat({word_expr}, '#', CAST({d_expr} AS STRING))), 1, 8), 16, 10) % {_CM_W})"
+
+
+@register(
+    "agg_countmin",
+    tags=("b4",),
+    oracle=f"""
+        -- count-min sketch, fully deterministic: {_CM_D}×{_CM_W} cell
+        -- matrix over the corpus token stream with md5-salted row
+        -- hashes (engine-portable, unlike murmur/xxhash), probed at
+        -- the top-{_CM_TOP} true-frequency words. CM guarantees
+        -- est >= true always; the overcount column shows the actual
+        -- collision error at this width. Unlike agg_approx's opaque
+        -- HLL this sketch is REPLAYABLE — both engines build the
+        -- identical matrix, so the oracle is exact, no tolerance.
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        dd AS (SELECT unnest(range({_CM_D})) AS d),
+        cells AS (
+            SELECT d, {_cm_bucket_sql('w', 'd', True)} AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok, dd GROUP BY 1, 2
+        ),
+        wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS true_n
+               FROM tok GROUP BY w),
+        top AS (
+            SELECT w, true_n FROM (
+                SELECT w, true_n,
+                       row_number() OVER (ORDER BY true_n DESC, w) AS rk
+                FROM wc
+            ) WHERE rk <= {_CM_TOP}
+        )
+        SELECT t.w AS word, t.true_n, MIN(c.n) AS cm_est,
+               MIN(c.n) - t.true_n AS overcount
+        FROM top t
+        JOIN dd ON TRUE
+        JOIN cells c
+          ON c.d = dd.d AND c.b = {_cm_bucket_sql('t.w', 'dd.d', True)}
+        GROUP BY t.w, t.true_n
+    """,
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream — the mergeable
+    heavy-hitter structure behind streaming frequency estimation —
+    built with a PORTABLE hash family (md5 row-salts, fn_hash policy)
+    so the whole 4×64 cell matrix is bit-identical across engines and
+    the oracle replays it EXACTLY (vs agg_approx, whose HLL internals
+    force a bounded-verdict oracle). Output: point queries at the
+    top-10 true words with the sketch's guaranteed-nonnegative
+    overcount, making the collision error at this width visible.
+
+    Plan/scale: the 4× row-salt fanout happens inside codegen (explode
+    of a 4-literal array — no join against a salt table); the cell agg
+    is map-side combined into a CONSTANT 256-cell matrix regardless of
+    corpus size — the sketch property that makes it mergeable across
+    100 TB of partitions with one tiny shuffle. The probe side joins
+    the 40 top-word rows against the 256-cell table — both broadcast
+    sized. True counts need one vocabulary agg (the same shape every
+    text_* op pays)."""
+    toks = parallel_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    salted = toks.select(
+        "w", F.explode(F.array(*[F.lit(d) for d in range(_CM_D)])).alias("d")
+    )
+    bucket = F.expr(_cm_bucket_sql("w", "d", False))
+    cells = salted.groupBy("d", bucket.alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    top = (
+        wc.withColumn(
+            "rk",
+            F.row_number().over(
+                _W.orderBy(F.col("true_n").desc(), F.col("w"))
+            ),
+        )
+        .where(F.col("rk") <= _CM_TOP)
+        .drop("rk")
+    )
+    probes = top.select(
+        "w",
+        "true_n",
+        F.explode(F.array(*[F.lit(d) for d in range(_CM_D)])).alias("d"),
+    ).withColumn("b", F.expr(_cm_bucket_sql("w", "d", False)))
+    est = probes.join(F.broadcast(cells), ["d", "b"]).groupBy(
+        "w", "true_n"
+    ).agg(F.min("n").alias("cm_est"))
+    return est.select(
+        F.col("w").alias("word"),
+        "true_n",
+        "cm_est",
+        (F.col("cm_est") - F.col("true_n")).alias("overcount"),
+    )

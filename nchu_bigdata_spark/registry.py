@@ -211,6 +211,10 @@ DRIVER_ORDER = [
     "events_burstiness",
     "ts_autocorr",
     "orders_fulfillment_lag",
+    "text_k_anonymity",
+    "agg_countmin",
+    "sample_temperature",
+    "graph_kcore_peel",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

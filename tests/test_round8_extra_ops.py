@@ -152,3 +152,151 @@ def test_fulfillment_lag_monotone_profile(spark, sf_dir):
     for r in rows:
         assert r.min_days <= r.p50_days <= r.p90_days <= r.max_days
         assert r.n_lines > 0
+
+
+# --------------------------------------------------------------------------
+# text_k_anonymity
+# --------------------------------------------------------------------------
+
+
+def test_k_anonymity_replay(spark, sf_dir, duck):
+    classes = Counter()
+    for lang, src, b in duck.execute(
+        "SELECT lang, source, n_chars // 100 FROM documents"
+    ).fetchall():
+        classes[(lang, src, b)] += 1
+    released = {q: n for q, n in classes.items() if n >= 5}
+    suppressed = sum(n for q, n in classes.items() if n < 5)
+    rows = SPECS["text_k_anonymity"].fn(spark, sf_dir).collect()
+    got_rel = {
+        (r.lang, r.source, r.len_bucket): r.class_n
+        for r in rows
+        if r.released
+    }
+    got_sup = [r for r in rows if not r.released]
+    assert got_rel == released
+    if suppressed:
+        assert len(got_sup) == 1
+        assert got_sup[0].class_n == suppressed
+        assert (got_sup[0].lang, got_sup[0].source) == ("*", "*")
+    else:
+        assert not got_sup
+    # every released class really is k-anonymous
+    assert all(n >= 5 for n in got_rel.values())
+
+
+# --------------------------------------------------------------------------
+# agg_countmin
+# --------------------------------------------------------------------------
+
+
+def test_countmin_replay(spark, sf_dir, duck):
+    import hashlib
+
+    toks = [
+        w
+        for (t,) in duck.execute("SELECT text FROM documents").fetchall()
+        for w in t.split(" ")
+    ]
+    cells = Counter()
+    for w in toks:
+        for d in range(4):
+            h = hashlib.md5(f"{w}#{d}".encode()).hexdigest()
+            cells[(d, int(h[:8], 16) % 64)] += 1
+    wc = Counter(toks)
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want = {}
+    for w, n in top:
+        est = min(
+            cells[(d, int(hashlib.md5(f"{w}#{d}".encode()).hexdigest()[:8], 16) % 64)]
+            for d in range(4)
+        )
+        want[w] = (n, est)
+    got = {
+        r.word: (r.true_n, r.cm_est)
+        for r in SPECS["agg_countmin"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    for r in SPECS["agg_countmin"].fn(spark, sf_dir).collect():
+        assert r.cm_est >= r.true_n
+        assert r.overcount == r.cm_est - r.true_n >= 0
+
+
+# --------------------------------------------------------------------------
+# sample_temperature
+# --------------------------------------------------------------------------
+
+
+def test_temperature_replay(spark, sf_dir, duck):
+    import math
+
+    counts = dict(
+        duck.execute(
+            "SELECT source, COUNT(*) FROM documents GROUP BY source"
+        ).fetchall()
+    )
+    ws = {s: math.floor(math.sqrt(n * 1_000_000)) for s, n in counts.items()}
+    tot_n, tot_w = sum(counts.values()), sum(ws.values())
+    rows = SPECS["sample_temperature"].fn(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(counts)
+    for r in rows:
+        assert r.n_docs == counts[r.source]
+        assert r.w_milli == ws[r.source]
+        assert r.alloc_prop == 1000 * counts[r.source] // tot_n
+        assert r.alloc_temp == 1000 * ws[r.source] // tot_w
+
+
+def test_temperature_flattens_mixture(spark, sf_dir):
+    rows = SPECS["sample_temperature"].fn(spark, sf_dir).collect()
+    small = min(rows, key=lambda r: r.n_docs)
+    big = max(rows, key=lambda r: r.n_docs)
+    if small.n_docs < big.n_docs:
+        # temperature gives the tail at least its proportional share
+        # and strictly shrinks the head's share
+        assert small.alloc_temp >= small.alloc_prop
+        assert big.alloc_temp <= big.alloc_prop
+
+
+# --------------------------------------------------------------------------
+# graph_kcore_peel
+# --------------------------------------------------------------------------
+
+
+def _sym_edges(duck):
+    return duck.execute(
+        "SELECT DISTINCT a.l_partkey, b.l_partkey FROM lineitem a "
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey"
+    ).fetchall()
+
+
+def test_kcore_peel_replay(spark, sf_dir, duck):
+    edges = _sym_edges(duck)
+    deg = Counter(u for u, _ in edges)
+    n = len(deg)
+    k = (3 * sum(deg.values()) + 4 * n - 1) // (4 * n)
+    alive = {u for u, d in deg.items() if d >= k}
+    cur = edges
+    for _ in range(3):
+        cur = [(u, v) for u, v in cur if u in alive and v in alive]
+        deg = Counter(u for u, _ in cur)
+        alive = {u for u, d in deg.items() if d >= k}
+    want = {u: d for u, d in deg.items() if d >= k}
+    got = {
+        r.part_key: r.core_deg
+        for r in SPECS["graph_kcore_peel"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want  # the cascade leaves a non-empty backbone at test sf
+
+
+def test_kcore_survivor_degrees_bounded(spark, sf_dir, duck):
+    edges = _sym_edges(duck)
+    deg0 = Counter(u for u, _ in edges)
+    rows = SPECS["graph_kcore_peel"].fn(spark, sf_dir).collect()
+    for r in rows:
+        # residual degree can only shrink vs the full graph
+        assert 0 < r.core_deg <= deg0[r.part_key]
