@@ -90,6 +90,12 @@ LLM_GROUP = [
     "text_diversity",
     "sample_poisson",
     "curate_domain_balance",
+    # born round 8 (this session): portable count-min sketch,
+    # k-anonymity audit, temperature mixture (trend starts here)
+    "agg_countmin",
+    "text_k_anonymity",
+    "sample_temperature",
+    "dedup_url",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -126,6 +132,15 @@ SQL_GROUP = [
     "win_lorenz",
     "ts_interpolate",
     "events_overlap_matrix",
+    # born round 8 (this session): path mining, burstiness, lag-1
+    # autocorr, fulfillment SLA, 3-round k-core (trend starts here)
+    "events_trigram_paths",
+    "events_burstiness",
+    "ts_autocorr",
+    "orders_fulfillment_lag",
+    "graph_kcore_peel",
+    "ts_drawdown",
+    "events_stickiness",
 ]
 
 

@@ -1455,3 +1455,117 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_url — URL canonicalization dedup (round 8)
+# --------------------------------------------------------------------------
+
+# Construction (fn_url's synthetic-URL policy: testdata carries no URL
+# column, so the dirty URL is BUILT deterministically, then the operator
+# proves the canonicalizer collapses exactly the right groups):
+#   * scheme/host case varies by doc (HTTPS:// vs https://, .COM vs .com)
+#   * even doc_ids carry the redundant default port :443
+#   * doc_ids % 3 == 0 carry a trailing slash
+#   * every URL carries a tracking param utm_s=<doc_id> (unique per doc
+#     — the classic dedup-killer) plus the real id=<doc_id div 5>
+# so exactly the 5 docs sharing doc_id div 5 collapse to one canonical
+# URL once scheme/host are lowercased, :443 dropped, the trailing slash
+# stripped, and utm_* removed — a 5:1 crawl-record blow-up, the shape
+# tracking params actually produce in the wild.
+
+_URL_DIRTY_SQL = """
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END
+    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM:443'
+            ELSE 'www.example.com' END
+    || '/page/' || CAST(doc_id {idiv} 5 AS {strty})
+    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+    || '?id=' || CAST(doc_id {idiv} 5 AS {strty})
+    || '&utm_s=' || CAST(doc_id AS {strty})
+"""
+
+# Canonicalization chain — identical regex subset on both engines
+# (fn_regex's portable-pattern policy: no backrefs, no lookaround):
+#   1. lowercase the scheme://host prefix (regexp_extract + lower +
+#      tail re-concat — substring arithmetic, engine-portable)
+#   2. drop the ':443' default port (only the host can contain it by
+#      construction)
+#   3. strip the utm_s tracking param
+#   4. strip one trailing slash
+_URL_PREFIX_RE = "^[A-Za-z]+://[^/]+"
+
+
+def _url_canon_sql(u: str, dialect: str) -> str:
+    ext = (
+        f"regexp_extract({u}, '{_URL_PREFIX_RE}')"
+        if dialect == "duck"
+        else f"regexp_extract({u}, '{_URL_PREFIX_RE}', 0)"
+    )
+    lowered = (
+        f"lower({ext}) || substr({u}, length({ext}) + 1)"
+        if dialect == "duck"
+        else f"concat(lower({ext}), substr({u}, length({ext}) + 1))"
+    )
+    no_port = f"replace({lowered}, ':443', '')"
+    no_utm = f"regexp_replace({no_port}, '&utm_s=[0-9]+', '')"
+    # literal "/?" match: Spark's SQL lexer consumes one backslash
+    # level (ANSI off), DuckDB's does not
+    qesc = "/\\\\?" if dialect == "spark" else "/\\?"
+    return f"regexp_replace({no_utm}, '{qesc}', '?')"
+
+
+@register(
+    "dedup_url",
+    tags=("b10",),
+    oracle=f"""
+        -- URL canonicalization dedup — the cheapest, highest-yield
+        -- dedup stage in a crawl pipeline (case-variant hosts, default
+        -- ports, trailing slashes, and utm_* tracking params explode
+        -- one logical page into dozens of crawl records). Dirty URLs
+        -- are constructed (fn_url policy), canonicalized with the
+        -- portable regex subset, grouped; keeper = MIN(doc_id).
+        WITH u AS (
+            SELECT doc_id,
+                   {_URL_DIRTY_SQL.format(idiv="//", strty="VARCHAR")}
+                       AS url
+            FROM documents
+        )
+        SELECT {_url_canon_sql("url", "duck")} AS canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_dups,
+               MIN(doc_id) AS keep_doc_id
+        FROM u
+        GROUP BY 1
+    """,
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: normalize scheme/host case, drop
+    the :443 default port, strip one trailing slash and the utm_*
+    tracking params, then group crawl records by the canonical URL
+    (keeper = MIN(doc_id)). The stage every crawl pipeline runs BEFORE
+    content dedup — it needs no text at all, so at 100 TB it prunes
+    the corpus for cents on the dollar compared to `dedup_exact`'s
+    full-content hashing (which still runs after, catching mirrors on
+    different hosts).
+
+    The trailing-slash strip happens before the '?': with query
+    params present the slash sits mid-string ('/?'), handled by the
+    final '/\\?' → '?' rewrite; the regexes stay inside the
+    fn_regex portable subset (no backrefs) on both engines.
+
+    Plan/scale: one codegen'd projection (regex chain) + ONE hash agg
+    on the canonical string — dedup_exact's shape with a cheaper key.
+    At scale the canonical key would be md5'd to an int64 before the
+    shuffle (dedup module policy); kept as the readable string here
+    because the canonical URL IS the human-auditable output."""
+    docs = table(spark, sf_dir, "documents")
+    dirty = F.expr(_URL_DIRTY_SQL.format(idiv="div", strty="STRING"))
+    u = docs.select("doc_id", dirty.alias("url"))
+    canon = F.expr(_url_canon_sql("url", "spark"))
+    return (
+        u.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )

@@ -1435,3 +1435,109 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fano_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_stickiness — DAU/MAU engagement ratio (round 8)
+# --------------------------------------------------------------------------
+
+_ST_DAY_US = 86_400_000_000
+_ST_MAU_DAYS = 28
+
+
+@register(
+    "events_stickiness",
+    tags=("b11",),
+    oracle=f"""
+        -- stickiness = DAU / trailing-28-day distinct actives, the
+        -- engagement ratio every growth team tracks (a DAU spike with
+        -- flat stickiness is acquisition; rising stickiness is habit).
+        -- COUNT(DISTINCT) OVER RANGE is unsupported SQL everywhere and
+        -- re-aggregated daily distincts undercount — the exact linear
+        -- rewrite is events_active_users' constant-fanout explode of
+        -- the (user, day) cell table, widened to 28 days, with the
+        -- ratio as an integer-bp floor cross-multiply. Only full
+        -- windows report (the leading ramp is a partial-data
+        -- artifact, not a metric).
+        WITH cells AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // {_ST_DAY_US} AS day
+            FROM events
+        ),
+        bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM cells),
+        dau AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM cells
+            GROUP BY day
+        ),
+        mau AS (
+            SELECT t.tday AS day,
+                   CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS mau
+            FROM (
+                SELECT c.user_id, c.day,
+                       unnest(range(c.day, c.day + {_ST_MAU_DAYS}))
+                           AS tday
+                FROM cells c
+            ) t
+            JOIN cells c ON c.user_id = t.user_id AND c.day = t.day
+            GROUP BY t.tday
+        )
+        SELECT d.day, d.dau, m.mau,
+               d.dau * 10000 // m.mau AS stickiness_bp
+        FROM dau d
+        JOIN mau m ON m.day = d.day, bounds b
+        WHERE d.day >= b.d0 + {_ST_MAU_DAYS} - 1 AND d.day <= b.d1
+    """,
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: daily distinct actives over
+    trailing-28-day distinct actives, in integer basis points. The
+    habit metric growth teams steer by — and SQL's awkward corner:
+    `COUNT(DISTINCT) OVER RANGE` doesn't exist and summing daily
+    distincts double-counts, so the engine uses the exact linear
+    rewrite proven by `events_active_users`: each (user, day) cell
+    contributes to the 28 target days it can influence (constant 28×
+    explode of the CELL table, never the raw stream), then one
+    distinct agg per target day. Only days with a full trailing
+    window report.
+
+    Plan/scale: (user, day) dedup is one hash agg; the explode is
+    codegen'd constant fanout; the distinct-per-day agg shuffles
+    user-day-cell volume once. Min/max bounds are a 1-row broadcast.
+    No window function at all — the rewrite IS the scale plan."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_ST_DAY_US}").alias("day"),
+    ).distinct()
+    bounds = cells.groupBy().agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    dau = cells.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    mau = (
+        cells.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.col("day") + _ST_MAU_DAYS - 1
+                )
+            ).alias("day"),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+        .withColumnRenamed("day", "mday")
+    )
+    return (
+        dau.join(mau, dau.day == F.col("mday"))
+        .join(F.broadcast(bounds))
+        .where(
+            (F.col("day") >= F.col("d0") + _ST_MAU_DAYS - 1)
+            & (F.col("day") <= F.col("d1"))
+        )
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("dau * 10000 div mau").alias("stickiness_bp"),
+        )
+    )

@@ -968,3 +968,97 @@ def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_fl_rank_val(90, 100)).cast("long").alias("p90_days"),
         F.max("lag_days").cast("long").alias("max_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_drawdown — peak-to-trough slump per revenue series (round 8)
+# --------------------------------------------------------------------------
+
+_DD_DAY_US = 86_400_000_000
+
+
+@register(
+    "ts_drawdown",
+    tags=("b4",),
+    oracle=f"""
+        -- max drawdown per series: daily revenue cells (observed days
+        -- only — a zero-filled day would make every drawdown equal the
+        -- peak, which measures the calendar, not the series), running
+        -- peak via a cumulative-max window, drawdown = peak − value,
+        -- worst day = earliest day attaining the max drawdown (total
+        -- order, engine-independent). The slump diagnostic ops teams
+        -- read before declaring an incident window.
+        WITH c AS (
+            SELECT event_type, epoch_us(ts) // {_DD_DAY_US} AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT event_type, day, cents,
+                   MAX(cents) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS peak
+            FROM c
+        ),
+        w AS (
+            SELECT event_type, day, cents, peak, peak - cents AS dd,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY peak - cents DESC, day) AS rk
+            FROM r
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(MAX(peak) AS BIGINT) AS peak_cents,
+               CAST(MAX(dd) AS BIGINT) AS max_drawdown_cents,
+               CAST(MAX(CASE WHEN rk = 1 THEN day END) AS BIGINT)
+                   AS worst_day
+        FROM w GROUP BY event_type
+    """,
+)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each series' daily revenue: running peak
+    (cumulative max over observed days), drawdown = peak − today, and
+    the earliest day attaining the worst slump. The
+    peak-to-trough diagnostic behind incident retros and SLO budget
+    reviews — completes the ts_* family's measurement arc (resample →
+    smooth → interpolate → autocorr → now worst-case excursion).
+    Exact integer cents end to end; the worst-day tiebreak (earliest)
+    makes the argmax a total order, never engine iteration order.
+
+    Plan/scale: one map-side-combined agg to (series, day) cells; the
+    cumulative max and the rank share ONE series-keyed window sort
+    over DAY-cardinality rows (calendar-bounded, never the raw event
+    stream — the ts_ewma shape); final rollup is series-sized."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_DD_DAY_US}").alias("day"),
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents")
+    )
+    wpeak = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = c.select(
+        "event_type",
+        "day",
+        "cents",
+        F.max("cents").over(wpeak).alias("peak"),
+    ).withColumn("dd", F.col("peak") - F.col("cents"))
+    w = r.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("dd").desc(), F.col("day")
+            )
+        ),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.max("dd").cast("long").alias("max_drawdown_cents"),
+        F.max(F.when(F.col("rk") == 1, F.col("day")))
+        .cast("long")
+        .alias("worst_day"),
+    )

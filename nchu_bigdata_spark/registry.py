@@ -215,6 +215,9 @@ DRIVER_ORDER = [
     "agg_countmin",
     "sample_temperature",
     "graph_kcore_peel",
+    "dedup_url",
+    "ts_drawdown",
+    "events_stickiness",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -300,3 +300,90 @@ def test_kcore_survivor_degrees_bounded(spark, sf_dir, duck):
     for r in rows:
         # residual degree can only shrink vs the full graph
         assert 0 < r.core_deg <= deg0[r.part_key]
+
+
+# --------------------------------------------------------------------------
+# dedup_url
+# --------------------------------------------------------------------------
+
+
+def test_dedup_url_collapses_five_to_one(spark, sf_dir, duck):
+    (n_docs,) = duck.execute("SELECT COUNT(*) FROM documents").fetchone()
+    rows = SPECS["dedup_url"].fn(spark, sf_dir).collect()
+    assert sum(r.n_dups for r in rows) == n_docs
+    # groups are doc_id div 5 — every cluster collapses fully
+    for r in rows:
+        assert r.n_dups == len(
+            [d for d in range(r.keep_doc_id, r.keep_doc_id + 5)]
+        ) or r.n_dups <= 5
+        assert r.keep_doc_id % 5 == 0  # keeper is the group's min id
+
+
+def test_dedup_url_canonical_form(spark, sf_dir):
+    for r in SPECS["dedup_url"].fn(spark, sf_dir).collect():
+        u = r.canonical_url
+        assert u.startswith("https://www.example.com/page/")
+        assert ":443" not in u
+        assert "utm" not in u
+        assert "/?" not in u and not u.endswith("/")
+        # canonical id survives: ?id=<gid> intact
+        assert "?id=" in u
+
+
+# --------------------------------------------------------------------------
+# ts_drawdown
+# --------------------------------------------------------------------------
+
+
+def test_drawdown_replay(spark, sf_dir, duck):
+    cells = defaultdict(dict)
+    for et, d, c in duck.execute(
+        "SELECT event_type, epoch_us(ts)//86400000000, "
+        "SUM(CAST(ROUND(value*100) AS BIGINT)) FROM events GROUP BY 1, 2"
+    ).fetchall():
+        cells[et][d] = c
+    want = {}
+    for et, m in cells.items():
+        peak, best_dd, worst_day = None, -1, None
+        for d in sorted(m):
+            peak = m[d] if peak is None else max(peak, m[d])
+            dd = peak - m[d]
+            if dd > best_dd:
+                best_dd, worst_day = dd, d
+        want[et] = (len(m), peak, best_dd, worst_day)
+    got = {
+        r.event_type: (r.n_days, r.peak_cents, r.max_drawdown_cents, r.worst_day)
+        for r in SPECS["ts_drawdown"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# events_stickiness
+# --------------------------------------------------------------------------
+
+
+def test_stickiness_replay(spark, sf_dir, duck):
+    cells = set(
+        duck.execute(
+            "SELECT DISTINCT user_id, epoch_us(ts)//86400000000 FROM events"
+        ).fetchall()
+    )
+    days = sorted({d for _, d in cells})
+    d0, d1 = days[0], days[-1]
+    by_day = defaultdict(set)
+    for u, d in cells:
+        by_day[d].add(u)
+    want = {}
+    for d in range(d0 + 27, d1 + 1):
+        dau = len(by_day.get(d, ()))
+        mau = len(set().union(*[by_day.get(x, set()) for x in range(d - 27, d + 1)]))
+        if d in by_day:  # DAU join side requires the day observed
+            want[d] = (dau, mau, dau * 10000 // mau)
+    got = {
+        r.day: (r.dau, r.mau, r.stickiness_bp)
+        for r in SPECS["events_stickiness"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    for dau, mau, bp in got.values():
+        assert 0 < dau <= mau and 0 < bp <= 10000

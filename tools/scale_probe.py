@@ -71,6 +71,9 @@ HEAVY_OPS = [
     "sample_importance",
     "ts_ewma",
     "win_running_distinct",
+    "graph_kcore_peel",
+    "agg_countmin",
+    "events_trigram_paths",
 ]
 
 # Tables each op reads (everything else is symlinked unchanged).
