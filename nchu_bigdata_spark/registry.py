@@ -218,6 +218,7 @@ DRIVER_ORDER = [
     "dedup_url",
     "ts_drawdown",
     "events_stickiness",
+    "stream_topk",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -44,6 +44,10 @@ PARITY_IDS = [
     "stream_cdc_upsert",
     # round 8: stream-static broadcast enrichment (stateless join)
     "stream_enrich_static",
+    # round 8: windowed top-k — the registered fn IS a real streaming
+    # run (count state maintained by the stream, rank at read); the
+    # parity branch compares it against an all-batch count+rank
+    "stream_topk",
 ]
 
 
@@ -95,6 +99,19 @@ def test_stream_matches_batch(name, spark, sf_dir, events_dir):
         # merge into a parquet target) end-to-end
         stream = SPECS[name].fn(spark, sf_dir)
         batch = _cdc_batch_form(spark, sf_dir)
+    elif name == "stream_topk":
+        # registered fn = real streaming count state + ranked read;
+        # batch form = the same transform pair over a batch scan
+        from nchu_bigdata_spark.io import table
+        from nchu_bigdata_spark.queries.streaming_batch import (
+            rank_topk,
+            topk_counts_transform,
+        )
+
+        stream = SPECS[name].fn(spark, sf_dir)
+        batch = finalize_output(
+            rank_topk(topk_counts_transform(table(spark, sf_dir, "events")))
+        )
     else:
         transform, mode = STREAM_TRANSFORMS[name]
         batch = SPECS[name].fn(spark, sf_dir)
