@@ -96,6 +96,7 @@ LLM_GROUP = [
     "text_k_anonymity",
     "sample_temperature",
     "dedup_url",
+    "embed_outliers",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -141,6 +142,9 @@ SQL_GROUP = [
     "graph_kcore_peel",
     "ts_drawdown",
     "events_stickiness",
+    "stream_topk",
+    "join_asof_nearest",
+    "dq_drift",
 ]
 
 

@@ -109,3 +109,135 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("purchase_value_asof", 4).alias("purchase_value_asof"),
         ts_micros("purchase_ts_asof").alias("purchase_ts_asof_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# join_asof_nearest — nearest-in-time as-of variant (round 8)
+# --------------------------------------------------------------------------
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+) -> DataFrame:
+    """Nearest-in-time as-of join: for each left row the right row (per
+    ``by`` key) minimizing |Δts|, ties resolved to the EARLIER right row
+    (deterministic). Built from the backward carry-forward window plus
+    its mirrored forward pass — still ONE shuffle: both window frames
+    share the same (key, ts) sort order, so Catalyst plans a single
+    exchange+sort with two Window operators over it.
+
+    Returns left columns + ``near_ts`` (matched right timestamp,
+    NULL when the key has no right rows)."""
+    r = right.select(
+        F.col(by),
+        F.col(ts_col),
+        F.lit(_RIGHT).alias("_src"),
+        F.col(ts_col).alias("_rts"),
+    )
+    l = left.withColumn("_src", F.lit(_LEFT))
+    u = l.unionByName(r, allowMissingColumns=True)
+    # backward: right rows sort BEFORE left at equal ts (inclusive <=)
+    wb = (
+        Window.partitionBy(by)
+        .orderBy(ts_col, "_src")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: the SAME sort order read the other way — right rows at
+    # equal ts already matched backward, so the exclusive "after" read
+    # is correct and no second tagging is needed
+    wf = (
+        Window.partitionBy(by)
+        .orderBy(ts_col, "_src")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    u = u.withColumn("_b", F.last("_rts", ignorenulls=True).over(wb))
+    u = u.withColumn("_f", F.first("_rts", ignorenulls=True).over(wf))
+    lt = F.col(ts_col)
+    db = F.when(F.col("_b").isNotNull(), lt.cast("long") - F.col("_b").cast("long"))
+    df_ = F.when(F.col("_f").isNotNull(), F.col("_f").cast("long") - lt.cast("long"))
+    near = (
+        F.when(F.col("_b").isNull(), F.col("_f"))
+        .when(F.col("_f").isNull(), F.col("_b"))
+        .when(db <= df_, F.col("_b"))  # tie -> earlier (backward) row
+        .otherwise(F.col("_f"))
+    )
+    return (
+        u.filter(F.col("_src") == _LEFT)
+        .withColumn("near_ts", near)
+        .drop("_src", "_rts", "_b", "_f")
+    )
+
+
+@register(
+    "join_asof_nearest",
+    tags=("b3",),
+    oracle="""
+        -- nearest-in-time variant: DuckDB has no NEAREST asof, so the
+        -- oracle composes the backward and forward ASOF joins and
+        -- picks the smaller |Δt| (tie -> the earlier/backward row) —
+        -- exactly the decomposition the engine's single-sort window
+        -- form implements.
+        WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+             r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             b AS (
+                SELECT l.event_id, r.ts AS bts
+                FROM l ASOF LEFT JOIN r
+                  ON l.user_id = r.user_id AND l.ts >= r.ts
+             ),
+             f AS (
+                SELECT l.event_id, r.ts AS fts
+                FROM l ASOF LEFT JOIN r
+                  ON l.user_id = r.user_id AND l.ts < r.ts
+             )
+        SELECT l.event_id,
+               epoch_us(l.ts) AS ts_us,
+               l.user_id,
+               epoch_us(CASE
+                   WHEN bts IS NULL THEN fts
+                   WHEN fts IS NULL THEN bts
+                   WHEN epoch_us(l.ts) - epoch_us(bts)
+                        <= epoch_us(fts) - epoch_us(l.ts) THEN bts
+                   ELSE fts END) AS near_purchase_ts_us,
+               CASE
+                   WHEN bts IS NULL AND fts IS NULL THEN NULL
+                   WHEN bts IS NULL THEN epoch_us(fts) - epoch_us(l.ts)
+                   WHEN fts IS NULL THEN epoch_us(l.ts) - epoch_us(bts)
+                   ELSE LEAST(epoch_us(l.ts) - epoch_us(bts),
+                              epoch_us(fts) - epoch_us(l.ts)) END
+                   AS near_dt_us
+        FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's NEAREST purchase in time —
+    either direction, ties to the earlier one. The sensor-fusion /
+    event-alignment variant of `join_asof` (pandas merge_asof
+    direction='nearest', QuestDB/kdb nearest-asof): backward-only
+    as-of is right for trade⟕quote causality, nearest is right for
+    aligning two clocks that both jitter.
+
+    Plan/scale: the backward carry-forward window and its mirrored
+    forward read share ONE (user, ts)-sorted exchange — two Window
+    operators, one shuffle, O(1) state per key; the oracle decomposes
+    into DuckDB's backward + forward ASOF joins and picks the smaller
+    gap, proving the window form equals the join form."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    j = asof_join_nearest(clicks, purchases, by="user_id", ts_col="ts")
+    lt, nt = ts_micros("ts"), ts_micros("near_ts")
+    return j.select(
+        "event_id",
+        lt.alias("ts_us"),
+        "user_id",
+        nt.alias("near_purchase_ts_us"),
+        F.when(F.col("near_ts").isNotNull(), F.abs(lt - nt))
+        .alias("near_dt_us")
+        .cast("long"),
+    )

@@ -854,3 +854,114 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("norm2").cast("long").alias("sum_norm2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embed_outliers — exact distance-to-centroid outlier probe (round 8)
+# --------------------------------------------------------------------------
+
+_OUT_SCALE = 1_000  # component quantization (embed_norm_stats policy)
+_OUT_TOP = 10
+
+
+@register(
+    "embed_outliers",
+    tags=("b10",),
+    oracle=f"""
+        -- top-{_OUT_TOP} farthest embeddings from the global centroid,
+        -- EXACT: components quantize to integers (round(x·10³), the
+        -- embed_norm_stats policy), and the rational centroid Σq/n is
+        -- never materialized — distance² is cross-multiplied to
+        -- Σ_d (n·q_d − S_d)², an integer that orders vectors exactly
+        -- (n² times the true quantized distance²). The mislabeled/
+        -- corrupted-input probe run before any kNN index trusts the
+        -- embedding space.
+        WITH q AS (
+            SELECT vec_id, label, d,
+                   CAST(round(x * {_OUT_SCALE}) AS BIGINT) AS qx
+            FROM (
+                SELECT vec_id, label,
+                       unnest(embedding::DOUBLE[]) AS x,
+                       unnest(range(len(embedding))) AS d
+                FROM embeddings
+            )
+        ),
+        s AS (SELECT d, SUM(qx) AS sd, COUNT(*) AS n FROM q GROUP BY d),
+        dist AS (
+            SELECT q.vec_id, MAX(q.label) AS label,
+                   SUM((CAST(s.n AS HUGEINT) * q.qx - s.sd)
+                       * (CAST(s.n AS HUGEINT) * q.qx - s.sd))
+                       AS dist2_n2
+            FROM q JOIN s USING (d)
+            GROUP BY q.vec_id
+        )
+        SELECT vec_id, label, CAST(dist2_n2 AS DOUBLE) AS dist2_scaled
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY dist2_n2 DESC, vec_id) AS rk
+            FROM dist
+        ) WHERE rk <= {_OUT_TOP}
+    """,
+)
+def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 embeddings farthest from the global centroid — the
+    mislabeled/corrupted-input probe a pipeline runs before trusting
+    the embedding space with kNN dedup or ANN search. EXACT under
+    quantization: components round to int (·10³), and instead of the
+    rational centroid Σq/n the comparison uses the cross-multiplied
+    integer Σ_d (n·q_d − S_d)² — the same order as true distance², no
+    division, no floats until the final display cast (dist2_n2 can
+    exceed int64 at corpus scale — n·q ~ 10¹² at 10⁹ rows — so the
+    legs run in decimal(38,0)/HUGEINT; the output column is DOUBLE
+    because the driver canonicalizes decimals anyway and the MAGNITUDE
+    is display-only — the ORDER was already settled exactly).
+
+    Plan/scale: posexplode to (vec, dim) rows (64× fanout of narrow
+    int rows — the standard vector-columnar trade); per-dim sums are a
+    64-row broadcast joined back; per-vector distance is one hash agg;
+    the global top-k window runs over vector cardinality only. For
+    100 TB, dimension sums are partial-aggregable so the centroid pass
+    is one map-side-combined shuffle — never a driver collect (the
+    kmeans ≤k-row collect exemption isn't even needed)."""
+    emb = parallel_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "d",
+        F.expr(f"CAST(round(CAST(x AS DOUBLE) * {_OUT_SCALE}) AS BIGINT)").alias("qx"),
+    )
+    s = q.groupBy("d").agg(
+        F.sum("qx").alias("sd"), F.count(F.lit(1)).alias("n")
+    )
+    dist = (
+        q.join(F.broadcast(s), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.max("label").alias("label"),
+            F.sum(
+                F.expr(
+                    "(CAST(n AS decimal(38,0)) * qx - sd)"
+                    " * (CAST(n AS decimal(38,0)) * qx - sd)"
+                )
+            ).alias("dist2_n2"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    rk = F.row_number().over(
+        _W.orderBy(F.col("dist2_n2").desc(), F.col("vec_id"))
+    )
+    return (
+        dist.withColumn("rk", rk)
+        .where(F.col("rk") <= _OUT_TOP)
+        .drop("rk")
+        .select(
+            "vec_id",
+            "label",
+            F.col("dist2_n2").cast("double").alias("dist2_scaled"),
+        )
+    )

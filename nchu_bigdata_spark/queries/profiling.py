@@ -222,3 +222,142 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("lineitem_qty_range", rng, n_li))
         .unionAll(row("customer_acctbal_notnull", nn, n_cust))
     )
+
+
+# --------------------------------------------------------------------------
+# dq_drift — distribution-drift monitor (round 8)
+# --------------------------------------------------------------------------
+
+_DR_DAY_US = 86_400_000_000
+_DR_HOUR_US = 3_600_000_000
+
+
+@register(
+    "dq_drift",
+    tags=("b11",),
+    oracle=f"""
+        -- distribution drift per series: hour-of-day histograms of the
+        -- calendar's early half vs late half, compared by TOTAL
+        -- VARIATION distance — TV = ½·Σ|p_i − q_i| — computed EXACTLY
+        -- in basis points over the common denominator N_p·N_q
+        -- (Σ|o_i·N_q − q_i·N_p| · 10⁴ // (2·N_p·N_q), HUGEINT legs:
+        -- o·N is corpus², far past int64). TV is the drift metric
+        -- that needs no log() (PSI/KL would put an engine-varying ln
+        -- in the hot path — the compat policy bans it); worst_hour
+        -- localizes the drift under a total order.
+        WITH b AS (
+            SELECT MIN(epoch_us(ts) // {_DR_DAY_US}) AS d0,
+                   MAX(epoch_us(ts) // {_DR_DAY_US}) AS d1
+            FROM events
+        ),
+        c AS (
+            SELECT event_type,
+                   (epoch_us(ts) % {_DR_DAY_US}) // {_DR_HOUR_US} AS hh,
+                   SUM(CASE WHEN epoch_us(ts) // {_DR_DAY_US}
+                            < (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END)
+                       AS o,
+                   SUM(CASE WHEN epoch_us(ts) // {_DR_DAY_US}
+                            >= (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END)
+                       AS q
+            FROM events, b GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT event_type, SUM(o) AS np, SUM(q) AS nq
+            FROM c GROUP BY event_type
+        ),
+        d AS (
+            SELECT c.event_type, c.hh,
+                   abs(CAST(c.o AS HUGEINT) * t.nq
+                       - CAST(c.q AS HUGEINT) * t.np) AS dev,
+                   t.np, t.nq
+            FROM c JOIN t USING (event_type)
+        )
+        SELECT event_type,
+               CAST(MAX(np) AS BIGINT) AS n_early,
+               CAST(MAX(nq) AS BIGINT) AS n_late,
+               CAST(SUM(dev) * 10000
+                    // (2 * CAST(MAX(np) AS HUGEINT) * MAX(nq))
+                    AS BIGINT) AS tv_bp,
+               CAST(MIN(CASE WHEN dev = mx THEN hh END) AS BIGINT)
+                   AS worst_hour
+        FROM (SELECT *, MAX(dev) OVER (PARTITION BY event_type) AS mx
+              FROM d)
+        GROUP BY event_type
+    """,
+)
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: for each series, the hour-of-day
+    histogram of the calendar's early half vs its late half, scored by
+    EXACT total-variation distance in basis points (0 = identical
+    shape, 10000 = disjoint) plus the hour contributing the largest
+    deviation. The check a data-quality harness runs per partition
+    landing: TV needs only counts and one cross-multiplied |difference|
+    — no ln() (PSI/KL would import engine-varying float logs, which
+    the compat policy bans from certified output), no binning
+    heuristics, and missing hours zero-fill algebraically inside the
+    conditional agg.
+
+    Plan/scale: 1-row calendar bounds broadcast; ONE conditional hash
+    agg to (series, hour) cells (≤ types·24 rows); the TV rollup and
+    worst-hour window run over that cell table only. The raw stream
+    shuffles once."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy().agg(
+        F.expr(f"MIN(unix_micros(ts) div {_DR_DAY_US})").alias("d0"),
+        F.expr(f"MAX(unix_micros(ts) div {_DR_DAY_US})").alias("d1"),
+    )
+    c = (
+        ev.join(F.broadcast(b))
+        .groupBy(
+            "event_type",
+            F.expr(
+                f"(unix_micros(ts) % {_DR_DAY_US}) div {_DR_HOUR_US}"
+            ).alias("hh"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN unix_micros(ts) div {_DR_DAY_US}"
+                    " < (d0 + d1 + 1) div 2 THEN 1 ELSE 0 END"
+                )
+            ).alias("o"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN unix_micros(ts) div {_DR_DAY_US}"
+                    " >= (d0 + d1 + 1) div 2 THEN 1 ELSE 0 END"
+                )
+            ).alias("q"),
+        )
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("o").alias("np"), F.sum("q").alias("nq")
+    )
+    d = c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "hh",
+        F.expr(
+            "abs(CAST(o AS decimal(38,0)) * nq"
+            " - CAST(q AS decimal(38,0)) * np)"
+        ).alias("dev"),
+        "np",
+        "nq",
+    )
+    from pyspark.sql import Window as _W
+
+    mx = F.max("dev").over(_W.partitionBy("event_type"))
+    return (
+        d.withColumn("mx", mx)
+        .groupBy("event_type")
+        .agg(
+            F.max("np").cast("long").alias("n_early"),
+            F.max("nq").cast("long").alias("n_late"),
+            F.expr(
+                "CAST(SUM(dev) * 10000"
+                " div (2 * CAST(MAX(np) AS decimal(38,0)) * MAX(nq))"
+                " AS BIGINT)"
+            ).alias("tv_bp"),
+            F.min(F.when(F.col("dev") == F.col("mx"), F.col("hh")))
+            .cast("long")
+            .alias("worst_hour"),
+        )
+    )

@@ -219,6 +219,9 @@ DRIVER_ORDER = [
     "ts_drawdown",
     "events_stickiness",
     "stream_topk",
+    "join_asof_nearest",
+    "dq_drift",
+    "embed_outliers",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

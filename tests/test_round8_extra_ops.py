@@ -387,3 +387,113 @@ def test_stickiness_replay(spark, sf_dir, duck):
     assert got == want
     for dau, mau, bp in got.values():
         assert 0 < dau <= mau and 0 < bp <= 10000
+
+
+# --------------------------------------------------------------------------
+# join_asof_nearest
+# --------------------------------------------------------------------------
+
+
+def test_asof_nearest_replay(spark, sf_dir, duck):
+    import bisect
+
+    purchases = defaultdict(list)
+    for u, t in duck.execute(
+        "SELECT user_id, epoch_us(ts) FROM events "
+        "WHERE event_type='purchase' ORDER BY 2"
+    ).fetchall():
+        purchases[u].append(t)
+    rows = SPECS["join_asof_nearest"].fn(spark, sf_dir).collect()
+    clicks = duck.execute(
+        "SELECT event_id, user_id, epoch_us(ts) FROM events "
+        "WHERE event_type='click'"
+    ).fetchall()
+    assert len(rows) == len(clicks)
+    byid = {r.event_id: r for r in rows}
+    for eid, u, t in clicks:
+        ps = purchases.get(u, [])
+        r = byid[eid]
+        if not ps:
+            assert r.near_purchase_ts_us is None and r.near_dt_us is None
+            continue
+        i = bisect.bisect_right(ps, t)
+        cand = []
+        if i > 0:
+            cand.append((t - ps[i - 1], ps[i - 1]))
+        if i < len(ps):
+            cand.append((ps[i] - t, ps[i]))
+        # tie -> earlier (backward) row: sort by (dt, ts) ascending
+        dt, ts_best = min(cand)
+        assert r.near_dt_us == dt
+        assert r.near_purchase_ts_us == ts_best or (
+            # equal-dt tie must resolve to the EARLIER candidate
+            r.near_dt_us == dt and r.near_purchase_ts_us == min(c[1] for c in cand if c[0] == dt)
+        )
+
+
+# --------------------------------------------------------------------------
+# dq_drift
+# --------------------------------------------------------------------------
+
+
+def test_dq_drift_replay(spark, sf_dir, duck):
+    days = [
+        d for (d,) in duck.execute(
+            "SELECT epoch_us(ts)//86400000000 FROM events"
+        ).fetchall()
+    ]
+    mid = (min(days) + max(days) + 1) // 2
+    cells = defaultdict(lambda: [0, 0])
+    for et, hh, day in duck.execute(
+        "SELECT event_type, (epoch_us(ts) % 86400000000)//3600000000, "
+        "epoch_us(ts)//86400000000 FROM events"
+    ).fetchall():
+        cells[(et, hh)][0 if day < mid else 1] += 1
+    types = {et for et, _ in cells}
+    want = {}
+    for et in types:
+        np_ = sum(v[0] for (t, _), v in cells.items() if t == et)
+        nq = sum(v[1] for (t, _), v in cells.items() if t == et)
+        devs = {
+            hh: abs(v[0] * nq - v[1] * np_)
+            for (t, hh), v in cells.items()
+            if t == et
+        }
+        tv = sum(devs.values()) * 10000 // (2 * np_ * nq)
+        worst = min(h for h, d in devs.items() if d == max(devs.values()))
+        want[et] = (np_, nq, tv, worst)
+    got = {
+        r.event_type: (r.n_early, r.n_late, r.tv_bp, r.worst_hour)
+        for r in SPECS["dq_drift"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    for np_, nq, tv, _ in got.values():
+        assert 0 <= tv <= 10000 and np_ > 0 and nq > 0
+
+
+# --------------------------------------------------------------------------
+# embed_outliers
+# --------------------------------------------------------------------------
+
+
+def test_embed_outliers_replay(spark, sf_dir, duck):
+    vecs = duck.execute(
+        "SELECT vec_id, label, embedding::DOUBLE[] FROM embeddings"
+    ).fetchall()
+    q = {vid: [round(x * 1000) for x in v] for vid, _, v in vecs}
+    labels = {vid: lb for vid, lb, _ in vecs}
+    n = len(q)
+    dims = len(next(iter(q.values())))
+    sums = [sum(v[d] for v in q.values()) for d in range(dims)]
+    dist = {
+        vid: sum((n * v[d] - sums[d]) ** 2 for d in range(dims))
+        for vid, v in q.items()
+    }
+    want = sorted(dist.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = SPECS["embed_outliers"].fn(spark, sf_dir).collect()
+    got = [(r.vec_id, int(r.dist2_scaled)) for r in rows]
+    assert [(v, d) for v, d in want] == sorted(
+        got, key=lambda kv: (-kv[1], kv[0])
+    )
+    for r in rows:
+        assert r.label == labels[r.vec_id]
