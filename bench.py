@@ -145,6 +145,12 @@ SQL_GROUP = [
     "stream_topk",
     "join_asof_nearest",
     "dq_drift",
+    # born round 8 (continued): sweep-line concurrency, tolerance
+    # as-of, market-share ranks, freshness audit (trend starts here)
+    "events_concurrency",
+    "join_asof_tolerance",
+    "orders_market_share",
+    "dq_freshness",
 ]
 
 

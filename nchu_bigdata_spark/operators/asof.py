@@ -241,3 +241,70 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("near_dt_us")
         .cast("long"),
     )
+
+# --------------------------------------------------------------------------
+# join_asof_tolerance — bounded-staleness as-of variant (round 8)
+# --------------------------------------------------------------------------
+
+_TOL_US = 3 * 86_400_000_000  # 3 days: quotes staler than this don't match
+
+
+@register(
+    "join_asof_tolerance",
+    tags=("b3",),
+    oracle=f"""
+        -- bounded-staleness as-of (pandas merge_asof `tolerance`):
+        -- the backward match is kept only when it is at most 3 days
+        -- old; staler matches are nulled, NOT re-searched (the
+        -- tolerance bounds how stale a carried value may be, it does
+        -- not change which row is the candidate).
+        SELECT l.event_id,
+               epoch_us(l.ts) AS ts_us,
+               l.user_id,
+               CASE WHEN r.ts IS NOT NULL
+                     AND epoch_us(l.ts) - epoch_us(r.ts) <= {_TOL_US}
+                    THEN epoch_us(r.ts) END AS purchase_ts_us,
+               CASE WHEN r.ts IS NOT NULL
+                     AND epoch_us(l.ts) - epoch_us(r.ts) <= {_TOL_US}
+                    THEN epoch_us(l.ts) - epoch_us(r.ts) END AS dt_us,
+               CAST(CASE WHEN r.ts IS NOT NULL
+                          AND epoch_us(l.ts) - epoch_us(r.ts) <= {_TOL_US}
+                         THEN 1 ELSE 0 END AS BIGINT) AS matched
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a staleness tolerance: each click takes
+    the user's most recent prior purchase ONLY if it is ≤ 3 days old —
+    pandas ``merge_asof(tolerance=...)`` / kdb ``wj`` with a window
+    bound. The bounded-staleness form is what production feature
+    pipelines actually need (a price quote from last month must NOT
+    leak into today's feature row).
+
+    Semantics: tolerance FILTERS the backward candidate, it never
+    re-searches further back — so the plan is the same ONE-shuffle
+    carry-forward window as `join_asof`, plus a codegen'd conditional
+    null-out. O(1) state per key; identical cost at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("purchase_ts")
+    )
+    j = asof_join(
+        clicks, purchases, by="user_id", ts_col="ts",
+        value_cols=["purchase_ts"],
+    )
+    lt, pt = ts_micros("ts"), ts_micros("purchase_ts_asof")
+    ok = F.col("purchase_ts_asof").isNotNull() & ((lt - pt) <= F.lit(_TOL_US))
+    return j.select(
+        "event_id",
+        lt.alias("ts_us"),
+        "user_id",
+        F.when(ok, pt).alias("purchase_ts_us"),
+        F.when(ok, lt - pt).alias("dt_us"),
+        ok.cast("long").alias("matched"),
+    )

@@ -1541,3 +1541,207 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dau * 10000 div mau").alias("stickiness_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_concurrency — sweep-line peak concurrency (round 8)
+# --------------------------------------------------------------------------
+
+_HOLD_S = 900  # each event holds a slot for 15 minutes (half-open)
+
+
+@register(
+    "events_concurrency",
+    tags=("b11",),
+    oracle=f"""
+        -- sweep-line peak concurrency: every event occupies a slot for
+        -- the half-open interval [s, s+{_HOLD_S}) seconds; the delta
+        -- stream (+1 at start, -1 at end) is COMPRESSED per (type,
+        -- second) before the running sum, so the window input is
+        -- distinct-second cardinality, not event cardinality. Peak per
+        -- (type, day) plus the earliest second attaining it.
+        WITH base AS (
+            SELECT event_type, epoch_us(ts) // 1000000 AS s FROM events
+        ),
+        d AS (
+            SELECT event_type, s, 1 AS d FROM base
+            UNION ALL
+            SELECT event_type, s + {_HOLD_S}, -1 FROM base
+        ),
+        comp AS (
+            SELECT event_type, s, CAST(SUM(d) AS BIGINT) AS d
+            FROM d GROUP BY event_type, s
+        ),
+        r AS (
+            SELECT event_type, s,
+                   SUM(d) OVER (PARTITION BY event_type ORDER BY s) AS run
+            FROM comp
+        ),
+        p AS (
+            SELECT event_type, s // 86400 AS day, s, run,
+                   MAX(run) OVER (
+                       PARTITION BY event_type, s // 86400
+                   ) AS peak
+            FROM r
+        )
+        SELECT event_type,
+               CAST(day AS BIGINT) AS day,
+               CAST(MAX(peak) AS BIGINT) AS peak_concurrent,
+               CAST(MIN(s) AS BIGINT) AS peak_at_s
+        FROM p WHERE run = peak
+        GROUP BY event_type, day
+    """,
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per (event_type, day) — the classic
+    sweep-line: each event occupies a slot for the half-open interval
+    [ts, ts+15min), deltas (+1 start / −1 end) are summed in one
+    running window, and the per-day maximum plus the earliest second
+    attaining it is reported (capacity planning, rate-limit sizing,
+    license-seat audits).
+
+    Exactness: everything is integer seconds and integer counts; the
+    delta stream is pre-aggregated per (type, second) so the running
+    sum's ORDER BY s is a TOTAL order — no tie policy can diverge.
+
+    Plan/scale: the groupBy compresses the 2×N delta rows map-side to
+    ≤ types × distinct-seconds before any shuffle; the per-type running
+    sum is then a window over TIME-BUCKET cardinality (86 400 rows per
+    type-day, independent of event volume) with O(1) carried state —
+    the same per-key-sequential shape as `stream_stateful`. The peak
+    window and final agg share the type partitioning (AQE reuses the
+    exchange)."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.expr("unix_micros(ts) div 1000000").alias("s")
+    )
+    deltas = base.select("event_type", "s", F.lit(1).alias("d")).unionByName(
+        base.select(
+            "event_type", (F.col("s") + _HOLD_S).alias("s"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    comp = deltas.groupBy("event_type", "s").agg(
+        F.sum("d").cast("long").alias("d")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = comp.select(
+        "event_type", "s", F.sum("d").over(w_run).alias("run")
+    ).withColumn("day", F.expr("s div 86400"))
+    w_day = Window.partitionBy("event_type", "day")
+    p = r.withColumn("peak", F.max("run").over(w_day))
+    return (
+        p.filter(F.col("run") == F.col("peak"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("peak").cast("long").alias("peak_concurrent"),
+            F.min("s").cast("long").alias("peak_at_s"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_market_share — monthly segment share + rank movement (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_market_share",
+    tags=("bext",),
+    oracle="""
+        -- monthly market share by customer segment: exact-cents
+        -- revenue, share of month in floor basis points (HUGEINT /
+        -- decimal(38,0) cross-multiplication), deterministic rank
+        -- (cents DESC, segment), and the rank movement vs the
+        -- segment's previous month (positive = climbed).
+        WITH seg AS (
+            SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                   c_mktsegment AS segment,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT ym, segment, revenue_cents,
+                   CAST(revenue_cents * 10000
+                        // SUM(revenue_cents) OVER (PARTITION BY ym)
+                        AS BIGINT) AS share_bp,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY ym
+                       ORDER BY revenue_cents DESC, segment
+                   ) AS BIGINT) AS rnk
+            FROM seg
+        )
+        SELECT CAST(ym AS BIGINT) AS ym, segment, revenue_cents,
+               share_bp, rnk,
+               CAST(lag(rnk) OVER (PARTITION BY segment ORDER BY ym)
+                    - rnk AS BIGINT) AS rank_delta
+        FROM r
+    """,
+)
+def orders_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue market share per customer segment, with the
+    share of that month's total in basis points, the deterministic
+    in-month rank, and the rank movement vs the segment's previous
+    month — the competitive-dynamics BI staple (who gained share last
+    month, and from whom).
+
+    Exactness: revenue in integer cents; share as a floor-division
+    basis-point leg routed through decimal(38,0) ↔ HUGEINT (the
+    `events_rfm` overflow policy — int64 cents×10⁴ wraps at corpus
+    scale under ANSI-off while DuckDB errors); ranks by (cents DESC,
+    segment) so ties can't diverge.
+
+    Plan/scale: the orders⋈customer join shuffles on custkey (AQE
+    broadcasts the dim at small SF); everything after the first
+    groupBy runs over months×segments rows — the windows (share-of-
+    month, rank, previous-month lag) are all over AGGREGATED
+    cardinality, never the raw fact stream."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    seg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.expr(
+                "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)"
+            ).alias("ym"),
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("ym", "segment")
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+    w_m = Window.partitionBy("ym")
+    w_rnk = Window.partitionBy("ym").orderBy(
+        F.col("revenue_cents").desc(), "segment"
+    )
+    r = seg.select(
+        "ym",
+        "segment",
+        "revenue_cents",
+        F.expr(
+            "CAST(CAST(revenue_cents AS decimal(38,0)) * 10000 AS decimal(38,0))"
+        ).alias("_num"),
+        F.sum("revenue_cents").over(w_m).cast("decimal(38,0)").alias("_tot"),
+        F.row_number().over(w_rnk).cast("long").alias("rnk"),
+    ).select(
+        "ym",
+        "segment",
+        "revenue_cents",
+        F.expr("CAST(_num div _tot AS BIGINT)").alias("share_bp"),
+        "rnk",
+    )
+    w_seg = Window.partitionBy("segment").orderBy("ym")
+    return r.select(
+        "ym",
+        "segment",
+        "revenue_cents",
+        "share_bp",
+        "rnk",
+        (F.lag("rnk").over(w_seg) - F.col("rnk")).cast("long").alias("rank_delta"),
+    )

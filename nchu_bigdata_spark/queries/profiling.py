@@ -361,3 +361,81 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("worst_hour"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dq_freshness — per-stream freshness / completeness audit (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_freshness",
+    tags=("b4",),
+    oracle="""
+        -- freshness + calendar-completeness per event stream: last
+        -- arrival, staleness behind the freshest stream in the load,
+        -- and the fraction of calendar days inside the stream's own
+        -- span that actually carry data (floor basis points). The
+        -- per-landing "did yesterday's partition arrive?" check that
+        -- complements dq_constraints (values) and dq_drift (shape).
+        WITH per AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MAX(epoch_us(ts)) AS last_ts_us,
+                   MIN(epoch_us(ts) // 86400000000) AS first_day,
+                   MAX(epoch_us(ts) // 86400000000) AS last_day,
+                   CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000)
+                        AS BIGINT) AS active_days
+            FROM events GROUP BY event_type
+        ),
+        g AS (SELECT MAX(epoch_us(ts)) AS global_max_us FROM events)
+        SELECT event_type, n_rows,
+               CAST(last_ts_us AS BIGINT) AS last_ts_us,
+               CAST(global_max_us - last_ts_us AS BIGINT) AS staleness_us,
+               CAST(last_day - first_day + 1 AS BIGINT) AS span_days,
+               active_days,
+               CAST(active_days * 10000 // (last_day - first_day + 1)
+                    AS BIGINT) AS coverage_bp
+        FROM per, g
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness and calendar-completeness audit per event stream:
+    row volume, last-arrival timestamp, staleness behind the freshest
+    stream in the same load, the stream's own calendar span, and the
+    share of span days that carry ≥1 row (basis points) — the
+    operational "is this feed alive and gapless?" monitor a 100 TB
+    ingest runs per landing.
+
+    Plan/scale: ONE pass over events produces both the per-type stats
+    (hash agg on event_type, map-side combined; the distinct-day leg
+    collapses to days-per-type partials) and the 1-row global bound,
+    which broadcasts back (sanctioned 1-row broadcast-nested-loop, the
+    `dq_drift` / `events_stickiness` pattern). Zero row-cardinality
+    shuffles; integers end-to-end — staleness in micros, coverage as a
+    floor-division bp leg (fits int64: active_days ≤ ~10⁵)."""
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max(F.expr("unix_micros(ts)")).alias("last_ts_us"),
+        F.min(day).alias("first_day"),
+        F.max(day).alias("last_day"),
+        F.countDistinct(day).cast("long").alias("active_days"),
+    )
+    bounds = ev.agg(F.max(F.expr("unix_micros(ts)")).alias("global_max_us"))
+    return per.join(F.broadcast(bounds)).select(
+        "event_type",
+        "n_rows",
+        F.col("last_ts_us").cast("long").alias("last_ts_us"),
+        (F.col("global_max_us") - F.col("last_ts_us"))
+        .cast("long")
+        .alias("staleness_us"),
+        (F.col("last_day") - F.col("first_day") + 1)
+        .cast("long")
+        .alias("span_days"),
+        "active_days",
+        F.expr("active_days * 10000 div (last_day - first_day + 1)")
+        .cast("long")
+        .alias("coverage_bp"),
+    )

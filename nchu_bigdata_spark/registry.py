@@ -222,6 +222,10 @@ DRIVER_ORDER = [
     "join_asof_nearest",
     "dq_drift",
     "embed_outliers",
+    "join_asof_tolerance",
+    "events_concurrency",
+    "orders_market_share",
+    "dq_freshness",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

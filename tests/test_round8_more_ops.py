@@ -1,0 +1,205 @@
+"""Pure-Python replays for the round-8 'more' batch: the tolerance
+as-of join against a per-user sorted-list bisect, the sweep-line peak
+concurrency against a literal Counter walk, the market-share ranks
+against dict arithmetic, and the freshness audit against direct scans.
+These localize semantics the oracle hash alone can't (the oracle and
+the engine could share a misreading; the replay can't)."""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+from collections import defaultdict
+
+from nchu_bigdata_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+DAY_US = 86_400_000_000
+TOL_US = 3 * DAY_US
+HOLD_S = 900
+
+
+# --------------------------------------------------------------------------
+# join_asof_tolerance
+# --------------------------------------------------------------------------
+
+
+def test_asof_tolerance_replay(spark, sf_dir, duck):
+    purchases = defaultdict(list)
+    for u, ts in duck.execute(
+        "SELECT user_id, epoch_us(ts) FROM events "
+        "WHERE event_type = 'purchase' ORDER BY user_id, ts"
+    ).fetchall():
+        purchases[u].append(ts)
+    want = {}
+    for eid, u, ts in duck.execute(
+        "SELECT event_id, user_id, epoch_us(ts) FROM events "
+        "WHERE event_type = 'click'"
+    ).fetchall():
+        arr = purchases.get(u, [])
+        i = bisect_right(arr, ts)
+        if i and ts - arr[i - 1] <= TOL_US:
+            want[eid] = (arr[i - 1], ts - arr[i - 1], 1)
+        else:
+            want[eid] = (None, None, 0)
+    got = {
+        r.event_id: (r.purchase_ts_us, r.dt_us, r.matched)
+        for r in SPECS["join_asof_tolerance"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_asof_tolerance_never_exceeds_plain_asof(spark, sf_dir):
+    plain = {
+        r.event_id: r.purchase_ts_asof_us
+        for r in SPECS["join_asof"].fn(spark, sf_dir).collect()
+    }
+    tol = SPECS["join_asof_tolerance"].fn(spark, sf_dir).collect()
+    for r in tol:
+        if r.matched:
+            # a tolerated match is exactly the plain backward match
+            assert r.purchase_ts_us == plain[r.event_id]
+            assert 0 <= r.dt_us <= TOL_US
+        else:
+            # nulled only when unmatched or stale
+            assert (
+                plain[r.event_id] is None
+                or r.ts_us - plain[r.event_id] > TOL_US
+            )
+
+
+# --------------------------------------------------------------------------
+# events_concurrency
+# --------------------------------------------------------------------------
+
+
+def test_concurrency_replay(spark, sf_dir, duck):
+    deltas = defaultdict(lambda: defaultdict(int))
+    for et, s in duck.execute(
+        "SELECT event_type, epoch_us(ts) // 1000000 FROM events"
+    ).fetchall():
+        deltas[et][s] += 1
+        deltas[et][s + HOLD_S] -= 1
+    want = {}
+    for et, dd in deltas.items():
+        run = 0
+        best = {}  # day -> (peak, earliest_s)
+        for s in sorted(dd):
+            run += dd[s]
+            day = s // 86400
+            if day not in best or run > best[day][0]:
+                best[day] = (run, s)
+        for day, (peak, at_s) in best.items():
+            want[(et, day)] = (peak, at_s)
+    got = {
+        (r.event_type, r.day): (r.peak_concurrent, r.peak_at_s)
+        for r in SPECS["events_concurrency"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_concurrency_bounds(spark, sf_dir, duck):
+    # peak can never exceed the count of events in any 15-min-padded
+    # day window, and is at least 1 on any day with a start delta
+    n_by_type = dict(
+        duck.execute(
+            "SELECT event_type, COUNT(*) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    rows = SPECS["events_concurrency"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.peak_concurrent <= n_by_type[r.event_type]
+        assert r.peak_at_s // 86400 == r.day
+
+
+# --------------------------------------------------------------------------
+# orders_market_share
+# --------------------------------------------------------------------------
+
+
+def test_market_share_replay(spark, sf_dir, duck):
+    cells = defaultdict(int)
+    for ym, seg, cents in duck.execute(
+        "SELECT year(o_orderdate) * 100 + month(o_orderdate), c_mktsegment,"
+        " SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+        " FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2"
+    ).fetchall():
+        cells[(int(ym), seg)] = int(cents)
+    months = defaultdict(list)
+    for (ym, seg), cents in cells.items():
+        months[ym].append((seg, cents))
+    want = {}
+    prev_rank = {}
+    for ym in sorted(months):
+        tot = sum(c for _, c in months[ym])
+        ranked = sorted(months[ym], key=lambda x: (-x[1], x[0]))
+        for i, (seg, cents) in enumerate(ranked, start=1):
+            delta = prev_rank[seg] - i if seg in prev_rank else None
+            want[(ym, seg)] = (cents, cents * 10000 // tot, i, delta)
+        for i, (seg, _) in enumerate(ranked, start=1):
+            prev_rank[seg] = i
+    got = {
+        (r.ym, r.segment): (r.revenue_cents, r.share_bp, r.rnk, r.rank_delta)
+        for r in SPECS["orders_market_share"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_market_share_sums_to_month(spark, sf_dir):
+    rows = SPECS["orders_market_share"].fn(spark, sf_dir).collect()
+    by_m = defaultdict(list)
+    for r in rows:
+        by_m[r.ym].append(r)
+    for ym, rs in by_m.items():
+        # floor-division shares undershoot by < n_segments bp
+        s = sum(r.share_bp for r in rs)
+        assert 10000 - len(rs) < s <= 10000
+        assert sorted(r.rnk for r in rs) == list(range(1, len(rs) + 1))
+
+
+# --------------------------------------------------------------------------
+# dq_freshness
+# --------------------------------------------------------------------------
+
+
+def test_freshness_replay(spark, sf_dir, duck):
+    rows_by_type = defaultdict(list)
+    for et, us in duck.execute(
+        "SELECT event_type, epoch_us(ts) FROM events"
+    ).fetchall():
+        rows_by_type[et].append(us)
+    global_max = max(max(v) for v in rows_by_type.values())
+    want = {}
+    for et, uss in rows_by_type.items():
+        days = {u // DAY_US for u in uss}
+        span = max(days) - min(days) + 1
+        want[et] = (
+            len(uss),
+            max(uss),
+            global_max - max(uss),
+            span,
+            len(days),
+            len(days) * 10000 // span,
+        )
+    got = {
+        r.event_type: (
+            r.n_rows,
+            r.last_ts_us,
+            r.staleness_us,
+            r.span_days,
+            r.active_days,
+            r.coverage_bp,
+        )
+        for r in SPECS["dq_freshness"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_freshness_invariants(spark, sf_dir):
+    rows = SPECS["dq_freshness"].fn(spark, sf_dir).collect()
+    assert rows
+    assert min(r.staleness_us for r in rows) == 0  # someone is freshest
+    for r in rows:
+        assert 1 <= r.active_days <= r.span_days
+        assert 0 < r.coverage_bp <= 10000

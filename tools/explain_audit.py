@@ -436,6 +436,32 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Window", r"hashpartitioning\(o_custkey"],
         [r"BroadcastNestedLoopJoin", r"rangepartitioning"],
     ),
+    # tolerance as-of: the SAME one-shuffle carry-forward window as
+    # join_asof — the staleness bound is a codegen'd conditional, it
+    # must never re-introduce a join
+    "join_asof_tolerance": (
+        [r"Window", r"hashpartitioning\(user_id"],
+        [r"Join", r"rangepartitioning"],
+    ),
+    # sweep-line concurrency: the delta stream is COMPRESSED by a hash
+    # agg BEFORE the running-sum window; both windows and the final
+    # agg key on event_type — no join anywhere
+    "events_concurrency": (
+        [r"HashAggregate", r"Window", r"hashpartitioning\(event_type"],
+        [r"Join", r"rangepartitioning"],
+    ),
+    # market share: one fact⋈dim equi join, then windows over the
+    # months×segments AGGREGATE only
+    "orders_market_share": (
+        [r"HashAggregate", r"Window", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
+    # freshness: one event_type hash agg + the sanctioned 1-row bounds
+    # broadcast — never a shuffled join, never a window
+    "dq_freshness": (
+        [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        [r"SortMergeJoin", r"ShuffledHashJoin", r"Window"],
+    ),
 }
 
 
