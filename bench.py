@@ -151,6 +151,9 @@ SQL_GROUP = [
     "join_asof_tolerance",
     "orders_market_share",
     "dq_freshness",
+    "events_bounce",
+    "ts_mad_anomaly",
+    "agg_benford",
 ]
 
 

@@ -1531,3 +1531,86 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_est",
         (F.col("cm_est") - F.col("true_n")).alias("overcount"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_benford — first-significant-digit distribution (round 8)
+# --------------------------------------------------------------------------
+
+# Benford expectation log10(1 + 1/d) in floor basis points — CONSTANTS
+# (pre-computed, never engine-evaluated logs), identical literals on
+# both sides.
+_BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791,
+               6: 669, 7: 579, 8: 511, 9: 457}
+
+
+def _benford_case(col: str) -> str:
+    legs = " ".join(
+        f"WHEN {d} THEN {bp}" for d, bp in _BENFORD_BP.items()
+    )
+    return f"CASE {col} {legs} END"
+
+
+@register(
+    "agg_benford",
+    tags=("b4",),
+    oracle=f"""
+        -- Benford first-digit audit of order totals: the
+        -- fraud/fabrication screen every financial DQ suite ships.
+        -- First significant digit via STRING head of the exact-cents
+        -- integer (no log10 floats); observed share and the deviation
+        -- from the Benford expectation as integer bp (expectations
+        -- are pre-computed literal constants on both engines).
+        WITH d AS (
+            SELECT CAST(SUBSTR(CAST(
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders WHERE o_totalprice > 0
+        ),
+        c AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+            FROM d GROUP BY digit
+        ),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        SELECT digit, n,
+               CAST(n * 10000 // total AS BIGINT) AS share_bp,
+               CAST({_benford_case("digit")} AS BIGINT) AS benford_bp,
+               CAST(n * 10000 // total
+                    - {_benford_case("digit")} AS BIGINT) AS dev_bp
+        FROM c, t
+    """,
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit (Benford) audit of order totals — the
+    classic fabricated-data screen: naturally occurring multi-scale
+    amounts follow log10(1+1/d), fabricated ones cluster uniformly.
+    Reports observed counts, observed share (floor bp), the Benford
+    expectation, and the signed deviation.
+
+    Exactness: the first digit comes from the STRING head of the
+    exact-cents integer — no log10/pow floats anywhere; the Benford
+    expectations are pre-computed integer literals (identical
+    constants in both engines, never engine-evaluated logs).
+
+    Plan/scale: one codegen'd projection + a 9-group hash agg
+    (map-side combined), then the sanctioned 1-row total broadcast —
+    zero row-cardinality shuffles at any volume."""
+    o = table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.expr(
+            "CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+            "AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    case = _benford_case("digit")
+    return c.join(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.expr("CAST(n * 10000 div total AS BIGINT)").alias("share_bp"),
+        F.expr(f"CAST({case} AS BIGINT)").alias("benford_bp"),
+        F.expr(
+            f"CAST(n * 10000 div total - {case} AS BIGINT)"
+        ).alias("dev_bp"),
+    )

@@ -1745,3 +1745,256 @@ def orders_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         (F.lag("rnk").over(w_seg) - F.col("rnk")).cast("long").alias("rank_delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_bounce — landing-type bounce rate over sessionized events (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_bounce",
+    tags=("bext",),
+    oracle="""
+        -- bounce rate per landing event type: sessions built with the
+        -- win_sessionize gap rule (10-min inactivity), a session's
+        -- landing = its first event (ts, event_id order), bounce = a
+        -- single-event session. The web-analytics staple, here over
+        -- the gaps-and-islands form so batch and stream_session
+        -- cross-validate.
+        WITH seq AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             > 600000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tagged AS (
+            SELECT user_id, event_type,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                   ) AS session_id,
+                   ts_us, event_id
+            FROM seq
+        ),
+        landed AS (
+            SELECT user_id, session_id,
+                   FIRST_VALUE(event_type) OVER (
+                       PARTITION BY user_id, session_id
+                       ORDER BY ts_us, event_id
+                   ) AS landing
+            FROM tagged
+        ),
+        sess AS (
+            SELECT user_id, session_id, landing, COUNT(*) AS n_events
+            FROM landed GROUP BY user_id, session_id, landing
+        )
+        SELECT landing,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000
+                    // COUNT(*) AS BIGINT) AS bounce_bp
+        FROM sess GROUP BY landing
+    """,
+)
+def events_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per landing event type: sessionize with the same
+    10-minute inactivity gap as `win_sessionize`, take each session's
+    FIRST event as its landing, and report how many sessions ended
+    after that single event — the engagement-quality readout behind
+    every landing-page decision.
+
+    Determinism: the landing is the arg-min of (ts_us, event_id) — a
+    total order; bounce share is a floor-division bp leg on exact
+    counts.
+
+    Plan/scale: ONE shuffle on user_id serves the gap-lag window, the
+    running-sum session id, and the per-session agg (all share the
+    per-user sort); the landing rollup then runs over SESSION
+    cardinality. Same cost envelope as `win_sessionize` plus one
+    vocabulary-sized agg."""
+    from nchu_bigdata_spark.queries.streaming_batch import _10M_US
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    prev = F.lag(ts_us).over(w)
+    new_sess = F.when(prev.isNull() | ((ts_us - prev) > _10M_US), 1).otherwise(0)
+    tagged = ev.select(
+        "user_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        "event_id",
+        F.sum(new_sess).over(w).alias("session_id"),
+    )
+    # landing via first_value over the SAME per-user sort (no extra
+    # exchange), then one per-session agg
+    w_s = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    sess = (
+        tagged.withColumn("landing", F.first("event_type").over(w_s))
+        .groupBy("user_id", "session_id", "landing")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return sess.groupBy("landing").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long"))
+        .cast("long")
+        .alias("n_bounces"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000 "
+            "div count(*) AS BIGINT)"
+        ).alias("bounce_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_mad_anomaly — median/MAD robust outlier days (round 8)
+# --------------------------------------------------------------------------
+
+_MAD_K = 3  # flag |x - median| > K * MAD (division-free integer test)
+
+
+@register(
+    "ts_mad_anomaly",
+    tags=("b11",),
+    oracle=f"""
+        -- robust outlier days per event series: median/MAD instead of
+        -- events_anomaly's mean/stddev z-score (one wild day inflates
+        -- a stddev and masks itself; the median absolute deviation
+        -- doesn't). All order statistics use the doubled-integer
+        -- policy (med2 = sum of the two middle values = 2x median;
+        -- mad4 = med2 of the doubled deviations = 4x MAD), so the
+        -- flag test 2*dev2 > {_MAD_K}*mad4 is exact int64 — no .5
+        -- floats, no division. mad4 = 0 degrades to "any deviation
+        -- flags", the correct robust limit.
+        WITH cell AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY n_events, day
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM cell
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN rk = (n + 1) // 2 OR rk = n // 2 + 1
+                                 THEN n_events ELSE 0 END)
+                        * CASE WHEN (MAX(n) + 1) // 2 = MAX(n) // 2 + 1
+                               THEN 2 ELSE 1 END AS BIGINT) AS med2
+            FROM r GROUP BY event_type
+        ),
+        dev AS (
+            SELECT cell.event_type, day, n_events, med2,
+                   ABS(2 * n_events - med2) AS dev2
+            FROM cell JOIN med ON cell.event_type = med.event_type
+        ),
+        dr AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY dev2, day
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN rk = (n + 1) // 2 OR rk = n // 2 + 1
+                                 THEN dev2 ELSE 0 END)
+                        * CASE WHEN (MAX(n) + 1) // 2 = MAX(n) // 2 + 1
+                               THEN 2 ELSE 1 END AS BIGINT) AS mad4
+            FROM dr GROUP BY event_type
+        )
+        SELECT dev.event_type, CAST(day AS BIGINT) AS day, n_events,
+               med2, CAST(dev2 AS BIGINT) AS dev2, mad4
+        FROM dev JOIN mad ON dev.event_type = mad.event_type
+        WHERE 2 * dev2 > {_MAD_K} * mad4
+    """,
+)
+def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days per event series: flag days whose count
+    deviates from the series MEDIAN by more than {K}× the median
+    absolute deviation — the breakdown-resistant counterpart to
+    `events_anomaly`'s mean/stddev z-score (one wild day inflates a
+    stddev enough to mask itself; it barely moves a median).
+
+    Exactness: both order statistics use the doubled-integer policy
+    (`events_inter_arrival` / `win_rolling_median`): med2 = 2×median,
+    mad4 = 4×MAD, and the flag test 2·dev2 > K·mad4 is pure int64 —
+    no .5, no division, no consistency-constant float. mad4 = 0
+    (over half the days identical) degrades to "any deviation flags",
+    the correct robust limit.
+
+    Plan/scale: the cell agg collapses events to (type, day)
+    cardinality map-side; the two ranking windows and the two tiny
+    per-type rollup joins all key on event_type, so after the cell
+    shuffle everything is partition-local over DAY-cardinality rows;
+    the per-type med2/mad4 tables are vocabulary-sized broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    cell = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+    # med2 per type (sum of the two middle values; odd n doubles the
+    # single middle so med2 is always 2x the median)
+    w_r = Window.partitionBy("event_type").orderBy("n_events", "day")
+    w_n = Window.partitionBy("event_type")
+    r = cell.select(
+        "event_type",
+        "n_events",
+        F.row_number().over(w_r).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN rk = (n + 1) div 2 OR rk = n div 2 + 1 "
+            "THEN n_events ELSE 0 END) "
+            "* CASE WHEN (max(n) + 1) div 2 = max(n) div 2 + 1 "
+            "THEN 2 ELSE 1 END AS BIGINT)"
+        ).alias("med2")
+    )
+    dev = cell.join(med, "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        "med2",
+        F.abs(2 * F.col("n_events") - F.col("med2")).alias("dev2"),
+    )
+    w_dr = Window.partitionBy("event_type").orderBy("dev2", "day")
+    dr = dev.select(
+        "event_type",
+        "dev2",
+        F.row_number().over(w_dr).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    mad = dr.groupBy("event_type").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN rk = (n + 1) div 2 OR rk = n div 2 + 1 "
+            "THEN dev2 ELSE 0 END) "
+            "* CASE WHEN (max(n) + 1) div 2 = max(n) div 2 + 1 "
+            "THEN 2 ELSE 1 END AS BIGINT)"
+        ).alias("mad4")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .filter(2 * F.col("dev2") > _MAD_K * F.col("mad4"))
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            "n_events",
+            "med2",
+            F.col("dev2").cast("long").alias("dev2"),
+            "mad4",
+        )
+    )

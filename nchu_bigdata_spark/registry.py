@@ -226,6 +226,9 @@ DRIVER_ORDER = [
     "events_concurrency",
     "orders_market_share",
     "dq_freshness",
+    "events_bounce",
+    "ts_mad_anomaly",
+    "agg_benford",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -203,3 +203,123 @@ def test_freshness_invariants(spark, sf_dir):
     for r in rows:
         assert 1 <= r.active_days <= r.span_days
         assert 0 < r.coverage_bp <= 10000
+
+
+# --------------------------------------------------------------------------
+# events_bounce
+# --------------------------------------------------------------------------
+
+
+def test_bounce_replay(spark, sf_dir, duck):
+    GAP = 600_000_000
+    sessions = []
+    cur_user, cur = None, None
+    for u, ts, et in duck.execute(
+        "SELECT user_id, epoch_us(ts), event_type FROM events "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall():
+        if u != cur_user or ts - cur[-1][0] > GAP:
+            cur = []
+            sessions.append(cur)
+            cur_user = u
+        cur.append((ts, et))
+    from collections import defaultdict
+
+    stats = defaultdict(lambda: [0, 0])
+    for s in sessions:
+        landing = s[0][1]
+        stats[landing][0] += 1
+        stats[landing][1] += len(s) == 1
+    want = {
+        k: (n, b, b * 10000 // n) for k, (n, b) in stats.items()
+    }
+    got = {
+        r.landing: (r.n_sessions, r.n_bounces, r.bounce_bp)
+        for r in SPECS["events_bounce"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_bounce_session_totals_match_sessionize(spark, sf_dir):
+    n_sessions = sum(
+        r.n_sessions
+        for r in SPECS["events_bounce"].fn(spark, sf_dir).collect()
+    )
+    assert n_sessions == SPECS["win_sessionize"].fn(spark, sf_dir).count()
+
+
+# --------------------------------------------------------------------------
+# ts_mad_anomaly
+# --------------------------------------------------------------------------
+
+
+def _med2(vals):
+    s = sorted(vals)
+    n = len(s)
+    lo, hi = s[(n - 1) // 2], s[n // 2]
+    return lo + hi  # == 2 * median, integer always
+
+
+def test_mad_anomaly_replay(spark, sf_dir, duck):
+    from collections import defaultdict
+
+    cells = defaultdict(dict)
+    for et, day, n in duck.execute(
+        "SELECT event_type, epoch_us(ts) // 86400000000, COUNT(*) "
+        "FROM events GROUP BY 1, 2"
+    ).fetchall():
+        cells[et][day] = n
+    want = {}
+    for et, dd in cells.items():
+        med2 = _med2(dd.values())
+        dev2 = {day: abs(2 * n - med2) for day, n in dd.items()}
+        mad4 = _med2(dev2.values())
+        for day, d2 in dev2.items():
+            if 2 * d2 > 3 * mad4:
+                want[(et, day)] = (dd[day], med2, d2, mad4)
+    got = {
+        (r.event_type, r.day): (r.n_events, r.med2, r.dev2, r.mad4)
+        for r in SPECS["ts_mad_anomaly"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_mad_masks_less_than_zscore(spark, sf_dir):
+    # robustness sanity: med2/mad4 are attained values, flag test holds
+    for r in SPECS["ts_mad_anomaly"].fn(spark, sf_dir).collect():
+        assert 2 * r.dev2 > 3 * r.mad4
+        assert r.dev2 == abs(2 * r.n_events - r.med2)
+
+
+# --------------------------------------------------------------------------
+# agg_benford
+# --------------------------------------------------------------------------
+
+
+def test_benford_replay(spark, sf_dir, duck):
+    from collections import Counter
+
+    cnt = Counter()
+    for (p,) in duck.execute(
+        "SELECT o_totalprice FROM orders WHERE o_totalprice > 0"
+    ).fetchall():
+        cnt[int(str(round(p * 100))[0])] += 1
+    total = sum(cnt.values())
+    bp = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791,
+          6: 669, 7: 579, 8: 511, 9: 457}
+    want = {
+        d: (n, n * 10000 // total, bp[d], n * 10000 // total - bp[d])
+        for d, n in cnt.items()
+    }
+    got = {
+        r.digit: (r.n, r.share_bp, r.benford_bp, r.dev_bp)
+        for r in SPECS["agg_benford"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_benford_shares_sum(spark, sf_dir):
+    rows = SPECS["agg_benford"].fn(spark, sf_dir).collect()
+    s = sum(r.share_bp for r in rows)
+    assert 10000 - len(rows) < s <= 10000
+    assert {r.digit for r in rows} <= set(range(1, 10))

@@ -462,6 +462,24 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"BroadcastNestedLoopJoin"],
         [r"SortMergeJoin", r"ShuffledHashJoin", r"Window"],
     ),
+    # bounce: all three window frames + the session agg share the ONE
+    # user_id exchange; the landing rollup is vocabulary-sized
+    "events_bounce": (
+        [r"Window", r"hashpartitioning\(user_id", r"HashAggregate"],
+        [r"Join", r"rangepartitioning"],
+    ),
+    # MAD anomaly: ranking windows + rollups all key on event_type
+    # over day-cardinality cells; the med2/mad4 joins broadcast
+    "ts_mad_anomaly": (
+        [r"Window", r"HashAggregate", r"hashpartitioning\(event_type"],
+        [r"SortMergeJoin", r"rangepartitioning", r"BroadcastNestedLoopJoin"],
+    ),
+    # Benford: projection + 9-group agg + 1-row total broadcast — no
+    # shuffled join, no window
+    "agg_benford": (
+        [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        [r"SortMergeJoin", r"ShuffledHashJoin", r"Window"],
+    ),
 }
 
 
