@@ -97,6 +97,9 @@ LLM_GROUP = [
     "sample_temperature",
     "dedup_url",
     "embed_outliers",
+    # born round 8 (continued): portable bloom membership pre-filter
+    # (trend starts here)
+    "dedup_bloom",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -154,6 +157,7 @@ SQL_GROUP = [
     "events_bounce",
     "ts_mad_anomaly",
     "agg_benford",
+    "events_session_hist",
 ]
 
 

@@ -1569,3 +1569,171 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_bloom — bloom-filter membership pre-filter (round 8)
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 1024  # bits (32 x 32-bit words)
+_BLOOM_K = 4  # hash functions (md5 row-salts, the agg_countmin family)
+
+
+def _bloom_pos_sql(key_expr: str, d_expr: str, hexcast: bool) -> str:
+    """Bit position = low 32 bits of md5(key '#' salt) mod M — the
+    engine-portable hash family (fn_hash / agg_countmin policy)."""
+    if hexcast:  # DuckDB
+        salted = f"{key_expr} || '#' || CAST({d_expr} AS VARCHAR)"
+        return f"(('0x' || substr(md5({salted}), 1, 8))::BIGINT % {_BLOOM_M})"
+    return (
+        f"(conv(substr(md5(concat({key_expr}, '#', "
+        f"CAST({d_expr} AS STRING))), 1, 8), 16, 10) % {_BLOOM_M})"
+    )
+
+
+@register(
+    "dedup_bloom",
+    tags=("b8",),
+    oracle=f"""
+        -- bloom-filter membership pre-filter, fully deterministic:
+        -- a {_BLOOM_M}-bit / {_BLOOM_K}-hash bloom over the corpus
+        -- docs' md5 content keys (32 x 32-bit words, bit_or-merged; 32-bit words keep every shift < 63, inside both engines' checked BIGINT shift range),
+        -- probed by the incoming batch (doc_id % 10 >= 8, the
+        -- dedup_incremental split). bloom_hit=1 ∧ true_dup=0 rows are
+        -- the false positives — the md5 hash family is byte-portable,
+        -- so both engines build the IDENTICAL bitmap and the oracle
+        -- replays the sketch exactly, FPs included.
+        WITH corpus AS (
+            SELECT md5(text) AS key FROM documents WHERE doc_id % 10 < 8
+        ),
+        batch AS (
+            SELECT doc_id, md5(text) AS key
+            FROM documents WHERE doc_id % 10 >= 8
+        ),
+        dd AS (SELECT unnest(range({_BLOOM_K})) AS d),
+        bits AS (
+            SELECT {_bloom_pos_sql('key', 'd', True)} AS pos
+            FROM corpus, dd
+        ),
+        words AS (
+            SELECT pos // 32 AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+                       AS mask
+            FROM bits GROUP BY 1
+        ),
+        probe AS (
+            SELECT b.doc_id,
+                   {_bloom_pos_sql('b.key', 'dd.d', True)} AS pos
+            FROM batch b, dd
+        ),
+        hits AS (
+            SELECT p.doc_id,
+                   CASE WHEN MIN(
+                       CASE WHEN (w.mask
+                                  & (CAST(1 AS BIGINT)
+                                     << CAST(p.pos % 32 AS INT))) != 0
+                            THEN 1 ELSE 0 END) = 1
+                        THEN 1 ELSE 0 END AS bloom_hit
+            FROM probe p LEFT JOIN words w ON w.word = p.pos // 32
+            GROUP BY p.doc_id
+        ),
+        truth AS (
+            SELECT b.doc_id,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM corpus c WHERE c.key = b.key)
+                        THEN 1 ELSE 0 END AS true_dup
+            FROM batch b
+        )
+        SELECT h.doc_id,
+               CAST(h.bloom_hit AS BIGINT) AS bloom_hit,
+               CAST(t.true_dup AS BIGINT) AS true_dup,
+               CAST(CASE WHEN h.bloom_hit = 1 AND t.true_dup = 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_fp
+        FROM hits h JOIN truth t ON h.doc_id = t.doc_id
+    """,
+)
+def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter for incremental dedup: a
+    1024-bit / 4-hash bloom built over the CORPUS docs' md5 content
+    keys, probed by the incoming batch (the `dedup_incremental`
+    split) — the cheapest first gate a production pipeline runs
+    before any exact or near-dup join. Per batch doc: the bloom
+    verdict, the exact truth, and the false-positive flag (bloom
+    never false-negatives; the FP column makes its error visible,
+    the `agg_countmin` philosophy).
+
+    Portability: positions come from md5 row-salts (the engine's
+    portable hash family), so both engines build the bit-identical
+    32-word bitmap and the oracle replays the sketch EXACTLY —
+    including which specific docs false-positive.
+
+    Plan/scale: the bitmap agg collapses map-side to ≤32 rows — the
+    sketch is mergeable across any number of partitions with one tiny
+    shuffle (the production shape: build once over 100 TB, persist
+    32 words, probe every future batch for free). The probe joins
+    batch×4 rows against the 32-word table (broadcast); the truth
+    column is one hash semi-join on the content key, there only to
+    measure the FP rate — a real pipeline drops it and pays ONLY the
+    bloom. Sizing is parametric: M scales with corpus cardinality
+    (bits ≈ 1.44·k·n), the plan shape is M-independent."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8).select(
+        F.md5("text").alias("key")
+    )
+    batch = docs.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.md5("text").alias("key")
+    )
+    salts = F.array(*[F.lit(d) for d in range(_BLOOM_K)])
+    pos = F.expr(_bloom_pos_sql("key", "d", False))
+    words = (
+        corpus.select(F.explode(salts).alias("d"), "key")
+        .select((pos.cast("long")).alias("pos"))
+        .groupBy(F.expr("pos div 32").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(pos % 32 AS INT)))"
+            ).alias("mask")
+        )
+    )
+    probe = batch.select("doc_id", F.explode(salts).alias("d"), "key").select(
+        "doc_id", pos.cast("long").alias("pos")
+    )
+    hits = (
+        probe.join(
+            F.broadcast(words), F.expr("word = pos div 32"), "left"
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.expr(
+                    "(mask & shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(pos % 32 AS INT))) != 0"
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit_d"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.when(F.min("hit_d") == 1, 1).otherwise(0).alias("bloom_hit")
+        )
+    )
+    truth = batch.join(
+        corpus.withColumnRenamed("key", "ckey").distinct(),
+        F.expr("key = ckey"),
+        "left",
+    ).select(
+        "doc_id",
+        F.when(F.col("ckey").isNotNull(), 1).otherwise(0).alias("true_dup"),
+    )
+    return hits.join(truth, "doc_id").select(
+        "doc_id",
+        F.col("bloom_hit").cast("long").alias("bloom_hit"),
+        F.col("true_dup").cast("long").alias("true_dup"),
+        F.when((F.col("bloom_hit") == 1) & (F.col("true_dup") == 0), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_fp"),
+    )

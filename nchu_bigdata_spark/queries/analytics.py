@@ -1998,3 +1998,100 @@ def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad4",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_session_hist — log2 session-duration histogram (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_session_hist",
+    tags=("bext",),
+    oracle="""
+        -- log2-bucketed session-duration histogram: sessions from the
+        -- win_sessionize 10-min gap rule, duration in whole seconds,
+        -- bucket = floor(log2(dur_s + 1)) via the binary-string-length
+        -- idiom (graph_degree_distribution policy — no float log2).
+        -- Bucket 0 = instant sessions, bucket b covers [2^b - 1,
+        -- 2^(b+1) - 2] seconds.
+        WITH seq AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             > 600000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tagged AS (
+            SELECT user_id, ts_us,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                   ) AS session_id
+            FROM seq
+        ),
+        sess AS (
+            SELECT user_id,
+                   (MAX(ts_us) - MIN(ts_us)) // 1000000 AS dur_s,
+                   COUNT(*) AS n_events
+            FROM tagged GROUP BY user_id, session_id
+        )
+        SELECT CAST(length(bin(dur_s + 1)) - 1 AS BIGINT) AS bucket,
+               CAST(2 ** (length(bin(dur_s + 1)) - 1) - 1 AS BIGINT)
+                   AS lo_s,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(n_events) AS BIGINT) AS total_events
+        FROM sess GROUP BY 1, 2
+    """,
+)
+def events_session_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed session-duration histogram: how long do sessions
+    last, on the scale that matters (durations are heavy-tailed, so
+    equi-width bins waste 90% of their cells) — the engagement-depth
+    readout beside `events_bounce`'s single-event rate.
+
+    Exactness: durations in whole integer seconds; the bucket is
+    floor(log₂(dur_s+1)) computed from the BINARY STRING length
+    (`graph_degree_distribution`'s idiom — never float log2, whose
+    boundary cells flip between engines). Bucket 0 = instant
+    sessions; bucket b covers [2^b − 1, 2^(b+1) − 2] seconds.
+
+    Plan/scale: the same single user_id exchange as `win_sessionize`
+    serves gap-lag, session-id running sum, and the per-session agg;
+    the histogram rollup then touches SESSION-cardinality rows and
+    collapses to ≤ ~40 buckets map-side."""
+    from nchu_bigdata_spark.queries.streaming_batch import _10M_US
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    prev = F.lag(ts_us).over(w)
+    new_sess = F.when(prev.isNull() | ((ts_us - prev) > _10M_US), 1).otherwise(0)
+    tagged = ev.select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.sum(new_sess).over(w).alias("session_id"),
+    )
+    sess = tagged.groupBy("user_id", "session_id").agg(
+        F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias("dur_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bucket = (F.length(F.bin(F.col("dur_s") + 1)) - 1).cast("long")
+    return (
+        sess.select(bucket.alias("bucket"), "user_id", "n_events")
+        .withColumn(
+            "lo_s",
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1 "
+                "AS BIGINT)"
+            ),
+        )
+        .groupBy("bucket", "lo_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+    )

@@ -229,6 +229,8 @@ DRIVER_ORDER = [
     "events_bounce",
     "ts_mad_anomaly",
     "agg_benford",
+    "dedup_bloom",
+    "events_session_hist",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -323,3 +323,96 @@ def test_benford_shares_sum(spark, sf_dir):
     s = sum(r.share_bp for r in rows)
     assert 10000 - len(rows) < s <= 10000
     assert {r.digit for r in rows} <= set(range(1, 10))
+
+
+# --------------------------------------------------------------------------
+# dedup_bloom
+# --------------------------------------------------------------------------
+
+
+def _bloom_pos(key: str, d: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{key}#{d}".encode()).hexdigest()
+    return int(h[:8], 16) % 1024
+
+
+def test_bloom_replay(spark, sf_dir, duck):
+    import hashlib
+
+    corpus_keys = set()
+    for (t,) in duck.execute(
+        "SELECT text FROM documents WHERE doc_id % 10 < 8"
+    ).fetchall():
+        corpus_keys.add(hashlib.md5(t.encode()).hexdigest())
+    bits = set()
+    for k in corpus_keys:
+        for d in range(4):
+            bits.add(_bloom_pos(k, d))
+    want = {}
+    for doc_id, t in duck.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8"
+    ).fetchall():
+        k = hashlib.md5(t.encode()).hexdigest()
+        hit = all(_bloom_pos(k, d) in bits for d in range(4))
+        dup = k in corpus_keys
+        want[doc_id] = (int(hit), int(dup), int(hit and not dup))
+    got = {
+        r.doc_id: (r.bloom_hit, r.true_dup, r.is_fp)
+        for r in SPECS["dedup_bloom"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    # the defining bloom guarantee: a true dup ALWAYS hits
+    for r in SPECS["dedup_bloom"].fn(spark, sf_dir).collect():
+        if r.true_dup:
+            assert r.bloom_hit == 1
+        assert r.is_fp == int(r.bloom_hit == 1 and r.true_dup == 0)
+
+
+# --------------------------------------------------------------------------
+# events_session_hist
+# --------------------------------------------------------------------------
+
+
+def test_session_hist_replay(spark, sf_dir, duck):
+    GAP = 600_000_000
+    sessions = []
+    cur_user, cur = None, None
+    for u, ts in duck.execute(
+        "SELECT user_id, epoch_us(ts) FROM events "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall():
+        if u != cur_user or ts - cur[-1] > GAP:
+            cur = []
+            sessions.append((u, cur))
+            cur_user = u
+        cur.append(ts)
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, set(), 0])
+    for u, s in sessions:
+        dur_s = (max(s) - min(s)) // 1_000_000
+        bucket = (dur_s + 1).bit_length() - 1
+        a = agg[bucket]
+        a[0] += 1
+        a[1].add(u)
+        a[2] += len(s)
+    want = {
+        b: ((1 << b) - 1, n, len(us), ev)
+        for b, (n, us, ev) in agg.items()
+    }
+    got = {
+        r.bucket: (r.lo_s, r.n_sessions, r.n_users, r.total_events)
+        for r in SPECS["events_session_hist"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_session_hist_conserves_sessions(spark, sf_dir):
+    hist = SPECS["events_session_hist"].fn(spark, sf_dir).collect()
+    assert sum(r.n_sessions for r in hist) == SPECS[
+        "win_sessionize"
+    ].fn(spark, sf_dir).count()

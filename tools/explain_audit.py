@@ -480,6 +480,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"BroadcastNestedLoopJoin"],
         [r"SortMergeJoin", r"ShuffledHashJoin", r"Window"],
     ),
+    # bloom: the 32-word bitmap BROADCASTS into the probe; the truth
+    # leg is a key-equi hash join — never a nested loop over batch
+    "dedup_bloom": (
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
+    # session histogram: one user_id exchange for window + session
+    # agg, then a ≤40-bucket rollup; no join
+    "events_session_hist": (
+        [r"Window", r"hashpartitioning\(user_id", r"HashAggregate"],
+        [r"Join", r"rangepartitioning"],
+    ),
 }
 
 
