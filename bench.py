@@ -100,6 +100,7 @@ LLM_GROUP = [
     # born round 8 (continued): portable bloom membership pre-filter
     # (trend starts here)
     "dedup_bloom",
+    "text_readability",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -158,6 +159,8 @@ SQL_GROUP = [
     "ts_mad_anomaly",
     "agg_benford",
     "events_session_hist",
+    "orders_abc_class",
+    "events_new_vs_returning",
 ]
 
 

@@ -1118,3 +1118,107 @@ def text_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ok.unionByName(sup)
+
+
+# --------------------------------------------------------------------------
+# text_readability — integer Flesch-Kincaid readability profile (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_readability",
+    tags=("b14",),
+    oracle="""
+        -- Flesch-Kincaid-style readability per language, in EXACT
+        -- integer milli units: words by whitespace split, sentences
+        -- by terminal-punctuation runs (>=1 per doc), syllables
+        -- approximated by vowel-group runs [aeiouy]+ (the standard
+        -- cheap proxy) — all three are regexp COUNTS in the portable
+        -- pattern subset (fn_regex policy). FK grade in milli =
+        -- 390*W div S + 11800*Y div W - 15590 with decimal/HUGEINT
+        -- legs; integer div flooring is identical on both engines.
+        WITH d AS (
+            SELECT lang,
+                   CAST(len(regexp_extract_all(text, '[^ ]+', 0))
+                        AS BIGINT) AS w,
+                   GREATEST(CAST(len(regexp_extract_all(
+                       text, '[.!?]+', 0)) AS BIGINT), 1) AS s,
+                   CAST(len(regexp_extract_all(
+                       lower(text), '[aeiouy]+', 0)) AS BIGINT) AS y
+            FROM documents
+        ),
+        g AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS words,
+                   CAST(SUM(s) AS BIGINT) AS sentences,
+                   CAST(SUM(y) AS BIGINT) AS syllables
+            FROM d GROUP BY lang
+        )
+        SELECT lang, n_docs, words, sentences, syllables,
+               CAST(words * 1000 // sentences AS BIGINT)
+                   AS words_per_sentence_milli,
+               CAST(syllables * 1000 // words AS BIGINT)
+                   AS syllables_per_word_milli,
+               CAST(words * 390 // sentences
+                    + syllables * 11800 // words
+                    - 15590 AS BIGINT) AS fk_grade_milli
+        FROM g
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid-style readability profile per language — the
+    curation signal behind "too simple / too dense" corpus filters
+    (pair with `text_quality`'s ratio gates): words per sentence,
+    syllables per word, and the FK grade, all in EXACT integer milli
+    units.
+
+    Measurement: words = whitespace-token count; sentences = runs of
+    terminal punctuation (floored at 1 per doc); syllables = vowel-
+    group runs ``[aeiouy]+`` — the standard cheap proxy. All three
+    are ``regexp_count`` expressions inside the engine-portable
+    pattern subset (`fn_regex` policy — no lookaround). The FK
+    constants (0.39, 11.8, 15.59) enter scaled ×1000 as integer
+    literals; the two floor divisions are identical on both engines,
+    so the grade is bit-stable with zero float arithmetic.
+
+    Plan/scale: one codegen'd projection (three regexp counts) + one
+    language-sized hash agg, map-side combined — zero row-cardinality
+    shuffles; the corpus is read ONCE."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.regexp_count("text", F.lit("[^ ]+")).cast("long").alias("w"),
+        F.greatest(
+            F.regexp_count("text", F.lit("[.!?]+")).cast("long"), F.lit(1)
+        ).alias("s"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("y"),
+    )
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("words"),
+        F.sum("s").cast("long").alias("sentences"),
+        F.sum("y").cast("long").alias("syllables"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.expr(
+            "CAST(CAST(words AS decimal(38,0)) * 1000 div sentences"
+            " AS BIGINT)"
+        ).alias("words_per_sentence_milli"),
+        F.expr(
+            "CAST(CAST(syllables AS decimal(38,0)) * 1000 div words"
+            " AS BIGINT)"
+        ).alias("syllables_per_word_milli"),
+        F.expr(
+            "CAST(CAST(words AS decimal(38,0)) * 390 div sentences"
+            " + CAST(syllables AS decimal(38,0)) * 11800 div words"
+            " - 15590 AS BIGINT)"
+        ).alias("fk_grade_milli"),
+    )

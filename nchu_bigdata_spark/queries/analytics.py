@@ -2095,3 +2095,183 @@ def events_session_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("long").alias("total_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# orders_abc_class — ABC revenue classification (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_abc_class",
+    tags=("bext",),
+    oracle="""
+        -- ABC (Pareto) inventory classification: parts ranked by
+        -- revenue cents (partkey tie-break), cumulative-share cut at
+        -- 80% / 95% — A carries the first 80%, C the tail. The
+        -- inventory-policy staple. Flooring discipline: the class
+        -- test is a pure integer cross-multiply (cum*10 <= tot*8),
+        -- never a float share.
+        WITH pr AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        r AS (
+            SELECT cents,
+                   SUM(cents) OVER (
+                       ORDER BY cents DESC, l_partkey
+                   ) AS cum,
+                   SUM(cents) OVER () AS tot
+            FROM pr
+        ),
+        cls AS (
+            SELECT cents,
+                   CASE WHEN cum * 10 <= tot * 8 THEN 'A'
+                        WHEN cum * 20 <= tot * 19 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM r
+        )
+        SELECT abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+               CAST(SUM(cents) * 10000 // (SELECT SUM(cents) FROM pr)
+                    AS BIGINT) AS share_bp
+        FROM cls GROUP BY abc_class
+    """,
+)
+def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: rank parts by
+    exact-cents revenue, cut the cumulative share at 80% (class A) and
+    95% (class B) — the inventory-policy readout ("count the A items
+    daily, the C items yearly").
+
+    The global running revenue sum uses the DISTRIBUTED two-pass
+    pattern (`win_lorenz`, extended from count offsets to VALUE
+    offsets): range-repartition on (cents DESC, partkey), per-
+    partition cents subtotals broadcast back as prefix offsets, cum =
+    offset + partition-local running sum. No single-task window over
+    part cardinality, ever. Class membership is an integer cross-
+    multiply (cum·10 ≤ tot·8) routed through decimal(38,0)/HUGEINT —
+    no float shares.
+
+    Boundary-partition nondeterminism is irrelevant to the OUTPUT:
+    the sort is a total order, so cum per row is invariant to where
+    range boundaries fall."""
+    li = table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    nparts = spark.sparkContext.defaultParallelism
+    srt = pr.repartitionByRange(
+        nparts, F.col("cents").desc(), F.col("l_partkey")
+    ).sortWithinPartitions(F.col("cents").desc(), "l_partkey")
+    pid = srt.withColumn("pid", F.spark_partition_id())
+    pc = pid.groupBy("pid").agg(F.sum("cents").alias("psum"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = pc.select(
+        "pid",
+        F.coalesce(F.sum("psum").over(w_off), F.lit(0)).alias("coff"),
+        F.sum("psum").over(Window.partitionBy()).alias("tot"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("cents").desc(), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cls = (
+        pid.withColumn("clocal", F.sum("cents").over(w_local))
+        .join(F.broadcast(off), "pid")
+        .select(
+            "cents",
+            F.expr(
+                "CASE WHEN CAST(coff + clocal AS decimal(38,0)) * 10"
+                "       <= CAST(tot AS decimal(38,0)) * 8 THEN 'A' "
+                "WHEN CAST(coff + clocal AS decimal(38,0)) * 20"
+                "       <= CAST(tot AS decimal(38,0)) * 19 THEN 'B' "
+                "ELSE 'C' END"
+            ).alias("abc_class"),
+            "tot",
+        )
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.max("tot").alias("_tot"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "revenue_cents",
+            F.expr(
+                "CAST(CAST(revenue_cents AS decimal(38,0)) * 10000"
+                " div _tot AS BIGINT)"
+            ).alias("share_bp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_new_vs_returning — daily acquisition split (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_new_vs_returning",
+    tags=("bext",),
+    oracle="""
+        -- daily new-vs-returning actives: a user's first-ever active
+        -- day marks them "new" that day, returning after — the
+        -- acquisition-vs-retention split on every growth dashboard.
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events
+        ),
+        fd AS (
+            SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+        )
+        SELECT CAST(ud.day AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN ud.day = fd.first_day
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN ud.day = fd.first_day
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_returning,
+               CAST(SUM(CASE WHEN ud.day = fd.first_day
+                             THEN 1 ELSE 0 END) * 10000
+                    // COUNT(*) AS BIGINT) AS new_bp
+        FROM ud JOIN fd ON ud.user_id = fd.user_id
+        GROUP BY ud.day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active-user split: a user counts as
+    "new" on their first-ever active day and "returning" on every
+    later one — the acquisition/retention decomposition on every
+    growth dashboard (complements `events_retention`'s cohort matrix
+    with a per-day operational view).
+
+    Plan/scale: the (user, day) dedup agg and the per-user min-day
+    agg share the user_id key — ONE effective exchange serves both
+    plus the equi join between them; the day rollup then runs over
+    (user, day) CELL cardinality. Integer day arithmetic; floor-bp
+    share."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    fd = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ud.join(fd, "user_id")
+    is_new = (F.col("day") == F.col("first_day")).cast("long")
+    return j.groupBy(F.col("day").cast("long").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum(is_new).cast("long").alias("n_new"),
+        (F.count(F.lit(1)) - F.sum(is_new)).cast("long").alias("n_returning"),
+        F.expr(
+            "CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 10000 "
+            "div count(*) AS BIGINT)"
+        ).alias("new_bp"),
+    )

@@ -231,6 +231,9 @@ DRIVER_ORDER = [
     "agg_benford",
     "dedup_bloom",
     "events_session_hist",
+    "orders_abc_class",
+    "events_new_vs_returning",
+    "text_readability",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

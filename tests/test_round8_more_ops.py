@@ -416,3 +416,124 @@ def test_session_hist_conserves_sessions(spark, sf_dir):
     assert sum(r.n_sessions for r in hist) == SPECS[
         "win_sessionize"
     ].fn(spark, sf_dir).count()
+
+
+# --------------------------------------------------------------------------
+# orders_abc_class
+# --------------------------------------------------------------------------
+
+
+def test_abc_replay(spark, sf_dir, duck):
+    parts = duck.execute(
+        "SELECT l_partkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+        " FROM lineitem GROUP BY 1"
+    ).fetchall()
+    ranked = sorted(parts, key=lambda x: (-x[1], x[0]))
+    tot = sum(c for _, c in ranked)
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    cum = 0
+    for _, c in ranked:
+        cum += c
+        cls = "A" if cum * 10 <= tot * 8 else ("B" if cum * 20 <= tot * 19 else "C")
+        agg[cls][0] += 1
+        agg[cls][1] += c
+    want = {
+        k: (n, cents, cents * 10000 // tot) for k, (n, cents) in agg.items()
+    }
+    got = {
+        r.abc_class: (r.n_parts, r.revenue_cents, r.share_bp)
+        for r in SPECS["orders_abc_class"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_abc_pareto_shape(spark, sf_dir):
+    rows = {r.abc_class: r for r in
+            SPECS["orders_abc_class"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    # A carries at most 80% by construction; A parts are fewer than C's
+    assert rows["A"].share_bp <= 8000
+    total = sum(r.revenue_cents for r in rows.values())
+    assert sum(r.n_parts for r in rows.values()) > 0
+    assert total > 0
+
+
+# --------------------------------------------------------------------------
+# events_new_vs_returning
+# --------------------------------------------------------------------------
+
+
+def test_new_returning_replay(spark, sf_dir, duck):
+    from collections import defaultdict
+
+    ud = set(duck.execute(
+        "SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 FROM events"
+    ).fetchall())
+    first = {}
+    for u, d in sorted(ud, key=lambda x: x[1]):
+        first.setdefault(u, d)
+    agg = defaultdict(lambda: [0, 0])
+    for u, d in ud:
+        agg[d][0] += 1
+        agg[d][1] += d == first[u]
+    want = {
+        d: (n, new, n - new, new * 10000 // n)
+        for d, (n, new) in agg.items()
+    }
+    got = {
+        r.day: (r.n_active, r.n_new, r.n_returning, r.new_bp)
+        for r in SPECS["events_new_vs_returning"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_new_returning_conservation(spark, sf_dir):
+    rows = SPECS["events_new_vs_returning"].fn(spark, sf_dir).collect()
+    # every user is new exactly once: sum(n_new) == distinct users
+    n_users = sum(r.n_new for r in rows)
+    first_day = min(rows, key=lambda r: r.day)
+    assert first_day.n_returning == 0  # nobody can return on day 1
+    assert all(r.n_active == r.n_new + r.n_returning for r in rows)
+    assert n_users > 0
+
+
+# --------------------------------------------------------------------------
+# text_readability
+# --------------------------------------------------------------------------
+
+
+def test_readability_replay(spark, sf_dir, duck):
+    import re
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for lang, text in duck.execute(
+        "SELECT lang, text FROM documents"
+    ).fetchall():
+        w = len(re.findall(r"[^ ]+", text))
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        y = len(re.findall(r"[aeiouy]+", text.lower()))
+        a = agg[lang]
+        a[0] += 1
+        a[1] += w
+        a[2] += s
+        a[3] += y
+    want = {}
+    for lang, (n, w, s, y) in agg.items():
+        want[lang] = (
+            n, w, s, y,
+            w * 1000 // s,
+            y * 1000 // w,
+            w * 390 // s + y * 11800 // w - 15590,
+        )
+    got = {
+        r.lang: (
+            r.n_docs, r.words, r.sentences, r.syllables,
+            r.words_per_sentence_milli, r.syllables_per_word_milli,
+            r.fk_grade_milli,
+        )
+        for r in SPECS["text_readability"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

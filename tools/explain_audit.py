@@ -492,6 +492,25 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"hashpartitioning\(user_id", r"HashAggregate"],
         [r"Join", r"rangepartitioning"],
     ),
+    # ABC: the distributed-rank pattern — rangepartitioning AFTER the
+    # per-part rollup shrank the input, tiny offset table broadcast
+    # back, running sums partition-local; never a shuffled join
+    "orders_abc_class": (
+        [r"HashAggregate", r"Window", r"rangepartitioning", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"ShuffledHashJoin", r"BroadcastNestedLoopJoin"],
+    ),
+    # new-vs-returning: dedup agg + min agg + join all share user_id;
+    # the day rollup runs over cell cardinality
+    "events_new_vs_returning": (
+        [r"HashAggregate", r"hashpartitioning\(user_id"],
+        [r"BroadcastNestedLoopJoin", r"rangepartitioning", r"Window"],
+    ),
+    # readability: three codegen'd regexp counts + one language agg —
+    # no join, no window, one scan
+    "text_readability": (
+        [r"HashAggregate"],
+        [r"Join", r"Window", r"Exchange rangepartitioning"],
+    ),
 }
 
 
