@@ -161,6 +161,8 @@ SQL_GROUP = [
     "events_session_hist",
     "orders_abc_class",
     "events_new_vs_returning",
+    "graph_sssp_weighted",
+    "orders_hhi",
 ]
 
 

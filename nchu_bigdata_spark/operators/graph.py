@@ -590,3 +590,111 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("d") >= F.col("k"))
         .select(F.col("u").alias("part_key"), F.col("d").alias("core_deg"))
     )
+
+
+# --------------------------------------------------------------------------
+# graph_sssp_weighted — bounded Bellman-Ford shortest paths (round 8)
+# --------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 3  # relaxation rounds => shortest paths using <= 3 edges
+
+_WEDGES_SQL = """
+        SELECT u, v, CAST(1000 // cnt AS BIGINT) AS w FROM (
+            SELECT a.l_partkey AS u, b.l_partkey AS v,
+                   COUNT(DISTINCT a.l_orderkey) AS cnt
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2
+        )
+"""
+
+
+def _sssp_oracle() -> str:
+    """Unrolled Bellman-Ford CTE chain — the exact replay of the
+    DataFrame relaxation loop (same integer weights, same min-merge)."""
+    ctes = [
+        f"edges AS ({_WEDGES_SQL})",
+        "d0 AS (SELECT (SELECT MIN(u) FROM edges) AS node,"
+        " CAST(0 AS BIGINT) AS dist)",
+    ]
+    prev = "d0"
+    for r in range(1, _SSSP_ROUNDS + 1):
+        ctes.append(
+            f"""d{r} AS (
+                SELECT node, MIN(dist) AS dist FROM (
+                    SELECT node, dist FROM {prev}
+                    UNION ALL
+                    SELECT e.v AS node, p.dist + e.w AS dist
+                    FROM {prev} p JOIN edges e ON e.u = p.node
+                ) GROUP BY node
+            )"""
+        )
+        prev = f"d{r}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS p_partkey, CAST(dist AS BIGINT) AS dist"
+        f" FROM {prev}"
+    )
+
+
+@register("graph_sssp_weighted", tags=("graph",), oracle=_sssp_oracle())
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (bounded Bellman-Ford,
+    3 relaxation rounds) from the smallest part vertex: edge cost =
+    1000 div shared-order-count, so strong co-purchase ties are cheap —
+    the "how related are these products really" distance that plain
+    BFS hop counts (`graph_bfs`) flatten.
+
+    Spark formulation: per round, ONE equi join (current distance set
+    × edges on the source vertex) + a min-merge hash agg — the
+    relax-all-edges step of Bellman-Ford, which unlike Dijkstra needs
+    no priority queue and is exactly the join+combine shape that
+    distributes. Each round's state is localCheckpointed
+    (`graph_pagerank`'s per-iteration budget rule); distances are
+    exact integers, so the min-merge is deterministic. After R rounds
+    the result is the exact shortest distance among paths of ≤ R
+    edges (the oracle replays the identical unrolled recurrence).
+
+    At 100 TB: cost per round is one shuffle keyed on settled
+    vertices + one vertex-keyed agg; state never leaves the cluster.
+    Negative edges can't occur (weights ≥ 1000/max-basket), so the
+    bounded unroll is monotone non-increasing per vertex."""
+    li = table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    half = (
+        parts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wedges = half.unionAll(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"), "cnt")
+    ).select("u", "v", F.expr("CAST(1000 div cnt AS BIGINT)").alias("w"))
+    edges = shared_intermediate("sssp_edges", wedges)
+    dist = F.broadcast(edges.agg(F.min("u").alias("node"))).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for r in range(1, _SSSP_ROUNDS + 1):
+        relaxed = (
+            edges.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+        dist = shared_intermediate(f"sssp_d{r}", dist)
+    return dist.select(F.col("node").alias("p_partkey"), "dist")

@@ -965,3 +965,108 @@ def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist2_n2").cast("double").alias("dist2_scaled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dq_embed_drift — per-dimension embedding drift monitor (round 8)
+# --------------------------------------------------------------------------
+
+_ED_SCALE = 1_000  # 1e-3 quantization grid (embed_norm_stats policy)
+
+
+@register(
+    "dq_embed_drift",
+    tags=("b10",),
+    oracle=f"""
+        -- per-dimension embedding drift: split the corpus into two
+        -- halves (vec_id parity — the retrain-vs-baseline proxy) and
+        -- score each dimension's mean shift WITHOUT materializing
+        -- rational means: shift_num = |S1·n2 − S2·n1| is the cross-
+        -- multiplied numerator of |μ1 − μ2| · n1 · n2 — an exact
+        -- integer that ranks dimensions identically to the true mean
+        -- gap (same denominator for every dim). The encoder-drift
+        -- check beside dq_drift's event-histogram TV distance.
+        WITH q AS (
+            SELECT vec_id % 2 AS half, d,
+                   CAST(round(x * {_ED_SCALE}) AS BIGINT) AS qx
+            FROM (
+                SELECT vec_id,
+                       unnest(embedding::DOUBLE[]) AS x,
+                       unnest(range(len(embedding))) AS d
+                FROM embeddings
+            )
+        ),
+        s AS (
+            SELECT d,
+                   SUM(CASE WHEN half = 0 THEN qx ELSE 0 END) AS s1,
+                   SUM(CASE WHEN half = 1 THEN qx ELSE 0 END) AS s2,
+                   SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n1,
+                   SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n2
+            FROM q GROUP BY d
+        )
+        SELECT CAST(d AS BIGINT) AS dim,
+               CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+               CAST(ABS(CAST(s1 AS HUGEINT) * n2
+                        - CAST(s2 AS HUGEINT) * n1) AS DOUBLE)
+                   AS shift_num
+        FROM s
+    """,
+)
+def dq_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift monitor: split the corpus into
+    two halves (vec_id parity, standing in for baseline-vs-retrained
+    encoder output) and score each dimension's mean shift — the
+    embedding-space analogue of `dq_drift`'s event-histogram check,
+    run before a new encoder's vectors are allowed into a shared ANN
+    index (a shifted dimension silently re-ranks every cosine).
+
+    Exactness: components quantize to the 1e-3 grid
+    (`embed_norm_stats` policy); the rational means are never
+    materialized — shift_num = |S1·n2 − S2·n1| is the cross-multiplied
+    numerator of |μ1 − μ2|·n1·n2, an exact integer with the SAME
+    denominator for every dimension, so it ranks dimensions exactly.
+    Routed through decimal(38,0)/HUGEINT (the events_rfm overflow
+    policy) and emitted as DOUBLE on both engines.
+
+    Plan/scale: posexplode + ONE conditional hash agg to dimension
+    cardinality (64 rows) — the half split is a projection, not a
+    join; partial aggregation collapses everything map-side. One
+    scan, one tiny shuffle, at any corpus size."""
+    emb = parallel_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * _ED_SCALE, 0).cast(
+                    "long"
+                ),
+            )
+        ).alias("d", "qx"),
+    )
+    s = q.groupBy(F.col("d").cast("long").alias("dim")).agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("half") == 0, F.col("qx")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("half") == 1, F.col("qx")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+    )
+    return s.select(
+        "dim",
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        F.expr(
+            "CAST(abs(CAST(s1 AS decimal(38,0)) * n2"
+            " - CAST(s2 AS decimal(38,0)) * n1) AS DOUBLE)"
+        ).alias("shift_num"),
+    )

@@ -2275,3 +2275,83 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div count(*) AS BIGINT)"
         ).alias("new_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_hhi — Herfindahl-Hirschman concentration index (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_hhi",
+    tags=("bext",),
+    oracle="""
+        -- monthly Herfindahl-Hirschman index over customer-segment
+        -- revenue shares: HHI = sum of squared shares, here in floor
+        -- basis points (share_bp^2 // 10000, max 10000 = monopoly) —
+        -- the antitrust-grade concentration readout one level above
+        -- orders_market_share's per-segment rows.
+        WITH seg AS (
+            SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                   c_mktsegment AS segment,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ),
+        sh AS (
+            SELECT ym, segment, cents,
+                   cents * 10000 // SUM(cents) OVER (PARTITION BY ym)
+                       AS share_bp
+            FROM seg
+        )
+        SELECT CAST(ym AS BIGINT) AS ym,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(MAX(share_bp) AS BIGINT) AS top_share_bp,
+               CAST(SUM(share_bp * share_bp) // 10000 AS BIGINT) AS hhi_bp
+        FROM sh GROUP BY ym
+    """,
+)
+def orders_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Herfindahl-Hirschman concentration index over customer-
+    segment revenue: HHI = Σ share², reported in floor basis points
+    (10000 = monopoly, 10000/n = perfect split) plus the top segment's
+    share — the is-revenue-concentrating trend readout one level above
+    `orders_market_share`'s per-segment rows.
+
+    Exactness: shares floor to integer bp FIRST (decimal(38,0) ↔
+    HUGEINT cross-multiply), then HHI squares and floors those
+    integers — floor-of-floor is identical on both engines by
+    construction; share_bp² ≤ 10⁸ so the sum sits far inside int64.
+
+    Plan/scale: identical join+agg shape to `orders_market_share`
+    (fact⋈dim on custkey, then everything over months×segments); the
+    share window and final rollup share the ym partitioning."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    seg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.expr(
+                "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)"
+            ).alias("ym"),
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("ym", "segment")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w_m = Window.partitionBy("ym")
+    sh = seg.select(
+        "ym",
+        F.expr(
+            "CAST(CAST(cents AS decimal(38,0)) * 10000 AS decimal(38,0))"
+        ).alias("_num"),
+        F.sum("cents").over(w_m).cast("decimal(38,0)").alias("_tot"),
+    ).select("ym", F.expr("CAST(_num div _tot AS BIGINT)").alias("share_bp"))
+    return sh.groupBy("ym").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.max("share_bp").cast("long").alias("top_share_bp"),
+        F.expr("CAST(sum(share_bp * share_bp) div 10000 AS BIGINT)").alias(
+            "hhi_bp"
+        ),
+    )

@@ -234,6 +234,9 @@ DRIVER_ORDER = [
     "orders_abc_class",
     "events_new_vs_returning",
     "text_readability",
+    "graph_sssp_weighted",
+    "orders_hhi",
+    "dq_embed_drift",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -537,3 +537,137 @@ def test_readability_replay(spark, sf_dir, duck):
         for r in SPECS["text_readability"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# graph_sssp_weighted
+# --------------------------------------------------------------------------
+
+
+def _weighted_edges(duck):
+    from collections import defaultdict
+
+    orders = defaultdict(set)
+    for ok, pk in duck.execute(
+        "SELECT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall():
+        orders[ok].add(pk)
+    cnt = defaultdict(int)
+    for ps in orders.values():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                cnt[(ps[i], ps[j])] += 1
+    edges = defaultdict(dict)
+    for (u, v), c in cnt.items():
+        w = 1000 // c
+        edges[u][v] = w
+        edges[v][u] = w
+    return edges
+
+
+def test_sssp_replay(spark, sf_dir, duck):
+    edges = _weighted_edges(duck)
+    src = min(edges)
+    dist = {src: 0}
+    for _ in range(3):  # bounded Bellman-Ford, exactly as the op
+        nxt = dict(dist)
+        for u, du in dist.items():
+            for v, w in edges[u].items():
+                if du + w < nxt.get(v, float("inf")):
+                    nxt[v] = du + w
+        dist = nxt
+    got = {
+        r.p_partkey: r.dist
+        for r in SPECS["graph_sssp_weighted"].fn(spark, sf_dir).collect()
+    }
+    assert got == dist
+
+
+def test_sssp_dominates_bfs_support(spark, sf_dir):
+    # every vertex BFS reaches in <=3 hops is reachable here too
+    bfs = {r.p_partkey for r in SPECS["graph_bfs"].fn(spark, sf_dir).collect()}
+    sssp = {
+        r.p_partkey: r.dist
+        for r in SPECS["graph_sssp_weighted"].fn(spark, sf_dir).collect()
+    }
+    assert bfs <= set(sssp)
+    assert sssp[min(sssp)] >= 0
+
+
+# --------------------------------------------------------------------------
+# orders_hhi
+# --------------------------------------------------------------------------
+
+
+def test_hhi_replay(spark, sf_dir, duck):
+    from collections import defaultdict
+
+    cells = defaultdict(dict)
+    for ym, seg, cents in duck.execute(
+        "SELECT year(o_orderdate) * 100 + month(o_orderdate), c_mktsegment,"
+        " SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+        " FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2"
+    ).fetchall():
+        cells[int(ym)][seg] = int(cents)
+    want = {}
+    for ym, d in cells.items():
+        tot = sum(d.values())
+        shares = [c * 10000 // tot for c in d.values()]
+        want[ym] = (
+            len(shares),
+            max(shares),
+            sum(s * s for s in shares) // 10000,
+        )
+    got = {
+        r.ym: (r.n_segments, r.top_share_bp, r.hhi_bp)
+        for r in SPECS["orders_hhi"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_hhi_bounds(spark, sf_dir):
+    for r in SPECS["orders_hhi"].fn(spark, sf_dir).collect():
+        # HHI in [10000/n - slack, 10000]; top share bounds it below
+        assert r.hhi_bp <= 10000
+        assert r.hhi_bp >= (r.top_share_bp * r.top_share_bp) // 10000
+        assert r.top_share_bp <= 10000
+
+
+# --------------------------------------------------------------------------
+# dq_embed_drift
+# --------------------------------------------------------------------------
+
+
+def test_embed_drift_replay(spark, sf_dir, duck):
+    from collections import defaultdict
+
+    s = defaultdict(lambda: [0, 0, 0, 0])  # dim -> n1, n2, s1, s2
+    for vec_id, emb in duck.execute(
+        "SELECT vec_id, embedding FROM embeddings"
+    ).fetchall():
+        half = vec_id % 2
+        for d, x in enumerate(emb):
+            q = int(round(x * 1000))  # python round is banker's...
+            # replicate round-half-away like Spark/DuckDB round()
+            import decimal
+
+            q = int(
+                decimal.Decimal(x * 1000).quantize(
+                    0, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            a = s[d]
+            a[0] += half == 0
+            a[1] += half == 1
+            a[2] += q if half == 0 else 0
+            a[3] += q if half == 1 else 0
+    want = {
+        d: (n1, n2, s1, s2, float(abs(s1 * n2 - s2 * n1)))
+        for d, (n1, n2, s1, s2) in s.items()
+    }
+    got = {
+        r.dim: (r.n1, r.n2, r.s1, r.s2, r.shift_num)
+        for r in SPECS["dq_embed_drift"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -511,6 +511,21 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"Join", r"Window", r"Exchange rangepartitioning"],
     ),
+    # SSSP: the returned plan is the final localCheckpoint read (the
+    # per-round relax joins live behind it, like graph_bfs); only the
+    # global default (no CartesianProduct) applies
+    "graph_sssp_weighted": ([], [r"rangepartitioning"]),
+    # HHI: fact⋈dim join, then windows/aggs over months×segments only
+    "orders_hhi": (
+        [r"HashAggregate", r"Window", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
+    # embed drift: posexplode + ONE conditional agg to 64 dims — the
+    # half split is a projection, never a join; no window
+    "dq_embed_drift": (
+        [r"Generate", r"HashAggregate"],
+        [r"Join", r"Window", r"rangepartitioning"],
+    ),
 }
 
 
