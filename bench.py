@@ -101,6 +101,8 @@ LLM_GROUP = [
     # (trend starts here)
     "dedup_bloom",
     "text_readability",
+    "dedup_recall_eval",
+    "curate_funnel_report",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -163,6 +165,7 @@ SQL_GROUP = [
     "events_new_vs_returning",
     "graph_sssp_weighted",
     "orders_hhi",
+    "graph_assortativity",
 ]
 
 

@@ -1737,3 +1737,183 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_recall_eval — LSH recall vs sampled exact ground truth (round 8)
+# --------------------------------------------------------------------------
+
+_RE_MOD = 10  # probe sample: doc_id % _RE_MOD == 3 (10% of the corpus)
+
+
+@register(
+    "dedup_recall_eval",
+    tags=("b10",),
+    oracle=f"""
+        -- recall of the MinHash-LSH candidate net against EXACT
+        -- near-dup ground truth, measured on a 10% probe sample (the
+        -- ann_recall_eval pattern applied to dedup): truth(p) = all
+        -- docs with shingle-Jaccard >= 1/2 vs the probe (integer form
+        -- 3*I >= |A|+|B|), candidates(p) = docs sharing any LSH band.
+        -- The tune-bands-until-recall-clears gate every near-dup
+        -- deployment needs.
+        WITH {_SQL_SHINGLES},
+        sh32 AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+            FROM sh
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM sh32 GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS p, b.doc_id AS d,
+                   CAST(COUNT(*) AS BIGINT) AS i
+            FROM sh32 a
+            JOIN sh32 b ON a.h = b.h AND b.doc_id <> a.doc_id
+            WHERE a.doc_id % {_RE_MOD} = 3
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT p, d FROM inter
+            JOIN sizes sa ON sa.doc_id = p
+            JOIN sizes sb ON sb.doc_id = d
+            WHERE 3 * i >= sa.n + sb.n
+        ),
+        mh AS (
+            SELECT doc_id, i,
+                   MIN(({_A}[i + 1] * h + {_B}[i + 1]) % {_P}) AS mh
+            FROM sh32, unnest(range({_H})) AS r(i)
+            GROUP BY doc_id, i
+        ),
+        band AS (
+            SELECT doc_id, i // {_ROWS} AS band_id,
+                   md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key
+            FROM mh GROUP BY doc_id, i // {_ROWS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS p, b.doc_id AS d
+            FROM band a
+            JOIN band b ON a.band_id = b.band_id
+                       AND a.band_key = b.band_key
+                       AND b.doc_id <> a.doc_id
+            WHERE a.doc_id % {_RE_MOD} = 3
+        ),
+        per AS (
+            SELECT t.p,
+                   CAST(COUNT(*) AS BIGINT) AS n_true,
+                   CAST(SUM(CASE WHEN c.d IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+            FROM truth t
+            LEFT JOIN cand c ON c.p = t.p AND c.d = t.d
+            GROUP BY t.p
+        ),
+        nc AS (
+            SELECT p, CAST(COUNT(*) AS BIGINT) AS n_cand
+            FROM cand GROUP BY p
+        )
+        SELECT per.p AS probe_id, n_true,
+               CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand, n_hit,
+               CAST(n_hit * 10000 // n_true AS BIGINT) AS recall_bp
+        FROM per LEFT JOIN nc ON nc.p = per.p
+    """,
+)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate net against EXACT near-dup
+    ground truth, estimated on a 10% probe sample — the
+    `ann_recall_eval` pattern applied to dedup: before trusting the
+    8×4 banding at corpus scale, measure how many true near-dups
+    (shingle-Jaccard ≥ ½) it actually surfaces, and how many
+    candidates it pays for them.
+
+    Ground truth is scale-honest: per PROBE, true near-dups come from
+    the inverted shingle index (probe shingles × postings — linear in
+    the probe's collision set, never corpus²; a pair with Jaccard ≥ ½
+    must share shingles, so the index misses nothing). The threshold
+    test is the integer form 3·I ≥ |A|+|B| — exactly Jaccard ≥ ½ with
+    no float division.
+
+    Plan/scale: ONE shingle materialization feeds the truth index,
+    the set sizes, AND the MinHash signatures (the `dedup_minhash`
+    budget); signatures are 32 parallel min-aggs (no row blowup);
+    the band self-join carries (doc_id, 16-byte key) rows with the
+    probe filter pushed to one side. Recall/candidate rollups run
+    over pair cardinality."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    sh = shared_intermediate("dedup_recall.sh32", _doc_shingle_h32(docs))
+    is_probe = F.col("doc_id") % _RE_MOD == 3
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.filter(is_probe)
+        .select(F.col("doc_id").alias("p"), "h")
+        .join(sh.select(F.col("doc_id").alias("d"), "h"), "h")
+        .filter(F.col("d") != F.col("p"))
+        .groupBy("p", "d")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "p").withColumnRenamed("n", "sa"), "p")
+        .join(sizes.withColumnRenamed("doc_id", "d").withColumnRenamed("n", "sb"), "d")
+        .filter(3 * F.col("i") >= F.col("sa") + F.col("sb"))
+        .select("p", "d")
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(_P)).alias(
+                f"m{i}"
+            )
+            for i in range(_H)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * _ROWS + r}").cast("string")
+                        for r in range(_ROWS)
+                    ],
+                )
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    band = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    cand = (
+        band.filter(is_probe)
+        .select(F.col("doc_id").alias("p"), "band_id", "band_key")
+        .join(
+            band.select(
+                F.col("doc_id").alias("d"), "band_id", "band_key"
+            ),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("d") != F.col("p"))
+        .select("p", "d")
+        .distinct()
+    )
+    per = (
+        truth.join(cand.withColumn("_hit", F.lit(1)), ["p", "d"], "left")
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    nc = cand.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    return (
+        per.join(nc, "p", "left")
+        .select(
+            F.col("p").alias("probe_id"),
+            "n_true",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            "n_hit",
+            F.expr("CAST(n_hit * 10000 div n_true AS BIGINT)").alias(
+                "recall_bp"
+            ),
+        )
+    )

@@ -698,3 +698,94 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dist = shared_intermediate(f"sssp_d{r}", dist)
     return dist.select(F.col("node").alias("p_partkey"), "dist")
+
+
+# --------------------------------------------------------------------------
+# graph_assortativity — degree assortativity coefficient (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    tags=("graph",),
+    oracle=f"""
+        -- degree assortativity (Newman 2002): Pearson correlation of
+        -- endpoint degrees over every directed edge of the symmetrized
+        -- co-purchase graph. Positive = hubs link hubs (social shape),
+        -- negative = hubs link leaves (dissortative, typical of
+        -- product/technology graphs) — decides whether hub-removal or
+        -- degree-sketch sampling strategies will work. agg_corr's
+        -- exact-co-moment discipline: HUGEINT legs, IEEE-exact final
+        -- derivation, no float tolerance.
+        WITH sym AS ({_EDGES_SQL}),
+        deg AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(da.d AS HUGEINT)) AS sx,
+                   SUM(CAST(db.d AS HUGEINT)) AS sy,
+                   SUM(CAST(da.d AS HUGEINT) * db.d) AS sxy,
+                   SUM(CAST(da.d AS HUGEINT) * da.d) AS sxx,
+                   SUM(CAST(db.d AS HUGEINT) * db.d) AS syy
+            FROM sym e
+            JOIN deg da ON da.u = e.u
+            JOIN deg db ON db.u = e.v
+        )
+        SELECT CAST(n AS BIGINT) AS n_edges,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+                   AS assortativity
+        FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the
+    co-purchase graph: Pearson r of endpoint degrees over every
+    directed edge. Positive = hubs attach to hubs; negative = hub-and-
+    spoke — the structural prior that decides whether degree-based
+    sampling, hub pruning, or `graph_kcore_peel`'s backbone extraction
+    will behave.
+
+    Determinism: the six co-moment legs are decimal(38,0)/HUGEINT
+    sums of int64 degree products (exact, order-independent); r
+    derives from those identical integers with IEEE-exact
+    cast/mul/sub/div/sqrt — the `agg_corr` / `ts_autocorr` discipline.
+
+    Plan/scale: degree agg (map-side combined) + two hash-join probes
+    of the degree table against the edge list (the same u-keyed and
+    v-keyed exchanges `graph_neighbor_jaccard` pays), collapsing into
+    a 1-row moment agg. Edge-linear work; no window, no sort."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    j = (
+        edges.join(deg.withColumnRenamed("d", "da"), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("db")), "v"
+        )
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("da").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("db").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("CAST(da AS decimal(38,0)) * db")).alias("sxy"),
+        F.sum(F.expr("CAST(da AS decimal(38,0)) * da")).alias("sxx"),
+        F.sum(F.expr("CAST(db AS decimal(38,0)) * db")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_edges"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("assortativity"),
+    )

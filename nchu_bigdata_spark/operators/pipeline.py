@@ -373,11 +373,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURATE_MIN_TOKENS = 20
 
 
-@register(
-    "curate_corpus",
-    tags=("pipeline",),
-    oracle=f"""
-        WITH base AS (
+# Shared curation-verdict SQL (the curate_corpus oracle body);
+# curate_funnel_report aggregates the same verdict, so the two can
+# never drift.
+_SQL_CURATE_VERDICT = f"""
+WITH base AS (
             SELECT doc_id, lang, source, text,
                    string_split(text, ' ') AS w,
                    MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep_doc
@@ -415,7 +415,13 @@ _CURATE_MIN_TOKENS = 20
                           AND doc_id = keep_doc
                      THEN 1 ELSE 0 END AS INT) AS keep
         FROM m
-    """,
+"""
+
+
+@register(
+    "curate_corpus",
+    tags=("pipeline",),
+    oracle=_SQL_CURATE_VERDICT,
 )
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-curation verdict — the composed funnel a
@@ -1492,4 +1498,84 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CAST({_TS_BUDGET} AS decimal(38,0)) * w div tot_w"
             " AS BIGINT)"
         ).alias("alloc_temp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# curate_funnel_report — per-source curation attrition report (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curate_funnel_report",
+    tags=("pipeline",),
+    oracle=f"""
+        -- stage-attrition report over the curate_corpus verdict (the
+        -- SAME shared SQL — report and verdict can never drift): per
+        -- source, survivors after each successive gate in pipeline
+        -- order (quality -> repetition -> exact-dedup), each kill
+        -- attributed to the FIRST gate that fired, plus kept tokens
+        -- and the keep rate in bp. The "what did each gate cost us"
+        -- audit every curation run publishes.
+        WITH verdict AS ({_SQL_CURATE_VERDICT})
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN is_low_quality = 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS killed_quality,
+               CAST(SUM(CASE WHEN is_low_quality = 0
+                              AND is_repetitive = 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS killed_repetition,
+               CAST(SUM(CASE WHEN is_low_quality = 0
+                              AND is_repetitive = 0
+                              AND is_exact_dup = 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS killed_dedup,
+               CAST(SUM(keep) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS kept_tokens,
+               CAST(SUM(keep) * 10000 // COUNT(*) AS BIGINT) AS keep_bp
+        FROM verdict GROUP BY source
+    """,
+)
+def curate_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stage-attrition report over the `curate_corpus`
+    verdict: how many documents each gate killed (attributed to the
+    FIRST gate that fired, in pipeline order quality → repetition →
+    exact-dedup), how many docs/tokens survived, and the keep rate —
+    the audit table every curation run publishes before anyone trains
+    on the output.
+
+    Composition is literal: the engine calls the registered
+    `curate_corpus` implementation UNCHANGED and aggregates its flags;
+    the oracle wraps the SAME shared verdict SQL
+    (`_SQL_CURATE_VERDICT`) — report and verdict cannot drift apart
+    (the `ann_recall_eval` composition pattern).
+
+    Plan/scale: adds ONE source-sized hash agg (map-side combined) on
+    top of curate_corpus's single content-hash shuffle. Kill
+    attribution and keep rate are integer CASE/floor-bp legs."""
+    verdict = curate_corpus(spark, sf_dir)
+    lq = F.col("is_low_quality")
+    rep = F.col("is_repetitive")
+    dup = F.col("is_exact_dup")
+    return verdict.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum((lq == 1).cast("long")).cast("long").alias("killed_quality"),
+        F.sum(((lq == 0) & (rep == 1)).cast("long"))
+        .cast("long")
+        .alias("killed_repetition"),
+        F.sum(((lq == 0) & (rep == 0) & (dup == 1)).cast("long"))
+        .cast("long")
+        .alias("killed_dedup"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep") == 1, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.expr("CAST(sum(keep) * 10000 div count(*) AS BIGINT)").alias(
+            "keep_bp"
+        ),
     )

@@ -237,6 +237,9 @@ DRIVER_ORDER = [
     "graph_sssp_weighted",
     "orders_hhi",
     "dq_embed_drift",
+    "dedup_recall_eval",
+    "graph_assortativity",
+    "curate_funnel_report",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

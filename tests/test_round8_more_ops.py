@@ -671,3 +671,130 @@ def test_embed_drift_replay(spark, sf_dir, duck):
         for r in SPECS["dq_embed_drift"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# dedup_recall_eval
+# --------------------------------------------------------------------------
+
+
+def test_recall_eval_consistency(spark, sf_dir):
+    rows = SPECS["dedup_recall_eval"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.probe_id % 10 == 3
+        assert 0 <= r.n_hit <= r.n_true
+        assert r.n_hit <= r.n_cand or r.n_cand == 0 and r.n_hit == 0
+        assert r.recall_bp == r.n_hit * 10000 // r.n_true
+
+
+def test_recall_eval_truth_replay(spark, sf_dir, duck):
+    # independent exact ground truth: per probe, brute-force jaccard
+    # over 3-token shingle md5-32 sets (the engine's _K / hash family)
+    import hashlib
+    from collections import defaultdict
+
+    sets = {}
+    for doc_id, text in duck.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall():
+        w = text.split(" ")
+        if len(w) < 3:
+            continue
+        hs = set()
+        for i in range(len(w) - 2):
+            sh = " ".join(w[i : i + 3])
+            hs.add(int(hashlib.md5(sh.encode()).hexdigest()[:8], 16))
+        sets[doc_id] = hs
+    want = defaultdict(int)
+    for p, sp in sets.items():
+        if p % 10 != 3:
+            continue
+        for d, sd in sets.items():
+            if d == p:
+                continue
+            inter = len(sp & sd)
+            if inter and 3 * inter >= len(sp) + len(sd):
+                want[p] += 1
+    got = {
+        r.probe_id: r.n_true
+        for r in SPECS["dedup_recall_eval"].fn(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+
+
+# --------------------------------------------------------------------------
+# graph_assortativity
+# --------------------------------------------------------------------------
+
+
+def test_assortativity_replay(spark, sf_dir, duck):
+    import math
+    from collections import defaultdict
+
+    orders = defaultdict(set)
+    for ok, pk in duck.execute(
+        "SELECT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall():
+        orders[ok].add(pk)
+    edges = set()
+    for ps in orders.values():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+                edges.add((ps[j], ps[i]))
+    deg = defaultdict(int)
+    for u, _ in edges:
+        deg[u] += 1
+    n = len(edges)
+    sx = sum(deg[u] for u, _ in edges)
+    sy = sum(deg[v] for _, v in edges)
+    sxy = sum(deg[u] * deg[v] for u, v in edges)
+    sxx = sum(deg[u] ** 2 for u, _ in edges)
+    syy = sum(deg[v] ** 2 for _, v in edges)
+    want = (n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    )
+    row = SPECS["graph_assortativity"].fn(spark, sf_dir).collect()[0]
+    assert row.n_edges == n
+    assert row.assortativity == want  # IEEE-exact, bit-for-bit
+
+
+# --------------------------------------------------------------------------
+# curate_funnel_report
+# --------------------------------------------------------------------------
+
+
+def test_funnel_report_composes_verdict(spark, sf_dir):
+    verdict = SPECS["curate_corpus"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0, 0])
+    for v in verdict:
+        a = agg[v.source]
+        a[0] += 1
+        a[1] += v.n_tokens
+        if v.is_low_quality:
+            a[2] += 1
+        elif v.is_repetitive:
+            a[3] += 1
+        elif v.is_exact_dup:
+            a[4] += 1
+        a[5] += v.keep
+        a[6] += v.n_tokens if v.keep else 0
+    rows = SPECS["curate_funnel_report"].fn(spark, sf_dir).collect()
+    got = {
+        r.source: [
+            r.n_docs, r.n_tokens, r.killed_quality, r.killed_repetition,
+            r.killed_dedup, r.n_kept, r.kept_tokens,
+        ]
+        for r in rows
+    }
+    assert got == {k: list(v) for k, v in agg.items()}
+    for r in rows:
+        # the funnel must conserve: kills + kept == docs
+        assert (
+            r.killed_quality + r.killed_repetition + r.killed_dedup + r.n_kept
+            == r.n_docs
+        )
+        assert r.keep_bp == r.n_kept * 10000 // r.n_docs

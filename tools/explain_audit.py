@@ -526,6 +526,25 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"Generate", r"HashAggregate"],
         [r"Join", r"Window", r"rangepartitioning"],
     ),
+    # LSH recall eval: inverted-index truth + band-key candidate joins
+    # are all equi hash joins over int64/16-byte keys; never a nested
+    # loop over the corpus
+    "dedup_recall_eval": (
+        [r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"BroadcastNestedLoopJoin", r"rangepartitioning"],
+    ),
+    # assortativity: two degree-probe hash joins folding into a 1-row
+    # moment agg; no window, no sort
+    "graph_assortativity": (
+        [r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"BroadcastNestedLoopJoin", r"rangepartitioning", r"Window"],
+    ),
+    # funnel report: curate_corpus's single content-hash window
+    # shuffle + ONE source-sized agg; no join
+    "curate_funnel_report": (
+        [r"Window", r"HashAggregate"],
+        [r"Join", r"rangepartitioning"],
+    ),
 }
 
 
