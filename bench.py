@@ -103,6 +103,7 @@ LLM_GROUP = [
     "text_readability",
     "dedup_recall_eval",
     "curate_funnel_report",
+    "sample_group_holdout",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -166,6 +167,8 @@ SQL_GROUP = [
     "graph_sssp_weighted",
     "orders_hhi",
     "graph_assortativity",
+    "orders_customer_migration",
+    "events_lateness_profile",
 ]
 
 

@@ -1579,3 +1579,75 @@ def curate_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_bp"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# sample_group_holdout — domain-level holdout split (round 8)
+# --------------------------------------------------------------------------
+
+_GH_HOLD_BUCKETS = 25  # md5(source) % 100 < 25 => held-out domain (~25%)
+
+
+@register(
+    "sample_group_holdout",
+    tags=("pipeline",),
+    oracle=f"""
+        -- GROUP-level holdout: entire SOURCES (domains) are assigned
+        -- to eval by md5 hash bucket, never individual documents —
+        -- the contamination-safe eval split (sample_split's row-level
+        -- buckets leak near-duplicates of a training doc into eval
+        -- when both live in the same domain; holding out whole
+        -- domains cannot). Per (split, lang): docs + tokens.
+        WITH assign AS (
+            SELECT lang, source,
+                   CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT
+                             % 100 < {_GH_HOLD_BUCKETS}
+                        THEN 'eval' ELSE 'train' END AS split,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT split, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM assign GROUP BY split, lang
+    """,
+)
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level (domain) holdout split: whole SOURCES hash into
+    train or eval — never individual documents. `sample_split`'s
+    row-level buckets silently leak near-duplicates of a training doc
+    into eval whenever both live in the same domain (boilerplate,
+    mirrors, templated pages); holding out entire domains is the
+    contamination-safe eval construction LLM pipelines use
+    (leave-whole-site-out). Emits per-(split, lang) doc / source /
+    token counts — the freeze manifest.
+
+    Determinism: membership is md5(source) % 100 against a literal
+    cutoff — the engine-portable hash family (`fn_hash` policy); a
+    new document in an existing domain inherits the domain's split,
+    and a new domain lands stably by its own hash. Disjoint and
+    exhaustive by construction.
+
+    Plan/scale: one codegen'd projection + one (split, lang)-sized
+    hash agg with a distinct-source leg that collapses to
+    domain-cardinality partials map-side. No shuffle of row-level
+    data beyond the agg's partials, at any corpus size."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.expr("conv(substr(md5(source), 1, 8), 16, 10)").cast("long")
+        % 100
+        < _GH_HOLD_BUCKETS,
+        "eval",
+    ).otherwise("train")
+    a = docs.select(
+        "lang",
+        "source",
+        split.alias("split"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return a.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )

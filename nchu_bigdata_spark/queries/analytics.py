@@ -2355,3 +2355,229 @@ def orders_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi_bp"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_customer_migration — value-tier transition matrix (round 8)
+# --------------------------------------------------------------------------
+
+_MIG_SPLIT_YM = 199800  # orders before 1998 = period 1, after = period 2
+_MIG_TIERS = 3
+
+
+@register(
+    "orders_customer_migration",
+    tags=("bext",),
+    oracle=f"""
+        -- customer value-tier migration matrix: rank customers by
+        -- exact-cents revenue within each period (before/after the
+        -- 1998 boundary), cut into {_MIG_TIERS} equi-depth tiers with
+        -- the closed-form (rank-1)*{_MIG_TIERS} // n (win_lorenz's
+        -- cut — computable by a DISTRIBUTED rank), and count every
+        -- (tier_then, tier_now) cell. Customers absent from a period
+        -- land in tier 0 ("inactive") — churn and win-back are cells
+        -- of the same matrix, not special cases.
+        WITH cr AS (
+            SELECT o_custkey,
+                   CASE WHEN year(o_orderdate) * 100 + month(o_orderdate)
+                             < {_MIG_SPLIT_YM} THEN 1 ELSE 2 END AS period,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT o_custkey, period,
+                   CAST((ROW_NUMBER() OVER (
+                       PARTITION BY period
+                       ORDER BY cents DESC, o_custkey
+                   ) - 1) * {_MIG_TIERS} // COUNT(*) OVER (
+                       PARTITION BY period) + 1 AS BIGINT) AS tier
+            FROM cr
+        ),
+        p1 AS (SELECT o_custkey, tier FROM r WHERE period = 1),
+        p2 AS (SELECT o_custkey, tier FROM r WHERE period = 2),
+        allc AS (
+            SELECT o_custkey FROM p1
+            UNION
+            SELECT o_custkey FROM p2
+        )
+        SELECT COALESCE(p1.tier, 0) AS tier_then,
+               COALESCE(p2.tier, 0) AS tier_now,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM allc a
+        LEFT JOIN p1 ON p1.o_custkey = a.o_custkey
+        LEFT JOIN p2 ON p2.o_custkey = a.o_custkey
+        GROUP BY 1, 2
+    """,
+)
+def orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier migration matrix: tercile tiers by revenue
+    within each of two periods (the 1998 boundary), every customer
+    assigned a (tier_then, tier_now) cell — tier 0 meaning inactive
+    that period, so churn and win-back are ordinary cells of the same
+    matrix. The lifecycle readout behind win-back targeting and
+    value-upgrade attribution.
+
+    Tier cuts use the closed-form equi-depth formula
+    (rank−1)·3 div n (`win_lorenz`) over the DISTRIBUTED rank: range
+    repartition on (cents DESC, custkey) per period, per-partition
+    counts broadcast as offsets, rank = offset + local row_number —
+    never a single-task window over customer cardinality.
+
+    Plan/scale: one custkey-keyed rollup; two per-period rank passes
+    over CUSTOMER-cardinality rows; the matrix join is custkey-equi
+    (full-outer via the union spine) and the final agg collapses to
+    ≤ (tiers+1)² cells."""
+    o = table(spark, sf_dir, "orders")
+    cr = o.groupBy(
+        "o_custkey",
+        F.expr(
+            f"CASE WHEN year(o_orderdate) * 100 + month(o_orderdate)"
+            f" < {_MIG_SPLIT_YM} THEN 1 ELSE 2 END"
+        ).alias("period"),
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    nparts = spark.sparkContext.defaultParallelism
+    srt = cr.repartitionByRange(
+        nparts, "period", F.col("cents").desc(), F.col("o_custkey")
+    ).sortWithinPartitions("period", F.col("cents").desc(), "o_custkey")
+    pid = srt.withColumn("pid", F.spark_partition_id())
+    pc = pid.groupBy("period", "pid").agg(F.count(F.lit(1)).alias("pn"))
+    w_off = (
+        Window.partitionBy("period")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = pc.select(
+        "period",
+        "pid",
+        F.coalesce(F.sum("pn").over(w_off), F.lit(0)).alias("off"),
+        F.sum("pn").over(Window.partitionBy("period")).alias("n"),
+    )
+    w_local = Window.partitionBy("period", "pid").orderBy(
+        F.col("cents").desc(), "o_custkey"
+    )
+    ranked = (
+        pid.withColumn("rlocal", F.row_number().over(w_local))
+        .join(F.broadcast(off), ["period", "pid"])
+        .select(
+            "o_custkey",
+            "period",
+            F.expr(
+                f"CAST((off + rlocal - 1) * {_MIG_TIERS} div n + 1 AS BIGINT)"
+            ).alias("tier"),
+        )
+    )
+    p1 = ranked.filter(F.col("period") == 1).select(
+        "o_custkey", F.col("tier").alias("tier_then")
+    )
+    p2 = ranked.filter(F.col("period") == 2).select(
+        "o_custkey", F.col("tier").alias("tier_now")
+    )
+    allc = p1.select("o_custkey").union(p2.select("o_custkey")).distinct()
+    return (
+        allc.join(p1, "o_custkey", "left")
+        .join(p2, "o_custkey", "left")
+        .groupBy(
+            F.coalesce("tier_then", F.lit(0)).cast("long").alias("tier_then"),
+            F.coalesce("tier_now", F.lit(0)).cast("long").alias("tier_now"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# events_lateness_profile — out-of-order arrival diagnostic (round 8)
+# --------------------------------------------------------------------------
+
+_LATE_WM_US = 600_000_000  # the streaming ops' 10-minute watermark
+
+
+@register(
+    "events_lateness_profile",
+    tags=("b11",),
+    oracle=f"""
+        -- out-of-order arrival profile per stream: replaying arrival
+        -- order (event_id), how far does event time run behind the
+        -- running high-water mark, and how many events would the
+        -- streaming ops' 10-minute watermark have DROPPED? The batch
+        -- diagnostic that calibrates stream_watermark_late's bound
+        -- before deployment.
+        WITH a AS (
+            SELECT event_type,
+                   epoch_us(ts) AS ts_us,
+                   MAX(epoch_us(ts)) OVER (
+                       PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS hwm
+            FROM events
+        ),
+        d AS (
+            SELECT event_type,
+                   CASE WHEN hwm IS NULL OR ts_us >= hwm
+                        THEN 0 ELSE hwm - ts_us END AS late_us
+            FROM a
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_out_of_order,
+               CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+               CAST(SUM(CASE WHEN late_us > {_LATE_WM_US}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped_by_wm,
+               CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 10000
+                    // COUNT(*) AS BIGINT) AS ooo_bp
+        FROM d GROUP BY event_type
+    """,
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival profile per stream: replay arrival order
+    (event_id as the arrival sequence), track the running event-time
+    high-water mark, and measure how many events arrive behind it —
+    and how many the streaming ops' 10-minute watermark
+    (`stream_watermark_late`) would have dropped. This is the batch
+    calibration every watermark bound needs BEFORE deployment: set the
+    bound below max_late_us and n_dropped_by_wm is your data loss.
+
+    Exactness: integer micros; the high-water mark window excludes
+    the current row (1 PRECEDING) so an event is late only vs events
+    that arrived strictly before it; event_id is a total order.
+
+    Plan/scale: ONE window sort per event_type over arrival order +
+    one hash agg on the same key. The per-type running max is
+    inherently sequential state — the same per-key O(1) cursor the
+    streaming engine itself maintains; types are the stream's
+    partition key, exactly as in `stream_stateful`."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_us = F.unix_micros("ts")
+    a = ev.select(
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.max(ts_us).over(w).alias("hwm"),
+    )
+    late = F.when(
+        F.col("hwm").isNull() | (F.col("ts_us") >= F.col("hwm")), 0
+    ).otherwise(F.col("hwm") - F.col("ts_us"))
+    d = a.select("event_type", late.alias("late_us"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long"))
+        .cast("long")
+        .alias("n_out_of_order"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+        F.sum((F.col("late_us") > _LATE_WM_US).cast("long"))
+        .cast("long")
+        .alias("n_dropped_by_wm"),
+        F.expr(
+            "CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 10000 "
+            "div count(*) AS BIGINT)"
+        ).alias("ooo_bp"),
+    )

@@ -240,6 +240,9 @@ DRIVER_ORDER = [
     "dedup_recall_eval",
     "graph_assortativity",
     "curate_funnel_report",
+    "orders_customer_migration",
+    "events_lateness_profile",
+    "sample_group_holdout",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

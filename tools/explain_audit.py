@@ -545,6 +545,24 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"HashAggregate"],
         [r"Join", r"rangepartitioning"],
     ),
+    # migration matrix: per-period distributed rank (rangepartitioning
+    # AFTER the custkey rollup), offsets broadcast; the matrix joins
+    # are custkey-equi
+    "orders_customer_migration": (
+        [r"HashAggregate", r"Window", r"rangepartitioning", r"BroadcastHashJoin"],
+        [r"BroadcastNestedLoopJoin"],
+    ),
+    # lateness: one arrival-order window per type + same-key agg
+    "events_lateness_profile": (
+        [r"Window", r"hashpartitioning\(event_type", r"HashAggregate"],
+        [r"Join", r"rangepartitioning"],
+    ),
+    # group holdout: projection + one (split, lang) agg; no join, no
+    # window
+    "sample_group_holdout": (
+        [r"HashAggregate"],
+        [r"Join", r"Window", r"rangepartitioning"],
+    ),
 }
 
 
