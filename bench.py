@@ -104,6 +104,7 @@ LLM_GROUP = [
     "dedup_recall_eval",
     "curate_funnel_report",
     "sample_group_holdout",
+    "sim_ivf_balance",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites

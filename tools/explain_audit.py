@@ -563,6 +563,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"Join", r"Window", r"rangepartitioning"],
     ),
+    # IVF balance: fused array_min assignment is a zero-shuffle
+    # projection; rollup = one agg to ncells rows + a window over them
+    "sim_ivf_balance": (
+        [r"HashAggregate", r"Window"],
+        [r"Join", r"rangepartitioning"],
+    ),
 }
 
 
