@@ -105,6 +105,7 @@ LLM_GROUP = [
     "curate_funnel_report",
     "sample_group_holdout",
     "sim_ivf_balance",
+    "dedup_cluster_stats",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites

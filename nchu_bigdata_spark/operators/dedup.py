@@ -715,10 +715,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = _HAM_T) -> DataFrame:
 _CC_MAX_ITERS = 15  # safety cap; dup graphs converge in O(diameter) rounds
 
 
-@register(
-    "dedup_clusters",
-    tags=("b10",),
-    oracle=f"""
+# Shared connected-components CTE chain (recursive label reach over the
+# verified MinHash pair graph, ending at cc/sz) — consumed by the
+# dedup_clusters oracle and the dedup_cluster_stats rollup, so the stats
+# can never drift from the clustering they describe.
+_SQL_CC_CHAIN = f"""
         WITH RECURSIVE {_SQL_MINHASH_PAIRS},
         sym AS (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -737,6 +738,14 @@ _CC_MAX_ITERS = 15  # safety cap; dup graphs converge in O(diameter) rounds
             SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
             FROM cc GROUP BY cluster_id
         )
+"""
+
+
+@register(
+    "dedup_clusters",
+    tags=("b10",),
+    oracle=f"""
+        {_SQL_CC_CHAIN}
         SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
                CAST(cc.doc_id = cc.cluster_id AS INT) AS is_canonical
         FROM cc JOIN sz USING (cluster_id)
@@ -1916,4 +1925,54 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_bp"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster_stats — duplicate-cluster size profile (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_stats",
+    tags=("b10",),
+    oracle=f"""
+        {_SQL_CC_CHAIN}
+        -- per-size rollup of the SAME connected components the
+        -- clustering op emits (shared _SQL_CC_CHAIN — the stats can't
+        -- drift from the clustering): how many duplicate groups of
+        -- each size, how many docs they bind, and how many are
+        -- redundant (all but the canonical copy) — the dedup-yield
+        -- forecast that prices the pipeline before it runs.
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+               CAST(SUM(cluster_size - 1) AS BIGINT) AS n_redundant
+        FROM sz GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size profile: for each cluster size, how many
+    near-dup groups exist, how many documents they bind, and how many
+    of those are REDUNDANT (everything past the canonical copy) — the
+    dedup-yield forecast: Σ n_redundant is exactly the doc count a
+    keep-one-per-cluster pass deletes, known before anything is
+    deleted.
+
+    Composition is literal: the engine rolls up the registered
+    `dedup_clusters` output UNCHANGED, and the oracle aggregates the
+    SAME shared CC chain (`_SQL_CC_CHAIN`) — stats and clustering
+    cannot drift apart (the `curate_funnel_report` pattern).
+
+    Plan/scale: adds ONE size-cardinality hash agg on top of the CC
+    label table (cluster count rows, not corpus rows) — the rollup
+    cost is noise next to the clustering it describes."""
+    cc = dedup_clusters(spark, sf_dir)
+    per = cc.groupBy("cluster_id").agg(
+        F.max("cluster_size").alias("cluster_size")
+    )
+    return per.groupBy(F.col("cluster_size").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("n_redundant"),
     )

@@ -244,6 +244,7 @@ DRIVER_ORDER = [
     "events_lateness_profile",
     "sample_group_holdout",
     "sim_ivf_balance",
+    "dedup_cluster_stats",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -960,3 +960,25 @@ def test_ivf_balance_matches_index_cells(spark, sf_dir):
     }
     assert balance_cells  # non-empty, bounded by ncells+1 (ids 0..8)
     assert len(balance_cells) <= 9
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster_stats
+# --------------------------------------------------------------------------
+
+
+def test_cluster_stats_composes_clusters(spark, sf_dir):
+    from collections import Counter
+
+    cc = SPECS["dedup_clusters"].fn(spark, sf_dir).collect()
+    sizes = Counter()
+    for r in cc:
+        if r.is_canonical:
+            sizes[r.cluster_size] += 1
+    rows = SPECS["dedup_cluster_stats"].fn(spark, sf_dir).collect()
+    got = {r.cluster_size: r.n_clusters for r in rows}
+    assert got == dict(sizes)
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_redundant == (r.cluster_size - 1) * r.n_clusters
+        assert r.cluster_size >= 2  # CC input is the pair graph

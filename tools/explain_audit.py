@@ -569,6 +569,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Window"],
         [r"Join", r"rangepartitioning"],
     ),
+    # cluster stats: the CC output's final read is a checkpoint scan
+    # (like graph_bfs); only the rollup aggs are visible
+    "dedup_cluster_stats": (
+        [r"HashAggregate"],
+        [r"rangepartitioning", r"CartesianProduct"],
+    ),
 }
 
 
