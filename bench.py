@@ -171,6 +171,8 @@ SQL_GROUP = [
     "graph_assortativity",
     "orders_customer_migration",
     "events_lateness_profile",
+    "graph_clustering_coeff",
+    "events_conversion_lag",
 ]
 
 

@@ -308,3 +308,113 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, lt - pt).alias("dt_us"),
         ok.cast("long").alias("matched"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_conversion_lag — click→purchase latency profile (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_conversion_lag",
+    tags=("b3",),
+    oracle="""
+        -- conversion-latency profile: every purchase matched to the
+        -- user's most recent PRIOR click (backward as-of), the gap
+        -- rolled into exact integer order statistics (min / med2 =
+        -- 2x median / p90 ceil-rank / max — the events_inter_arrival
+        -- policy). The time-to-convert readout attribution windows
+        -- are calibrated against.
+        WITH g AS (
+            SELECT epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        ),
+        r AS (
+            SELECT gap_us,
+                   ROW_NUMBER() OVER (ORDER BY gap_us) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM g
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT tot.n_purchases,
+               CAST(MAX(r.n) AS BIGINT) AS n_converted,
+               CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(SUM(CASE WHEN rk = (n + 1) // 2 OR rk = n // 2 + 1
+                             THEN gap_us ELSE 0 END)
+                    * CASE WHEN (MAX(n) + 1) // 2 = MAX(n) // 2 + 1
+                           THEN 2 ELSE 1 END AS BIGINT) AS med2_gap_us,
+               CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10
+                             THEN gap_us END) AS BIGINT) AS p90_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM r, tot
+        GROUP BY tot.n_purchases
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-latency profile: every purchase
+    matched to the user's most recent PRIOR click (the causal
+    backward as-of — `join_asof`'s machinery with the sides swapped),
+    gaps rolled into exact integer order statistics (min / med2 /
+    p90 / max, the `events_inter_arrival` doubled-median policy).
+    This is the number attribution windows are calibrated against:
+    `events_attribution`'s last-touch window should sit above p90
+    here, or it undercredits.
+
+    Plan/scale: ONE (user, ts)-sorted exchange for the carry-forward
+    window (inner-matched purchases only), then a single global
+    order-statistic pass over GAP cardinality (purchases, not
+    events) — rank window over matches, 1-row rollup. The unmatched
+    count rides the same rollup via the 1-row purchases-total
+    broadcast."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    j = asof_join(
+        purchases, clicks, by="user_id", ts_col="ts",
+        value_cols=["click_ts"],
+    )
+    g = j.filter(F.col("click_ts_asof").isNotNull()).select(
+        (ts_micros("ts") - ts_micros("click_ts_asof")).alias("gap_us")
+    )
+    w_rk = Window.orderBy("gap_us")
+    w_all = Window.partitionBy()
+    r = g.select(
+        "gap_us",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    tot = ev.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    )
+    return (
+        r.join(F.broadcast(tot))
+        .groupBy("n_purchases")
+        .agg(
+            F.max("n").cast("long").alias("n_converted"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk = (n + 1) div 2 OR rk = n div 2 + 1 "
+                "THEN gap_us ELSE 0 END) "
+                "* CASE WHEN (max(n) + 1) div 2 = max(n) div 2 + 1 "
+                "THEN 2 ELSE 1 END AS BIGINT)"
+            ).alias("med2_gap_us"),
+            F.expr(
+                "CAST(max(CASE WHEN rk = (9 * n + 9) div 10 "
+                "THEN gap_us END) AS BIGINT)"
+            ).alias("p90_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+        .select(
+            "n_purchases", "n_converted", "min_gap_us", "med2_gap_us",
+            "p90_gap_us", "max_gap_us",
+        )
+    )

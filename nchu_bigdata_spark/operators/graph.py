@@ -789,3 +789,87 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_clustering_coeff — global clustering coefficient (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_clustering_coeff",
+    tags=("graph",),
+    oracle=f"""
+        -- global clustering coefficient: 3·triangles / wedges, in
+        -- floor bp — the one-number transitivity summary over the
+        -- SAME oriented-edge derivation graph_triangles registers
+        -- (shared _EDGES_SQL + orientation — the coefficient can't
+        -- drift from the counts it divides). Wedges = Σ d(d−1)/2
+        -- over undirected degrees, exact integers end-to-end.
+        WITH sym AS ({_EDGES_SQL}),
+        pairs AS (SELECT u AS x, v AS y FROM sym WHERE u < v),
+        deg AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT x AS n FROM pairs UNION ALL SELECT y FROM pairs)
+            GROUP BY n
+        ),
+        o AS (
+            SELECT CASE WHEN (dx.d, p.x) < (dy.d, p.y) THEN p.x ELSE p.y END AS u,
+                   CASE WHEN (dx.d, p.x) < (dy.d, p.y) THEN p.y ELSE p.x END AS v
+            FROM pairs p
+            JOIN deg dx ON dx.n = p.x
+            JOIN deg dy ON dy.n = p.y
+        ),
+        tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM o e1
+            JOIN o e2 ON e2.u = e1.v
+            JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        wedge AS (
+            SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+            FROM deg
+        )
+        SELECT n_triangles, n_wedges,
+               CAST(CAST(3 AS HUGEINT) * n_triangles * 10000 // n_wedges
+                    AS BIGINT) AS global_cc_bp
+        FROM tri, wedge
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity): 3·triangles over
+    wedges, in floor basis points — the one-number "how cliquish is
+    this graph" summary that calibrates community-detection
+    expectations and validates the co-purchase graph against random-
+    graph nulls (G(n,p) would sit near d̄/n).
+
+    Composition: the triangle count comes from the registered
+    `graph_triangles` pipeline UNCHANGED (1-row output); wedges are
+    one Σ d(d−1)/2 agg over the undirected degree table. The oracle
+    shares `_EDGES_SQL` + the same orientation chain, so the
+    coefficient can never drift from the counts it divides.
+    3·T·10⁴ routes through HUGEINT/decimal(38,0) (T can reach 10¹²
+    at social scale; ×3×10⁴ would wrap int64).
+
+    Plan/scale: adds one degree agg + a 1-row×1-row broadcast join on
+    top of the audited triangle plan — cost is the triangle count
+    itself, which is inherent (wedge enumeration)."""
+    tri = graph_triangles(spark, sf_dir).select("n_triangles")
+    deg = _copurchase_edges(spark, sf_dir).groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    wedge = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    return (
+        F.broadcast(tri)
+        .crossJoin(F.broadcast(wedge))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.expr(
+                "CAST(CAST(3 AS decimal(38,0)) * n_triangles * 10000"
+                " div n_wedges AS BIGINT)"
+            ).alias("global_cc_bp"),
+        )
+    )

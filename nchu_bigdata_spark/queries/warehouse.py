@@ -1062,3 +1062,65 @@ def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("worst_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_surrogate_key — deterministic key minting + collision audit (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fn_surrogate_key",
+    tags=("b6",),
+    oracle="""
+        -- deterministic surrogate keys: 60-bit ints minted from
+        -- md5(natural key) — unlike monotonically_increasing_id /
+        -- sequences, a PURE FUNCTION of the business key: stable
+        -- across runs, engines, and incremental rebuilds (the
+        -- sample_split determinism argument applied to warehouse
+        -- keys). The collision audit rides along: n_shared > 1 rows
+        -- are natural-key duplicates OR 60-bit hash collisions, both
+        -- of which must be 0 before the key ships as a join key.
+        WITH k AS (
+            SELECT c_custkey,
+                   ('0x' || substr(md5(c_name || '#'
+                        || CAST(c_nationkey AS VARCHAR)), 1, 15))::BIGINT
+                       AS skey
+            FROM customer
+        )
+        SELECT c_custkey, skey,
+               CAST(COUNT(*) OVER (PARTITION BY skey) AS BIGINT)
+                   AS n_shared
+        FROM k
+    """,
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key minting for dimension loads: a
+    60-bit integer key from md5 of the natural key (name + nation) —
+    a PURE FUNCTION of the business key, so re-loads, backfills, and
+    cross-engine rebuilds mint the SAME key (what
+    ``monotonically_increasing_id`` and sequences can never promise),
+    plus the collision audit (rows sharing a minted key = natural-key
+    dupes or hash collisions; either must be 0 before the key ships).
+
+    60 bits (15 hex chars) keeps the key a plain positive int64 while
+    putting the birthday bound at ~2⁻⁶⁰·n²/2 — one-in-a-million at
+    a billion rows; the audit column is the proof, not the prayer.
+
+    Plan/scale: one codegen'd projection + one skey-keyed window
+    count (the audit's only shuffle) — dimension-cardinality, not
+    fact-cardinality."""
+    c = table(spark, sf_dir, "customer")
+    k = c.select(
+        "c_custkey",
+        F.expr(
+            "CAST(conv(substr(md5(concat(c_name, '#',"
+            " CAST(c_nationkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("skey"),
+    )
+    w = Window.partitionBy("skey")
+    return k.select(
+        "c_custkey",
+        "skey",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_shared"),
+    )

@@ -245,6 +245,9 @@ DRIVER_ORDER = [
     "sample_group_holdout",
     "sim_ivf_balance",
     "dedup_cluster_stats",
+    "graph_clustering_coeff",
+    "events_conversion_lag",
+    "fn_surrogate_key",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

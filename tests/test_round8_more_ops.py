@@ -982,3 +982,108 @@ def test_cluster_stats_composes_clusters(spark, sf_dir):
         assert r.n_docs == r.cluster_size * r.n_clusters
         assert r.n_redundant == (r.cluster_size - 1) * r.n_clusters
         assert r.cluster_size >= 2  # CC input is the pair graph
+
+
+# --------------------------------------------------------------------------
+# graph_clustering_coeff
+# --------------------------------------------------------------------------
+
+
+def test_clustering_coeff_composes(spark, sf_dir):
+    tri = SPECS["graph_triangles"].fn(spark, sf_dir).collect()[0]
+    cc = SPECS["graph_clustering_coeff"].fn(spark, sf_dir).collect()[0]
+    assert cc.n_triangles == tri.n_triangles
+    assert cc.global_cc_bp == 3 * cc.n_triangles * 10000 // cc.n_wedges
+    assert 0 <= cc.global_cc_bp <= 10000
+
+
+def test_clustering_coeff_wedges_replay(spark, sf_dir, duck):
+    from collections import defaultdict
+
+    orders = defaultdict(set)
+    for ok, pk in duck.execute(
+        "SELECT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall():
+        orders[ok].add(pk)
+    deg = defaultdict(int)
+    seen = set()
+    for ps in orders.values():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                if (ps[i], ps[j]) not in seen:
+                    seen.add((ps[i], ps[j]))
+                    deg[ps[i]] += 1
+                    deg[ps[j]] += 1
+    want = sum(d * (d - 1) // 2 for d in deg.values())
+    cc = SPECS["graph_clustering_coeff"].fn(spark, sf_dir).collect()[0]
+    assert cc.n_wedges == want
+
+
+# --------------------------------------------------------------------------
+# events_conversion_lag
+# --------------------------------------------------------------------------
+
+
+def test_conversion_lag_replay(spark, sf_dir, duck):
+    from bisect import bisect_right as br
+    from collections import defaultdict
+
+    clicks = defaultdict(list)
+    for u, ts in duck.execute(
+        "SELECT user_id, epoch_us(ts) FROM events "
+        "WHERE event_type = 'click' ORDER BY user_id, ts"
+    ).fetchall():
+        clicks[u].append(ts)
+    gaps = []
+    n_purch = 0
+    for u, ts in duck.execute(
+        "SELECT user_id, epoch_us(ts) FROM events "
+        "WHERE event_type = 'purchase'"
+    ).fetchall():
+        n_purch += 1
+        arr = clicks.get(u, [])
+        i = br(arr, ts)
+        if i:
+            gaps.append(ts - arr[i - 1])
+    gaps.sort()
+    n = len(gaps)
+    med2 = gaps[(n - 1) // 2] + gaps[n // 2]
+    p90 = gaps[(9 * n + 9) // 10 - 1]
+    row = SPECS["events_conversion_lag"].fn(spark, sf_dir).collect()[0]
+    assert (
+        row.n_purchases, row.n_converted, row.min_gap_us,
+        row.med2_gap_us, row.p90_gap_us, row.max_gap_us,
+    ) == (n_purch, n, min(gaps), med2, p90, max(gaps))
+
+
+# --------------------------------------------------------------------------
+# fn_surrogate_key
+# --------------------------------------------------------------------------
+
+
+def test_surrogate_key_replay(spark, sf_dir, duck):
+    import hashlib
+    from collections import Counter
+
+    keys = {}
+    for ck, name, nk in duck.execute(
+        "SELECT c_custkey, c_name, c_nationkey FROM customer"
+    ).fetchall():
+        keys[ck] = int(
+            hashlib.md5(f"{name}#{nk}".encode()).hexdigest()[:15], 16
+        )
+    shared = Counter(keys.values())
+    rows = SPECS["fn_surrogate_key"].fn(spark, sf_dir).collect()
+    got = {r.c_custkey: (r.skey, r.n_shared) for r in rows}
+    assert got == {ck: (k, shared[k]) for ck, k in keys.items()}
+
+
+def test_surrogate_key_stability(spark, sf_dir):
+    # pure function of the key: two invocations mint identical keys
+    a = {r.c_custkey: r.skey
+         for r in SPECS["fn_surrogate_key"].fn(spark, sf_dir).collect()}
+    b = {r.c_custkey: r.skey
+         for r in SPECS["fn_surrogate_key"].fn(spark, sf_dir).collect()}
+    assert a == b
+    assert all(k >= 0 for k in a.values())  # 60-bit => positive int64

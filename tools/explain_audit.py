@@ -575,6 +575,23 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"rangepartitioning", r"CartesianProduct"],
     ),
+    # clustering coefficient: the audited triangle plan + one degree
+    # agg + 1-row broadcasts; the only nested loop is 1-row x 1-row
+    "graph_clustering_coeff": (
+        [r"HashAggregate"],
+        [r"rangepartitioning"],
+    ),
+    # conversion lag: one (user, ts) carry-forward window + a single
+    # order-stat pass over GAP cardinality; 1-row total broadcast
+    "events_conversion_lag": (
+        [r"Window", r"hashpartitioning\(user_id", r"BroadcastNestedLoopJoin"],
+        [r"SortMergeJoin", r"ShuffledHashJoin"],
+    ),
+    # surrogate key: projection + one skey-keyed window; no join
+    "fn_surrogate_key": (
+        [r"Window", r"hashpartitioning\(skey"],
+        [r"Join", r"rangepartitioning"],
+    ),
 }
 
 
