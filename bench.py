@@ -173,6 +173,9 @@ SQL_GROUP = [
     "events_lateness_profile",
     "graph_clustering_coeff",
     "events_conversion_lag",
+    "orders_backlog",
+    "graph_link_predict",
+    "ts_changepoint",
 ]
 
 

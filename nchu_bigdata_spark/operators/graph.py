@@ -873,3 +873,114 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_cc_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# graph_link_predict — Resource-Allocation link prediction (round 8)
+# --------------------------------------------------------------------------
+
+# Hub cap for wedge centers: a common neighbor w contributes
+# _LP_SCALE div deg(w) to each of C(deg(w), 2) candidate pairs, so
+# hubs cost quadratic fan-out for vanishing per-pair signal
+# (<= _LP_SCALE/_LP_DEG_CAP each). Excluding them bounds the wedge
+# blowup at C(cap, 2) per center — the standard RA/AA truncation.
+_LP_SCALE = 1_000_000
+_LP_DEG_CAP = 64
+_LP_TOPK = 20
+
+
+@register(
+    "graph_link_predict",
+    tags=("bext",),
+    oracle=f"""
+        -- Resource-Allocation link prediction (Zhou-Lu-Zhang 2009):
+        -- score every NON-ADJACENT part pair at distance 2 by
+        -- sum(1/deg(w)) over common neighbors w, in exact scaled
+        -- integers ({_LP_SCALE} div deg — RA needs no log, unlike
+        -- Adamic-Adar, so the score is bit-exact cross-engine).
+        -- Centers with deg > {_LP_DEG_CAP} are excluded on BOTH
+        -- engines (per-pair contribution <= {_LP_SCALE // _LP_DEG_CAP}
+        -- there; the cap is what bounds the wedge fan-out).
+        WITH edges AS ({_EDGES_SQL}),
+        nb AS (
+            SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY u
+        ),
+        wedge AS (
+            SELECT e1.v AS a, e2.v AS b, n.d
+            FROM edges e1
+            JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN nb n ON n.w = e1.u
+            WHERE n.d <= {_LP_DEG_CAP}
+        ),
+        cand AS (
+            SELECT a, b,
+                   CAST(SUM({_LP_SCALE} // d) AS BIGINT) AS ra_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM wedge GROUP BY a, b
+        )
+        SELECT a AS u, b AS v, ra_score, n_common
+        FROM cand c
+        ANTI JOIN edges e ON c.a = e.u AND c.b = e.v
+        ORDER BY ra_score DESC, a, b
+        LIMIT {_LP_TOPK}
+    """,
+)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} link prediction over the co-purchase graph by the
+    Resource-Allocation index (Zhou-Lu-Zhang 2009): for every
+    NON-ADJACENT pair (u, v) at distance 2, score = sum over common
+    neighbors w of 1/deg(w) — RA is the integer-friendly sibling of
+    Adamic-Adar (1/deg instead of 1/log deg), so the whole scoring
+    runs in exact scaled int64 (`_LP_SCALE` div deg) with zero float
+    drift cross-engine. This is the "customers who bought these also
+    bought..." candidate generator.
+
+    Plan/scale: ONE groupBy(center) shuffle builds capped neighbor
+    sets, then all C(deg, 2) wedge pairs generate INSIDE whole-stage
+    codegen via the nested-transform expansion (`_copurchase_edges`'s
+    trick — no self-join, no wedge-row shuffle until the candidate
+    agg); one (a, b) hash agg sums scores; one left-anti hash join
+    removes existing edges; TakeOrdered merges per-partition top-{k}
+    heaps (no global sort, no single-partition window). Hub centers
+    (deg > {cap}) are excluded up front — that caps per-center fan-out
+    at C({cap}, 2) rows and drops only contributions <=
+    {scale}/{cap} apiece, the standard RA truncation at scale.
+    Total ties at rank {k} break by (u, v) on both engines."""
+    sym = _copurchase_edges(spark, sf_dir)
+    nb = sym.groupBy(F.col("u").alias("w")).agg(
+        F.collect_set("v").alias("ns")
+    )
+    wedges = (
+        nb.filter(
+            (F.size("ns") >= 2) & (F.size("ns") <= _LP_DEG_CAP)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> "
+                    "transform(slice(ns, i + 2, size(ns) - i - 1), "
+                    "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+                )
+            ).alias("e"),
+            F.expr(f"{_LP_SCALE} div size(ns)").alias("contrib"),
+        )
+        .select("e.a", "e.b", "contrib")
+    )
+    cand = wedges.groupBy("a", "b").agg(
+        F.sum("contrib").cast("long").alias("ra_score"),
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+    )
+    nonadj = cand.join(
+        sym, (cand.a == sym.u) & (cand.b == sym.v), "left_anti"
+    )
+    return (
+        nonadj.select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "ra_score",
+            "n_common",
+        )
+        .orderBy(F.desc("ra_score"), "u", "v")
+        .limit(_LP_TOPK)
+    )

@@ -2581,3 +2581,135 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div count(*) AS BIGINT)"
         ).alias("ooo_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_changepoint — max-|CUSUM| level-shift estimate (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_changepoint",
+    tags=("b11",),
+    oracle="""
+        -- single changepoint estimate for the daily event-count
+        -- series by the classic max-|CUSUM| statistic: with n days
+        -- and total S, the scaled cumulative deviation at day t is
+        -- C_t = n*prefix_t - t*S  (= n * sum_{i<=t}(x_i - S/n),
+        -- cleared of the 1/n fraction so it is EXACT int64 on both
+        -- engines); the level-shift point is argmax |C_t|, earliest
+        -- day on ties. Segment means are exact centi-events
+        -- (100*sum div days). The last day is never the argmax
+        -- (C_n = 0 identically), so days_after >= 1 and the mean
+        -- divisions are total. The 128-bit products follow the
+        -- events_rfm decimal(38,0) policy.
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM daily
+        ),
+        pref AS (
+            SELECT day, n, s,
+                   SUM(x) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS ps,
+                   ROW_NUMBER() OVER (ORDER BY day) AS t
+            FROM daily, tot
+        ),
+        c AS (
+            SELECT day, n, s, ps, t,
+                   CAST(CAST(n AS HUGEINT) * ps
+                        - CAST(t AS HUGEINT) * s AS BIGINT) AS cusum
+            FROM pref WHERE t < n
+        )
+        SELECT CAST(day AS BIGINT) AS cp_day,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(s AS BIGINT) AS total_events,
+               cusum AS cusum_cp,
+               CAST(t AS BIGINT) AS days_before,
+               CAST(100 * ps // t AS BIGINT) AS mean_before_x100,
+               CAST(100 * (s - ps) // (n - t) AS BIGINT) AS mean_after_x100
+        FROM c
+        ORDER BY ABS(cusum) DESC, day
+        LIMIT 1
+    """,
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single level-shift estimate for the daily event-count series:
+    the classic max-|CUSUM| changepoint statistic (Page 1954 /
+    Pettitt's location form). With n days and grand total S, the
+    cumulative deviation at day t is sum_{i<=t}(x_i - mean); scaling
+    by n clears the 1/n fraction — C_t = n*prefix_t - t*S — so the
+    whole statistic is EXACT integer arithmetic, bit-identical
+    cross-engine, and the argmax day is the point where the series
+    most decisively splits into a before-mean and an after-mean
+    (reported as exact centi-event integers, 100*sum div days).
+    This is the monitoring primitive behind "did traffic step-change,
+    and when" — the complement of `ts_mad_anomaly`'s single-day
+    outliers (a level SHIFT is invisible to per-day z/MAD tests).
+
+    Exactness and totality: C_n = n*S - n*S = 0 identically, so the
+    last day can never win argmax (ties break to the EARLIEST day and
+    t < n rows always include a smaller-or-equal |C|) — it is
+    excluded up front, making days_after >= 1 and both mean divisions
+    total. The n*prefix product runs in decimal(38,0)/HUGEINT per the
+    `events_rfm` 128-bit policy (int64 would cap at ~9e18 = n_days x
+    total_events; 128-bit never wraps first).
+
+    Plan/scale: ONE map-side-combined hash agg collapses the fact
+    table to day cardinality; everything after (prefix window, 1-row
+    tot broadcast, TakeOrdered limit 1) runs over the TINY day axis —
+    the single-partition window is a deliberate tiny-axis choice,
+    same as `orders_backlog`."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = daily.join(F.broadcast(tot)).select(
+        "day",
+        "n",
+        "s",
+        F.sum("x").over(w).alias("ps"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+    c = pref.filter(F.col("t") < F.col("n")).select(
+        "day",
+        "n",
+        "s",
+        "ps",
+        "t",
+        F.expr(
+            "CAST(CAST(n AS decimal(38,0)) * ps"
+            " - CAST(t AS decimal(38,0)) * s AS BIGINT)"
+        ).alias("cusum"),
+    )
+    return (
+        c.select(
+            F.col("day").cast("long").alias("cp_day"),
+            F.col("n").cast("long").alias("n_days"),
+            F.col("s").cast("long").alias("total_events"),
+            F.col("cusum").alias("cusum_cp"),
+            F.col("t").cast("long").alias("days_before"),
+            F.expr("CAST(100 * ps div t AS BIGINT)").alias(
+                "mean_before_x100"
+            ),
+            F.expr("CAST(100 * (s - ps) div (n - t) AS BIGINT)").alias(
+                "mean_after_x100"
+            ),
+        )
+        .orderBy(F.abs(F.col("cusum_cp")).desc(), "cp_day")
+        .limit(1)
+    )

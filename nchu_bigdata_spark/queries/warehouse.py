@@ -1124,3 +1124,112 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "skey",
         F.count(F.lit(1)).over(w).cast("long").alias("n_shared"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_backlog — end-of-month open-order backlog via event differencing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_backlog",
+    tags=("b3",),
+    oracle="""
+        -- end-of-month open-order backlog by EVENT DIFFERENCING: an
+        -- order is open from o_orderdate until its fulfillment date
+        -- (max l_shipdate over its lines); instead of the interval
+        -- join "orders x months WHERE open <= eom < close" (fact x
+        -- time-axis blowup), emit +1 at the open month and -1 at the
+        -- close month and running-sum the tiny month axis. The two
+        -- prefix sums telescope to exactly the interval-join count.
+        WITH oc AS (
+            SELECT l_orderkey, MAX(l_shipdate) AS ship_d
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        c AS (
+            -- close = greatest(open, last ship): the synthetic data
+            -- carries ship dates before the order date (and 257
+            -- line-less orders that never close -- they stay in the
+            -- backlog, the "ghost backlog" ops wants surfaced); the
+            -- clamp keeps close >= open so the telescoping below is
+            -- exactly the interval definition
+            SELECT strftime(GREATEST(ship_d, o_orderdate), '%Y-%m') AS mo,
+                   CAST(COUNT(*) AS BIGINT) AS n_closed
+            FROM orders JOIN oc ON o_orderkey = l_orderkey
+            GROUP BY 1
+        ),
+        o AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS mo,
+                   CAST(COUNT(*) AS BIGINT) AS n_opened
+            FROM orders GROUP BY 1
+        )
+        SELECT COALESCE(o.mo, c.mo) AS mo,
+               CAST(COALESCE(n_opened, 0) AS BIGINT) AS n_opened,
+               CAST(COALESCE(n_closed, 0) AS BIGINT) AS n_closed,
+               CAST(SUM(COALESCE(n_opened, 0) - COALESCE(n_closed, 0))
+                    OVER (ORDER BY COALESCE(o.mo, c.mo)
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS backlog_eom
+        FROM o FULL OUTER JOIN c ON o.mo = c.mo
+    """,
+)
+def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-month open-order backlog curve — #orders placed but not
+    yet fully shipped at each month boundary (open = o_orderdate,
+    close = max l_shipdate over the order's lines). The ops
+    dashboard number behind "is fulfillment keeping up with demand".
+
+    The naive formulation is an interval x time-axis join (every order
+    row repeated for every month it spans — O(orders x months) shuffle
+    volume, the shape `join_interval_overlap` had to bin to survive).
+    This operator uses EVENT DIFFERENCING instead: each order
+    contributes +1 to its open month and -1 to its close month
+    (close clamped to greatest(open, last ship) -- the synthetic data
+    carries ship dates before the order date; line-less orders never
+    close and stay in the curve, the "ghost backlog"), and an
+    end-of-month running sum over the MONTH AXIS (dozens of rows,
+    regardless of fact volume) reconstructs the exact backlog:
+    backlog(M) = sum_{m<=M} opens(m) - closes(m)
+               = #{open <= eom(M)} - #{close <= eom(M)}.
+    At 100 TB the fact-sized work is one map-side-combined hash agg
+    (lineitem by l_orderkey for the last ship date) + one orderkey
+    equi join against orders for the clamp — no month replication,
+    no interval join. The
+    global running-sum window runs over month cardinality only, so the
+    single-partition WindowExec is a deliberate tiny-axis choice.
+
+    Cross-engine: counts are exact BIGINT; months compare as
+    'yyyy-MM' strings (lexicographic == chronological)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    oc = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("ship_d"))
+    closes = (
+        orders.join(oc, orders.o_orderkey == oc.l_orderkey)
+        .groupBy(
+            F.date_format(
+                F.greatest("ship_d", "o_orderdate"), "yyyy-MM"
+            ).alias("mo")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
+    )
+    opens = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mo")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_opened"))
+    merged = opens.join(closes, "mo", "full_outer").select(
+        "mo",
+        F.coalesce("n_opened", F.lit(0)).cast("long").alias("n_opened"),
+        F.coalesce("n_closed", F.lit(0)).cast("long").alias("n_closed"),
+    )
+    w = (
+        Window.orderBy("mo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return merged.select(
+        "mo",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(w)
+        .cast("long")
+        .alias("backlog_eom"),
+    )

@@ -248,6 +248,9 @@ DRIVER_ORDER = [
     "graph_clustering_coeff",
     "events_conversion_lag",
     "fn_surrogate_key",
+    "orders_backlog",
+    "graph_link_predict",
+    "ts_changepoint",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1087,3 +1087,112 @@ def test_surrogate_key_stability(spark, sf_dir):
          for r in SPECS["fn_surrogate_key"].fn(spark, sf_dir).collect()}
     assert a == b
     assert all(k >= 0 for k in a.values())  # 60-bit => positive int64
+
+
+# --------------------------------------------------------------------------
+# orders_backlog
+# --------------------------------------------------------------------------
+
+
+def test_orders_backlog_replay(spark, sf_dir, duck):
+    # literal interval semantics: for each month-end, count orders with
+    # open <= eom and close > eom — the definition the differencing
+    # form must reproduce exactly
+    opens = dict(duck.execute(
+        "SELECT strftime(o_orderdate, '%Y-%m'), COUNT(*) "
+        "FROM orders GROUP BY 1"
+    ).fetchall())
+    closes = dict(duck.execute(
+        "SELECT strftime(GREATEST(ship_d, o_orderdate), '%Y-%m'), COUNT(*) "
+        "FROM orders JOIN ("
+        "  SELECT l_orderkey, MAX(l_shipdate) AS ship_d FROM lineitem "
+        "  GROUP BY 1) ON o_orderkey = l_orderkey GROUP BY 1"
+    ).fetchall())
+    months = sorted(set(opens) | set(closes))
+    run, want = 0, {}
+    for m in months:
+        run += opens.get(m, 0) - closes.get(m, 0)
+        want[m] = (opens.get(m, 0), closes.get(m, 0), run)
+    rows = SPECS["orders_backlog"].fn(spark, sf_dir).collect()
+    got = {r.mo: (r.n_opened, r.n_closed, r.backlog_eom) for r in rows}
+    assert got == want
+    # differencing == interval definition, spot-checked per month-end
+    for m in months[::7]:
+        # open <= eom AND (never ships OR clamped close > eom)
+        n_open = duck.execute(
+            "SELECT COUNT(*) FROM orders o LEFT JOIN ("
+            "  SELECT l_orderkey, MAX(l_shipdate) AS ship_d "
+            "  FROM lineitem GROUP BY 1) c "
+            "ON o.o_orderkey = c.l_orderkey "
+            "WHERE strftime(o.o_orderdate, '%Y-%m') <= ? "
+            "  AND (c.ship_d IS NULL OR "
+            "       strftime(GREATEST(c.ship_d, o.o_orderdate), "
+            "                '%Y-%m') > ?)",
+            [m, m],
+        ).fetchone()[0]
+        assert want[m][2] == n_open, m
+
+
+# --------------------------------------------------------------------------
+# graph_link_predict
+# --------------------------------------------------------------------------
+
+
+def test_link_predict_replay(spark, sf_dir, duck):
+    LP_SCALE, CAP, TOPK = 1_000_000, 64, 20
+    adj = defaultdict(set)
+    for u, v in duck.execute(
+        "SELECT DISTINCT a.l_partkey, b.l_partkey FROM lineitem a "
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey"
+    ).fetchall():
+        adj[u].add(v)
+    score, common = defaultdict(int), defaultdict(int)
+    for w, ns in adj.items():
+        if len(ns) > CAP:
+            continue
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for b in ns_sorted[i + 1:]:
+                if b not in adj[a]:  # non-adjacent candidates only
+                    score[(a, b)] += LP_SCALE // len(ns)
+                    common[(a, b)] += 1
+    want = sorted(
+        ((a, b, s, common[(a, b)]) for (a, b), s in score.items()),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:TOPK]
+    rows = SPECS["graph_link_predict"].fn(spark, sf_dir).collect()
+    got = [(r.u, r.v, r.ra_score, r.n_common) for r in rows]
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# ts_changepoint
+# --------------------------------------------------------------------------
+
+
+def test_changepoint_replay(spark, sf_dir, duck):
+    daily = dict(duck.execute(
+        "SELECT epoch_us(ts) // 86400000000, COUNT(*) "
+        "FROM events GROUP BY 1"
+    ).fetchall())
+    days = sorted(daily)
+    n, s = len(days), sum(daily.values())
+    best = None
+    ps = 0
+    for t, d in enumerate(days, start=1):
+        ps += daily[d]
+        if t == n:
+            continue  # C_n == 0 identically, excluded by the operator
+        c = n * ps - t * s
+        key = (-abs(c), d)
+        if best is None or key < best[0]:
+            best = (key, (d, t, ps, c))
+    d, t, ps, c = best[1]
+    row = SPECS["ts_changepoint"].fn(spark, sf_dir).collect()[0]
+    assert (
+        row.cp_day, row.n_days, row.total_events, row.cusum_cp,
+        row.days_before, row.mean_before_x100, row.mean_after_x100,
+    ) == (d, n, s, c, t, 100 * ps // t, 100 * (s - ps) // (n - t))
+    # the chosen day genuinely splits the means (non-degenerate series)
+    assert row.mean_before_x100 != row.mean_after_x100

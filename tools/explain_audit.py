@@ -592,6 +592,26 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"hashpartitioning\(skey"],
         [r"Join", r"rangepartitioning"],
     ),
+    # backlog: two map-side-combined fact aggs -> month axis; the
+    # running-sum window and outer join run over month cardinality
+    # (tiny-axis single-partition window is deliberate)
+    "orders_backlog": (
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # link prediction: one center groupBy + codegen'd wedge expansion
+    # (no wedge self-join), candidate hash agg, left-anti hash join,
+    # TakeOrdered top-k merge (no global sort, no rank window)
+    "graph_link_predict": (
+        [r"HashAggregate", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"Window", r"rangepartitioning"],
+    ),
+    # changepoint: one fact->day hash agg; prefix window + 1-row tot
+    # broadcast + TakeOrdered all over the tiny day axis
+    "ts_changepoint": (
+        [r"HashAggregate", r"Window", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
 }
 
 
