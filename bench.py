@@ -176,6 +176,9 @@ SQL_GROUP = [
     "orders_backlog",
     "graph_link_predict",
     "ts_changepoint",
+    "sample_time_split",
+    "curate_canonical",
+    "agg_winsorized_mean",
 ]
 
 

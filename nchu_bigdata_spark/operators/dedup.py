@@ -38,7 +38,7 @@ floats), so results are bit-stable regardless of partial-agg order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import dround, sql_dround
@@ -1975,4 +1975,93 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).cast("long").alias("n_redundant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# curate_canonical — quality-aware canonical pick per dup cluster (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curate_canonical",
+    tags=("b10",),
+    oracle=f"""
+        {_SQL_CC_CHAIN},
+        q AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(string_split(text, ' ')))
+                        AS BIGINT) AS richness
+            FROM documents
+        ),
+        r AS (
+            SELECT cc.cluster_id, sz.cluster_size, cc.doc_id, q.richness,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cc.cluster_id
+                       ORDER BY q.richness DESC, cc.doc_id
+                   ) AS rk
+            FROM cc JOIN sz USING (cluster_id) JOIN q USING (doc_id)
+        )
+        -- quality-aware canonical selection over the SAME connected
+        -- components the clustering op emits (shared _SQL_CC_CHAIN):
+        -- keep the most lexically rich copy per duplicate group
+        -- (distinct-token count -- integer, engine-exact), earliest
+        -- doc_id on ties; `switched` marks clusters where that beats
+        -- the naive min-id pick dedup_clusters defaults to.
+        SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+               doc_id AS keep_doc_id, richness AS keep_richness,
+               CAST(doc_id <> cluster_id AS INT) AS switched
+        FROM r WHERE rk = 1
+    """,
+)
+def curate_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per duplicate cluster: within
+    each `dedup_clusters` component, KEEP the most lexically rich copy
+    (distinct-token count — an integer, so the pick is engine-exact),
+    earliest doc_id on ties, instead of the naive min-id canonical the
+    clustering defaults to. Near-dup groups routinely mix a clean
+    original with truncated / boilerplate-wrapped mirrors; min-id
+    keeps whichever was crawled first, this keeps the best one — the
+    step that turns dedup from "drop copies" into curation.
+    ``switched`` marks the clusters where the two picks differ (the
+    measurable value of quality-aware selection).
+
+    Composition is literal (the `dedup_cluster_stats` pattern): the
+    engine reranks the registered `dedup_clusters` output UNCHANGED,
+    and the oracle ranks over the SAME shared CC chain
+    (`_SQL_CC_CHAIN`) — selection cannot drift from clustering.
+
+    Plan/scale: one doc-keyed equi join (labels x richness projection)
+    + one cluster-keyed rank window; both run over CLUSTERED-doc
+    cardinality (pair-graph members, a small fraction of the corpus),
+    and per-cluster window state is bounded by cluster size."""
+    cc = dedup_clusters(spark, sf_dir)
+    docs = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("richness"),
+    )
+    j = cc.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("richness"), "doc_id"
+    )
+    return (
+        j.select(
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("doc_id").alias("keep_doc_id"),
+            "richness",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "keep_doc_id",
+            F.col("richness").alias("keep_richness"),
+            (F.col("keep_doc_id") != F.col("cluster_id"))
+            .cast("int")
+            .alias("switched"),
+        )
     )

@@ -1651,3 +1651,115 @@ def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("long").alias("n_sources"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# sample_time_split — embargoed temporal holdout manifest (round 8)
+# --------------------------------------------------------------------------
+
+# Cutoffs as epoch-day literals (UTC session clock): train ends at
+# 2024-01-20, a 3-day embargo absorbs boundary-straddling sessions and
+# autocorrelated features, eval starts 2024-01-23. Membership is a
+# pure function of ts — stable across runs, engines, and incremental
+# rebuilds, like every other split operator here.
+_TSPLIT_TRAIN_END_DAY = 19_742  # 2024-01-20
+_TSPLIT_EVAL_START_DAY = 19_745  # 2024-01-23
+
+
+@register(
+    "sample_time_split",
+    tags=("b8",),
+    oracle=f"""
+        -- temporal train/embargo/eval split manifest with the
+        -- cross-period identity-leakage audit: hash/group holdouts
+        -- (sample_split, sample_group_holdout) are the wrong tool for
+        -- FORECASTING eval, where training on the future leaks by
+        -- construction; the time split cuts on the clock and the
+        -- embargo gap keeps boundary-straddling behavior out of eval.
+        -- n_users_seen_in_train is the number every backtest claim
+        -- gets audited against (returning users are fine for
+        -- forecasting, fatal for cold-start claims — report it).
+        WITH base AS (
+            SELECT CASE
+                     WHEN epoch_us(ts) // 86400000000
+                          < {_TSPLIT_TRAIN_END_DAY} THEN 'train'
+                     WHEN epoch_us(ts) // 86400000000
+                          < {_TSPLIT_EVAL_START_DAY} THEN 'embargo'
+                     ELSE 'eval'
+                   END AS split,
+                   epoch_us(ts) // 86400000000 AS day,
+                   user_id
+            FROM events
+        ),
+        stats AS (
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(MIN(day) AS BIGINT) AS min_day,
+                   CAST(MAX(day) AS BIGINT) AS max_day
+            FROM base GROUP BY split
+        ),
+        bu AS (SELECT DISTINCT split, user_id FROM base),
+        seen AS (
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bu
+            WHERE user_id IN
+                  (SELECT user_id FROM bu WHERE split = 'train')
+            GROUP BY split
+        )
+        SELECT s.split, n_events, n_users, min_day, max_day,
+               CAST(COALESCE(seen.n, 0) AS BIGINT)
+                   AS n_users_seen_in_train
+        FROM stats s LEFT JOIN seen ON s.split = seen.split
+    """,
+)
+def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/embargo/eval split manifest with a cross-period
+    identity-leakage audit. The hash and group holdouts
+    (`sample_split`, `sample_group_holdout`) are the wrong tool when
+    the eval task is FORECASTING — any random split trains on the
+    future. The time split cuts on the clock, and the 3-day EMBARGO
+    gap (the standard purged/embargoed backtest construction, e.g.
+    de Prado's purged k-fold) keeps boundary-straddling sessions and
+    autocorrelated features from leaking the eval period into train.
+    ``n_users_seen_in_train`` audits the other leak axis — identity:
+    returning users are fine for forecasting claims, fatal for
+    cold-start claims, so the manifest reports the overlap instead of
+    pretending it away. Membership is a pure function of ts: stable
+    across runs, engines, and incremental rebuilds.
+
+    Plan/scale: one codegen'd bucket projection + one map-side-
+    combined stats agg; the audit adds a (split, user) distinct
+    (bounded by 3x users) and a user-keyed semi join against the
+    train side — no broadcast assumption, so a billion-user identity
+    space still hash-joins cleanly."""
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    split = (
+        F.when(day < _TSPLIT_TRAIN_END_DAY, "train")
+        .when(day < _TSPLIT_EVAL_START_DAY, "embargo")
+        .otherwise("eval")
+    )
+    base = ev.select(split.alias("split"), day.alias("day"), "user_id")
+    stats = base.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("day").cast("long").alias("min_day"),
+        F.max("day").cast("long").alias("max_day"),
+    )
+    bu = base.select("split", "user_id").distinct()
+    train_users = bu.filter(F.col("split") == "train").select("user_id")
+    seen = (
+        bu.join(train_users, "user_id", "left_semi")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seen"))
+    )
+    return stats.join(seen, "split", "left").select(
+        "split",
+        "n_events",
+        "n_users",
+        "min_day",
+        "max_day",
+        F.coalesce("n_seen", F.lit(0))
+        .cast("long")
+        .alias("n_users_seen_in_train"),
+    )

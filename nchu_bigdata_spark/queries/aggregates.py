@@ -11,7 +11,7 @@ megabytes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import (
@@ -1613,4 +1613,131 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CAST(n * 10000 div total - {case} AS BIGINT)"
         ).alias("dev_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_winsorized_mean — robust clamped-tail mean per group (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_winsorized_mean",
+    tags=("b4",),
+    oracle="""
+        -- 5/95 winsorized mean per return flag, exact in CENTS: tail
+        -- values are CLAMPED to the nearest-rank p5/p95 order
+        -- statistics (ceil rank (p*n + 99)//100, the
+        -- orders_fulfillment_lag convention) before summing -- the
+        -- robust location estimate that, unlike trimming, keeps n
+        -- constant and, unlike the median, still moves with the body
+        -- of the distribution. Everything is int64/ceil-rank: no
+        -- interpolation, no floats, bit-identical cross-engine.
+        WITH c AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       AS cents
+            FROM lineitem
+        ),
+        r AS (
+            SELECT l_returnflag, cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag ORDER BY cents
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM c
+        ),
+        b AS (
+            SELECT l_returnflag,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MAX(CASE WHEN rk = (5 * n + 99) // 100
+                                 THEN cents END) AS BIGINT) AS lo_cents,
+                   CAST(MAX(CASE WHEN rk = (95 * n + 99) // 100
+                                 THEN cents END) AS BIGINT) AS hi_cents
+            FROM r GROUP BY l_returnflag
+        )
+        SELECT c.l_returnflag, b.n, b.lo_cents, b.hi_cents,
+               CAST(SUM(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clamped_low,
+               CAST(SUM(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clamped_high,
+               CAST(SUM(GREATEST(LEAST(cents, hi_cents), lo_cents))
+                    // MAX(b.n) AS BIGINT) AS winsor_mean_cents,
+               CAST(SUM(cents) // MAX(b.n) AS BIGINT) AS raw_mean_cents
+        FROM c JOIN b USING (l_returnflag)
+        GROUP BY c.l_returnflag, b.n, b.lo_cents, b.hi_cents
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95 winsorized mean of extended price per return flag, exact
+    in integer CENTS: tail values are CLAMPED to the nearest-rank
+    p5/p95 order statistics before averaging — the robust location
+    estimate for metrics pipelines where a handful of fat-finger or
+    fraud rows would otherwise own the mean. Winsorizing (clamp)
+    beats trimming (drop) when n must stay constant across reporting
+    periods, and beats the median when the metric should still move
+    with the body of the distribution; the raw mean rides alongside
+    so the gap itself is the outlier-impact readout.
+
+    Exactness: ceil nearest-rank ``(p*n + 99) div 100`` (the
+    `orders_fulfillment_lag` convention), integer cents, floor-div
+    means — no interpolation, no floats, no rounding grid to
+    straddle. n_clamped_low/high audit how much mass the clamp moved.
+
+    Plan/scale: one rank window PARTITIONED BY GROUP (each group
+    sorts in parallel — no global sort), collapsing straight into a
+    3-row bounds agg; the clamped re-aggregation joins bounds back
+    group-keyed and combines map-side. Same 100 TB framing as
+    `agg_percentile_exact`: exact order statistics are for bounded-
+    cardinality groups or sampled calibration; the sketch path
+    (`agg_approx`) is the default at full scale."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    w_rk = Window.partitionBy("l_returnflag").orderBy("cents")
+    w_n = Window.partitionBy("l_returnflag")
+    r = c.select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    b = r.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(max(CASE WHEN rk = (5 * n + 99) div 100 "
+            "THEN cents END) AS BIGINT)"
+        ).alias("lo_cents"),
+        F.expr(
+            "CAST(max(CASE WHEN rk = (95 * n + 99) div 100 "
+            "THEN cents END) AS BIGINT)"
+        ).alias("hi_cents"),
+    )
+    return (
+        c.join(b, "l_returnflag")
+        .groupBy("l_returnflag", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.sum((F.col("cents") < F.col("lo_cents")).cast("long"))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum((F.col("cents") > F.col("hi_cents")).cast("long"))
+            .cast("long")
+            .alias("n_clamped_high"),
+            F.expr(
+                "CAST(sum(greatest(least(cents, hi_cents), lo_cents)) "
+                "div max(n) AS BIGINT)"
+            ).alias("winsor_mean_cents"),
+            F.expr("CAST(sum(cents) div max(n) AS BIGINT)").alias(
+                "raw_mean_cents"
+            ),
+        )
+        .select(
+            "l_returnflag", "n", "lo_cents", "hi_cents",
+            "n_clamped_low", "n_clamped_high",
+            "winsor_mean_cents", "raw_mean_cents",
+        )
     )

@@ -251,6 +251,9 @@ DRIVER_ORDER = [
     "orders_backlog",
     "graph_link_predict",
     "ts_changepoint",
+    "sample_time_split",
+    "curate_canonical",
+    "agg_winsorized_mean",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1196,3 +1196,102 @@ def test_changepoint_replay(spark, sf_dir, duck):
     ) == (d, n, s, c, t, 100 * ps // t, 100 * (s - ps) // (n - t))
     # the chosen day genuinely splits the means (non-degenerate series)
     assert row.mean_before_x100 != row.mean_after_x100
+
+
+# --------------------------------------------------------------------------
+# sample_time_split
+# --------------------------------------------------------------------------
+
+
+def test_time_split_replay(spark, sf_dir, duck):
+    TRAIN_END, EVAL_START = 19_742, 19_745
+    per = defaultdict(lambda: [0, set(), None, None])
+    for ts_us, u in duck.execute(
+        "SELECT epoch_us(ts), user_id FROM events"
+    ).fetchall():
+        day = ts_us // DAY_US
+        b = ("train" if day < TRAIN_END
+             else "embargo" if day < EVAL_START else "eval")
+        s = per[b]
+        s[0] += 1
+        s[1].add(u)
+        s[2] = day if s[2] is None else min(s[2], day)
+        s[3] = day if s[3] is None else max(s[3], day)
+    train_users = per["train"][1]
+    rows = SPECS["sample_time_split"].fn(spark, sf_dir).collect()
+    got = {r.split: (r.n_events, r.n_users, r.min_day, r.max_day,
+                     r.n_users_seen_in_train) for r in rows}
+    want = {b: (s[0], len(s[1]), s[2], s[3], len(s[1] & train_users))
+            for b, s in per.items()}
+    assert got == want
+    # split boundaries leave a genuine embargo gap
+    assert got["train"][3] < TRAIN_END <= got["embargo"][2]
+    assert got["embargo"][3] < EVAL_START <= got["eval"][2]
+
+
+# --------------------------------------------------------------------------
+# curate_canonical
+# --------------------------------------------------------------------------
+
+
+def test_curate_canonical_replay(spark, sf_dir, duck):
+    # clusters from the registered clustering op (composition is the
+    # contract); richness replayed in pure python
+    cc = SPECS["dedup_clusters"].fn(spark, sf_dir).collect()
+    rich = {
+        d: len(set(t.split(" ")))
+        for d, t in duck.execute(
+            "SELECT doc_id, text FROM documents"
+        ).fetchall()
+    }
+    by_cluster = defaultdict(list)
+    for r in cc:
+        by_cluster[r.cluster_id].append(r.doc_id)
+    want = {}
+    for cid, docs in by_cluster.items():
+        keep = min(docs, key=lambda d: (-rich[d], d))
+        want[cid] = (len(docs), keep, rich[keep], int(keep != cid))
+    rows = SPECS["curate_canonical"].fn(spark, sf_dir).collect()
+    got = {r.cluster_id: (r.cluster_size, r.keep_doc_id,
+                          r.keep_richness, r.switched) for r in rows}
+    assert got == want
+    # the quality-aware pick must actually differ somewhere, or the
+    # operator adds nothing over dedup_clusters' min-id default
+    assert any(v[3] for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# agg_winsorized_mean
+# --------------------------------------------------------------------------
+
+
+def test_winsorized_mean_replay(spark, sf_dir, duck):
+    vals = defaultdict(list)
+    for f, p in duck.execute(
+        "SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100, 0) "
+        "AS BIGINT) FROM lineitem"
+    ).fetchall():
+        vals[f].append(p)
+    want = {}
+    for f, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        lo = xs[(5 * n + 99) // 100 - 1]
+        hi = xs[(95 * n + 99) // 100 - 1]
+        clamped = [min(max(x, lo), hi) for x in xs]
+        want[f] = (
+            n, lo, hi,
+            sum(x < lo for x in xs), sum(x > hi for x in xs),
+            sum(clamped) // n, sum(xs) // n,
+        )
+    rows = SPECS["agg_winsorized_mean"].fn(spark, sf_dir).collect()
+    got = {r.l_returnflag: (
+        r.n, r.lo_cents, r.hi_cents, r.n_clamped_low, r.n_clamped_high,
+        r.winsor_mean_cents, r.raw_mean_cents) for r in rows}
+    assert got == want
+    # the clamp must move the mean on this heavy-tailed data, and the
+    # clamped mass must be ~5% per side (ceil-rank gives <= p% below)
+    for f in got:
+        n, lo, hi, nl, nh, wm, rm = got[f]
+        assert wm != rm
+        assert nl <= n * 5 // 100 and nh <= n * 5 // 100

@@ -612,6 +612,24 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Window", r"TakeOrderedAndProject"],
         [r"CartesianProduct", r"SortMergeJoin"],
     ),
+    # time split: bucket projection + stats agg; the leakage audit is
+    # a (split,user) distinct + user-keyed semi join (hash, never NL)
+    "sample_time_split": (
+        [r"HashAggregate", r"LeftSemi"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
+    ),
+    # canonical pick: CC label table (checkpoint scan) x richness
+    # projection doc-keyed join + one cluster-keyed rank window
+    "curate_canonical": (
+        [r"Window", r"hashpartitioning\(cluster_id"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # winsorized mean: group-partitioned rank window (parallel per
+    # group, no global sort) -> 3-row bounds -> group-keyed clamp agg
+    "agg_winsorized_mean": (
+        [r"Window", r"hashpartitioning\(l_returnflag", r"HashAggregate"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
 }
 
 
