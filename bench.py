@@ -179,6 +179,9 @@ SQL_GROUP = [
     "sample_time_split",
     "curate_canonical",
     "agg_winsorized_mean",
+    "win_rolling_regression",
+    "sample_balanced",
+    "ts_decompose",
 ]
 
 

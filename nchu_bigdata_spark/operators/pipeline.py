@@ -1763,3 +1763,72 @@ def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_users_seen_in_train"),
     )
+
+
+# --------------------------------------------------------------------------
+# sample_balanced — downsample every class to the minority count (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_balanced",
+    tags=("b8",),
+    oracle="""
+        -- class-balanced downsampling: every event_type keeps exactly
+        -- k = min-class-count rows, selected by deterministic
+        -- md5(event_id) pseudo-random rank (the sample_reservoir
+        -- order) — the label-balance step before training a classifier
+        -- on skewed logs, reproducible across engines/runs/backfills
+        -- unlike any RNG draw.
+        WITH k AS (
+            SELECT CAST(MIN(n) AS BIGINT) AS k FROM (
+                SELECT COUNT(*) AS n FROM events GROUP BY event_type)
+        ),
+        r AS (
+            SELECT event_type, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                   ) AS rk
+            FROM events
+        )
+        SELECT event_type, event_id
+        FROM r, k WHERE rk <= k.k
+    """,
+)
+def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: keep exactly k rows per
+    event_type, where k is the MINORITY class count — the standard
+    label-balance step before training a classifier on skewed logs
+    (a 90/10 class mix trains a 90%-accurate constant). Selection
+    order is deterministic pseudo-random md5(event_id) rank (the
+    `sample_reservoir` order): unbiased w.r.t. any payload attribute,
+    yet reproducible across engines, runs, and backfills — no RNG
+    seed to lose.
+
+    Plan/scale: one map-side-combined class-count agg collapses to
+    label cardinality (its min is a 1-row broadcast, never a
+    collect); the rank window partitions BY CLASS, so each class
+    sorts in parallel over its own partition — no global sort. k is
+    data-dependent, so the pre-shuffle WindowGroupLimit heap prune
+    (literal-k `sample_reservoir`) doesn't apply; at 100 TB you
+    bound the sort by pre-filtering each class to a cheap hash-bucket
+    superset of k before ranking (same two-pass trick as
+    `orders_abc_class`)."""
+    ev = table(spark, sf_dir, "events")
+    k = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").cast("long").alias("k"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    r = ev.select(
+        "event_type", "event_id", F.row_number().over(w).alias("rk")
+    )
+    return (
+        r.join(F.broadcast(k))
+        .filter(F.col("rk") <= F.col("k"))
+        .select("event_type", "event_id")
+    )

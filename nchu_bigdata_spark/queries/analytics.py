@@ -2713,3 +2713,130 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum_cp")).desc(), "cp_day")
         .limit(1)
     )
+
+
+# --------------------------------------------------------------------------
+# ts_decompose — additive trend/seasonal/residual split (round 8)
+# --------------------------------------------------------------------------
+
+# Offset added before the per-dow mean's floor division so the
+# numerator is always positive: Spark's `div` truncates toward zero
+# while DuckDB's `//` floors, and they agree ONLY on non-negative
+# operands. |detrended_x100| is bounded by 100*max_daily_count, so
+# 1e9 clears any realistic series; the shift cancels exactly
+# ((a + n*M) div n - M == floor(a/n) for a > -n*M).
+_DECOMP_M = 1_000_000_000
+
+
+@register(
+    "ts_decompose",
+    tags=("b11",),
+    oracle=f"""
+        -- classical additive decomposition of the daily event series:
+        -- trend = centered 7-day moving average (full windows only),
+        -- seasonal = per-day-of-week mean of the detrended series,
+        -- residual = series - trend - seasonal. All three components
+        -- in exact centi-events: the MA is (100*sum) div 7 over a
+        -- 7-row frame, and the per-dow mean runs through a +{_DECOMP_M}
+        -- shift so floor-vs-truncate integer division can't diverge
+        -- on negative detrended values. The anomaly triage view:
+        -- ts_mad_anomaly flags residual spikes, ts_changepoint moves
+        -- the trend, this separates the two.
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        ma AS (
+            SELECT day, x,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rk,
+                   COUNT(*) OVER () AS n,
+                   CAST(100 * SUM(x) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) // 7
+                        AS BIGINT) AS trend_x100
+            FROM daily
+        ),
+        det AS (
+            SELECT day, x, trend_x100,
+                   (day + 4) % 7 AS dow,
+                   100 * x - trend_x100 AS det_x100
+            FROM ma WHERE rk > 3 AND rk <= n - 3
+        ),
+        seas AS (
+            SELECT dow,
+                   CAST(SUM(det_x100 + {_DECOMP_M}) // COUNT(*)
+                        - {_DECOMP_M} AS BIGINT) AS seasonal_x100
+            FROM det GROUP BY dow
+        )
+        SELECT CAST(det.day AS BIGINT) AS day, det.x,
+               CAST(det.dow AS BIGINT) AS dow, det.trend_x100,
+               seas.seasonal_x100,
+               CAST(det.det_x100 - seas.seasonal_x100 AS BIGINT)
+                   AS resid_x100
+        FROM det JOIN seas ON det.dow = seas.dow
+    """,
+)
+def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event-count
+    series: trend (centered 7-day moving average), seasonal (per-
+    day-of-week mean of the detrended series, epoch-Thursday dow
+    convention), residual (what's left) — each in exact centi-event
+    integers. This is the anomaly TRIAGE view the other ts operators
+    feed on: `ts_mad_anomaly` flags residual spikes, `ts_changepoint`
+    moves the trend, and a weekday dip is just the seasonal term —
+    decomposing first stops each from masquerading as the others.
+
+    Exactness: the MA is (100·Σx) div 7 over a full 7-row frame
+    (edge days with partial frames are excluded — a 4-day "average"
+    biases the trend); the per-dow mean shifts its numerator by
+    +{M} before the floor division because Spark `div` truncates
+    toward zero while DuckDB `//` floors — they agree only on
+    non-negative operands, and detrended values go negative by
+    construction. The shift cancels exactly.
+
+    Plan/scale: one map-side-combined fact→day agg; the MA window,
+    dow agg, and final dow-keyed join all run over DAY/7 cardinality
+    — tiny-axis work, same deliberate single-partition window as
+    `orders_backlog`."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w_ma = Window.orderBy("day").rowsBetween(-3, 3)
+    w_rk = Window.orderBy("day")
+    w_all = Window.partitionBy()
+    ma = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.expr(
+            "CAST(100 * sum(x) OVER (ORDER BY day "
+            "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7 AS BIGINT)"
+        ).alias("trend_x100"),
+    )
+    det = ma.filter(
+        (F.col("rk") > 3) & (F.col("rk") <= F.col("n") - 3)
+    ).select(
+        "day",
+        "x",
+        ((F.col("day") + 4) % 7).alias("dow"),
+        "trend_x100",
+        (100 * F.col("x") - F.col("trend_x100")).alias("det_x100"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.expr(
+            f"CAST(sum(det_x100 + {_DECOMP_M}) div count(*) "
+            f"- {_DECOMP_M} AS BIGINT)"
+        ).alias("seasonal_x100")
+    )
+    return det.join(seas, "dow").select(
+        F.col("day").cast("long").alias("day"),
+        "x",
+        F.col("dow").cast("long").alias("dow"),
+        "trend_x100",
+        "seasonal_x100",
+        (F.col("det_x100") - F.col("seasonal_x100"))
+        .cast("long")
+        .alias("resid_x100"),
+    )

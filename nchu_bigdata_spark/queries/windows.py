@@ -773,3 +773,101 @@ def win_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_share_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_rolling_regression — trailing-window OLS trend per series (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_rolling_regression",
+    tags=("b6",),
+    oracle="""
+        -- per-event-type rolling 7-day OLS slope of daily volume vs
+        -- the day number: the windowed trend detector behind "is this
+        -- series accelerating" alerts, where a full regression beats
+        -- a first-difference (one noisy day flips a difference; it
+        -- barely moves a 7-point fit). The agg_regression policy,
+        -- windowed: integer co-moment sums over the frame, slope
+        -- derived as ONE correctly-rounded double division num/den —
+        -- bit-identical cross-engine, no incremental float state.
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT event_type, day, y,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY day) AS rk,
+                   CAST(COUNT(*) OVER f AS BIGINT) AS k,
+                   CAST(SUM(day) OVER f AS BIGINT) AS sx,
+                   CAST(SUM(y) OVER f AS BIGINT) AS sy,
+                   CAST(SUM(day * y) OVER f AS BIGINT) AS sxy,
+                   CAST(SUM(day * day) OVER f AS BIGINT) AS sxx
+            FROM daily
+            WINDOW f AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, CAST(day AS BIGINT) AS day, y,
+               CAST(k * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(k * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST(k * sxy - sx * sy AS DOUBLE)
+                   / CAST(k * sxx - sx * sx AS DOUBLE) AS slope
+        FROM w WHERE rk >= 7
+    """,
+)
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS slope of daily volume per event type — the
+    windowed trend detector behind "is this series accelerating"
+    alerts. A full regression over the trailing frame beats a first
+    difference (one noisy day flips a difference; it barely moves a
+    7-point fit) and beats EWMA when the readout must be a RATE
+    (events/day of drift) rather than a level.
+
+    Determinism is `agg_regression`'s policy windowed: the four
+    co-moment sums (k, Σx, Σy, Σxy, Σx²) are exact int64 window
+    aggregates over the frame, and the slope is derived as ONE
+    correctly-rounded double division num/den — bit-identical across
+    engines, with the integer numerator/denominator emitted alongside
+    so downstream exact comparisons never need the float at all.
+    Partial frames (first 6 rows per series) are excluded: a 2-point
+    "trend" is noise reported as signal.
+
+    Plan/scale: the daily agg collapses facts map-side to (type, day)
+    cardinality; ALL window functions share one (event_type)-keyed
+    sort — one shuffle, per-series state bounded by the 7-row frame,
+    no global window anywhere."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    f = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, W.currentRow)
+    )
+    w_rk = W.partitionBy("event_type").orderBy("day")
+    w = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(f).cast("long").alias("k"),
+        F.sum("day").over(f).cast("long").alias("sx"),
+        F.sum("y").over(f).cast("long").alias("sy"),
+        F.sum(F.col("day") * F.col("y")).over(f).cast("long").alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).over(f).cast("long").alias("sxx"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return w.filter(F.col("rk") >= 7).select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "y",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias("slope"),
+    )

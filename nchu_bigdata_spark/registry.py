@@ -254,6 +254,9 @@ DRIVER_ORDER = [
     "sample_time_split",
     "curate_canonical",
     "agg_winsorized_mean",
+    "win_rolling_regression",
+    "sample_balanced",
+    "ts_decompose",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1295,3 +1295,99 @@ def test_winsorized_mean_replay(spark, sf_dir, duck):
         n, lo, hi, nl, nh, wm, rm = got[f]
         assert wm != rm
         assert nl <= n * 5 // 100 and nh <= n * 5 // 100
+
+
+# --------------------------------------------------------------------------
+# win_rolling_regression
+# --------------------------------------------------------------------------
+
+
+def test_rolling_regression_replay(spark, sf_dir, duck):
+    series = defaultdict(list)
+    for et, day, y in duck.execute(
+        "SELECT event_type, epoch_us(ts) // 86400000000, COUNT(*) "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall():
+        series[et].append((day, y))
+    want = {}
+    for et, pts in series.items():
+        for i in range(6, len(pts)):
+            frame = pts[i - 6:i + 1]
+            k = len(frame)
+            sx = sum(d for d, _ in frame)
+            sy = sum(y for _, y in frame)
+            sxy = sum(d * y for d, y in frame)
+            sxx = sum(d * d for d, _ in frame)
+            num, den = k * sxy - sx * sy, k * sxx - sx * sx
+            day, y = pts[i]
+            want[(et, day)] = (y, num, den, num / den)
+    rows = SPECS["win_rolling_regression"].fn(spark, sf_dir).collect()
+    got = {(r.event_type, r.day): (r.y, r.slope_num, r.slope_den, r.slope)
+           for r in rows}
+    assert got == want
+    # trends must move in both directions on real data
+    slopes = [v[3] for v in got.values()]
+    assert min(slopes) < 0 < max(slopes)
+
+
+# --------------------------------------------------------------------------
+# sample_balanced
+# --------------------------------------------------------------------------
+
+
+def test_sample_balanced_replay(spark, sf_dir, duck):
+    import hashlib
+    by_class = defaultdict(list)
+    for et, eid in duck.execute(
+        "SELECT event_type, event_id FROM events"
+    ).fetchall():
+        h = hashlib.md5(str(eid).encode()).hexdigest()
+        by_class[et].append((h, eid))
+    k = min(len(v) for v in by_class.values())
+    want = set()
+    for et, xs in by_class.items():
+        xs.sort()
+        want |= {(et, eid) for _, eid in xs[:k]}
+    rows = SPECS["sample_balanced"].fn(spark, sf_dir).collect()
+    got = {(r.event_type, r.event_id) for r in rows}
+    assert got == want
+    # perfectly balanced: every class at exactly k
+    from collections import Counter
+    cnt = Counter(et for et, _ in got)
+    assert set(cnt.values()) == {k}
+
+
+# --------------------------------------------------------------------------
+# ts_decompose
+# --------------------------------------------------------------------------
+
+
+def test_ts_decompose_replay(spark, sf_dir, duck):
+    M = 1_000_000_000
+    daily = dict(duck.execute(
+        "SELECT epoch_us(ts) // 86400000000, COUNT(*) "
+        "FROM events GROUP BY 1"
+    ).fetchall())
+    days = sorted(daily)
+    trend, det = {}, {}
+    for i in range(3, len(days) - 3):
+        d = days[i]
+        trend[d] = 100 * sum(daily[x] for x in days[i - 3:i + 4]) // 7
+        det[d] = 100 * daily[d] - trend[d]
+    seas = {}
+    for dow in range(7):
+        ds = [det[d] for d in det if (d + 4) % 7 == dow]
+        if ds:
+            seas[dow] = sum(x + M for x in ds) // len(ds) - M
+    rows = SPECS["ts_decompose"].fn(spark, sf_dir).collect()
+    got = {r.day: (r.x, r.dow, r.trend_x100, r.seasonal_x100,
+                   r.resid_x100) for r in rows}
+    want = {d: (daily[d], (d + 4) % 7, trend[d], seas[(d + 4) % 7],
+                det[d] - seas[(d + 4) % 7]) for d in det}
+    assert got == want
+    # components genuinely split the signal: residual smaller than raw
+    # deviation on average (the whole point of decomposing first)
+    mean_x100 = 100 * sum(daily.values()) // len(daily)
+    raw_dev = sum(abs(100 * daily[d] - mean_x100) for d in det)
+    resid_dev = sum(abs(v[4]) for v in got.values())
+    assert resid_dev < raw_dev

@@ -630,6 +630,24 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"hashpartitioning\(l_returnflag", r"HashAggregate"],
         [r"CartesianProduct", r"rangepartitioning"],
     ),
+    # rolling regression: fact->(type,day) agg, then ALL frames share
+    # one event_type-keyed sort — exactly one Window node
+    "win_rolling_regression": (
+        [r"HashAggregate", r"Window", r"hashpartitioning\(event_type"],
+        [r"CartesianProduct", r"Join", r"rangepartitioning"],
+    ),
+    # balanced sample: class-partitioned rank window + 1-row k
+    # broadcast; per-class parallel sort, no global sort
+    "sample_balanced": (
+        [r"Window", r"hashpartitioning\(event_type", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"SortMergeJoin", r"rangepartitioning"],
+    ),
+    # decompose: one fact->day agg; MA window, dow agg, dow join all
+    # over tiny day-axis cardinality
+    "ts_decompose": (
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
 }
 
 
