@@ -182,6 +182,9 @@ SQL_GROUP = [
     "win_rolling_regression",
     "sample_balanced",
     "ts_decompose",
+    "dedup_threshold_sweep",
+    "graph_modularity",
+    "multimodal_phash_clusters",
 ]
 
 

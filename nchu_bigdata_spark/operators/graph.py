@@ -984,3 +984,118 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ra_score"), "u", "v")
         .limit(_LP_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# graph_modularity — brand-partition modularity (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_modularity",
+    tags=("bext",),
+    oracle=f"""
+        -- Newman modularity of the co-purchase graph under the PART
+        -- BRAND partition: does "frequently bought together" cluster
+        -- by brand? Q = sum_c [e_c/m - (d_c/2m)^2] is a rational;
+        -- multiplying by 4m^2 clears every denominator, so the
+        -- per-community contribution 4m*e_c - d_c^2 and the total
+        -- q_num = sum(4m*e_c) - sum(d_c^2) are EXACT integers
+        -- (HUGEINT/decimal(38,0) for the squares), and Q itself is
+        -- one correctly-rounded double division q_num / (4m^2).
+        -- Directed-edge bookkeeping: over the symmetric edge table,
+        -- within-edges count = 2*e_c and degree sums are exact, so
+        -- the identity uses 2m = COUNT(edges), e2_c = within count.
+        WITH edges AS ({_EDGES_SQL}),
+        lab AS (SELECT p_partkey AS u, p_brand AS brand FROM part),
+        m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+        deg AS (
+            SELECT la.brand, CAST(COUNT(*) AS BIGINT) AS d_c
+            FROM edges e JOIN lab la ON la.u = e.u
+            GROUP BY la.brand
+        ),
+        win AS (
+            SELECT la.brand, CAST(COUNT(*) AS BIGINT) AS e2_c
+            FROM edges e
+            JOIN lab la ON la.u = e.u
+            JOIN lab lb ON lb.u = e.v
+            WHERE la.brand = lb.brand
+            GROUP BY la.brand
+        ),
+        c AS (
+            SELECT deg.brand, deg.d_c,
+                   CAST(COALESCE(win.e2_c, 0) AS BIGINT) AS e2_c,
+                   CAST(CAST(m2.m2 AS HUGEINT)
+                        * COALESCE(win.e2_c, 0)
+                        - CAST(deg.d_c AS HUGEINT) * deg.d_c
+                        AS DECIMAL(38,0)) AS contrib_num
+            FROM deg LEFT JOIN win ON deg.brand = win.brand, m2
+        )
+        SELECT brand, d_c, e2_c,
+               CAST(contrib_num AS DOUBLE)
+                   / CAST(CAST((SELECT m2 FROM m2) AS HUGEINT)
+                          * (SELECT m2 FROM m2) AS DOUBLE) AS q_contrib
+        FROM c
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the co-purchase graph under the PART
+    BRAND partition — does "frequently bought together" actually
+    cluster by brand, or is the brand label orthogonal to purchase
+    structure? Per brand c: Q_c = e_c/m − (d_c/2m)², and Σ Q_c is
+    the modularity a community-detection run would have to beat to
+    claim it found structure beyond the catalog's own taxonomy (the
+    standard null-model comparison before investing in Louvain-style
+    clustering at scale).
+
+    Exactness: Q is a rational; multiplying by 4m² clears every
+    denominator — with 2m = |symmetric edges| and e2_c = within-
+    community directed count, the contribution numerator
+    2m·e2_c − d_c² is an EXACT 128-bit integer (events_rfm decimal
+    policy), and q_contrib is ONE correctly-rounded double division
+    by (2m)² — bit-identical cross-engine, Σ recoverable exactly
+    from the integer columns.
+
+    Plan/scale: the brand label table is part-dimension-sized (one
+    broadcast-friendly join per endpoint); degree and within aggs
+    are map-side combined over the edge stream; output is brand
+    cardinality. No per-community state beyond one row."""
+    half = _copurchase_edges(spark, sf_dir, undirected=True)
+    edges = half.unionAll(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    lab = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("u"), F.col("p_brand").alias("brand")
+    )
+    m2 = edges.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    la = lab
+    lb = lab.select(F.col("u").alias("v"), F.col("brand").alias("brand_b"))
+    ed = edges.join(la, "u").join(lb, "v")
+    deg = ed.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("d_c")
+    )
+    win = (
+        ed.filter(F.col("brand") == F.col("brand_b"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("e2_c"))
+    )
+    c = (
+        deg.join(win, "brand", "left")
+        .select(
+            "brand",
+            "d_c",
+            F.coalesce("e2_c", F.lit(0)).cast("long").alias("e2_c"),
+        )
+        .join(F.broadcast(m2))
+    )
+    num = F.expr(
+        "CAST(CAST(m2 AS decimal(38,0)) * e2_c"
+        " - CAST(d_c AS decimal(38,0)) * d_c AS decimal(38,0))"
+    )
+    den = F.expr("CAST(CAST(m2 AS decimal(38,0)) * m2 AS decimal(38,0))")
+    return c.select(
+        "brand",
+        "d_c",
+        "e2_c",
+        (num.cast("double") / den.cast("double")).alias("q_contrib"),
+    )

@@ -897,3 +897,44 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload(docs).mapInPandas(
         _synth_and_audio_stats, _AUDIO_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash_clusters — image near-dup clusters (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_phash_clusters",
+    tags=("b12",),
+    # No SQL oracle by design: the aHash derivation decodes binary
+    # image payloads (not SQL-expressible); tools/check_oracle.py
+    # promotes this to an EXACT python replay — union-find over the
+    # spec-replayed band+hamming pairs — the multimodal_phash_pairs
+    # certification pattern extended with transitive closure.
+)
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate CLUSTERS: connected components over the
+    verified hamming-pair graph (`multimodal_phash_pairs`), labeling
+    every involved image with its component's minimum doc_id, the
+    component size, and an is_canonical flag — the image-side mirror
+    of `dedup_clusters`, and for the same reason: "keep one copy per
+    duplicate image GROUP" needs transitive closure, not pairs (a
+    re-encode chain A~B, B~C must collapse to one kept image even
+    when A and C drift past the pairwise hamming budget).
+
+    Composition is literal: the pair graph is the registered
+    `multimodal_phash_pairs` output UNCHANGED, and the components run
+    through the SAME `connected_components` machinery `dedup_clusters`
+    certifies (label propagation with the large-star/small-star
+    auto-switch) — clusters cannot drift from pairs, and the CC
+    engine is exercised on a second real graph shape.
+
+    Plan/scale: pair volume is band-join bounded (never all-pairs);
+    CC rounds are O(diameter) with the O(log n) star fallback, per
+    round ONE keyed shuffle over edge cardinality; cluster labels
+    stay a DataFrame end to end."""
+    from nchu_bigdata_spark.operators.dedup import connected_components
+
+    pairs = multimodal_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)

@@ -306,10 +306,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "dedup_embed_cosine",
-    tags=("b10",),
-    oracle=f"""
+# Shared LSH-candidate + exact-verify CTE chain: dedup_embed_cosine
+# SELECTs the pairs straight out; dedup_threshold_sweep re-aggregates
+# the SAME chain (the _SQL_CC_CHAIN composition pattern), so the
+# sensitivity curve can never drift from the dedup operator it tunes.
+_SQL_EMBED_PAIRS_CHAIN = f"""
+
         WITH {_SQL_E},
         qe AS (
             SELECT vec_id, v, n,
@@ -346,13 +348,24 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM bands a JOIN bands b
               ON a.k = b.k AND a.bv = b.bv AND a.vec_id < b.vec_id
+        ),
+        pairs AS (
+            SELECT c.vec_a, c.vec_b,
+                   CAST({_sql_cos('x', 'y')} AS DECIMAL(18,6)) AS cos_sim
+            FROM cand c
+            JOIN e x ON x.vec_id = c.vec_a
+            JOIN e y ON y.vec_id = c.vec_b
+            WHERE {_sql_cos('x', 'y')} >= {_COS_T}
         )
-        SELECT c.vec_a, c.vec_b,
-               CAST({_sql_cos('x', 'y')} AS DECIMAL(18,6)) AS cos_sim
-        FROM cand c
-        JOIN e x ON x.vec_id = c.vec_a
-        JOIN e y ON y.vec_id = c.vec_b
-        WHERE {_sql_cos('x', 'y')} >= {_COS_T}
+"""
+
+
+@register(
+    "dedup_embed_cosine",
+    tags=("b10",),
+    oracle=f"""
+        {_SQL_EMBED_PAIRS_CHAIN}
+        SELECT vec_a, vec_b, cos_sim FROM pairs
     """,
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,4 +1153,110 @@ def sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(n_vectors * {_NCELLS} * 10000 div sum(n_vectors) over ()"
             " AS BIGINT)"
         ).alias("load_ratio_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_threshold_sweep — cosine-threshold sensitivity curve (round 8)
+# --------------------------------------------------------------------------
+
+# Threshold ladder in basis points: 0.40 (the operator's floor) to
+# 0.90 by 0.05. Comparing cos_sim * 10000 >= t_bp keeps the compare
+# in exact DECIMAL arithmetic — no float threshold to straddle.
+_SWEEP_LO_BP = 4_000
+_SWEEP_STEP_BP = 500
+_SWEEP_N = 11
+
+
+@register(
+    "dedup_threshold_sweep",
+    tags=("b10",),
+    oracle=f"""
+        {_SQL_EMBED_PAIRS_CHAIN},
+        lad AS (
+            SELECT {_SWEEP_LO_BP} + {_SWEEP_STEP_BP} * i AS t_bp
+            FROM unnest(range({_SWEEP_N})) AS r(i)
+        ),
+        hit AS (
+            SELECT t_bp, vec_a, vec_b FROM lad
+            JOIN pairs ON cos_sim * 10000 >= t_bp
+        ),
+        np AS (
+            SELECT t_bp, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM hit GROUP BY t_bp
+        ),
+        nd AS (
+            SELECT t_bp, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+            FROM (SELECT t_bp, vec_a AS d FROM hit
+                  UNION ALL SELECT t_bp, vec_b FROM hit)
+            GROUP BY t_bp
+        )
+        SELECT lad.t_bp,
+               CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+        FROM lad
+        LEFT JOIN np ON lad.t_bp = np.t_bp
+        LEFT JOIN nd ON lad.t_bp = nd.t_bp
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-threshold sensitivity curve for embedding dedup: for a
+    ladder of thresholds 0.40..0.90, how many near-dup pairs survive
+    and how many documents they touch. Choosing the dedup threshold
+    is THE practical near-dup question (too low deletes distinct
+    docs, too high ships duplicates), and the defensible way to
+    choose is to look at the whole curve — a knee in n_pairs(t) marks
+    where true duplicates separate from topical neighbors.
+
+    Composition is literal (the `dedup_cluster_stats` pattern): the
+    engine re-aggregates the registered `dedup_embed_cosine` output
+    UNCHANGED, and the oracle re-aggregates the SAME shared LSH chain
+    (`_SQL_EMBED_PAIRS_CHAIN`) — the curve can never drift from the
+    dedup operator it tunes. The threshold compare runs on
+    ``cos_sim * 10000 >= t_bp`` in exact DECIMAL — no float
+    boundaries anywhere.
+
+    Caveat by design: candidates below the LSH floor (0.40) are not
+    in the curve — the sweep tunes WITHIN the operator's recall
+    envelope, which is the decision actually available at 100 TB
+    (rebanding is a different, more expensive knob).
+
+    Plan/scale: the pair stream (already verified, tiny vs corpus)
+    crossed with an 11-row broadcast ladder, two hash aggs, and a
+    ladder-sized merge join — everything past the shared chain is
+    bounded by 11 x pairs."""
+    pairs = dedup_embed_cosine(spark, sf_dir)
+    lad = F.broadcast(
+        spark.range(_SWEEP_N).select(
+            (_SWEEP_LO_BP + _SWEEP_STEP_BP * F.col("id"))
+            .cast("long")
+            .alias("t_bp")
+        )
+    )
+    hit = pairs.crossJoin(lad).filter(
+        F.col("cos_sim") * 10000 >= F.col("t_bp")
+    )
+    np_ = hit.groupBy("t_bp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    nd = (
+        hit.select(
+            "t_bp", F.explode(F.array("vec_a", "vec_b")).alias("d")
+        )
+        .groupBy("t_bp")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    base = spark.range(_SWEEP_N).select(
+        (_SWEEP_LO_BP + _SWEEP_STEP_BP * F.col("id"))
+        .cast("long")
+        .alias("t_bp")
+    )
+    return (
+        base.join(np_, "t_bp", "left")
+        .join(nd, "t_bp", "left")
+        .select(
+            "t_bp",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
     )

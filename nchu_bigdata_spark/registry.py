@@ -257,6 +257,9 @@ DRIVER_ORDER = [
     "win_rolling_regression",
     "sample_balanced",
     "ts_decompose",
+    "dedup_threshold_sweep",
+    "graph_modularity",
+    "multimodal_phash_clusters",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

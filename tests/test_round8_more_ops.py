@@ -1391,3 +1391,89 @@ def test_ts_decompose_replay(spark, sf_dir, duck):
     raw_dev = sum(abs(100 * daily[d] - mean_x100) for d in det)
     resid_dev = sum(abs(v[4]) for v in got.values())
     assert resid_dev < raw_dev
+
+
+# --------------------------------------------------------------------------
+# dedup_threshold_sweep
+# --------------------------------------------------------------------------
+
+
+def test_threshold_sweep_replay(spark, sf_dir, duck):
+    # replay the sweep from the REGISTERED pair op's own output — the
+    # composition contract: sweep == re-aggregation of those pairs
+    pairs = SPECS["dedup_embed_cosine"].fn(spark, sf_dir).collect()
+    want = {}
+    for i in range(11):
+        t_bp = 4000 + 500 * i
+        hit = [p for p in pairs if int(p.cos_sim * 10000) >= t_bp]
+        docs = {p.vec_a for p in hit} | {p.vec_b for p in hit}
+        want[t_bp] = (len(hit), len(docs))
+    rows = SPECS["dedup_threshold_sweep"].fn(spark, sf_dir).collect()
+    got = {r.t_bp: (r.n_pairs, r.n_docs) for r in rows}
+    assert got == want
+    # curve must be monotone non-increasing in the threshold
+    ts = sorted(got)
+    for a, b in zip(ts, ts[1:]):
+        assert got[a][0] >= got[b][0] and got[a][1] >= got[b][1]
+    assert got[ts[0]][0] > 0  # floor threshold reproduces the dedup op
+
+
+# --------------------------------------------------------------------------
+# graph_modularity
+# --------------------------------------------------------------------------
+
+
+def test_graph_modularity_replay(spark, sf_dir, duck):
+    edges = duck.execute(
+        "SELECT DISTINCT a.l_partkey, b.l_partkey FROM lineitem a "
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey"
+    ).fetchall()
+    brand = dict(duck.execute(
+        "SELECT p_partkey, p_brand FROM part"
+    ).fetchall())
+    m2 = len(edges)
+    d_c, e2_c = defaultdict(int), defaultdict(int)
+    for u, v in edges:
+        d_c[brand[u]] += 1
+        if brand[u] == brand[v]:
+            e2_c[brand[u]] += 1
+    rows = SPECS["graph_modularity"].fn(spark, sf_dir).collect()
+    got = {r.brand: (r.d_c, r.e2_c, r.q_contrib) for r in rows}
+    assert set(got) == set(d_c)
+    q_total = 0.0
+    for b in d_c:
+        num = m2 * e2_c[b] - d_c[b] * d_c[b]
+        assert got[b][:2] == (d_c[b], e2_c[b])
+        assert got[b][2] == num / (m2 * m2)
+        q_total += num / (m2 * m2)
+    # sanity: modularity lives in [-1, 1]; and with ~25 brands the
+    # null expectation term forces Q well below 1
+    assert -1.0 <= q_total <= 1.0
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash_clusters
+# --------------------------------------------------------------------------
+
+
+def test_phash_clusters_vs_pairs(spark, sf_dir):
+    # transitive closure of the registered pair op: every pair lands in
+    # one cluster; every cluster is connected via pairs
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in SPECS["multimodal_phash_pairs"].fn(spark, sf_dir).collect()
+    ]
+    rows = SPECS["multimodal_phash_clusters"].fn(spark, sf_dir).collect()
+    lbl = {r.doc_id: r.cluster_id for r in rows}
+    for a, b in pairs:
+        assert lbl[a] == lbl[b]
+    by_cluster = defaultdict(set)
+    for r in rows:
+        by_cluster[r.cluster_id].add(r.doc_id)
+        assert r.cluster_id == min(by_cluster[r.cluster_id] | {r.cluster_id})
+        assert r.is_canonical == int(r.doc_id == r.cluster_id)
+    sizes = {r.cluster_id: r.cluster_size for r in rows}
+    for cid, members in by_cluster.items():
+        assert sizes[cid] == len(members)
+        assert min(members) == cid

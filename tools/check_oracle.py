@@ -276,6 +276,57 @@ def exact_multimodal_audio_stats(con, spdf: pd.DataFrame) -> tuple[bool, str]:
     return True, f"{len(got)} rows, exact PCM stats spec replay"
 
 
+def exact_multimodal_phash_clusters(con, spdf: pd.DataFrame) -> tuple[bool, str]:
+    """multimodal_phash_clusters: union-find over the spec-replayed
+    band+hamming pair graph (the exact_multimodal_phash_pairs replay,
+    extended with transitive closure) — labels, sizes, and canonical
+    flags all recomputed independently of the Spark CC machinery."""
+    hashes = {k: v for k, (_n, v) in _replay_phashes(con).items()}
+    ids = sorted(hashes)
+    M = (1 << 64) - 1
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        ha = hashes[a] & M
+        for b in ids[i + 1 :]:
+            hb = hashes[b] & M
+            if not any(
+                (ha >> (16 * s_)) & 0xFFFF == (hb >> (16 * s_)) & 0xFFFF
+                for s_ in range(4)
+            ):
+                continue
+            if bin(ha ^ hb).count("1") <= 6:
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    expect = {}
+    for root, members in comp.items():
+        lbl = min(members)
+        for m in members:
+            expect[m] = (lbl, len(members), int(m == lbl))
+    got = {
+        int(r["doc_id"]): (
+            int(r["cluster_id"]), int(r["cluster_size"]), int(r["is_canonical"])
+        )
+        for _, r in spdf.iterrows()
+    }
+    if got != expect:
+        bad = [k for k in expect if got.get(k) != expect[k]][:3]
+        return False, f"CC replay mismatch, e.g. doc_ids {bad}"
+    return True, f"{len(got)} rows, exact union-find replay"
+
+
 # Rows-only queries with a promoted bounded accuracy check: the sweep
 # runs these against DuckDB exact aggregates instead of recording a
 # bare rows-only line.
@@ -292,6 +343,7 @@ BOUNDED_CHECKS = {
     "multimodal_phash": exact_multimodal_phash,
     "multimodal_phash_pairs": exact_multimodal_phash_pairs,
     "multimodal_audio_stats": exact_multimodal_audio_stats,
+    "multimodal_phash_clusters": exact_multimodal_phash_clusters,
 }
 
 

@@ -648,6 +648,24 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Window"],
         [r"CartesianProduct", r"rangepartitioning"],
     ),
+    # threshold sweep: verified pair stream x 11-row broadcast ladder
+    # (theta compare -> BNLJ on a broadcast is sanctioned), two aggs
+    "dedup_threshold_sweep": (
+        [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # modularity: dimension-sized brand joins per endpoint, map-side
+    # combined degree/within aggs, 1-row m2 broadcast
+    "graph_modularity": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"rangepartitioning", r"Window"],
+    ),
+    # phash clusters: CC label table — final read is a checkpoint scan
+    # (the dedup_cluster_stats precedent)
+    "multimodal_phash_clusters": (
+        [],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
 }
 
 
