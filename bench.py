@@ -185,6 +185,9 @@ SQL_GROUP = [
     "dedup_threshold_sweep",
     "graph_modularity",
     "multimodal_phash_clusters",
+    "win_ohlc_bars",
+    "orders_reorder_rate",
+    "events_hazard_rate",
 ]
 
 

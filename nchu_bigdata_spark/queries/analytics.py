@@ -2840,3 +2840,130 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("resid_x100"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_hazard_rate — discrete-time conversion hazard table (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_hazard_rate",
+    tags=("b3",),
+    oracle="""
+        -- discrete-time hazard table for first purchase: for each day
+        -- k since a user's first event, h(k) = P(convert on day k |
+        -- still unconverted and still observed at k), with
+        -- right-censoring at the observation end for never-converters
+        -- — the life-table construction that makes "day-3 is where we
+        -- lose people" a number instead of a guess. Unlike the
+        -- Kaplan-Meier product (a float cascade), the hazard table is
+        -- pure integer counts + one floor-div bp ratio per row —
+        -- hash-exact, and S(k) is recoverable downstream.
+        WITH d AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                   event_type
+            FROM events
+        ),
+        obs AS (SELECT MAX(day) AS obs_end FROM d),
+        u AS (
+            SELECT user_id, MIN(day) AS first_day,
+                   MIN(CASE WHEN event_type = 'purchase' THEN day END)
+                       AS conv_day
+            FROM d GROUP BY user_id
+        ),
+        per AS (
+            SELECT CASE WHEN conv_day IS NOT NULL
+                        THEN conv_day - first_day
+                        ELSE obs.obs_end - first_day END AS k,
+                   CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END
+                       AS converted
+            FROM u, obs
+        ),
+        hist AS (
+            SELECT k,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted,
+                   CAST(SUM(1 - converted) AS BIGINT) AS n_censored
+            FROM per GROUP BY k
+        )
+        SELECT CAST(k AS BIGINT) AS k, 
+               CAST(SUM(n_converted + n_censored) OVER (
+                        ORDER BY k DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n_at_risk,
+               n_converted, n_censored,
+               CAST(n_converted * 10000
+                    // SUM(n_converted + n_censored) OVER (
+                        ORDER BY k DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS hazard_bp
+        FROM hist
+    """,
+)
+def events_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard table for first purchase: for each day k
+    since a user's first event, h(k) = P(convert on day k | still
+    unconverted and still observed at k), with RIGHT-CENSORING at the
+    observation end for users who never convert — the life-table
+    construction that turns "when do we lose people" into per-day
+    numbers, and the honest way to use never-converters (dropping
+    them biases conversion fast; counting them as failures biases it
+    slow; censoring is the third option survival analysis exists
+    for). The Kaplan-Meier curve is the cumulative product of
+    (1 − h(k)) — deliberately NOT computed here, because a float
+    product cascade is engine-order-dependent while this table is
+    pure integer counts + one floor-div bp ratio per row, hash-exact,
+    and S(k) is recoverable downstream to any precision.
+
+    At-risk accounting: n_at_risk(k) = users whose conversion or
+    censoring day is ≥ k — a single DESCENDING running sum over the
+    (converted + censored) day histogram. A user converting on day k
+    was at risk through k; a user censored at c was observed through
+    c inclusive (the standard life-table convention).
+
+    Plan/scale: one fact→(user) agg (map-side combined), a 1-row
+    observation-end broadcast, then everything — histogram, suffix
+    sums, ratios — runs over the DAYS-SINCE axis (≤ observation
+    window length), the `orders_backlog` tiny-axis pattern."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "event_type",
+    )
+    obs = d.agg(F.max("day").alias("obs_end"))
+    u = d.groupBy("user_id").agg(
+        F.min("day").alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("day"))
+        ).alias("conv_day"),
+    )
+    per = u.join(F.broadcast(obs)).select(
+        F.when(
+            F.col("conv_day").isNotNull(),
+            F.col("conv_day") - F.col("first_day"),
+        )
+        .otherwise(F.col("obs_end") - F.col("first_day"))
+        .alias("k"),
+        F.col("conv_day").isNotNull().cast("int").alias("converted"),
+    )
+    hist = per.groupBy("k").agg(
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.sum(1 - F.col("converted")).cast("long").alias("n_censored"),
+    )
+    w = (
+        Window.orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = F.sum(F.col("n_converted") + F.col("n_censored")).over(w)
+    return hist.select(
+        F.col("k").cast("long").alias("k"),
+        at_risk.cast("long").alias("n_at_risk"),
+        "n_converted",
+        "n_censored",
+        F.expr(
+            "CAST(n_converted * 10000 div (sum(n_converted + n_censored) "
+            "OVER (ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW)) AS BIGINT)"
+        ).alias("hazard_bp"),
+    )

@@ -1233,3 +1233,75 @@ def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("backlog_eom"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_reorder_rate — repeat-purchase rate per part (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_reorder_rate",
+    tags=("b3",),
+    oracle="""
+        -- per-part repeat-purchase profile: of the customers who ever
+        -- bought part p, how many came back for it in a LATER order —
+        -- the retention signal behind replenishment recommendations
+        -- and "subscribe & save" eligibility (Instacart's reorder
+        -- models start from exactly this table). Repeat = distinct
+        -- ORDERS per (customer, part) >= 2, so multi-line or
+        -- multi-quantity single orders don't inflate it.
+        WITH cp AS (
+            SELECT o.o_custkey, l.l_partkey,
+                   CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT)
+                       AS n_orders
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey, l.l_partkey
+        )
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_buyers,
+               CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repeat_buyers,
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders_total,
+               CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                    * 10000 // COUNT(*) AS BIGINT) AS repeat_bp
+        FROM cp GROUP BY l_partkey
+    """,
+)
+def orders_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part repeat-purchase profile: of the customers who ever
+    bought part p, how many came back for it in a LATER order. The
+    retention signal behind replenishment recommendations and
+    "subscribe & save" eligibility — and the natural prior for
+    `graph_link_predict`'s candidates (a part nobody re-buys makes a
+    poor recommendation no matter its graph score). Repeat counts
+    DISTINCT ORDERS per (customer, part), so a single order with
+    multiple lines or quantity 7 is still one purchase event.
+
+    Exactness: pure integer counts and one floor-div basis-point
+    rate — nothing to straddle.
+
+    Plan/scale: one orderkey equi join attaches the customer to each
+    line (both sides fact-sized — the join every star schema pays),
+    then the (cust, part) distinct-order agg combines map-side and
+    the part rollup is a second keyed agg. Skewed mega-parts spread
+    over the (cust, part) key space in pass one, so no single
+    reducer sees a part's full history."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    )
+    return cp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buyers"),
+        F.sum((F.col("n_orders") >= 2).cast("long"))
+        .cast("long")
+        .alias("n_repeat_buyers"),
+        F.sum("n_orders").cast("long").alias("n_orders_total"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) "
+            "* 10000 div count(*) AS BIGINT)"
+        ).alias("repeat_bp"),
+    )

@@ -871,3 +871,94 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("long").alias("slope_den"),
         (num.cast("double") / den.cast("double")).alias("slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_ohlc_bars — open/high/low/close resampling (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_ohlc_bars",
+    tags=("b6",),
+    oracle="""
+        -- daily OHLC bars per event series: open/close = first/last
+        -- value by (ts, event_id) — the deterministic tie-break every
+        -- first/last needs — high/low/volume as min/max/sum, all in
+        -- exact integer CENTS. The bar aggregation every metrics
+        -- store runs before charting or bar-level features; the
+        -- integer-cents policy makes the bars hash-exact.
+        WITH c AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   epoch_us(ts) AS ts_us, event_id,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ),
+        r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, day
+                       ORDER BY ts_us, event_id) AS rk_a,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, day
+                       ORDER BY ts_us DESC, event_id DESC) AS rk_z
+            FROM c
+        )
+        SELECT event_type, CAST(day AS BIGINT) AS day,
+               CAST(MAX(CASE WHEN rk_a = 1 THEN cents END)
+                    AS BIGINT) AS open_cents,
+               CAST(MAX(cents) AS BIGINT) AS high_cents,
+               CAST(MIN(cents) AS BIGINT) AS low_cents,
+               CAST(MAX(CASE WHEN rk_z = 1 THEN cents END)
+                    AS BIGINT) AS close_cents,
+               CAST(SUM(cents) AS BIGINT) AS volume_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM r GROUP BY event_type, day
+    """,
+)
+def win_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event series: open/close = first/last value
+    within the (type, day) bar, high/low/volume as min/max/sum — the
+    bar resampling every metrics store runs before charting, alerting
+    on gaps ("opened 30% below yesterday's close"), or bar-level
+    features. Two design rules make it hash-exact where naive OHLC
+    flakes: values live in integer CENTS, and first/last carry the
+    full deterministic tie-break (ts, event_id) — `F.first` over an
+    unordered group is the classic nondeterminism bug this operator
+    exists to replace.
+
+    Plan/scale: both rank windows and the final agg share ONE
+    (event_type, day)-keyed exchange; per-bar window state is the
+    bar's row count, the agg combines map-side, output is
+    series x day cardinality. No global sort anywhere."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w_a = W.partitionBy("event_type", "day").orderBy("ts_us", "event_id")
+    w_z = W.partitionBy("event_type", "day").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    r = c.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number().over(w_a).alias("rk_a"),
+        F.row_number().over(w_z).alias("rk_z"),
+    )
+    return r.groupBy("event_type", F.col("day").cast("long").alias("day")).agg(
+        F.max(F.when(F.col("rk_a") == 1, F.col("cents")))
+        .cast("long")
+        .alias("open_cents"),
+        F.max("cents").cast("long").alias("high_cents"),
+        F.min("cents").cast("long").alias("low_cents"),
+        F.max(F.when(F.col("rk_z") == 1, F.col("cents")))
+        .cast("long")
+        .alias("close_cents"),
+        F.sum("cents").cast("long").alias("volume_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

@@ -260,6 +260,9 @@ DRIVER_ORDER = [
     "dedup_threshold_sweep",
     "graph_modularity",
     "multimodal_phash_clusters",
+    "win_ohlc_bars",
+    "orders_reorder_rate",
+    "events_hazard_rate",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1477,3 +1477,96 @@ def test_phash_clusters_vs_pairs(spark, sf_dir):
     for cid, members in by_cluster.items():
         assert sizes[cid] == len(members)
         assert min(members) == cid
+
+
+# --------------------------------------------------------------------------
+# win_ohlc_bars
+# --------------------------------------------------------------------------
+
+
+def test_ohlc_bars_replay(spark, sf_dir, duck):
+    bars = defaultdict(list)
+    for et, ts_us, eid, cents in duck.execute(
+        "SELECT event_type, epoch_us(ts), event_id, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) FROM events"
+    ).fetchall():
+        bars[(et, ts_us // DAY_US)].append((ts_us, eid, cents))
+    want = {}
+    for key, xs in bars.items():
+        xs.sort()
+        cs = [c for _, _, c in xs]
+        want[key] = (xs[0][2], max(cs), min(cs), xs[-1][2], sum(cs),
+                     len(cs))
+    rows = SPECS["win_ohlc_bars"].fn(spark, sf_dir).collect()
+    got = {(r.event_type, r.day): (
+        r.open_cents, r.high_cents, r.low_cents, r.close_cents,
+        r.volume_cents, r.n_events) for r in rows}
+    assert got == want
+    # invariant: low <= open, close <= high on every bar
+    for o, h, l, c, _, _ in got.values():
+        assert l <= o <= h and l <= c <= h
+
+
+# --------------------------------------------------------------------------
+# orders_reorder_rate
+# --------------------------------------------------------------------------
+
+
+def test_reorder_rate_replay(spark, sf_dir, duck):
+    cp = defaultdict(set)
+    for ck, pk, ok in duck.execute(
+        "SELECT o.o_custkey, l.l_partkey, l.l_orderkey FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ).fetchall():
+        cp[(ck, pk)].add(ok)
+    per_part = defaultdict(lambda: [0, 0, 0])
+    for (ck, pk), orders in cp.items():
+        s = per_part[pk]
+        s[0] += 1
+        s[1] += int(len(orders) >= 2)
+        s[2] += len(orders)
+    rows = SPECS["orders_reorder_rate"].fn(spark, sf_dir).collect()
+    got = {r.l_partkey: (r.n_buyers, r.n_repeat_buyers, r.n_orders_total,
+                         r.repeat_bp) for r in rows}
+    want = {pk: (s[0], s[1], s[2], s[1] * 10000 // s[0])
+            for pk, s in per_part.items()}
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# events_hazard_rate
+# --------------------------------------------------------------------------
+
+
+def test_hazard_rate_replay(spark, sf_dir, duck):
+    users = {}
+    obs_end = 0
+    for u, day, et in duck.execute(
+        "SELECT user_id, epoch_us(ts) // 86400000000, event_type "
+        "FROM events"
+    ).fetchall():
+        obs_end = max(obs_end, day)
+        first, conv = users.get(u, (day, None))
+        first = min(first, day)
+        if et == "purchase":
+            conv = day if conv is None else min(conv, day)
+        users[u] = (first, conv)
+    conv_k, cens_k = defaultdict(int), defaultdict(int)
+    for first, conv in users.values():
+        if conv is not None:
+            conv_k[conv - first] += 1
+        else:
+            cens_k[obs_end - first] += 1
+    ks = sorted(set(conv_k) | set(cens_k))
+    want = {}
+    for k in ks:
+        at_risk = sum(v for j, v in conv_k.items() if j >= k) + sum(
+            v for j, v in cens_k.items() if j >= k)
+        want[k] = (at_risk, conv_k.get(k, 0), cens_k.get(k, 0),
+                   conv_k.get(k, 0) * 10000 // at_risk)
+    rows = SPECS["events_hazard_rate"].fn(spark, sf_dir).collect()
+    got = {r.k: (r.n_at_risk, r.n_converted, r.n_censored, r.hazard_bp)
+           for r in rows}
+    assert got == want
+    # life-table identity: at-risk at the smallest k equals all users
+    assert got[ks[0]][0] == len(users)

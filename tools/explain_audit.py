@@ -666,6 +666,24 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [],
         [r"CartesianProduct", r"rangepartitioning"],
     ),
+    # OHLC bars: both rank windows + final agg share ONE
+    # (type, day)-keyed exchange
+    "win_ohlc_bars": (
+        [r"Window", r"hashpartitioning\(event_type", r"HashAggregate"],
+        [r"CartesianProduct", r"Join", r"rangepartitioning"],
+    ),
+    # reorder rate: one orderkey equi join + two keyed aggs; skewed
+    # parts spread over the (cust, part) key space in pass one
+    "orders_reorder_rate": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
+    ),
+    # hazard table: fact->user agg, 1-row obs broadcast, then
+    # histogram + suffix sums over the tiny days-since axis
+    "events_hazard_rate": (
+        [r"HashAggregate", r"Window", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
 }
 
 
