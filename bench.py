@@ -188,6 +188,9 @@ SQL_GROUP = [
     "win_ohlc_bars",
     "orders_reorder_rate",
     "events_hazard_rate",
+    "graph_random_walk",
+    "table_fingerprint",
+    "dq_referential_integrity",
 ]
 
 

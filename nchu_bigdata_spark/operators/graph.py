@@ -37,7 +37,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.io import table
@@ -1098,4 +1098,106 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_c",
         "e2_c",
         (num.cast("double") / den.cast("double")).alias("q_contrib"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_random_walk — deterministic walk corpus for embeddings (round 8)
+# --------------------------------------------------------------------------
+
+_WALK_STEPS = 4
+
+
+def _walk_h(start: str, step: int, nxt: str, dialect: str) -> str:
+    """Portable per-candidate walk hash: md5(start|step|neighbor) first
+    8 hex chars as int64 — the same md5-prefix family every
+    deterministic sampler here uses."""
+    if dialect == "duck":
+        return (
+            f"('0x' || substr(md5({start}::VARCHAR || '|' || {step} || "
+            f"'|' || {nxt}::VARCHAR), 1, 8))::BIGINT"
+        )
+    return (
+        f"CAST(conv(substr(md5(concat(CAST({start} AS STRING), '|', "
+        f"'{step}', '|', CAST({nxt} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def _walk_oracle() -> str:
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "w0 AS (SELECT DISTINCT u AS start, u AS cur FROM edges)",
+    ]
+    for s in range(1, _WALK_STEPS + 1):
+        h = _walk_h("w.start", s, "e.v", "duck")
+        ctes.append(
+            f"""w{s} AS (
+                SELECT start, cur FROM (
+                    SELECT w.start, e.v AS cur,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY w.start
+                               ORDER BY {h}, e.v) AS rk
+                    FROM w{s - 1} w JOIN edges e ON e.u = w.cur
+                ) WHERE rk = 1
+            )"""
+        )
+    hops = ", ".join(
+        f"CAST(w{s}.cur AS BIGINT) AS hop{s}"
+        for s in range(1, _WALK_STEPS + 1)
+    )
+    joins = " ".join(
+        f"JOIN w{s} ON w{s}.start = w0.start"
+        for s in range(1, _WALK_STEPS + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT w0.start, {hops} FROM w0 {joins}"
+    )
+
+
+@register("graph_random_walk", tags=("bext",), oracle=_walk_oracle())
+def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {n}-step walk corpus over the co-purchase graph —
+    the DeepWalk/node2vec INPUT: one walk per start vertex, each step
+    choosing the neighbor with the minimum portable hash
+    md5(start|step|neighbor) (ties by vertex id). Hash-driven choice
+    makes the "random" walk a pure function of the graph: bit-stable
+    across engines, runs, and backfills — the property a training
+    corpus needs (regenerate shard 7 without regenerating the world)
+    and the reason this isn't `rand()`. Per (start, step) the hash
+    re-keys on the START, so two walks crossing the same vertex
+    diverge — the corpus isn't one frozen successor function
+    (step-parity alone already breaks ping-pong loops within a walk).
+
+    Plan/scale: each step is ONE equi join (frontier x edges on the
+    current vertex) + a per-start rank-1 reduction — frontier stays
+    exactly |V| rows every step, fan-out is bounded by degree before
+    the reduction collapses it back. {n} steps = {n} keyed shuffles;
+    state never leaves the cluster. The oracle replays the identical
+    recurrence as an unrolled CTE chain (the `graph_pagerank`
+    certification pattern).
+    """
+    edges = shared_intermediate(
+        "walk_edges", _copurchase_edges(spark, sf_dir)
+    )
+    cur = edges.select(F.col("u").alias("start")).distinct().select(
+        "start", F.col("start").alias("cur")
+    )
+    out = cur.select("start")
+    for s in range(1, _WALK_STEPS + 1):
+        h = _walk_h("start", s, "v", "spark")
+        w_rk = Window.partitionBy("start").orderBy(F.expr(h), "v")
+        step = (
+            cur.join(edges, cur.cur == edges.u)
+            .select("start", "v")
+            .withColumn("rk", F.row_number().over(w_rk))
+            .filter(F.col("rk") == 1)
+            .select("start", F.col("v").alias("cur"))
+        )
+        out = out.join(
+            step.select("start", F.col("cur").alias(f"hop{s}")), "start"
+        )
+        cur = step
+    return out.select(
+        "start", *[F.col(f"hop{s}").cast("long") for s in range(1, _WALK_STEPS + 1)]
     )

@@ -439,3 +439,138 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("coverage_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# dq_referential_integrity — cross-table FK / temporal audit (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_referential_integrity",
+    tags=("b3",),
+    oracle="""
+        -- cross-table referential + temporal integrity audit: the
+        -- checks a warehouse runs BEFORE trusting any join-based
+        -- metric, each as (violations, checked, bp). This dataset
+        -- genuinely fails two of them — 257 orders with no lineitems
+        -- and thousands of ship-before-order lines — exactly the
+        -- facts orders_backlog had to clamp around; the audit is how
+        -- that surfaces BEFORE an operator silently absorbs it.
+        WITH checks AS (
+            SELECT 'lineitem_orphan_orderkey' AS check_name,
+                   CAST((SELECT COUNT(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+                        AS BIGINT) AS n_violations,
+                   CAST((SELECT COUNT(*) FROM lineitem)
+                        AS BIGINT) AS n_checked
+            UNION ALL
+            SELECT 'order_without_lineitems',
+                   CAST((SELECT COUNT(*) FROM orders o
+                         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey))
+                        AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem_orphan_partkey',
+                   CAST((SELECT COUNT(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+                        AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+            UNION ALL
+            SELECT 'orders_orphan_custkey',
+                   CAST((SELECT COUNT(*) FROM orders o
+                         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+                        AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+            UNION ALL
+            SELECT 'ship_before_order',
+                   CAST((SELECT COUNT(*) FROM lineitem l
+                         JOIN orders o ON o.o_orderkey = l.l_orderkey
+                         WHERE l.l_shipdate < o.o_orderdate)
+                        AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+        )
+        SELECT check_name, n_violations, n_checked,
+               CAST(n_violations * 10000 // n_checked AS BIGINT)
+                   AS violation_bp
+        FROM checks
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential + temporal integrity audit: the five
+    checks a warehouse runs BEFORE trusting any join-based metric —
+    orphaned lineitem orderkeys/partkeys, orphaned order custkeys,
+    orders with no lineitems, and ship-before-order temporal
+    violations — each reported as (violations, checked, bp). This
+    dataset genuinely fails two of them (257 line-less orders;
+    thousands of ship-before-order lines — the exact facts
+    `orders_backlog` had to clamp around), which is the operator's
+    point: integrity defects should surface in an audit table, not
+    be silently absorbed one downstream operator at a time.
+    `dq_constraints` checks per-row domains; this checks the
+    RELATIONSHIPS between tables, which no single-table profile can.
+
+    Plan/scale: every existence check is a key-keyed LEFT ANTI hash
+    join (never a subquery-per-row), counted map-side; the temporal
+    check rides one orderkey equi join. Five facts-sized passes that
+    all parallelize trivially; output is five rows."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    c = table(spark, sf_dir, "customer")
+
+    def row(name: str, viol: DataFrame, total: DataFrame) -> DataFrame:
+        nv = viol.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        nc = total.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))
+        return (
+            nv.crossJoin(F.broadcast(nc))
+            .select(
+                F.lit(name).alias("check_name"),
+                "n_violations",
+                "n_checked",
+                F.expr(
+                    "CAST(n_violations * 10000 div n_checked AS BIGINT)"
+                ).alias("violation_bp"),
+            )
+        )
+
+    out = row(
+        "lineitem_orphan_orderkey",
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        li,
+    )
+    out = out.unionAll(
+        row(
+            "order_without_lineitems",
+            o.join(li, o.o_orderkey == li.l_orderkey, "left_anti"),
+            o,
+        )
+    )
+    out = out.unionAll(
+        row(
+            "lineitem_orphan_partkey",
+            li.join(p, li.l_partkey == p.p_partkey, "left_anti"),
+            li,
+        )
+    )
+    out = out.unionAll(
+        row(
+            "orders_orphan_custkey",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+            o,
+        )
+    )
+    out = out.unionAll(
+        row(
+            "ship_before_order",
+            li.join(o, li.l_orderkey == o.o_orderkey).filter(
+                F.col("l_shipdate") < F.col("o_orderdate")
+            ),
+            li,
+        )
+    )
+    return out

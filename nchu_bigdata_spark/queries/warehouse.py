@@ -1305,3 +1305,112 @@ def orders_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 10000 div count(*) AS BIGINT)"
         ).alias("repeat_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# table_fingerprint — order-independent table checksums (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "table_fingerprint",
+    tags=("b3",),
+    oracle="""
+        -- order-independent per-table fingerprints: row count + the
+        -- SUM (mod 2^60) of a 60-bit md5 over each row's business
+        -- columns (modular addition is commutative, so partitioning /
+        -- scan order can't change the digest; the 128-bit accumulator
+        -- never overflows before the modulus, and the int64 digest
+        -- survives the decimal->double compat layer exactly). The
+        -- cheap companion to table_diff: compare fingerprints first,
+        -- run the full I/U/D diff only on tables whose digests moved
+        -- — at 100 TB that's one agg versus a full-table join.
+        WITH o AS (
+            SELECT 'orders' AS tbl,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(('0x' || substr(md5(
+                        o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR
+                        || '|' || o_orderstatus || '|'
+                        || strftime(o_orderdate, '%Y-%m-%d')), 1, 15)
+                        )::BIGINT)::HUGEINT
+                        % 1152921504606846976 AS BIGINT) AS checksum
+            FROM orders
+        ),
+        c AS (
+            SELECT 'customer' AS tbl,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(('0x' || substr(md5(
+                        c_custkey::VARCHAR || '|' || c_name || '|'
+                        || c_nationkey::VARCHAR), 1, 15)
+                        )::BIGINT)::HUGEINT
+                        % 1152921504606846976 AS BIGINT) AS checksum
+            FROM customer
+        ),
+        s AS (
+            SELECT 'supplier' AS tbl,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(('0x' || substr(md5(
+                        s_suppkey::VARCHAR || '|' || s_name || '|'
+                        || s_nationkey::VARCHAR), 1, 15)
+                        )::BIGINT)::HUGEINT
+                        % 1152921504606846976 AS BIGINT) AS checksum
+            FROM supplier
+        )
+        SELECT * FROM o UNION ALL SELECT * FROM c
+        UNION ALL SELECT * FROM s
+    """,
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints: per table, the row count
+    plus the SUM (mod 2^60) of a 60-bit md5 digest over each row's
+    business columns. Modular addition is commutative and associative,
+    so scan order, partitioning, and merge order cannot change the
+    digest — the 128-bit accumulator never overflows before the final
+    modulus, and the int64 result survives the driver's
+    decimal→double compat layer EXACTLY — which is what lets two
+    INDEPENDENT systems (prod vs replica, engine vs engine, today vs
+    yesterday's snapshot) agree on "identical table" without moving
+    any data. The cheap companion to `table_diff`: compare
+    fingerprints first, run the full I/U/D join diff only on tables
+    whose digest moved. A sum survives single-row changes
+    arithmetically (old row out, new row in shifts the digest), and
+    the 60-bit space keeps collision odds at the `fn_surrogate_key`
+    birthday bound.
+
+    Plan/scale: one projection + one map-side-combined agg PER TABLE,
+    no join, no shuffle beyond the 1-row agg merges; the three 1-row
+    results union driver-free."""
+
+    def fp(df: DataFrame, tbl: str, key_expr: str) -> DataFrame:
+        return df.select(
+            F.expr(
+                f"CAST(conv(substr(md5({key_expr}), 1, 15), 16, 10)"
+                " AS decimal(28,0)) AS h"
+            )
+        ).agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr(
+                "CAST(sum(h) % 1152921504606846976 AS BIGINT)"
+            ).alias("checksum"),
+        ).select("tbl", "n_rows", "checksum")
+
+    o = fp(
+        table(spark, sf_dir, "orders"),
+        "orders",
+        "concat(CAST(o_orderkey AS STRING), '|', CAST(o_custkey AS STRING),"
+        " '|', o_orderstatus, '|', date_format(o_orderdate, 'yyyy-MM-dd'))",
+    )
+    c = fp(
+        table(spark, sf_dir, "customer"),
+        "customer",
+        "concat(CAST(c_custkey AS STRING), '|', c_name, '|',"
+        " CAST(c_nationkey AS STRING))",
+    )
+    s = fp(
+        table(spark, sf_dir, "supplier"),
+        "supplier",
+        "concat(CAST(s_suppkey AS STRING), '|', s_name, '|',"
+        " CAST(s_nationkey AS STRING))",
+    )
+    return o.unionAll(c).unionAll(s)

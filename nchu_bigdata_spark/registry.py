@@ -263,6 +263,9 @@ DRIVER_ORDER = [
     "win_ohlc_bars",
     "orders_reorder_rate",
     "events_hazard_rate",
+    "graph_random_walk",
+    "table_fingerprint",
+    "dq_referential_integrity",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

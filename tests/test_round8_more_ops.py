@@ -1570,3 +1570,127 @@ def test_hazard_rate_replay(spark, sf_dir, duck):
     assert got == want
     # life-table identity: at-risk at the smallest k equals all users
     assert got[ks[0]][0] == len(users)
+
+
+# --------------------------------------------------------------------------
+# graph_random_walk
+# --------------------------------------------------------------------------
+
+
+def test_random_walk_replay(spark, sf_dir, duck):
+    import hashlib
+    adj = defaultdict(set)
+    for u, v in duck.execute(
+        "SELECT DISTINCT a.l_partkey, b.l_partkey FROM lineitem a "
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey"
+    ).fetchall():
+        adj[u].add(v)
+
+    def h(start, step, nxt):
+        return int(
+            hashlib.md5(f"{start}|{step}|{nxt}".encode()).hexdigest()[:8],
+            16,
+        )
+
+    want = {}
+    for start in adj:
+        cur, hops = start, []
+        for step in range(1, 5):
+            cur = min(adj[cur], key=lambda y: (h(start, step, y), y))
+            hops.append(cur)
+        want[start] = tuple(hops)
+    rows = SPECS["graph_random_walk"].fn(spark, sf_dir).collect()
+    got = {r.start: (r.hop1, r.hop2, r.hop3, r.hop4) for r in rows}
+    assert got == want
+    # every hop must actually be a neighbor of its predecessor
+    for start, hops in got.items():
+        prev = start
+        for nxt in hops:
+            assert nxt in adj[prev]
+            prev = nxt
+    # the corpus is not one frozen successor function: some vertex is
+    # left via different edges in different walks (start re-keying)
+    succ = defaultdict(set)
+    for start, hops in got.items():
+        prev = start
+        for i, nxt in enumerate(hops):
+            succ[(prev, i % 2)].add(nxt)
+            prev = nxt
+    assert any(len(v) > 1 for v in succ.values())
+
+
+# --------------------------------------------------------------------------
+# table_fingerprint
+# --------------------------------------------------------------------------
+
+
+def test_table_fingerprint_replay(spark, sf_dir, duck):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    n, tot = 0, 0
+    for ok, ck, st, dt in duck.execute(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "strftime(o_orderdate, '%Y-%m-%d') FROM orders"
+    ).fetchall():
+        tot += h60(f"{ok}|{ck}|{st}|{dt}")
+        n += 1
+    want["orders"] = (n, tot % 2**60)
+    n, tot = 0, 0
+    for ck, nm, nk in duck.execute(
+        "SELECT c_custkey, c_name, c_nationkey FROM customer"
+    ).fetchall():
+        tot += h60(f"{ck}|{nm}|{nk}")
+        n += 1
+    want["customer"] = (n, tot % 2**60)
+    n, tot = 0, 0
+    for sk, nm, nk in duck.execute(
+        "SELECT s_suppkey, s_name, s_nationkey FROM supplier"
+    ).fetchall():
+        tot += h60(f"{sk}|{nm}|{nk}")
+        n += 1
+    want["supplier"] = (n, tot % 2**60)
+    rows = SPECS["table_fingerprint"].fn(spark, sf_dir).collect()
+    got = {r.tbl: (r.n_rows, int(r.checksum)) for r in rows}
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# dq_referential_integrity
+# --------------------------------------------------------------------------
+
+
+def test_referential_integrity_replay(spark, sf_dir, duck):
+    li_ok = {r[0] for r in duck.execute(
+        "SELECT DISTINCT l_orderkey FROM lineitem").fetchall()}
+    o_ok = {r[0] for r in duck.execute(
+        "SELECT o_orderkey FROM orders").fetchall()}
+    n_li = duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    n_o = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    rows = SPECS["dq_referential_integrity"].fn(spark, sf_dir).collect()
+    got = {r.check_name: (r.n_violations, r.n_checked, r.violation_bp)
+           for r in rows}
+    assert set(got) == {
+        "lineitem_orphan_orderkey", "order_without_lineitems",
+        "lineitem_orphan_partkey", "orders_orphan_custkey",
+        "ship_before_order",
+    }
+    n_orphan_o = len(o_ok - li_ok)
+    assert got["order_without_lineitems"] == (
+        n_orphan_o, n_o, n_orphan_o * 10000 // n_o)
+    n_ship = duck.execute(
+        "SELECT COUNT(*) FROM lineitem l JOIN orders o "
+        "ON o.o_orderkey = l.l_orderkey "
+        "WHERE l.l_shipdate < o.o_orderdate").fetchone()[0]
+    assert got["ship_before_order"] == (
+        n_ship, n_li, n_ship * 10000 // n_li)
+    # this synthetic dataset genuinely violates exactly these two
+    assert got["order_without_lineitems"][0] > 0
+    assert got["ship_before_order"][0] > 0
+    assert got["lineitem_orphan_orderkey"][0] == 0
+    assert got["lineitem_orphan_partkey"][0] == 0
+    assert got["orders_orphan_custkey"][0] == 0

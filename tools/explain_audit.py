@@ -684,6 +684,24 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Window", r"BroadcastNestedLoopJoin"],
         [r"CartesianProduct", r"SortMergeJoin"],
     ),
+    # random walks: per step ONE frontier x edges equi join + a
+    # per-start rank-1 window; edges checkpointed once (scan reuse)
+    "graph_random_walk": (
+        [r"Window", r"hashpartitioning\(start"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # fingerprints: per-table projection + 1-row agg, unioned;
+    # no join anywhere
+    "table_fingerprint": (
+        [r"HashAggregate", r"Union"],
+        [r"Join", r"Window", r"rangepartitioning"],
+    ),
+    # referential audit: every existence check is a keyed LEFT ANTI
+    # hash join counted map-side; 1-row total broadcasts
+    "dq_referential_integrity": (
+        [r"HashAggregate", r"LeftAnti"],
+        [r"CartesianProduct", r"Window", r"rangepartitioning"],
+    ),
 }
 
 
