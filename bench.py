@@ -191,6 +191,9 @@ SQL_GROUP = [
     "graph_random_walk",
     "table_fingerprint",
     "dq_referential_integrity",
+    "win_cusum_chart",
+    "join_pit_scd2",
+    "multimodal_audio_vad",
 ]
 
 

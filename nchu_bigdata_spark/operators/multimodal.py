@@ -938,3 +938,108 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = multimodal_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
+
+
+# --------------------------------------------------------------------------
+# multimodal_audio_vad — energy-gated voice-activity segmentation (round 8)
+# --------------------------------------------------------------------------
+
+_VAD_FRAME = 64  # samples per analysis frame
+
+_AUDIO_VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_active", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("longest_run", T.LongType()),
+        T.StructField("active_bp", T.LongType()),
+    ]
+)
+
+
+def _synth_and_audio_vad(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            blob = encode_wav(bytes(payload))
+            pcm, _sr, _n_ch = _wav_pcm(blob)
+            s = pcm.astype(np.int64)
+            n = int(s.size)
+            nf = (n + _VAD_FRAME - 1) // _VAD_FRAME
+            # per-frame energy sums (tail frame keeps its raw sum —
+            # comparing energy SUMS against the mean keeps everything
+            # integer; a partial tail frame is quieter by construction
+            # and the spec says so)
+            fe = [
+                int(np.sum(s[i * _VAD_FRAME:(i + 1) * _VAD_FRAME] ** 2))
+                for i in range(nf)
+            ]
+            tot = sum(fe)
+            # active iff STRICTLY above the mean frame energy:
+            # fe * n_frames > total  (exact integer test)
+            act = [e * nf > tot for e in fe]
+            n_active = sum(act)
+            n_seg, longest, run = 0, 0, 0
+            for a in act:
+                if a:
+                    run += 1
+                    if run == 1:
+                        n_seg += 1
+                    longest = max(longest, run)
+                else:
+                    run = 0
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "n_samples": n,
+                    "n_frames": nf,
+                    "n_active": int(n_active),
+                    "n_segments": n_seg,
+                    "longest_run": longest,
+                    "active_bp": int(n_active) * 10_000 // nf if nf else 0,
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in _AUDIO_VAD_SCHEMA])
+
+
+@register(
+    "multimodal_audio_vad",
+    tags=("b10",),
+    oracle=None,  # WAV decode is not SQL-expressible; the sweep replays
+    # the full synth->decode->frame->gate chain in pure Python
+    # (tools/check_oracle.py PROMOTED, the multimodal_audio_stats
+    # pattern) and checks every row exactly.
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gated voice-activity segmentation per audio clip: the
+    PCM stream splits into {f}-sample frames, a frame is ACTIVE iff
+    its energy sum is strictly above the clip's mean frame energy
+    (the exact integer test e·n_frames > total — no thresholds in
+    float, no magic absolute constant), and maximal active runs
+    become segments. n_segments / longest_run / active_bp are the
+    speech-density screens an audio corpus runs before expensive ASR
+    — "mostly silence", "one long utterance", "choppy noise" are
+    separable from these three integers alone. The adaptive
+    (per-clip-relative) gate is what makes the same operator work on
+    quiet and loud recordings without calibration.
+
+    Exactness: int16 samples → frame energy ≤ 64·2³⁰ fits int64 with
+    ~2e8 frames of headroom on the cross-multiplied gate; every
+    output is an integer; the sweep replays the entire
+    synth→decode→frame→gate→run-length chain in pure Python and
+    demands per-row equality (the `multimodal_audio_stats`
+    certification pattern).
+
+    Plan/scale: partition-preserving Arrow ``mapInPandas`` — zero
+    shuffle, scan locality, 7 integers per clip leave the stage,
+    never samples."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    return with_payload(docs).mapInPandas(
+        _synth_and_audio_vad, _AUDIO_VAD_SCHEMA
+    )

@@ -2967,3 +2967,176 @@ def events_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CURRENT ROW)) AS BIGINT)"
         ).alias("hazard_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_cusum_chart — one-sided CUSUM control chart (round 8)
+# --------------------------------------------------------------------------
+
+# x8 integer scaling: d8 = 8x - 4*med2 - mad4 is exactly
+# 8*(x - median - MAD/2) — the classic CUSUM slack k = MAD/2 — and the
+# alarm S8 > 10*mad4 is exactly S > 5*MAD. All int64.
+_CUSUM_H_MAD4 = 10
+
+
+@register(
+    "win_cusum_chart",
+    tags=("b11",),
+    oracle=f"""
+        -- one-sided upper CUSUM control chart per event series:
+        -- S_t = max(0, S_t-1 + (x_t - median - MAD/2)) with alarm at
+        -- 5*MAD — the ONLINE sequential detector (Page 1954) that
+        -- catches small sustained upward shifts per-day tests miss
+        -- (complement of ts_changepoint's retrospective argmax and
+        -- ts_mad_anomaly's single-day spikes). The recursion is NOT
+        -- window-expressible, but its closed form is:
+        -- S_t = P_t - min(0, min_j<=t P_j) with P the prefix sum of
+        -- deviations — two running windows. x8 integer scaling makes
+        -- slack and threshold exact (d8 = 8x - 4*med2 - mad4; alarm
+        -- S8 > {_CUSUM_H_MAD4}*mad4).
+        WITH cell AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY x, day) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM cell
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN rk = (n + 1) // 2 OR rk = n // 2 + 1
+                                 THEN x ELSE 0 END)
+                        * CASE WHEN (MAX(n) + 1) // 2 = MAX(n) // 2 + 1
+                               THEN 2 ELSE 1 END AS BIGINT) AS med2
+            FROM r GROUP BY event_type
+        ),
+        dev AS (
+            SELECT cell.event_type, day, x, med2,
+                   ABS(2 * x - med2) AS dev2
+            FROM cell JOIN med ON cell.event_type = med.event_type
+        ),
+        dr AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY dev2, day) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN rk = (n + 1) // 2 OR rk = n // 2 + 1
+                                 THEN dev2 ELSE 0 END)
+                        * CASE WHEN (MAX(n) + 1) // 2 = MAX(n) // 2 + 1
+                               THEN 2 ELSE 1 END AS BIGINT) AS mad4
+            FROM dr GROUP BY event_type
+        ),
+        p AS (
+            SELECT dev.event_type, day, x, med2, mad4,
+                   SUM(8 * x - 4 * med2 - mad4) OVER (
+                       PARTITION BY dev.event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS p8
+            FROM dev JOIN mad ON dev.event_type = mad.event_type
+        ),
+        q AS (
+            SELECT *, MIN(p8) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS minp8
+            FROM p
+        )
+        SELECT event_type, CAST(day AS BIGINT) AS day, x, mad4,
+               CAST(p8 - LEAST(0, minp8) AS BIGINT) AS s8,
+               CAST(p8 - LEAST(0, minp8)
+                    > {_CUSUM_H_MAD4} * mad4 AS INT) AS alarm
+        FROM q
+    """,
+)
+def win_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upper CUSUM control chart per event series: the
+    ONLINE sequential detector (Page 1954) — S_t = max(0, S_{t-1} +
+    (x_t − median − MAD/2)), alarm at 5·MAD — that catches small
+    SUSTAINED upward shifts long before any single day trips a
+    z/MAD test. Completes the monitoring triptych: `ts_mad_anomaly`
+    flags single-day spikes, `ts_changepoint` locates one shift
+    retrospectively, this one raises the alarm IN SEQUENCE, day by
+    day, robust-calibrated off the same med2/mad4 integers.
+
+    The max(0, ·) recursion is not window-expressible — but its
+    closed form is: S_t = P_t − min(0, min_{j≤t} P_j), with P the
+    prefix sum of slack-adjusted deviations. Two stacked running
+    windows (a running sum, then a running min OVER it) replace the
+    recursion exactly. x8 integer scaling (d8 = 8x − 4·med2 − mad4)
+    makes the MAD/2 slack and the 5·MAD threshold exact int64 — no
+    halves, no floats, no divisions at all.
+
+    Plan/scale: the cell agg collapses facts map-side; the two
+    calibration rollups and both running windows all key on
+    event_type — after one shuffle, everything is partition-local
+    over day cardinality, and per-series window state is O(1)."""
+    ev = table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w_n = Window.partitionBy("event_type")
+    r = cell.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("x", "day"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    med2_expr = (
+        "CAST(sum(CASE WHEN rk = (n + 1) div 2 OR rk = n div 2 + 1 "
+        "THEN {v} ELSE 0 END) "
+        "* CASE WHEN (max(n) + 1) div 2 = max(n) div 2 + 1 "
+        "THEN 2 ELSE 1 END AS BIGINT)"
+    )
+    med = r.groupBy("event_type").agg(
+        F.expr(med2_expr.format(v="x")).alias("med2")
+    )
+    dev = cell.join(med, "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        "med2",
+        F.abs(2 * F.col("x") - F.col("med2")).alias("dev2"),
+    )
+    dr = dev.select(
+        "event_type",
+        "dev2",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("dev2", "day"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    mad = dr.groupBy("event_type").agg(
+        F.expr(med2_expr.format(v="dev2")).alias("mad4")
+    )
+    w8 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d8 = 8 * F.col("x") - 4 * F.col("med2") - F.col("mad4")
+    p = dev.join(mad, "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        "mad4",
+        F.sum(d8).over(w8).alias("p8"),
+    )
+    p = p.select("*", F.min("p8").over(w8).alias("minp8"))
+    s8 = F.col("p8") - F.least(F.lit(0), F.col("minp8"))
+    return p.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "x",
+        "mad4",
+        s8.cast("long").alias("s8"),
+        (s8 > _CUSUM_H_MAD4 * F.col("mad4")).cast("int").alias("alarm"),
+    )

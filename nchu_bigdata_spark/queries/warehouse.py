@@ -1414,3 +1414,135 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(s_nationkey AS STRING))",
     )
     return o.unionAll(c).unionAll(s)
+
+
+# --------------------------------------------------------------------------
+# join_pit_scd2 — point-in-time dimensional version lookup (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_pit_scd2",
+    tags=("b3",),
+    oracle="""
+        -- point-in-time SCD-2 lookup: for every order, which VERSION
+        -- of its customer's history was current when the order's LAST
+        -- line shipped, vs the version the order itself created —
+        -- versions_advanced is the dimension-staleness readout
+        -- ("the customer changed N times while this order was in
+        -- fulfillment"), the question every as-of/PIT join in a
+        -- warehouse exists to answer. Versions collapse to one per
+        -- (customer, day) — max version wins — so the as-of pick is
+        -- unambiguous on same-day changes; ship-before-order lines
+        -- (a real defect in this data, see dq_referential_integrity)
+        -- surface as matched = 0 or negative advancement instead of
+        -- being silently absorbed.
+        WITH v AS (
+            SELECT o_custkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS version,
+                   o_orderkey, o_orderdate
+            FROM orders
+        ),
+        vd AS (
+            SELECT o_custkey, o_orderdate AS vfrom,
+                   MAX(version) AS version
+            FROM v GROUP BY o_custkey, o_orderdate
+        ),
+        ls AS (
+            SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        probe AS (
+            SELECT v.o_orderkey, v.o_custkey,
+                   CAST(v.version AS BIGINT) AS own_version,
+                   ls.last_ship
+            FROM v JOIN ls ON ls.l_orderkey = v.o_orderkey
+        )
+        SELECT p.o_orderkey, p.o_custkey, p.own_version,
+               CAST(vd.version AS BIGINT) AS version_at_ship,
+               CAST(vd.version - p.own_version AS BIGINT)
+                   AS versions_advanced,
+               CAST(vd.version IS NOT NULL AS INT) AS matched
+        FROM probe p
+        ASOF LEFT JOIN vd
+          ON p.o_custkey = vd.o_custkey AND p.last_ship >= vd.vfrom
+    """,
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD-2 lookup: join every order (probing at its
+    LAST ship date) to the customer-history VERSION current at that
+    moment, and report how far the dimension advanced past the
+    version the order itself created. This is THE dimensional-
+    warehouse temporal join — "facts must join the dimension row
+    valid AT fact time, not the current one" — executed as a
+    carry-forward as-of over the `scd2_history` versioning scheme.
+    ``versions_advanced`` is the staleness readout a reporting team
+    checks before trusting any current-dimension join; negative
+    values and matched = 0 surface this dataset's genuine
+    ship-before-order defects (`dq_referential_integrity`) instead
+    of silently absorbing them.
+
+    As-of mechanics (the `join_asof` union trick, dimension-keyed):
+    version rows (one per (customer, day), max version wins — so
+    same-day changes are unambiguous) and probe rows union into one
+    stream, ONE (custkey)-keyed window sorted by (date, kind) carries
+    the last version forward onto each probe; version rows sort
+    before probes on the same date, giving the >= as-of bound.
+
+    Plan/scale: version numbering and the carry-forward share the
+    custkey partitioning; the last-ship agg is map-side combined;
+    no broadcast assumption — a billion-customer dimension
+    hash-partitions like any other as-of here."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    w_v = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    v = o.select(
+        "o_custkey",
+        F.row_number().over(w_v).alias("version"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    vd = v.groupBy(
+        "o_custkey", F.col("o_orderdate").alias("d")
+    ).agg(F.max("version").alias("ver"))
+    ls = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    probe = v.join(ls, v.o_orderkey == ls.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("version").cast("long").alias("own_version"),
+        F.col("last_ship").alias("d"),
+    )
+    stream = vd.select(
+        "o_custkey", "d", F.lit(0).alias("kind"), "ver",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("long").alias("own_version"),
+    ).unionAll(
+        probe.select(
+            "o_custkey", "d", F.lit(1).alias("kind"),
+            F.lit(None).cast("int").alias("ver"),
+            "o_orderkey", "own_version",
+        )
+    )
+    w_cf = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = stream.select(
+        "*", F.last("ver", ignorenulls=True).over(w_cf).alias("cur_ver")
+    ).filter(F.col("kind") == 1)
+    return carried.select(
+        "o_orderkey",
+        "o_custkey",
+        "own_version",
+        F.col("cur_ver").cast("long").alias("version_at_ship"),
+        (F.col("cur_ver") - F.col("own_version"))
+        .cast("long")
+        .alias("versions_advanced"),
+        F.col("cur_ver").isNotNull().cast("int").alias("matched"),
+    )

@@ -266,6 +266,9 @@ DRIVER_ORDER = [
     "graph_random_walk",
     "table_fingerprint",
     "dq_referential_integrity",
+    "win_cusum_chart",
+    "join_pit_scd2",
+    "multimodal_audio_vad",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

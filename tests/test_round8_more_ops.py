@@ -1694,3 +1694,124 @@ def test_referential_integrity_replay(spark, sf_dir, duck):
     assert got["lineitem_orphan_orderkey"][0] == 0
     assert got["lineitem_orphan_partkey"][0] == 0
     assert got["orders_orphan_custkey"][0] == 0
+
+
+# --------------------------------------------------------------------------
+# win_cusum_chart
+# --------------------------------------------------------------------------
+
+
+def test_cusum_chart_replay(spark, sf_dir, duck):
+    series = defaultdict(dict)
+    for et, day, x in duck.execute(
+        "SELECT event_type, epoch_us(ts) // 86400000000, COUNT(*) "
+        "FROM events GROUP BY 1, 2"
+    ).fetchall():
+        series[et][day] = x
+
+    def med2_of(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return (xs[(n - 1) // 2] + xs[n // 2])
+
+    want = {}
+    for et, by_day in series.items():
+        med2 = med2_of(list(by_day.values()))
+        mad4 = med2_of([abs(2 * x - med2) for x in by_day.values()])
+        # literal recursion S_t = max(0, S_{t-1} + d8_t) — the closed
+        # form the operator uses must match this exactly
+        s8 = 0
+        for day in sorted(by_day):
+            d8 = 8 * by_day[day] - 4 * med2 - mad4
+            s8 = max(0, s8 + d8)
+            want[(et, day)] = (by_day[day], mad4, s8,
+                               int(s8 > 10 * mad4))
+    rows = SPECS["win_cusum_chart"].fn(spark, sf_dir).collect()
+    got = {(r.event_type, r.day): (r.x, r.mad4, r.s8, r.alarm)
+           for r in rows}
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# join_pit_scd2
+# --------------------------------------------------------------------------
+
+
+def test_pit_scd2_replay(spark, sf_dir, duck):
+    from bisect import bisect_right
+    orders = duck.execute(
+        "SELECT o_custkey, o_orderkey, o_orderdate FROM orders "
+        "ORDER BY o_custkey, o_orderdate, o_orderkey"
+    ).fetchall()
+    own, vd = {}, defaultdict(list)
+    prev_c, ver = None, 0
+    for ck, ok, d in orders:
+        ver = ver + 1 if ck == prev_c else 1
+        prev_c = ck
+        own[ok] = (ck, ver)
+        vd[ck].append((d, ver))
+    # collapse to one (date -> max version) ladder per customer
+    ladder = {}
+    for ck, vs in vd.items():
+        by_date = {}
+        for d, v in vs:
+            by_date[d] = max(by_date.get(d, 0), v)
+        ds = sorted(by_date)
+        ladder[ck] = (ds, [by_date[d] for d in ds])
+    last_ship = dict(duck.execute(
+        "SELECT l_orderkey, MAX(l_shipdate) FROM lineitem GROUP BY 1"
+    ).fetchall())
+    rows = SPECS["join_pit_scd2"].fn(spark, sf_dir).collect()
+    got = {r.o_orderkey: (r.o_custkey, r.own_version, r.version_at_ship,
+                          r.versions_advanced, r.matched) for r in rows}
+    assert set(got) == set(last_ship) & set(own)
+    n_neg = 0
+    for ok, ship in last_ship.items():
+        ck, ov = own[ok]
+        ds, vs = ladder[ck]
+        i = bisect_right(ds, ship)
+        if i == 0:
+            assert got[ok] == (ck, ov, None, None, 0)
+        else:
+            vas = vs[i - 1]
+            assert got[ok] == (ck, ov, vas, vas - ov, 1)
+            n_neg += vas < ov
+    # the ship-before-order defect must be visible as regressions
+    assert n_neg > 0
+
+
+# --------------------------------------------------------------------------
+# multimodal_audio_vad
+# --------------------------------------------------------------------------
+
+
+def test_audio_vad_replay(spark, sf_dir, duck):
+    FRAME = 64
+    docs = duck.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1"
+    ).fetchall()
+    want = {}
+    for doc_id, text in docs:
+        s = [(b - 128) * 256 for b in (text.encode("utf-8") or b"\x80")]
+        nf = (len(s) + FRAME - 1) // FRAME
+        fe = [sum(x * x for x in s[i * FRAME:(i + 1) * FRAME])
+              for i in range(nf)]
+        tot = sum(fe)
+        act = [e * nf > tot for e in fe]
+        n_seg = longest = run = 0
+        for a in act:
+            if a:
+                run += 1
+                n_seg += run == 1
+                longest = max(longest, run)
+            else:
+                run = 0
+        want[doc_id] = (len(s), nf, sum(act), n_seg, longest,
+                        sum(act) * 10000 // nf)
+    rows = SPECS["multimodal_audio_vad"].fn(spark, sf_dir).collect()
+    got = {r.doc_id: (r.n_samples, r.n_frames, r.n_active, r.n_segments,
+                      r.longest_run, r.active_bp) for r in rows}
+    assert got == want
+    # the adaptive gate must produce real segmentation structure
+    assert any(v[3] >= 2 for v in got.values())
+    assert all(0 < v[5] < 10000 for v in got.values() if v[1] > 1)

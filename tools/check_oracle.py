@@ -327,6 +327,52 @@ def exact_multimodal_phash_clusters(con, spdf: pd.DataFrame) -> tuple[bool, str]
     return True, f"{len(got)} rows, exact union-find replay"
 
 
+def exact_multimodal_audio_vad(con, spdf: pd.DataFrame) -> tuple[bool, str]:
+    """multimodal_audio_vad: synth→decode→frame→gate→run-length chain
+    replayed in pure Python from the sample spec ((b − 128) << 8,
+    64-sample frames, active iff e·n_frames > total) — independent of
+    numpy and the operator's codec code."""
+    FRAME = 64
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1"
+    ).fetchall()
+    expect = {}
+    for doc_id, text in docs:
+        data = text.encode("utf-8") or b"\x80"
+        s = [(b - 128) * 256 for b in data]
+        nf = (len(s) + FRAME - 1) // FRAME
+        fe = [
+            sum(x * x for x in s[i * FRAME:(i + 1) * FRAME])
+            for i in range(nf)
+        ]
+        tot = sum(fe)
+        act = [e * nf > tot for e in fe]
+        n_seg = longest = run = 0
+        for a in act:
+            if a:
+                run += 1
+                n_seg += run == 1
+                longest = max(longest, run)
+            else:
+                run = 0
+        expect[doc_id] = (
+            len(s), nf, sum(act), n_seg, longest,
+            sum(act) * 10_000 // nf if nf else 0,
+        )
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_samples"]), int(r["n_frames"]), int(r["n_active"]),
+            int(r["n_segments"]), int(r["longest_run"]),
+            int(r["active_bp"]),
+        )
+        for _, r in spdf.iterrows()
+    }
+    if got != expect:
+        bad = [k for k in expect if got.get(k) != expect[k]][:3]
+        return False, f"VAD spec replay mismatch, e.g. doc_ids {bad}"
+    return True, f"{len(got)} rows, exact VAD spec replay"
+
+
 # Rows-only queries with a promoted bounded accuracy check: the sweep
 # runs these against DuckDB exact aggregates instead of recording a
 # bare rows-only line.
@@ -344,6 +390,7 @@ BOUNDED_CHECKS = {
     "multimodal_phash_pairs": exact_multimodal_phash_pairs,
     "multimodal_audio_stats": exact_multimodal_audio_stats,
     "multimodal_phash_clusters": exact_multimodal_phash_clusters,
+    "multimodal_audio_vad": exact_multimodal_audio_vad,
 }
 
 

@@ -702,6 +702,25 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"LeftAnti"],
         [r"CartesianProduct", r"Window", r"rangepartitioning"],
     ),
+    # CUSUM chart: cell agg + calibration rollups + both running
+    # windows all key on event_type — partition-local after one
+    # shuffle
+    "win_cusum_chart": (
+        [r"HashAggregate", r"Window", r"hashpartitioning\(event_type"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # PIT lookup: version numbering + carry-forward share the custkey
+    # partitioning; last-ship agg map-side; no broadcast assumption
+    "join_pit_scd2": (
+        [r"Window", r"hashpartitioning\(o_custkey", r"Union"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"rangepartitioning"],
+    ),
+    # audio VAD: partition-preserving Arrow mapInPandas, zero shuffle
+    "multimodal_audio_vad": (
+        [r"MapInPandas"],
+        [r"Exchange", r"Join", r"Window"],
+    ),
 }
 
 
