@@ -194,6 +194,9 @@ SQL_GROUP = [
     "win_cusum_chart",
     "join_pit_scd2",
     "multimodal_audio_vad",
+    "dedup_band_tuning",
+    "events_did",
+    "sample_kfold",
 ]
 
 

@@ -343,7 +343,10 @@ def _shingle_pair_stats(
 # The full MinHash-LSH pair derivation as a reusable CTE chain ending in
 # `pairs` (verified near-dup pairs). Shared by the dedup_minhash oracle
 # and the dedup_clusters oracle, which runs connected components on top.
-_SQL_MINHASH_PAIRS = f"""
+# Shared shingle->minhash-signature SQL core: _SQL_MINHASH_PAIRS
+# builds the shipped (8x4) banding on top of it; dedup_band_tuning
+# re-bands the SAME mh table for every (b, r) config.
+_SQL_MH_CORE = f"""
         {_SQL_SHINGLES},
         sh32 AS (
             SELECT DISTINCT doc_id,
@@ -355,7 +358,11 @@ _SQL_MINHASH_PAIRS = f"""
                    MIN(({_A}[i + 1] * h + {_B}[i + 1]) % {_P}) AS mh
             FROM sh32, unnest(range({_H})) AS r(i)
             GROUP BY doc_id, i
-        ),
+        )
+"""
+
+_SQL_MINHASH_PAIRS = f"""
+        {_SQL_MH_CORE},
         band AS (
             SELECT doc_id, i // {_ROWS} AS band_id,
                    md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key
@@ -2064,4 +2071,197 @@ def curate_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("switched"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_band_tuning — LSH (bands x rows) configuration sweep (round 8)
+# --------------------------------------------------------------------------
+
+# Candidate configs over the SAME 32 minhashes: rebanding reuses the
+# signature table, so the sweep costs 4 band joins, never 4 signature
+# recomputations — the knob that is actually cheap to turn at 100 TB.
+_BT_CONFIGS = [(4, 8), (8, 4), (16, 2), (32, 1)]
+
+
+def _bt_expected_bp(b: int, r: int, j: float = 0.5) -> int:
+    """Closed-form S-curve P(candidate | jaccard=j) = 1-(1-j^r)^b in
+    floor basis points — the theoretical column the empirical counts
+    are read against."""
+    return int((1.0 - (1.0 - j**r) ** b) * 10_000)
+
+
+@register(
+    "dedup_band_tuning",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_MH_CORE},
+        {','.join(f'''
+        band{b}x{r} AS (
+            SELECT doc_id, i // {r} AS band_id,
+                   md5(string_agg(mh::VARCHAR, ',' ORDER BY i))
+                       AS band_key
+            FROM mh GROUP BY doc_id, i // {r}
+        ),
+        cand{b}x{r} AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band{b}x{r} a
+            JOIN band{b}x{r} b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )''' for b, r in _BT_CONFIGS)},
+        hsets AS (
+            SELECT doc_id, list(h) AS hset FROM sh32 GROUP BY doc_id
+        ),
+        {','.join(f'''
+        ver{b}x{r} AS (
+            SELECT CAST({b} AS BIGINT) AS bands,
+                   CAST({r} AS BIGINT) AS rows_per_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(CASE WHEN
+                        2 * len(list_intersect(sa.hset, sb.hset))
+                        >= len(sa.hset) + len(sb.hset)
+                           - len(list_intersect(sa.hset, sb.hset))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+            FROM cand{b}x{r} c
+            JOIN hsets sa ON sa.doc_id = c.doc_a
+            JOIN hsets sb ON sb.doc_id = c.doc_b
+        )''' for b, r in _BT_CONFIGS)},
+        uni AS ({' UNION ALL '.join(f'SELECT * FROM ver{b}x{r}'
+                                    for b, r in _BT_CONFIGS)}),
+        truth AS (SELECT n_verified AS t FROM uni WHERE rows_per_band = 1)
+        SELECT bands, rows_per_band, n_candidates, n_verified,
+               CAST(n_verified * 10000 // truth.t AS BIGINT) AS recall_bp,
+               CAST(CASE {' '.join(
+                   f"WHEN bands = {b} THEN {_bt_expected_bp(b, r)}"
+                   for b, r in _BT_CONFIGS)} END AS BIGINT)
+                   AS expected_p50_bp
+        FROM uni, truth
+    """,
+)
+def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding configuration sweep: re-band the SAME 32-minhash
+    signature table under (4x8, 8x4, 16x2, 32x1) and report, per
+    config, the candidate volume, the verified near-dups caught
+    (exact integer jaccard >= 1/2 test: 2·|∩| >= |∪|), the recall
+    against the loosest config's verified set, and the closed-form
+    S-curve P(candidate | j=0.5) = 1-(1-j^r)^b as the theoretical
+    column. This is the tuning table behind every banded-LSH
+    deployment: more rows per band = fewer, higher-precision
+    candidates; the sweep shows exactly what the shipped 8x4 config
+    trades against its neighbors. The operational point is in the
+    plan, not just the table: REBANDING REUSES THE SIGNATURES — at
+    100 TB the sweep costs four band joins over 32-int rows, never
+    four shingle/signature recomputations.
+
+    Truth definition: 32x1 (any single minhash collision) is a strict
+    candidate superset of every banding of the same signatures, so
+    its verified set is the within-family recall ceiling — the same
+    "tune within the operator's envelope" framing as
+    `dedup_threshold_sweep`.
+
+    Plan/scale: ONE shared signature derivation (the registered
+    `dedup_minhash` shingle intermediate + identical _A/_B/_P
+    permutations), then per config a band-key equi self-join and a
+    doc-keyed verify join — all candidate-volume-bounded, no
+    all-pairs anywhere."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    sh = shared_intermediate("dedup_minhash.shingles", _doc_shingle_h32(docs))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(_P)
+            ).alias(f"m{i}")
+            for i in range(_H)
+        ]
+    )
+    sig = shared_intermediate("band_tuning.sigs", sig)
+    hsets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+
+    per_config = []
+    for b, r in _BT_CONFIGS:
+        keys = F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{band * r + i}").cast("string")
+                                for i in range(r)
+                            ],
+                        )
+                    ).alias("band_key"),
+                )
+                for band in range(b)
+            ]
+        )
+        bands = sig.select(
+            "doc_id", F.explode(keys).alias("k")
+        ).select("doc_id", "k.band_id", "k.band_key")
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band_id", "band_key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        ver = (
+            cand.join(
+                hsets.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("hset").alias("sa"),
+                ),
+                "doc_a",
+            )
+            .join(
+                hsets.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("hset").alias("sb"),
+                ),
+                "doc_b",
+            )
+            .select(
+                F.expr("size(array_intersect(sa, sb))").alias("i"),
+                F.expr(
+                    "size(sa) + size(sb) - size(array_intersect(sa, sb))"
+                ).alias("u"),
+            )
+            .agg(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum((2 * F.col("i") >= F.col("u")).cast("long"))
+                .cast("long")
+                .alias("n_verified"),
+            )
+            .select("bands", "rows_per_band", "n_candidates", "n_verified")
+        )
+        per_config.append(ver)
+
+    uni = per_config[0]
+    for other in per_config[1:]:
+        uni = uni.unionAll(other)
+    truth = uni.filter(F.col("rows_per_band") == 1).select(
+        F.col("n_verified").alias("t")
+    )
+    exp_case = "CASE {} END".format(
+        " ".join(
+            f"WHEN bands = {b} THEN {_bt_expected_bp(b, r)}"
+            for b, r in _BT_CONFIGS
+        )
+    )
+    return uni.join(F.broadcast(truth)).select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_verified",
+        F.expr("CAST(n_verified * 10000 div t AS BIGINT)").alias(
+            "recall_bp"
+        ),
+        F.expr(f"CAST({exp_case} AS BIGINT)").alias("expected_p50_bp"),
     )

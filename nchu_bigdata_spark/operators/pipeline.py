@@ -1832,3 +1832,87 @@ def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("k"))
         .select("event_type", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# sample_kfold — deterministic k-fold cross-validation manifest (round 8)
+# --------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+@register(
+    "sample_kfold",
+    tags=("b8",),
+    oracle=f"""
+        -- {_KFOLD_K}-fold cross-validation manifest with the two
+        -- properties a CV claim rests on checked IN the output:
+        -- folds are disjoint and exhaustive by construction (md5
+        -- bucket mod k is a partition of the key space), and the
+        -- per-(fold, lang) counts expose imbalance before any model
+        -- trains. Hash-fold membership is a pure key function —
+        -- appending documents never moves an existing one across
+        -- folds (no leakage on incremental rebuilds), the property
+        -- randomized fold shuffles cannot offer.
+        WITH f AS (
+            SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % {_KFOLD_K} AS fold,
+                   lang, n_chars
+            FROM documents
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total
+                FROM documents)
+        SELECT CAST(fold AS BIGINT) AS fold, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST((SELECT n_total FROM tot) - COUNT(*) AS BIGINT)
+                   AS n_train_pool_if_holdout
+        FROM f GROUP BY fold, lang
+    """,
+)
+def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-fold cross-validation manifest: every document lands in
+    exactly one fold by md5(doc_id) mod {k} — disjoint and exhaustive
+    BY CONSTRUCTION (the buckets partition the hash space), which is
+    the property a CV variance estimate silently rests on. Per-
+    (fold, lang) document and char counts expose fold imbalance
+    before any model trains, and the train-pool size column is the
+    leave-one-fold-out complement. Hash-fold membership is a pure
+    key function: appending new documents never moves an existing
+    one across folds — incremental rebuilds can't leak a former
+    training doc into its own eval fold, which randomized fold
+    shuffles cannot promise. Completes the split family:
+    `sample_split` (fixed 90/5/5), `sample_group_holdout` (by
+    source), `sample_time_split` (by clock) — this one is for
+    small-data variance estimation.
+
+    Plan/scale: one codegen'd hash projection + one map-side-combined
+    (fold, lang) agg; the 1-row total joins broadcast. Nothing
+    scales except the scan."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    f = docs.select(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            f" AS BIGINT) % {_KFOLD_K}"
+        ).alias("fold"),
+        "lang",
+        "n_chars",
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        f.groupBy(F.col("fold").cast("long").alias("fold"), "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "n_chars",
+            (F.col("n_total") - F.col("n_docs"))
+            .cast("long")
+            .alias("n_train_pool_if_holdout"),
+        )
+    )

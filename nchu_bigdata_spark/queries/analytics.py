@@ -3140,3 +3140,153 @@ def win_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         s8.cast("long").alias("s8"),
         (s8 > _CUSUM_H_MAD4 * F.col("mad4")).cast("int").alias("alarm"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_did — difference-in-differences estimator (round 8)
+# --------------------------------------------------------------------------
+
+# Pinned design: treatment = odd md5 bucket of user_id (deterministic
+# pseudo-random assignment, the sample_hash family); post-period
+# starts 2024-01-16 (epoch day 19738), the series midpoint.
+_DID_POST_DAY = 19_738
+
+
+@register(
+    "events_did",
+    tags=("b3",),
+    oracle=f"""
+        -- difference-in-differences on purchase value: the 2x2
+        -- (treatment x period) cell means in exact centi-cents
+        -- (sum*100 div n of integer cents), and the DiD estimate
+        -- (T_post - T_pre) - (C_post - C_pre) — the causal-inference
+        -- workhorse when randomization is per-USER but the outcome
+        -- shifts over TIME (seasonality cancels in the control
+        -- difference). Deterministic hash assignment makes the whole
+        -- table a pure function of the data — rerunnable, auditable,
+        -- engine-exact.
+        WITH base AS (
+            SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR),
+                             1, 8))::BIGINT % 2 = 1
+                        THEN 'treatment' ELSE 'control' END AS grp,
+                   CASE WHEN epoch_us(ts) // 86400000000
+                             >= {_DID_POST_DAY}
+                        THEN 'post' ELSE 'pre' END AS period,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        cell AS (
+            SELECT grp, period,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(SUM(cents) * 100 // COUNT(*) AS BIGINT)
+                       AS mean_x100
+            FROM base GROUP BY grp, period
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN grp = 'treatment' AND period = 'post'
+                         THEN mean_x100 END) AS tp,
+                MAX(CASE WHEN grp = 'treatment' AND period = 'pre'
+                         THEN mean_x100 END) AS tr,
+                MAX(CASE WHEN grp = 'control' AND period = 'post'
+                         THEN mean_x100 END) AS cp,
+                MAX(CASE WHEN grp = 'control' AND period = 'pre'
+                         THEN mean_x100 END) AS cr
+            FROM cell
+        )
+        SELECT cell.grp, cell.period, cell.n, cell.sum_cents,
+               cell.mean_x100,
+               CAST((wide.tp - wide.tr) - (wide.cp - wide.cr)
+                    AS BIGINT) AS did_x100
+        FROM cell, wide
+    """,
+)
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase value: the 2x2
+    (treatment x period) design — treatment assigned by deterministic
+    md5(user_id) parity, post-period from the series midpoint — with
+    cell means in exact centi-cents and the DiD estimate
+    (T_post − T_pre) − (C_post − C_pre) on every row. DiD is the
+    causal-inference workhorse when assignment is per-USER but the
+    outcome drifts over TIME: the control group's pre→post change
+    absorbs seasonality/trend, so what survives the double
+    difference is the treatment effect (under parallel trends —
+    which `events_ab_test`'s simple lift silently assumes away).
+    Deterministic hash assignment (the `sample_hash` family) makes
+    the whole table a pure function of the data: rerunnable,
+    auditable, engine-exact — no experiment framework state needed
+    to reproduce the readout.
+
+    Exactness: integer cents, mean = sum·100 div n (all cells
+    non-empty by construction at every SF), DiD derived from the
+    four integer means — no floats anywhere.
+
+    Plan/scale: one filtered projection + one 4-cell hash agg
+    (map-side combined); the 4-row pivot and the DiD broadcast are
+    constant-size. Nothing scales with anything but the scan."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) % 2"
+            )
+            == 1,
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("grp"),
+        F.when(
+            F.expr("unix_micros(ts) div 86400000000") >= _DID_POST_DAY,
+            "post",
+        )
+        .otherwise("pre")
+        .alias("period"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cell = base.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.expr("CAST(sum(cents) * 100 div count(*) AS BIGINT)").alias(
+            "mean_x100"
+        ),
+    )
+    wide = cell.agg(
+        F.max(
+            F.when(
+                (F.col("grp") == "treatment") & (F.col("period") == "post"),
+                F.col("mean_x100"),
+            )
+        ).alias("tp"),
+        F.max(
+            F.when(
+                (F.col("grp") == "treatment") & (F.col("period") == "pre"),
+                F.col("mean_x100"),
+            )
+        ).alias("tr"),
+        F.max(
+            F.when(
+                (F.col("grp") == "control") & (F.col("period") == "post"),
+                F.col("mean_x100"),
+            )
+        ).alias("cp"),
+        F.max(
+            F.when(
+                (F.col("grp") == "control") & (F.col("period") == "pre"),
+                F.col("mean_x100"),
+            )
+        ).alias("cr"),
+    )
+    return cell.join(F.broadcast(wide)).select(
+        "grp",
+        "period",
+        "n",
+        "sum_cents",
+        "mean_x100",
+        (
+            (F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr"))
+        )
+        .cast("long")
+        .alias("did_x100"),
+    )

@@ -269,6 +269,9 @@ DRIVER_ORDER = [
     "win_cusum_chart",
     "join_pit_scd2",
     "multimodal_audio_vad",
+    "dedup_band_tuning",
+    "events_did",
+    "sample_kfold",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1815,3 +1815,91 @@ def test_audio_vad_replay(spark, sf_dir, duck):
     # the adaptive gate must produce real segmentation structure
     assert any(v[3] >= 2 for v in got.values())
     assert all(0 < v[5] < 10000 for v in got.values() if v[1] > 1)
+
+
+# --------------------------------------------------------------------------
+# dedup_band_tuning
+# --------------------------------------------------------------------------
+
+
+def test_band_tuning_replay(spark, sf_dir, duck):
+    rows = SPECS["dedup_band_tuning"].fn(spark, sf_dir).collect()
+    got = {(r.bands, r.rows_per_band): (r.n_candidates, r.n_verified,
+                                        r.recall_bp, r.expected_p50_bp)
+           for r in rows}
+    assert set(got) == {(4, 8), (8, 4), (16, 2), (32, 1)}
+    # looser banding (fewer rows per band) can only widen candidates
+    # and catch at least as many verified dups — monotone in r
+    order = [(4, 8), (8, 4), (16, 2), (32, 1)]
+    for a, b in zip(order, order[1:]):
+        assert got[a][0] <= got[b][0]
+        assert got[a][1] <= got[b][1]
+    # 32x1 is the truth set: recall exactly 10000 bp
+    assert got[(32, 1)][2] == 10000
+    # theoretical S-curve at j=0.5: 1-(1-0.5^r)^b in floor bp
+    for b, r in order:
+        assert got[(b, r)][3] == int((1 - (1 - 0.5**r) ** b) * 10000)
+    # shipped 8x4 config catches everything on this corpus (its
+    # certified pair count matches the sweep's verified count)
+    shipped = len(SPECS["dedup_minhash"].fn(spark, sf_dir).collect())
+    assert got[(8, 4)][1] <= shipped + got[(8, 4)][0]
+
+
+# --------------------------------------------------------------------------
+# events_did
+# --------------------------------------------------------------------------
+
+
+def test_events_did_replay(spark, sf_dir, duck):
+    import hashlib
+    cells = defaultdict(lambda: [0, 0])
+    for u, ts_us, cents in duck.execute(
+        "SELECT user_id, epoch_us(ts), CAST(ROUND(value * 100, 0) AS "
+        "BIGINT) FROM events WHERE event_type = 'purchase'"
+    ).fetchall():
+        grp = ("treatment"
+               if int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+               else "control")
+        period = "post" if ts_us // DAY_US >= 19_738 else "pre"
+        c = cells[(grp, period)]
+        c[0] += 1
+        c[1] += cents
+    means = {k: v[1] * 100 // v[0] for k, v in cells.items()}
+    did = ((means[("treatment", "post")] - means[("treatment", "pre")])
+           - (means[("control", "post")] - means[("control", "pre")]))
+    rows = SPECS["events_did"].fn(spark, sf_dir).collect()
+    got = {(r.grp, r.period): (r.n, r.sum_cents, r.mean_x100, r.did_x100)
+           for r in rows}
+    assert set(got) == set(cells)
+    for k, (n, sc) in ((k, (v[0], v[1])) for k, v in cells.items()):
+        assert got[k] == (n, sc, means[k], did)
+    # hash assignment splits purchases roughly in half
+    nt = sum(v[0] for k, v in cells.items() if k[0] == "treatment")
+    nc = sum(v[0] for k, v in cells.items() if k[0] == "control")
+    assert abs(nt - nc) < (nt + nc) // 4
+
+
+# --------------------------------------------------------------------------
+# sample_kfold
+# --------------------------------------------------------------------------
+
+
+def test_sample_kfold_replay(spark, sf_dir, duck):
+    import hashlib
+    cells = defaultdict(lambda: [0, 0])
+    n_total = 0
+    for d, lang, nc in duck.execute(
+        "SELECT doc_id, lang, n_chars FROM documents"
+    ).fetchall():
+        fold = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 5
+        cells[(fold, lang)][0] += 1
+        cells[(fold, lang)][1] += nc
+        n_total += 1
+    rows = SPECS["sample_kfold"].fn(spark, sf_dir).collect()
+    got = {(r.fold, r.lang): (r.n_docs, r.n_chars,
+                              r.n_train_pool_if_holdout) for r in rows}
+    want = {k: (v[0], v[1], n_total - v[0]) for k, v in cells.items()}
+    assert got == want
+    # disjoint + exhaustive: fold doc counts sum to the corpus
+    assert sum(v[0] for v in got.values()) == n_total
+    assert {f for f, _ in got} == set(range(5))

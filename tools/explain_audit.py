@@ -721,6 +721,23 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas"],
         [r"Exchange", r"Join", r"Window"],
     ),
+    # band tuning: shared signature table, 4 band-key self-joins +
+    # doc-keyed verify joins — candidate-bounded, no all-pairs
+    "dedup_band_tuning": (
+        [r"HashAggregate", r"Union"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # DiD: filtered projection + 4-cell agg + constant-size pivot
+    "events_did": (
+        [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Window"],
+    ),
+    # k-fold manifest: hash projection + (fold, lang) agg + 1-row
+    # total broadcast
+    "sample_kfold": (
+        [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Window"],
+    ),
 }
 
 
