@@ -197,6 +197,9 @@ SQL_GROUP = [
     "dedup_band_tuning",
     "events_did",
     "sample_kfold",
+    "scan_txn_log",
+    "graph_ego_features",
+    "orders_margin_waterfall",
 ]
 
 

@@ -1201,3 +1201,133 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "start", *[F.col(f"hop{s}").cast("long") for s in range(1, _WALK_STEPS + 1)]
     )
+
+
+# --------------------------------------------------------------------------
+# graph_ego_features — per-node structural features (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_ego_features",
+    tags=("bext",),
+    oracle=f"""
+        -- per-node structural features for downstream graph ML:
+        -- degree, triangles-at-node, and ego-net density (how
+        -- interconnected a part's co-purchase neighborhood is, exact
+        -- floor bp of 2t/(d(d-1))) — the classic hand-crafted node
+        -- feature vector (degree/transitivity) every GNN baseline and
+        -- fraud screen starts from. The oracle counts node triangles
+        -- by the direct wedge-closure definition; the engine derives
+        -- the SAME numbers from the oriented adjacency-intersection
+        -- pipeline — two independent formulations must agree.
+        WITH edges AS ({_EDGES_SQL}),
+        half AS (SELECT u, v FROM edges WHERE u < v),
+        deg AS (
+            SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY u
+        ),
+        tri AS (
+            SELECT x.n,
+                   CAST(COUNT(*) AS BIGINT) AS t
+            FROM (
+                SELECT e1.u AS n, e1.v AS a, e2.v AS b
+                FROM edges e1
+                JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+            ) x
+            JOIN half e3 ON e3.u = x.a AND e3.v = x.b
+            GROUP BY x.n
+        )
+        SELECT deg.n AS p_partkey, deg.d AS degree,
+               CAST(COALESCE(tri.t, 0) AS BIGINT) AS n_triangles,
+               CAST(CASE WHEN deg.d >= 2
+                         THEN 2 * COALESCE(tri.t, 0) * 10000
+                              // (deg.d * (deg.d - 1))
+                         ELSE 0 END AS BIGINT) AS ego_density_bp
+        FROM deg LEFT JOIN tri ON tri.n = deg.n
+    """,
+)
+def graph_ego_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node structural features: degree, triangles-at-node, and
+    ego-net density (2t/(d(d−1)) in exact floor basis points) — the
+    hand-crafted node feature vector every GNN baseline, recommender
+    cold-start, and fraud screen starts from (a high-degree node with
+    near-zero ego density is a BRIDGE or a bot; a dense ego net is a
+    community core). Distributes the `graph_clustering_coeff` global
+    number back onto every vertex.
+
+    Engine formulation reuses the certified triangle machinery: the
+    degree-ORIENTED edge table bounds wedge fan-out at O(√E) per
+    vertex, per-edge sorted-adjacency intersections enumerate each
+    triangle once, and one explode re-attributes it to its THREE
+    corners (u and v from the edge, w from the intersection array) —
+    triangle-volume rows, never wedge-volume. The oracle counts by
+    the direct wedge-closure definition instead; two independent
+    formulations must produce identical integers.
+
+    Plan/scale: orientation + intersection is the audited
+    `graph_triangles` plan; the re-attribution explode adds
+    3·triangles rows into one node-keyed agg; the degree join is
+    vertex-cardinality."""
+    sym = _copurchase_edges(spark, sf_dir)
+    deg = sym.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    half = _copurchase_edges(spark, sf_dir, undirected=True)
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    lt = F.struct(F.col("dx"), F.col("x")) < F.struct(
+        F.col("dy"), F.col("y")
+    )
+    o = (
+        half.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.when(lt, F.col("x")).otherwise(F.col("y")).alias("u"),
+            F.when(lt, F.col("y")).otherwise(F.col("x")).alias("v"),
+        )
+    )
+    o = shared_intermediate("ego_oriented", o)
+    adj = o.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nb")
+    )
+    au = adj.select("u", F.col("nb").alias("nu"))
+    av = adj.select(F.col("u").alias("v"), F.col("nb").alias("nv"))
+    tri_edges = (
+        o.join(au, "u")
+        .join(av, "v")
+        .select("u", "v", F.array_intersect("nu", "nv").alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    # each (u,v,ws) row holds |ws| triangles: u and v corner all |ws|
+    # of them, every w corners exactly one — so u and v repeat |ws|
+    # times in the corner stream and the ws array rides through as-is
+    tri = (
+        tri_edges.select(
+            F.explode(
+                F.concat(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws")),
+                        lambda _i: F.col("u"),
+                    ),
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws")),
+                        lambda _i: F.col("v"),
+                    ),
+                    F.col("ws"),
+                )
+            ).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return deg.join(tri, "n", "left").select(
+        F.col("n").alias("p_partkey"),
+        F.col("d").alias("degree"),
+        F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+        F.expr(
+            "CAST(CASE WHEN d >= 2 THEN 2 * COALESCE(t, 0) * 10000 "
+            "div (d * (d - 1)) ELSE 0 END AS BIGINT)"
+        ).alias("ego_density_bp"),
+    )

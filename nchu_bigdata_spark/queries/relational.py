@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -773,4 +773,117 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# scan_txn_log — transaction-log snapshot reconstruction (round 8)
+# --------------------------------------------------------------------------
+
+_TXN_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.LongType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("file", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+)
+
+
+@register(
+    "scan_txn_log",
+    tags=("b1",),
+    oracle="""
+        -- transaction-log snapshot semantics replayed straight from
+        -- the source: the engine materializes a Delta/Iceberg-style
+        -- JSON action log (add per month-file; months with idx%4=2
+        -- later removed and re-added as a compacted file), reads it
+        -- back through the JSON datasource, and folds add/remove by
+        -- last-action-wins. The oracle derives the SAME final
+        -- snapshot directly from orders — so the serde round-trip
+        -- AND the fold must both be right for the hash to match.
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS mo,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY 1
+        ),
+        idx AS (
+            SELECT mo, n_rows,
+                   ROW_NUMBER() OVER (ORDER BY mo) - 1 AS i
+            FROM m
+        )
+        SELECT CASE WHEN i % 4 = 2
+                    THEN mo || '-compact.parquet'
+                    ELSE mo || '.parquet' END AS file,
+               n_rows,
+               CAST(CASE WHEN i % 4 = 2 THEN 1000 + i ELSE i END
+                    AS BIGINT) AS version_added
+        FROM idx
+    """,
+)
+def scan_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log table-format semantics end to end: materialize
+    a Delta/Iceberg-style JSON action log (one ``add`` per month
+    file; every 4th month later ``remove``d and re-``add``ed as a
+    compacted file at a higher version — the OPTIMIZE lifecycle),
+    read it back through the JSON datasource, and reconstruct the
+    live snapshot by LAST-ACTION-WINS per file. This is the core
+    read-path contract of every log-structured table format: the
+    snapshot is a FOLD over the action log, not a directory listing
+    — files on disk that the log has removed must not be served.
+
+    Certification closes the loop from the other side: the oracle
+    derives the same final snapshot directly from the orders table,
+    so the JSON serde round-trip and the fold must BOTH be correct
+    for the hash to match (the `scan_csv` pattern, extended with
+    log-fold logic).
+
+    Plan/scale: log derivation is a month-cardinality agg; the fold
+    is one file-keyed rank window over the action log — log length,
+    not table size; real formats checkpoint exactly because this
+    fold is the only unbounded thing about them."""
+    out = scratch_dir(sf_dir, "txn_log_json")
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mo"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    idx = m.select(
+        "mo",
+        "n_rows",
+        (F.row_number().over(Window.orderBy("mo")) - 1).alias("i"),
+    )
+    adds = idx.select(
+        F.col("i").cast("long").alias("version"),
+        F.lit("add").alias("action"),
+        F.concat(F.col("mo"), F.lit(".parquet")).alias("file"),
+        "n_rows",
+    )
+    removes = idx.filter(F.col("i") % 4 == 2).select(
+        (1000 + F.col("i")).cast("long").alias("version"),
+        F.lit("remove").alias("action"),
+        F.concat(F.col("mo"), F.lit(".parquet")).alias("file"),
+        F.lit(None).cast("long").alias("n_rows"),
+    )
+    compacts = idx.filter(F.col("i") % 4 == 2).select(
+        (1000 + F.col("i")).cast("long").alias("version"),
+        F.lit("add").alias("action"),
+        F.concat(F.col("mo"), F.lit("-compact.parquet")).alias("file"),
+        "n_rows",
+    )
+    adds.unionAll(removes).unionAll(compacts).write.mode(
+        "overwrite"
+    ).json(out)
+    log = spark.read.schema(_TXN_SCHEMA).json(out)
+    w = Window.partitionBy("file").orderBy(F.desc("version"))
+    live = (
+        log.select(
+            "*", F.row_number().over(w).alias("rk")
+        )
+        .filter((F.col("rk") == 1) & (F.col("action") == "add"))
+    )
+    return live.select(
+        "file",
+        "n_rows",
+        F.col("version").cast("long").alias("version_added"),
     )

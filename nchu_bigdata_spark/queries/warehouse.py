@@ -1546,3 +1546,94 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("versions_advanced"),
         F.col("cur_ver").isNotNull().cast("int").alias("matched"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_margin_waterfall — monthly revenue decomposition (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_margin_waterfall",
+    tags=("b3",),
+    oracle="""
+        -- monthly revenue WATERFALL: gross list price, minus the
+        -- discount give-back, plus the tax pass-through, down to
+        -- charged revenue — the finance bridge that explains "why is
+        -- net not gross" month by month (TPC-H Q1's sums, given the
+        -- time axis and the decomposition structure a revenue team
+        -- actually reads). All sums ride the exact decimal policy
+        -- (compat.dsum), and the derived columns are decimal
+        -- SUBTRACTIONS of those sums — no second rounding grid.
+        SELECT strftime(o_orderdate, '%Y-%m') AS mo,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6)))
+                    AS DECIMAL(38,6)) AS gross,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6)))
+                         AS DECIMAL(38,6))
+                    - CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(20,6))) AS DECIMAL(38,6))
+                    AS DECIMAL(38,6)) AS discount_amt,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(20,6))) AS DECIMAL(38,6))
+                   AS net_of_discount,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  * (1 + l_tax) AS DECIMAL(20,6)))
+                         AS DECIMAL(38,6))
+                    - CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(20,6))) AS DECIMAL(38,6))
+                    AS DECIMAL(38,6)) AS tax_amt,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) AS DECIMAL(20,6)))
+                    AS DECIMAL(38,6)) AS charged
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+)
+def orders_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue waterfall: gross list price → minus discount
+    give-back → plus tax pass-through → charged revenue, per order
+    month. TPC-H Q1 computes these sums as a flat profile; the
+    waterfall arranges them as the BRIDGE a finance review actually
+    reads — each column is a step, adjacent steps reconcile exactly
+    (gross − discount_amt = net_of_discount; net + tax_amt =
+    charged), and a month whose discount step suddenly widens is the
+    promo-leak alarm.
+
+    Exactness: all three base sums ride the compat decimal policy
+    (per-row cast to DECIMAL(20,6), decimal addition — associative,
+    order-independent); the two step columns are decimal
+    SUBTRACTIONS of those sums, so the reconciliation identities
+    hold to the last digit on both engines, not just approximately.
+
+    Plan/scale: one orderkey equi join for the month key + ONE
+    map-side-combined hash agg carrying all five sums in a single
+    pass; month-cardinality output."""
+    from nchu_bigdata_spark.compat import dsum
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charged = disc * (1 + F.col("l_tax"))
+    agg = j.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        dsum("l_extendedprice").alias("gross"),
+        dsum(disc).alias("net_of_discount"),
+        dsum(charged).alias("charged"),
+    )
+    return agg.select(
+        "mo",
+        "n_lines",
+        "gross",
+        (F.col("gross") - F.col("net_of_discount"))
+        .cast("decimal(38,6)")
+        .alias("discount_amt"),
+        "net_of_discount",
+        (F.col("charged") - F.col("net_of_discount"))
+        .cast("decimal(38,6)")
+        .alias("tax_amt"),
+        "charged",
+    )

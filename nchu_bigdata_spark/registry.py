@@ -272,6 +272,9 @@ DRIVER_ORDER = [
     "dedup_band_tuning",
     "events_did",
     "sample_kfold",
+    "scan_txn_log",
+    "graph_ego_features",
+    "orders_margin_waterfall",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1903,3 +1903,85 @@ def test_sample_kfold_replay(spark, sf_dir, duck):
     # disjoint + exhaustive: fold doc counts sum to the corpus
     assert sum(v[0] for v in got.values()) == n_total
     assert {f for f, _ in got} == set(range(5))
+
+
+# --------------------------------------------------------------------------
+# scan_txn_log
+# --------------------------------------------------------------------------
+
+
+def test_txn_log_replay(spark, sf_dir, duck):
+    months = sorted(
+        (mo, n) for mo, n in duck.execute(
+            "SELECT strftime(o_orderdate, '%Y-%m'), COUNT(*) "
+            "FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    want = {}
+    for i, (mo, n) in enumerate(months):
+        if i % 4 == 2:
+            want[f"{mo}-compact.parquet"] = (n, 1000 + i)
+        else:
+            want[f"{mo}.parquet"] = (n, i)
+    rows = SPECS["scan_txn_log"].fn(spark, sf_dir).collect()
+    got = {r.file: (r.n_rows, r.version_added) for r in rows}
+    assert got == want
+    # removed originals must NOT be served
+    for i, (mo, _n) in enumerate(months):
+        if i % 4 == 2:
+            assert f"{mo}.parquet" not in got
+    # snapshot row total equals the table (no rows lost to compaction)
+    assert sum(n for n, _ in got.values()) == sum(n for _, n in months)
+
+
+# --------------------------------------------------------------------------
+# graph_ego_features
+# --------------------------------------------------------------------------
+
+
+def test_ego_features_replay(spark, sf_dir, duck):
+    adj = defaultdict(set)
+    for u, v in duck.execute(
+        "SELECT DISTINCT a.l_partkey, b.l_partkey FROM lineitem a "
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey"
+    ).fetchall():
+        adj[u].add(v)
+    rows = SPECS["graph_ego_features"].fn(spark, sf_dir).collect()
+    got = {r.p_partkey: (r.degree, r.n_triangles, r.ego_density_bp)
+           for r in rows}
+    assert set(got) == set(adj)
+    total_t = 0
+    for n, ns in adj.items():
+        d = len(ns)
+        t = sum(
+            1 for a in ns for b in ns if a < b and b in adj[a]
+        )
+        dens = 2 * t * 10000 // (d * (d - 1)) if d >= 2 else 0
+        assert got[n] == (d, t, dens), n
+        total_t += t
+    # per-node counts triple-count the global triangle total
+    g = SPECS["graph_triangles"].fn(spark, sf_dir).collect()[0]
+    assert total_t == 3 * g.n_triangles
+
+
+# --------------------------------------------------------------------------
+# orders_margin_waterfall
+# --------------------------------------------------------------------------
+
+
+def test_margin_waterfall_reconciles(spark, sf_dir, duck):
+    rows = SPECS["orders_margin_waterfall"].fn(spark, sf_dir).collect()
+    assert len(rows) > 70
+    for r in rows:
+        # the identities hold exactly in the decimal layer; collected
+        # values pass through the compat decimal->double conversion,
+        # so the replay checks them at double-ulp tolerance
+        assert abs((r.gross - r.discount_amt) - r.net_of_discount) < 1e-5
+        assert abs((r.net_of_discount + r.tax_amt) - r.charged) < 1e-5
+        assert r.discount_amt > 0 and r.tax_amt > 0
+    # months partition the joined fact table
+    n_lines = duck.execute(
+        "SELECT COUNT(*) FROM lineitem l JOIN orders o "
+        "ON l.l_orderkey = o.o_orderkey").fetchone()[0]
+    assert sum(r.n_lines for r in rows) == n_lines

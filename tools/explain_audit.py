@@ -738,6 +738,23 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"BroadcastNestedLoopJoin"],
         [r"CartesianProduct", r"SortMergeJoin", r"Window"],
     ),
+    # txn log: month agg + JSON round-trip + file-keyed rank fold
+    # (log-length work; the tiny global month index is deliberate)
+    "scan_txn_log": (
+        [r"Window", r"hashpartitioning\(file"],
+        [r"CartesianProduct"],
+    ),
+    # ego features: the audited oriented-intersection triangle plan +
+    # a 3-corner explode into one node-keyed agg
+    "graph_ego_features": (
+        [r"HashAggregate", r"Generate"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # waterfall: one orderkey equi join + ONE agg carrying all sums
+    "orders_margin_waterfall": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"Window", r"rangepartitioning"],
+    ),
 }
 
 
