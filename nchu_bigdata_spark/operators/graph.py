@@ -1180,26 +1180,33 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = shared_intermediate(
         "walk_edges", _copurchase_edges(spark, sf_dir)
     )
-    cur = edges.select(F.col("u").alias("start")).distinct().select(
+    # The frontier CARRIES the accumulated hop columns, so each step is
+    # exactly one frontier x edges join + one per-start rank-1 window —
+    # no end-of-walk reassembly joins (an earlier form joined the four
+    # step outputs back together; at 10x that stacked four broadcasts
+    # for no reason).
+    walk = edges.select(F.col("u").alias("start")).distinct().select(
         "start", F.col("start").alias("cur")
     )
-    out = cur.select("start")
+    hops: list[str] = []
     for s in range(1, _WALK_STEPS + 1):
         h = _walk_h("start", s, "v", "spark")
         w_rk = Window.partitionBy("start").orderBy(F.expr(h), "v")
-        step = (
-            cur.join(edges, cur.cur == edges.u)
-            .select("start", "v")
+        walk = (
+            walk.join(edges, walk.cur == edges.u)
+            .select("start", *hops, "v")
             .withColumn("rk", F.row_number().over(w_rk))
             .filter(F.col("rk") == 1)
-            .select("start", F.col("v").alias("cur"))
+            .select(
+                "start",
+                *hops,
+                F.col("v").alias(f"hop{s}"),
+                F.col("v").alias("cur"),
+            )
         )
-        out = out.join(
-            step.select("start", F.col("cur").alias(f"hop{s}")), "start"
-        )
-        cur = step
-    return out.select(
-        "start", *[F.col(f"hop{s}").cast("long") for s in range(1, _WALK_STEPS + 1)]
+        hops.append(f"hop{s}")
+    return walk.select(
+        "start", *[F.col(c).cast("long") for c in hops]
     )
 
 
