@@ -200,6 +200,9 @@ SQL_GROUP = [
     "scan_txn_log",
     "graph_ego_features",
     "orders_margin_waterfall",
+    "events_incidents",
+    "orders_supplier_scorecard",
+    "tokenize_truncation_audit",
 ]
 
 

@@ -1916,3 +1916,99 @@ def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_train_pool_if_holdout"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# tokenize_truncation_audit — context-length loss ladder (round 8)
+# --------------------------------------------------------------------------
+
+_TRUNC_LADDER = [16, 64, 256, 1024]
+
+
+@register(
+    "tokenize_truncation_audit",
+    tags=("b8",),
+    oracle=f"""
+        -- context-length truncation audit: for each candidate
+        -- max-seq-len, how many documents truncate and what share of
+        -- TOKENS is lost, in exact bp — the table that picks a
+        -- training context length (doc-level truncation rate alone
+        -- misleads: 1% of docs can hold 30% of tokens). Whitespace
+        -- token counts, ladder x corpus cross in one pass.
+        WITH d AS (
+            SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        lad AS (
+            SELECT UNNEST({_TRUNC_LADDER}) AS max_len
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM d
+        )
+        SELECT CAST(lad.max_len AS BIGINT) AS max_len,
+               CAST(SUM(CASE WHEN d.n_tokens > lad.max_len
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_truncated_docs,
+               CAST(SUM(GREATEST(d.n_tokens - lad.max_len, 0))
+                    AS BIGINT) AS n_lost_tokens,
+               CAST(SUM(CASE WHEN d.n_tokens > lad.max_len
+                             THEN 1 ELSE 0 END) * 10000
+                    // MAX(tot.n_docs) AS BIGINT) AS doc_trunc_bp,
+               CAST(SUM(GREATEST(d.n_tokens - lad.max_len, 0)) * 10000
+                    // MAX(tot.n_tokens) AS BIGINT) AS token_loss_bp
+        FROM lad, d, tot
+        GROUP BY lad.max_len
+    """,
+)
+def tokenize_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation audit: for each candidate
+    max-seq-len in the ladder, how many DOCUMENTS would truncate and
+    what share of TOKENS would be lost, both in exact basis points.
+    This is the table that actually picks a training context length
+    — the doc-level truncation rate alone misleads, because 1% of
+    documents can hold 30% of the tokens (long-tail corpora), and
+    token loss is what the model never sees. Pairs with
+    `tokenize_chunk_overlap` (what to do with the remainder) and
+    `sample_token_budget` (what fits the budget).
+
+    Plan/scale: the corpus collapses to per-doc token counts in the
+    scan projection; the 4-row ladder crosses as a broadcast and all
+    ladder cells aggregate in ONE map-side-combined pass — corpus
+    x 4 rows in, 4 rows out, no second scan per ladder entry."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    lad = F.broadcast(
+        spark.createDataFrame(
+            [(int(x),) for x in _TRUNC_LADDER], "max_len long"
+        )
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+    )
+    return (
+        d.crossJoin(lad)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("max_len")
+        .agg(
+            F.sum((F.col("n_tokens") > F.col("max_len")).cast("long"))
+            .cast("long")
+            .alias("n_truncated_docs"),
+            F.sum(F.greatest(F.col("n_tokens") - F.col("max_len"), F.lit(0)))
+            .cast("long")
+            .alias("n_lost_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_tokens > max_len THEN 1 ELSE 0 END)"
+                " * 10000 div max(n_docs) AS BIGINT)"
+            ).alias("doc_trunc_bp"),
+            F.expr(
+                "CAST(sum(greatest(n_tokens - max_len, 0)) * 10000"
+                " div max(n_tokens_total) AS BIGINT)"
+            ).alias("token_loss_bp"),
+        )
+    )

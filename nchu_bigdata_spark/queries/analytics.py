@@ -2979,10 +2979,12 @@ def events_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSUM_H_MAD4 = 10
 
 
-@register(
-    "win_cusum_chart",
-    tags=("b11",),
-    oracle=f"""
+# Shared CUSUM CTE chain (calibration + prefix + running-min):
+# win_cusum_chart SELECTs the per-day chart from it;
+# events_incidents re-aggregates the SAME chain into alarm islands
+# (the _SQL_CC_CHAIN composition pattern).
+_SQL_CUSUM_CHAIN = f"""
+
         -- one-sided upper CUSUM control chart per event series:
         -- S_t = max(0, S_t-1 + (x_t - median - MAD/2)) with alarm at
         -- 5*MAD — the ONLINE sequential detector (Page 1954) that
@@ -3047,6 +3049,14 @@ _CUSUM_H_MAD4 = 10
                             AND CURRENT ROW) AS minp8
             FROM p
         )
+"""
+
+
+@register(
+    "win_cusum_chart",
+    tags=("b11",),
+    oracle=f"""
+        {_SQL_CUSUM_CHAIN}
         SELECT event_type, CAST(day AS BIGINT) AS day, x, mad4,
                CAST(p8 - LEAST(0, minp8) AS BIGINT) AS s8,
                CAST(p8 - LEAST(0, minp8)
@@ -3289,4 +3299,89 @@ def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("did_x100"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_incidents — alarm stream → incident islands (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_incidents",
+    tags=("b11",),
+    oracle=f"""
+        -- incident extraction over the CUSUM alarm stream: collapse
+        -- consecutive alarm days per series into INCIDENTS (start,
+        -- end, duration, peak severity) — what an on-call pager
+        -- actually wants (one page per incident, not one per alarm
+        -- day), and the flap-suppression step every alerting system
+        -- ships. Islands via the day - ROW_NUMBER() constant-within-
+        -- a-run trick (win_streak), over the SAME shared CUSUM chain
+        -- the chart op certifies — incidents can't drift from alarms.
+        {_SQL_CUSUM_CHAIN},
+        alarms AS (
+            SELECT event_type, day,
+                   CAST(p8 - LEAST(0, minp8) AS BIGINT) AS s8
+            FROM q WHERE p8 - LEAST(0, minp8) > 10 * mad4
+        ),
+        isl AS (
+            SELECT event_type, day, s8,
+                   day - ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY day) AS grp
+            FROM alarms
+        )
+        SELECT event_type,
+               CAST(MIN(day) AS BIGINT) AS start_day,
+               CAST(MAX(day) AS BIGINT) AS end_day,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(MAX(s8) AS BIGINT) AS peak_s8
+        FROM isl GROUP BY event_type, grp
+    """,
+)
+def events_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident extraction over the CUSUM alarm stream: consecutive
+    alarm days per series collapse into INCIDENTS with start/end,
+    duration, and peak severity — what an on-call pager actually
+    wants (one page per incident, not one per alarm day), and the
+    flap-suppression step every alerting pipeline ships between
+    detection and notification. Gaps-and-islands does the collapse:
+    within a consecutive run, day − row_number() is constant
+    (the `win_streak` trick), so one window + one agg per series
+    turns the alarm stream into an incident table.
+
+    Composition is literal (the `dedup_cluster_stats` pattern): the
+    engine filters and re-aggregates the registered `win_cusum_chart`
+    output UNCHANGED, and the oracle runs islands over the SAME
+    shared CUSUM chain (`_SQL_CUSUM_CHAIN`) — incidents cannot drift
+    from the alarms they summarize.
+
+    Plan/scale: alarm rows are a tiny filtered slice of the
+    day-cardinality chart; the island window and rollup key on
+    event_type — everything past the chart's one fact shuffle is
+    alarm-cardinality."""
+    chart = win_cusum_chart(spark, sf_dir)
+    alarms = chart.filter(F.col("alarm") == 1).select(
+        "event_type", "day", "s8"
+    )
+    isl = alarms.select(
+        "event_type",
+        "day",
+        "s8",
+        (
+            F.col("day")
+            - F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            )
+        ).alias("grp"),
+    )
+    return (
+        isl.groupBy("event_type", "grp")
+        .agg(
+            F.min("day").cast("long").alias("start_day"),
+            F.max("day").cast("long").alias("end_day"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("s8").cast("long").alias("peak_s8"),
+        )
+        .select("event_type", "start_day", "end_day", "n_days", "peak_s8")
     )

@@ -1637,3 +1637,109 @@ def orders_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tax_amt"),
         "charged",
     )
+
+
+# --------------------------------------------------------------------------
+# orders_supplier_scorecard — multi-metric supplier mart (round 8)
+# --------------------------------------------------------------------------
+
+_SLA_DAYS = 30  # ship within 30 days of the order date or it's late
+
+
+@register(
+    "orders_supplier_scorecard",
+    tags=("b3",),
+    oracle=f"""
+        -- supplier scorecard: revenue, breadth (distinct parts /
+        -- customers served), volume, and the {_SLA_DAYS}-day SLA
+        -- late-ship rate, with a dense revenue rank — the vendor-
+        -- management mart that decides quarterly business reviews.
+        -- Revenue rides the exact decimal policy; the late rate is
+        -- an integer bp; rank ties break on revenue only (DENSE_RANK
+        -- gives equal revenue equal rank on both engines).
+        WITH l AS (
+            SELECT l.l_suppkey, l.l_partkey, o.o_custkey,
+                   l.l_extendedprice * (1 - l.l_discount) AS rev,
+                   CASE WHEN l.l_shipdate
+                             > o.o_orderdate + INTERVAL {_SLA_DAYS} DAY
+                        THEN 1 ELSE 0 END AS late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        s AS (
+            SELECT l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(rev AS DECIMAL(20,6)))
+                        AS DECIMAL(38,6)) AS revenue,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+                       AS n_parts,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                       AS n_customers,
+                   CAST(SUM(late) * 10000 // COUNT(*) AS BIGINT)
+                       AS late_bp
+            FROM l GROUP BY l_suppkey
+        )
+        SELECT sup.s_name, s.*, 
+               CAST(DENSE_RANK() OVER (ORDER BY s.revenue DESC)
+                    AS BIGINT) AS revenue_rank
+        FROM s JOIN supplier sup ON sup.s_suppkey = s.l_suppkey
+    """,
+)
+def orders_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard: per supplier, the revenue (exact decimal),
+    assortment breadth (distinct parts), customer reach, line volume,
+    the {d}-day SLA late-ship rate in bp, and a dense revenue rank —
+    the vendor-management mart behind quarterly business reviews,
+    and the first consumer of the supplier dimension beyond TPC-H's
+    own queries. One table answers "who ships late", "who
+    concentrates our revenue", and "who is a single-part vendor"
+    (churn risk) at once.
+
+    Exactness: revenue rides `compat.dsum` decimals; the late rate
+    is pure integer bp; DENSE_RANK over revenue gives equal revenue
+    equal rank deterministically (no arbitrary tie order leaks into
+    the output).
+
+    Plan/scale: one orderkey equi join (the star-schema toll), one
+    supplier-keyed agg carrying all metrics in a single pass
+    (distincts expand partials map-side), one dimension-sized name
+    join; the rank window runs over SUPPLIER cardinality — dimension
+    rows, not facts."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    from nchu_bigdata_spark.compat import dsum
+
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        "l_partkey",
+        "o_custkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        (
+            F.col("l_shipdate")
+            > F.date_add(F.col("o_orderdate"), _SLA_DAYS)
+        )
+        .cast("long")
+        .alias("late"),
+    )
+    s = l.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        dsum("rev").alias("revenue"),
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.expr(
+            "CAST(sum(late) * 10000 div count(*) AS BIGINT)"
+        ).alias("late_bp"),
+    )
+    return s.join(sup, s.l_suppkey == sup.s_suppkey).select(
+        "s_name",
+        "l_suppkey",
+        "n_lines",
+        "revenue",
+        "n_parts",
+        "n_customers",
+        "late_bp",
+        F.dense_rank()
+        .over(Window.orderBy(F.desc("revenue")))
+        .cast("long")
+        .alias("revenue_rank"),
+    )

@@ -275,6 +275,9 @@ DRIVER_ORDER = [
     "scan_txn_log",
     "graph_ego_features",
     "orders_margin_waterfall",
+    "events_incidents",
+    "orders_supplier_scorecard",
+    "tokenize_truncation_audit",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

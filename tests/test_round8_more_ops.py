@@ -1985,3 +1985,91 @@ def test_margin_waterfall_reconciles(spark, sf_dir, duck):
         "SELECT COUNT(*) FROM lineitem l JOIN orders o "
         "ON l.l_orderkey = o.o_orderkey").fetchone()[0]
     assert sum(r.n_lines for r in rows) == n_lines
+
+
+# --------------------------------------------------------------------------
+# events_incidents
+# --------------------------------------------------------------------------
+
+
+def test_incidents_vs_chart(spark, sf_dir):
+    # incidents must be exactly the maximal consecutive alarm runs of
+    # the registered chart — the composition contract
+    chart = SPECS["win_cusum_chart"].fn(spark, sf_dir).collect()
+    alarms = defaultdict(list)
+    for r in chart:
+        if r.alarm:
+            alarms[r.event_type].append((r.day, r.s8))
+    want = []
+    for et, ds in alarms.items():
+        ds.sort()
+        run = [ds[0]]
+        for d, s8 in ds[1:]:
+            if d == run[-1][0] + 1:
+                run.append((d, s8))
+            else:
+                want.append((et, run[0][0], run[-1][0], len(run),
+                             max(s for _, s in run)))
+                run = [(d, s8)]
+        want.append((et, run[0][0], run[-1][0], len(run),
+                     max(s for _, s in run)))
+    rows = SPECS["events_incidents"].fn(spark, sf_dir).collect()
+    got = [(r.event_type, r.start_day, r.end_day, r.n_days, r.peak_s8)
+           for r in rows]
+    assert sorted(got) == sorted(want)
+
+
+# --------------------------------------------------------------------------
+# orders_supplier_scorecard
+# --------------------------------------------------------------------------
+
+
+def test_supplier_scorecard_replay(spark, sf_dir, duck):
+    from datetime import timedelta
+    stats = defaultdict(lambda: [0, set(), set(), 0])
+    for sk, pk, ck, ship, od in duck.execute(
+        "SELECT l.l_suppkey, l.l_partkey, o.o_custkey, l.l_shipdate, "
+        "o.o_orderdate FROM lineitem l JOIN orders o "
+        "ON l.l_orderkey = o.o_orderkey"
+    ).fetchall():
+        s = stats[sk]
+        s[0] += 1
+        s[1].add(pk)
+        s[2].add(ck)
+        s[3] += ship > od + timedelta(days=30)
+    names = dict(duck.execute(
+        "SELECT s_suppkey, s_name FROM supplier").fetchall())
+    rows = SPECS["orders_supplier_scorecard"].fn(spark, sf_dir).collect()
+    got = {r.l_suppkey: (r.s_name, r.n_lines, r.n_parts, r.n_customers,
+                         r.late_bp, r.revenue_rank) for r in rows}
+    assert set(got) == set(stats)
+    for sk, s in stats.items():
+        assert got[sk][:5] == (names[sk], s[0], len(s[1]), len(s[2]),
+                               s[3] * 10000 // s[0])
+    # dense revenue rank: permutation-free sanity via rank set
+    ranks = sorted(v[5] for v in got.values())
+    assert ranks[0] == 1 and ranks[-1] <= len(got)
+
+
+# --------------------------------------------------------------------------
+# tokenize_truncation_audit
+# --------------------------------------------------------------------------
+
+
+def test_truncation_audit_replay(spark, sf_dir, duck):
+    toks = [len(t.split(" ")) for (t,) in duck.execute(
+        "SELECT text FROM documents").fetchall()]
+    n_docs, n_tok = len(toks), sum(toks)
+    rows = SPECS["tokenize_truncation_audit"].fn(spark, sf_dir).collect()
+    got = {r.max_len: (r.n_truncated_docs, r.n_lost_tokens,
+                       r.doc_trunc_bp, r.token_loss_bp) for r in rows}
+    assert set(got) == {16, 64, 256, 1024}
+    for ml in got:
+        td = sum(1 for t in toks if t > ml)
+        lost = sum(max(t - ml, 0) for t in toks)
+        assert got[ml] == (td, lost, td * 10000 // n_docs,
+                           lost * 10000 // n_tok)
+    # longer context can only lose less
+    ladder = sorted(got)
+    for a, b in zip(ladder, ladder[1:]):
+        assert got[a][1] >= got[b][1]

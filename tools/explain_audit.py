@@ -755,6 +755,23 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"CartesianProduct", r"Window", r"rangepartitioning"],
     ),
+    # incidents: the audited cusum chart + alarm-cardinality island
+    # window + rollup, all event_type-keyed
+    "events_incidents": (
+        [r"HashAggregate", r"Window", r"hashpartitioning\(event_type"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # scorecard: one orderkey join, one supplier-keyed agg, dimension
+    # name join; rank window over supplier cardinality only
+    "orders_supplier_scorecard": (
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # truncation ladder: corpus x 4-row broadcast, ONE agg pass
+    "tokenize_truncation_audit": (
+        [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Window"],
+    ),
 }
 
 
