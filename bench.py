@@ -203,6 +203,9 @@ SQL_GROUP = [
     "events_incidents",
     "orders_supplier_scorecard",
     "tokenize_truncation_audit",
+    "stream_ohlc",
+    "text_rake_keyphrases",
+    "ts_densify",
 ]
 
 

@@ -1222,3 +1222,157 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 15590 AS BIGINT)"
         ).alias("fk_grade_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_rake_keyphrases — RAKE keyphrase extraction (round 8)
+# --------------------------------------------------------------------------
+
+_RAKE_MAX_LEN = 4
+_RAKE_TOPK = 20
+_RAKE_SCALE = 1_000
+
+
+@register(
+    "text_rake_keyphrases",
+    tags=("b10",),
+    oracle=f"""
+        -- RAKE keyphrase extraction (Rose et al. 2010) in exact
+        -- scaled integers: candidate phrases are maximal stopword-
+        -- free token runs (<= {_RAKE_MAX_LEN} words, the islands
+        -- trick on token positions), each word scores
+        -- deg/freq (co-occurrence degree over frequency, x{_RAKE_SCALE}
+        -- floor), and a phrase scores the sum of its member words —
+        -- multiword phrases whose words travel together rise to the
+        -- top. Top-{_RAKE_TOPK} by (score, phrase) both engines.
+        WITH tok AS (
+            SELECT doc_id, lower(w[i]) AS w, i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+                 unnest(range(1, len(w) + 1)) AS r(i)
+        ),
+        nonstop AS (
+            SELECT doc_id, w, i,
+                   i - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY i) AS isl
+            FROM tok WHERE w NOT IN {tuple(STOPWORDS)!r}
+        ),
+        phrase AS (
+            SELECT doc_id, isl,
+                   string_agg(w, ' ' ORDER BY i) AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS plen
+            FROM nonstop GROUP BY doc_id, isl
+            HAVING COUNT(*) <= {_RAKE_MAX_LEN}
+        ),
+        member AS (
+            SELECT p.phrase, p.plen, UNNEST(string_split(p.phrase, ' '))
+                       AS w
+            FROM phrase p
+        ),
+        wstat AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(plen) AS BIGINT) AS deg
+            FROM member GROUP BY w
+        ),
+        wscore AS (
+            SELECT w, CAST(deg * {_RAKE_SCALE} // freq AS BIGINT) AS ws
+            FROM wstat
+        ),
+        pscore AS (
+            SELECT m.phrase,
+                   CAST(SUM(ws.ws) AS BIGINT) AS score_x{_RAKE_SCALE},
+                   CAST(COUNT(*) AS BIGINT) AS n_words_total
+            FROM member m JOIN wscore ws ON ws.w = m.w
+            GROUP BY m.phrase
+        ),
+        occ AS (
+            SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM phrase GROUP BY phrase
+        )
+        SELECT p.phrase,
+               CAST(p.score_x{_RAKE_SCALE} / o.n_occurrences AS BIGINT)
+                   AS score_x{_RAKE_SCALE},
+               o.n_occurrences
+        FROM pscore p JOIN occ o ON o.phrase = p.phrase
+        ORDER BY 2 DESC, 1
+        LIMIT {_RAKE_TOPK}
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) in exact scaled
+    integers: candidate phrases are maximal stopword-free token runs
+    (the gaps-and-islands trick on token positions, capped at
+    {n} words), every word scores its co-occurrence DEGREE over its
+    FREQUENCY (x{s} floor — words that travel inside long phrases
+    outrank words that appear alone), and a phrase scores the sum of
+    its member-word scores. The classic unsupervised keyword
+    extractor — corpus topic labeling, search-facet mining, and
+    prompt-template discovery all start here — and unlike TF-IDF
+    (`text_tokenize_tfidf`) it surfaces MULTIWORD units.
+
+    Exactness: scores are floor-divided scaled integers end to end
+    (deg·{s} div freq summed per phrase, normalized by occurrence
+    count with integer division); top-{k} ties break on the phrase
+    string — bit-identical cross-engine, no tf-idf-style float logs.
+
+    Plan/scale: tokenization explodes in the scan projection; the
+    island window keys on doc_id (per-doc state = token count); word
+    stats and phrase scores are vocabulary-/phrase-cardinality
+    map-side aggs; TakeOrdered merges per-partition top-{k} heaps —
+    no global sort."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("i", "w"),
+    )
+    nonstop = tok.filter(~F.col("w").isin(*STOPWORDS)).select(
+        "doc_id",
+        "w",
+        "i",
+        (
+            F.col("i")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("i")
+            )
+        ).alias("isl"),
+    )
+    phrase = (
+        nonstop.groupBy("doc_id", "isl")
+        .agg(
+            F.concat_ws(" ", F.array_sort(
+                F.collect_list(F.struct("i", "w"))
+            ).getField("w")).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    member = phrase.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wscore = (
+        member.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select("w", F.expr(f"CAST(deg * {_RAKE_SCALE} div freq AS BIGINT)").alias("ws"))
+    )
+    score_col = f"score_x{_RAKE_SCALE}"
+    pscore = (
+        member.join(wscore, "w")
+        .groupBy("phrase")
+        .agg(F.sum("ws").cast("long").alias("raw"))
+    )
+    occ = phrase.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    return (
+        pscore.join(occ, "phrase")
+        .select(
+            "phrase",
+            F.expr("CAST(raw div n_occurrences AS BIGINT)").alias(score_col),
+            "n_occurrences",
+        )
+        .orderBy(F.desc(score_col), "phrase")
+        .limit(_RAKE_TOPK)
+    )

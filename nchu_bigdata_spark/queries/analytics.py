@@ -3385,3 +3385,80 @@ def events_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "start_day", "end_day", "n_days", "peak_s8")
     )
+
+
+# --------------------------------------------------------------------------
+# ts_densify — calendar gap-filling with imputation flags (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_densify",
+    tags=("b11",),
+    oracle="""
+        -- calendar densification: complete every (event_type, day)
+        -- cell over each series' own [min_day, max_day] span,
+        -- zero-filling missing days with an is_imputed marker — the
+        -- prerequisite every downstream window op silently assumes
+        -- (a 7-day moving average over a gappy series averages the
+        -- wrong 7 days; ts_decompose, win_rolling_regression, and
+        -- win_cusum_chart all index by ROW position). Spark generates
+        -- the grid with sequence(); the oracle replays it with
+        -- generate_series off the same per-series bounds.
+        WITH cell AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+            FROM cell GROUP BY event_type
+        ),
+        grid AS (
+            SELECT event_type, UNNEST(generate_series(lo, hi)) AS day
+            FROM span
+        )
+        SELECT g.event_type, CAST(g.day AS BIGINT) AS day,
+               CAST(COALESCE(c.x, 0) AS BIGINT) AS x,
+               CAST(c.x IS NULL AS INT) AS is_imputed
+        FROM grid g
+        LEFT JOIN cell c
+          ON c.event_type = g.event_type AND c.day = g.day
+    """,
+)
+def ts_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: complete every (event_type, day) cell
+    over each series' own [min_day, max_day] span, zero-filling
+    missing days and marking them ``is_imputed`` — the prerequisite
+    every row-positional window op silently assumes (a "7-day" moving
+    average over a gappy series averages the wrong 7 days;
+    `ts_decompose` / `win_rolling_regression` / `win_cusum_chart`
+    all index by ROW position, so gaps quietly stretch their
+    frames). Densify first, and the imputation flag keeps zero-fill
+    honest downstream (a zero-filled day in a MAD calibration is a
+    choice, not an accident).
+
+    Plan/scale: the fact table collapses to (type, day) map-side;
+    per-series spans are a vocabulary-sized agg whose
+    ``sequence(lo, hi)`` grid explodes inside codegen (rows =
+    span-days x series — the DENSE axis, which is the output anyway)
+    and left-joins the sparse cells on the (type, day) key. No
+    per-day driver loop, no calendar table to maintain."""
+    ev = table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    span = cell.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("day"),
+    )
+    return grid.join(cell, ["event_type", "day"], "left").select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        F.col("x").isNull().cast("int").alias("is_imputed"),
+    )

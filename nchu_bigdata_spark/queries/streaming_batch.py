@@ -596,3 +596,97 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src_dir, topk_counts_transform, output_mode="complete"
     )
     return rank_topk(counts)
+
+
+# --------------------------------------------------------------------------
+# stream_ohlc — streaming OHLC bars (round 8)
+# --------------------------------------------------------------------------
+
+
+def ohlc_transform(ev: DataFrame) -> DataFrame:
+    """Core 5-minute OHLC plan — shared verbatim by the batch query and
+    the Structured Streaming runner (parity tested). Open/close use
+    min_by/max_by over the full (ts, event_id) struct — the same
+    deterministic tie-break `win_ohlc_bars` uses, but as ALGEBRAIC
+    aggregates (mergeable partials), which is what lets the identical
+    plan run incrementally under streaming state."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    ord_ = F.struct(F.unix_micros("ts").alias("t"), F.col("event_id"))
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.min_by(cents, ord_).alias("open_cents"),
+            F.max(cents).alias("high_cents"),
+            F.min(cents).alias("low_cents"),
+            F.max_by(cents, ord_).alias("close_cents"),
+            F.sum(cents).cast("long").alias("volume_cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("wstart_us"),
+            "event_type",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "volume_cents",
+            "n",
+        )
+    )
+
+
+@register(
+    "stream_ohlc",
+    tags=("b9",),
+    oracle=f"""
+        -- 5-minute OHLC bars, the streaming-capable formulation:
+        -- open/close as arg-min/arg-max by (ts, event_id) — replayed
+        -- here with rank windows — high/low/volume as plain aggs, all
+        -- in integer cents. The SAME transform runs under Structured
+        -- Streaming (state-mergeable min_by/max_by partials) and in
+        -- batch; the parity test proves they agree bar for bar.
+        WITH c AS (
+            SELECT (epoch_us(ts) // {_5M_US}) * {_5M_US} AS wstart_us,
+                   event_type, epoch_us(ts) AS ts_us, event_id,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ),
+        r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY wstart_us, event_type
+                       ORDER BY ts_us, event_id) AS rk_a,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY wstart_us, event_type
+                       ORDER BY ts_us DESC, event_id DESC) AS rk_z
+            FROM c
+        )
+        SELECT CAST(wstart_us AS BIGINT) AS wstart_us, event_type,
+               CAST(MAX(CASE WHEN rk_a = 1 THEN cents END) AS BIGINT)
+                   AS open_cents,
+               CAST(MAX(cents) AS BIGINT) AS high_cents,
+               CAST(MIN(cents) AS BIGINT) AS low_cents,
+               CAST(MAX(CASE WHEN rk_z = 1 THEN cents END) AS BIGINT)
+                   AS close_cents,
+               CAST(SUM(cents) AS BIGINT) AS volume_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM r GROUP BY wstart_us, event_type
+    """,
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute OHLC bars in the STREAMING-CAPABLE formulation:
+    `win_ohlc_bars` gets open/close from rank windows, which cannot
+    run incrementally — this operator states them as min_by/max_by
+    over the (ts, event_id) struct instead, ALGEBRAIC aggregates
+    whose partials merge, so the identical transform runs under
+    Structured Streaming windowed state (live price/metric bars) and
+    in batch (backfill) with bar-for-bar parity — the
+    Kappa-architecture property (one definition, two runtimes) that
+    kills an entire class of "batch says X, stream says Y"
+    reconciliation bugs. Same deterministic tie-break, same integer
+    cents; the parity test runs the real file-source stream.
+
+    Plan/scale: batch = one (window, type)-keyed hash agg combining
+    map-side; streaming = the same agg over windowed state, state
+    size = open bars x series, O(1) per event."""
+    return ohlc_transform(table(spark, sf_dir, "events"))

@@ -278,6 +278,9 @@ DRIVER_ORDER = [
     "events_incidents",
     "orders_supplier_scorecard",
     "tokenize_truncation_audit",
+    "stream_ohlc",
+    "text_rake_keyphrases",
+    "ts_densify",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

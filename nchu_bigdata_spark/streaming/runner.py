@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 from nchu_bigdata_spark.queries.streaming_batch import (
     dedup_transform,
     enrich_static_transform,
+    ohlc_transform,
     session_transform,
     sliding_transform,
     stateful_transform,
@@ -80,6 +81,9 @@ STREAM_TRANSFORMS: dict[str, tuple[Callable[[DataFrame], DataFrame], str]] = {
     # stream-static broadcast enrichment: stateless join, complete-mode
     # agg on top
     "stream_enrich_static": (enrich_static_transform, "complete"),
+    # OHLC bars: algebraic min_by/max_by open/close — the same plan
+    # runs incrementally (complete mode) and in batch
+    "stream_ohlc": (ohlc_transform, "complete"),
 }
 
 

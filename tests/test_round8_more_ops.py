@@ -2073,3 +2073,95 @@ def test_truncation_audit_replay(spark, sf_dir, duck):
     ladder = sorted(got)
     for a, b in zip(ladder, ladder[1:]):
         assert got[a][1] >= got[b][1]
+
+
+# --------------------------------------------------------------------------
+# text_rake_keyphrases
+# --------------------------------------------------------------------------
+
+
+def test_rake_replay(spark, sf_dir, duck):
+    STOP = {"the", "a"}
+    phrases = []
+    for (text,) in duck.execute("SELECT text FROM documents").fetchall():
+        run = []
+        for w in text.lower().split(" "):
+            if w in STOP:
+                if run and len(run) <= 4:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+        if run and len(run) <= 4:
+            phrases.append(tuple(run))
+    freq, deg = defaultdict(int), defaultdict(int)
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    ws = {w: deg[w] * 1000 // freq[w] for w in freq}
+    from collections import Counter
+    occ = Counter(phrases)
+    score = {}
+    for p, n in occ.items():
+        score[" ".join(p)] = (sum(ws[w] for w in p) * n // n, n)
+    want = sorted(
+        ((ph, s, n) for ph, (s, n) in score.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:20]
+    rows = SPECS["text_rake_keyphrases"].fn(spark, sf_dir).collect()
+    got = [(r.phrase, r.score_x1000, r.n_occurrences) for r in rows]
+    assert got == want
+    # multiword phrases must be able to outrank single words
+    assert any(" " in ph for ph, _, _ in got)
+
+
+# --------------------------------------------------------------------------
+# ts_densify
+# --------------------------------------------------------------------------
+
+
+def test_densify_replay(spark, sf_dir, duck):
+    series = defaultdict(dict)
+    for et, day, n in duck.execute(
+        "SELECT event_type, epoch_us(ts) // 86400000000, COUNT(*) "
+        "FROM events GROUP BY 1, 2"
+    ).fetchall():
+        series[et][day] = n
+    want = {}
+    for et, by_day in series.items():
+        for d in range(min(by_day), max(by_day) + 1):
+            want[(et, d)] = (by_day.get(d, 0), int(d not in by_day))
+    rows = SPECS["ts_densify"].fn(spark, sf_dir).collect()
+    got = {(r.event_type, r.day): (r.x, r.is_imputed) for r in rows}
+    assert got == want
+    # the dense grid has no positional gaps per series
+    for et in series:
+        days = sorted(d for e, d in got if e == et)
+        assert days == list(range(days[0], days[-1] + 1))
+
+
+# --------------------------------------------------------------------------
+# stream_ohlc (batch form vs win_ohlc_bars semantics)
+# --------------------------------------------------------------------------
+
+
+def test_stream_ohlc_vs_daily_bars(spark, sf_dir):
+    # 5-minute bars must roll up to the daily bars win_ohlc_bars emits
+    # (open of first 5m bar = daily open, max of highs = daily high...)
+    bars5 = SPECS["stream_ohlc"].fn(spark, sf_dir).collect()
+    daily = {(r.event_type, r.day): r for r in
+             SPECS["win_ohlc_bars"].fn(spark, sf_dir).collect()}
+    rolls = defaultdict(list)
+    for b in bars5:
+        rolls[(b.event_type, b.wstart_us // DAY_US)].append(b)
+    assert set(rolls) == set(daily)
+    for key, bs in rolls.items():
+        bs.sort(key=lambda b: b.wstart_us)
+        d = daily[key]
+        assert bs[0].open_cents == d.open_cents
+        assert bs[-1].close_cents == d.close_cents
+        assert max(b.high_cents for b in bs) == d.high_cents
+        assert min(b.low_cents for b in bs) == d.low_cents
+        assert sum(b.volume_cents for b in bs) == d.volume_cents
+        assert sum(b.n for b in bs) == d.n_events

@@ -48,6 +48,9 @@ PARITY_IDS = [
     # run (count state maintained by the stream, rank at read); the
     # parity branch compares it against an all-batch count+rank
     "stream_topk",
+    # round 8: OHLC bars via algebraic min_by/max_by open/close — the
+    # streaming-capable restatement of win_ohlc_bars
+    "stream_ohlc",
 ]
 
 

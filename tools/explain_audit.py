@@ -772,6 +772,25 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"BroadcastNestedLoopJoin"],
         [r"CartesianProduct", r"SortMergeJoin", r"Window"],
     ),
+    # streaming OHLC (batch form): ONE (window, type)-keyed agg with
+    # algebraic min_by/max_by — struct-ordered min_by compiles to
+    # SortAggregate (partial+final, one exchange); no rank window
+    "stream_ohlc": (
+        [r"SortAggregate", r"Exchange"],
+        [r"CartesianProduct", r"Window", r"Join", r"rangepartitioning"],
+    ),
+    # RAKE: doc-keyed island window + vocabulary/phrase map-side aggs
+    # + TakeOrdered top-k merge
+    "text_rake_keyphrases": (
+        [r"Window", r"hashpartitioning\(doc_id", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # densify: (type, day) agg, vocabulary-sized span agg, codegen
+    # sequence explode, keyed left join
+    "ts_densify": (
+        [r"HashAggregate", r"Generate"],
+        [r"CartesianProduct", r"Window", r"rangepartitioning"],
+    ),
 }
 
 
