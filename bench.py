@@ -206,6 +206,9 @@ SQL_GROUP = [
     "stream_ohlc",
     "text_rake_keyphrases",
     "ts_densify",
+    "text_lang_confusion",
+    "agg_weighted_percentile",
+    "events_decay_attribution",
 ]
 
 

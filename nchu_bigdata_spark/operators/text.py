@@ -134,10 +134,11 @@ def text_tokenize_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LN_SCALE = 7  # per-term rounding grid; decimals make the sum order-free
 
 
-@register(
-    "text_langid",
-    tags=("b10",),
-    oracle=f"""
+# Shared NB language-ID CTE chain: text_langid SELECTs the per-doc
+# predictions from it; text_lang_confusion re-aggregates the SAME
+# chain into the confusion matrix (the _SQL_CC_CHAIN pattern).
+_SQL_LANGID_CHAIN = f"""
+
         WITH tok AS (
             SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
             FROM documents
@@ -169,12 +170,24 @@ _LN_SCALE = 7  # per-term rounding grid; decimals make the sum order-free
                        PARTITION BY doc_id ORDER BY score DESC, lang
                    ) AS rn
             FROM scored
+        ),
+        pred AS (
+            SELECT b.doc_id, b.lang AS pred_lang,
+                   CAST(b.score AS DECIMAL(38,{_LN_SCALE})) AS score,
+                   d.lang AS true_lang, (b.lang = d.lang) AS correct
+            FROM best b JOIN documents d USING (doc_id)
+            WHERE rn = 1
         )
-        SELECT b.doc_id, b.lang AS pred_lang,
-               CAST(b.score AS DECIMAL(38,{_LN_SCALE})) AS score,
-               d.lang AS true_lang, (b.lang = d.lang) AS correct
-        FROM best b JOIN documents d USING (doc_id)
-        WHERE rn = 1
+"""
+
+
+@register(
+    "text_langid",
+    tags=("b10",),
+    oracle=f"""
+        {_SQL_LANGID_CHAIN}
+        SELECT doc_id, pred_lang, score, true_lang, correct
+        FROM pred
     """,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1375,4 +1388,86 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc(score_col), "phrase")
         .limit(_RAKE_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# text_lang_confusion — language-ID confusion matrix (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_lang_confusion",
+    tags=("b10",),
+    oracle=f"""
+        {_SQL_LANGID_CHAIN},
+        cm AS (
+            SELECT true_lang, pred_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM pred GROUP BY true_lang, pred_lang
+        ),
+        row_tot AS (
+            SELECT true_lang, CAST(SUM(n) AS BIGINT) AS n_true
+            FROM cm GROUP BY true_lang
+        ),
+        col_tot AS (
+            SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS n_pred
+            FROM cm GROUP BY pred_lang
+        )
+        -- confusion matrix + the per-cell recall/precision shares a
+        -- model eval actually reads: recall_bp = cell/row (how much
+        -- of true L lands here), precision_bp = cell/column (how much
+        -- of predicted L really is L). Re-aggregates the SAME NB
+        -- chain text_langid certifies — the matrix can't drift from
+        -- the classifier.
+        SELECT cm.true_lang, cm.pred_lang, cm.n,
+               CAST(cm.n * 10000 // rt.n_true AS BIGINT) AS recall_bp,
+               CAST(cm.n * 10000 // ct.n_pred AS BIGINT) AS precision_bp
+        FROM cm
+        JOIN row_tot rt ON rt.true_lang = cm.true_lang
+        JOIN col_tot ct ON ct.pred_lang = cm.pred_lang
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: per (true, predicted) cell, the
+    count plus the per-cell recall share (cell over its TRUE row) and
+    precision share (cell over its PREDICTED column) in exact basis
+    points — the table a classifier eval actually reads, because
+    aggregate accuracy hides exactly the thing that matters (WHICH
+    languages leak into which: a de→nl cell and an en→de cell are
+    different bugs with different fixes, same accuracy).
+
+    Composition is literal (the `dedup_cluster_stats` pattern): the
+    engine re-aggregates the registered `text_langid` output
+    UNCHANGED, and the oracle re-aggregates the SAME shared NB chain
+    (`_SQL_LANGID_CHAIN`) — the matrix cannot drift from the
+    classifier it evaluates.
+
+    Plan/scale: three langs²-cardinality aggregates over the per-doc
+    prediction table + two vocabulary-sized total joins — everything
+    past the classifier's own shuffles is matrix-sized."""
+    pred = text_langid(spark, sf_dir)
+    cm = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rt = cm.groupBy("true_lang").agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    ct = cm.groupBy("pred_lang").agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    return (
+        cm.join(rt, "true_lang")
+        .join(ct, "pred_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.expr("CAST(n * 10000 div n_true AS BIGINT)").alias(
+                "recall_bp"
+            ),
+            F.expr("CAST(n * 10000 div n_pred AS BIGINT)").alias(
+                "precision_bp"
+            ),
+        )
     )

@@ -1741,3 +1741,105 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsor_mean_cents", "raw_mean_cents",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_weighted_percentile — weight-rank order statistics (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_percentile",
+    tags=("b4",),
+    oracle="""
+        -- QUANTITY-WEIGHTED percentiles of unit price per return
+        -- flag: each row counts with weight = its quantity, and the
+        -- weighted p50/p90 are the first values whose RUNNING weight
+        -- clears p% of the total (lower weighted quantile, exact
+        -- integer test 100*cumw >= p*totw). The unweighted median
+        -- answers "the median LINE"; the weighted one answers "the
+        -- median UNIT SOLD" — the number pricing reads. All integer:
+        -- cents values, integer weights, cross-multiplied rank test.
+        WITH c AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       AS cents,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS w
+            FROM lineitem
+        ),
+        r AS (
+            SELECT l_returnflag, cents, w,
+                   SUM(w) OVER (PARTITION BY l_returnflag
+                                ORDER BY cents, w
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cumw,
+                   SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+            FROM c
+        )
+        SELECT l_returnflag,
+               CAST(MAX(totw) AS BIGINT) AS total_weight,
+               CAST(MIN(CASE WHEN 100 * cumw >= 50 * totw
+                             THEN cents END) AS BIGINT) AS wp50_cents,
+               CAST(MIN(CASE WHEN 100 * cumw >= 90 * totw
+                             THEN cents END) AS BIGINT) AS wp90_cents,
+               CAST(MIN(CASE WHEN 100 * cumw >= 99 * totw
+                             THEN cents END) AS BIGINT) AS wp99_cents
+        FROM r GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED percentiles of unit price per return flag:
+    each line counts with weight = its quantity, and the weighted
+    p50/p90/p99 are the first price whose running weight clears p% of
+    the total (lower weighted quantile). The unweighted median
+    (`agg_percentile_exact`) answers "the median LINE"; this answers
+    "the median UNIT SOLD" — the number pricing and unit-economics
+    reviews actually want, and the two diverge exactly when cheap
+    items ship in bulk. Same construction handles any weight column
+    (tokens per doc, revenue per order).
+
+    Exactness: integer cents, integer weights (quantities round to
+    whole units in this schema), and the rank test cross-multiplies
+    — 100·cumw ≥ p·totw — so there is no division anywhere, no
+    interpolation, no float.
+
+    Plan/scale: one rank window PARTITIONED BY GROUP (per-group
+    parallel sort, no global sort — the `agg_winsorized_mean` shape)
+    collapsing into a 3-threshold conditional agg; same bounded-
+    cardinality framing as every exact order statistic here, with
+    `agg_approx` as the sketch path at full scale."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.round("l_quantity").cast("long").alias("w"),
+    )
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    r = c.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_run).alias("cumw"),
+        F.sum("w").over(w_all).alias("totw"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.max("totw").cast("long").alias("total_weight"),
+        F.expr(
+            "CAST(min(CASE WHEN 100 * cumw >= 50 * totw THEN cents END)"
+            " AS BIGINT)"
+        ).alias("wp50_cents"),
+        F.expr(
+            "CAST(min(CASE WHEN 100 * cumw >= 90 * totw THEN cents END)"
+            " AS BIGINT)"
+        ).alias("wp90_cents"),
+        F.expr(
+            "CAST(min(CASE WHEN 100 * cumw >= 99 * totw THEN cents END)"
+            " AS BIGINT)"
+        ).alias("wp99_cents"),
+    )

@@ -3462,3 +3462,103 @@ def ts_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("x", F.lit(0)).cast("long").alias("x"),
         F.col("x").isNull().cast("int").alias("is_imputed"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_decay_attribution — time-decay credit histogram (round 8)
+# --------------------------------------------------------------------------
+
+# Exponential half-life of one day, window capped at 7 days: a click
+# k days before the purchase earns 10^6 div 2^k ppm of raw credit.
+_DECAY_MAX_DAYS = 7
+_DECAY_PPM = 1_000_000
+
+
+@register(
+    "events_decay_attribution",
+    tags=("b3",),
+    oracle=f"""
+        -- time-decay attribution calibration: every (click -> later
+        -- purchase) pair within {_DECAY_MAX_DAYS} days, bucketed by
+        -- age k in days, with exponential half-life-1-day credit
+        -- {_DECAY_PPM} div 2^k ppm — the histogram that shows where
+        -- decayed credit actually lands, read against
+        -- events_attribution's winner-takes-all last touch and
+        -- events_conversion_lag's p90 (if most credit lands at k=0-1,
+        -- a long window only adds noise). Exact: day-integer ages,
+        -- power-of-two divisions, integer credit sums.
+        WITH p AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS pday
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS cday
+            FROM events WHERE event_type = 'click'
+        ),
+        pair AS (
+            SELECT p.pday - c.cday AS k
+            FROM p JOIN c ON p.user_id = c.user_id
+            WHERE p.pday - c.cday BETWEEN 0 AND {_DECAY_MAX_DAYS}
+        ),
+        hist AS (
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(*) * ({_DECAY_PPM} // POW(2, k)::BIGINT)
+                        AS BIGINT) AS credit_ppm
+            FROM pair GROUP BY k
+        ),
+        tot AS (SELECT CAST(SUM(credit_ppm) AS BIGINT) AS t FROM hist)
+        SELECT CAST(k AS BIGINT) AS k, n_pairs, credit_ppm,
+               CAST(credit_ppm * 10000 // tot.t AS BIGINT)
+                   AS credit_share_bp
+        FROM hist, tot
+    """,
+)
+def events_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution calibration: every click→purchase pair
+    within {d} days (same user, click first), bucketed by age k, each
+    pair earning exponential half-life-one-day credit ({ppm} div 2^k
+    ppm). The output histogram shows WHERE decayed credit actually
+    lands by age — the calibration read against
+    `events_attribution`'s winner-takes-all last touch and
+    `events_conversion_lag`'s p90: if ≥80% of credit sits at k ≤ 1,
+    a long lookback window only adds noise to the model, and the
+    marketing-mix debate settles on data instead of taste.
+
+    Exactness: ages are integer day differences, the decay is a
+    power-of-two integer division (no float exp), credit sums and
+    the share bp are exact int64.
+
+    Plan/scale: purchases and clicks collapse to (user, day)
+    projections; ONE user-keyed equi join with the k-range residual
+    (per-user width = that user's click×purchase days within a week
+    — bounded by activity, the `events_conversion_lag` join shape),
+    then day-axis-sized aggregation."""
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", day.alias("pday")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", day.alias("cday")
+    )
+    pair = (
+        p.join(c, "user_id")
+        .select((F.col("pday") - F.col("cday")).alias("k"))
+        .filter(F.col("k").between(0, _DECAY_MAX_DAYS))
+    )
+    hist = pair.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            f"CAST(count(*) * ({_DECAY_PPM} div CAST(pow(2, k) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("credit_ppm"),
+    )
+    tot = hist.agg(F.sum("credit_ppm").cast("long").alias("t"))
+    return hist.join(F.broadcast(tot)).select(
+        F.col("k").cast("long").alias("k"),
+        "n_pairs",
+        "credit_ppm",
+        F.expr("CAST(credit_ppm * 10000 div t AS BIGINT)").alias(
+            "credit_share_bp"
+        ),
+    )

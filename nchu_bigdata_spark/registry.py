@@ -281,6 +281,9 @@ DRIVER_ORDER = [
     "stream_ohlc",
     "text_rake_keyphrases",
     "ts_densify",
+    "text_lang_confusion",
+    "agg_weighted_percentile",
+    "events_decay_attribution",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -2165,3 +2165,88 @@ def test_stream_ohlc_vs_daily_bars(spark, sf_dir):
         assert min(b.low_cents for b in bs) == d.low_cents
         assert sum(b.volume_cents for b in bs) == d.volume_cents
         assert sum(b.n for b in bs) == d.n_events
+
+
+# --------------------------------------------------------------------------
+# text_lang_confusion
+# --------------------------------------------------------------------------
+
+
+def test_lang_confusion_vs_langid(spark, sf_dir):
+    pred = SPECS["text_langid"].fn(spark, sf_dir).collect()
+    from collections import Counter
+    cm = Counter((r.true_lang, r.pred_lang) for r in pred)
+    rt = Counter(t for t, _ in cm.elements())
+    ct = Counter(p for _, p in cm.elements())
+    rows = SPECS["text_lang_confusion"].fn(spark, sf_dir).collect()
+    got = {(r.true_lang, r.pred_lang): (r.n, r.recall_bp, r.precision_bp)
+           for r in rows}
+    assert set(got) == set(cm)
+    for (t, p), n in cm.items():
+        assert got[(t, p)] == (n, n * 10000 // rt[t], n * 10000 // ct[p])
+    # matrix total equals the corpus, and the diagonal dominates (the
+    # classifier is self-trained — it had better beat chance)
+    assert sum(n for n, _, _ in got.values()) == len(pred)
+    diag = sum(n for (t, p), (n, _, _) in got.items() if t == p)
+    assert diag * 5 > len(pred)
+
+
+# --------------------------------------------------------------------------
+# agg_weighted_percentile
+# --------------------------------------------------------------------------
+
+
+def test_weighted_percentile_replay(spark, sf_dir, duck):
+    groups = defaultdict(list)
+    for f, cents, w in duck.execute(
+        "SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100, 0) AS "
+        "BIGINT), CAST(ROUND(l_quantity) AS BIGINT) FROM lineitem"
+    ).fetchall():
+        groups[f].append((cents, w))
+    rows = SPECS["agg_weighted_percentile"].fn(spark, sf_dir).collect()
+    got = {r.l_returnflag: (r.total_weight, r.wp50_cents, r.wp90_cents,
+                            r.wp99_cents) for r in rows}
+    for f, xs in groups.items():
+        xs.sort()
+        totw = sum(w for _, w in xs)
+        def wp(p):
+            cum = 0
+            for cents, w in xs:
+                cum += w
+                if 100 * cum >= p * totw:
+                    return cents
+        assert got[f] == (totw, wp(50), wp(90), wp(99))
+        # weighted median differs from the line count median check:
+        # both are valid; weighted <= p99 ordering always holds
+        assert got[f][1] <= got[f][2] <= got[f][3]
+
+
+# --------------------------------------------------------------------------
+# events_decay_attribution
+# --------------------------------------------------------------------------
+
+
+def test_decay_attribution_replay(spark, sf_dir, duck):
+    from collections import Counter
+    p = defaultdict(list)
+    c = defaultdict(list)
+    for u, d, et in duck.execute(
+        "SELECT user_id, epoch_us(ts) // 86400000000, event_type "
+        "FROM events WHERE event_type IN ('purchase', 'click')"
+    ).fetchall():
+        (p if et == "purchase" else c)[u].append(d)
+    hist = Counter()
+    for u, pds in p.items():
+        for pd_ in pds:
+            for cd in c.get(u, []):
+                k = pd_ - cd
+                if 0 <= k <= 7:
+                    hist[k] += 1
+    credit = {k: n * (1_000_000 // 2**k) for k, n in hist.items()}
+    t = sum(credit.values())
+    rows = SPECS["events_decay_attribution"].fn(spark, sf_dir).collect()
+    got = {r.k: (r.n_pairs, r.credit_ppm, r.credit_share_bp) for r in rows}
+    want = {k: (hist[k], credit[k], credit[k] * 10000 // t) for k in hist}
+    assert got == want
+    # decay must concentrate credit at small ages relative to pairs
+    assert got[0][2] > got[max(got)][2]

@@ -791,6 +791,23 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Generate"],
         [r"CartesianProduct", r"Window", r"rangepartitioning"],
     ),
+    # confusion matrix: the audited langid plan + matrix-sized aggs
+    "text_lang_confusion": (
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # weighted percentile: group-partitioned running-weight window ->
+    # threshold conditional agg (no global sort)
+    "agg_weighted_percentile": (
+        [r"Window", r"hashpartitioning\(l_returnflag", r"HashAggregate"],
+        [r"CartesianProduct", r"Join", r"rangepartitioning"],
+    ),
+    # decay attribution: (user, day) projections, ONE user-keyed equi
+    # join with the range residual, day-axis aggs
+    "events_decay_attribution": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"Window", r"rangepartitioning"],
+    ),
 }
 
 
