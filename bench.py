@@ -209,6 +209,9 @@ SQL_GROUP = [
     "text_lang_confusion",
     "agg_weighted_percentile",
     "events_decay_attribution",
+    "multimodal_image_stats",
+    "scan_mor_deletes",
+    "events_slo_burn",
 ]
 
 

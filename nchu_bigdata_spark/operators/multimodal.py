@@ -1043,3 +1043,81 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload(docs).mapInPandas(
         _synth_and_audio_vad, _AUDIO_VAD_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_image_stats — exact integer luma statistics (round 8)
+# --------------------------------------------------------------------------
+
+_IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("min_luma3", T.LongType()),
+        T.StructField("max_luma3", T.LongType()),
+        T.StructField("sum_luma3", T.LongType()),
+        T.StructField("contrast3", T.LongType()),
+    ]
+)
+
+
+def _synth_and_image_stats(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            blob = encode_bmp(bytes(payload))
+            a = _bmp_pixels(blob).astype(np.int64)  # (h, w, 3) BGR
+            h, w = a.shape[0], a.shape[1]
+            luma3 = a.sum(axis=2)  # B+G+R, 0..765 — exact, no weights
+            rows.append(
+                (
+                    int(doc_id),
+                    int(w * h),
+                    int(w),
+                    int(h),
+                    int(luma3.min()),
+                    int(luma3.max()),
+                    int(luma3.sum()),
+                    int(luma3.max() - luma3.min()),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in _IMAGE_STATS_SCHEMA.fields]
+        )
+
+
+@register(
+    "multimodal_image_stats",
+    tags=("b10",),
+    oracle=None,  # BMP parsing isn't SQL; the sweep replays the pixel
+    # spec in pure Python (tools/check_oracle.py PROMOTED, the
+    # multimodal_audio_stats pattern) and checks every row exactly.
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer SIGNAL statistics over the image modality:
+    dimensions, min/max/sum of the unweighted luma (R+G+B, 0..765)
+    and the contrast range per image — the exposure/blank-frame
+    screens an image corpus runs before expensive feature extraction
+    (all-dark and all-white frames = contrast3 near 0 at the range
+    ends; sum_luma3/n_pixels = mean exposure). Completes the
+    modality-family symmetry: audio has stats+VAD, images now have
+    stats+phash.
+
+    Integer-exact by construction: byte pixels, integer sums
+    (sum_luma3 ≤ 765·n_pixels — int64 headroom to ~1.2e16 pixels),
+    no Rec.601 float weights — the 3-channel SUM is the luma proxy,
+    same convention as ``ahash_image``. The sweep replays the full
+    synth→decode→stats chain in pure Python per row.
+
+    Plan/scale: partition-preserving Arrow ``mapInPandas``, zero
+    shuffle, 8 integers per image leave the stage."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return with_payload(docs).mapInPandas(
+        _synth_and_image_stats, _IMAGE_STATS_SCHEMA
+    )

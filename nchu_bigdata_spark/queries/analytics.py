@@ -3562,3 +3562,126 @@ def events_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credit_share_bp"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# events_slo_burn — error-budget burn rate (round 8)
+# --------------------------------------------------------------------------
+
+# SLO: 99% of events succeed => error budget = 100 bp of traffic.
+_SLO_BUDGET_BP = 100
+_BURN_WINDOW = 7  # trailing days for the burn-rate reading
+
+
+@register(
+    "events_slo_burn",
+    tags=("b11",),
+    oracle=f"""
+        -- SRE error-budget accounting against a 99%-success SLO: per
+        -- day, the error rate, the trailing-{_BURN_WINDOW}-day burn
+        -- RATE as a multiple of budget (x100: 100 = burning exactly
+        -- at budget; 200 = 2x — the page threshold), and the
+        -- cumulative share of the period's total budget already
+        -- consumed. Pure integer cross-multiplications: burn_x100 =
+        -- 100·10000·err_w div ({_SLO_BUDGET_BP}·tot_w).
+        WITH d AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_errors
+            FROM events GROUP BY 1
+        ),
+        w AS (
+            SELECT day, n_total, n_errors,
+                   SUM(n_total) OVER tw AS tot_w,
+                   SUM(n_errors) OVER tw AS err_w,
+                   SUM(n_total) OVER cum AS tot_c,
+                   SUM(n_errors) OVER cum AS err_c
+            FROM d
+            WINDOW tw AS (ORDER BY day
+                          ROWS BETWEEN {_BURN_WINDOW - 1} PRECEDING
+                               AND CURRENT ROW),
+                   cum AS (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        )
+        SELECT CAST(day AS BIGINT) AS day, n_total, n_errors,
+               CAST(n_errors * 10000 // n_total AS BIGINT) AS err_bp,
+               CAST(1000000 * err_w
+                    // ({_SLO_BUDGET_BP} * tot_w) AS BIGINT)
+                   AS burn_x100,
+               CAST(1000000 * err_c
+                    // ({_SLO_BUDGET_BP} * tot_c) AS BIGINT)
+                   AS budget_used_x100,
+               CAST(1000000 * err_w
+                    > 2 * {_SLO_BUDGET_BP} * tot_w AS INT) AS page
+        FROM w
+    """,
+)
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget accounting against a 99%-success SLO: per day,
+    the raw error rate, the trailing-{w}-day burn RATE as a multiple
+    of budget (x100 — 100 means burning exactly at budget, 200 means
+    the budget dies in half the period: the standard multiwindow
+    page threshold from the Google SRE workbook), and the cumulative
+    share of the period's budget already consumed. Error-budget math
+    is how "five nines or four?" becomes an engineering dial instead
+    of a slogan — and the burn MULTIPLE is what pages, because a raw
+    error-rate threshold either flaps on quiet days or sleeps
+    through slow leaks.
+
+    Exactness: every output is a cross-multiplied integer —
+    burn_x100 = 10^6·err_w div (budget_bp·tot_w) — no rate division
+    ever happens in float, and the page flag is an exact integer
+    comparison (strictly above 2x budget).
+
+    Plan/scale: the fact table collapses to the day axis map-side;
+    both running windows share one tiny-axis sort (the
+    `orders_backlog` deliberate single-partition choice)."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    tw = (
+        Window.orderBy("day")
+        .rowsBetween(-(_BURN_WINDOW - 1), Window.currentRow)
+    )
+    cum = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = d.select(
+        "day",
+        "n_total",
+        "n_errors",
+        F.sum("n_total").over(tw).alias("tot_w"),
+        F.sum("n_errors").over(tw).alias("err_w"),
+        F.sum("n_total").over(cum).alias("tot_c"),
+        F.sum("n_errors").over(cum).alias("err_c"),
+    )
+    return w.select(
+        F.col("day").cast("long").alias("day"),
+        "n_total",
+        "n_errors",
+        F.expr("CAST(n_errors * 10000 div n_total AS BIGINT)").alias(
+            "err_bp"
+        ),
+        F.expr(
+            f"CAST(1000000 * err_w div ({_SLO_BUDGET_BP} * tot_w)"
+            " AS BIGINT)"
+        ).alias("burn_x100"),
+        F.expr(
+            f"CAST(1000000 * err_c div ({_SLO_BUDGET_BP} * tot_c)"
+            " AS BIGINT)"
+        ).alias("budget_used_x100"),
+        F.expr(
+            f"CAST(1000000 * err_w > 2 * {_SLO_BUDGET_BP} * tot_w"
+            " AS INT)"
+        ).alias("page"),
+    )

@@ -887,3 +887,73 @@ def scan_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("version").cast("long").alias("version_added"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_mor_deletes — merge-on-read equality deletes (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_mor_deletes",
+    tags=("b1",),
+    oracle="""
+        -- merge-on-read delete semantics replayed from the source:
+        -- the engine materializes a base data file AND an equality-
+        -- delete file (Iceberg v2's read path: deletes are rows in a
+        -- separate file, applied AT READ by anti join — no rewrite of
+        -- the base), reads both back, applies the deletes, and
+        -- aggregates. The oracle computes the same post-delete
+        -- aggregate straight from orders — serde round-trip and the
+        -- delete application both certify. The delete set is the
+        -- deterministic md5(o_orderkey)%10 = 3 slice.
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_live,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6)))
+                    AS DECIMAL(38,6)) AS sum_price
+        FROM orders
+        WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+              % 10 <> 3
+        GROUP BY o_orderstatus
+    """,
+)
+def scan_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE semantics end to end: materialize a base
+    data file and a separate EQUALITY-DELETE file (the Iceberg v2
+    read path — deletes are rows in their own file, applied AT READ
+    TIME by an anti join, so a delete never rewrites the base data),
+    read both back through the parquet datasource, apply the deletes,
+    and aggregate the surviving rows. Together with `scan_txn_log`
+    (which files are live) this covers both halves of a log-
+    structured table format's read contract (which ROWS are live).
+
+    The delete set is the deterministic md5(o_orderkey)%10 slice —
+    ~10% of orders — so the oracle can compute the same post-delete
+    aggregate straight from the source table: the parquet round-trip
+    of BOTH files and the anti-join application must all be correct
+    for the hash to match.
+
+    Plan/scale: the read-back applies deletes with one key-keyed
+    LEFT ANTI hash join — delete-file cardinality, not base
+    cardinality, sets the build side (exactly why MoR reads stay
+    cheap until compaction); the aggregate combines map-side."""
+    base_out = scratch_dir(sf_dir, "mor_base")
+    del_out = scratch_dir(sf_dir, "mor_deletes")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").parquet(base_out)
+    o.select("o_orderkey").filter(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 10"
+        )
+        == 3
+    ).write.mode("overwrite").parquet(del_out)
+    base = spark.read.parquet(base_out)
+    dels = spark.read.parquet(del_out)
+    live = base.join(dels, "o_orderkey", "left_anti")
+    return live.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

@@ -284,6 +284,9 @@ DRIVER_ORDER = [
     "text_lang_confusion",
     "agg_weighted_percentile",
     "events_decay_attribution",
+    "multimodal_image_stats",
+    "scan_mor_deletes",
+    "events_slo_burn",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -2250,3 +2250,95 @@ def test_decay_attribution_replay(spark, sf_dir, duck):
     assert got == want
     # decay must concentrate credit at small ages relative to pairs
     assert got[0][2] > got[max(got)][2]
+
+
+# --------------------------------------------------------------------------
+# multimodal_image_stats
+# --------------------------------------------------------------------------
+
+
+def test_image_stats_replay(spark, sf_dir, duck):
+    docs = duck.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0"
+    ).fetchall()
+    want = {}
+    for doc_id, text in docs:
+        data = text.encode("utf-8") or b"\x00"
+        row_px = 48
+        n_rows = max(1, len(data) // row_px)
+        need = n_rows * row_px
+        px = (data * (need // len(data) + 1))[:need]
+        luma = [px[r * row_px + c * 3] + px[r * row_px + c * 3 + 1]
+                + px[r * row_px + c * 3 + 2]
+                for r in range(n_rows) for c in range(16)]
+        want[doc_id] = (16 * n_rows, 16, n_rows, min(luma), max(luma),
+                        sum(luma), max(luma) - min(luma))
+    rows = SPECS["multimodal_image_stats"].fn(spark, sf_dir).collect()
+    got = {r.doc_id: (r.n_pixels, r.width, r.height, r.min_luma3,
+                      r.max_luma3, r.sum_luma3, r.contrast3) for r in rows}
+    assert got == want
+    # luma bounds live in the valid 3-channel range
+    assert all(0 <= v[3] <= v[4] <= 765 for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# scan_mor_deletes
+# --------------------------------------------------------------------------
+
+
+def test_mor_deletes_replay(spark, sf_dir, duck):
+    import hashlib
+    want = defaultdict(lambda: [0, 0.0])
+    n_deleted = 0
+    for ok, st, tp in duck.execute(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+    ).fetchall():
+        if int(hashlib.md5(str(ok).encode()).hexdigest()[:8], 16) % 10 == 3:
+            n_deleted += 1
+            continue
+        want[st][0] += 1
+        want[st][1] += tp
+    rows = SPECS["scan_mor_deletes"].fn(spark, sf_dir).collect()
+    got = {r.o_orderstatus: (r.n_live, r.sum_price) for r in rows}
+    assert set(got) == set(want)
+    for st, (n, sp) in want.items():
+        assert got[st][0] == n
+        assert abs(got[st][1] - sp) < 1e-3
+    # the delete file genuinely removed ~10% of rows
+    n_orders = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert 0 < n_deleted < n_orders // 5
+    assert sum(n for n, _ in got.values()) == n_orders - n_deleted
+
+
+# --------------------------------------------------------------------------
+# events_slo_burn
+# --------------------------------------------------------------------------
+
+
+def test_slo_burn_replay(spark, sf_dir, duck):
+    daily = {}
+    for day, nt, ne in duck.execute(
+        "SELECT epoch_us(ts) // 86400000000, COUNT(*), "
+        "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+        "FROM events GROUP BY 1"
+    ).fetchall():
+        daily[day] = (nt, ne)
+    days = sorted(daily)
+    rows = SPECS["events_slo_burn"].fn(spark, sf_dir).collect()
+    got = {r.day: (r.n_total, r.n_errors, r.err_bp, r.burn_x100,
+                   r.budget_used_x100, r.page) for r in rows}
+    for i, d in enumerate(days):
+        nt, ne = daily[d]
+        wnd = days[max(0, i - 6):i + 1]
+        tw = sum(daily[x][0] for x in wnd)
+        ew = sum(daily[x][1] for x in wnd)
+        tc = sum(daily[x][0] for x in days[:i + 1])
+        ec = sum(daily[x][1] for x in days[:i + 1])
+        assert got[d] == (
+            nt, ne, ne * 10000 // nt,
+            1_000_000 * ew // (100 * tw),
+            1_000_000 * ec // (100 * tc),
+            int(1_000_000 * ew > 200 * tw),
+        )
+    # this synthetic stream errors well above a 1% SLO — it must page
+    assert any(v[5] for v in got.values())

@@ -373,6 +373,46 @@ def exact_multimodal_audio_vad(con, spdf: pd.DataFrame) -> tuple[bool, str]:
     return True, f"{len(got)} rows, exact VAD spec replay"
 
 
+def exact_multimodal_image_stats(con, spdf: pd.DataFrame) -> tuple[bool, str]:
+    """multimodal_image_stats: the pixel spec replayed in pure Python
+    straight from the payload definition (the _replay_phashes tiling:
+    16px-wide rows of 3 bytes each, truncated to whole rows) —
+    independent of numpy and the module's BMP codec."""
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0"
+    ).fetchall()
+    expect = {}
+    for doc_id, text in docs:
+        data = text.encode("utf-8") or b"\x00"
+        row_px = 16 * 3
+        n_rows = max(1, len(data) // row_px)
+        need = n_rows * row_px
+        px = (data * (need // len(data) + 1))[:need]
+        luma = [
+            px[r * row_px + c * 3]
+            + px[r * row_px + c * 3 + 1]
+            + px[r * row_px + c * 3 + 2]
+            for r in range(n_rows)
+            for c in range(16)
+        ]
+        expect[doc_id] = (
+            16 * n_rows, 16, n_rows,
+            min(luma), max(luma), sum(luma), max(luma) - min(luma),
+        )
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_pixels"]), int(r["width"]), int(r["height"]),
+            int(r["min_luma3"]), int(r["max_luma3"]),
+            int(r["sum_luma3"]), int(r["contrast3"]),
+        )
+        for _, r in spdf.iterrows()
+    }
+    if got != expect:
+        bad = [k for k in expect if got.get(k) != expect[k]][:3]
+        return False, f"luma spec replay mismatch, e.g. doc_ids {bad}"
+    return True, f"{len(got)} rows, exact luma spec replay"
+
+
 # Rows-only queries with a promoted bounded accuracy check: the sweep
 # runs these against DuckDB exact aggregates instead of recording a
 # bare rows-only line.
@@ -391,6 +431,7 @@ BOUNDED_CHECKS = {
     "multimodal_audio_stats": exact_multimodal_audio_stats,
     "multimodal_phash_clusters": exact_multimodal_phash_clusters,
     "multimodal_audio_vad": exact_multimodal_audio_vad,
+    "multimodal_image_stats": exact_multimodal_image_stats,
 }
 
 

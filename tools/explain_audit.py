@@ -808,6 +808,23 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"CartesianProduct", r"Window", r"rangepartitioning"],
     ),
+    # image stats: partition-preserving Arrow mapInPandas, no shuffle
+    "multimodal_image_stats": (
+        [r"MapInPandas"],
+        [r"Exchange", r"Join", r"Window"],
+    ),
+    # MoR deletes: one key-keyed LEFT ANTI hash join (delete-file
+    # build side), map-side agg
+    "scan_mor_deletes": (
+        [r"LeftAnti", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
+    ),
+    # SLO burn: fact->day agg; both running windows share one
+    # tiny-axis sort
+    "events_slo_burn": (
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"Join", r"rangepartitioning"],
+    ),
 }
 
 
