@@ -212,6 +212,9 @@ SQL_GROUP = [
     "multimodal_image_stats",
     "scan_mor_deletes",
     "events_slo_burn",
+    "dedup_agreement",
+    "orders_aging_wip",
+    "embed_separability",
 ]
 
 

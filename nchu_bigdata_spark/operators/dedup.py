@@ -2265,3 +2265,108 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(f"CAST({exp_case} AS BIGINT)").alias("expected_p50_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_agreement — lexical vs semantic near-dup agreement (round 8)
+# --------------------------------------------------------------------------
+
+from nchu_bigdata_spark.operators.similarity import (  # noqa: E402
+    _SQL_EMBED_PAIRS_CHAIN,
+    dedup_embed_cosine,
+)
+
+
+@register(
+    "dedup_agreement",
+    tags=("b10",),
+    oracle=f"""
+        -- agreement audit between the two near-dup detectors: the
+        -- LEXICAL pair set (MinHash-LSH over shingles) vs the
+        -- SEMANTIC pair set (hyperplane-LSH over embeddings, vec_id
+        -- aligned to doc_id). Pairs found by both are safe deletes;
+        -- lexical-only are template/boilerplate twins a semantic
+        -- model ignores; semantic-only are paraphrases no shingle
+        -- overlap can see — the three buckets are three different
+        -- dedup policies, and the Jaccard of the sets is the one-
+        -- number "do my detectors even agree" health check. Both
+        -- sides re-run the SAME certified chains.
+        WITH {_SQL_MINHASH_PAIRS},
+        lex AS (SELECT doc_a, doc_b FROM pairs),
+        sem AS (
+            SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+                {_SQL_EMBED_PAIRS_CHAIN}
+                SELECT vec_a, vec_b FROM pairs
+            )
+        ),
+        j AS (
+            SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
+                   COALESCE(l.doc_b, s.doc_b) AS doc_b,
+                   (l.doc_a IS NOT NULL) AS in_lex,
+                   (s.doc_a IS NOT NULL) AS in_sem
+            FROM lex l FULL OUTER JOIN sem s
+              ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+        )
+        SELECT CAST(SUM(CASE WHEN in_lex AND in_sem
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(SUM(CASE WHEN in_lex AND NOT in_sem
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lexical_only,
+               CAST(SUM(CASE WHEN in_sem AND NOT in_lex
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_semantic_only,
+               CAST(SUM(CASE WHEN in_lex AND in_sem THEN 1 ELSE 0 END)
+                    * 10000 // COUNT(*) AS BIGINT) AS jaccard_bp
+        FROM j
+    """,
+)
+def dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the engine's two near-dup detectors:
+    the LEXICAL pair set (`dedup_minhash`, shingle MinHash-LSH) vs
+    the SEMANTIC pair set (`dedup_embed_cosine`, hyperplane-LSH over
+    embeddings; vec_id is doc-aligned). The three buckets are three
+    different dedup policies: both-detector pairs are safe deletes,
+    lexical-only pairs are template/boilerplate twins a semantic
+    model shrugs at, semantic-only pairs are paraphrases no shingle
+    overlap can see — and the pair-set Jaccard is the one-number
+    "do my detectors even agree" health check to watch drift on
+    after any threshold or banding change (`dedup_threshold_sweep`,
+    `dedup_band_tuning` tune the knobs; this op says whether the two
+    knob sets still describe the same corpus).
+
+    Composition is literal: both sides re-run the registered
+    operators UNCHANGED, and the oracle re-runs the SAME two
+    certified SQL chains — agreement cannot drift from either
+    detector.
+
+    Plan/scale: one FULL OUTER hash join between two pair tables
+    (both LSH-bounded, tiny vs corpus) + a 1-row rollup."""
+    lex = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    sem = dedup_embed_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    j = lex.withColumn("in_lex", F.lit(True)).join(
+        sem.withColumn("in_sem", F.lit(True)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    both = (F.col("in_lex").isNotNull() & F.col("in_sem").isNotNull())
+    return j.agg(
+        F.sum(both.cast("long")).cast("long").alias("n_both"),
+        F.sum(
+            (F.col("in_lex").isNotNull() & F.col("in_sem").isNull())
+            .cast("long")
+        )
+        .cast("long")
+        .alias("n_lexical_only"),
+        F.sum(
+            (F.col("in_sem").isNotNull() & F.col("in_lex").isNull())
+            .cast("long")
+        )
+        .cast("long")
+        .alias("n_semantic_only"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_lex IS NOT NULL AND in_sem IS NOT NULL"
+            " THEN 1 ELSE 0 END) * 10000 div count(*) AS BIGINT)"
+        ).alias("jaccard_bp"),
+    )

@@ -1260,3 +1260,118 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embed_separability — per-label scatter diagnostics (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embed_separability",
+    tags=("b10",),
+    oracle=f"""
+        -- label-separability scatter diagnostics over the embedding
+        -- space, EXACT by the scatter identity: with coordinates
+        -- quantized to the {_Q} grid (the dedup_embed_cosine LSH
+        -- grid), the within-label sum of squared distances to the
+        -- label centroid obeys n·W = n·Σ||x||² − ||Σx||² — pure
+        -- integer arithmetic, no centroid floats ever materialize.
+        -- msd_within vs centroid_norm² is the per-label Fisher-style
+        -- read: tight clusters far from the origin separate; diffuse
+        -- clusters near it don't — checked BEFORE anyone trusts a
+        -- label classifier or label-stratified ANN probes.
+        WITH e AS (
+            SELECT label,
+                   [CAST(ROUND(x * {_Q}, 0) AS BIGINT)
+                    FOR x IN embedding::DOUBLE[]] AS qv
+            FROM embeddings
+        ),
+        per AS (
+            SELECT label,
+                   CAST(list_sum(list_transform(qv, x -> x * x))
+                        AS HUGEINT) AS p
+            FROM e
+        ),
+        lab AS (
+            SELECT label, CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(p) AS HUGEINT) AS pp
+            FROM per GROUP BY label
+        ),
+        dims AS (
+            SELECT label, i,
+                   CAST(SUM(qv[i + 1]) AS HUGEINT) AS s
+            FROM e, unnest(range(64)) AS r(i)
+            GROUP BY label, i
+        ),
+        s2 AS (
+            SELECT label, CAST(SUM(s * s) AS HUGEINT) AS s2
+            FROM dims GROUP BY label
+        )
+        SELECT lab.label,
+               CAST(lab.n AS BIGINT) AS n_vecs,
+               CAST((lab.n * lab.pp - s2.s2) // (lab.n * lab.n)
+                    AS BIGINT) AS msd_within_q2,
+               CAST(s2.s2 // (lab.n * lab.n) AS BIGINT)
+                   AS centroid_norm2_q2
+        FROM lab JOIN s2 ON s2.label = lab.label
+    """,
+)
+def embed_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-separability scatter diagnostics: per label, the mean
+    squared distance of its vectors to their OWN centroid
+    (within-label scatter) and the squared norm of that centroid —
+    the Fisher-style read that says whether the label structure is
+    geometrically real BEFORE anyone trusts a label classifier,
+    label-stratified ANN probes, or `kmeans_fit` initialized from
+    labels (tight clusters far from the origin separate; diffuse
+    clusters near it don't, whatever the classifier's accuracy
+    claims).
+
+    Exactness by the scatter identity: with coordinates on the {q}
+    quantization grid (`dedup_embed_cosine`'s LSH grid), the
+    within-label sum of squares obeys n·W = n·Σ||x||² − ||Σx||², so
+    NO centroid is ever materialized in float — both outputs are
+    floor-divided exact integers in grid² units, 128-bit
+    intermediates per the `events_rfm` policy.
+
+    Plan/scale: one per-row codegen'd ||qx||² projection + a
+    label-keyed agg; the dim sums are a (label x 64)-cardinality agg
+    off a posexplode — label-count-sized outputs, never a pairwise
+    anything."""
+    e = _vecs(spark, sf_dir).select(
+        "label",
+        F.transform(
+            "v", lambda x: F.round(x * _Q, 0).cast("long")
+        ).alias("qv"),
+    )
+    per = e.select(
+        "label",
+        F.expr(
+            "CAST(aggregate(qv, CAST(0 AS decimal(38,0)),"
+            " (acc, x) -> acc + CAST(x AS decimal(38,0)) * x)"
+            " AS decimal(38,0))"
+        ).alias("p"),
+    )
+    lab = per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("p").cast("decimal(38,0)").alias("pp"),
+    )
+    dims = (
+        e.select("label", F.posexplode("qv").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("s"))
+    )
+    s2 = dims.groupBy("label").agg(
+        F.sum(F.expr("CAST(s * s AS decimal(38,0))")).alias("s2")
+    )
+    return lab.join(s2, "label").select(
+        "label",
+        F.col("n").cast("long").alias("n_vecs"),
+        F.expr(
+            "CAST((n * pp - s2) div (n * n) AS BIGINT)"
+        ).alias("msd_within_q2"),
+        F.expr("CAST(s2 div (n * n) AS BIGINT)").alias(
+            "centroid_norm2_q2"
+        ),
+    )

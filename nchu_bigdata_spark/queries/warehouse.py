@@ -1743,3 +1743,105 @@ def orders_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_aging_wip — open-order aging snapshot by priority (round 8)
+# --------------------------------------------------------------------------
+
+_WIP_SNAP = "1998-06-01"  # snapshot date (mid-range of the order stream)
+
+
+@register(
+    "orders_aging_wip",
+    tags=("b3",),
+    oracle=f"""
+        -- aging WIP report at a pinned snapshot: every order OPEN at
+        -- {_WIP_SNAP} (placed on/before, not fully shipped after —
+        -- the orders_backlog clamp semantics, line-less orders never
+        -- close), bucketed by age and priority with counts, value,
+        -- and the oldest age — the ops report that turns "backlog is
+        -- up" into "WHICH orders, HOW old, at WHAT priority". An
+        -- URGENT order in the 91+ bucket is the escalation list.
+        WITH oc AS (
+            SELECT l_orderkey, MAX(l_shipdate) AS ship_d
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        open_o AS (
+            SELECT o.o_orderpriority, o.o_totalprice,
+                   (DATE '{_WIP_SNAP}' - o.o_orderdate::DATE) AS age_d
+            FROM orders o LEFT JOIN oc ON oc.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate <= TIMESTAMP '{_WIP_SNAP} 00:00:00'
+              AND (oc.ship_d IS NULL OR
+                   GREATEST(oc.ship_d, o.o_orderdate)
+                       > TIMESTAMP '{_WIP_SNAP} 00:00:00')
+        )
+        SELECT o_orderpriority,
+               CASE WHEN age_d <= 7 THEN '0-7'
+                    WHEN age_d <= 30 THEN '8-30'
+                    WHEN age_d <= 90 THEN '31-90'
+                    ELSE '91+' END AS age_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6)))
+                    AS DECIMAL(38,6)) AS open_value,
+               CAST(MAX(age_d) AS BIGINT) AS oldest_age_days
+        FROM open_o
+        GROUP BY o_orderpriority, 2
+    """,
+)
+def orders_aging_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging WIP report at a pinned snapshot date: every order OPEN at
+    {d} (placed on/before it, not fully shipped after it — the
+    `orders_backlog` clamp semantics, with line-less orders never
+    closing), bucketed by age band and order priority, with counts,
+    open value (exact decimal), and the oldest age per cell. This is
+    the report that turns `orders_backlog`'s one "backlog is up"
+    number into WHICH orders, HOW old, at WHAT priority — an URGENT
+    order sitting in the 91+ band IS the escalation list, and the
+    line-less never-closers accumulate in exactly that corner.
+
+    Plan/scale: the close date is the same one fact agg + orderkey
+    join the backlog op pays; the snapshot filter then collapses
+    everything to open-order cardinality before the
+    (priority x band) rollup. Exactness: ages are integer day
+    differences of DATE values, value rides compat decimals."""
+    oc = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_d"))
+    )
+    o = table(spark, sf_dir, "orders")
+    snap_ts = F.lit(_WIP_SNAP).cast("timestamp")
+    open_o = (
+        o.join(oc, o.o_orderkey == oc.l_orderkey, "left")
+        .filter(
+            (F.col("o_orderdate") <= snap_ts)
+            & (
+                F.col("ship_d").isNull()
+                | (F.greatest("ship_d", "o_orderdate") > snap_ts)
+            )
+        )
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.datediff(
+                F.lit(_WIP_SNAP).cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("age_d"),
+        )
+    )
+    from nchu_bigdata_spark.compat import dsum
+
+    bucket = (
+        F.when(F.col("age_d") <= 7, "0-7")
+        .when(F.col("age_d") <= 30, "8-30")
+        .when(F.col("age_d") <= 90, "31-90")
+        .otherwise("91+")
+    )
+    return open_o.groupBy(
+        "o_orderpriority", bucket.alias("age_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum("o_totalprice").alias("open_value"),
+        F.max("age_d").cast("long").alias("oldest_age_days"),
+    )

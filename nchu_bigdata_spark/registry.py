@@ -287,6 +287,9 @@ DRIVER_ORDER = [
     "multimodal_image_stats",
     "scan_mor_deletes",
     "events_slo_burn",
+    "dedup_agreement",
+    "orders_aging_wip",
+    "embed_separability",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

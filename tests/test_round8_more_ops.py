@@ -2342,3 +2342,90 @@ def test_slo_burn_replay(spark, sf_dir, duck):
         )
     # this synthetic stream errors well above a 1% SLO — it must page
     assert any(v[5] for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# dedup_agreement
+# --------------------------------------------------------------------------
+
+
+def test_dedup_agreement_vs_detectors(spark, sf_dir):
+    lex = {(r.doc_a, r.doc_b)
+           for r in SPECS["dedup_minhash"].fn(spark, sf_dir).collect()}
+    sem = {(r.vec_a, r.vec_b)
+           for r in SPECS["dedup_embed_cosine"].fn(spark, sf_dir).collect()}
+    r = SPECS["dedup_agreement"].fn(spark, sf_dir).collect()[0]
+    both = len(lex & sem)
+    union = len(lex | sem)
+    assert (r.n_both, r.n_lexical_only, r.n_semantic_only) == (
+        both, len(lex - sem), len(sem - lex))
+    assert r.jaccard_bp == both * 10000 // union
+    # the detectors are genuinely different lenses on this corpus
+    assert r.n_lexical_only > 0 or r.n_semantic_only > 0
+
+
+# --------------------------------------------------------------------------
+# orders_aging_wip
+# --------------------------------------------------------------------------
+
+
+def test_aging_wip_replay(spark, sf_dir, duck):
+    from datetime import date
+    SNAP = date(1998, 6, 1)
+    ships = dict(duck.execute(
+        "SELECT l_orderkey, MAX(l_shipdate)::DATE FROM lineitem GROUP BY 1"
+    ).fetchall())
+    cells = defaultdict(lambda: [0, 0.0, 0])
+    for ok, prio, tp, od in duck.execute(
+        "SELECT o_orderkey, o_orderpriority, o_totalprice, "
+        "o_orderdate::DATE FROM orders"
+    ).fetchall():
+        if od > SNAP:
+            continue
+        ship = ships.get(ok)
+        close = max(ship, od) if ship is not None else None
+        if close is not None and close <= SNAP:
+            continue
+        age = (SNAP - od).days
+        b = ("0-7" if age <= 7 else "8-30" if age <= 30
+             else "31-90" if age <= 90 else "91+")
+        c = cells[(prio, b)]
+        c[0] += 1
+        c[1] += tp
+        c[2] = max(c[2], age)
+    rows = SPECS["orders_aging_wip"].fn(spark, sf_dir).collect()
+    got = {(r.o_orderpriority, r.age_bucket):
+           (r.n_orders, r.open_value, r.oldest_age_days) for r in rows}
+    assert set(got) == set(cells)
+    for k, (n, v, a) in cells.items():
+        assert got[k][0] == n and got[k][2] == a
+        assert abs(got[k][1] - v) < 1e-3
+    # line-less never-closers pile up in the oldest band
+    assert any(b == "91+" for _, b in got)
+
+
+# --------------------------------------------------------------------------
+# embed_separability
+# --------------------------------------------------------------------------
+
+
+def test_separability_replay(spark, sf_dir, duck):
+    by_label = defaultdict(list)
+    for label, v in duck.execute(
+        "SELECT label, embedding::DOUBLE[] FROM embeddings"
+    ).fetchall():
+        by_label[label].append([round(x * 1_000_000) for x in v])
+    rows = SPECS["embed_separability"].fn(spark, sf_dir).collect()
+    got = {r.label: (r.n_vecs, r.msd_within_q2, r.centroid_norm2_q2)
+           for r in rows}
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        n = len(vecs)
+        pp = sum(sum(x * x for x in v) for v in vecs)
+        s2 = sum(
+            sum(v[d] for v in vecs) ** 2 for d in range(len(vecs[0]))
+        )
+        assert got[label] == (n, (n * pp - s2) // (n * n),
+                              s2 // (n * n))
+        # scatter identity sanity: within msd is non-negative
+        assert got[label][1] >= 0

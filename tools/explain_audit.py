@@ -825,6 +825,24 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Window"],
         [r"CartesianProduct", r"Join", r"rangepartitioning"],
     ),
+    # agreement: two LSH-bounded pair tables, one full-outer hash
+    # join, 1-row rollup
+    "dedup_agreement": (
+        [r"HashAggregate", r"FullOuter"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # aging WIP: the backlog's fact agg + orderkey join, snapshot
+    # filter, (priority x band) rollup
+    "orders_aging_wip": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"Window", r"rangepartitioning"],
+    ),
+    # separability: per-row codegen'd norm projection + label-keyed
+    # aggs; (label x 64) dim sums — never pairwise
+    "embed_separability": (
+        [r"HashAggregate", r"Generate"],
+        [r"CartesianProduct", r"Window", r"rangepartitioning"],
+    ),
 }
 
 
