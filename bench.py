@@ -320,10 +320,13 @@ def main() -> None:
 
     times, means = run_group(names)
     llm_times, llm_means = run_group([n for n in LLM_GROUP if n in specs])
-    # SQL/graph composites are the slowest group; 3 reps bounds the
-    # bench's wall clock while min-of-3 still rejects warmup noise.
+    # SQL/graph composites are the slowest AND largest group (~95
+    # entries by end of round 8); 2 reps bounds the bench's wall clock
+    # (the first rep absorbs plan compilation, the second is the
+    # steady-state read) — BENCH_LOCAL.json keeps the full per-query
+    # record either way.
     sql_times, sql_means = run_group(
-        [n for n in SQL_GROUP if n in specs], group_reps=min(reps, 3)
+        [n for n in SQL_GROUP if n in specs], group_reps=min(reps, 2)
     )
 
     total = round(sum(times.values()), 3)
