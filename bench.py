@@ -215,6 +215,9 @@ SQL_GROUP = [
     "dedup_agreement",
     "orders_aging_wip",
     "embed_separability",
+    "multimodal_scene_changes",
+    "fn_fiscal_calendar",
+    "orders_pvm_variance",
 ]
 
 

@@ -1121,3 +1121,94 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload(docs).mapInPandas(
         _synth_and_image_stats, _IMAGE_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_scene_changes — frame-delta cut detection (round 8)
+# --------------------------------------------------------------------------
+
+_SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_deltas", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("max_delta", T.LongType()),
+        T.StructField("sum_delta", T.LongType()),
+    ]
+)
+
+
+def _synth_and_scene_changes(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            frames = []
+            for off in range(0, max(len(data), 1), _FRAME_STRIDE):
+                fr = data[off:off + _FRAME_LEN]
+                fr = fr + b"\x00" * (_FRAME_LEN - len(fr))  # zero-pad
+                frames.append(np.frombuffer(fr, dtype=np.uint8))
+            deltas = [
+                int(np.abs(
+                    frames[i].astype(np.int64)
+                    - frames[i + 1].astype(np.int64)
+                ).sum())
+                for i in range(len(frames) - 1)
+            ]
+            nd = len(deltas)
+            tot = sum(deltas)
+            # a CUT is a delta strictly above the clip's mean delta —
+            # the multimodal_audio_vad adaptive integer gate, applied
+            # to the frame axis
+            cuts = sum(1 for d in deltas if d * nd > tot)
+            rows.append(
+                (
+                    int(doc_id),
+                    len(frames),
+                    nd,
+                    cuts,
+                    max(deltas) if deltas else 0,
+                    tot,
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in _SCENE_SCHEMA.fields]
+        )
+
+
+@register(
+    "multimodal_scene_changes",
+    tags=("b10",),
+    oracle=None,  # byte-level frame arithmetic isn't SQL; the sweep
+    # replays the frame/delta/gate spec in pure Python
+    # (tools/check_oracle.py PROMOTED) and checks every row exactly.
+)
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-delta CUT detection over the video-modality axis: the
+    payload samples into fixed-length frames ({fl}B every {fs}B, the
+    `multimodal_framesample` grid, zero-padded), consecutive frames
+    difference by exact L1 byte distance, and a frame boundary is a
+    CUT iff its delta is strictly above the clip's mean delta — the
+    `multimodal_audio_vad` adaptive integer gate applied to the frame
+    axis. n_cuts / max_delta / sum_delta are the shot-structure
+    screens a video corpus runs before expensive per-frame models
+    (static clip = zero cuts and near-zero deltas; slideshow = few
+    huge cuts; noise = every boundary "cuts" — all separable from
+    three integers).
+
+    Exactness: byte frames, int64 L1 sums (≤ 255·{fl} per delta),
+    cross-multiplied gate d·n > total — no thresholds in float. The
+    sweep replays the full frame/delta/gate chain in pure Python per
+    row.
+
+    Plan/scale: partition-preserving Arrow ``mapInPandas``, zero
+    shuffle; six integers per clip leave the stage, never frames."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    return with_payload(docs).mapInPandas(
+        _synth_and_scene_changes, _SCENE_SCHEMA
+    )

@@ -474,3 +474,101 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "masked_head"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_fiscal_calendar — 4-4-5 retail calendar mapping (round 8)
+# --------------------------------------------------------------------------
+
+# Anchor: 1995-01-02 (a Monday, epoch day 9132) starts fiscal week 0 of
+# fiscal year 1995. Weeks map into the repeating 4-4-5 quarter pattern;
+# week 52 of a leap-week year folds into period 12 (the standard 53rd-
+# week convention).
+_FISCAL_ANCHOR_DAY = 9_132
+
+
+@register(
+    "fn_fiscal_calendar",
+    tags=("b7",),
+    oracle=f"""
+        -- 4-4-5 retail fiscal calendar: pure day-number arithmetic
+        -- (week = (epoch_day - anchor) // 7; periods follow the
+        -- repeating 4-4-5 quarter pattern; week 52 folds into period
+        -- 12) — the finance-warehouse mapping that makes "compare
+        -- P3 to P3" mean equal-length, same-weekday spans, which
+        -- calendar months never do. Revenue rolls to the fiscal grid.
+        WITH d AS (
+            SELECT o_totalprice,
+                   (epoch_us(o_orderdate) // 86400000000
+                    - {_FISCAL_ANCHOR_DAY}) // 7 AS wk
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-02 00:00:00'
+        ),
+        f AS (
+            SELECT o_totalprice,
+                   1995 + wk // 52 AS fy,
+                   LEAST(wk % 52, 51) AS wy
+            FROM d
+        ),
+        p AS (
+            SELECT o_totalprice, fy,
+                   (wy // 13) * 3
+                   + CASE WHEN wy % 13 < 4 THEN 1
+                          WHEN wy % 13 < 8 THEN 2
+                          ELSE 3 END AS period
+            FROM f
+        )
+        SELECT CAST(fy AS BIGINT) AS fiscal_year,
+               CAST(period AS BIGINT) AS fiscal_period,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6)))
+                    AS DECIMAL(38,6)) AS revenue
+        FROM p GROUP BY fy, period
+    """,
+)
+def fn_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-4-5 retail fiscal calendar mapping: orders roll up to
+    (fiscal_year, fiscal_period) where periods follow the repeating
+    4-4-5-week quarter pattern off a fixed Monday anchor, and the
+    52nd week of each fiscal year folds into period 12 (the standard
+    53rd-week convention). Retail/finance warehouses live on this
+    calendar because "compare P3 to P3" then means equal-length,
+    same-weekday-mix spans — which calendar months never are (a
+    28-day February vs a 31-day March with five weekends is a fake
+    trend). The mapping is PURE DAY-NUMBER ARITHMETIC — week =
+    (epoch_day − anchor) div 7, period from week-of-year by integer
+    cases — so it is a portable key function (the `fn_surrogate_key`
+    property): stable across engines, runs, and rebuilds, never a
+    calendar-table artifact to version.
+
+    Plan/scale: one codegen'd projection + one map-side-combined
+    (fy, period) agg; revenue rides compat decimals. Orders before
+    the anchor are excluded (a real deployment pins the anchor
+    before its data epoch)."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-02").cast("timestamp")
+    )
+    wk = F.expr(
+        f"(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        f" - {_FISCAL_ANCHOR_DAY}) div 7"
+    )
+    fy = (F.lit(1995) + (wk / 52).cast("long")).cast("long")
+    wy = F.least(wk % 52, F.lit(51))
+    period = (
+        (wy / 13).cast("long") * 3
+        + F.when(wy % 13 < 4, 1).when(wy % 13 < 8, 2).otherwise(3)
+    )
+    from nchu_bigdata_spark.compat import dsum
+
+    return (
+        o.select(
+            fy.alias("fiscal_year"),
+            period.cast("long").alias("fiscal_period"),
+            "o_totalprice",
+        )
+        .groupBy("fiscal_year", "fiscal_period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

@@ -1845,3 +1845,139 @@ def orders_aging_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("open_value"),
         F.max("age_d").cast("long").alias("oldest_age_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_pvm_variance — price/volume/mix bridge between years (round 8)
+# --------------------------------------------------------------------------
+
+_PVM_Y0, _PVM_Y1 = 1996, 1997
+
+
+@register(
+    "orders_pvm_variance",
+    tags=("b3",),
+    oracle=f"""
+        -- price/volume/mix revenue bridge {_PVM_Y0}->{_PVM_Y1} per
+        -- brand, EXACTLY reconciling by construction: per carried
+        -- part, m = floor(r0*q1/q0) (the baseline revenue at new
+        -- volume); price_effect = r1 - m and volume_effect = m - r0
+        -- share the SAME floored m, so their sum telescopes to
+        -- r1 - r0 with zero rounding residue. New parts land in
+        -- new_effect (+r1), discontinued in exit_effect (-r0) —
+        -- total_delta = sum of the four effects, to the cent. The
+        -- FP&A bridge behind every "why did revenue move" review.
+        WITH y AS (
+            SELECT p.p_brand, l.l_partkey,
+                   CAST(year(l.l_shipdate) AS INT) AS yr,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS r,
+                   CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE year(l.l_shipdate) IN ({_PVM_Y0}, {_PVM_Y1})
+            GROUP BY p.p_brand, l.l_partkey, year(l.l_shipdate)
+        ),
+        w AS (
+            SELECT p_brand, l_partkey,
+                   MAX(CASE WHEN yr = {_PVM_Y0} THEN r END) AS r0,
+                   MAX(CASE WHEN yr = {_PVM_Y0} THEN q END) AS q0,
+                   MAX(CASE WHEN yr = {_PVM_Y1} THEN r END) AS r1,
+                   MAX(CASE WHEN yr = {_PVM_Y1} THEN q END) AS q1
+            FROM y GROUP BY p_brand, l_partkey
+        ),
+        eff AS (
+            SELECT p_brand,
+                   COALESCE(r0, 0) AS r0, COALESCE(r1, 0) AS r1,
+                   CASE WHEN r0 IS NOT NULL AND r1 IS NOT NULL
+                        THEN r1 - (CAST(r0 AS HUGEINT) * q1 // q0)
+                        ELSE 0 END AS price_eff,
+                   CASE WHEN r0 IS NOT NULL AND r1 IS NOT NULL
+                        THEN (CAST(r0 AS HUGEINT) * q1 // q0) - r0
+                        ELSE 0 END AS vol_eff,
+                   CASE WHEN r0 IS NULL THEN r1 ELSE 0 END AS new_eff,
+                   CASE WHEN r1 IS NULL THEN -r0 ELSE 0 END AS exit_eff
+            FROM w
+        )
+        SELECT p_brand,
+               CAST(SUM(r0) AS BIGINT) AS rev0_cents,
+               CAST(SUM(r1) AS BIGINT) AS rev1_cents,
+               CAST(SUM(price_eff) AS BIGINT) AS price_effect,
+               CAST(SUM(vol_eff) AS BIGINT) AS volume_effect,
+               CAST(SUM(new_eff) AS BIGINT) AS new_effect,
+               CAST(SUM(exit_eff) AS BIGINT) AS exit_effect
+        FROM eff GROUP BY p_brand
+    """,
+)
+def orders_pvm_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix revenue bridge between {y0} and {y1}, per
+    brand — the FP&A decomposition behind every "why did revenue
+    move" review: for each part carried in both years, the baseline
+    revenue AT NEW VOLUME m = floor(r0·q1/q0) splits the change into
+    a price effect (r1 − m: same volume, new realized price) and a
+    volume effect (m − r0: same price, new volume); parts that only
+    exist in one year land in new/exit effects. The floor convention
+    is chosen so the bridge RECONCILES EXACTLY: price and volume
+    effects share the same floored m, so their sum telescopes to
+    r1 − r0 with zero rounding residue, and
+    rev1 − rev0 = price + volume + new + exit to the cent — the
+    property a finance bridge is useless without (and the one float
+    PVM implementations silently lose).
+
+    Exactness: integer cents and unit counts; the one division is
+    the floored 128-bit cross product r0·q1 div q0 (events_rfm
+    decimal policy).
+
+    Plan/scale: one partkey-keyed join to the part dim, one
+    (brand, part, year) agg, a part-level pivot, and a brand rollup
+    — fact-scan bounded, output = brand cardinality."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    y = (
+        li.filter(F.year("l_shipdate").isin(_PVM_Y0, _PVM_Y1))
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            "l_partkey",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("r"),
+            F.sum(F.round("l_quantity").cast("long"))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    w = y.groupBy("p_brand", "l_partkey").agg(
+        F.max(F.when(F.col("yr") == _PVM_Y0, F.col("r"))).alias("r0"),
+        F.max(F.when(F.col("yr") == _PVM_Y0, F.col("q"))).alias("q0"),
+        F.max(F.when(F.col("yr") == _PVM_Y1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("yr") == _PVM_Y1, F.col("q"))).alias("q1"),
+    )
+    m = F.expr("CAST(CAST(r0 AS decimal(38,0)) * q1 div q0 AS BIGINT)")
+    carried = F.col("r0").isNotNull() & F.col("r1").isNotNull()
+    eff = w.select(
+        "p_brand",
+        F.coalesce("r0", F.lit(0)).alias("r0"),
+        F.coalesce("r1", F.lit(0)).alias("r1"),
+        F.when(carried, F.col("r1") - m).otherwise(0).alias("price_eff"),
+        F.when(carried, m - F.col("r0")).otherwise(0).alias("vol_eff"),
+        F.when(F.col("r0").isNull(), F.col("r1"))
+        .otherwise(0)
+        .alias("new_eff"),
+        F.when(F.col("r1").isNull(), -F.col("r0"))
+        .otherwise(0)
+        .alias("exit_eff"),
+    )
+    return eff.groupBy("p_brand").agg(
+        F.sum("r0").cast("long").alias("rev0_cents"),
+        F.sum("r1").cast("long").alias("rev1_cents"),
+        F.sum("price_eff").cast("long").alias("price_effect"),
+        F.sum("vol_eff").cast("long").alias("volume_effect"),
+        F.sum("new_eff").cast("long").alias("new_effect"),
+        F.sum("exit_eff").cast("long").alias("exit_effect"),
+    )

@@ -290,6 +290,9 @@ DRIVER_ORDER = [
     "dedup_agreement",
     "orders_aging_wip",
     "embed_separability",
+    "multimodal_scene_changes",
+    "fn_fiscal_calendar",
+    "orders_pvm_variance",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -2429,3 +2429,87 @@ def test_separability_replay(spark, sf_dir, duck):
                               s2 // (n * n))
         # scatter identity sanity: within msd is non-negative
         assert got[label][1] >= 0
+
+
+# --------------------------------------------------------------------------
+# multimodal_scene_changes
+# --------------------------------------------------------------------------
+
+
+def test_scene_changes_replay(spark, sf_dir, duck):
+    FL, FS = 128, 256
+    docs = duck.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2"
+    ).fetchall()
+    want = {}
+    for doc_id, text in docs:
+        data = text.encode("utf-8")
+        frames = []
+        for off in range(0, max(len(data), 1), FS):
+            fr = data[off:off + FL]
+            frames.append(fr + b"\x00" * (FL - len(fr)))
+        deltas = [sum(abs(a - b) for a, b in zip(frames[i], frames[i + 1]))
+                  for i in range(len(frames) - 1)]
+        nd, tot = len(deltas), sum(deltas)
+        cuts = sum(1 for d in deltas if d * nd > tot)
+        want[doc_id] = (len(frames), nd, cuts,
+                        max(deltas) if deltas else 0, tot)
+    rows = SPECS["multimodal_scene_changes"].fn(spark, sf_dir).collect()
+    got = {r.doc_id: (r.n_frames, r.n_deltas, r.n_cuts, r.max_delta,
+                      r.sum_delta) for r in rows}
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# fn_fiscal_calendar
+# --------------------------------------------------------------------------
+
+
+def test_fiscal_calendar_replay(spark, sf_dir, duck):
+    ANCHOR = 9_132
+    cells = defaultdict(lambda: [0, 0.0])
+    for day, tp in duck.execute(
+        "SELECT epoch_us(o_orderdate) // 86400000000, o_totalprice "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-02'"
+    ).fetchall():
+        wk = (day - ANCHOR) // 7
+        fy = 1995 + wk // 52
+        wy = min(wk % 52, 51)
+        period = (wy // 13) * 3 + (1 if wy % 13 < 4
+                                   else 2 if wy % 13 < 8 else 3)
+        cells[(fy, period)][0] += 1
+        cells[(fy, period)][1] += tp
+    rows = SPECS["fn_fiscal_calendar"].fn(spark, sf_dir).collect()
+    got = {(r.fiscal_year, r.fiscal_period): (r.n_orders, r.revenue)
+           for r in rows}
+    assert set(got) == set(cells)
+    for k, (n, v) in cells.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - v) < 1e-3
+    # exactly 12 periods per full fiscal year, 1-indexed
+    periods = {p for _, p in got}
+    assert periods <= set(range(1, 13))
+
+
+# --------------------------------------------------------------------------
+# orders_pvm_variance
+# --------------------------------------------------------------------------
+
+
+def test_pvm_reconciles_exactly(spark, sf_dir, duck):
+    rows = SPECS["orders_pvm_variance"].fn(spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        # the floor convention makes the bridge EXACT, not approximate
+        assert (r.price_effect + r.volume_effect + r.new_effect
+                + r.exit_effect) == r.rev1_cents - r.rev0_cents
+    # brand totals reconcile to the corpus-level year revenues
+    want = dict(duck.execute(
+        "SELECT year(l_shipdate), SUM(CAST(ROUND(l_extendedprice * 100, "
+        "0) AS BIGINT)) FROM lineitem WHERE year(l_shipdate) IN "
+        "(1996, 1997) GROUP BY 1").fetchall())
+    assert sum(r.rev0_cents for r in rows) == want[1996]
+    assert sum(r.rev1_cents for r in rows) == want[1997]
+    # the decomposition is non-degenerate on this data
+    assert any(r.price_effect != 0 for r in rows)
+    assert any(r.new_effect != 0 or r.exit_effect != 0 for r in rows)

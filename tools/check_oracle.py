@@ -413,6 +413,43 @@ def exact_multimodal_image_stats(con, spdf: pd.DataFrame) -> tuple[bool, str]:
     return True, f"{len(got)} rows, exact luma spec replay"
 
 
+def exact_multimodal_scene_changes(con, spdf: pd.DataFrame) -> tuple[bool, str]:
+    """multimodal_scene_changes: frame/delta/gate spec replayed in pure
+    Python (128B frames every 256B, zero-padded; L1 byte deltas; cut
+    iff d*n > total) — independent of numpy and the operator code."""
+    FL, FS = 128, 256
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2"
+    ).fetchall()
+    expect = {}
+    for doc_id, text in docs:
+        data = text.encode("utf-8")
+        frames = []
+        for off in range(0, max(len(data), 1), FS):
+            fr = data[off:off + FL]
+            frames.append(fr + b"\x00" * (FL - len(fr)))
+        deltas = [
+            sum(abs(a - b) for a, b in zip(frames[i], frames[i + 1]))
+            for i in range(len(frames) - 1)
+        ]
+        nd, tot = len(deltas), sum(deltas)
+        cuts = sum(1 for d in deltas if d * nd > tot)
+        expect[doc_id] = (
+            len(frames), nd, cuts, max(deltas) if deltas else 0, tot,
+        )
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_frames"]), int(r["n_deltas"]), int(r["n_cuts"]),
+            int(r["max_delta"]), int(r["sum_delta"]),
+        )
+        for _, r in spdf.iterrows()
+    }
+    if got != expect:
+        bad = [k for k in expect if got.get(k) != expect[k]][:3]
+        return False, f"scene spec replay mismatch, e.g. doc_ids {bad}"
+    return True, f"{len(got)} rows, exact scene spec replay"
+
+
 # Rows-only queries with a promoted bounded accuracy check: the sweep
 # runs these against DuckDB exact aggregates instead of recording a
 # bare rows-only line.
@@ -432,6 +469,7 @@ BOUNDED_CHECKS = {
     "multimodal_phash_clusters": exact_multimodal_phash_clusters,
     "multimodal_audio_vad": exact_multimodal_audio_vad,
     "multimodal_image_stats": exact_multimodal_image_stats,
+    "multimodal_scene_changes": exact_multimodal_scene_changes,
 }
 
 

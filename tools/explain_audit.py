@@ -843,6 +843,22 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Generate"],
         [r"CartesianProduct", r"Window", r"rangepartitioning"],
     ),
+    # scene changes: partition-preserving Arrow mapInPandas
+    "multimodal_scene_changes": (
+        [r"MapInPandas"],
+        [r"Exchange", r"Join", r"Window"],
+    ),
+    # fiscal calendar: pure projection + one (fy, period) agg
+    "fn_fiscal_calendar": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"Join", r"Window", r"rangepartitioning"],
+    ),
+    # PVM bridge: part-dim join, (brand, part, year) agg, pivot,
+    # brand rollup — all keyed, output brand-sized
+    "orders_pvm_variance": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"Window", r"rangepartitioning"],
+    ),
 }
 
 
