@@ -218,6 +218,9 @@ SQL_GROUP = [
     "multimodal_scene_changes",
     "fn_fiscal_calendar",
     "orders_pvm_variance",
+    "set_except_all",
+    "sample_smote_midpoints",
+    "events_bot_flags",
 ]
 
 

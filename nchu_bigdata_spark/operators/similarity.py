@@ -1375,3 +1375,135 @@ def embed_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_norm2_q2"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# sample_smote_midpoints — synthetic minority augmentation (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_smote_midpoints",
+    tags=("b8",),
+    oracle=f"""
+        {_SQL_EMBED_PAIRS_CHAIN},
+        lab AS (SELECT vec_id, label FROM embeddings),
+        same AS (
+            SELECT p.vec_a, p.vec_b, la.label
+            FROM pairs p
+            JOIN lab la ON la.vec_id = p.vec_a
+            JOIN lab lb ON lb.vec_id = p.vec_b
+            WHERE la.label = lb.label
+        ),
+        q AS (
+            SELECT vec_id,
+                   [CAST(ROUND(x * {_Q}, 0) AS BIGINT)
+                    FOR x IN embedding::DOUBLE[]] AS qv
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT s.vec_a, s.vec_b, s.label, r.i,
+                   qa.qv[r.i + 1] + qb.qv[r.i + 1] AS m2
+            FROM same s
+            JOIN q qa ON qa.vec_id = s.vec_a
+            JOIN q qb ON qb.vec_id = s.vec_b,
+            unnest(range(64)) AS r(i)
+        )
+        -- SMOTE-style synthesis restricted to VERIFIED same-label
+        -- near-dup pairs (the embed-cosine chain): the midpoint of a
+        -- near-pair stays on the class manifold, where a random-pair
+        -- midpoint (vanilla SMOTE's failure mode) can land between
+        -- clusters. DOUBLED-midpoint convention: m2 = qa + qb on the
+        -- quantization grid — exact, divisionless, no negative-floor
+        -- hazard; consumers halve at use time.
+        SELECT vec_a, vec_b, label,
+               CAST(SUM(m2) AS BIGINT) AS sum_q2,
+               CAST(SUM(m2 * m2) AS BIGINT) AS norm2_q2,
+               CAST(MIN(m2) AS BIGINT) AS min_q2,
+               CAST(MAX(m2) AS BIGINT) AS max_q2
+        FROM dims GROUP BY vec_a, vec_b, label
+    """,
+)
+def sample_smote_midpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMOTE-style synthetic augmentation, restricted to VERIFIED
+    same-label near-duplicate pairs: each `dedup_embed_cosine` pair
+    whose endpoints share a label yields one synthetic vector at
+    their midpoint. The near-pair restriction is the point — vanilla
+    SMOTE interpolates between a point and a RANDOM same-class
+    neighbor, which on multi-cluster classes lands synthetic points
+    in the empty space between clusters; a verified cosine-near pair
+    stays on the class manifold by construction.
+
+    DOUBLED-midpoint convention (the med2 policy, vectorized):
+    the synthesized vector is qa + qb on the {q} quantization grid —
+    exact integer, NO division, so there is no floor-vs-truncate
+    hazard on negative coordinates; consumers halve at use time. The
+    output carries the four exact audit moments (sum / squared norm /
+    min / max of the doubled midpoint) instead of the array itself —
+    the driver's canonicalizer rejects list columns by design (the
+    `embed_quantize` precedent).
+
+    Composition: pairs come from the registered `dedup_embed_cosine`
+    UNCHANGED; the oracle re-runs the same certified chain.
+
+    Plan/scale: pair-table-sized joins against the quantized vectors
+    (two id-keyed hash joins), one zip_with projection — synthesis
+    volume = near-pair volume, never corpus²."""
+    pairs = dedup_embed_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    e = _vecs(spark, sf_dir)
+    lab = e.select("vec_id", "label")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.round(x * _Q, 0).cast("long")
+        ).alias("qv"),
+    )
+    same = (
+        pairs.join(
+            lab.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("label").alias("label_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("label").alias("label_b"),
+            ),
+            "vec_b",
+        )
+        .filter(F.col("label_a") == F.col("label_b"))
+        .select("vec_a", "vec_b", F.col("label_a").alias("label"))
+    )
+    j = same.join(
+        q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa")),
+        "vec_a",
+    ).join(
+        q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb")),
+        "vec_b",
+    )
+    # audit scalars, not the array itself: the driver's canonicalizer
+    # rejects list columns by design (the embed_quantize precedent) —
+    # the four exact moments pin the synthesized vector without it
+    return j.select(
+        "vec_a",
+        "vec_b",
+        "label",
+        F.expr(
+            "CAST(aggregate(zip_with(qa, qb, (x, y) -> x + y),"
+            " CAST(0 AS BIGINT), (acc, m) -> acc + m) AS BIGINT)"
+        ).alias("sum_q2"),
+        F.expr(
+            "CAST(aggregate(zip_with(qa, qb, (x, y) -> x + y),"
+            " CAST(0 AS BIGINT), (acc, m) -> acc + m * m) AS BIGINT)"
+        ).alias("norm2_q2"),
+        F.expr(
+            "CAST(array_min(zip_with(qa, qb, (x, y) -> x + y))"
+            " AS BIGINT)"
+        ).alias("min_q2"),
+        F.expr(
+            "CAST(array_max(zip_with(qa, qb, (x, y) -> x + y))"
+            " AS BIGINT)"
+        ).alias("max_q2"),
+    )

@@ -3685,3 +3685,154 @@ def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS INT)"
         ).alias("page"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_bot_flags — composite automation screen (round 8)
+# --------------------------------------------------------------------------
+
+# Rule thresholds (all exact integer tests):
+#   clockwork: median inter-arrival gap under 60s across >= 50 events
+#   always_on: active in >= 20 distinct hours-of-day
+#   nocturnal: > 40% of events between 00:00 and 05:59 UTC
+_BOT_MIN_EVENTS = 50
+_BOT_GAP_US = 60_000_000
+_BOT_HOURS = 20
+_BOT_NIGHT_BP = 4_000
+
+
+@register(
+    "events_bot_flags",
+    tags=("b3",),
+    oracle=f"""
+        -- composite automation screen per user: three independent
+        -- integer rules — CLOCKWORK (median gap < 60s over >= {_BOT_MIN_EVENTS}
+        -- events: humans don't act on a metronome), ALWAYS_ON
+        -- (>= {_BOT_HOURS} distinct active hours-of-day: humans
+        -- sleep), NOCTURNAL (> 40% of traffic 00-05 UTC) — OR-ed into
+        -- a bot flag. Rules beat a single score because each flag
+        -- names its evidence (the med2 doubled-median policy keeps
+        -- the gap test exact).
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   (epoch_us(ts) // 3600000000) % 24 AS hod
+            FROM events
+        ),
+        gaps AS (
+            SELECT user_id,
+                   ts_us - LAG(ts_us) OVER (
+                       PARTITION BY user_id ORDER BY ts_us) AS gap
+            FROM g
+        ),
+        r AS (
+            SELECT user_id, gap,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY gap) AS rk,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM gaps WHERE gap IS NOT NULL
+        ),
+        med AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN rk = (n + 1) // 2 OR rk = n // 2 + 1
+                                 THEN gap ELSE 0 END)
+                        * CASE WHEN (MAX(n) + 1) // 2 = MAX(n) // 2 + 1
+                               THEN 2 ELSE 1 END AS BIGINT) AS med2_gap
+            FROM r GROUP BY user_id
+        ),
+        act AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT hod) AS BIGINT) AS active_hours,
+                   CAST(SUM(CASE WHEN hod < 6 THEN 1 ELSE 0 END)
+                        * 10000 // COUNT(*) AS BIGINT) AS night_bp
+            FROM g GROUP BY user_id
+        )
+        SELECT act.user_id, act.n_events, act.active_hours,
+               act.night_bp, med.med2_gap,
+               CAST(act.n_events >= {_BOT_MIN_EVENTS}
+                    AND med.med2_gap < 2 * {_BOT_GAP_US} AS INT)
+                   AS clockwork,
+               CAST(act.active_hours >= {_BOT_HOURS} AS INT)
+                   AS always_on,
+               CAST(act.night_bp > {_BOT_NIGHT_BP} AS INT) AS nocturnal,
+               CAST((act.n_events >= {_BOT_MIN_EVENTS}
+                     AND med.med2_gap < 2 * {_BOT_GAP_US})
+                    OR act.active_hours >= {_BOT_HOURS}
+                    OR act.night_bp > {_BOT_NIGHT_BP} AS INT) AS is_bot
+        FROM act JOIN med ON med.user_id = act.user_id
+    """,
+)
+def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite automation screen per user: three independent
+    integer rules — CLOCKWORK (median inter-arrival gap under 60s
+    across ≥{n} events: humans don't act on a metronome), ALWAYS_ON
+    (active in ≥{h} distinct hours of the day: humans sleep),
+    NOCTURNAL (>40% of traffic between 00:00–05:59 UTC) — OR-ed into
+    an ``is_bot`` flag with every sub-flag and its evidence columns
+    exposed. Named rules beat one opaque score in a fraud screen
+    because each positive names WHAT fired and the threshold it
+    cleared — the difference between an appealable decision and a
+    black box. Downstream, `dedup_clusters`-style removal of flagged
+    users is what keeps `events_markov` / `events_funnel` /
+    `events_retention` describing humans.
+
+    Exactness: the gap median uses the doubled-integer policy
+    (med2 < 2·threshold), hour buckets are integer epoch arithmetic,
+    the night share is a floor-div bp — no floats.
+
+    Plan/scale: ONE (user, ts) sort serves the lag window; the gap
+    median rank window and both per-user rollups key on user_id —
+    everything after the first shuffle is partition-local, per-user
+    state bounded by that user's events."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hod"),
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts_us")
+    gaps = g.select(
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w_lag)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    w_rk = Window.partitionBy("user_id").orderBy("gap")
+    w_n = Window.partitionBy("user_id")
+    r = gaps.select(
+        "user_id",
+        "gap",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    med = r.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN rk = (n + 1) div 2 OR rk = n div 2 + 1 "
+            "THEN gap ELSE 0 END) "
+            "* CASE WHEN (max(n) + 1) div 2 = max(n) div 2 + 1 "
+            "THEN 2 ELSE 1 END AS BIGINT)"
+        ).alias("med2_gap")
+    )
+    act = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("hod").cast("long").alias("active_hours"),
+        F.expr(
+            "CAST(sum(CASE WHEN hod < 6 THEN 1 ELSE 0 END) * 10000 "
+            "div count(*) AS BIGINT)"
+        ).alias("night_bp"),
+    )
+    j = act.join(med, "user_id")
+    clockwork = (F.col("n_events") >= _BOT_MIN_EVENTS) & (
+        F.col("med2_gap") < 2 * _BOT_GAP_US
+    )
+    always_on = F.col("active_hours") >= _BOT_HOURS
+    nocturnal = F.col("night_bp") > _BOT_NIGHT_BP
+    return j.select(
+        "user_id",
+        "n_events",
+        "active_hours",
+        "night_bp",
+        "med2_gap",
+        clockwork.cast("int").alias("clockwork"),
+        always_on.cast("int").alias("always_on"),
+        nocturnal.cast("int").alias("nocturnal"),
+        (clockwork | always_on | nocturnal).cast("int").alias("is_bot"),
+    )

@@ -383,3 +383,48 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))
         & (F.col("best_same") == F.col("size"))
     ).select("p_partkey", "price_cents", "size")
+
+
+# --------------------------------------------------------------------------
+# set_except_all — multiset (bag) EXCEPT ALL semantics (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_except_all",
+    tags=("b5",),
+    oracle="""
+        -- EXCEPT ALL: bag semantics — each occurrence on the right
+        -- cancels exactly ONE occurrence on the left, so a customer
+        -- with 5 'O' orders and 2 'F' orders keeps multiplicity 3.
+        -- The distinct EXCEPT (set_except) answers "who appears only
+        -- left"; EXCEPT ALL answers "how MUCH more", which is the
+        -- inventory/ledger question (unreconciled occurrences, not
+        -- unreconciled identities). DuckDB's native EXCEPT ALL
+        -- replays Spark's exceptAll row for row.
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiset) difference: each right-side
+    occurrence cancels exactly ONE left-side occurrence, preserving
+    multiplicity (a customer with five open orders and two finished
+    ones survives three times). The distinct EXCEPT (`set_except`)
+    answers "who appears only on the left"; EXCEPT ALL answers "how
+    MUCH more" — the reconciliation semantics ledgers and inventory
+    counts need, where every unmatched OCCURRENCE is a discrepancy
+    even when the identity matches. Completes the set-operator family
+    with its bag-algebra half (UNION ALL was always there; this is
+    its difference-side sibling).
+
+    Plan/scale: Spark compiles exceptAll to a per-key count
+    difference + replicate (one hash shuffle per side, no sort, no
+    pairwise anything) — the same aggregate shape a hand-written
+    "count left minus count right, re-explode" would be, which is
+    exactly how the multiset semantics stay scale-safe."""
+    o = table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    right = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return left.exceptAll(right)

@@ -293,6 +293,9 @@ DRIVER_ORDER = [
     "multimodal_scene_changes",
     "fn_fiscal_calendar",
     "orders_pvm_variance",
+    "set_except_all",
+    "sample_smote_midpoints",
+    "events_bot_flags",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

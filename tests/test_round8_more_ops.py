@@ -2513,3 +2513,91 @@ def test_pvm_reconciles_exactly(spark, sf_dir, duck):
     # the decomposition is non-degenerate on this data
     assert any(r.price_effect != 0 for r in rows)
     assert any(r.new_effect != 0 or r.exit_effect != 0 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# set_except_all
+# --------------------------------------------------------------------------
+
+
+def test_except_all_replay(spark, sf_dir, duck):
+    from collections import Counter
+    left = Counter(k for (k,) in duck.execute(
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+    ).fetchall())
+    right = Counter(k for (k,) in duck.execute(
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+    ).fetchall())
+    want = Counter()
+    for k, n in left.items():
+        m = n - right.get(k, 0)
+        if m > 0:
+            want[k] = m
+    rows = SPECS["set_except_all"].fn(spark, sf_dir).collect()
+    got = Counter(r.o_custkey for r in rows)
+    assert got == want
+    # bag semantics genuinely differ from the distinct EXCEPT here
+    distinct_count = len({k for k in want})
+    assert sum(want.values()) > distinct_count
+
+
+# --------------------------------------------------------------------------
+# sample_smote_midpoints
+# --------------------------------------------------------------------------
+
+
+def test_smote_midpoints_replay(spark, sf_dir, duck):
+    qv = {
+        vid: [round(x * 1_000_000) for x in v]
+        for vid, v in duck.execute(
+            "SELECT vec_id, embedding::DOUBLE[] FROM embeddings"
+        ).fetchall()
+    }
+    labels = dict(duck.execute(
+        "SELECT vec_id, label FROM embeddings").fetchall())
+    pairs = [(r.vec_a, r.vec_b) for r in
+             SPECS["dedup_embed_cosine"].fn(spark, sf_dir).collect()]
+    want = {}
+    for a, b in pairs:
+        if labels[a] != labels[b]:
+            continue
+        m2 = [x + y for x, y in zip(qv[a], qv[b])]
+        want[(a, b)] = (labels[a], sum(m2), sum(x * x for x in m2),
+                        min(m2), max(m2))
+    rows = SPECS["sample_smote_midpoints"].fn(spark, sf_dir).collect()
+    got = {(r.vec_a, r.vec_b): (r.label, r.sum_q2, r.norm2_q2,
+                                r.min_q2, r.max_q2) for r in rows}
+    assert got == want
+    # same-label restriction genuinely filters the pair stream
+    assert len(got) < len(pairs)
+
+
+# --------------------------------------------------------------------------
+# events_bot_flags
+# --------------------------------------------------------------------------
+
+
+def test_bot_flags_replay(spark, sf_dir, duck):
+    per = defaultdict(list)
+    for u, ts in duck.execute(
+        "SELECT user_id, epoch_us(ts) FROM events ORDER BY user_id, ts"
+    ).fetchall():
+        per[u].append(ts)
+    rows = SPECS["events_bot_flags"].fn(spark, sf_dir).collect()
+    got = {r.user_id: r for r in rows}
+    assert set(got) == set(per)
+    for u, tss in per.items():
+        gaps = sorted(b - a for a, b in zip(tss, tss[1:]))
+        n = len(gaps)
+        med2 = gaps[(n - 1) // 2] + gaps[n // 2]
+        hours = {(t // 3_600_000_000) % 24 for t in tss}
+        night = sum(1 for t in tss if (t // 3_600_000_000) % 24 < 6)
+        night_bp = night * 10000 // len(tss)
+        r = got[u]
+        assert (r.n_events, r.active_hours, r.night_bp, r.med2_gap) == (
+            len(tss), len(hours), night_bp, med2)
+        cw = int(len(tss) >= 50 and med2 < 120_000_000)
+        ao = int(len(hours) >= 20)
+        no = int(night_bp > 4000)
+        assert (r.clockwork, r.always_on, r.nocturnal, r.is_bot) == (
+            cw, ao, no, int(bool(cw or ao or no)))

@@ -859,6 +859,24 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"CartesianProduct", r"Window", r"rangepartitioning"],
     ),
+    # EXCEPT ALL: per-key count difference + replicate — hash aggs,
+    # never a pairwise anything
+    "set_except_all": (
+        [r"HashAggregate|Generate"],
+        [r"CartesianProduct", r"Window", r"rangepartitioning"],
+    ),
+    # SMOTE midpoints: pair-table joins vs the quantized vectors +
+    # one zip_with projection
+    "sample_smote_midpoints": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # bot flags: ONE (user, ts) sort serves the lag; median rank and
+    # both rollups stay user-keyed partition-local
+    "events_bot_flags": (
+        [r"Window", r"hashpartitioning\(user_id", r"HashAggregate"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
 }
 
 
