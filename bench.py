@@ -221,6 +221,9 @@ SQL_GROUP = [
     "set_except_all",
     "sample_smote_midpoints",
     "events_bot_flags",
+    "events_srm_check",
+    "win_mtd_ytd",
+    "text_code_detection",
 ]
 
 

@@ -1471,3 +1471,108 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_code_detection — code-vs-prose heuristic flags (round 8)
+# --------------------------------------------------------------------------
+
+# Rule thresholds (exact integer bp tests): a doc reads as code when
+# symbol density is high AND word-shape density is low — prose has
+# ~one symbol per sentence, code has one per token.
+_CODE_SYMBOL_BP = 800  # symbols > 8% of chars
+_CODE_ALPHA_BP = 6_000  # alphabetic share < 60%
+
+
+@register(
+    "text_code_detection",
+    tags=("b10",),
+    oracle=f"""
+        -- code-vs-prose screen per document: exact character-class
+        -- densities (symbols {{}}()[];=<>, digits, alphabetic) in
+        -- floor bp, and the two-rule flag (symbol-heavy AND
+        -- alpha-light). Training-mix curation needs this split —
+        -- code and prose want different dedup thresholds, different
+        -- quality filters, and an explicit mixture weight
+        -- (mixture_weights) rather than whatever the crawl happened
+        -- to fetch. Densities via length-difference counting
+        -- (len(x) - len(translate/regexp_strip(x))) — pure string
+        -- kernels, identical on both engines.
+        WITH c AS (
+            SELECT doc_id, lang,
+                   CAST(len(text) AS BIGINT) AS n_chars,
+                   CAST(len(text) - len(regexp_replace(text,
+                        '[{{}}()\\[\\];=<>]', '', 'g')) AS BIGINT)
+                       AS n_symbols,
+                   CAST(len(text) - len(regexp_replace(text,
+                        '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                   CAST(len(text) - len(regexp_replace(text,
+                        '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha
+            FROM documents WHERE len(text) > 0
+        )
+        SELECT doc_id, lang, n_chars,
+               CAST(n_symbols * 10000 // n_chars AS BIGINT)
+                   AS symbol_bp,
+               CAST(n_digits * 10000 // n_chars AS BIGINT) AS digit_bp,
+               CAST(n_alpha * 10000 // n_chars AS BIGINT) AS alpha_bp,
+               CAST(n_symbols * 10000 // n_chars > {_CODE_SYMBOL_BP}
+                    AND n_alpha * 10000 // n_chars < {_CODE_ALPHA_BP}
+                    AS INT) AS is_code
+        FROM c
+    """,
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose screen per document: exact character-class
+    densities (bracket/operator symbols, digits, alphabetics) in
+    floor basis points, plus the two-rule flag — symbol-heavy
+    (>{sy} bp) AND alpha-light (<{al} bp). Training-mix curation
+    needs this split before anything else touches the corpus: code
+    and prose want DIFFERENT dedup thresholds (code legitimately
+    repeats), different quality filters (stopword ratios condemn
+    every program ever written), and an explicit mixture weight
+    (`mixture_weights`) instead of whatever the crawl fetched.
+    Named-rule flags with evidence columns, the `events_bot_flags`
+    philosophy applied to text.
+
+    Exactness: densities count by LENGTH DIFFERENCE after a
+    character-class strip — regexp_replace with an identical
+    character-class pattern on both engines — then floor-div bp;
+    no tokenizer, no float ratios.
+
+    Plan/scale: one codegen'd projection over the scan, zero
+    shuffle; per-doc output."""
+    docs = parallel_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    c = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.expr(
+            "CAST((length(text) - length(regexp_replace(text,"
+            " '[{}()\\\\[\\\\];=<>]', ''))) * 10000"
+            " div length(text) AS BIGINT)"
+        ).alias("symbol_bp"),
+        F.expr(
+            "CAST((length(text) - length(regexp_replace(text,"
+            " '[0-9]', ''))) * 10000 div length(text) AS BIGINT)"
+        ).alias("digit_bp"),
+        F.expr(
+            "CAST((length(text) - length(regexp_replace(text,"
+            " '[a-zA-Z]', ''))) * 10000 div length(text) AS BIGINT)"
+        ).alias("alpha_bp"),
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "symbol_bp",
+        "digit_bp",
+        "alpha_bp",
+        (
+            (F.col("symbol_bp") > _CODE_SYMBOL_BP)
+            & (F.col("alpha_bp") < _CODE_ALPHA_BP)
+        )
+        .cast("int")
+        .alias("is_code"),
+    )

@@ -3836,3 +3836,86 @@ def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         nocturnal.cast("int").alias("nocturnal"),
         (clockwork | always_on | nocturnal).cast("int").alias("is_bot"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_srm_check — sample-ratio-mismatch guardrail (round 8)
+# --------------------------------------------------------------------------
+
+# chi-square critical value at alpha=0.05, 1 dof, scaled x10000:
+# flag iff 10000 * (na - nb)^2 > 38415 * (na + nb) — the exact
+# cross-multiplied form of (na-nb)^2/(na+nb) > 3.8415.
+_SRM_CRIT_X10000 = 38_415
+
+
+@register(
+    "events_srm_check",
+    tags=("b3",),
+    oracle=f"""
+        -- Sample Ratio Mismatch guardrail for the A/B split: under
+        -- the 50/50 user_id-parity assignment events_ab_test uses,
+        -- the unit-count chi-square is (na-nb)^2/(na+nb); a
+        -- significant mismatch means the ASSIGNMENT is broken
+        -- (logging loss, bot skew, redirect bugs) and every lift
+        -- readout downstream is invalid — the first check an
+        -- experimentation platform runs, per day and overall. Exact
+        -- cross-multiplied test: 10^4*(na-nb)^2 > {_SRM_CRIT_X10000}*(na+nb).
+        WITH d AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(day AS BIGINT) AS day, na, nb,
+               CAST((na - nb) * (na - nb) * 10000
+                    // (na + nb) AS BIGINT) AS chi2_x10000,
+               CAST(10000 * (na - nb) * (na - nb)
+                    > {_SRM_CRIT_X10000} * (na + nb) AS INT) AS srm_flag
+        FROM d
+    """,
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample Ratio Mismatch guardrail for the A/B split: under the
+    50/50 user_id-parity assignment `events_ab_test` uses, the daily
+    unit counts should be statistically even; the 1-dof chi-square
+    (na−nb)²/(na+nb) against the 0.05 critical value flags days
+    where they aren't. SRM is THE most-cited silent killer of A/B
+    results — a significant mismatch means the ASSIGNMENT mechanism
+    is broken (logging loss, bot traffic skewing one arm, redirect
+    bugs), and every lift readout downstream is invalid no matter
+    how significant it looks — so the platform runs this check
+    before anyone reads `events_ab_test` or `events_did`.
+
+    Exactness: the test runs entirely cross-multiplied in int64 —
+    10⁴·(na−nb)² > {c}·(na+nb) — and chi2_x10000 is the floor-scaled
+    statistic; no float chi-square anywhere. (na−nb)² caps at
+    traffic², so int64 holds to ~3e9 events/day; past that the
+    events_rfm decimal policy applies.
+
+    Plan/scale: one map-side-combined fact→day agg; everything else
+    is day-axis arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(
+        F.sum((F.col("user_id") % 2 == 0).cast("long"))
+        .cast("long")
+        .alias("na"),
+        F.sum((F.col("user_id") % 2 == 1).cast("long"))
+        .cast("long")
+        .alias("nb"),
+    )
+    return d.select(
+        F.col("day").cast("long").alias("day"),
+        "na",
+        "nb",
+        F.expr(
+            "CAST((na - nb) * (na - nb) * 10000 div (na + nb) AS BIGINT)"
+        ).alias("chi2_x10000"),
+        F.expr(
+            f"CAST(10000 * (na - nb) * (na - nb)"
+            f" > {_SRM_CRIT_X10000} * (na + nb) AS INT)"
+        ).alias("srm_flag"),
+    )

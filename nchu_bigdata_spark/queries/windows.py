@@ -962,3 +962,84 @@ def win_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("volume_cents"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_mtd_ytd — period-reset running totals (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_mtd_ytd",
+    tags=("b6",),
+    oracle="""
+        -- MTD / YTD running revenue per order day: the same daily
+        -- series accumulated under two different PERIOD RESETS
+        -- (month partition, year partition) — the standard BI
+        -- "where are we against the month/year" readout, and the
+        -- window-partition idiom (reset = partition key) that
+        -- replaces the self-join every naive MTD implementation
+        -- writes. Cents-exact, one sorted pass.
+        WITH d AS (
+            SELECT o_orderdate::DATE AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               cents AS day_cents,
+               CAST(SUM(cents) OVER (
+                        PARTITION BY year(day), month(day) ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS mtd_cents,
+               CAST(SUM(cents) OVER (
+                        PARTITION BY year(day) ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS ytd_cents,
+               CAST(ROW_NUMBER() OVER (
+                        PARTITION BY year(day), month(day) ORDER BY day
+                    ) AS BIGINT) AS day_of_period
+        FROM d
+    """,
+)
+def win_mtd_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTD / YTD running revenue per order day: one daily series
+    accumulated under two different PERIOD RESETS — month-partitioned
+    and year-partitioned running sums — the standard BI "where are we
+    against the month / the year" readout. The idiom is the point:
+    a period reset IS a window partition key, which replaces the
+    correlated self-join ("sum of all days ≤ d in the same month")
+    every naive MTD implementation writes and which goes quadratic
+    per period at scale.
+
+    Exactness: integer cents end to end; days compare as DATE with
+    'yyyy-MM-dd' output per the compat policy.
+
+    Plan/scale: the fact table collapses to the day axis map-side;
+    both running sums and the day counter share year/month-keyed
+    partitions — bounded partitions (≤366 rows), parallel across
+    periods, no global window."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w_m = (
+        W.partitionBy(F.year("day"), F.month("day"))
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_y = (
+        W.partitionBy(F.year("day"))
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_rn = W.partitionBy(F.year("day"), F.month("day")).orderBy("day")
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cents").alias("day_cents"),
+        F.sum("cents").over(w_m).cast("long").alias("mtd_cents"),
+        F.sum("cents").over(w_y).cast("long").alias("ytd_cents"),
+        F.row_number().over(w_rn).cast("long").alias("day_of_period"),
+    )

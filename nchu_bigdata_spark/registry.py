@@ -296,6 +296,9 @@ DRIVER_ORDER = [
     "set_except_all",
     "sample_smote_midpoints",
     "events_bot_flags",
+    "events_srm_check",
+    "win_mtd_ytd",
+    "text_code_detection",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -2601,3 +2601,76 @@ def test_bot_flags_replay(spark, sf_dir, duck):
         no = int(night_bp > 4000)
         assert (r.clockwork, r.always_on, r.nocturnal, r.is_bot) == (
             cw, ao, no, int(bool(cw or ao or no)))
+
+
+# --------------------------------------------------------------------------
+# events_srm_check
+# --------------------------------------------------------------------------
+
+
+def test_srm_check_replay(spark, sf_dir, duck):
+    daily = defaultdict(lambda: [0, 0])
+    for day, u in duck.execute(
+        "SELECT epoch_us(ts) // 86400000000, user_id FROM events"
+    ).fetchall():
+        daily[day][u % 2] += 1
+    rows = SPECS["events_srm_check"].fn(spark, sf_dir).collect()
+    got = {r.day: (r.na, r.nb, r.chi2_x10000, r.srm_flag) for r in rows}
+    assert set(got) == set(daily)
+    for d, (na, nb) in daily.items():
+        chi2 = (na - nb) ** 2 * 10000 // (na + nb)
+        flag = int(10000 * (na - nb) ** 2 > 38_415 * (na + nb))
+        assert got[d] == (na, nb, chi2, flag)
+    # the statistic itself is the ground truth here (the exact replay
+    # above); at tiny SFs the parity deviation can legitimately flag
+    assert all(v[3] in (0, 1) for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# win_mtd_ytd
+# --------------------------------------------------------------------------
+
+
+def test_mtd_ytd_replay(spark, sf_dir, duck):
+    daily = {}
+    for day, cents in duck.execute(
+        "SELECT o_orderdate::DATE, SUM(CAST(ROUND(o_totalprice * 100, 0)"
+        " AS BIGINT)) FROM orders GROUP BY 1 ORDER BY 1"
+    ).fetchall():
+        daily[day] = cents
+    rows = SPECS["win_mtd_ytd"].fn(spark, sf_dir).collect()
+    got = {r.day: (r.day_cents, r.mtd_cents, r.ytd_cents,
+                   r.day_of_period) for r in rows}
+    mtd, ytd, dop = {}, {}, {}
+    for day in sorted(daily):
+        mk, yk = (day.year, day.month), day.year
+        mtd[mk] = mtd.get(mk, 0) + daily[day]
+        ytd[yk] = ytd.get(yk, 0) + daily[day]
+        dop[mk] = dop.get(mk, 0) + 1
+        key = day.strftime("%Y-%m-%d")
+        assert got[key] == (daily[day], mtd[mk], ytd[yk], dop[mk])
+    assert len(got) == len(daily)
+
+
+# --------------------------------------------------------------------------
+# text_code_detection
+# --------------------------------------------------------------------------
+
+
+def test_code_detection_replay(spark, sf_dir, duck):
+    import re as _re
+    rows = SPECS["text_code_detection"].fn(spark, sf_dir).collect()
+    got = {r.doc_id: (r.n_chars, r.symbol_bp, r.digit_bp, r.alpha_bp,
+                      r.is_code) for r in rows}
+    for doc_id, text in duck.execute(
+        "SELECT doc_id, text FROM documents WHERE len(text) > 0"
+    ).fetchall():
+        n = len(text)
+        sym = len(_re.findall(r"[{}()\[\];=<>]", text))
+        dig = len(_re.findall(r"[0-9]", text))
+        alp = len(_re.findall(r"[a-zA-Z]", text))
+        want = (n, sym * 10000 // n, dig * 10000 // n, alp * 10000 // n,
+                int(sym * 10000 // n > 800 and alp * 10000 // n < 6000))
+        assert got[doc_id] == want, doc_id
+    # synthetic prose corpus: flags are rare but densities are real
+    assert all(v[3] > 0 for v in got.values())

@@ -877,6 +877,24 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"hashpartitioning\(user_id", r"HashAggregate"],
         [r"CartesianProduct", r"rangepartitioning"],
     ),
+    # SRM: one fact->day agg, day-axis arithmetic
+    "events_srm_check": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"Join", r"Window", r"rangepartitioning"],
+    ),
+    # MTD/YTD: fact->day agg; period-partitioned running sums
+    # (bounded <=366-row partitions, parallel across periods)
+    "win_mtd_ytd": (
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"Join", r"rangepartitioning"],
+    ),
+    # code detection: one codegen'd projection; the only exchange is
+    # parallel_table's deliberate round-robin parallelism guard —
+    # never a KEYED shuffle
+    "text_code_detection": (
+        [],
+        [r"hashpartitioning", r"Join", r"Window", r"rangepartitioning"],
+    ),
 }
 
 
