@@ -224,6 +224,9 @@ SQL_GROUP = [
     "events_srm_check",
     "win_mtd_ytd",
     "text_code_detection",
+    "sim_nprobe_sweep",
+    "orders_xyz_class",
+    "sample_class_weights",
 ]
 
 

@@ -2012,3 +2012,69 @@ def tokenize_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_loss_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sample_class_weights — inverse-frequency loss weights (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_class_weights",
+    tags=("b8",),
+    oracle="""
+        -- inverse-frequency class weights for loss weighting (the
+        -- sklearn 'balanced' convention, total/(k*count), in exact
+        -- bp): the zero-data-motion alternative to sample_balanced —
+        -- reweight the loss instead of discarding majority rows —
+        -- with the weighted-mass audit column proving every class
+        -- now contributes ~equal total weight.
+        WITH c AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        ),
+        t AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM c
+        )
+        SELECT c.event_type, c.n,
+               CAST(t.total * 10000 // (t.k * c.n) AS BIGINT)
+                   AS weight_bp,
+               CAST(c.n * (t.total * 10000 // (t.k * c.n))
+                    AS BIGINT) AS weighted_mass
+        FROM c, t
+    """,
+)
+def sample_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights for loss weighting — the
+    sklearn 'balanced' convention, weight = total/(k·count), in exact
+    floor basis points. The zero-data-motion alternative to
+    `sample_balanced`: instead of discarding majority-class rows to
+    equalize counts, keep everything and scale each example's loss —
+    the right call when the majority class still carries signal and
+    the dataset was expensive to assemble. ``weighted_mass``
+    (count × weight) is the audit column: every class lands within
+    one floor-division step of the same total, which is the property
+    the convention exists to produce.
+
+    Plan/scale: one map-side class-count agg + a 1-row total
+    broadcast — label-cardinality output, pure integer arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return c.join(F.broadcast(t)).select(
+        "event_type",
+        "n",
+        F.expr("CAST(total * 10000 div (k * n) AS BIGINT)").alias(
+            "weight_bp"
+        ),
+        F.expr(
+            "CAST(n * (total * 10000 div (k * n)) AS BIGINT)"
+        ).alias("weighted_mass"),
+    )

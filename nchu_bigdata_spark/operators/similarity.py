@@ -1507,3 +1507,172 @@ def sample_smote_midpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("max_q2"),
     )
+
+
+# --------------------------------------------------------------------------
+# sim_nprobe_sweep — IVF probe-depth recall/cost ladder (round 8)
+# --------------------------------------------------------------------------
+
+_SWEEP_NPROBES = [1, 2, 3, 4]
+
+
+def _nprobe_sweep_oracle() -> str:
+    """Per-nprobe unrolled replay: the probe4 ranking is shared, each
+    ladder entry filters it at its own depth — the same
+    one-assignment-many-configs economics the Spark plan has."""
+    ctes = [
+        f"exact AS (\n{_SQL_TOPK_CORE}\n        )",
+        f"cent AS (SELECT vec_id AS c_id, v, n FROM e"
+        f" WHERE vec_id <= {_NCELLS})",
+        f"""assign AS (
+            SELECT vec_id, cell, v, n FROM (
+                SELECT e.vec_id, c.c_id AS cell, e.v, e.n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cos('e', 'c')} DESC, c.c_id
+                       ) AS rn
+                FROM e CROSS JOIN cent c
+            ) WHERE rn = 1
+        )""",
+        f"""probe4 AS (
+            SELECT q_id, cell, prank, qv, qn FROM (
+                SELECT q.vec_id AS q_id, c.c_id AS cell,
+                       q.v AS qv, q.n AS qn,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_sql_cos('q', 'c')} DESC, c.c_id
+                       ) AS prank
+                FROM e q CROSS JOIN cent c
+                WHERE q.vec_id <= {_NQUERY}
+            ) WHERE prank <= {max(_SWEEP_NPROBES)}
+        )""",
+        """cand AS (
+            SELECT p.q_id, p.prank, a.vec_id,
+                   list_dot_product(p.qv, a.v) / (p.qn * a.n) AS cs
+            FROM probe4 p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> p.q_id
+        )""",
+    ]
+    per = []
+    for p in _SWEEP_NPROBES:
+        # (q_id, vec_id) is UNIQUE in cand — every corpus vector lives
+        # in exactly one cell — so counting and grading need no dedup
+        per.append(
+            f"""r{p} AS (
+            SELECT CAST({p} AS BIGINT) AS nprobe,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(CASE WHEN t.rnk <= {_TOPK}
+                                 AND x.vec_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q_id
+                           ORDER BY cs DESC, vec_id) AS rnk
+                FROM cand WHERE prank <= {p}
+            ) t
+            LEFT JOIN exact x
+              ON x.q_id = t.q_id AND x.vec_id = t.vec_id
+        )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM r{p}" for p in _SWEEP_NPROBES)
+    tot = f"(SELECT CAST(COUNT(*) AS BIGINT) FROM exact)"
+    return (
+        "WITH " + _SQL_E + ",\n        "
+        + ",\n        ".join(ctes + per)
+        + f"""
+        SELECT nprobe, n_candidates, n_hits,
+               CAST({tot} AS BIGINT) AS n_exact,
+               CAST(n_hits * 10000 // {tot} AS BIGINT) AS recall_bp
+        FROM ({union})"""
+    )
+
+
+@register("sim_nprobe_sweep", tags=("b10",), oracle=_nprobe_sweep_oracle())
+def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-depth sweep: recall@{k} and candidate-scan COST for
+    nprobe = 1..4 over the SAME coarse assignment — the tuning table
+    behind every IVF deployment's one real knob. Recall alone
+    (`ann_recall_eval` grades the shipped config) doesn't answer
+    "is the next probe worth it"; this table pairs each recall gain
+    with the extra candidates scanned, which IS the query-latency
+    price, so the knee is visible (diminishing recall per candidate).
+
+    One-assignment-many-configs economics (the `dedup_band_tuning`
+    move): vectors assign to cells ONCE, queries rank all cells ONCE
+    (probe ranks 1..4), and each ladder entry is a FILTER at its
+    depth plus a per-query rank — never a re-assignment, never a
+    re-scan. The oracle unrolls the identical ladder over the shared
+    exact/assign SQL cores.
+
+    Plan/scale: the corpus shuffles once on cell id; the 4x ladder
+    rides the probe-rank column; per-(query, depth) rank windows run
+    over candidate cardinality. Exactness: integer counts and one
+    floor-div bp; the cosine ordering reuses the certified
+    `_cos` / `_sql_cos` expression pair."""
+    e, assign, _ = _ivf_assign(spark, sf_dir)
+    cent = (
+        e.filter(F.col("vec_id") <= _NCELLS)
+        .select(F.col("vec_id").alias("c_id"), "v", "n")
+        .collect()
+    )
+    structs = ", ".join(
+        f"named_struct('negcos', coalesce(-{_cos_lit_sql('v', 'n', r.v, r.n)},"
+        f" cast('Infinity' as double)), 'c_id', {int(r.c_id)})"
+        for r in sorted(cent, key=lambda r: r.c_id)
+    )
+    probe_arr = (
+        f"transform(slice(array_sort(array({structs})), 1,"
+        f" {max(_SWEEP_NPROBES)}), s -> s.c_id)"
+    )
+    probes = (
+        e.filter(F.col("vec_id") <= _NQUERY)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+            F.posexplode(F.expr(probe_arr)).alias("prank0", "cell"),
+        )
+        .select("q_id", "qv", "qn", (F.col("prank0") + 1).alias("prank"), "cell")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "prank",
+            "vec_id",
+            _cos("qv", "v", "qn", "n").alias("cs"),
+        )
+    )
+    exact = sim_topk(spark, sf_dir).select("q_id", "vec_id")
+    n_exact = exact.count()  # nq*k-sized metadata, sanctioned
+    lad = F.broadcast(
+        spark.createDataFrame(
+            [(int(p),) for p in _SWEEP_NPROBES], "nprobe long"
+        )
+    )
+    deep = cand.crossJoin(lad).filter(F.col("prank") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.desc("cs"), "vec_id"
+    )
+    t = deep.select(
+        "nprobe", "q_id", "vec_id", F.row_number().over(w).alias("rnk")
+    )
+    graded = t.join(
+        exact.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left"
+    )
+    return graded.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(
+            ((F.col("rnk") <= _TOPK) & F.col("hit").isNotNull())
+            .cast("long")
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.lit(n_exact).cast("long").alias("n_exact"),
+        F.expr(
+            f"CAST(sum(CASE WHEN rnk <= {_TOPK} AND hit IS NOT NULL"
+            f" THEN 1 ELSE 0 END) * 10000 div {n_exact} AS BIGINT)"
+        ).alias("recall_bp"),
+    )

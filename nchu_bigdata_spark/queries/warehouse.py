@@ -1981,3 +1981,111 @@ def orders_pvm_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_eff").cast("long").alias("new_effect"),
         F.sum("exit_eff").cast("long").alias("exit_effect"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_xyz_class — demand-variability classification (round 8)
+# --------------------------------------------------------------------------
+
+# CV^2 thresholds in bp of 1.0: X (steady) < 0.25, Y < 1.0, Z above —
+# the squared versions of the classic CV 0.5/1.0 cuts, kept in exact
+# cross-multiplied integers.
+_XYZ_X_CV2_BP = 2_500
+_XYZ_Y_CV2_BP = 10_000
+
+
+@register(
+    "orders_xyz_class",
+    tags=("b3",),
+    oracle=f"""
+        -- XYZ demand-variability classification per part: the
+        -- coefficient of variation of MONTHLY demand decides whether
+        -- a part is forecastable (X: steady), seasonal-ish (Y), or
+        -- erratic (Z: order-driven) — the inventory-policy axis that
+        -- pairs with orders_abc_class's value axis into the classic
+        -- ABC/XYZ planning matrix. Exact: cv2_bp = 10^4·(n·Σq²−S²)
+        -- div S² — CV² fully cross-multiplied, zero months count as
+        -- zero demand via the calendar densified span.
+        WITH m AS (
+            SELECT l_partkey,
+                   (year(l_shipdate) * 12 + month(l_shipdate) - 1)
+                       AS mo,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT CAST(MAX(mo) - MIN(mo) + 1 AS BIGINT) AS n_months
+            FROM m
+        ),
+        s AS (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(SUM(q) AS BIGINT) AS sq,
+                   CAST(SUM(q * q) AS BIGINT) AS sqq
+            FROM m GROUP BY l_partkey
+        )
+        SELECT l_partkey, span.n_months, s.n_active, s.sq AS total_qty,
+               CAST((span.n_months * s.sqq - s.sq * s.sq) * 10000
+                    // (s.sq * s.sq) AS BIGINT) AS cv2_bp,
+               CASE WHEN (span.n_months * s.sqq - s.sq * s.sq) * 10000
+                         < {_XYZ_X_CV2_BP} * s.sq * s.sq THEN 'X'
+                    WHEN (span.n_months * s.sqq - s.sq * s.sq) * 10000
+                         < {_XYZ_Y_CV2_BP} * s.sq * s.sq THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM s, span
+    """,
+)
+def orders_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification per part: the
+    coefficient of variation of MONTHLY demand over the corpus' full
+    month span decides whether a part is forecastable (X: steady
+    demand, stock to forecast), intermittent (Y), or erratic (Z:
+    order-driven, stock to order) — the variability axis that pairs
+    with `orders_abc_class`'s value axis into the classic ABC/XYZ
+    inventory planning matrix. Months with no demand COUNT AS ZERO
+    (over the densified span — the `ts_densify` lesson): skipping
+    them is the textbook mistake that misclassifies intermittent
+    demand as steady.
+
+    Exactness: CV² fully cross-multiplied — with n = span months,
+    S = Σq, P = Σq², population CV² = (n·P − S²)/S², so cv2_bp =
+    10⁴·(n·P − S²) div S² and the class cuts compare the same
+    integer products. Zero-month handling rides the algebra (absent
+    months contribute 0 to both S and P), so no grid join is even
+    needed.
+
+    Plan/scale: one (part, month) map-side agg, one part-keyed
+    moment agg, a 1-row span broadcast — part-cardinality output,
+    no window, no join."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias(
+            "mo"
+        ),
+    ).agg(F.sum(F.round("l_quantity").cast("long")).cast("long").alias("q"))
+    span = m.agg(
+        (F.max("mo") - F.min("mo") + 1).cast("long").alias("n_months")
+    )
+    s = m.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    num = F.col("n_months") * F.col("sqq") - F.col("sq") * F.col("sq")
+    den = F.col("sq") * F.col("sq")
+    return s.join(F.broadcast(span)).select(
+        "l_partkey",
+        "n_months",
+        "n_active",
+        F.col("sq").alias("total_qty"),
+        F.expr(
+            "CAST((n_months * sqq - sq * sq) * 10000"
+            " div (sq * sq) AS BIGINT)"
+        ).alias("cv2_bp"),
+        F.when(num * 10000 < _XYZ_X_CV2_BP * den, "X")
+        .when(num * 10000 < _XYZ_Y_CV2_BP * den, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )

@@ -299,6 +299,9 @@ DRIVER_ORDER = [
     "events_srm_check",
     "win_mtd_ytd",
     "text_code_detection",
+    "sim_nprobe_sweep",
+    "orders_xyz_class",
+    "sample_class_weights",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -2674,3 +2674,82 @@ def test_code_detection_replay(spark, sf_dir, duck):
         assert got[doc_id] == want, doc_id
     # synthetic prose corpus: flags are rare but densities are real
     assert all(v[3] > 0 for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# sim_nprobe_sweep
+# --------------------------------------------------------------------------
+
+
+def test_nprobe_sweep_properties(spark, sf_dir):
+    rows = SPECS["sim_nprobe_sweep"].fn(spark, sf_dir).collect()
+    got = {r.nprobe: (r.n_candidates, r.n_hits, r.n_exact, r.recall_bp)
+           for r in rows}
+    assert set(got) == {1, 2, 3, 4}
+    n_exact = {v[2] for v in got.values()}
+    assert len(n_exact) == 1
+    # deeper probes can only add candidates and hits, never lose them
+    for a, b in zip(sorted(got), sorted(got)[1:]):
+        assert got[a][0] <= got[b][0]
+        assert got[a][1] <= got[b][1]
+    # recall_bp consistent with hits/exact
+    for p, (nc, nh, ne, rbp) in got.items():
+        assert rbp == nh * 10000 // ne
+        assert nh <= ne
+    # the sweep's shipped-config row (nprobe=2) must agree with the
+    # independently certified recall evaluator's total hits
+    eval_rows = SPECS["ann_recall_eval"].fn(spark, sf_dir).collect()
+    assert got[2][1] == sum(r.n_hits for r in eval_rows)
+
+
+# --------------------------------------------------------------------------
+# orders_xyz_class
+# --------------------------------------------------------------------------
+
+
+def test_xyz_class_replay(spark, sf_dir, duck):
+    monthly = defaultdict(dict)
+    mo_all = set()
+    for pk, mo, q in duck.execute(
+        "SELECT l_partkey, year(l_shipdate) * 12 + month(l_shipdate) - 1,"
+        " SUM(CAST(ROUND(l_quantity) AS BIGINT)) FROM lineitem"
+        " GROUP BY 1, 2"
+    ).fetchall():
+        monthly[pk][mo] = q
+        mo_all.add(mo)
+    n_months = max(mo_all) - min(mo_all) + 1
+    rows = SPECS["orders_xyz_class"].fn(spark, sf_dir).collect()
+    got = {r.l_partkey: (r.n_months, r.n_active, r.total_qty, r.cv2_bp,
+                         r.xyz_class) for r in rows}
+    assert set(got) == set(monthly)
+    for pk, by_mo in monthly.items():
+        sq = sum(by_mo.values())
+        sqq = sum(q * q for q in by_mo.values())
+        num = n_months * sqq - sq * sq
+        cv2 = num * 10000 // (sq * sq)
+        cls = ("X" if num * 10000 < 2500 * sq * sq
+               else "Y" if num * 10000 < 10000 * sq * sq else "Z")
+        assert got[pk] == (n_months, len(by_mo), sq, cv2, cls)
+    # sparse synthetic demand is dominated by erratic parts; the class
+    # labels themselves are pinned by the exact replay above
+    assert {v[4] for v in got.values()} <= {"X", "Y", "Z"}
+
+
+# --------------------------------------------------------------------------
+# sample_class_weights
+# --------------------------------------------------------------------------
+
+
+def test_class_weights_replay(spark, sf_dir, duck):
+    counts = dict(duck.execute(
+        "SELECT event_type, COUNT(*) FROM events GROUP BY 1").fetchall())
+    total, k = sum(counts.values()), len(counts)
+    rows = SPECS["sample_class_weights"].fn(spark, sf_dir).collect()
+    got = {r.event_type: (r.n, r.weight_bp, r.weighted_mass) for r in rows}
+    assert set(got) == set(counts)
+    for et, n in counts.items():
+        w = total * 10000 // (k * n)
+        assert got[et] == (n, w, n * w)
+    # balanced masses: every class within one floor step of total/k*1e4
+    masses = [v[2] for v in got.values()]
+    assert max(masses) - min(masses) <= max(counts.values())

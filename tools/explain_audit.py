@@ -895,6 +895,23 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [],
         [r"hashpartitioning", r"Join", r"Window", r"rangepartitioning"],
     ),
+    # nprobe sweep: corpus shuffles ONCE on cell id; ladder rides the
+    # probe-rank column; per-(depth, query) rank windows
+    "sim_nprobe_sweep": (
+        [r"Window", r"hashpartitioning\(nprobe"],
+        [r"CartesianProduct", r"hashpartitioning\(vec_id", r"rangepartitioning"],
+    ),
+    # XYZ: (part, month) agg -> part-keyed moment agg + 1-row span
+    # broadcast; no window, no join beyond the broadcast
+    "orders_xyz_class": (
+        [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Window"],
+    ),
+    # class weights: one class-count agg + 1-row total broadcast
+    "sample_class_weights": (
+        [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Window"],
+    ),
 }
 
 
