@@ -227,6 +227,9 @@ SQL_GROUP = [
     "sim_nprobe_sweep",
     "orders_xyz_class",
     "sample_class_weights",
+    "events_growth_accounting",
+    "sample_hard_negatives",
+    "win_yoy_compare",
 ]
 
 

@@ -1676,3 +1676,83 @@ def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN 1 ELSE 0 END) * 10000 div {n_exact} AS BIGINT)"
         ).alias("recall_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# sample_hard_negatives — contrastive hard-negative mining (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_hard_negatives",
+    tags=("b8",),
+    oracle=f"""
+        {_SQL_EMBED_PAIRS_CHAIN},
+        lab AS (SELECT vec_id, label FROM embeddings)
+        -- hard-negative mining for contrastive training: the verified
+        -- high-cosine pairs whose LABELS DIFFER — exactly the
+        -- complement of sample_smote_midpoints' filter over the same
+        -- certified chain. Random negatives are trivially easy and
+        -- teach nothing; the pairs a cosine index already confuses
+        -- are where the margin is learned. Ranked hardest-first with
+        -- the deterministic (cos desc, pair) order.
+        SELECT p.vec_a, p.vec_b,
+               la.label AS label_a, lb.label AS label_b,
+               p.cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY p.cos_sim DESC, p.vec_a, p.vec_b
+               ) AS BIGINT) AS hardness_rank
+        FROM pairs p
+        JOIN lab la ON la.vec_id = p.vec_a
+        JOIN lab lb ON lb.vec_id = p.vec_b
+        WHERE la.label <> lb.label
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: the verified
+    high-cosine pairs whose LABELS DIFFER — precisely the complement
+    of `sample_smote_midpoints`' same-label filter over the same
+    certified LSH chain. Random negatives are trivially easy and
+    teach a contrastive model nothing; the pairs the cosine geometry
+    ALREADY CONFUSES are where the decision margin gets learned
+    (triplet/InfoNCE mining 101), and ranking them hardest-first is
+    the curriculum. The two operators together split every verified
+    near-pair into "merge these" (same label) and "separate these"
+    (different label) — the full supervision signal one LSH pass can
+    mint.
+
+    Determinism: the rank orders by the certified decimal cos_sim
+    with the (vec_a, vec_b) tie-break — bit-stable cross-engine.
+
+    Plan/scale: pair-volume-bounded label joins; the global rank
+    window runs over HARD-PAIR cardinality (a filtered slice of an
+    already-LSH-bounded set) — tiny by construction, and a top-k
+    heap replaces it the moment a deployment caps the mined set."""
+    pairs = dedup_embed_cosine(spark, sf_dir)
+    lab = _vecs(spark, sf_dir).select("vec_id", "label")
+    j = (
+        pairs.join(
+            lab.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("label").alias("label_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("label").alias("label_b"),
+            ),
+            "vec_b",
+        )
+        .filter(F.col("label_a") != F.col("label_b"))
+    )
+    w = Window.orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+    return j.select(
+        "vec_a",
+        "vec_b",
+        "label_a",
+        "label_b",
+        "cos_sim",
+        F.row_number().over(w).cast("long").alias("hardness_rank"),
+    )

@@ -2719,12 +2719,16 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ts_decompose — additive trend/seasonal/residual split (round 8)
 # --------------------------------------------------------------------------
 
-# Offset added before the per-dow mean's floor division so the
-# numerator is always positive: Spark's `div` truncates toward zero
-# while DuckDB's `//` floors, and they agree ONLY on non-negative
-# operands. |detrended_x100| is bounded by 100*max_daily_count, so
-# 1e9 clears any realistic series; the shift cancels exactly
-# ((a + n*M) div n - M == floor(a/n) for a > -n*M).
+# Offset added before the per-dow mean's integer division so the
+# numerator is always positive: Spark `div` and DuckDB `//` both
+# truncate toward zero, but truncation and floor DIVERGE on negative
+# operands, so any floor-semantics replayer (Python //, standard SQL
+# FLOOR conventions) would disagree with the engines there. Shifting
+# into positive territory makes all conventions coincide — the spec
+# is unambiguous instead of engine-pair-specific. |detrended_x100| is
+# bounded by 100*max_daily_count, so 1e9 clears any realistic series;
+# the shift cancels exactly ((a + n*M) div n - M == floor(a/n) for
+# a > -n*M).
 _DECOMP_M = 1_000_000_000
 
 
@@ -2788,11 +2792,12 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the MA is (100·Σx) div 7 over a full 7-row frame
     (edge days with partial frames are excluded — a 4-day "average"
-    biases the trend); the per-dow mean shifts its numerator by
-    +{M} before the floor division because Spark `div` truncates
-    toward zero while DuckDB `//` floors — they agree only on
-    non-negative operands, and detrended values go negative by
-    construction. The shift cancels exactly.
+    biases the trend); the per-dow mean shifts its numerator by +{M}
+    before the integer division: the engines both truncate toward
+    zero, but truncation and floor diverge on negatives, so the shift
+    moves the division into positive territory where EVERY convention
+    coincides — the spec stays replayer-independent. The shift
+    cancels exactly.
 
     Plan/scale: one map-side-combined fact→day agg; the MA window,
     dow agg, and final dow-keyed join all run over DAY/7 cardinality
@@ -3918,4 +3923,135 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(10000 * (na - nb) * (na - nb)"
             f" > {_SRM_CRIT_X10000} * (na + nb) AS INT)"
         ).alias("srm_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_growth_accounting — MAU waterfall decomposition (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_growth_accounting",
+    tags=("b3",),
+    oracle="""
+        -- growth accounting: each month's active users decompose into
+        -- NEW (first month ever), RETAINED (also active last month),
+        -- RESURRECTED (active before, but not last month), with
+        -- CHURNED = last month's actives who went dark — the identity
+        -- mau = new + retained + resurrected holds exactly, and
+        -- net = mau - prev_mau = new + resurrected - churned. This
+        -- is the standard growth-accounting waterfall: "MAU is up"
+        -- means nothing until you know whether churn fell or
+        -- resurrection spiked.
+        WITH um AS (
+            SELECT DISTINCT user_id,
+                   (year(ts) * 12 + month(ts) - 1) AS mo
+            FROM events
+        ),
+        f AS (
+            SELECT user_id, mo,
+                   MIN(mo) OVER (PARTITION BY user_id) AS first_mo,
+                   LAG(mo) OVER (PARTITION BY user_id ORDER BY mo)
+                       AS prev_active_mo
+            FROM um
+        ),
+        cls AS (
+            SELECT mo,
+                   CAST(SUM(CASE WHEN mo = first_mo
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                   CAST(SUM(CASE WHEN mo > first_mo
+                                 AND prev_active_mo = mo - 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_retained,
+                   CAST(SUM(CASE WHEN mo > first_mo
+                                 AND prev_active_mo < mo - 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_resurrected,
+                   CAST(COUNT(*) AS BIGINT) AS mau
+            FROM f GROUP BY mo
+        ),
+        ch AS (
+            SELECT mo + 1 AS mo, CAST(COUNT(*) AS BIGINT) AS n_churned
+            FROM (
+                SELECT user_id, mo,
+                       LEAD(mo) OVER (PARTITION BY user_id ORDER BY mo)
+                           AS next_mo
+                FROM um
+            )
+            WHERE next_mo IS NULL OR next_mo > mo + 1
+            GROUP BY mo + 1
+        )
+        SELECT CAST(cls.mo AS BIGINT) AS mo, cls.mau, cls.n_new,
+               cls.n_retained, cls.n_resurrected,
+               CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned
+        FROM cls LEFT JOIN ch ON ch.mo = cls.mo
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting waterfall: each month's active users
+    decompose into NEW (first month ever), RETAINED (also active the
+    previous month), and RESURRECTED (active before, but skipped last
+    month), with CHURNED = the previous month's actives who went
+    dark. Two identities hold EXACTLY and are the point:
+    mau = new + retained + resurrected, and net MoM growth =
+    new + resurrected − churned — "MAU is up" means nothing until
+    you know whether churn fell or resurrection spiked, and this
+    table is how consumer growth teams (the a16z/Social Capital
+    growth-accounting standard) tell the difference.
+
+    Plan/scale: the fact table collapses to DISTINCT (user, month)
+    map-side; first-month, prev-month, and next-month all ride ONE
+    user-keyed sort (three window functions, same partitioning); the
+    month rollup and the churn-offset join are month-axis tiny."""
+    ev = table(spark, sf_dir, "events")
+    um = ev.select(
+        "user_id",
+        (F.year("ts") * 12 + F.month("ts") - 1).alias("mo"),
+    ).distinct()
+    w_u = Window.partitionBy("user_id")
+    w_seq = Window.partitionBy("user_id").orderBy("mo")
+    f = um.select(
+        "user_id",
+        "mo",
+        F.min("mo").over(w_u).alias("first_mo"),
+        F.lag("mo").over(w_seq).alias("prev_active_mo"),
+        F.lead("mo").over(w_seq).alias("next_mo"),
+    )
+    cls = f.groupBy("mo").agg(
+        F.count(F.lit(1)).cast("long").alias("mau"),
+        F.sum((F.col("mo") == F.col("first_mo")).cast("long"))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(
+            (
+                (F.col("mo") > F.col("first_mo"))
+                & (F.col("prev_active_mo") == F.col("mo") - 1)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            (
+                (F.col("mo") > F.col("first_mo"))
+                & (F.col("prev_active_mo") < F.col("mo") - 1)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    ch = (
+        f.filter(
+            F.col("next_mo").isNull() | (F.col("next_mo") > F.col("mo") + 1)
+        )
+        .groupBy((F.col("mo") + 1).alias("mo"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return cls.join(ch, "mo", "left").select(
+        F.col("mo").cast("long").alias("mo"),
+        "mau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
     )

@@ -1043,3 +1043,101 @@ def win_mtd_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w_y).cast("long").alias("ytd_cents"),
         F.row_number().over(w_rn).cast("long").alias("day_of_period"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_yoy_compare — same-period year-over-year deltas (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_yoy_compare",
+    tags=("b6",),
+    oracle="""
+        -- same-month year-over-year comparison: revenue per calendar
+        -- month with the SAME month one year earlier alongside
+        -- (lag 12 over the dense month axis), delta in exact cents
+        -- and growth in floor bp — YoY is the seasonality-free
+        -- growth read (ts_decompose removes seasonality by modeling
+        -- it; YoY removes it by construction). The dense-axis lag is
+        -- the point: a lag over MISSING months silently compares to
+        -- the wrong period, so the spine densifies first
+        -- (ts_densify's lesson on the month axis).
+        WITH m AS (
+            SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1)
+                       AS mo,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        spine AS (
+            SELECT UNNEST(generate_series(
+                       (SELECT MIN(mo) FROM m),
+                       (SELECT MAX(mo) FROM m))) AS mo
+        ),
+        d AS (
+            SELECT spine.mo, COALESCE(m.cents, 0) AS cents
+            FROM spine LEFT JOIN m ON m.mo = spine.mo
+        ),
+        l AS (
+            SELECT mo, cents,
+                   LAG(cents, 12) OVER (ORDER BY mo) AS prev_cents
+            FROM d
+        )
+        SELECT CAST(mo AS BIGINT) AS mo, cents, prev_cents,
+               CAST(cents - prev_cents AS BIGINT) AS yoy_delta_cents,
+               CAST(CASE WHEN prev_cents > 0
+                         THEN (cents - prev_cents) * 10000 // prev_cents
+                         END AS BIGINT) AS yoy_growth_bp
+        FROM l WHERE prev_cents IS NOT NULL
+    """,
+)
+def win_yoy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-month year-over-year comparison: monthly revenue with the
+    SAME calendar month one year earlier alongside (lag 12 over a
+    DENSIFIED month spine), the delta in exact cents and growth in
+    floor basis points. YoY is the seasonality-free growth read —
+    `ts_decompose` removes seasonality by modeling it, YoY removes it
+    by construction — and the dense spine is the correctness point:
+    a lag-12 over months-with-data silently compares to the wrong
+    period the moment one month is empty, so the spine generates
+    first and zero-fills (`ts_densify`'s lesson on the month axis).
+    Growth is NULL (not a fake number) when the base period is zero.
+
+    Plan/scale: fact→month agg map-side; the spine is a sequence()
+    explode off a 1-row bound agg; lag-12 runs over the tiny month
+    axis (the `orders_backlog` deliberate single-partition window)."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "mo"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    bounds = m.agg(F.min("mo").alias("lo"), F.max("mo").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("mo")
+    )
+    d = spine.join(m, "mo", "left").select(
+        "mo", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    l = d.select(
+        "mo",
+        "cents",
+        F.lag("cents", 12).over(W.orderBy("mo")).alias("prev_cents"),
+    ).filter(F.col("prev_cents").isNotNull())
+    return l.select(
+        F.col("mo").cast("long").alias("mo"),
+        "cents",
+        "prev_cents",
+        (F.col("cents") - F.col("prev_cents"))
+        .cast("long")
+        .alias("yoy_delta_cents"),
+        F.expr(
+            "CAST(CASE WHEN prev_cents > 0 THEN (cents - prev_cents)"
+            " * 10000 div prev_cents END AS BIGINT)"
+        ).alias("yoy_growth_bp"),
+    )

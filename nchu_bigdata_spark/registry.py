@@ -302,6 +302,9 @@ DRIVER_ORDER = [
     "sim_nprobe_sweep",
     "orders_xyz_class",
     "sample_class_weights",
+    "events_growth_accounting",
+    "sample_hard_negatives",
+    "win_yoy_compare",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -2753,3 +2753,95 @@ def test_class_weights_replay(spark, sf_dir, duck):
     # balanced masses: every class within one floor step of total/k*1e4
     masses = [v[2] for v in got.values()]
     assert max(masses) - min(masses) <= max(counts.values())
+
+
+# --------------------------------------------------------------------------
+# events_growth_accounting
+# --------------------------------------------------------------------------
+
+
+def test_growth_accounting_replay(spark, sf_dir, duck):
+    months = defaultdict(set)
+    for u, mo in duck.execute(
+        "SELECT DISTINCT user_id, year(ts) * 12 + month(ts) - 1 "
+        "FROM events"
+    ).fetchall():
+        months[u].add(mo)
+    by_mo = defaultdict(lambda: [0, 0, 0, 0, 0])  # mau new ret res ch
+    for u, mos in months.items():
+        s = sorted(mos)
+        for i, mo in enumerate(s):
+            c = by_mo[mo]
+            c[0] += 1
+            if i == 0:
+                c[1] += 1
+            elif s[i - 1] == mo - 1:
+                c[2] += 1
+            else:
+                c[3] += 1
+        for i, mo in enumerate(s):
+            nxt = s[i + 1] if i + 1 < len(s) else None
+            if nxt is None or nxt > mo + 1:
+                by_mo[mo + 1][4] += 1
+    rows = SPECS["events_growth_accounting"].fn(spark, sf_dir).collect()
+    got = {r.mo: (r.mau, r.n_new, r.n_retained, r.n_resurrected,
+                  r.n_churned) for r in rows}
+    for mo, (mau, nn, nr, ns, nc) in got.items():
+        w = by_mo[mo]
+        assert (mau, nn, nr, ns, nc) == tuple(w)
+        # the growth-accounting identity, exactly
+        assert mau == nn + nr + ns
+
+
+# --------------------------------------------------------------------------
+# sample_hard_negatives
+# --------------------------------------------------------------------------
+
+
+def test_hard_negatives_vs_smote_complement(spark, sf_dir, duck):
+    labels = dict(duck.execute(
+        "SELECT vec_id, label FROM embeddings").fetchall())
+    pairs = [(r.vec_a, r.vec_b) for r in
+             SPECS["dedup_embed_cosine"].fn(spark, sf_dir).collect()]
+    hard = SPECS["sample_hard_negatives"].fn(spark, sf_dir).collect()
+    got = {(r.vec_a, r.vec_b): (r.label_a, r.label_b, r.hardness_rank)
+           for r in hard}
+    want = {(a, b) for a, b in pairs if labels[a] != labels[b]}
+    assert set(got) == want
+    for (a, b), (la, lb, _) in got.items():
+        assert (la, lb) == (labels[a], labels[b]) and la != lb
+    # ranks are a 1..n permutation ordered by cosine desc
+    ranks = sorted(r.hardness_rank for r in hard)
+    assert ranks == list(range(1, len(hard) + 1))
+    by_rank = sorted(hard, key=lambda r: r.hardness_rank)
+    for x, y in zip(by_rank, by_rank[1:]):
+        assert x.cos_sim >= y.cos_sim
+    # together with SMOTE's same-label set, the split is exhaustive
+    smote = SPECS["sample_smote_midpoints"].fn(spark, sf_dir).collect()
+    assert len(hard) + len(smote) == len(pairs)
+
+
+# --------------------------------------------------------------------------
+# win_yoy_compare
+# --------------------------------------------------------------------------
+
+
+def test_yoy_compare_replay(spark, sf_dir, duck):
+    m = dict(duck.execute(
+        "SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1, "
+        "SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+        "FROM orders GROUP BY 1"
+    ).fetchall())
+    lo, hi = min(m), max(m)
+    dense = {mo: m.get(mo, 0) for mo in range(lo, hi + 1)}
+    rows = SPECS["win_yoy_compare"].fn(spark, sf_dir).collect()
+    got = {r.mo: (r.cents, r.prev_cents, r.yoy_delta_cents,
+                  r.yoy_growth_bp) for r in rows}
+    assert set(got) == set(range(lo + 12, hi + 1))
+    def tdiv(a, b):  # both engines truncate toward zero on negatives
+        return a // b if a >= 0 else -((-a) // b)
+
+    for mo in got:
+        c, p = dense[mo], dense[mo - 12]
+        bp = tdiv((c - p) * 10000, p) if p > 0 else None
+        assert got[mo] == (c, p, c - p, bp)

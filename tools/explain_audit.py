@@ -912,6 +912,22 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"BroadcastNestedLoopJoin"],
         [r"CartesianProduct", r"SortMergeJoin", r"Window"],
     ),
+    # growth accounting: one distinct (user, month) agg; all three
+    # window fns share ONE user-keyed sort; month-axis rollups
+    "events_growth_accounting": (
+        [r"Window", r"hashpartitioning\(user_id", r"HashAggregate"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # hard negatives: pair-volume label joins + hard-pair-sized rank
+    "sample_hard_negatives": (
+        [r"Window"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # YoY: fact->month agg, sequence spine, tiny-axis lag window
+    "win_yoy_compare": (
+        [r"HashAggregate", r"Window", r"Generate"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
 }
 
 
