@@ -230,6 +230,9 @@ SQL_GROUP = [
     "events_growth_accounting",
     "sample_hard_negatives",
     "win_yoy_compare",
+    "agg_tukey_fences",
+    "dedup_minhash_estimate",
+    "text_vocab_overlap",
 ]
 
 

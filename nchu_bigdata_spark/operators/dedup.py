@@ -2370,3 +2370,163 @@ def dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END) * 10000 div count(*) AS BIGINT)"
         ).alias("jaccard_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_estimate — sketch-vs-exact accuracy audit (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_estimate",
+    tags=("b10",),
+    oracle=f"""
+        WITH {_SQL_MH_CORE},
+        band AS (
+            SELECT doc_id, i // {_ROWS} AS band_id,
+                   md5(string_agg(mh::VARCHAR, ',' ORDER BY i))
+                       AS band_key
+            FROM mh GROUP BY doc_id, i // {_ROWS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band a
+            JOIN band b ON a.band_id = b.band_id
+                       AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
+        ),
+        agree AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(SUM(CASE WHEN ma.mh = mb.mh
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_agree
+            FROM cand c
+            JOIN mh ma ON ma.doc_id = c.doc_a
+            JOIN mh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        hsets AS (
+            SELECT doc_id, list(h) AS hset FROM sh32 GROUP BY doc_id
+        )
+        -- the sketch accuracy audit: the minhash AGREEMENT RATE
+        -- (shared coordinates / {_H}) is an unbiased estimator of the
+        -- true jaccard; this table puts the estimate next to the
+        -- EXACT value per candidate pair, with the signed error —
+        -- the evidence behind trusting {_H} hashes at 100 TB, and
+        -- the first thing to recheck when a banding change
+        -- (dedup_band_tuning) moves recall unexpectedly.
+        SELECT a.doc_a, a.doc_b,
+               CAST(a.n_agree * 10000 // {_H} AS BIGINT) AS est_bp,
+               CAST(len(list_intersect(sa.hset, sb.hset)) * 10000
+                    // (len(sa.hset) + len(sb.hset)
+                        - len(list_intersect(sa.hset, sb.hset)))
+                    AS BIGINT) AS exact_bp,
+               CAST(a.n_agree * 10000 // {_H}
+                    - len(list_intersect(sa.hset, sb.hset)) * 10000
+                      // (len(sa.hset) + len(sb.hset)
+                          - len(list_intersect(sa.hset, sb.hset)))
+                    AS BIGINT) AS err_bp
+        FROM agree a
+        JOIN hsets sa ON sa.doc_id = a.doc_a
+        JOIN hsets sb ON sb.doc_id = a.doc_b
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash estimator: per LSH
+    candidate pair, the AGREEMENT-RATE estimate of jaccard (shared
+    minhash coordinates over {h} — the unbiased estimator banded LSH
+    is built on) next to the EXACT shingle jaccard, with the signed
+    error in bp. This is the evidence behind trusting {h} hashes at
+    100 TB — the estimator's error shrinks as 1/√h, and this table
+    MEASURES it on real candidates instead of citing it — and the
+    first diagnostic to pull when a banding change
+    (`dedup_band_tuning`) moves recall in a way the S-curve didn't
+    predict (estimator bias and banding recall fail differently).
+
+    Exactness: agreement counts, floor-div bp on both columns, and
+    the signed difference — all int64; the exact side reuses the
+    shingle-set machinery every other jaccard op certifies against.
+
+    Plan/scale: signatures and candidates are the shared
+    `dedup_minhash` derivations (one signature pass, band-bounded
+    candidates); the agreement join is (pairs x {h}) coordinate rows
+    — pair-volume-bounded, never corpus-shaped."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    sh = shared_intermediate("dedup_minhash.shingles", _doc_shingle_h32(docs))
+    sig_long = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(_P)
+            ).alias(f"m{i}")
+            for i in range(_H)
+        ]
+    )
+    sig_arr = sig_long.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(_H)]).alias("ms")
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("ms", b * _ROWS + r + 1).cast("string")
+                        for r in range(_ROWS)
+                    ],
+                )
+            ).alias(f"b{b}")
+            for b in range(_BANDS)
+        ]
+    )
+    bands = sig_arr.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    hsets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+    j = (
+        cand.join(
+            sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("ms").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("ms").alias("mb")),
+            "doc_b",
+        )
+        .join(
+            hsets.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            hsets.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("sb")),
+            "doc_b",
+        )
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            f"CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v))"
+            f" * 10000 div {_H} AS BIGINT)"
+        ).alias("est_bp"),
+        F.expr(
+            "CAST(size(array_intersect(sa, sb)) * 10000"
+            " div (size(sa) + size(sb) - size(array_intersect(sa, sb)))"
+            " AS BIGINT)"
+        ).alias("exact_bp"),
+        F.expr(
+            f"CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v))"
+            f" * 10000 div {_H}"
+            " - size(array_intersect(sa, sb)) * 10000"
+            " div (size(sa) + size(sb) - size(array_intersect(sa, sb)))"
+            " AS BIGINT)"
+        ).alias("err_bp"),
+    )

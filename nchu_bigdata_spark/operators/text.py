@@ -1576,3 +1576,115 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_code"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_vocab_overlap — cross-language vocabulary sharing (round 8)
+# --------------------------------------------------------------------------
+
+_VOVERLAP_TOPK = 100
+
+
+@register(
+    "text_vocab_overlap",
+    tags=("b10",),
+    oracle=f"""
+        -- cross-language TOP-{_VOVERLAP_TOPK} vocabulary overlap
+        -- matrix: for every ordered language pair, how many of each
+        -- side's top tokens are shared, as exact Jaccard bp — the
+        -- "can these languages share a tokenizer / an embedding
+        -- space" prior (high overlap = shared subwords pay off; zero
+        -- overlap = per-language vocab budgets). Top-k per language
+        -- by (count desc, word) so the vocabulary itself is
+        -- deterministic.
+        WITH tok AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        wc AS (
+            SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY lang, word
+        ),
+        top AS (
+            SELECT lang, word FROM (
+                SELECT lang, word,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY c DESC, word
+                       ) AS rk
+                FROM wc
+            ) WHERE rk <= {_VOVERLAP_TOPK}
+        ),
+        pairs AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM top a JOIN top b
+              ON a.word = b.word AND a.lang < b.lang
+            GROUP BY a.lang, b.lang
+        ),
+        alllang AS (SELECT DISTINCT lang FROM top)
+        SELECT x.lang AS lang_a, y.lang AS lang_b,
+               CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+               CAST(COALESCE(p.n_shared, 0) * 10000
+                    // (2 * {_VOVERLAP_TOPK} - COALESCE(p.n_shared, 0))
+                    AS BIGINT) AS jaccard_bp
+        FROM alllang x
+        JOIN alllang y ON x.lang < y.lang
+        LEFT JOIN pairs p ON p.lang_a = x.lang AND p.lang_b = y.lang
+    """,
+)
+def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language top-{k} vocabulary overlap matrix: for every
+    language pair, how many of each side's top-{k} tokens are shared,
+    as exact Jaccard basis points. This is the "can these languages
+    share a tokenizer / an embedding space" prior a multilingual
+    pipeline reads before allocating vocab budget: high overlap means
+    shared subwords pay off (`text_bpe_pairs` across the union);
+    near-zero overlap means per-language budgets and the shared
+    space is wasted capacity. Zero-overlap pairs stay in the matrix
+    (LEFT join from the language lattice) — an absent row reads as
+    "unknown", a zero row reads as "measured: nothing shared".
+
+    Determinism: per-language top-{k} by (count desc, word) pins the
+    vocabulary itself; both top sets have exactly {k} entries, so
+    jaccard = shared / (2·{k} − shared) is a pure integer formula.
+
+    Plan/scale: vocab-sized word counts (map-side), a per-language
+    rank window over vocab cardinality, and a word-keyed self-join
+    bounded by langs·{k} rows — matrix-sized everything."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "word")
+    top = (
+        wc.select("lang", "word", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _VOVERLAP_TOPK)
+        .select("lang", "word")
+    )
+    pairs = (
+        top.alias("a")
+        .join(top.alias("b"), "word")
+        .filter(F.col("a.lang") < F.col("b.lang"))
+        .groupBy(
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    langs = top.select("lang").distinct()
+    lattice = (
+        langs.select(F.col("lang").alias("lang_a"))
+        .crossJoin(langs.select(F.col("lang").alias("lang_b")))
+        .filter(F.col("lang_a") < F.col("lang_b"))
+    )
+    return lattice.join(pairs, ["lang_a", "lang_b"], "left").select(
+        "lang_a",
+        "lang_b",
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        F.expr(
+            f"CAST(COALESCE(n_shared, 0) * 10000 div"
+            f" (2 * {_VOVERLAP_TOPK} - COALESCE(n_shared, 0)) AS BIGINT)"
+        ).alias("jaccard_bp"),
+    )

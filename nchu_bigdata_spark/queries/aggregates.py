@@ -1843,3 +1843,119 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("wp99_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_tukey_fences — IQR outlier fences per group (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_tukey_fences",
+    tags=("b4",),
+    oracle="""
+        -- Tukey boxplot fences per order priority: Q1/Q3 by ceil
+        -- nearest-rank on cents, fences at Q1 - 1.5*IQR and
+        -- Q3 + 1.5*IQR evaluated in x2 integers (2x < 2*Q1 - 3*IQR —
+        -- the 1.5 never becomes a float), with low/high outlier
+        -- counts. The third robust-outlier lens beside z-scores
+        -- (events_anomaly) and MAD (ts_mad_anomaly): IQR fences are
+        -- what every boxplot draws and every data-quality checklist
+        -- means by "outliers".
+        WITH c AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders
+        ),
+        r AS (
+            SELECT o_orderpriority, cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority ORDER BY cents
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM c
+        ),
+        q AS (
+            SELECT o_orderpriority,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MAX(CASE WHEN rk = (25 * n + 99) // 100
+                                 THEN cents END) AS BIGINT) AS q1,
+                   CAST(MAX(CASE WHEN rk = (75 * n + 99) // 100
+                                 THEN cents END) AS BIGINT) AS q3
+            FROM r GROUP BY o_orderpriority
+        )
+        SELECT c.o_orderpriority, q.n, q.q1, q.q3,
+               CAST(q.q3 - q.q1 AS BIGINT) AS iqr,
+               CAST(SUM(CASE WHEN 2 * c.cents
+                                  < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_low_outliers,
+               CAST(SUM(CASE WHEN 2 * c.cents
+                                  > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_high_outliers
+        FROM c JOIN q USING (o_orderpriority)
+        GROUP BY c.o_orderpriority, q.n, q.q1, q.q3
+    """,
+)
+def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fences per order priority: Q1/Q3 by the ceil
+    nearest-rank convention, fences at Q1 − 1.5·IQR and Q3 + 1.5·IQR,
+    and the count of order values outside each fence — the third
+    robust-outlier lens beside z-scores (`events_anomaly`) and MAD
+    (`ts_mad_anomaly`), and the one every boxplot draws and every
+    data-quality checklist means by "outliers". The 1.5 multiplier
+    never becomes a float: the fence tests run doubled
+    (2x < 2·Q1 − 3·IQR), so the whole operator is int64 end to end.
+
+    Plan/scale: the `agg_winsorized_mean` shape — one rank window
+    partitioned by group (parallel per-group sort, no global sort)
+    collapsing to a quartile table, then a group-keyed count-outside
+    re-aggregation that combines map-side."""
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w_rk = Window.partitionBy("o_orderpriority").orderBy("cents")
+    w_n = Window.partitionBy("o_orderpriority")
+    r = c.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    q = r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(max(CASE WHEN rk = (25 * n + 99) div 100"
+            " THEN cents END) AS BIGINT)"
+        ).alias("q1"),
+        F.expr(
+            "CAST(max(CASE WHEN rk = (75 * n + 99) div 100"
+            " THEN cents END) AS BIGINT)"
+        ).alias("q3"),
+    )
+    return (
+        c.join(q, "o_orderpriority")
+        .groupBy("o_orderpriority", "n", "q1", "q3")
+        .agg(
+            F.expr("CAST(max(q3 - q1) AS BIGINT)").alias("iqr"),
+            F.sum(
+                (2 * F.col("cents") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1")))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(
+                (2 * F.col("cents") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1")))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            "o_orderpriority", "n", "q1", "q3", "iqr",
+            "n_low_outliers", "n_high_outliers",
+        )
+    )

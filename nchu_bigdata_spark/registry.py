@@ -305,6 +305,9 @@ DRIVER_ORDER = [
     "events_growth_accounting",
     "sample_hard_negatives",
     "win_yoy_compare",
+    "agg_tukey_fences",
+    "dedup_minhash_estimate",
+    "text_vocab_overlap",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -2845,3 +2845,80 @@ def test_yoy_compare_replay(spark, sf_dir, duck):
         c, p = dense[mo], dense[mo - 12]
         bp = tdiv((c - p) * 10000, p) if p > 0 else None
         assert got[mo] == (c, p, c - p, bp)
+
+
+# --------------------------------------------------------------------------
+# agg_tukey_fences
+# --------------------------------------------------------------------------
+
+
+def test_tukey_fences_replay(spark, sf_dir, duck):
+    groups = defaultdict(list)
+    for prio, cents in duck.execute(
+        "SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100, 0) AS "
+        "BIGINT) FROM orders"
+    ).fetchall():
+        groups[prio].append(cents)
+    rows = SPECS["agg_tukey_fences"].fn(spark, sf_dir).collect()
+    got = {r.o_orderpriority: (r.n, r.q1, r.q3, r.iqr, r.n_low_outliers,
+                               r.n_high_outliers) for r in rows}
+    for prio, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        q1 = xs[(25 * n + 99) // 100 - 1]
+        q3 = xs[(75 * n + 99) // 100 - 1]
+        iqr = q3 - q1
+        lo = sum(1 for x in xs if 2 * x < 2 * q1 - 3 * iqr)
+        hi = sum(1 for x in xs if 2 * x > 2 * q3 + 3 * iqr)
+        assert got[prio] == (n, q1, q3, iqr, lo, hi)
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_estimate
+# --------------------------------------------------------------------------
+
+
+def test_minhash_estimate_vs_exact(spark, sf_dir):
+    rows = SPECS["dedup_minhash_estimate"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # err is exactly est - exact, and both are valid bp values
+        assert r.err_bp == r.est_bp - r.exact_bp
+        assert 0 <= r.est_bp <= 10000 and 0 <= r.exact_bp <= 10000
+    # candidate pairs equal the shipped banding's candidate universe:
+    # every certified dedup_minhash pair appears with exact >= 5000
+    shipped = {(p.doc_a, p.doc_b)
+               for p in SPECS["dedup_minhash"].fn(spark, sf_dir).collect()}
+    audited = {(r.doc_a, r.doc_b): r.exact_bp for r in rows}
+    for pair in shipped:
+        assert audited[pair] >= 5000
+    # the estimator is genuinely informative: mean |err| under 20%
+    errs = [abs(r.err_bp) for r in rows]
+    assert sum(errs) / len(errs) < 2000
+
+
+# --------------------------------------------------------------------------
+# text_vocab_overlap
+# --------------------------------------------------------------------------
+
+
+def test_vocab_overlap_replay(spark, sf_dir, duck):
+    from collections import Counter
+    by_lang = defaultdict(Counter)
+    for lang, text in duck.execute(
+        "SELECT lang, text FROM documents").fetchall():
+        by_lang[lang].update(text.split(" "))
+    tops = {
+        lang: {w for w, _ in sorted(
+            c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]}
+        for lang, c in by_lang.items()
+    }
+    rows = SPECS["text_vocab_overlap"].fn(spark, sf_dir).collect()
+    got = {(r.lang_a, r.lang_b): (r.n_shared, r.jaccard_bp) for r in rows}
+    langs = sorted(tops)
+    want_keys = {(a, b) for i, a in enumerate(langs)
+                 for b in langs[i + 1:]}
+    assert set(got) == want_keys
+    for (a, b), (ns, jbp) in got.items():
+        shared = len(tops[a] & tops[b])
+        assert (ns, jbp) == (shared, shared * 10000 // (200 - shared))

@@ -928,6 +928,25 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Window", r"Generate"],
         [r"CartesianProduct", r"rangepartitioning"],
     ),
+    # Tukey fences: group-partitioned rank window -> quartile table
+    # -> group-keyed count-outside agg (the winsorized shape)
+    "agg_tukey_fences": (
+        [r"Window", r"hashpartitioning\(o_orderpriority", r"HashAggregate"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # minhash estimate: shared signature pass, band-bounded
+    # candidates, (pairs x H) coordinate arithmetic in codegen
+    "dedup_minhash_estimate": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # vocab overlap: vocab-sized counts, per-lang rank window,
+    # word-keyed self-join; the langxlang lattice is a tiny
+    # broadcast nested loop (sanctioned)
+    "text_vocab_overlap": (
+        [r"Window", r"hashpartitioning\(lang"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
 }
 
 
