@@ -233,6 +233,9 @@ SQL_GROUP = [
     "agg_tukey_fences",
     "dedup_minhash_estimate",
     "text_vocab_overlap",
+    "orders_returns_rate",
+    "sub_not_in_null",
+    "win_change_runs",
 ]
 
 

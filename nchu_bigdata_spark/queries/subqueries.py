@@ -581,3 +581,80 @@ def sub_division(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("np").cast("long").alias("n_priorities"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sub_not_in_null — the NOT IN null trap, made measurable (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sub_not_in_null",
+    tags=("b5",),
+    oracle="""
+        -- the NOT IN null trap as a MEASURED three-column readout:
+        -- against a key list that contains NULLs (every 7th line's
+        -- partkey nulled by spec), NOT IN returns ZERO rows — the
+        -- three-valued logic makes every comparison UNKNOWN — while
+        -- NOT EXISTS returns the real complement. Both engines must
+        -- agree on ANSI semantics for both forms; the null count is
+        -- the column that explains the gap. The single most-filed
+        -- SQL correctness bug, pinned as a regression surface.
+        WITH keys AS (
+            SELECT CASE WHEN l_linenumber = 7 THEN NULL
+                        ELSE l_partkey END AS k
+            FROM lineitem
+        )
+        SELECT
+            CAST((SELECT COUNT(*) FROM part
+                  WHERE p_partkey NOT IN (SELECT k FROM keys))
+                 AS BIGINT) AS n_not_in,
+            CAST((SELECT COUNT(*) FROM part p
+                  WHERE NOT EXISTS (SELECT 1 FROM keys
+                                    WHERE keys.k = p.p_partkey))
+                 AS BIGINT) AS n_not_exists,
+            CAST((SELECT COUNT(*) FROM keys WHERE k IS NULL)
+                 AS BIGINT) AS n_null_keys
+    """,
+)
+def sub_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, made measurable: against a key list that
+    contains NULLs (every 7th lineitem's partkey nulled, by spec),
+    ``NOT IN`` returns ZERO rows — under three-valued logic,
+    ``x <> NULL`` is UNKNOWN, so no row can prove it's absent — while
+    ``NOT EXISTS`` with an equality predicate returns the real
+    complement. This is the single most-filed SQL correctness bug in
+    existence, and an engine claiming drop-in parity must honor the
+    ANSI semantics of BOTH forms, so the operator pins all three
+    numbers (the two counts and the null count that explains the gap)
+    as a cross-engine regression surface. Catalyst's plan shape is
+    part of the story: NOT IN compiles to a NULL-AWARE anti join
+    (existence flags), not the plain anti join NOT EXISTS gets.
+
+    Plan/scale: both subqueries decorrelate to anti joins over the
+    keys projection; the three 1-row counts broadcast-combine. Output
+    is one row."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    keys = li.select(
+        F.when(F.col("l_linenumber") == 7, None)
+        .otherwise(F.col("l_partkey"))
+        .alias("k")
+    )
+    keys.createOrReplaceTempView("_nin_keys")
+    part.createOrReplaceTempView("_nin_part")
+    spark_df = part.sparkSession.sql(
+        """
+        SELECT
+            CAST((SELECT COUNT(*) FROM _nin_part
+                  WHERE p_partkey NOT IN (SELECT k FROM _nin_keys))
+                 AS BIGINT) AS n_not_in,
+            CAST((SELECT COUNT(*) FROM _nin_part p
+                  WHERE NOT EXISTS (SELECT 1 FROM _nin_keys
+                                    WHERE _nin_keys.k = p.p_partkey))
+                 AS BIGINT) AS n_not_exists,
+            CAST((SELECT COUNT(*) FROM _nin_keys WHERE k IS NULL)
+                 AS BIGINT) AS n_null_keys
+        """
+    )
+    return spark_df

@@ -2089,3 +2089,78 @@ def orders_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Z")
         .alias("xyz_class"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_returns_rate — return-share dashboard (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_returns_rate",
+    tags=("b3",),
+    oracle="""
+        -- return-rate dashboard per (brand, ship year): returned
+        -- lines (l_returnflag = 'R') and returned revenue share in
+        -- exact bp — the quality/fit signal merchandising watches by
+        -- brand and the finance contra-revenue input; a brand whose
+        -- return share CLIMBS across years is a listing-quality or
+        -- sizing defect surfacing as logistics cost.
+        SELECT p.p_brand,
+               CAST(year(l.l_shipdate) AS INT) AS ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_returned,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                             THEN 1 ELSE 0 END) * 10000
+                    // COUNT(*) AS BIGINT) AS return_line_bp,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                             THEN CAST(ROUND(l.l_extendedprice * 100, 0)
+                                       AS BIGINT) ELSE 0 END) * 10000
+                    // SUM(CAST(ROUND(l.l_extendedprice * 100, 0)
+                                AS BIGINT)) AS BIGINT)
+                   AS return_value_bp
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand, year(l.l_shipdate)
+    """,
+)
+def orders_returns_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate dashboard per (brand, ship year): the share of
+    lines AND of revenue flagged returned (l_returnflag = 'R'), in
+    exact basis points. Line share and value share diverge exactly
+    when expensive items return disproportionately — the signal that
+    separates "customers return cheap add-ons" (annoying) from
+    "customers return the flagship" (a product defect) — and a brand
+    whose return share climbs across years is a listing-quality or
+    sizing problem surfacing as logistics cost. The returned-value
+    column is also finance's contra-revenue input, which is why it
+    rides integer cents, not a float ratio.
+
+    Plan/scale: one partkey join to the dimension + ONE map-side
+    (brand, year) agg carrying all four sums; brand × year output."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    ret = (F.col("l_returnflag") == "R").cast("long")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(ret).cast("long").alias("n_returned"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("return_line_bp"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_returnflag = 'R' THEN"
+                " CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+                " ELSE 0 END) * 10000"
+                " div sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("return_value_bp"),
+        )
+    )

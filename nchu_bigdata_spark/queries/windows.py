@@ -1141,3 +1141,102 @@ def win_yoy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 div prev_cents END AS BIGINT)"
         ).alias("yoy_growth_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_change_runs — value-change run-length compression (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_change_runs",
+    tags=("b6",),
+    oracle="""
+        -- run-length compression of each customer's order-status
+        -- stream: consecutive SAME-status orders collapse into one
+        -- run with [first, last] order dates and a run index — the
+        -- collapse-on-change primitive behind dimension compression
+        -- (scd2_history versions EVERY row; real warehouses store
+        -- only the CHANGES) and step-function storage. Change flag
+        -- via LAG, run id via a running sum of flags — the
+        -- gaps-and-islands family's value-change member.
+        WITH s AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus,
+                   strftime(o_orderdate, '%Y-%m-%d') AS d,
+                   CASE WHEN LAG(o_orderstatus) OVER w
+                             IS DISTINCT FROM o_orderstatus
+                        THEN 1 ELSE 0 END AS chg
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ),
+        runs AS (
+            SELECT *, SUM(chg) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY d, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run_id
+            FROM s
+        )
+        SELECT o_custkey, CAST(run_id AS BIGINT) AS run_id,
+               o_orderstatus,
+               MIN(d) AS run_start,
+               MAX(d) AS run_end,
+               CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM runs
+        GROUP BY o_custkey, run_id, o_orderstatus
+    """,
+)
+def win_change_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length compression of each customer's order-status stream:
+    consecutive orders with the SAME status collapse into one run
+    carrying its status, [first, last] order dates, and length — the
+    collapse-on-change primitive behind dimension compression
+    (`scd2_history` versions EVERY row; a real warehouse stores only
+    the CHANGES, which is exactly this rollup applied to its output)
+    and behind step-function storage of any slowly-changing value.
+    The idiom is the value-change member of the gaps-and-islands
+    family: a LAG-based change flag, then a RUNNING SUM of flags as
+    the run id — no self-join, no recursion.
+
+    Determinism: ties on the change date break on o_orderkey (the
+    scd2_history convention); IS DISTINCT FROM makes the first row
+    of each customer a change on both engines identically.
+
+    Plan/scale: the change flag, the run-id running sum, and the
+    run rollup all share ONE (custkey)-keyed sort — a single
+    shuffle, per-customer state O(1)."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    s = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        (
+            ~F.lag("o_orderstatus")
+            .over(w)
+            .eqNullSafe(F.col("o_orderstatus"))
+        )
+        .cast("int")
+        .alias("chg"),
+    )
+    w_run = (
+        W.partitionBy("o_custkey")
+        .orderBy("d", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runs = s.select(
+        "*", F.sum("chg").over(w_run).alias("run_id")
+    )
+    return runs.groupBy(
+        "o_custkey",
+        F.col("run_id").cast("long").alias("run_id"),
+        "o_orderstatus",
+    ).agg(
+        F.min("d").alias("run_start"),
+        F.max("d").alias("run_end"),
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+    )

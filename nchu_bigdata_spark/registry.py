@@ -308,6 +308,9 @@ DRIVER_ORDER = [
     "agg_tukey_fences",
     "dedup_minhash_estimate",
     "text_vocab_overlap",
+    "orders_returns_rate",
+    "sub_not_in_null",
+    "win_change_runs",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -2922,3 +2922,93 @@ def test_vocab_overlap_replay(spark, sf_dir, duck):
     for (a, b), (ns, jbp) in got.items():
         shared = len(tops[a] & tops[b])
         assert (ns, jbp) == (shared, shared * 10000 // (200 - shared))
+
+
+# --------------------------------------------------------------------------
+# orders_returns_rate
+# --------------------------------------------------------------------------
+
+
+def test_returns_rate_replay(spark, sf_dir, duck):
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for brand, yr, rf, cents in duck.execute(
+        "SELECT p.p_brand, year(l.l_shipdate), l.l_returnflag, "
+        "CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey"
+    ).fetchall():
+        c = cells[(brand, yr)]
+        c[0] += 1
+        c[2] += cents
+        if rf == "R":
+            c[1] += 1
+            c[3] += cents
+    rows = SPECS["orders_returns_rate"].fn(spark, sf_dir).collect()
+    got = {(r.p_brand, r.ship_year): (r.n_lines, r.n_returned,
+                                      r.return_line_bp, r.return_value_bp)
+           for r in rows}
+    assert set(got) == set(cells)
+    for k, (n, nr, tot, rv) in cells.items():
+        assert got[k] == (n, nr, nr * 10000 // n, rv * 10000 // tot)
+
+
+# --------------------------------------------------------------------------
+# sub_not_in_null
+# --------------------------------------------------------------------------
+
+
+def test_not_in_null_replay(spark, sf_dir, duck):
+    r = SPECS["sub_not_in_null"].fn(spark, sf_dir).collect()[0]
+    present = {k for (k, ln) in duck.execute(
+        "SELECT l_partkey, l_linenumber FROM lineitem").fetchall()
+        if ln != 7}
+    n_parts = duck.execute("SELECT COUNT(*) FROM part").fetchone()[0]
+    n_nulls = duck.execute(
+        "SELECT COUNT(*) FROM lineitem WHERE l_linenumber = 7"
+    ).fetchone()[0]
+    parts = {k for (k,) in duck.execute(
+        "SELECT p_partkey FROM part").fetchall()}
+    # the trap, demonstrated: NOT IN collapses to zero; NOT EXISTS
+    # returns the true complement
+    assert r.n_null_keys == n_nulls and n_nulls > 0
+    assert r.n_not_in == 0
+    assert r.n_not_exists == len(parts - present)
+    assert r.n_not_exists >= 0 and r.n_not_exists < n_parts
+
+
+# --------------------------------------------------------------------------
+# win_change_runs
+# --------------------------------------------------------------------------
+
+
+def test_change_runs_replay(spark, sf_dir, duck):
+    per = defaultdict(list)
+    for ck, ok, st, d in duck.execute(
+        "SELECT o_custkey, o_orderkey, o_orderstatus, "
+        "strftime(o_orderdate, '%Y-%m-%d') FROM orders "
+        "ORDER BY o_custkey, o_orderdate, o_orderkey"
+    ).fetchall():
+        per[ck].append((st, d))
+    want = set()
+    n_orders = 0
+    for ck, seq in per.items():
+        run_id, prev = 0, None
+        start = end = None
+        length = 0
+        for st, d in seq:
+            n_orders += 1
+            if st != prev:
+                if prev is not None:
+                    want.add((ck, run_id, prev, start, end, length))
+                run_id += 1
+                prev, start, length = st, d, 0
+            end = d
+            length += 1
+        want.add((ck, run_id, prev, start, end, length))
+    rows = SPECS["win_change_runs"].fn(spark, sf_dir).collect()
+    got = {(r.o_custkey, r.run_id, r.o_orderstatus, r.run_start,
+            r.run_end, r.run_len) for r in rows}
+    assert got == want
+    # compression is lossless: run lengths sum to the order count
+    assert sum(r.run_len for r in rows) == n_orders
+    # and real: fewer runs than orders
+    assert len(rows) < n_orders

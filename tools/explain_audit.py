@@ -947,6 +947,25 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"hashpartitioning\(lang"],
         [r"CartesianProduct", r"rangepartitioning"],
     ),
+    # returns rate: one partkey dim join + ONE (brand, year) agg
+    "orders_returns_rate": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"Window", r"rangepartitioning"],
+    ),
+    # NOT IN null trap: the NOT IN side must compile to the
+    # null-aware anti join; NOT EXISTS to a plain anti join
+    "sub_not_in_null": (
+        [r"LeftAnti"],
+        [r"CartesianProduct", r"rangepartitioning"],
+    ),
+    # change runs: lag flag + run-id running sum + rollup share ONE
+    # custkey-keyed sort
+    "win_change_runs": (
+        # the rollup rides the window's existing sort -> SortAggregate
+        [r"Window", r"hashpartitioning\(o_custkey",
+         r"HashAggregate|SortAggregate"],
+        [r"CartesianProduct", r"Join", r"rangepartitioning"],
+    ),
 }
 
 
