@@ -236,6 +236,8 @@ SQL_GROUP = [
     "orders_returns_rate",
     "sub_not_in_null",
     "win_change_runs",
+    "events_cuped",
+    "events_mann_whitney",
 ]
 
 

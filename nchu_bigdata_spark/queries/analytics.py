@@ -4055,3 +4055,263 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_resurrected",
         F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_cuped — CUPED variance-reduced A/B means (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_cuped",
+    tags=("b3",),
+    oracle=f"""
+        -- CUPED (Deng et al. 2013): adjust each variant's post-period
+        -- purchase mean by theta * (pre-period deviation), theta =
+        -- pooled Cov(pre, post)/Var(pre) — the industry-standard
+        -- variance-reduction that lets the same traffic detect ~2x
+        -- smaller effects. Pre/post split at the events_did midpoint;
+        -- variant = the events_ab_test user parity. All sums are
+        -- exact integer cents; theta and the adjusted means derive
+        -- from those integers with a FIXED IEEE expression tree
+        -- (agg_regression policy) — bit-identical cross-engine.
+        WITH u AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS INT) AS variant,
+                   CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000
+                                      < {_DID_POST_DAY}
+                                 THEN CAST(ROUND(value * 100, 0)
+                                           AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000
+                                      >= {_DID_POST_DAY}
+                                 THEN CAST(ROUND(value * 100, 0)
+                                           AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        pool AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+            FROM u
+        ),
+        v AS (
+            SELECT variant,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y
+            FROM u GROUP BY variant
+        )
+        SELECT v.variant, v.n_users, v.sum_x, v.sum_y,
+               CAST(pool.n * pool.sxy - pool.sx * pool.sy AS DOUBLE)
+                   / CAST(pool.n * pool.sxx - pool.sx * pool.sx
+                          AS DOUBLE) AS theta,
+               CAST(v.sum_y AS DOUBLE) / v.n_users AS mean_y,
+               CAST(v.sum_y AS DOUBLE) / v.n_users
+               - (CAST(pool.n * pool.sxy - pool.sx * pool.sy AS DOUBLE)
+                  / CAST(pool.n * pool.sxx - pool.sx * pool.sx
+                         AS DOUBLE))
+                 * (CAST(v.sum_x AS DOUBLE) / v.n_users
+                    - CAST(pool.sx AS DOUBLE) / CAST(pool.n AS DOUBLE))
+                   AS adj_mean_y
+        FROM v, pool
+    """,
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): each
+    variant's post-period purchase mean is adjusted by
+    θ·(pre-period deviation from the pooled pre-mean), with θ =
+    pooled Cov(pre, post)/Var(pre). CUPED is the industry-standard
+    experimentation upgrade — pre-period behavior explains much of
+    the outcome variance, and removing it lets the same traffic
+    detect roughly √(1−ρ²)-smaller effects — and it composes the
+    engine's experiment family: `events_srm_check` validates the
+    split, `events_ab_test` reads the raw lift, this reads the
+    variance-reduced one, `events_did` handles the time axis.
+
+    Determinism (the `agg_regression` policy): every sum is an exact
+    integer (cents, 128-bit co-moments); θ and the adjusted means
+    derive from those integers through a FIXED IEEE expression tree
+    — each division and multiply correctly rounded, identical
+    structure on both engines, so the doubles are bit-identical with
+    no tolerance anywhere.
+
+    Plan/scale: one fact→user agg (map-side), a 1-row pooled
+    co-moment broadcast, a 2-row variant rollup."""
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(day < _DID_POST_DAY, cents).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(day >= _DID_POST_DAY, cents).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"), "x", "y"
+        )
+    )
+    pool = u.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(x AS decimal(38,0)) * y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.expr("CAST(x AS decimal(38,0)) * x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    theta = F.expr(
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE)"
+    )
+    mean_y = F.expr("CAST(sum_y AS DOUBLE) / n_users")
+    adj = F.expr(
+        "CAST(sum_y AS DOUBLE) / n_users"
+        " - (CAST(n * sxy - sx * sy AS DOUBLE)"
+        "    / CAST(n * sxx - sx * sx AS DOUBLE))"
+        "   * (CAST(sum_x AS DOUBLE) / n_users"
+        "      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return v.join(F.broadcast(pool)).select(
+        "variant",
+        "n_users",
+        "sum_x",
+        "sum_y",
+        theta.alias("theta"),
+        mean_y.alias("mean_y"),
+        adj.alias("adj_mean_y"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_mann_whitney — rank-sum nonparametric A/B test (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_mann_whitney",
+    tags=("b3",),
+    oracle="""
+        -- Mann-Whitney U on purchase values by variant: the
+        -- NONPARAMETRIC A/B test — rank-based, so one whale order
+        -- can't buy significance the way it can under a t-test on
+        -- heavy-tailed revenue. Doubled midranks keep ties exact
+        -- (midrank2 = 2a + cnt - 1 for a tie group occupying ranks
+        -- [a, a+cnt-1]); U2 = 2U = R2_A - nA(nA+1); the normal-
+        -- approx significance runs fully cross-multiplied:
+        -- z^2 > 3.8415  <=>  3*10^4*(U2-nA*nB)^2 >
+        -- 38415*nA*nB*(n+1)  (no tie-variance correction — the
+        -- documented, conservative-on-cents convention).
+        WITH p AS (
+            SELECT CAST(user_id % 2 AS INT) AS variant,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT variant, cents,
+                   RANK() OVER (ORDER BY cents) AS a,
+                   COUNT(*) OVER (PARTITION BY cents) AS cnt
+            FROM p
+        ),
+        s AS (
+            SELECT
+                CAST(SUM(CASE WHEN variant = 0
+                              THEN 2 * a + cnt - 1 ELSE 0 END)
+                     AS HUGEINT) AS r2a,
+                CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                     AS HUGEINT) AS na,
+                CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                     AS HUGEINT) AS nb
+            FROM r
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+               CAST((r2a - na * (na + 1)) - na * nb AS BIGINT)
+                   AS u2_centered,
+               CAST(3 * 10000
+                    * ((r2a - na * (na + 1)) - na * nb)
+                    * ((r2a - na * (na + 1)) - na * nb)
+                    > 38415 * na * nb * (na + nb + 1) AS INT)
+                   AS significant
+        FROM s
+    """,
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test on purchase values by variant — the
+    NONPARAMETRIC A/B read: rank-based, so a single whale order
+    cannot buy significance the way it can under a t-test on
+    heavy-tailed revenue (the reason experimentation platforms run
+    rank tests beside the mean test; `events_ab_test` gives the
+    lift, this says whether the DISTRIBUTIONS differ). Completes the
+    experiment family: SRM validates the split, CUPED shrinks the
+    variance, DiD handles time, U handles tails.
+
+    Exactness: ties use DOUBLED midranks (a tie group occupying
+    ranks [a, a+cnt−1] contributes midrank2 = 2a + cnt − 1 per row —
+    integer, the med2 policy for ranks); U2 = 2U stays integer; and
+    the normal-approximation significance test is fully
+    cross-multiplied — 3·10⁴·(U2 − nAnB)² > 38415·nAnB·(n+1) is
+    exactly z² > 3.8415 with no square root and no float, 128-bit
+    intermediates. No tie-variance correction, by documented
+    convention (conservative; cents values rarely tie).
+
+    Plan/scale: one global rank window over PURCHASE cardinality
+    (the exact-order-statistic family's bounded framing) collapsing
+    into a 1-row rollup."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    r = p.select(
+        "variant",
+        F.rank().over(Window.orderBy("cents")).alias("a"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cents"))
+        .alias("cnt"),
+    )
+    s = r.agg(
+        F.sum(
+            F.when(
+                F.col("variant") == 0, 2 * F.col("a") + F.col("cnt") - 1
+            ).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("r2a"),
+        F.sum((F.col("variant") == 0).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("na"),
+        F.sum((F.col("variant") == 1).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("nb"),
+    )
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr("CAST(r2a - na * (na + 1) AS BIGINT)").alias("u2_a"),
+        F.expr(
+            "CAST((r2a - na * (na + 1)) - na * nb AS BIGINT)"
+        ).alias("u2_centered"),
+        F.expr(
+            "CAST(3 * 10000"
+            " * ((r2a - na * (na + 1)) - na * nb)"
+            " * ((r2a - na * (na + 1)) - na * nb)"
+            " > 38415 * na * nb * (na + nb + 1) AS INT)"
+        ).alias("significant"),
+    )

@@ -311,6 +311,8 @@ DRIVER_ORDER = [
     "orders_returns_rate",
     "sub_not_in_null",
     "win_change_runs",
+    "events_cuped",
+    "events_mann_whitney",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -3012,3 +3012,72 @@ def test_change_runs_replay(spark, sf_dir, duck):
     assert sum(r.run_len for r in rows) == n_orders
     # and real: fewer runs than orders
     assert len(rows) < n_orders
+
+
+# --------------------------------------------------------------------------
+# events_cuped
+# --------------------------------------------------------------------------
+
+
+def test_cuped_replay(spark, sf_dir, duck):
+    users = defaultdict(lambda: [0, 0])
+    for u, ts_us, cents in duck.execute(
+        "SELECT user_id, epoch_us(ts), CAST(ROUND(value * 100, 0) AS "
+        "BIGINT) FROM events WHERE event_type = 'purchase'"
+    ).fetchall():
+        users[u][0 if ts_us // DAY_US < 19_738 else 1] += cents
+    xs = [(u % 2, x, y) for u, (x, y) in users.items()]
+    n = len(xs)
+    sx = sum(x for _, x, _ in xs)
+    sy = sum(y for _, _, y in xs)
+    sxy = sum(x * y for _, x, y in xs)
+    sxx = sum(x * x for _, x, _ in xs)
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    rows = SPECS["events_cuped"].fn(spark, sf_dir).collect()
+    got = {r.variant: r for r in rows}
+    assert set(got) == {0, 1}
+    for v in (0, 1):
+        vs = [(x, y) for var, x, y in xs if var == v]
+        nv = len(vs)
+        svx, svy = sum(x for x, _ in vs), sum(y for _, y in vs)
+        r = got[v]
+        assert (r.n_users, r.sum_x, r.sum_y) == (nv, svx, svy)
+        assert abs(r.theta - theta) < 1e-9
+        adj = svy / nv - theta * (svx / nv - sx / n)
+        assert abs(r.adj_mean_y - adj) < 1e-6
+    # CUPED moves both variants' means by the SAME theta — the lift
+    # direction survives adjustment only if pre-period imbalance is
+    # what raw lift was measuring; both readings must be present
+    assert got[0].mean_y != got[0].adj_mean_y or theta == 0
+
+
+# --------------------------------------------------------------------------
+# events_mann_whitney
+# --------------------------------------------------------------------------
+
+
+def test_mann_whitney_replay(spark, sf_dir, duck):
+    vals = duck.execute(
+        "SELECT CAST(user_id % 2 AS INT), CAST(ROUND(value * 100, 0) AS "
+        "BIGINT) FROM events WHERE event_type = 'purchase'"
+    ).fetchall()
+    allv = sorted(c for _, c in vals)
+    # doubled midrank per value: first rank + last rank (1-based)
+    first = {}
+    for i, c in enumerate(allv, start=1):
+        first.setdefault(c, i)
+    from collections import Counter
+    cnt = Counter(allv)
+    mid2 = {c: 2 * first[c] + cnt[c] - 1 for c in cnt}
+    r2a = sum(mid2[c] for v, c in vals if v == 0)
+    na = sum(1 for v, _ in vals if v == 0)
+    nb = len(vals) - na
+    u2 = r2a - na * (na + 1)
+    centered = u2 - na * nb
+    sig = int(3 * 10000 * centered * centered
+              > 38_415 * na * nb * (na + nb + 1))
+    r = SPECS["events_mann_whitney"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_a, r.n_b, r.u2_a, r.u2_centered, r.significant) == (
+        na, nb, u2, centered, sig)
+    # U is bounded by 2*nA*nB (doubled convention)
+    assert 0 <= u2 <= 2 * na * nb

@@ -958,6 +958,18 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"LeftAnti"],
         [r"CartesianProduct", r"rangepartitioning"],
     ),
+    # CUPED: fact->user agg, 1-row pooled co-moment broadcast,
+    # 2-row variant rollup
+    "events_cuped": (
+        [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"SortMergeJoin", r"Window"],
+    ),
+    # Mann-Whitney: one global rank window over purchase cardinality
+    # -> 1-row rollup (exact-order-statistic framing)
+    "events_mann_whitney": (
+        [r"Window", r"HashAggregate"],
+        [r"CartesianProduct", r"Join", r"rangepartitioning"],
+    ),
     # change runs: lag flag + run-id running sum + rollup share ONE
     # custkey-keyed sort
     "win_change_runs": (
