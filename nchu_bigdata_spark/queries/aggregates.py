@@ -1959,3 +1959,124 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_low_outliers", "n_high_outliers",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_gini — per-region Gini coefficient of customer revenue (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_gini",
+    tags=("b4",),
+    oracle="""
+        -- Gini coefficient of customer lifetime revenue per region:
+        -- the single-number inequality read behind win_lorenz's
+        -- curve ("how concentrated is this market"). Closed form on
+        -- the ascending rank: G = (2*SUM(i*x_i) - (n+1)*SUM(x))
+        -- / (n*SUM(x)), reported in floor basis points -- exact
+        -- rational arithmetic end to end (rank ties on equal cents
+        -- don't move SUM(i*x_i), so the custkey tie-break is pure
+        -- determinism hygiene).
+        WITH rev AS (
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                       AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        g AS (
+            SELECT r_name AS region, cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r_name ORDER BY cents, o_custkey
+                   ) AS i
+            FROM rev
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+        ),
+        s AS (
+            SELECT region, CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(cents) AS HUGEINT) AS s,
+                   CAST(SUM(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS t
+            FROM g GROUP BY region
+        )
+        SELECT region, CAST(n AS BIGINT) AS n_customers,
+               CAST(s AS BIGINT) AS revenue_cents,
+               CAST((10000 * (2 * t - (n + 1) * s)) // (n * s) AS BIGINT)
+                   AS gini_bp
+        FROM s
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region Gini coefficient of customer lifetime revenue — the
+    single-number inequality statistic (`win_lorenz` draws the curve;
+    this is its area): 0 = every customer spends the same, 10000 bp =
+    one customer carries the region. The concentration KPI behind
+    "how dependent is this market on its whales".
+
+    Exactness: the closed form on ascending ranks,
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx), evaluated as one floor-div in
+    basis points over decimal(38,0) sums — no float anywhere. Rank
+    ties on equal cents cannot move Σi·xᵢ (equal values commute), so
+    the custkey tie-break is determinism hygiene only.
+
+    Plan/scale — the DISTRIBUTED per-group rank (win_lorenz's two-pass
+    pattern, partitioned): a bare `row_number() OVER (PARTITION BY
+    region ...)` puts ~n/5 customers in ONE task per region at 1e9
+    customers, so instead (1) the per-customer rollup (map-side
+    combined) shrinks orders to |customers|, dims broadcast in;
+    (2) range-repartition + local sort on (region, cents, custkey);
+    (3) per-(partition, region) counts — tiny — become broadcast
+    prefix offsets; rank = offset + partition-local row_number. The
+    final rollup is 5 rows."""
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = table(spark, sf_dir, "region")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    dims = F.broadcast(
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, F.col("n_regionkey") == reg.r_regionkey)
+        .select("c_custkey", F.col("r_name").alias("region"))
+    )
+    g = rev.join(dims, rev.o_custkey == dims.c_custkey).select(
+        "region", "cents", F.col("o_custkey").alias("ck")
+    )
+    nparts = spark.sparkContext.defaultParallelism
+    srt = g.repartitionByRange(
+        nparts, "region", "cents", "ck"
+    ).sortWithinPartitions("region", "cents", "ck")
+    pid = srt.withColumn("pid", F.spark_partition_id())
+    pc = pid.groupBy("pid", "region").agg(F.count(F.lit(1)).alias("pn"))
+    w_off = (
+        Window.partitionBy("region")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = pc.select(
+        "pid",
+        "region",
+        F.coalesce(F.sum("pn").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_local = Window.partitionBy("pid", "region").orderBy("cents", "ck")
+    ranked = (
+        pid.withColumn("rl", F.row_number().over(w_local))
+        .join(F.broadcast(off), ["pid", "region"])
+        .select("region", "cents", (F.col("off") + F.col("rl")).alias("i"))
+    )
+    s = ranked.groupBy("region").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(i AS decimal(38,0)) * cents")).alias("t"),
+    )
+    return s.select(
+        "region",
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s").cast("long").alias("revenue_cents"),
+        F.expr("CAST((10000 * (2 * t - (n + 1) * s)) div (n * s) AS BIGINT)")
+        .alias("gini_bp"),
+    )

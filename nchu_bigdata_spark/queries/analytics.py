@@ -4315,3 +4315,114 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > 38415 * na * nb * (na + nb + 1) AS INT)"
         ).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_ks_test — exact two-sample Kolmogorov–Smirnov by variant (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_ks_test",
+    tags=("b3",),
+    oracle="""
+        -- Two-sample Kolmogorov-Smirnov on purchase values by variant:
+        -- the DISTRIBUTION-SHAPE A/B test. Mann-Whitney reads a
+        -- location shift; KS reads ANY divergence between the two
+        -- empirical CDFs (tails, variance, bimodality), which is why
+        -- experiment platforms run both. Fully integer: with
+        -- per-value cumulative counts ca/cb and arm sizes na/nb,
+        -- D = max|ca/na - cb/nb| = max|ca*nb - cb*na| / (na*nb), kept
+        -- as the scaled integer d_scaled = D*na*nb; the alpha=0.05
+        -- asymptotic test D > 1.358*sqrt((na+nb)/(na*nb)) is
+        -- cross-multiplied square-free:
+        --   10^6 * d_scaled^2 > 1844164 * na*nb*(na+nb)
+        -- (1.358^2 = 1.844164) -- no sqrt, no float, 128-bit.
+        WITH p AS (
+            SELECT CAST(user_id % 2 AS INT) AS variant,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT cents,
+                   SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS a,
+                   SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS b
+            FROM p GROUP BY cents
+        ),
+        w AS (
+            SELECT CAST(SUM(a) OVER (ORDER BY cents) AS HUGEINT) AS ca,
+                   CAST(SUM(b) OVER (ORDER BY cents) AS HUGEINT) AS cb,
+                   CAST(SUM(a) OVER () AS HUGEINT) AS na,
+                   CAST(SUM(b) OVER () AS HUGEINT) AS nb
+            FROM c
+        ),
+        d AS (
+            SELECT MAX(ABS(ca * nb - cb * na)) AS ds,
+                   MAX(na) AS na, MAX(nb) AS nb
+            FROM w
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(ds AS BIGINT) AS d_scaled,
+               CAST(1000000 * ds * ds
+                    > 1844164 * na * nb * (na + nb) AS INT)
+                   AS significant
+        FROM d
+    """,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test on purchase values by
+    variant — the DISTRIBUTION-SHAPE A/B read completing the
+    experiment family: `events_ab_test` reads the mean lift,
+    `events_mann_whitney` a location shift; KS flags ANY divergence
+    between the two empirical CDFs (tail weight, variance,
+    bimodality) — the test that catches "same average, different
+    customers".
+
+    Exactness: D = max|F_A − F_B| is carried as the scaled integer
+    d_scaled = D·nA·nB = max|ca·nb − cb·na| over per-value cumulative
+    counts — exact, no division. The α=0.05 asymptotic decision
+    D > 1.358·√((nA+nB)/(nA·nB)) is squared and cross-multiplied:
+    10⁶·d_scaled² > 1844164·nA·nB·(nA+nB) — no sqrt, no float.
+    128-bit envelope (the `events_mann_whitney` convention): exact
+    through per-arm n ≲ 10⁸; beyond that the comparison needs the
+    same decimal-splitting treatment as the repo's HUGEINT notes.
+
+    Plan/scale: the shuffle is ONE map-side-combined groupBy on cents
+    (distinct-value cardinality, bounded by the price domain — NOT
+    row cardinality); the CDF windows then run over that bounded
+    support, the established exact-order-statistic framing."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    c = p.groupBy("cents").agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("a"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("b"),
+    )
+    w = c.select(
+        F.sum("a")
+        .over(Window.orderBy("cents"))
+        .cast("decimal(38,0)")
+        .alias("ca"),
+        F.sum("b")
+        .over(Window.orderBy("cents"))
+        .cast("decimal(38,0)")
+        .alias("cb"),
+        F.sum("a").over(Window.partitionBy()).cast("decimal(38,0)").alias("na"),
+        F.sum("b").over(Window.partitionBy()).cast("decimal(38,0)").alias("nb"),
+    )
+    d = w.agg(
+        F.max(F.expr("abs(ca * nb - cb * na)")).alias("ds"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    return d.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("ds").cast("long").alias("d_scaled"),
+        F.expr(
+            "CAST(1000000 * ds * ds"
+            " > 1844164 * na * nb * (na + nb) AS INT)"
+        ).alias("significant"),
+    )

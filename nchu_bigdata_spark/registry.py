@@ -313,6 +313,10 @@ DRIVER_ORDER = [
     "win_change_runs",
     "events_cuped",
     "events_mann_whitney",
+    # -- born in round 8, session 2 --
+    "graph_connected_components",
+    "events_ks_test",
+    "agg_gini",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",
