@@ -2078,3 +2078,105 @@ def sample_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n * (total * 10000 div (k * n)) AS BIGINT)"
         ).alias("weighted_mass"),
     )
+
+
+# --------------------------------------------------------------------------
+# sample_shard_assign — deterministic training-shard writer layout (round 8)
+# --------------------------------------------------------------------------
+
+_SHARDS = 16
+
+
+@register(
+    "sample_shard_assign",
+    tags=("b2",),
+    oracle=f"""
+        -- Deterministic shard assignment + within-shard order for a
+        -- training-data writer: shard = md5(doc_id) mod {_SHARDS},
+        -- intra-shard order = a SECOND independent md5 ('ord|' domain
+        -- separator) -- the global shuffle every epoch reader depends
+        -- on, as a pure function of the keys (resumable, engine-
+        -- independent, re-runnable shard by shard; df.sample/
+        -- repartition order would be none of those). The checksum
+        -- SUM(pos * (doc_id % 1000003)) pins the ORDER, not just the
+        -- membership: any swap of two distinct docs changes it.
+        WITH s AS (
+            SELECT doc_id, n_chars,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % {_SHARDS} AS shard,
+                   ('0x' || substr(md5('ord|' || CAST(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT AS okey
+            FROM documents
+        ),
+        r AS (
+            SELECT shard, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY okey, doc_id
+                   ) AS pos
+            FROM s
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(CAST(pos AS HUGEINT) * (doc_id % 1000003))
+                    AS BIGINT) AS order_checksum
+        FROM r GROUP BY shard
+    """,
+)
+def sample_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment + within-shard order — the
+    training-data WRITER layout: every epoch reader needs the corpus
+    globally shuffled, and at 100 TB that shuffle must be a pure
+    function of the keys (resumable after a failed write, identical
+    across engines and reruns, regenerable shard-by-shard) — which
+    `df.sample`/`repartition` order is not. Two independent md5
+    domains: shard = hash(doc_id) mod {_SHARDS}; intra-shard order =
+    hash('ord|'‖doc_id) — the domain separator makes the order
+    uncorrelated with the assignment (`graph_random_walk`'s md5
+    construction).
+
+    The emitted manifest is one row per shard with the doc count, byte
+    (char) volume, and an ORDER-SENSITIVE checksum
+    SUM(pos · (doc_id mod 1000003)) — any swap of two distinct docs
+    changes it, so the oracle certifies the shuffle ORDER, not just
+    membership.
+
+    Plan/scale: the per-shard `row_number` window IS the physical
+    writer plan — one shard = one write task
+    (`repartition(shard).sortWithinPartitions(okey)`), so the window's
+    partition count equals the shard count, which production scales
+    with the corpus (10⁴–10⁵ shards at 100 TB keeps per-task rows
+    bounded); the manifest rollup is {_SHARDS} rows."""
+    docs = table(spark, sf_dir, "documents")
+    h8 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    okey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ord|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        (h8 % _SHARDS).alias("shard"),
+        okey.alias("okey"),
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    r = s.withColumn("pos", F.row_number().over(w))
+    return r.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.expr("CAST(pos AS decimal(38,0)) * (doc_id % 1000003)"))
+        .cast("long")
+        .alias("order_checksum"),
+    ).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "sum_chars",
+        "order_checksum",
+    )

@@ -4426,3 +4426,183 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > 1844164 * na * nb * (na + nb) AS INT)"
         ).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_cross_correlation — lead/lag correlation between two series (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_cross_correlation",
+    tags=("b6",),
+    oracle="""
+        -- Cross-correlation function between daily VIEW volume and
+        -- daily PURCHASE volume at lags -3..+3: the lead-lag detector
+        -- ("views today predict purchases in k days") behind demand
+        -- forecasting features and marketing-lag attribution. The
+        -- agg_corr policy per lag: exact integer co-moments (counts
+        -- are integers; sums 128-bit), then ONE IEEE-exact derivation
+        -- (cast/mul/div/sqrt are correctly rounded on both engines) --
+        -- bit-identical doubles, no rounding grid.
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS x,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS y
+            FROM events GROUP BY 1
+        ),
+        j AS (
+            SELECT l.lag AS lag, a.x AS x, b.y AS y
+            FROM daily a
+            CROSS JOIN (SELECT unnest(range(-3, 4)) AS lag) l
+            JOIN daily b ON b.day = a.day + l.lag
+        ),
+        m AS (
+            SELECT lag,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                   CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                   CAST(SUM(y * y) AS HUGEINT) AS syy
+            FROM j GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+                   AS xcorr
+        FROM m
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function (CCF) between daily view volume and
+    daily purchase volume at lags −3..+3 — the lead-lag detector
+    behind "views today predict purchases in k days": the argmax lag
+    is the conversion latency to build forecast features on, and a
+    flat CCF says the series don't couple. Completes the time-series
+    family: `ts_autocorr` reads a series against itself, this reads
+    one series against another.
+
+    Exactness — the `agg_corr` policy per lag: daily counts are
+    integers, so all six co-moment sums are exact decimal(38,0); each
+    lag's Pearson r derives from those identical integers with
+    IEEE-exact ops only (cast/mul/div/sqrt, correctly rounded on both
+    engines) — bit-identical doubles, no ROUND grid.
+
+    Plan/scale: facts collapse map-side to (day, x, y) — date
+    cardinality, not row cardinality; the 7-lag spine is an explode
+    (×7 of the TINY daily table, never a cartesian of facts); one
+    equi-join on shifted day; ONE hash agg keyed on lag (7 groups)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    xl = daily.select(
+        "day", "x", F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag")
+    ).withColumn("jday", F.col("day") + F.col("lag"))
+    j = xl.join(
+        daily.select(F.col("day").alias("jday"), "y"), "jday"
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(x AS decimal(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS decimal(38,0)) * y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    denx = (n * sxx - sx * sx).cast("double")
+    deny = (n * syy - sy * sy).cast("double")
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        n.cast("long").alias("n_days"),
+        (num / F.sqrt(denx * deny)).alias("xcorr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_sample_size — Lehr's-rule A/B power planning (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_sample_size",
+    tags=("b3",),
+    oracle="""
+        -- Sample-size planning per metric (Lehr's rule): n per arm =
+        -- 16*sigma^2/delta^2 for 80% power at alpha=0.05 two-sided,
+        -- with the MDE delta pinned at 5% of the metric mean. Fully
+        -- integer: with exact cents moments, 16*sigma^2/delta^2 =
+        -- 6400*n*(n*sxx - sx^2) / ((n-1)*sx^2), and the ceiling of
+        -- that rational is (num + den - 1) // den -- no float until
+        -- the reported mean (one IEEE-exact division, agg_corr
+        -- policy).
+        WITH m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                        AS HUGEINT) AS sx,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                            * CAST(ROUND(value * 100, 0) AS BIGINT))
+                        AS HUGEINT) AS sxx
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_obs,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                   AS mean_value,
+               CAST((6400 * n * (n * sxx - sx * sx)
+                     + (n - 1) * sx * sx - 1)
+                    // ((n - 1) * sx * sx) AS BIGINT)
+                   AS n_required
+        FROM m
+    """,
+)
+def events_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size planning per event metric — Lehr's rule
+    n/arm = 16σ²/δ² (80% power, α=0.05 two-sided) with the minimum
+    detectable effect pinned at 5% of the metric mean: the pre-launch
+    answer to "how long must this experiment run". Completes the
+    experiment family's PLANNING side (SRM validates the split, CUPED
+    shrinks variance, the tests read the result; this sizes the test
+    before it starts).
+
+    Exactness: with exact integer cents moments, 16σ²/δ² =
+    6400·n·(n·sxx − sx²) / ((n−1)·sx²) — one rational; its ceiling is
+    (num + den − 1) div den, so n_required is EXACT integer end to
+    end. The reported mean is the single IEEE-exact division of the
+    same integers (`agg_corr` policy). 128-bit envelope: exact
+    through per-group n ≲ 10⁸ (the `events_mann_whitney` convention).
+
+    Plan/scale: ONE map-side-combined hash agg carrying three sums;
+    the derivation is a 5-row projection."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    m = ev.select("event_type", cents.alias("c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.expr("CAST(c AS decimal(38,0)) * c")).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_obs"),
+        (
+            F.col("sx").cast("double") / F.col("n").cast("double") / F.lit(100.0)
+        ).alias("mean_value"),
+        F.expr(
+            "CAST((6400 * n * (n * sxx - sx * sx)"
+            " + (n - 1) * sx * sx - 1)"
+            " div ((n - 1) * sx * sx) AS BIGINT)"
+        ).alias("n_required"),
+    )

@@ -317,6 +317,9 @@ DRIVER_ORDER = [
     "graph_connected_components",
     "events_ks_test",
     "agg_gini",
+    "ts_cross_correlation",
+    "events_sample_size",
+    "sample_shard_assign",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -171,3 +171,139 @@ def test_gini_closed_form_known_values():
     assert gini_bp([7, 7, 7, 7]) == 0
     assert gini_bp([0, 0, 0, 100]) == 7500  # (n-1)/n = 0.75
     assert gini_bp([1, 2, 3, 4]) == 2500
+
+
+# --------------------------------------------------------------------------
+# ts_cross_correlation
+# --------------------------------------------------------------------------
+
+
+def test_ccf_matches_python_replay(spark, sf_dir, duck):
+    import math
+
+    days = duck.execute(
+        "SELECT epoch_us(ts) // 86400000000 AS day,"
+        " SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END),"
+        " SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        " FROM events GROUP BY 1"
+    ).fetchall()
+    x = {d: a for d, a, _ in days}
+    y = {d: b for d, _, b in days}
+    want = {}
+    for lag in range(-3, 4):
+        pairs = [(x[d], y[d + lag]) for d in x if d + lag in y]
+        n = len(pairs)
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        sxx = sum(a * a for a, _ in pairs)
+        syy = sum(b * b for _, b in pairs)
+        r = float(n * sxy - sx * sy) / math.sqrt(
+            float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+        )
+        want[lag] = (n, r)
+    got = {
+        r.lag: (r.n_days, r.xcorr)
+        for r in SPECS["ts_cross_correlation"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for lag, (n, r) in want.items():
+        gn, gr = got[lag]
+        assert gn == n
+        assert abs(gr - r) < 1e-12
+    # the shifted joins really drop spine edges
+    assert got[3][0] < got[0][0]
+
+
+# --------------------------------------------------------------------------
+# events_sample_size
+# --------------------------------------------------------------------------
+
+
+def test_sample_size_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT event_type, CAST(ROUND(value*100,0) AS BIGINT)"
+        " FROM events"
+    ).fetchall()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for t, c in rows:
+        a = agg[t]
+        a[0] += 1
+        a[1] += c
+        a[2] += c * c
+    got = {
+        r.event_type: (r.n_obs, r.mean_value, r.n_required)
+        for r in SPECS["events_sample_size"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for t, (n, sx, sxx) in agg.items():
+        num = 6400 * n * (n * sxx - sx * sx)
+        den = (n - 1) * sx * sx
+        nreq = (num + den - 1) // den
+        gn, gm, gr = got[t]
+        assert (gn, gr) == (n, nreq)
+        assert abs(gm - sx / n / 100.0) < 1e-9
+        # Lehr at 5% MDE: n_required = ceil(6400 * cv^2)
+        cv2 = (n * sxx - sx * sx) / ((n - 1) * sx * sx / n)
+        assert nreq >= 1
+
+
+def test_lehr_rule_known_value():
+    # sigma=10, mean=100 -> delta=5, n = 16*100/25 = 64 exactly:
+    # replay the integer form on a synthetic moment set.
+    # construct n large so sample variance ~ sigma^2: use the formula
+    # directly with n=2 points 90,110: var=200, mean=100, delta=5 ->
+    # 16*200/25 = 128.
+    n, xs = 2, [90, 110]
+    sx, sxx = sum(xs), sum(v * v for v in xs)
+    num = 6400 * n * (n * sxx - sx * sx)
+    den = (n - 1) * sx * sx
+    assert (num + den - 1) // den == 128
+
+
+# --------------------------------------------------------------------------
+# sample_shard_assign
+# --------------------------------------------------------------------------
+
+
+def test_shard_assign_matches_python_replay(spark, sf_dir, duck):
+    import hashlib
+
+    rows = duck.execute("SELECT doc_id, n_chars FROM documents").fetchall()
+
+    def h(s, k):
+        return int(hashlib.md5(s.encode()).hexdigest()[:k], 16)
+
+    shards = defaultdict(list)
+    for doc_id, n_chars in rows:
+        shard = h(str(doc_id), 8) % 16
+        okey = h(f"ord|{doc_id}", 15)
+        shards[shard].append((okey, doc_id, n_chars))
+    want = {}
+    for shard, docs in shards.items():
+        docs.sort()
+        want[shard] = (
+            len(docs),
+            sum(c for _, _, c in docs),
+            sum(
+                (i + 1) * (d % 1000003)
+                for i, (_, d, _) in enumerate(docs)
+            ),
+        )
+    got = {
+        r.shard: (r.n_docs, r.sum_chars, r.order_checksum)
+        for r in SPECS["sample_shard_assign"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # every shard is populated and the split is roughly balanced
+    assert len(got) == 16
+    sizes = [n for n, _, _ in got.values()]
+    assert max(sizes) <= 4 * max(1, min(sizes))
+
+
+def test_shard_checksum_is_order_sensitive():
+    # swapping two adjacent distinct docs must change the checksum
+    docs = [(1, 7), (2, 11), (3, 13)]  # (pos basis, doc_id%p factor)
+    base = sum(pos * f for pos, f in [(1, 7), (2, 11), (3, 13)])
+    swapped = sum(pos * f for pos, f in [(1, 11), (2, 7), (3, 13)])
+    assert base != swapped
