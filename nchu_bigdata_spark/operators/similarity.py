@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import dround, sql_dround
 from nchu_bigdata_spark.io import parallel_table
+from nchu_bigdata_spark.materialize import shared_intermediate
 from nchu_bigdata_spark.registry import register
 
 _TOPK = 5
@@ -306,13 +307,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-# Shared LSH-candidate + exact-verify CTE chain: dedup_embed_cosine
-# SELECTs the pairs straight out; dedup_threshold_sweep re-aggregates
-# the SAME chain (the _SQL_CC_CHAIN composition pattern), so the
-# sensitivity curve can never drift from the dedup operator it tunes.
-_SQL_EMBED_PAIRS_CHAIN = f"""
-
-        WITH {_SQL_E},
+# Shared LSH signature/banding CTE prefix (e → quantize → planes →
+# sig → sig16 → bands): dedup_embed_cosine builds candidate PAIRS on
+# top of it; sim_ann_lsh answers query top-k from the same buckets —
+# one derivation, so the ANN path can never drift from the dedup path.
+_SQL_LSH_BANDS_CTES = f"""
+        {_SQL_E},
         qe AS (
             SELECT vec_id, v, n,
                    [CAST(ROUND(x * {_Q}, 0) AS BIGINT) FOR x IN v] AS qv
@@ -343,7 +343,16 @@ _SQL_EMBED_PAIRS_CHAIN = f"""
                    (s // CAST(pow(2, k * {_LSH_BITS}) AS BIGINT))
                        % {2 ** _LSH_BITS} AS bv
             FROM sig16, unnest(range({_LSH_BANDS})) AS rk(k)
-        ),
+        )
+"""
+
+# Candidate-pair + exact-verify tail: dedup_embed_cosine SELECTs the
+# pairs straight out; dedup_threshold_sweep re-aggregates the SAME
+# chain (the _SQL_CC_CHAIN composition pattern), so the sensitivity
+# curve can never drift from the dedup operator it tunes.
+_SQL_EMBED_PAIRS_CHAIN = f"""
+
+        WITH {_SQL_LSH_BANDS_CTES},
         cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM bands a JOIN bands b
@@ -360,25 +369,14 @@ _SQL_EMBED_PAIRS_CHAIN = f"""
 """
 
 
-@register(
-    "dedup_embed_cosine",
-    tags=("b10",),
-    oracle=f"""
-        {_SQL_EMBED_PAIRS_CHAIN}
-        SELECT vec_a, vec_b, cos_sim FROM pairs
-    """,
-)
-def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: random-hyperplane LSH (Charikar '02)
-    generates candidates, exact cosine ≥ {t} verifies.
-
-    Signatures are exact integers: coordinates quantized to a 1e-6
-    grid, hyperplane coefficients ±1 derived from md5(p|d) — so the
-    {b}×{r}-bit banding is bit-stable and oracle-replayable. Plan:
-    narrow quantize → explode (vec × 64 dims) joined to the broadcast
-    1024-row plane table → two hash-aggs (partial map-side) → tiny
-    band self-join → exact verify on the candidate pairs only. The
-    full O(N²) pair space is never materialized."""
+def _lsh_bands(spark: SparkSession, sf_dir: str):
+    """Shared random-hyperplane LSH banding (Charikar '02): returns
+    (e, bands) where ``bands`` is (vec_id, k, bv) — band k's
+    {_LSH_BITS}-bit bucket value for every vector. Signatures are
+    exact integers: coordinates quantized to a 1e-6 grid, hyperplane
+    coefficients ±1 from md5(p|d) — bit-stable, oracle-replayable.
+    Consumed by dedup_embed_cosine (candidate pairs) and sim_ann_lsh
+    (query-time bucket probe): one derivation, two operators."""
     e = _vecs(spark, sf_dir)
     qe = e.withColumn(
         "qv", F.transform("v", lambda x: F.round(x * _Q, 0).cast("bigint"))
@@ -428,6 +426,27 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bv"
         ),
     )
+    return e, bands
+
+
+@register(
+    "dedup_embed_cosine",
+    tags=("b10",),
+    oracle=f"""
+        {_SQL_EMBED_PAIRS_CHAIN}
+        SELECT vec_a, vec_b, cos_sim FROM pairs
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH (Charikar '02)
+    generates candidates, exact cosine ≥ {t} verifies.
+
+    Signatures are exact integers (shared ``_lsh_bands`` derivation):
+    narrow quantize → explode (vec × 64 dims) joined to the broadcast
+    1024-row plane table → two hash-aggs (partial map-side) → tiny
+    band self-join → exact verify on the candidate pairs only. The
+    full O(N²) pair space is never materialized."""
+    e, bands = _lsh_bands(spark, sf_dir)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["k", "bv"])
@@ -1755,4 +1774,219 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         "cos_sim",
         F.row_number().over(w).cast("long").alias("hardness_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_ann_lsh — LSH-bucketed approximate top-k (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_ann_lsh",
+    tags=("b10",),
+    oracle=f"""
+        -- LSH-bucketed ANN: each query's candidate set is every
+        -- vector sharing AT LEAST ONE of its {_LSH_BANDS} band
+        -- buckets (the same banding dedup_embed_cosine prunes pairs
+        -- with -- shared CTE prefix, one derivation); exact cosine
+        -- reranks the candidates to top-{_TOPK}. The LSH counterpart
+        -- of sim_ann_ivf's cell probe.
+        WITH {_SQL_LSH_BANDS_CTES},
+        cand AS (
+            SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+            FROM bands q
+            JOIN bands c ON c.k = q.k AND c.bv = q.bv
+                        AND c.vec_id <> q.vec_id
+            WHERE q.vec_id <= {_NQUERY}
+        )
+        SELECT q_id, vec_id, cos_sim, rnk FROM (
+            SELECT cd.q_id, cd.vec_id,
+                   CAST({_sql_cos('q', 'a')} AS DECIMAL(18,6)) AS cos_sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY cd.q_id
+                       ORDER BY {_sql_cos('q', 'a')} DESC, cd.vec_id
+                   ) AS INT) AS rnk
+            FROM cand cd
+            JOIN e q ON q.vec_id = cd.q_id
+            JOIN e a ON a.vec_id = cd.vec_id
+        ) WHERE rnk <= {_TOPK}
+    """,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-{_TOPK}: each query vector probes
+    its {_LSH_BANDS} band buckets (random-hyperplane signatures, the
+    SAME _lsh_bands derivation dedup_embed_cosine prunes pairs
+    with — one signature pipeline serves both dedup and search), and
+    exact cosine reranks the union of those buckets. The LSH
+    counterpart of sim_ann_ivf: IVF probes nearest CELLS of a
+    learned coarse quantizer; LSH probes HASH buckets that need no
+    training and update incrementally — the right trade when the
+    corpus distribution shifts faster than you can re-train centroids.
+
+    Plan/scale: the query side folds to (q_id × {_LSH_BANDS} bands)
+    rows — broadcast; the corpus band table is the ONLY shuffle
+    (bucketed-by-band in production, so a query touches its buckets
+    only); candidates dedup on (q_id, vec_id) BEFORE the exact-cosine
+    rerank, and the row_number ≤ k filter compiles to
+    WindowGroupLimit (sim_topk's two-stage shape). Recall is tunable
+    by bands×bits exactly like dedup's — ``dedup_band_tuning`` reads
+    the same trade-off curve this operator lives on."""
+    e, bands = _lsh_bands(spark, sf_dir)
+    qb = F.broadcast(
+        bands.filter(F.col("vec_id") <= _NQUERY).select(
+            F.col("vec_id").alias("q_id"), "k", "bv"
+        )
+    )
+    cand = (
+        bands.join(qb, ["k", "bv"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("v").alias("qv"),
+                F.col("n").alias("qn"),
+            ),
+            "q_id",
+        )
+        .join(e, "vec_id")
+        .select("q_id", "vec_id", _cos("qv", "v", "qn", "n").alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _TOPK)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("cos_sim").cast("decimal(18,6)").alias("cos_sim"),
+            "rnk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embed_pca_power — top principal direction by power iteration (round 8)
+# --------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+_PCA_Q = 1000  # embedding quantization grid (1e-3)
+_PCA_SCALE = 1_000_000  # vector renormalization scale
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration CTE chain (the pagerank pattern on a
+    matrix-vector recurrence): v0 = all-ones, each round
+    w = Xᵀ(Xv) over the quantized integer matrix, then the exact
+    integer renormalization v' = sign(w)·(|w|·SCALE // max|w|)."""
+    ctes = [
+        _SQL_E.strip().rstrip(),
+        f"""qe AS (
+            SELECT vec_id,
+                   [CAST(ROUND(x * {_PCA_Q}, 0) AS BIGINT) FOR x IN v] AS qv
+            FROM e
+        )""",
+        "dims AS (SELECT unnest(range(64)) AS d)",
+        f"v0 AS (SELECT d, CAST({_PCA_SCALE} AS HUGEINT) AS vv FROM dims)",
+    ]
+    for i in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""dot{i} AS (
+                SELECT q.vec_id,
+                       CAST(SUM(q.qv[t.d + 1] * t.vv) AS HUGEINT) AS dt
+                FROM qe q CROSS JOIN v{i - 1} t GROUP BY q.vec_id
+            )"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+                SELECT t.d AS d,
+                       CAST(SUM(q.qv[t.d + 1] * dd.dt) AS HUGEINT) AS w
+                FROM qe q JOIN dot{i} dd USING (vec_id)
+                CROSS JOIN dims t
+                GROUP BY t.d
+            )"""
+        )
+        ctes.append(f"m{i} AS (SELECT MAX(ABS(w)) AS mx FROM w{i})")
+        ctes.append(
+            f"""v{i} AS (
+                SELECT d,
+                       CASE WHEN w < 0
+                            THEN -(((-w) * {_PCA_SCALE}) // mx)
+                            ELSE (w * {_PCA_SCALE}) // mx END AS vv
+                FROM w{i}, m{i}
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT CAST(d AS BIGINT) AS dim,"
+        f" CAST(vv AS BIGINT) AS loading_scaled FROM v{_PCA_ITERS}"
+    )
+
+
+@register("embed_pca_power", tags=("b10",), oracle=_pca_oracle())
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by POWER
+    ITERATION — the dominant-variance axis behind whitening,
+    anisotropy diagnostics ("are my embeddings collapsing onto one
+    direction?"), and PCA-based dimensionality reduction. Exactly
+    _PCA_ITERS rounds of the v ← Xᵀ(Xv) recurrence from the all-ones
+    start, each followed by integer renormalization to max|v| =
+    _PCA_SCALE — the k-means/pagerank bounded-iteration framing, so
+    the output is deterministic and oracle-replayable (power iteration
+    converges geometrically in the spectral-gap ratio; production
+    would loop to a tolerance with the same per-round plan).
+
+    Exactness: coordinates quantize to a 1e-3 integer grid; both
+    matrix-vector products are integer sums (decimal(38,0) / HUGEINT),
+    and the renormalization is the explicit sign-split floor division
+    sign(w)·(|w|·SCALE div max|w|) — written the same way on both
+    engines so truncation direction can never diverge on negative
+    components. No float in the whole recurrence.
+
+    Plan/scale: Xv is one explode + broadcast-join (the 64-row v) +
+    vec_id-keyed agg; Xᵀ(Xv) is one join back on vec_id + a 64-group
+    agg — per round two shuffles whose reduce side is |V| and 64 rows
+    respectively; v itself never exceeds 64 rows (checkpointed per
+    round). The driver never sees the data — unlike the classic
+    numpy-on-driver PCA, this runs at any N."""
+    e = _vecs(spark, sf_dir)
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.round(x * _PCA_Q, 0).cast("bigint")
+        ).alias("qv"),
+    )
+    qx = shared_intermediate(
+        "pca_qx", qe.select("vec_id", F.posexplode("qv").alias("d", "qd"))
+    )
+    vdf = spark.range(64).select(
+        F.col("id").cast("int").alias("d"),
+        F.lit(_PCA_SCALE).cast("decimal(38,0)").alias("vv"),
+    )
+    for i in range(1, _PCA_ITERS + 1):
+        dots = (
+            qx.join(F.broadcast(vdf), "d")
+            .groupBy("vec_id")
+            .agg(F.sum(F.expr("CAST(qd AS decimal(38,0)) * vv")).alias("dt"))
+        )
+        w = (
+            qx.join(dots, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.expr("CAST(qd AS decimal(38,0)) * dt")).alias("w"))
+        )
+        mx = w.select("d", "w", F.max(F.abs("w")).over(Window.partitionBy()).alias("mx"))
+        vdf = mx.select(
+            "d",
+            F.expr(
+                f"CAST(CASE WHEN w < 0"
+                f" THEN -(((-w) * {_PCA_SCALE}) div mx)"
+                f" ELSE (w * {_PCA_SCALE}) div mx END AS decimal(38,0))"
+            ).alias("vv"),
+        )
+        vdf = shared_intermediate(f"pca_v_{i}", vdf)
+    return vdf.select(
+        F.col("d").cast("long").alias("dim"),
+        F.col("vv").cast("long").alias("loading_scaled"),
     )

@@ -2080,3 +2080,82 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((10000 * (2 * t - (n + 1) * s)) div (n * s) AS BIGINT)")
         .alias("gini_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_ratio_pin — ratio-of-sums vs avg-of-ratios divergence (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_ratio_pin",
+    tags=("b4",),
+    oracle="""
+        -- The ratio-of-sums vs average-of-ratios trap as a measured
+        -- 3-column readout (the sub_not_in_null treatment for the
+        -- second-most-filed analytics bug): "average discount" per
+        -- flag computed both ways. avg-of-ratios weights every LINE
+        -- equally; ratio-of-sums weights by REVENUE -- they diverge
+        -- exactly when big-ticket lines discount differently from
+        -- small ones, and dashboards that mix them ship wrong
+        -- numbers. Exact: per-row discount bp and price cents are
+        -- integers; both statistics are single floor divides over
+        -- 128-bit sums.
+        WITH l AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+                   CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS dbp
+            FROM lineitem
+        ),
+        m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(cents) AS HUGEINT) AS sc,
+                   CAST(SUM(dbp) AS HUGEINT) AS sd,
+                   CAST(SUM(cents * dbp) AS HUGEINT) AS scd
+            FROM l GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_lines,
+               CAST(scd // sc AS BIGINT) AS ratio_of_sums_bp,
+               CAST(sd // n AS BIGINT) AS avg_of_ratios_bp,
+               CAST(scd // sc - sd // n AS BIGINT) AS gap_bp
+        FROM m
+    """,
+)
+def agg_ratio_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ratio-of-sums vs average-of-ratios trap, pinned as a
+    regression surface (the `sub_not_in_null` treatment for the
+    second-most-filed analytics bug): "average discount rate" per
+    return flag computed BOTH ways. Average-of-ratios weights every
+    line equally; ratio-of-sums weights by revenue — they diverge
+    exactly when big-ticket lines discount differently from small
+    ones, and a dashboard that mixes the two ships wrong numbers.
+    gap_bp is the divergence, in basis points, that code review
+    argues about.
+
+    Exactness: per-row discount bp and price cents are exact integers
+    (2dp / 4dp source grids); both statistics are single floor
+    divides over decimal(38,0) sums — no float anywhere.
+
+    Plan: ONE map-side-combined hash agg carrying four sums; the
+    two ratios are a 3-row projection."""
+    li = table(spark, sf_dir, "lineitem")
+    l = li.select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(ROUND(l_discount * 10000) AS BIGINT)").alias("dbp"),
+    )
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("sc"),
+        F.sum("dbp").cast("decimal(38,0)").alias("sd"),
+        F.sum(F.expr("CAST(cents AS decimal(38,0)) * dbp")).alias("scd"),
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_lines"),
+        F.expr("CAST(scd div sc AS BIGINT)").alias("ratio_of_sums_bp"),
+        F.expr("CAST(sd div n AS BIGINT)").alias("avg_of_ratios_bp"),
+        F.expr("CAST(scd div sc - sd div n AS BIGINT)").alias("gap_bp"),
+    )

@@ -320,6 +320,9 @@ DRIVER_ORDER = [
     "ts_cross_correlation",
     "events_sample_size",
     "sample_shard_assign",
+    "sim_ann_lsh",
+    "agg_ratio_pin",
+    "embed_pca_power",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -307,3 +307,127 @@ def test_shard_checksum_is_order_sensitive():
     base = sum(pos * f for pos, f in [(1, 7), (2, 11), (3, 13)])
     swapped = sum(pos * f for pos, f in [(1, 11), (2, 7), (3, 13)])
     assert base != swapped
+
+
+# --------------------------------------------------------------------------
+# agg_ratio_pin
+# --------------------------------------------------------------------------
+
+
+def test_ratio_pin_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT l_returnflag, CAST(ROUND(l_extendedprice*100,0) AS BIGINT),"
+        " CAST(ROUND(l_discount*10000,0) AS BIGINT) FROM lineitem"
+    ).fetchall()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for f, c, d in rows:
+        a = agg[f]
+        a[0] += 1
+        a[1] += c
+        a[2] += d
+        a[3] += c * d
+    got = {
+        r.l_returnflag: (r.n_lines, r.ratio_of_sums_bp, r.avg_of_ratios_bp, r.gap_bp)
+        for r in SPECS["agg_ratio_pin"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        f: (n, scd // sc, sd // n, scd // sc - sd // n)
+        for f, (n, sc, sd, scd) in agg.items()
+    }
+    assert got == want
+
+
+def test_ratio_pin_diverges_on_skewed_discounting():
+    # synthetic proof the two statistics measure different things:
+    # big line discounted 10%, tiny line 0% -> ratio-of-sums ~10%,
+    # avg-of-ratios 5%.
+    lines = [(1_000_000, 1000), (100, 0)]
+    n = len(lines)
+    sc = sum(c for c, _ in lines)
+    sd = sum(d for _, d in lines)
+    scd = sum(c * d for c, d in lines)
+    assert scd // sc == 999  # revenue-weighted ~10%
+    assert sd // n == 500  # line-weighted 5%
+
+
+# --------------------------------------------------------------------------
+# sim_ann_lsh
+# --------------------------------------------------------------------------
+
+
+def test_ann_lsh_subset_of_buckets_and_ranked(spark, sf_dir, duck):
+    out = SPECS["sim_ann_lsh"].fn(spark, sf_dir).collect()
+    # per-query ranks are 1..k' (k' <= 5) and cosine non-increasing
+    per_q = defaultdict(list)
+    for r in out:
+        per_q[r.q_id].append((r.rnk, float(r.cos_sim), r.vec_id))
+    assert per_q and all(q <= 10 for q in per_q)
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [r for r, _, _ in rows] == list(range(1, len(rows) + 1))
+        cs = [c for _, c, _ in rows]
+        assert all(a >= b for a, b in zip(cs, cs[1:]))
+        assert all(v != q for _, _, v in rows)
+
+
+def test_ann_lsh_recall_vs_exact_topk(spark, sf_dir):
+    # candidates come from shared buckets; ranked overlap with the
+    # exact top-5 must be substantial on the fixture (LSH recall).
+    exact = defaultdict(set)
+    for r in SPECS["sim_topk"].fn(spark, sf_dir).collect():
+        exact[r.q_id].add(r.vec_id)
+    approx = defaultdict(set)
+    for r in SPECS["sim_ann_lsh"].fn(spark, sf_dir).collect():
+        approx[r.q_id].add(r.vec_id)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total > 0.2  # bucket probe finds a real fraction
+
+
+# --------------------------------------------------------------------------
+# embed_pca_power
+# --------------------------------------------------------------------------
+
+
+def test_pca_power_matches_python_replay(spark, sf_dir, duck):
+    vecs = duck.execute(
+        "SELECT vec_id, [CAST(ROUND(x*1000,0) AS BIGINT) FOR x IN"
+        " embedding::DOUBLE[]] FROM embeddings"
+    ).fetchall()
+    X = [qv for _, qv in vecs]
+    v = [1_000_000] * 64
+    for _ in range(3):
+        dots = [sum(q * w for q, w in zip(row, v)) for row in X]
+        wv = [
+            sum(row[d] * dt for row, dt in zip(X, dots)) for d in range(64)
+        ]
+        mx = max(abs(x) for x in wv)
+        v = [
+            -((-x) * 1_000_000 // mx) if x < 0 else x * 1_000_000 // mx
+            for x in wv
+        ]
+    got = {
+        r.dim: r.loading_scaled
+        for r in SPECS["embed_pca_power"].fn(spark, sf_dir).collect()
+    }
+    assert got == {d: v[d] for d in range(64)}
+    # renormalization pins the max component at the scale
+    assert max(abs(x) for x in got.values()) == 1_000_000
+
+
+def test_pca_power_recovers_planted_direction():
+    # synthetic: rank-1 data along axis 2 -> the iteration must land
+    # on (0,...,0,±SCALE,0,...) exactly.
+    X = [[0] * 64 for _ in range(10)]
+    for i, row in enumerate(X):
+        row[2] = (i + 1) * 100
+    v = [1_000_000] * 64
+    for _ in range(3):
+        dots = [sum(q * w for q, w in zip(row, v)) for row in X]
+        wv = [sum(row[d] * dt for row, dt in zip(X, dots)) for d in range(64)]
+        mx = max(abs(x) for x in wv)
+        v = [
+            -((-x) * 1_000_000 // mx) if x < 0 else x * 1_000_000 // mx
+            for x in wv
+        ]
+    assert v[2] == 1_000_000 and all(v[d] == 0 for d in range(64) if d != 2)
