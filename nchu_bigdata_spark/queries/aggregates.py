@@ -2159,3 +2159,180 @@ def agg_ratio_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sd div n AS BIGINT)").alias("avg_of_ratios_bp"),
         F.expr("CAST(scd div sc - sd div n AS BIGINT)").alias("gap_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_percentile_hist — mergeable-histogram percentile estimates (round 8)
+# --------------------------------------------------------------------------
+
+_HIST_W = 10_000  # equi-width bucket = $100 in cents
+
+
+@register(
+    "agg_percentile_hist",
+    tags=("b4",),
+    oracle=f"""
+        -- Approximate percentiles from a MERGEABLE equi-width
+        -- histogram (bucket = $100 of extendedprice), with the exact
+        -- nearest-rank percentile and the error in bp beside each
+        -- estimate -- the self-auditing sketch pattern
+        -- (ann_recall_eval / embed_quantize). The histogram is the
+        -- 100 TB shape: map-side combinable, constant memory, one
+        -- pass; the exact path needs a per-group sort. Integer
+        -- end-to-end: rank k = ceil(n*q/100) = (n*q+99)//100; the
+        -- in-bucket linear interpolation ((k-cum_prev)*W)//cnt stays
+        -- in cents.
+        WITH l AS (
+            SELECT l_returnflag AS flag,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        hist AS (
+            SELECT flag, cents // {_HIST_W} AS b, COUNT(*) AS cnt
+            FROM l GROUP BY flag, cents // {_HIST_W}
+        ),
+        hc AS (
+            SELECT flag, b, cnt,
+                   SUM(cnt) OVER (PARTITION BY flag ORDER BY b) AS cum,
+                   SUM(cnt) OVER (PARTITION BY flag) AS n
+            FROM hist
+        ),
+        est AS (
+            SELECT flag, MAX(n) AS n,
+                   MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+                             AND cum - cnt < (n * 50 + 99) // 100 THEN
+                       b * {_HIST_W} + ((n * 50 + 99) // 100 - (cum - cnt))
+                           * {_HIST_W} // cnt END) AS p50_est,
+                   MIN(CASE WHEN cum >= (n * 90 + 99) // 100
+                             AND cum - cnt < (n * 90 + 99) // 100 THEN
+                       b * {_HIST_W} + ((n * 90 + 99) // 100 - (cum - cnt))
+                           * {_HIST_W} // cnt END) AS p90_est,
+                   MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+                             AND cum - cnt < (n * 99 + 99) // 100 THEN
+                       b * {_HIST_W} + ((n * 99 + 99) // 100 - (cum - cnt))
+                           * {_HIST_W} // cnt END) AS p99_est
+            FROM hc GROUP BY flag
+        ),
+        cd AS (
+            SELECT flag, cents, COUNT(*) AS cnt FROM l GROUP BY flag, cents
+        ),
+        cc AS (
+            SELECT flag, cents, cnt,
+                   SUM(cnt) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+                   SUM(cnt) OVER (PARTITION BY flag) AS n
+            FROM cd
+        ),
+        ex AS (
+            SELECT flag,
+                   MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+                             AND cum - cnt < (n * 50 + 99) // 100
+                            THEN cents END) AS p50_exact,
+                   MIN(CASE WHEN cum >= (n * 90 + 99) // 100
+                             AND cum - cnt < (n * 90 + 99) // 100
+                            THEN cents END) AS p90_exact,
+                   MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+                             AND cum - cnt < (n * 99 + 99) // 100
+                            THEN cents END) AS p99_exact
+            FROM cc GROUP BY flag
+        )
+        SELECT e.flag AS l_returnflag, CAST(e.n AS BIGINT) AS n,
+               CAST(e.p50_est AS BIGINT) AS p50_est,
+               CAST(x.p50_exact AS BIGINT) AS p50_exact,
+               CAST(ABS(e.p50_est - x.p50_exact) * 10000 // x.p50_exact
+                    AS BIGINT) AS p50_err_bp,
+               CAST(e.p90_est AS BIGINT) AS p90_est,
+               CAST(x.p90_exact AS BIGINT) AS p90_exact,
+               CAST(ABS(e.p90_est - x.p90_exact) * 10000 // x.p90_exact
+                    AS BIGINT) AS p90_err_bp,
+               CAST(e.p99_est AS BIGINT) AS p99_est,
+               CAST(x.p99_exact AS BIGINT) AS p99_exact,
+               CAST(ABS(e.p99_est - x.p99_exact) * 10000 // x.p99_exact
+                    AS BIGINT) AS p99_err_bp
+        FROM est e JOIN ex x ON x.flag = e.flag
+    """,
+)
+def agg_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 from a MERGEABLE equi-width histogram
+    (bucket = $100), with the exact nearest-rank percentile and the
+    estimation error in bp reported BESIDE each estimate — the
+    self-auditing sketch pattern (`ann_recall_eval`, `embed_quantize`):
+    the operator carries its own accuracy certificate. This is the
+    percentile you can afford at 100 TB: the histogram is map-side
+    combinable, constant memory, mergeable across partitions/days —
+    where `agg_percentile_exact` pays a per-group sort.
+
+    Exactness of the APPROXIMATION (the estimate itself is
+    deterministic): rank k = ceil(n·q/100) = (n·q+99) div 100; the
+    in-bucket linear interpolation ((k − cum_prev)·W) div cnt stays in
+    integer cents — both engines replay the identical arithmetic.
+
+    Plan/scale: two map-side-combined groupBys (bucket-level: ~price
+    range / $100 groups; cents-level for the audit: bounded support);
+    cumulative windows run over those bounded-cardinality rollups,
+    never over raw rows. At 100 TB you'd drop the exact audit path and
+    keep the histogram; the plan's fact-side cost is the ONE bucket
+    rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    l = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w_cum_b = Window.partitionBy("flag").orderBy("b")
+    w_all = Window.partitionBy("flag")
+    hc = (
+        l.groupBy("flag", F.expr(f"cents div {_HIST_W}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "flag",
+            "b",
+            "cnt",
+            F.sum("cnt").over(w_cum_b).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+    )
+
+    def hist_est(q: int):
+        k = f"(n * {q} + 99) div 100"
+        return F.min(
+            F.expr(
+                f"CASE WHEN cum >= {k} AND cum - cnt < {k} THEN"
+                f" b * {_HIST_W} + ({k} - (cum - cnt)) * {_HIST_W} div cnt"
+                f" END"
+            )
+        ).alias(f"p{q}_est")
+
+    est = hc.groupBy("flag").agg(
+        F.max("n").alias("n"), hist_est(50), hist_est(90), hist_est(99)
+    )
+    w_cum_c = Window.partitionBy("flag").orderBy("cents")
+    cc = (
+        l.groupBy("flag", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "flag",
+            "cents",
+            "cnt",
+            F.sum("cnt").over(w_cum_c).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+    )
+
+    def exact_q(q: int):
+        k = f"(n * {q} + 99) div 100"
+        return F.min(
+            F.expr(f"CASE WHEN cum >= {k} AND cum - cnt < {k} THEN cents END")
+        ).alias(f"p{q}_exact")
+
+    ex = cc.groupBy("flag").agg(exact_q(50), exact_q(90), exact_q(99))
+    j = est.join(ex, "flag")
+    cols = [F.col("flag").alias("l_returnflag"), F.col("n").cast("long").alias("n")]
+    for q in (50, 90, 99):
+        cols += [
+            F.col(f"p{q}_est").cast("long").alias(f"p{q}_est"),
+            F.col(f"p{q}_exact").cast("long").alias(f"p{q}_exact"),
+            F.expr(
+                f"CAST(ABS(p{q}_est - p{q}_exact) * 10000"
+                f" div p{q}_exact AS BIGINT)"
+            ).alias(f"p{q}_err_bp"),
+        ]
+    return j.select(*cols)

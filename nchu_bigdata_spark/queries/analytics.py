@@ -4606,3 +4606,85 @@ def events_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div ((n - 1) * sx * sx) AS BIGINT)"
         ).alias("n_required"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_velocity_flags — trailing-window velocity rule (round 8)
+# --------------------------------------------------------------------------
+
+_VEL_WINDOW_S = 86_399  # trailing 24h (inclusive range frame)
+_VEL_THRESHOLD = 4
+
+
+@register(
+    "events_velocity_flags",
+    tags=("b3",),
+    oracle=f"""
+        -- Velocity rule (fraud/rate-limit screening): flag every
+        -- event whose user produced >= {_VEL_THRESHOLD} events in the
+        -- trailing 24h INCLUDING it, then roll offenders up to one
+        -- row per user (flag count, peak burst, first-flag second).
+        -- The time-based sibling of events_bot_flags' volume screen:
+        -- velocity reads the CLOCK, not the daily calendar, so a
+        -- burst straddling midnight still trips it.
+        WITH p AS (
+            SELECT user_id, epoch_us(ts) // 1000000 AS s FROM events
+        ),
+        w AS (
+            SELECT user_id, s,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY s
+                       RANGE BETWEEN {_VEL_WINDOW_S} PRECEDING
+                                 AND CURRENT ROW
+                   ) AS burst
+            FROM p
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_flagged,
+               CAST(MAX(burst) AS BIGINT) AS max_burst,
+               CAST(MIN(s) AS BIGINT) AS first_flag_s
+        FROM w WHERE burst >= {_VEL_THRESHOLD}
+        GROUP BY user_id
+    """,
+)
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity rule — the fraud / rate-limit screen: flag every event
+    whose user produced ≥ {t} events in the trailing 24 hours
+    including it, rolled up to one row per offending user (flag
+    count, peak burst size, first flagged second). The time-based
+    sibling of `events_bot_flags`' daily-volume screen: velocity
+    reads the CLOCK, not the calendar, so a burst straddling midnight
+    still trips it — which is exactly the evasion pattern calendar
+    buckets miss.
+
+    Exactness: pure integer second arithmetic; the RANGE frame is
+    value-based (seconds), so tied timestamps count each other
+    symmetrically on both engines.
+
+    Plan/scale: ONE user-keyed sort window (the sessionize shape —
+    partition by the natural entity key, so no global sort and no
+    skew beyond the hottest single user); the offender rollup reuses
+    the same partitioning, and output is |flagged users| rows. The
+    streaming twin is `stream_stateful`'s running per-key state —
+    this is the batch/backfill form."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 1000000").alias("s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-_VEL_WINDOW_S, 0)
+    )
+    burst = p.select(
+        "user_id", "s", F.count(F.lit(1)).over(w).alias("burst")
+    )
+    return (
+        burst.filter(F.col("burst") >= _VEL_THRESHOLD)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_flagged"),
+            F.max("burst").cast("long").alias("max_burst"),
+            F.min("s").cast("long").alias("first_flag_s"),
+        )
+    )

@@ -383,3 +383,63 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# join_existence — EXISTS flags in the projection (ExistenceJoin) (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_existence",
+    tags=("b5",),
+    oracle="""
+        -- EXISTS as a PROJECTED FLAG (not a filter): one pass over
+        -- customers emitting two membership bits. Semi/anti joins
+        -- KEEP or DROP rows; the third shape keeps every row and
+        -- ANNOTATES it -- the feature-engineering / segmentation
+        -- staple ("has an open order", "has a big-ticket order")
+        -- that naive SQL writes as two correlated subqueries per row.
+        SELECT c_custkey,
+               EXISTS(SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O') AS has_open,
+               EXISTS(SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000) AS has_big
+        FROM customer c
+    """,
+)
+def join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a PROJECTED FLAG — Catalyst's third join consumption
+    shape beside semi (keep) and anti (drop): keep EVERY row and
+    annotate it with membership bits. The feature-engineering /
+    segmentation staple ("has an open order", "has a big-ticket
+    order"): written naively it's two correlated subqueries per
+    customer; Catalyst decorrelates each into an ExistenceJoin — a
+    hash join that emits a BOOLEAN instead of dropping rows, asserted
+    in the plan audit.
+
+    Plan/scale: two ExistenceJoins, each ONE hash join against the
+    (pre-filtered, map-side-pruned) orders projection — the status
+    and price predicates push into the build sides, so each build is
+    the qualifying-orders subset, not all orders. No row explosion:
+    output cardinality is exactly |customer| whatever the order
+    fan-out — the property that makes existence flags safe where a
+    plain left join would duplicate customers."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("je_customer")
+    orders.createOrReplaceTempView("je_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               EXISTS(SELECT 1 FROM je_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O') AS has_open,
+               EXISTS(SELECT 1 FROM je_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000) AS has_big
+        FROM je_customer c
+        """
+    )

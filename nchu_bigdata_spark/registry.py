@@ -323,6 +323,9 @@ DRIVER_ORDER = [
     "sim_ann_lsh",
     "agg_ratio_pin",
     "embed_pca_power",
+    "agg_percentile_hist",
+    "join_existence",
+    "events_velocity_flags",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -431,3 +431,126 @@ def test_pca_power_recovers_planted_direction():
             for x in wv
         ]
     assert v[2] == 1_000_000 and all(v[d] == 0 for d in range(64) if d != 2)
+
+
+# --------------------------------------------------------------------------
+# agg_percentile_hist
+# --------------------------------------------------------------------------
+
+
+def test_percentile_hist_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT l_returnflag, CAST(ROUND(l_extendedprice*100,0) AS BIGINT)"
+        " FROM lineitem"
+    ).fetchall()
+    W = 10_000
+    by_flag = defaultdict(list)
+    for f, c in rows:
+        by_flag[f].append(c)
+    want = {}
+    for f, cs in by_flag.items():
+        cs.sort()
+        n = len(cs)
+        row = [n]
+        for q in (50, 90, 99):
+            k = (n * q + 99) // 100
+            exact = cs[k - 1]
+            hist = Counter(c // W for c in cs)
+            cum = 0
+            est = None
+            for b in sorted(hist):
+                prev = cum
+                cum += hist[b]
+                if cum >= k:
+                    est = b * W + (k - prev) * W // hist[b]
+                    break
+            row += [est, exact, abs(est - exact) * 10000 // exact]
+        want[f] = tuple(row)
+    got = {
+        r.l_returnflag: (
+            r.n,
+            r.p50_est, r.p50_exact, r.p50_err_bp,
+            r.p90_est, r.p90_exact, r.p90_err_bp,
+            r.p99_est, r.p99_exact, r.p99_err_bp,
+        )
+        for r in SPECS["agg_percentile_hist"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the $100 histogram lands within its documented bucket bound
+    for f, row in got.items():
+        for est, exact in [(row[1], row[2]), (row[4], row[5]), (row[7], row[8])]:
+            assert abs(est - exact) <= 10_000
+
+
+# --------------------------------------------------------------------------
+# join_existence
+# --------------------------------------------------------------------------
+
+
+def test_existence_flags_match_python_replay(spark, sf_dir, duck):
+    custs = [r[0] for r in duck.execute("SELECT c_custkey FROM customer").fetchall()]
+    opens = {
+        r[0]
+        for r in duck.execute(
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O'"
+        ).fetchall()
+    }
+    bigs = {
+        r[0]
+        for r in duck.execute(
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000"
+        ).fetchall()
+    }
+    got = {
+        r.c_custkey: (r.has_open, r.has_big)
+        for r in SPECS["join_existence"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(custs)  # every customer kept, none duplicated
+    for c in custs:
+        assert got[c] == (c in opens, c in bigs)
+    # all four flag combinations are semantically possible; at least
+    # both values of each bit occur on the fixture
+    assert {o for o, _ in got.values()} == {True, False} or len(opens) in (0, len(custs))
+
+
+def test_existence_join_in_plan(spark, sf_dir):
+    import io, contextlib
+
+    df = SPECS["join_existence"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert buf.getvalue().count("ExistenceJoin") >= 2
+
+
+# --------------------------------------------------------------------------
+# events_velocity_flags
+# --------------------------------------------------------------------------
+
+
+def test_velocity_flags_match_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT user_id, epoch_us(ts) // 1000000 FROM events"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, s in rows:
+        by_user[u].append(s)
+    want = {}
+    for u, ss in by_user.items():
+        ss.sort()
+        flagged = []
+        for i, s in enumerate(ss):
+            burst = sum(1 for t in ss if s - 86_399 <= t <= s)
+            if burst >= 4:
+                flagged.append((s, burst))
+        if flagged:
+            want[u] = (
+                len(flagged),
+                max(b for _, b in flagged),
+                min(s for s, _ in flagged),
+            )
+    got = {
+        r.user_id: (r.n_flagged, r.max_burst, r.first_flag_s)
+        for r in SPECS["events_velocity_flags"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -58,6 +58,10 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"might_contain", r"bloom_filter_agg", r"SortMergeJoin|ShuffledHashJoin"],
         [r"BroadcastHashJoin"],
     ),
+    # projected EXISTS flags: both correlated subqueries must
+    # decorrelate into ExistenceJoins (hash joins emitting a boolean),
+    # never per-row re-scans
+    "join_existence": ([r"ExistenceJoin"], [r"BroadcastNestedLoopJoin"]),
     # MERGE-as-join: one anti hash-join on the merge key plus a
     # shuffle-free union — never a nested loop, never a second target
     # exchange
