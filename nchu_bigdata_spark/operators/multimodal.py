@@ -34,7 +34,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1211,4 +1211,110 @@ def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
     return with_payload(docs).mapInPandas(
         _synth_and_scene_changes, _SCENE_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal_batch_plan — capacity-bucket decode batching (round 8)
+# --------------------------------------------------------------------------
+
+_BATCH_BUDGET = 4096  # decode-batch byte budget
+
+
+@register(
+    "multimodal_batch_plan",
+    tags=("b10",),
+    oracle=f"""
+        -- GPU decode-batch planner: pack each modality's blobs (in
+        -- doc_id order) into ~{_BATCH_BUDGET}-byte batches via
+        -- CAPACITY BUCKETS -- batch = preceding cumulative bytes //
+        -- budget, so a blob lands wholly in the batch its offset
+        -- starts in (blobs never split; a batch may overshoot by
+        -- < max blob, the documented bound). The distributed
+        -- one-window form of greedy first-fit (exact first-fit is
+        -- sequential state -- the streaming twin).
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, modality, n_bytes,
+                   COALESCE(SUM(n_bytes) OVER (
+                       PARTITION BY modality ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM s
+        ),
+        a AS (
+            SELECT modality, cum_before // {_BATCH_BUDGET} AS batch,
+                   n_bytes
+            FROM c
+        )
+        SELECT modality, CAST(batch AS BIGINT) AS batch,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(n_bytes) AS BIGINT) AS batch_bytes,
+               CAST(MAX(n_bytes) AS BIGINT) AS max_item_bytes,
+               CAST(SUM(n_bytes) * 10000 // {_BATCH_BUDGET} AS BIGINT)
+                   AS fill_bp
+        FROM a GROUP BY modality, batch
+    """,
+)
+def multimodal_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPU decode-batch planner: pack each modality's blobs (doc_id
+    order) into ~4 KiB decode batches — the batching step between
+    blob storage and the accelerator, where batches too small waste
+    kernel launches and too large blow device memory. CAPACITY
+    BUCKETS: batch = preceding-cumulative-bytes div budget, so every
+    blob lands wholly in the batch its byte offset starts in; blobs
+    never split across batches, and a batch overshoots the budget by
+    at most one blob (max_item_bytes is reported so the bound is
+    auditable per batch). This is the distributed one-window form of
+    greedy first-fit — exact first-fit needs sequential state, which
+    is the streaming twin's job. fill_bp reads utilization.
+
+    Exactness: byte length of the payload (UTF-8 encode of the fake
+    media text — `with_payload`'s derivation), pure integer cumsum /
+    floor-div; note octet_length(encode(text)) == strlen-in-bytes on
+    both engines.
+
+    Plan/scale: ONE modality-partitioned sort window (the
+    pack_sequences shape — per-shard packing, never one global
+    running total), then a (modality, batch) map-side rollup. At
+    100 TB the partition key becomes (modality, shard) exactly like
+    the training-shard layout."""
+    docs = table(spark, sf_dir, "documents")
+    s = with_payload(docs).select(
+        "doc_id",
+        "modality",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("modality")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = s.withColumn(
+        "cum_before", F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    ).select(
+        "modality",
+        F.expr(f"cum_before div {_BATCH_BUDGET}").alias("batch"),
+        "n_bytes",
+    )
+    return a.groupBy("modality", "batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("n_bytes").cast("long").alias("batch_bytes"),
+        F.max("n_bytes").cast("long").alias("max_item_bytes"),
+        F.expr(f"CAST(SUM(n_bytes) * 10000 div {_BATCH_BUDGET} AS BIGINT)")
+        .alias("fill_bp"),
+    ).select(
+        "modality",
+        F.col("batch").cast("long").alias("batch"),
+        "n_items",
+        "batch_bytes",
+        "max_item_bytes",
+        "fill_bp",
     )

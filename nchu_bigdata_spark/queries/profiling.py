@@ -574,3 +574,122 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# dq_header_detail — header/detail reconciliation audit (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_header_detail",
+    tags=("b9",),
+    oracle="""
+        -- Header-vs-detail reconciliation: does the order header's
+        -- o_totalprice equal the sum of its lines' charges
+        -- (extendedprice * (1-discount) * (1+tax))? The oldest
+        -- warehouse audit there is -- double-entry for fact tables:
+        -- referential integrity says every line HAS a header; this
+        -- says the MONEY agrees. Exact: cents x (10^4 - disc_bp) x
+        -- (10^4 + tax_bp) is an integer in 1e-10-dollar units; the
+        -- header side scales by 10^8; the relative gap is a floor
+        -- cross-multiply into bp bands.
+        WITH l AS (
+            SELECT l_orderkey AS ok,
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS HUGEINT)
+                       * (10000 - CAST(ROUND(l_discount * 10000, 0) AS HUGEINT))
+                       * (10000 + CAST(ROUND(l_tax * 10000, 0) AS HUGEINT)))
+                       AS line_e8
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT) * 100000000
+                       AS head_e8,
+                   line_e8
+            FROM orders LEFT JOIN l ON ok = o_orderkey
+        ),
+        g AS (
+            SELECT o_orderkey,
+                   CASE WHEN line_e8 IS NULL THEN -1
+                        ELSE ABS(head_e8 - line_e8) * 10000 // head_e8
+                   END AS gap_bp
+            FROM j
+        ),
+        b AS (
+            SELECT o_orderkey, gap_bp,
+                   CASE WHEN gap_bp = -1 THEN 'no_lines'
+                        WHEN gap_bp = 0 THEN 'exact'
+                        WHEN gap_bp <= 10 THEN 'within_10bp'
+                        WHEN gap_bp <= 100 THEN 'within_100bp'
+                        WHEN gap_bp <= 1000 THEN 'within_1000bp'
+                        ELSE 'over_1000bp' END AS band
+            FROM g
+        )
+        SELECT band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(gap_bp) AS BIGINT) AS min_gap_bp,
+               CAST(MAX(gap_bp) AS BIGINT) AS max_gap_bp
+        FROM b GROUP BY band
+    """,
+)
+def dq_header_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation — double-entry for fact tables:
+    does each order header's o_totalprice equal the sum of its lines'
+    charges (extendedprice·(1−discount)·(1+tax))?
+    `dq_referential_integrity` says every line HAS a header; this says
+    the MONEY agrees — the audit that catches partial loads, double
+    loads, and drift between independently-ingested header and detail
+    feeds. Output is the gap distribution in bp bands (exact /
+    ≤10bp / ≤100bp / ≤1000bp / worse / headers with no lines), the
+    shape a reconciliation dashboard pages on.
+
+    Exactness: cents × (10⁴−disc_bp) × (10⁴+tax_bp) is an exact
+    integer in 1e-10-dollar units; the header scales by 10⁸ to the
+    same grid; the relative gap is one floor cross-multiply into bp.
+    All decimal(38,0)/HUGEINT.
+
+    Plan/scale: the detail side collapses map-side to |orders| rows
+    BEFORE the join (never join raw lineitem to headers then agg);
+    one orderkey join, one 6-group rollup."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    l = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sum(
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100) AS decimal(38,0))"
+                " * (10000 - CAST(ROUND(l_discount * 10000) AS decimal(38,0)))"
+                " * (10000 + CAST(ROUND(l_tax * 10000) AS decimal(38,0)))"
+            )
+        ).alias("line_e8")
+    )
+    j = o.join(l, o.o_orderkey == l.ok, "left").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS decimal(38,0)) * 100000000"
+        ).alias("head_e8"),
+        "line_e8",
+    )
+    g = j.select(
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN line_e8 IS NULL THEN -1"
+            " ELSE ABS(head_e8 - line_e8) * 10000 div head_e8 END"
+        ).alias("gap_bp"),
+    )
+    b = g.select(
+        "gap_bp",
+        F.expr(
+            "CASE WHEN gap_bp = -1 THEN 'no_lines'"
+            " WHEN gap_bp = 0 THEN 'exact'"
+            " WHEN gap_bp <= 10 THEN 'within_10bp'"
+            " WHEN gap_bp <= 100 THEN 'within_100bp'"
+            " WHEN gap_bp <= 1000 THEN 'within_1000bp'"
+            " ELSE 'over_1000bp' END"
+        ).alias("band"),
+    )
+    return b.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("gap_bp").cast("long").alias("min_gap_bp"),
+        F.max("gap_bp").cast("long").alias("max_gap_bp"),
+    )

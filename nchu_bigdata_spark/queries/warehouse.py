@@ -2164,3 +2164,131 @@ def orders_returns_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("return_value_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# orders_interval_merge — merge overlapping fulfillment windows (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_interval_merge",
+    tags=("b11",),
+    oracle="""
+        -- Merge overlapping intervals (the gaps-and-islands UNION
+        -- form): each order's fulfillment window [orderdate,
+        -- max(shipdate)] per customer, coalesced into maximal
+        -- non-overlapping activity windows -- the interval-union
+        -- primitive behind "total days under active fulfillment"
+        -- (billable-coverage / SLA-exposure math, where summing raw
+        -- durations double-counts overlaps). Island detection: a new
+        -- island starts when this start exceeds the running max END
+        -- of all PRECEDING intervals (strictly-before frame).
+        WITH iv AS (
+            SELECT o_custkey AS ck, o_orderkey AS ok,
+                   epoch_us(o_orderdate) // 86400000000 AS s,
+                   MAX(epoch_us(l_shipdate) // 86400000000) AS e
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_custkey, o_orderkey, o_orderdate
+        ),
+        m AS (
+            SELECT ck, ok, s, e,
+                   MAX(e) OVER (
+                       PARTITION BY ck ORDER BY s, e, ok
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max_e
+            FROM iv
+        ),
+        isl AS (
+            SELECT ck, s, e,
+                   SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY ck ORDER BY s, e, ok
+                   ) AS island
+            FROM m
+        ),
+        w AS (
+            SELECT ck, island, MIN(s) AS ws, MAX(e) AS we,
+                   COUNT(*) AS n_orders
+            FROM isl GROUP BY ck, island
+        )
+        SELECT ck AS o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+               CAST(SUM(we - ws + 1) AS BIGINT) AS covered_days,
+               CAST(MAX(we) - MIN(ws) + 1 AS BIGINT) AS span_days
+        FROM w GROUP BY ck
+    """,
+)
+def orders_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals — the gaps-and-islands UNION form:
+    each order's fulfillment window [orderdate, max(shipdate)] per
+    customer, coalesced into maximal non-overlapping activity windows.
+    The interval-union primitive behind "total days under active
+    fulfillment": billable-coverage / SLA-exposure math where summing
+    raw durations double-counts overlaps (`join_interval_overlap`
+    finds PAIRS that overlap; this REMOVES the overlap). covered_days
+    < span_days exposes the idle gaps between windows.
+
+    Mechanics: an island starts exactly when this interval's start
+    exceeds the running MAX END of all preceding intervals (the
+    strictly-before ROWS frame) — the standard reduction that handles
+    nested and chained overlaps alike; island id = running sum of
+    start flags. All integer epoch days.
+
+    Plan/scale: the per-order rollup collapses lineitem map-side;
+    then ONE custkey-partitioned sort serves the running-max window,
+    the island-id window, and both rollups partition-locally — the
+    sessionize shape (no global sort, parallel across customers)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            F.max(
+                F.expr(
+                    "unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                    " div 86400000000"
+                )
+            ).alias(
+                "e"
+            )
+        )
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderkey").alias("ok"),
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+            ).alias("s"),
+            "e",
+        )
+    )
+    w_ord = Window.partitionBy("ck").orderBy("s", "e", "ok")
+    m = iv.withColumn(
+        "prev_max_e",
+        F.max("e").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(w_ord),
+    )
+    w = isl.groupBy("ck", "island").agg(
+        F.min("s").alias("ws"),
+        F.max("e").alias("we"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return w.groupBy(F.col("ck").alias("o_custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum(F.col("we") - F.col("ws") + 1).cast("long").alias("covered_days"),
+        (F.max("we") - F.min("ws") + 1).cast("long").alias("span_days"),
+    )

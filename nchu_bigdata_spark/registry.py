@@ -326,6 +326,9 @@ DRIVER_ORDER = [
     "agg_percentile_hist",
     "join_existence",
     "events_velocity_flags",
+    "orders_interval_merge",
+    "dq_header_detail",
+    "multimodal_batch_plan",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

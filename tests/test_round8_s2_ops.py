@@ -554,3 +554,142 @@ def test_velocity_flags_match_python_replay(spark, sf_dir, duck):
         for r in SPECS["events_velocity_flags"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# orders_interval_merge
+# --------------------------------------------------------------------------
+
+
+def test_interval_merge_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        """
+        SELECT o_custkey, o_orderkey,
+               epoch_us(o_orderdate) // 86400000000,
+               MAX(epoch_us(l_shipdate) // 86400000000)
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, o_orderkey, o_orderdate
+        """
+    ).fetchall()
+    by_ck = defaultdict(list)
+    for ck, ok, s, e in rows:
+        by_ck[ck].append((s, e, ok))
+    want = {}
+    for ck, ivs in by_ck.items():
+        ivs.sort()
+        islands = []
+        for s, e, _ in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1] = (islands[-1][0], max(islands[-1][1], e), islands[-1][2] + 1)
+            else:
+                islands.append((s, e, 1))
+        want[ck] = (
+            len(islands),
+            sum(n for _, _, n in islands),
+            sum(e - s + 1 for s, e, _ in islands),
+            max(e for _, e, _ in islands) - min(s for s, _, _ in islands) + 1,
+        )
+    got = {
+        r.o_custkey: (r.n_windows, r.n_orders, r.covered_days, r.span_days)
+        for r in SPECS["orders_interval_merge"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # overlap removal really removes: some customer has covered < raw sum
+    raw = {
+        ck: sum(e - s + 1 for s, e, _ in ivs) for ck, ivs in by_ck.items()
+    }
+    assert any(got[ck][2] < raw[ck] for ck in got)
+
+
+def test_interval_merge_islands_unit():
+    # nested + chained + disjoint: [1,10],[2,3],[9,12],[20,21] -> 2 islands
+    ivs = sorted([(1, 10), (2, 3), (9, 12), (20, 21)])
+    islands = []
+    for s, e in ivs:
+        if islands and s <= islands[-1][1]:
+            islands[-1] = (islands[-1][0], max(islands[-1][1], e))
+        else:
+            islands.append((s, e))
+    assert islands == [(1, 12), (20, 21)]
+
+
+# --------------------------------------------------------------------------
+# dq_header_detail
+# --------------------------------------------------------------------------
+
+
+def test_header_detail_matches_python_replay(spark, sf_dir, duck):
+    lines = duck.execute(
+        "SELECT l_orderkey, CAST(ROUND(l_extendedprice*100,0) AS BIGINT),"
+        " CAST(ROUND(l_discount*10000,0) AS BIGINT),"
+        " CAST(ROUND(l_tax*10000,0) AS BIGINT) FROM lineitem"
+    ).fetchall()
+    heads = duck.execute(
+        "SELECT o_orderkey, CAST(ROUND(o_totalprice*100,0) AS BIGINT)"
+        " FROM orders"
+    ).fetchall()
+    le8 = defaultdict(int)
+    for ok, c, d, t in lines:
+        le8[ok] += c * (10000 - d) * (10000 + t)
+    bands = defaultdict(lambda: [0, None, None])
+    for ok, hc in heads:
+        h8 = hc * 100_000_000
+        if ok not in le8:
+            gap, band = -1, "no_lines"
+        else:
+            gap = abs(h8 - le8[ok]) * 10000 // h8
+            band = (
+                "exact" if gap == 0
+                else "within_10bp" if gap <= 10
+                else "within_100bp" if gap <= 100
+                else "within_1000bp" if gap <= 1000
+                else "over_1000bp"
+            )
+        b = bands[band]
+        b[0] += 1
+        b[1] = gap if b[1] is None else min(b[1], gap)
+        b[2] = gap if b[2] is None else max(b[2], gap)
+    got = {
+        r.band: (r.n_orders, r.min_gap_bp, r.max_gap_bp)
+        for r in SPECS["dq_header_detail"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in bands.items()}
+    assert sum(n for n, _, _ in got.values()) == len(heads)
+
+
+# --------------------------------------------------------------------------
+# multimodal_batch_plan
+# --------------------------------------------------------------------------
+
+
+def test_batch_plan_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT doc_id, strlen(text) FROM documents ORDER BY doc_id"
+    ).fetchall()
+    B = 4096
+    mod = lambda d: ("image", "audio", "video")[d % 3]
+    per_mod = defaultdict(list)
+    for d, n in rows:
+        per_mod[mod(d)].append(n)
+    want = {}
+    for m, ns in per_mod.items():
+        cum = 0
+        batches = defaultdict(list)
+        for n in ns:
+            batches[cum // B].append(n)
+            cum += n
+        for b, items in batches.items():
+            want[(m, b)] = (
+                len(items),
+                sum(items),
+                max(items),
+                sum(items) * 10000 // B,
+            )
+    got = {
+        (r.modality, r.batch): (r.n_items, r.batch_bytes, r.max_item_bytes, r.fill_bp)
+        for r in SPECS["multimodal_batch_plan"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # overshoot bound: batch_bytes < budget + max item, for every batch
+    for (m, b), (n, tot, mx, _) in got.items():
+        assert tot < B + mx
