@@ -106,6 +106,13 @@ LLM_GROUP = [
     "sample_group_holdout",
     "sim_ivf_balance",
     "dedup_cluster_stats",
+    # born round 8, session 2: LSH-bucketed ANN, power-iteration PCA,
+    # deterministic shard writer, decode-batch planner (trend starts
+    # here)
+    "sim_ann_lsh",
+    "embed_pca_power",
+    "sample_shard_assign",
+    "multimodal_batch_plan",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -238,6 +245,22 @@ SQL_GROUP = [
     "win_change_runs",
     "events_cuped",
     "events_mann_whitney",
+    # born round 8, session 2: 6-round min-label components (the
+    # heaviest new op — tracked so its cost stays disciplined), exact
+    # KS / Gini / CCF / Lehr stats, histogram percentiles, existence
+    # flags, velocity rule, interval union, header-detail audit
+    # (trend starts here)
+    "graph_connected_components",
+    "events_ks_test",
+    "agg_gini",
+    "ts_cross_correlation",
+    "events_sample_size",
+    "agg_ratio_pin",
+    "agg_percentile_hist",
+    "join_existence",
+    "events_velocity_flags",
+    "orders_interval_merge",
+    "dq_header_detail",
 ]
 
 

@@ -1990,3 +1990,128 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("dim"),
         F.col("vv").cast("long").alias("loading_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# embed_matryoshka_eval — truncated-embedding fidelity audit (round 8)
+# --------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+@register(
+    "embed_matryoshka_eval",
+    tags=("b10",),
+    oracle=f"""
+        -- Matryoshka truncation audit: how much does cosine
+        -- similarity move when vectors are cut to their first k dims
+        -- (the MRL deployment question: serve 8/16/32 dims instead
+        -- of 64 and save memory/bandwidth -- at what fidelity cost)?
+        -- Evaluated on the exact top-{_TOPK} pairs of each query
+        -- (the pairs that MATTER for retrieval), against the full-
+        -- width cosine. Both cosines ride the shared round(,6)
+        -- policy, so their difference is an exact DECIMAL scaled to
+        -- 1e-6 integer units.
+        WITH {_SQL_E},
+        pairs AS (
+            {_SQL_TOPK_CORE}
+        ),
+        k AS (SELECT unnest(ARRAY{list(_MRL_DIMS)}) AS kd),
+        d AS (
+            SELECT k.kd AS k_dims,
+                   CAST(ABS(
+                       CAST(ROUND(list_dot_product(q.v[1:k.kd], c.v[1:k.kd])
+                            / (sqrt(list_dot_product(q.v[1:k.kd],
+                                                     q.v[1:k.kd]))
+                               * sqrt(list_dot_product(c.v[1:k.kd],
+                                                       c.v[1:k.kd]))), 6)
+                            AS DECIMAL(18,6))
+                       - p.cos_sim) * 1000000 AS BIGINT) AS diff_e6
+            FROM pairs p
+            JOIN e q ON q.vec_id = p.q_id
+            JOIN e c ON c.vec_id = p.vec_id
+            CROSS JOIN k
+        )
+        SELECT CAST(k_dims AS INT) AS k_dims,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(diff_e6) AS BIGINT) AS sum_abs_diff_e6,
+               CAST(MAX(diff_e6) AS BIGINT) AS max_abs_diff_e6,
+               CAST(SUM(diff_e6) // COUNT(*) AS BIGINT) AS mean_abs_diff_e6
+        FROM d GROUP BY k_dims
+    """,
+)
+def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: how much does cosine
+    similarity move when embeddings are cut to their first k dims —
+    the deployment question behind serving 8/16/32-dim prefixes of a
+    64-dim model to save index memory and bandwidth. Evaluated where
+    it matters: on each query's EXACT top-{k} neighbor pairs (the
+    retrieval-critical pairs), comparing truncated-prefix cosine to
+    full-width cosine at k ∈ {ks}.
+
+    Exactness: both cosines ride the module's shared round(,6)
+    policy (IEEE-exact dot/sqrt/div then one ROUND), so their
+    difference is an exact DECIMAL — scaled to integer 1e-6 units and
+    aggregated with integer sums. mean = one integer floor divide.
+
+    Plan/scale: the pair set is |queries|·k rows (WindowGroupLimit
+    two-stage top-k, sim_topk's audited shape); the per-k explode
+    multiplies that TINY set by {nk} — never the corpus; the corpus
+    is touched once to fetch the pair endpoints' vectors (two
+    broadcast-friendly joins)."""
+    e = _vecs(spark, sf_dir)
+    # exact top-k pairs: reuse the registered sim_topk result shape
+    from nchu_bigdata_spark.registry import REGISTRY
+
+    pairs = REGISTRY["sim_topk"].fn.__wrapped__(spark, sf_dir).select(
+        "q_id", "vec_id", "cos_sim"
+    )
+    kdf = F.explode(
+        F.array(*[F.lit(k) for k in _MRL_DIMS])
+    ).alias("k_dims")
+    withv = (
+        pairs.join(
+            e.select(
+                F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+            ),
+            "q_id",
+        )
+        .join(
+            e.select("vec_id", F.col("v").alias("cv")),
+            "vec_id",
+        )
+        .select("q_id", "vec_id", "cos_sim", "qv", "cv", kdf)
+    )
+    tq = F.expr("slice(qv, 1, k_dims)")
+    tc = F.expr("slice(cv, 1, k_dims)")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    tcos = F.round(
+        dot(tq, tc) / (F.sqrt(dot(tq, tq)) * F.sqrt(dot(tc, tc))), 6
+    ).cast("decimal(18,6)")
+    d = withv.select(
+        "k_dims",
+        (F.abs(tcos - F.col("cos_sim")) * 1_000_000)
+        .cast("long")
+        .alias("diff_e6"),
+    )
+    return d.groupBy("k_dims").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("diff_e6").cast("long").alias("sum_abs_diff_e6"),
+        F.max("diff_e6").cast("long").alias("max_abs_diff_e6"),
+        F.expr("CAST(SUM(diff_e6) div COUNT(*) AS BIGINT)").alias(
+            "mean_abs_diff_e6"
+        ),
+    ).select(
+        F.col("k_dims").cast("int").alias("k_dims"),
+        "n_pairs",
+        "sum_abs_diff_e6",
+        "max_abs_diff_e6",
+        "mean_abs_diff_e6",
+    )

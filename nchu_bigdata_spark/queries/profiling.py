@@ -693,3 +693,77 @@ def dq_header_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_bp").cast("long").alias("min_gap_bp"),
         F.max("gap_bp").cast("long").alias("max_gap_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# dq_join_fanout — join-multiplicity audit (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_join_fanout",
+    tags=("b9",),
+    oracle="""
+        -- Join fan-out audit (the "chasm trap" detector): BEFORE
+        -- joining headers to lines, profile the per-key multiplicity
+        -- the join will apply -- a header measure summed AFTER such a
+        -- join inflates by exactly its line count, the most common
+        -- silently-wrong-dashboard bug after the ratio trap. One row
+        -- per multiplicity m (0 = headers with no lines): how many
+        -- orders, their header revenue, and what that revenue
+        -- becomes post-join (x m).
+        WITH m AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                   COALESCE(l.cnt, 0) AS mult
+            FROM orders
+            LEFT JOIN (
+                SELECT l_orderkey, COUNT(*) AS cnt
+                FROM lineitem GROUP BY l_orderkey
+            ) l ON l_orderkey = o_orderkey
+        )
+        SELECT CAST(mult AS BIGINT) AS multiplicity,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS header_cents,
+               CAST(SUM(cents * mult) AS BIGINT) AS post_join_cents,
+               CAST(SUM(CAST(cents AS HUGEINT) * mult) * 10000
+                    // SUM(cents) AS BIGINT) AS inflation_bp
+        FROM m GROUP BY mult
+    """,
+)
+def dq_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out audit — the "chasm trap" detector: BEFORE joining
+    headers to lines, profile the per-key multiplicity the join will
+    apply. A header measure summed after such a join inflates by
+    exactly its line count — with `agg_ratio_pin` and
+    `sub_not_in_null`, the third member of the
+    silently-wrong-dashboard regression family. One row per
+    multiplicity m (0 = headers with NO lines — the rows an inner
+    join would silently drop): order count, their header revenue,
+    and what that revenue becomes post-join (×m); inflation_bp reads
+    the damage per bucket.
+
+    Exactness: integer cents and counts; inflation is one floor
+    cross-multiply over decimal(38,0).
+
+    Plan/scale: the detail side collapses map-side to |orders| keyed
+    counts BEFORE the (left) join — the audit itself never pays the
+    fan-out it measures; one orderkey join + one ~7-group rollup."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_orderkey")).agg(F.count(F.lit(1)).alias("cnt"))
+    m = o.join(cnt, o.o_orderkey == cnt.l_orderkey, "left").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.coalesce("cnt", F.lit(0)).alias("mult"),
+    )
+    return m.groupBy(F.col("mult").cast("long").alias("multiplicity")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("header_cents"),
+        F.sum(F.col("cents") * F.col("mult")).cast("long").alias(
+            "post_join_cents"
+        ),
+        F.expr(
+            "CAST(SUM(CAST(cents AS decimal(38,0)) * mult) * 10000"
+            " div SUM(cents) AS BIGINT)"
+        ).alias("inflation_bp"),
+    )

@@ -1240,3 +1240,114 @@ def win_change_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("run_end"),
         F.count(F.lit(1)).cast("long").alias("run_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_percent_of_parent — hierarchical share columns (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_percent_of_parent",
+    tags=("b6",),
+    oracle="""
+        -- Percent-of-parent at every level of the region > nation >
+        -- customer hierarchy in ONE result: each customer's share of
+        -- its nation, the nation's share of its region, the region's
+        -- share of the whole -- the drill-down ratio column every
+        -- OLAP front-end pins next to a measure. Exact floor bp over
+        -- integer cents.
+        WITH c AS (
+            SELECT n_name AS nation, r_name AS region, o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                       AS cents
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY n_name, r_name, o_custkey
+        ),
+        n AS (
+            SELECT nation, region, SUM(cents) AS ncents
+            FROM c GROUP BY nation, region
+        ),
+        r AS (SELECT region, SUM(ncents) AS rcents FROM n GROUP BY region),
+        t AS (SELECT SUM(rcents) AS tcents FROM r)
+        SELECT c.o_custkey, c.nation, c.region,
+               CAST(c.cents AS BIGINT) AS cents,
+               CAST(CAST(c.cents AS HUGEINT) * 10000 // n.ncents AS BIGINT)
+                   AS share_of_nation_bp,
+               CAST(CAST(n.ncents AS HUGEINT) * 10000 // r.rcents AS BIGINT)
+                   AS nation_share_of_region_bp,
+               CAST(CAST(r.rcents AS HUGEINT) * 10000 // t.tcents AS BIGINT)
+                   AS region_share_of_total_bp
+        FROM c
+        JOIN n ON n.nation = c.nation AND n.region = c.region
+        JOIN r ON r.region = c.region
+        CROSS JOIN t
+    """,
+)
+def win_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at every level of the region > nation >
+    customer hierarchy in ONE result — the drill-down ratio column
+    every OLAP front-end pins beside a measure ("this customer is 3%
+    of its nation, which is 22% of its region, which is 31% of the
+    company"). Exact floor basis points over integer cents.
+
+    Plan/scale — LEVEL ROLLUPS + BROADCAST JOINS, not parent windows:
+    the naive `SUM() OVER (PARTITION BY nation)` / `OVER ()` form
+    funnels ALL customer rows through per-parent window tasks (and
+    the grand-total window through ONE task — the anti-pattern at 1e9
+    customers). Instead each parent level is its own tiny map-side
+    rollup (25 nations, 5 regions, 1 total) broadcast back onto the
+    child grain: the fact flows through exactly one shuffle (the
+    customer rollup), everything else is dimension-sized."""
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, F.col("n_regionkey") == reg.r_regionkey)
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+        .join(dims, F.col("o_custkey") == dims.c_custkey)
+        .select("o_custkey", "nation", "region", "cents")
+    )
+    n = c.groupBy("nation", "region").agg(F.sum("cents").alias("ncents"))
+    r = n.groupBy("region").agg(F.sum("ncents").alias("rcents"))
+    t = r.agg(F.sum("rcents").alias("tcents"))
+    return (
+        c.join(F.broadcast(n), ["nation", "region"])
+        .join(F.broadcast(r), "region")
+        .join(F.broadcast(t))
+        .select(
+            "o_custkey",
+            "nation",
+            "region",
+            F.col("cents").cast("long").alias("cents"),
+            F.expr(
+                "CAST(CAST(cents AS decimal(38,0)) * 10000"
+                " div ncents AS BIGINT)"
+            ).alias("share_of_nation_bp"),
+            F.expr(
+                "CAST(CAST(ncents AS decimal(38,0)) * 10000"
+                " div rcents AS BIGINT)"
+            ).alias("nation_share_of_region_bp"),
+            F.expr(
+                "CAST(CAST(rcents AS decimal(38,0)) * 10000"
+                " div tcents AS BIGINT)"
+            ).alias("region_share_of_total_bp"),
+        )
+    )

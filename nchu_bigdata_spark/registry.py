@@ -329,6 +329,9 @@ DRIVER_ORDER = [
     "orders_interval_merge",
     "dq_header_detail",
     "multimodal_batch_plan",
+    "embed_matryoshka_eval",
+    "win_percent_of_parent",
+    "dq_join_fanout",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -693,3 +693,143 @@ def test_batch_plan_matches_python_replay(spark, sf_dir, duck):
     # overshoot bound: batch_bytes < budget + max item, for every batch
     for (m, b), (n, tot, mx, _) in got.items():
         assert tot < B + mx
+
+
+# --------------------------------------------------------------------------
+# embed_matryoshka_eval
+# --------------------------------------------------------------------------
+
+
+def test_matryoshka_diffs_shrink_with_k(spark, sf_dir):
+    rows = {
+        r.k_dims: (r.n_pairs, r.sum_abs_diff_e6, r.max_abs_diff_e6, r.mean_abs_diff_e6)
+        for r in SPECS["embed_matryoshka_eval"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {8, 16, 32, 64}
+    # same pair set at every k
+    assert len({n for n, _, _, _ in rows.values()}) == 1
+    # k=64 is the full vector: zero divergence by construction
+    assert rows[64][1] == 0 and rows[64][2] == 0
+    # fidelity cannot improve when dropping MORE dims, on average
+    assert rows[8][3] >= rows[32][3]
+    # mean is the exact floor of sum/n
+    for k, (n, s, mx, mean) in rows.items():
+        assert mean == s // n
+        assert mx >= mean
+
+
+def test_matryoshka_replays_truncated_cosine(spark, sf_dir, duck):
+    import math
+
+    vecs = {
+        r[0]: r[1]
+        for r in duck.execute(
+            "SELECT vec_id, embedding::DOUBLE[] FROM embeddings"
+        ).fetchall()
+    }
+    pairs = [
+        (r.q_id, r.vec_id, float(r.cos_sim))
+        for r in SPECS["sim_topk"].fn(spark, sf_dir).collect()
+    ]
+    K = 16
+    want_sum = 0
+    for q, c, full in pairs:
+        a, b = vecs[q][:K], vecs[c][:K]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        tc = round(dot / (na * nb), 6)
+        want_sum += round(abs(round(tc - round(full, 6), 6)) * 1_000_000)
+    got = {
+        r.k_dims: r.sum_abs_diff_e6
+        for r in SPECS["embed_matryoshka_eval"].fn(spark, sf_dir).collect()
+    }
+    assert got[16] == want_sum
+
+
+# --------------------------------------------------------------------------
+# win_percent_of_parent
+# --------------------------------------------------------------------------
+
+
+def test_percent_of_parent_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        """
+        SELECT n_name, r_name, o_custkey,
+               SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT))
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    ncents = defaultdict(int)
+    rcents = defaultdict(int)
+    total = 0
+    for nat, reg, ck, c in rows:
+        ncents[(nat, reg)] += c
+        rcents[reg] += c
+        total += c
+    got = {
+        r.o_custkey: (
+            r.nation, r.region, r.cents,
+            r.share_of_nation_bp,
+            r.nation_share_of_region_bp,
+            r.region_share_of_total_bp,
+        )
+        for r in SPECS["win_percent_of_parent"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(rows)
+    for nat, reg, ck, c in rows:
+        g = got[ck]
+        assert g == (
+            nat, reg, c,
+            c * 10000 // ncents[(nat, reg)],
+            ncents[(nat, reg)] * 10000 // rcents[reg],
+            rcents[reg] * 10000 // total,
+        )
+    # shares at each level sum to <= 10000 (floor) and > 9900 (sanity)
+    per_nation = defaultdict(int)
+    for nat, reg, ck, c in rows:
+        per_nation[(nat, reg)] += got[ck][3]
+    # not asserted == 10000 because floors lose up to n-1 bp
+
+
+# --------------------------------------------------------------------------
+# dq_join_fanout
+# --------------------------------------------------------------------------
+
+
+def test_join_fanout_matches_python_replay(spark, sf_dir, duck):
+    heads = dict(
+        duck.execute(
+            "SELECT o_orderkey, CAST(ROUND(o_totalprice*100,0) AS BIGINT)"
+            " FROM orders"
+        ).fetchall()
+    )
+    counts = Counter(
+        r[0] for r in duck.execute("SELECT l_orderkey FROM lineitem").fetchall()
+    )
+    agg = defaultdict(lambda: [0, 0, 0])
+    for ok, cents in heads.items():
+        m = counts.get(ok, 0)
+        a = agg[m]
+        a[0] += 1
+        a[1] += cents
+        a[2] += cents * m
+    got = {
+        r.multiplicity: (r.n_orders, r.header_cents, r.post_join_cents, r.inflation_bp)
+        for r in SPECS["dq_join_fanout"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        m: (n, hc, pc, pc * 10000 // hc) for m, (n, hc, pc) in agg.items()
+    }
+    assert got == want
+    # inflation at multiplicity m is exactly m in bp terms
+    for m, (_, _, _, infl) in got.items():
+        assert infl == m * 10000
+    # the conservation law: total post-join cents equals the raw join's sum
+    assert sum(pc for _, _, pc, _ in got.values()) == sum(
+        heads[ok] * counts.get(ok, 0) for ok in heads
+    )
