@@ -1425,18 +1425,25 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("lbl"))
         .repartition(nparts, "node"),
     )
+    # Both per-round joins carry an explicit SHUFFLE_HASH hint: the
+    # label side is |V| rows and AQE would happily broadcast it, but a
+    # broadcast per round STACKS — six retained broadcast relations
+    # OOMed the driver at the 10× scale probe (the graph_random_walk
+    # incident, re-measured here). Shuffle-hash keeps every round's
+    # memory bounded by one partition and reuses the existing
+    # hash-partitioning on both sides (no extra exchange).
     for i in range(1, _CC_ROUNDS + 1):
         nbr = (
             edges.join(
-                labels.withColumnRenamed("node", "u").withColumnRenamed(
-                    "lbl", "ul"
-                ),
+                labels.withColumnRenamed("node", "u")
+                .withColumnRenamed("lbl", "ul")
+                .hint("shuffle_hash"),
                 "u",
             )
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("ul").alias("nl"))
         )
-        labels = labels.join(nbr, "node", "left").select(
+        labels = labels.join(nbr.hint("shuffle_hash"), "node", "left").select(
             "node",
             F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias(
                 "lbl"
