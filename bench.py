@@ -251,6 +251,9 @@ SQL_GROUP = [
     # flags, velocity rule, interval union, header-detail audit
     # (trend starts here)
     "graph_connected_components",
+    "graph_hits",
+    "win_topn_ties",
+    "text_feature_hashing",
     "events_ks_test",
     "agg_gini",
     "ts_cross_correlation",

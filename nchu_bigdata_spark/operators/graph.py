@@ -1453,3 +1453,184 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+# --------------------------------------------------------------------------
+# graph_hits — HITS hubs & authorities on the purchase bipartite (round 8)
+# --------------------------------------------------------------------------
+
+_HITS_ROUNDS = 3
+_HITS_SCALE = 1_000_000
+_HITS_TOP = 10
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS CTE chain on the customer→part bipartite: hub
+    scores start uniform; each round auth = Σ incident hubs then
+    renormalize to max = scale, hub = Σ incident auths then
+    renormalize — the pagerank/pca bounded-iteration pattern (all
+    scores nonnegative, so the renormalization is a plain floor
+    division)."""
+    ctes = [
+        """be AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )""",
+        f"""h0 AS (
+            SELECT c, CAST({_HITS_SCALE} AS HUGEINT) AS h
+            FROM (SELECT DISTINCT c FROM be)
+        )""",
+    ]
+    for i in range(1, _HITS_ROUNDS + 1):
+        ctes.append(
+            f"""ar{i} AS (
+                SELECT p, CAST(SUM(h.h) AS HUGEINT) AS a
+                FROM be JOIN h{i - 1} h USING (c) GROUP BY p
+            )"""
+        )
+        ctes.append(
+            f"""a{i} AS (
+                SELECT p, a * {_HITS_SCALE}
+                       // (SELECT MAX(a) FROM ar{i}) AS a
+                FROM ar{i}
+            )"""
+        )
+        ctes.append(
+            f"""hr{i} AS (
+                SELECT c, CAST(SUM(a.a) AS HUGEINT) AS h
+                FROM be JOIN a{i} a USING (p) GROUP BY c
+            )"""
+        )
+        ctes.append(
+            f"""h{i} AS (
+                SELECT c, h * {_HITS_SCALE}
+                       // (SELECT MAX(h) FROM hr{i}) AS h
+                FROM hr{i}
+            )"""
+        )
+    n = _HITS_ROUNDS
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+        ranked AS (
+            SELECT 'auth' AS side, p AS id, a AS score_scaled,
+                   ROW_NUMBER() OVER (ORDER BY a DESC, p) AS rnk
+            FROM a{n}
+            UNION ALL
+            SELECT 'hub', c, h,
+                   ROW_NUMBER() OVER (ORDER BY h DESC, c)
+            FROM h{n}
+        )
+        SELECT side, CAST(id AS BIGINT) AS id,
+               CAST(score_scaled AS BIGINT) AS score_scaled,
+               CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= {_HITS_TOP}"""
+    )
+
+
+@register("graph_hits", tags=("graph",), oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs & authorities on the customer→part
+    purchase bipartite: a customer is a good HUB when it buys
+    authoritative parts; a part is a good AUTHORITY when good hubs
+    buy it — the mutual-reinforcement ranking that separates
+    "buys everything" breadth from "everyone buys it" popularity
+    (PageRank's bipartite sibling; the recommender-bootstrap
+    ranking). Exactly {r} rounds from uniform hubs, each side
+    renormalized to max = 10⁶ — the module's bounded-iteration
+    framing (k-means/pagerank/pca), deterministic and
+    oracle-replayable.
+
+    Exactness: scores stay nonnegative integers end to end —
+    Σ-aggregations in decimal(38,0), renormalization one plain floor
+    division per side per round (no sign split needed, unlike
+    `embed_pca_power`).
+
+    Plan/scale: per round two |E|-row shuffle-hash joins + two
+    map-side-combined aggs (auth keyed on part, hub keyed on
+    customer). Both per-round joins carry explicit SHUFFLE_HASH
+    hints — the connected-components 10× probe showed AQE broadcasting
+    a |V|-row score side stacks one retained broadcast per round and
+    OOMs the driver; hashed joins reuse the existing key partitioning
+    instead. The per-side max is a 1-row agg broadcast back (never a
+    global window over |V| rows). Score tables are checkpointed per
+    round. Output is the top-{t} of each side via WindowGroupLimit."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    be = shared_intermediate(
+        "hits_edges",
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .repartition(nparts, "c"),
+    )
+    hub = shared_intermediate(
+        "hits_h0",
+        be.select("c")
+        .distinct()
+        .select("c", F.lit(_HITS_SCALE).cast("decimal(38,0)").alias("h")),
+    )
+    auth = None
+    for i in range(1, _HITS_ROUNDS + 1):
+        ar = (
+            be.join(hub.hint("shuffle_hash"), "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+        )
+        amx = F.broadcast(ar.agg(F.max("a").alias("amx")))
+        auth = shared_intermediate(
+            f"hits_a{i}",
+            ar.join(amx).select(
+                "p",
+                F.expr(
+                    f"CAST(a * {_HITS_SCALE} div amx AS decimal(38,0))"
+                ).alias("a"),
+            ),
+        )
+        hr = (
+            be.join(auth.hint("shuffle_hash"), "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+        )
+        hmx = F.broadcast(hr.agg(F.max("h").alias("hmx")))
+        hub = shared_intermediate(
+            f"hits_h{i}",
+            hr.join(hmx).select(
+                "c",
+                F.expr(
+                    f"CAST(h * {_HITS_SCALE} div hmx AS decimal(38,0))"
+                ).alias("h"),
+            ),
+        )
+    wa = Window.orderBy(F.col("score_scaled").desc(), "id")
+    ranked = (
+        auth.select(
+            F.lit("auth").alias("side"),
+            F.col("p").alias("id"),
+            F.col("a").alias("score_scaled"),
+        )
+        .unionAll(
+            hub.select(
+                F.lit("hub").alias("side"),
+                F.col("c").alias("id"),
+                F.col("h").alias("score_scaled"),
+            )
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("side").orderBy(
+                    F.col("score_scaled").desc(), "id"
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _HITS_TOP)
+    )
+    return ranked.select(
+        "side",
+        F.col("id").cast("long").alias("id"),
+        F.col("score_scaled").cast("long").alias("score_scaled"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )

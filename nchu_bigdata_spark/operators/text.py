@@ -1688,3 +1688,79 @@ def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" (2 * {_VOVERLAP_TOPK} - COALESCE(n_shared, 0)) AS BIGINT)"
         ).alias("jaccard_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_feature_hashing — hashing-trick collision audit (round 8)
+# --------------------------------------------------------------------------
+
+_FH_BUCKETS = 1024
+
+
+@register(
+    "text_feature_hashing",
+    tags=("b8",),
+    oracle=f"""
+        -- The hashing trick, audited: map every distinct token to one
+        -- of {_FH_BUCKETS} feature buckets (md5 mod B -- no vocabulary
+        -- to build, ship, or version) and report the bucket-load
+        -- histogram: how many buckets hold L distinct tokens. The
+        -- collision profile IS the quality bill for vocabulary-free
+        -- features -- loads >> avg mean colliding tokens share a
+        -- weight; the histogram says whether B is big enough before
+        -- any model trains.
+        WITH tok AS (
+            SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        b AS (
+            SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT
+                       % {_FH_BUCKETS} AS bucket
+            FROM tok
+        ),
+        l AS (
+            SELECT bucket, COUNT(*) AS load FROM b GROUP BY bucket
+        )
+        SELECT CAST(load AS BIGINT) AS bucket_load,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(COUNT(*) * 10000 // {_FH_BUCKETS} AS BIGINT)
+                   AS share_bp
+        FROM l GROUP BY load
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick, audited: map every distinct corpus token to
+    one of {b} feature buckets (md5 mod B — no vocabulary to build,
+    ship, or version; the stateless featurizer behind
+    HashingVectorizer / Vowpal-Wabbit-style pipelines) and report the
+    bucket-load histogram: how many buckets hold L distinct tokens.
+    The collision profile IS the quality bill of vocabulary-free
+    features — tokens sharing a bucket share a model weight — and the
+    histogram answers "is B big enough" BEFORE any model trains.
+    Empty buckets appear as the gap between Σn_buckets and B.
+
+    Exactness: the module's md5-prefix hash (pure key function,
+    engine-independent); loads and shares are integers.
+
+    Plan/scale: tokenization explodes inside the scan stage; ONE
+    distinct shuffle on token (the vocabulary pass every text op
+    here pays), one map-side bucket rollup ({b} groups), one load
+    rollup. No vocabulary table survives the query — that's the
+    point of the trick."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    b = tok.select(
+        (
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+            % _FH_BUCKETS
+        ).alias("bucket")
+    )
+    l = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("load"))
+    return l.groupBy(F.col("load").cast("long").alias("bucket_load")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.expr(f"CAST(COUNT(*) * 10000 div {_FH_BUCKETS} AS BIGINT)").alias(
+            "share_bp"
+        ),
+    )

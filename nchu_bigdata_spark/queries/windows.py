@@ -1351,3 +1351,122 @@ def win_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("region_share_of_total_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# win_topn_ties — row_number / rank / dense_rank top-N divergence (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_topn_ties",
+    tags=("b6",),
+    oracle="""
+        -- "Top 3 customers by order count" under the three ranking
+        -- functions, side by side -- the tie-semantics pin (the
+        -- agg_ratio_pin treatment for ranking): row_number cuts
+        -- EXACTLY 3 (ties broken by the pinned custkey order), rank
+        -- keeps every tie of the 3rd place (>= 3 rows), dense_rank
+        -- keeps the top 3 VALUES (>= rank's rows). Order counts are
+        -- small integers, so ties are guaranteed and the three
+        -- answers genuinely differ -- the divergence dashboards hit
+        -- the first time a cut lands on a tie.
+        WITH c AS (
+            SELECT r_name AS region, o_custkey,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY r_name, o_custkey
+        ),
+        r AS (
+            SELECT region, o_custkey, n_orders,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY region
+                       ORDER BY n_orders DESC, o_custkey
+                   ) AS rn,
+                   RANK() OVER (
+                       PARTITION BY region ORDER BY n_orders DESC
+                   ) AS rk,
+                   DENSE_RANK() OVER (
+                       PARTITION BY region ORDER BY n_orders DESC
+                   ) AS dr
+            FROM c
+        ),
+        k AS (
+            SELECT region, 'row_number' AS method, n_orders
+            FROM r WHERE rn <= 3
+            UNION ALL
+            SELECT region, 'rank', n_orders FROM r WHERE rk <= 3
+            UNION ALL
+            SELECT region, 'dense_rank', n_orders FROM r WHERE dr <= 3
+        )
+        SELECT region, method,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(n_orders) AS BIGINT) AS sum_orders,
+               CAST(MIN(n_orders) AS BIGINT) AS cut_value
+        FROM k GROUP BY region, method
+    """,
+)
+def win_topn_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Top 3 customers by order count" under row_number, rank, and
+    dense_rank SIDE BY SIDE — the tie-semantics pin (the
+    `agg_ratio_pin` treatment for ranking): row_number cuts exactly 3
+    rows (ties broken by the pinned custkey order — arbitrary but
+    deterministic), rank keeps every tie of third place, dense_rank
+    keeps the top three VALUES. Order counts are small integers, so
+    ties are guaranteed and the three answers genuinely differ — the
+    divergence every leaderboard hits the first time a cut lands on a
+    tie, pinned as a regression surface.
+
+    Plan/scale: one map-side customer rollup + broadcast dims; all
+    three ranking functions share ONE region-partitioned sort (Spark
+    computes them in a single Window physical node); the `<= 3`
+    filters compile to WindowGroupLimit so each partition emits only
+    the survivors; final rollup is 15 rows."""
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, F.col("n_regionkey") == reg.r_regionkey)
+        .select("c_custkey", F.col("r_name").alias("region"))
+    )
+    c = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(dims, F.col("o_custkey") == dims.c_custkey)
+        .select("region", "o_custkey", "n_orders")
+    )
+    w_tie = W.partitionBy("region").orderBy(
+        F.col("n_orders").desc(), "o_custkey"
+    )
+    w_val = W.partitionBy("region").orderBy(F.col("n_orders").desc())
+    r = c.select(
+        "region",
+        "n_orders",
+        F.row_number().over(w_tie).alias("rn"),
+        F.rank().over(w_val).alias("rk"),
+        F.dense_rank().over(w_val).alias("dr"),
+    )
+    k = (
+        r.filter(F.col("rn") <= 3)
+        .select("region", F.lit("row_number").alias("method"), "n_orders")
+        .unionAll(
+            r.filter(F.col("rk") <= 3).select(
+                "region", F.lit("rank").alias("method"), "n_orders"
+            )
+        )
+        .unionAll(
+            r.filter(F.col("dr") <= 3).select(
+                "region", F.lit("dense_rank").alias("method"), "n_orders"
+            )
+        )
+    )
+    return k.groupBy("region", "method").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_orders").cast("long").alias("sum_orders"),
+        F.min("n_orders").cast("long").alias("cut_value"),
+    )

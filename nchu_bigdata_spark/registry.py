@@ -332,6 +332,9 @@ DRIVER_ORDER = [
     "embed_matryoshka_eval",
     "win_percent_of_parent",
     "dq_join_fanout",
+    "win_topn_ties",
+    "graph_hits",
+    "text_feature_hashing",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

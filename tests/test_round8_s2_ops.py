@@ -833,3 +833,126 @@ def test_join_fanout_matches_python_replay(spark, sf_dir, duck):
     assert sum(pc for _, _, pc, _ in got.values()) == sum(
         heads[ok] * counts.get(ok, 0) for ok in heads
     )
+
+
+# --------------------------------------------------------------------------
+# win_topn_ties
+# --------------------------------------------------------------------------
+
+
+def test_topn_ties_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        """
+        SELECT r_name, o_custkey, COUNT(*) FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_reg = defaultdict(list)
+    for reg, ck, n in rows:
+        by_reg[reg].append((n, ck))
+    want = {}
+    for reg, cs in by_reg.items():
+        by_rn = sorted(cs, key=lambda t: (-t[0], t[1]))[:3]
+        vals = sorted({n for n, _ in cs}, reverse=True)
+        # rank <= 3: all rows whose (count of strictly-greater rows) < 3
+        desc = sorted(cs, key=lambda t: -t[0])
+        by_rk = [
+            (n, ck)
+            for n, ck in cs
+            if sum(1 for m, _ in cs if m > n) < 3
+        ]
+        top3vals = set(vals[:3])
+        by_dr = [(n, ck) for n, ck in cs if n in top3vals]
+        for method, kept in (
+            ("row_number", by_rn),
+            ("rank", by_rk),
+            ("dense_rank", by_dr),
+        ):
+            want[(reg, method)] = (
+                len(kept),
+                sum(n for n, _ in kept),
+                min(n for n, _ in kept),
+            )
+    got = {
+        (r.region, r.method): (r.n_kept, r.sum_orders, r.cut_value)
+        for r in SPECS["win_topn_ties"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the pin must actually pin a divergence: somewhere rank keeps
+    # more than row_number's exact 3, and dense_rank >= rank
+    assert all(got[(reg, "row_number")][0] == 3 for reg in by_reg)
+    assert any(
+        got[(reg, "rank")][0] > 3 or got[(reg, "dense_rank")][0] > 3
+        for reg in by_reg
+    )
+    for reg in by_reg:
+        assert got[(reg, "dense_rank")][0] >= got[(reg, "rank")][0]
+
+
+# --------------------------------------------------------------------------
+# graph_hits
+# --------------------------------------------------------------------------
+
+
+def test_hits_matches_python_replay(spark, sf_dir, duck):
+    edges = duck.execute(
+        "SELECT DISTINCT o_custkey, l_partkey FROM orders"
+        " JOIN lineitem ON l_orderkey = o_orderkey"
+    ).fetchall()
+    S = 1_000_000
+    hub = {c: S for c, _ in edges}
+    for _ in range(3):
+        auth = defaultdict(int)
+        for c, p in edges:
+            auth[p] += hub[c]
+        mx = max(auth.values())
+        auth = {p: a * S // mx for p, a in auth.items()}
+        nh = defaultdict(int)
+        for c, p in edges:
+            nh[c] += auth[p]
+        mx = max(nh.values())
+        hub = {c: h * S // mx for c, h in nh.items()}
+    top_auth = sorted(auth.items(), key=lambda t: (-t[1], t[0]))[:10]
+    top_hub = sorted(hub.items(), key=lambda t: (-t[1], t[0]))[:10]
+    want = {("auth", p): (a, i + 1) for i, (p, a) in enumerate(top_auth)}
+    want.update(
+        {("hub", c): (h, i + 1) for i, (c, h) in enumerate(top_hub)}
+    )
+    got = {
+        (r.side, r.id): (r.score_scaled, r.rnk)
+        for r in SPECS["graph_hits"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # each side's #1 holds the renormalization pin
+    assert got[("auth", top_auth[0][0])][0] == S
+    assert got[("hub", top_hub[0][0])][0] == S
+
+
+# --------------------------------------------------------------------------
+# text_feature_hashing
+# --------------------------------------------------------------------------
+
+
+def test_feature_hashing_matches_python_replay(spark, sf_dir, duck):
+    import hashlib
+
+    toks = {
+        t
+        for (text,) in duck.execute("SELECT text FROM documents").fetchall()
+        for t in text.split(" ")
+    }
+    loads = Counter(
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1024
+        for t in toks
+    )
+    hist = Counter(loads.values())
+    got = {
+        r.bucket_load: (r.n_buckets, r.share_bp)
+        for r in SPECS["text_feature_hashing"].fn(spark, sf_dir).collect()
+    }
+    assert got == {l: (n, n * 10000 // 1024) for l, n in hist.items()}
+    # conservation: bucket loads account for every distinct token
+    assert sum(l * n for l, (n, _) in got.items()) == len(toks)
