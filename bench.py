@@ -252,6 +252,8 @@ SQL_GROUP = [
     # (trend starts here)
     "graph_connected_components",
     "graph_hits",
+    "agg_ols_multi",
+    "win_vwap",
     "win_topn_ties",
     "text_feature_hashing",
     "events_ks_test",

@@ -2336,3 +2336,147 @@ def agg_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"p{q}_err_bp"),
         ]
     return j.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# agg_ols_multi — two-feature OLS via exact normal equations (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_ols_multi",
+    tags=("b4",),
+    oracle="""
+        -- Multiple regression, closed form: per return flag, regress
+        -- line revenue (cents) on TWO features -- quantity and
+        -- discount bp -- by solving the 3x3 normal equations with
+        -- CRAMER'S RULE over exact integer co-moments: every
+        -- determinant is integer arithmetic (128-bit), and each
+        -- coefficient is ONE IEEE-exact division det_i/det at the
+        -- end (agg_regression's policy, lifted from one feature to
+        -- the multivariate case: still no iterative solver, no
+        -- float accumulation, bit-identical cross-engine).
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(q) AS HUGEINT) AS sq,
+                   CAST(SUM(d) AS HUGEINT) AS sd,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(q * q) AS HUGEINT) AS sqq,
+                   CAST(SUM(q * d) AS HUGEINT) AS sqd,
+                   CAST(SUM(d * d) AS HUGEINT) AS sdd,
+                   CAST(SUM(q * y) AS HUGEINT) AS sqy,
+                   CAST(SUM(d * y) AS HUGEINT) AS sdy
+            FROM (
+                SELECT l_returnflag,
+                       CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                       CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS d,
+                       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+                FROM lineitem
+            ) GROUP BY l_returnflag
+        ),
+        dets AS (
+            SELECT l_returnflag, n,
+                   n * (sqq * sdd - sqd * sqd)
+                   - sq * (sq * sdd - sqd * sd)
+                   + sd * (sq * sqd - sqq * sd) AS det,
+                   sy * (sqq * sdd - sqd * sqd)
+                   - sq * (sqy * sdd - sqd * sdy)
+                   + sd * (sqy * sqd - sqq * sdy) AS det0,
+                   n * (sqy * sdd - sdy * sqd)
+                   - sy * (sq * sdd - sqd * sd)
+                   + sd * (sq * sdy - sqy * sd) AS det1,
+                   n * (sqq * sdy - sqd * sqy)
+                   - sq * (sq * sdy - sqy * sd)
+                   + sy * (sq * sqd - sqq * sd) AS det2
+            FROM m
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE)
+                   AS intercept_cents,
+               CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE)
+                   AS beta_qty_cents,
+               CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE)
+                   AS beta_disc_cents_per_bp
+        FROM dets
+    """,
+)
+def agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple regression in closed form: per return flag, regress
+    line revenue on TWO features (quantity, discount bp) by solving
+    the 3×3 normal equations (XᵀX)β = Xᵀy with CRAMER'S RULE over
+    exact integer co-moments — `agg_regression`'s exactness policy
+    lifted to the multivariate case. Every determinant is pure
+    integer arithmetic in decimal(38,0); each coefficient is ONE
+    IEEE-exact division detᵢ/det at the very end — no iterative
+    solver, no float accumulation, bit-identical across engines. The
+    two-feature fit is what pricing/attribution actually runs when
+    one driver confounds another (discounted lines are also big
+    lines; the single-feature slope mixes the effects, the
+    multivariate one separates them).
+
+    Magnitude envelope: 9 co-moment sums ≤ n·10¹² (cents×bp); the
+    3×3 determinant is degree-3 in those, exact within 38 digits for
+    per-group n ≲ 10⁶ at these grids — the documented bound; larger
+    corpora center the features first (same mechanics, smaller
+    moments).
+
+    Plan/scale: ONE map-side-combined hash agg carrying all nine
+    sums; Cramer is a 3-row projection."""
+    li = table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("q"),
+        F.expr("CAST(ROUND(l_discount * 10000) AS BIGINT)").alias("d"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = rows.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("q").cast(dec).alias("sq"),
+        F.sum("d").cast(dec).alias("sd"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.expr(f"CAST(q AS {dec}) * q")).alias("sqq"),
+        F.sum(F.expr(f"CAST(q AS {dec}) * d")).alias("sqd"),
+        F.sum(F.expr(f"CAST(d AS {dec}) * d")).alias("sdd"),
+        F.sum(F.expr(f"CAST(q AS {dec}) * y")).alias("sqy"),
+        F.sum(F.expr(f"CAST(d AS {dec}) * y")).alias("sdy"),
+    )
+    dets = m.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "n * (sqq * sdd - sqd * sqd)"
+            " - sq * (sq * sdd - sqd * sd)"
+            " + sd * (sq * sqd - sqq * sd)"
+        ).alias("det"),
+        F.expr(
+            "sy * (sqq * sdd - sqd * sqd)"
+            " - sq * (sqy * sdd - sqd * sdy)"
+            " + sd * (sqy * sqd - sqq * sdy)"
+        ).alias("det0"),
+        F.expr(
+            "n * (sqy * sdd - sdy * sqd)"
+            " - sy * (sq * sdd - sqd * sd)"
+            " + sd * (sq * sdy - sqy * sd)"
+        ).alias("det1"),
+        F.expr(
+            "n * (sqq * sdy - sqd * sqy)"
+            " - sq * (sq * sdy - sqy * sd)"
+            " + sy * (sq * sqd - sqq * sd)"
+        ).alias("det2"),
+    )
+    return dets.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.col("det0").cast("double") / F.col("det").cast("double")).alias(
+            "intercept_cents"
+        ),
+        (F.col("det1").cast("double") / F.col("det").cast("double")).alias(
+            "beta_qty_cents"
+        ),
+        (F.col("det2").cast("double") / F.col("det").cast("double")).alias(
+            "beta_disc_cents_per_bp"
+        ),
+    )

@@ -428,3 +428,52 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     right = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return left.exceptAll(right)
+
+
+# --------------------------------------------------------------------------
+# set_union_by_name — schema-drift union (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_union_by_name",
+    tags=("b7",),
+    oracle="""
+        -- Union BY NAME across drifted schemas: the v1 feed has no
+        -- priority column, the v2 feed has no status column -- the
+        -- positional UNION ALL every pipeline writes first silently
+        -- pairs status with priority (same arity, both varchar, NO
+        -- error); name-based union aligns columns and null-fills the
+        -- gaps. The append every schema-evolving ingest needs
+        -- (scan_schema_evolution's READ-side story, at the UNION).
+        SELECT o_orderkey, 'v1' AS feed, o_orderstatus,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL BY NAME
+        SELECT o_orderkey, 'v2' AS feed,
+               CAST(NULL AS VARCHAR) AS o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union BY NAME across drifted schemas — the v1 feed lacks the
+    priority column, the v2 feed lacks status: the positional UNION
+    ALL every pipeline writes first silently pairs status with
+    priority (same arity, both strings — NO error, just garbage);
+    `unionByName(allowMissingColumns=True)` aligns on NAMES and
+    null-fills the gaps. The append operation every schema-evolving
+    ingest needs — `scan_schema_evolution` is the read-side of this
+    story; this is the union-side, pinned.
+
+    Plan/scale: two disjoint scan-stage filters + a zero-shuffle
+    Union; the null-fill is a literal projection. Nothing here costs
+    more than the positional union that would have corrupted the
+    data."""
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.lit("v1").alias("feed"), "o_orderstatus"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", F.lit("v2").alias("feed"), "o_orderpriority"
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

@@ -1470,3 +1470,99 @@ def win_topn_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").cast("long").alias("sum_orders"),
         F.min("n_orders").cast("long").alias("cut_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_vwap — rolling volume-weighted average price (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_vwap",
+    tags=("b6",),
+    oracle="""
+        -- Rolling 7-day VWAP per return flag: the volume-weighted
+        -- price benchmark (execution quality in finance, effective
+        -- unit price in commerce) -- agg_weighted's ratio-of-sums,
+        -- WINDOWED: both legs accumulate over the trailing frame and
+        -- divide once per row, so a day's VWAP is exactly
+        -- sum(price*qty)/sum(qty) over the last 7 days, never an
+        -- average of daily averages (agg_ratio_pin's trap, dodged by
+        -- construction). Floor cents output.
+        WITH daily AS (
+            SELECT l_returnflag,
+                   epoch_us(l_shipdate) // 86400000000 AS day,
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * CAST(ROUND(l_quantity) AS BIGINT)) AS pv,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS v
+            FROM lineitem GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT l_returnflag, day,
+                   CAST(SUM(pv) OVER (
+                       PARTITION BY l_returnflag ORDER BY day
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS HUGEINT) AS pv7,
+                   CAST(SUM(v) OVER (
+                       PARTITION BY l_returnflag ORDER BY day
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS HUGEINT) AS v7
+            FROM daily
+        )
+        SELECT l_returnflag, CAST(day AS BIGINT) AS day,
+               CAST(pv7 // v7 AS BIGINT) AS vwap_cents,
+               CAST(v7 AS BIGINT) AS volume_7d
+        FROM w
+    """,
+)
+def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day volume-weighted average price per return flag —
+    the execution-quality benchmark (finance's VWAP; commerce's
+    effective unit price): `agg_weighted`'s ratio-of-sums, WINDOWED.
+    Both legs (Σprice·qty and Σqty) accumulate over the trailing
+    value-based frame and divide ONCE per row — so a day's VWAP is
+    exactly the 7-day ratio of sums, never an average of daily
+    averages (`agg_ratio_pin`'s trap, dodged by construction; the
+    two diverge whenever volume is uneven across the week, i.e.
+    always).
+
+    Exactness: integer cents×qty sums; one floor division per output
+    row over decimal(38,0).
+
+    Plan/scale: facts collapse map-side to (flag, day) — date
+    cardinality — before the window; the RANGE frame is value-based
+    on epoch day, so gap days widen the window correctly instead of
+    sliding over row positions (`ts_resample` handles the densify
+    variant). ONE flag-partitioned sort serves both frame sums."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                " * CAST(ROUND(l_quantity) AS BIGINT)"
+            )
+        ).alias("pv"),
+        F.sum(F.expr("CAST(ROUND(l_quantity) AS BIGINT)")).alias("v"),
+    )
+    w7 = (
+        W.partitionBy("l_returnflag")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    w = daily.select(
+        "l_returnflag",
+        "day",
+        F.sum("pv").over(w7).cast("decimal(38,0)").alias("pv7"),
+        F.sum("v").over(w7).cast("decimal(38,0)").alias("v7"),
+    )
+    return w.select(
+        "l_returnflag",
+        F.col("day").cast("long").alias("day"),
+        F.expr("CAST(pv7 div v7 AS BIGINT)").alias("vwap_cents"),
+        F.col("v7").cast("long").alias("volume_7d"),
+    )

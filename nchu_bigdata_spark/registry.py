@@ -335,6 +335,9 @@ DRIVER_ORDER = [
     "win_topn_ties",
     "graph_hits",
     "text_feature_hashing",
+    "agg_ols_multi",
+    "win_vwap",
+    "set_union_by_name",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

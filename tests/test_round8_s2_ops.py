@@ -956,3 +956,134 @@ def test_feature_hashing_matches_python_replay(spark, sf_dir, duck):
     assert got == {l: (n, n * 10000 // 1024) for l, n in hist.items()}
     # conservation: bucket loads account for every distinct token
     assert sum(l * n for l, (n, _) in got.items()) == len(toks)
+
+
+# --------------------------------------------------------------------------
+# agg_ols_multi
+# --------------------------------------------------------------------------
+
+
+def test_ols_multi_matches_python_cramer(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT),"
+        " CAST(ROUND(l_discount*10000,0) AS BIGINT),"
+        " CAST(ROUND(l_extendedprice*100,0) AS BIGINT) FROM lineitem"
+    ).fetchall()
+    groups = defaultdict(list)
+    for f, q, d, y in rows:
+        groups[f].append((q, d, y))
+    got = {
+        r.l_returnflag: (r.n, r.intercept_cents, r.beta_qty_cents, r.beta_disc_cents_per_bp)
+        for r in SPECS["agg_ols_multi"].fn(spark, sf_dir).collect()
+    }
+    for f, pts in groups.items():
+        n = len(pts)
+        sq = sum(q for q, _, _ in pts)
+        sd = sum(d for _, d, _ in pts)
+        sy = sum(y for _, _, y in pts)
+        sqq = sum(q * q for q, _, _ in pts)
+        sqd = sum(q * d for q, d, _ in pts)
+        sdd = sum(d * d for _, d, _ in pts)
+        sqy = sum(q * y for q, _, y in pts)
+        sdy = sum(d * y for _, d, y in pts)
+        det = n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd) + sd * (sq * sqd - sqq * sd)
+        det0 = sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy) + sd * (sqy * sqd - sqq * sdy)
+        det1 = n * (sqy * sdd - sdy * sqd) - sy * (sq * sdd - sqd * sd) + sd * (sq * sdy - sqy * sd)
+        det2 = n * (sqq * sdy - sqd * sqy) - sq * (sq * sdy - sqy * sd) + sy * (sq * sqd - sqq * sd)
+        gn, gi, gbq, gbd = got[f]
+        assert gn == n
+        assert gi == float(det0) / float(det)
+        assert gbq == float(det1) / float(det)
+        assert gbd == float(det2) / float(det)
+    # sanity: the system is well-posed (non-degenerate determinant ->
+    # finite coefficients; the fixture's price is synthetic so no sign
+    # is assumed)
+    import math
+
+    assert all(
+        math.isfinite(i) and math.isfinite(bq) and math.isfinite(bd)
+        for _, i, bq, bd in got.values()
+    )
+
+
+def test_ols_multi_recovers_planted_plane():
+    # y = 100 + 7q - 2d exactly, on a small grid: Cramer must return
+    # the plane's coefficients exactly (det ratios of exact integers).
+    pts = [(q, d, 100 + 7 * q - 2 * d) for q in range(1, 7) for d in range(0, 5)]
+    n = len(pts)
+    sq = sum(q for q, _, _ in pts); sd = sum(d for _, d, _ in pts)
+    sy = sum(y for _, _, y in pts)
+    sqq = sum(q*q for q, _, _ in pts); sqd = sum(q*d for q, d, _ in pts)
+    sdd = sum(d*d for _, d, _ in pts); sqy = sum(q*y for q, _, y in pts)
+    sdy = sum(d*y for _, d, y in pts)
+    det = n*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd) + sd*(sq*sqd - sqq*sd)
+    det0 = sy*(sqq*sdd - sqd*sqd) - sq*(sqy*sdd - sqd*sdy) + sd*(sqy*sqd - sqq*sdy)
+    det1 = n*(sqy*sdd - sdy*sqd) - sy*(sq*sdd - sqd*sd) + sd*(sq*sdy - sqy*sd)
+    det2 = n*(sqq*sdy - sqd*sqy) - sq*(sq*sdy - sqy*sd) + sy*(sq*sqd - sqq*sd)
+    assert (det0 / det, det1 / det, det2 / det) == (100.0, 7.0, -2.0)
+
+
+# --------------------------------------------------------------------------
+# win_vwap
+# --------------------------------------------------------------------------
+
+
+def test_vwap_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT l_returnflag, epoch_us(l_shipdate) // 86400000000,"
+        " CAST(ROUND(l_extendedprice*100,0) AS BIGINT)"
+        "   * CAST(ROUND(l_quantity) AS BIGINT),"
+        " CAST(ROUND(l_quantity) AS BIGINT) FROM lineitem"
+    ).fetchall()
+    daily = defaultdict(lambda: [0, 0])
+    for f, day, pv, v in rows:
+        c = daily[(f, day)]
+        c[0] += pv
+        c[1] += v
+    want = {}
+    for (f, day) in daily:
+        pv7 = sum(
+            daily[(f, d)][0] for d in range(day - 6, day + 1) if (f, d) in daily
+        )
+        v7 = sum(
+            daily[(f, d)][1] for d in range(day - 6, day + 1) if (f, d) in daily
+        )
+        want[(f, day)] = (pv7 // v7, v7)
+    got = {
+        (r.l_returnflag, r.day): (r.vwap_cents, r.volume_7d)
+        for r in SPECS["win_vwap"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # VWAP really is a ratio of sums: it differs from the mean of the
+    # 7 daily VWAPs somewhere (uneven volume), the ratio-pin point
+    diverged = False
+    for (f, day), (vwap, _) in got.items():
+        days = [d for d in range(day - 6, day + 1) if (f, d) in daily]
+        if len(days) > 1:
+            daily_vwaps = [daily[(f, d)][0] // daily[(f, d)][1] for d in days]
+            if sum(daily_vwaps) // len(daily_vwaps) != vwap:
+                diverged = True
+                break
+    assert diverged
+
+
+# --------------------------------------------------------------------------
+# set_union_by_name
+# --------------------------------------------------------------------------
+
+
+def test_union_by_name_aligns_and_nullfills(spark, sf_dir, duck):
+    got = SPECS["set_union_by_name"].fn(spark, sf_dir).collect()
+    v1 = [r for r in got if r.feed == "v1"]
+    v2 = [r for r in got if r.feed == "v2"]
+    n1 = duck.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0"
+    ).fetchone()[0]
+    n2 = duck.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1"
+    ).fetchone()[0]
+    assert (len(v1), len(v2)) == (n1, n2)
+    # name alignment: v1 rows carry status and NULL priority; v2 the
+    # reverse -- the exact corruption a positional union would cause
+    assert all(r.o_orderstatus is not None and r.o_orderpriority is None for r in v1)
+    assert all(r.o_orderstatus is None and r.o_orderpriority is not None for r in v2)
