@@ -110,6 +110,7 @@ LLM_GROUP = [
     # deterministic shard writer, decode-batch planner (trend starts
     # here)
     "sim_ann_lsh",
+    "sim_rrf_fusion",
     "embed_pca_power",
     "sample_shard_assign",
     "multimodal_batch_plan",
@@ -254,6 +255,8 @@ SQL_GROUP = [
     "graph_hits",
     "agg_ols_multi",
     "win_vwap",
+    "agg_median_ci_bootstrap",
+    "agg_bitmap_intersect",
     "win_topn_ties",
     "text_feature_hashing",
     "events_ks_test",

@@ -2115,3 +2115,112 @@ def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_abs_diff_e6",
         "mean_abs_diff_e6",
     )
+
+
+# --------------------------------------------------------------------------
+# sim_rrf_fusion — reciprocal-rank fusion of IVF + LSH lists (round 8)
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000
+
+
+def _rrf_oracle() -> str:
+    """Composes the registered IVF and LSH oracle chains UNCHANGED
+    (the _SQL_CC_CHAIN composition pattern) and fuses their ranked
+    lists with integer RRF scores."""
+    lsh_noe = _SQL_LSH_BANDS_CTES[_SQL_LSH_BANDS_CTES.find("qe AS") :]
+    return f"""
+        WITH {_SQL_E},
+        {_SQL_IVF_CTES},
+        ivf AS ({_SQL_IVF_CORE}),
+        {lsh_noe},
+        lcand AS (
+            SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+            FROM bands q
+            JOIN bands c ON c.k = q.k AND c.bv = q.bv
+                        AND c.vec_id <> q.vec_id
+            WHERE q.vec_id <= {_NQUERY}
+        ),
+        lsh AS (
+            SELECT q_id, vec_id, rnk FROM (
+                SELECT cd.q_id, cd.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY cd.q_id
+                           ORDER BY {_sql_cos('q', 'a')} DESC, cd.vec_id
+                       ) AS rnk
+                FROM lcand cd
+                JOIN e q ON q.vec_id = cd.q_id
+                JOIN e a ON a.vec_id = cd.vec_id
+            ) WHERE rnk <= {_TOPK}
+        ),
+        u AS (
+            SELECT q_id, vec_id, rnk FROM ivf
+            UNION ALL
+            SELECT q_id, vec_id, rnk FROM lsh
+        ),
+        s AS (
+            SELECT q_id, vec_id,
+                   CAST(SUM({_RRF_SCALE} // ({_RRF_K} + rnk)) AS BIGINT)
+                       AS rrf_scaled,
+                   CAST(COUNT(*) AS BIGINT) AS n_lists
+            FROM u GROUP BY q_id, vec_id
+        )
+        SELECT q_id, vec_id, rrf_scaled, n_lists, rnk FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY rrf_scaled DESC, vec_id
+            ) AS INT) AS rnk FROM s
+        ) WHERE rnk <= {_TOPK}
+    """
+
+
+@register("sim_rrf_fusion", tags=("b10",), oracle=_rrf_oracle())
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the IVF and LSH candidate lists —
+    the standard way to combine retrievers with incomparable scores
+    (Cormack 2009, what hybrid lexical+vector search runs in every
+    modern RAG stack): each list contributes 1/(k+rank), k={k},
+    summed per (query, candidate), so a candidate surfaced by BOTH
+    index families outranks one surfaced by either alone. Composes
+    the registered `sim_ann_ivf` and `sim_ann_lsh` operators
+    UNCHANGED (the composition pattern), so the fusion can never
+    drift from the retrievers it fuses.
+
+    Exactness: RRF terms are the frozen integers 10⁹ div (k+rank)
+    (per-term floor, documented convention — ranks ≤ {t} so no two
+    distinct rank sums collide at this scale); ties break on vec_id.
+
+    Plan/scale: both retriever plans run as-is (their scale stories
+    apply); the fusion itself touches only 2·|queries|·k ranked rows
+    — one tiny groupBy + one per-query WindowGroupLimit top-{t}."""
+    from nchu_bigdata_spark.registry import REGISTRY
+
+    ivf = (
+        REGISTRY["sim_ann_ivf"].fn.__wrapped__(spark, sf_dir)
+        .select("q_id", "vec_id", "rnk")
+    )
+    lsh = (
+        REGISTRY["sim_ann_lsh"].fn.__wrapped__(spark, sf_dir)
+        .select("q_id", "vec_id", "rnk")
+    )
+    u = ivf.unionAll(lsh)
+    s = u.groupBy("q_id", "vec_id").agg(
+        F.sum(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk)"))
+        .cast("long")
+        .alias("rrf_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_scaled").desc(), "vec_id"
+    )
+    return (
+        s.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _TOPK)
+        .select(
+            "q_id",
+            "vec_id",
+            "rrf_scaled",
+            "n_lists",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

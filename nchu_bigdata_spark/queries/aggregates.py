@@ -2480,3 +2480,199 @@ def agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "beta_disc_cents_per_bp"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_median_ci_bootstrap — bootstrap spread of the median (round 8)
+# --------------------------------------------------------------------------
+
+_BOOT_REPS = 5
+
+
+def _boot_med_oracle() -> str:
+    from nchu_bigdata_spark.operators.pipeline import _pois_case_sql
+
+    u = (
+        "('0x' || substr(md5(CAST(r AS VARCHAR) || '|' ||"
+        " CAST(l_orderkey AS VARCHAR) || '-' ||"
+        " CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT"
+    )
+    return f"""
+        -- Bootstrap spread of the per-flag MEDIAN price: {_BOOT_REPS}
+        -- deterministic Poisson(1) replicates (sample_poisson's
+        -- frozen inverse-CDF construction, salted by replicate id),
+        -- each replicate's exact lower weighted median, and the
+        -- min/max/spread across replicates -- the nonparametric CI
+        -- machinery for a statistic with no closed-form variance,
+        -- with NO RNG state and NO resampling shuffle.
+        WITH k AS (
+            SELECT l_returnflag, r,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+                   {_pois_case_sql(u)} AS k
+            FROM lineitem
+            CROSS JOIN (SELECT unnest(range({_BOOT_REPS})) AS r)
+        ),
+        g AS (
+            SELECT l_returnflag, r, cents, SUM(k) AS w
+            FROM k GROUP BY l_returnflag, r, cents
+        ),
+        c AS (
+            SELECT l_returnflag, r, cents,
+                   SUM(w) OVER (
+                       PARTITION BY l_returnflag, r ORDER BY cents
+                   ) AS cum,
+                   SUM(w) OVER (PARTITION BY l_returnflag, r) AS tot
+            FROM g
+        ),
+        med AS (
+            SELECT l_returnflag, r,
+                   MIN(CASE WHEN 2 * cum >= tot THEN cents END) AS med
+            FROM c GROUP BY l_returnflag, r
+        )
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_reps,
+               CAST(MIN(med) AS BIGINT) AS med_lo_cents,
+               CAST(MAX(med) AS BIGINT) AS med_hi_cents,
+               CAST(MAX(med) - MIN(med) AS BIGINT) AS spread_cents
+        FROM med GROUP BY l_returnflag
+    """
+
+
+@register("agg_median_ci_bootstrap", tags=("b4",), oracle=_boot_med_oracle())
+def agg_median_ci_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap spread of the per-flag median price — the
+    nonparametric confidence machinery for a statistic with NO
+    closed-form variance (`events_sample_size` plans with the mean's
+    σ; the median needs resampling): {r} deterministic Poisson(1)
+    replicates (`sample_poisson`'s frozen inverse-CDF construction,
+    salted by replicate id — no RNG state, no
+    sampling-without-replacement shuffle, bit-reproducible under
+    retries), each replicate's EXACT lower weighted median, and the
+    min/max/spread across replicates.
+
+    Exactness: multiplicities are pure key functions; each
+    replicate's median is the smallest cents with 2·cum ≥ total over
+    integer weights — the exact order-statistic rule, no
+    interpolation.
+
+    Plan/scale: the replicate spine is an explode (×{r}) folded
+    immediately into a (flag, rep, cents) map-side rollup — bounded
+    by the price support × reps, not row count; the cumulative
+    windows run per (flag, rep) over that bounded support. Adding
+    replicates varies a hash salt, never re-scans."""
+    from nchu_bigdata_spark.operators.pipeline import _pois_case_sql
+
+    li = table(spark, sf_dir, "lineitem")
+    u = (
+        "CAST(conv(substr(md5(CAST(r AS STRING) || '|' ||"
+        " CAST(l_orderkey AS STRING) || '-' ||"
+        " CAST(l_linenumber AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    k = (
+        li.select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("r"),
+            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .withColumn("k", F.expr(_pois_case_sql(u)))
+        .drop("l_orderkey", "l_linenumber")
+    )
+    g = k.groupBy("l_returnflag", "r", "cents").agg(F.sum("k").alias("w"))
+    w_cum = Window.partitionBy("l_returnflag", "r").orderBy("cents")
+    w_all = Window.partitionBy("l_returnflag", "r")
+    c = g.select(
+        "l_returnflag",
+        "r",
+        "cents",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_all).alias("tot"),
+    )
+    med = c.groupBy("l_returnflag", "r").agg(
+        F.min(F.expr("CASE WHEN 2 * cum >= tot THEN cents END")).alias("med")
+    )
+    return med.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.min("med").cast("long").alias("med_lo_cents"),
+        F.max("med").cast("long").alias("med_hi_cents"),
+        (F.max("med") - F.min("med")).cast("long").alias("spread_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_bitmap_intersect — month-over-month retention via bitmaps (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_bitmap_intersect",
+    tags=("b4",),
+    oracle="""
+        -- Week-over-week retained users, counted the SET way: the
+        -- oracle does COUNT(DISTINCT) over an inner join of weekly
+        -- activity -- the engine does it the BITMAP way (users packed
+        -- into per-bucket bit vectors, AND + popcount), the
+        -- warehouse trick (Doris/ClickHouse bitmap_and_count) that
+        -- makes retention a byte operation instead of a shuffle-heavy
+        -- distinct join. Two INDEPENDENT formulations, same counts.
+        WITH act AS (
+            SELECT DISTINCT
+                   epoch_us(ts) // (86400000000 * 7) AS m, user_id
+            FROM events
+        )
+        SELECT a.m AS week_idx,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS retained
+        FROM act a JOIN act b
+          ON b.user_id = a.user_id AND b.m = a.m + 1
+        GROUP BY a.m
+    """,
+)
+def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retained users via BITMAP INTERSECTION — the
+    warehouse counting trick (Doris/ClickHouse `bitmap_and_count`,
+    roaring-bitmap engines): pack each month's active users into
+    per-bucket 64-bit words (`bucket = user div 64`, `bit = user mod
+    64`, word = BIT_OR of 1<<bit), then retention = Σ popcount(A AND
+    B) over bucket-aligned words (weekly grain — the fixture spans
+    one month; the mechanics are grain-free). Distinct-counting an intersection
+    becomes a BYTE operation: no distinct join shuffle at query time,
+    and period bitmaps are precomputable, mergeable artifacts —
+    `agg_bitmap_distinct`'s union story, extended to INTERSECTION
+    (which no HLL sketch can answer exactly).
+
+    The oracle counts the same retention as COUNT(DISTINCT) over an
+    inner week-pair join — an independent formulation; matching
+    counts certify the bitmap algebra.
+
+    Plan/scale: one (week, bucket) map-side BIT_OR rollup — output
+    is |weeks|·|user-space|/64 words; the week-pair join is
+    bucket-aligned (equi join on bucket) + popcount — never a
+    per-user row operation downstream of the rollup."""
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        F.expr("unix_micros(ts) div (86400000000 * 7)").alias("m"),
+        "user_id",
+    )
+    words = act.groupBy(
+        "m", F.expr("user_id div 64").alias("bucket")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+               "CAST(user_id % 64 AS INT)))").alias("w")
+    )
+    nxt = words.select(
+        (F.col("m") - 1).alias("m"),
+        "bucket",
+        F.col("w").alias("w_next"),
+    )
+    return (
+        words.join(nxt, ["m", "bucket"])
+        .groupBy(F.col("m").cast("long").alias("week_idx"))
+        .agg(
+            F.sum(F.bit_count(F.expr("w & w_next")))
+            .cast("long")
+            .alias("retained")
+        )
+    )

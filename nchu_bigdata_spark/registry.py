@@ -338,6 +338,9 @@ DRIVER_ORDER = [
     "agg_ols_multi",
     "win_vwap",
     "set_union_by_name",
+    "sim_rrf_fusion",
+    "agg_median_ci_bootstrap",
+    "agg_bitmap_intersect",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1087,3 +1087,117 @@ def test_union_by_name_aligns_and_nullfills(spark, sf_dir, duck):
     # reverse -- the exact corruption a positional union would cause
     assert all(r.o_orderstatus is not None and r.o_orderpriority is None for r in v1)
     assert all(r.o_orderstatus is None and r.o_orderpriority is not None for r in v2)
+
+
+# --------------------------------------------------------------------------
+# sim_rrf_fusion
+# --------------------------------------------------------------------------
+
+
+def test_rrf_fusion_composes_both_retrievers(spark, sf_dir):
+    ivf = {
+        (r.q_id, r.vec_id): r.rnk
+        for r in SPECS["sim_ann_ivf"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.q_id, r.vec_id): r.rnk
+        for r in SPECS["sim_ann_lsh"].fn(spark, sf_dir).collect()
+    }
+    scores = defaultdict(int)
+    lists = defaultdict(int)
+    for src in (ivf, lsh):
+        for (q, v), rnk in src.items():
+            scores[(q, v)] += 1_000_000_000 // (60 + rnk)
+            lists[(q, v)] += 1
+    want = {}
+    by_q = defaultdict(list)
+    for (q, v), s in scores.items():
+        by_q[q].append((-s, v))
+    for q, cands in by_q.items():
+        for i, (negs, v) in enumerate(sorted(cands)[:5]):
+            want[(q, v)] = (-negs, lists[(q, v)], i + 1)
+    got = {
+        (r.q_id, r.vec_id): (r.rrf_scaled, r.n_lists, r.rnk)
+        for r in SPECS["sim_rrf_fusion"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # fusion is doing work: some survivor is backed by BOTH lists
+    assert any(n == 2 for _, n, _ in got.values())
+
+
+# --------------------------------------------------------------------------
+# agg_median_ci_bootstrap
+# --------------------------------------------------------------------------
+
+
+def test_bootstrap_median_matches_python_replay(spark, sf_dir, duck):
+    import hashlib
+
+    rows = duck.execute(
+        "SELECT l_returnflag, l_orderkey, l_linenumber,"
+        " CAST(ROUND(l_extendedprice*100,0) AS BIGINT) FROM lineitem"
+    ).fetchall()
+    T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+
+    def pois(u):
+        for k, t in enumerate(T):
+            if u < t:
+                return k
+        return 5
+
+    meds = defaultdict(dict)
+    for r in range(5):
+        wsum = defaultdict(lambda: defaultdict(int))
+        for f, ok, ln, cents in rows:
+            u = int(
+                hashlib.md5(f"{r}|{ok}-{ln}".encode()).hexdigest()[:8], 16
+            )
+            wsum[f][cents] += pois(u)
+        for f, dist in wsum.items():
+            tot = sum(dist.values())
+            cum = 0
+            for cents in sorted(dist):
+                cum += dist[cents]
+                if 2 * cum >= tot:
+                    meds[f][r] = cents
+                    break
+    got = {
+        r.l_returnflag: (r.n_reps, r.med_lo_cents, r.med_hi_cents, r.spread_cents)
+        for r in SPECS["agg_median_ci_bootstrap"].fn(spark, sf_dir).collect()
+    }
+    for f, per_rep in meds.items():
+        vals = list(per_rep.values())
+        assert got[f] == (5, min(vals), max(vals), max(vals) - min(vals))
+    # the spread is a genuine interval on the fixture (medians move)
+    assert any(s > 0 for _, _, _, s in got.values())
+
+
+# --------------------------------------------------------------------------
+# agg_bitmap_intersect
+# --------------------------------------------------------------------------
+
+
+def test_bitmap_intersect_matches_set_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT DISTINCT epoch_us(ts) // (86400000000*7), user_id FROM events"
+    ).fetchall()
+    weeks = defaultdict(set)
+    for w, u in rows:
+        weeks[w].add(u)
+    want = {
+        w: len(weeks[w] & weeks[w + 1])
+        for w in weeks
+        if w + 1 in weeks and len(weeks[w] & weeks[w + 1]) > 0
+    }
+    # drop empty intersections only if the engine also drops them
+    got = {
+        r.week_idx: r.retained
+        for r in SPECS["agg_bitmap_intersect"].fn(spark, sf_dir).collect()
+    }
+    full = {
+        w: len(weeks[w] & weeks[w + 1]) for w in weeks if w + 1 in weeks
+    }
+    assert got == full
+    # bitmap algebra conserves: retained never exceeds either week
+    for w, ret in got.items():
+        assert ret <= min(len(weeks[w]), len(weeks[w + 1]))
