@@ -257,6 +257,7 @@ SQL_GROUP = [
     "win_vwap",
     "agg_median_ci_bootstrap",
     "agg_bitmap_intersect",
+    "join_anti_range",
     "win_topn_ties",
     "text_feature_hashing",
     "events_ks_test",

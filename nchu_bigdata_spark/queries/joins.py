@@ -443,3 +443,97 @@ def join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM je_customer c
         """
     )
+
+
+# --------------------------------------------------------------------------
+# join_anti_range — time-windowed anti join (abandonment) (round 8)
+# --------------------------------------------------------------------------
+
+_ABANDON_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "join_anti_range",
+    tags=("b5",),
+    oracle=f"""
+        -- Time-windowed NOT EXISTS: views with NO purchase by the
+        -- same user within the following hour -- the abandonment /
+        -- unanswered-alert / no-follow-up shape. A plain anti join
+        -- answers "never purchased"; the RANGE condition answers
+        -- "didn't purchase IN TIME", which is the business question.
+        -- Rolled up to the daily abandonment rate in floor bp.
+        WITH v AS (
+            SELECT user_id, epoch_us(ts) AS vs FROM events
+            WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, epoch_us(ts) AS ps FROM events
+            WHERE event_type = 'purchase'
+        ),
+        a AS (
+            SELECT v.user_id, v.vs FROM v
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p
+                WHERE p.user_id = v.user_id
+                  AND p.ps >= v.vs
+                  AND p.ps <= v.vs + {_ABANDON_WINDOW_US}
+            )
+        ),
+        d AS (
+            SELECT vs // 86400000000 AS day, COUNT(*) AS n_views
+            FROM v GROUP BY 1
+        ),
+        ad AS (
+            SELECT vs // 86400000000 AS day, COUNT(*) AS n_abandoned
+            FROM a GROUP BY 1
+        )
+        SELECT CAST(d.day AS BIGINT) AS day,
+               CAST(d.n_views AS BIGINT) AS n_views,
+               CAST(COALESCE(ad.n_abandoned, 0) AS BIGINT) AS n_abandoned,
+               CAST(COALESCE(ad.n_abandoned, 0) * 10000 // d.n_views
+                    AS BIGINT) AS abandon_bp
+        FROM d LEFT JOIN ad ON ad.day = d.day
+    """,
+)
+def join_anti_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed NOT EXISTS — views with NO purchase by the same
+    user within the following hour, rolled to a daily abandonment
+    rate. `join_anti` answers "never purchased"; the RANGE conjunct
+    answers "didn't purchase IN TIME", which is what abandonment,
+    unanswered-alert, and no-follow-up metrics actually ask.
+
+    Plan/scale: Catalyst keeps the user_id EQUI key as the anti
+    join's hash/merge key and evaluates the time-range conjunct as a
+    residual join condition — so the plan is a keyed LeftAnti join
+    (asserted; never a nested loop over the cross product), shuffling
+    both sides once on user_id. Per-user event streams are bounded
+    (the hottest user is the skew ceiling, as in the sessionize
+    family). The daily rollups reuse the view side; floor-bp rate."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.expr("unix_micros(ts)").alias("vs")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.expr("unix_micros(ts)").alias("ps")
+    )
+    a = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ps") >= F.col("vs"))
+        & (F.col("ps") <= F.col("vs") + _ABANDON_WINDOW_US),
+        "left_anti",
+    )
+    d = v.groupBy(F.expr("vs div 86400000000").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_views")
+    )
+    ad = a.groupBy(F.expr("vs div 86400000000").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_abandoned")
+    )
+    return d.join(ad, "day", "left").select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_views").cast("long").alias("n_views"),
+        F.coalesce("n_abandoned", F.lit(0)).cast("long").alias("n_abandoned"),
+        F.expr(
+            "CAST(COALESCE(n_abandoned, 0) * 10000 div n_views AS BIGINT)"
+        ).alias("abandon_bp"),
+    )

@@ -957,3 +957,80 @@ def scan_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_live"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_csv_multiline — quoted embedded newlines round-trip (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_csv_multiline",
+    tags=("b1",),
+    oracle="""
+        -- CSV with QUOTED EMBEDDED NEWLINES: the oracle computes the
+        -- expected aggregate straight from the source table (replace
+        -- spaces with newlines -- every body becomes multi-line); the
+        -- engine round-trips those bodies through CSV and must
+        -- reassemble records across line breaks (multiLine parsing).
+        -- A naive line-splitting reader shreds every record and the
+        -- checksums diverge -- lossless serde IS the check
+        -- (scan_csv's policy, pointed at the classic CSV trap).
+        WITH b AS (
+            SELECT doc_id, lang,
+                   replace(text, ' ', chr(10)) AS body
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(strlen(body)) AS BIGINT) AS sum_chars,
+               CAST(SUM(('0x' || substr(md5(body), 1, 8))::BIGINT)
+                    AS BIGINT) AS body_checksum
+        FROM b GROUP BY lang
+    """,
+)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with QUOTED EMBEDDED NEWLINES — the classic CSV trap:
+    every document body is rewritten with real newlines (space →
+    \\n), round-tripped through CSV, and read back with
+    ``multiLine=true`` so the parser must reassemble records across
+    line breaks instead of splitting on them. A naive line-oriented
+    reader shreds every record; the md5 body checksum (computed by
+    the oracle straight from the source table) catches one lost or
+    doubled character anywhere. `scan_csv`'s lossless-serde policy,
+    pointed at the failure mode that actually bites exported
+    free-text columns.
+
+    Plan/scale note — the real cost of multiLine: Spark cannot SPLIT
+    a multiLine CSV file (records cross line boundaries, so there is
+    no safe split point); each file becomes one task. The write side
+    therefore controls parallelism by file count (here: the
+    upstream partitioning), which is exactly how production lays out
+    multiline exports."""
+    docs = table(spark, sf_dir, "documents")
+    out = scratch_dir(sf_dir, "docs_multiline_csv")
+    body = F.regexp_replace("text", " ", "\n")
+    docs.select(
+        "doc_id", "lang", body.alias("body")
+    ).write.mode("overwrite").option("quoteAll", True).option(
+        "escape", '"'
+    ).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("body", T.StringType()),
+        ]
+    )
+    csv = spark.read.schema(schema).option("multiLine", True).option(
+        "escape", '"'
+    ).csv(out)
+    return csv.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.octet_length("body")).cast("long").alias("sum_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5("body"), 1, 8), 16, 10).cast("long")
+        )
+        .cast("long")
+        .alias("body_checksum"),
+    )

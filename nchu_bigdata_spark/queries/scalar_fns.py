@@ -572,3 +572,99 @@ def fn_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# fn_luhn_check — Luhn mod-10 checksum validation (round 8)
+# --------------------------------------------------------------------------
+
+
+def _luhn_sql(base: str, intdiv: str) -> str:
+    """Luhn sum over a 12-digit integer expression: digits indexed
+    from the RIGHT of ``base``; every even-indexed digit of base
+    (the doubled positions once a check digit is appended) doubles
+    with 9-cast-out. Pure integer arithmetic; ``intdiv`` is the
+    dialect's integer-division token (' div ' on Spark, '//' on
+    DuckDB — the _walk_h dialect convention)."""
+    terms = []
+    for i in range(12):
+        d = f"((({base}) {intdiv} {10 ** i}) % 10)"
+        # after appending a check digit, digit i of base sits at
+        # position i+1 from the right -> doubled when i is even
+        if i % 2 == 0:
+            terms.append(
+                f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9"
+                f" ELSE 2 * {d} END)"
+            )
+        else:
+            terms.append(f"{d}")
+    return " + ".join(terms)
+
+
+@register(
+    "fn_luhn_check",
+    tags=("b2",),
+    oracle=f"""
+        -- Luhn mod-10 validation (card/IMEI/account checksums): a
+        -- deterministic 12-digit account number per user, its Luhn
+        -- check digit, and validation of the user's ACTUAL last
+        -- digit against it -- the ingest-side validity screen that
+        -- runs before text_pii_scrub ever sees a "card-like" string.
+        -- Digit extraction is pure integer div/mod, identical on
+        -- both engines.
+        WITH acct AS (
+            SELECT user_id,
+                   100000000000 + (user_id * 7919) % 900000000000 AS base,
+                   user_id % 10 AS claimed
+            FROM (SELECT DISTINCT user_id FROM events)
+        ),
+        l AS (
+            SELECT user_id, base, claimed,
+                   (10 - ({_luhn_sql('base', '//')}) % 10) % 10 AS check_digit
+            FROM acct
+        )
+        SELECT CAST(claimed AS BIGINT) AS claimed_digit,
+               CAST(COUNT(*) AS BIGINT) AS n_accounts,
+               CAST(SUM(CASE WHEN claimed = check_digit
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+        FROM l GROUP BY claimed
+    """,
+)
+def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 checksum validation — the card/IMEI/account-number
+    validity screen (the checksum that catches single-digit typos and
+    adjacent transpositions): derive a deterministic 12-digit account
+    number per user, compute its Luhn check digit by the
+    double-every-second-digit / cast-out-nines rule, and validate the
+    user's claimed last digit against it. The ingest-side screen that
+    runs BEFORE `text_pii_scrub` decides whether a card-like string
+    is worth masking — invalid numbers aren't PII.
+
+    Exactness: digit extraction is div/mod integer arithmetic
+    unrolled over the 12 fixed positions — no string ops, no UDF,
+    identical expression text on both engines.
+
+    Plan/scale: one distinct on user_id, then a single narrow
+    whole-stage-codegen projection (the unrolled Luhn sum) + a
+    10-group rollup. ~1/10 of claimed digits validate, the expected
+    rate for an uncorrelated claim."""
+    ev = table(spark, sf_dir, "events")
+    acct = ev.select("user_id").distinct().select(
+        "user_id",
+        F.expr(
+            "100000000000 + (user_id * 7919) % 900000000000"
+        ).alias("base"),
+        (F.col("user_id") % 10).alias("claimed"),
+    )
+    l = acct.select(
+        "claimed",
+        F.expr(f"(10 - ({_luhn_sql('base', ' div ')}) % 10) % 10").alias(
+            "check_digit"
+        ),
+    )
+    return l.groupBy(F.col("claimed").cast("long").alias("claimed_digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_accounts"),
+        F.sum((F.col("claimed") == F.col("check_digit")).cast("long"))
+        .cast("long")
+        .alias("n_valid"),
+    )

@@ -341,6 +341,9 @@ DRIVER_ORDER = [
     "sim_rrf_fusion",
     "agg_median_ci_bootstrap",
     "agg_bitmap_intersect",
+    "scan_csv_multiline",
+    "join_anti_range",
+    "fn_luhn_check",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1201,3 +1201,122 @@ def test_bitmap_intersect_matches_set_replay(spark, sf_dir, duck):
     # bitmap algebra conserves: retained never exceeds either week
     for w, ret in got.items():
         assert ret <= min(len(weeks[w]), len(weeks[w + 1]))
+
+
+# --------------------------------------------------------------------------
+# scan_csv_multiline
+# --------------------------------------------------------------------------
+
+
+def test_multiline_roundtrip_matches_source(spark, sf_dir, duck):
+    import hashlib
+
+    rows = duck.execute("SELECT doc_id, lang, text FROM documents").fetchall()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for _, lang, text in rows:
+        body = text.replace(" ", "\n")
+        a = agg[lang]
+        a[0] += 1
+        a[1] += len(body.encode())
+        a[2] += int(hashlib.md5(body.encode()).hexdigest()[:8], 16)
+    got = {
+        r.lang: (r.n_docs, r.sum_chars, r.body_checksum)
+        for r in SPECS["scan_csv_multiline"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # every body really is multi-line (the parser had to reassemble)
+    assert all(
+        "\n" in text.replace(" ", "\n") for _, _, text in rows if " " in text
+    )
+
+
+# --------------------------------------------------------------------------
+# join_anti_range
+# --------------------------------------------------------------------------
+
+
+def test_anti_range_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT user_id, event_type, epoch_us(ts) FROM events"
+        " WHERE event_type IN ('view', 'purchase')"
+    ).fetchall()
+    views = [(u, t) for u, e, t in rows if e == "view"]
+    purch = defaultdict(list)
+    for u, e, t in rows:
+        if e == "purchase":
+            purch[u].append(t)
+    W = 3_600_000_000
+    day_views = Counter(t // 86400000000 for _, t in views)
+    day_ab = Counter()
+    for u, t in views:
+        if not any(t <= p <= t + W for p in purch.get(u, ())):
+            day_ab[t // 86400000000] += 1
+    got = {
+        r.day: (r.n_views, r.n_abandoned, r.abandon_bp)
+        for r in SPECS["join_anti_range"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        d: (n, day_ab.get(d, 0), day_ab.get(d, 0) * 10000 // n)
+        for d, n in day_views.items()
+    }
+    assert got == want
+    # the time window matters: strictly more abandoned than
+    # "never purchased at all" would give for some day
+    never = Counter()
+    for u, t in views:
+        if u not in purch:
+            never[t // 86400000000] += 1
+    assert sum(a for _, a, _ in got.values()) >= sum(never.values())
+
+
+def test_anti_range_plan_is_keyed_anti_join(spark, sf_dir):
+    import io, contextlib
+
+    df = SPECS["join_anti_range"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# fn_luhn_check
+# --------------------------------------------------------------------------
+
+
+def test_luhn_matches_python_replay(spark, sf_dir, duck):
+    users = [
+        r[0] for r in duck.execute("SELECT DISTINCT user_id FROM events").fetchall()
+    ]
+
+    def check_digit(base):
+        digits = [int(c) for c in str(base)][::-1]
+        s = 0
+        for i, d in enumerate(digits):
+            if i % 2 == 0:
+                d2 = d * 2
+                s += d2 - 9 if d2 > 9 else d2
+            else:
+                s += d
+        return (10 - s % 10) % 10
+
+    agg = defaultdict(lambda: [0, 0])
+    for u in users:
+        base = 100000000000 + (u * 7919) % 900000000000
+        claimed = u % 10
+        a = agg[claimed]
+        a[0] += 1
+        a[1] += int(claimed == check_digit(base))
+    got = {
+        r.claimed_digit: (r.n_accounts, r.n_valid)
+        for r in SPECS["fn_luhn_check"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # the appended check digit makes the full number Luhn-valid: the
+    # construction is the standard one (verified in the op's tests via
+    # the doubling-parity identity)
+    total = sum(n for n, _ in got.values())
+    valid = sum(v for _, v in got.values())
+    assert 0 < valid < total  # ~10% — a claim uncorrelated with Luhn
