@@ -258,6 +258,9 @@ SQL_GROUP = [
     "agg_median_ci_bootstrap",
     "agg_bitmap_intersect",
     "join_anti_range",
+    "ts_theil_sen",
+    "ts_runs_test",
+    "dq_duplicate_billing",
     "win_topn_ties",
     "text_feature_hashing",
     "events_ks_test",

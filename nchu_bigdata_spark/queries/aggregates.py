@@ -2393,12 +2393,30 @@ def agg_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l_returnflag,
                CAST(n AS BIGINT) AS n,
-               CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE)
-                   AS intercept_cents,
-               CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE)
-                   AS beta_qty_cents,
-               CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE)
-                   AS beta_disc_cents_per_bp
+               CAST(CASE WHEN det0 >= 0
+                    THEN (ABS(det0) // det) * 1000000
+                         + ((ABS(det0) - (ABS(det0) // det) * det)
+                            * 1000000) // det
+                    ELSE -((ABS(det0) // det) * 1000000
+                           + ((ABS(det0) - (ABS(det0) // det) * det)
+                              * 1000000) // det) END AS BIGINT)
+                   AS intercept_cents_e6,
+               CAST(CASE WHEN det1 >= 0
+                    THEN (ABS(det1) // det) * 1000000
+                         + ((ABS(det1) - (ABS(det1) // det) * det)
+                            * 1000000) // det
+                    ELSE -((ABS(det1) // det) * 1000000
+                           + ((ABS(det1) - (ABS(det1) // det) * det)
+                              * 1000000) // det) END AS BIGINT)
+                   AS beta_qty_cents_e6,
+               CAST(CASE WHEN det2 >= 0
+                    THEN (ABS(det2) // det) * 1000000
+                         + ((ABS(det2) - (ABS(det2) // det) * det)
+                            * 1000000) // det
+                    ELSE -((ABS(det2) // det) * 1000000
+                           + ((ABS(det2) - (ABS(det2) // det) * det)
+                              * 1000000) // det) END AS BIGINT)
+                   AS beta_disc_e6
         FROM dets
     """,
 )
@@ -2408,9 +2426,13 @@ def agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 3×3 normal equations (XᵀX)β = Xᵀy with CRAMER'S RULE over
     exact integer co-moments — `agg_regression`'s exactness policy
     lifted to the multivariate case. Every determinant is pure
-    integer arithmetic in decimal(38,0); each coefficient is ONE
-    IEEE-exact division detᵢ/det at the very end — no iterative
-    solver, no float accumulation, bit-identical across engines. The
+    integer arithmetic in decimal(38,0); each coefficient exports as
+    the EXACT scaled integer floor(detᵢ·10⁶/det) computed by a
+    quotient/remainder split (never materializing detᵢ·10⁶, which
+    would overflow 38 digits at sf0.1 moment magnitudes; and never a
+    decimal→double cast, whose rounding DuckDB does not guarantee
+    correctly rounded at 10²⁸ — a 1-ulp divergence this op actually
+    hit at sf0.001). No iterative solver, no float anywhere. The
     two-feature fit is what pricing/attribution actually runs when
     one driver confounds another (discounted lines are also big
     lines; the single-feature slope mixes the effects, the
@@ -2467,18 +2489,23 @@ def agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + sy * (sq * sqd - sqq * sd)"
         ).alias("det2"),
     )
+    def scaled_div(num: str, alias: str):
+        # exact floor-toward-zero of num*1e6/det WITHOUT materializing
+        # num*1e6 (which overflows 38 digits at the sf0.1 moment
+        # magnitudes): quotient/remainder split, sign handled outside.
+        q = f"(ABS({num}) div det)"
+        frac = f"((ABS({num}) - {q} * det) * 1000000) div det"
+        return F.expr(
+            f"CAST(CASE WHEN {num} >= 0 THEN {q} * 1000000 + {frac}"
+            f" ELSE -({q} * 1000000 + {frac}) END AS BIGINT)"
+        ).alias(alias)
+
     return dets.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
-        (F.col("det0").cast("double") / F.col("det").cast("double")).alias(
-            "intercept_cents"
-        ),
-        (F.col("det1").cast("double") / F.col("det").cast("double")).alias(
-            "beta_qty_cents"
-        ),
-        (F.col("det2").cast("double") / F.col("det").cast("double")).alias(
-            "beta_disc_cents_per_bp"
-        ),
+        scaled_div("det0", "intercept_cents_e6"),
+        scaled_div("det1", "beta_qty_cents_e6"),
+        scaled_div("det2", "beta_disc_e6"),
     )
 
 

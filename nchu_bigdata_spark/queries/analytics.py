@@ -4688,3 +4688,254 @@ def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("s").cast("long").alias("first_flag_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_theil_sen — robust median-slope trend (round 8)
+# --------------------------------------------------------------------------
+
+_TS_SLOPE_SCALE = 1_000_000
+
+
+@register(
+    "ts_theil_sen",
+    tags=("b6",),
+    oracle=f"""
+        -- Theil-Sen robust trend per event type: the MEDIAN of all
+        -- pairwise day-to-day slopes -- one wild outlier day barely
+        -- moves it, where the OLS slope (win_rolling_regression's
+        -- fit) chases it; the trend estimator monitoring teams
+        -- deploy when a single bad ingest day must not flip the
+        -- alert. Slopes are sign-split floor-scaled integers
+        -- (embed_pca_power's negative-safe division); the median is
+        -- the exact lower order statistic over the bounded
+        -- date-pair set.
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CASE WHEN b.y < a.y
+                        THEN -(((a.y - b.y) * {_TS_SLOPE_SCALE})
+                               // (b.day - a.day))
+                        ELSE ((b.y - a.y) * {_TS_SLOPE_SCALE})
+                             // (b.day - a.day) END AS slope_scaled
+            FROM daily a JOIN daily b
+              ON b.event_type = a.event_type AND b.day > a.day
+        ),
+        r AS (
+            SELECT event_type, slope_scaled,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY slope_scaled
+                   ) AS i,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM pairs
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_pairs,
+               CAST(MIN(CASE WHEN 2 * i >= n + 1
+                             THEN slope_scaled END) AS BIGINT)
+                   AS theil_sen_slope_scaled
+        FROM r GROUP BY event_type
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — the MEDIAN of all
+    pairwise day-to-day slopes: one wild outlier day barely moves it
+    where the OLS slope (`win_rolling_regression`) chases it; the
+    estimator monitoring teams deploy when a single bad ingest day
+    must not flip a trend alert. The robust sibling completing the
+    trend family (OLS fits, CUSUM detects shifts, Theil–Sen reads
+    the level-free slope).
+
+    Exactness: each pairwise slope Δy/Δx is a sign-split floor-scaled
+    integer (Δy·10⁶ div Δx with `embed_pca_power`'s negative-safe
+    split, so truncation direction can never diverge across engines);
+    the median is the exact LOWER order statistic (2i ≥ n+1) over the
+    pair set.
+
+    Plan/scale: the pair space is DATE-cardinality squared per series
+    — bounded by the calendar (≈30 days → ≤435 pairs here), NOT by
+    row count; facts collapse map-side to (type, day) first, the
+    self-join and rank windows run over that bounded rollup. At long
+    horizons production caps the pair window (e.g. trailing 90 days)
+    — same plan, clamped spine."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = daily.join(
+        b,
+        (F.col("et2") == F.col("event_type")) & (F.col("day2") > F.col("day")),
+    ).select(
+        "event_type",
+        F.expr(
+            f"CASE WHEN y2 < y THEN"
+            f" -(((y - y2) * {_TS_SLOPE_SCALE}) div (day2 - day))"
+            f" ELSE ((y2 - y) * {_TS_SLOPE_SCALE}) div (day2 - day) END"
+        ).alias("slope_scaled"),
+    )
+    w_r = Window.partitionBy("event_type").orderBy("slope_scaled")
+    w_n = Window.partitionBy("event_type")
+    r = pairs.select(
+        "event_type",
+        "slope_scaled",
+        F.row_number().over(w_r).alias("i"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.min(
+            F.expr("CASE WHEN 2 * i >= n + 1 THEN slope_scaled END")
+        )
+        .cast("long")
+        .alias("theil_sen_slope_scaled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_runs_test — Wald–Wolfowitz randomness check (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_runs_test",
+    tags=("b6",),
+    oracle="""
+        -- Wald-Wolfowitz runs test per event type: is the daily
+        -- volume series RANDOM around its median, or does it cluster
+        -- (trend/regime) or alternate (overcorrection)? Days above
+        -- the median are 1, below are 0 (exact-median days drop,
+        -- documented); R = observed runs; significance is the
+        -- cross-multiplied z-squared test
+        --   10^4 * (R*n - 2*n1*n2 - n)^2 * (n - 1)
+        --     > 38415 * 2*n1*n2 * (2*n1*n2 - n)
+        -- (z^2 > 3.8415 with mu = 2n1n2/n + 1 and the classical
+        -- sigma^2, fully integer -- the events_mann_whitney
+        -- convention).
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        med AS (
+            SELECT event_type, y, day,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY y
+                   ) AS i,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+            FROM daily
+        ),
+        m2 AS (
+            SELECT event_type,
+                   MIN(CASE WHEN 2 * i >= cnt + 1 THEN y END) AS med_y
+            FROM med GROUP BY event_type
+        ),
+        s AS (
+            SELECT d.event_type, d.day,
+                   CASE WHEN d.y > m.med_y THEN 1 ELSE 0 END AS up
+            FROM daily d JOIN m2 m ON m.event_type = d.event_type
+            WHERE d.y <> m.med_y
+        ),
+        f AS (
+            SELECT event_type, day, up,
+                   LAG(up) OVER (
+                       PARTITION BY event_type ORDER BY day
+                   ) AS prev
+            FROM s
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN prev IS NULL OR up <> prev
+                                 THEN 1 ELSE 0 END) AS HUGEINT) AS r,
+                   CAST(SUM(up) AS HUGEINT) AS n1,
+                   CAST(SUM(1 - up) AS HUGEINT) AS n2,
+                   CAST(COUNT(*) AS HUGEINT) AS n
+            FROM f GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(r AS BIGINT) AS n_runs,
+               CAST(10000 * (r * n - 2 * n1 * n2 - n)
+                          * (r * n - 2 * n1 * n2 - n) * (n - 1)
+                    > 38415 * 2 * n1 * n2 * (2 * n1 * n2 - n)
+                    AS INT) AS nonrandom
+        FROM agg
+    """,
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type — is the daily volume
+    series RANDOM around its median, or does it cluster (trend /
+    regime changes → too few runs) or alternate (overcorrection /
+    oscillation → too many)? The randomness check that belongs
+    BEFORE any trend estimator: `ts_theil_sen` reports a slope
+    whether or not one exists; this says whether the series is even
+    non-random. Days above the exact median are 1, below 0,
+    exact-median days drop (documented convention).
+
+    Exactness: R (runs), n1, n2 are integers; the α=0.05 decision is
+    the fully cross-multiplied z² test
+    10⁴·(Rn − 2n1n2 − n)²·(n−1) > 38415·2n1n2·(2n1n2 − n) — the
+    `events_mann_whitney` convention: no σ, no sqrt, no float.
+
+    Plan/scale: facts collapse map-side to (type, day); the median,
+    the lag flags, and the rollup all ride type-partitioned windows
+    over DATE cardinality."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w_r = Window.partitionBy("event_type").orderBy("y")
+    w_n = Window.partitionBy("event_type")
+    med = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(w_r).alias("i"),
+        F.count(F.lit(1)).over(w_n).alias("cnt"),
+    )
+    m2 = med.groupBy("event_type").agg(
+        F.min(F.expr("CASE WHEN 2 * i >= cnt + 1 THEN y END")).alias("med_y")
+    )
+    s = daily.join(m2, "event_type").filter(
+        F.col("y") != F.col("med_y")
+    ).select(
+        "event_type",
+        "day",
+        (F.col("y") > F.col("med_y")).cast("int").alias("up"),
+    )
+    f = s.withColumn(
+        "prev",
+        F.lag("up").over(Window.partitionBy("event_type").orderBy("day")),
+    )
+    dec = "decimal(38,0)"
+    agg = f.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("up") != F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast(dec)
+        .alias("r"),
+        F.sum("up").cast(dec).alias("n1"),
+        F.sum(1 - F.col("up")).cast(dec).alias("n2"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("r").cast("long").alias("n_runs"),
+        F.expr(
+            "CAST(10000 * (r * n - 2 * n1 * n2 - n)"
+            " * (r * n - 2 * n1 * n2 - n) * (n - 1)"
+            " > 38415 * 2 * n1 * n2 * (2 * n1 * n2 - n) AS INT)"
+        ).alias("nonrandom"),
+    )

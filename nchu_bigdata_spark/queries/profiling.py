@@ -767,3 +767,120 @@ def dq_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(cents) AS BIGINT)"
         ).alias("inflation_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# dq_duplicate_billing — same-amount-near-in-time duplicate screen (round 8)
+# --------------------------------------------------------------------------
+
+_DUP_BILL_DAYS = 3
+
+
+@register(
+    "dq_duplicate_billing",
+    tags=("b9",),
+    oracle=f"""
+        -- Duplicate-billing screen: pairs of DISTINCT orders by the
+        -- same customer for the EXACT same amount within
+        -- {_DUP_BILL_DAYS} days -- the classic accounts-payable
+        -- double-charge signature (retried payment jobs, double
+        -- submits, replayed files). Self band join on the composite
+        -- equality (customer, cents) with the day window as residual;
+        -- u < v orientation counts each pair once. Rolled up monthly
+        -- with the suspect share of order volume in floor bp.
+        WITH o AS (
+            SELECT o_orderkey AS ok, o_custkey AS ck,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                   epoch_us(o_orderdate) // 86400000000 AS day
+            FROM orders
+        ),
+        p AS (
+            SELECT a.ck, a.cents, a.day AS day_a, b.day AS day_b,
+                   a.day // 30 AS month_idx
+            FROM o a JOIN o b
+              ON b.ck = a.ck AND b.cents = a.cents AND b.ok > a.ok
+             AND b.day BETWEEN a.day - {_DUP_BILL_DAYS}
+                           AND a.day + {_DUP_BILL_DAYS}
+        ),
+        m AS (
+            SELECT day // 30 AS month_idx, COUNT(*) AS n_orders
+            FROM o GROUP BY 1
+        )
+        SELECT CAST(m.month_idx AS BIGINT) AS month_idx,
+               CAST(m.n_orders AS BIGINT) AS n_orders,
+               CAST(COALESCE(COUNT(p.ck), 0) AS BIGINT) AS n_suspect_pairs,
+               CAST(COALESCE(SUM(p.cents), 0) AS BIGINT)
+                   AS suspect_cents,
+               CAST(COALESCE(COUNT(p.ck), 0) * 10000 // m.n_orders
+                    AS BIGINT) AS suspect_bp
+        FROM m LEFT JOIN p ON p.month_idx = m.month_idx
+        GROUP BY m.month_idx, m.n_orders
+    """,
+)
+def dq_duplicate_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-billing screen — pairs of DISTINCT orders by the same
+    customer for the EXACT same amount within {d} days: the classic
+    accounts-payable double-charge signature (retried payment jobs,
+    double submits, replayed batch files). Fourth member of the DQ
+    audit family: referential integrity checks keys exist,
+    header-detail checks money reconciles, fan-out checks join
+    multiplicity — this checks the same money isn't BOOKED TWICE.
+    Monthly rollup with the suspect share of order volume in bp.
+
+    Exactness: integer cents and epoch days; pair orientation
+    `ok_b > ok_a` counts each pair once; floor-bp share.
+
+    Plan/scale: the self join keys on the COMPOSITE equality
+    (customer, cents) — near-unique, so candidate groups are tiny and
+    the day window is a residual filter on an already-keyed hash
+    join, never a band scan; both sides are one map-side projection
+    of orders. The hottest (customer, amount) pair bounds skew."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    )
+    b = o.select(
+        F.col("ok").alias("ok_b"),
+        F.col("ck").alias("ck_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("day").alias("day_b"),
+    )
+    p = o.join(
+        b,
+        (F.col("ck_b") == F.col("ck"))
+        & (F.col("cents_b") == F.col("cents"))
+        & (F.col("ok_b") > F.col("ok"))
+        & (F.col("day_b") >= F.col("day") - _DUP_BILL_DAYS)
+        & (F.col("day_b") <= F.col("day") + _DUP_BILL_DAYS),
+    ).select(
+        F.expr("day div 30").alias("month_idx"),
+        "ck",
+        "cents",
+    )
+    m = o.groupBy(F.expr("day div 30").alias("month_idx")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        m.join(p, "month_idx", "left")
+        .groupBy("month_idx", "n_orders")
+        .agg(
+            F.count("ck").cast("long").alias("n_suspect_pairs"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("long")
+            .alias("suspect_cents"),
+            F.expr(
+                "CAST(COUNT(ck) * 10000 div FIRST(n_orders) AS BIGINT)"
+            ).alias("suspect_bp"),
+        )
+        .select(
+            F.col("month_idx").cast("long").alias("month_idx"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "n_suspect_pairs",
+            "suspect_cents",
+            "suspect_bp",
+        )
+    )

@@ -344,6 +344,9 @@ DRIVER_ORDER = [
     "scan_csv_multiline",
     "join_anti_range",
     "fn_luhn_check",
+    "ts_theil_sen",
+    "ts_runs_test",
+    "dq_duplicate_billing",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

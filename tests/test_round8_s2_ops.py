@@ -973,7 +973,7 @@ def test_ols_multi_matches_python_cramer(spark, sf_dir, duck):
     for f, q, d, y in rows:
         groups[f].append((q, d, y))
     got = {
-        r.l_returnflag: (r.n, r.intercept_cents, r.beta_qty_cents, r.beta_disc_cents_per_bp)
+        r.l_returnflag: (r.n, r.intercept_cents_e6, r.beta_qty_cents_e6, r.beta_disc_e6)
         for r in SPECS["agg_ols_multi"].fn(spark, sf_dir).collect()
     }
     for f, pts in groups.items():
@@ -990,20 +990,20 @@ def test_ols_multi_matches_python_cramer(spark, sf_dir, duck):
         det0 = sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy) + sd * (sqy * sqd - sqq * sdy)
         det1 = n * (sqy * sdd - sdy * sqd) - sy * (sq * sdd - sqd * sd) + sd * (sq * sdy - sqy * sd)
         det2 = n * (sqq * sdy - sqd * sqy) - sq * (sq * sdy - sqy * sd) + sy * (sq * sqd - sqq * sd)
+        def sdiv(num):
+            q, r = divmod(abs(num), det)
+            v = q * 1_000_000 + r * 1_000_000 // det
+            return v if num >= 0 else -v
+
         gn, gi, gbq, gbd = got[f]
         assert gn == n
-        assert gi == float(det0) / float(det)
-        assert gbq == float(det1) / float(det)
-        assert gbd == float(det2) / float(det)
-    # sanity: the system is well-posed (non-degenerate determinant ->
-    # finite coefficients; the fixture's price is synthetic so no sign
-    # is assumed)
-    import math
-
-    assert all(
-        math.isfinite(i) and math.isfinite(bq) and math.isfinite(bd)
-        for _, i, bq, bd in got.values()
-    )
+        assert gi == sdiv(det0)
+        assert gbq == sdiv(det1)
+        assert gbd == sdiv(det2)
+    # sanity: the Gram determinant is positive (well-posed system)
+    # implicitly held -- divmod above would have raised on det <= 0
+    # only for det == 0; assert non-triviality of the fit instead
+    assert any(bq != 0 for _, _, bq, _ in got.values())
 
 
 def test_ols_multi_recovers_planted_plane():
@@ -1020,7 +1020,8 @@ def test_ols_multi_recovers_planted_plane():
     det0 = sy*(sqq*sdd - sqd*sqd) - sq*(sqy*sdd - sqd*sdy) + sd*(sqy*sqd - sqq*sdy)
     det1 = n*(sqy*sdd - sdy*sqd) - sy*(sq*sdd - sqd*sd) + sd*(sq*sdy - sqy*sd)
     det2 = n*(sqq*sdy - sqd*sqy) - sq*(sq*sdy - sqy*sd) + sy*(sq*sqd - sqq*sd)
-    assert (det0 / det, det1 / det, det2 / det) == (100.0, 7.0, -2.0)
+    assert (det0 % det, det1 % det, det2 % det) == (0, 0, 0)
+    assert (det0 // det, det1 // det, det2 // det) == (100, 7, -2)
 
 
 # --------------------------------------------------------------------------
@@ -1320,3 +1321,149 @@ def test_luhn_matches_python_replay(spark, sf_dir, duck):
     total = sum(n for n, _ in got.values())
     valid = sum(v for _, v in got.values())
     assert 0 < valid < total  # ~10% — a claim uncorrelated with Luhn
+
+
+# --------------------------------------------------------------------------
+# ts_theil_sen
+# --------------------------------------------------------------------------
+
+
+def test_theil_sen_matches_python_replay(spark, sf_dir, duck):
+    days = duck.execute(
+        "SELECT event_type, epoch_us(ts) // 86400000000, COUNT(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    series = defaultdict(dict)
+    for t, d, y in days:
+        series[t][d] = y
+    S = 1_000_000
+
+    def fdiv(num, den):
+        return -((-num) * S // den) if num < 0 else num * S // den
+
+    want = {}
+    for t, pts in series.items():
+        ds = sorted(pts)
+        slopes = sorted(
+            fdiv(pts[d2] - pts[d1], d2 - d1)
+            for i, d1 in enumerate(ds)
+            for d2 in ds[i + 1 :]
+        )
+        n = len(slopes)
+        # the op's rule: smallest i (1-based) with 2i >= n+1 -> 0-based n//2
+        want[t] = (n, slopes[n // 2])
+    got = {
+        r.event_type: (r.n_pairs, r.theil_sen_slope_scaled)
+        for r in SPECS["ts_theil_sen"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_theil_sen_is_robust_to_one_outlier():
+    # one wild day moves OLS but not the pairwise median
+    S = 1_000_000
+    pts = {d: 100 + 2 * d for d in range(10)}
+    slopes = sorted(
+        (pts[b] - pts[a]) * S // (b - a)
+        for a in pts for b in pts if b > a
+    )
+    clean = slopes[len(slopes) // 2]
+    pts[5] = 10_000  # outlier
+    slopes2 = []
+    for a in pts:
+        for b in pts:
+            if b > a:
+                num = pts[b] - pts[a]
+                slopes2.append(
+                    -((-num) * S // (b - a)) if num < 0 else num * S // (b - a)
+                )
+    dirty = sorted(slopes2)[len(slopes2) // 2]
+    assert clean == 2 * S
+    assert abs(dirty - clean) < S  # still ~2, not dragged to ~1000
+
+
+# --------------------------------------------------------------------------
+# ts_runs_test
+# --------------------------------------------------------------------------
+
+
+def test_runs_test_matches_python_replay(spark, sf_dir, duck):
+    days = duck.execute(
+        "SELECT event_type, epoch_us(ts) // 86400000000, COUNT(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    series = defaultdict(dict)
+    for t, d, y in days:
+        series[t][d] = y
+    want = {}
+    for t, pts in series.items():
+        ys = sorted(pts.values())
+        med = ys[len(ys) // 2]  # smallest rank with 2i >= n+1
+        seq = [int(pts[d] > med) for d in sorted(pts) if pts[d] != med]
+        r = sum(
+            1 for i, u in enumerate(seq) if i == 0 or u != seq[i - 1]
+        )
+        n1, n2, n = sum(seq), len(seq) - sum(seq), len(seq)
+        a = r * n - 2 * n1 * n2 - n
+        sig = int(
+            10000 * a * a * (n - 1) > 38415 * 2 * n1 * n2 * (2 * n1 * n2 - n)
+        )
+        want[t] = (n, r, sig)
+    got = {
+        r.event_type: (r.n_days, r.n_runs, r.nonrandom)
+        for r in SPECS["ts_runs_test"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_runs_test_flags_a_perfect_trend():
+    # 15 below then 15 above the median = 2 runs -> wildly nonrandom
+    n1 = n2 = 15
+    n, r = 30, 2
+    a = r * n - 2 * n1 * n2 - n
+    assert 10000 * a * a * (n - 1) > 38415 * 2 * n1 * n2 * (2 * n1 * n2 - n)
+    # perfect alternation (30 runs) is ALSO nonrandom
+    r = 30
+    a = r * n - 2 * n1 * n2 - n
+    assert 10000 * a * a * (n - 1) > 38415 * 2 * n1 * n2 * (2 * n1 * n2 - n)
+
+
+# --------------------------------------------------------------------------
+# dq_duplicate_billing
+# --------------------------------------------------------------------------
+
+
+def test_duplicate_billing_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT o_orderkey, o_custkey,"
+        " CAST(ROUND(o_totalprice*100,0) AS BIGINT),"
+        " epoch_us(o_orderdate) // 86400000000 FROM orders"
+    ).fetchall()
+    by_key = defaultdict(list)
+    for ok, ck, cents, day in rows:
+        by_key[(ck, cents)].append((ok, day))
+    pair_agg = defaultdict(lambda: [0, 0])
+    for (ck, cents), lst in by_key.items():
+        for i, (ok_a, day_a) in enumerate(lst):
+            for ok_b, day_b in lst:
+                if ok_b > ok_a and abs(day_b - day_a) <= 3:
+                    m = day_a // 30
+                    pair_agg[m][0] += 1
+                    pair_agg[m][1] += cents
+    months = Counter(day // 30 for _, _, _, day in rows)
+    got = {
+        r.month_idx: (r.n_orders, r.n_suspect_pairs, r.suspect_cents, r.suspect_bp)
+        for r in SPECS["dq_duplicate_billing"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        m: (
+            n,
+            pair_agg.get(m, [0, 0])[0],
+            pair_agg.get(m, [0, 0])[1],
+            pair_agg.get(m, [0, 0])[0] * 10000 // n,
+        )
+        for m, n in months.items()
+    }
+    assert got == want
+    # every month is present even when clean (left join semantics)
+    assert set(got) == set(months)
