@@ -261,6 +261,8 @@ SQL_GROUP = [
     "ts_theil_sen",
     "ts_runs_test",
     "dq_duplicate_billing",
+    "win_bollinger",
+    "graph_label_propagation",
     "win_topn_ties",
     "text_feature_hashing",
     "events_ks_test",

@@ -1634,3 +1634,107 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_scaled").cast("long").alias("score_scaled"),
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_label_propagation — deterministic community detection (round 8)
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous LPA CTE chain: per round each vertex
+    adopts the label that is MOST FREQUENT among its neighbors
+    (ties → smallest label; isolated behavior impossible — every
+    vertex has degree ≥ 1 in the co-purchase graph), replayed with
+    the same (count DESC, label ASC) argmax on both engines."""
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges)",
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        ctes.append(
+            f"""c{i} AS (
+                SELECT e.v AS node, l.lbl, COUNT(*) AS cnt
+                FROM edges e JOIN l{i - 1} l ON l.node = e.u
+                GROUP BY e.v, l.lbl
+            )"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+                SELECT node, lbl FROM (
+                    SELECT node, lbl,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY node
+                               ORDER BY cnt DESC, lbl
+                           ) AS rn
+                    FROM c{i}
+                ) WHERE rn = 1
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes\n"
+        f"FROM l{_LPA_ROUNDS} GROUP BY lbl"
+    )
+
+
+@register(
+    "graph_label_propagation",
+    tags=("graph",),
+    oracle=_lpa_oracle(),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan 2007), made DETERMINISTIC: every vertex starts labeled
+    with its own id; each round it adopts the label MOST FREQUENT
+    among its neighbors, ties broken by smallest label — the
+    asynchronous random-order variant of the paper is
+    irreproducible, so this is the replayable form distributed
+    engines actually ship (GraphX/GraphFrames LPA is the same
+    synchronous recurrence). Exactly _LPA_ROUNDS rounds (the module's
+    bounded-iteration framing). `graph_connected_components` answers
+    WHO IS REACHABLE; LPA answers WHO CLUSTERS TOGETHER —
+    densely-tied groups converge to one label even inside a single
+    connected component, and `graph_modularity` can then SCORE the
+    partition this op finds.
+
+    Plan/scale: per round ONE |E|-row shuffle-hash join (the CC
+    probe's no-broadcast-stacking rule) + a (node, label)
+    map-side-combined count + a per-node rank-1 window — the argmax
+    runs over each vertex's NEIGHBOR-LABEL cardinality (bounded by
+    degree), never a global sort. Labels checkpoint per round; output
+    folds to community cardinality."""
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = shared_intermediate(
+        "lpa_edges",
+        _copurchase_edges(spark, sf_dir).repartition(nparts, "u"),
+    )
+    labels = shared_intermediate(
+        "lpa_labels_0",
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl")),
+    )
+    w_arg = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("lbl")
+    )
+    for i in range(1, _LPA_ROUNDS + 1):
+        cnt = (
+            edges.join(
+                labels.withColumnRenamed("node", "u").hint("shuffle_hash"),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+        labels = shared_intermediate(f"lpa_labels_{i}", labels)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

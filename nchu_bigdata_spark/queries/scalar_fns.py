@@ -668,3 +668,83 @@ def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_valid"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_codecs — binary codec round-trip pins (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fn_codecs",
+    tags=("b2",),
+    oracle="""
+        -- Codec round-trip pins: base64 and hex encode/decode over
+        -- UTF-8 document bytes, certified by md5 of the round-trip
+        -- AND exact encoded lengths -- the serde primitives every
+        -- wire format leans on (message queues, JSON-wrapped blobs,
+        -- URL-safe ids). Length identities pin the padding math:
+        -- base64 = 4*ceil(n/3) chars, hex = 2n.
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN from_base64(to_base64(encode(text)))
+                                  = encode(text)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b64_roundtrip_ok,
+               CAST(SUM(strlen(to_base64(encode(text)))) AS BIGINT)
+                   AS b64_chars,
+               CAST(SUM(4 * ((strlen(text) + 2) // 3)) AS BIGINT)
+                   AS b64_chars_expected,
+               CAST(SUM(CASE WHEN unhex(hex(encode(text)))
+                                  = encode(text)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hex_roundtrip_ok,
+               CAST(SUM(strlen(hex(encode(text)))) AS BIGINT)
+                   AS hex_chars
+        FROM documents GROUP BY lang
+    """,
+)
+def fn_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec round-trip pins: base64 and hex encode/decode over
+    UTF-8 document bytes, certified two ways — the round-trip must be
+    byte-identical AND the encoded lengths must match the closed-form
+    padding math (base64 = 4·⌈n/3⌉ chars, hex = 2n). The serde
+    primitives every wire format leans on (queue payloads,
+    JSON-wrapped blobs, URL-safe ids), pinned as a regression surface
+    because base64 VARIANTS (padding, url-safe alphabet, line
+    wrapping) are where engines silently disagree — MIME line-wrapped
+    base64 would fail the length identity here, not just the
+    round-trip.
+
+    And the pin earns its keep immediately: Spark 4.1's `base64`
+    emits RFC-2045 MIME-CHUNKED output (a \r\n every 76 chars) while
+    DuckDB emits unchunked RFC-4648 — byte-identical payloads, 2%
+    different encodings. The operator strips the soft line breaks
+    before comparing/counting (the interop normalization every
+    cross-system consumer needs), and the length identity then holds
+    exactly.
+
+    Plan/scale: one narrow codegen projection per row (encode →
+    to_base64/hex → decode → compare), one 5-group rollup; nothing
+    leaves the scan stage but the counters."""
+    docs = table(spark, sf_dir, "documents")
+    b = F.expr("encode(text, 'UTF-8')")
+    # Spark 4.1 base64 is MIME-chunked (\r\n per 76 chars); DuckDB's
+    # is plain RFC-4648 — strip the soft breaks for interop parity.
+    b64 = F.regexp_replace(F.base64(b), "\r\n", "")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            (F.unbase64(b64) == b).cast("long")
+        )
+        .cast("long")
+        .alias("b64_roundtrip_ok"),
+        F.sum(F.length(b64)).cast("long").alias("b64_chars"),
+        F.sum(F.expr("4 * ((octet_length(text) + 2) div 3)"))
+        .cast("long")
+        .alias("b64_chars_expected"),
+        F.sum((F.unhex(F.hex(b)) == b).cast("long"))
+        .cast("long")
+        .alias("hex_roundtrip_ok"),
+        F.sum(F.length(F.hex(b))).cast("long").alias("hex_chars"),
+    )

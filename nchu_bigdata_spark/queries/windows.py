@@ -1566,3 +1566,131 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(pv7 div v7 AS BIGINT)").alias("vwap_cents"),
         F.col("v7").cast("long").alias("volume_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_bollinger — trailing-band breakout flags (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_bollinger",
+    tags=("b6",),
+    oracle="""
+        -- Bollinger-band breakouts on daily revenue per return flag:
+        -- flag days whose revenue leaves the trailing-7-day 2-sigma
+        -- band -- the mean-reversion alarm (finance's band chart;
+        -- ops' "today is abnormal vs ITS OWN recent regime", where
+        -- the global z-test of events_anomaly compares to all
+        -- history). Fully integer: the band test
+        --   (n-1) * (n*x - s)^2 > 4 * n * (n*sxx - s^2)
+        -- is (x - mu)^2 > 4*sigma^2 cross-multiplied over exact
+        -- trailing co-moments (doubled-test family); n >= 3 frames
+        -- only (variance needs df).
+        WITH daily AS (
+            SELECT l_returnflag,
+                   epoch_us(l_shipdate) // 86400000000 AS day,
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                       AS x
+            FROM lineitem GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT l_returnflag, day, x,
+                   CAST(COUNT(*) OVER f AS HUGEINT) AS n,
+                   CAST(SUM(x) OVER f AS HUGEINT) AS s,
+                   CAST(SUM(x * x) OVER f AS HUGEINT) AS sxx
+            FROM daily
+            WINDOW f AS (
+                PARTITION BY l_returnflag ORDER BY day
+                RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING
+            )
+        ),
+        t AS (
+            SELECT l_returnflag, day, x, n,
+                   CASE WHEN n >= 3 AND
+                        (n - 1) * (n * x - s) * (n * x - s)
+                        > 4 * n * (n * sxx - s * s)
+                        THEN CASE WHEN n * x > s THEN 1 ELSE -1 END
+                        ELSE 0 END AS breakout
+            FROM w
+        )
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN breakout = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_breakout_up,
+               CAST(SUM(CASE WHEN breakout = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_breakout_down,
+               CAST(MIN(CASE WHEN breakout <> 0 THEN day END)
+                    AS BIGINT) AS first_breakout_day
+        FROM t GROUP BY l_returnflag
+    """,
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout detection on daily revenue per return
+    flag: flag days whose revenue leaves the trailing-7-day ±2σ band
+    — the mean-reversion alarm ("today is abnormal vs its OWN recent
+    regime"), completing the detector family along a different axis
+    than `events_anomaly` (global z), `ts_mad_anomaly` (robust
+    global), `win_cusum_chart` (cumulative drift), `agg_tukey_fences`
+    (distribution tails): Bollinger is LOCAL — the band travels with
+    the series.
+
+    Exactness: the band test (x−μ)² > 4σ² is fully cross-multiplied
+    over exact trailing integer co-moments —
+    (n−1)·(n·x−s)² > 4·n·(n·sxx−s²) — the doubled-test family; the
+    trailing frame EXCLUDES the current day (1 PRECEDING) so a spike
+    can't widen its own band; frames with n < 3 don't flag (variance
+    needs degrees of freedom).
+
+    Plan/scale: facts collapse map-side to (flag, day); ONE
+    flag-partitioned sort serves all three frame sums (one Window
+    node); value-based RANGE frame (gap days age out by calendar,
+    not row position)."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")).alias(
+            "x"
+        )
+    )
+    f = (
+        W.partitionBy("l_returnflag")
+        .orderBy("day")
+        .rangeBetween(-7, -1)
+    )
+    dec = "decimal(38,0)"
+    w = daily.select(
+        "l_returnflag",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(f).cast(dec).alias("n"),
+        F.sum("x").over(f).cast(dec).alias("s"),
+        F.sum(F.expr("CAST(x AS decimal(38,0)) * x")).over(f).alias("sxx"),
+    )
+    t = w.select(
+        "l_returnflag",
+        "day",
+        F.expr(
+            "CASE WHEN n >= 3 AND"
+            " (n - 1) * (n * x - s) * (n * x - s)"
+            " > 4 * n * (n * sxx - s * s)"
+            " THEN CASE WHEN n * x > s THEN 1 ELSE -1 END"
+            " ELSE 0 END"
+        ).alias("breakout"),
+    )
+    return t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum((F.col("breakout") == 1).cast("long"))
+        .cast("long")
+        .alias("n_breakout_up"),
+        F.sum((F.col("breakout") == -1).cast("long"))
+        .cast("long")
+        .alias("n_breakout_down"),
+        F.min(F.expr("CASE WHEN breakout <> 0 THEN day END"))
+        .cast("long")
+        .alias("first_breakout_day"),
+    )

@@ -347,6 +347,9 @@ DRIVER_ORDER = [
     "ts_theil_sen",
     "ts_runs_test",
     "dq_duplicate_billing",
+    "win_bollinger",
+    "fn_codecs",
+    "graph_label_propagation",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1467,3 +1467,119 @@ def test_duplicate_billing_matches_python_replay(spark, sf_dir, duck):
     assert got == want
     # every month is present even when clean (left join semantics)
     assert set(got) == set(months)
+
+
+# --------------------------------------------------------------------------
+# win_bollinger
+# --------------------------------------------------------------------------
+
+
+def test_bollinger_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT l_returnflag, epoch_us(l_shipdate) // 86400000000,"
+        " SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))"
+        " FROM lineitem GROUP BY 1, 2"
+    ).fetchall()
+    series = defaultdict(dict)
+    for f, d, x in rows:
+        series[f][d] = x
+    want = {}
+    for f, pts in series.items():
+        up = down = 0
+        first = None
+        for d in sorted(pts):
+            frame = [pts[e] for e in range(d - 7, d) if e in pts]
+            n = len(frame)
+            b = 0
+            if n >= 3:
+                s = sum(frame)
+                sxx = sum(v * v for v in frame)
+                x = pts[d]
+                if (n - 1) * (n * x - s) ** 2 > 4 * n * (n * sxx - s * s):
+                    b = 1 if n * x > s else -1
+            if b == 1:
+                up += 1
+            if b == -1:
+                down += 1
+            if b != 0 and first is None:
+                first = d
+        want[f] = (len(pts), up, down, first)
+    got = {
+        r.l_returnflag: (r.n_days, r.n_breakout_up, r.n_breakout_down, r.first_breakout_day)
+        for r in SPECS["win_bollinger"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_bollinger_flags_a_planted_spike():
+    # steady 100s then a 10x day: the band must flag it upward
+    pts = {d: 100 + (d % 3) for d in range(10)}
+    pts[9] = 1000
+    frame = [pts[e] for e in range(2, 9)]
+    n, s, sxx = len(frame), sum(frame), sum(v * v for v in frame)
+    x = pts[9]
+    assert (n - 1) * (n * x - s) ** 2 > 4 * n * (n * sxx - s * s)
+    assert n * x > s
+
+
+# --------------------------------------------------------------------------
+# fn_codecs
+# --------------------------------------------------------------------------
+
+
+def test_codecs_roundtrip_and_padding_identity(spark, sf_dir, duck):
+    got = {
+        r.lang: (
+            r.n_docs, r.b64_roundtrip_ok, r.b64_chars,
+            r.b64_chars_expected, r.hex_roundtrip_ok, r.hex_chars,
+        )
+        for r in SPECS["fn_codecs"].fn(spark, sf_dir).collect()
+    }
+    byte_len = dict(
+        duck.execute(
+            "SELECT lang, SUM(strlen(text)) FROM documents GROUP BY lang"
+        ).fetchall()
+    )
+    for lang, (n, b64ok, b64c, b64e, hexok, hexc) in got.items():
+        assert b64ok == n and hexok == n  # lossless round trips
+        assert b64c == b64e  # padding math holds after de-chunking
+        assert hexc == 2 * byte_len[lang]
+
+
+def test_spark_base64_is_mime_chunked(spark):
+    # the divergence this op pins: raw Spark base64 inserts \r\n
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        F.base64(F.expr("encode(repeat('a', 100), 'UTF-8')")).alias("b")
+    ).collect()[0]
+    assert "\r\n" in row.b
+
+
+# --------------------------------------------------------------------------
+# graph_label_propagation
+# --------------------------------------------------------------------------
+
+
+def test_lpa_matches_python_replay(spark, sf_dir, duck):
+    edges = _edges(duck)
+    lbl = {u: u for u, _ in edges}
+    for _ in range(3):
+        votes = defaultdict(lambda: defaultdict(int))
+        for u, v in edges:
+            votes[v][lbl[u]] += 1
+        lbl = {
+            v: min(d, key=lambda l: (-d[l], l)) for v, d in votes.items()
+        }
+    want = Counter(lbl.values())
+    got = {
+        r.community: r.n_nodes
+        for r in SPECS["graph_label_propagation"].fn(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    # LPA found structure: more communities than connected components
+    cc = {
+        r.component
+        for r in SPECS["graph_connected_components"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) >= len(cc)
