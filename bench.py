@@ -114,6 +114,8 @@ LLM_GROUP = [
     "embed_pca_power",
     "sample_shard_assign",
     "multimodal_batch_plan",
+    "text_vocab_mass_ladder",
+    "sample_curriculum",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -263,6 +265,7 @@ SQL_GROUP = [
     "dq_duplicate_billing",
     "win_bollinger",
     "graph_label_propagation",
+    "ts_ema_crossover",
     "win_topn_ties",
     "text_feature_hashing",
     "events_ks_test",

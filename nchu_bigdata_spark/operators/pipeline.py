@@ -2180,3 +2180,99 @@ def sample_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_chars",
         "order_checksum",
     )
+
+
+# --------------------------------------------------------------------------
+# sample_curriculum — difficulty-staged training manifest (round 8)
+# --------------------------------------------------------------------------
+
+_CURR_STAGES = 4
+
+
+@register(
+    "sample_curriculum",
+    tags=("b2",),
+    oracle=f"""
+        -- Curriculum-learning manifest: documents ranked by a
+        -- deterministic difficulty score (mean word length in
+        -- millichars -- long words ~ harder text) and cut into
+        -- {_CURR_STAGES} equi-depth stages by the closed-form
+        -- (rank-1)*S//n -- train easy->hard by reading stages in
+        -- order. Equi-depth (not fixed thresholds) so every stage is
+        -- the same size: a curriculum schedule wants equal-length
+        -- phases, not equal difficulty spans.
+        WITH d AS (
+            SELECT doc_id, lang,
+                   strlen(replace(text, ' ', '')) AS chars,
+                   len(string_split(text, ' ')) AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, lang, toks,
+                   1000 * chars // toks AS difficulty_milli
+            FROM d
+        ),
+        r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       ORDER BY difficulty_milli, doc_id
+                   ) AS rnk,
+                   COUNT(*) OVER () AS n
+            FROM s
+        )
+        SELECT CAST((rnk - 1) * {_CURR_STAGES} // n AS BIGINT) AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+               CAST(MIN(difficulty_milli) AS BIGINT) AS min_difficulty,
+               CAST(MAX(difficulty_milli) AS BIGINT) AS max_difficulty
+        FROM r GROUP BY (rnk - 1) * {_CURR_STAGES} // n
+    """,
+)
+def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning manifest: documents ranked by a
+    deterministic difficulty score (mean word length in millichars —
+    longer words ≈ harder text, the cheap proxy behind
+    `text_readability`'s full Flesch-Kincaid) and cut into
+    {s} EQUI-DEPTH stages — train easy→hard by consuming stages in
+    order (Bengio 2009). Equi-depth, not fixed thresholds: a
+    curriculum schedule wants equal-LENGTH phases, and the stage
+    boundaries then adapt to the corpus instead of needing re-tuning
+    per dataset.
+
+    Exactness: difficulty = 1000·chars div tokens (integer millis);
+    stage = the closed-form (rank−1)·S div n equi-depth cut
+    (`win_lorenz`'s decile rule).
+
+    Plan/scale: the per-doc score is a narrow scan-stage projection;
+    the global rank here rides one window over DOC cardinality with
+    the (rank−1)·S div n closed form — at 1e9 docs this is the
+    win_lorenz two-pass distributed rank (range-repartition +
+    broadcast prefix offsets), the same output by construction since
+    the cut depends only on the rank."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.expr(
+            "1000 * octet_length(replace(text, ' ', ''))"
+            " div size(split(text, ' '))"
+        ).alias("difficulty_milli"),
+        F.size(F.split("text", " ")).alias("toks"),
+    )
+    r = s.select(
+        "toks",
+        "difficulty_milli",
+        F.row_number()
+        .over(Window.orderBy("difficulty_milli", "doc_id"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return r.groupBy(
+        F.expr(f"CAST((rnk - 1) * {_CURR_STAGES} div n AS BIGINT)").alias(
+            "stage"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("sum_tokens"),
+        F.min("difficulty_milli").cast("long").alias("min_difficulty"),
+        F.max("difficulty_milli").cast("long").alias("max_difficulty"),
+    )

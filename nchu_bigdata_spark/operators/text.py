@@ -1764,3 +1764,105 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_bp"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# text_vocab_mass_ladder — Zipf coverage curve (round 8)
+# --------------------------------------------------------------------------
+
+_VML_RUNGS = (1, 10, 100, 1000)
+
+
+@register(
+    "text_vocab_mass_ladder",
+    tags=("b8",),
+    oracle=f"""
+        -- Vocabulary mass ladder: what share of ALL token
+        -- occurrences do the top-1 / top-10 / top-100 / top-1000
+        -- most frequent types cover? THE tokenizer-design readout --
+        -- it says how big a vocab must be before OOV mass is
+        -- tolerable (tokenize_vocab_coverage asks that about a GIVEN
+        -- vocab; this derives the curve a vocab should be cut from).
+        -- Exact: frequency ranks tie-broken by token text, coverage
+        -- in floor bp over integer occurrence counts.
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+        ),
+        r AS (
+            SELECT c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rnk,
+                   SUM(c) OVER () AS total
+            FROM tf
+        ),
+        cum AS (
+            SELECT rnk, total,
+                   SUM(c) OVER (ORDER BY rnk) AS cum_c
+            FROM r
+        )
+        SELECT CAST(k AS BIGINT) AS top_k,
+               CAST(MAX(CASE WHEN rnk <= k THEN cum_c END) AS BIGINT)
+                   AS covered_tokens,
+               CAST(MAX(total) AS BIGINT) AS total_tokens,
+               CAST(MAX(CASE WHEN rnk <= k THEN cum_c END) * 10000
+                    // MAX(total) AS BIGINT) AS coverage_bp
+        FROM cum
+        CROSS JOIN (SELECT unnest(ARRAY{list(_VML_RUNGS)}) AS k)
+        GROUP BY k
+    """,
+)
+def text_vocab_mass_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary mass ladder — the Zipf coverage curve: what share of
+    ALL token occurrences do the top-1/10/100/1000 most frequent
+    types cover? THE tokenizer-design readout: it says how big a
+    vocabulary must be before OOV mass is tolerable.
+    `tokenize_vocab_coverage` asks that about a GIVEN vocab; this
+    derives the curve a vocab should be CUT from — together they're
+    the before/after of vocabulary design.
+
+    Exactness: frequency ranks tie-break on token text (stable),
+    coverage is floor bp over exact integer occurrence counts.
+
+    Plan/scale: tokenize explodes in the scan stage; ONE token
+    groupBy (the vocabulary pass); the rank/cumulative windows run
+    over TYPE cardinality (vocabulary-bounded, not corpus-bounded) —
+    at 100 TB the vocab table is millions of rows where the corpus is
+    trillions, and only the vocab is windowed."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rnk = Window.orderBy(F.col("c").desc(), "token")
+    w_all = Window.partitionBy()
+    r = tf.select(
+        "c",
+        F.row_number().over(w_rnk).alias("rnk"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    cum = r.select(
+        "rnk",
+        "total",
+        F.sum("c").over(Window.orderBy("rnk")).alias("cum_c"),
+    )
+    k = F.explode(
+        F.array(*[F.lit(x) for x in _VML_RUNGS])
+    ).alias("k")
+    return (
+        cum.select("rnk", "total", "cum_c", k)
+        .groupBy(F.col("k").cast("long").alias("top_k"))
+        .agg(
+            F.max(F.expr("CASE WHEN rnk <= k THEN cum_c END"))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.max("total").cast("long").alias("total_tokens"),
+            F.expr(
+                "CAST(MAX(CASE WHEN rnk <= k THEN cum_c END) * 10000"
+                " div MAX(total) AS BIGINT)"
+            ).alias("coverage_bp"),
+        )
+    )

@@ -4939,3 +4939,155 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > 38415 * 2 * n1 * n2 * (2 * n1 * n2 - n) AS INT)"
         ).alias("nonrandom"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_ema_crossover — dual-EWMA golden/death crosses (round 8)
+# --------------------------------------------------------------------------
+
+_EMAX_FAST_H = 8  # alpha = 1/2, weights 2^(H-1-k)
+_EMAX_SLOW_H = 12  # alpha = 1/4, weights 3^k * 4^(H-1-k)
+
+
+def _emax_terms(lag_fn, exists_fn, horizon, wnum, wden):
+    """(numerator, denominator) fragments for an EWMA with rational
+    decay wnum/wden over ``horizon`` trailing rows: weight of lag k =
+    wnum^k * wden^(H-1-k) — exact integers (the ts_ewma dyadic scheme
+    generalized to any rational alpha)."""
+    nums, dens = [], []
+    for k in range(horizon):
+        w = (wnum ** k) * (wden ** (horizon - 1 - k))
+        nums.append(f"{w} * {lag_fn(k)}")
+        dens.append(f"{w} * {exists_fn(k)}")
+    return " + ".join(nums), " + ".join(dens)
+
+
+def _emax_sql(over: str) -> str:
+    """Crossover-state expression: sign(fast − slow) computed
+    CROSS-MULTIPLIED over the two exact num/den pairs — no division
+    anywhere, so the state is an exact integer in {-1, 0, 1}."""
+    lag = lambda k: f"COALESCE(lag(x, {k}) OVER {over}, 0)"  # noqa: E731
+    ex = (  # noqa: E731
+        lambda k: f"(CASE WHEN lag(x, {k}) OVER {over} IS NULL"
+        " THEN 0 ELSE 1 END)"
+    )
+    fn, fd = _emax_terms(lag, ex, _EMAX_FAST_H, 1, 2)
+    sn, sd = _emax_terms(lag, ex, _EMAX_SLOW_H, 3, 4)
+    diff = (
+        f"(CAST({fn} AS DECIMAL(38,0)) * ({sd})"
+        f" - CAST({sn} AS DECIMAL(38,0)) * ({fd}))"
+    )
+    return f"(CASE WHEN {diff} > 0 THEN 1 WHEN {diff} < 0 THEN -1 ELSE 0 END)"
+
+
+@register(
+    "ts_ema_crossover",
+    tags=("b6",),
+    oracle=f"""
+        -- MACD-style dual-EWMA crossover detection on daily revenue
+        -- per return flag: a GOLDEN cross (fast EWMA rises above the
+        -- slow) signals momentum turning up, a DEATH cross the
+        -- reverse -- the trend-following alarm pair. Both EWMAs ride
+        -- exact rational weights (fast alpha=1/2: 2^(H-1-k); slow
+        -- alpha=1/4: 3^k*4^(H-1-k)); the state sign is
+        -- cross-multiplied fast_num*slow_den - slow_num*fast_den --
+        -- NO division, so every crossover is an exact integer event.
+        WITH daily AS (
+            SELECT l_returnflag AS flag,
+                   epoch_us(l_shipdate) // 86400000000 AS day,
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                       AS x
+            FROM lineitem GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT flag, day,
+                   {_emax_sql("(PARTITION BY flag ORDER BY day)")} AS st
+            FROM daily
+        ),
+        f AS (
+            SELECT flag, day, st,
+                   LAG(st) OVER (PARTITION BY flag ORDER BY day) AS prev
+            FROM s
+        )
+        SELECT flag AS l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN prev IS NOT NULL AND st > 0
+                              AND prev <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_golden,
+               CAST(SUM(CASE WHEN prev IS NOT NULL AND st < 0
+                              AND prev >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_death,
+               CAST(MIN(CASE WHEN prev IS NOT NULL AND
+                             ((st > 0 AND prev <= 0)
+                              OR (st < 0 AND prev >= 0))
+                             THEN day END) AS BIGINT) AS first_cross_day
+        FROM f GROUP BY flag
+    """,
+)
+def ts_ema_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD-style dual-EWMA crossover detection on daily revenue per
+    return flag — a GOLDEN cross (fast EWMA rising above the slow)
+    flags momentum turning up, a DEATH cross the reverse: the
+    trend-FOLLOWING alarm pair, where `win_bollinger` mean-reverts
+    and `ts_ema`'s single average just smooths. Completes the
+    technical family: smooth (`ts_ewma`), band (`win_bollinger`),
+    crossover (this).
+
+    Exactness — `ts_ewma`'s dyadic scheme generalized to any rational
+    α: fast α=1/2 carries weights 2^(H−1−k), slow α=1/4 carries
+    3^k·4^(H−1−k) — all exact integers; the crossover state is the
+    SIGN of fast−slow computed cross-multiplied
+    (fast_num·slow_den − slow_num·fast_den, decimal(38,0)) — no
+    division anywhere, so a crossover is an exact integer event, not
+    a float comparison that flaps in the last ulp.
+
+    Plan/scale: facts collapse map-side to (flag, day); all 20 lags +
+    the state lag share ONE flag-partitioned sort (single Window
+    node). State per partition cursor is 20 rows — the
+    `win_lag_lead` shape."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")).alias(
+            "x"
+        )
+    )
+    st = daily.select(
+        "flag",
+        "day",
+        F.expr(_emax_sql("(PARTITION BY flag ORDER BY day)")).alias("st"),
+    )
+    f = st.withColumn(
+        "prev", F.lag("st").over(Window.partitionBy("flag").orderBy("day"))
+    )
+    return f.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(
+            F.expr(
+                "CASE WHEN prev IS NOT NULL AND st > 0 AND prev <= 0"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_golden"),
+        F.sum(
+            F.expr(
+                "CASE WHEN prev IS NOT NULL AND st < 0 AND prev >= 0"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_death"),
+        F.min(
+            F.expr(
+                "CASE WHEN prev IS NOT NULL AND ((st > 0 AND prev <= 0)"
+                " OR (st < 0 AND prev >= 0)) THEN day END"
+            )
+        )
+        .cast("long")
+        .alias("first_cross_day"),
+    )

@@ -179,8 +179,12 @@ DRIVER_ORDER = [
     #    line for the round-9 rotation. R9 window plan: these 11, then
     #    the 14 certifiable late-r8 ids below (sub_division ..
     #    sample_negatives, minus multimodal_audio_stats — rows-only by
-    #    design, it can never hash-certify), then ~25 of the oldest
-    #    refreshes to fill 50. --
+    #    design, it can never hash-certify), then the round-8
+    #    session-2-born ids (graph_connected_components ..
+    #    graph_label_propagation, ~36 ids interleaved further down in
+    #    this list) — more than one 50-window, so the session-2 tail
+    #    (whatever r9's window can't fit) leads r10's. Oldest
+    #    refreshes resume after the backlog clears. --
     "agg_skyline",
     "win_streak",
     "win_lorenz",
@@ -350,6 +354,9 @@ DRIVER_ORDER = [
     "win_bollinger",
     "fn_codecs",
     "graph_label_propagation",
+    "text_vocab_mass_ladder",
+    "ts_ema_crossover",
+    "sample_curriculum",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1583,3 +1583,116 @@ def test_lpa_matches_python_replay(spark, sf_dir, duck):
         for r in SPECS["graph_connected_components"].fn(spark, sf_dir).collect()
     }
     assert len(got) >= len(cc)
+
+
+# --------------------------------------------------------------------------
+# text_vocab_mass_ladder
+# --------------------------------------------------------------------------
+
+
+def test_vocab_mass_ladder_matches_python_replay(spark, sf_dir, duck):
+    toks = [
+        t
+        for (text,) in duck.execute("SELECT text FROM documents").fetchall()
+        for t in text.split(" ")
+    ]
+    tf = Counter(toks)
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = len(toks)
+    got = {
+        r.top_k: (r.covered_tokens, r.total_tokens, r.coverage_bp)
+        for r in SPECS["text_vocab_mass_ladder"].fn(spark, sf_dir).collect()
+    }
+    for k in (1, 10, 100, 1000):
+        cov = sum(c for _, c in ranked[:k])
+        assert got[k] == (cov, total, cov * 10000 // total)
+    # the curve is monotone and Zipf-ish: top-10 >> 10x the mean type
+    assert got[1][2] < got[10][2] < got[100][2] <= got[1000][2]
+
+
+# --------------------------------------------------------------------------
+# ts_ema_crossover
+# --------------------------------------------------------------------------
+
+
+def test_ema_crossover_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT l_returnflag, epoch_us(l_shipdate) // 86400000000,"
+        " SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))"
+        " FROM lineitem GROUP BY 1, 2"
+    ).fetchall()
+    series = defaultdict(dict)
+    for f, d, x in rows:
+        series[f][d] = x
+
+    def ema_nd(vals, h, wn, wd):
+        # vals: trailing values vals[0]=current .. oldest
+        num = den = 0
+        for k in range(h):
+            w = (wn ** k) * (wd ** (h - 1 - k))
+            if k < len(vals):
+                num += w * vals[k]
+                den += w
+        return num, den
+
+    want = {}
+    for f, pts in series.items():
+        days = sorted(pts)
+        states = []
+        for i, d in enumerate(days):
+            trail = [pts[days[i - k]] for k in range(min(i + 1, 12))]
+            fn, fd = ema_nd(trail, 8, 1, 2)
+            sn, sd = ema_nd(trail, 12, 3, 4)
+            diff = fn * sd - sn * fd
+            states.append(1 if diff > 0 else -1 if diff < 0 else 0)
+        golden = death = 0
+        first = None
+        for i in range(1, len(states)):
+            if states[i] > 0 and states[i - 1] <= 0:
+                golden += 1
+                first = first if first is not None else days[i]
+            if states[i] < 0 and states[i - 1] >= 0:
+                death += 1
+                first = first if first is not None else days[i]
+        want[f] = (len(days), golden, death, first)
+    got = {
+        r.l_returnflag: (r.n_days, r.n_golden, r.n_death, r.first_cross_day)
+        for r in SPECS["ts_ema_crossover"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the detector actually fires on the fixture
+    assert any(g + d > 0 for _, g, d, _ in got.values())
+
+
+# --------------------------------------------------------------------------
+# sample_curriculum
+# --------------------------------------------------------------------------
+
+
+def test_curriculum_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT doc_id, strlen(replace(text, ' ', '')),"
+        " len(string_split(text, ' ')) FROM documents"
+    ).fetchall()
+    scored = sorted(
+        (1000 * chars // toks, doc_id, toks) for doc_id, chars, toks in rows
+    )
+    n = len(scored)
+    agg = defaultdict(lambda: [0, 0, None, None])
+    for rnk, (diff, _, toks) in enumerate(scored, start=1):
+        st = (rnk - 1) * 4 // n
+        a = agg[st]
+        a[0] += 1
+        a[1] += toks
+        a[2] = diff if a[2] is None else min(a[2], diff)
+        a[3] = diff if a[3] is None else max(a[3], diff)
+    got = {
+        r.stage: (r.n_docs, r.sum_tokens, r.min_difficulty, r.max_difficulty)
+        for r in SPECS["sample_curriculum"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # equi-depth: stage sizes differ by at most 1
+    sizes = [v[0] for v in got.values()]
+    assert max(sizes) - min(sizes) <= 1
+    # stages are ordered by difficulty
+    assert got[0][3] <= got[3][2] or got[0][3] <= got[3][3]
