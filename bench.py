@@ -266,6 +266,8 @@ SQL_GROUP = [
     "win_bollinger",
     "graph_label_propagation",
     "ts_ema_crossover",
+    "graph_pagerank_personalized",
+    "scan_txn_time_travel",
     "win_topn_ties",
     "text_feature_hashing",
     "events_ks_test",

@@ -1738,3 +1738,123 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+# --------------------------------------------------------------------------
+# graph_pagerank_personalized — seeded PPR recommendations (round 8)
+# --------------------------------------------------------------------------
+
+_PPR_SEED_MOD = 50  # seed set: partkeys ≡ 0 (mod 50)
+_PPR_TOP = 20
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized-PageRank CTE chain: the pagerank
+    recurrence with the teleport mass restricted to the SEED set
+    (base term only where v % {m} = 0)."""
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u)",
+        f"""r0 AS (
+            SELECT u AS node,
+                   CAST(CASE WHEN u % {_PPR_SEED_MOD} = 0
+                        THEN {_PR_SCALE} ELSE 0 END AS BIGINT) AS r
+            FROM deg
+        )""",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+                SELECT d2.u AS node,
+                       CAST(CASE WHEN d2.u % {_PPR_SEED_MOD} = 0
+                            THEN {_PR_BASE} ELSE 0 END
+                            + COALESCE(s.flow, 0) AS BIGINT) AS r
+                FROM deg d2 LEFT JOIN (
+                    SELECT e.v AS node,
+                           (85 * SUM(r.r // d.d)) // 100 AS flow
+                    FROM edges e
+                    JOIN r{i - 1} r ON r.node = e.u
+                    JOIN deg d ON d.u = e.u
+                    WHERE r.r > 0
+                    GROUP BY e.v
+                ) s ON s.node = d2.u
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT node AS p_partkey, r AS ppr_scaled, rnk FROM (
+            SELECT node, r,
+                   CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS INT)
+                       AS rnk
+            FROM r{_PR_ITERS} WHERE r > 0
+        ) WHERE rnk <= {_PPR_TOP}"""
+    )
+
+
+@register(
+    "graph_pagerank_personalized", tags=("graph",), oracle=_ppr_oracle()
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (partkeys ≡ 0 mod {m}) —
+    the recommender workhorse: `graph_pagerank` ranks GLOBAL
+    importance; PPR ranks importance AS SEEN FROM the seeds, which is
+    exactly "parts related to this catalog subset" / "users similar
+    to these". Same scaled-integer recurrence, with the teleport mass
+    restricted to the seeds (unnormalized per-seed scale — rank
+    order, which is what recommendations consume, is unaffected by
+    the constant). Top-{t} non-zero scores.
+
+    Exactness: the pagerank integer scheme verbatim (rank 10⁹-scaled,
+    85/100 damping as integer div); the left join against the degree
+    table keeps zero-mass vertices representable so the recurrence's
+    support grows exactly one hop per round.
+
+    Plan/scale: identical per-round cost to `graph_pagerank` (one
+    edges⋈ranks join + destination agg) with ONE addition that
+    matters at 100 TB: the `r > 0` filter — PPR mass is CONCENTRATED
+    near the seeds, so early rounds stream a small frontier instead
+    of |V| rows (the locality that makes PPR cheaper than global
+    pagerank in practice). Ranks checkpoint per round."""
+    raw = _copurchase_edges(spark, sf_dir)
+    deg = raw.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    edges = shared_intermediate("ppr_edges", raw.join(deg, "u"))
+    degs = shared_intermediate("ppr_deg", deg)
+    ranks = degs.select(
+        F.col("u").alias("node"),
+        F.expr(
+            f"CAST(CASE WHEN u % {_PPR_SEED_MOD} = 0"
+            f" THEN {_PR_SCALE} ELSE 0 END AS BIGINT)"
+        ).alias("r"),
+    )
+    for i in range(1, _PR_ITERS + 1):
+        flow = (
+            edges.join(
+                ranks.filter(F.col("r") > 0).withColumnRenamed(
+                    "node", "u"
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                F.expr(f"(85 * SUM(r div d)) div 100").alias("flow")
+            )
+        )
+        ranks = degs.join(flow, degs.u == flow.node, "left").select(
+            F.col("u").alias("node"),
+            F.expr(
+                f"CAST(CASE WHEN u % {_PPR_SEED_MOD} = 0"
+                f" THEN {_PR_BASE} ELSE 0 END"
+                f" + COALESCE(flow, 0) AS BIGINT)"
+            ).alias("r"),
+        )
+        ranks = shared_intermediate(f"ppr_ranks_{i}", ranks)
+    w = Window.orderBy(F.col("r").desc(), "node")
+    return (
+        ranks.filter(F.col("r") > 0)
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.col("r").alias("ppr_scaled"),
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _PPR_TOP)
+    )

@@ -1034,3 +1034,115 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("body_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_txn_time_travel — as-of-version snapshot reads (round 8)
+# --------------------------------------------------------------------------
+
+_TT_VERSION = 999  # pre-compaction cut: all original month files live
+
+
+@register(
+    "scan_txn_time_travel",
+    tags=("b1",),
+    oracle=f"""
+        -- TIME TRAVEL over the transaction log: the same action log
+        -- scan_txn_log folds, but folded TWICE -- once restricted to
+        -- versions <= {_TT_VERSION} (before any compaction) and once
+        -- unrestricted (latest). An as-of read is the SAME
+        -- last-action-wins fold over a version-filtered log: that one
+        -- WHERE clause is the whole feature, which is why
+        -- log-structured formats get time travel for free. The
+        -- oracle derives both snapshots straight from orders.
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS mo,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY 1
+        ),
+        idx AS (
+            SELECT mo, n_rows,
+                   ROW_NUMBER() OVER (ORDER BY mo) - 1 AS i
+            FROM m
+        )
+        SELECT 'v{_TT_VERSION}' AS as_of, mo || '.parquet' AS file,
+               n_rows, CAST(i AS BIGINT) AS version_added
+        FROM idx
+        UNION ALL
+        SELECT 'latest',
+               CASE WHEN i % 4 = 2 THEN mo || '-compact.parquet'
+                    ELSE mo || '.parquet' END,
+               n_rows,
+               CAST(CASE WHEN i % 4 = 2 THEN 1000 + i ELSE i END AS BIGINT)
+        FROM idx
+    """,
+)
+def scan_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the transaction log — read the table AS OF
+    version {v} (before any compaction ran) AND at latest, from ONE
+    action log: an as-of read is the same last-action-wins fold
+    `scan_txn_log` does, restricted to `version <= V`. That single
+    WHERE clause is the entire feature — the reason log-structured
+    formats (Delta/Iceberg) get time travel for free while
+    path-listing tables can't offer it at all. The two snapshots
+    diverge exactly on the compacted files: at v{v} the original
+    month files are live; at latest the compactions shadow them.
+
+    Certification: the oracle derives BOTH snapshots straight from
+    orders, so the JSON round-trip, the version filter, and the fold
+    must all be right (the scan_txn_log closure, doubled).
+
+    Plan/scale: ONE log scan feeds both folds (the filter prunes
+    before the rank window); fold cost is log length — real formats
+    checkpoint to bound it, and an as-of read folds from the nearest
+    checkpoint at or before V."""
+    out = scratch_dir(sf_dir, "txn_tt_json")
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mo"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    idx = m.select(
+        "mo",
+        "n_rows",
+        (F.row_number().over(Window.orderBy("mo")) - 1).alias("i"),
+    )
+    adds = idx.select(
+        F.col("i").cast("long").alias("version"),
+        F.lit("add").alias("action"),
+        F.concat(F.col("mo"), F.lit(".parquet")).alias("file"),
+        "n_rows",
+    )
+    removes = idx.filter(F.col("i") % 4 == 2).select(
+        (1000 + F.col("i")).cast("long").alias("version"),
+        F.lit("remove").alias("action"),
+        F.concat(F.col("mo"), F.lit(".parquet")).alias("file"),
+        F.lit(None).cast("long").alias("n_rows"),
+    )
+    compacts = idx.filter(F.col("i") % 4 == 2).select(
+        (1000 + F.col("i")).cast("long").alias("version"),
+        F.lit("add").alias("action"),
+        F.concat(F.col("mo"), F.lit("-compact.parquet")).alias("file"),
+        "n_rows",
+    )
+    adds.unionAll(removes).unionAll(compacts).write.mode(
+        "overwrite"
+    ).json(out)
+    log = spark.read.schema(_TXN_SCHEMA).json(out)
+
+    def snapshot(df: DataFrame, tag: str) -> DataFrame:
+        w = Window.partitionBy("file").orderBy(F.desc("version"))
+        return (
+            df.select("*", F.row_number().over(w).alias("rk"))
+            .filter((F.col("rk") == 1) & (F.col("action") == "add"))
+            .select(
+                F.lit(tag).alias("as_of"),
+                "file",
+                "n_rows",
+                F.col("version").cast("long").alias("version_added"),
+            )
+        )
+
+    asof = snapshot(log.filter(F.col("version") <= _TT_VERSION), f"v{_TT_VERSION}")
+    latest = snapshot(log, "latest")
+    return asof.unionAll(latest)

@@ -748,3 +748,109 @@ def fn_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hex_roundtrip_ok"),
         F.sum(F.length(F.hex(b))).cast("long").alias("hex_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_snowflake_decode — distributed-id forensics round trip (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fn_snowflake_decode",
+    tags=("b2",),
+    oracle="""
+        -- Snowflake-id round trip: mint Twitter-snowflake-style ids
+        -- (41-bit millis << 22 | 10-bit worker << 12 | 12-bit seq)
+        -- from event rows, then DECODE them back by shift/mask and
+        -- verify field-exact recovery -- the id-forensics operation
+        -- behind "when was this row really created / which shard
+        -- minted it" debugging, and the ordering guarantee audits
+        -- (k-sortable ids sort by mint time). Pure integer bit
+        -- arithmetic, identical on both engines.
+        WITH e AS (
+            SELECT epoch_us(ts) // 1000 AS ms,
+                   user_id % 1024 AS worker,
+                   event_id % 4096 AS seq
+            FROM events
+        ),
+        minted AS (
+            SELECT ms, worker, seq,
+                   ms * 4194304 + worker * 4096 + seq AS id
+            FROM e
+        ),
+        decoded AS (
+            SELECT ms, worker, seq, id,
+                   id // 4194304 AS ms_out,
+                   (id // 4096) % 1024 AS worker_out,
+                   id % 4096 AS seq_out
+            FROM minted
+        )
+        SELECT CAST(worker AS BIGINT) AS worker,
+               CAST(COUNT(*) AS BIGINT) AS n_ids,
+               CAST(SUM(CASE WHEN ms_out = ms AND worker_out = worker
+                              AND seq_out = seq THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_roundtrip_ok,
+               CAST(MIN(id) AS BIGINT) AS min_id,
+               CAST(MAX(id) AS BIGINT) AS max_id,
+               CAST(COUNT(DISTINCT id) AS BIGINT) AS n_distinct
+        FROM decoded GROUP BY worker ORDER BY worker LIMIT 20
+    """,
+)
+def fn_snowflake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-id mint/decode round trip — Twitter-snowflake layout
+    (41-bit epoch-millis ≪ 22 | 10-bit worker ≪ 12 | 12-bit
+    sequence): mint ids from event rows, decode them back by
+    shift/mask, and verify field-exact recovery per worker. The
+    id-forensics operation behind "when was this row REALLY created /
+    which shard minted it" debugging, and the k-sortable ordering
+    audit (ids sort by mint time — min_id/max_id per worker expose
+    it). n_distinct vs n_ids reads collision pressure when (ms,
+    worker, seq) triples repeat.
+
+    Exactness: multiplication/division by 2²² and 2¹² as integer
+    constants (4194304, 4096) — pure integer bit arithmetic, no
+    string formatting, identical on both engines.
+
+    Plan/scale: one narrow codegen projection (mint + decode fused),
+    one worker-keyed rollup with an exact distinct; top-20 workers by
+    id for a bounded result."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("unix_micros(ts) div 1000").alias("ms"),
+        (F.col("user_id") % 1024).alias("worker"),
+        (F.col("event_id") % 4096).alias("seq"),
+    )
+    minted = e.select(
+        "ms",
+        "worker",
+        "seq",
+        F.expr("ms * 4194304 + worker * 4096 + seq").alias("id"),
+    )
+    decoded = minted.select(
+        "ms",
+        "worker",
+        "seq",
+        "id",
+        F.expr("id div 4194304").alias("ms_out"),
+        F.expr("(id div 4096) % 1024").alias("worker_out"),
+        F.expr("id % 4096").alias("seq_out"),
+    )
+    return (
+        decoded.groupBy(F.col("worker").cast("long").alias("worker"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ids"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN ms_out = ms AND worker_out = worker"
+                    " AND seq_out = seq THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_roundtrip_ok"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+            F.countDistinct("id").cast("long").alias("n_distinct"),
+        )
+        .orderBy("worker")
+        .limit(20)
+    )

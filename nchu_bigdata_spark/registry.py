@@ -357,6 +357,9 @@ DRIVER_ORDER = [
     "text_vocab_mass_ladder",
     "ts_ema_crossover",
     "sample_curriculum",
+    "scan_txn_time_travel",
+    "fn_snowflake_decode",
+    "graph_pagerank_personalized",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

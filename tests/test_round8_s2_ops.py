@@ -1696,3 +1696,91 @@ def test_curriculum_matches_python_replay(spark, sf_dir, duck):
     assert max(sizes) - min(sizes) <= 1
     # stages are ordered by difficulty
     assert got[0][3] <= got[3][2] or got[0][3] <= got[3][3]
+
+
+# --------------------------------------------------------------------------
+# scan_txn_time_travel
+# --------------------------------------------------------------------------
+
+
+def test_time_travel_snapshots_diverge_on_compactions(spark, sf_dir, duck):
+    out = {r.as_of: {} for r in []}
+    rows = SPECS["scan_txn_time_travel"].fn(spark, sf_dir).collect()
+    v999 = {r.file: (r.n_rows, r.version_added) for r in rows if r.as_of == "v999"}
+    latest = {r.file: (r.n_rows, r.version_added) for r in rows if r.as_of == "latest"}
+    months = dict(
+        duck.execute(
+            "SELECT strftime(o_orderdate, '%Y-%m'), COUNT(*)"
+            " FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    # v999 snapshot: every original month file, original versions
+    assert set(v999) == {f"{m}.parquet" for m in months}
+    for m, n in months.items():
+        assert v999[f"{m}.parquet"][0] == n
+    # latest: every 4th month shadowed by its compaction
+    idx = {m: i for i, m in enumerate(sorted(months))}
+    for m, i in idx.items():
+        if i % 4 == 2:
+            assert f"{m}-compact.parquet" in latest
+            assert f"{m}.parquet" not in latest
+            assert latest[f"{m}-compact.parquet"][1] == 1000 + i
+        else:
+            assert f"{m}.parquet" in latest
+    # row counts are conserved across versions (compaction moves, never drops)
+    assert sum(n for n, _ in v999.values()) == sum(n for n, _ in latest.values())
+
+
+# --------------------------------------------------------------------------
+# fn_snowflake_decode
+# --------------------------------------------------------------------------
+
+
+def test_snowflake_roundtrip_exact(spark, sf_dir, duck):
+    rows = SPECS["fn_snowflake_decode"].fn(spark, sf_dir).collect()
+    assert rows and all(r.n_roundtrip_ok == r.n_ids for r in rows)
+    # k-sortable: ids embed time in the high bits, so min <= max with
+    # a gap of at least the worker-field spread
+    for r in rows:
+        assert r.min_id <= r.max_id
+        assert r.n_distinct <= r.n_ids
+    # replay one decode by hand
+    e = duck.execute(
+        "SELECT epoch_us(ts) // 1000, user_id % 1024, event_id % 4096"
+        " FROM events LIMIT 5"
+    ).fetchall()
+    for ms, w, s in e:
+        _id = ms * 4194304 + w * 4096 + s
+        assert (_id // 4194304, (_id // 4096) % 1024, _id % 4096) == (ms, w, s)
+
+
+# --------------------------------------------------------------------------
+# graph_pagerank_personalized
+# --------------------------------------------------------------------------
+
+
+def test_ppr_matches_python_replay(spark, sf_dir, duck):
+    edges = _edges(duck)
+    deg = Counter(u for u, _ in edges)
+    SCALE, BASE = 1_000_000_000, 150_000_000
+    r = {u: (SCALE if u % 50 == 0 else 0) for u in deg}
+    for _ in range(5):
+        flow = defaultdict(int)
+        for u, v in edges:
+            if r[u] > 0:
+                flow[v] += r[u] // deg[u]
+        r = {
+            u: (BASE if u % 50 == 0 else 0) + (85 * flow.get(u, 0)) // 100
+            for u in deg
+        }
+    top = sorted(
+        ((v, n) for n, v in r.items() if v > 0), key=lambda t: (-t[0], t[1])
+    )[:20]
+    want = {n: (v, i + 1) for i, (v, n) in enumerate(top)}
+    got = {
+        row.p_partkey: (row.ppr_scaled, row.rnk)
+        for row in SPECS["graph_pagerank_personalized"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # personalization is real: seeds hold the top ranks
+    assert any(n % 50 == 0 for n in got)
