@@ -1834,10 +1834,13 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     near the seeds, so early rounds stream a small frontier instead
     of |V| rows (the locality that makes PPR cheaper than global
     pagerank in practice). Ranks checkpoint per round."""
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     raw = _copurchase_edges(spark, sf_dir)
     deg = raw.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    edges = shared_intermediate("ppr_edges", raw.join(deg, "u"))
-    degs = shared_intermediate("ppr_deg", deg)
+    edges = shared_intermediate(
+        "ppr_edges", raw.join(deg, "u").repartition(nparts, "u")
+    )
+    degs = shared_intermediate("ppr_deg", deg.repartition(nparts, "u"))
     ranks = degs.select(
         F.col("u").alias("node"),
         F.expr(
@@ -1845,12 +1848,17 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN {_PR_SCALE} ELSE 0 END AS BIGINT)"
         ).alias("r"),
     )
+    # Both per-round joins carry SHUFFLE_HASH hints — the
+    # connected-components 10× probe rule: one retained broadcast per
+    # round OOMs the driver; hashed joins reuse the vertex-key
+    # partitioning instead (this op re-hit exactly that failure at
+    # 10× before the hints).
     for i in range(1, _PR_ITERS + 1):
         flow = (
             edges.join(
-                ranks.filter(F.col("r") > 0).withColumnRenamed(
-                    "node", "u"
-                ),
+                ranks.filter(F.col("r") > 0)
+                .withColumnRenamed("node", "u")
+                .hint("shuffle_hash"),
                 "u",
             )
             .groupBy(F.col("v").alias("node"))
@@ -1858,7 +1866,9 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"(85 * SUM(r div d)) div 100").alias("flow")
             )
         )
-        ranks = degs.join(flow, degs.u == flow.node, "left").select(
+        ranks = degs.join(
+            flow.hint("shuffle_hash"), degs.u == flow.node, "left"
+        ).select(
             F.col("u").alias("node"),
             F.expr(
                 f"CAST(CASE WHEN u % {_PPR_SEED_MOD} = 0"
