@@ -268,6 +268,7 @@ SQL_GROUP = [
     "ts_ema_crossover",
     "graph_pagerank_personalized",
     "scan_txn_time_travel",
+    "orders_perfect_rate",
     "win_topn_ties",
     "text_feature_hashing",
     "events_ks_test",

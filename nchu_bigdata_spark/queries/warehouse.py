@@ -2292,3 +2292,94 @@ def orders_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("we") - F.col("ws") + 1).cast("long").alias("covered_days"),
         (F.max("we") - F.min("ws") + 1).cast("long").alias("span_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_perfect_rate — perfect-order composite KPI (round 8)
+# --------------------------------------------------------------------------
+
+_PERFECT_SLA_DAYS = 30
+
+
+@register(
+    "orders_perfect_rate",
+    tags=("b11",),
+    oracle=f"""
+        -- Perfect-order rate: the supply-chain composite KPI -- an
+        -- order is PERFECT only if EVERY line shipped within
+        -- {_PERFECT_SLA_DAYS} days AND no line came back as a return
+        -- ('R'). Composites multiply: two 95% components make a
+        -- ~90% composite, which is why the perfect rate is reported
+        -- beside its components (on-time rate, return-free rate) --
+        -- the decomposition says WHICH leg to fix. Monthly, floor bp.
+        WITH l AS (
+            SELECT o_orderkey, o_orderdate,
+                   epoch_us(o_orderdate) // 86400000000 AS od,
+                   BOOL_AND(epoch_us(l_shipdate) // 86400000000
+                            - epoch_us(o_orderdate) // 86400000000
+                            <= {_PERFECT_SLA_DAYS}) AS on_time,
+                   BOOL_AND(l_returnflag <> 'R') AS return_free
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderdate
+        )
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN on_time THEN 1 ELSE 0 END) * 10000
+                    // COUNT(*) AS BIGINT) AS on_time_bp,
+               CAST(SUM(CASE WHEN return_free THEN 1 ELSE 0 END) * 10000
+                    // COUNT(*) AS BIGINT) AS return_free_bp,
+               CAST(SUM(CASE WHEN on_time AND return_free
+                             THEN 1 ELSE 0 END) * 10000
+                    // COUNT(*) AS BIGINT) AS perfect_bp
+        FROM l GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+)
+def orders_perfect_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perfect-order rate — the supply-chain composite KPI: an order
+    is PERFECT only if EVERY line shipped within {d} days AND no line
+    came back as a return. Composites multiply (two 95% components ≈
+    a 90% composite), so the operator reports the components beside
+    the composite — the decomposition that says WHICH leg to fix,
+    monthly, in floor bp. The all-lines quantifier is the point:
+    `orders_fulfillment_lag` profiles line lag; this demands the
+    WHOLE order clear both bars.
+
+    Exactness: epoch-day integer lag; BOOL_AND per order; floor-bp
+    shares.
+
+    Plan/scale: ONE orderkey-keyed join + map-side-combined BOOL_AND
+    rollup collapses lineitem to |orders| rows; the monthly rollup is
+    month-cardinality. The quantifier runs as an aggregate, never a
+    correlated subquery per order."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    l = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.expr(
+                "BOOL_AND(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                " div 86400000000"
+                " - unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                f" div 86400000000 <= {_PERFECT_SLA_DAYS})"
+            ).alias("on_time"),
+            F.expr("BOOL_AND(l_returnflag <> 'R')").alias("return_free"),
+        )
+    )
+    return l.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr(
+            "CAST(SUM(CASE WHEN on_time THEN 1 ELSE 0 END) * 10000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("on_time_bp"),
+        F.expr(
+            "CAST(SUM(CASE WHEN return_free THEN 1 ELSE 0 END) * 10000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("return_free_bp"),
+        F.expr(
+            "CAST(SUM(CASE WHEN on_time AND return_free THEN 1 ELSE 0 END)"
+            " * 10000 div COUNT(*) AS BIGINT)"
+        ).alias("perfect_bp"),
+    )

@@ -1694,3 +1694,88 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_breakout_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_gap_to_leader — per-group distance to the benchmark row (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_gap_to_leader",
+    tags=("b6",),
+    oracle="""
+        -- Gap to the leader: every customer's revenue distance to its
+        -- region's #1, in cents and as share-of-leader bp -- the
+        -- competitive-benchmark column (sales league tables, seller
+        -- scorecards: "you are at 62% of the category leader"). The
+        -- leader is a per-region ROLLUP broadcast back, not a window
+        -- max over all customer rows.
+        WITH c AS (
+            SELECT r_name AS region, o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                       AS cents
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY r_name, o_custkey
+        ),
+        ld AS (
+            SELECT region, MAX(cents) AS leader_cents
+            FROM c GROUP BY region
+        )
+        SELECT c.o_custkey, c.region,
+               CAST(c.cents AS BIGINT) AS cents,
+               CAST(ld.leader_cents - c.cents AS BIGINT) AS gap_cents,
+               CAST(CAST(c.cents AS HUGEINT) * 10000 // ld.leader_cents
+                    AS BIGINT) AS share_of_leader_bp
+        FROM c JOIN ld ON ld.region = c.region
+    """,
+)
+def win_gap_to_leader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap to the leader: every customer's revenue distance to its
+    region's #1, in cents and as share-of-leader bp — the
+    competitive-benchmark column behind sales league tables and
+    seller scorecards ("you are at 62% of the category leader").
+    `win_percent_of_parent` benchmarks against the TOTAL; this
+    benchmarks against the BEST — the two normalizations dashboards
+    pair.
+
+    Plan/scale — the percent_of_parent rule again: the leader is a
+    per-region ROLLUP (5 rows) broadcast back onto the customer
+    grain, never `MAX() OVER (PARTITION BY region)` (which funnels
+    every region's customers through one window task at 1e9 rows).
+    Exact integer cents; floor-bp share."""
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, F.col("n_regionkey") == reg.r_regionkey)
+        .select("c_custkey", F.col("r_name").alias("region"))
+    )
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+        .join(dims, F.col("o_custkey") == dims.c_custkey)
+        .select("o_custkey", "region", "cents")
+    )
+    ld = c.groupBy("region").agg(F.max("cents").alias("leader_cents"))
+    return c.join(F.broadcast(ld), "region").select(
+        "o_custkey",
+        "region",
+        F.col("cents").cast("long").alias("cents"),
+        (F.col("leader_cents") - F.col("cents"))
+        .cast("long")
+        .alias("gap_cents"),
+        F.expr(
+            "CAST(CAST(cents AS decimal(38,0)) * 10000"
+            " div leader_cents AS BIGINT)"
+        ).alias("share_of_leader_bp"),
+    )

@@ -360,6 +360,8 @@ DRIVER_ORDER = [
     "scan_txn_time_travel",
     "fn_snowflake_decode",
     "graph_pagerank_personalized",
+    "orders_perfect_rate",
+    "win_gap_to_leader",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1784,3 +1784,73 @@ def test_ppr_matches_python_replay(spark, sf_dir, duck):
     assert got == want
     # personalization is real: seeds hold the top ranks
     assert any(n % 50 == 0 for n in got)
+
+
+# --------------------------------------------------------------------------
+# orders_perfect_rate
+# --------------------------------------------------------------------------
+
+
+def test_perfect_rate_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m'),
+               BOOL_AND(epoch_us(l_shipdate) // 86400000000
+                        - epoch_us(o_orderdate) // 86400000000 <= 30),
+               BOOL_AND(l_returnflag <> 'R')
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey, o_orderdate
+        """
+    ).fetchall()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for _, mo, ot, rf in rows:
+        a = agg[mo]
+        a[0] += 1
+        a[1] += int(ot)
+        a[2] += int(rf)
+        a[3] += int(ot and rf)
+    got = {
+        r.month: (r.n_orders, r.on_time_bp, r.return_free_bp, r.perfect_bp)
+        for r in SPECS["orders_perfect_rate"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        mo: (n, ot * 10000 // n, rf * 10000 // n, p * 10000 // n)
+        for mo, (n, ot, rf, p) in agg.items()
+    }
+    assert got == want
+    # the composite really multiplies down: perfect <= min(components)
+    for mo, (_, ot, rf, p) in got.items():
+        assert p <= min(ot, rf)
+
+
+# --------------------------------------------------------------------------
+# win_gap_to_leader
+# --------------------------------------------------------------------------
+
+
+def test_gap_to_leader_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        """
+        SELECT r_name, o_custkey,
+               SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT))
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    leader = defaultdict(int)
+    for reg, _, c in rows:
+        leader[reg] = max(leader[reg], c)
+    got = {
+        r.o_custkey: (r.region, r.cents, r.gap_cents, r.share_of_leader_bp)
+        for r in SPECS["win_gap_to_leader"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(rows)
+    for reg, ck, c in rows:
+        assert got[ck] == (reg, c, leader[reg] - c, c * 10000 // leader[reg])
+    # exactly one leader per region sits at gap 0 / 10000 bp
+    zeros = [ck for ck, (_, _, g, bp) in got.items() if g == 0]
+    assert len(zeros) >= len(leader)
+    assert all(got[ck][3] == 10000 for ck in zeros)
