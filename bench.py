@@ -269,6 +269,7 @@ SQL_GROUP = [
     "graph_pagerank_personalized",
     "scan_txn_time_travel",
     "orders_perfect_rate",
+    "events_weekend_lift",
     "win_topn_ties",
     "text_feature_hashing",
     "events_ks_test",

@@ -5091,3 +5091,126 @@ def ts_ema_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_cross_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_weekend_lift — weekend-vs-weekday lift with exact t-test (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_weekend_lift",
+    tags=("b3",),
+    oracle="""
+        -- Weekend lift per event type: weekend vs weekday mean daily
+        -- volume, the lift in floor bp, and a pooled two-sample
+        -- t-test on the daily counts -- "is the weekend REALLY
+        -- different, or is 30 days of noise talking". The
+        -- events_mann_whitney convention end to end: with A =
+        -- sx1*n2 - sx2*n1 and B_i = n_i*sxx_i - sx_i^2, the alpha=.05
+        -- decision is
+        --   10^4 * A^2 * (n1+n2-2) > 38415 * (n1+n2) * (n2*B1 + n1*B2)
+        -- -- fully cross-multiplied, no variance, no sqrt, no float.
+        -- (dayofweek: DuckDB epoch-day 0 = 1970-01-01 = Thursday, so
+        -- weekend = day % 7 IN (2, 3) -- Sat, Sun -- same key both
+        -- engines.)
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT event_type,
+                   CASE WHEN day % 7 IN (2, 3) THEN 1 ELSE 0 END AS we,
+                   y
+            FROM daily
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(SUM(we) AS HUGEINT) AS n1,
+                   CAST(SUM(1 - we) AS HUGEINT) AS n2,
+                   CAST(SUM(CASE WHEN we = 1 THEN y ELSE 0 END)
+                        AS HUGEINT) AS sx1,
+                   CAST(SUM(CASE WHEN we = 0 THEN y ELSE 0 END)
+                        AS HUGEINT) AS sx2,
+                   CAST(SUM(CASE WHEN we = 1 THEN y * y ELSE 0 END)
+                        AS HUGEINT) AS sxx1,
+                   CAST(SUM(CASE WHEN we = 0 THEN y * y ELSE 0 END)
+                        AS HUGEINT) AS sxx2
+            FROM g GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n1 AS BIGINT) AS n_weekend_days,
+               CAST(n2 AS BIGINT) AS n_weekday_days,
+               CAST(sx1 * n2 * 10000 // (sx2 * n1) AS BIGINT)
+                   AS lift_bp,
+               CAST(10000 * (sx1 * n2 - sx2 * n1)
+                          * (sx1 * n2 - sx2 * n1) * (n1 + n2 - 2)
+                    > 38415 * (n1 + n2)
+                      * (n2 * (n1 * sxx1 - sx1 * sx1)
+                         + n1 * (n2 * sxx2 - sx2 * sx2)) AS INT)
+                   AS significant
+        FROM m
+    """,
+)
+def events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend lift per event type — weekend vs weekday mean daily
+    volume as a floor-bp lift, with a pooled two-sample t-test on the
+    daily counts deciding whether the weekend is REALLY different or
+    a month of noise is talking. `events_seasonality` draws the
+    dow×hour profile; this one READS it statistically — the
+    profile-vs-test split the experiment family uses everywhere
+    (heatmap describes, test decides).
+
+    Exactness — the `events_mann_whitney` convention end to end: with
+    A = sx₁n₂ − sx₂n₁ and Bᵢ = nᵢ·sxxᵢ − sxᵢ², the α=0.05 decision is
+    10⁴·A²·(n₁+n₂−2) > 38415·(n₁+n₂)·(n₂B₁ + n₁B₂) — fully
+    cross-multiplied pooled t², no variance materialized, no sqrt, no
+    float. The weekend key is epoch-day mod 7 ∈ {2,3} (day 0 =
+    1970-01-01 = Thursday) — the same pure-integer key on both
+    engines, immune to locale dayofweek conventions.
+
+    Plan/scale: facts collapse map-side to (type, day); ONE hash agg
+    carries all six arm sums; the decision is a 5-row projection."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    g = daily.select(
+        "event_type",
+        F.expr("CASE WHEN day % 7 IN (2, 3) THEN 1 ELSE 0 END").alias("we"),
+        "y",
+    )
+    dec = "decimal(38,0)"
+    m = g.groupBy("event_type").agg(
+        F.sum("we").cast(dec).alias("n1"),
+        F.sum(1 - F.col("we")).cast(dec).alias("n2"),
+        F.sum(F.expr("CASE WHEN we = 1 THEN y ELSE 0 END"))
+        .cast(dec)
+        .alias("sx1"),
+        F.sum(F.expr("CASE WHEN we = 0 THEN y ELSE 0 END"))
+        .cast(dec)
+        .alias("sx2"),
+        F.sum(F.expr("CASE WHEN we = 1 THEN y * y ELSE 0 END"))
+        .cast(dec)
+        .alias("sxx1"),
+        F.sum(F.expr("CASE WHEN we = 0 THEN y * y ELSE 0 END"))
+        .cast(dec)
+        .alias("sxx2"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_weekend_days"),
+        F.col("n2").cast("long").alias("n_weekday_days"),
+        F.expr("CAST(sx1 * n2 * 10000 div (sx2 * n1) AS BIGINT)").alias(
+            "lift_bp"
+        ),
+        F.expr(
+            "CAST(10000 * (sx1 * n2 - sx2 * n1)"
+            " * (sx1 * n2 - sx2 * n1) * (n1 + n2 - 2)"
+            " > 38415 * (n1 + n2)"
+            " * (n2 * (n1 * sxx1 - sx1 * sx1)"
+            " + n1 * (n2 * sxx2 - sx2 * sx2)) AS INT)"
+        ).alias("significant"),
+    )

@@ -362,6 +362,7 @@ DRIVER_ORDER = [
     "graph_pagerank_personalized",
     "orders_perfect_rate",
     "win_gap_to_leader",
+    "events_weekend_lift",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -1854,3 +1854,66 @@ def test_gap_to_leader_matches_python_replay(spark, sf_dir, duck):
     zeros = [ck for ck, (_, _, g, bp) in got.items() if g == 0]
     assert len(zeros) >= len(leader)
     assert all(got[ck][3] == 10000 for ck in zeros)
+
+
+# --------------------------------------------------------------------------
+# events_weekend_lift
+# --------------------------------------------------------------------------
+
+
+def test_weekend_lift_matches_python_replay(spark, sf_dir, duck):
+    days = duck.execute(
+        "SELECT event_type, epoch_us(ts) // 86400000000, COUNT(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    arms = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n1 n2 sx1 sx2 sxx1 sxx2
+    for t, d, y in days:
+        a = arms[t]
+        if d % 7 in (2, 3):
+            a[0] += 1
+            a[2] += y
+            a[4] += y * y
+        else:
+            a[1] += 1
+            a[3] += y
+            a[5] += y * y
+    got = {
+        r.event_type: (r.n_weekend_days, r.n_weekday_days, r.lift_bp, r.significant)
+        for r in SPECS["events_weekend_lift"].fn(spark, sf_dir).collect()
+    }
+    for t, (n1, n2, sx1, sx2, sxx1, sxx2) in arms.items():
+        A = sx1 * n2 - sx2 * n1
+        sig = int(
+            10000 * A * A * (n1 + n2 - 2)
+            > 38415
+            * (n1 + n2)
+            * (n2 * (n1 * sxx1 - sx1 * sx1) + n1 * (n2 * sxx2 - sx2 * sx2))
+        )
+        assert got[t] == (n1, n2, sx1 * n2 * 10000 // (sx2 * n1), sig)
+    # epoch-day weekend key: ~2/7 of days per type
+    for t, (n1, n2, *_ ) in arms.items():
+        assert 0 < n1 < n2
+
+
+def test_pooled_t_flags_a_real_lift():
+    # 20 weekday days at ~100, 8 weekend days at ~200: must reject
+    n1, n2 = 8, 20
+    wk = [200 + (i % 3) for i in range(n1)]
+    wd = [100 + (i % 3) for i in range(n2)]
+    sx1, sx2 = sum(wk), sum(wd)
+    sxx1, sxx2 = sum(v * v for v in wk), sum(v * v for v in wd)
+    A = sx1 * n2 - sx2 * n1
+    assert (
+        10000 * A * A * (n1 + n2 - 2)
+        > 38415 * (n1 + n2)
+        * (n2 * (n1 * sxx1 - sx1 * sx1) + n1 * (n2 * sxx2 - sx2 * sx2))
+    )
+    # identical arms: must not reject
+    wk = wd[:8]
+    sx1, sxx1 = sum(wk), sum(v * v for v in wk)
+    A = sx1 * n2 - sx2 * 8
+    assert not (
+        10000 * A * A * (8 + n2 - 2)
+        > 38415 * (8 + n2)
+        * (n2 * (8 * sxx1 - sx1 * sx1) + 8 * (n2 * sxx2 - sx2 * sx2))
+    )
