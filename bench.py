@@ -270,6 +270,8 @@ SQL_GROUP = [
     "scan_txn_time_travel",
     "orders_perfect_rate",
     "events_weekend_lift",
+    "events_peak_days",
+    "sink_dynamic_overwrite",
     "win_topn_ties",
     "text_feature_hashing",
     "events_ks_test",

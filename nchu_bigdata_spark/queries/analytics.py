@@ -5214,3 +5214,113 @@ def events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + n1 * (n2 * sxx2 - sx2 * sx2)) AS INT)"
         ).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_peak_days — local maxima with shoulder height (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_peak_days",
+    tags=("b3",),
+    oracle="""
+        -- Local-maximum detection per event type: days strictly above
+        -- BOTH calendar neighbors, with the height above the higher
+        -- shoulder -- the spike-shape detector (campaign days, incident
+        -- days) that complements the family's other lenses: anomaly
+        -- reads global deviation, Bollinger local bands, changepoint
+        -- level shifts; a PEAK is a shape (up-down), not a level. Gap
+        -- days break peaks by definition (a missing neighbor
+        -- disqualifies -- spine-edge days can't be certified as peaks).
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        n AS (
+            SELECT d.event_type, d.day, d.y,
+                   l.y AS y_prev, r.y AS y_next
+            FROM daily d
+            LEFT JOIN daily l ON l.event_type = d.event_type
+                             AND l.day = d.day - 1
+            LEFT JOIN daily r ON r.event_type = d.event_type
+                             AND r.day = d.day + 1
+        ),
+        p AS (
+            SELECT event_type, day, y,
+                   y - CASE WHEN y_prev > y_next THEN y_prev
+                            ELSE y_next END AS height
+            FROM n
+            WHERE y_prev IS NOT NULL AND y_next IS NOT NULL
+              AND y > y_prev AND y > y_next
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_peaks,
+               CAST(MAX(y) AS BIGINT) AS tallest_peak,
+               CAST(MAX(height) AS BIGINT) AS max_height,
+               CAST(MIN(day) AS BIGINT) AS first_peak_day
+        FROM p GROUP BY event_type
+    """,
+)
+def events_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection per event type — days strictly above
+    BOTH calendar neighbors, with the height above the higher
+    shoulder: the spike-SHAPE detector (campaign days, incident days,
+    payday effects). Complements the detector family along the shape
+    axis: `events_anomaly` reads global deviation, `win_bollinger`
+    local bands, `ts_changepoint` level shifts — a peak is an up-down
+    SHAPE, not a level. Calendar neighbors, not row neighbors: a gap
+    day disqualifies (a peak can't be certified against a missing
+    shoulder), which row-wise lag/lead would silently get wrong.
+
+    Exactness: integer counts and epoch days; the shoulder max and
+    height are plain integer arithmetic.
+
+    Plan/scale: facts collapse map-side to (type, day); neighbors
+    come from two SELF EQUI JOINS on day±1 (date-cardinality, both
+    sides the same tiny rollup) rather than a window with a
+    value-based frame — the joins keep the 'calendar neighbor'
+    semantics explicit and prune to peak rows before the rollup."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    l = daily.select(
+        F.col("event_type").alias("et_l"),
+        (F.col("day") + 1).alias("day_l"),
+        F.col("y").alias("y_prev"),
+    )
+    r = daily.select(
+        F.col("event_type").alias("et_r"),
+        (F.col("day") - 1).alias("day_r"),
+        F.col("y").alias("y_next"),
+    )
+    n = daily.join(
+        l, (F.col("et_l") == F.col("event_type")) & (F.col("day_l") == F.col("day")), "left"
+    ).join(
+        r, (F.col("et_r") == F.col("event_type")) & (F.col("day_r") == F.col("day")), "left"
+    )
+    p = n.filter(
+        F.col("y_prev").isNotNull()
+        & F.col("y_next").isNotNull()
+        & (F.col("y") > F.col("y_prev"))
+        & (F.col("y") > F.col("y_next"))
+    ).select(
+        "event_type",
+        "day",
+        "y",
+        (
+            F.col("y")
+            - F.when(
+                F.col("y_prev") > F.col("y_next"), F.col("y_prev")
+            ).otherwise(F.col("y_next"))
+        ).alias("height"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_peaks"),
+        F.max("y").cast("long").alias("tallest_peak"),
+        F.max("height").cast("long").alias("max_height"),
+        F.min("day").cast("long").alias("first_peak_day"),
+    )

@@ -1146,3 +1146,79 @@ def scan_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     asof = snapshot(log.filter(F.col("version") <= _TT_VERSION), f"v{_TT_VERSION}")
     latest = snapshot(log, "latest")
     return asof.unionAll(latest)
+
+
+# --------------------------------------------------------------------------
+# sink_dynamic_overwrite — dynamic partition overwrite semantics (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_dynamic_overwrite",
+    tags=("b1",),
+    oracle="""
+        -- Dynamic partition overwrite (INSERT OVERWRITE ...
+        -- PARTITION): the batch touches ONLY flag 'R' (written with a
+        -- doubled marker column), so after the overwrite the target
+        -- must hold the UPDATED R partition and the UNTOUCHED N/A
+        -- partitions -- the daily-repartition-refresh write every
+        -- warehouse runs, where STATIC overwrite mode would have
+        -- silently dropped N and A (the incident this pin exists
+        -- for). The oracle derives the expected merged state straight
+        -- from lineitem.
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                             THEN CAST(ROUND(l_quantity) AS BIGINT) * 2
+                             ELSE CAST(ROUND(l_quantity) AS BIGINT) END)
+                    AS BIGINT) AS marker_sum
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the daily partition-refresh
+    write: seed a flag-partitioned target from lineitem, then
+    overwrite with a batch that touches ONLY the 'R' partition
+    (marker column doubled so the refresh is observable). Under
+    ``partitionOverwriteMode=dynamic`` the write replaces exactly the
+    partitions PRESENT IN THE BATCH; under the default STATIC mode the
+    same ``mode("overwrite")`` would have truncated the whole table
+    and silently dropped N and A — the classic
+    lost-partitions-on-backfill incident, pinned. The read-back per
+    partition must show updated R beside untouched N/A, derived by the
+    oracle straight from the source.
+
+    Plan/scale: both writes are partitioned sinks (dir-per-flag); the
+    dynamic overwrite's commit only touches the partitions the batch
+    contains — at 100 TB the refresh rewrites one day's directory,
+    never the table. The conf is set per-query; the registry wrapper
+    re-pins defaults afterward, and the result is MATERIALIZED before
+    return so the override can't leak into lazy execution
+    (scan_csv_corrupt's ADVICE-r7 rule)."""
+    out = scratch_dir(sf_dir, "lineitem_dyn_overwrite")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("marker"),
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    batch = li.filter(F.col("l_returnflag") == "R").withColumn(
+        "marker", F.col("marker") * 2
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("marker").cast("long").alias("marker_sum"),
+        )
+    )
+    # materialize while the dynamic-mode conf is live (the override
+    # must not depend on surviving until the caller collects)
+    back = back.localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    return back

@@ -363,6 +363,8 @@ DRIVER_ORDER = [
     "orders_perfect_rate",
     "win_gap_to_leader",
     "events_weekend_lift",
+    "sink_dynamic_overwrite",
+    "events_peak_days",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

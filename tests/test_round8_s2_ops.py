@@ -1917,3 +1917,66 @@ def test_pooled_t_flags_a_real_lift():
         > 38415 * (8 + n2)
         * (n2 * (8 * sxx1 - sx1 * sx1) + 8 * (n2 * sxx2 - sx2 * sx2))
     )
+
+
+# --------------------------------------------------------------------------
+# sink_dynamic_overwrite
+# --------------------------------------------------------------------------
+
+
+def test_dynamic_overwrite_merges_not_truncates(spark, sf_dir, duck):
+    got = {
+        r.l_returnflag: (r.n, r.marker_sum)
+        for r in SPECS["sink_dynamic_overwrite"].fn(spark, sf_dir).collect()
+    }
+    src = {
+        f: (n, q)
+        for f, n, q in duck.execute(
+            "SELECT l_returnflag, COUNT(*),"
+            " SUM(CAST(ROUND(l_quantity) AS BIGINT)) FROM lineitem"
+            " GROUP BY 1"
+        ).fetchall()
+    }
+    # all three partitions survive the overwrite (static mode would
+    # have dropped N and A)
+    assert set(got) == set(src) == {"N", "A", "R"}
+    for f, (n, q) in src.items():
+        want_marker = q * 2 if f == "R" else q
+        assert got[f] == (n, want_marker)
+
+
+# --------------------------------------------------------------------------
+# events_peak_days
+# --------------------------------------------------------------------------
+
+
+def test_peak_days_match_python_replay(spark, sf_dir, duck):
+    days = duck.execute(
+        "SELECT event_type, epoch_us(ts) // 86400000000, COUNT(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    series = defaultdict(dict)
+    for t, d, y in days:
+        series[t][d] = y
+    want = {}
+    for t, pts in series.items():
+        peaks = [
+            (d, y, y - max(pts[d - 1], pts[d + 1]))
+            for d, y in pts.items()
+            if d - 1 in pts and d + 1 in pts
+            and y > pts[d - 1] and y > pts[d + 1]
+        ]
+        if peaks:
+            want[t] = (
+                len(peaks),
+                max(y for _, y, _ in peaks),
+                max(h for _, _, h in peaks),
+                min(d for d, _, _ in peaks),
+            )
+    got = {
+        r.event_type: (r.n_peaks, r.tallest_peak, r.max_height, r.first_peak_day)
+        for r in SPECS["events_peak_days"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # heights are strictly positive by the strict-inequality definition
+    assert all(h > 0 for _, _, h, _ in got.values())
