@@ -272,6 +272,7 @@ SQL_GROUP = [
     "events_weekend_lift",
     "events_peak_days",
     "sink_dynamic_overwrite",
+    "orders_rank_stability",
     "win_topn_ties",
     "text_feature_hashing",
     "events_ks_test",

@@ -2383,3 +2383,161 @@ def orders_perfect_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 div COUNT(*) AS BIGINT)"
         ).alias("perfect_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_rank_stability — leaderboard churn via exact Spearman (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_rank_stability",
+    tags=("b11",),
+    oracle="""
+        -- Leaderboard stability: Spearman rank correlation between
+        -- consecutive months' brand-revenue rankings -- rho near 1e4
+        -- means the league table barely moved, low/negative means
+        -- churn (assortment shifts, promo shocks). Exact: ranks are
+        -- integers (revenue ties broken by brand), and rho =
+        -- 1 - 6*sum(d^2)/(n(n^2-1)) exports as the exact scaled
+        -- integer ((D - 6*sum(d^2)) * 10000) // D with D = n(n^2-1)
+        -- -- sign-split for the rare negative.
+        WITH b AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS mo, p_brand,
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                       AS cents
+            FROM orders
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN part ON p_partkey = l_partkey
+            GROUP BY 1, 2
+        ),
+        pair AS (
+            SELECT a.mo AS mo_from, c.mo AS mo_to, a.p_brand,
+                   a.cents AS cents_a, c.cents AS cents_b
+            FROM b a
+            JOIN b c ON c.p_brand = a.p_brand
+                    AND c.mo = strftime(
+                        (a.mo || '-01')::DATE + INTERVAL 1 MONTH, '%Y-%m')
+        ),
+        p AS (
+            -- rank WITHIN the common brand set (both sides must be
+            -- permutations of the same set or 1 - 6*sum(d^2)/D is not
+            -- a correlation at all)
+            SELECT mo_from, mo_to,
+                   CAST(ROW_NUMBER() OVER (
+                            PARTITION BY mo_from, mo_to
+                            ORDER BY cents_a DESC, p_brand)
+                        - ROW_NUMBER() OVER (
+                            PARTITION BY mo_from, mo_to
+                            ORDER BY cents_b DESC, p_brand)
+                        AS HUGEINT) AS d
+            FROM pair
+        ),
+        s AS (
+            SELECT mo_from, mo_to,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(d * d) AS HUGEINT) AS sd2
+            FROM p GROUP BY mo_from, mo_to
+        )
+        SELECT mo_from, mo_to, CAST(n AS BIGINT) AS n_brands,
+               CAST(CASE WHEN n * (n * n - 1) - 6 * sd2 >= 0
+                    THEN ((n * (n * n - 1) - 6 * sd2) * 10000)
+                         // (n * (n * n - 1))
+                    ELSE -(((6 * sd2 - n * (n * n - 1)) * 10000)
+                           // (n * (n * n - 1))) END AS BIGINT)
+                   AS spearman_e4
+        FROM s WHERE n >= 2
+    """,
+)
+def orders_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard stability — Spearman rank correlation between
+    consecutive months' brand-revenue rankings: ρ ≈ 1 means the
+    league table barely moved, low or negative means churn
+    (assortment shifts, promo shocks). The longitudinal companion to
+    `win_topn_ties` (which pins a single month's cut semantics) and
+    `orders_market_share` (which tracks one brand's movement): this
+    scores the WHOLE ranking's month-over-month persistence in one
+    number.
+
+    Exactness: ranks are integers (revenue DESC, brand tie-break)
+    computed WITHIN each month-pair's COMMON brand set — both sides
+    must be permutations of the same set or the closed form is not a
+    correlation (the first cut ranked each month over all its brands
+    and ρ escaped [−1, 1] on the fixture — caught by the replay
+    test's bound assertion);
+    ρ = 1 − 6Σd²/(n(n²−1)) exports as the exact scaled integer
+    ((D − 6Σd²)·10⁴) div D with D = n(n²−1), sign-split for the
+    (rare) negative — no float, the `embed_pca_power` division
+    convention.
+
+    Plan/scale: facts collapse to (month, brand) — dimension × time
+    cardinality; per-month ranks ride month-partitioned windows over
+    ~|brands| rows; the month-pair self join is keyed on brand with
+    the month-successor as an equality (pre-computed key), not a
+    range."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("mo"), "p_brand"
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    nxt = b.select(
+        F.expr(
+            "date_format(add_months(to_date(concat(mo, '-01')), -1),"
+            " 'yyyy-MM')"
+        ).alias("mo_prev"),
+        F.col("mo").alias("mo_to"),
+        F.col("p_brand").alias("brand2"),
+        F.col("cents").alias("cents_b"),
+    )
+    pair = b.join(
+        nxt,
+        (F.col("p_brand") == F.col("brand2")) & (F.col("mo") == F.col("mo_prev")),
+    ).select(
+        F.col("mo").alias("mo_from"),
+        "mo_to",
+        "p_brand",
+        F.col("cents").alias("cents_a"),
+        "cents_b",
+    )
+    # rank WITHIN the common brand set: both sides must be
+    # permutations of the same set or the closed form is not a
+    # correlation at all (rho escaped [-1, 1] on the first cut).
+    wa = Window.partitionBy("mo_from", "mo_to").orderBy(
+        F.col("cents_a").desc(), "p_brand"
+    )
+    wb = Window.partitionBy("mo_from", "mo_to").orderBy(
+        F.col("cents_b").desc(), "p_brand"
+    )
+    p = pair.select(
+        "mo_from",
+        "mo_to",
+        (F.row_number().over(wa) - F.row_number().over(wb))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    s = p.groupBy("mo_from", "mo_to").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.expr("d * d")).alias("sd2"),
+    )
+    return s.filter(F.col("n") >= 2).select(
+        "mo_from",
+        "mo_to",
+        F.col("n").cast("long").alias("n_brands"),
+        F.expr(
+            "CAST(CASE WHEN n * (n * n - 1) - 6 * sd2 >= 0"
+            " THEN ((n * (n * n - 1) - 6 * sd2) * 10000)"
+            " div (n * (n * n - 1))"
+            " ELSE -(((6 * sd2 - n * (n * n - 1)) * 10000)"
+            " div (n * (n * n - 1))) END AS BIGINT)"
+        ).alias("spearman_e4"),
+    )

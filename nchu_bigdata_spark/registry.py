@@ -365,6 +365,7 @@ DRIVER_ORDER = [
     "events_weekend_lift",
     "sink_dynamic_overwrite",
     "events_peak_days",
+    "orders_rank_stability",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

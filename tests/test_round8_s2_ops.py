@@ -1980,3 +1980,71 @@ def test_peak_days_match_python_replay(spark, sf_dir, duck):
     assert got == want
     # heights are strictly positive by the strict-inequality definition
     assert all(h > 0 for _, _, h, _ in got.values())
+
+
+# --------------------------------------------------------------------------
+# orders_rank_stability
+# --------------------------------------------------------------------------
+
+
+def test_rank_stability_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        """
+        SELECT strftime(o_orderdate, '%Y-%m'), p_brand,
+               SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    months = defaultdict(dict)
+    for mo, brand, c in rows:
+        months[mo][brand] = c
+    mos = sorted(months)
+    want = {}
+    for a, b in zip(mos, mos[1:]):
+        # consecutive calendar months only
+        ya, ma = map(int, a.split("-"))
+        yb, mb = map(int, b.split("-"))
+        if (yb * 12 + mb) - (ya * 12 + ma) != 1:
+            continue
+        common = sorted(set(months[a]) & set(months[b]))
+        n = len(common)
+        if n < 2:
+            continue
+        # rank WITHIN the common set on both sides
+        ra = {
+            x: i + 1
+            for i, x in enumerate(
+                sorted(common, key=lambda x: (-months[a][x], x))
+            )
+        }
+        rb = {
+            x: i + 1
+            for i, x in enumerate(
+                sorted(common, key=lambda x: (-months[b][x], x))
+            )
+        }
+        sd2 = sum((ra[x] - rb[x]) ** 2 for x in common)
+        D = n * (n * n - 1)
+        num = D - 6 * sd2
+        rho = num * 10000 // D if num >= 0 else -((-num) * 10000 // D)
+        want[(a, b)] = (n, rho)
+    got = {
+        (r.mo_from, r.mo_to): (r.n_brands, r.spearman_e4)
+        for r in SPECS["orders_rank_stability"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # rho is a correlation: bounded in [-1e4, 1e4]
+    assert all(-10000 <= s <= 10000 for _, s in got.values())
+
+
+def test_spearman_known_values():
+    # identical rankings -> 1e4; perfectly reversed -> -1e4 exactly
+    n = 5
+    D = n * (n * n - 1)
+    same = D - 6 * 0
+    assert same * 10000 // D == 10000
+    rev = sum((i - (n + 1 - i)) ** 2 for i in range(1, n + 1))
+    num = D - 6 * rev
+    assert -((-num) * 10000 // D) == -10000
