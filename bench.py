@@ -116,6 +116,7 @@ LLM_GROUP = [
     "multimodal_batch_plan",
     "text_vocab_mass_ladder",
     "sample_curriculum",
+    "tokenize_padding_waste",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -273,6 +274,7 @@ SQL_GROUP = [
     "events_peak_days",
     "sink_dynamic_overwrite",
     "orders_rank_stability",
+    "win_drawdown_duration",
     "win_topn_ties",
     "text_feature_hashing",
     "events_ks_test",

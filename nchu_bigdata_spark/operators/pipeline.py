@@ -2276,3 +2276,96 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("difficulty_milli").cast("long").alias("min_difficulty"),
         F.max("difficulty_milli").cast("long").alias("max_difficulty"),
     )
+
+
+# --------------------------------------------------------------------------
+# tokenize_padding_waste — length-bucketing padding audit (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tokenize_padding_waste",
+    tags=("b2",),
+    oracle="""
+        -- Padding-waste audit: batching pads every sequence in a
+        -- batch to the batch's longest. Bucketing documents by
+        -- power-of-two token length bounds that waste to < 50% by
+        -- construction; padding everything to the GLOBAL max is the
+        -- naive collator. Per bucket: docs, real tokens, padded
+        -- tokens at the bucket ceiling, waste bp -- plus the global-
+        -- pad waste for the same docs, so the report quantifies
+        -- exactly what bucketing buys (the GPU-hours line item of
+        -- collation policy).
+        WITH d AS (
+            SELECT len(string_split(text, ' ')) AS toks FROM documents
+        ),
+        b AS (
+            SELECT toks,
+                   CAST(POW(2, CEIL(LOG2(GREATEST(toks, 1))))
+                        AS BIGINT) AS bucket_cap
+            FROM d
+        ),
+        g AS (SELECT MAX(toks) AS global_max FROM b)
+        SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS real_tokens,
+               CAST(COUNT(*) * bucket_cap AS BIGINT) AS padded_tokens,
+               CAST((COUNT(*) * bucket_cap - SUM(toks)) * 10000
+                    // (COUNT(*) * bucket_cap) AS BIGINT)
+                   AS bucket_waste_bp,
+               CAST((COUNT(*) * MAX(g.global_max) - SUM(toks)) * 10000
+                    // (COUNT(*) * MAX(g.global_max)) AS BIGINT)
+                   AS globalpad_waste_bp
+        FROM b CROSS JOIN g
+        GROUP BY bucket_cap
+    """,
+)
+def tokenize_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit — the GPU-hours line item of collation
+    policy: batching pads every sequence to its batch's longest, so
+    bucketing documents by power-of-two token length bounds waste to
+    <50% per bucket BY CONSTRUCTION, while the naive collator (pad
+    everything to the global max) wastes whatever the length
+    distribution says. Per bucket this reports real vs padded tokens
+    and both waste rates side by side — the number that justifies (or
+    kills) a bucketed sampler before anyone trains.
+
+    Exactness: the power-of-two ceiling is exact for the token range
+    here (LOG2/CEIL/POW over small integers hit exact doubles —
+    documented bound: token counts < 2⁵³ᐟ²; an all-integer bit-length
+    ladder replaces it beyond); waste is floor bp over integer token
+    counts.
+
+    Plan/scale: one scan-stage projection (token count + bucket), a
+    1-row global-max broadcast, one bucket rollup (≤ log₂(max_len)
+    groups — the histogram is CONSTANT-width however big the
+    corpus)."""
+    docs = table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.size(F.split("text", " ")).alias("toks")
+    ).select(
+        "toks",
+        F.expr(
+            "CAST(POW(2, CEIL(LOG2(GREATEST(toks, 1)))) AS BIGINT)"
+        ).alias("bucket_cap"),
+    )
+    g = F.broadcast(b.agg(F.max("toks").alias("global_max")))
+    return (
+        b.join(g)
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("real_tokens"),
+            F.expr("CAST(COUNT(*) * bucket_cap AS BIGINT)").alias(
+                "padded_tokens"
+            ),
+            F.expr(
+                "CAST((COUNT(*) * bucket_cap - SUM(toks)) * 10000"
+                " div (COUNT(*) * bucket_cap) AS BIGINT)"
+            ).alias("bucket_waste_bp"),
+            F.expr(
+                "CAST((COUNT(*) * MAX(global_max) - SUM(toks)) * 10000"
+                " div (COUNT(*) * MAX(global_max)) AS BIGINT)"
+            ).alias("globalpad_waste_bp"),
+        )
+    )

@@ -1779,3 +1779,117 @@ def win_gap_to_leader(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div leader_cents AS BIGINT)"
         ).alias("share_of_leader_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_drawdown_duration — longest underwater spell (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_drawdown_duration",
+    tags=("b6",),
+    oracle="""
+        -- Longest UNDERWATER spell per return flag: consecutive days
+        -- with daily revenue below its own RECORD HIGH --
+        -- ts_drawdown reads the DEPTH of the worst drawdown; this
+        -- reads its DURATION (time-to-recover), the number risk desks
+        -- and capacity planners actually staff against (a shallow
+        -- 60-day slump and a deep 3-day dip need different
+        -- responses). Islands of below-peak days via the
+        -- day - row_number trick over the filtered set.
+        WITH daily AS (
+            SELECT l_returnflag AS flag,
+                   epoch_us(l_shipdate) // 86400000000 AS day,
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                       AS x
+            FROM lineitem GROUP BY 1, 2
+        ),
+        u AS (
+            SELECT flag, day,
+                   CASE WHEN x < MAX(x) OVER (
+                       PARTITION BY flag ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) THEN 1 ELSE 0 END AS under
+            FROM daily
+        ),
+        isl AS (
+            SELECT flag, day,
+                   day - ROW_NUMBER() OVER (
+                       PARTITION BY flag ORDER BY day
+                   ) AS grp
+            FROM u WHERE under = 1
+        ),
+        sp AS (
+            SELECT flag, grp, COUNT(*) AS spell_days,
+                   MIN(day) AS spell_start
+            FROM isl GROUP BY flag, grp
+        )
+        SELECT flag AS l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_spells,
+               CAST(MAX(spell_days) AS BIGINT) AS longest_spell_days,
+               CAST(MIN(spell_start) AS BIGINT) AS first_underwater_day
+        FROM sp GROUP BY flag
+    """,
+)
+def win_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest UNDERWATER spell per return flag — consecutive days
+    whose daily revenue sits below its own record high:
+    `ts_drawdown` reads the DEPTH of the worst drawdown; this reads
+    its DURATION (time-to-recover), the number risk desks and
+    capacity planners actually staff against — a shallow 60-day slump
+    and a deep 3-day dip demand different responses, and only the
+    pair (depth, duration) distinguishes them.
+
+    Mechanics: under(t) = x(t) < running-max(x) over STRICTLY PRIOR
+    days (the first day is never underwater — no record exists yet;
+    note a CUMULATIVE positive-flow series is monotone and never dips,
+    which is why the level series is the right curve here); spells are
+    islands of under-days via the day − row_number trick over the
+    filtered set (`events_incidents`' island construction, pointed at
+    the revenue curve).
+
+    Exactness: integer cents and epoch days throughout.
+
+    Plan/scale: facts collapse map-side to (flag, day); ONE
+    flag-partitioned sort serves the running max and the island
+    row_number — date-cardinality windows, never raw rows."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")).alias(
+            "x"
+        )
+    )
+    w_cum = W.partitionBy("flag").orderBy("day")
+    u = daily.select(
+        "flag",
+        "day",
+        F.when(
+            F.col("x")
+            < F.max("x").over(
+                w_cum.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("under"),
+    )
+    isl = u.filter(F.col("under") == 1).select(
+        "flag",
+        "day",
+        (F.col("day") - F.row_number().over(w_cum)).alias("grp"),
+    )
+    sp = isl.groupBy("flag", "grp").agg(
+        F.count(F.lit(1)).alias("spell_days"),
+        F.min("day").alias("spell_start"),
+    )
+    return sp.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spells"),
+        F.max("spell_days").cast("long").alias("longest_spell_days"),
+        F.min("spell_start").cast("long").alias("first_underwater_day"),
+    )

@@ -366,6 +366,8 @@ DRIVER_ORDER = [
     "sink_dynamic_overwrite",
     "events_peak_days",
     "orders_rank_stability",
+    "tokenize_padding_waste",
+    "win_drawdown_duration",
     # -- displaced from the r8 window by the 25 r8-born ids (the
     #    r8-born certify first; r5-signal refreshes queue for r9) --
     "multimodal_resize",

@@ -2048,3 +2048,97 @@ def test_spearman_known_values():
     rev = sum((i - (n + 1 - i)) ** 2 for i in range(1, n + 1))
     num = D - 6 * rev
     assert -((-num) * 10000 // D) == -10000
+
+
+# --------------------------------------------------------------------------
+# tokenize_padding_waste
+# --------------------------------------------------------------------------
+
+
+def test_padding_waste_matches_python_replay(spark, sf_dir, duck):
+    toks = [
+        len(t.split(" "))
+        for (t,) in duck.execute("SELECT text FROM documents").fetchall()
+    ]
+    gmax = max(toks)
+    buckets = defaultdict(list)
+    for n in toks:
+        cap = 1
+        while cap < max(n, 1):
+            cap *= 2
+        buckets[cap].append(n)
+    got = {
+        r.bucket_cap: (
+            r.n_docs, r.real_tokens, r.padded_tokens,
+            r.bucket_waste_bp, r.globalpad_waste_bp,
+        )
+        for r in SPECS["tokenize_padding_waste"].fn(spark, sf_dir).collect()
+    }
+    want = {}
+    for cap, ns in buckets.items():
+        n, real = len(ns), sum(ns)
+        padded = n * cap
+        want[cap] = (
+            n, real, padded,
+            (padded - real) * 10000 // padded,
+            (n * gmax - real) * 10000 // (n * gmax),
+        )
+    assert got == want
+    # bucketing bounds per-bucket waste below 50% by construction
+    assert all(w < 5000 for _, _, _, w, _ in got.values())
+    # and beats global padding everywhere except (possibly) the top
+    # bucket, whose power-of-two cap can exceed the global max
+    top = max(got)
+    assert all(
+        bw <= gw
+        for cap, (_, _, _, bw, gw) in got.items()
+        if cap != top
+    )
+
+
+# --------------------------------------------------------------------------
+# win_drawdown_duration
+# --------------------------------------------------------------------------
+
+
+def test_drawdown_duration_matches_python_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT l_returnflag, epoch_us(l_shipdate) // 86400000000,"
+        " SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))"
+        " FROM lineitem GROUP BY 1, 2"
+    ).fetchall()
+    series = defaultdict(dict)
+    for f, d, x in rows:
+        series[f][d] = x
+    want = {}
+    for f, pts in series.items():
+        peak = None
+        spells = []
+        run = 0
+        last_day = None
+        first_uw = None
+        for d in sorted(pts):
+            under = peak is not None and pts[d] < peak
+            if under:
+                if run and last_day == d - 1:
+                    run += 1
+                else:
+                    if run:
+                        spells.append(run)
+                    run = 1
+                first_uw = d if first_uw is None else first_uw
+                last_day = d
+            else:
+                if run:
+                    spells.append(run)
+                    run = 0
+            peak = pts[d] if peak is None else max(peak, pts[d])
+        if run:
+            spells.append(run)
+        if spells:
+            want[f] = (len(spells), max(spells), first_uw)
+    got = {
+        r.l_returnflag: (r.n_spells, r.longest_spell_days, r.first_underwater_day)
+        for r in SPECS["win_drawdown_duration"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
