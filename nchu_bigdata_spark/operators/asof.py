@@ -366,11 +366,15 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     here, or it undercredits.
 
     Plan/scale: ONE (user, ts)-sorted exchange for the carry-forward
-    window (inner-matched purchases only), then a single global
-    order-statistic pass over GAP cardinality (purchases, not
-    events) — rank window over matches, 1-row rollup. The unmatched
-    count rides the same rollup via the 1-row purchases-total
-    broadcast."""
+    window (inner-matched purchases only); the gap stream then
+    collapses to its SUPPORT (one map-side-combined groupBy per
+    distinct gap value — the events_ks_test framing), the cumulative
+    count runs over that bounded support, and every order statistic
+    is read off the support row whose cumulative range covers its
+    rank (value at rank k = the support row with cum−cnt < k ≤ cum).
+    The r8 form ranked raw matches — a single-task sort of purchase
+    cardinality. The unmatched count rides the same rollup via the
+    1-row purchases-total broadcast."""
     ev = table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "ts", "user_id"
@@ -385,31 +389,36 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = j.filter(F.col("click_ts_asof").isNotNull()).select(
         (ts_micros("ts") - ts_micros("click_ts_asof")).alias("gap_us")
     )
-    w_rk = Window.orderBy("gap_us")
-    w_all = Window.partitionBy()
-    r = g.select(
+    c = g.groupBy("gap_us").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.select(
         "gap_us",
-        F.row_number().over(w_rk).alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("gap_us")).alias("cum"),
     )
+    nm = c.agg(F.sum("cnt").cast("long").alias("n"))
     tot = ev.filter(F.col("event_type") == "purchase").agg(
         F.count(F.lit(1)).cast("long").alias("n_purchases")
     )
+    # med2 = val(lo) + val(hi) (= 2*val when the ranks coincide or tie
+    # into one support row): each indicator picks the covering row.
     return (
-        r.join(F.broadcast(tot))
+        s.join(F.broadcast(nm))
+        .join(F.broadcast(tot))
         .groupBy("n_purchases")
         .agg(
             F.max("n").cast("long").alias("n_converted"),
             F.min("gap_us").cast("long").alias("min_gap_us"),
             F.expr(
-                "CAST(sum(CASE WHEN rk = (n + 1) div 2 OR rk = n div 2 + 1 "
-                "THEN gap_us ELSE 0 END) "
-                "* CASE WHEN (max(n) + 1) div 2 = max(n) div 2 + 1 "
-                "THEN 2 ELSE 1 END AS BIGINT)"
+                "CAST(sum(gap_us * ("
+                "(CASE WHEN cum - cnt < (n + 1) div 2"
+                " AND (n + 1) div 2 <= cum THEN 1 ELSE 0 END)"
+                " + (CASE WHEN cum - cnt < n div 2 + 1"
+                " AND n div 2 + 1 <= cum THEN 1 ELSE 0 END)"
+                ")) AS BIGINT)"
             ).alias("med2_gap_us"),
             F.expr(
-                "CAST(max(CASE WHEN rk = (9 * n + 9) div 10 "
-                "THEN gap_us END) AS BIGINT)"
+                "CAST(max(CASE WHEN cum - cnt < (9 * n + 9) div 10 "
+                "AND (9 * n + 9) div 10 <= cum THEN gap_us END) AS BIGINT)"
             ).alias("p90_gap_us"),
             F.max("gap_us").cast("long").alias("max_gap_us"),
         )

@@ -1614,7 +1614,6 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("h"),
             ),
         )
-    wa = Window.orderBy(F.col("score_scaled").desc(), "id")
     ranked = (
         auth.select(
             F.lit("auth").alias("side"),

@@ -2244,11 +2244,14 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`win_lorenz`'s decile rule).
 
     Plan/scale: the per-doc score is a narrow scan-stage projection;
-    the global rank here rides one window over DOC cardinality with
-    the (rank−1)·S div n closed form — at 1e9 docs this is the
-    win_lorenz two-pass distributed rank (range-repartition +
-    broadcast prefix offsets), the same output by construction since
-    the cut depends only on the rank."""
+    the global rank is the win_lorenz TWO-PASS distributed rank —
+    range-repartition + local sort on (difficulty, doc_id), tiny
+    per-partition counts → running offsets broadcast back,
+    global_rank = offset + partition-local row_number (r9: replaced
+    the single-task unpartitioned row_number the r8 form used).
+    Partition boundaries are sampled and non-deterministic, but the
+    rank is invariant to them (the sort is a total order), so the
+    stage cut — which depends only on the rank — is bit-stable."""
     docs = table(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id",
@@ -2258,13 +2261,32 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("difficulty_milli"),
         F.size(F.split("text", " ")).alias("toks"),
     )
-    r = s.select(
-        "toks",
-        "difficulty_milli",
-        F.row_number()
-        .over(Window.orderBy("difficulty_milli", "doc_id"))
-        .alias("rnk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    nparts = spark.sparkContext.defaultParallelism
+    srt = s.repartitionByRange(
+        nparts, "difficulty_milli", "doc_id"
+    ).sortWithinPartitions("difficulty_milli", "doc_id")
+    pid = srt.withColumn("pid", F.spark_partition_id())
+    pc = pid.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = pc.select(
+        "pid",
+        F.coalesce(F.sum("pn").over(w_off), F.lit(0)).alias("off"),
+        F.sum("pn").over(Window.partitionBy()).alias("n"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        "difficulty_milli", "doc_id"
+    )
+    r = (
+        pid.withColumn("rlocal", F.row_number().over(w_local))
+        .join(F.broadcast(off), "pid")
+        .select(
+            "toks",
+            "difficulty_milli",
+            (F.col("off") + F.col("rlocal")).alias("rnk"),
+            "n",
+        )
     )
     return r.groupBy(
         F.expr(f"CAST((rnk - 1) * {_CURR_STAGES} div n AS BIGINT)").alias(

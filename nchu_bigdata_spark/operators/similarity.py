@@ -47,6 +47,7 @@ from nchu_bigdata_spark.registry import register
 
 _TOPK = 5
 _NQUERY = 10  # query set = vec_id <= 10
+_HARD_NEG_CAP = 1000  # hard-negative mining keeps the top-N hardest pairs
 _NCELLS = 8  # IVF coarse centroids = vec_id 1.._NCELLS
 _NPROBE = 2
 _PLANES = 16  # LSH hyperplanes (4 bands x 4 bits)
@@ -1714,17 +1715,21 @@ def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- certified chain. Random negatives are trivially easy and
         -- teach nothing; the pairs a cosine index already confuses
         -- are where the margin is learned. Ranked hardest-first with
-        -- the deterministic (cos desc, pair) order.
-        SELECT p.vec_a, p.vec_b,
-               la.label AS label_a, lb.label AS label_b,
-               p.cos_sim,
-               CAST(ROW_NUMBER() OVER (
-                   ORDER BY p.cos_sim DESC, p.vec_a, p.vec_b
-               ) AS BIGINT) AS hardness_rank
-        FROM pairs p
-        JOIN lab la ON la.vec_id = p.vec_a
-        JOIN lab lb ON lb.vec_id = p.vec_b
-        WHERE la.label <> lb.label
+        -- the deterministic (cos desc, pair) order, CAPPED at the
+        -- top {_HARD_NEG_CAP} (a mined set is a training artifact,
+        -- not a scan — the cap is the product contract).
+        SELECT * FROM (
+            SELECT p.vec_a, p.vec_b,
+                   la.label AS label_a, lb.label AS label_b,
+                   p.cos_sim,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY p.cos_sim DESC, p.vec_a, p.vec_b
+                   ) AS BIGINT) AS hardness_rank
+            FROM pairs p
+            JOIN lab la ON la.vec_id = p.vec_a
+            JOIN lab lb ON lb.vec_id = p.vec_b
+            WHERE la.label <> lb.label
+        ) WHERE hardness_rank <= {_HARD_NEG_CAP}
     """,
 )
 def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1743,10 +1748,14 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the rank orders by the certified decimal cos_sim
     with the (vec_a, vec_b) tie-break — bit-stable cross-engine.
 
-    Plan/scale: pair-volume-bounded label joins; the global rank
-    window runs over HARD-PAIR cardinality (a filtered slice of an
-    already-LSH-bounded set) — tiny by construction, and a top-k
-    heap replaces it the moment a deployment caps the mined set."""
+    Plan/scale: pair-volume-bounded label joins; the mined set is
+    CAPPED at the top {_HARD_NEG_CAP} hardest pairs, so the
+    row_number ≤ cap filter compiles to WindowGroupLimit — every
+    task pre-prunes to its local top-cap heap BEFORE the exchange,
+    and the final rank window sorts at most tasks×cap rows, never
+    the full cross-label pair set (a mined set is a bounded
+    training artifact, not a scan — the r8 uncapped global rank was
+    the repo's one remaining fact-cardinality single-task sort)."""
     pairs = dedup_embed_cosine(spark, sf_dir)
     lab = _vecs(spark, sf_dir).select("vec_id", "label")
     j = (
@@ -1767,13 +1776,17 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("label_a") != F.col("label_b"))
     )
     w = Window.orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
-    return j.select(
-        "vec_a",
-        "vec_b",
-        "label_a",
-        "label_b",
-        "cos_sim",
-        F.row_number().over(w).cast("long").alias("hardness_rank"),
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HARD_NEG_CAP)
+        .select(
+            "vec_a",
+            "vec_b",
+            "label_a",
+            "label_b",
+            "cos_sim",
+            F.col("rn").cast("long").alias("hardness_rank"),
+        )
     )
 
 

@@ -2702,4 +2702,8 @@ def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("retained")
         )
+        # The oracle's inner join omits weeks with zero retained users
+        # entirely; shared div-64 buckets with no shared user would
+        # otherwise emit a retained=0 row here (sparse-fixture edge).
+        .filter(F.col("retained") > 0)
     )

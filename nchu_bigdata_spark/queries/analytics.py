@@ -4271,35 +4271,41 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediates. No tie-variance correction, by documented
     convention (conservative; cents values rarely tie).
 
-    Plan/scale: one global rank window over PURCHASE cardinality
-    (the exact-order-statistic family's bounded framing) collapsing
-    into a 1-row rollup."""
+    Plan/scale: the `events_ks_test` framing — the ONLY row-volume
+    shuffle is a map-side-combined groupBy on cents (distinct-value
+    cardinality, bounded by the price domain, NOT row cardinality);
+    the rank window then runs over that bounded support table. Ranks
+    are exactly derivable from the support rollup: a tie group at
+    value c with tot ties starting at rank a = 1 + (rows below c)
+    contributes doubled midrank 2a + tot − 1 = 2·cum − tot + 1 per
+    row, where cum is the inclusive running total — so R2_A is a
+    weighted sum over the support, never a per-row rank."""
     ev = table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         (F.col("user_id") % 2).cast("int").alias("variant"),
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
-    r = p.select(
-        "variant",
-        F.rank().over(Window.orderBy("cents")).alias("a"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("cents"))
-        .alias("cnt"),
+    c = p.groupBy("cents").agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("a_cnt"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("b_cnt"),
     )
-    s = r.agg(
+    w = c.select(
+        "a_cnt",
+        "b_cnt",
+        (F.col("a_cnt") + F.col("b_cnt")).alias("tot"),
+        F.sum(F.col("a_cnt") + F.col("b_cnt"))
+        .over(Window.orderBy("cents"))
+        .alias("cum"),
+    )
+    # doubled midrank per tied row = 2*cum - tot + 1 (integer, exact)
+    s = w.agg(
         F.sum(
-            F.when(
-                F.col("variant") == 0, 2 * F.col("a") + F.col("cnt") - 1
-            ).otherwise(0)
+            F.col("a_cnt") * (2 * F.col("cum") - F.col("tot") + 1)
         )
         .cast("decimal(38,0)")
         .alias("r2a"),
-        F.sum((F.col("variant") == 0).cast("long"))
-        .cast("decimal(38,0)")
-        .alias("na"),
-        F.sum((F.col("variant") == 1).cast("long"))
-        .cast("decimal(38,0)")
-        .alias("nb"),
+        F.sum("a_cnt").cast("decimal(38,0)").alias("na"),
+        F.sum("b_cnt").cast("decimal(38,0)").alias("nb"),
     )
     return s.select(
         F.col("na").cast("long").alias("n_a"),

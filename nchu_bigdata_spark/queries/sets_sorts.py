@@ -328,22 +328,22 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly dominates the other. The product-search primitive the
     reference's ranking surface has no answer for.
 
-    Algorithm (not the oracle's O(n²) anti-join): sort by price, keep
-    a row iff no strictly-cheaper row has size ≥ it and no equal-price
-    row has size > it — two window maxima over ONE ordering:
-      * ``max(size) RANGE UNBOUNDED..-1`` (strictly cheaper rows), and
-      * ``max(size) PARTITION BY price_cents`` (equal-price rows),
-    exact integer comparisons end-to-end.
+    Algorithm (not the oracle's O(n²) anti-join): the 2-D skyline
+    depends ONLY on the per-price maximum size, so the corpus first
+    collapses to the price SUPPORT (one map-side-combined groupBy per
+    distinct price — the events_ks_test framing), the running
+    strictly-cheaper maximum runs over that bounded support, frontier
+    price points survive, and the frontier broadcasts back to the
+    rows so equal-(price, size) duplicates all re-emerge. Exact
+    integer comparisons end-to-end.
 
-    Plan/scale: the skyline is DISTRIBUTIVE, so a pre-prune runs
-    before the global sort: a map-side-combined hash agg folds rows to
-    per-price-bucket max sizes (≤ a few hundred rows at any scale),
-    the running best over strictly-cheaper buckets broadcasts back,
-    and every row already beaten by a cheaper bucket's champion drops
-    at the scan — at 1e9 rows the global rangepartitioning sort sees
-    only near-frontier survivors (frontier-sized, not table-sized).
-    On the tiny part dim the prune is a no-op pass-through; the plan
-    shape (broadcast join + single Window sort) is the 100 TB one."""
+    Plan/scale: the ONLY row-volume shuffle is the price-support
+    hash agg (price-domain cardinality, never row cardinality); the
+    unpartitioned running-max window sees support rows only, and the
+    frontier→rows rejoin is a broadcast hash join (the frontier is a
+    subset of the support). At 1e9 rows this plan moves |support|
+    rows through the window — the r8 form sorted pre-pruned ROW
+    cardinality there (adversarially unbounded)."""
     p = table(spark, sf_dir, "part").select(
         "p_partkey",
         F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias(
@@ -351,38 +351,29 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("p_size").cast("long").alias("size"),
     )
-    # Distributive pre-prune: per-bucket champions (10-dollar buckets),
-    # running champion over strictly-cheaper buckets, broadcast back.
-    b = p.withColumn("b", F.expr("price_cents div 1000"))
-    champs = b.groupBy("b").agg(F.max("size").alias("bucket_best"))
-    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
-    champs = champs.select(
-        "b", F.max("bucket_best").over(wb).alias("cheaper_best")
-    )
-    pruned = (
-        b.join(F.broadcast(champs), "b")
-        .filter(
-            F.col("cheaper_best").isNull()
-            | (F.col("cheaper_best") < F.col("size"))
-        )
-        .drop("b", "cheaper_best")
-    )
-    # Exact dominance test on the survivors: one global ordering.
-    w_cheaper = W.orderBy("price_cents").rangeBetween(
+    # Collapse to the price support: skyline membership is decided by
+    # per-price max size alone.
+    sup = p.groupBy("price_cents").agg(F.max("size").alias("best_same"))
+    w_cheaper = W.orderBy("price_cents").rowsBetween(
         W.unboundedPreceding, -1
     )
-    w_same = W.partitionBy("price_cents")
-    scored = pruned.select(
-        "p_partkey",
-        "price_cents",
-        "size",
-        F.max("size").over(w_cheaper).alias("best_cheaper"),
-        F.max("size").over(w_same).alias("best_same"),
+    frontier = (
+        sup.select(
+            "price_cents",
+            "best_same",
+            F.max("best_same").over(w_cheaper).alias("best_cheaper"),
+        )
+        .filter(
+            F.col("best_cheaper").isNull()
+            | (F.col("best_cheaper") < F.col("best_same"))
+        )
     )
-    return scored.filter(
-        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))
-        & (F.col("best_same") == F.col("size"))
-    ).select("p_partkey", "price_cents", "size")
+    # Rejoin so equal-(price, size) duplicates all survive.
+    return (
+        p.join(F.broadcast(frontier), "price_cents")
+        .filter(F.col("size") == F.col("best_same"))
+        .select("p_partkey", "price_cents", "size")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1701,9 +1701,11 @@ def orders_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan/scale: one orderkey equi join (the star-schema toll), one
     supplier-keyed agg carrying all metrics in a single pass
-    (distincts expand partials map-side), one dimension-sized name
-    join; the rank window runs over SUPPLIER cardinality — dimension
-    rows, not facts."""
+    (distincts expand partials map-side); the rank window runs
+    DIRECTLY over that supplier-cardinality aggregate (r9: moved
+    below the name join so the window input is structurally the agg,
+    not a join the audit can't bound), then one dimension-sized name
+    join."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -1730,7 +1732,13 @@ def orders_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(late) * 10000 div count(*) AS BIGINT)"
         ).alias("late_bp"),
     )
-    return s.join(sup, s.l_suppkey == sup.s_suppkey).select(
+    ranked = s.withColumn(
+        "revenue_rank",
+        F.dense_rank()
+        .over(Window.orderBy(F.desc("revenue")))
+        .cast("long"),
+    )
+    return ranked.join(sup, ranked.l_suppkey == sup.s_suppkey).select(
         "s_name",
         "l_suppkey",
         "n_lines",
@@ -1738,10 +1746,7 @@ def orders_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts",
         "n_customers",
         "late_bp",
-        F.dense_rank()
-        .over(Window.orderBy(F.desc("revenue")))
-        .cast("long")
-        .alias("revenue_rank"),
+        "revenue_rank",
     )
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from bisect import bisect_right
 from collections import defaultdict
 
+from nchu_bigdata_spark.operators.similarity import _HARD_NEG_CAP
 from nchu_bigdata_spark.registry import load_all_queries
 
 SPECS = load_all_queries()
@@ -2806,7 +2807,13 @@ def test_hard_negatives_vs_smote_complement(spark, sf_dir, duck):
     hard = SPECS["sample_hard_negatives"].fn(spark, sf_dir).collect()
     got = {(r.vec_a, r.vec_b): (r.label_a, r.label_b, r.hardness_rank)
            for r in hard}
-    want = {(a, b) for a, b in pairs if labels[a] != labels[b]}
+    cos = {(r.vec_a, r.vec_b): r.cos_sim for r in
+           SPECS["dedup_embed_cosine"].fn(spark, sf_dir).collect()}
+    want_all = [(a, b) for a, b in pairs if labels[a] != labels[b]]
+    # capped at the top _HARD_NEG_CAP hardest by (cos desc, pair)
+    want = set(sorted(
+        want_all, key=lambda p: (-cos[p], p[0], p[1])
+    )[:_HARD_NEG_CAP])
     assert set(got) == want
     for (a, b), (la, lb, _) in got.items():
         assert (la, lb) == (labels[a], labels[b]) and la != lb
@@ -2817,8 +2824,10 @@ def test_hard_negatives_vs_smote_complement(spark, sf_dir, duck):
     for x, y in zip(by_rank, by_rank[1:]):
         assert x.cos_sim >= y.cos_sim
     # together with SMOTE's same-label set, the split is exhaustive
-    smote = SPECS["sample_smote_midpoints"].fn(spark, sf_dir).collect()
-    assert len(hard) + len(smote) == len(pairs)
+    # (below the cap the mined set is the FULL cross-label complement)
+    if len(want_all) <= _HARD_NEG_CAP:
+        smote = SPECS["sample_smote_midpoints"].fn(spark, sf_dir).collect()
+        assert len(hard) + len(smote) == len(pairs)
 
 
 # --------------------------------------------------------------------------

@@ -33,6 +33,189 @@ from nchu_bigdata_spark.session import get_session
 # nested loop, never a shuffled cartesian).
 DEFAULT_FORBID = [r"CartesianProduct"]
 
+# ---------------------------------------------------------------------------
+# Global single-task-window rule (round 9, VERDICT r8 item 1)
+#
+# An UNPARTITIONED Window moves its entire input to one task. That is fine
+# when the input is provably bounded (a support/vocabulary/day-axis rollup,
+# a top-N heap, a literal ladder) and a 100 TB scale-killer when the input
+# is fact-cardinality. For every Window whose partition spec is empty, we
+# walk its input subtree: aggregates / limits / heaps / literal tables make
+# an input bounded; pass-through nodes (sort/exchange/project/filter/window)
+# inherit their child; joins and unions are bounded iff ALL children are.
+# Anything else (a scan, a generate, a Python stage) is fact-cardinality →
+# violation, unless the query is whitelisted below with its justification.
+# ---------------------------------------------------------------------------
+
+# node types whose output cardinality is bounded regardless of input
+_BOUNDED_NODES = {
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalLimit",
+    "LocalTableScan",  # literal ladders / broadcast constants
+    "Range",  # literal row count
+    "Subquery",  # scalar subquery results
+    "ReusedSubquery",
+}
+# single-child cardinality-preserving nodes: bounded iff their child is
+_PASS_NODES = {
+    "Sort",
+    "Exchange",
+    "BroadcastExchange",
+    "Project",
+    "Filter",
+    "Window",  # windows never change cardinality
+    "Expand",  # constant multiplier (grouping sets / cube)
+    # Generate over a COLLAPSED input is an axis table (e.g. a month
+    # spine exploded from a 1-row min/max agg); Generate over a scan
+    # stays unbounded because the child is
+    "Generate",
+    "AQEShuffleRead",
+    "ColumnarToRow",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "AdaptiveSparkPlan",
+    "ResultQueryStage",
+    "Coalesce",
+}
+# multi-child nodes: bounded iff ALL children are (join/union of bounded
+# inputs stays bounded; an equi join can at most produce |A|x|B| which the
+# whitelisted tiny-axis cases keep small)
+_COMBINE_NODES = {
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "Union",
+}
+
+# queries with a DELIBERATE unpartitioned window over a non-collapsed
+# input, each with the documented reason it is safe
+SINGLE_TASK_WINDOW_OK: dict[str, str] = {}
+
+
+def _top_groups(s: str) -> list[str]:
+    """Top-level [...] bracket groups of a details Arguments line."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start : i + 1])
+    return groups
+
+
+def _parse_trees(plan: str):
+    """Parse every tree segment of a formatted plan into nodes.
+
+    Returns (nodes, children) where nodes maps a tree-order index to
+    (node_id, type) and children maps index -> [child indexes].
+    """
+    # NB: scan nodes print a TRAILING space in the name ("Scan parquet  (1)")
+    # — match any run of whitespace before the id
+    node_re = re.compile(
+        r"^([\s:+\-]*)((?:[A-Za-z][A-Za-z0-9_.]*)(?: [A-Za-z0-9_.()]+?)*?)"
+        r"\s+\((\d+)\)\s*$"
+    )
+    nodes: dict[int, tuple[str, str]] = {}
+    children: dict[int, list[int]] = {}
+    stack: list[tuple[int, int]] = []  # (depth, index)
+    idx = 0
+    for line in plan.splitlines():
+        m = node_re.match(line)
+        if not m:
+            continue
+        depth = len(m.group(1))
+        ntype = m.group(2).split(" ")[0]
+        nid = m.group(3)
+        if depth == 0:
+            stack = []  # new tree segment (main plan / each subquery)
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        nodes[idx] = (nid, ntype)
+        children[idx] = []
+        if stack:
+            children[stack[-1][1]].append(idx)
+        stack.append((depth, idx))
+        idx += 1
+    return nodes, children
+
+
+def _window_args(plan: str) -> dict[str, list[str]]:
+    """node_id -> top-level Arguments groups, for Window nodes only."""
+    out: dict[str, list[str]] = {}
+    cur = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) Window(Sort)?\s*(\[codegen.*\])?$", line)
+        if m:
+            cur = m.group(1)
+            continue
+        if cur is not None and line.startswith("Arguments: "):
+            out[cur] = _top_groups(line[len("Arguments: ") :])
+            cur = None
+        elif cur is not None and not line.strip():
+            cur = None
+    return out
+
+
+def _is_unpartitioned(groups: list[str]) -> bool:
+    """Empty partition spec? 3 groups => [fns],[part],[order]: partitioned.
+    2 groups: unpartitioned iff the 2nd group is an ORDER spec (ASC/DESC
+    markers) rather than a partition spec. 1 group: global frame, no
+    partitioning at all."""
+    if len(groups) >= 3:
+        return False
+    if len(groups) == 2:
+        return bool(re.search(r"\b(ASC|DESC) NULLS", groups[1]))
+    return True
+
+
+def single_task_window_violations(plan: str) -> list[str]:
+    nodes, children = _parse_trees(plan)
+    wargs = _window_args(plan)
+
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def bounded(i: int) -> bool:
+        _nid, ntype = nodes[i]
+        if ntype in _BOUNDED_NODES:
+            return True
+        kids = children[i]
+        # a childless pass/combine node means the tree parse lost a leaf —
+        # fail CLOSED (treat as unbounded) so parser gaps surface loudly
+        if ntype in _PASS_NODES:
+            return bounded(kids[0]) if kids else False
+        if ntype in _COMBINE_NODES:
+            return all(bounded(k) for k in kids) if kids else False
+        if ntype in ("ReusedExchange",):
+            return True  # references an exchange audited at its origin
+        return False  # scans, Generate, MapInPandas, ... : fact cardinality
+
+    errors = []
+    for i, (nid, ntype) in nodes.items():
+        if ntype != "Window" or nid not in wargs:
+            continue
+        if not _is_unpartitioned(wargs[nid]):
+            continue
+        kids = children[i]
+        if kids and not bounded(kids[0]):
+            errors.append(
+                f"unpartitioned Window ({nid}) over non-collapsed input "
+                f"({nodes[kids[0]][1]} subtree) — single-task sort of "
+                f"fact-cardinality rows"
+            )
+    return errors
+
 EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # scans: pushdown + pruning must reach the reader
     "scan_parquet": ([r"PushedFilters: \[.*IsNotNull", r"ReadSchema:.*l_orderkey"], []),
@@ -925,9 +1108,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"hashpartitioning\(user_id", r"HashAggregate"],
         [r"CartesianProduct", r"rangepartitioning"],
     ),
-    # hard negatives: pair-volume label joins + hard-pair-sized rank
+    # hard negatives: pair-volume label joins; the capped global rank
+    # (rn <= _HARD_NEG_CAP) must compile to a distributed top-N heap
+    # merge (TakeOrderedAndProject) feeding a <=cap-row final window —
+    # never a full-pair-set single-task sort
     "sample_hard_negatives": (
-        [r"Window"],
+        [r"Window", r"TakeOrderedAndProject"],
         [r"CartesianProduct", r"rangepartitioning"],
     ),
     # YoY: fact->month agg, sequence spine, tiny-axis lag window
@@ -971,10 +1157,12 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"BroadcastNestedLoopJoin"],
         [r"CartesianProduct", r"SortMergeJoin", r"Window"],
     ),
-    # Mann-Whitney: one global rank window over purchase cardinality
-    # -> 1-row rollup (exact-order-statistic framing)
+    # Mann-Whitney: the ks_test framing — ONE map-side-combined
+    # groupBy on cents collapses rows to the bounded price support;
+    # the running-total window runs over that support only (r9: the
+    # r8 global rank over raw purchase rows was the scale-killer)
     "events_mann_whitney": (
-        [r"Window", r"HashAggregate"],
+        [r"HashAggregate[\s\S]*Window|Window[\s\S]*HashAggregate", r"HashAggregate"],
         [r"CartesianProduct", r"Join", r"rangepartitioning"],
     ),
     # change runs: lag flag + run-id running sum + rollup share ONE
@@ -1004,6 +1192,8 @@ def audit(name: str, df, dump: bool = False) -> list[str]:
     for rx in list(forbid) + DEFAULT_FORBID:
         if re.search(rx, plan):
             errors.append(f"forbidden /{rx}/ present")
+    if name not in SINGLE_TASK_WINDOW_OK:
+        errors.extend(single_task_window_violations(plan))
     # Parquet scans must use the vectorized (batched) reader — the
     # columnar fast path that feeds whole-stage codegen. (Codegen ids
     # themselves aren't visible in formatted explain under AQE until
