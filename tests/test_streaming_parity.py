@@ -440,3 +440,192 @@ def test_win_sessionize_agrees_with_session_window(spark, sf_dir):
         for r in SPECS["stream_session"].fn(spark, sf_dir).collect()
     }
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------------------------
+# State-store observability (VERDICT r8 item 6): read the numbers an
+# operator of a stateful stream actually watches — stateOperators'
+# numRowsTotal / numRowsRemoved / numRowsDroppedByWatermark and the
+# per-batch watermark — from the query's progress telemetry, instead of
+# inferring watermark eviction from output rows alone.
+# --------------------------------------------------------------------------
+
+
+def _wm_us(progress: dict) -> int:
+    """eventTime.watermark (ISO-8601 Z) → epoch micros."""
+    from datetime import datetime
+
+    s = progress["eventTime"]["watermark"]
+    return int(
+        datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
+        * 1_000_000
+    )
+
+
+def test_watermark_progress_pins_late_drop_and_state(spark, tmp_path):
+    """The test_watermark_drops_late_rows scenario, re-asserted from the
+    STATE STORE's point of view. Three data microbatches + the
+    AvailableNow finalize batch; per batch the windowed agg's state size
+    and the late-drop counter are exactly derivable:
+
+      batch 0: windows [t0,5m) and [t0+30m,35m) open      → total 2
+      batch 1: wm t0+20m evicts+emits [t0,5m)             → total 1
+      batch 2: late row DROPPED (the one drop); [t0+45m)  → total 2
+      batch 3: wm t0+35m evicts+emits [t0+30m,35m)        → total 1
+    """
+    from nchu_bigdata_spark.streaming import runner
+
+    t0 = 1_755_000_000 * 1_000_000_000
+    t0 -= t0 % (5 * _MIN)
+    src = tmp_path / "events"
+    src.mkdir()
+    _write_events(
+        str(src / "a.parquet"),
+        [(i, t0 + i * _MIN) for i in range(5)] + [(99, t0 + 30 * _MIN)],
+    )
+    _write_events(str(src / "b.parquet"), [(50, t0 + 31 * _MIN)])
+    _write_events(
+        str(src / "c.parquet"),
+        [(100, t0 + 1 * _MIN), (101, t0 + 45 * _MIN)],
+    )
+    for i, f in enumerate(("a", "b", "c")):
+        os.utime(src / f"{f}.parquet", ((i + 1) * 1_000_000,) * 2)
+
+    transform, _ = STREAM_TRANSFORMS["stream_watermark_late"]
+    run_events_stream(
+        spark, str(src), transform, output_mode="append",
+        max_files_per_trigger=1,
+    )
+    progs = runner.last_run_progress
+    assert len(progs) == 4, [p.get("batchId") for p in progs]
+    ops = [p["stateOperators"][0] for p in progs]
+    assert [o["numRowsTotal"] for o in ops] == [2, 1, 2, 1]
+    assert [o["numRowsDroppedByWatermark"] for o in ops] == [0, 0, 1, 0]
+    # operative watermark per batch: 0, then t0+20m, t0+21m, t0+35m
+    us = t0 // 1000
+    assert [_wm_us(p) for p in progs] == [
+        0, us + 20 * _MIN // 1000, us + 21 * _MIN // 1000,
+        us + 35 * _MIN // 1000,
+    ]
+
+
+def test_stream_join_state_eviction_metrics(spark, tmp_path):
+    """Stream-stream interval join: state-store growth AND eviction read
+    from progress. Clicks ride every batch so BOTH branch watermarks
+    advance (the global watermark is the MIN across the two
+    event-time columns — a later-batch stream with no clicks pins the
+    global watermark at the click branch and state grows unboundedly;
+    that stuck-watermark shape is exactly what this telemetry exists
+    to catch in production).
+
+    Expected state (click side buffers clicks, view side buffers ALL
+    rows; a row leaves when the watermark passes its retention bound —
+    click_ts + 30m on the click side, next_ts on the view side):
+
+      batch 0: click1,view2          → 1 + 2 buffered      = 3
+      batch 1: view3,click4,view5    → +4, wm t0-10m       = 7
+      batch 2: click6,view7, wm t0+50m evicts click1 (t0+30m passed)
+               and views 1,2,3 (next_ts < wm) ... net      = 6
+      batch 3: click8,view9, wm t0+110m evicts click4,view5(+1) = 6
+      batch 4: finalize, wm t0+230m evicts click6,view7,+1 = 3
+    """
+    from nchu_bigdata_spark.queries.streaming_batch import (
+        stream_join_transform,
+    )
+    from nchu_bigdata_spark.streaming import runner
+
+    t0 = 1_755_000_000 * 1_000_000_000
+    t0 -= t0 % (5 * _MIN)
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def rows_typed(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows]),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            path,
+        )
+
+    rows_typed(
+        str(src / "a.parquet"),
+        [(1, t0, "click"), (2, t0 + 5 * _MIN, "view")],
+    )
+    rows_typed(
+        str(src / "b.parquet"),
+        [
+            (3, t0 + 10 * _MIN, "view"),
+            (4, t0 + 60 * _MIN, "click"),
+            (5, t0 + 61 * _MIN, "view"),
+        ],
+    )
+    rows_typed(
+        str(src / "c.parquet"),
+        [(6, t0 + 120 * _MIN, "click"), (7, t0 + 121 * _MIN, "view")],
+    )
+    rows_typed(
+        str(src / "d.parquet"),
+        [(8, t0 + 240 * _MIN, "click"), (9, t0 + 241 * _MIN, "view")],
+    )
+    for i, f in enumerate(("a", "b", "c", "d")):
+        os.utime(src / f"{f}.parquet", ((i + 1) * 1_000_000,) * 2)
+
+    out = run_events_stream(
+        spark, str(src), stream_join_transform, output_mode="append",
+        max_files_per_trigger=1,
+    )
+    assert sorted((r.click_id, r.next_id) for r in out.collect()) == [
+        (1, 2), (1, 3), (4, 5), (6, 7), (8, 9),
+    ]
+    progs = runner.last_run_progress
+    assert len(progs) == 5, [p.get("batchId") for p in progs]
+    ops = [p["stateOperators"][0] for p in progs]
+    assert [o["numRowsTotal"] for o in ops] == [3, 7, 6, 6, 3]
+    assert [o["numRowsRemoved"] for o in ops] == [0, 0, 4, 3, 3]
+    # the global watermark is min(click branch, view branch) and lags
+    # the slower branch by design
+    us = t0 // 1000
+    m = _MIN // 1000
+    assert [_wm_us(p) for p in progs] == [
+        0, us - 10 * m, us + 50 * m, us + 110 * m, us + 230 * m,
+    ]
+
+
+def test_cdc_upsert_progress_input_rows(spark, tmp_path):
+    """CDC upsert observability: its state lives in the TARGET (not the
+    state store — foreachBatch merge), so the telemetry that matters is
+    per-batch numInputRows: every source row enters exactly one
+    microbatch, none twice (the exactly-once ingest ledger)."""
+    from nchu_bigdata_spark.streaming import runner
+    from nchu_bigdata_spark.streaming.runner import run_events_cdc_upsert
+
+    t0 = 1_755_000_000 * 1_000_000_000
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_cdc_events(
+        str(src / "a.parquet"),
+        [(i, t0 + i * _MIN, 1, "click", i) for i in range(3)],
+    )
+    _write_cdc_events(
+        str(src / "b.parquet"),
+        [(i, t0 + i * _MIN, 2, "view", i) for i in range(2)],
+    )
+    for i, f in enumerate(("a", "b")):
+        os.utime(src / f"{f}.parquet", ((i + 1) * 1_000_000,) * 2)
+
+    out = run_events_cdc_upsert(
+        spark, str(src), str(tmp_path / "tgt"), max_files_per_trigger=1
+    )
+    assert out.count() == 2  # (1, click) and (2, view) latest rows
+    progs = runner.last_run_progress
+    inputs = [p["numInputRows"] for p in progs]
+    assert sum(inputs) == 5 and sorted(inputs, reverse=True)[:2] == [3, 2]
+    # stateless foreachBatch: no state-store operators
+    assert all(not p.get("stateOperators") for p in progs)

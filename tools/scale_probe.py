@@ -77,7 +77,7 @@ HEAVY_OPS = [
 ]
 
 # Tables each op reads (everything else is symlinked unchanged).
-BLOWN_TABLES = {"lineitem", "documents", "events"}
+BLOWN_TABLES = {"lineitem", "documents", "events", "orders", "embeddings"}
 
 
 def build_10x(spark, out_dir: str) -> None:
@@ -143,6 +143,57 @@ def build_10x(spark, out_dir: str) -> None:
         os.unlink(link)  # r7 probe symlinked events; now it's blown up
     big_ev.write.mode("overwrite").parquet(link)
 
+    # orders: shift o_orderkey by the SAME per-copy offset as lineitem
+    # (so copy i of lineitem still joins copy i of orders) and
+    # o_custkey like events' user_id — per-customer order streams and
+    # the priority/status distributions replicate ×10 unchanged.
+    # 10^7 is divisible by the o_orderkey % 4 split modulus.
+    o = spark.read.parquet(os.path.join(BASE_SF, "orders.parquet"))
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * SHIFT))
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * SHIFT))
+        )
+    big_o = parts[0]
+    for p in parts[1:]:
+        big_o = big_o.unionAll(p)
+    link = os.path.join(out_dir, "orders.parquet")
+    if os.path.islink(link):
+        os.unlink(link)  # earlier probes symlinked orders
+    big_o.write.mode("overwrite").parquet(link)
+
+    # embeddings: shift vec_id; copies >= 1 get a per-copy DETERMINISTIC
+    # sign-flip of a murmur-chosen half of the dimensions. Sign flips
+    # are an orthogonal transform, so within-copy dot products, norms
+    # and cosines are IDENTICAL to 1× (near-dup pairs, LSH band
+    # structure, SMOTE neighborhoods all replicate ×10); cross-copy
+    # cosines are attenuated ~1/sqrt(d) by the random relative sign
+    # pattern, so the pair space does not quadratically explode (the
+    # identical-copies construction would put every cross-copy twin at
+    # cos 1.0 — the adversarial experiment, not the scale one).
+    em = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    parts = []
+    for i in range(COPIES):
+        e = em.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT))
+        if i > 0:
+            e = e.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, d) -> "
+                    f"CASE WHEN pmod(hash(d, {i}), 2) = 0 "
+                    "THEN x ELSE -x END)"
+                ),
+            )
+        parts.append(e)
+    big_e = parts[0]
+    for p in parts[1:]:
+        big_e = big_e.unionAll(p)
+    link = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.islink(link):
+        os.unlink(link)
+    big_e.write.mode("overwrite").parquet(link)
+
     # everything else: symlink unchanged from sf0.1
     for f in os.listdir(BASE_SF):
         if not f.endswith(".parquet"):
@@ -176,9 +227,12 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     big_dir = os.path.join(repo, ".scratch", "scale10x")
 
-    if not os.path.exists(
-        os.path.join(big_dir, "documents.parquet")
-    ) or os.path.islink(os.path.join(big_dir, "events.parquet")):
+    if (
+        not os.path.exists(os.path.join(big_dir, "documents.parquet"))
+        or os.path.islink(os.path.join(big_dir, "events.parquet"))
+        or os.path.islink(os.path.join(big_dir, "orders.parquet"))
+        or os.path.islink(os.path.join(big_dir, "embeddings.parquet"))
+    ):
         t0 = time.perf_counter()
         build_10x(spark, big_dir)
         print(f"built 10x dir in {time.perf_counter()-t0:.1f}s", flush=True)
