@@ -1070,7 +1070,11 @@ def dq_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator of |μ1 − μ2|·n1·n2, an exact integer with the SAME
     denominator for every dimension, so it ranks dimensions exactly.
     Routed through decimal(38,0)/HUGEINT (the events_rfm overflow
-    policy) and emitted as DOUBLE on both engines.
+    policy) and emitted as DOUBLE on both engines — bit-stable while
+    shift_num < 2^53 (≈3×10⁶ rows per half at the milli grid; DuckDB's
+    HUGEINT→DOUBLE is not correctly rounded past that — r7 finding;
+    envelope asserted by tests/test_precision_bounds.py). At corpus
+    scale keep shift_num as BIGINT instead of casting.
 
     Plan/scale: posexplode + ONE conditional hash agg to dimension
     cardinality (64 rows) — the half split is a projection, not a

@@ -669,6 +669,16 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's ``std::log`` are each ≤1 ulp but not bit-identical, so a
     boundary-straddling rounded pmi could flip on other corpora.
 
+    Precision envelope (r9 advice pass): the division is bit-stable
+    across engines only while both integer products sit below 2^53 —
+    above that, every int64 is no longer exactly representable and
+    DuckDB's HUGEINT→DOUBLE cast is NOT correctly rounded (the r7
+    finding) while Spark's decimal→double is. c·n_tok² crosses 2^53
+    around n_tok ≈ 5×10⁵ (sf0.1 runs at 2.7×10⁵ with ~340× headroom
+    by value; asserted by tests/test_precision_bounds.py). At corpus
+    scale, export the scaled-integer lift (10⁶·num div den as BIGINT,
+    ties on the pair) instead of the double.
+
     Plan: unigram and bigram vocabularies are each ONE hash-agg over
     the exploded token stream (map-side partials collapse before the
     shuffle, wire volume is vocab-sized). The two corpus totals ride
