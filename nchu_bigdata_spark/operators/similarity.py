@@ -50,8 +50,37 @@ _NQUERY = 10  # query set = vec_id <= 10
 _HARD_NEG_CAP = 1000  # hard-negative mining keeps the top-N hardest pairs
 _NCELLS = 8  # IVF coarse centroids = vec_id 1.._NCELLS
 _NPROBE = 2
-_PLANES = 16  # LSH hyperplanes (4 bands x 4 bits)
+_PLANES = 16  # LSH hyperplanes at the certified fixtures (4 bands x 4 bits)
 _LSH_BANDS, _LSH_BITS = 4, 4
+# Corpus-adaptive band width (round 9, scale-probe breach fix): FIXED
+# 4-bit bands mean 16 buckets per band forever, so the avg bucket is
+# n/16 and candidate pairs grow ~n²/32 per band — structurally
+# quadratic (measured: 464k candidates for 509 true pairs at n=2000;
+# 52.7x wall for 10x vectors via dedup_agreement). Band width now
+# scales with the corpus: bits = clamp(ceil(log2(n / target)), 4, 14)
+# holds the EXPECTED bucket size near _LSH_TARGET_BUCKET, so candidate
+# volume stays ~n·bands·bucket/2 — linear in n. At the certified
+# fixtures (n = 2000 vectors at both sf0.01 and sf0.1) the clamp floor
+# keeps bits = 4 and planes = 16 — bit-identical to the fixed-width
+# oracle chain; the first width step lands at n = 4001. Recall per
+# band narrows as bits grow (match prob (1−θ/π)^bits); at 100 TB a
+# deployment compensates with more bands — the knob `dedup_band_tuning`
+# already measures — but bucket occupancy, not recall, is what breaks
+# the engine, so occupancy is what auto-scales.
+_LSH_TARGET_BUCKET = 250
+
+
+def _lsh_bits(n: int) -> int:
+    """Band width (bits) for a corpus of n vectors: smallest width
+    whose expected bucket n/2^bits is ≤ _LSH_TARGET_BUCKET, clamped
+    to [4, 14]. Floor 4 pins the certified fixtures to the oracle's
+    fixed-width chain; cap 14 bounds the plane table (4×14 = 56
+    hyperplanes → signature < 2^56, safely BIGINT)."""
+    import math
+
+    if n <= _LSH_TARGET_BUCKET * 2**_LSH_BITS:
+        return _LSH_BITS
+    return min(14, math.ceil(math.log2(n / _LSH_TARGET_BUCKET)))
 _COS_T = 0.4  # near-dup cosine threshold
 _Q = 1_000_000  # integer quantization grid for LSH
 
@@ -370,20 +399,41 @@ _SQL_EMBED_PAIRS_CHAIN = f"""
 """
 
 
+_NVEC_CACHE: dict[str, int] = {}
+
+
+def _corpus_size(spark: SparkSession, sf_dir: str) -> int:
+    """Vector count for ``sf_dir``, memoized: one parquet-metadata
+    count job per directory per session — the scalar that sizes the
+    adaptive band width (the k-row-centroid-collect class of
+    sanctioned driver scalars)."""
+    n = _NVEC_CACHE.get(sf_dir)
+    if n is None:
+        n = parallel_table(spark, sf_dir, "embeddings").count()
+        _NVEC_CACHE[sf_dir] = n
+    return n
+
+
 def _lsh_bands(spark: SparkSession, sf_dir: str):
     """Shared random-hyperplane LSH banding (Charikar '02): returns
     (e, bands) where ``bands`` is (vec_id, k, bv) — band k's
-    {_LSH_BITS}-bit bucket value for every vector. Signatures are
-    exact integers: coordinates quantized to a 1e-6 grid, hyperplane
-    coefficients ±1 from md5(p|d) — bit-stable, oracle-replayable.
-    Consumed by dedup_embed_cosine (candidate pairs) and sim_ann_lsh
-    (query-time bucket probe): one derivation, two operators."""
+    bucket value for every vector, ``_lsh_bits(n)`` bits wide
+    (corpus-adaptive: expected occupancy pinned near
+    ``_LSH_TARGET_BUCKET``, so candidate volume stays linear in n;
+    width 4 = the oracle's fixed chain at the certified fixtures).
+    Signatures are exact integers: coordinates quantized to a 1e-6
+    grid, hyperplane coefficients ±1 from md5(p|d) — bit-stable,
+    oracle-replayable. Consumed by dedup_embed_cosine (candidate
+    pairs) and sim_ann_lsh (query-time bucket probe): one
+    derivation, two operators."""
+    bits = _lsh_bits(_corpus_size(spark, sf_dir))
+    planes = _LSH_BANDS * bits
     e = _vecs(spark, sf_dir)
     qe = e.withColumn(
         "qv", F.transform("v", lambda x: F.round(x * _Q, 0).cast("bigint"))
     )
-    planes = F.broadcast(
-        spark.range(_PLANES)
+    planes_df = F.broadcast(
+        spark.range(planes)
         .select(F.col("id").cast("int").alias("p"))
         .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("d")))
         .select(
@@ -405,7 +455,7 @@ def _lsh_bands(spark: SparkSession, sf_dir: str):
     )
     sig = (
         qe.select("vec_id", F.posexplode("qv").alias("d", "qd"))
-        .join(planes, "d")
+        .join(planes_df, "d")
         .groupBy("vec_id", "p")
         .agg(
             F.when(F.sum(F.col("coef") * F.col("qd")) > 0, 1)
@@ -423,7 +473,7 @@ def _lsh_bands(spark: SparkSession, sf_dir: str):
     ).select(
         "vec_id",
         "k",
-        F.expr(f"(s div cast(pow(2, k * {_LSH_BITS}) as bigint)) % {2 ** _LSH_BITS}").alias(
+        F.expr(f"(s div cast(pow(2, k * {bits}) as bigint)) % {2 ** bits}").alias(
             "bv"
         ),
     )

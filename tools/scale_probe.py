@@ -164,14 +164,18 @@ def build_10x(spark, out_dir: str) -> None:
     big_o.write.mode("overwrite").parquet(link)
 
     # embeddings: shift vec_id; copies >= 1 get a per-copy DETERMINISTIC
-    # sign-flip of a murmur-chosen half of the dimensions. Sign flips
-    # are an orthogonal transform, so within-copy dot products, norms
-    # and cosines are IDENTICAL to 1× (near-dup pairs, LSH band
-    # structure, SMOTE neighborhoods all replicate ×10); cross-copy
-    # cosines are attenuated ~1/sqrt(d) by the random relative sign
-    # pattern, so the pair space does not quadratically explode (the
-    # identical-copies construction would put every cross-copy twin at
-    # cos 1.0 — the adversarial experiment, not the scale one).
+    # SIGNED CYCLIC-SHIFT PERMUTATION: out[d] = ±embedding[(d+i) % 64],
+    # signs from murmur(d, i). A signed permutation is orthogonal, so
+    # within-copy dot products, norms and cosines are IDENTICAL to 1×
+    # (near-dup pairs, LSH band structure, SMOTE neighborhoods all
+    # replicate ×10). The round-9 lesson: plain sign flips (no
+    # permutation) leave a vector coordinate-ALIGNED with its own
+    # copies, so the self-pair cosine is 1 − 2·(flipped mass fraction)
+    # — mass-concentrated vectors land above the 0.4 dedup threshold
+    # and the pair space explodes anyway (measured: smote rows 49 →
+    # 6199 at 10×). The cyclic shift (i ≠ 0, and i−j ≠ 0 between any
+    # two blown copies) has NO fixed points, so every cross-copy
+    # cosine is a signed lag-autocorrelation that concentrates near 0.
     em = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
     parts = []
     for i in range(COPIES):
@@ -180,9 +184,10 @@ def build_10x(spark, out_dir: str) -> None:
             e = e.withColumn(
                 "embedding",
                 F.expr(
-                    "transform(embedding, (x, d) -> "
+                    "transform(sequence(0, 63), d -> "
                     f"CASE WHEN pmod(hash(d, {i}), 2) = 0 "
-                    "THEN x ELSE -x END)"
+                    f"THEN embedding[pmod(d + {i}, 64)] "
+                    f"ELSE -embedding[pmod(d + {i}, 64)] END)"
                 ),
             )
         parts.append(e)
@@ -206,12 +211,20 @@ def build_10x(spark, out_dir: str) -> None:
 
 
 def time_op(spark, specs, name: str, sf_dir: str, reps: int) -> tuple[float, int]:
-    best, rows = float("inf"), -1
+    # Time the NOOP SINK, not count(): Catalyst's left-outer join
+    # elimination can prune an entire upstream chain out of a count()
+    # when the right side's keys are provably unique and unreferenced —
+    # dedup_threshold_sweep's probe "ran" in 0.79s at 10× that way
+    # (round 9), measuring spark.range(11) instead of the LSH chain.
+    # The noop write computes every column of every row (bench.py's
+    # convention). Rows are counted once, untimed, for the report.
+    best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         df = specs[name].fn(spark, sf_dir)
-        rows = df.count()
+        df.write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
+    rows = specs[name].fn(spark, sf_dir).count()
     return best, rows
 
 
