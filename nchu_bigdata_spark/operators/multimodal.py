@@ -199,6 +199,19 @@ def _bmp_pixels(payload: bytes):
             raise NotImplementedError(
                 "non-BMP image decode requires pillow (not installed)"
             ) from e
+        # WIRING POINT (deps present, format not yet wired): return a
+        # top-down (h, w, 3) uint8 array in BGR channel order — the
+        # contract every caller (moments, resize, phash grayscale)
+        # assumes. With pillow that is:
+        #   arr = np.asarray(Image.open(io.BytesIO(payload))
+        #                    .convert("RGB"), dtype=np.uint8)
+        #   return arr[:, :, ::-1]            # RGB -> BGR
+        # Everything downstream (Arrow batching, partition-preserving
+        # mapInPandas, exact integer moments) is format-agnostic; only
+        # this function knows codecs. NOTE: pillow decode output is
+        # platform-deterministic for PNG/BMP but JPEG decode may vary
+        # by libjpeg build — at that point the exact-replay oracles
+        # for decode moments must relax to bounded checks.
         raise NotImplementedError("wire PIL decode here when available")
     _, _file_sz, _, _, px_off = struct.unpack_from("<2sIHHI", payload, 0)
     (dib_sz, width, height, _planes, bpp, compression) = struct.unpack_from(
@@ -304,6 +317,16 @@ def _wav_pcm(payload: bytes):
             raise NotImplementedError(
                 "non-WAV audio decode requires soundfile (not installed)"
             ) from e
+        # WIRING POINT (deps present, format not yet wired): return
+        # (pcm int16 1-D interleaved, sample_rate, n_channels) — the
+        # contract the VAD / stats / scene callers assume. With
+        # soundfile that is:
+        #   data, sr = soundfile.read(io.BytesIO(payload),
+        #                             dtype="int16", always_2d=True)
+        #   return data.reshape(-1), sr, data.shape[1]
+        # Lossy codecs (OGG/MP3) decode deterministically per libsndfile
+        # build but not across builds — exact-replay oracles for sample
+        # moments must relax to bounded checks when wiring those.
         raise NotImplementedError("wire soundfile decode here when available")
     with wave.open(io.BytesIO(payload), "rb") as w:
         n_ch, sampwidth, sr, n_frames = (
