@@ -57,9 +57,12 @@ _LSH_BANDS, _LSH_BITS = 4, 4
 # n/16 and candidate pairs grow ~n²/32 per band — structurally
 # quadratic (measured: 464k candidates for 509 true pairs at n=2000;
 # 52.7x wall for 10x vectors via dedup_agreement). Band width now
-# scales with the corpus: bits = clamp(ceil(log2(n / target)), 4, 14)
+# scales with the corpus: bits = clamp(ceil(log2(n / target)), 4, 62)
 # holds the EXPECTED bucket size near _LSH_TARGET_BUCKET, so candidate
-# volume stays ~n·bands·bucket/2 — linear in n. At the certified
+# volume stays ~n·bands·bucket/2 — linear in n at ANY corpus size
+# (62 bits of bucket space covers n ≈ 10^21 at target occupancy; band
+# values are computed per band, never packed into one signature word,
+# so width is not limited by bands·bits ≤ 63). At the certified
 # fixtures (n = 2000 vectors at both sf0.01 and sf0.1) the clamp floor
 # keeps bits = 4 and planes = 16 — bit-identical to the fixed-width
 # oracle chain; the first width step lands at n = 4001. Recall per
@@ -73,14 +76,15 @@ _LSH_TARGET_BUCKET = 250
 def _lsh_bits(n: int) -> int:
     """Band width (bits) for a corpus of n vectors: smallest width
     whose expected bucket n/2^bits is ≤ _LSH_TARGET_BUCKET, clamped
-    to [4, 14]. Floor 4 pins the certified fixtures to the oracle's
-    fixed-width chain; cap 14 bounds the plane table (4×14 = 56
-    hyperplanes → signature < 2^56, safely BIGINT)."""
+    to [4, 62]. Floor 4 pins the certified fixtures to the oracle's
+    fixed-width chain; 62 is the math bound (ONE band value must stay
+    a positive BIGINT — band values are computed per band, never
+    packed into a single signature word)."""
     import math
 
     if n <= _LSH_TARGET_BUCKET * 2**_LSH_BITS:
         return _LSH_BITS
-    return min(14, math.ceil(math.log2(n / _LSH_TARGET_BUCKET)))
+    return min(62, math.ceil(math.log2(n / _LSH_TARGET_BUCKET)))
 _COS_T = 0.4  # near-dup cosine threshold
 _Q = 1_000_000  # integer quantization grid for LSH
 
@@ -463,19 +467,26 @@ def _lsh_bands(spark: SparkSession, sf_dir: str):
             .alias("bit")
         )
     )
-    sig16 = sig.groupBy("vec_id").agg(
-        F.sum(F.col("bit") * F.expr("cast(pow(2, p) as bigint)")).alias("s")
-    )
-    bands = sig16.select(
-        "vec_id",
-        "s",
-        F.explode(F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1))).alias("k"),
-    ).select(
-        "vec_id",
-        "k",
-        F.expr(f"(s div cast(pow(2, k * {bits}) as bigint)) % {2 ** bits}").alias(
-            "bv"
-        ),
+    # Band values computed DIRECTLY per (vec_id, band) — band k owns
+    # planes [k·bits, (k+1)·bits) and its value is Σ bit_p·2^(p mod
+    # bits) over them. Bit-identical to packing the whole signature
+    # into one BIGINT and extracting bit ranges (the oracle's sig16
+    # formulation, and this function's own form through round 9), but
+    # one agg stage shorter (no pack → explode → extract) and with no
+    # bands·bits ≤ 63 packing ceiling — each band value only needs
+    # bits ≤ 62 on its own, so the adaptive width can keep bucket
+    # occupancy bounded at any corpus size.
+    bands = (
+        sig.groupBy(
+            "vec_id", F.expr(f"cast(p div {bits} as int)").alias("k")
+        )
+        .agg(
+            F.sum(
+                F.col("bit")
+                * F.expr(f"cast(pow(2, p % {bits}) as bigint)")
+            ).alias("bv")
+        )
+        .select("vec_id", "k", "bv")
     )
     return e, bands
 

@@ -8,8 +8,10 @@ bucket occupancy near `_LSH_TARGET_BUCKET`. These tests pin the policy:
 * the certified fixtures (n = 2000 at sf0.01 / sf0.1) stay on the
   4-bit floor, so the engine chain remains bit-identical to the
   fixed-width DuckDB oracle;
-* width grows logarithmically past the floor and caps at 14 bits
-  (4 bands × 14 = 56 planes → signature < 2^56, safely BIGINT);
+* width grows logarithmically past the floor and caps at 62 bits —
+  the math bound for ONE band value as a positive BIGINT (band values
+  are computed per band, never packed into a single signature word,
+  so bands·bits has no joint ceiling);
 * expected occupancy n / 2^bits never exceeds the target above the
   floor — the invariant that keeps candidate volume linear in n.
 """
@@ -35,15 +37,15 @@ def test_width_grows_log_and_caps():
     assert _lsh_bits(4001) == 5
     assert _lsh_bits(20000) == 7  # the 10x probe corpus
     assert _lsh_bits(250 * 2**14) == 14
-    assert _lsh_bits(10**12) == 14  # cap: 4x14 = 56 planes < BIGINT
+    assert _lsh_bits(10**12) == 32  # 10^12 vectors: bucket ~233
+    assert _lsh_bits(10**21) == 62  # cap: one band value < 2^63
     widths = [_lsh_bits(n) for n in (10**3, 10**4, 10**5, 10**6, 10**7)]
     assert widths == sorted(widths)
 
 
 def test_occupancy_invariant_above_floor():
     # expected bucket n / 2^bits <= target whenever the cap isn't hit
-    for n in (4001, 10**4, 10**5, 10**6, 250 * 2**14):
+    for n in (4001, 10**4, 10**6, 10**9, 10**12, 250 * 2**14):
         bits = _lsh_bits(n)
-        if bits < 14:
+        if bits < 62:
             assert n / 2**bits <= _LSH_TARGET_BUCKET
-    assert _LSH_BANDS * 14 < 63  # signature stays a positive BIGINT
