@@ -49,3 +49,50 @@ def test_occupancy_invariant_above_floor():
         bits = _lsh_bits(n)
         if bits < 62:
             assert n / 2**bits <= _LSH_TARGET_BUCKET
+
+
+def test_above_floor_chain_finds_planted_duplicates(spark, tmp_path):
+    """Exercise the bits > 4 arm of the adaptive chain (the certified
+    fixtures never leave the floor): 4100 vectors force bits = 5, and
+    planted EXACT duplicates must all surface — identical vectors share
+    every band bucket at ANY width, so this holds for every future
+    width the clamp may pick, while still failing if the band
+    derivation (grouping, powers, bucket arithmetic) breaks."""
+    import pyspark.sql.functions as F
+
+    from nchu_bigdata_spark.operators.similarity import (
+        _lsh_bands,
+        dedup_embed_cosine,
+    )
+
+    n_base = 2050  # 2 * 2050 = 4100 > the 4000-vector floor threshold
+    base = spark.range(1, n_base + 1).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.lit("t").alias("label"),
+        F.expr(
+            "transform(sequence(0, 63), d ->"
+            " CAST((pmod(hash(id, d), 2001) - 1000) / 1000.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    dup = base.select(
+        (F.col("vec_id") + n_base).alias("vec_id"), "label", "embedding"
+    )
+    out = str(tmp_path / "embeddings.parquet")
+    base.unionAll(dup).coalesce(2).write.parquet(out)
+
+    assert _lsh_bits(2 * n_base) == 5
+    _, bands = _lsh_bands(spark, str(tmp_path))
+    stats = bands.agg(
+        F.max("k").alias("mk"), F.min("bv").alias("lo"), F.max("bv").alias("hi")
+    ).collect()[0]
+    assert stats["mk"] == 3  # 4 bands
+    assert 0 <= stats["lo"] and stats["hi"] < 2**5  # 5-bit buckets
+
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embed_cosine(spark, str(tmp_path))
+        .filter(F.col("cos_sim") == 1.0)
+        .collect()
+    }
+    planted = {(i, i + n_base) for i in range(1, n_base + 1)}
+    assert planted <= pairs
