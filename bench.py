@@ -289,6 +289,20 @@ SQL_GROUP = [
     "dq_header_detail",
 ]
 
+# Fourth tracked group (round 10, VERDICT r9 item 4): the iterative
+# graph kernels — the repo's most expensive plans. They already appear
+# in the LLM/SQL groups (those series stay comparable), but there they
+# get only the group's reps budget (2 for SQL); here they get the FULL
+# headline methodology (reps × best-of, warm session) so a regression
+# in the priciest operators is a first-class per-round signal, not a
+# one-off SCALE_PROBE row.
+GRAPH_GROUP = [
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_connected_components",
+    "dedup_clusters",
+]
+
 
 
 def warm(spark) -> None:
@@ -400,6 +414,9 @@ def main() -> None:
     sql_times, sql_means = run_group(
         [n for n in SQL_GROUP if n in specs], group_reps=min(reps, 2)
     )
+    graph_times, graph_means = run_group(
+        [n for n in GRAPH_GROUP if n in specs]
+    )
 
     total = round(sum(times.values()), 3)
     total_mean = round(sum(means.values()), 3)
@@ -442,6 +459,11 @@ def main() -> None:
         "sql_queries": sql_times,
         "sql_total": round(sum(sql_times.values()), 3),
         "sql_queries_mean": sql_means,
+        # Iterative graph kernels at full headline methodology
+        # (round 10+): best-of-`reps`, warm session.
+        "graph_queries": graph_times,
+        "graph_total": round(sum(graph_times.values()), 3),
+        "graph_queries_mean": graph_means,
     }
     line = json.dumps(payload)
     # Lossless side record (VERDICT r6 item 5): the driver captures the

@@ -43,6 +43,18 @@ from pyspark.sql import DataFrame
 # tag -> persistent RDD ids owned by the live generation
 _LIVE: dict[str, list[int]] = {}
 
+# Plan-audit hook (tools/explain_audit.py, VERDICT r9 item 5): a
+# checkpointed segment's physical plan is INVISIBLE in the consumer
+# query's explain (it shows only Scan ExistingRDD), so a fact-
+# cardinality single-task window hidden inside a frozen segment would
+# escape the structural audit and surface only as WindowExec WARN
+# noise at execution. When the audit enables this flag, every
+# shared_intermediate call also records the segment's formatted plan
+# under its tag for the same structural walk the final plans get.
+# Off by default: production/bench builds pay zero extra planning.
+CAPTURE_SEGMENT_PLANS = False
+SEGMENT_PLANS: dict[str, str] = {}
+
 
 def _persistent_ids(sc) -> set[int]:
     return {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
@@ -60,6 +72,14 @@ def shared_intermediate(tag: str, df: DataFrame, eager: bool = True) -> DataFram
     """Eagerly ``localCheckpoint`` ``df`` as the single live generation
     for ``tag``, releasing the previous generation's blocks."""
     sc = df.sparkSession.sparkContext
+    if CAPTURE_SEGMENT_PLANS:
+        import io as _io
+        from contextlib import redirect_stdout
+
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        SEGMENT_PLANS[tag] = buf.getvalue()
     before = _persistent_ids(sc)
     out = df.localCheckpoint(eager=eager)
     new_ids = sorted(_persistent_ids(sc) - before)
@@ -71,6 +91,39 @@ def shared_intermediate(tag: str, df: DataFrame, eager: bool = True) -> DataFram
             pass
     _LIVE[tag] = new_ids
     return out
+
+
+def range_pid_frozen(tag: str, df: DataFrame, *sort_cols) -> DataFrame:
+    """Range-repartition ``df`` on ``sort_cols``, stamp
+    ``spark_partition_id`` and FREEZE the result (eager
+    ``localCheckpoint`` via :func:`shared_intermediate`).
+
+    The distributed two-pass rank (win_lorenz pattern) fans the
+    range-partitioned frame into two branches — per-pid counts (→
+    running offsets) and per-pid local ``row_number`` — and adds them
+    back together. ``repartitionByRange`` samples its boundaries with a
+    per-execution seed and column pruning makes the two branch subtrees
+    non-identical, so on Spark 4.1.2 the physical plan contains TWO
+    independent rangepartitioning exchanges and no ReusedExchange: the
+    offset branch and the row-number branch can observe *different*
+    partitionings, silently corrupting every global rank (ADVICE r9,
+    high). Freezing the pid-stamped frame pins ONE sampled partitioning
+    that both branches then read from the RDD block store; downstream
+    plans show ``Scan ExistingRDD`` and zero rangepartitioning
+    exchanges (asserted by tests/test_two_pass_rank.py).
+
+    At 100 TB this materializes only the post-rollup key frame (the
+    pattern is always applied after a groupBy shrank the input to
+    entity cardinality), the same storage class as every other
+    ``shared_intermediate`` site.
+    """
+    from pyspark.sql import functions as F
+
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    srt = df.repartitionByRange(nparts, *sort_cols)
+    return shared_intermediate(
+        tag, srt.withColumn("pid", F.spark_partition_id())
+    )
 
 
 def release_all() -> None:

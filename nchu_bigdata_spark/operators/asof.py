@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import dround, ts_micros
 from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.materialize import range_pid_frozen
 from nchu_bigdata_spark.registry import register
 
 _RIGHT, _LEFT = 0, 1  # sort order on ties: right first => inclusive
@@ -368,13 +369,20 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: ONE (user, ts)-sorted exchange for the carry-forward
     window (inner-matched purchases only); the gap stream then
     collapses to its SUPPORT (one map-side-combined groupBy per
-    distinct gap value — the events_ks_test framing), the cumulative
-    count runs over that bounded support, and every order statistic
+    distinct gap value — the events_ks_test framing). gap_us is
+    microsecond-resolution, so the support approaches MATCH
+    cardinality and is NOT structurally bounded (ADVICE r9) — the
+    cumulative count therefore uses the DISTRIBUTED two-pass pattern
+    over the frozen range partitioning (``range_pid_frozen``): per-pid
+    cnt subtotals broadcast back as value offsets, cum = offset +
+    partition-local running sum; the only unpartitioned window left
+    runs over the #partitions-row offset table. Every order statistic
     is read off the support row whose cumulative range covers its
-    rank (value at rank k = the support row with cum−cnt < k ≤ cum).
-    The r8 form ranked raw matches — a single-task sort of purchase
-    cardinality. The unmatched count rides the same rollup via the
-    1-row purchases-total broadcast."""
+    rank (value at rank k = the support row with cum−cnt < k ≤ cum) —
+    exact integer stats, no bucketing compromise. The r8 form ranked
+    raw matches — a single-task sort of purchase cardinality. The
+    unmatched count rides the same rollup via the 1-row
+    purchases-total broadcast."""
     ev = table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "ts", "user_id"
@@ -390,12 +398,25 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ts_micros("ts") - ts_micros("click_ts_asof")).alias("gap_us")
     )
     c = g.groupBy("gap_us").agg(F.count(F.lit(1)).alias("cnt"))
-    s = c.select(
-        "gap_us",
-        "cnt",
-        F.sum("cnt").over(Window.orderBy("gap_us")).alias("cum"),
+    pid = range_pid_frozen("events_conversion_lag.pid", c, "gap_us")
+    pc = pid.groupBy("pid").agg(F.sum("cnt").alias("pn"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    nm = c.agg(F.sum("cnt").cast("long").alias("n"))
+    off = pc.select(
+        "pid", F.coalesce(F.sum("pn").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("gap_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = (
+        pid.withColumn("cloc", F.sum("cnt").over(w_local))
+        .join(F.broadcast(off), "pid")
+        .select("gap_us", "cnt", (F.col("off") + F.col("cloc")).alias("cum"))
+    )
+    nm = pid.agg(F.sum("cnt").cast("long").alias("n"))
     tot = ev.filter(F.col("event_type") == "purchase").agg(
         F.count(F.lit(1)).cast("long").alias("n_purchases")
     )

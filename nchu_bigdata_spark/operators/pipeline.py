@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import dround, sql_dround
 from nchu_bigdata_spark.io import parallel_table, table
+from nchu_bigdata_spark.materialize import range_pid_frozen
 from nchu_bigdata_spark.operators.dedup import _h32
 from nchu_bigdata_spark.registry import register
 
@@ -2249,9 +2250,14 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition counts → running offsets broadcast back,
     global_rank = offset + partition-local row_number (r9: replaced
     the single-task unpartitioned row_number the r8 form used).
-    Partition boundaries are sampled and non-deterministic, but the
-    rank is invariant to them (the sort is a total order), so the
-    stage cut — which depends only on the rank — is bit-stable."""
+    r10 (ADVICE r9 high): the pid-stamped range partitioning is FROZEN
+    via ``materialize.range_pid_frozen`` (eager localCheckpoint) —
+    without it the offsets branch and the row-number branch compile to
+    two independently-sampled rangepartitioning exchanges and can
+    disagree on where the boundaries fell, silently corrupting global
+    ranks at scale. With one frozen partitioning the rank is invariant
+    to where the sampled boundaries fall (the sort is a total order),
+    so the stage cut is bit-stable."""
     docs = table(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id",
@@ -2261,11 +2267,9 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("difficulty_milli"),
         F.size(F.split("text", " ")).alias("toks"),
     )
-    nparts = spark.sparkContext.defaultParallelism
-    srt = s.repartitionByRange(
-        nparts, "difficulty_milli", "doc_id"
-    ).sortWithinPartitions("difficulty_milli", "doc_id")
-    pid = srt.withColumn("pid", F.spark_partition_id())
+    pid = range_pid_frozen(
+        "sample_curriculum.pid", s, "difficulty_milli", "doc_id"
+    )
     pc = pid.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
     w_off = Window.orderBy("pid").rowsBetween(
         Window.unboundedPreceding, -1

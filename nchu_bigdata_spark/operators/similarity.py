@@ -403,18 +403,47 @@ _SQL_EMBED_PAIRS_CHAIN = f"""
 """
 
 
-_NVEC_CACHE: dict[str, int] = {}
+_NVEC_CACHE: dict[tuple[str, tuple[tuple[str, int, int], ...]], int] = {}
+
+
+def _embeddings_stamp(sf_dir: str) -> tuple[tuple[str, int, int], ...]:
+    """Filesystem fingerprint of ``sf_dir``'s embeddings parquet —
+    (relpath, size, mtime_ns) per data file. Cache key component so a
+    rebuilt or grown corpus (e.g. the scale-probe writer refreshing an
+    existing directory) invalidates the memoized count instead of
+    silently sizing the adaptive band width for the OLD corpus
+    (ADVICE r9)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    entries: list[tuple[str, int, int]] = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                entries.append(
+                    (os.path.relpath(fp, path), st.st_size, st.st_mtime_ns)
+                )
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append((path, st.st_size, st.st_mtime_ns))
+    return tuple(entries)
 
 
 def _corpus_size(spark: SparkSession, sf_dir: str) -> int:
     """Vector count for ``sf_dir``, memoized: one parquet-metadata
     count job per directory per session — the scalar that sizes the
     adaptive band width (the k-row-centroid-collect class of
-    sanctioned driver scalars)."""
-    n = _NVEC_CACHE.get(sf_dir)
+    sanctioned driver scalars). Keyed on (dir, file sizes+mtimes) so
+    an in-session rewrite of embeddings.parquet is picked up."""
+    key = (sf_dir, _embeddings_stamp(sf_dir))
+    n = _NVEC_CACHE.get(key)
     if n is None:
         n = parallel_table(spark, sf_dir, "embeddings").count()
-        _NVEC_CACHE[sf_dir] = n
+        _NVEC_CACHE[key] = n  # stale keys are dead ints, not stale answers
     return n
 
 

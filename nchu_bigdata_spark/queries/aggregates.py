@@ -22,7 +22,7 @@ from nchu_bigdata_spark.compat import (
     sql_dsum,
 )
 from nchu_bigdata_spark.io import parallel_table, table
-from nchu_bigdata_spark.materialize import shared_intermediate
+from nchu_bigdata_spark.materialize import range_pid_frozen, shared_intermediate
 from nchu_bigdata_spark.registry import register
 
 
@@ -2046,11 +2046,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = rev.join(dims, rev.o_custkey == dims.c_custkey).select(
         "region", "cents", F.col("o_custkey").alias("ck")
     )
-    nparts = spark.sparkContext.defaultParallelism
-    srt = g.repartitionByRange(
-        nparts, "region", "cents", "ck"
-    ).sortWithinPartitions("region", "cents", "ck")
-    pid = srt.withColumn("pid", F.spark_partition_id())
+    pid = range_pid_frozen("agg_gini.pid", g, "region", "cents", "ck")
     pc = pid.groupBy("pid", "region").agg(F.count(F.lit(1)).alias("pn"))
     w_off = (
         Window.partitionBy("region")

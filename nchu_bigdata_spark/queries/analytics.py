@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.materialize import range_pid_frozen
 from nchu_bigdata_spark.registry import register
 
 _WEEK_US = 7 * 86400 * 1_000_000
@@ -2156,20 +2157,23 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply (cum·10 ≤ tot·8) routed through decimal(38,0)/HUGEINT —
     no float shares.
 
-    Boundary-partition nondeterminism is irrelevant to the OUTPUT:
+    Boundary-partition nondeterminism is irrelevant to the OUTPUT
+    *given the r10 freeze* (``materialize.range_pid_frozen`` — both
+    branches read one localCheckpointed partitioning, ADVICE r9 high):
     the sort is a total order, so cum per row is invariant to where
-    range boundaries fall."""
+    the frozen boundaries fell."""
     li = table(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(
         F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
         .cast("long")
         .alias("cents")
     )
-    nparts = spark.sparkContext.defaultParallelism
-    srt = pr.repartitionByRange(
-        nparts, F.col("cents").desc(), F.col("l_partkey")
-    ).sortWithinPartitions(F.col("cents").desc(), "l_partkey")
-    pid = srt.withColumn("pid", F.spark_partition_id())
+    pid = range_pid_frozen(
+        "orders_abc_class.pid",
+        pr,
+        F.col("cents").desc(),
+        F.col("l_partkey"),
+    )
     pc = pid.groupBy("pid").agg(F.sum("cents").alias("psum"))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     off = pc.select(
@@ -2439,11 +2443,13 @@ def orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
-    nparts = spark.sparkContext.defaultParallelism
-    srt = cr.repartitionByRange(
-        nparts, "period", F.col("cents").desc(), F.col("o_custkey")
-    ).sortWithinPartitions("period", F.col("cents").desc(), "o_custkey")
-    pid = srt.withColumn("pid", F.spark_partition_id())
+    pid = range_pid_frozen(
+        "orders_customer_migration.pid",
+        cr,
+        "period",
+        F.col("cents").desc(),
+        F.col("o_custkey"),
+    )
     pc = pid.groupBy("period", "pid").agg(F.count(F.lit(1)).alias("pn"))
     w_off = (
         Window.partitionBy("period")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import dround
 from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.materialize import range_pid_frozen
 from nchu_bigdata_spark.registry import register
 
 
@@ -708,8 +709,12 @@ def win_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
          back; global_rank = partition_offset + partition-local
          row_number.
     Partition boundaries come from sampling and are NOT deterministic
-    — but global_rank is invariant to where they fall (the sort is a
-    total order), so the OUTPUT is bit-stable anyway.
+    — so the pid-stamped frame is FROZEN via
+    ``materialize.range_pid_frozen`` (r10, ADVICE r9 high): both rank
+    branches must read ONE sampled partitioning, else they compile to
+    two independent rangepartitioning exchanges that can disagree.
+    Given the freeze, global_rank is invariant to where the boundaries
+    fall (the sort is a total order), so the OUTPUT is bit-stable.
 
     Plan/scale: the per-customer rollup (map-side combined) shrinks
     orders to |customers| before the rangepartitioning sort; the
@@ -722,11 +727,9 @@ def win_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    nparts = spark.sparkContext.defaultParallelism
-    srt = cr.repartitionByRange(
-        nparts, F.col("cents").desc(), F.col("o_custkey")
-    ).sortWithinPartitions(F.col("cents").desc(), "o_custkey")
-    pid = srt.withColumn("pid", F.spark_partition_id())
+    pid = range_pid_frozen(
+        "win_lorenz.pid", cr, F.col("cents").desc(), F.col("o_custkey")
+    )
     pc = pid.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
     w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
     off = pc.select(

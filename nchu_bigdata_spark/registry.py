@@ -95,130 +95,61 @@ def register(
     return deco
 
 
-# Driver presentation order. The driver checks the FIRST 50 registered
-# queries each round; rotating this list is how every SURVEY §2.B id
-# accumulates a driver CORRECTNESS row across rounds. History: r1
-# relational/join/agg/fn/stream/sub; r2 window/UDF/dedup/similarity/
-# kmeans/text/multimodal/pipeline; r3 the remainder (7 events queries
-# errored on the TIMESTAMP_NTZ read, since fixed); r4 re-confirmed the
-# errored 7 + refreshed every round-2-signal id; r5 covered the 10 new
-# ids + 5 changed plans + all 35 r3-signal ids (50 checked, 0 fail).
-# Round 7's window (VERDICT r6 item 1 — certify the 41 round-6-born
-# ids): (a) the 6 ids whose code or oracle changed in r7 (agg_approx's
-# bounded-verdict oracle; exact-integer reworks of agg_percentile_exact
-# / agg_corr / agg_regression; text_collocation_pmi's lift statistic;
-# stream_cdc_upsert's value-tiebreak oracle — ADVICE r6 closures), then
-# (b) the 2 r4-stale ids displaced from the r6 window, then (c) the 36
-# remaining round-6-born ids with no driver row yet, then (d) 6 of the
-# oldest r5-green refreshes. The r6-window ids (fresh r6 greens) and
-# the rest of the r5 greens rotate behind the marker for r8. R7's
-# window came back 46 green + 4 no_oracle (the by-design rows-only
-# ids), so every r6-born id now holds an official green row. Round 8's
-# window: the 24 round-7-born ids (including all 5 ADVICE-r7-fixed
-# ones, certifying under the fixed shapes), agg_sketch_merge under its
-# new bounded-verdict oracle, any new r8-born ids, then the oldest
-# (r5-signal) refreshes to fill 50.
+# Driver presentation order — THE ROTATION LEDGER. The driver checks
+# the FIRST 50 registered queries each round; this list is ordered so
+# every SURVEY §2.B id accumulates an official driver CORRECTNESS row
+# in a deterministic, published sequence (VERDICT r9 items 1-2).
+#
+# History (r1-r9): windows r1-r4 covered the original core groups; r5
+# the new ids + changed plans; r6-r7 the round-6-born ids; r8 the
+# round-7-born ids; r9 the round-8-born ids. 186 ids ever windowed,
+# 183 latest-green + 3 rows-only-by-design as of r9.
+#
+# Remaining ledger (as committed for r10): 177 SQL-oracle ids with no
+# driver row yet, consumed head-first in four windows —
+#   r10: ids [0:50)    (heavies lead: win_lorenz, agg_cube, ...)
+#   r11: ids [50:100)
+#   r12: ids [100:150)
+#   r13: ids [150:177) + 23 top-ups from the refresh queue
+# after which every SQL-certifiable id holds a driver row and the list
+# degenerates into the oldest-green-first refresh cycle at the tail.
+# Each round: delete the consumed window block so the next window
+# surfaces to the head (or verify CORRECTNESS_rN before rotating).
 DRIVER_ORDER = [
-    # -- round-8 window: born in round 7, no driver row yet (the
-    #    round bar's remaining gap); the 5 ADVICE-r7-fixed ids are
-    #    all in this group, certifying under the fixed shapes --
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q20",
-    "tpch_q2",
-    "text_line_dedup",
-    "mixture_weights",
-    "embed_covariance",
-    "project_unpivot",
-    "tokenize_chunk_overlap",
-    "fn_bitwise",
-    "win_fill_forward",
-    "agg_mode",
-    "scan_csv_corrupt",
-    "graph_bfs",
-    "text_heavy_hitters",
-    "ts_resample",
-    "sample_importance",
-    "table_diff",
-    "fn_url",
-    "sim_mips",
-    "sort_zorder",
-    "agg_histogram",
-    "events_rfm",
-    "agg_argmax",
-    # -- oracle reshaped in round 8 (bounded-verdict form closes
-    #    the last structural no_oracle; certify under it) --
-    "agg_sketch_merge",
-    # -- born in round 8: certify immediately --
-    "stats_profile",
-    "sub_any_all",
-    "scan_schema_evolution",
-    "dedup_edit_distance",
-    "embed_norm_stats",
-    "tokenize_vocab_coverage",
-    "events_ab_test",
-    "ts_ewma",
-    "win_running_distinct",
-    "dedup_containment",
-    "join_null_safe",
-    "fn_conditional",
-    "graph_degree_distribution",
-    "sample_split",
-    "win_rolling_median",
-    "scan_binary_files",
-    "agg_approx_topk",
-    "events_active_users",
-    "agg_moments",
-    "stream_enrich_static",
-    "agg_predicates",
-    "rollup_incremental",
-    "topk_percent",
-    "events_gap_detect",
-    "events_inter_arrival",
-    # -- born late in round 8 (after the 50-window filled): first in
-    #    line for the round-9 rotation. R9 window plan: these 11, then
-    #    the 14 certifiable late-r8 ids below (sub_division ..
-    #    sample_negatives, minus multimodal_audio_stats — rows-only by
-    #    design, it can never hash-certify), then the round-8
-    #    session-2-born ids (graph_connected_components ..
-    #    graph_label_propagation, ~36 ids interleaved further down in
-    #    this list) — more than one 50-window, so the session-2 tail
-    #    (whatever r9's window can't fit) leads r10's. Oldest
-    #    refreshes resume after the backlog clears. --
+    # -- ROTATION LEDGER window r10: 50 never-driver-checked SQL-oracle ids (judge r9 item 1); heavies lead --
+    "win_lorenz",
+    "agg_cube",
+    "agg_countmin",
+    "graph_kcore_peel",
+    "events_attribution",
+    "dq_constraints",
+    "scan_partition_pruned",
+    "basket_rules",
     "agg_skyline",
     "win_streak",
-    "win_lorenz",
     "ts_interpolate",
     "text_diversity",
     "sample_poisson",
     "events_overlap_matrix",
     "curate_domain_balance",
-    "scan_partition_pruned",
     "events_forecast_snaive",
     "orders_cohort_ltv",
     "sub_division",
     "agg_string_agg",
     "fn_hash",
-    "dq_constraints",
     "events_seasonality",
-    "events_attribution",
     "dedup_prefix",
     "graph_neighbor_jaccard",
     "scan_nested_json",
     "fn_regex",
     "agg_weighted",
-    "multimodal_audio_stats",
-    "basket_rules",
-    "agg_cube",
     "sample_negatives",
     "events_trigram_paths",
     "events_burstiness",
     "ts_autocorr",
     "orders_fulfillment_lag",
     "text_k_anonymity",
-    "agg_countmin",
     "sample_temperature",
-    "graph_kcore_peel",
     "dedup_url",
     "ts_drawdown",
     "events_stickiness",
@@ -236,6 +167,7 @@ DRIVER_ORDER = [
     "dedup_bloom",
     "events_session_hist",
     "orders_abc_class",
+    # -- ROTATION LEDGER window r11: next 50 never-checked ids --
     "events_new_vs_returning",
     "text_readability",
     "graph_sssp_weighted",
@@ -263,7 +195,6 @@ DRIVER_ORDER = [
     "ts_decompose",
     "dedup_threshold_sweep",
     "graph_modularity",
-    "multimodal_phash_clusters",
     "win_ohlc_bars",
     "orders_reorder_rate",
     "events_hazard_rate",
@@ -272,7 +203,6 @@ DRIVER_ORDER = [
     "dq_referential_integrity",
     "win_cusum_chart",
     "join_pit_scd2",
-    "multimodal_audio_vad",
     "dedup_band_tuning",
     "events_did",
     "sample_kfold",
@@ -288,13 +218,12 @@ DRIVER_ORDER = [
     "text_lang_confusion",
     "agg_weighted_percentile",
     "events_decay_attribution",
-    "multimodal_image_stats",
+    # -- ROTATION LEDGER window r12: next 50 never-checked ids --
     "scan_mor_deletes",
     "events_slo_burn",
     "dedup_agreement",
     "orders_aging_wip",
     "embed_separability",
-    "multimodal_scene_changes",
     "fn_fiscal_calendar",
     "orders_pvm_variance",
     "set_except_all",
@@ -317,7 +246,6 @@ DRIVER_ORDER = [
     "win_change_runs",
     "events_cuped",
     "events_mann_whitney",
-    # -- born in round 8, session 2 --
     "graph_connected_components",
     "events_ks_test",
     "agg_gini",
@@ -341,6 +269,7 @@ DRIVER_ORDER = [
     "text_feature_hashing",
     "agg_ols_multi",
     "win_vwap",
+    # -- ROTATION LEDGER window r13 (27 ids): the tail of the never-checked set; the r13 window tops up from the refresh queue below --
     "set_union_by_name",
     "sim_rrf_fusion",
     "agg_median_ci_bootstrap",
@@ -368,147 +297,202 @@ DRIVER_ORDER = [
     "orders_rank_stability",
     "tokenize_padding_waste",
     "win_drawdown_duration",
-    # -- displaced from the r8 window by the 25 r8-born ids (the
-    #    r8-born certify first; r5-signal refreshes queue for r9) --
-    "multimodal_resize",
-    "udtf_python_arrow",
-    "dedup_minhash",
-    "dedup_clusters",
-    "dedup_simhash",
-    "sim_ann_ivf",
-    "pack_sequences",
-    "curate_corpus",
-    "sample_stratified",
-    "text_repetition",
-    "kmeans_assign",
-    "tpch_q3",
-    "tpch_q6",
-    "udf_scalar_pandas",
-    "join_cross_argmin",
-    "fn_math",
-    "fn_array",
-    "scan_csv",
-    "scan_orc",
-    "sink_partitioned",
-    "project_select",
-    "scan_parquet",
-    "filter_pred",
-    "lateral_explode",
-    "sample_hash",
-    # -- behind the 50-window: r6/r7-fresh greens rotate for r9+;
-    #    the three exact-Python-replay rows-only ids (zlib/aHash,
-    #    genuinely not SQL-expressible) sit here by design --
-    "agg_approx",
-    "agg_percentile_exact",
-    "agg_corr",
-    "agg_regression",
-    "text_collocation_pmi",
-    "stream_cdc_upsert",
-    "dedup_embed_cosine",
-    "decontam_ngram",
-    "text_pii_scrub",
-    "embed_quantize",
-    "dedup_incremental",
-    "join_bloom_prune",
-    "merge_upsert",
-    "ann_recall_eval",
-    "tpch_q7",
-    "tpch_q12",
-    "tpch_q17",
-    "scd2_history",
-    "join_interval_overlap",
-    "text_bpe_pairs",
-    "events_anomaly",
-    "graph_pagerank",
-    "graph_triangles",
-    "scan_text",
-    "sample_reservoir",
-    "text_compression_ratio",
-    "multimodal_phash",
-    "multimodal_phash_pairs",
-    "agg_bitmap_distinct",
-    "win_first_last",
-    "events_markov",
-    "tpch_q10",
-    "tpch_q14",
-    "win_sessionize",
-    "sub_lateral",
-    "tpch_q4",
-    "tpch_q13",
-    "tpch_q22",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q11",
-    "tpch_q21",
-    "dedup_simhash_pairs",
-    "text_ngram_stats",
-    "sample_token_budget",
-    "tpch_q18",
-    "events_funnel",
-    "win_distribution",
-    "join_broadcast",
-    "join_semi",
-    "join_anti",
-    "sort_limit",
-    "topk_per_group",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "fn_string",
-    "fn_date",
-    "sub_exists",
-    "sub_scalar",
-    "sub_in",
-    "dedup_ngram_jaccard",
-    "events_retention",
-    "sub_recursive",
-    "kmeans_fit",
-    "multimodal_decode",
-    "sim_topk",
-    "agg_hash",
-    "stream_sliding",
-    "stream_stream_join",
-    "multimodal_decode_meta",
-    "tpch_q5",
-    "join_dpp",
-    "win_argmin",
-    "udtf_apply_in_pandas",
-    "text_tokenize_tfidf",
-    "join_asof",
-    "scan_json",
-    "fn_json",
-    "stream_session",
-    "stream_dedup",
-    "stream_stateful",
-    "stream_watermark_late",
-    "stream_tumbling",
-    "agg_distinct",
-    "fn_map",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_vector_mean",
-    "rollup_hypertable",
-    "join_shuffle",
-    "join_outer",
-    "join_theta_range",
-    "join_bucketed",
-    "join_skew_salted",
-    "win_rank",
-    "win_lag_lead",
-    "win_frame_avg",
-    "win_running_total",
-    "win_range_frame",
-    "win_ntile",
-    "udaf_grouped_pandas",
-    "text_stats",
-    "text_langid",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_cols",
-    "multimodal_framesample",
-    "dedup_exact",
+    # -- rows-only-by-design multimodal ids with no driver row: eligible only for the weak rows-only check, so they queue behind every SQL-certifiable id --
+    "multimodal_audio_stats",
+    "multimodal_phash_clusters",
+    "multimodal_audio_vad",
+    "multimodal_image_stats",
+    "multimodal_scene_changes",
+    # -- refresh queue: every id here holds a green driver row
+    #    (r5-r9); ordered oldest-certification-first (latest green
+    #    round asc) so refreshes recycle the stalest greens once
+    #    the ledger above is consumed --
+    "multimodal_resize",  # r5
+    "udtf_python_arrow",  # r5
+    "dedup_minhash",  # r5
+    "dedup_clusters",  # r5
+    "dedup_simhash",  # r5
+    "sim_ann_ivf",  # r5
+    "pack_sequences",  # r5
+    "curate_corpus",  # r5
+    "sample_stratified",  # r5
+    "text_repetition",  # r5
+    "kmeans_assign",  # r5
+    "tpch_q3",  # r5
+    "tpch_q6",  # r5
+    "udf_scalar_pandas",  # r5
+    "join_cross_argmin",  # r5
+    "fn_math",  # r5
+    "fn_array",  # r5
+    "scan_csv",  # r5
+    "scan_orc",  # r5
+    "sink_partitioned",  # r5
+    "project_select",  # r5
+    "scan_parquet",  # r5
+    "filter_pred",  # r5
+    "lateral_explode",  # r5
+    "sample_hash",  # r5
+    "join_broadcast",  # r5
+    "join_semi",  # r5
+    "join_anti",  # r5
+    "sort_limit",  # r5
+    "topk_per_group",  # r5
+    "set_union",  # r5
+    "set_intersect",  # r5
+    "set_except",  # r5
+    "fn_string",  # r5
+    "fn_date",  # r5
+    "sub_exists",  # r5
+    "sub_scalar",  # r5
+    "sub_in",  # r5
+    "dedup_ngram_jaccard",  # r6
+    "events_retention",  # r6
+    "sub_recursive",  # r6
+    "kmeans_fit",  # r6
+    "multimodal_decode",  # r6
+    "sim_topk",  # r6
+    "agg_hash",  # r6
+    "stream_sliding",  # r6
+    "stream_stream_join",  # r6
+    "multimodal_decode_meta",  # r6
+    "tpch_q5",  # r6
+    "join_dpp",  # r6
+    "win_argmin",  # r6
+    "udtf_apply_in_pandas",  # r6
+    "text_tokenize_tfidf",  # r6
+    "join_asof",  # r6
+    "scan_json",  # r6
+    "fn_json",  # r6
+    "stream_session",  # r6
+    "stream_dedup",  # r6
+    "stream_stateful",  # r6
+    "stream_watermark_late",  # r6
+    "stream_tumbling",  # r6
+    "agg_distinct",  # r6
+    "fn_map",  # r6
+    "agg_grouping_sets",  # r6
+    "agg_pivot",  # r6
+    "agg_vector_mean",  # r6
+    "rollup_hypertable",  # r6
+    "join_shuffle",  # r6
+    "join_outer",  # r6
+    "join_theta_range",  # r6
+    "join_bucketed",  # r6
+    "join_skew_salted",  # r6
+    "win_rank",  # r6
+    "win_lag_lead",  # r6
+    "win_frame_avg",  # r6
+    "win_running_total",  # r6
+    "win_range_frame",  # r6
+    "win_ntile",  # r6
+    "udaf_grouped_pandas",  # r6
+    "text_stats",  # r6
+    "text_langid",  # r6
+    "text_quality",  # r6
+    "text_token_count",  # r6
+    "text_fingerprint",  # r6
+    "multimodal_cols",  # r6
+    "multimodal_framesample",  # r6
+    "dedup_exact",  # r6
+    "agg_approx",  # r7
+    "agg_percentile_exact",  # r7
+    "agg_corr",  # r7
+    "agg_regression",  # r7
+    "text_collocation_pmi",  # r7
+    "stream_cdc_upsert",  # r7
+    "dedup_embed_cosine",  # r7
+    "decontam_ngram",  # r7
+    "text_pii_scrub",  # r7
+    "embed_quantize",  # r7
+    "dedup_incremental",  # r7
+    "join_bloom_prune",  # r7
+    "merge_upsert",  # r7
+    "ann_recall_eval",  # r7
+    "tpch_q7",  # r7
+    "tpch_q12",  # r7
+    "tpch_q17",  # r7
+    "scd2_history",  # r7
+    "join_interval_overlap",  # r7
+    "text_bpe_pairs",  # r7
+    "events_anomaly",  # r7
+    "graph_pagerank",  # r7
+    "graph_triangles",  # r7
+    "scan_text",  # r7
+    "sample_reservoir",  # r7
+    "text_compression_ratio",  # r7
+    "multimodal_phash",  # r7
+    "multimodal_phash_pairs",  # r7
+    "agg_bitmap_distinct",  # r7
+    "win_first_last",  # r7
+    "events_markov",  # r7
+    "tpch_q10",  # r7
+    "tpch_q14",  # r7
+    "win_sessionize",  # r7
+    "sub_lateral",  # r7
+    "tpch_q4",  # r7
+    "tpch_q13",  # r7
+    "tpch_q22",  # r7
+    "tpch_q15",  # r7
+    "tpch_q16",  # r7
+    "tpch_q19",  # r7
+    "tpch_q11",  # r7
+    "tpch_q21",  # r7
+    "dedup_simhash_pairs",  # r7
+    "text_ngram_stats",  # r7
+    "sample_token_budget",  # r7
+    "tpch_q18",  # r7
+    "events_funnel",  # r7
+    "win_distribution",  # r7
+    "tpch_q8",  # r9
+    "tpch_q9",  # r9
+    "tpch_q20",  # r9
+    "tpch_q2",  # r9
+    "text_line_dedup",  # r9
+    "mixture_weights",  # r9
+    "embed_covariance",  # r9
+    "project_unpivot",  # r9
+    "tokenize_chunk_overlap",  # r9
+    "fn_bitwise",  # r9
+    "win_fill_forward",  # r9
+    "agg_mode",  # r9
+    "scan_csv_corrupt",  # r9
+    "graph_bfs",  # r9
+    "text_heavy_hitters",  # r9
+    "ts_resample",  # r9
+    "sample_importance",  # r9
+    "table_diff",  # r9
+    "fn_url",  # r9
+    "sim_mips",  # r9
+    "sort_zorder",  # r9
+    "agg_histogram",  # r9
+    "events_rfm",  # r9
+    "agg_argmax",  # r9
+    "agg_sketch_merge",  # r9
+    "stats_profile",  # r9
+    "sub_any_all",  # r9
+    "scan_schema_evolution",  # r9
+    "dedup_edit_distance",  # r9
+    "embed_norm_stats",  # r9
+    "tokenize_vocab_coverage",  # r9
+    "events_ab_test",  # r9
+    "ts_ewma",  # r9
+    "win_running_distinct",  # r9
+    "dedup_containment",  # r9
+    "join_null_safe",  # r9
+    "fn_conditional",  # r9
+    "graph_degree_distribution",  # r9
+    "sample_split",  # r9
+    "win_rolling_median",  # r9
+    "scan_binary_files",  # r9
+    "agg_approx_topk",  # r9
+    "events_active_users",  # r9
+    "agg_moments",  # r9
+    "stream_enrich_static",  # r9
+    "agg_predicates",  # r9
+    "rollup_incremental",  # r9
+    "topk_percent",  # r9
+    "events_gap_detect",  # r9
+    "events_inter_arrival",  # r9
 ]
 
 

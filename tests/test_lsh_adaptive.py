@@ -96,3 +96,33 @@ def test_above_floor_chain_finds_planted_duplicates(spark, tmp_path):
     }
     planted = {(i, i + n_base) for i in range(1, n_base + 1)}
     assert planted <= pairs
+
+
+def test_corpus_size_cache_invalidates_on_rewrite(spark, tmp_path):
+    """ADVICE r9: a rebuilt/grown embeddings.parquet in the SAME dir
+    must invalidate the memoized vector count — otherwise the adaptive
+    band width is sized for the old corpus and the dedup/ANN chain
+    silently changes shape relative to the data actually read."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from nchu_bigdata_spark.operators.similarity import _corpus_size
+
+    def write(n):
+        spark.range(1, n + 1).select(
+            F.col("id").cast("int").alias("vec_id"),
+            F.lit("t").alias("label"),
+            F.expr(
+                "transform(sequence(0, 7), d ->"
+                " CAST(pmod(hash(id, d), 100) / 100.0 AS FLOAT))"
+            ).alias("embedding"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "embeddings.parquet")
+        )
+
+    write(100)
+    assert _corpus_size(spark, str(tmp_path)) == 100
+    time.sleep(0.02)  # ensure a distinct mtime_ns even on coarse clocks
+    write(250)
+    assert _corpus_size(spark, str(tmp_path)) == 250

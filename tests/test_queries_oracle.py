@@ -140,3 +140,14 @@ def test_driver_order_covers_registry_exactly():
 
     assert len(DRIVER_ORDER) == len(set(DRIVER_ORDER)), "duplicate ids"
     assert set(DRIVER_ORDER) == set(SPECS), set(DRIVER_ORDER) ^ set(SPECS)
+
+
+def test_driver_window_is_sql_certifiable():
+    """The rotation ledger's whole point is that each 50-id driver
+    window advances certification provenance. A rows-only id in the
+    window burns a slot on the weak check; keep the ledger head (the
+    r10-r12 windows, 150 ids) strictly SQL-oracle-backed."""
+    from nchu_bigdata_spark.registry import DRIVER_ORDER
+
+    rows_only = [n for n in DRIVER_ORDER[:150] if SPECS[n].oracle is None]
+    assert rows_only == [], rows_only
