@@ -773,9 +773,56 @@ def _synth_and_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "multimodal_phash",
     tags=("b10",),
-    oracle=None,  # BMP parsing isn't SQL; the sweep replays the spec in
-    # pure Python (independent of numpy AND of the module's parser) and
-    # demands exact per-row equality — promoted check, not rows-only
+    # r10 (VERDICT r9 item 6): the BMP round-trip has a closed form —
+    # the 16-px-wide grid makes every aHash cell exactly 2 columns
+    # wide, rows explode from the computed [i*h//8, max(...,+1)) block
+    # bounds, and the two's-complement fold uses HUGEINT arithmetic.
+    # The independent pure-Python spec replay (check_oracle) still
+    # runs in addition, unweakened.
+    oracle="""
+        -- 64-bit aHash replayed from the pixel spec (byte(k) =
+        -- text[(k mod len)+1]; gray = 3-byte sum; integer block
+        -- means; strict > threshold; two's-complement int64).
+        WITH d AS (SELECT doc_id, text, length(text) AS len,
+                          greatest(length(text) // 48, 1) AS h
+                   FROM documents WHERE doc_id % 3 = 0),
+        ci AS (SELECT doc_id, text, len, h, unnest(generate_series(0, 7)) AS i FROM d),
+        cib AS (SELECT doc_id, text, len, h, i,
+                       (i * h) // 8 AS r0,
+                       greatest(((i + 1) * h) // 8, (i * h) // 8 + 1) AS r1
+                FROM ci),
+        cr AS (SELECT doc_id, text, len, i, r0, r1,
+                      unnest(generate_series(r0, r1 - 1)) AS r FROM cib),
+        cj AS (SELECT cr.*, k.j FROM cr CROSS JOIN range(8) AS k(j)),
+        g2 AS (
+            SELECT doc_id, i, j,
+                   ascii(substr(text, CAST((3*(r*16 + 2*j)  ) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j)+1) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j)+2) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j+1)  ) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j+1)+1) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j+1)+2) % len AS INT) + 1, 1)) AS gp
+            FROM cj
+        ),
+        cell AS (
+            SELECT doc_id, i, j, sum(gp) // (count(*) * 2) AS mean
+            FROM g2 GROUP BY doc_id, i, j
+        ),
+        thr AS (SELECT doc_id, sum(mean) // 64 AS t FROM cell GROUP BY doc_id),
+        ph AS (
+            SELECT cell.doc_id,
+                   sum(CASE WHEN cell.mean > thr.t
+                            THEN CAST(power(2, 8 * cell.i + cell.j) AS HUGEINT)
+                            ELSE 0 END) AS v
+            FROM cell JOIN thr USING (doc_id) GROUP BY cell.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(d.len AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN ph.v >= 9223372036854775808
+                         THEN ph.v - 18446744073709551616
+                         ELSE ph.v END AS BIGINT) AS phash
+        FROM d JOIN ph USING (doc_id)
+    """,
 )
 def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image fingerprints: synthesize each image-modality
@@ -807,8 +854,65 @@ _PH_HAM_T = 6  # verified hamming threshold
 @register(
     "multimodal_phash_pairs",
     tags=("b10",),
-    oracle=None,  # replayed exactly in pure Python by the sweep (band
-    # condition + hamming verify on spec-replayed hashes)
+    # r10: full SQL oracle — the multimodal_phash CTE chain feeds the
+    # same 4×16-bit band self-join + bit_count(xor) ≤ 6 verify the
+    # Spark side runs. Pure-Python replay still runs in addition.
+    oracle="""
+        -- band-join + hamming verify over spec-replayed aHashes.
+        WITH  d AS (SELECT doc_id, text, length(text) AS len,
+                          greatest(length(text) // 48, 1) AS h
+                   FROM documents WHERE doc_id % 3 = 0),
+        ci AS (SELECT doc_id, text, len, h, unnest(generate_series(0, 7)) AS i FROM d),
+        cib AS (SELECT doc_id, text, len, h, i,
+                       (i * h) // 8 AS r0,
+                       greatest(((i + 1) * h) // 8, (i * h) // 8 + 1) AS r1
+                FROM ci),
+        cr AS (SELECT doc_id, text, len, i, r0, r1,
+                      unnest(generate_series(r0, r1 - 1)) AS r FROM cib),
+        cj AS (SELECT cr.*, k.j FROM cr CROSS JOIN range(8) AS k(j)),
+        g2 AS (
+            SELECT doc_id, i, j,
+                   ascii(substr(text, CAST((3*(r*16 + 2*j)  ) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j)+1) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j)+2) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j+1)  ) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j+1)+1) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j+1)+2) % len AS INT) + 1, 1)) AS gp
+            FROM cj
+        ),
+        cell AS (
+            SELECT doc_id, i, j, sum(gp) // (count(*) * 2) AS mean
+            FROM g2 GROUP BY doc_id, i, j
+        ),
+        thr AS (SELECT doc_id, sum(mean) // 64 AS t FROM cell GROUP BY doc_id),
+        ph AS (
+            SELECT cell.doc_id,
+                   sum(CASE WHEN cell.mean > thr.t
+                            THEN CAST(power(2, 8 * cell.i + cell.j) AS HUGEINT)
+                            ELSE 0 END) AS v
+            FROM cell JOIN thr USING (doc_id) GROUP BY cell.doc_id
+        ),
+        fp AS (SELECT doc_id, v,
+                      CAST(CASE WHEN v >= 9223372036854775808
+                                THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS phash
+               FROM ph),
+        bands AS (
+            SELECT doc_id, phash, k.k,
+                   (v // CAST(power(2, 16 * k.k) AS HUGEINT)) % 65536 AS bv
+            FROM fp CROSS JOIN range(4) AS k(k)
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.phash AS fp_a, b.phash AS fp_b, count(*) AS n_shared
+            FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv
+                                     AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming,
+               CAST(n_shared AS INT) AS n_bands
+        FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 6
+    """,
 )
 def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGE pairs: hamming-band candidate join over the
@@ -891,9 +995,33 @@ def _synth_and_audio_stats(
 @register(
     "multimodal_audio_stats",
     tags=("b10",),
-    oracle=None,  # WAV encode/decode is not SQL-expressible; the sweep
-    # replays the sample spec ((byte − 128) << 8) in pure Python and
-    # checks every row exactly (tools/check_oracle.py PROMOTED).
+    # r10 (VERDICT r9 item 6): the WAV round-trip has a CLOSED FORM in
+    # SQL — the synth is sample_i = (byte_i − 128) << 8 over the ASCII
+    # text bytes, so DuckDB can replay every statistic exactly from a
+    # position explode; the sweep's independent pure-Python spec replay
+    # (tools/check_oracle.py) still runs IN ADDITION, unweakened.
+    oracle="""
+        -- PCM signal stats replayed from the sample spec:
+        -- s_i = (ascii(byte i) - 128) * 256, zero-crossing = strict
+        -- sign flip between neighbors (all-ASCII text => all s < 0,
+        -- so zc = 0 -- kept as an expression, not a constant, so the
+        -- oracle stays honest if the corpus ever gains high bytes).
+        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 3 = 1),
+        pxi AS (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS i FROM d),
+        px AS (
+            SELECT doc_id,
+                   (ascii(substr(text, CAST(i AS INT), 1)) - 128) * 256 AS s,
+                   CASE WHEN i < n THEN (ascii(substr(text, CAST(i AS INT) + 1, 1)) - 128) * 256 END AS s2
+            FROM pxi
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+               CAST(sum(s) AS BIGINT) AS sum_samples,
+               CAST(sum(s * s) AS BIGINT) AS energy,
+               CAST(coalesce(sum(CASE WHEN s * s2 < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS zero_crossings
+        FROM px GROUP BY doc_id
+    """,
 )
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer SIGNAL statistics over the audio modality: peak
@@ -930,11 +1058,82 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_phash_clusters",
     tags=("b12",),
-    # No SQL oracle by design: the aHash derivation decodes binary
-    # image payloads (not SQL-expressible); tools/check_oracle.py
-    # promotes this to an EXACT python replay — union-find over the
-    # spec-replayed band+hamming pairs — the multimodal_phash_pairs
-    # certification pattern extended with transitive closure.
+    # r10: full SQL oracle — the pair chain plus a RECURSIVE min-label
+    # closure (reach(n, l) carries every reachable smaller label; the
+    # l < src guard keeps the fixpoint finite; min per node = the
+    # component minimum, DuckDB's WITH RECURSIVE union semantics
+    # terminate it). Pure-Python union-find replay still runs too.
+    oracle="""
+        -- connected components over the verified hamming-pair graph
+        -- via recursive min-label closure.
+        WITH RECURSIVE  d AS (SELECT doc_id, text, length(text) AS len,
+                          greatest(length(text) // 48, 1) AS h
+                   FROM documents WHERE doc_id % 3 = 0),
+        ci AS (SELECT doc_id, text, len, h, unnest(generate_series(0, 7)) AS i FROM d),
+        cib AS (SELECT doc_id, text, len, h, i,
+                       (i * h) // 8 AS r0,
+                       greatest(((i + 1) * h) // 8, (i * h) // 8 + 1) AS r1
+                FROM ci),
+        cr AS (SELECT doc_id, text, len, i, r0, r1,
+                      unnest(generate_series(r0, r1 - 1)) AS r FROM cib),
+        cj AS (SELECT cr.*, k.j FROM cr CROSS JOIN range(8) AS k(j)),
+        g2 AS (
+            SELECT doc_id, i, j,
+                   ascii(substr(text, CAST((3*(r*16 + 2*j)  ) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j)+1) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j)+2) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j+1)  ) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j+1)+1) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*(r*16 + 2*j+1)+2) % len AS INT) + 1, 1)) AS gp
+            FROM cj
+        ),
+        cell AS (
+            SELECT doc_id, i, j, sum(gp) // (count(*) * 2) AS mean
+            FROM g2 GROUP BY doc_id, i, j
+        ),
+        thr AS (SELECT doc_id, sum(mean) // 64 AS t FROM cell GROUP BY doc_id),
+        ph AS (
+            SELECT cell.doc_id,
+                   sum(CASE WHEN cell.mean > thr.t
+                            THEN CAST(power(2, 8 * cell.i + cell.j) AS HUGEINT)
+                            ELSE 0 END) AS v
+            FROM cell JOIN thr USING (doc_id) GROUP BY cell.doc_id
+        ),
+        fp AS (SELECT doc_id, v,
+                      CAST(CASE WHEN v >= 9223372036854775808
+                                THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS phash
+               FROM ph),
+        bands AS (
+            SELECT doc_id, phash, k.k,
+                   (v // CAST(power(2, 16 * k.k) AS HUGEINT)) % 65536 AS bv
+            FROM fp CROSS JOIN range(4) AS k(k)
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.phash AS fp_a, b.phash AS fp_b
+            FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv
+                                     AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        pairs AS (SELECT doc_a, doc_b FROM cand
+                  WHERE bit_count(xor(fp_a, fp_b)) <= 6),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(doc_id, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label
+            FROM edges e JOIN reach r ON e.dst = r.doc_id
+            WHERE r.label < e.src
+        ),
+        lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        SELECT lab.doc_id, lab.cluster_id,
+               CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+               CAST(CASE WHEN lab.doc_id = lab.cluster_id THEN 1 ELSE 0 END AS INT)
+                   AS is_canonical
+        FROM lab JOIN sz USING (cluster_id)
+    """,
 )
 def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate CLUSTERS: connected components over the
@@ -1034,10 +1233,50 @@ def _synth_and_audio_vad(
 @register(
     "multimodal_audio_vad",
     tags=("b10",),
-    oracle=None,  # WAV decode is not SQL-expressible; the sweep replays
-    # the full synth->decode->frame->gate chain in pure Python
-    # (tools/check_oracle.py PROMOTED, the multimodal_audio_stats
-    # pattern) and checks every row exactly.
+    # r10 (VERDICT r9 item 6): the whole synth→frame→gate→run-length
+    # chain is SQL — samples from the (byte−128)<<8 spec, 64-sample
+    # frame energies by integer division on position, the adaptive
+    # gate as the same e·nf > tot cross-multiply, and maximal active
+    # runs via gaps-and-islands. Pure-Python spec replay still runs
+    # in addition.
+    oracle="""
+        -- energy-gated VAD replayed from the sample spec; islands of
+        -- consecutive active frames via f - row_number() grouping.
+        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 3 = 1),
+        smi AS (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS i FROM d),
+        sm AS (
+            SELECT doc_id, n, (i - 1) // 64 AS f,
+                   (ascii(substr(text, CAST(i AS INT), 1)) - 128) * 256 AS s
+            FROM smi
+        ),
+        fe AS (SELECT doc_id, max(n) AS n, f, sum(s * s) AS e FROM sm GROUP BY doc_id, f),
+        gate AS (
+            SELECT doc_id, n, f, e,
+                   count(*) OVER (PARTITION BY doc_id) AS nf,
+                   sum(e) OVER (PARTITION BY doc_id) AS tot
+            FROM fe
+        ),
+        act AS (SELECT doc_id, n, f, nf, CASE WHEN e * nf > tot THEN 1 ELSE 0 END AS a FROM gate),
+        seg_src AS (
+            SELECT doc_id, f, f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+            FROM act WHERE a = 1
+        ),
+        seg AS (SELECT doc_id, grp, count(*) AS run_len FROM seg_src GROUP BY doc_id, grp),
+        segagg AS (
+            SELECT doc_id, count(*) AS n_segments, max(run_len) AS longest_run,
+                   sum(run_len) AS n_active
+            FROM seg GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               CAST(max(a.n) AS BIGINT) AS n_samples,
+               CAST(max(a.nf) AS BIGINT) AS n_frames,
+               CAST(coalesce(max(sa.n_active), 0) AS BIGINT) AS n_active,
+               CAST(coalesce(max(sa.n_segments), 0) AS BIGINT) AS n_segments,
+               CAST(coalesce(max(sa.longest_run), 0) AS BIGINT) AS longest_run,
+               CAST(coalesce(max(sa.n_active), 0) * 10000 // max(a.nf) AS BIGINT) AS active_bp
+        FROM act a LEFT JOIN segagg sa ON a.doc_id = sa.doc_id
+        GROUP BY a.doc_id
+    """,
 )
 def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-gated voice-activity segmentation per audio clip: the
@@ -1118,9 +1357,39 @@ def _synth_and_image_stats(
 @register(
     "multimodal_image_stats",
     tags=("b10",),
-    oracle=None,  # BMP parsing isn't SQL; the sweep replays the pixel
-    # spec in pure Python (tools/check_oracle.py PROMOTED, the
-    # multimodal_audio_stats pattern) and checks every row exactly.
+    # r10 (VERDICT r9 item 6): luma statistics are ORDER-INDEPENDENT,
+    # so the BMP container round-trip (row padding, bottom-up flip)
+    # cancels out and the pixel grid has a closed form over the text
+    # bytes: byte(k) = text[(k mod len)+1] for k < 48*h (the mod covers
+    # the tile-when-short case; identity when len >= 48), luma3(p) =
+    # byte(3p)+byte(3p+1)+byte(3p+2). The pure-Python spec replay
+    # still runs in addition.
+    oracle="""
+        -- exact integer luma stats from the BMP synth spec (16 px
+        -- wide, 48 bytes/row, h = max(len//48, 1) rows; padding and
+        -- row order cancel in min/max/sum).
+        WITH d AS (SELECT doc_id, text, length(text) AS len,
+                          greatest(length(text) // 48, 1) AS h
+                   FROM documents WHERE doc_id % 3 = 0),
+        pix AS (SELECT doc_id, text, len, h,
+                       unnest(generate_series(0, 16 * h - 1)) AS p FROM d),
+        lum AS (
+            SELECT doc_id, h,
+                   ascii(substr(text, CAST((3*p)   % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*p+1) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3*p+2) % len AS INT) + 1, 1)) AS luma3
+            FROM pix
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(16 AS BIGINT) AS width,
+               CAST(max(h) AS BIGINT) AS height,
+               CAST(min(luma3) AS BIGINT) AS min_luma3,
+               CAST(max(luma3) AS BIGINT) AS max_luma3,
+               CAST(sum(luma3) AS BIGINT) AS sum_luma3,
+               CAST(max(luma3) - min(luma3) AS BIGINT) AS contrast3
+        FROM lum GROUP BY doc_id
+    """,
 )
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer SIGNAL statistics over the image modality:
@@ -1207,9 +1476,42 @@ def _synth_and_scene_changes(
 @register(
     "multimodal_scene_changes",
     tags=("b10",),
-    oracle=None,  # byte-level frame arithmetic isn't SQL; the sweep
-    # replays the frame/delta/gate spec in pure Python
-    # (tools/check_oracle.py PROMOTED) and checks every row exactly.
+    # r10 (VERDICT r9 item 6): frame bytes are direct text-byte slices
+    # (offset grid 256, frame length 128, zero-pad), so the L1 frame
+    # deltas and the adaptive cut gate replay exactly in SQL via an
+    # (i, k) position explode. Pure-Python spec replay still runs in
+    # addition.
+    oracle="""
+        -- frame-delta cut detection replayed from the byte spec.
+        WITH d AS (SELECT doc_id, text, length(text) AS len,
+                          (length(text) + 255) // 256 AS nf
+                   FROM documents WHERE doc_id % 3 = 2),
+        di AS (SELECT doc_id, text, len, nf,
+                      unnest(generate_series(0, nf - 2)) AS i FROM d),
+        del AS (
+            SELECT di.doc_id, di.i,
+                   sum(abs(
+                     (CASE WHEN 256*di.i + k.k < di.len
+                           THEN ascii(substr(di.text, CAST(256*di.i + k.k AS INT) + 1, 1)) ELSE 0 END)
+                   - (CASE WHEN 256*(di.i+1) + k.k < di.len
+                           THEN ascii(substr(di.text, CAST(256*(di.i+1) + k.k AS INT) + 1, 1)) ELSE 0 END)
+                   )) AS delta
+            FROM di CROSS JOIN range(128) AS k(k)
+            GROUP BY di.doc_id, di.i
+        ),
+        ag AS (SELECT doc_id, count(*) AS nd, sum(delta) AS tot, max(delta) AS mx FROM del GROUP BY doc_id),
+        cuts AS (
+            SELECT del.doc_id, count(*) FILTER (WHERE del.delta * ag.nd > ag.tot) AS n_cuts
+            FROM del JOIN ag USING (doc_id) GROUP BY del.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(d.nf AS BIGINT) AS n_frames,
+               CAST(coalesce(ag.nd, 0) AS BIGINT) AS n_deltas,
+               CAST(coalesce(cuts.n_cuts, 0) AS BIGINT) AS n_cuts,
+               CAST(coalesce(ag.mx, 0) AS BIGINT) AS max_delta,
+               CAST(coalesce(ag.tot, 0) AS BIGINT) AS sum_delta
+        FROM d LEFT JOIN ag USING (doc_id) LEFT JOIN cuts USING (doc_id)
+    """,
 )
 def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-delta CUT detection over the video-modality axis: the

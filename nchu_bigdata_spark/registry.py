@@ -110,7 +110,9 @@ def register(
 #   r10: ids [0:50)    (heavies lead: win_lorenz, agg_cube, ...)
 #   r11: ids [50:100)
 #   r12: ids [100:150)
-#   r13: ids [150:177) + 23 top-ups from the refresh queue
+#   r13: ids [150:182) — the 27-id tail plus the five multimodal ids
+#        that graduated from rows-only to full SQL oracles in r10 —
+#        + 18 top-ups from the refresh queue
 # after which every SQL-certifiable id holds a driver row and the list
 # degenerates into the oldest-green-first refresh cycle at the tail.
 # Each round: delete the consumed window block so the next window
@@ -297,7 +299,12 @@ DRIVER_ORDER = [
     "orders_rank_stability",
     "tokenize_padding_waste",
     "win_drawdown_duration",
-    # -- rows-only-by-design multimodal ids with no driver row: eligible only for the weak rows-only check, so they queue behind every SQL-certifiable id --
+    # -- graduated r10 (VERDICT r9 item 6): these five were rows-only
+    #    with no driver row; their synth→decode chains proved
+    #    SQL-expressible (closed-form byte specs over documents.text),
+    #    so they now carry full DuckDB oracles and extend the r13
+    #    window — the ledger drains at ids [150:182). The pure-Python
+    #    spec replays still run in addition (check_oracle). --
     "multimodal_audio_stats",
     "multimodal_phash_clusters",
     "multimodal_audio_vad",

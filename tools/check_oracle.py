@@ -529,6 +529,18 @@ def main() -> int:
             ok, msg = compare(name, spark, con, sf_dir, spec)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
+        # r10 (VERDICT r9 item 6): queries that graduated from
+        # rows-only to a full SQL oracle KEEP their independent
+        # pure-Python spec replay — the oracle certifies for the
+        # driver, the replay guards against a shared misreading of
+        # the spec by both engines' SQL (unweakened, additive).
+        if ok and name in BOUNDED_CHECKS:
+            try:
+                pdf = spec.fn(spark, sf_dir).toPandas()
+                rok, rmsg = BOUNDED_CHECKS[name](con, pdf)
+                ok, msg = rok, f"{msg}; replay: {rmsg}"
+            except Exception as e:  # noqa: BLE001
+                ok, msg = False, f"replay EXCEPTION: {type(e).__name__}: {e}"
         status = "OK" if ok else "FAIL"
         print(f"  {status} {name}: {msg} ({time.time()-t0:.1f}s)")
         if not ok:
