@@ -287,6 +287,8 @@ SQL_GROUP = [
     "events_velocity_flags",
     "orders_interval_merge",
     "dq_header_detail",
+    # born round 10: compaction planner (trend starts here)
+    "sink_compaction",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative

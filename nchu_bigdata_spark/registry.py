@@ -118,7 +118,9 @@ def register(
 # Each round: delete the consumed window block so the next window
 # surfaces to the head (or verify CORRECTNESS_rN before rotating).
 DRIVER_ORDER = [
-    # -- ROTATION LEDGER window r10: 50 never-driver-checked SQL-oracle ids (judge r9 item 1); heavies lead --
+    # -- born in round 10: certify immediately (leads the r10 window) --
+    "sink_compaction",
+    # -- ROTATION LEDGER window r10: 49 more never-driver-checked SQL-oracle ids (judge r9 item 1); heavies lead; the window boundary shifts one id later per round-10-born entry above --
     "win_lorenz",
     "agg_cube",
     "agg_countmin",

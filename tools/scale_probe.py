@@ -210,6 +210,44 @@ def build_10x(spark, out_dir: str) -> None:
             os.symlink(os.path.abspath(os.path.join(BASE_SF, f)), link)
 
 
+def build_embed_100x(spark, out_dir: str) -> None:
+    """100× embeddings-only corpus (VERDICT r9 item 7): 200k vectors so
+    the occupancy-adaptive LSH width runs far above its n=4001 floor
+    (bits = 10 at n = 200k). Same signed cyclic-shift permutation as
+    build_10x — orthogonal, so within-copy cosines replicate exactly
+    and cross-copy cosines concentrate near 0 (no pair blow-up). Copies
+    i and i+64 share a permutation but not signs (hash(d, i) differs),
+    so their cross cosine is a random-sign sum ≈ 0 as well. Every
+    non-embeddings table symlinks to sf0.1 unchanged."""
+    os.makedirs(out_dir, exist_ok=True)
+    em = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    parts = []
+    for i in range(100):
+        e = em.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT))
+        if i > 0:
+            e = e.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(sequence(0, 63), d -> "
+                    f"CASE WHEN pmod(hash(d, {i}), 2) = 0 "
+                    f"THEN embedding[pmod(d + {i}, 64)] "
+                    f"ELSE -embedding[pmod(d + {i}, 64)] END)"
+                ),
+            )
+        parts.append(e)
+    big = parts[0]
+    for q in parts[1:]:
+        big = big.unionAll(q)
+    big.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    for f in os.listdir(BASE_SF):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            link = os.path.join(out_dir, f)
+            if not os.path.lexists(link):
+                os.symlink(os.path.abspath(os.path.join(BASE_SF, f)), link)
+
+
 def time_op(spark, specs, name: str, sf_dir: str, reps: int) -> tuple[float, int]:
     # Time the NOOP SINK, not count(): Catalyst's left-outer join
     # elimination can prune an entire upstream chain out of a count()
@@ -232,6 +270,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--ops", type=str, default=",".join(HEAVY_OPS))
+    ap.add_argument(
+        "--embed100x",
+        action="store_true",
+        help="LSH linearity probe: dedup_embed_cosine at 1x/10x/100x "
+        "vectors (adaptive band width 4/7/10 bits); gates the "
+        "10x->100x STEP ratio (both arms above the width floor)",
+    )
     args = ap.parse_args()
     ops = [o for o in args.ops.split(",") if o]
 
@@ -239,6 +284,41 @@ def main() -> int:
     specs = load_all_queries()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     big_dir = os.path.join(repo, ".scratch", "scale10x")
+
+    if args.embed100x:
+        from nchu_bigdata_spark.operators.similarity import _lsh_bits
+
+        e100_dir = os.path.join(repo, ".scratch", "embed100x")
+        if not os.path.exists(os.path.join(e100_dir, "embeddings.parquet")):
+            t0 = time.perf_counter()
+            build_embed_100x(spark, e100_dir)
+            print(f"built 100x embeddings in {time.perf_counter()-t0:.1f}s")
+        if not os.path.exists(os.path.join(big_dir, "documents.parquet")):
+            build_10x(spark, big_dir)
+        import bench
+
+        bench.warm(spark)
+        name = "dedup_embed_cosine"
+        print("| corpus | n vecs | bits | sec | rows | step ratio |")
+        print("|---|---|---|---|---|---|")
+        prev = None
+        breach = False
+        for tag, d, n in (
+            ("1x", BASE_SF, 2_000),
+            ("10x", big_dir, 20_000),
+            ("100x", e100_dir, 200_000),
+        ):
+            t, r = time_op(spark, specs, name, d, args.reps)
+            step = f"{t / prev:.1f}x" if prev else "-"
+            if prev and t / prev >= GATE_RATIO:
+                step += "  **BREACH**"
+                breach = True
+            print(
+                f"| {tag} | {n} | {_lsh_bits(n)} | {t:.2f} | {r} | {step} |",
+                flush=True,
+            )
+            prev = t
+        return 1 if breach else 0
 
     if (
         not os.path.exists(os.path.join(big_dir, "documents.parquet"))
