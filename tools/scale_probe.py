@@ -210,35 +210,33 @@ def build_10x(spark, out_dir: str) -> None:
             os.symlink(os.path.abspath(os.path.join(BASE_SF, f)), link)
 
 
-def build_embed_100x(spark, out_dir: str) -> None:
-    """100× embeddings-only corpus (VERDICT r9 item 7): 200k vectors so
-    the occupancy-adaptive LSH width runs far above its n=4001 floor
-    (bits = 10 at n = 200k). Same signed cyclic-shift permutation as
-    build_10x — orthogonal, so within-copy cosines replicate exactly
-    and cross-copy cosines concentrate near 0 (no pair blow-up). Copies
-    i and i+64 share a permutation but not signs (hash(d, i) differs),
-    so their cross cosine is a random-sign sum ≈ 0 as well. Every
+def build_embed_synth(spark, out_dir: str, n: int) -> None:
+    """Synthetic embeddings corpus for the LSH LINEARITY probe
+    (VERDICT r9 item 7): 90% iid hash-noise vectors + 10% planted
+    EXACT duplicates, so the true near-dup pair count is n/10 by
+    construction — output volume is provably LINEAR in n and the
+    10×-step wall ratio isolates the ENGINE's scaling, not the
+    corpus's. (The first attempt blew up sf0.1's 2000 vectors ×100
+    with signed cyclic-shift permutations; with 100 copies over 64
+    dims, copy pairs i ≡ j (mod 64) share a permutation and leak
+    sign-flip-only cross pairs — the r9 lesson — inflating output
+    4.4× over linear and the wall to 30×. Measured, documented in
+    SCALE_PROBE.md, and replaced by this construction.) Every
     non-embeddings table symlinks to sf0.1 unchanged."""
     os.makedirs(out_dir, exist_ok=True)
-    em = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
-    parts = []
-    for i in range(100):
-        e = em.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT))
-        if i > 0:
-            e = e.withColumn(
-                "embedding",
-                F.expr(
-                    "transform(sequence(0, 63), d -> "
-                    f"CASE WHEN pmod(hash(d, {i}), 2) = 0 "
-                    f"THEN embedding[pmod(d + {i}, 64)] "
-                    f"ELSE -embedding[pmod(d + {i}, 64)] END)"
-                ),
-            )
-        parts.append(e)
-    big = parts[0]
-    for q in parts[1:]:
-        big = big.unionAll(q)
-    big.write.mode("overwrite").parquet(
+    n_uniq = n * 9 // 10
+    base = spark.range(1, n_uniq + 1).select(
+        F.col("id").alias("vec_id"),
+        F.lit("t").alias("label"),
+        F.expr(
+            "transform(sequence(0, 63), d ->"
+            " CAST((pmod(hash(id, d), 2001) - 1000) / 1000.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    dup = base.filter(F.col("vec_id") <= n - n_uniq).select(
+        (F.col("vec_id") + n_uniq).alias("vec_id"), "label", "embedding"
+    )
+    base.unionAll(dup).repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
     for f in os.listdir(BASE_SF):
@@ -288,13 +286,14 @@ def main() -> int:
     if args.embed100x:
         from nchu_bigdata_spark.operators.similarity import _lsh_bits
 
-        e100_dir = os.path.join(repo, ".scratch", "embed100x")
-        if not os.path.exists(os.path.join(e100_dir, "embeddings.parquet")):
-            t0 = time.perf_counter()
-            build_embed_100x(spark, e100_dir)
-            print(f"built 100x embeddings in {time.perf_counter()-t0:.1f}s")
-        if not os.path.exists(os.path.join(big_dir, "documents.parquet")):
-            build_10x(spark, big_dir)
+        arms = []
+        for n in (20_000, 200_000):
+            d = os.path.join(repo, ".scratch", f"embed_synth{n}")
+            if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+                t0 = time.perf_counter()
+                build_embed_synth(spark, d, n)
+                print(f"built synth {n} in {time.perf_counter()-t0:.1f}s")
+            arms.append((f"synth{n//1000}k", d, n))
         import bench
 
         bench.warm(spark)
@@ -303,11 +302,7 @@ def main() -> int:
         print("|---|---|---|---|---|---|")
         prev = None
         breach = False
-        for tag, d, n in (
-            ("1x", BASE_SF, 2_000),
-            ("10x", big_dir, 20_000),
-            ("100x", e100_dir, 200_000),
-        ):
+        for tag, d, n in arms:
             t, r = time_op(spark, specs, name, d, args.reps)
             step = f"{t / prev:.1f}x" if prev else "-"
             if prev and t / prev >= GATE_RATIO:
