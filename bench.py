@@ -352,15 +352,32 @@ def warm(spark) -> None:
     ).agg(Summarizer.mean(F.col("v"))).collect()
 
 
-def prev_llm_numbers() -> tuple[int, dict[str, float]] | None:
-    """Latest prior round's recorded LLM-group timings (BENCH_r{N}.json
-    written by the driver; its 'parsed' key holds our JSON line). Used
-    to report round-over-round deltas so the LLM family gets the same
-    regression discipline as the baseline-compared headline group."""
+def prev_llm_numbers() -> tuple[int | str, dict[str, float]] | None:
+    """Latest prior recorded LLM-group timings, for round-over-round
+    deltas. Primary source (r10): the last COMMITTED BENCH_LOCAL.json
+    (git HEAD) — since r8 the driver's stdout line is the compact
+    contract (no llm_queries), so the BENCH_r{N} scan below was
+    silently comparing against round 5. Falls back to the newest
+    BENCH_r{N}.json whose parsed line still carried llm_queries."""
     import glob
     import re
+    import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "show", "HEAD:BENCH_LOCAL.json"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if head.returncode == 0:
+            d = json.loads(head.stdout)
+            if d.get("llm_queries"):
+                return ("prev-commit", d["llm_queries"])
+    except Exception:  # noqa: BLE001 - fall through to the BENCH_r scan
+        pass
     best: tuple[int, dict[str, float]] | None = None
     for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)

@@ -29,6 +29,7 @@ TWO_PASS_IDS = [
     "orders_abc_class",
     "orders_customer_migration",
     "sample_curriculum",
+    "events_conversion_lag",  # r10: gap-support cumulative, same freeze
 ]
 
 

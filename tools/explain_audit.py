@@ -1222,6 +1222,23 @@ def audit(name: str, df, dump: bool = False) -> list[str]:
     return errors
 
 
+# Per-query expectations applied to the CHECKPOINTED-SEGMENT plans
+# (concatenated) — the plan text the consumer explain can't see. The
+# frozen two-pass-rank sites must actually contain their range sort in
+# the segment: if the freeze silently degraded (e.g. the
+# repartitionByRange dropped out of range_pid_frozen), the consumer
+# plan would still show the Scan ExistingRDD the EXPECT table pins,
+# and only this assertion would catch the missing total order.
+SEGMENT_EXPECT: dict[str, tuple[list[str], list[str]]] = {
+    "win_lorenz": ([r"rangepartitioning"], []),
+    "agg_gini": ([r"rangepartitioning"], []),
+    "orders_abc_class": ([r"rangepartitioning"], []),
+    "orders_customer_migration": ([r"rangepartitioning"], []),
+    "sample_curriculum": ([r"rangepartitioning"], []),
+    "events_conversion_lag": ([r"rangepartitioning"], []),
+}
+
+
 def audit_segments(name: str) -> list[str]:
     """Structural audit of the checkpointed-segment plans this query's
     build materialized (materialize.SEGMENT_PLANS). A frozen segment's
@@ -1242,6 +1259,14 @@ def audit_segments(name: str) -> list[str]:
                 f"[segment {tag}] {e}"
                 for e in single_task_window_violations(plan)
             )
+    must, forbid = SEGMENT_EXPECT.get(name, ([], []))
+    all_plans = "\n".join(materialize.SEGMENT_PLANS.values())
+    for rx in must:
+        if not re.search(rx, all_plans):
+            errors.append(f"[segments] missing /{rx}/")
+    for rx in forbid:
+        if re.search(rx, all_plans):
+            errors.append(f"[segments] forbidden /{rx}/ present")
     return errors
 
 
