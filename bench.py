@@ -117,6 +117,8 @@ LLM_GROUP = [
     "text_vocab_mass_ladder",
     "sample_curriculum",
     "tokenize_padding_waste",
+    # born round 10: cluster-bounded semantic dedup (trend starts here)
+    "dedup_semdedup",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites

@@ -2331,3 +2331,119 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_semdedup — cluster-bounded semantic dedup (SemDeDup, round 10)
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.4  # within-cell cosine drop threshold (= _COS_T family)
+
+
+@register(
+    "dedup_semdedup",
+    tags=("b10",),
+    oracle=f"""
+        -- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every
+        -- vector to its nearest coarse cell, then WITHIN EACH CELL drop
+        -- any vector with a lower-id neighbor at cosine >= {_SEMDEDUP_T}
+        -- (the deterministic keep-first form of the paper's
+        -- keep-one-per-near-dup-group rule). The pairwise step is
+        -- quadratic ONLY within a cell -- the paper's whole trick: k
+        -- grows with n so cell sizes stay bounded.
+        WITH {_SQL_E},
+        cent AS (SELECT vec_id AS c_id, v, n FROM e WHERE vec_id <= {_NCELLS}),
+        assign AS (
+            SELECT vec_id, cell, v, n FROM (
+                SELECT e.vec_id, c.c_id AS cell, e.v, e.n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cos('e', 'c')} DESC, c.c_id
+                       ) AS rn
+                FROM e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assign a JOIN assign b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE {_sql_cos('a', 'b')} >= {_SEMDEDUP_T}
+        )
+        SELECT a.cell,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+               CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept,
+               CAST(COALESCE(MIN(d.vec_id), -1) AS BIGINT)
+                   AS first_dropped_id,
+               CAST(COUNT(d.vec_id) * 10000 // COUNT(*) AS BIGINT)
+                   AS drop_bp
+        FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+        GROUP BY a.cell
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — cluster-bounded SEMANTIC dedup (Abbas et al. 2023,
+    arXiv:2303.09540, the technique behind LAION/web-scale semantic
+    pruning): coarse-quantize every embedding to its nearest IVF cell
+    (``_ivf_assign`` — the certified sim_ann_ivf machinery), then
+    within each cell drop every vector that has a lower-id neighbor
+    at cosine ≥ {t} (deterministic keep-first representative per
+    near-dup group). Complements `dedup_embed_cosine`: the LSH chain
+    finds PAIRS corpus-wide; SemDeDup prunes WHOLE REGIONS of
+    embedding space cell-by-cell, accepting cell-boundary misses in
+    exchange for a hard bound on the quadratic — the paper's trick is
+    that k grows with n so cell sizes (and the per-cell pair volume)
+    stay CONSTANT at any corpus scale. Output is the per-cell pruning
+    report (kept/dropped/drop_bp) a curation pipeline thresholds on.
+
+    Exactness: cosines compared only in round(·, 6) form (the module
+    convention), assignment ties broken by c_id, keep rule is a pure
+    function of (cell, vec_id order) — bit-stable, fully
+    SQL-replayable.
+
+    Plan/scale: assignment is the fused array_min literal-centroid
+    projection (ZERO shuffle, no k×N row blow-up); the within-cell
+    pair join shuffles (vec_id, cell, v) rows hash-partitioned on
+    cell — one exchange, Σ cell² pair volume bounded by the max cell
+    occupancy `sim_ivf_balance` audits; the drop list collapses to
+    DISTINCT vec_ids and the report is a cell-cardinality rollup. At
+    100 TB: k ∝ n keeps cells ~10⁴ vectors → per-cell work constant,
+    total work linear — plus the assignment stage IS the kmeans_assign
+    codegen path, so production would feed real k-means centroids."""
+    e, assign, _ = _ivf_assign(spark, sf_dir)
+    a = assign.select("vec_id", "cell", "v", "n")
+    b = (
+        a.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("cell").alias("b_cell"),
+            F.col("v").alias("bv"),
+            F.col("n").alias("bn"),
+        )
+    )
+    dropped = (
+        a.join(b, (a.cell == b.b_cell) & (a.vec_id < F.col("b_id")))
+        .filter(_cos("v", "bv", "n", "bn") >= _SEMDEDUP_T)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a.select("vec_id", "cell")
+        .join(dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.count("is_dropped").cast("long").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped"))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(
+                F.min(F.when(F.col("is_dropped") == 1, F.col("vec_id"))),
+                F.lit(-1),
+            )
+            .cast("long")
+            .alias("first_dropped_id"),
+            F.expr(
+                "CAST(count(is_dropped) * 10000 div count(1) AS BIGINT)"
+            ).alias("drop_bp"),
+        )
+    )

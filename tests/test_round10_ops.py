@@ -46,3 +46,57 @@ def test_sink_compaction_packing_invariants(spark, sf_dir):
         .count()
     )
     assert total_files == n_buckets
+
+
+def test_dedup_semdedup_matches_bruteforce_replay(spark, sf_dir):
+    """Keep-first SemDeDup rule replayed brute-force in Python (round
+    cosines to 6 like the module convention): assignment by max
+    rounded cosine to the vec_id<=8 centroids (ties to lower c_id),
+    dropped iff a lower-id same-cell neighbor has cos >= 0.4."""
+    import math
+
+    from nchu_bigdata_spark.registry import load_all_queries
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    V = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    N = {k: math.sqrt(sum(x * x for x in v)) for k, v in V.items()}
+
+    def cos(a, b):
+        return round(
+            sum(x * y for x, y in zip(V[a], V[b])) / (N[a] * N[b]), 6
+        )
+
+    cents = sorted(k for k in V if k <= 8)
+    cell = {
+        k: max(cents, key=lambda c: (cos(k, c), -c)) for k in V
+    }
+    by_cell: dict[int, list[int]] = {}
+    for k in sorted(V):
+        by_cell.setdefault(cell[k], []).append(k)
+    exp = {}
+    for c, members in by_cell.items():
+        dropped = set()
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                if cos(a, b) >= 0.4:
+                    dropped.add(b)
+        exp[c] = (
+            len(members),
+            len(dropped),
+            len(members) - len(dropped),
+            min(dropped) if dropped else -1,
+            len(dropped) * 10_000 // len(members),
+        )
+    got = {
+        r["cell"]: (
+            r["n_vectors"],
+            r["n_dropped"],
+            r["n_kept"],
+            r["first_dropped_id"],
+            r["drop_bp"],
+        )
+        for r in load_all_queries()["dedup_semdedup"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == exp

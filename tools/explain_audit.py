@@ -1234,6 +1234,18 @@ def audit(name: str, df, dump: bool = False) -> list[str]:
     return errors
 
 
+# semdedup: assignment is a zero-join literal-centroid projection; the
+# only join pair is the cell-keyed within-cell self join (+ the
+# drop-list equi join) — never a nested loop over vectors
+_EXPECT_EXTRA = {
+    "dedup_semdedup": (
+        [r"HashAggregate", r"hashpartitioning\(cell"],
+        [r"BroadcastNestedLoopJoin", r"rangepartitioning"],
+    ),
+}
+EXPECT.update(_EXPECT_EXTRA)
+
+
 # Per-query expectations applied to the CHECKPOINTED-SEGMENT plans
 # (concatenated) — the plan text the consumer explain can't see. The
 # frozen two-pass-rank sites must actually contain their range sort in
