@@ -117,8 +117,10 @@ LLM_GROUP = [
     "text_vocab_mass_ladder",
     "sample_curriculum",
     "tokenize_padding_waste",
-    # born round 10: cluster-bounded semantic dedup (trend starts here)
+    # born round 10: cluster-bounded semantic dedup + ExactSubstr-style
+    # span audit (trend starts here)
     "dedup_semdedup",
+    "dedup_substring_spans",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites

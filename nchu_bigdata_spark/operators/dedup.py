@@ -2530,3 +2530,115 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("err_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_substring_spans — ExactSubstr-style duplicated-span audit (round 10)
+# --------------------------------------------------------------------------
+
+_SPAN_W = 5  # tokens per span window
+
+
+@register(
+    "dedup_substring_spans",
+    tags=("b10",),
+    oracle=f"""
+        -- ExactSubstr-style duplicated-span audit (Lee et al. 2021,
+        -- arXiv:2107.06499 "Deduplicating Training Data Makes
+        -- Language Models Better"): every {_SPAN_W}-token sliding
+        -- window, a window is DUPLICATED iff its exact text occurs
+        -- >= 2 times anywhere in the corpus (same doc counts); per
+        -- doc, the duplicated-window fraction in bp -- the
+        -- memorization-risk readout substring dedup thresholds on.
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+        ),
+        w AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(tok) - {_SPAN_W} + 1)) AS i,
+                   tok
+            FROM d WHERE len(tok) >= {_SPAN_W}
+        ),
+        s AS (
+            SELECT doc_id,
+                   array_to_string(tok[i:i + {_SPAN_W} - 1], ' ') AS span
+            FROM w
+        ),
+        c AS (SELECT span, count(*) AS cnt FROM s GROUP BY span),
+        per AS (
+            SELECT s.doc_id,
+                   count(*) AS n_windows,
+                   sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)
+                       AS n_dup_windows
+            FROM s JOIN c USING (span) GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(per.n_dup_windows, 0) AS BIGINT)
+                   AS n_dup_windows,
+               CAST(CASE WHEN COALESCE(per.n_windows, 0) = 0 THEN 0
+                         ELSE per.n_dup_windows * 10000 // per.n_windows
+                    END AS BIGINT) AS dup_bp
+        FROM d LEFT JOIN per USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-SPAN audit (Lee et al. 2021,
+    arXiv:2107.06499): slide a {w}-token window over every document
+    and flag each window whose exact text occurs ≥ 2 times anywhere
+    in the corpus (same-doc repeats count, per the paper). The per-doc
+    duplicated-window fraction (bp) is the memorization-risk readout
+    substring dedup pipelines threshold on — the SPAN-granular
+    complement to `text_line_dedup` (line granularity) and
+    `dedup_prefix`/`dedup_minhash` (whole-doc granularity). This is
+    the bounded-width windowed form of the paper's suffix-array
+    maximal-substring match: fixed W makes the operator a pure
+    hash-groupBy pipeline (no suffix-array construction), trading
+    arbitrary-length matches for embarrassing parallelism — the
+    standard production variant.
+
+    Plan/scale: windows explode JVM-side (transform+slice+array_join
+    inside codegen, no Python); span counting is ONE map-side-combined
+    hash agg keyed on span text; the flag join is span-keyed
+    (content-hash sharding — exactly how a 100 TB substring dedup
+    shards); the per-doc rollup is doc-keyed. Everything is linear in
+    total window count (= corpus tokens). Docs shorter than {w} tokens
+    emit an explicit 0-window row via the doc-spine left join."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tok")
+    )
+    wins = docs.filter(F.size("tok") >= _SPAN_W).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tok) - {_SPAN_W} + 1),"
+                f" i -> array_join(slice(tok, i, {_SPAN_W}), ' '))"
+            )
+        ).alias("span"),
+    )
+    cnt = wins.groupBy("span").agg(F.count(F.lit(1)).alias("cnt"))
+    per = (
+        wins.join(cnt, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_windows, 0) = 0 THEN 0"
+                " ELSE n_dup_windows * 10000 div n_windows END AS BIGINT)"
+            ).alias("dup_bp"),
+        )
+    )

@@ -100,3 +100,39 @@ def test_dedup_semdedup_matches_bruteforce_replay(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_dedup_substring_spans_bruteforce(spark, sf_dir):
+    """ExactSubstr window audit replayed brute-force: 5-token sliding
+    windows, duplicated iff the exact span text occurs >= 2 times
+    corpus-wide (same-doc repeats count)."""
+    from collections import Counter
+
+    from nchu_bigdata_spark.registry import load_all_queries
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    W = 5
+    spans = {}
+    counts = Counter()
+    for r in rows:
+        tok = r["text"].split(" ")
+        ws = [" ".join(tok[i:i + W]) for i in range(len(tok) - W + 1)]
+        spans[r["doc_id"]] = ws
+        counts.update(ws)
+    exp = {}
+    for d, ws in spans.items():
+        dup = sum(1 for w in ws if counts[w] >= 2)
+        exp[d] = (len(ws), dup, dup * 10_000 // len(ws) if ws else 0)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_bp"])
+        for r in load_all_queries()["dedup_substring_spans"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == exp
+    # signal sanity: the fixture vocabulary is small enough that some
+    # spans genuinely repeat — an all-zero column would mean the
+    # operator (or the corpus) degenerated
+    assert any(v[1] > 0 for v in exp.values())
