@@ -115,8 +115,11 @@ def register(
 #        + 18 top-ups from the refresh queue
 # after which every SQL-certifiable id holds a driver row and the list
 # degenerates into the oldest-green-first refresh cycle at the tail.
-# Each round: delete the consumed window block so the next window
-# surfaces to the head (or verify CORRECTNESS_rN before rotating).
+# Each round: run `python tools/rotate_ledger.py --apply` after the
+# driver's CORRECTNESS_rN lands — it verifies the window actually ran
+# as committed, keeps any non-green ids at the head for re-check, and
+# moves the greens to the tail (the r9 unrotated-window incident is
+# the reason this is a tool, not a convention).
 DRIVER_ORDER = [
     # -- born in round 10: certify immediately (leads the r10 window) --
     "sink_compaction",
