@@ -255,18 +255,20 @@ _SQL_IVF_CORE = f"""
 """
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str):
+def _ivf_assign(spark: SparkSession, sf_dir: str, ncells: int = _NCELLS):
     """Shared IVF coarse-assignment derivation (sim_ann_ivf's core,
-    also consumed by sim_ivf_balance): returns (e, assign, probe_cells)
-    where ``assign`` carries every vector's nearest-cell id from the
-    fused array_min struct projection and ``probe_cells`` is the
-    sorted-slice SQL for the _NPROBE nearest cells."""
+    also consumed by sim_ivf_balance and dedup_semdedup): returns
+    (e, assign, probe_cells) where ``assign`` carries every vector's
+    nearest-cell id from the fused array_min struct projection and
+    ``probe_cells`` is the sorted-slice SQL for the _NPROBE nearest
+    cells. ``ncells`` defaults to the fixed demo constant; callers
+    with an occupancy contract (dedup_semdedup) pass an adaptive k."""
     e = _vecs(spark, sf_dir)
     cent = (
-        e.filter(F.col("vec_id") <= _NCELLS)
+        e.filter(F.col("vec_id") <= ncells)
         .select(F.col("vec_id").alias("c_id"), "v", "n")
         .collect()
-    )  # k = _NCELLS rows — the sanctioned small-side driver collect
+    )  # k = ncells rows — the sanctioned small-side driver collect
     # coalesce: a NULL cosine (zero-norm vector/centroid) must rank
     # LAST like the oracle's DESC NULLS LAST — a bare NULL struct field
     # would sort FIRST in array_min and steal every assignment.
@@ -2338,6 +2340,19 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SEMDEDUP_T = 0.4  # within-cell cosine drop threshold (= _COS_T family)
+_SEMDEDUP_CELL_TARGET = 250  # target vectors per cell (occupancy pin)
+
+
+def _semdedup_cells(n: int) -> int:
+    """Occupancy-adaptive cell count: k = max(floor demo constant,
+    n // target) — the SemDeDup paper's k ∝ n contract, with the same
+    fixture-pinning floor pattern as ``_lsh_bits`` (n = 500 and 2000
+    at the certified sf dirs both land on the floor, so the oracle's
+    fixed vec_id ≤ 8 centroid set stays bit-identical there;
+    the first step lands at n = 2250). Without this, cell occupancy —
+    and the within-cell pair volume — grows linearly with the corpus
+    (measured: 8.5× wall at the 10× probe under fixed k; ~2× after)."""
+    return max(_NCELLS, n // _SEMDEDUP_CELL_TARGET)
 
 
 @register(
@@ -2409,8 +2424,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT vec_ids and the report is a cell-cardinality rollup. At
     100 TB: k ∝ n keeps cells ~10⁴ vectors → per-cell work constant,
     total work linear — plus the assignment stage IS the kmeans_assign
-    codegen path, so production would feed real k-means centroids."""
-    e, assign, _ = _ivf_assign(spark, sf_dir)
+    codegen path, so production would feed real k-means centroids.
+    r10 probe closure: the cell count is occupancy-adaptive
+    (``_semdedup_cells`` — k = max(floor, n // 250), the paper's k ∝ n
+    contract with the ``_lsh_bits`` fixture-pinning floor), so the 10×
+    probe's fixed-k occupancy growth (8.5× wall) is gone above the
+    floor while both certified sf dirs stay on the oracle's fixed
+    centroid set."""
+    ncells = _semdedup_cells(_corpus_size(spark, sf_dir))
+    e, assign, _ = _ivf_assign(spark, sf_dir, ncells=ncells)
     a = assign.select("vec_id", "cell", "v", "n")
     b = (
         a.select(

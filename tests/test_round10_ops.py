@@ -155,3 +155,45 @@ def test_rotate_ledger_dry_run_is_safe():
     )
     assert proc.returncode in (0, 1), proc.stderr[-500:]
     assert "Traceback" not in proc.stderr
+
+
+def test_semdedup_adaptive_cells_above_floor(spark, tmp_path):
+    """The above-floor arm of the occupancy-adaptive cell count
+    (fixtures stay on the k=9 floor): 3000 vectors force k=12, exact
+    planted duplicates share their original's cell at ANY k (identical
+    vectors assign identically) and drop at cos=1, and the per-cell
+    report still partitions the corpus exactly."""
+    import pyspark.sql.functions as F
+
+    from nchu_bigdata_spark.operators.similarity import (
+        _semdedup_cells,
+        dedup_semdedup,
+    )
+
+    # floor = _NCELLS = 8 (the fixture parquet's vec_ids start at 0,
+    # so `vec_id <= 8` yields 9 centroid rows there — the floor value
+    # is the CONSTANT, not the row count)
+    assert _semdedup_cells(500) == 8 and _semdedup_cells(2000) == 8
+    assert _semdedup_cells(2250) == 9 and _semdedup_cells(3000) == 12
+
+    n_base, n_dup = 2800, 200
+    base = spark.range(1, n_base + 1).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.lit("t").alias("label"),
+        F.expr(
+            "transform(sequence(0, 63), d ->"
+            " CAST((pmod(hash(id, d), 2001) - 1000) / 1000.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    dup = base.filter(F.col("vec_id") <= n_dup).select(
+        (F.col("vec_id") + n_base).alias("vec_id"), "label", "embedding"
+    )
+    base.unionAll(dup).coalesce(2).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    rows = dedup_semdedup(spark, str(tmp_path)).collect()
+    assert 1 <= len(rows) <= 12  # k = 12 cells above the floor
+    assert sum(r["n_vectors"] for r in rows) == n_base + n_dup
+    # every planted duplicate has a lower-id twin in its own cell at
+    # cos = 1 -> at least the planted count drops
+    assert sum(r["n_dropped"] for r in rows) >= n_dup
