@@ -121,6 +121,7 @@ LLM_GROUP = [
     # span audit (trend starts here)
     "dedup_semdedup",
     "dedup_substring_spans",
+    "decontam_embedding",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites

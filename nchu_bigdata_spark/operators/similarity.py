@@ -2469,3 +2469,102 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# decontam_embedding — semantic eval-set decontamination (round 10)
+# --------------------------------------------------------------------------
+
+_DECON_EMB_T = 0.35  # train-vs-eval cosine contamination threshold
+
+
+@register(
+    "decontam_embedding",
+    tags=("b10",),
+    oracle=f"""
+        -- SEMANTIC eval-set decontamination: the embedding-space
+        -- complement to decontam_ngram (lexical 13-gram hits miss
+        -- paraphrases; cosine similarity catches them). Eval split =
+        -- vec_id % 20 = 0 (the deterministic-split convention); a
+        -- train vector is CONTAMINATED iff round(cos, 6) >= {_DECON_EMB_T}
+        -- against ANY eval vector; per flagged vector report the
+        -- nearest eval item (max cos, ties to lower eval id) and the
+        -- hit count -- the removal manifest + audit trail.
+        WITH {_SQL_E},
+        ev AS (SELECT vec_id, v, n FROM e WHERE vec_id % 20 = 0),
+        tr AS (SELECT vec_id, label, v, n FROM e WHERE vec_id % 20 <> 0),
+        hits AS (
+            SELECT tr.vec_id, tr.label, ev.vec_id AS eval_id,
+                   {_sql_cos('tr', 'ev')} AS cos_sim
+            FROM tr JOIN ev ON {_sql_cos('tr', 'ev')} >= {_DECON_EMB_T}
+        )
+        SELECT vec_id,
+               label,
+               CAST(MIN(CASE WHEN rn = 1 THEN eval_id END) AS BIGINT)
+                   AS best_eval_id,
+               CAST(MAX(CASE WHEN rn = 1 THEN cos_sim END)
+                    AS DECIMAL(18,6)) AS best_cos,
+               CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos_sim DESC, eval_id
+                   ) AS rn
+            FROM hits
+        ) GROUP BY vec_id, label
+    """,
+)
+def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-set decontamination — the embedding-space
+    complement to `decontam_ngram`: lexical 13-gram matching misses
+    paraphrased/reworded eval leakage, cosine similarity in embedding
+    space catches it (the decontamination ladder every eval-integrity
+    pipeline runs both rungs of). Eval split = vec_id % 20 = 0 (the
+    repo's deterministic-split convention, ~5%); a train vector is
+    CONTAMINATED iff its rounded cosine against ANY eval vector is
+    ≥ {t}; the output manifest carries the nearest eval item (max
+    cos, ties to the lower eval id) and the hit count per flagged
+    vector — what gets removed, and why, auditable row by row.
+
+    Exactness: cosines compared only as round(·, 6) (module
+    convention), DECIMAL(18,6) export; argmax resolved by the
+    (−cos, eval_id) min-struct — bit-stable on both engines.
+
+    Plan/scale: eval sets are SMALL BY CONSTRUCTION (benchmarks, not
+    corpora) — the eval side broadcasts and the train scan streams
+    once, zero shuffle on the fact side; the per-vector argmax is a
+    map-side-combinable min-struct hash agg keyed on vec_id. At
+    100 TB this is a broadcast-join scan, the same shape as
+    `stream_enrich_static` — no pair blow-up is possible because the
+    contaminated set is bounded by |train| × nothing (each train row
+    emits at most |eval| candidates, and |eval| is a constant)."""
+    e = _vecs(spark, sf_dir)
+    ev = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev"),
+        F.col("n").alias("en"),
+    )
+    tr = e.filter(F.col("vec_id") % 20 != 0)
+    cos = _cos("v", "ev", "n", "en")
+    hits = tr.join(F.broadcast(ev), cos >= _DECON_EMB_T).select(
+        "vec_id", "label", "eval_id", cos.alias("cos_sim")
+    )
+    return (
+        hits.groupBy("vec_id", "label")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cos_sim")).alias("negcos"),
+                    F.col("eval_id").alias("eid"),
+                )
+            ).alias("best"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("best.eid").cast("long").alias("best_eval_id"),
+            (-F.col("best.negcos")).cast("decimal(18,6)").alias("best_cos"),
+            "n_hits",
+        )
+    )

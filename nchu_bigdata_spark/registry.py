@@ -125,6 +125,7 @@ DRIVER_ORDER = [
     "sink_compaction",
     "dedup_semdedup",
     "dedup_substring_spans",
+    "decontam_embedding",
     # -- ROTATION LEDGER window r10: 49 more never-driver-checked SQL-oracle ids (judge r9 item 1); heavies lead; the window boundary shifts one id later per round-10-born entry above --
     "win_lorenz",
     "agg_cube",

@@ -197,3 +197,52 @@ def test_semdedup_adaptive_cells_above_floor(spark, tmp_path):
     # every planted duplicate has a lower-id twin in its own cell at
     # cos = 1 -> at least the planted count drops
     assert sum(r["n_dropped"] for r in rows) >= n_dup
+
+
+def test_decontam_embedding_bruteforce(spark, sf_dir):
+    """Semantic decontamination replayed brute-force: train vector
+    flagged iff round(cos, 6) >= 0.35 vs any eval (vec_id % 20 == 0)
+    vector; nearest = max cos, ties to lower eval id."""
+    import math
+    from decimal import Decimal
+
+    from nchu_bigdata_spark.registry import load_all_queries
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    V = {r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+         for r in rows}
+    N = {k: math.sqrt(sum(x * x for x in v)) for k, (v, _l) in V.items()}
+
+    def cos(a, b):
+        return round(
+            sum(x * y for x, y in zip(V[a][0], V[b][0])) / (N[a] * N[b]), 6
+        )
+
+    evs = sorted(k for k in V if k % 20 == 0)
+    exp = {}
+    for t in sorted(V):
+        if t % 20 == 0:
+            continue
+        hits = [(e, cos(t, e)) for e in evs if cos(t, e) >= 0.35]
+        if hits:
+            best = min(hits, key=lambda h: (-h[1], h[0]))
+            exp[t] = (V[t][1], best[0], round(best[1], 6), len(hits))
+    got = {
+        r["vec_id"]: (
+            r["label"],
+            r["best_eval_id"],
+            float(r["best_cos"]),
+            r["n_hits"],
+        )
+        for r in load_all_queries()["decontam_embedding"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    # compare with float tolerance on best_cos only (Decimal export)
+    assert set(got) == set(exp)
+    for k in exp:
+        gl, ge, gc, gn = got[k]
+        el, ee, ec, en = exp[k]
+        assert (gl, ge, gn) == (el, ee, en), k
+        assert abs(gc - ec) < 1e-6, (k, gc, ec)
+    assert exp, "threshold too strict — zero signal would be vacuous"
