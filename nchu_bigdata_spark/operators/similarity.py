@@ -2365,9 +2365,15 @@ def _semdedup_cells(n: int) -> int:
         -- (the deterministic keep-first form of the paper's
         -- keep-one-per-near-dup-group rule). The pairwise step is
         -- quadratic ONLY within a cell -- the paper's whole trick: k
-        -- grows with n so cell sizes stay bounded.
+        -- grows with n so cell sizes stay bounded. The centroid set
+        -- encodes the SAME occupancy-adaptive k as the implementation
+        -- (_semdedup_cells: k = max(floor, n // target)) so oracle and
+        -- engine stay equivalent at EVERY corpus size, not just below
+        -- the 2250-vector floor (ADVICE r10 medium).
         WITH {_SQL_E},
-        cent AS (SELECT vec_id AS c_id, v, n FROM e WHERE vec_id <= {_NCELLS}),
+        cent AS (SELECT vec_id AS c_id, v, n FROM e
+                 WHERE vec_id <= greatest({_NCELLS},
+                       (SELECT count(*) FROM e) // {_SEMDEDUP_CELL_TARGET})),
         assign AS (
             SELECT vec_id, cell, v, n FROM (
                 SELECT e.vec_id, c.c_id AS cell, e.v, e.n,
@@ -2421,10 +2427,18 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join shuffles (vec_id, cell, v) rows hash-partitioned on
     cell — one exchange, Σ cell² pair volume bounded by the max cell
     occupancy `sim_ivf_balance` audits; the drop list collapses to
-    DISTINCT vec_ids and the report is a cell-cardinality rollup. At
-    100 TB: k ∝ n keeps cells ~10⁴ vectors → per-cell work constant,
-    total work linear — plus the assignment stage IS the kmeans_assign
-    codegen path, so production would feed real k-means centroids.
+    DISTINCT vec_ids and the report is a cell-cardinality rollup.
+    Scaling, stated honestly (ADVICE r10): k ∝ n keeps the WITHIN-CELL
+    pair volume linear (n cells × target² pairs each), but the
+    brute-force literal-centroid ASSIGNMENT is O(n·k) = O(n²/target)
+    cosines, and the sanctioned centroid collect grows as n/target
+    rows of plan literals — fine at demo scale, quadratic above it.
+    At 100 TB production the assignment must go sublinear: real
+    k-means centroids (kmeans_fit) held in a broadcast table with an
+    ANN/triangle-inequality centroid lookup instead of all-k probing,
+    and the centroid set kept as a joined DataFrame, not plan
+    literals. The cell-local dedup stage — the part this operator
+    certifies — is unchanged by that swap.
     r10 probe closure: the cell count is occupancy-adaptive
     (``_semdedup_cells`` — k = max(floor, n // 250), the paper's k ∝ n
     contract with the ``_lsh_bits`` fixture-pinning floor), so the 10×

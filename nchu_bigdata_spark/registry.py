@@ -121,63 +121,19 @@ def register(
 # moves the greens to the tail (the r9 unrotated-window incident is
 # the reason this is a tool, not a convention).
 DRIVER_ORDER = [
-    # -- born in round 10: certify immediately (leads the r10 window) --
-    "sink_compaction",
-    "dedup_semdedup",
-    "dedup_substring_spans",
-    "decontam_embedding",
-    # -- ROTATION LEDGER window r10: 49 more never-driver-checked SQL-oracle ids (judge r9 item 1); heavies lead; the window boundary shifts one id later per round-10-born entry above --
-    "win_lorenz",
-    "agg_cube",
-    "agg_countmin",
-    "graph_kcore_peel",
-    "events_attribution",
-    "dq_constraints",
-    "scan_partition_pruned",
-    "basket_rules",
-    "agg_skyline",
-    "win_streak",
-    "ts_interpolate",
-    "text_diversity",
-    "sample_poisson",
-    "events_overlap_matrix",
-    "curate_domain_balance",
-    "events_forecast_snaive",
-    "orders_cohort_ltv",
-    "sub_division",
-    "agg_string_agg",
-    "fn_hash",
-    "events_seasonality",
-    "dedup_prefix",
-    "graph_neighbor_jaccard",
-    "scan_nested_json",
-    "fn_regex",
-    "agg_weighted",
-    "sample_negatives",
-    "events_trigram_paths",
-    "events_burstiness",
-    "ts_autocorr",
-    "orders_fulfillment_lag",
-    "text_k_anonymity",
-    "sample_temperature",
-    "dedup_url",
-    "ts_drawdown",
-    "events_stickiness",
-    "stream_topk",
-    "join_asof_nearest",
-    "dq_drift",
-    "embed_outliers",
-    "join_asof_tolerance",
-    "events_concurrency",
-    "orders_market_share",
-    "dq_freshness",
-    "events_bounce",
-    "ts_mad_anomaly",
+    # rotated by tools/rotate_ledger.py after round 10: 50 green ids moved to the tail
+    # -- ROTATION LEDGER window r11: first 50 ids below (stuck ids from r10 lead) --
+    # -- pulled forward (VERDICT r10 item 2): their official driver rows
+    #    still say no_oracle from r7, but multimodal_phash(_pairs) have
+    #    held full DuckDB SQL oracles since r10 and text_compression_ratio
+    #    an exact zlib replay — retire the stale rows first --
+    "multimodal_phash",  # r7 (stale no_oracle row)
+    "multimodal_phash_pairs",  # r7 (stale no_oracle row)
+    "text_compression_ratio",  # r7 (stale row; rows-only by design)
     "agg_benford",
     "dedup_bloom",
     "events_session_hist",
     "orders_abc_class",
-    # -- ROTATION LEDGER window r11: next 50 never-checked ids --
     "events_new_vs_returning",
     "text_readability",
     "graph_sssp_weighted",
@@ -224,11 +180,11 @@ DRIVER_ORDER = [
     "tokenize_truncation_audit",
     "stream_ohlc",
     "text_rake_keyphrases",
+    # -- ids beyond the r11 window: consumed head-first, 50/round --
     "ts_densify",
     "text_lang_confusion",
     "agg_weighted_percentile",
     "events_decay_attribution",
-    # -- ROTATION LEDGER window r12: next 50 never-checked ids --
     "scan_mor_deletes",
     "events_slo_burn",
     "dedup_agreement",
@@ -279,7 +235,6 @@ DRIVER_ORDER = [
     "text_feature_hashing",
     "agg_ols_multi",
     "win_vwap",
-    # -- ROTATION LEDGER window r13 (27 ids): the tail of the never-checked set; the r13 window tops up from the refresh queue below --
     "set_union_by_name",
     "sim_rrf_fusion",
     "agg_median_ci_bootstrap",
@@ -307,21 +262,11 @@ DRIVER_ORDER = [
     "orders_rank_stability",
     "tokenize_padding_waste",
     "win_drawdown_duration",
-    # -- graduated r10 (VERDICT r9 item 6): these five were rows-only
-    #    with no driver row; their synth→decode chains proved
-    #    SQL-expressible (closed-form byte specs over documents.text),
-    #    so they now carry full DuckDB oracles and extend the r13
-    #    window — the ledger drains at ids [150:182). The pure-Python
-    #    spec replays still run in addition (check_oracle). --
     "multimodal_audio_stats",
     "multimodal_phash_clusters",
     "multimodal_audio_vad",
     "multimodal_image_stats",
     "multimodal_scene_changes",
-    # -- refresh queue: every id here holds a green driver row
-    #    (r5-r9); ordered oldest-certification-first (latest green
-    #    round asc) so refreshes recycle the stalest greens once
-    #    the ledger above is consumed --
     "multimodal_resize",  # r5
     "udtf_python_arrow",  # r5
     "dedup_minhash",  # r5
@@ -434,9 +379,6 @@ DRIVER_ORDER = [
     "graph_triangles",  # r7
     "scan_text",  # r7
     "sample_reservoir",  # r7
-    "text_compression_ratio",  # r7
-    "multimodal_phash",  # r7
-    "multimodal_phash_pairs",  # r7
     "agg_bitmap_distinct",  # r7
     "win_first_last",  # r7
     "events_markov",  # r7
@@ -508,6 +450,56 @@ DRIVER_ORDER = [
     "topk_percent",  # r9
     "events_gap_detect",  # r9
     "events_inter_arrival",  # r9
+    "sink_compaction",  # r10
+    "dedup_semdedup",  # r10
+    "dedup_substring_spans",  # r10
+    "decontam_embedding",  # r10
+    "win_lorenz",  # r10
+    "agg_cube",  # r10
+    "agg_countmin",  # r10
+    "graph_kcore_peel",  # r10
+    "events_attribution",  # r10
+    "dq_constraints",  # r10
+    "scan_partition_pruned",  # r10
+    "basket_rules",  # r10
+    "agg_skyline",  # r10
+    "win_streak",  # r10
+    "ts_interpolate",  # r10
+    "text_diversity",  # r10
+    "sample_poisson",  # r10
+    "events_overlap_matrix",  # r10
+    "curate_domain_balance",  # r10
+    "events_forecast_snaive",  # r10
+    "orders_cohort_ltv",  # r10
+    "sub_division",  # r10
+    "agg_string_agg",  # r10
+    "fn_hash",  # r10
+    "events_seasonality",  # r10
+    "dedup_prefix",  # r10
+    "graph_neighbor_jaccard",  # r10
+    "scan_nested_json",  # r10
+    "fn_regex",  # r10
+    "agg_weighted",  # r10
+    "sample_negatives",  # r10
+    "events_trigram_paths",  # r10
+    "events_burstiness",  # r10
+    "ts_autocorr",  # r10
+    "orders_fulfillment_lag",  # r10
+    "text_k_anonymity",  # r10
+    "sample_temperature",  # r10
+    "dedup_url",  # r10
+    "ts_drawdown",  # r10
+    "events_stickiness",  # r10
+    "stream_topk",  # r10
+    "join_asof_nearest",  # r10
+    "dq_drift",  # r10
+    "embed_outliers",  # r10
+    "join_asof_tolerance",  # r10
+    "events_concurrency",  # r10
+    "orders_market_share",  # r10
+    "dq_freshness",  # r10
+    "events_bounce",  # r10
+    "ts_mad_anomaly",  # r10
 ]
 
 

@@ -183,11 +183,15 @@ def test_phash_oracle_matches_spec_incl_short_images(con):
 
 def test_fixture_texts_are_ascii(sf_dir):
     """The oracles equate char positions with byte positions — valid
-    only for pure-ASCII text. Pin it on the real fixtures so a future
+    only for pure-ASCII text — and index pixels via ``(k % len)``,
+    which needs len > 0 (the Python side substitutes b'\\x00'/b'\\x80'
+    for an empty payload; the SQL side would yield NULLs — ADVICE
+    r10). Pin BOTH assumptions on the real fixtures so a future
     testdata change fails here, not as a driver hash mismatch."""
     c = duckdb.connect()
     n = c.execute(
         f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
-        "WHERE octet_length(encode(text)) <> length(text)"
+        "WHERE octet_length(encode(text)) <> length(text) "
+        "   OR length(text) = 0"
     ).fetchone()[0]
     assert n == 0

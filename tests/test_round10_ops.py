@@ -246,3 +246,47 @@ def test_decontam_embedding_bruteforce(spark, sf_dir):
         assert (gl, ge, gn) == (el, ee, en), k
         assert abs(gc - ec) < 1e-6, (k, gc, ec)
     assert exp, "threshold too strict — zero signal would be vacuous"
+
+
+def test_semdedup_oracle_matches_above_floor(spark, tmp_path):
+    """ADVICE r10 (medium): the DuckDB oracle must encode the SAME
+    occupancy-adaptive centroid count as the implementation. Below the
+    2250-vector floor both sides used vec_id <= 8 and agreed trivially;
+    this runs the REGISTERED oracle SQL against a 3000-vector corpus
+    (k = 12) and demands full row equality with the Spark side — the
+    adaptive arm's first oracle certification."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from nchu_bigdata_spark.registry import load_all_queries
+
+    n = 3000
+    spark.range(1, n + 1).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.lit("t").alias("label"),
+        F.expr(
+            "transform(sequence(0, 63), d ->"
+            " CAST((pmod(hash(id, d), 2001) - 1000) / 1000.0 AS FLOAT))"
+        ).alias("embedding"),
+    ).coalesce(2).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    spec = load_all_queries()["dedup_semdedup"]
+    spdf = spec.fn(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    opdf = con.execute(spec.oracle).df()
+    con.close()
+
+    key = lambda df: sorted(  # noqa: E731
+        (
+            int(r["cell"]), int(r["n_vectors"]), int(r["n_dropped"]),
+            int(r["n_kept"]), int(r["first_dropped_id"]), int(r["drop_bp"]),
+        )
+        for _, r in df.iterrows()
+    )
+    assert len(spdf) > 8, "adaptive arm not engaged — test is vacuous"
+    assert key(spdf) == key(opdf)

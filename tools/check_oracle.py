@@ -96,7 +96,13 @@ def canon_pdf(pdf: pd.DataFrame) -> list[str]:
     )
 
 
-def compare(name: str, spark, con, sf_dir: str, spec) -> tuple[bool, str]:
+def compare(
+    name: str, spark, con, sf_dir: str, spec
+) -> tuple[bool, str, pd.DataFrame]:
+    """Returns (ok, msg, spark_pdf) — the Spark-side pandas frame rides
+    along so BOUNDED_CHECKS replays reuse it instead of re-executing the
+    full Spark query (ADVICE r10: the replay was doubling Spark work for
+    every graduated multimodal id on every sweep)."""
     spdf = spec.fn(spark, sf_dir).toPandas()
     res = con.execute(spec.oracle)
     opdf = res.df()
@@ -104,14 +110,18 @@ def compare(name: str, spark, con, sf_dir: str, spec) -> tuple[bool, str]:
         return False, (
             f"columns differ: spark={sorted(spdf.columns)} "
             f"oracle={sorted(opdf.columns)}"
-        )
+        ), spdf
     if len(spdf) != len(opdf):
-        return False, f"row count differs: spark={len(spdf)} oracle={len(opdf)}"
+        return (
+            False,
+            f"row count differs: spark={len(spdf)} oracle={len(opdf)}",
+            spdf,
+        )
     cs, co = canon_pdf(spdf), canon_pdf(opdf)
     if cs != co:
         diffs = [(a, b) for a, b in zip(cs, co) if a != b][:3]
-        return False, f"values differ; first diffs: {diffs}"
-    return True, f"{len(spdf)} rows"
+        return False, f"values differ; first diffs: {diffs}", spdf
+    return True, f"{len(spdf)} rows", spdf
 
 
 def exact_compression_ratio(con, spdf: pd.DataFrame) -> tuple[bool, str]:
@@ -489,9 +499,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     failed, skipped = [], []
+    ran = 0  # queries actually executed — the summary denominator must
+    # count these, not len(specs): under `--only`-style filtering a
+    # 3-query spot run used to print "372 ok" (VERDICT r10 item 4).
     for name, spec in specs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         if spec.oracle is None:
             # rows-only: the driver still canonicalizes the Spark side,
@@ -526,18 +540,18 @@ def main() -> int:
                 failed.append(name)
             continue
         try:
-            ok, msg = compare(name, spark, con, sf_dir, spec)
+            ok, msg, spdf = compare(name, spark, con, sf_dir, spec)
         except Exception as e:  # noqa: BLE001
-            ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
+            ok, msg, spdf = False, f"EXCEPTION: {type(e).__name__}: {e}", None
         # r10 (VERDICT r9 item 6): queries that graduated from
         # rows-only to a full SQL oracle KEEP their independent
         # pure-Python spec replay — the oracle certifies for the
         # driver, the replay guards against a shared misreading of
-        # the spec by both engines' SQL (unweakened, additive).
+        # the spec by both engines' SQL (unweakened, additive). The
+        # replay reuses compare()'s Spark-side frame (no re-execution).
         if ok and name in BOUNDED_CHECKS:
             try:
-                pdf = spec.fn(spark, sf_dir).toPandas()
-                rok, rmsg = BOUNDED_CHECKS[name](con, pdf)
+                rok, rmsg = BOUNDED_CHECKS[name](con, spdf)
                 ok, msg = rok, f"{msg}; replay: {rmsg}"
             except Exception as e:  # noqa: BLE001
                 ok, msg = False, f"replay EXCEPTION: {type(e).__name__}: {e}"
@@ -546,8 +560,9 @@ def main() -> int:
         if not ok:
             failed.append(name)
     print(
-        f"\n{len(specs) - len(failed) - len(skipped)} ok, "
+        f"\n{ran - len(failed) - len(skipped)} ok, "
         f"{len(failed)} failed, {len(skipped)} rows-only"
+        + ("" if ran == len(specs) else f"  [partial run: {ran}/{len(specs)}]")
     )
     if failed:
         print("failed:", ", ".join(failed))

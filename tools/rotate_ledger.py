@@ -98,16 +98,41 @@ def main() -> int:
     with open(REGISTRY, encoding="utf-8") as f:
         src = f.read()
     m = re.search(r"DRIVER_ORDER = \[.*?\n\]", src, re.S)
-    lines = [f"DRIVER_ORDER = ["]
+    if m is None:
+        raise SystemExit(
+            "DRIVER_ORDER block not found in registry.py — the list was "
+            "reformatted; restore the `DRIVER_ORDER = [...]` literal "
+            "before rotating (ADVICE r10: previously an AttributeError)."
+        )
+    # Preserve the per-id certification-round annotations (`# r5`,
+    # `# r9 green`, ...) already in the source: the refresh queue is
+    # ordered oldest-certification-first, and blowing the tags away on
+    # every rotation (the pre-r11 behavior) destroyed that provenance.
+    old_tags: dict[str, str] = {}
+    for line in m.group(0).splitlines():
+        lm = re.match(r'\s*"([^"]+)",\s*(#.*)?$', line)
+        if lm and lm.group(2):
+            old_tags[lm.group(1)] = lm.group(2).strip()
+    lines = ["DRIVER_ORDER = ["]
     lines.append(
-        f"    # rotated by tools/rotate_ledger.py after round {rnd}:"
+        f"    # rotated by tools/rotate_ledger.py after round {rnd}: "
+        f"{len(green)} green ids moved to the tail"
     )
-    lines.append(
-        f"    # {len(green)} green ids moved to the tail; window = first "
-        f"{WINDOW} below"
-    )
-    for n in new_order:
-        tag = f"  # r{rnd} green" if n in green else ""
+    for i, n in enumerate(new_order):
+        if i == 0:
+            lines.append(
+                f"    # -- ROTATION LEDGER window r{rnd + 1}: first "
+                f"{WINDOW} ids below (stuck ids from r{rnd} lead) --"
+            )
+        elif i == WINDOW:
+            lines.append(
+                f"    # -- ids beyond the r{rnd + 1} window: consumed "
+                f"head-first, {WINDOW}/round --"
+            )
+        if n in green:
+            tag = f"  # r{rnd}"  # freshest certification round
+        else:
+            tag = f"  {old_tags[n]}" if n in old_tags else ""
         lines.append(f'    "{n}",{tag}')
     lines.append("]")
     src = src[: m.start()] + "\n".join(lines) + src[m.end() :]
