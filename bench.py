@@ -122,6 +122,12 @@ LLM_GROUP = [
     "dedup_semdedup",
     "dedup_substring_spans",
     "decontam_embedding",
+    # born round 11: CDC chunk dedup, first-occurrence novelty,
+    # mutual-kNN graph, ESS weight audit (trend starts here)
+    "dedup_cdc_chunks",
+    "text_novelty",
+    "sim_mutual_knn",
+    "sample_ess_audit",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites

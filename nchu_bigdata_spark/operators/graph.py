@@ -318,7 +318,12 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = shared_intermediate(
         "bfs_edges", _copurchase_edges(spark, sf_dir)
     )
-    src = F.broadcast(edges.agg(F.min("u").alias("node"))).select(
+    # No broadcast hint on the seed: it flows into the `visited`
+    # unionAll chain, where a join hint is dead (HintErrorLogger noise
+    # in every gate run — VERDICT r10 item 5). The 1-row seed side of
+    # the level-1 join is broadcast by AQE's runtime size stats anyway,
+    # and later frontiers are checkpointed rows with accurate sizes.
+    src = edges.agg(F.min("u").alias("node")).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
     visited = src
@@ -683,7 +688,12 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.select(F.col("v").alias("u"), F.col("u").alias("v"), "cnt")
     ).select("u", "v", F.expr("CAST(1000 div cnt AS BIGINT)").alias("w"))
     edges = shared_intermediate("sssp_edges", wedges)
-    dist = F.broadcast(edges.agg(F.min("u").alias("node"))).select(
+    # Seed carries no broadcast hint: it is unioned with the relaxed
+    # set each round (dead-hint HintErrorLogger noise, VERDICT r10
+    # item 5); AQE broadcasts the 1-row side of the round-1 join from
+    # runtime stats, and subsequent rounds re-derive `dist` from the
+    # groupBy so a seed hint never survived past round 1 anyway.
+    dist = edges.agg(F.min("u").alias("node")).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
     for r in range(1, _SSSP_ROUNDS + 1):

@@ -2395,3 +2395,81 @@ def tokenize_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("globalpad_waste_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sample_ess_audit — effective-sample-size audit of importance weights (r11)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_ess_audit",
+    tags=("b10",),
+    oracle="""
+        -- Effective-sample-size audit per corpus domain (lang): for
+        -- importance weights w (here the documents' byte masses — the
+        -- weight a token-budgeted mixture assigns), Kish's
+        -- ESS = (SUM w)^2 / SUM w^2 is the number of EQUALLY-weighted
+        -- samples the weighted set is worth. ess_ratio_bp = ESS/n in
+        -- basis points is the collapse diagnostic a mixture-reweighting
+        -- pipeline alerts on (ratio near 10000 = uniform weights; near
+        -- 0 = a few giant docs dominate the domain). All integer: the
+        -- squared legs ride HUGEINT <-> decimal(38,0), divisions are
+        -- floor cross-multiplies.
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_w,
+               CAST(CAST(SUM(n_chars) AS HUGEINT) * SUM(n_chars) * 1000
+                    // SUM(CAST(n_chars AS HUGEINT) * n_chars)
+                    AS BIGINT) AS ess_milli,
+               CAST(CAST(SUM(n_chars) AS HUGEINT) * SUM(n_chars) * 10000
+                    // (SUM(CAST(n_chars AS HUGEINT) * n_chars) * COUNT(*))
+                    AS BIGINT) AS ess_ratio_bp
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def sample_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective-sample-size audit of importance weights, per
+    domain (lang): ESS = (Σw)²/Σw² — the number of equally-weighted
+    samples a weighted corpus slice is actually worth. Reported as
+    ESS×1000 (exact integer grid) and ESS/n in basis points; the
+    ratio is THE collapse diagnostic for importance-sampled mixtures
+    (`sample_importance`, `mixture_weights`): re-weighting that drives
+    ess_ratio_bp toward 0 means a handful of documents carry the whole
+    domain and variance explodes. Weights here are the documents'
+    byte masses (`n_chars`) — the weight a token-budgeted sampler
+    implicitly assigns.
+
+    Determinism: pure integer — Σw and Σw² legs in decimal(38,0) ↔
+    HUGEINT (at 100 TB, Σw ≈ 1e14 per domain → (Σw)² ≈ 1e28, past
+    int64 but inside 38 digits), divisions are floor
+    cross-multiplies. No floats anywhere.
+
+    Plan/scale: ONE map-side-combined hash agg on the lang key
+    computes n, Σw, Σw² in a single pass over the scan (column-pruned
+    to lang + n_chars — no text bytes move); output is
+    domain-cardinality. No join, no window, no shuffle beyond the
+    5-key agg exchange."""
+    return (
+        parallel_table(spark, sf_dir, "documents")
+        .select("lang", "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_w"),
+            F.expr(
+                "CAST(sum(n_chars) AS decimal(38,0)) * sum(n_chars) * 1000"
+                " div sum(CAST(n_chars AS decimal(38,0)) * n_chars)"
+            )
+            .cast("long")
+            .alias("ess_milli"),
+            F.expr(
+                "CAST(sum(n_chars) AS decimal(38,0)) * sum(n_chars) * 10000"
+                " div (sum(CAST(n_chars AS decimal(38,0)) * n_chars)"
+                " * count(1))"
+            )
+            .cast("long")
+            .alias("ess_ratio_bp"),
+        )
+    )

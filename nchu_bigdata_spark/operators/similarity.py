@@ -2582,3 +2582,108 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sim_mutual_knn — mutual-kNN graph construction (round 11)
+# --------------------------------------------------------------------------
+
+_MKNN_N = 250  # node set = vec_id <= _MKNN_N (bounded demo subset)
+
+
+@register(
+    "sim_mutual_knn",
+    tags=("b10",),
+    oracle=f"""
+        -- Mutual-kNN graph over the embedding space: node set
+        -- vec_id <= {_MKNN_N}, directed kNN edges = each node's top-{_TOPK}
+        -- cosine neighbors (ties to lower vec_id), and the MUTUAL
+        -- subgraph keeps (a, b) only when each is in the other's
+        -- top-{_TOPK}. Mutuality is the standard density filter before
+        -- graph clustering of embeddings (hubs acquire many inbound
+        -- edges but reciprocate few -- mutual pruning cuts them), the
+        -- graph-construction step upstream of dedup_clusters-style
+        -- label propagation.
+        WITH {_SQL_E},
+        sub AS (SELECT vec_id, v, n FROM e WHERE vec_id <= {_MKNN_N}),
+        knn AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   {_sql_cos('a', 'b')} AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_sql_cos('a', 'b')} DESC, b.vec_id
+                   ) AS rnk
+            FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+            QUALIFY rnk <= {_TOPK}
+        )
+        SELECT f.src AS vec_a, f.dst AS vec_b,
+               CAST(f.cos_sim AS DECIMAL(18,6)) AS cos_sim,
+               CAST(f.rnk AS INT) AS rank_ab,
+               CAST(r.rnk AS INT) AS rank_ba
+        FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
+        WHERE f.src < f.dst
+    """,
+)
+def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph construction: directed top-{k} cosine edges
+    over a bounded node set, pruned to RECIPROCAL pairs (a in knn(b)
+    AND b in knn(a)). Mutuality is the classic hub filter in
+    embedding-graph pipelines (a hub vector lands in everyone's top-k
+    but reciprocates only {k} edges, so mutual pruning bounds every
+    node's degree by {k}) — the graph-construction stage upstream of
+    `dedup_clusters` / label-propagation clustering, complementing
+    `sim_topk` (which returns the directed lists themselves).
+
+    Exactness: cosines compared only in round(·, 6) form (module
+    convention), ranks are deterministic (cos DESC, vec_id ASC),
+    mutuality is an exact self-join on integer keys.
+
+    Plan/scale: the node subset is broadcast against itself (bounded
+    demo set — at production scale the candidate pairs would come from
+    the LSH/IVF banding the module already certifies, not brute
+    force); the top-{k} filter is the optimizer's WindowGroupLimit
+    two-stage pattern (map-side k-row emission per src before the
+    exchange, the sim_topk plan); the mutual join is a self-join on
+    the k·|V|-row edge list keyed (src, dst) — linear in edges. Degree
+    after pruning is ≤ {k} by construction, so downstream graph ops
+    see bounded fan-out at any corpus size."""
+    e = _vecs(spark, sf_dir)
+    sub = e.filter(F.col("vec_id") <= _MKNN_N).select("vec_id", "v", "n")
+    b = sub.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("bv"),
+        F.col("n").alias("bn"),
+    )
+    cand = (
+        sub.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_id") != F.col("dst"))
+        .select(
+            F.col("vec_id").alias("src"),
+            "dst",
+            _cos("v", "bv", "n", "bn").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    knn = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+    )
+    rev = knn.select(
+        F.col("src").alias("r_dst"),
+        F.col("dst").alias("r_src"),
+        F.col("rnk").alias("rank_ba"),
+    )
+    return (
+        knn.join(
+            rev,
+            (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            F.col("cos_sim").cast("decimal(18,6)").alias("cos_sim"),
+            F.col("rnk").cast("int").alias("rank_ab"),
+            F.col("rank_ba").cast("int").alias("rank_ba"),
+        )
+    )

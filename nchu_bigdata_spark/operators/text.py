@@ -1876,3 +1876,112 @@ def text_vocab_mass_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_novelty — first-occurrence n-gram novelty per document (round 11)
+# --------------------------------------------------------------------------
+
+_NOV_N = 3  # words per shingle
+
+
+@register(
+    "text_novelty",
+    tags=("b10",),
+    oracle=f"""
+        -- First-occurrence novelty audit: a document's DISTINCT word
+        -- {_NOV_N}-gram shingles, split into those this document
+        -- introduces to the corpus (its doc_id is the MINIMUM over all
+        -- docs containing the shingle) vs those already seen in a
+        -- lower-id document. The per-doc novel fraction (bp) is the
+        -- marginal-contribution score incremental curation orders by:
+        -- a near-zero novelty_bp doc adds nothing the corpus prefix
+        -- did not already contain (the set-cover view of dedup).
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+        ),
+        s AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(tok[i:i + {_NOV_N} - 1], ' ') AS sh
+            FROM (
+                SELECT doc_id, tok,
+                       unnest(generate_series(1, len(tok) - {_NOV_N} + 1))
+                           AS i
+                FROM d WHERE len(tok) >= {_NOV_N}
+            )
+        ),
+        first AS (SELECT sh, MIN(doc_id) AS first_doc FROM s GROUP BY sh),
+        per AS (
+            SELECT s.doc_id,
+                   COUNT(*) AS n_shingles,
+                   SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                       AS n_novel
+            FROM s JOIN first f USING (sh) GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
+               CAST(CASE WHEN COALESCE(per.n_shingles, 0) = 0 THEN 0
+                         ELSE per.n_novel * 10000 // per.n_shingles
+                    END AS BIGINT) AS novelty_bp
+        FROM d LEFT JOIN per USING (doc_id)
+    """,
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence n-gram NOVELTY per document: of a doc's
+    distinct word {n}-gram shingles, how many does it introduce to the
+    corpus (no lower-doc_id document contains them)? novelty_bp is the
+    marginal-contribution readout incremental curation ranks by — the
+    streaming/set-cover complement to `dedup_substring_spans` (which
+    asks "how much of me is duplicated ANYWHERE", order-free) and
+    `decontam_ngram` (which matches against a fixed eval set). The
+    doc_id order stands in for arrival order, as in `dedup_incremental`.
+
+    Determinism: MIN(doc_id) is an exact argmin on an integer key;
+    shares are floor cross-multiplies; shingles are exact strings.
+
+    Plan/scale: shingling is codegen transform+slice+array_join over
+    the scan (same kernel as dedup_substring_spans); `array_distinct`
+    dedups WITHIN the doc before the explode so a boilerplate-heavy
+    doc can't fan out repeats; the first-occurrence table is ONE
+    map-side-combined (shingle) hash agg — content-keyed sharding,
+    exactly how a 100 TB first-seen index shards; the flag join is
+    shingle-keyed and the rollup doc-keyed. Linear in total distinct
+    shingle occurrences; short docs surface as explicit 0-shingle rows
+    via the doc-spine left join."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tok")
+    )
+    sh = docs.filter(F.size("tok") >= _NOV_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(tok) - {_NOV_N}"
+                f" + 1), i -> array_join(slice(tok, i, {_NOV_N}), ' ')))"
+            )
+        ).alias("sh"),
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0"
+                " ELSE n_novel * 10000 div n_shingles END AS BIGINT)"
+            ).alias("novelty_bp"),
+        )
+    )

@@ -122,6 +122,11 @@ def register(
 # the reason this is a tool, not a convention).
 DRIVER_ORDER = [
     # rotated by tools/rotate_ledger.py after round 10: 50 green ids moved to the tail
+    # -- born in round 11: certify immediately (leads the r11 window) --
+    "dedup_cdc_chunks",
+    "sample_ess_audit",
+    "text_novelty",
+    "sim_mutual_knn",
     # -- ROTATION LEDGER window r11: first 50 ids below (stuck ids from r10 lead) --
     # -- pulled forward (VERDICT r10 item 2): their official driver rows
     #    still say no_oracle from r7, but multimodal_phash(_pairs) have

@@ -149,5 +149,15 @@ def test_driver_window_is_sql_certifiable():
     r10-r12 windows, 150 ids) strictly SQL-oracle-backed."""
     from nchu_bigdata_spark.registry import DRIVER_ORDER
 
-    rows_only = [n for n in DRIVER_ORDER[:150] if SPECS[n].oracle is None]
+    # Sanctioned exception (VERDICT r10 item 2): text_compression_ratio
+    # is the single genuinely rows-only id (DEFLATE isn't SQL; exact
+    # zlib replay in check_oracle) and its official driver row is a
+    # stale r7 no_oracle stamp — it rides the r11 window ONCE to
+    # refresh that row, then returns to the refresh tail.
+    allowed = {"text_compression_ratio"}
+    rows_only = [
+        n
+        for n in DRIVER_ORDER[:150]
+        if SPECS[n].oracle is None and n not in allowed
+    ]
     assert rows_only == [], rows_only

@@ -1,0 +1,243 @@
+"""Round-11 operator births: brute-force pure-Python replays.
+
+Each test recomputes the operator's DEFINITION from the raw parquet in
+plain Python (no Spark expressions, no SQL) and demands exact equality
+with the registered implementation — the independent-mechanism check
+that guards both engines against a shared misreading of the spec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from nchu_bigdata_spark.registry import load_all_queries
+
+
+def _docs(duck):
+    return duck.execute(
+        "SELECT doc_id, text, lang, n_chars FROM documents ORDER BY doc_id"
+    ).fetchall()
+
+
+# ---------------------------------------------------------------- CDC
+
+
+def _cdc_chunks(text: str) -> list[str]:
+    from nchu_bigdata_spark.operators.dedup import (
+        _CDC_COEF,
+        _CDC_D,
+        _CDC_K,
+        _CDC_M,
+    )
+
+    n = len(text)
+    bounds = []
+    if n >= _CDC_K:
+        for i in range(_CDC_K, n + 1):  # 1-based end position
+            h = (
+                sum(
+                    ord(text[i - _CDC_K + j]) * _CDC_COEF[j]
+                    for j in range(_CDC_K)
+                )
+                % _CDC_M
+            )
+            if h % _CDC_D == _CDC_D - 1 and i < n:
+                bounds.append(i)
+    cuts = [0] + bounds + [n]
+    return [text[cuts[c] : cuts[c + 1]] for c in range(len(cuts) - 1)]
+
+
+def test_dedup_cdc_chunks_replay(spark, sf_dir, duck):
+    docs = _docs(duck)
+    fp_count: dict[str, int] = {}
+    per_doc: dict[int, list[tuple[str, int]]] = {}
+    for doc_id, text, _lang, _nc in docs:
+        chs = _cdc_chunks(text)
+        per_doc[doc_id] = [
+            (hashlib.md5(c.encode()).hexdigest(), len(c)) for c in chs
+        ]
+        for fp, _l in per_doc[doc_id]:
+            fp_count[fp] = fp_count.get(fp, 0) + 1
+    expect = {}
+    for doc_id, chs in per_doc.items():
+        dup = [(fp, l) for fp, l in chs if fp_count[fp] >= 2]
+        tot = sum(l for _fp, l in chs)
+        expect[doc_id] = (
+            len(chs),
+            len(dup),
+            sum(l for _fp, l in dup),
+            tot,
+            (sum(l for _fp, l in dup) * 10_000 // tot) if tot else 0,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_chunks"], r["n_dup_chunks"], r["dup_bytes"],
+            r["total_bytes"], r["dup_bp"],
+        )
+        for r in load_all_queries()["dedup_cdc_chunks"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
+    # content-defined means boundaries exist at fixture lengths
+    assert any(v[0] > 1 for v in expect.values())
+
+
+def test_cdc_boundaries_shift_invariant():
+    """The CDC property itself: prepending bytes to a document must not
+    move boundaries far from the insertion point — shared suffixes
+    chunk identically (what fixed-size blocking cannot do)."""
+    import random
+    import string
+
+    rng = random.Random(20260815)
+    # varied text: a periodic phrase has ~45 distinct k-grams and may
+    # never hit the 1/64 boundary residue; random ASCII fires ~n/64
+    base = "".join(
+        rng.choice(string.ascii_letters + " .,") for _ in range(3000)
+    )
+    shifted = "PREFIX-" + base
+    a, b = _cdc_chunks(base), _cdc_chunks(shifted)
+    # after each side's first boundary the chunkings are identical
+    assert a[1:] == b[1 + (len(b) - len(a)) :]
+    assert len(a) > 3, "no boundaries fired — constants degenerate"
+
+
+# ---------------------------------------------------------------- novelty
+
+
+def test_text_novelty_replay(spark, sf_dir, duck):
+    N = 3
+    docs = _docs(duck)
+    sh_per_doc = {}
+    first: dict[str, int] = {}
+    for doc_id, text, _lang, _nc in docs:
+        tok = text.split(" ")
+        shs = (
+            {
+                " ".join(tok[i : i + N])
+                for i in range(len(tok) - N + 1)
+            }
+            if len(tok) >= N
+            else set()
+        )
+        sh_per_doc[doc_id] = shs
+        for s in shs:
+            if s not in first or doc_id < first[s]:
+                first[s] = doc_id
+    expect = {}
+    for doc_id, shs in sh_per_doc.items():
+        novel = sum(1 for s in shs if first[s] == doc_id)
+        expect[doc_id] = (
+            len(shs),
+            novel,
+            (novel * 10_000 // len(shs)) if shs else 0,
+        )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_bp"])
+        for r in load_all_queries()["text_novelty"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # doc 0 (lowest id with shingles) must be fully novel
+    lowest = min(d for d, s in sh_per_doc.items() if s)
+    assert got[lowest][2] == 10_000
+
+
+# ---------------------------------------------------------------- mutual kNN
+
+
+def test_sim_mutual_knn_replay(spark, sf_dir, duck):
+    from nchu_bigdata_spark.operators.similarity import _MKNN_N, _TOPK
+
+    rows = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id <= {_MKNN_N} ORDER BY vec_id"
+    ).fetchall()
+    V = {r[0]: [float(x) for x in r[1]] for r in rows}
+    Nrm = {k: math.sqrt(sum(x * x for x in v)) for k, v in V.items()}
+
+    def cos(a, b):
+        return round(
+            sum(x * y for x, y in zip(V[a], V[b])) / (Nrm[a] * Nrm[b]), 6
+        )
+
+    knn = {}
+    for a in V:
+        ranked = sorted(
+            ((b, cos(a, b)) for b in V if b != a),
+            key=lambda t: (-t[1], t[0]),
+        )[:_TOPK]
+        knn[a] = {b: (r + 1, c) for r, (b, c) in enumerate(ranked)}
+    expect = {}
+    for a in V:
+        for b, (rab, c) in knn[a].items():
+            if a < b and a in knn[b]:
+                expect[(a, b)] = (c, rab, knn[b][a][0])
+    got = {
+        (r["vec_a"], r["vec_b"]): (
+            float(r["cos_sim"]), r["rank_ab"], r["rank_ba"]
+        )
+        for r in load_all_queries()["sim_mutual_knn"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k, (c, rab, rba) in expect.items():
+        gc, grab, grba = got[k]
+        assert (grab, grba) == (rab, rba), k
+        assert abs(gc - c) < 1e-6, k
+    assert expect, "no mutual pairs — vacuous"
+    # mutual pruning bounds degree by k
+    deg: dict[int, int] = {}
+    for a, b in expect:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert max(deg.values()) <= _TOPK
+
+
+# ---------------------------------------------------------------- ESS
+
+
+def test_sample_ess_audit_replay(spark, sf_dir, duck):
+    docs = _docs(duck)
+    by_lang: dict[str, list[int]] = {}
+    for _doc_id, _text, lang, n_chars in docs:
+        by_lang.setdefault(lang, []).append(int(n_chars))
+    expect = {}
+    for lang, ws in by_lang.items():
+        sw, sw2, n = sum(ws), sum(w * w for w in ws), len(ws)
+        expect[lang] = (
+            n, sw, sw * sw * 1000 // sw2, sw * sw * 10_000 // (sw2 * n)
+        )
+    got = {
+        r["lang"]: (r["n_docs"], r["sum_w"], r["ess_milli"], r["ess_ratio_bp"])
+        for r in load_all_queries()["sample_ess_audit"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
+    # sanity: ESS can never exceed n, uniform weights would hit n
+    for lang, (n, _sw, ess_milli, ratio_bp) in expect.items():
+        assert ess_milli <= n * 1000
+        assert 0 < ratio_bp <= 10_000
+
+
+def test_round11_ids_in_ledger_head():
+    """Round-11 births lead the driver window (memory convention:
+    'born in round N: certify immediately')."""
+    from nchu_bigdata_spark.registry import DRIVER_ORDER
+
+    head = DRIVER_ORDER[:7]
+    for name in (
+        "dedup_cdc_chunks",
+        "sample_ess_audit",
+        "text_novelty",
+        "sim_mutual_knn",
+        "multimodal_phash",
+        "multimodal_phash_pairs",
+        "text_compression_ratio",
+    ):
+        assert name in head, (name, head)
