@@ -151,10 +151,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.lit(_PR_SCALE).cast("long").alias("r")
     )
+    # SHUFFLE_HASH on the per-iteration join (the module's iterative
+    # rule): the rank side is |V| rows and AQE would broadcast it —
+    # five broadcasts retained in ONE unrolled plan OOMed the 8g
+    # driver at the r11 10× probe (the CC/PPR incident, third time).
+    # Shuffle-hash bounds every iteration's memory to one partition.
     for _ in range(_PR_ITERS):
-        contrib = edges.join(ranks, edges.u == ranks.node).select(
-            "v", F.expr("r DIV d").alias("c")
-        )
+        contrib = edges.join(
+            ranks.hint("shuffle_hash"), edges.u == ranks.node
+        ).select("v", F.expr("r DIV d").alias("c"))
         ranks = (
             contrib.groupBy("v")
             .agg(

@@ -241,3 +241,45 @@ def test_round11_ids_in_ledger_head():
         "text_compression_ratio",
     ):
         assert name in head, (name, head)
+
+
+def test_graph_checkpoint_count_invariant(spark, monkeypatch):
+    """VERDICT r10 item 6: the iterative graph kernels' per-round
+    localCheckpoint budget must be a CONSTANT of the algorithm (edges
+    + labels + one per round), never a function of data scale — a
+    checkpoint count that grew with the corpus would mean lineage (and
+    driver bookkeeping) growth the 100 TB design forbids. Count
+    shared_intermediate calls per run at two corpus sizes and demand
+    equality."""
+    import nchu_bigdata_spark.operators.graph as G
+    from nchu_bigdata_spark.materialize import shared_intermediate as orig
+    from nchu_bigdata_spark.registry import load_all_queries
+
+    calls: list[str] = []
+
+    def counting(tag, df, eager=True):
+        calls.append(tag)
+        return orig(tag, df, eager)
+
+    monkeypatch.setattr(G, "shared_intermediate", counting)
+    specs = load_all_queries()
+    counts = {}
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name in ("graph_connected_components", "graph_pagerank"):
+            calls.clear()
+            specs[name].fn(spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            counts[(name, sf)] = len(calls)
+    for name in ("graph_connected_components", "graph_pagerank"):
+        a = counts[(name, "/root/testdata/sf0.001")]
+        b = counts[(name, "/root/testdata/sf0.01")]
+        assert a == b > 0, (name, a, b)
+    # the budget is the committed constant: edges + labels0 + one per
+    # round for CC; pagerank checkpoints ONLY the degree-joined edge
+    # table and unrolls its fixed iterations into a single bounded plan
+    from nchu_bigdata_spark.operators.graph import _CC_ROUNDS
+
+    assert counts[("graph_connected_components", "/root/testdata/sf0.001")] \
+        == 2 + _CC_ROUNDS
+    assert counts[("graph_pagerank", "/root/testdata/sf0.001")] == 1
