@@ -123,11 +123,14 @@ LLM_GROUP = [
     "dedup_substring_spans",
     "decontam_embedding",
     # born round 11: CDC chunk dedup, first-occurrence novelty,
-    # mutual-kNN graph, ESS weight audit (trend starts here)
+    # mutual-kNN graph, ESS weight audit, PQ encoder, template-prefix
+    # audit (trend starts here)
     "dedup_cdc_chunks",
     "text_novelty",
     "sim_mutual_knn",
     "sample_ess_audit",
+    "embed_pq",
+    "text_template_prefix",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites

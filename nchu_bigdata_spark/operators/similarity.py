@@ -2687,3 +2687,131 @@ def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_ba").cast("int").alias("rank_ba"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embed_pq — product-quantization codes + reconstruction error (round 11)
+# --------------------------------------------------------------------------
+
+_PQ_SUB = 8  # subspaces (64 dims -> 8 x 8)
+_PQ_DIM = 8  # dims per subspace
+_PQ_K = 4  # codes per subspace; codebook = sub-vectors of vec_id 1..4
+
+
+def _pq_sql_dist(s: str, e_qv: str, c_qv: str) -> str:
+    """Exact integer squared L2 between 8-dim sub-vectors on the _Q
+    grid, subspace index ``s`` a column (0-based), lists 1-based."""
+    return " + ".join(
+        f"({e_qv}[{s}*{_PQ_DIM} + {d + 1}] - {c_qv}[{s}*{_PQ_DIM} + {d + 1}])"
+        f" * ({e_qv}[{s}*{_PQ_DIM} + {d + 1}] - {c_qv}[{s}*{_PQ_DIM} + {d + 1}])"
+        for d in range(_PQ_DIM)
+    )
+
+
+@register(
+    "embed_pq",
+    tags=("b10",),
+    oracle=f"""
+        -- Product quantization (Jegou et al. 2011, "Product
+        -- Quantization for Nearest Neighbor Search"): split every
+        -- embedding into {_PQ_SUB} contiguous {_PQ_DIM}-dim subspaces;
+        -- quantize each sub-vector to its nearest of {_PQ_K} sub-codebook
+        -- entries (squared L2 on the exact 1e-6 integer grid, ties to
+        -- the lower code); emit the packed base-{_PQ_K} code word and the
+        -- total integer reconstruction error. PQ is the memory-side
+        -- half of a production ANN stack (IVF picks the cells this
+        -- module already certifies; PQ compresses the residents
+        -- 64x here: 64 floats -> 8 2-bit codes).
+        WITH eq AS (
+            SELECT vec_id,
+                   [CAST(ROUND(x * {_Q}, 0) AS BIGINT)
+                    FOR x IN embedding::DOUBLE[]] AS qv
+            FROM embeddings
+        ),
+        cb AS (SELECT vec_id - 1 AS code, qv FROM eq
+               WHERE vec_id BETWEEN 1 AND {_PQ_K}),
+        dist AS (
+            SELECT e.vec_id, s.s, c.code,
+                   {_pq_sql_dist('s.s', 'e.qv', 'c.qv')} AS d2
+            FROM eq e
+            CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_SUB - 1}))
+                        AS s) s
+            CROSS JOIN cb c
+        ),
+        best AS (
+            SELECT vec_id, s, code, d2 FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+                FROM dist
+            ) WHERE rn = 1
+        )
+        SELECT vec_id,
+               CAST(SUM(code * CAST({_PQ_K} AS BIGINT) ** s) AS BIGINT)
+                   AS pq_code,
+               CAST(SUM(d2) AS BIGINT) AS err_q
+        FROM best
+        GROUP BY vec_id
+    """,
+)
+def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoder (Jegou et al. 2011): each
+    embedding's {S} contiguous {D}-dim sub-vectors map to their nearest
+    of {K} sub-codebook entries; output is the packed base-{K} code
+    word plus the exact integer reconstruction error. Together with
+    the module's IVF (`sim_ann_ivf` — the routing half) and scalar
+    int8 quantization (`embed_quantize`), this completes the standard
+    IVF-PQ ANN memory layout: a 100 TB vector store keeps 2-bit codes
+    per subspace in RAM and full vectors on disk.
+
+    Exactness: coordinates on the shared 1e-6 integer grid (the
+    module's LSH convention — ROUND(x·1e6) as BIGINT on both engines);
+    distances are exact int64 squared L2 on that grid; ties break to
+    the lower code id; the code word and error are integer sums.
+
+    Plan/scale: the codebook is {K} rows — the sanctioned small-side
+    collect (kmeans_assign's pattern) inlined as integer literals, so
+    encoding is ONE zero-shuffle codegen projection over the scan:
+    per subspace an array_min over {K} (dist, code) structs, the code
+    word a linear combination, no explode, no join, no agg. Encoding
+    cost is O(dims·{K}) per vector — the same arithmetic a SIMD PQ
+    encoder does — and the operator scales embarrassingly with the
+    scan. The oracle replays the argmin via a windowed rank over the
+    exploded (vec, subspace, code) grid — independent mechanism, same
+    assignment."""
+    e = _vecs(spark, sf_dir)
+    qe = e.select(
+        "vec_id",
+        F.transform("v", lambda x: F.round(x * _Q, 0).cast("long")).alias(
+            "qv"
+        ),
+    )
+    cb = {
+        int(r.vec_id) - 1: [int(x) for x in r.qv]
+        for r in qe.filter(F.col("vec_id") <= _PQ_K).collect()
+    }  # K-row sanctioned collect, quantized driver-side on the same grid
+
+    def dist_lit(s: int, code: int) -> str:
+        return " + ".join(
+            f"(element_at(qv, {s * _PQ_DIM + d + 1}) -"
+            f" {cb[code][s * _PQ_DIM + d]}L) *"
+            f" (element_at(qv, {s * _PQ_DIM + d + 1}) -"
+            f" {cb[code][s * _PQ_DIM + d]}L)"
+            for d in range(_PQ_DIM)
+        )
+
+    per_sub = []
+    for s in range(_PQ_SUB):
+        structs = ", ".join(
+            "named_struct('d2', " + dist_lit(s, c) + f", 'code', {c}L)"
+            for c in range(_PQ_K)
+        )
+        per_sub.append(f"(array_min(array({structs})))")
+    code_expr = " + ".join(
+        f"{per_sub[s]}.code * {_PQ_K ** s}L" for s in range(_PQ_SUB)
+    )
+    err_expr = " + ".join(f"{per_sub[s]}.d2" for s in range(_PQ_SUB))
+    return qe.select(
+        "vec_id",
+        F.expr(f"CAST({code_expr} AS BIGINT)").alias("pq_code"),
+        F.expr(f"CAST({err_expr} AS BIGINT)").alias("err_q"),
+    )

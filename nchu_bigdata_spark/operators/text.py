@@ -1985,3 +1985,110 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_template_prefix — per-source boilerplate prefix audit (round 11)
+# --------------------------------------------------------------------------
+
+_TPL_BP = 1500  # templated verdict: shared prefix >= 15% of shortest doc
+
+
+@register(
+    "text_template_prefix",
+    tags=("b10",),
+    oracle=f"""
+        -- Templated-source audit via the longest common prefix of ALL
+        -- documents in a source: lcp(group) = lcp(min(text),
+        -- max(text)) under binary collation -- the classic order-
+        -- statistic trick (any string between the lexicographic
+        -- extremes shares at least their common prefix), which turns
+        -- an all-pairs scan into ONE min/max aggregate. A high shared-
+        -- prefix fraction marks machine-generated/boilerplate feeds
+        -- (the crawler-trap signature) that dedup won't catch when
+        -- tails differ -- the curation gate reads lcp_bp.
+        WITH g AS (
+            SELECT source, COUNT(*) AS n_docs, MIN(text) AS lo,
+                   MAX(text) AS hi, MIN(length(text)) AS min_len
+            FROM documents GROUP BY source
+        ),
+        l AS (SELECT *, least(length(lo), length(hi)) AS lim FROM g),
+        c AS (
+            SELECT source, n_docs, min_len,
+                   COALESCE(list_min(
+                       [p FOR p IN generate_series(1, lim)
+                        IF substr(lo, p, 1) <> substr(hi, p, 1)]) - 1,
+                       lim) AS lcp_len
+            FROM l
+        )
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(min_len AS BIGINT) AS min_len,
+               CAST(lcp_len AS BIGINT) AS lcp_len,
+               CAST(lcp_len * 10000 // min_len AS BIGINT) AS lcp_bp,
+               CAST(CASE WHEN lcp_len * 10000 // min_len >= {_TPL_BP}
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_templated
+        FROM c
+    """,
+)
+def text_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TEMPLATE/boilerplate audit: the longest common
+    prefix shared by every document a source emits, as a fraction of
+    its shortest document. Machine-generated feeds (error pages, SEO
+    templates, crawler traps) share long fixed prefixes while their
+    tails differ — exactly the shape whole-doc dedup misses and
+    `dedup_prefix` only catches pairwise; a source-level lcp_bp ≥
+    {_TPL_BP // 100}% is the kill-the-feed signal upstream curation
+    acts on.
+
+    The scale trick: lcp(ALL docs) = lcp(lexicographic MIN, MAX) —
+    every string between the extremes shares at least their common
+    prefix — so the whole audit is ONE map-side-combinable min/max/
+    count aggregate per source (strings compare bytewise on the
+    ASCII-pinned corpus, identical on both engines) followed by an
+    O(len) projection; no pair join, no explode, no second scan. The
+    first-mismatch scan indexes a split-once char array (element_at is
+    O(1); substring-in-lambda would rescan — the dedup_cdc_chunks
+    lesson).
+
+    Exactness: byte-exact string order statistics, integer mismatch
+    positions, floor-bp share."""
+    g = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("text").alias("lo"),
+            F.max("text").alias("hi"),
+            F.min(F.length("text")).alias("min_len"),
+        )
+    )
+    return g.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("min_len").cast("long").alias("min_len"),
+        F.expr(
+            """
+            coalesce(
+                array_min(filter(
+                    sequence(1, least(length(lo), length(hi))),
+                    p -> element_at(split(lo, ''), p)
+                         <> element_at(split(hi, ''), p))) - 1,
+                least(length(lo), length(hi)))
+            """
+        )
+        .cast("long")
+        .alias("lcp_len"),
+    ).select(
+        "source",
+        "n_docs",
+        "min_len",
+        "lcp_len",
+        F.expr("CAST(lcp_len * 10000 div min_len AS BIGINT)").alias(
+            "lcp_bp"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN lcp_len * 10000 div min_len >= {_TPL_BP}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_templated"),
+    )

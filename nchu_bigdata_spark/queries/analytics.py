@@ -5336,3 +5336,145 @@ def events_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("height").cast("long").alias("max_height"),
         F.min("day").cast("long").alias("first_peak_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_mann_kendall — exact Mann-Kendall trend test per series (round 11)
+# --------------------------------------------------------------------------
+
+# z²·10⁴ for the two-sided 5% level (1.96² = 3.8416) — enters the
+# significance test as an integer cross-multiply, never as a float.
+_MK_Z2_E4 = 38_416
+
+
+@register(
+    "ts_mann_kendall",
+    tags=("analytics",),
+    oracle=f"""
+        -- Mann-Kendall trend test per event series (Mann 1945 /
+        -- Kendall's tau): S = sum over day pairs i<j of
+        -- sign(n_j - n_i); under H0 Var(S) = [n(n-1)(2n+5)
+        -- - sum_ties t(t-1)(2t+5)] / 18. The monotone-trend detector
+        -- hydrology/monitoring uses because it needs no distribution
+        -- and no float math: here the significance test is the exact
+        -- integer cross-multiply 18 * 10^4 * S^2 > z^2*10^4 * var18
+        -- (var18 = 18*Var, an integer by construction). No continuity
+        -- correction (documented definition, same on both engines).
+        WITH cell AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT a.event_type,
+                   SUM(CASE WHEN b.n_events > a.n_events THEN 1
+                            WHEN b.n_events < a.n_events THEN -1
+                            ELSE 0 END) AS s_stat
+            FROM cell a JOIN cell b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY a.event_type
+        ),
+        nn AS (SELECT event_type, COUNT(*) AS n FROM cell GROUP BY 1),
+        ties AS (
+            SELECT event_type,
+                   COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_adj
+            FROM (SELECT event_type, n_events, COUNT(*) AS t
+                  FROM cell GROUP BY 1, 2) g
+            WHERE t > 1
+            GROUP BY event_type
+        )
+        SELECT nn.event_type,
+               CAST(nn.n AS BIGINT) AS n_days,
+               CAST(s.s_stat AS BIGINT) AS s_stat,
+               CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                    - COALESCE(ties.tie_adj, 0) AS BIGINT) AS var18,
+               CAST(CASE WHEN 180000 * s.s_stat * s.s_stat >
+                              {_MK_Z2_E4} * (nn.n * (nn.n - 1)
+                              * (2 * nn.n + 5)
+                              - COALESCE(ties.tie_adj, 0))
+                         THEN CASE WHEN s.s_stat > 0 THEN 1 ELSE -1 END
+                         ELSE 0 END AS BIGINT) AS trend
+        FROM nn JOIN s USING (event_type)
+        LEFT JOIN ties USING (event_type)
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event series — the
+    distribution-free standard in hydrology/monitoring, here in EXACT
+    integer arithmetic end-to-end: S = Σ_{{i<j}} sign(n_j − n_i) over
+    day pairs, tie-adjusted Var(S) kept as the integer var18 = 18·Var,
+    and the 5% two-sided verdict as the cross-multiply
+    18·10⁴·S² > z²·10⁴·var18 (z²·10⁴ = {_MK_Z2_E4} enters as a literal
+    — no sqrt, no float, no continuity correction by documented
+    definition). Complements `events_mann_whitney` (two-sample
+    location) and `ts_theil_sen` (trend MAGNITUDE — Theil-Sen is the
+    slope the MK test gates).
+
+    Plan/scale: events collapse map-side to (type, day) cells — the
+    module's cell convention — so the pairwise stage is a self-join
+    over DAY-cardinality rows per type (n ≤ a few hundred days ⇒
+    ≤ n²/2 comparisons per type, partition-local after ONE
+    event_type exchange shared by S, n, and the tie table). At 100 TB
+    the series dimension (days) grows with calendar time, not corpus
+    size — the O(n²) pair stage is bounded by the retention window,
+    and a longer-horizon deployment would swap in the O(n log n)
+    merge-sort inversion count with identical semantics."""
+    ev = table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    b = cell.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("n_events").alias("b_n"),
+    )
+    s = (
+        cell.join(
+            b,
+            (cell.event_type == b.b_type) & (cell.day < F.col("b_day")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("b_n") > F.col("n_events"), 1)
+                .when(F.col("b_n") < F.col("n_events"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    nn = cell.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        cell.groupBy("event_type", "n_events")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_adj")
+        )
+    )
+    return (
+        nn.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("s_stat").cast("long").alias("s_stat"),
+            F.expr(
+                "CAST(n * (n - 1) * (2 * n + 5)"
+                " - coalesce(tie_adj, 0) AS BIGINT)"
+            ).alias("var18"),
+            F.expr(
+                f"""CAST(CASE WHEN 180000 * s_stat * s_stat >
+                    {_MK_Z2_E4} * (n * (n - 1) * (2 * n + 5)
+                    - coalesce(tie_adj, 0))
+                    THEN CASE WHEN s_stat > 0 THEN 1 ELSE -1 END
+                    ELSE 0 END AS BIGINT)"""
+            ).alias("trend"),
+        )
+    )

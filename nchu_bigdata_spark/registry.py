@@ -127,6 +127,9 @@ DRIVER_ORDER = [
     "sample_ess_audit",
     "text_novelty",
     "sim_mutual_knn",
+    "embed_pq",
+    "ts_mann_kendall",
+    "text_template_prefix",
     # -- ROTATION LEDGER window r11: first 50 ids below (stuck ids from r10 lead) --
     # -- pulled forward (VERDICT r10 item 2): their official driver rows
     #    still say no_oracle from r7, but multimodal_phash(_pairs) have

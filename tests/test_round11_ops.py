@@ -230,12 +230,15 @@ def test_round11_ids_in_ledger_head():
     'born in round N: certify immediately')."""
     from nchu_bigdata_spark.registry import DRIVER_ORDER
 
-    head = DRIVER_ORDER[:7]
+    head = DRIVER_ORDER[:10]
     for name in (
         "dedup_cdc_chunks",
         "sample_ess_audit",
         "text_novelty",
         "sim_mutual_knn",
+        "embed_pq",
+        "ts_mann_kendall",
+        "text_template_prefix",
         "multimodal_phash",
         "multimodal_phash_pairs",
         "text_compression_ratio",
@@ -283,3 +286,134 @@ def test_graph_checkpoint_count_invariant(spark, monkeypatch):
     assert counts[("graph_connected_components", "/root/testdata/sf0.001")] \
         == 2 + _CC_ROUNDS
     assert counts[("graph_pagerank", "/root/testdata/sf0.001")] == 1
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def test_embed_pq_replay(spark, sf_dir, duck):
+    from nchu_bigdata_spark.operators.similarity import (
+        _PQ_DIM,
+        _PQ_K,
+        _PQ_SUB,
+        _Q,
+    )
+
+    rows = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    QV = {
+        r[0]: [int(round(float(x) * _Q)) for x in r[1]] for r in rows
+    }
+    cb = {c: QV[c + 1] for c in range(_PQ_K)}
+    expect = {}
+    for vid, qv in QV.items():
+        code_word, err = 0, 0
+        for s in range(_PQ_SUB):
+            best = min(
+                (
+                    (
+                        sum(
+                            (qv[s * _PQ_DIM + d] - cb[c][s * _PQ_DIM + d])
+                            ** 2
+                            for d in range(_PQ_DIM)
+                        ),
+                        c,
+                    )
+                    for c in range(_PQ_K)
+                )
+            )
+            code_word += best[1] * (_PQ_K ** s)
+            err += best[0]
+        expect[vid] = (code_word, err)
+    got = {
+        r["vec_id"]: (r["pq_code"], r["err_q"])
+        for r in load_all_queries()["embed_pq"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # codebook members reconstruct their own subspaces exactly
+    for c in range(_PQ_K):
+        assert expect[c + 1][1] == 0
+    # non-degenerate: codes differ across the corpus
+    assert len({v[0] for v in expect.values()}) > 1
+
+
+# ---------------------------------------------------------------- MK
+
+
+def test_ts_mann_kendall_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT event_type, epoch_us(ts) // 86400000000 AS day,"
+        " COUNT(*) AS n FROM events GROUP BY 1, 2"
+    ).fetchall()
+    series: dict[str, dict[int, int]] = {}
+    for et, day, n in rows:
+        series.setdefault(et, {})[int(day)] = int(n)
+    expect = {}
+    for et, cell in series.items():
+        days = sorted(cell)
+        vals = [cell[d] for d in days]
+        n = len(vals)
+        s = sum(
+            (0 if vals[j] == vals[i] else (1 if vals[j] > vals[i] else -1))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie_counts: dict[int, int] = {}
+        for v in vals:
+            tie_counts[v] = tie_counts.get(v, 0) + 1
+        tie_adj = sum(
+            t * (t - 1) * (2 * t + 5) for t in tie_counts.values() if t > 1
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie_adj
+        sig = 180_000 * s * s > 38_416 * var18
+        expect[et] = (n, s, var18, (1 if s > 0 else -1) if sig else 0)
+    got = {
+        r["event_type"]: (r["n_days"], r["s_stat"], r["var18"], r["trend"])
+        for r in load_all_queries()["ts_mann_kendall"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
+    assert expect, "no series"
+
+
+# ---------------------------------------------------------------- LCP
+
+
+def test_text_template_prefix_replay(spark, sf_dir, duck):
+    docs = duck.execute(
+        "SELECT source, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    by_src: dict[str, list[str]] = {}
+    for src, text in docs:
+        by_src.setdefault(src, []).append(text)
+    expect = {}
+    for src, texts in by_src.items():
+        lo, hi = min(texts), max(texts)
+        lim = min(len(lo), len(hi))
+        lcp = lim
+        for p in range(lim):
+            if lo[p] != hi[p]:
+                lcp = p
+                break
+        # the order-statistic trick must equal the true group LCP
+        true_lcp = 0
+        while true_lcp < min(len(t) for t in texts) and all(
+            t[true_lcp] == texts[0][true_lcp] for t in texts
+        ):
+            true_lcp += 1
+        assert lcp == true_lcp, (src, lcp, true_lcp)
+        min_len = min(len(t) for t in texts)
+        bp = lcp * 10_000 // min_len
+        expect[src] = (len(texts), min_len, lcp, bp, int(bp >= 1500))
+    got = {
+        r["source"]: (
+            r["n_docs"], r["min_len"], r["lcp_len"], r["lcp_bp"],
+            r["is_templated"],
+        )
+        for r in load_all_queries()["text_template_prefix"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
