@@ -4,6 +4,7 @@ every query in ``nchu_bigdata_spark.registry.REGISTRY``."""
 from nchu_bigdata_spark.queries import (  # noqa: F401
     aggregates,
     analytics,
+    geo,
     joins,
     profiling,
     relational,

@@ -2703,3 +2703,151 @@ def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         # otherwise emit a retained=0 row here (sparse-fixture edge).
         .filter(F.col("retained") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# agg_chi_square — contingency-table independence test, exact ints (round 11)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_chi_square",
+    tags=("b4",),
+    oracle="""
+        -- Pearson chi-square test of independence over the
+        -- event_type x day-of-week-cycle contingency table, in EXACT
+        -- integer arithmetic: per cell (incl. structural zeros of the
+        -- observed-category grid), the contribution is
+        -- floor(1e4 * (O*N - R*C)^2 / (R*C*N)) via a
+        -- quotient/remainder split (agg_ols_multi's policy), summed as
+        -- integers -- the documented definition on both engines. The
+        -- only float op is ONE IEEE-exact sqrt for Cramer's V (sqrt is
+        -- correctly rounded by IEEE-754, so FLOOR(SQRT(int)) is
+        -- bit-stable cross-engine; the radicand stays < 2^53).
+        WITH cell0 AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 86400000000) % 7 AS wd,
+                   CAST(COUNT(*) AS HUGEINT) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        types AS (SELECT event_type, SUM(o) AS r FROM cell0 GROUP BY 1),
+        wds AS (SELECT wd, SUM(o) AS c FROM cell0 GROUP BY 1),
+        tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS nr,
+                       COUNT(DISTINCT wd) AS nc FROM cell0),
+        grid AS (
+            SELECT t.event_type, w.wd, t.r, w.c,
+                   COALESCE(cell0.o, 0) AS o
+            FROM types t CROSS JOIN wds w
+            LEFT JOIN cell0
+              ON cell0.event_type = t.event_type AND cell0.wd = w.wd
+        ),
+        contrib AS (
+            SELECT event_type,
+                   (o * tot.n - r * c) * (o * tot.n - r * c) AS num,
+                   r * c * tot.n AS den,
+                   r
+            FROM grid CROSS JOIN tot
+        ),
+        cells AS (
+            SELECT event_type, r,
+                   (num // den) * 10000
+                   + ((num - (num // den) * den) * 10000) // den
+                       AS cell_e4
+            FROM contrib
+        ),
+        per_type AS (
+            SELECT event_type, MIN(r) AS n_obs,
+                   SUM(cell_e4) AS chi2_part_e4
+            FROM cells GROUP BY 1
+        ),
+        gtot AS (
+            SELECT SUM(chi2_part_e4) AS chi2_e4 FROM per_type
+        )
+        SELECT p.event_type,
+               CAST(p.n_obs AS BIGINT) AS n_obs,
+               CAST(p.chi2_part_e4 AS BIGINT) AS chi2_part_e4,
+               CAST(g.chi2_e4 AS BIGINT) AS chi2_total_e4,
+               CAST((t.nr - 1) * (t.nc - 1) AS BIGINT) AS df,
+               CAST(FLOOR(SQRT(CAST(
+                   (g.chi2_e4 * 100000000)
+                   // (t.n * (CASE WHEN t.nr < t.nc THEN t.nr
+                              ELSE t.nc END - 1)) AS DOUBLE)))
+                   AS BIGINT) AS cramers_v_e6
+        FROM per_type p CROSS JOIN gtot g CROSS JOIN tot t
+    """,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (event_type × day-of-week
+    cycle) with per-type contribution rows — the categorical-drift
+    detector every feature-store DQ layer runs. Exactness: per-cell
+    contributions are floor(10⁴·(O·N−R·C)²/(R·C·N)) in decimal(38,0)
+    via the quotient/remainder split (`agg_ols_multi`'s policy — no
+    decimal→double cast, no float accumulation), summed as integers;
+    structural zero cells of the observed-category grid are included
+    per the textbook definition. Cramér's V is the ONE float op: an
+    IEEE-754 correctly-rounded sqrt over an integer radicand < 2⁵³,
+    so FLOOR(SQRT(·)) is bit-stable cross-engine.
+
+    Plan/scale: events collapse map-side to the (type, wd) cell table
+    — ONE hash agg over the raw stream; everything after operates on
+    ≤ |types|·7 rows (margins, grid, contributions are dimension-side
+    cross joins of tiny aggregates). At 100 TB the raw-stream agg is
+    the only full-data pass and it partial-aggregates perfectly."""
+    ev = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    cell0 = ev.groupBy(
+        "event_type",
+        F.expr("(unix_micros(ts) div 86400000000) % 7").alias("wd"),
+    ).agg(F.count(F.lit(1)).cast(dec).alias("o"))
+    types = cell0.groupBy("event_type").agg(F.sum("o").alias("r"))
+    wds = cell0.groupBy("wd").agg(F.sum("o").alias("c"))
+    tot = cell0.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").cast(dec).alias("nr"),
+        F.countDistinct("wd").cast(dec).alias("nc"),
+    )
+    grid = (
+        types.crossJoin(wds)
+        .join(cell0, ["event_type", "wd"], "left")
+        .select(
+            "event_type",
+            "r",
+            "c",
+            F.coalesce(F.col("o"), F.lit(0).cast(dec)).alias("o"),
+        )
+    )
+    contrib = grid.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "r",
+        F.expr("(o * n - r * c) * (o * n - r * c)").alias("num"),
+        F.expr("r * c * n").alias("den"),
+    )
+    cells = contrib.select(
+        "event_type",
+        "r",
+        F.expr(
+            "(num div den) * 10000"
+            " + ((num - (num div den) * den) * 10000) div den"
+        ).alias("cell_e4"),
+    )
+    per_type = cells.groupBy("event_type").agg(
+        F.min("r").alias("n_obs"),
+        F.sum("cell_e4").alias("chi2_part_e4"),
+    )
+    glob = per_type.agg(F.sum("chi2_part_e4").alias("chi2_e4"))
+    return (
+        per_type.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.col("chi2_part_e4").cast("long").alias("chi2_part_e4"),
+            F.col("chi2_e4").cast("long").alias("chi2_total_e4"),
+            F.expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").alias("df"),
+            F.expr(
+                "CAST(FLOOR(SQRT(CAST((chi2_e4 * 100000000)"
+                " div (n * (CASE WHEN nr < nc THEN nr ELSE nc END - 1))"
+                " AS DOUBLE))) AS BIGINT)"
+            ).alias("cramers_v_e6"),
+        )
+    )

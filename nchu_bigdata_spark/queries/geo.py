@@ -1,0 +1,175 @@
+"""Spatial operators (SURVEY.md §2.B-ext — geo family, round 11).
+
+The reference (swguo/NCHU.BigData, ``hadoop_tutorial/src/Kmeans.java``)
+has no spatial surface; these add the distance-join primitive every
+geo-enabled warehouse ships (points-within-radius, nearest-in-radius),
+expressed Spark-first so Catalyst owns the physical plan.
+
+Coordinates are DERIVED deterministically from the TPC-H keys (integer
+multiplicative hashes onto a 1e6×1e6 grid) because the testdata carries
+no lat/lon — the derivation is part of the query definition and is
+replayed identically in the DuckDB oracle, so the certified artifact is
+the JOIN ALGORITHM, not the synthetic geography.
+
+Exactness doctrine (repo-wide): every distance is an int64 squared
+Euclidean — no trig, no floats, no rounding grid — so Spark and DuckDB
+agree bit-for-bit.
+
+Scale notes (100 TB):
+  * ``geo_cell_join`` is the classic ε-distance join via grid cells
+    sized to the radius: each point hashes to ONE cell, the (small by
+    selectivity, not by table size) probe side is replicated into its
+    3×3 cell neighborhood, and the join key is the cell id — a plain
+    shuffle-hash/sort-merge join Catalyst can plan, with NO broadcast
+    requirement and NO quadratic pair blow-up. Cell size = radius
+    guarantees every within-R pair lands in adjacent cells (|Δx| ≤ R ⇒
+    |Δcell_x| ≤ 1), so the candidate filter is exact, and the cost is
+    9·|S| replicated rows + density-bounded candidate pairs per cell.
+    At 1000 executors both sides partition by cell id; skewed cells
+    (urban density) are AQE skew-split since the join is a vanilla
+    equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.registry import register
+
+# Deterministic grid geography: Knuth/Fibonacci-style odd multipliers,
+# reduced mod the grid span. Keys stay ≤ ~1e7 locally so every product
+# is < 2^63 on both engines (no wraparound semantics in play).
+_SPAN = 1_000_000  # grid is [0, 1e6)²
+_AX, _AY = 2_654_435_761, 1_597_334_677  # point-hash multipliers
+_OX, _OY = 500_000_011, 998_244_353  # facility offsets (decorrelate)
+_R = 50_000  # ε radius, also the cell edge (the exactness invariant)
+_R2 = _R * _R
+# nearest-in-radius is encoded order-free as min(d2·1e7 + suppkey):
+# d2 ≤ 2·R·span < 1e11? no — d2 ≤ 2·R² = 5e9; suppkey < 1e7 at test
+# scales, so the encoding stays < 5e16 < 2^63 and decodes exactly.
+_ENC = 10_000_000
+
+
+@register(
+    "geo_cell_join",
+    tags=("geo",),
+    oracle=f"""
+        -- ε-distance join, oracle side: the plain quadratic theta-join
+        -- (fine at oracle scale) over the SAME derived geography. The
+        -- Spark side must produce the identical per-point aggregate
+        -- through its grid-cell candidate generation.
+        WITH c AS (
+            SELECT c_custkey,
+                   (c_custkey * {_AX}) % {_SPAN} AS cx,
+                   (c_custkey * {_AY}) % {_SPAN} AS cy
+            FROM customer
+        ),
+        s AS (
+            SELECT s_suppkey,
+                   (s_suppkey * {_AX} + {_OX}) % {_SPAN} AS sx,
+                   (s_suppkey * {_AY} + {_OY}) % {_SPAN} AS sy
+            FROM supplier
+        ),
+        p AS (
+            SELECT c.c_custkey,
+                   (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2,
+                   s.s_suppkey
+            FROM c JOIN s
+              ON (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= {_R2}
+        ),
+        a AS (
+            SELECT c_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_within,
+                   MIN(d2 * {_ENC} + s_suppkey) AS enc
+            FROM p GROUP BY c_custkey
+        )
+        SELECT c.c_custkey,
+               CAST(COALESCE(a.n_within, 0) AS BIGINT) AS n_within,
+               CAST(a.enc // {_ENC} AS BIGINT) AS min_d2,
+               CAST(a.enc % {_ENC} AS BIGINT) AS nearest_suppkey
+        FROM c LEFT JOIN a USING (c_custkey)
+    """,
+)
+def geo_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-distance spatial join (points-within-radius + nearest-in-
+    radius) via radius-sized grid cells — the standard exact distance-
+    join decomposition (same cell family as ``sort_zorder``'s Morton
+    layout, but used for JOIN pruning, not storage clustering).
+
+    Algorithm: quantize both sides to cells of edge R; replicate each
+    facility into its 3×3 cell neighborhood (9 distinct cell keys per
+    facility, so a (point, facility) pair can match at most once — no
+    dedup stage); equi-join on cell id; keep pairs with int64 squared
+    distance ≤ R². Cell edge = R makes the neighborhood exact: any pair
+    within R differs by ≤ 1 in each cell coordinate. Per-point
+    aggregates come out of ONE groupBy (count + an order-free
+    min-encoding of (d2, suppkey) that also breaks nearest-ties by
+    smallest key), then a left join restores zero-hit points.
+
+    Plan/scale: no broadcast, no cross join — the candidate join is a
+    vanilla equi-join on cell id that shuffles each side once, and the
+    aggregate reuses the point-key exchange. Replication factor is a
+    constant 9 on the facility side only. Exact int64 arithmetic
+    end-to-end (no trig/floats), so the DuckDB oracle — written as the
+    brute-force quadratic theta-join — must match bit-for-bit."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(f"(c_custkey * {_AX}) % {_SPAN}").alias("cx"),
+        F.expr(f"(c_custkey * {_AY}) % {_SPAN}").alias("cy"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(f"(s_suppkey * {_AX} + {_OX}) % {_SPAN}").alias("sx"),
+        F.expr(f"(s_suppkey * {_AY} + {_OY}) % {_SPAN}").alias("sy"),
+    )
+    # Facility side replicated into its 3×3 neighborhood. Cell ids are
+    # packed (cellx · 2^20 + celly): span/R ≈ 20 cells per axis, and
+    # out-of-range neighbor cells (-1, 20) simply never match.
+    offsets = F.expr(
+        "array(-1, 0, 1)"
+    )
+    supp9 = (
+        supp.withColumn("dx", F.explode(offsets))
+        .withColumn("dy", F.explode(offsets))
+        .select(
+            (
+                (F.expr(f"sx div {_R}") + F.col("dx")) * (1 << 20)
+                + (F.expr(f"sy div {_R}") + F.col("dy"))
+            ).alias("cell"),
+            "s_suppkey",
+            "sx",
+            "sy",
+        )
+    )
+    ckey = cust.withColumn(
+        "cell",
+        F.expr(f"(cx div {_R}) * {1 << 20} + (cy div {_R})"),
+    )
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    pairs = (
+        ckey.join(supp9, "cell")
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= _R2)
+    )
+    agg = pairs.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_within"),
+        F.min(F.col("d2") * _ENC + F.col("s_suppkey")).alias("enc"),
+    )
+    return (
+        cust.select("c_custkey")
+        .join(agg, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n_within"), F.lit(0))
+            .cast("long")
+            .alias("n_within"),
+            F.expr(f"CAST(enc div {_ENC} AS BIGINT)").alias("min_d2"),
+            F.expr(f"CAST(enc % {_ENC} AS BIGINT)").alias(
+                "nearest_suppkey"
+            ),
+        )
+    )

@@ -854,3 +854,175 @@ def fn_snowflake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("worker")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# fn_ip_cidr — IPv4 format/parse round-trip + longest-prefix-match (round 11)
+# --------------------------------------------------------------------------
+
+# Deterministic IPv4 per event (Knuth multiplier mod 2^32); routing
+# table derived from nation (/8 rows) and supplier (/16 rows), each
+# deduped to MIN(key) per prefix so every prefix is unique within its
+# length and the LPM winner per ip is a single max-encoded row.
+_IP_A = 2_654_435_761
+_IP_MOD = 4_294_967_296  # 2^32
+_LPM_ENC = 1 << 40  # plen * 2^40 + net_key; net_key < 2^40 at any SF
+
+
+@register(
+    "fn_ip_cidr",
+    tags=("b7",),
+    oracle=f"""
+        -- IPv4 network functions: format a derived uint32 address as a
+        -- dotted quad, PARSE IT BACK (string round-trip is part of the
+        -- certified artifact), then classify via longest-prefix match
+        -- against a two-level CIDR table (/8 from nation, /16 from
+        -- supplier, each deduped to one row per prefix). Exact integer
+        -- + string ops only.
+        WITH e AS (
+            SELECT event_id,
+                   (event_id * {_IP_A}) % {_IP_MOD} AS ip0
+            FROM events
+        ),
+        s AS (
+            SELECT event_id,
+                   CAST(ip0 // 16777216 AS VARCHAR) || '.' ||
+                   CAST((ip0 // 65536) % 256 AS VARCHAR) || '.' ||
+                   CAST((ip0 // 256) % 256 AS VARCHAR) || '.' ||
+                   CAST(ip0 % 256 AS VARCHAR) AS ip_str
+            FROM e
+        ),
+        p AS (
+            SELECT event_id,
+                   CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216
+                   + CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536
+                   + CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256
+                   + CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip
+            FROM s
+        ),
+        n8 AS (
+            SELECT (n_nationkey * 7 + 3) % 256 AS a,
+                   MIN(n_nationkey) AS net_key
+            FROM nation GROUP BY 1
+        ),
+        n16 AS (
+            SELECT (s_suppkey * 11 + 5) % 256 AS a,
+                   (s_suppkey * 13 + 7) % 256 AS b,
+                   MIN(s_suppkey) AS net_key
+            FROM supplier GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_id, 8 AS plen, net_key, ip
+            FROM p JOIN n8 ON p.ip // 16777216 = n8.a
+            UNION ALL
+            SELECT event_id, 16 AS plen, net_key, ip
+            FROM p JOIN n16
+              ON p.ip // 16777216 = n16.a
+             AND (p.ip // 65536) % 256 = n16.b
+        ),
+        best AS (
+            SELECT event_id,
+                   MAX(plen * {_LPM_ENC} + net_key) AS enc,
+                   MIN(ip) AS ip
+            FROM m GROUP BY event_id
+        )
+        SELECT CAST(COALESCE(best.enc // {_LPM_ENC}, 0) AS BIGINT)
+                   AS prefix_len,
+               CAST(COALESCE(best.enc % {_LPM_ENC}, -1) AS BIGINT)
+                   AS net_key,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT p.ip) AS BIGINT) AS n_ips,
+               CAST(MIN(p.ip) AS BIGINT) AS min_ip
+        FROM p LEFT JOIN best USING (event_id)
+        GROUP BY 1, 2
+    """,
+)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 network-function suite: derive a uint32 address per event,
+    FORMAT it as a dotted quad, PARSE the string back (the round-trip
+    is inside the certified chain — a format or parse bug breaks the
+    hash), then classify each address by LONGEST-PREFIX MATCH against
+    a two-level CIDR routing table (/8 prefixes derived from nation,
+    /16 from supplier, each deduped to MIN(key) per prefix so prefixes
+    are unique within a length). LPM = per-address max over the
+    matched union, order-free via the plen·2^40+net_key encoding.
+
+    Plan/scale: the routing table is a DIMENSION (thousands of rows at
+    any SF after per-prefix dedup caps it at 256 + 65536) — both
+    per-length joins broadcast, so the event stream is never shuffled
+    for the match; the only exchanges are the per-event LPM groupBy
+    and the final (prefix_len, net_key) aggregate, the second of which
+    is bounded by the routing-table size. String format/parse is pure
+    map-side codegen."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(f"(event_id * {_IP_A}) % {_IP_MOD}").alias("ip0"),
+    )
+    ip_str = F.concat_ws(
+        ".",
+        F.expr("CAST(ip0 div 16777216 AS STRING)"),
+        F.expr("CAST((ip0 div 65536) % 256 AS STRING)"),
+        F.expr("CAST((ip0 div 256) % 256 AS STRING)"),
+        F.expr("CAST(ip0 % 256 AS STRING)"),
+    )
+    parts = F.split(F.col("ip_str"), "\\.")
+    parsed = (
+        ev.withColumn("ip_str", ip_str)
+        .withColumn(
+            "ip",
+            parts.getItem(0).cast("bigint") * 16777216
+            + parts.getItem(1).cast("bigint") * 65536
+            + parts.getItem(2).cast("bigint") * 256
+            + parts.getItem(3).cast("bigint"),
+        )
+        .select("event_id", "ip")
+    )
+    n8 = (
+        table(spark, sf_dir, "nation")
+        .groupBy(F.expr("(n_nationkey * 7 + 3) % 256").alias("a"))
+        .agg(F.min("n_nationkey").alias("net_key"))
+    )
+    n16 = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(
+            F.expr("(s_suppkey * 11 + 5) % 256").alias("a"),
+            F.expr("(s_suppkey * 13 + 7) % 256").alias("b"),
+        )
+        .agg(F.min("s_suppkey").alias("net_key"))
+    )
+    m8 = (
+        parsed.withColumn("a", F.expr("ip div 16777216"))
+        .join(F.broadcast(n8), "a")
+        .select("event_id", F.lit(8).alias("plen"), "net_key", "ip")
+    )
+    m16 = (
+        parsed.withColumn("a", F.expr("ip div 16777216"))
+        .withColumn("b", F.expr("(ip div 65536) % 256"))
+        .join(F.broadcast(n16), ["a", "b"])
+        .select("event_id", F.lit(16).alias("plen"), "net_key", "ip")
+    )
+    best = (
+        m8.unionByName(m16)
+        .groupBy("event_id")
+        .agg(
+            F.max(F.col("plen") * _LPM_ENC + F.col("net_key")).alias(
+                "enc"
+            )
+        )
+    )
+    return (
+        parsed.join(best, "event_id", "left")
+        .groupBy(
+            F.expr(
+                f"CAST(COALESCE(enc div {_LPM_ENC}, 0) AS BIGINT)"
+            ).alias("prefix_len"),
+            F.expr(
+                f"CAST(COALESCE(enc % {_LPM_ENC}, -1) AS BIGINT)"
+            ).alias("net_key"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("ip").cast("long").alias("n_ips"),
+            F.min("ip").cast("long").alias("min_ip"),
+        )
+    )

@@ -123,6 +123,8 @@ def register(
 DRIVER_ORDER = [
     # rotated by tools/rotate_ledger.py after round 10: 50 green ids moved to the tail
     # -- born in round 11: certify immediately (leads the r11 window) --
+    "geo_cell_join",
+    "fn_ip_cidr",
     "dedup_cdc_chunks",
     "sample_ess_audit",
     "text_novelty",
