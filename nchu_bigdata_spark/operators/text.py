@@ -2092,3 +2092,137 @@ def text_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("is_templated"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_heaps_law — vocabulary-growth curve at corpus deciles (round 11)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_heaps_law",
+    tags=("text",),
+    oracle="""
+        -- Heaps'-law curve: V(k) = distinct vocabulary among the
+        -- first k documents, sampled at corpus deciles, plus the
+        -- cumulative token count T(k) the Heaps exponent is fit
+        -- against downstream. Exact counting only: doc rank is
+        -- doc_id + 1 (ids are dense 0..n-1 by TESTDATA contract,
+        -- asserted by the count == max+1 guard), a term's first
+        -- appearance is MIN(rank) over its postings, and each
+        -- decile's vocab is the cumulative bucket sum -- no window
+        -- over the token stream, no per-checkpoint rescan.
+        WITH n AS (
+            SELECT COUNT(*) AS n_docs,
+                   CASE WHEN COUNT(*) = MAX(doc_id) + 1 THEN 1
+                        ELSE 1 // 0 END AS dense_guard
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id + 1 AS r,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        doc_tokens AS (
+            SELECT r, COUNT(*) AS n_tok FROM tok GROUP BY r
+        ),
+        doc_bucket AS (
+            SELECT (10 * r + n.n_docs - 1) // n.n_docs AS decile,
+                   n_tok
+            FROM doc_tokens CROSS JOIN n
+        ),
+        tbuck AS (
+            SELECT decile, SUM(n_tok) AS toks, COUNT(*) AS docs
+            FROM doc_bucket GROUP BY decile
+        ),
+        first_seen AS (
+            SELECT term, MIN(r) AS fr FROM tok GROUP BY term
+        ),
+        vbuck AS (
+            SELECT (10 * fr + n.n_docs - 1) // n.n_docs AS decile,
+                   COUNT(*) AS new_terms
+            FROM first_seen CROSS JOIN n GROUP BY 1
+        ),
+        d AS (SELECT DISTINCT decile FROM tbuck)
+        SELECT CAST(d.decile AS BIGINT) AS decile,
+               CAST(SUM(t2.docs) AS BIGINT) AS k_docs,
+               CAST(SUM(t2.toks) AS BIGINT) AS tokens_cum,
+               CAST(COALESCE(SUM(v2.new_terms), 0) AS BIGINT)
+                   AS vocab_cum
+        FROM d
+        LEFT JOIN tbuck t2 ON t2.decile <= d.decile
+        LEFT JOIN vbuck v2 ON v2.decile = t2.decile
+        GROUP BY d.decile
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — V(k) and T(k) at corpus
+    deciles, the scaling diagnostic a pretraining-corpus curator reads
+    before sizing a tokenizer vocabulary (sublinear V(k) ~ K·T^β with
+    β ≈ 0.4-0.6 for natural text; a β near 1 flags boilerplate/ID
+    spew, near 0 flags template collapse). Complements
+    `text_vocab_mass_ladder` (static frequency mass) with the GROWTH
+    dimension, and `text_novelty` (per-doc novelty) with the corpus-
+    level curve.
+
+    Exact counting end-to-end: rank = doc_id + 1 (dense-id contract
+    guarded by an oracle-side divide-by-zero tripwire and the n_docs =
+    max+1 equality on the Spark side), house whitespace tokenization,
+    first appearance = MIN(rank) per term, decile bucket = exact
+    ceil-division (10·r + n − 1) div n, and each decile row is a
+    cumulative sum over ≤ 10 bucket rows.
+
+    Plan/scale: TWO shuffles over token-cardinality data — the
+    per-doc token count (map-side combinable on doc rank, which is
+    embarrassingly partitionable) and the per-term MIN(rank) (the
+    postings agg; partial-aggregable, term-keyed). Everything after
+    is ≤ 10 rows. No window over the token stream, no per-checkpoint
+    rescan of the corpus — the checkpoint ladder falls out of ONE
+    pass. At 100 TB the term agg is the classic vocabulary-build
+    shuffle every tokenizer trainer already pays; skewed hot terms
+    partial-aggregate map-side first."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "CASE WHEN COUNT(*) = MAX(doc_id) + 1 THEN 1"
+            " ELSE raise_error('doc_id not dense') END"
+        ).alias("dense_guard"),
+    )
+    tok = docs.select(
+        (F.col("doc_id") + 1).alias("r"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    doc_tokens = tok.groupBy("r").agg(F.count(F.lit(1)).alias("n_tok"))
+    doc_bucket = doc_tokens.crossJoin(F.broadcast(n)).select(
+        F.expr("(10 * r + n_docs - 1) div n_docs").alias("decile"),
+        "n_tok",
+    )
+    tbuck = doc_bucket.groupBy("decile").agg(
+        F.sum("n_tok").alias("toks"), F.count(F.lit(1)).alias("docs")
+    )
+    first_seen = tok.groupBy("term").agg(F.min("r").alias("fr"))
+    vbuck = (
+        first_seen.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr("(10 * fr + n_docs - 1) div n_docs").alias("decile")
+        )
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    d = tbuck.select("decile").distinct()
+    joined = d.alias("d").join(
+        tbuck.alias("t2"), F.expr("t2.decile <= d.decile"), "left"
+    ).join(
+        F.broadcast(vbuck.alias("v2")),
+        F.expr("v2.decile = t2.decile"),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("d.decile").cast("long").alias("decile")
+    ).agg(
+        F.sum("t2.docs").cast("long").alias("k_docs"),
+        F.sum("t2.toks").cast("long").alias("tokens_cum"),
+        F.coalesce(F.sum("v2.new_terms"), F.lit(0))
+        .cast("long")
+        .alias("vocab_cum"),
+    )

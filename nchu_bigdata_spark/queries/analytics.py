@@ -5478,3 +5478,111 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trend"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_wilson_ctr — Wilson lower-bound success-rate ranking (round 11)
+# --------------------------------------------------------------------------
+
+# z²·10⁴ at the two-sided 5% level (1.96² = 3.8416), and the constants
+# it induces in the scaled Wilson algebra: z²/2·10⁴ = 19208,
+# z⁴/4·10⁸ = 368 947 264. All enter as integer literals.
+_W_Z2_E4 = 38_416
+_W_Z2_HALF_E4 = 19_208
+_W_Z4_QTR_E8 = 368_947_264
+
+
+@register(
+    "events_wilson_ctr",
+    tags=("analytics",),
+    oracle=f"""
+        -- Wilson score lower bound (Wilson 1927; the "how not to sort
+        -- by average rating" ranking): per item, the 95% lower
+        -- confidence bound on the success rate, exact to the
+        -- documented integer grid. With n trials / s successes and
+        -- z² = {_W_Z2_E4}/1e4:
+        --   lb = (s + z²/2 - sqrt(z²·s(n-s)/n + z⁴/4)) / (n + z²)
+        -- The radicand is floored to an integer (a < 1e-4 effect on
+        -- the e6 output, same floor on both engines), sqrt is the one
+        -- float op (IEEE correctly rounded, radicand < 2^53), and the
+        -- final lb·1e6 is an exact integer floor division.
+        WITH i AS (
+            SELECT user_id % 100 AS item,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS s
+            FROM events GROUP BY 1
+        ),
+        w AS (
+            SELECT item, n, s,
+                   ({_W_Z2_E4} * 10000 * s * (n - s)) // n
+                       + {_W_Z4_QTR_E8} AS rad
+            FROM i
+        ),
+        lb AS (
+            SELECT item, n, s,
+                   (1000000 * (10000 * s + {_W_Z2_HALF_E4}
+                       - CAST(FLOOR(SQRT(CAST(rad AS DOUBLE)))
+                              AS HUGEINT)))
+                   // (10000 * n + {_W_Z2_E4}) AS lb_e6
+            FROM w
+        )
+        SELECT CAST(item AS BIGINT) AS item,
+               CAST(n AS BIGINT) AS n_trials,
+               CAST(s AS BIGINT) AS n_success,
+               CAST(lb_e6 AS BIGINT) AS wilson_lb_e6,
+               CAST(RANK() OVER (ORDER BY lb_e6 DESC, item)
+                    AS BIGINT) AS lb_rank
+        FROM lb
+    """,
+)
+def events_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score lower-bound ranking — the binomial-uncertainty-
+    aware way to rank items by success rate (a 3/3 item must NOT beat
+    a 97/100 item, which naive rate sorting does). Per item (user_id
+    mod 100 here; any item key in production), n trials and successes
+    (value > 50) collapse out of ONE map-side-combined hash agg; the
+    bound is computed in the scaled-integer algebra documented in the
+    oracle — z²·10⁴ = {_W_Z2_E4} as a literal, radicand floored to an
+    integer via exact decimal(38,0) floor division, ONE IEEE
+    correctly-rounded sqrt (radicand < 2⁵³ — exact in double), and an
+    exact integer floor division for lb·10⁶. Complements
+    `events_ab_test` (two-arm comparison) and `agg_ratio_pin` (exact
+    rate grids): this is the per-item RANKING under uncertainty.
+
+    Plan/scale: one full-data hash agg (partial-aggregable), then all
+    algebra and the rank run on |items| rows — the unpartitioned rank
+    window sits over a collapsed aggregate, which the repo's
+    single-task-window audit rule explicitly sanctions (bounded
+    input)."""
+    ev = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    i = ev.groupBy(F.expr("user_id % 100").alias("item")).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.expr("CASE WHEN value > 50.0D THEN 1 ELSE 0 END"))
+        .cast(dec)
+        .alias("s"),
+    )
+    w = i.withColumn(
+        "rad",
+        F.expr(
+            f"({_W_Z2_E4} * 10000 * s * (n - s)) div n"
+            f" + {_W_Z4_QTR_E8}"
+        ),
+    )
+    lb = w.withColumn(
+        "lb_e6",
+        F.expr(
+            f"(1000000 * (10000 * s + {_W_Z2_HALF_E4}"
+            f" - CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS {dec})))"
+            f" div (10000 * n + {_W_Z2_E4})"
+        ),
+    )
+    win = Window.orderBy(F.desc("lb_e6"), F.asc("item"))
+    return lb.select(
+        F.col("item").cast("long").alias("item"),
+        F.col("n").cast("long").alias("n_trials"),
+        F.col("s").cast("long").alias("n_success"),
+        F.col("lb_e6").cast("long").alias("wilson_lb_e6"),
+        F.rank().over(win).cast("long").alias("lb_rank"),
+    )

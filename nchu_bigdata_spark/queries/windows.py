@@ -1896,3 +1896,143 @@ def win_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("spell_days").cast("long").alias("longest_spell_days"),
         F.min("spell_start").cast("long").alias("first_underwater_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_rolling_corr — rolling Pearson correlation, exact ints (round 11)
+# --------------------------------------------------------------------------
+
+_RC_N = 20  # trailing window width (rows)
+_RC_EMIT = 20  # emit every k-th row (keeps output bounded, full compute)
+
+
+@register(
+    "win_rolling_corr",
+    tags=("b5",),
+    oracle=f"""
+        -- Rolling Pearson correlation between quantity and line price
+        -- over a trailing {_RC_N}-row frame per supplier, in the
+        -- repo's exact-integer policy: the five co-moment sums are
+        -- integer window sums, num = n·Sxy − Sx·Sy and the two
+        -- deviation terms are exact HUGEINT algebra, and the only
+        -- float op is ONE IEEE sqrt of dxx·dyy (cast HUGEINT→DOUBLE is
+        -- correctly rounded on both engines, sqrt is IEEE-exact,
+        -- FLOOR pins the grid). corr·1e6 is then an exact integer
+        -- floor division with the sign handled outside (agg_ols_multi
+        -- policy). Rows with an incomplete frame or a degenerate
+        -- (constant-x or constant-y) frame emit NULL.
+        WITH r AS (
+            SELECT l_suppkey,
+                   ROW_NUMBER() OVER w AS rn,
+                   COUNT(*) OVER f AS cnt,
+                   SUM(x) OVER f AS sx,
+                   SUM(y) OVER f AS sy,
+                   SUM(x * x) OVER f AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) OVER f AS syy,
+                   SUM(x * y) OVER f AS sxy
+            FROM (
+                SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                       CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+            )
+            WINDOW
+              w AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber),
+              f AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN {_RC_N - 1} PRECEDING AND CURRENT ROW)
+        ),
+        m AS (
+            SELECT l_suppkey, rn,
+                   CAST({_RC_N} AS HUGEINT) * sxy
+                       - CAST(sx AS HUGEINT) * sy AS num,
+                   CAST({_RC_N} AS HUGEINT) * sxx
+                       - CAST(sx AS HUGEINT) * sx AS dxx,
+                   CAST({_RC_N} AS HUGEINT) * syy
+                       - CAST(sy AS HUGEINT) * sy AS dyy
+            FROM r WHERE cnt = {_RC_N} AND rn % {_RC_EMIT} = 0
+        )
+        SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+               CAST(rn AS BIGINT) AS rn,
+               CAST(CASE
+                   WHEN dxx = 0 OR dyy = 0 THEN NULL
+                   ELSE CASE WHEN num >= 0 THEN
+                           (1000000 * num)
+                           // CAST(FLOOR(SQRT(CAST(dxx * dyy AS DOUBLE)))
+                                   AS HUGEINT)
+                        ELSE
+                           -((1000000 * (-num))
+                           // CAST(FLOOR(SQRT(CAST(dxx * dyy AS DOUBLE)))
+                                   AS HUGEINT))
+                        END
+               END AS BIGINT) AS corr_e6
+        FROM m
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation (quantity vs line price, trailing
+    {n}-row frame per supplier) — the co-movement monitor quant/DQ
+    pipelines run over ordered streams. Exactness: five integer
+    co-moment window sums over ONE frame, exact decimal(38,0) algebra
+    for num/dxx/dyy, ONE IEEE correctly-rounded sqrt of dxx·dyy
+    (decimal→double cast is correctly rounded on both engines), and
+    corr·10⁶ as an exact sign-split integer floor division —
+    `agg_regression`'s policy lifted to a sliding frame. Incomplete
+    or zero-variance frames emit NULL; output is every {k}-th row
+    (the full rolling computation still runs everywhere — emission is
+    bounded, work is not skipped).
+
+    Plan/scale: ONE window spec (partitioned by supplier, ordered by
+    ship date with full unique tiebreak) carries all five sums plus
+    the row counter — a single sort+window pass per partition, no
+    self-joins, no per-row recomputation of the frame. Shuffles once
+    on supplier; AQE handles supplier skew."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("x"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    dec = "decimal(38,0)"
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wo = W.partitionBy("l_suppkey").orderBy(*order)
+    wf = wo.rowsBetween(-(_RC_N - 1), 0)
+    r = li.select(
+        "l_suppkey",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wf).alias("cnt"),
+        F.sum("x").over(wf).alias("sx"),
+        F.sum("y").over(wf).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(wf).alias("sxx"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y")).over(wf).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(wf).alias("sxy"),
+    ).filter((F.col("cnt") == _RC_N) & (F.col("rn") % _RC_EMIT == 0))
+    m = r.select(
+        "l_suppkey",
+        "rn",
+        F.expr(
+            f"CAST({_RC_N} AS {dec}) * sxy - CAST(sx AS {dec}) * sy"
+        ).alias("num"),
+        F.expr(
+            f"CAST({_RC_N} AS {dec}) * sxx - CAST(sx AS {dec}) * sx"
+        ).alias("dxx"),
+        F.expr(
+            f"CAST({_RC_N} AS {dec}) * syy - CAST(sy AS {dec}) * sy"
+        ).alias("dyy"),
+    )
+    isq = f"CAST(FLOOR(SQRT(CAST(dxx * dyy AS DOUBLE))) AS {dec})"
+    return m.select(
+        F.col("l_suppkey").cast("long").alias("l_suppkey"),
+        F.col("rn").cast("long").alias("rn"),
+        F.expr(
+            f"CAST(CASE WHEN dxx = 0 OR dyy = 0 THEN NULL"
+            f" WHEN num >= 0 THEN (1000000 * num) div {isq}"
+            f" ELSE -((1000000 * (-num)) div {isq})"
+            f" END AS BIGINT)"
+        ).alias("corr_e6"),
+    )

@@ -125,6 +125,10 @@ DRIVER_ORDER = [
     # -- born in round 11: certify immediately (leads the r11 window) --
     "geo_cell_join",
     "fn_ip_cidr",
+    "agg_chi_square",
+    "events_wilson_ctr",
+    "win_rolling_corr",
+    "text_heaps_law",
     "dedup_cdc_chunks",
     "sample_ess_audit",
     "text_novelty",

@@ -230,7 +230,7 @@ def test_round11_ids_in_ledger_head():
     'born in round N: certify immediately')."""
     from nchu_bigdata_spark.registry import DRIVER_ORDER
 
-    head = DRIVER_ORDER[:10]
+    head = DRIVER_ORDER[:16]
     for name in (
         "dedup_cdc_chunks",
         "sample_ess_audit",
@@ -239,6 +239,12 @@ def test_round11_ids_in_ledger_head():
         "embed_pq",
         "ts_mann_kendall",
         "text_template_prefix",
+        "geo_cell_join",
+        "fn_ip_cidr",
+        "agg_chi_square",
+        "events_wilson_ctr",
+        "win_rolling_corr",
+        "text_heaps_law",
         "multimodal_phash",
         "multimodal_phash_pairs",
         "text_compression_ratio",
@@ -415,5 +421,319 @@ def test_text_template_prefix_replay(spark, sf_dir, duck):
         for r in load_all_queries()["text_template_prefix"]
         .fn(spark, sf_dir)
         .collect()
+    }
+    assert got == expect
+
+
+# ------------------------------------------------- round-11 second wave
+
+
+def test_geo_cell_join_replay(spark, sf_dir, duck):
+    """Brute-force O(C·S) replay of the ε-distance join definition —
+    independent of both the grid-cell decomposition AND the oracle's
+    theta-join."""
+    from nchu_bigdata_spark.queries.geo import _AX, _AY, _OX, _OY, _R2, _SPAN
+
+    custs = duck.execute(
+        "SELECT c_custkey FROM customer ORDER BY 1"
+    ).fetchall()
+    supps = duck.execute(
+        "SELECT s_suppkey FROM supplier ORDER BY 1"
+    ).fetchall()
+    spts = [
+        (
+            s,
+            (s * _AX + _OX) % _SPAN,
+            (s * _AY + _OY) % _SPAN,
+        )
+        for (s,) in supps
+    ]
+    expect = {}
+    for (c,) in custs:
+        cx, cy = (c * _AX) % _SPAN, (c * _AY) % _SPAN
+        hits = [
+            (d2, s)
+            for s, sx, sy in spts
+            if (d2 := (cx - sx) ** 2 + (cy - sy) ** 2) <= _R2
+        ]
+        if hits:
+            d2, s = min(hits)
+            expect[c] = (len(hits), d2, s)
+        else:
+            expect[c] = (0, None, None)
+
+    load_all_queries()
+    from nchu_bigdata_spark.registry import REGISTRY
+
+    got = {
+        r.c_custkey: (r.n_within, r.min_d2, r.nearest_suppkey)
+        for r in REGISTRY["geo_cell_join"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_geo_cell_exactness_invariant():
+    """The grid decomposition is exact ONLY while cell edge >= radius
+    (|Δcoord| <= R ⇒ |Δcell| <= 1). Pin the invariant so a future
+    radius tweak can't silently break completeness."""
+    from nchu_bigdata_spark.queries.geo import _R, _R2
+
+    assert _R * _R == _R2  # cell edge == radius, squared bound coherent
+
+
+def test_fn_ip_cidr_replay(spark, sf_dir, duck):
+    from nchu_bigdata_spark.queries.scalar_fns import (
+        _IP_A,
+        _IP_MOD,
+        _LPM_ENC,
+    )
+
+    eids = [r[0] for r in duck.execute(
+        "SELECT event_id FROM events").fetchall()]
+    nats = [r[0] for r in duck.execute(
+        "SELECT n_nationkey FROM nation").fetchall()]
+    sups = [r[0] for r in duck.execute(
+        "SELECT s_suppkey FROM supplier").fetchall()]
+    n8 = {}
+    for n in nats:
+        a = (n * 7 + 3) % 256
+        n8[a] = min(n8.get(a, n), n)
+    n16 = {}
+    for s in sups:
+        key = ((s * 11 + 5) % 256, (s * 13 + 7) % 256)
+        n16[key] = min(n16.get(key, s), s)
+    groups = {}
+    for e in eids:
+        ip0 = (e * _IP_A) % _IP_MOD
+        quad = f"{ip0 // 16777216}.{ip0 // 65536 % 256}.{ip0 // 256 % 256}.{ip0 % 256}"
+        p = quad.split(".")
+        ip = (
+            int(p[0]) * 16777216
+            + int(p[1]) * 65536
+            + int(p[2]) * 256
+            + int(p[3])
+        )
+        assert ip == ip0  # round-trip is part of the definition
+        best = None
+        a, b = ip // 16777216, (ip // 65536) % 256
+        if a in n8:
+            best = 8 * _LPM_ENC + n8[a]
+        if (a, b) in n16:
+            enc16 = 16 * _LPM_ENC + n16[(a, b)]
+            best = enc16 if best is None else max(best, enc16)
+        key = (best // _LPM_ENC, best % _LPM_ENC) if best else (0, -1)
+        g = groups.setdefault(key, [0, set(), ip])
+        g[0] += 1
+        g[1].add(ip)
+        g[2] = min(g[2], ip)
+
+    load_all_queries()
+    from nchu_bigdata_spark.registry import REGISTRY
+
+    got = {
+        (r.prefix_len, r.net_key): (r.n_events, r.n_ips, r.min_ip)
+        for r in REGISTRY["fn_ip_cidr"].fn(spark, sf_dir).collect()
+    }
+    expect = {k: (v[0], len(v[1]), v[2]) for k, v in groups.items()}
+    assert got == expect
+
+
+def test_agg_chi_square_replay(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT event_type, (epoch_us(ts) // 86400000000) % 7, COUNT(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    types = sorted({r[0] for r in rows})
+    wds = sorted({r[1] for r in rows})
+    o = {(t, w): 0 for t in types for w in wds}
+    for t, w, c in rows:
+        o[(t, w)] = c
+    r_tot = {t: sum(o[(t, w)] for w in wds) for t in types}
+    c_tot = {w: sum(o[(t, w)] for t in types) for w in wds}
+    n = sum(r_tot.values())
+    part = {}
+    for t in types:
+        acc = 0
+        for w in wds:
+            num = (o[(t, w)] * n - r_tot[t] * c_tot[w]) ** 2
+            den = r_tot[t] * c_tot[w] * n
+            acc += (num // den) * 10000 + (
+                (num - (num // den) * den) * 10000
+            ) // den
+        part[t] = acc
+    chi2 = sum(part.values())
+    m = min(len(types), len(wds)) - 1
+    v_e6 = math.isqrt((chi2 * 10**8) // (n * m))
+    # math.isqrt(floor-division radicand) equals
+    # floor(sqrt(radicand)) for radicand < 2^53 exactly
+    df = (len(types) - 1) * (len(wds) - 1)
+
+    load_all_queries()
+    from nchu_bigdata_spark.registry import REGISTRY
+
+    got = {
+        r.event_type: (
+            r.n_obs,
+            r.chi2_part_e4,
+            r.chi2_total_e4,
+            r.df,
+            r.cramers_v_e6,
+        )
+        for r in REGISTRY["agg_chi_square"].fn(spark, sf_dir).collect()
+    }
+    expect = {t: (r_tot[t], part[t], chi2, df, v_e6) for t in types}
+    assert got == expect
+
+
+def test_events_wilson_ctr_replay(spark, sf_dir, duck):
+    from nchu_bigdata_spark.queries.analytics import (
+        _W_Z2_E4,
+        _W_Z2_HALF_E4,
+        _W_Z4_QTR_E8,
+    )
+
+    rows = duck.execute(
+        "SELECT user_id % 100, COUNT(*),"
+        " SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)"
+        " FROM events GROUP BY 1"
+    ).fetchall()
+    lbs = {}
+    for item, n, s in rows:
+        rad = (_W_Z2_E4 * 10000 * s * (n - s)) // n + _W_Z4_QTR_E8
+        lb = (
+            1000000 * (10000 * s + _W_Z2_HALF_E4 - math.isqrt(rad))
+        ) // (10000 * n + _W_Z2_E4)
+        lbs[item] = (n, s, lb)
+    ranked = sorted(lbs.items(), key=lambda kv: (-kv[1][2], kv[0]))
+    expect = {}
+    for pos, (item, (n, s, lb)) in enumerate(ranked, 1):
+        rank = pos
+        # RANK(): ties share the first position
+        j = pos - 1
+        while j > 0 and ranked[j - 1][1][2] == lb:
+            rank = j
+            j -= 1
+        expect[item] = (n, s, lb, rank)
+
+    load_all_queries()
+    from nchu_bigdata_spark.registry import REGISTRY
+
+    got = {
+        r.item: (r.n_trials, r.n_success, r.wilson_lb_e6, r.lb_rank)
+        for r in REGISTRY["events_wilson_ctr"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_wilson_lb_orders_small_n_below_large_n():
+    """The point of Wilson: 3/3 must rank BELOW 97/100."""
+    from nchu_bigdata_spark.queries.analytics import (
+        _W_Z2_E4,
+        _W_Z2_HALF_E4,
+        _W_Z4_QTR_E8,
+    )
+
+    def lb(s, n):
+        rad = (_W_Z2_E4 * 10000 * s * (n - s)) // n + _W_Z4_QTR_E8
+        return (
+            1000000 * (10000 * s + _W_Z2_HALF_E4 - math.isqrt(rad))
+        ) // (10000 * n + _W_Z2_E4)
+
+    assert lb(3, 3) < lb(97, 100)
+    assert lb(0, 5) == 0 or lb(0, 5) > 0  # total-failure bound sane
+    assert lb(100, 100) < 1_000_000  # never reaches certainty
+
+
+def test_win_rolling_corr_replay(spark, sf_dir, duck):
+    from nchu_bigdata_spark.queries.windows import _RC_EMIT, _RC_N
+
+    rows = duck.execute(
+        "SELECT l_suppkey, CAST(ROUND(l_quantity) AS BIGINT),"
+        " CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        " FROM lineitem"
+        " ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"
+    ).fetchall()
+    by_supp: dict[int, list[tuple[int, int]]] = {}
+    for sk, x, y in rows:
+        by_supp.setdefault(sk, []).append((x, y))
+    expect = {}
+    for sk, xs in by_supp.items():
+        for idx in range(len(xs)):
+            rn = idx + 1
+            if rn < _RC_N or rn % _RC_EMIT != 0:
+                continue
+            fr = xs[idx - _RC_N + 1 : idx + 1]
+            sx = sum(x for x, _ in fr)
+            sy = sum(y for _, y in fr)
+            sxx = sum(x * x for x, _ in fr)
+            syy = sum(y * y for _, y in fr)
+            sxy = sum(x * y for x, y in fr)
+            num = _RC_N * sxy - sx * sy
+            dxx = _RC_N * sxx - sx * sx
+            dyy = _RC_N * syy - sy * sy
+            if dxx == 0 or dyy == 0:
+                expect[(sk, rn)] = None
+                continue
+            import math as _m
+
+            isq = _m.floor(_m.sqrt(float(dxx * dyy)))
+            expect[(sk, rn)] = (
+                (1000000 * num) // isq
+                if num >= 0
+                else -((1000000 * (-num)) // isq)
+            )
+
+    load_all_queries()
+    from nchu_bigdata_spark.registry import REGISTRY
+
+    got = {
+        (r.l_suppkey, r.rn): r.corr_e6
+        for r in REGISTRY["win_rolling_corr"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_text_heaps_law_replay(spark, sf_dir, duck):
+    docs = duck.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    n = len(docs)
+    seen: set[str] = set()
+    toks_cum = 0
+    # per-rank, then fold into deciles
+    per_rank = []
+    for doc_id, text in docs:
+        words = text.split(" ")
+        new = [w for w in words if w not in seen]
+        seen.update(words)
+        per_rank.append((doc_id + 1, len(words), len(set(new))))
+    expect = {}
+    docs_c = toks_c = vocab_c = 0
+    by_dec: dict[int, list] = {}
+    for r, ntok, _nnew in per_rank:
+        by_dec.setdefault((10 * r + n - 1) // n, []).append((r, ntok))
+    # vocabulary: first_rank per term
+    first: dict[str, int] = {}
+    for doc_id, text in docs:
+        r = doc_id + 1
+        for w in text.split(" "):
+            if w not in first:
+                first[w] = r
+    vdec: dict[int, int] = {}
+    for w, fr in first.items():
+        d = (10 * fr + n - 1) // n
+        vdec[d] = vdec.get(d, 0) + 1
+    for d in sorted(by_dec):
+        docs_c += len(by_dec[d])
+        toks_c += sum(nt for _, nt in by_dec[d])
+        vocab_c += vdec.get(d, 0)
+        expect[d] = (docs_c, toks_c, vocab_c)
+
+    load_all_queries()
+    from nchu_bigdata_spark.registry import REGISTRY
+
+    got = {
+        r.decile: (r.k_docs, r.tokens_cum, r.vocab_cum)
+        for r in REGISTRY["text_heaps_law"].fn(spark, sf_dir).collect()
     }
     assert got == expect
