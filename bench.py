@@ -131,6 +131,11 @@ LLM_GROUP = [
     "sample_ess_audit",
     "embed_pq",
     "text_template_prefix",
+    # born round 11, session 2: Heaps'-law vocab growth (the one new
+    # op in this wave that is a training-data pipeline stage; the geo/
+    # chi-square/Wilson/rolling-corr/CIDR births are tracked in the
+    # SQL group) (trend starts here)
+    "text_heaps_law",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -303,6 +308,14 @@ SQL_GROUP = [
     "dq_header_detail",
     # born round 10: compaction planner (trend starts here)
     "sink_compaction",
+    # born round 11, session 2: grid-cell spatial join, CIDR LPM,
+    # chi-square drift, Wilson ranking, rolling correlation (trend
+    # starts here)
+    "geo_cell_join",
+    "fn_ip_cidr",
+    "agg_chi_square",
+    "events_wilson_ctr",
+    "win_rolling_corr",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import davg, sql_davg
 from nchu_bigdata_spark.io import parallel_table, table
+from nchu_bigdata_spark.materialize import range_pid_frozen
 from nchu_bigdata_spark.registry import register
 
 STOPWORDS = ("the", "a")
@@ -2104,44 +2105,51 @@ def text_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
     oracle="""
         -- Heaps'-law curve: V(k) = distinct vocabulary among the
-        -- first k documents, sampled at corpus deciles, plus the
-        -- cumulative token count T(k) the Heaps exponent is fit
-        -- against downstream. Exact counting only: doc rank is
-        -- doc_id + 1 (ids are dense 0..n-1 by TESTDATA contract,
-        -- asserted by the count == max+1 guard), a term's first
-        -- appearance is MIN(rank) over its postings, and each
-        -- decile's vocab is the cumulative bucket sum -- no window
-        -- over the token stream, no per-checkpoint rescan.
-        WITH n AS (
-            SELECT COUNT(*) AS n_docs,
-                   CASE WHEN COUNT(*) = MAX(doc_id) + 1 THEN 1
-                        ELSE 1 // 0 END AS dense_guard
-            FROM documents
-        ),
-        tok AS (
-            SELECT doc_id + 1 AS r,
-                   unnest(string_split(text, ' ')) AS term
+        -- first k documents (ordered by doc_id), sampled at corpus
+        -- deciles, plus the cumulative token count T(k) the Heaps
+        -- exponent is fit against downstream. Exact counting only:
+        -- a term's first appearance is MIN(doc_id) over its postings
+        -- (rank is monotone in doc_id, so rank(min id) = min rank),
+        -- the decile bucket is the exact ceil-division
+        -- (10*r + n - 1) // n over the doc rank, and each decile row
+        -- is a cumulative sum over <= 10 bucket rows.
+        WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        spine AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) AS r
             FROM documents
         ),
         doc_tokens AS (
-            SELECT r, COUNT(*) AS n_tok FROM tok GROUP BY r
-        ),
-        doc_bucket AS (
-            SELECT (10 * r + n.n_docs - 1) // n.n_docs AS decile,
-                   n_tok
-            FROM doc_tokens CROSS JOIN n
+            SELECT doc_id, COUNT(*) AS n_tok
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY doc_id
         ),
         tbuck AS (
-            SELECT decile, SUM(n_tok) AS toks, COUNT(*) AS docs
-            FROM doc_bucket GROUP BY decile
+            SELECT (10 * spine.r + n.n_docs - 1) // n.n_docs AS decile,
+                   SUM(dt.n_tok) AS toks, COUNT(*) AS docs
+            FROM doc_tokens dt
+            JOIN spine USING (doc_id) CROSS JOIN n
+            GROUP BY 1
         ),
         first_seen AS (
-            SELECT term, MIN(r) AS fr FROM tok GROUP BY term
+            SELECT term, MIN(doc_id) AS fr_doc
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY term
+        ),
+        new_at_doc AS (
+            SELECT fr_doc AS doc_id, COUNT(*) AS new_terms
+            FROM first_seen GROUP BY 1
         ),
         vbuck AS (
-            SELECT (10 * fr + n.n_docs - 1) // n.n_docs AS decile,
-                   COUNT(*) AS new_terms
-            FROM first_seen CROSS JOIN n GROUP BY 1
+            SELECT (10 * spine.r + n.n_docs - 1) // n.n_docs AS decile,
+                   SUM(nd.new_terms) AS new_terms
+            FROM new_at_doc nd
+            JOIN spine USING (doc_id) CROSS JOIN n
+            GROUP BY 1
         ),
         d AS (SELECT DISTINCT decile FROM tbuck)
         SELECT CAST(d.decile AS BIGINT) AS decile,
@@ -2159,55 +2167,81 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary-growth curve — V(k) and T(k) at corpus
     deciles, the scaling diagnostic a pretraining-corpus curator reads
     before sizing a tokenizer vocabulary (sublinear V(k) ~ K·T^β with
-    β ≈ 0.4-0.6 for natural text; a β near 1 flags boilerplate/ID
-    spew, near 0 flags template collapse). Complements
+    β ≈ 0.4-0.6 for natural text; β near 1 flags boilerplate/ID spew,
+    near 0 flags template collapse). Complements
     `text_vocab_mass_ladder` (static frequency mass) with the GROWTH
     dimension, and `text_novelty` (per-doc novelty) with the corpus-
     level curve.
 
-    Exact counting end-to-end: rank = doc_id + 1 (dense-id contract
-    guarded by an oracle-side divide-by-zero tripwire and the n_docs =
-    max+1 equality on the Spark side), house whitespace tokenization,
-    first appearance = MIN(rank) per term, decile bucket = exact
-    ceil-division (10·r + n − 1) div n, and each decile row is a
-    cumulative sum over ≤ 10 bucket rows.
+    Exact counting end-to-end: doc rank over doc_id comes from the
+    repo's DISTRIBUTED two-pass rank (`range_pid_frozen`, the
+    win_lorenz pattern — no single-task global window, robust to
+    sparse ids), house whitespace tokenization, first appearance =
+    MIN(doc_id) per term (rank is monotone in doc_id, so
+    rank(min id) = min rank — the rank join happens AFTER the postings
+    agg, at entity cardinality), decile bucket = exact ceil-division
+    (10·r + n − 1) div n, and each decile row is a cumulative sum over
+    ≤ 10 bucket rows.
 
     Plan/scale: TWO shuffles over token-cardinality data — the
-    per-doc token count (map-side combinable on doc rank, which is
-    embarrassingly partitionable) and the per-term MIN(rank) (the
-    postings agg; partial-aggregable, term-keyed). Everything after
+    per-doc token count and the per-term MIN(doc_id) postings agg
+    (both partial-aggregable; hot terms combine map-side). The rank
+    spine is doc-cardinality and joins only doc-cardinality frames
+    (per-doc counts, per-first-doc new-term counts). Everything after
     is ≤ 10 rows. No window over the token stream, no per-checkpoint
-    rescan of the corpus — the checkpoint ladder falls out of ONE
-    pass. At 100 TB the term agg is the classic vocabulary-build
-    shuffle every tokenizer trainer already pays; skewed hot terms
-    partial-aggregate map-side first."""
+    rescan — the checkpoint ladder falls out of ONE pass."""
     docs = table(spark, sf_dir, "documents")
-    n = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr(
-            "CASE WHEN COUNT(*) = MAX(doc_id) + 1 THEN 1"
-            " ELSE raise_error('doc_id not dense') END"
-        ).alias("dense_guard"),
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    # Distributed two-pass rank over the doc-id spine (win_lorenz
+    # pattern): range-partition + freeze, per-pid offsets, local
+    # row_number.
+    pid = range_pid_frozen(
+        "text_heaps_law.pid", docs.select("doc_id"), F.col("doc_id")
     )
+    pc = pid.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = pc.select(
+        "pid",
+        F.coalesce(F.sum("pn").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_local = Window.partitionBy("pid").orderBy("doc_id")
+    spine = (
+        pid.withColumn("lrn", F.row_number().over(w_local))
+        .join(F.broadcast(off), "pid")
+        .select("doc_id", (F.col("off") + F.col("lrn")).alias("r"))
+    )
+
     tok = docs.select(
-        (F.col("doc_id") + 1).alias("r"),
-        F.explode(F.split("text", " ")).alias("term"),
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    doc_tokens = tok.groupBy("r").agg(F.count(F.lit(1)).alias("n_tok"))
-    doc_bucket = doc_tokens.crossJoin(F.broadcast(n)).select(
-        F.expr("(10 * r + n_docs - 1) div n_docs").alias("decile"),
-        "n_tok",
+    doc_tokens = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok")
     )
-    tbuck = doc_bucket.groupBy("decile").agg(
-        F.sum("n_tok").alias("toks"), F.count(F.lit(1)).alias("docs")
-    )
-    first_seen = tok.groupBy("term").agg(F.min("r").alias("fr"))
-    vbuck = (
-        first_seen.crossJoin(F.broadcast(n))
+    tbuck = (
+        doc_tokens.join(spine, "doc_id")
+        .crossJoin(F.broadcast(n))
         .groupBy(
-            F.expr("(10 * fr + n_docs - 1) div n_docs").alias("decile")
+            F.expr("(10 * r + n_docs - 1) div n_docs").alias("decile")
         )
-        .agg(F.count(F.lit(1)).alias("new_terms"))
+        .agg(
+            F.sum("n_tok").alias("toks"),
+            F.count(F.lit(1)).alias("docs"),
+        )
+    )
+    first_seen = tok.groupBy("term").agg(F.min("doc_id").alias("fr_doc"))
+    new_at_doc = first_seen.groupBy(
+        F.col("fr_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("new_terms"))
+    vbuck = (
+        new_at_doc.join(spine, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr("(10 * r + n_docs - 1) div n_docs").alias("decile")
+        )
+        .agg(F.sum("new_terms").alias("new_terms"))
     )
     d = tbuck.select("decile").distinct()
     joined = d.alias("d").join(
