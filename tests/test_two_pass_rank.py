@@ -30,6 +30,7 @@ TWO_PASS_IDS = [
     "orders_customer_migration",
     "sample_curriculum",
     "events_conversion_lag",  # r10: gap-support cumulative, same freeze
+    "text_heaps_law",  # r11: doc-rank spine, same freeze
 ]
 
 
