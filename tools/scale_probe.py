@@ -275,6 +275,13 @@ def main() -> int:
         "vectors (adaptive band width 4/7/10 bits); gates the "
         "10x->100x STEP ratio (both arms above the width floor)",
     )
+    ap.add_argument(
+        "--geo10x",
+        action="store_true",
+        help="geo probe: 10x the CUSTOMER point set (the geo fact "
+        "side, which the standard blow-up keeps fixed as a dim) over "
+        "an unchanged facility set",
+    )
     args = ap.parse_args()
     ops = [o for o in args.ops.split(",") if o]
 
@@ -314,6 +321,52 @@ def main() -> int:
             )
             prev = t
         return 1 if breach else 0
+
+    if args.geo10x:
+        # geo_cell_join's fact side is CUSTOMER (not in BLOWN_TABLES:
+        # the standard blow-up keeps dims fixed by design). This arm
+        # shifts c_custkey by i*10^7 per copy — the derived coords
+        # rehash to fresh grid points, so point density grows 10x over
+        # a FIXED facility set: per-point candidate work stays O(cell
+        # occupancy) and the expected ratio is ~10x (linear).
+        d = os.path.join(repo, ".scratch", "geo10x")
+        if not os.path.exists(os.path.join(d, "customer.parquet")):
+            os.makedirs(d, exist_ok=True)
+            cu = spark.read.parquet(
+                os.path.join(BASE_SF, "customer.parquet")
+            )
+            parts = [
+                cu.withColumn(
+                    "c_custkey", F.col("c_custkey") + F.lit(i * SHIFT)
+                )
+                for i in range(COPIES)
+            ]
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionAll(p)
+            big.write.mode("overwrite").parquet(
+                os.path.join(d, "customer.parquet")
+            )
+            for f in os.listdir(BASE_SF):
+                link = os.path.join(d, f)
+                if not os.path.lexists(link):
+                    os.symlink(os.path.join(BASE_SF, f), link)
+        import bench
+
+        bench.warm(spark)
+        name = "geo_cell_join"
+        print("| op | 1x sec | 10x sec | ratio | 1x rows | 10x rows |")
+        print("|---|---|---|---|---|---|")
+        t1, r1 = time_op(spark, specs, name, BASE_SF, args.reps)
+        t10, r10 = time_op(spark, specs, name, d, args.reps)
+        ratio = t10 / max(t1, 1e-9)
+        flag = "" if ratio < GATE_RATIO else "  **BREACH**"
+        print(
+            f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x{flag} "
+            f"| {r1} | {r10} |",
+            flush=True,
+        )
+        return 1 if ratio >= GATE_RATIO else 0
 
     if (
         not os.path.exists(os.path.join(big_dir, "documents.parquet"))
