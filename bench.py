@@ -316,6 +316,10 @@ SQL_GROUP = [
     "agg_chi_square",
     "events_wilson_ctr",
     "win_rolling_corr",
+    "geo_bbox_join",
+    "text_source_drift",
+    "win_rsi",
+    "ts_ljung_box",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative

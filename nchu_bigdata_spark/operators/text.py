@@ -2260,3 +2260,199 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("vocab_cum"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_source_drift — pairwise source-distribution χ² drift (round 11)
+# --------------------------------------------------------------------------
+
+_DRIFT_K = 50  # global top-K terms; the tail folds into __OTHER__
+
+
+@register(
+    "text_source_drift",
+    tags=("text",),
+    oracle=f"""
+        -- Pairwise domain-drift matrix: for every source pair, the
+        -- two-sample chi-square homogeneity statistic over the
+        -- corpus-global top-{_DRIFT_K} term distribution (+ __OTHER__
+        -- tail bucket). agg_chi_square's exact-integer cell algebra
+        -- applied to token counts: per cell floor(1e4*(O*N-R*C)^2 /
+        -- (R*C*N)) with HUGEINT quotient/remainder splits, zero cells
+        -- of the term grid included, no floats anywhere.
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        topk AS (
+            SELECT term FROM (
+                SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+                ORDER BY c DESC, term LIMIT {_DRIFT_K}
+            )
+        ),
+        bucketed AS (
+            SELECT source,
+                   CASE WHEN topk.term IS NULL THEN '__OTHER__'
+                        ELSE tok.term END AS term,
+                   CAST(COUNT(*) AS HUGEINT) AS o
+            FROM tok LEFT JOIN topk ON tok.term = topk.term
+            GROUP BY 1, 2
+        ),
+        srcs AS (SELECT source, SUM(o) AS n_tok FROM bucketed GROUP BY 1),
+        terms AS (SELECT DISTINCT term FROM bucketed),
+        grid AS (
+            SELECT s.source, t.term, s.n_tok,
+                   COALESCE(b.o, 0) AS o
+            FROM srcs s CROSS JOIN terms t
+            LEFT JOIN bucketed b
+              ON b.source = s.source AND b.term = t.term
+        ),
+        pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   a.term,
+                   a.o AS oa, b.o AS ob,
+                   a.n_tok AS na, b.n_tok AS nb
+            FROM grid a JOIN grid b
+              ON a.term = b.term AND a.source < b.source
+        ),
+        cells AS (
+            SELECT src_a, src_b, na, nb,
+                   -- two cells of the 2 x terms table share
+                   -- C = oa + ob and N = na + nb
+                   (oa * (na + nb) - na * (oa + ob))
+                       * (oa * (na + nb) - na * (oa + ob)) AS numa,
+                   na * (oa + ob) * (na + nb) AS dena,
+                   (ob * (na + nb) - nb * (oa + ob))
+                       * (ob * (na + nb) - nb * (oa + ob)) AS numb,
+                   nb * (oa + ob) * (na + nb) AS denb
+            FROM pairs
+            WHERE oa + ob > 0
+        ),
+        contrib AS (
+            SELECT src_a, src_b, na, nb,
+                   (numa // dena) * 10000
+                   + ((numa - (numa // dena) * dena) * 10000) // dena
+                   + (numb // denb) * 10000
+                   + ((numb - (numb // denb) * denb) * 10000) // denb
+                       AS cell_e4
+            FROM cells
+        )
+        SELECT src_a, src_b,
+               CAST(MIN(na) AS BIGINT) AS n_tok_a,
+               CAST(MIN(nb) AS BIGINT) AS n_tok_b,
+               CAST(SUM(cell_e4) AS BIGINT) AS chi2_e4
+        FROM contrib
+        GROUP BY 1, 2
+    """,
+)
+def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise domain-drift matrix — the two-sample χ² homogeneity
+    statistic between every pair of sources over the corpus-global
+    top-K term distribution (tail folded into __OTHER__) — what a
+    mixture curator reads to decide which domains are interchangeable
+    and which need their own sampling weight (complements
+    `text_vocab_overlap`, which compares vocab SETS, not frequency
+    SHAPE, and `curate_domain_balance`, which reweights without
+    measuring drift). `agg_chi_square`'s exact-integer cell algebra
+    applied to token counts: per-cell floor(10⁴(O·N−R·C)²/(R·C·N))
+    in decimal(38,0), zero cells of the term grid included, no floats.
+    Magnitude envelope: (O·N−R·C)² within 38 digits for pair token
+    totals N ≲ 3·10⁹; larger corpora scale counts to a common grid
+    first (documented bound, agg_ols_multi's policy).
+
+    Plan/scale: ONE token-cardinality hash agg builds (source, term)
+    counts; the global top-K is a TakeOrderedAndProject over the
+    term-count agg (distributed top-k, no global sort materialized);
+    everything after — grid, pairs, cells — operates on
+    |sources|·(K+1) rows, and the pair join is |sources|²·(K+1), both
+    dimension-sized. At 100 TB the only full-data passes are the two
+    partial-aggregable token aggs."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    topk = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(_DRIFT_K)
+        .select("term")
+    )
+    dec = "decimal(38,0)"
+    bucketed = (
+        tok.join(
+            F.broadcast(topk.withColumn("is_top", F.lit(1))),
+            "term",
+            "left",
+        )
+        .select(
+            "source",
+            F.when(F.col("is_top").isNull(), F.lit("__OTHER__"))
+            .otherwise(F.col("term"))
+            .alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast(dec).alias("o"))
+    )
+    srcs = bucketed.groupBy("source").agg(F.sum("o").alias("n_tok"))
+    terms = bucketed.select("term").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(terms))
+        .join(bucketed, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            "n_tok",
+            F.coalesce(F.col("o"), F.lit(0).cast(dec)).alias("o"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"),
+        F.col("term"),
+        F.col("o").alias("oa"),
+        F.col("n_tok").alias("na"),
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"),
+        F.col("term").alias("term_b"),
+        F.col("o").alias("ob"),
+        F.col("n_tok").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("term") == F.col("term_b"))
+        & (F.col("src_a") < F.col("src_b")),
+    ).filter(F.expr("oa + ob > 0"))
+    cells = pairs.select(
+        "src_a",
+        "src_b",
+        "na",
+        "nb",
+        F.expr(
+            "(oa * (na + nb) - na * (oa + ob))"
+            " * (oa * (na + nb) - na * (oa + ob))"
+        ).alias("numa"),
+        F.expr("na * (oa + ob) * (na + nb)").alias("dena"),
+        F.expr(
+            "(ob * (na + nb) - nb * (oa + ob))"
+            " * (ob * (na + nb) - nb * (oa + ob))"
+        ).alias("numb"),
+        F.expr("nb * (oa + ob) * (na + nb)").alias("denb"),
+    )
+    contrib = cells.select(
+        "src_a",
+        "src_b",
+        "na",
+        "nb",
+        F.expr(
+            "(numa div dena) * 10000"
+            " + ((numa - (numa div dena) * dena) * 10000) div dena"
+            " + (numb div denb) * 10000"
+            " + ((numb - (numb div denb) * denb) * 10000) div denb"
+        ).alias("cell_e4"),
+    )
+    return contrib.groupBy("src_a", "src_b").agg(
+        F.min("na").cast("long").alias("n_tok_a"),
+        F.min("nb").cast("long").alias("n_tok_b"),
+        F.sum("cell_e4").cast("long").alias("chi2_e4"),
+    )

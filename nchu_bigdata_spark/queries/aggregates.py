@@ -2786,7 +2786,11 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural zero cells of the observed-category grid are included
     per the textbook definition. Cramér's V is the ONE float op: an
     IEEE-754 correctly-rounded sqrt over an integer radicand < 2⁵³,
-    so FLOOR(SQRT(·)) is bit-stable cross-engine.
+    so FLOOR(SQRT(·)) is bit-stable cross-engine. Magnitude envelope:
+    the (O·N−R·C)² cell numerator stays within decimal(38,0) for
+    table totals N ≲ 3·10⁹; beyond that, scale counts down to a
+    common grid first (same mechanics, documented bound —
+    agg_ols_multi's policy).
 
     Plan/scale: events collapse map-side to the (type, wd) cell table
     — ONE hash agg over the raw stream; everything after operates on

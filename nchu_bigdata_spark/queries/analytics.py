@@ -5586,3 +5586,184 @@ def events_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lb_e6").cast("long").alias("wilson_lb_e6"),
         F.rank().over(win).cast("long").alias("lb_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_ljung_box — portmanteau whiteness test, exact ints (round 11)
+# --------------------------------------------------------------------------
+
+_LB_LAGS = 7  # portmanteau horizon
+# chi-square 5% critical value at df = 7, scaled e4 (14.0671... -> the
+# standard table value 14.067): enters as an integer literal so the
+# verdict is an exact integer comparison.
+_LB_CRIT_E4 = 140_671
+
+
+@register(
+    "ts_ljung_box",
+    tags=("analytics",),
+    oracle=f"""
+        -- Ljung-Box portmanteau test per event series: are the lag
+        -- 1..{_LB_LAGS} autocorrelations of the daily-count series
+        -- jointly zero? Q = n(n+2) * sum_k rho_k^2/(n-k), rejected at
+        -- 5% when Q > chi2_0.95(df={_LB_LAGS}) = {_LB_CRIT_E4}/1e4.
+        -- Exactness convention (documented, same on both engines):
+        -- rho_k is floored to the e6 grid first via the exact HUGEINT
+        -- cross-multiply sign-floor(1e6 * num_k / den) with
+        -- c_t = n*x_t - S (mean centering scaled by n, which cancels
+        -- in the ratio), then Q_e12 = sum_k (n*(n+2)*rho_e6_k^2) //
+        -- (n-k) is pure int64 arithmetic and q_e4 = Q_e12 // 1e8.
+        -- The series index is the rank of OBSERVED days (documented:
+        -- gaps close up, as in standard returns-series practice).
+        WITH cell AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type, COUNT(*) AS n, SUM(x) AS s
+            FROM cell GROUP BY 1
+        ),
+        c AS (
+            SELECT cell.event_type,
+                   m.n,
+                   CAST(m.n AS HUGEINT) * x - m.s AS ct,
+                   ROW_NUMBER() OVER (PARTITION BY cell.event_type
+                                      ORDER BY day) AS t
+            FROM cell JOIN m USING (event_type)
+        ),
+        lagged AS (
+            SELECT event_type, n, ct,
+                   {", ".join(
+                       f"LAG(ct, {k}) OVER (PARTITION BY event_type"
+                       f" ORDER BY t) AS l{k}" for k in range(1, 8)
+                   )}
+            FROM c
+        ),
+        sums AS (
+            SELECT event_type, MIN(n) AS n,
+                   SUM(ct * ct) AS den,
+                   {", ".join(
+                       f"SUM(ct * l{k}) AS num{k}"
+                       for k in range(1, 8)
+                   )}
+            FROM lagged GROUP BY event_type
+        ),
+        rho AS (
+            SELECT event_type, n, den,
+                   {", ".join(
+                       f"CASE WHEN num{k} >= 0 THEN"
+                       f" CAST((1000000 * num{k}) // den AS BIGINT)"
+                       f" ELSE CAST(-((1000000 * (-num{k})) // den)"
+                       f" AS BIGINT) END AS r{k}"
+                       for k in range(1, 8)
+                   )}
+            FROM sums
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               r1 AS rho1_e6,
+               CAST(({" + ".join(
+                   f"(CAST(n AS HUGEINT) * (n + 2) * r{k} * r{k})"
+                   f" // (n - {k})"
+                   for k in range(1, 8)
+               )}) // 100000000 AS BIGINT) AS q_e4,
+               CAST(CASE WHEN ({" + ".join(
+                   f"(CAST(n AS HUGEINT) * (n + 2) * r{k} * r{k})"
+                   f" // (n - {k})"
+                   for k in range(1, 8)
+               )}) // 100000000 > {_LB_CRIT_E4}
+                    THEN 1 ELSE 0 END AS BIGINT) AS rejected
+        FROM rho
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test per event series — are
+    the first {m} autocorrelations of the daily-count series jointly
+    zero? The standard residual-diagnostic (Box/Jenkins) that gates
+    forecasting-model adequacy; complements `ts_autocorr` (single
+    lag), `ts_runs_test` (sign runs), and `ts_mann_kendall`
+    (monotone trend) with the JOINT short-memory verdict.
+
+    Exactness convention (documented, both engines identical): mean
+    centering is scaled by n (cₜ = n·xₜ − S — the n² factor cancels
+    in every ratio), ρ_k is floored to the e6 grid via one exact
+    decimal(38,0) cross-multiply per lag, Q_e12 = Σ_k
+    (n(n+2)·ρe6_k²) div (n−k) runs in decimal(38,0) ↔ HUGEINT (the
+    n(n+2)·10¹² product leaves int64 past ~3000 days), q_e4 = Q_e12
+    div 10⁸,
+    and the 5% verdict is the integer comparison against the χ²
+    df={m} literal {crit}. Magnitude envelope: |num_k| ≤ n³·x̄² —
+    within decimal(38,0) for day-count series to ~10⁶ days.
+
+    Plan/scale: events collapse map-side to (type, day) cells; ONE
+    partitioned sort+window pass produces all {m} lag columns
+    (Catalyst stacks the lags in one WindowExec over one exchange);
+    ONE same-key agg folds the co-moment sums; all remaining algebra
+    is per-type scalar projection. The series dimension is bounded by
+    the retention window, not corpus size."""
+    ev = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    cell = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    m = cell.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    c = (
+        cell.join(F.broadcast(m), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.expr(f"CAST(n AS {dec}) * x - s").alias("ct"),
+            "day",
+        )
+        .withColumn("t", F.row_number().over(w))
+    )
+    wl = Window.partitionBy("event_type").orderBy("t")
+    lagged = c.select(
+        "event_type",
+        "n",
+        "ct",
+        *[F.lag("ct", k).over(wl).alias(f"l{k}") for k in range(1, 8)],
+    )
+    sums = lagged.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.sum(F.expr("ct * ct")).alias("den"),
+        *[
+            F.sum(F.expr(f"ct * l{k}")).alias(f"num{k}")
+            for k in range(1, 8)
+        ],
+    )
+    rho = sums.select(
+        "event_type",
+        "n",
+        *[
+            F.expr(
+                f"CASE WHEN num{k} >= 0 THEN"
+                f" CAST((1000000 * num{k}) div den AS BIGINT)"
+                f" ELSE CAST(-((1000000 * (-num{k})) div den)"
+                f" AS BIGINT) END"
+            ).alias(f"r{k}")
+            for k in range(1, 8)
+        ],
+    )
+    q_expr = " + ".join(
+        f"(CAST(n AS decimal(38,0)) * (n + 2) * r{k} * r{k})"
+        f" div (n - {k})"
+        for k in range(1, 8)
+    )
+    return rho.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("r1").alias("rho1_e6"),
+        F.expr(f"CAST(({q_expr}) div 100000000 AS BIGINT)").alias(
+            "q_e4"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN ({q_expr}) div 100000000 > {_LB_CRIT_E4}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("rejected"),
+    )

@@ -173,3 +173,156 @@ def geo_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# geo_bbox_join — point-in-rectangle containment via cell cover (round 11)
+# --------------------------------------------------------------------------
+
+# Rectangle geography derived from nation keys: centers hash onto the
+# shared grid with their own offsets; half-widths cycle 20k..90k so the
+# cover factor varies per rectangle (1..~25 cells) — the variable-
+# replication case geo_cell_join's constant 3x3 ring doesn't exercise.
+_BX, _BY = 271_828_183, 314_159_265  # rect-center offsets
+_W_STEP = 10_000
+
+
+@register(
+    "geo_bbox_join",
+    tags=("geo",),
+    oracle=f"""
+        -- Containment join, oracle side: brute-force theta-join
+        -- (point BETWEEN rect bounds on both axes). The Spark side
+        -- must reproduce the identical per-rectangle aggregate through
+        -- its cell-cover decomposition.
+        WITH c AS (
+            SELECT c_custkey,
+                   (c_custkey * {_AX}) % {_SPAN} AS cx,
+                   (c_custkey * {_AY}) % {_SPAN} AS cy
+            FROM customer
+        ),
+        r AS (
+            SELECT n_nationkey,
+                   (CAST(n_nationkey AS BIGINT) * {_AX} + {_BX})
+                       % {_SPAN} AS nx,
+                   (CAST(n_nationkey AS BIGINT) * {_AY} + {_BY})
+                       % {_SPAN} AS ny,
+                   20000 + ((n_nationkey * 37) % 8) * {_W_STEP} AS wx,
+                   20000 + ((n_nationkey * 53) % 8) * {_W_STEP} AS wy
+            FROM nation
+        ),
+        p AS (
+            SELECT r.n_nationkey, c.c_custkey
+            FROM r JOIN c
+              ON c.cx BETWEEN r.nx - r.wx AND r.nx + r.wx
+             AND c.cy BETWEEN r.ny - r.wy AND r.ny + r.wy
+        ),
+        a AS (
+            SELECT n_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   MIN(c_custkey) AS min_custkey
+            FROM p GROUP BY 1
+        )
+        SELECT r.n_nationkey,
+               CAST(r.nx - r.wx AS BIGINT) AS x0,
+               CAST(r.nx + r.wx AS BIGINT) AS x1,
+               CAST(r.ny - r.wy AS BIGINT) AS y0,
+               CAST(r.ny + r.wy AS BIGINT) AS y1,
+               CAST(COALESCE(a.n_points, 0) AS BIGINT) AS n_points,
+               CAST(a.min_custkey AS BIGINT) AS min_custkey
+        FROM r LEFT JOIN a USING (n_nationkey)
+    """,
+)
+def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-rectangle containment join (geofence hit counting) via
+    cell-cover decomposition — `geo_cell_join`'s grid reused for the
+    ASYMMETRIC case: rectangles replicate into their covering cells
+    (variable factor, 1..~25 here — area/cell², not a constant ring)
+    while each point still hashes to exactly ONE cell, so a (point,
+    rect) pair meets in exactly one cell and needs NO dedup stage.
+    Exact containment is the int64 BETWEEN filter after the cell
+    equi-join; empty geofences are restored by a dimension-side left
+    join.
+
+    Plan/scale: the join is a vanilla equi-join on cell id — points
+    shuffle once by cell (or arrive pre-bucketed by the ingest
+    layout), rectangles are dimension-sized × their cover factor. NO
+    broadcast requirement, NO theta-join fallback (Spark would
+    otherwise plan BroadcastNestedLoopJoin for the BETWEEN predicate —
+    fine for a 25-row dim, quadratic death at a 10⁸-row geofence
+    table). AQE skew-splits hot cells. Exact integer arithmetic
+    end-to-end; the oracle is the brute-force theta-join."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(f"(c_custkey * {_AX}) % {_SPAN}").alias("cx"),
+        F.expr(f"(c_custkey * {_AY}) % {_SPAN}").alias("cy"),
+    )
+    rect = table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.expr(
+            f"(CAST(n_nationkey AS BIGINT) * {_AX} + {_BX}) % {_SPAN}"
+        ).alias("nx"),
+        F.expr(
+            f"(CAST(n_nationkey AS BIGINT) * {_AY} + {_BY}) % {_SPAN}"
+        ).alias("ny"),
+        F.expr(f"20000 + ((n_nationkey * 37) % 8) * {_W_STEP}").alias(
+            "wx"
+        ),
+        F.expr(f"20000 + ((n_nationkey * 53) % 8) * {_W_STEP}").alias(
+            "wy"
+        ),
+    )
+    # rectangle -> covering cells (variable replication)
+    rcells = (
+        rect.withColumn(
+            "cellx",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(nx - wx) div {_R}"),
+                    F.expr(f"(nx + wx) div {_R}"),
+                )
+            ),
+        )
+        .withColumn(
+            "celly",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(ny - wy) div {_R}"),
+                    F.expr(f"(ny + wy) div {_R}"),
+                )
+            ),
+        )
+        .select(
+            (F.col("cellx") * (1 << 20) + F.col("celly")).alias("cell"),
+            "n_nationkey",
+            "nx",
+            "ny",
+            "wx",
+            "wy",
+        )
+    )
+    pts = cust.withColumn(
+        "cell",
+        F.expr(f"(cx div {_R}) * {1 << 20} + (cy div {_R})"),
+    )
+    pairs = pts.join(rcells, "cell").filter(
+        (F.col("cx") >= F.col("nx") - F.col("wx"))
+        & (F.col("cx") <= F.col("nx") + F.col("wx"))
+        & (F.col("cy") >= F.col("ny") - F.col("wy"))
+        & (F.col("cy") <= F.col("ny") + F.col("wy"))
+    )
+    agg = pairs.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.min("c_custkey").alias("min_custkey"),
+    )
+    return rect.join(agg, "n_nationkey", "left").select(
+        "n_nationkey",
+        F.expr("CAST(nx - wx AS BIGINT)").alias("x0"),
+        F.expr("CAST(nx + wx AS BIGINT)").alias("x1"),
+        F.expr("CAST(ny - wy AS BIGINT)").alias("y0"),
+        F.expr("CAST(ny + wy AS BIGINT)").alias("y1"),
+        F.coalesce(F.col("n_points"), F.lit(0))
+        .cast("long")
+        .alias("n_points"),
+        F.col("min_custkey").cast("long").alias("min_custkey"),
+    )

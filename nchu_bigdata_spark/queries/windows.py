@@ -2036,3 +2036,115 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" END AS BIGINT)"
         ).alias("corr_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_rsi — Cutler's RSI over a trailing delta frame (round 11)
+# --------------------------------------------------------------------------
+
+_RSI_N = 14  # deltas per frame (the classic 14)
+_RSI_EMIT = 50  # emit every k-th row (bounded output, full compute)
+
+
+@register(
+    "win_rsi",
+    tags=("b5",),
+    oracle=f"""
+        -- Cutler's RSI (the SMA variant of the Relative Strength
+        -- Index — simple trailing means, NOT Wilder's recursive
+        -- smoothing, so it is window-expressible and backfill-stable):
+        -- RSI = 100 * sumGain / (sumGain + sumLoss) over the trailing
+        -- {_RSI_N} deltas of the value series per event_type. Exact
+        -- integer cents end-to-end; rsi_bp = floor(1e4 * sg/(sg+sl));
+        -- flat frames (sg+sl = 0) emit NULL.
+        WITH v AS (
+            SELECT event_type, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        d AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER w AS rn,
+                   cents - LAG(cents) OVER w AS delta
+            FROM v
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY ts, event_id)
+        ),
+        f AS (
+            SELECT event_type, rn,
+                   COUNT(delta) OVER fr AS n_delta,
+                   SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                       OVER fr AS sg,
+                   SUM(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+                       OVER fr AS sl
+            FROM d
+            WINDOW fr AS (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN {_RSI_N - 1} PRECEDING
+                          AND CURRENT ROW)
+        )
+        SELECT event_type,
+               CAST(rn AS BIGINT) AS rn,
+               CAST(CASE WHEN sg + sl = 0 THEN NULL
+                    ELSE (10000 * sg) // (sg + sl) END AS BIGINT)
+                   AS rsi_bp
+        FROM f
+        WHERE n_delta = {_RSI_N} AND rn % {_RSI_EMIT} = 0
+    """,
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI — the SMA variant of the Relative Strength Index
+    (simple trailing gain/loss means rather than Wilder's recursive
+    EMA, which makes it window-expressible, backfill-stable, and
+    exactly computable: the classic overbought/oversold oscillator as
+    a pure frame aggregate). Per event_type, deltas of the cents
+    value series (ordered by ts with event_id tiebreak); RSI over the
+    trailing {n} deltas as the exact integer floor 10⁴·Σgains /
+    (Σgains + Σlosses); flat frames NULL; rows with an incomplete
+    delta frame are suppressed. Output every {k}-th row — emission is
+    bounded, the rolling computation is not skipped anywhere.
+
+    Plan/scale: ONE ordering serves both window passes (lag, then the
+    trailing frame sums on the same partitioning — Catalyst stacks
+    them in a single sort+window stage, no second exchange); shuffles
+    once on event_type; AQE skew-splits hot types. Exact integers
+    only — no float path at all."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        (F.col("cents") - F.lag("cents").over(w)).alias("delta"),
+    )
+    fr = W.partitionBy("event_type").orderBy("rn").rowsBetween(
+        -(_RSI_N - 1), 0
+    )
+    f = d.select(
+        "event_type",
+        "rn",
+        F.count("delta").over(fr).alias("n_delta"),
+        F.sum(
+            F.when(F.col("delta") > 0, F.col("delta")).otherwise(0)
+        )
+        .over(fr)
+        .alias("sg"),
+        F.sum(
+            F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0)
+        )
+        .over(fr)
+        .alias("sl"),
+    ).filter(
+        (F.col("n_delta") == _RSI_N) & (F.col("rn") % _RSI_EMIT == 0)
+    )
+    return f.select(
+        "event_type",
+        F.col("rn").cast("long").alias("rn"),
+        F.expr(
+            "CAST(CASE WHEN sg + sl = 0 THEN NULL"
+            " ELSE (10000 * sg) div (sg + sl) END AS BIGINT)"
+        ).alias("rsi_bp"),
+    )

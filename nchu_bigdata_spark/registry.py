@@ -129,6 +129,10 @@ DRIVER_ORDER = [
     "events_wilson_ctr",
     "win_rolling_corr",
     "text_heaps_law",
+    "geo_bbox_join",
+    "text_source_drift",
+    "win_rsi",
+    "ts_ljung_box",
     "dedup_cdc_chunks",
     "sample_ess_audit",
     "text_novelty",

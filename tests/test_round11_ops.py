@@ -230,8 +230,12 @@ def test_round11_ids_in_ledger_head():
     'born in round N: certify immediately')."""
     from nchu_bigdata_spark.registry import DRIVER_ORDER
 
-    head = DRIVER_ORDER[:16]
+    head = DRIVER_ORDER[:20]
     for name in (
+        "geo_bbox_join",
+        "text_source_drift",
+        "win_rsi",
+        "ts_ljung_box",
         "dedup_cdc_chunks",
         "sample_ess_audit",
         "text_novelty",
@@ -735,5 +739,192 @@ def test_text_heaps_law_replay(spark, sf_dir, duck):
     got = {
         r.decile: (r.k_docs, r.tokens_cum, r.vocab_cum)
         for r in REGISTRY["text_heaps_law"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# ------------------------------------------------- round-11 third wave
+
+
+def test_geo_bbox_join_replay(spark, sf_dir, duck):
+    from nchu_bigdata_spark.queries.geo import (
+        _AX,
+        _AY,
+        _BX,
+        _BY,
+        _SPAN,
+        _W_STEP,
+    )
+
+    custs = [
+        ((c * _AX) % _SPAN, (c * _AY) % _SPAN, c)
+        for (c,) in duck.execute(
+            "SELECT c_custkey FROM customer"
+        ).fetchall()
+    ]
+    expect = {}
+    for (n,) in duck.execute(
+        "SELECT n_nationkey FROM nation"
+    ).fetchall():
+        nx = (n * _AX + _BX) % _SPAN
+        ny = (n * _AY + _BY) % _SPAN
+        wx = 20000 + ((n * 37) % 8) * _W_STEP
+        wy = 20000 + ((n * 53) % 8) * _W_STEP
+        inside = [
+            c
+            for cx, cy, c in custs
+            if nx - wx <= cx <= nx + wx and ny - wy <= cy <= ny + wy
+        ]
+        expect[n] = (
+            nx - wx,
+            nx + wx,
+            ny - wy,
+            ny + wy,
+            len(inside),
+            min(inside) if inside else None,
+        )
+
+    got = {
+        r.n_nationkey: (
+            r.x0, r.x1, r.y0, r.y1, r.n_points, r.min_custkey
+        )
+        for r in load_all_queries()["geo_bbox_join"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
+    # the fixture geography must exercise BOTH populated and empty
+    # rects for the left-join restore to be non-vacuous ... unless
+    # every rect happens to be populated; assert at least populated
+    assert any(v[4] > 0 for v in expect.values())
+
+
+def test_text_source_drift_replay(spark, sf_dir, duck):
+    from nchu_bigdata_spark.operators.text import _DRIFT_K
+
+    docs = duck.execute(
+        "SELECT source, text FROM documents"
+    ).fetchall()
+    from collections import Counter
+
+    tot = Counter()
+    per_src: dict[str, Counter] = {}
+    for src, text in docs:
+        ws = text.split(" ")
+        tot.update(ws)
+        per_src.setdefault(src, Counter()).update(ws)
+    topk = {
+        t
+        for t, _ in sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_DRIFT_K
+        ]
+    }
+    prof = {}
+    for src, cnt in per_src.items():
+        b = Counter()
+        for t, c in cnt.items():
+            b[t if t in topk else "__OTHER__"] += c
+        prof[src] = b
+    terms = set()
+    for b in prof.values():
+        terms |= set(b)
+    expect = {}
+    srcs = sorted(prof)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            na = sum(prof[a].values())
+            nb = sum(prof[b].values())
+            acc = 0
+            for t in terms:
+                oa, ob = prof[a].get(t, 0), prof[b].get(t, 0)
+                if oa + ob == 0:
+                    continue
+                for o, r in ((oa, na), (ob, nb)):
+                    num = (o * (na + nb) - r * (oa + ob)) ** 2
+                    den = r * (oa + ob) * (na + nb)
+                    acc += (num // den) * 10000 + (
+                        (num - (num // den) * den) * 10000
+                    ) // den
+            expect[(a, b)] = (na, nb, acc)
+
+    got = {
+        (r.src_a, r.src_b): (r.n_tok_a, r.n_tok_b, r.chi2_e4)
+        for r in load_all_queries()["text_source_drift"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_win_rsi_replay(spark, sf_dir, duck):
+    from nchu_bigdata_spark.queries.windows import _RSI_EMIT, _RSI_N
+
+    rows = duck.execute(
+        "SELECT event_type, CAST(ROUND(value * 100) AS BIGINT)"
+        " FROM events ORDER BY event_type, ts, event_id"
+    ).fetchall()
+    series: dict[str, list[int]] = {}
+    for et, cents in rows:
+        series.setdefault(et, []).append(cents)
+    expect = {}
+    for et, cs in series.items():
+        deltas = [None] + [
+            cs[i] - cs[i - 1] for i in range(1, len(cs))
+        ]
+        for rn in range(1, len(cs) + 1):
+            if rn % _RSI_EMIT != 0:
+                continue
+            fr = deltas[max(0, rn - _RSI_N) : rn]
+            fr = [d for d in fr if d is not None]
+            if len(fr) != _RSI_N:
+                continue
+            sg = sum(d for d in fr if d > 0)
+            sl = sum(-d for d in fr if d < 0)
+            expect[(et, rn)] = (
+                None if sg + sl == 0 else (10000 * sg) // (sg + sl)
+            )
+
+    got = {
+        (r.event_type, r.rn): r.rsi_bp
+        for r in load_all_queries()["win_rsi"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_ts_ljung_box_replay(spark, sf_dir, duck):
+    from nchu_bigdata_spark.queries.analytics import _LB_CRIT_E4
+
+    cells = duck.execute(
+        "SELECT event_type, epoch_us(ts) // 86400000000, COUNT(*)"
+        " FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict[str, list[int]] = {}
+    for et, _day, x in cells:
+        series.setdefault(et, []).append(x)
+    expect = {}
+    for et, xs in series.items():
+        n, s = len(xs), sum(xs)
+        ct = [n * x - s for x in xs]
+        den = sum(c * c for c in ct)
+        q = 0
+        rho1 = None
+        for k in range(1, 8):
+            num = sum(ct[i] * ct[i + k] for i in range(n - k))
+            r = (
+                (1000000 * num) // den
+                if num >= 0
+                else -((1000000 * (-num)) // den)
+            )
+            if k == 1:
+                rho1 = r
+            q += (n * (n + 2) * r * r) // (n - k)
+        q_e4 = q // 100000000
+        expect[et] = (n, rho1, q_e4, 1 if q_e4 > _LB_CRIT_E4 else 0)
+
+    got = {
+        r.event_type: (r.n_days, r.rho1_e6, r.q_e4, r.rejected)
+        for r in load_all_queries()["ts_ljung_box"]
+        .fn(spark, sf_dir)
+        .collect()
     }
     assert got == expect
