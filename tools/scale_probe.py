@@ -354,19 +354,27 @@ def main() -> int:
         import bench
 
         bench.warm(spark)
-        name = "geo_cell_join"
+        geo_ops = (
+            ops
+            if args.ops != ",".join(HEAVY_OPS)
+            else ["geo_cell_join", "geo_bbox_join"]
+        )
         print("| op | 1x sec | 10x sec | ratio | 1x rows | 10x rows |")
         print("|---|---|---|---|---|---|")
-        t1, r1 = time_op(spark, specs, name, BASE_SF, args.reps)
-        t10, r10 = time_op(spark, specs, name, d, args.reps)
-        ratio = t10 / max(t1, 1e-9)
-        flag = "" if ratio < GATE_RATIO else "  **BREACH**"
-        print(
-            f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x{flag} "
-            f"| {r1} | {r10} |",
-            flush=True,
-        )
-        return 1 if ratio >= GATE_RATIO else 0
+        breach = False
+        for name in geo_ops:
+            t1, r1 = time_op(spark, specs, name, BASE_SF, args.reps)
+            t10, r10 = time_op(spark, specs, name, d, args.reps)
+            ratio = t10 / max(t1, 1e-9)
+            flag = "" if ratio < GATE_RATIO else "  **BREACH**"
+            if ratio >= GATE_RATIO:
+                breach = True
+            print(
+                f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x{flag} "
+                f"| {r1} | {r10} |",
+                flush=True,
+            )
+        return 1 if breach else 0
 
     if (
         not os.path.exists(os.path.join(big_dir, "documents.parquet"))
