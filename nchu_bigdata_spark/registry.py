@@ -113,6 +113,13 @@ def register(
 #   r13: ids [150:182) — the 27-id tail plus the five multimodal ids
 #        that graduated from rows-only to full SQL oracles in r10 —
 #        + 18 top-ups from the refresh queue
+#
+# r11 drift (births-lead convention, same as r10): 17 round-11 births
+# plus the 3 pulled-forward stale-row ids lead the head, so the actual
+# r11 window = those 20 + the first 30 of the committed [50:100) slice;
+# the displaced 20 slide into r12/r13 (the tail windows absorb them —
+# r13's top-up budget shrinks accordingly). Every id still reaches a
+# driver row by r13 + one refresh round.
 # after which every SQL-certifiable id holds a driver row and the list
 # degenerates into the oldest-green-first refresh cycle at the tail.
 # Each round: run `python tools/rotate_ledger.py --apply` after the
