@@ -131,11 +131,12 @@ LLM_GROUP = [
     "sample_ess_audit",
     "embed_pq",
     "text_template_prefix",
-    # born round 11, session 2: Heaps'-law vocab growth (the one new
-    # op in this wave that is a training-data pipeline stage; the geo/
-    # chi-square/Wilson/rolling-corr/CIDR births are tracked in the
-    # SQL group) (trend starts here)
+    # born round 11, session 2: Heaps'-law vocab growth + Neyman
+    # budget allocation (the training-data pipeline stages of this
+    # wave; the geo/chi-square/Wilson/rolling-corr/CIDR/Ljung-Box/
+    # Kendall births are tracked in the SQL group) (trend starts here)
     "text_heaps_law",
+    "sample_neyman_alloc",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -320,6 +321,7 @@ SQL_GROUP = [
     "text_source_drift",
     "win_rsi",
     "ts_ljung_box",
+    "ts_kendall_tau",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative

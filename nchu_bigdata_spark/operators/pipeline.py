@@ -2473,3 +2473,99 @@ def sample_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ess_ratio_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sample_neyman_alloc — optimal stratified allocation (round 11)
+# --------------------------------------------------------------------------
+
+_NEY_BUDGET = 1_000  # illustrative total sample budget
+
+
+@register(
+    "sample_neyman_alloc",
+    tags=("pipeline",),
+    oracle=f"""
+        -- Neyman optimal allocation (Neyman 1934): under a fixed
+        -- total budget, sample stratum h proportionally to N_h*sigma_h
+        -- — minimum-variance stratified sampling. The leg is computed
+        -- EXACTLY: N_h*sigma_h = sqrt(N_h*sum(w^2) - sum(w)^2)
+        -- (population-variance identity, integer radicand), one IEEE
+        -- correctly-rounded sqrt + FLOOR per stratum (HUGEINT->DOUBLE
+        -- cast is correctly rounded on both engines), then the
+        -- allocation shares are exact integer floor divisions.
+        WITH s AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS HUGEINT) AS n_docs,
+                   CAST(SUM(n_chars) AS HUGEINT) AS sw,
+                   CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars)
+                        AS HUGEINT) AS sw2
+            FROM documents GROUP BY 1
+        ),
+        g AS (
+            SELECT lang, n_docs, sw,
+                   CAST(FLOOR(SQRT(CAST(n_docs * sw2 - sw * sw
+                                        AS DOUBLE)))
+                        AS HUGEINT) AS leg
+            FROM s
+        ),
+        tot AS (SELECT SUM(leg) AS tleg FROM g)
+        SELECT g.lang,
+               CAST(g.n_docs AS BIGINT) AS n_docs,
+               CAST(g.sw AS BIGINT) AS sum_w,
+               CAST(g.leg AS BIGINT) AS neyman_leg,
+               CAST((10000 * g.leg) // tot.tleg AS BIGINT) AS alloc_bp,
+               CAST(({_NEY_BUDGET} * g.leg) // tot.tleg AS BIGINT)
+                   AS n_alloc
+        FROM g CROSS JOIN tot
+    """,
+)
+def sample_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified allocation — under a fixed labeling /
+    eval budget, sample each stratum (language here) proportionally to
+    N_h·σ_h, the minimum-variance design (Neyman 1934). The design-of-
+    experiments complement to `sample_stratified` (which executes a
+    GIVEN allocation) and `sample_ess_audit` (which audits weights
+    after the fact): this op COMPUTES the allocation.
+
+    Exactness: the leg N_h·σ_h = sqrt(N_h·Σw² − (Σw)²) uses the
+    population-variance identity so the radicand is ONE exact
+    decimal(38,0) integer; the only float op per stratum is the IEEE
+    correctly-rounded sqrt (+FLOOR) of that radicand (the
+    decimal→double cast is correctly rounded on both engines, so the
+    grid value is bit-stable even past 2⁵³); shares and the budget
+    split are exact integer floor divisions.
+
+    Plan/scale: ONE map-side-combinable hash agg over the stratum key
+    computes all three moments in a single column-pruned pass (no
+    text bytes move); everything after is |strata| rows. Radicand
+    stays within 38 digits to ~10¹⁰ docs at these weight grids."""
+    docs = table(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast(dec).alias("n_docs"),
+        F.sum("n_chars").cast(dec).alias("sw"),
+        F.sum(F.expr(f"CAST(n_chars AS {dec}) * n_chars")).alias("sw2"),
+    )
+    g = s.select(
+        "lang",
+        "n_docs",
+        "sw",
+        F.expr(
+            f"CAST(FLOOR(SQRT(CAST(n_docs * sw2 - sw * sw AS DOUBLE)))"
+            f" AS {dec})"
+        ).alias("leg"),
+    )
+    tot = g.agg(F.sum("leg").alias("tleg"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sw").cast("long").alias("sum_w"),
+        F.col("leg").cast("long").alias("neyman_leg"),
+        F.expr("CAST((10000 * leg) div tleg AS BIGINT)").alias(
+            "alloc_bp"
+        ),
+        F.expr(
+            f"CAST(({_NEY_BUDGET} * leg) div tleg AS BIGINT)"
+        ).alias("n_alloc"),
+    )

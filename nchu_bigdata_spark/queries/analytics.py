@@ -5767,3 +5767,177 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_kendall_tau — exact Kendall tau-b between two daily measures (round 11)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_kendall_tau",
+    tags=("analytics",),
+    oracle="""
+        -- Kendall tau-b rank association per event series between the
+        -- two daily measures (event count, value cents sum) — the
+        -- distribution-free complement to agg_corr's Pearson r.
+        -- Exact integers: concordant-minus-discordant S over day
+        -- pairs, tie-adjusted denominator legs T0-T1 and T0-T2, and
+        -- ONE IEEE sqrt for the denominator (radicand = exact integer
+        -- product, < 2^53 for day-bounded series); tau_b*1e6 is a
+        -- sign-split integer floor division. Same day-cell convention
+        -- and pair-stage bound as ts_mann_kendall.
+        WITH cell AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT a.event_type,
+                   SUM(CASE WHEN (b.x > a.x AND b.y > a.y)
+                             OR (b.x < a.x AND b.y < a.y) THEN 1
+                            WHEN (b.x > a.x AND b.y < a.y)
+                             OR (b.x < a.x AND b.y > a.y) THEN -1
+                            ELSE 0 END) AS s_stat
+            FROM cell a JOIN cell b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY a.event_type
+        ),
+        nn AS (SELECT event_type, COUNT(*) AS n FROM cell GROUP BY 1),
+        tx AS (
+            SELECT event_type,
+                   COALESCE(SUM(t * (t - 1) / 2), 0) AS t1
+            FROM (SELECT event_type, x, COUNT(*) AS t
+                  FROM cell GROUP BY 1, 2) g
+            WHERE t > 1 GROUP BY event_type
+        ),
+        ty AS (
+            SELECT event_type,
+                   COALESCE(SUM(t * (t - 1) / 2), 0) AS t2
+            FROM (SELECT event_type, y, COUNT(*) AS t
+                  FROM cell GROUP BY 1, 2) g
+            WHERE t > 1 GROUP BY event_type
+        ),
+        legs AS (
+            SELECT nn.event_type, nn.n, s.s_stat,
+                   nn.n * (nn.n - 1) / 2 - COALESCE(tx.t1, 0) AS lx,
+                   nn.n * (nn.n - 1) / 2 - COALESCE(ty.t2, 0) AS ly
+            FROM nn JOIN s USING (event_type)
+            LEFT JOIN tx USING (event_type)
+            LEFT JOIN ty USING (event_type)
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(s_stat AS BIGINT) AS s_stat,
+               CAST(CASE WHEN lx = 0 OR ly = 0 THEN NULL
+                    WHEN s_stat >= 0 THEN
+                        (1000000 * s_stat)
+                        // CAST(FLOOR(SQRT(CAST(lx * ly AS DOUBLE)))
+                                AS BIGINT)
+                    ELSE
+                        -((1000000 * (-s_stat))
+                        // CAST(FLOOR(SQRT(CAST(lx * ly AS DOUBLE)))
+                                AS BIGINT))
+               END AS BIGINT) AS tau_b_e6
+        FROM legs
+    """,
+)
+def ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b per event series between the two daily measures
+    (count, revenue cents) — does a busier day mean a richer day,
+    measured rank-wise? The distribution-free complement to
+    `agg_corr` (Pearson on raw values) and the ASSOCIATION sibling of
+    `ts_mann_kendall` (whose S statistic is Kendall-vs-time).
+    Exactness: S = Σ sign products over day pairs (exact ints),
+    tie-adjusted legs lx/ly exact, ONE IEEE correctly-rounded sqrt of
+    lx·ly (< 2⁵³ for retention-window series), sign-split e6 floor
+    division; degenerate legs (all-tied measure) emit NULL.
+
+    Plan/scale: identical envelope to ts_mann_kendall — events
+    collapse map-side to (type, day) cells; the pair stage is
+    day-cardinality per type (bounded by the retention window, not
+    corpus size), partition-local after ONE type-keyed exchange
+    shared by S, n, and both tie tables."""
+    ev = table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("y"),
+    )
+    b = cell.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+    )
+    s = (
+        cell.join(
+            b,
+            (cell.event_type == b.b_type) & (cell.day < F.col("b_day")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("bx") > F.col("x")) & (F.col("by") > F.col("y")))
+                    | ((F.col("bx") < F.col("x")) & (F.col("by") < F.col("y"))),
+                    1,
+                )
+                .when(
+                    ((F.col("bx") > F.col("x")) & (F.col("by") < F.col("y")))
+                    | ((F.col("bx") < F.col("x")) & (F.col("by") > F.col("y"))),
+                    -1,
+                )
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    nn = cell.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def tie_leg(col: str, alias: str) -> DataFrame:
+        return (
+            cell.groupBy("event_type", col)
+            .agg(F.count(F.lit(1)).alias("t"))
+            .filter(F.col("t") > 1)
+            .groupBy("event_type")
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("t * (t - 1) div 2")), F.lit(0)
+                ).alias(alias)
+            )
+        )
+
+    legs = (
+        nn.join(s, "event_type")
+        .join(tie_leg("x", "t1"), "event_type", "left")
+        .join(tie_leg("y", "t2"), "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            F.expr(
+                "n * (n - 1) div 2 - coalesce(t1, 0)"
+            ).alias("lx"),
+            F.expr(
+                "n * (n - 1) div 2 - coalesce(t2, 0)"
+            ).alias("ly"),
+        )
+    )
+    isq = "CAST(FLOOR(SQRT(CAST(lx * ly AS DOUBLE))) AS BIGINT)"
+    return legs.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.expr(
+            f"CAST(CASE WHEN lx = 0 OR ly = 0 THEN NULL"
+            f" WHEN s_stat >= 0 THEN (1000000 * s_stat) div {isq}"
+            f" ELSE -((1000000 * (-s_stat)) div {isq})"
+            f" END AS BIGINT)"
+        ).alias("tau_b_e6"),
+    )

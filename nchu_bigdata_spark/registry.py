@@ -140,6 +140,8 @@ DRIVER_ORDER = [
     "text_source_drift",
     "win_rsi",
     "ts_ljung_box",
+    "ts_kendall_tau",
+    "sample_neyman_alloc",
     "dedup_cdc_chunks",
     "sample_ess_audit",
     "text_novelty",

@@ -230,8 +230,10 @@ def test_round11_ids_in_ledger_head():
     'born in round N: certify immediately')."""
     from nchu_bigdata_spark.registry import DRIVER_ORDER
 
-    head = DRIVER_ORDER[:20]
+    head = DRIVER_ORDER[:22]
     for name in (
+        "ts_kendall_tau",
+        "sample_neyman_alloc",
         "geo_bbox_join",
         "text_source_drift",
         "win_rsi",
@@ -928,3 +930,98 @@ def test_ts_ljung_box_replay(spark, sf_dir, duck):
         .collect()
     }
     assert got == expect
+
+
+def test_ts_kendall_tau_replay(spark, sf_dir, duck):
+    cells = duck.execute(
+        "SELECT event_type, epoch_us(ts) // 86400000000 AS day,"
+        " COUNT(*) AS x,"
+        " SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y"
+        " FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict[str, list[tuple[int, int]]] = {}
+    for et, _d, x, y in cells:
+        series.setdefault(et, []).append((x, y))
+    expect = {}
+    for et, pts in series.items():
+        n = len(pts)
+        s_stat = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = pts[j][0] - pts[i][0]
+                dy = pts[j][1] - pts[i][1]
+                if dx * dy > 0:
+                    s_stat += 1
+                elif dx * dy < 0:
+                    s_stat -= 1
+        from collections import Counter
+
+        t0 = n * (n - 1) // 2
+        t1 = sum(
+            t * (t - 1) // 2
+            for t in Counter(x for x, _ in pts).values()
+            if t > 1
+        )
+        t2 = sum(
+            t * (t - 1) // 2
+            for t in Counter(y for _, y in pts).values()
+            if t > 1
+        )
+        lx, ly = t0 - t1, t0 - t2
+        if lx == 0 or ly == 0:
+            tau = None
+        else:
+            import math as _m
+
+            isq = _m.floor(_m.sqrt(float(lx * ly)))
+            tau = (
+                (1000000 * s_stat) // isq
+                if s_stat >= 0
+                else -((1000000 * (-s_stat)) // isq)
+            )
+        expect[et] = (n, s_stat, tau)
+
+    got = {
+        r.event_type: (r.n_days, r.s_stat, r.tau_b_e6)
+        for r in load_all_queries()["ts_kendall_tau"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_sample_neyman_alloc_replay(spark, sf_dir, duck):
+    from nchu_bigdata_spark.operators.pipeline import _NEY_BUDGET
+
+    docs = duck.execute(
+        "SELECT lang, n_chars FROM documents"
+    ).fetchall()
+    strata: dict[str, list[int]] = {}
+    for lang, w in docs:
+        strata.setdefault(lang, []).append(int(w))
+    legs = {}
+    for lang, ws in strata.items():
+        n, sw, sw2 = len(ws), sum(ws), sum(w * w for w in ws)
+        legs[lang] = (n, sw, math.isqrt(n * sw2 - sw * sw))
+    tleg = sum(g for _n, _s, g in legs.values())
+    expect = {
+        lang: (
+            n,
+            sw,
+            g,
+            (10000 * g) // tleg,
+            (_NEY_BUDGET * g) // tleg,
+        )
+        for lang, (n, sw, g) in legs.items()
+    }
+
+    got = {
+        r.lang: (r.n_docs, r.sum_w, r.neyman_leg, r.alloc_bp, r.n_alloc)
+        for r in load_all_queries()["sample_neyman_alloc"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
+    # Neyman beats proportional only if variances differ; sanity: the
+    # shares are a proper distribution (floor sum <= 10000)
+    assert sum(v[3] for v in expect.values()) <= 10000
