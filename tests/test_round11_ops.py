@@ -1025,3 +1025,67 @@ def test_sample_neyman_alloc_replay(spark, sf_dir, duck):
     # Neyman beats proportional only if variances differ; sanity: the
     # shares are a proper distribution (floor sum <= 10000)
     assert sum(v[3] for v in expect.values()) <= 10000
+
+
+def test_geo_grid_neighborhood_invariant_exhaustive():
+    """The exactness core of both geo ops: for non-negative integer
+    coordinates and cell edge C >= R, |a - b| <= R implies the cell
+    indices differ by at most 1 — so the 3x3 ring (cell_join) and the
+    cover-cell set (bbox_join) are COMPLETE candidate generators.
+    Exhaustive over a window spanning several cells including all
+    boundary alignments."""
+    from nchu_bigdata_spark.queries.geo import _R
+
+    C = _R
+    # scan a full cell plus both boundaries at fine granularity: every
+    # residue class near 0, C-1 matters; use a small synthetic C to
+    # keep it exhaustive, plus spot-check the real constant
+    for c, r in ((7, 7), (7, 5), (C, C)):
+        step = max(1, c // 7)
+        pts = list(range(0, 3 * c + 2, step)) + [
+            c - 1, c, c + 1, 2 * c - 1, 2 * c, 2 * c + 1
+        ]
+        for a in pts:
+            for b in pts:
+                if abs(a - b) <= r:
+                    assert abs(a // c - b // c) <= 1, (a, b, c, r)
+
+
+def test_geo_cell_join_pair_uniqueness():
+    """9 distinct cell keys per facility (dx, dy distinct) ⇒ a
+    (point, facility) pair can match at most once — the no-dedup
+    argument, checked on the fixture by comparing pair multiset
+    against the distinct pair set."""
+    import duckdb
+
+    from nchu_bigdata_spark.queries.geo import (
+        _AX,
+        _AY,
+        _OX,
+        _OY,
+        _R,
+        _SPAN,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH s AS (
+            SELECT s_suppkey,
+                   (s_suppkey * {_AX} + {_OX}) % {_SPAN} AS sx,
+                   (s_suppkey * {_AY} + {_OY}) % {_SPAN} AS sy
+            FROM '/root/testdata/sf0.01/supplier.parquet'
+        ),
+        r AS (
+            SELECT s_suppkey,
+                   (sx // {_R} + dx.d) * 1048576 + (sy // {_R} + dy.d)
+                       AS cell
+            FROM s,
+                 (VALUES (-1), (0), (1)) dx(d),
+                 (VALUES (-1), (0), (1)) dy(d)
+        )
+        SELECT s_suppkey, cell, COUNT(*) FROM r
+        GROUP BY 1, 2 HAVING COUNT(*) > 1
+        """
+    ).fetchall()
+    assert rows == [], rows
