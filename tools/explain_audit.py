@@ -237,6 +237,38 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     "join_broadcast": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
     "tpch_q5": ([r"BroadcastHashJoin"], []),
     "join_theta_range": ([r"BroadcastNestedLoopJoin"], []),
+    # geo grid joins (r11): the candidate join must stay an EQUI-join
+    # on the cell id (broadcast or shuffled, AQE's choice by scale) —
+    # never the BroadcastNestedLoopJoin/Cartesian theta fallback the
+    # raw distance predicate would produce; Generate is the cell
+    # replication explode
+    "geo_cell_join": (
+        [r"Generate"],
+        [r"BroadcastNestedLoopJoin", r"CartesianProduct"],
+    ),
+    "geo_bbox_join": (
+        [r"Generate"],
+        [r"BroadcastNestedLoopJoin", r"CartesianProduct"],
+    ),
+    # CIDR LPM (r11): routing-table joins are dimension-side broadcasts
+    # — the event stream must never shuffle for the match
+    "fn_ip_cidr": (
+        [r"BroadcastHashJoin"],
+        [r"BroadcastNestedLoopJoin", r"CartesianProduct"],
+    ),
+    # rolling-frame windows (r11): partitioned sort+window only, no
+    # global (range-partitioned) sort anywhere
+    "win_rolling_corr": ([r"Window"], [r"Exchange rangepartitioning"]),
+    "win_rsi": ([r"Window"], [r"Exchange rangepartitioning"]),
+    # Heaps curve (r11): doc rank must come from the frozen two-pass
+    # spine (ExistingRDD), never a live range exchange in the consumer
+    "text_heaps_law": ([r"ExistingRDD"], [r"Exchange rangepartitioning"]),
+    # source drift (r11): global top-K terms via distributed top-k,
+    # never a materialized global sort
+    "text_source_drift": (
+        [r"TakeOrderedAndProject"],
+        [r"Exchange rangepartitioning"],
+    ),
     # bucketing: the whole point is NO exchange on the bucket key
     "join_bucketed": (
         [r"SortMergeJoin|ShuffledHashJoin"],
@@ -1260,6 +1292,7 @@ SEGMENT_EXPECT: dict[str, tuple[list[str], list[str]]] = {
     "orders_customer_migration": ([r"rangepartitioning"], []),
     "sample_curriculum": ([r"rangepartitioning"], []),
     "events_conversion_lag": ([r"rangepartitioning"], []),
+    "text_heaps_law": ([r"rangepartitioning"], []),
 }
 
 
