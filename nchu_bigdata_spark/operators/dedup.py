@@ -2665,21 +2665,6 @@ _CDC_SQL_HASH = (
     + f") % {_CDC_M}"
 )
 
-# Spark-side hash over a PRECOMPUTED ascii-code array `a` (split once
-# per row): higher-order lambdas are interpreted, not codegen'd, and
-# substring(text, i, 1) inside the lambda re-scans the string per
-# position (O(len²) per doc) — element_at on an int array is O(1), so
-# the whole boundary scan stays O(len·K). Measured: 54s → ~5s at sf0.1.
-_CDC_SPARK_HASH = (
-    "("
-    + " + ".join(
-        f"element_at(a, i - {_CDC_K - 1 - j}) * {c}L"
-        for j, c in enumerate(_CDC_COEF)
-    )
-    + f") % {_CDC_M}"
-)
-
-
 @register(
     "dedup_cdc_chunks",
     tags=("b10",),
@@ -2766,10 +2751,15 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines on the ASCII-pinned corpus; shares are floor
     cross-multiplies.
 
-    Plan/scale: boundary detection + chunk slicing is ONE codegen
-    projection per document (filter/transform over sequence — O(len·K)
-    work, K constant, no Python, no explode of per-position rows);
-    chunks explode once; fingerprint counting is ONE map-side-combined
+    Plan/scale: boundary detection + chunk fingerprinting is ONE
+    Arrow-batched mapInPandas over (doc_id, text) — O(len·K) work, K
+    constant, computed as a vectorized numpy sliding-window dot
+    product per document (the declarative filter/sequence form is a
+    higher-order lambda Catalyst interprets per position — 16 boxed
+    reads × every byte; numpy does the identical exact int64
+    polynomial in one C pass — measured 8.59s → 1.20s best-of-5 at sf0.1). The UDF is
+    row-local (no state, no shuffle) so the stage remains
+    embarrassingly parallel; fingerprint counting is ONE map-side-combined
     (fp) hash agg — content-hash sharding, the same shard key a 100 TB
     chunk store uses; the dup-flag join is fp-keyed and the rollup
     doc-keyed. Linear in corpus bytes end-to-end; the doc spine left
@@ -2780,40 +2770,62 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.length("text").alias("len")
     )
-    chunked = d.withColumn(
-        # one O(len) pass builds the byte-code array; every rolling-hash
-        # term is then an O(1) element_at (see _CDC_SPARK_HASH note)
-        "a",
-        F.expr("transform(split(text, ''), ch -> ascii(ch))"),
-    ).select(
-        "doc_id",
-        F.expr(
-            f"""
-            CASE WHEN len >= {_CDC_K} THEN
-                filter(
-                    filter(sequence({_CDC_K}, len),
-                           i -> {_CDC_SPARK_HASH} % {_CDC_D} = {_CDC_D - 1}),
-                    x -> x < len)
-            ELSE array() END
-            """
-        ).alias("bounds"),
-        "text",
-        "len",
-    ).select(
-        "doc_id",
-        F.expr("concat(array(0), bounds, array(len))").alias("cuts"),
-        "text",
-    )
-    chunks = chunked.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(cuts) - 1),"
-                " c -> substring(text, element_at(cuts, c) + 1,"
-                " element_at(cuts, c + 1) - element_at(cuts, c)))"
+
+    # Boundary scan + chunk fingerprinting as ONE Arrow-batched
+    # mapInPandas: the declarative form (filter(sequence(K, len),
+    # i -> 16 element_at terms)) is a higher-order lambda Catalyst
+    # INTERPRETS per position — 16 boxed array reads × len positions ×
+    # corpus. The numpy form computes the same exact int64 polynomial
+    # for every position at once (sliding_window_view @ coef — C-loop,
+    # no boxing) and md5s each chunk with hashlib (byte-identical to
+    # Spark's md5 on the ASCII-pinned corpus, where utf-8 bytes ==
+    # ascii() codes). Same per-row work, 8.59s → 1.20s at sf0.1;
+    # the UDF is row-local so the stage stays embarrassingly parallel.
+    import pandas as pd
+
+    def _cdc_fps(batches):
+        import hashlib
+
+        import numpy as np
+
+        coef = np.array(_CDC_COEF, dtype=np.int64)
+        for pdf in batches:
+            out_doc, out_fp, out_len = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                cuts = [0]
+                if n >= _CDC_K:
+                    b = np.frombuffer(
+                        text.encode("utf-8"), dtype=np.uint8
+                    ).astype(np.int64)
+                    # windows end at i = t+K (1-based), t = 0..n-K
+                    h = (
+                        np.lib.stride_tricks.sliding_window_view(
+                            b, _CDC_K
+                        )
+                        @ coef
+                    ) % _CDC_M
+                    (tpos,) = np.nonzero(h % _CDC_D == _CDC_D - 1)
+                    cuts += [
+                        int(t) + _CDC_K
+                        for t in tpos
+                        if int(t) + _CDC_K < n
+                    ]
+                cuts.append(n)
+                for c in range(len(cuts) - 1):
+                    chunk = text[cuts[c] : cuts[c + 1]]
+                    out_doc.append(doc_id)
+                    out_fp.append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+                    out_len.append(len(chunk))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "fp": out_fp, "clen": out_len}
             )
-        ).alias("chunk"),
-    ).select("doc_id", F.md5("chunk").alias("fp"), F.length("chunk").alias("clen"))
+
+    chunks = d.select("doc_id", "text").mapInPandas(
+        _cdc_fps, "doc_id long, fp string, clen long"
+    )
     cnt = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     per = (
         chunks.join(cnt, "fp")
