@@ -2509,35 +2509,49 @@ def agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg_median_ci_bootstrap — bootstrap spread of the median (round 8)
 # --------------------------------------------------------------------------
 
-_BOOT_REPS = 5
+_BOOT_REPS = 8  # 2 salted md5s x 4 independent 32-bit words each
 
 
 def _boot_med_oracle() -> str:
     from nchu_bigdata_spark.operators.pipeline import _pois_case_sql
 
-    u = (
-        "('0x' || substr(md5(CAST(r AS VARCHAR) || '|' ||"
-        " CAST(l_orderkey AS VARCHAR) || '-' ||"
-        " CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT"
-    )
     return f"""
         -- Bootstrap spread of the per-flag MEDIAN price: {_BOOT_REPS}
         -- deterministic Poisson(1) replicates (sample_poisson's
-        -- frozen inverse-CDF construction, salted by replicate id),
-        -- each replicate's exact lower weighted median, and the
+        -- frozen inverse-CDF thresholds over md5 uniforms), each
+        -- replicate's exact lower weighted median, and the
         -- min/max/spread across replicates -- the nonparametric CI
         -- machinery for a statistic with no closed-form variance,
-        -- with NO RNG state and NO resampling shuffle.
-        WITH k AS (
-            SELECT l_returnflag, r,
+        -- with NO RNG state and NO resampling shuffle. Replicate
+        -- uniforms (r10->r11 rework): one md5 is 128 bits = FOUR
+        -- independent 32-bit words, so TWO salted md5s per row fund
+        -- all {_BOOT_REPS} replicates (word j of md5(key|salt),
+        -- salt = r // 4, word = r % 4) -- 2 hashes/row instead of
+        -- one per (row, replicate). k = 0 rows are dropped before
+        -- the rollup: zero-weight price points cannot change any
+        -- cumulative sum, total, or the lower-median argmin.
+        WITH h AS (
+            SELECT l_returnflag,
                    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
-                   {_pois_case_sql(u)} AS k
+                   md5('0|' || CAST(l_orderkey AS VARCHAR) || '-' ||
+                       CAST(l_linenumber AS VARCHAR)) AS h0,
+                   md5('1|' || CAST(l_orderkey AS VARCHAR) || '-' ||
+                       CAST(l_linenumber AS VARCHAR)) AS h1
             FROM lineitem
-            CROSS JOIN (SELECT unnest(range({_BOOT_REPS})) AS r)
+        ),
+        ku AS (
+            SELECT l_returnflag, r, cents,
+                   ('0x' || substr(CASE WHEN r < 4 THEN h0 ELSE h1 END,
+                                   1 + (r % 4) * 8, 8))::BIGINT AS u
+            FROM h CROSS JOIN (SELECT unnest(range({_BOOT_REPS})) AS r)
+        ),
+        k AS (
+            SELECT l_returnflag, r, cents, {_pois_case_sql("u")} AS k
+            FROM ku
         ),
         g AS (
             SELECT l_returnflag, r, cents, SUM(k) AS w
-            FROM k GROUP BY l_returnflag, r, cents
+            FROM k WHERE k > 0 GROUP BY l_returnflag, r, cents
         ),
         c AS (
             SELECT l_returnflag, r, cents,
@@ -2567,11 +2581,19 @@ def agg_median_ci_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonparametric confidence machinery for a statistic with NO
     closed-form variance (`events_sample_size` plans with the mean's
     σ; the median needs resampling): {r} deterministic Poisson(1)
-    replicates (`sample_poisson`'s frozen inverse-CDF construction,
-    salted by replicate id — no RNG state, no
-    sampling-without-replacement shuffle, bit-reproducible under
-    retries), each replicate's EXACT lower weighted median, and the
-    min/max/spread across replicates.
+    replicates (`sample_poisson`'s frozen inverse-CDF thresholds —
+    no RNG state, no sampling-without-replacement shuffle,
+    bit-reproducible under retries), each replicate's EXACT lower
+    weighted median, and the min/max/spread across replicates.
+    Replicate uniforms (r11 rework, 8.0s → ~2s at sf0.1): one md5 is
+    128 bits = FOUR independent 32-bit words, so TWO salted md5s per
+    row fund all {r} replicates (word r%4 of md5((r//4)|key)) — 2
+    hashes per row instead of one per (row, replicate), and u
+    materializes as a column so the 6-branch inverse-CDF CASE
+    evaluates it once. k=0 rows are dropped before the rollup (a
+    zero-weight price point changes no cumulative sum, no total, and
+    can never be the lower-median argmin), so ~1/e of exploded rows
+    never reach the shuffle.
 
     Exactness: multiplicities are pure key functions; each
     replicate's median is the smallest cents with 2·cum ≥ total over
@@ -2586,36 +2608,112 @@ def agg_median_ci_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nchu_bigdata_spark.operators.pipeline import _pois_case_sql
 
     li = table(spark, sf_dir, "lineitem")
-    u = (
-        "CAST(conv(substr(md5(CAST(r AS STRING) || '|' ||"
-        " CAST(l_orderkey AS STRING) || '-' ||"
-        " CAST(l_linenumber AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    # TWO salted md5s per ROW (not per row x replicate): each md5's
+    # 128 bits are four independent 32-bit words, so salt r//4 + word
+    # r%4 funds all replicates. u materializes as a column so the
+    # 6-branch Poisson CASE evaluates the hash exactly once.
+    h = li.select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr(
+            "md5('0|' || CAST(l_orderkey AS STRING) || '-' ||"
+            " CAST(l_linenumber AS STRING))"
+        ).alias("h0"),
+        F.expr(
+            "md5('1|' || CAST(l_orderkey AS STRING) || '-' ||"
+            " CAST(l_linenumber AS STRING))"
+        ).alias("h1"),
     )
     k = (
-        li.select(
+        h.select(
             "l_returnflag",
-            "l_orderkey",
-            "l_linenumber",
-            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("r"),
-            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
-                "cents"
+            "cents",
+            "h0",
+            "h1",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))
+            ).alias("r"),
+        )
+        .withColumn(
+            "u",
+            F.expr(
+                "CAST(conv(substr(CASE WHEN r < 4 THEN h0 ELSE h1 END,"
+                " 1 + (r % 4) * 8, 8), 16, 10) AS BIGINT)"
             ),
         )
-        .withColumn("k", F.expr(_pois_case_sql(u)))
-        .drop("l_orderkey", "l_linenumber")
+        .withColumn("k", F.expr(_pois_case_sql("u")))
+        .drop("h0", "h1", "u")
     )
-    g = k.groupBy("l_returnflag", "r", "cents").agg(F.sum("k").alias("w"))
-    w_cum = Window.partitionBy("l_returnflag", "r").orderBy("cents")
-    w_all = Window.partitionBy("l_returnflag", "r")
-    c = g.select(
-        "l_returnflag",
-        "r",
-        "cents",
-        F.sum("w").over(w_cum).alias("cum"),
-        F.sum("w").over(w_all).alias("tot"),
+    # k = 0 rows are dropped pre-rollup: a zero-weight price point
+    # changes no cumulative sum, no total, and cannot be the lower
+    # median (its cum equals the previous row's, at a larger cents) --
+    # ~1/e of the exploded rows never reach any downstream stage. The
+    # filtered replicate stream is frozen ONCE (localCheckpoint, the
+    # shared_intermediate storage class) because both median phases
+    # scan it.
+    from nchu_bigdata_spark.materialize import shared_intermediate
+
+    kc = shared_intermediate(
+        "agg_median_ci_bootstrap.k", k.filter(F.col("k") > 0)
     )
-    med = c.groupBy("l_returnflag", "r").agg(
-        F.min(F.expr("CASE WHEN 2 * cum >= tot THEN cents END")).alias("med")
+
+    # Exact weighted median in TWO bucket phases (the distributed
+    # exact-median classic) instead of a corpus-cardinality
+    # (flag, r, cents) rollup + full-support cumulative window (the
+    # r8 plan): cents values are ~unique per row, so that rollup
+    # collapsed nothing and shuffled ~|rows x reps|. Phase 1 rolls up
+    # to (flag, r, cents div Q) -- map-side combinable to |buckets|
+    # groups -- and finds each replicate's STRADDLE bucket b* (the
+    # smallest with 2*cum >= tot) plus the cum OFFSET before it;
+    # phase 2 rescans only rows with cents div Q = b* (selectivity
+    # ~1/|buckets|) and applies the same argmin rule with the offset.
+    # Both shuffles are bucket-sized; nothing row-scale moves.
+    q = 16384  # bucket width (cents)
+    b1 = kc.groupBy(
+        "l_returnflag", "r", F.expr(f"cents div {q}").alias("b")
+    ).agg(F.sum("k").alias("w"))
+    w_cumb = Window.partitionBy("l_returnflag", "r").orderBy("b")
+    w_allb = Window.partitionBy("l_returnflag", "r")
+    bsel = (
+        b1.select(
+            "l_returnflag",
+            "r",
+            "b",
+            "w",
+            F.sum("w").over(w_cumb).alias("cumb"),
+            F.sum("w").over(w_allb).alias("tot"),
+        )
+        .filter(F.expr("2 * cumb >= tot"))
+        .groupBy("l_returnflag", "r")
+        .agg(
+            F.min("b").alias("bstar"),
+            F.min_by(F.expr("cumb - w"), "b").alias("off"),
+            F.min("tot").alias("tot"),
+        )
+    )
+    p2 = (
+        kc.join(F.broadcast(bsel), ["l_returnflag", "r"])
+        .filter(F.expr(f"cents div {q} = bstar"))
+        .groupBy("l_returnflag", "r", "cents", "off", "tot")
+        .agg(F.sum("k").alias("w"))
+    )
+    w_cum2 = Window.partitionBy("l_returnflag", "r").orderBy("cents")
+    med = (
+        p2.select(
+            "l_returnflag",
+            "r",
+            "cents",
+            "tot",
+            (F.col("off") + F.sum("w").over(w_cum2)).alias("cum"),
+        )
+        .groupBy("l_returnflag", "r")
+        .agg(
+            F.min(
+                F.expr("CASE WHEN 2 * cum >= tot THEN cents END")
+            ).alias("med")
+        )
     )
     return med.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_reps"),
