@@ -142,6 +142,9 @@ DRIVER_ORDER = [
     "ts_ljung_box",
     "ts_kendall_tau",
     "sample_neyman_alloc",
+    # -- changed plan in r11 (replicate construction reworked: outputs
+    #    differ from the r9-certified row): re-certify in this window --
+    "agg_median_ci_bootstrap",
     "dedup_cdc_chunks",
     "sample_ess_audit",
     "text_novelty",
@@ -264,7 +267,6 @@ DRIVER_ORDER = [
     "win_vwap",
     "set_union_by_name",
     "sim_rrf_fusion",
-    "agg_median_ci_bootstrap",
     "agg_bitmap_intersect",
     "scan_csv_multiline",
     "join_anti_range",

@@ -230,10 +230,11 @@ def test_round11_ids_in_ledger_head():
     'born in round N: certify immediately')."""
     from nchu_bigdata_spark.registry import DRIVER_ORDER
 
-    head = DRIVER_ORDER[:22]
+    head = DRIVER_ORDER[:23]
     for name in (
         "ts_kendall_tau",
         "sample_neyman_alloc",
+        "agg_median_ci_bootstrap",  # r11 changed plan: re-certify
         "geo_bbox_join",
         "text_source_drift",
         "win_rsi",
