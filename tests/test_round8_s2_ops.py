@@ -1147,12 +1147,13 @@ def test_bootstrap_median_matches_python_replay(spark, sf_dir, duck):
         return 5
 
     meds = defaultdict(dict)
-    for r in range(5):
+    # r11 rework: 8 replicates funded by the four independent 32-bit
+    # words of TWO salted md5s per row (salt = r // 4, word = r % 4)
+    for r in range(8):
         wsum = defaultdict(lambda: defaultdict(int))
         for f, ok, ln, cents in rows:
-            u = int(
-                hashlib.md5(f"{r}|{ok}-{ln}".encode()).hexdigest()[:8], 16
-            )
+            hx = hashlib.md5(f"{r // 4}|{ok}-{ln}".encode()).hexdigest()
+            u = int(hx[(r % 4) * 8 : (r % 4) * 8 + 8], 16)
             wsum[f][cents] += pois(u)
         for f, dist in wsum.items():
             tot = sum(dist.values())
@@ -1168,7 +1169,7 @@ def test_bootstrap_median_matches_python_replay(spark, sf_dir, duck):
     }
     for f, per_rep in meds.items():
         vals = list(per_rep.values())
-        assert got[f] == (5, min(vals), max(vals), max(vals) - min(vals))
+        assert got[f] == (8, min(vals), max(vals), max(vals) - min(vals))
     # the spread is a genuine interval on the fixture (medians move)
     assert any(s > 0 for _, _, _, s in got.values())
 
