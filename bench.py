@@ -322,6 +322,7 @@ SQL_GROUP = [
     "win_rsi",
     "ts_ljung_box",
     "ts_kendall_tau",
+    "events_welch_ttest",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative

@@ -5941,3 +5941,175 @@ def ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" END AS BIGINT)"
         ).alias("tau_b_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_welch_ttest — unequal-variance mean test, exact ints (round 11)
+# --------------------------------------------------------------------------
+
+# z²·10⁴ at the two-sided 5% level (large-sample cutoff; at these per-
+# variant n the Welch df is in the thousands and t ≈ z).
+_WT_Z2_E4 = 38_416
+
+
+@register(
+    "events_welch_ttest",
+    tags=("analytics",),
+    oracle=f"""
+        -- Welch's unequal-variance t-test on the per-variant mean
+        -- value (variants = user_id % 2, events_ab_test's hash-bucket
+        -- assignment): the PARAMETRIC significance companion to
+        -- events_mann_whitney (rank-based) and events_ab_test (effect
+        -- size only). Entirely rational arithmetic — the t² statistic
+        -- reduces to
+        --   t² = (Sa·nb − Sb·na)²·(na−1)·(nb−1)
+        --        / (Da·nb²·(nb−1) + Db·na²·(na−1))
+        -- with D_i = n_i·Σxᵢ² − (Σxᵢ)² (all exact HUGEINT), so NO
+        -- sqrt, NO floats anywhere; t²·10⁴ is an exact floor via the
+        -- quotient/remainder split and the 5% verdict is the integer
+        -- compare t2_e4 > {_WT_Z2_E4} (z² large-sample cutoff — df is
+        -- in the thousands here, documented definition).
+        WITH m AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS na,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS nb,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END) AS HUGEINT) AS sa,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END) AS HUGEINT) AS sb,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                                 * CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END) AS HUGEINT) AS qa,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                                 * CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END) AS HUGEINT) AS qb
+            FROM events GROUP BY 1
+        ),
+        legs AS (
+            SELECT event_type, na, nb, sa, sb,
+                   na * qa - sa * sa AS da,
+                   nb * qb - sb * sb AS db,
+                   sa * nb - sb * na AS sd
+            FROM m WHERE na >= 2 AND nb >= 2
+        ),
+        t AS (
+            SELECT event_type, na, nb, sd,
+                   sd * sd * (na - 1) * (nb - 1) AS num,
+                   da * nb * nb * (nb - 1)
+                       + db * na * na * (na - 1) AS den
+            FROM legs
+        )
+        SELECT event_type,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               CAST(CASE WHEN sd >= 0
+                    THEN (100 * sd) // (na * nb)
+                    ELSE -((100 * (-sd)) // (na * nb))
+               END AS BIGINT) AS mean_diff_cents_e2,
+               CAST(CASE WHEN den = 0 THEN NULL ELSE
+                    (num // den) * 10000
+                    + ((num - (num // den) * den) * 10000) // den
+               END AS BIGINT) AS t2_e4,
+               CAST(CASE WHEN den = 0 THEN 0
+                    WHEN (num // den) * 10000
+                         + ((num - (num // den) * den) * 10000) // den
+                         > {_WT_Z2_E4}
+                    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        FROM t
+    """,
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the per-variant mean value —
+    the parametric significance verdict for the A/B split
+    (`events_ab_test` reads the effect SIZE, `events_mann_whitney`
+    the rank-based verdict; this is the textbook mean test that
+    tolerates unequal variances). Entirely rational: t² reduces to
+    (Sa·nb − Sb·na)²(na−1)(nb−1) / (Da·nb²(nb−1) + Db·na²(na−1))
+    with D = n·Σx² − (Σx)² — exact decimal(38,0) end-to-end, NO sqrt,
+    NO floats; t²·10⁴ is an exact quotient/remainder floor and the 5%
+    verdict the integer compare vs the z² literal {z} (large-sample
+    cutoff — per-variant n is in the thousands here, so Welch df ≈ z;
+    documented definition). Degenerate variance (den = 0) emits NULL
+    t², verdict 0; variants below n = 2 are suppressed. Magnitude
+    envelope: (Sa·nb)²·n² stays within 38 digits for per-type variant
+    sums to ~10¹² cents·rows at these grids.
+
+    Plan/scale: ONE map-side-combined hash agg over event_type
+    carries all six conditional moments in a single column-pruned
+    scan (the variant flag is a projection — the stream is never
+    duplicated); everything after is per-type scalar algebra."""
+    ev = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    c = "CAST(ROUND(value * 100) AS BIGINT)"
+    m = ev.groupBy("event_type").agg(
+        F.sum(F.expr("CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END"))
+        .cast(dec)
+        .alias("na"),
+        F.sum(F.expr("CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END"))
+        .cast(dec)
+        .alias("nb"),
+        F.sum(F.expr(f"CASE WHEN user_id % 2 = 0 THEN {c} ELSE 0 END"))
+        .cast(dec)
+        .alias("sa"),
+        F.sum(F.expr(f"CASE WHEN user_id % 2 = 1 THEN {c} ELSE 0 END"))
+        .cast(dec)
+        .alias("sb"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN user_id % 2 = 0"
+                f" THEN CAST({c} AS {dec}) * {c} ELSE 0 END"
+            )
+        ).alias("qa"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN user_id % 2 = 1"
+                f" THEN CAST({c} AS {dec}) * {c} ELSE 0 END"
+            )
+        ).alias("qb"),
+    )
+    legs = m.filter(F.expr("na >= 2 AND nb >= 2")).select(
+        "event_type",
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        F.expr("na * qa - sa * sa").alias("da"),
+        F.expr("nb * qb - sb * sb").alias("db"),
+        F.expr("sa * nb - sb * na").alias("sd"),
+    )
+    t = legs.select(
+        "event_type",
+        "na",
+        "nb",
+        "sd",
+        F.expr("sd * sd * (na - 1) * (nb - 1)").alias("num"),
+        F.expr(
+            "da * nb * nb * (nb - 1) + db * na * na * (na - 1)"
+        ).alias("den"),
+    )
+    t2 = (
+        "(num div den) * 10000"
+        " + ((num - (num div den) * den) * 10000) div den"
+    )
+    return t.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr(
+            "CAST(CASE WHEN sd >= 0 THEN (100 * sd) div (na * nb)"
+            " ELSE -((100 * (-sd)) div (na * nb)) END AS BIGINT)"
+        ).alias("mean_diff_cents_e2"),
+        F.expr(
+            f"CAST(CASE WHEN den = 0 THEN NULL ELSE {t2} END AS BIGINT)"
+        ).alias("t2_e4"),
+        F.expr(
+            f"CAST(CASE WHEN den = 0 THEN 0"
+            f" WHEN {t2} > {_WT_Z2_E4} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("significant"),
+    )

@@ -142,6 +142,7 @@ DRIVER_ORDER = [
     "ts_ljung_box",
     "ts_kendall_tau",
     "sample_neyman_alloc",
+    "events_welch_ttest",
     # -- changed plan in r11 (replicate construction reworked: outputs
     #    differ from the r9-certified row): re-certify in this window --
     "agg_median_ci_bootstrap",

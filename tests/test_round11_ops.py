@@ -230,10 +230,11 @@ def test_round11_ids_in_ledger_head():
     'born in round N: certify immediately')."""
     from nchu_bigdata_spark.registry import DRIVER_ORDER
 
-    head = DRIVER_ORDER[:23]
+    head = DRIVER_ORDER[:24]
     for name in (
         "ts_kendall_tau",
         "sample_neyman_alloc",
+        "events_welch_ttest",
         "agg_median_ci_bootstrap",  # r11 changed plan: re-certify
         "geo_bbox_join",
         "text_source_drift",
@@ -1090,3 +1091,62 @@ def test_geo_cell_join_pair_uniqueness():
         """
     ).fetchall()
     assert rows == [], rows
+
+
+def test_events_welch_ttest_replay(spark, sf_dir, duck):
+    from nchu_bigdata_spark.queries.analytics import _WT_Z2_E4
+
+    rows = duck.execute(
+        "SELECT event_type, user_id % 2,"
+        " CAST(ROUND(value * 100) AS BIGINT) FROM events"
+    ).fetchall()
+    g: dict[str, dict[int, list[int]]] = {}
+    for et, v, c in rows:
+        g.setdefault(et, {0: [], 1: []})[v].append(c)
+    expect = {}
+    for et, parts in g.items():
+        a, b = parts[0], parts[1]
+        na, nb = len(a), len(b)
+        if na < 2 or nb < 2:
+            continue
+        sa, sb = sum(a), sum(b)
+        qa, qb = sum(x * x for x in a), sum(x * x for x in b)
+        da, db = na * qa - sa * sa, nb * qb - sb * sb
+        sd = sa * nb - sb * na
+        num = sd * sd * (na - 1) * (nb - 1)
+        den = da * nb * nb * (nb - 1) + db * na * na * (na - 1)
+        md = (
+            (100 * sd) // (na * nb)
+            if sd >= 0
+            else -((100 * (-sd)) // (na * nb))
+        )
+        if den == 0:
+            t2, sig = None, 0
+        else:
+            t2 = (num // den) * 10000 + (
+                (num - (num // den) * den) * 10000
+            ) // den
+            sig = 1 if t2 > _WT_Z2_E4 else 0
+        expect[et] = (na, nb, md, t2, sig)
+
+    got = {
+        r.event_type: (
+            r.n_a, r.n_b, r.mean_diff_cents_e2, r.t2_e4, r.significant
+        )
+        for r in load_all_queries()["events_welch_ttest"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
+    # Welch identity sanity on a known asymmetric case: clearly
+    # different means with tight variances must be significant
+    a, b = [100] * 50 + [101] * 50, [200] * 50 + [201] * 50
+    na = nb = 100
+    sa, sb = sum(a), sum(b)
+    qa, qb = sum(x * x for x in a), sum(x * x for x in b)
+    da, db = na * qa - sa * sa, nb * qb - sb * sb
+    sd = sa * nb - sb * na
+    num = sd * sd * (na - 1) * (nb - 1)
+    den = da * nb * nb * (nb - 1) + db * na * na * (na - 1)
+    t2 = (num // den) * 10000 + ((num - (num // den) * den) * 10000) // den
+    assert t2 > _WT_Z2_E4
