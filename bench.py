@@ -430,9 +430,41 @@ def prev_llm_numbers() -> tuple[int | str, dict[str, float]] | None:
     return best
 
 
+def wait_for_quiet() -> list[float]:
+    """Pre-flight load check (VERDICT r11 item 3): two straight rounds
+    published a contention-inflated headline because the bench started
+    while the time-shared host was busy. Wait (bounded) for the 1-min
+    loadavg to drop below a fraction of the core count before timing
+    anything; record the loadavg actually observed so BENCH artifacts
+    carry their own noise evidence. No-op on platforms without
+    /proc/loadavg. Tunables: SPARK_GRAFT_BENCH_QUIET_FRAC of ncpu
+    (default 0.20) and SPARK_GRAFT_BENCH_QUIET_TIMEOUT secs
+    (default 300; 0 disables the wait entirely)."""
+    timeout = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_TIMEOUT", "300"))
+    frac = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_FRAC", "0.20"))
+    ncpu = os.cpu_count() or 1
+    deadline = time.monotonic() + timeout
+    load = []
+    while True:
+        try:
+            with open("/proc/loadavg", encoding="ascii") as f:
+                load = [float(x) for x in f.read().split()[:3]]
+        except OSError:
+            return []
+        if load[0] <= frac * ncpu or time.monotonic() >= deadline:
+            return load
+        print(
+            f"[bench] host busy (load1={load[0]:.1f} > "
+            f"{frac * ncpu:.1f}); waiting for quiet ...",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    preflight_load = wait_for_quiet()
     spark = get_session("bench")
     specs = load_all_queries()
     names = [n for n in HEADLINE if n in specs]
@@ -498,6 +530,9 @@ def main() -> None:
         "reps": reps,
         "warmup": True,
         "agg": "min",
+        # Pre-flight 1/5/15-min loadavg observed after the bounded
+        # wait-for-quiet (noise evidence for the spread cross-check).
+        "preflight_loadavg": preflight_load,
         "queries_mean": means,
         "value_mean": total_mean,
         # LLM-pipeline group, tracked separately from the

@@ -2795,9 +2795,21 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = len(text)
                 cuts = [0]
                 if n >= _CDC_K:
-                    b = np.frombuffer(
-                        text.encode("utf-8"), dtype=np.uint8
-                    ).astype(np.int64)
+                    enc = text.encode("utf-8")
+                    # Fail loudly off-ASCII (ADVICE r11): the rolling
+                    # hash runs over utf-8 BYTES while cut offsets
+                    # slice CHARACTERS, and the oracle hashes ascii()
+                    # codepoints — all three agree only when byte
+                    # length == char length. A non-ASCII doc would
+                    # otherwise mis-chunk silently.
+                    if len(enc) != n:
+                        raise ValueError(
+                            f"dedup_cdc_chunks: doc {doc_id} is not "
+                            "pure ASCII (byte length != char length); "
+                            "the CDC byte/char-offset equivalence does "
+                            "not hold"
+                        )
+                    b = np.frombuffer(enc, dtype=np.uint8).astype(np.int64)
                     # windows end at i = t+K (1-based), t = 0..n-K
                     h = (
                         np.lib.stride_tricks.sliding_window_view(

@@ -5504,8 +5504,13 @@ _W_Z4_QTR_E8 = 368_947_264
         --   lb = (s + z²/2 - sqrt(z²·s(n-s)/n + z⁴/4)) / (n + z²)
         -- The radicand is floored to an integer (a < 1e-4 effect on
         -- the e6 output, same floor on both engines), sqrt is the one
-        -- float op (IEEE correctly rounded, radicand < 2^53), and the
-        -- final lb·1e6 is an exact integer floor division.
+        -- float op, and the final lb·1e6 is an exact integer floor
+        -- division. Magnitude envelope (cf. agg_chi_square /
+        -- sample_neyman_alloc): rad <= z²·1e8·n/4 stays under 2^53 —
+        -- so FLOOR(SQRT(double)) is exact — for per-item trial counts
+        -- n <~ 9·10⁷; beyond that the value remains cross-engine
+        -- bit-stable (same double in, IEEE sqrt) but not provably
+        -- integer-exact.
         WITH i AS (
             SELECT user_id % 100 AS item,
                    CAST(COUNT(*) AS HUGEINT) AS n,
@@ -5545,8 +5550,11 @@ def events_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound is computed in the scaled-integer algebra documented in the
     oracle — z²·10⁴ = {_W_Z2_E4} as a literal, radicand floored to an
     integer via exact decimal(38,0) floor division, ONE IEEE
-    correctly-rounded sqrt (radicand < 2⁵³ — exact in double), and an
-    exact integer floor division for lb·10⁶. Complements
+    correctly-rounded sqrt, and an exact integer floor division for
+    lb·10⁶. Magnitude envelope: the radicand ≈ z²·10⁸·n/4 stays under
+    2⁵³ (FLOOR(SQRT) provably exact) for per-item trials n ≲ 9·10⁷;
+    past that it stays cross-engine bit-stable but not
+    integer-exact. Complements
     `events_ab_test` (two-arm comparison) and `agg_ratio_pin` (exact
     rate grids): this is the per-item RANKING under uncertainty.
 
@@ -5621,8 +5629,15 @@ _LB_CRIT_E4 = 140_671
             FROM events GROUP BY 1, 2
         ),
         m AS (
+            -- guard (ADVICE r11): Q divides by (n - k) for k=1..7, so
+            -- a series with n <= 7 days would hit a zero/negative
+            -- divisor, where Spark div (NULL on zero) and DuckDB //
+            -- (error) disagree. Short series carry no lag-7 evidence;
+            -- drop them before ANY window work (same filter both
+            -- engines), mirroring events_welch_ttest's n >= 2 guard.
             SELECT event_type, COUNT(*) AS n, SUM(x) AS s
             FROM cell GROUP BY 1
+            HAVING COUNT(*) > {_LB_LAGS}
         ),
         c AS (
             SELECT cell.event_type,
@@ -5693,7 +5708,10 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     n(n+2)·10¹² product leaves int64 past ~3000 days), q_e4 = Q_e12
     div 10⁸,
     and the 5% verdict is the integer comparison against the χ²
-    df={m} literal {crit}. Magnitude envelope: |num_k| ≤ n³·x̄² —
+    df={m} literal {crit}. Series with ≤ {m} observed days are
+    dropped before any window work (both engines): the (n−k)
+    divisors require n > lags, and Spark div / DuckDB // diverge on
+    non-positive divisors. Magnitude envelope: |num_k| ≤ n³·x̄² —
     within decimal(38,0) for day-count series to ~10⁶ days.
 
     Plan/scale: events collapse map-side to (type, day) cells; ONE
@@ -5708,8 +5726,13 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("unix_micros(ts) div 86400000000").alias("day"),
     ).agg(F.count(F.lit(1)).cast("long").alias("x"))
-    m = cell.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    m = (
+        cell.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+        # n > lags guard — see the oracle's HAVING comment: protects
+        # the (n - k) divisors and drops short series before the
+        # window pass on both engines identically.
+        .filter(F.col("n") > _LB_LAGS)
     )
     w = Window.partitionBy("event_type").orderBy("day")
     c = (

@@ -949,10 +949,14 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan/scale: the routing table is a DIMENSION (thousands of rows at
     any SF after per-prefix dedup caps it at 256 + 65536) — both
-    per-length joins broadcast, so the event stream is never shuffled
-    for the match; the only exchanges are the per-event LPM groupBy
-    and the final (prefix_len, net_key) aggregate, the second of which
-    is bounded by the routing-table size. String format/parse is pure
+    per-length lookups are broadcast LEFT joins chained on ONE event
+    scan (ADVICE r11: the earlier union-of-matches form re-computed
+    the parse subtree three times and shuffled a per-event LPM
+    groupBy; because each prefix table is unique per key, every join
+    yields at most one match, so LPM is just GREATEST over the two
+    encoded candidates — no union, no per-event exchange). The only
+    exchange left is the final (prefix_len, net_key) aggregate,
+    bounded by the routing-table size. String format/parse is pure
     map-side codegen."""
     ev = table(spark, sf_dir, "events").select(
         "event_id",
@@ -990,29 +994,33 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("s_suppkey").alias("net_key"))
     )
-    m8 = (
-        parsed.withColumn("a", F.expr("ip div 16777216"))
-        .join(F.broadcast(n8), "a")
-        .select("event_id", F.lit(8).alias("plen"), "net_key", "ip")
-    )
-    m16 = (
+    # Each prefix table is unique per key (MIN-deduped), so each
+    # broadcast LEFT join yields at most one candidate per event and
+    # the longest-prefix match collapses to GREATEST over the two
+    # encoded candidates — one event scan, zero per-event shuffles.
+    matched = (
         parsed.withColumn("a", F.expr("ip div 16777216"))
         .withColumn("b", F.expr("(ip div 65536) % 256"))
-        .join(F.broadcast(n16), ["a", "b"])
-        .select("event_id", F.lit(16).alias("plen"), "net_key", "ip")
-    )
-    best = (
-        m8.unionByName(m16)
-        .groupBy("event_id")
-        .agg(
-            F.max(F.col("plen") * _LPM_ENC + F.col("net_key")).alias(
-                "enc"
-            )
+        .join(
+            F.broadcast(n8.withColumnRenamed("net_key", "net8")),
+            "a",
+            "left",
+        )
+        .join(
+            F.broadcast(n16.withColumnRenamed("net_key", "net16")),
+            ["a", "b"],
+            "left",
+        )
+        .select(
+            "ip",
+            F.greatest(
+                F.expr(f"8 * {_LPM_ENC} + net8"),
+                F.expr(f"16 * {_LPM_ENC} + net16"),
+            ).alias("enc"),
         )
     )
     return (
-        parsed.join(best, "event_id", "left")
-        .groupBy(
+        matched.groupBy(
             F.expr(
                 f"CAST(COALESCE(enc div {_LPM_ENC}, 0) AS BIGINT)"
             ).alias("prefix_len"),

@@ -105,88 +105,33 @@ def register(
 # round-7-born ids; r9 the round-8-born ids. 186 ids ever windowed,
 # 183 latest-green + 3 rows-only-by-design as of r9.
 #
-# Remaining ledger (as committed for r10): 177 SQL-oracle ids with no
-# driver row yet, consumed head-first in four windows —
-#   r10: ids [0:50)    (heavies lead: win_lorenz, agg_cube, ...)
-#   r11: ids [50:100)
-#   r12: ids [100:150)
-#   r13: ids [150:182) — the 27-id tail plus the five multimodal ids
-#        that graduated from rows-only to full SQL oracles in r10 —
-#        + 18 top-ups from the refresh queue
-#
-# r11 drift (births-lead convention, same as r10): 17 round-11 births
-# plus the 3 pulled-forward stale-row ids lead the head, so the actual
-# r11 window = those 20 + the first 30 of the committed [50:100) slice;
-# the displaced 20 slide into r12/r13 (the tail windows absorb them —
-# r13's top-up budget shrinks accordingly). Every id still reaches a
-# driver row by r13 + one refresh round.
-# after which every SQL-certifiable id holds a driver row and the list
-# degenerates into the oldest-green-first refresh cycle at the tail.
+# Remaining ledger, RECOUNTED after the r11 rotation (VERDICT r11
+# item 2 — the pre-r12 comment claimed a 59-id r13 tail, which
+# overflows the 50-id window; the displaced-id absorption from the
+# r10/r11 births-lead drift is what shrank the top-up budget). After
+# rotating the r11 window (50 consumed: 49 green + 1
+# rows-only-by-design re-stamp), 109 never-checked ids remain, at the
+# head of this list, consumed head-first in three windows:
+#   r12: ids [0:50)    — head: win_rolling_regression ... text_vocab_overlap
+#   r13: ids [50:100)  — head: orders_returns_rate ... sink_dynamic_overwrite
+#   r14: ids [100:109) — the exact 9-id remainder: events_peak_days,
+#        orders_rank_stability, tokenize_padding_waste,
+#        win_drawdown_duration, multimodal_audio_stats,
+#        multimodal_phash_clusters, multimodal_audio_vad,
+#        multimodal_image_stats, multimodal_scene_changes
+#        + 41 top-ups from the refresh queue (the tail below is
+#        oldest-certification-first, so the top-ups are exactly the 38
+#        r5-certified ids + the first 3 of the r6 cohort).
+# After r14 every id holds a driver row and the list degenerates into
+# the oldest-green-first refresh cycle at the tail.
 # Each round: run `python tools/rotate_ledger.py --apply` after the
 # driver's CORRECTNESS_rN lands — it verifies the window actually ran
 # as committed, keeps any non-green ids at the head for re-check, and
 # moves the greens to the tail (the r9 unrotated-window incident is
 # the reason this is a tool, not a convention).
 DRIVER_ORDER = [
-    # rotated by tools/rotate_ledger.py after round 10: 50 green ids moved to the tail
-    # -- born in round 11: certify immediately (leads the r11 window) --
-    "geo_cell_join",
-    "fn_ip_cidr",
-    "agg_chi_square",
-    "events_wilson_ctr",
-    "win_rolling_corr",
-    "text_heaps_law",
-    "geo_bbox_join",
-    "text_source_drift",
-    "win_rsi",
-    "ts_ljung_box",
-    "ts_kendall_tau",
-    "sample_neyman_alloc",
-    "events_welch_ttest",
-    # -- changed plan in r11 (replicate construction reworked: outputs
-    #    differ from the r9-certified row): re-certify in this window --
-    "agg_median_ci_bootstrap",
-    "dedup_cdc_chunks",
-    "sample_ess_audit",
-    "text_novelty",
-    "sim_mutual_knn",
-    "embed_pq",
-    "ts_mann_kendall",
-    "text_template_prefix",
-    # -- ROTATION LEDGER window r11: first 50 ids below (stuck ids from r10 lead) --
-    # -- pulled forward (VERDICT r10 item 2): their official driver rows
-    #    still say no_oracle from r7, but multimodal_phash(_pairs) have
-    #    held full DuckDB SQL oracles since r10 and text_compression_ratio
-    #    an exact zlib replay — retire the stale rows first --
-    "multimodal_phash",  # r7 (stale no_oracle row)
-    "multimodal_phash_pairs",  # r7 (stale no_oracle row)
-    "text_compression_ratio",  # r7 (stale row; rows-only by design)
-    "agg_benford",
-    "dedup_bloom",
-    "events_session_hist",
-    "orders_abc_class",
-    "events_new_vs_returning",
-    "text_readability",
-    "graph_sssp_weighted",
-    "orders_hhi",
-    "dq_embed_drift",
-    "dedup_recall_eval",
-    "graph_assortativity",
-    "curate_funnel_report",
-    "orders_customer_migration",
-    "events_lateness_profile",
-    "sample_group_holdout",
-    "sim_ivf_balance",
-    "dedup_cluster_stats",
-    "graph_clustering_coeff",
-    "events_conversion_lag",
-    "fn_surrogate_key",
-    "orders_backlog",
-    "graph_link_predict",
-    "ts_changepoint",
-    "sample_time_split",
-    "curate_canonical",
-    "agg_winsorized_mean",
+    # rotated by tools/rotate_ledger.py after round 11: 50 green ids moved to the tail
+    # -- ROTATION LEDGER window r12: first 50 ids below (stuck ids from r11 lead) --
     "win_rolling_regression",
     "sample_balanced",
     "ts_decompose",
@@ -211,7 +156,6 @@ DRIVER_ORDER = [
     "tokenize_truncation_audit",
     "stream_ohlc",
     "text_rake_keyphrases",
-    # -- ids beyond the r11 window: consumed head-first, 50/round --
     "ts_densify",
     "text_lang_confusion",
     "agg_weighted_percentile",
@@ -238,6 +182,7 @@ DRIVER_ORDER = [
     "agg_tukey_fences",
     "dedup_minhash_estimate",
     "text_vocab_overlap",
+    # -- ids beyond the r12 window: consumed head-first, 50/round --
     "orders_returns_rate",
     "sub_not_in_null",
     "win_change_runs",
@@ -530,6 +475,56 @@ DRIVER_ORDER = [
     "dq_freshness",  # r10
     "events_bounce",  # r10
     "ts_mad_anomaly",  # r10
+    "geo_cell_join",  # r11
+    "fn_ip_cidr",  # r11
+    "agg_chi_square",  # r11
+    "events_wilson_ctr",  # r11
+    "win_rolling_corr",  # r11
+    "text_heaps_law",  # r11
+    "geo_bbox_join",  # r11
+    "text_source_drift",  # r11
+    "win_rsi",  # r11
+    "ts_ljung_box",  # r11
+    "ts_kendall_tau",  # r11
+    "sample_neyman_alloc",  # r11
+    "events_welch_ttest",  # r11
+    "agg_median_ci_bootstrap",  # r11
+    "dedup_cdc_chunks",  # r11
+    "sample_ess_audit",  # r11
+    "text_novelty",  # r11
+    "sim_mutual_knn",  # r11
+    "embed_pq",  # r11
+    "ts_mann_kendall",  # r11
+    "text_template_prefix",  # r11
+    "multimodal_phash",  # r11
+    "multimodal_phash_pairs",  # r11
+    "text_compression_ratio",  # r11
+    "agg_benford",  # r11
+    "dedup_bloom",  # r11
+    "events_session_hist",  # r11
+    "orders_abc_class",  # r11
+    "events_new_vs_returning",  # r11
+    "text_readability",  # r11
+    "graph_sssp_weighted",  # r11
+    "orders_hhi",  # r11
+    "dq_embed_drift",  # r11
+    "dedup_recall_eval",  # r11
+    "graph_assortativity",  # r11
+    "curate_funnel_report",  # r11
+    "orders_customer_migration",  # r11
+    "events_lateness_profile",  # r11
+    "sample_group_holdout",  # r11
+    "sim_ivf_balance",  # r11
+    "dedup_cluster_stats",  # r11
+    "graph_clustering_coeff",  # r11
+    "events_conversion_lag",  # r11
+    "fn_surrogate_key",  # r11
+    "orders_backlog",  # r11
+    "graph_link_predict",  # r11
+    "ts_changepoint",  # r11
+    "sample_time_split",  # r11
+    "curate_canonical",  # r11
+    "agg_winsorized_mean",  # r11
 ]
 
 

@@ -225,12 +225,18 @@ def test_sample_ess_audit_replay(spark, sf_dir, duck):
         assert 0 < ratio_bp <= 10_000
 
 
-def test_round11_ids_in_ledger_head():
-    """Round-11 births lead the driver window (memory convention:
-    'born in round N: certify immediately')."""
-    from nchu_bigdata_spark.registry import DRIVER_ORDER
+def test_round11_ids_certified_in_r11_window():
+    """Round-11 births led the r11 driver window (memory convention:
+    'born in round N: certify immediately') and every one earned a
+    green CORRECTNESS_r11 row; post-rotation they live in the
+    certified tail, so assert the completed lifecycle, not head
+    position (which the r11→r12 rotation legitimately changed)."""
+    import json
+    import os
 
-    head = DRIVER_ORDER[:24]
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r11.json")
+    with open(path, encoding="utf-8") as f:
+        rows = json.load(f)
     for name in (
         "ts_kendall_tau",
         "sample_neyman_alloc",
@@ -257,7 +263,15 @@ def test_round11_ids_in_ledger_head():
         "multimodal_phash_pairs",
         "text_compression_ratio",
     ):
-        assert name in head, (name, head)
+        assert name in rows, name
+        row = rows[name]
+        if name == "text_compression_ratio":
+            # rows-only by design (DEFLATE isn't SQL): the strongest
+            # driver row it can earn is err='no_oracle' with rows > 0.
+            assert row["err"] == "no_oracle" and row["spark_rows"] > 0, row
+        else:
+            assert row["rows_match"] and row["schema_match"], (name, row)
+            assert row["hash_match"] in (True, None) and not row["err"], (name, row)
 
 
 def test_graph_checkpoint_count_invariant(spark, monkeypatch):

@@ -1,0 +1,189 @@
+"""Round-12 changes: gate variance guard, ledger rotation semantics,
+ADVICE-r11 hardening (CDC ASCII guard, ljung-box short-series guard,
+fn_ip_cidr single-scan LPM).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+)
+
+from nchu_bigdata_spark.registry import load_all_queries
+
+
+# --------------------------------------------- bench spread gate
+
+
+def test_bench_spread_gate_flags_noisy_artifact(tmp_path):
+    """VERDICT r11 item 6: a bench artifact whose value_mean/value
+    exceeds 1.25 must fail the gate; a quiet one must pass; and the
+    driver-wrapped BENCH_r*.json shape (payload under 'parsed') must
+    be understood."""
+    from round_gate import SPREAD_MAX, bench_spread_gate
+
+    # quiet artifact -> rc 0
+    quiet = {"value": 9.0, "value_mean": 9.5}
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(quiet))
+    out = bench_spread_gate(str(tmp_path))
+    assert out["rc"] == 0 and out["spread"] == round(9.5 / 9.0, 3)
+
+    # noisy driver-wrapped artifact, NEWER mtime -> rc 1
+    noisy = {"rc": 0, "parsed": {"value": 9.764, "value_mean": 13.305}}
+    p = tmp_path / "BENCH_r11.json"
+    p.write_text(json.dumps(noisy))
+    os.utime(tmp_path / "BENCH_LOCAL.json", (1, 1))
+    out = bench_spread_gate(str(tmp_path))
+    assert out["rc"] == 1
+    assert out["spread"] > SPREAD_MAX
+    assert out["file"] == "BENCH_r11.json"
+
+    # no artifact at all -> rc 0 (gate is advisory until a bench runs)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert bench_spread_gate(str(empty))["rc"] == 0
+
+    # unparsable artifact -> rc 1 (a corrupt record must not pass)
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "BENCH_LOCAL.json").write_text("{not json")
+    assert bench_spread_gate(str(bad))["rc"] == 1
+
+
+# --------------------------------------------- ledger rotation
+
+
+def test_rotate_ledger_rows_only_by_design_is_consumable():
+    """A rows-only-by-design id (registry oracle is None) whose driver
+    row is err='no_oracle' with rows > 0 must rotate out of the window
+    (else it pins a head slot forever); a genuinely failed id must
+    not."""
+    from rotate_ledger import is_green
+
+    row = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": 500,
+        "oracle_rows": None,
+        "err": "no_oracle",
+    }
+    assert is_green(row, "text_compression_ratio")
+    # same row shape but for an id that HAS an oracle: not green
+    assert not is_green(row, "agg_hash")
+    # zero rows: not green even for the rows-only id
+    assert not is_green({**row, "spark_rows": 0}, "text_compression_ratio")
+    # ordinary green row still green without a name
+    assert is_green(
+        {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": None,
+        }
+    )
+
+
+def test_driver_order_windows_recounted():
+    """The r12-r14 window plan in registry.py must match the actual
+    never-checked set: head 50 = r12 window, next 50 = r13, exactly 9
+    never-checked ids remain for r14, and the certified tail is
+    ordered oldest-certification-first (the refresh queue invariant
+    rotate_ledger preserves)."""
+    import glob
+
+    from nchu_bigdata_spark.registry import DRIVER_ORDER, load_all_queries
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
+        with open(p, encoding="utf-8") as f:
+            for k in json.load(f):
+                latest[k] = max(latest.get(k, 0), rnd)
+    never = [n for n in DRIVER_ORDER if n not in latest]
+    assert len(never) == 109, len(never)
+    assert DRIVER_ORDER[:109] == never, "never-checked ids must lead"
+    tail_rounds = [latest[n] for n in DRIVER_ORDER[109:]]
+    assert all(a <= b for a, b in zip(tail_rounds, tail_rounds[1:]))
+    assert set(DRIVER_ORDER) == set(load_all_queries())
+
+
+# --------------------------------------------- CDC ASCII guard
+
+
+def test_cdc_non_ascii_document_raises(spark):
+    """ADVICE r11: the CDC byte/char-offset equivalence requires pure
+    ASCII; a non-ASCII doc must raise, not silently mis-chunk."""
+    import pandas as pd
+
+    from nchu_bigdata_spark.operators.dedup import _CDC_K
+
+    text = "caf\u00e9 " + "x" * _CDC_K
+    assert len(text.encode("utf-8")) != len(text)
+    df = spark.createDataFrame(
+        [(1, text, len(text))], "doc_id long, text string, len long"
+    )
+
+    from nchu_bigdata_spark.operators import dedup as D
+
+    spec = load_all_queries()["dedup_cdc_chunks"]
+
+    # Patch the module-global table loader so the registered fn sees
+    # our 1-doc non-ASCII frame instead of the parquet corpus.
+    orig = D.table
+    try:
+        D.table = lambda s, sf, name: df if name == "documents" else orig(s, sf, name)
+        out = spec.fn(spark, "/root/testdata/sf0.001")
+        with pytest.raises(Exception, match="not\\s+pure ASCII|pure ASCII"):
+            out.collect()
+    finally:
+        D.table = orig
+
+
+# --------------------------------------------- ljung-box guard
+
+
+def test_ljung_box_short_series_dropped(spark, duck, sf_dir):
+    """Series with <= 7 observed days are dropped on BOTH engines (the
+    (n-k) divisors require n > lags); surviving rows all have
+    n_days > 7."""
+    spec = load_all_queries()["ts_ljung_box"]
+    rows = spec.fn(spark, sf_dir).collect()
+    assert rows, "sf0.001 must retain at least one series"
+    assert all(r["n_days"] > 7 for r in rows)
+    o = duck.execute(spec.oracle).fetchall()
+    assert sorted((r["event_type"], r["n_days"]) for r in rows) == sorted(
+        (t, n) for t, n, *_ in o
+    )
+
+
+# --------------------------------------------- fn_ip_cidr single scan
+
+
+def test_fn_ip_cidr_single_scan_no_event_shuffle(spark, duck, sf_dir):
+    """ADVICE r11: the LPM rewrite must (a) still match the oracle
+    exactly and (b) contain NO per-event aggregate — the only
+    hashAggregate keys allowed are the bounded (prefix_len, net_key)
+    rollup, and the events relation must be scanned ONCE."""
+    import re
+
+    spec = load_all_queries()["fn_ip_cidr"]
+    df = spec.fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = len(re.findall(r"events\.parquet", plan))
+    assert scans == 1, f"events scanned {scans}x:\n{plan}"
+    # no per-event exchange: every HashAggregate keys on the bounded
+    # (prefix_len, net_key) rollup, never on event_id
+    for agg in re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
+        assert "event_id" not in agg, plan
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in duck.execute(spec.oracle).fetchall())
+    assert got == want

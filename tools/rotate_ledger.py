@@ -50,7 +50,22 @@ def newest_correctness() -> tuple[int, dict]:
         return best[0], json.load(f)
 
 
-def is_green(row: dict) -> bool:
+def is_green(row: dict, name: str | None = None) -> bool:
+    if (
+        name is not None
+        and row.get("err") == "no_oracle"
+        and (row.get("spark_rows") or 0) > 0
+    ):
+        # Rows-only-by-design ids (registry oracle is None, e.g.
+        # text_compression_ratio's DEFLATE replay) get err='no_oracle'
+        # from the driver by construction — the strongest row they can
+        # ever earn. Pinning them at the head would burn one window
+        # slot every round forever; rotate them out like a green.
+        from nchu_bigdata_spark.registry import ordered_specs
+
+        spec = ordered_specs().get(name)
+        if spec is not None and spec.oracle is None:
+            return True
     return bool(
         row.get("rows_match")
         and row.get("schema_match")
@@ -80,7 +95,7 @@ def main() -> int:
         if extra:
             print("  checked but not in head:", ", ".join(extra[:8]), "…")
         return 1
-    green = [n for n in head if is_green(rows[n])]
+    green = [n for n in head if is_green(rows[n], n)]
     stuck = [n for n in head if n not in green]
     print(f"CORRECTNESS_r{rnd}: {len(green)} green, {len(stuck)} not green")
     if stuck:

@@ -32,6 +32,55 @@ GATES = {
     "explain_audit": [sys.executable, "tools/explain_audit.py"],
 }
 
+# Bench-noise guard (VERDICT r11 item 6): rounds 8 and 10/11 published
+# contention-inflated headlines. value_mean/value (mean-of-reps over
+# best-of-reps, summed) ≈ 1.0 on a quiet host; > this threshold means
+# the reps were bursty and the artifact misleads.
+SPREAD_MAX = 1.25
+
+
+def bench_spread_gate(repo: str) -> dict:
+    """Read the newest bench artifact (BENCH_LOCAL.json or BENCH_r*.json
+    by mtime) and fail when value_mean/value > SPREAD_MAX. Pure file
+    read — does NOT run the bench (that is the driver's job / a manual
+    quiet-host run); this gate stops a noisy record from being the one
+    the round publishes without anyone noticing."""
+    import glob
+
+    newest: tuple[float, str] | None = None
+    for p in glob.glob(os.path.join(repo, "BENCH_*.json")):
+        mt = os.path.getmtime(p)
+        if newest is None or mt > newest[0]:
+            newest = (mt, p)
+    if newest is None:
+        return {"rc": 0, "note": "no bench artifact yet"}
+    path = newest[1]
+    try:
+        with open(path, encoding="utf-8") as f:
+            d = json.load(f)
+        # driver-recorded BENCH_r*.json wraps the payload under "parsed"
+        payload = d.get("parsed") or d
+        value = float(payload["value"])
+        mean = float(payload["value_mean"])
+    except (OSError, ValueError, KeyError, TypeError) as e:
+        return {"rc": 1, "file": os.path.basename(path), "err": repr(e)}
+    ratio = round(mean / value, 3) if value else None
+    ok = ratio is not None and ratio <= SPREAD_MAX
+    out = {
+        "rc": 0 if ok else 1,
+        "file": os.path.basename(path),
+        "value": value,
+        "value_mean": mean,
+        "spread": ratio,
+        "max": SPREAD_MAX,
+    }
+    if not ok:
+        out["note"] = (
+            "bench spread exceeds the noise guard - re-record on a "
+            "quiet host before publishing this artifact"
+        )
+    return out
+
 
 def main() -> int:
     out_path = None
@@ -58,6 +107,11 @@ def main() -> int:
             "err_tail": err_tail,
         }
         print(f"[gate] {name}: rc={proc.returncode} ({results[name]['secs']}s)")
+    results["bench_spread"] = bench_spread_gate(REPO)
+    print(
+        f"[gate] bench_spread: rc={results['bench_spread']['rc']} "
+        f"(spread={results['bench_spread'].get('spread')})"
+    )
     summary = {
         "green": all(r["rc"] == 0 for r in results.values()),
         "gates": results,
