@@ -87,4 +87,19 @@ def get_session(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Silence WindowExec's per-execution "No Partition Defined" WARN
+    # (VERDICT r11 item 7): every unpartitioned Window in the engine is
+    # STRUCTURALLY audited as bounded-input by the single-task-window
+    # rule (tests/test_single_task_window_rule.py) — that audit is the
+    # guarantee; the hundreds of repeated WARN lines only bury real
+    # signals in gate err_tails. Scoped to this one logger, never the
+    # root level.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001 - logging cosmetics must never fail a job
+        pass
     return spark

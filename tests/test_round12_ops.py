@@ -187,3 +187,19 @@ def test_fn_ip_cidr_single_scan_no_event_shuffle(spark, duck, sf_dir):
     got = sorted(tuple(r) for r in df.collect())
     want = sorted(tuple(r) for r in duck.execute(spec.oracle).fetchall())
     assert got == want
+
+
+# --------------------------------------------- WindowExec log noise
+
+
+def test_windowexec_logger_pinned_to_error(spark):
+    """VERDICT r11 item 7: the per-execution 'No Partition Defined'
+    WARN is suppressed at the WindowExec logger (the structural
+    single-task-window audit is the real guarantee); root level stays
+    WARN."""
+    jvm = spark.sparkContext._jvm
+    lm = jvm.org.apache.logging.log4j.LogManager
+    lvl = lm.getLogger(
+        "org.apache.spark.sql.execution.window.WindowExec"
+    ).getLevel()
+    assert str(lvl) == "ERROR", str(lvl)
