@@ -537,3 +537,119 @@ def join_anti_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(COALESCE(n_abandoned, 0) * 10000 div n_views AS BIGINT)"
         ).alias("abandon_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# join_range_partitioned — big-big interval-overlap join via grid cells
+# (round 12; VERDICT r11 item 8's interval-family variant)
+# --------------------------------------------------------------------------
+
+_RP_WIN_US = 120_000_000  # incident window: 120 s
+_RP_CELL_US = 128_000_000  # grid cell: 128 s (> window, so <= 2 cells/window)
+
+
+@register(
+    "join_range_partitioned",
+    tags=("b3",),
+    oracle=f"""
+        -- Pure interval-overlap join with NO equi key: every 'error'
+        -- event opens a 120 s incident window; count the events (all
+        -- types), distinct users and exact cents landing inside each
+        -- window. DuckDB evaluates the range predicate directly
+        -- (IEJoin); the Spark plan partitions the time axis into
+        -- 128 s grid cells and equi-joins on the cell (see the
+        -- Python docstring) — both produce the identical multiset.
+        -- The window INCLUDES its own opening event, so n_events >= 1
+        -- and the join is inner. Exact ints throughout (epoch micros,
+        -- value pre-rounded to cents).
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        i AS (
+            SELECT event_id AS incident_id, us AS lo,
+                   us + {_RP_WIN_US} AS hi
+            FROM e WHERE event_type = 'error'
+        )
+        SELECT i.incident_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+               CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+        FROM i JOIN e ON e.us >= i.lo AND e.us < i.hi
+        GROUP BY 1
+    """,
+)
+def join_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval-overlap join with NO equi key — the case
+    neither broadcast (`join_theta_range`: dim-sized inner) nor
+    key-colocated range joins (`join_anti_range`, `join_pit_scd2`:
+    equi key + range residual) cover. A naive plan is a nested loop
+    over |points| × |intervals|; at 100 TB neither side ships.
+
+    Spark-first strategy (the "bin/range-partitioned join" — what a
+    range-join hint does on engines that have one): partition the
+    time axis into fixed {{cell}} = 128 s grid cells, chosen > the
+    120 s window length so every interval overlaps AT MOST 2 cells
+    (sequence + explode, bounded fan-out ≤ 2×); points map to exactly
+    ONE cell, so no pair can be produced twice and no dedup pass is
+    needed. The join then has an EQUI conjunct (cell = cell) and the
+    range residual — Catalyst picks a shuffled hash/sort-merge join
+    co-partitioned on the cell, and the per-task probe space is one
+    128 s slice of the stream, not the corpus. Work scales with
+    output pairs (density-bounded), never |L|×|R|.
+
+    At test scale the exploded interval side sits under the broadcast
+    threshold, so the query disables auto-broadcast FOR ITSELF to
+    demonstrate the big-big exchange it exists for (precedent and
+    restore mechanics: `join_bloom_prune` — the registry wrapper
+    re-pins plan confs on entry to every other query). Results are
+    conf-independent.
+
+    Skew note: a hot 128 s cell (traffic spike) is a plain equi-join
+    skew problem — AQE skew-join splits it; no bespoke salting layer.
+
+    Ref parity: no counterpart in the reference (538-LoC k-means);
+    capability-closure operator per SURVEY.md §2.B-3."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    inc = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("us").alias("lo"),
+        (F.col("us") + F.lit(_RP_WIN_US)).alias("hi"),
+    )
+    inc_cells = inc.select(
+        "incident_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo div {_RP_CELL_US}"),
+                F.expr(f"(hi - 1) div {_RP_CELL_US}"),
+            )
+        ).alias("cell"),
+    )
+    pts = ev.select(
+        F.expr(f"us div {_RP_CELL_US}").alias("cell"),
+        "us",
+        "user_id",
+        "cents",
+    )
+    joined = pts.join(
+        inc_cells,
+        (pts.cell == inc_cells.cell)
+        & (pts.us >= inc_cells.lo)
+        & (pts.us < inc_cells.hi),
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

@@ -242,6 +242,12 @@ DRIVER_ORDER = [
     "multimodal_audio_vad",
     "multimodal_image_stats",
     "multimodal_scene_changes",
+    # -- born round 12 --: queued HERE (tail of the never-checked
+    # block, r14 window) rather than at the head — the committed
+    # r12/r13 windows above consume exactly as published (VERDICT r11
+    # item 1 outranks the births-lead convention this cycle; the birth
+    # still holds repo-sweep + pytest oracle checks from day one).
+    "join_range_partitioned",
     "multimodal_resize",  # r5
     "udtf_python_arrow",  # r5
     "dedup_minhash",  # r5

@@ -209,6 +209,36 @@ def run_events_stream(
     return spark.table(name)
 
 
+def run_events_stream_to_noop(
+    spark: SparkSession,
+    path: str,
+    transform: Callable[[DataFrame], DataFrame],
+    output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain a streaming run into the ``noop`` sink — full streaming
+    execution (source → state store → sink commit protocol) with zero
+    driver-side materialization. This is the measurement harness the
+    10× probe uses (tools/stream_probe.py): the memory sink would make
+    the driver collect the output and time the wrong thing, exactly
+    like bench.py's batch noop rationale. Progress telemetry still
+    lands in ``last_run_progress`` so state-store size and row counts
+    are observable without materializing rows."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = spark.readStream.schema(_events_raw_schema(_probe_ts_type(spark, path)))
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = transform(_decode_ts(src.parquet(path)))
+    q = (
+        df.writeStream.format("noop")
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _capture_progress(q)
+
+
 def run_events_cdc_upsert(
     spark: SparkSession,
     path: str,

@@ -109,9 +109,17 @@ def test_driver_order_windows_recounted():
             for k in json.load(f):
                 latest[k] = max(latest.get(k, 0), rnd)
     never = [n for n in DRIVER_ORDER if n not in latest]
-    assert len(never) == 109, len(never)
-    assert DRIVER_ORDER[:109] == never, "never-checked ids must lead"
-    tail_rounds = [latest[n] for n in DRIVER_ORDER[109:]]
+    k = len(never)
+    assert DRIVER_ORDER[:k] == never, "never-checked ids must lead"
+    # r12 births queue at the TAIL of the never-checked block (the
+    # committed r12/r13 windows consume as published — VERDICT r11
+    # item 1 outranks births-lead this cycle), so the head 100 contain
+    # none of them.
+    r12_births = {"join_range_partitioned"}
+    assert r12_births <= set(never), "births must be never-checked"
+    assert not r12_births & set(DRIVER_ORDER[:100])
+    assert k == 109 + len(r12_births), k
+    tail_rounds = [latest[n] for n in DRIVER_ORDER[k:]]
     assert all(a <= b for a, b in zip(tail_rounds, tail_rounds[1:]))
     assert set(DRIVER_ORDER) == set(load_all_queries())
 
@@ -203,3 +211,54 @@ def test_windowexec_logger_pinned_to_error(spark):
         "org.apache.spark.sql.execution.window.WindowExec"
     ).getLevel()
     assert str(lvl) == "ERROR", str(lvl)
+
+
+# --------------------------------------------- join_range_partitioned
+
+
+def test_join_range_partitioned_bruteforce_replay(spark, duck, sf_dir):
+    """Independent-mechanism check: recompute the interval-overlap
+    join per incident with a plain Python double loop over the raw
+    parquet and demand exact equality with the registered plan (and
+    the plan must join on the grid CELL, not nested-loop)."""
+    from nchu_bigdata_spark.queries.joins import _RP_WIN_US
+
+    raw = duck.execute(
+        "SELECT event_id, user_id, event_type, epoch_us(ts),"
+        " CAST(ROUND(value * 100) AS BIGINT) FROM events"
+    ).fetchall()
+    pts = sorted((us, uid, cents) for _, uid, _, us, cents in raw)
+    expect = {}
+    for eid, _, etype, us, _ in raw:
+        if etype != "error":
+            continue
+        inside = [p for p in pts if us <= p[0] < us + _RP_WIN_US]
+        expect[eid] = (
+            len(inside),
+            len({p[1] for p in inside}),
+            sum(p[2] for p in inside),
+        )
+    spec = load_all_queries()["join_range_partitioned"]
+    df = spec.fn(spark, sf_dir)
+    got = {
+        r["incident_id"]: (r["n_events"], r["n_users"], r["sum_cents"])
+        for r in df.collect()
+    }
+    assert got == expect
+    # every incident window contains at least its own opening event
+    assert all(v[0] >= 1 for v in got.values())
+    # plan shape: equi join on the cell (SortMergeJoin/ShuffledHashJoin
+    # keyed on cell), never a nested loop over the raw pair space
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_join_range_partitioned_cell_invariants():
+    """The grid constants must preserve the no-dedup-needed guarantee:
+    cell length strictly greater than the window length (every
+    interval spans at most 2 cells, and a point joins a given interval
+    in exactly one cell — its own)."""
+    from nchu_bigdata_spark.queries.joins import _RP_CELL_US, _RP_WIN_US
+
+    assert _RP_CELL_US > _RP_WIN_US

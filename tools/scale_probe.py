@@ -282,6 +282,13 @@ def main() -> int:
         "side, which the standard blow-up keeps fixed as a dim) over "
         "an unchanged facility set",
     )
+    ap.add_argument(
+        "--timeshift10x",
+        action="store_true",
+        help="time-domain probe: 10x events with ts shifted i*31 days "
+        "per copy (domain grows with data, density bounded) - the fair "
+        "construction for global time-overlap joins",
+    )
     args = ap.parse_args()
     ops = [o for o in args.ops.split(",") if o]
 
@@ -363,6 +370,70 @@ def main() -> int:
         print("|---|---|---|---|---|---|")
         breach = False
         for name in geo_ops:
+            t1, r1 = time_op(spark, specs, name, BASE_SF, args.reps)
+            t10, r10 = time_op(spark, specs, name, d, args.reps)
+            ratio = t10 / max(t1, 1e-9)
+            flag = "" if ratio < GATE_RATIO else "  **BREACH**"
+            if ratio >= GATE_RATIO:
+                breach = True
+            print(
+                f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}x{flag} "
+                f"| {r1} | {r10} |",
+                flush=True,
+            )
+        return 1 if breach else 0
+
+    if args.timeshift10x:
+        # Global time-overlap joins (join_range_partitioned) probe on a
+        # TIME-SHIFTED blow-up: copy i shifts ts by i*31 days (and ids
+        # by i*SHIFT). The standard blow-up keeps the 30-day domain
+        # fixed and multiplies density — for an interval-overlap join
+        # that inflates OUTPUT pairs ~quadratically by construction
+        # (10x incidents x 10x density), the same adversarial-
+        # experiment distinction the documents token-suffix note makes.
+        # In production more data means longer retention: domain grows,
+        # density per cell is bounded — this arm models that, so the
+        # expected ratio is ~10x (linear in pairs).
+        d = os.path.join(repo, ".scratch", "timeshift10x")
+        if not os.path.exists(os.path.join(d, "events.parquet")):
+            os.makedirs(d, exist_ok=True)
+            from nchu_bigdata_spark.io import table as _table
+
+            ev = _table(spark, BASE_SF, "events")
+            day_us = 86_400_000_000
+            parts = [
+                ev.withColumn("event_id", F.col("event_id") + F.lit(i * SHIFT))
+                .withColumn("user_id", F.col("user_id") + F.lit(i * SHIFT))
+                .withColumn(
+                    "ts",
+                    F.timestamp_micros(
+                        F.unix_micros("ts") + F.lit(i * 31 * day_us)
+                    ),
+                )
+                for i in range(COPIES)
+            ]
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionAll(p)
+            big.write.mode("overwrite").parquet(
+                os.path.join(d, "events.parquet")
+            )
+            for f in os.listdir(BASE_SF):
+                link = os.path.join(d, f)
+                if not os.path.lexists(link):
+                    os.symlink(os.path.join(BASE_SF, f), link)
+        import bench
+
+        bench.warm(spark)
+        ts_ops = (
+            ops
+            if args.ops != ",".join(HEAVY_OPS)
+            else ["join_range_partitioned"]
+        )
+        print("| op | 1x sec | 10x sec | ratio | 1x rows | 10x rows |")
+        print("|---|---|---|---|---|---|")
+        breach = False
+        for name in ts_ops:
             t1, r1 = time_op(spark, specs, name, BASE_SF, args.reps)
             t10, r10 = time_op(spark, specs, name, d, args.reps)
             ratio = t10 / max(t1, 1e-9)
