@@ -114,14 +114,16 @@ def register(
 # head of this list, consumed head-first in three windows:
 #   r12: ids [0:50)    — head: win_rolling_regression ... text_vocab_overlap
 #   r13: ids [50:100)  — head: orders_returns_rate ... sink_dynamic_overwrite
-#   r14: ids [100:109) — the exact 9-id remainder: events_peak_days,
+#   r14: ids [100:110) — the 9-id remainder (events_peak_days,
 #        orders_rank_stability, tokenize_padding_waste,
 #        win_drawdown_duration, multimodal_audio_stats,
 #        multimodal_phash_clusters, multimodal_audio_vad,
-#        multimodal_image_stats, multimodal_scene_changes
-#        + 41 top-ups from the refresh queue (the tail below is
-#        oldest-certification-first, so the top-ups are exactly the 38
-#        r5-certified ids + the first 3 of the r6 cohort).
+#        multimodal_image_stats, multimodal_scene_changes) plus the
+#        r12 birth join_range_partitioned (queued below, after the
+#        committed windows), + 40 top-ups from the refresh queue (the
+#        tail below is oldest-certification-first, so the top-ups are
+#        exactly the 38 r5-certified ids + the first 2 of the r6
+#        cohort).
 # After r14 every id holds a driver row and the list degenerates into
 # the oldest-green-first refresh cycle at the tail.
 # Each round: run `python tools/rotate_ledger.py --apply` after the

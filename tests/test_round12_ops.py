@@ -262,3 +262,19 @@ def test_join_range_partitioned_cell_invariants():
     from nchu_bigdata_spark.queries.joins import _RP_CELL_US, _RP_WIN_US
 
     assert _RP_CELL_US > _RP_WIN_US
+
+
+# --------------------------------------------- bench trimmed mean
+
+
+def test_bench_trimmed_mean():
+    """value_mean robustness: middle-reps mean drops exactly one min
+    and one max (>= 3 reps); degenerates to the plain mean below 3."""
+    from bench import trimmed_mean
+
+    assert trimmed_mean([1.0, 1.0, 100.0]) == 1.0  # burst rejected
+    assert trimmed_mean([1.0, 2.0, 3.0, 4.0, 100.0]) == 3.0
+    assert trimmed_mean([5.0]) == 5.0
+    assert trimmed_mean([2.0, 4.0]) == 3.0
+    # a uniformly slower engine is NOT masked
+    assert trimmed_mean([10.0, 11.0, 12.0, 13.0, 14.0]) == 12.0
