@@ -2569,3 +2569,203 @@ def sample_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({_NEY_BUDGET} * leg) div tleg AS BIGINT)"
         ).alias("n_alloc"),
     )
+
+
+# --------------------------------------------------------------------------
+# tokenize_fertility — per-corpus-slice tokenizer fertility audit (round 12)
+# --------------------------------------------------------------------------
+
+# Same portable subword proxy as operators/text.py:_SUBWORD_RE (maximal
+# vowel/consonant runs); duplicated as a literal because the oracle SQL
+# embeds it verbatim and the two must stay in lockstep HERE.
+_FERT_SUBWORD_RE = r"[aeiou]+|[^aeiou\s]+"
+
+
+@register(
+    "tokenize_fertility",
+    tags=("b10",),
+    oracle=r"""
+        -- Tokenizer fertility per (lang, source) slice: subword
+        -- tokens per whitespace word and chars per subword token --
+        -- THE multilingual tokenizer-efficiency table (SentencePiece /
+        -- XLM-R report exactly this: languages with fertility >> 1 pay
+        -- more context budget per word; slices driving it up are
+        -- tokenizer-vocabulary gaps). Same portable subword proxy as
+        -- text_token_count (maximal vowel/consonant runs); exact
+        -- integer milli ratios via floor cross-multiplies.
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(
+                        text, '[aeiou]+|[^aeiou\s]+'))) AS BIGINT)
+                   AS subword_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(1000 * SUM(len(regexp_extract_all(
+                        text, '[aeiou]+|[^aeiou\s]+')))
+                    // SUM(len(string_split(text, ' ')))
+                    AS BIGINT) AS fertility_milli,
+               CAST(1000 * SUM(n_chars)
+                    // SUM(len(regexp_extract_all(
+                           text, '[aeiou]+|[^aeiou\s]+')))
+                    AS BIGINT) AS chars_per_subword_milli
+        FROM documents
+        GROUP BY lang, source
+    """,
+)
+def tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (lang, source) slice — subword tokens
+    per whitespace word (fertility) and chars per subword token. The
+    table a tokenizer owner reads before adding vocabulary: fertility
+    far above the corpus norm on a slice means that slice's words
+    shatter into many pieces and burn context budget (the standard
+    multilingual-tokenizer efficiency metric). `text_token_count` is
+    the per-DOC raw count; this is the corpus ROLLUP with exact
+    integer milli ratios (1000·Σsub div Σws — floor cross-multiply,
+    division-free decision grid).
+
+    Plan/scale: the regexp counting is per-row codegen right above the
+    scan; everything reduces through ONE map-side-combined hash agg
+    on (lang, source) — partial aggregation ships six longs per slice
+    per task, output bounded by |langs|×|sources|, never corpus size.
+    The scan is parallelism-guarded (`parallel_table`): the per-row
+    regexp dominates and the single-row-group test file would
+    otherwise run it on one core (A/B at sf0.1: 4.5s → 0.9s, the same
+    trap text_fingerprint documents).
+
+    Ref parity: no counterpart in the reference (538-LoC k-means);
+    capability-closure operator per SURVEY.md §2.B-10."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    sub = F.regexp_count("text", F.lit(_FERT_SUBWORD_RE))
+    ws = F.size(F.split("text", " "))
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.sum(sub).cast("long").alias("subword_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "ws_tokens",
+        "subword_tokens",
+        "n_chars",
+        F.expr("CAST(1000 * subword_tokens div ws_tokens AS BIGINT)").alias(
+            "fertility_milli"
+        ),
+        F.expr(
+            "CAST(1000 * n_chars div subword_tokens AS BIGINT)"
+        ).alias("chars_per_subword_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# curate_quality_gate_sweep — quality-threshold yield curve (round 12)
+# --------------------------------------------------------------------------
+
+_QGATE_BP = (0, 1000, 2000, 3000, 4000, 5000, 6000)
+
+
+@register(
+    "curate_quality_gate_sweep",
+    tags=("b10",),
+    oracle=f"""
+        -- Quality-gate yield curve: at each lexical-diversity gate
+        -- (distinct-token ratio in exact floor bp), how many documents
+        -- and how much token mass survive -- the "where do we set the
+        -- quality bar" curve every corpus-curation decision reads
+        -- (dedup_threshold_sweep is the same instrument pointed at
+        -- dedup; this points it at quality filtering). Gates evaluate
+        -- as conditional sums over ONE corpus pass; exact floor bp.
+        WITH d AS (
+            SELECT 10000 * len(list_distinct(string_split(text, ' ')))
+                       // len(string_split(text, ' ')) AS q_bp,
+                   len(string_split(text, ' ')) AS toks
+            FROM documents
+        ),
+        tot AS (
+            SELECT COUNT(*) AS all_docs, SUM(toks) AS all_toks FROM d
+        )
+        SELECT g.gate_bp,
+               CAST(SUM(CASE WHEN d.q_bp >= g.gate_bp THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_kept,
+               CAST(SUM(CASE WHEN d.q_bp >= g.gate_bp THEN d.toks
+                             ELSE 0 END) AS BIGINT) AS tokens_kept,
+               CAST(10000 * SUM(CASE WHEN d.q_bp >= g.gate_bp THEN 1
+                                     ELSE 0 END)
+                    // MIN(tot.all_docs) AS BIGINT) AS docs_kept_bp,
+               CAST(10000 * SUM(CASE WHEN d.q_bp >= g.gate_bp THEN d.toks
+                                     ELSE 0 END)
+                    // MIN(tot.all_toks) AS BIGINT) AS tokens_kept_bp
+        FROM d CROSS JOIN tot
+        CROSS JOIN (VALUES {", ".join(f"({g})" for g in _QGATE_BP)})
+             AS g(gate_bp)
+        GROUP BY g.gate_bp
+    """,
+)
+def curate_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate yield curve: for each lexical-diversity gate
+    (distinct-token ratio, exact floor bp), the documents and token
+    mass a `q_bp >= gate` filter would keep, absolute and in bp of the
+    corpus. This is the curve read before committing a quality bar —
+    the knee where token yield collapses is the budget/quality
+    frontier. Counterpart of `dedup_threshold_sweep` (which sweeps the
+    cosine dedup threshold); the quality score is `text_quality`'s
+    distinct-ratio leg on the exact integer grid.
+
+    Plan/scale: NO join against a gates dim and NO per-gate rescan —
+    the {n} gates compile to {n}×2 conditional sums inside ONE
+    map-side-combined hash aggregate over a single corpus scan
+    (partial aggregation ships ~{n}·2 longs per task); the bp algebra
+    runs on the collapsed 1-row total. The gate dim in the ORACLE is a
+    cross join for SQL brevity — same multiset, DuckDB-side only.
+
+    Ref parity: no counterpart in the reference (538-LoC k-means);
+    capability-closure operator per SURVEY.md §2.B-10."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.select(
+        F.expr(
+            "CAST(10000 * size(array_distinct(split(text, ' ')))"
+            " div size(split(text, ' ')) AS BIGINT)"
+        ).alias("q_bp"),
+        F.size(toks).cast("long").alias("toks"),
+    )
+    sums = []
+    for g in _QGATE_BP:
+        sums.append(
+            F.sum(F.when(F.col("q_bp") >= g, 1).otherwise(0))
+            .cast("long")
+            .alias(f"d{g}")
+        )
+        sums.append(
+            F.sum(F.when(F.col("q_bp") >= g, F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias(f"t{g}")
+        )
+    one = d.agg(
+        F.count(F.lit(1)).cast("long").alias("all_docs"),
+        F.sum("toks").cast("long").alias("all_toks"),
+        *sums,
+    )
+    rows = ", ".join(
+        f"struct(CAST({g} AS BIGINT) AS gate_bp, d{g} AS n_docs_kept,"
+        f" t{g} AS tokens_kept)"
+        for g in _QGATE_BP
+    )
+    return one.select(
+        F.explode(F.expr(f"array({rows})")).alias("r"),
+        "all_docs",
+        "all_toks",
+    ).select(
+        F.col("r.gate_bp").alias("gate_bp"),
+        F.col("r.n_docs_kept").alias("n_docs_kept"),
+        F.col("r.tokens_kept").alias("tokens_kept"),
+        F.expr("CAST(10000 * r.n_docs_kept div all_docs AS BIGINT)").alias(
+            "docs_kept_bp"
+        ),
+        F.expr(
+            "CAST(10000 * r.tokens_kept div all_toks AS BIGINT)"
+        ).alias("tokens_kept_bp"),
+    )

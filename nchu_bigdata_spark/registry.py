@@ -119,11 +119,11 @@ def register(
 #        win_drawdown_duration, multimodal_audio_stats,
 #        multimodal_phash_clusters, multimodal_audio_vad,
 #        multimodal_image_stats, multimodal_scene_changes) plus the
-#        r12 birth join_range_partitioned (queued below, after the
-#        committed windows), + 40 top-ups from the refresh queue (the
-#        tail below is oldest-certification-first, so the top-ups are
-#        exactly the 38 r5-certified ids + the first 2 of the r6
-#        cohort).
+#        r12 births (join_range_partitioned, tokenize_fertility,
+#        curate_quality_gate_sweep — queued below, after the committed
+#        windows), + 38 top-ups from the refresh queue (the tail below
+#        is oldest-certification-first, so the top-ups are exactly the
+#        38 r5-certified ids).
 # After r14 every id holds a driver row and the list degenerates into
 # the oldest-green-first refresh cycle at the tail.
 # Each round: run `python tools/rotate_ledger.py --apply` after the
@@ -250,6 +250,8 @@ DRIVER_ORDER = [
     # item 1 outranks the births-lead convention this cycle; the birth
     # still holds repo-sweep + pytest oracle checks from day one).
     "join_range_partitioned",
+    "tokenize_fertility",
+    "curate_quality_gate_sweep",
     "multimodal_resize",  # r5
     "udtf_python_arrow",  # r5
     "dedup_minhash",  # r5

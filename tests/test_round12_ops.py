@@ -115,7 +115,11 @@ def test_driver_order_windows_recounted():
     # committed r12/r13 windows consume as published — VERDICT r11
     # item 1 outranks births-lead this cycle), so the head 100 contain
     # none of them.
-    r12_births = {"join_range_partitioned"}
+    r12_births = {
+        "join_range_partitioned",
+        "tokenize_fertility",
+        "curate_quality_gate_sweep",
+    }
     assert r12_births <= set(never), "births must be never-checked"
     assert not r12_births & set(DRIVER_ORDER[:100])
     assert k == 109 + len(r12_births), k
@@ -278,3 +282,88 @@ def test_bench_trimmed_mean():
     assert trimmed_mean([2.0, 4.0]) == 3.0
     # a uniformly slower engine is NOT masked
     assert trimmed_mean([10.0, 11.0, 12.0, 13.0, 14.0]) == 12.0
+
+
+# --------------------------------------------- tokenize_fertility
+
+
+def test_tokenize_fertility_bruteforce_replay(spark, duck, sf_dir):
+    """Recompute the fertility rollup in plain Python (regex module,
+    no Spark/SQL) and demand exact equality, floor milli grids
+    included."""
+    import re
+
+    docs = duck.execute(
+        "SELECT doc_id, text, lang, source, n_chars FROM documents"
+    ).fetchall()
+    pat = re.compile(r"[aeiou]+|[^aeiou\s]+")
+    acc: dict = {}
+    for _, text, lang, source, n_chars in docs:
+        a = acc.setdefault((lang, source), [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(text.split(" "))
+        a[2] += len(pat.findall(text))
+        a[3] += n_chars
+    expect = {
+        k: (
+            n,
+            ws,
+            sub,
+            ch,
+            1000 * sub // ws,
+            1000 * ch // sub,
+        )
+        for k, (n, ws, sub, ch) in acc.items()
+    }
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_docs"],
+            r["ws_tokens"],
+            r["subword_tokens"],
+            r["n_chars"],
+            r["fertility_milli"],
+            r["chars_per_subword_milli"],
+        )
+        for r in load_all_queries()["tokenize_fertility"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
+
+
+# --------------------------------------------- curate_quality_gate_sweep
+
+
+def test_curate_quality_gate_sweep_replay_and_monotone(spark, duck, sf_dir):
+    """Replay the yield curve in plain Python; the curve must be
+    monotone non-increasing in the gate and anchored at gate 0 =
+    everything kept (bp exactly 10000)."""
+    from nchu_bigdata_spark.operators.pipeline import _QGATE_BP
+
+    docs = duck.execute("SELECT text FROM documents").fetchall()
+    per = []
+    for (text,) in docs:
+        toks = text.split(" ")
+        per.append((10000 * len(set(toks)) // len(toks), len(toks)))
+    all_docs, all_toks = len(per), sum(t for _, t in per)
+    expect = {}
+    for g in _QGATE_BP:
+        kept = [(q, t) for q, t in per if q >= g]
+        nd, nt = len(kept), sum(t for _, t in kept)
+        expect[g] = (nd, nt, 10000 * nd // all_docs, 10000 * nt // all_toks)
+    got = {
+        r["gate_bp"]: (
+            r["n_docs_kept"],
+            r["tokens_kept"],
+            r["docs_kept_bp"],
+            r["tokens_kept_bp"],
+        )
+        for r in load_all_queries()["curate_quality_gate_sweep"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
+    assert got[0][2] == 10000 and got[0][3] == 10000
+    gates = sorted(got)
+    for a, b in zip(gates, gates[1:]):
+        assert got[b][0] <= got[a][0] and got[b][1] <= got[a][1]
