@@ -367,3 +367,31 @@ def test_curate_quality_gate_sweep_replay_and_monotone(spark, duck, sf_dir):
     gates = sorted(got)
     for a, b in zip(gates, gates[1:]):
         assert got[b][0] <= got[a][0] and got[b][1] <= got[a][1]
+
+
+# --------------------------------------------- streaming noop runner
+
+
+def test_stream_noop_runner_drains_and_reports(spark, sf_dir, tmp_path):
+    """The probe harness's noop-sink runner must execute a genuine
+    streaming drain (progress telemetry populated, input rows > 0)
+    without materializing anything driver-side."""
+    import os
+    import shutil
+
+    from nchu_bigdata_spark.streaming import STREAM_TRANSFORMS
+    from nchu_bigdata_spark.streaming import runner as R
+
+    # The file stream source requires a DIRECTORY; the sf fixture is a
+    # single parquet file (same staging the parity tests do).
+    src = tmp_path / "ev"
+    src.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), src / "events.parquet"
+    )
+    transform, mode = STREAM_TRANSFORMS["stream_tumbling"]
+    R.run_events_stream_to_noop(spark, str(src), transform, mode)
+    progress = R.last_run_progress
+    assert progress, "drain must record progress telemetry"
+    assert sum(p.get("numInputRows", 0) for p in progress) > 0
+    assert any(p.get("stateOperators") for p in progress)
