@@ -120,10 +120,10 @@ def register(
 #        multimodal_phash_clusters, multimodal_audio_vad,
 #        multimodal_image_stats, multimodal_scene_changes) plus the
 #        r12 births (join_range_partitioned, tokenize_fertility,
-#        curate_quality_gate_sweep — queued below, after the committed
-#        windows), + 38 top-ups from the refresh queue (the tail below
-#        is oldest-certification-first, so the top-ups are exactly the
-#        38 r5-certified ids).
+#        curate_quality_gate_sweep, geo_knn_join — queued below, after
+#        the committed windows), + 37 top-ups from the refresh queue
+#        (the tail below is oldest-certification-first, so the top-ups
+#        are exactly the first 37 of the 38 r5-certified ids).
 # After r14 every id holds a driver row and the list degenerates into
 # the oldest-green-first refresh cycle at the tail.
 # Each round: run `python tools/rotate_ledger.py --apply` after the
@@ -252,6 +252,7 @@ DRIVER_ORDER = [
     "join_range_partitioned",
     "tokenize_fertility",
     "curate_quality_gate_sweep",
+    "geo_knn_join",
     "multimodal_resize",  # r5
     "udtf_python_arrow",  # r5
     "dedup_minhash",  # r5

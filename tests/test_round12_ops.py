@@ -119,6 +119,7 @@ def test_driver_order_windows_recounted():
         "join_range_partitioned",
         "tokenize_fertility",
         "curate_quality_gate_sweep",
+        "geo_knn_join",
     }
     assert r12_births <= set(never), "births must be never-checked"
     assert not r12_births & set(DRIVER_ORDER[:100])
@@ -395,3 +396,43 @@ def test_stream_noop_runner_drains_and_reports(spark, sf_dir, tmp_path):
     assert progress, "drain must record progress telemetry"
     assert sum(p.get("numInputRows", 0) for p in progress) > 0
     assert any(p.get("stateOperators") for p in progress)
+
+
+# --------------------------------------------- geo_knn_join
+
+
+def test_geo_knn_join_bruteforce_replay_and_plan(spark, duck, sf_dir):
+    """Recompute kNN-within-radius in plain Python over the derived
+    geography; the plan must carry a WindowGroupLimit (the rank-<=k
+    filter pushed into the shuffle) — the feature that bounds what a
+    point ships out of the exchange."""
+    from nchu_bigdata_spark.queries.geo import (
+        _AX,
+        _AY,
+        _KNN_K,
+        _OX,
+        _OY,
+        _R2,
+        _SPAN,
+    )
+
+    custs = [r[0] for r in duck.execute("SELECT c_custkey FROM customer").fetchall()]
+    supps = [r[0] for r in duck.execute("SELECT s_suppkey FROM supplier").fetchall()]
+    spts = [
+        (s, (s * _AX + _OX) % _SPAN, (s * _AY + _OY) % _SPAN) for s in supps
+    ]
+    expect = set()
+    for c in custs:
+        cx, cy = (c * _AX) % _SPAN, (c * _AY) % _SPAN
+        cand = sorted(
+            ((cx - sx) ** 2 + (cy - sy) ** 2, s)
+            for s, sx, sy in spts
+            if (cx - sx) ** 2 + (cy - sy) ** 2 <= _R2
+        )
+        for rk, (d2, s) in enumerate(cand[:_KNN_K], 1):
+            expect.add((c, rk, s, d2))
+    df = load_all_queries()["geo_knn_join"].fn(spark, sf_dir)
+    got = {tuple(r) for r in df.collect()}
+    assert got == expect
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
