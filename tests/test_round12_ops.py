@@ -1,6 +1,9 @@
 """Round-12 changes: gate variance guard, ledger rotation semantics,
 ADVICE-r11 hardening (CDC ASCII guard, ljung-box short-series guard,
-fn_ip_cidr single-scan LPM).
+fn_ip_cidr single-scan LPM), bench trimmed-mean cross-check, the
+WindowExec log-noise pin, the streaming noop-sink runner, and the
+round-12 births (join_range_partitioned, tokenize_fertility,
+curate_quality_gate_sweep, geo_knn_join) with brute-force replays.
 """
 
 from __future__ import annotations
