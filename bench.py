@@ -506,19 +506,31 @@ def main() -> None:
 
     times, means = run_group(names)
     # One automatic headline re-record if the spread still breaches the
-    # gate guard (tools/round_gate.SPREAD_MAX = 1.25): the burst hit
-    # more than one rep per query, so re-measure once and keep the
-    # quieter recording. Bounded to a single retry — a persistent
-    # breach then records honestly and fails the gate.
-    if sum(means.values()) > 1.25 * sum(times.values()):
+    # gate guard (ONE constant, owned by tools/round_gate.SPREAD_MAX —
+    # a diverged copy here would make the bench stop re-recording
+    # exactly the artifacts the gate rejects): the burst hit more than
+    # one rep per query, so re-measure once and keep the quieter
+    # recording. Bounded to a single retry — a persistent breach then
+    # records honestly and fails the gate.
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from round_gate import SPREAD_MAX as _spread_max
+    except Exception:  # noqa: BLE001 - bench must run without tools/
+        _spread_max = 1.25
+    if sum(means.values()) > _spread_max * sum(times.values()):
         print("[bench] headline spread breached; re-recording once",
               file=sys.stderr)
-        wait_for_quiet()
+        retry_load = wait_for_quiet()
         times2, means2 = run_group(names)
         if sum(means2.values()) / max(sum(times2.values()), 1e-9) < sum(
             means.values()
         ) / max(sum(times.values()), 1e-9):
             times, means = times2, means2
+            # the published headline is now the retry's recording; the
+            # self-carried noise evidence must describe THAT run
+            preflight_load = retry_load
     llm_times, llm_means = run_group([n for n in LLM_GROUP if n in specs])
     # SQL/graph composites are the slowest AND largest group (~95
     # entries by end of round 8); 2 reps bounds the bench's wall clock

@@ -2578,6 +2578,11 @@ def sample_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same portable subword proxy as operators/text.py:_SUBWORD_RE (maximal
 # vowel/consonant runs); duplicated as a literal because the oracle SQL
 # embeds it verbatim and the two must stay in lockstep HERE.
+# Portability envelope (same class as the CDC ASCII doctrine): the \s
+# class is Java-regex on Spark and RE2 on DuckDB, which disagree on
+# exotic whitespace (Java \s includes \x0B, RE2's does not) — the
+# equivalence is certified for the space-separated printable-ASCII
+# corpus contract the documents table carries, not arbitrary bytes.
 _FERT_SUBWORD_RE = r"[aeiou]+|[^aeiou\s]+"
 
 
@@ -2605,10 +2610,12 @@ _FERT_SUBWORD_RE = r"[aeiou]+|[^aeiou\s]+"
                         text, '[aeiou]+|[^aeiou\s]+')))
                     // SUM(len(string_split(text, ' ')))
                     AS BIGINT) AS fertility_milli,
-               CAST(1000 * SUM(n_chars)
-                    // SUM(len(regexp_extract_all(
-                           text, '[aeiou]+|[^aeiou\s]+')))
-                    AS BIGINT) AS chars_per_subword_milli
+               CAST(CASE WHEN SUM(len(regexp_extract_all(
+                             text, '[aeiou]+|[^aeiou\s]+'))) = 0 THEN 0
+                         ELSE 1000 * SUM(n_chars)
+                              // SUM(len(regexp_extract_all(
+                                     text, '[aeiou]+|[^aeiou\s]+')))
+                    END AS BIGINT) AS chars_per_subword_milli
         FROM documents
         GROUP BY lang, source
     """,
@@ -2651,11 +2658,16 @@ def tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ws_tokens",
         "subword_tokens",
         "n_chars",
+        # ws_tokens >= n_docs >= 1 on both engines (split of "" is [""]
+        # — one element), so the fertility divisor can't be zero;
+        # subword_tokens CAN be zero (all-whitespace slice) and integer
+        # /0 semantics differ across engines, so it's CASE-guarded.
         F.expr("CAST(1000 * subword_tokens div ws_tokens AS BIGINT)").alias(
             "fertility_milli"
         ),
         F.expr(
-            "CAST(1000 * n_chars div subword_tokens AS BIGINT)"
+            "CAST(CASE WHEN subword_tokens = 0 THEN 0"
+            " ELSE 1000 * n_chars div subword_tokens END AS BIGINT)"
         ).alias("chars_per_subword_milli"),
     )
 
@@ -2719,11 +2731,15 @@ def curate_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined hash aggregate over a single corpus scan
     (partial aggregation ships ~{n}·2 longs per task); the bp algebra
     runs on the collapsed 1-row total. The gate dim in the ORACLE is a
-    cross join for SQL brevity — same multiset, DuckDB-side only.
+    cross join for SQL brevity — same multiset, DuckDB-side only. The
+    scan is parallelism-guarded (`parallel_table`): the per-row split +
+    array_distinct is the same narrow-compute class as
+    tokenize_fertility's regexp and would otherwise run on the
+    single-row-group test file's one core.
 
     Ref parity: no counterpart in the reference (538-LoC k-means);
     capability-closure operator per SURVEY.md §2.B-10."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     d = docs.select(
         F.expr(

@@ -5665,6 +5665,11 @@ _LB_CRIT_E4 = 140_671
             FROM lagged GROUP BY event_type
         ),
         rho AS (
+            -- den = SUM(ct*ct) = 0 iff the series is CONSTANT (every
+            -- day the same count): zero autocorrelation evidence, and
+            -- the engines disagree on integer division by zero (Spark
+            -- div -> NULL, DuckDB // -> NULL here but error semantics
+            -- differ by version) - drop it, same filter both engines.
             SELECT event_type, n, den,
                    {", ".join(
                        f"CASE WHEN num{k} >= 0 THEN"
@@ -5673,7 +5678,7 @@ _LB_CRIT_E4 = 140_671
                        f" AS BIGINT) END AS r{k}"
                        for k in range(1, 8)
                    )}
-            FROM sums
+            FROM sums WHERE den > 0
         )
         SELECT event_type,
                CAST(n AS BIGINT) AS n_days,
@@ -5760,7 +5765,8 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, 8)
         ],
     )
-    rho = sums.select(
+    # den > 0 guard — see the oracle's rho comment (constant series).
+    rho = sums.filter(F.col("den") > 0).select(
         "event_type",
         "n",
         *[

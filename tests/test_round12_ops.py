@@ -59,6 +59,17 @@ def test_bench_spread_gate_flags_noisy_artifact(tmp_path):
     (bad / "BENCH_LOCAL.json").write_text("{not json")
     assert bench_spread_gate(str(bad))["rc"] == 1
 
+    # legacy artifact without value_mean (pre-r12) -> rc 0 skip, not a
+    # failure: a fresh checkout's arbitrary mtimes must not flip the
+    # gate red on a healthy repo
+    old = tmp_path / "old"
+    old.mkdir()
+    (old / "BENCH_r09.json").write_text(
+        json.dumps({"rc": 0, "parsed": {"value": 8.9}})
+    )
+    out = bench_spread_gate(str(old))
+    assert out["rc"] == 0 and "predates" in out["note"]
+
 
 # --------------------------------------------- ledger rotation
 

@@ -58,11 +58,24 @@ def bench_spread_gate(repo: str) -> dict:
     try:
         with open(path, encoding="utf-8") as f:
             d = json.load(f)
-        # driver-recorded BENCH_r*.json wraps the payload under "parsed"
-        payload = d.get("parsed") or d
+    except (OSError, ValueError) as e:
+        # a corrupt record must not pass
+        return {"rc": 1, "file": os.path.basename(path), "err": repr(e)}
+    # driver-recorded BENCH_r*.json wraps the payload under "parsed"
+    payload = d.get("parsed") or d
+    if not isinstance(payload, dict) or "value_mean" not in payload:
+        # Pre-r12 artifacts carry no value_mean (and a fresh checkout
+        # makes the mtime race among them arbitrary): that's "no spread
+        # data", not corruption — skip rather than fail a healthy repo.
+        return {
+            "rc": 0,
+            "file": os.path.basename(path),
+            "note": "artifact predates spread recording (no value_mean)",
+        }
+    try:
         value = float(payload["value"])
         mean = float(payload["value_mean"])
-    except (OSError, ValueError, KeyError, TypeError) as e:
+    except (ValueError, KeyError, TypeError) as e:
         return {"rc": 1, "file": os.path.basename(path), "err": repr(e)}
     ratio = round(mean / value, 3) if value else None
     ok = ratio is not None and ratio <= SPREAD_MAX

@@ -395,7 +395,12 @@ def main() -> int:
         # density per cell is bounded — this arm models that, so the
         # expected ratio is ~10x (linear in pairs).
         d = os.path.join(repo, ".scratch", "timeshift10x")
-        if not os.path.exists(os.path.join(d, "events.parquet")):
+        # _SUCCESS, not the dir: a crash mid-write leaves a partial
+        # events.parquet that a bare-dir check would silently adopt
+        # (stream_probe.build_inputs uses the same guard).
+        if not os.path.exists(
+            os.path.join(d, "events.parquet", "_SUCCESS")
+        ):
             os.makedirs(d, exist_ok=True)
             from nchu_bigdata_spark.io import table as _table
 
@@ -418,10 +423,12 @@ def main() -> int:
             big.write.mode("overwrite").parquet(
                 os.path.join(d, "events.parquet")
             )
-            for f in os.listdir(BASE_SF):
-                link = os.path.join(d, f)
-                if not os.path.lexists(link):
-                    os.symlink(os.path.join(BASE_SF, f), link)
+        # symlinks repaired unconditionally (idempotent via lexists):
+        # a partial earlier run must not leave missing tables forever
+        for f in os.listdir(BASE_SF):
+            link = os.path.join(d, f)
+            if not os.path.lexists(link):
+                os.symlink(os.path.join(BASE_SF, f), link)
         import bench
 
         bench.warm(spark)
