@@ -415,11 +415,21 @@ def test_stream_noop_runner_drains_and_reports(spark, sf_dir, tmp_path):
 # --------------------------------------------- geo_knn_join
 
 
-def test_geo_knn_join_bruteforce_replay_and_plan(spark, duck, sf_dir):
+def test_geo_knn_join_bruteforce_replay_and_plan(spark):
     """Recompute kNN-within-radius in plain Python over the derived
     geography; the plan must carry a WindowGroupLimit (the rank-<=k
     filter pushed into the shuffle) — the feature that bounds what a
-    point ships out of the exchange."""
+    point ships out of the exchange. Pinned to sf0.01: at sf0.001 the
+    derived geography is so sparse that no pair is within R and the
+    replay would pass vacuously on an empty set."""
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.01"
+    duck = duckdb.connect()
+    for t in ("customer", "supplier"):
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
     from nchu_bigdata_spark.queries.geo import (
         _AX,
         _AY,
@@ -445,8 +455,10 @@ def test_geo_knn_join_bruteforce_replay_and_plan(spark, duck, sf_dir):
         )
         for rk, (d2, s) in enumerate(cand[:_KNN_K], 1):
             expect.add((c, rk, s, d2))
+    assert expect, "sf0.01 geometry must produce in-radius pairs"
     df = load_all_queries()["geo_knn_join"].fn(spark, sf_dir)
     got = {tuple(r) for r in df.collect()}
     assert got == expect
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+    duck.close()
