@@ -506,19 +506,14 @@ def main() -> None:
 
     times, means = run_group(names)
     # One automatic headline re-record if the spread still breaches the
-    # gate guard (ONE constant, owned by tools/round_gate.SPREAD_MAX —
-    # a diverged copy here would make the bench stop re-recording
-    # exactly the artifacts the gate rejects): the burst hit more than
-    # one rep per query, so re-measure once and keep the quieter
-    # recording. Bounded to a single retry — a persistent breach then
-    # records honestly and fails the gate.
-    try:
-        sys.path.insert(
-            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-        )
-        from round_gate import SPREAD_MAX as _spread_max
-    except Exception:  # noqa: BLE001 - bench must run without tools/
-        _spread_max = 1.25
+    # gate guard (ONE constant, owned by
+    # nchu_bigdata_spark.gate_constants.SPREAD_MAX and shared with
+    # tools/round_gate — ADVICE r12 item 2 retired the silent 1.25
+    # fallback copy here): the burst hit more than one rep per query,
+    # so re-measure once and keep the quieter recording. Bounded to a
+    # single retry — a persistent breach then records honestly and
+    # fails the gate.
+    from nchu_bigdata_spark.gate_constants import SPREAD_MAX as _spread_max
     if sum(means.values()) > _spread_max * sum(times.values()):
         print("[bench] headline spread breached; re-recording once",
               file=sys.stderr)

@@ -1331,3 +1331,126 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.max("n_rows").cast("long").alias("max_file_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_mor_positional — merge-on-read POSITION deletes (round 13)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_mor_positional",
+    tags=("b1",),
+    oracle="""
+        -- Iceberg-v2 POSITION-delete read path replayed from source:
+        -- the engine writes orders into one data file per bucket
+        -- (bucket = md5(o_orderkey) % 4, rows sorted by o_orderkey
+        -- inside each file) plus a separate position-delete file
+        -- holding (bucket, pos) row ordinals (every 7th ordinal
+        -- starting at 2), reads both back, drops the deleted ordinals
+        -- via the file row_index, and aggregates the survivors. The
+        -- oracle reconstructs the SAME ordinals arithmetically: pos =
+        -- rank of o_orderkey within its bucket - 1, so the parquet
+        -- round-trip, the writer's in-file order, Spark's
+        -- _metadata.row_index, and the anti-join application must all
+        -- agree for the hash to match.
+        WITH pos AS (
+            SELECT o_orderstatus, o_totalprice,
+                   ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                       % 4 AS bucket,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY
+                           ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))
+                               ::BIGINT % 4
+                       ORDER BY o_orderkey) - 1 AS pos
+            FROM orders
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_live,
+               CAST(SUM(CASE WHEN pos % 7 = 2 THEN 0 ELSE 1 END) = COUNT(*)
+                    AS BOOLEAN) AS all_live_kept,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6)))
+                    AS DECIMAL(38,6)) AS sum_price
+        FROM pos
+        WHERE pos % 7 <> 2
+        GROUP BY bucket
+    """,
+)
+def scan_mor_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITION-delete semantics end to end — the other
+    half of the Iceberg-v2 delete-file contract beside
+    `scan_mor_deletes`' equality deletes: a position-delete file names
+    (data_file, row_ordinal) pairs, and the reader drops exactly those
+    physical row positions at read time, no base rewrite.
+
+    Write path: orders land in ONE data file per bucket
+    (md5(o_orderkey)%4), rows sorted by o_orderkey inside the file —
+    `repartition("bucket")` pins each bucket to one task and
+    `sortWithinPartitions("bucket", ...)` leaves the writer's required
+    partition-column ordering already satisfied, so no writer-inserted
+    (unstable) re-sort can scramble the in-file order the ordinals
+    depend on. The delete file is generated arithmetically (ordinals
+    2, 9, 16, ... per bucket), NOT by re-scanning the base — exactly
+    how an Iceberg writer emits position deletes from positions it
+    already knows.
+
+    Read path: the base scan projects `_metadata.row_index` (Spark's
+    per-file physical row ordinal — correct across row groups and
+    split boundaries) and applies the deletes with ONE (bucket, pos)
+    LEFT ANTI hash join. Delete-file cardinality, not base
+    cardinality, sets the build side, which is why MoR position
+    deletes stay cheap at 100 TB until compaction; the survivor
+    aggregate combines map-side. `all_live_kept` re-asserts inside the
+    result that no deleted ordinal survived the join.
+    """
+    base_out = scratch_dir(sf_dir, "mor_pos_base")
+    del_out = scratch_dir(sf_dir, "mor_pos_deletes")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.withColumn(
+        "bucket",
+        F.expr(
+            "CAST(CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 4 AS INT)"
+        ),
+    )
+    (
+        base.repartition("bucket")
+        .sortWithinPartitions("bucket", "o_orderkey")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(base_out)
+    )
+    # position-delete file: every 7th in-file ordinal starting at 2,
+    # bounded by each file's row count (4 count rows -> tiny explode)
+    (
+        base.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.explode(
+                F.when(
+                    F.col("n") > 2,
+                    F.sequence(F.lit(2).cast("long"), F.col("n") - 1, F.lit(7).cast("long")),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("pos"),
+        )
+        .write.mode("overwrite")
+        .parquet(del_out)
+    )
+    b = spark.read.parquet(base_out).select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    d = spark.read.parquet(del_out)
+    live = b.join(d, ["bucket", "pos"], "left_anti")
+    return live.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        (F.sum((F.col("pos") % 7 == 2).cast("int")) == 0).alias(
+            "all_live_kept"
+        ),
+        dsum("o_totalprice").alias("sum_price"),
+    )

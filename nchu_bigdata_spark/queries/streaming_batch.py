@@ -690,3 +690,118 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; streaming = the same agg over windowed state, state
     size = open bars x series, O(1) per event."""
     return ohlc_transform(table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# stream_range_join — grid-cell interval join, dual-runtime (round 13)
+# --------------------------------------------------------------------------
+
+
+def range_join_transform(ev: DataFrame) -> DataFrame:
+    """Grid-cell interval join shared by the batch query and the
+    streaming runner — the streaming face of
+    `join_range_partitioned`'s strategy (queries/joins.py): every
+    'error' event opens a 120 s incident window; emit each event
+    landing inside each window.
+
+    The time axis is cut into 128 s cells (> window length, so an
+    interval overlaps at most 2 cells and a point exactly 1 — no pair
+    can be produced twice, no dedup pass). The cell becomes the EQUI
+    conjunct: in batch Catalyst co-partitions both sides on it; under
+    Structured Streaming it is the state-store key, so each task's
+    buffered state is one 128 s slice of the stream, not the corpus.
+    The range residual stays on the RAW event-time columns (not
+    derived bigints) — that is what lets the streaming planner derive
+    state-eviction bounds from the two watermarks: an incident row can
+    be dropped once the event-side watermark passes inc_ts + 120 s,
+    keeping state finite at any volume. Inner join + stateless
+    projection → each match emits exactly once → append mode."""
+    from nchu_bigdata_spark.queries.joins import _RP_CELL_US, _RP_WIN_US
+
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("inc_ts"),
+        )
+        .withWatermark("inc_ts", "10 minutes")
+        .select(
+            "incident_id",
+            "inc_ts",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros(inc_ts) div {_RP_CELL_US}"),
+                    F.expr(
+                        f"(unix_micros(inc_ts) + {_RP_WIN_US} - 1)"
+                        f" div {_RP_CELL_US}"
+                    ),
+                )
+            ).alias("cell"),
+        )
+    )
+    pts = (
+        ev.select(
+            F.col("event_id").alias("pt_id"),
+            F.col("user_id").alias("pt_user"),
+            F.col("ts").alias("pt_ts"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("pt_cents"),
+        )
+        .withWatermark("pt_ts", "10 minutes")
+        .withColumn("pt_cell", F.expr(f"unix_micros(pt_ts) div {_RP_CELL_US}"))
+    )
+    joined = inc.join(
+        pts,
+        [
+            F.col("cell") == F.col("pt_cell"),
+            F.col("pt_ts") >= F.col("inc_ts"),
+            F.col("pt_ts")
+            < F.col("inc_ts") + F.expr("INTERVAL 120 SECONDS"),
+        ],
+    )
+    return joined.select(
+        "incident_id",
+        F.col("pt_id").alias("event_id"),
+        F.col("pt_user").alias("user_id"),
+        F.unix_micros("pt_ts").alias("us"),
+        F.col("pt_cents").alias("cents"),
+    )
+
+
+@register(
+    "stream_range_join",
+    tags=("b9",),
+    oracle="""
+        -- pair-level incident-window join: every event inside the
+        -- 120 s window opened by each 'error' event (window includes
+        -- its opening event). The aggregated face of the same shape
+        -- is join_range_partitioned; this is the streaming-capable
+        -- pair emission (append mode).
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        i AS (
+            SELECT event_id AS incident_id, epoch_us(ts) AS lo
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT i.incident_id, e.event_id, e.user_id, e.us, e.cents
+        FROM i JOIN e
+          ON e.us >= i.lo AND e.us < i.lo + 120000000
+    """,
+)
+def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident-window interval join in the DUAL-RUNTIME formulation
+    (stream_ohlc precedent): `join_range_partitioned` proves the
+    grid-cell strategy in batch with an aggregated result; this
+    operator emits the raw (incident, event) pairs through the SAME
+    cell transform, so the identical plan object runs as a true
+    watermarked stream-stream join (parity-tested by the streaming
+    runner) and as a batch backfill. One definition, two runtimes —
+    the reconciliation property that matters when the incident feed is
+    live PagerDuty traffic and the backfill is last quarter's 100 TB.
+
+    Plan/scale: batch = cell-equi join, per-task probe space one
+    128 s slice; streaming = state keyed by cell, eviction bound =
+    watermark + 120 s window (see range_join_transform)."""
+    return range_join_transform(table(spark, sf_dir, "events"))

@@ -105,25 +105,21 @@ def register(
 # round-7-born ids; r9 the round-8-born ids. 186 ids ever windowed,
 # 183 latest-green + 3 rows-only-by-design as of r9.
 #
-# Remaining ledger, RECOUNTED after the r11 rotation (VERDICT r11
-# item 2 — the pre-r12 comment claimed a 59-id r13 tail, which
-# overflows the 50-id window; the displaced-id absorption from the
-# r10/r11 births-lead drift is what shrank the top-up budget). After
-# rotating the r11 window (50 consumed: 49 green + 1
-# rows-only-by-design re-stamp), 109 never-checked ids remain, at the
-# head of this list, consumed head-first in three windows:
-#   r12: ids [0:50)    — head: win_rolling_regression ... text_vocab_overlap
-#   r13: ids [50:100)  — head: orders_returns_rate ... sink_dynamic_overwrite
-#   r14: ids [100:110) — the 9-id remainder (events_peak_days,
-#        orders_rank_stability, tokenize_padding_waste,
-#        win_drawdown_duration, multimodal_audio_stats,
-#        multimodal_phash_clusters, multimodal_audio_vad,
-#        multimodal_image_stats, multimodal_scene_changes) plus the
-#        r12 births (join_range_partitioned, tokenize_fertility,
-#        curate_quality_gate_sweep, geo_knn_join — queued below, after
-#        the committed windows), + 37 top-ups from the refresh queue
-#        (the tail below is oldest-certification-first, so the top-ups
-#        are exactly the first 37 of the 38 r5-certified ids).
+# Remaining ledger, RECOUNTED after the r12 rotation. After rotating
+# the r12 window (50 consumed, all green), 63 never-checked ids remain
+# at the head of this list, consumed head-first in two windows:
+#   r13: ids [0:50)  — head: orders_returns_rate ... sink_dynamic_overwrite
+#   r14: ids [50:63) — the 13-id remainder: 9 pre-r12 ids
+#        (events_peak_days, orders_rank_stability,
+#        tokenize_padding_waste, win_drawdown_duration,
+#        multimodal_audio_stats, multimodal_phash_clusters,
+#        multimodal_audio_vad, multimodal_image_stats,
+#        multimodal_scene_changes) plus the r12 births
+#        (join_range_partitioned, tokenize_fertility,
+#        curate_quality_gate_sweep, geo_knn_join — queued after the
+#        committed windows), + 37 top-ups from the refresh queue (the
+#        tail below is oldest-certification-first, so the top-ups are
+#        exactly the oldest 37 certified ids).
 # After r14 every id holds a driver row and the list degenerates into
 # the oldest-green-first refresh cycle at the tail.
 # Each round: run `python tools/rotate_ledger.py --apply` after the
@@ -132,59 +128,8 @@ def register(
 # moves the greens to the tail (the r9 unrotated-window incident is
 # the reason this is a tool, not a convention).
 DRIVER_ORDER = [
-    # rotated by tools/rotate_ledger.py after round 11: 50 green ids moved to the tail
-    # -- ROTATION LEDGER window r12: first 50 ids below (stuck ids from r11 lead) --
-    "win_rolling_regression",
-    "sample_balanced",
-    "ts_decompose",
-    "dedup_threshold_sweep",
-    "graph_modularity",
-    "win_ohlc_bars",
-    "orders_reorder_rate",
-    "events_hazard_rate",
-    "graph_random_walk",
-    "table_fingerprint",
-    "dq_referential_integrity",
-    "win_cusum_chart",
-    "join_pit_scd2",
-    "dedup_band_tuning",
-    "events_did",
-    "sample_kfold",
-    "scan_txn_log",
-    "graph_ego_features",
-    "orders_margin_waterfall",
-    "events_incidents",
-    "orders_supplier_scorecard",
-    "tokenize_truncation_audit",
-    "stream_ohlc",
-    "text_rake_keyphrases",
-    "ts_densify",
-    "text_lang_confusion",
-    "agg_weighted_percentile",
-    "events_decay_attribution",
-    "scan_mor_deletes",
-    "events_slo_burn",
-    "dedup_agreement",
-    "orders_aging_wip",
-    "embed_separability",
-    "fn_fiscal_calendar",
-    "orders_pvm_variance",
-    "set_except_all",
-    "sample_smote_midpoints",
-    "events_bot_flags",
-    "events_srm_check",
-    "win_mtd_ytd",
-    "text_code_detection",
-    "sim_nprobe_sweep",
-    "orders_xyz_class",
-    "sample_class_weights",
-    "events_growth_accounting",
-    "sample_hard_negatives",
-    "win_yoy_compare",
-    "agg_tukey_fences",
-    "dedup_minhash_estimate",
-    "text_vocab_overlap",
-    # -- ids beyond the r12 window: consumed head-first, 50/round --
+    # rotated by tools/rotate_ledger.py after round 12: 50 green ids moved to the tail
+    # -- ROTATION LEDGER window r13: first 50 ids below (stuck ids from r12 lead) --
     "orders_returns_rate",
     "sub_not_in_null",
     "win_change_runs",
@@ -235,6 +180,7 @@ DRIVER_ORDER = [
     "win_gap_to_leader",
     "events_weekend_lift",
     "sink_dynamic_overwrite",
+    # -- ids beyond the r13 window: consumed head-first, 50/round --
     "events_peak_days",
     "orders_rank_stability",
     "tokenize_padding_waste",
@@ -244,15 +190,14 @@ DRIVER_ORDER = [
     "multimodal_audio_vad",
     "multimodal_image_stats",
     "multimodal_scene_changes",
-    # -- born round 12 --: queued HERE (tail of the never-checked
-    # block, r14 window) rather than at the head — the committed
-    # r12/r13 windows above consume exactly as published (VERDICT r11
-    # item 1 outranks the births-lead convention this cycle; the birth
-    # still holds repo-sweep + pytest oracle checks from day one).
     "join_range_partitioned",
     "tokenize_fertility",
     "curate_quality_gate_sweep",
     "geo_knn_join",
+    # r13 births queue behind the r12 births (windows consume as
+    # published; never-checked ids stay ahead of the certified tail)
+    "scan_mor_positional",
+    "stream_range_join",
     "multimodal_resize",  # r5
     "udtf_python_arrow",  # r5
     "dedup_minhash",  # r5
@@ -536,6 +481,56 @@ DRIVER_ORDER = [
     "sample_time_split",  # r11
     "curate_canonical",  # r11
     "agg_winsorized_mean",  # r11
+    "win_rolling_regression",  # r12
+    "sample_balanced",  # r12
+    "ts_decompose",  # r12
+    "dedup_threshold_sweep",  # r12
+    "graph_modularity",  # r12
+    "win_ohlc_bars",  # r12
+    "orders_reorder_rate",  # r12
+    "events_hazard_rate",  # r12
+    "graph_random_walk",  # r12
+    "table_fingerprint",  # r12
+    "dq_referential_integrity",  # r12
+    "win_cusum_chart",  # r12
+    "join_pit_scd2",  # r12
+    "dedup_band_tuning",  # r12
+    "events_did",  # r12
+    "sample_kfold",  # r12
+    "scan_txn_log",  # r12
+    "graph_ego_features",  # r12
+    "orders_margin_waterfall",  # r12
+    "events_incidents",  # r12
+    "orders_supplier_scorecard",  # r12
+    "tokenize_truncation_audit",  # r12
+    "stream_ohlc",  # r12
+    "text_rake_keyphrases",  # r12
+    "ts_densify",  # r12
+    "text_lang_confusion",  # r12
+    "agg_weighted_percentile",  # r12
+    "events_decay_attribution",  # r12
+    "scan_mor_deletes",  # r12
+    "events_slo_burn",  # r12
+    "dedup_agreement",  # r12
+    "orders_aging_wip",  # r12
+    "embed_separability",  # r12
+    "fn_fiscal_calendar",  # r12
+    "orders_pvm_variance",  # r12
+    "set_except_all",  # r12
+    "sample_smote_midpoints",  # r12
+    "events_bot_flags",  # r12
+    "events_srm_check",  # r12
+    "win_mtd_ytd",  # r12
+    "text_code_detection",  # r12
+    "sim_nprobe_sweep",  # r12
+    "orders_xyz_class",  # r12
+    "sample_class_weights",  # r12
+    "events_growth_accounting",  # r12
+    "sample_hard_negatives",  # r12
+    "win_yoy_compare",  # r12
+    "agg_tukey_fences",  # r12
+    "dedup_minhash_estimate",  # r12
+    "text_vocab_overlap",  # r12
 ]
 
 

@@ -31,6 +31,7 @@ from nchu_bigdata_spark.queries.streaming_batch import (
     dedup_transform,
     enrich_static_transform,
     ohlc_transform,
+    range_join_transform,
     session_transform,
     sliding_transform,
     stateful_transform,
@@ -95,6 +96,9 @@ STREAM_TRANSFORMS: dict[str, tuple[Callable[[DataFrame], DataFrame], str]] = {
     "stream_watermark_late": (watermark_transform, "complete"),
     # stream-stream inner joins emit each match exactly once → append
     "stream_stream_join": (stream_join_transform, "append"),
+    # grid-cell interval join (round 13): state keyed on the 128 s
+    # cell, eviction bound = watermark + 120 s window
+    "stream_range_join": (range_join_transform, "append"),
     # update mode: each microbatch emits the refreshed running totals
     # per key; the LAST emission per key equals the batch aggregate.
     "stream_stateful": (stateful_transform, "update"),

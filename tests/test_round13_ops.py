@@ -1,0 +1,75 @@
+"""Round-13 births and hardening.
+
+`scan_mor_positional` gets BOTH a pure-Python ordinal replay (the
+oracle and the engine could share a misreading of "position"; a
+literal sorted-list walk can't) and a plan-shape pin (ONE left-anti
+join applies the delete file; no Cartesian anywhere).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import defaultdict
+
+from nchu_bigdata_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+
+def _bucket(orderkey) -> int:
+    return int(hashlib.md5(str(orderkey).encode()).hexdigest()[:8], 16) % 4
+
+
+# --------------------------------------------------------------------------
+# scan_mor_positional
+# --------------------------------------------------------------------------
+
+
+def test_mor_positional_replay(spark, sf_dir, duck):
+    """Literal replay of the position-delete contract: sort each
+    bucket's rows by o_orderkey (the writer's in-file order), delete
+    ordinals 2, 9, 16, ..., aggregate survivors."""
+    per_bucket: dict[int, list] = defaultdict(list)
+    for ok, st, tp in duck.execute(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+    ).fetchall():
+        per_bucket[_bucket(ok)].append((ok, st, tp))
+    want = {}
+    n_deleted = 0
+    for b, rows in per_bucket.items():
+        rows.sort()
+        live = [r for pos, r in enumerate(rows) if pos % 7 != 2]
+        n_deleted += len(rows) - len(live)
+        want[b] = (len(live), sum(tp for _, _, tp in live))
+    got_rows = SPECS["scan_mor_positional"].fn(spark, sf_dir).collect()
+    got = {r.bucket: (r.n_live, float(r.sum_price)) for r in got_rows}
+    assert set(got) == set(want)
+    for b, (n, sp) in want.items():
+        assert got[b][0] == n, f"bucket {b}"
+        assert abs(got[b][1] - sp) < 1e-3, f"bucket {b}"
+    # the in-result invariant column: no deleted ordinal survived
+    assert all(r.all_live_kept for r in got_rows)
+    # deletes genuinely removed ~1/7 of every bucket
+    n_orders = sum(len(v) for v in per_bucket.values())
+    assert 0 < n_deleted < n_orders // 5
+    assert sum(n for n, _ in got.values()) == n_orders - n_deleted
+
+
+def test_mor_positional_plan(spark, sf_dir):
+    """Plan pin: the deletes apply through exactly ONE left-anti join
+    keyed on the physical row ordinal (_metadata.row_index), and
+    nothing degenerates to a Cartesian product."""
+    df = SPECS["scan_mor_positional"].fn(spark, sf_dir)
+    df.collect()  # finalize AQE so the executed plan is the real one
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString carries the Initial Plan below the Final Plan —
+    # pin the shape of what actually ran
+    plan = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"LeftAnti", plan)) == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "row_index" in plan, "deletes must key on the file ordinal"
+    # the delete file is the BUILD side (delete-file cardinality, not
+    # base cardinality, sets the hash table) and the base scan reaches
+    # the join without an exchange
+    assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight", plan), plan

@@ -51,6 +51,9 @@ PARITY_IDS = [
     # round 8: OHLC bars via algebraic min_by/max_by open/close — the
     # streaming-capable restatement of win_ohlc_bars
     "stream_ohlc",
+    # round 13: grid-cell interval join (join_range_partitioned's
+    # strategy) as a true watermarked stream-stream join, append mode
+    "stream_range_join",
 ]
 
 

@@ -33,28 +33,39 @@ GATES = {
 }
 
 # Bench-noise guard (VERDICT r11 item 6): rounds 8 and 10/11 published
-# contention-inflated headlines. value_mean/value (mean-of-reps over
-# best-of-reps, summed) ≈ 1.0 on a quiet host; > this threshold means
-# the reps were bursty and the artifact misleads.
-SPREAD_MAX = 1.25
+# contention-inflated headlines. Single source of truth shared with
+# bench.py's re-record loop (ADVICE r12 item 2 — a diverged copy here
+# silently decouples what the bench re-records from what this gate
+# rejects).
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+from nchu_bigdata_spark.gate_constants import SPREAD_MAX  # noqa: E402
 
 
 def bench_spread_gate(repo: str) -> dict:
-    """Read the newest bench artifact (BENCH_LOCAL.json or BENCH_r*.json
-    by mtime) and fail when value_mean/value > SPREAD_MAX. Pure file
-    read — does NOT run the bench (that is the driver's job / a manual
-    quiet-host run); this gate stops a noisy record from being the one
-    the round publishes without anyone noticing."""
+    """Read the CANONICAL bench artifact and fail when
+    value_mean/value > SPREAD_MAX. Selection is deterministic (ADVICE
+    r12 item 3 — mtime order is arbitrary on a fresh checkout):
+    BENCH_LOCAL.json is the canonical current record when present (the
+    quiet-host re-record workflow writes it, so it supersedes any
+    driver-recorded round artifact); otherwise the highest-numbered
+    BENCH_r*.json. Pure file read — does NOT run the bench (that is
+    the driver's job / a manual quiet-host run); this gate stops a
+    noisy record from being the one the round publishes without anyone
+    noticing."""
     import glob
+    import re
 
-    newest: tuple[float, str] | None = None
-    for p in glob.glob(os.path.join(repo, "BENCH_*.json")):
-        mt = os.path.getmtime(p)
-        if newest is None or mt > newest[0]:
-            newest = (mt, p)
-    if newest is None:
-        return {"rc": 0, "note": "no bench artifact yet"}
-    path = newest[1]
+    path = os.path.join(repo, "BENCH_LOCAL.json")
+    if not os.path.exists(path):
+        best: tuple[int, str] | None = None
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+            m = re.search(r"BENCH_r(\d+)\.json$", p)
+            if m and (best is None or int(m.group(1)) > best[0]):
+                best = (int(m.group(1)), p)
+        if best is None:
+            return {"rc": 0, "note": "no bench artifact yet"}
+        path = best[1]
     try:
         with open(path, encoding="utf-8") as f:
             d = json.load(f)

@@ -267,7 +267,7 @@ def time_op(spark, specs, name: str, sf_dir: str, reps: int) -> tuple[float, int
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--ops", type=str, default=",".join(HEAVY_OPS))
+    ap.add_argument("--ops", type=str, default=None)
     ap.add_argument(
         "--embed100x",
         action="store_true",
@@ -290,7 +290,13 @@ def main() -> int:
         "construction for global time-overlap joins",
     )
     args = ap.parse_args()
-    ops = [o for o in args.ops.split(",") if o]
+    # default=None so the geo/timeshift arms can tell "flag omitted"
+    # from "user explicitly asked for the heavy list" (ADVICE r12)
+    ops = (
+        [o for o in args.ops.split(",") if o]
+        if args.ops is not None
+        else list(HEAVY_OPS)
+    )
 
     spark = get_session("scale-probe")
     specs = load_all_queries()
@@ -363,7 +369,7 @@ def main() -> int:
         bench.warm(spark)
         geo_ops = (
             ops
-            if args.ops != ",".join(HEAVY_OPS)
+            if args.ops is not None
             else ["geo_cell_join", "geo_bbox_join"]
         )
         print("| op | 1x sec | 10x sec | ratio | 1x rows | 10x rows |")
@@ -434,7 +440,7 @@ def main() -> int:
         bench.warm(spark)
         ts_ops = (
             ops
-            if args.ops != ",".join(HEAVY_OPS)
+            if args.ops is not None
             else ["join_range_partitioned"]
         )
         print("| op | 1x sec | 10x sec | ratio | 1x rows | 10x rows |")
