@@ -2815,3 +2815,192 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({code_expr} AS BIGINT)").alias("pq_code"),
         F.expr(f"CAST({err_expr} AS BIGINT)").alias("err_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# embed_isotropy — participation ratio of the second-moment matrix (round 13)
+# --------------------------------------------------------------------------
+
+_ISO_SCALE = 1_000  # 1e-3 quantization grid (see scale bound in docstring)
+
+
+@register(
+    "embed_isotropy",
+    tags=("b10",),
+    oracle=f"""
+        -- Participation ratio of the UNCENTERED second-moment matrix
+        -- S = sum(x x^T), per label and globally (label -1):
+        -- PR = trace(S)^2 / ||S||_F^2 (in [1, d]; n cancels in the
+        -- ratio). Exact integer arithmetic on the 1e-3 grid end to
+        -- end; both engines emit identical integral quotients.
+        WITH ex AS (
+            -- NULL labels form their own explicit group (-2): an
+            -- unlabeled slice must surface, not silently drop in the
+            -- final equi join
+            SELECT vec_id, COALESCE(label, -2) AS label,
+                   CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+                   CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE)
+                              * {_ISO_SCALE}) AS BIGINT) AS x
+            FROM embeddings
+        ),
+        m AS (
+            SELECT a.label AS label, a.i AS i, b.i AS j,
+                   SUM(CAST(a.x AS HUGEINT) * b.x) AS spp
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY 1, 2, 3
+        ),
+        lv AS (
+            SELECT label, i, j, spp FROM m
+            UNION ALL
+            SELECT -1, i, j, SUM(spp) FROM m GROUP BY 2, 3
+        ),
+        t AS (
+            SELECT label,
+                   CAST(MAX(j) AS BIGINT) AS d,
+                   SUM(CASE WHEN i = j THEN spp END) AS tr,
+                   SUM(CASE WHEN i = j THEN spp * spp
+                            ELSE 2 * spp * spp END) AS fro2
+            FROM lv GROUP BY label
+        ),
+        cnt AS (
+            SELECT COALESCE(label, -2) AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM embeddings GROUP BY 1
+            UNION ALL
+            SELECT -1, CAST(COUNT(*) AS BIGINT) FROM embeddings
+        )
+        SELECT CAST(t.label AS INT) AS label, cnt.n_vecs, t.d,
+               CAST(t.tr AS BIGINT) AS trace_q,
+               CAST((1000000 * t.tr * t.tr) // t.fro2 AS BIGINT)
+                   AS pr_ppm,
+               CAST((1000000 * t.tr * t.tr) // (t.d * t.fro2) AS BIGINT)
+                   AS iso_ppm
+        FROM t JOIN cnt ON cnt.label = t.label
+    """,
+)
+def embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding corpus: participation ratio
+    PR = trace(S)² / ‖S‖_F² of the uncentered second-moment matrix
+    S = Σ x xᵀ, per label and globally (label −1). PR counts the
+    effective number of dimensions the mass spreads over (1 = rank-1
+    collapse, d = perfectly isotropic); iso_ppm = PR/d·10⁶ is the
+    normalized score. Contextual embeddings are notoriously
+    anisotropic (a dominant common direction — Mu & Viswanath 2018
+    "All-but-the-top", Ethayarajh 2019), and a collapsing PR after a
+    model/quantization change is the cheapest corpus-wide red flag;
+    the uncentered form (vs covariance) deliberately keeps the common
+    mean direction inside the measure, since retrieval dot-products
+    see it too.
+
+    Determinism: values quantize to the 1e-3 grid (exact ROUND of
+    identical doubles); S entries, trace, Frobenius sums and the final
+    ppm quotients are all exact integers — both quotient operands are
+    positive, so Spark's truncating `div` and DuckDB's floor `//`
+    agree. n cancels in PR, so the ratio needs no (n·(n−1)) division
+    — what keeps the arithmetic exact at ANY corpus size; the
+    decimal(38,0) headroom bound is spp² ≲ 1e38 → n ≲ 4e10 vectors at
+    d = 64 (a 100 TB fp32 corpus is ~3e10), with the overflow guard
+    below turning a breach into a loud error, never a silent drift
+    (embed_covariance precedent).
+
+    Plan/scale: ONE corpus scan; the d(d+1)/2 per-vector products are
+    a narrow nested-transform projection (no exploded self-join)
+    feeding a (label, i, j)-keyed hash agg whose map-side partials
+    collapse to labels·d² rows; everything after is arithmetic on that
+    tiny frame. Wire volume O(labels · d² · tasks), no shuffle of the
+    corpus itself."""
+    emb = parallel_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _ISO_SCALE, 0).cast("long"),
+    )
+    # NULL labels form their own explicit group (-2) — they must
+    # surface as a row, not silently vanish in the final equi join
+    lbl = F.coalesce(F.col("label").cast("int"), F.lit(-2))
+    rows = emb.select(
+        lbl.alias("label"),
+        q.alias("q"),
+        F.size("embedding").alias("d"),
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("q"),
+            lambda x, i: F.transform(
+                F.slice(F.col("q"), i + 1, F.col("d") - i),
+                lambda y, j: F.struct(
+                    (i + 1).cast("int").alias("i"),
+                    (i + j + 1).cast("int").alias("j"),
+                    (x * y).alias("p"),
+                ),
+            ),
+        )
+    )
+    m = (
+        rows.select("label", F.explode(pairs).alias("e"))
+        .select("label", "e.i", "e.j", "e.p")
+        .groupBy("label", "i", "j")
+        .agg(
+            F.sum(F.col("p").cast("decimal(28,0)"))
+            .cast("decimal(38,0)")
+            .alias("spp")
+        )
+    )
+    glob = m.groupBy("i", "j").agg(
+        F.sum("spp").cast("decimal(38,0)").alias("spp")
+    ).select(F.lit(-1).alias("label"), "i", "j", "spp")
+    lv = m.unionByName(glob)
+    t = lv.groupBy("label").agg(
+        F.max("j").cast("long").alias("d"),
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("spp")))
+        .cast("decimal(38,0)")
+        .alias("tr"),
+        F.sum(
+            F.when(
+                F.col("i") == F.col("j"), F.col("spp") * F.col("spp")
+            ).otherwise(F.lit(2) * F.col("spp") * F.col("spp"))
+        )
+        .cast("decimal(38,0)")
+        .alias("fro2"),
+    )
+    cnt = (
+        emb.groupBy(
+            F.coalesce(F.col("label").cast("int"), F.lit(-2)).alias("label")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+    cnt = cnt.unionByName(
+        emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs")).select(
+            F.lit(-1).alias("label"), "n_vecs"
+        )
+    )
+    # loud overflow guard (docstring bound): decimal(38,0) spp² or tr²
+    # overflow yields NULL under ANSI-off — fail, don't drift
+    num = F.lit(1_000_000).cast("decimal(38,0)") * F.col("tr") * F.col("tr")
+    guarded = F.when(
+        num.isNull() | F.col("fro2").isNull(),
+        F.raise_error(
+            F.lit(
+                "embed_isotropy: decimal(38,0) moment product overflowed "
+                "(corpus beyond the ~4e10-vector exact bound)"
+            )
+        ).cast("long"),
+    )
+    return (
+        t.join(F.broadcast(cnt), "label")
+        .select(
+            F.col("label"),
+            "n_vecs",
+            "d",
+            F.col("tr").cast("long").alias("trace_q"),
+            F.coalesce(
+                F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * tr * tr)"
+                       " div fro2 AS BIGINT)"),
+                guarded,
+            ).alias("pr_ppm"),
+            F.coalesce(
+                F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * tr * tr)"
+                       " div (CAST(d AS DECIMAL(38,0)) * fro2) AS BIGINT)"),
+                guarded,
+            ).alias("iso_ppm"),
+        )
+    )

@@ -198,6 +198,7 @@ DRIVER_ORDER = [
     # published; never-checked ids stay ahead of the certified tail)
     "scan_mor_positional",
     "stream_range_join",
+    "embed_isotropy",
     "multimodal_resize",  # r5
     "udtf_python_arrow",  # r5
     "dedup_minhash",  # r5

@@ -73,3 +73,91 @@ def test_mor_positional_plan(spark, sf_dir):
     # base cardinality, sets the hash table) and the base scan reaches
     # the join without an exchange
     assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight", plan), plan
+
+
+# --------------------------------------------------------------------------
+# embed_isotropy
+# --------------------------------------------------------------------------
+
+
+def _iso_replay(qvecs, d):
+    """Exact participation-ratio replay with Python bigints: S = sum of
+    x x^T over the quantized vectors, PR = 1e6*tr(S)^2 // ||S||_F^2."""
+    S = [[0] * d for _ in range(d)]
+    for v in qvecs:
+        for i in range(d):
+            for j in range(i, d):
+                S[i][j] += v[i] * v[j]
+    tr = sum(S[i][i] for i in range(d))
+    fro2 = sum(
+        S[i][j] * S[i][j] if i == j else 2 * S[i][j] * S[i][j]
+        for i in range(d)
+        for j in range(i, d)
+    )
+    return (
+        tr,
+        (10**6 * tr * tr) // fro2,
+        (10**6 * tr * tr) // (d * fro2),
+    )
+
+
+def test_embed_isotropy_exact_replay(spark, tmp_path):
+    import random
+    import struct as _struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(13)
+    d, nvec = 6, 60
+    # label 0: isotropic-ish noise; label 1: mass collapsed onto one
+    # axis (plus tiny noise) -> its PR must be far lower
+    vecs, labels = [], []
+    for k in range(nvec):
+        if k % 2 == 0:
+            vecs.append([rng.uniform(-1, 1) for _ in range(d)])
+            labels.append(0)
+        else:
+            v = [rng.uniform(-0.01, 0.01) for _ in range(d)]
+            v[0] = rng.choice([-1.0, 1.0]) * rng.uniform(0.9, 1.1)
+            vecs.append(v)
+            labels.append(1)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(nvec), pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels, pa.int64()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = SPECS["embed_isotropy"].fn(spark, str(tmp_path)).collect()
+    got = {r.label: (r.n_vecs, r.d, r.trace_q, r.pr_ppm, r.iso_ppm) for r in rows}
+    assert set(got) == {-1, 0, 1}
+
+    def f32(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    q = [[int(round(f32(x) * 1_000)) for x in v] for v in vecs]  # noqa: RUF046
+    groups = {
+        -1: q,
+        0: [v for v, l in zip(q, labels) if l == 0],
+        1: [v for v, l in zip(q, labels) if l == 1],
+    }
+    for lbl, qs in groups.items():
+        tr, pr, iso = _iso_replay(qs, d)
+        n, gd, gtr, gpr, giso = got[lbl]
+        assert n == len(qs)
+        assert gd == d
+        assert gtr == tr, lbl
+        assert gpr == pr, lbl          # exact bigint quotient parity
+        assert giso == iso, lbl
+        # PR in [1, d], iso in (0, 1]
+        assert 10**6 <= gpr <= d * 10**6
+        assert 0 < giso <= 10**6
+    # the collapsed label is measurably less isotropic
+    assert got[1][4] < got[0][4] // 2

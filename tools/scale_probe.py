@@ -317,22 +317,24 @@ def main() -> int:
         import bench
 
         bench.warm(spark)
-        name = "dedup_embed_cosine"
-        print("| corpus | n vecs | bits | sec | rows | step ratio |")
-        print("|---|---|---|---|---|---|")
-        prev = None
+        embed_ops = ops if args.ops is not None else ["dedup_embed_cosine"]
+        print("| op | corpus | n vecs | bits | sec | rows | step ratio |")
+        print("|---|---|---|---|---|---|---|")
         breach = False
-        for tag, d, n in arms:
-            t, r = time_op(spark, specs, name, d, args.reps)
-            step = f"{t / prev:.1f}x" if prev else "-"
-            if prev and t / prev >= GATE_RATIO:
-                step += "  **BREACH**"
-                breach = True
-            print(
-                f"| {tag} | {n} | {_lsh_bits(n)} | {t:.2f} | {r} | {step} |",
-                flush=True,
-            )
-            prev = t
+        for name in embed_ops:
+            prev = None
+            for tag, d, n in arms:
+                t, r = time_op(spark, specs, name, d, args.reps)
+                step = f"{t / prev:.1f}x" if prev else "-"
+                if prev and t / prev >= GATE_RATIO:
+                    step += "  **BREACH**"
+                    breach = True
+                print(
+                    f"| {name} | {tag} | {n} | {_lsh_bits(n)} | {t:.2f} "
+                    f"| {r} | {step} |",
+                    flush=True,
+                )
+                prev = t
         return 1 if breach else 0
 
     if args.geo10x:
