@@ -199,6 +199,7 @@ DRIVER_ORDER = [
     "scan_mor_positional",
     "stream_range_join",
     "embed_isotropy",
+    "scan_zorder_pruned",
     "multimodal_resize",  # r5
     "udtf_python_arrow",  # r5
     "dedup_minhash",  # r5

@@ -161,3 +161,86 @@ def test_embed_isotropy_exact_replay(spark, tmp_path):
         assert 0 < giso <= 10**6
     # the collapsed label is measurably less isotropic
     assert got[1][4] < got[0][4] // 2
+
+
+# --------------------------------------------------------------------------
+# scan_zorder_pruned
+# --------------------------------------------------------------------------
+
+
+def test_zorder_pruned_pushdown_and_envelopes(spark, sf_dir):
+    """(a) The box predicates reach the parquet scan as pushed literal
+    range filters on BOTH dimensions; (b) the quantitative zone-map
+    claim: under the z-ordered layout the box's file-envelope
+    intersection count is a small fraction of what a custkey-sorted
+    (linear) layout yields for the same box."""
+    from pyspark.sql import functions as F
+
+    from nchu_bigdata_spark.queries.relational import scratch_dir
+    from nchu_bigdata_spark.queries.scale import (
+        _ZP_CK_HI,
+        _ZP_CK_LO,
+        _ZP_DAY_HI,
+        _ZP_DAY_LO,
+        _ZP_FILES,
+    )
+
+    # plan toString elides long fields at maxMetadataStringLength
+    # (default 100) — the PushedFilters list is longer than that
+    prev_len = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = SPECS["scan_zorder_pruned"].fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev_len)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "PushedFilters" in plan
+    for col in ("o_custkey", "o_day"):
+        assert f"GreaterThanOrEqual({col}" in plan, plan
+        assert f"LessThanOrEqual({col}" in plan, plan
+
+    def n_box_files(frame):
+        env = (
+            frame.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("o_day").alias("dlo"),
+                F.max("o_day").alias("dhi"),
+                F.min("o_custkey").alias("clo"),
+                F.max("o_custkey").alias("chi"),
+            )
+            .collect()
+        )
+        hit = sum(
+            1
+            for r in env
+            if r.dlo <= _ZP_DAY_HI - 1
+            and r.dhi >= _ZP_DAY_LO
+            and r.clo <= _ZP_CK_HI
+            and r.chi >= _ZP_CK_LO
+        )
+        return hit, len(env)
+
+    zdir = scratch_dir(sf_dir, "orders_zorder")
+    z_hit, z_files = n_box_files(spark.read.parquet(zdir))
+    assert z_files == _ZP_FILES
+
+    # linear baseline: same columns, same file count, sorted by the
+    # custkey dimension only — the date box then intersects (nearly)
+    # every file
+    lin_dir = scratch_dir(sf_dir, "orders_zorder_linear_baseline")
+    (
+        spark.read.parquet(zdir)
+        .repartitionByRange(_ZP_FILES, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lin_dir)
+    )
+    l_hit, l_files = n_box_files(spark.read.parquet(lin_dir))
+    assert l_files == _ZP_FILES
+    # the box must hit strictly fewer z-ordered files — and by a wide
+    # margin (the 1994-H1 window is ~7% of the day domain, so the
+    # day-axis envelope alone eliminates most z-range files)
+    assert z_hit * 2 <= l_hit, (z_hit, l_hit)
+    assert z_hit <= z_files // 2, (z_hit, z_files)
