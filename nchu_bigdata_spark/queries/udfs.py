@@ -184,3 +184,76 @@ def udtf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL tokenize_with_pos(d.text) t
         """
     )
+
+
+@register(
+    "udtf_map_in_arrow",
+    tags=("b8",),
+    oracle="""
+        -- the Arrow-native per-batch pass computes exact integer cents
+        -- and props byte-lengths; the rollup certifies every batch made
+        -- it through the RecordBatch iterator intact
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_props_len
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy end of the Python integration
+    ladder (scalar pandas_udf → grouped agg → applyInPandas →
+    mapInPandas → THIS): the function receives raw
+    ``pyarrow.RecordBatch``es and answers with RecordBatches, no
+    pandas materialization, no index bookkeeping — the interface a
+    high-throughput Python codec (tokenizers, Arrow-native feature
+    libs) wants at 100 TB. The batch body runs entirely in Arrow
+    compute kernels (C++), so the Python layer is per-BATCH dispatch,
+    not per-row work.
+
+    Semantics kept deliberately SQL-replayable (exact integer cents
+    via half-away-from-zero round, props character lengths): the oracle
+    certifies the Arrow plumbing — batch iteration, schema contract,
+    value fidelity across the boundary — not a novel computation. A
+    tiny map-side rollup after the map keeps the result bounded.
+
+    Plan/scale: partition-preserving (no shuffle for the map; one
+    event_type-keyed agg exchange after), Arrow batches stream at
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "value", "props"
+    )
+
+    def batches(it):
+        for rb in it:
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(rb.column(1), pa.scalar(100.0)),
+                    ndigits=0,
+                    # Arrow's name for round-half-away-from-zero
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            # utf8_length = CHARACTER count, matching SQL LENGTH on any
+            # corpus (binary_length would count bytes and silently
+            # diverge on non-ASCII props)
+            plen = pc.cast(pc.utf8_length(rb.column(2)), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), cents, plen],
+                ["event_type", "cents", "props_len"],
+            )
+
+    mapped = ev.mapInArrow(
+        batches, "event_type string, cents long, props_len long"
+    )
+    return mapped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum("props_len").cast("long").alias("sum_props_len"),
+    )

@@ -200,6 +200,7 @@ DRIVER_ORDER = [
     "stream_range_join",
     "embed_isotropy",
     "scan_zorder_pruned",
+    "udtf_map_in_arrow",
     "multimodal_resize",  # r5
     "udtf_python_arrow",  # r5
     "dedup_minhash",  # r5

@@ -244,3 +244,73 @@ def test_zorder_pruned_pushdown_and_envelopes(spark, sf_dir):
     # day-axis envelope alone eliminates most z-range files)
     assert z_hit * 2 <= l_hit, (z_hit, l_hit)
     assert z_hit <= z_files // 2, (z_hit, z_files)
+
+
+# --------------------------------------------------------------------------
+# udtf_map_in_arrow
+# --------------------------------------------------------------------------
+
+
+def test_map_in_arrow_plan_and_non_ascii(spark, tmp_path, duck):
+    """(a) Plan: the Arrow map runs partition-preserving — no exchange
+    below the MapInArrow node (the only shuffle is the rollup's);
+    (b) non-ASCII props: utf8_length counts CHARACTERS, so the engine
+    matches SQL LENGTH on a corpus where bytes != chars."""
+    import re
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = SPECS["udtf_map_in_arrow"].fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+    # nothing between the scan and the Arrow map shuffles: the single
+    # Exchange in the final plan belongs to the event_type rollup
+    assert len(re.findall(r"Exchange ", plan)) == 1, plan
+
+    # non-ASCII fixture through the real operator (table() normalizes
+    # the int64-nanos ts like the parity-test writer)
+    t0 = 1_755_000_000 * 1_000_000_000
+    rows = [
+        (1, t0, 1, "click", 1.005, '{"q":"café"}'),
+        (2, t0 + 1, 1, "view", -2.5, '{"q":"日本語テスト"}'),
+        (3, t0 + 2, 2, "click", 0.115, '{"plain":"ascii"}'),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r.event_type: (r.n, r.sum_cents, r.sum_props_len)
+        for r in SPECS["udtf_map_in_arrow"].fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * EXCLUDE (ts), "
+        f"make_timestamp(ts // 1000) AS ts FROM "
+        f"'{tmp_path}/events.parquet'"
+    )
+    want = {
+        t: (n, c, p)
+        for t, n, c, p in con.execute(
+            SPECS["udtf_map_in_arrow"].oracle
+        ).fetchall()
+    }
+    assert got == want
+    # the char-count semantics specifically: the café row is 12 chars
+    # (13 bytes), the Japanese row 14 chars (26 bytes) — byte counting
+    # would inflate both
+    assert got["click"][2] == 12 + 17
+    assert got["view"][2] == 14
