@@ -393,8 +393,6 @@ def prev_llm_numbers() -> tuple[int | str, dict[str, float]] | None:
     contract (no llm_queries), so the BENCH_r{N} scan below was
     silently comparing against round 5. Falls back to the newest
     BENCH_r{N}.json whose parsed line still carried llm_queries."""
-    import glob
-    import re
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -412,11 +410,11 @@ def prev_llm_numbers() -> tuple[int | str, dict[str, float]] | None:
                 return ("prev-commit", d["llm_queries"])
     except Exception:  # noqa: BLE001 - fall through to the BENCH_r scan
         pass
-    best: tuple[int, dict[str, float]] | None = None
-    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if not m:
-            continue
+    # shared artifact-discovery rule (gate_constants) — highest round
+    # first, so the first qualifying record wins
+    from nchu_bigdata_spark.gate_constants import bench_round_artifacts
+
+    for rnd, p in bench_round_artifacts(repo):
         try:
             with open(p, encoding="utf-8") as f:
                 d = json.load(f)
@@ -424,10 +422,8 @@ def prev_llm_numbers() -> tuple[int | str, dict[str, float]] | None:
             continue
         parsed = d.get("parsed") or {}
         if d.get("rc") == 0 and parsed.get("llm_queries"):
-            rnd = int(m.group(1))
-            if best is None or rnd > best[0]:
-                best = (rnd, parsed["llm_queries"])
-    return best
+            return (rnd, parsed["llm_queries"])
+    return None
 
 
 def trimmed_mean(samples: list[float]) -> float:

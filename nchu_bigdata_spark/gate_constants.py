@@ -12,3 +12,24 @@ rejects, so both sides import THIS value.
 # value_mean/value (mean-of-reps over best-of-reps, summed) ≈ 1.0 on a
 # quiet host; above this the reps were bursty and the record misleads.
 SPREAD_MAX = 1.25
+
+
+def bench_round_artifacts(repo: str) -> list[tuple[int, str]]:
+    """(round, path) for every driver-recorded BENCH_r*.json under
+    ``repo``, HIGHEST round first — the one shared artifact-discovery
+    rule (bench.py's delta baseline and round_gate's spread gate both
+    used to carry their own copy of this glob+regex; a drift between
+    them would make the gate inspect a different artifact than the
+    bench compares against). Stdlib-only: this module must stay
+    importable without pyspark (tools/round_gate.py loads it by file
+    path in artifact-only environments)."""
+    import glob
+    import os
+    import re
+
+    out = []
+    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out, reverse=True)

@@ -2901,7 +2901,10 @@ def embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0) headroom bound is spp² ≲ 1e38 → n ≲ 4e10 vectors at
     d = 64 (a 100 TB fp32 corpus is ~3e10), with the overflow guard
     below turning a breach into a loud error, never a silent drift
-    (embed_covariance precedent).
+    (embed_covariance precedent). Input contract (same as
+    embed_covariance's): |value| ≤ ~3e6, because the per-element long
+    product q·q wraps silently past that — unit-norm-ish embeddings
+    sit six orders inside the bound.
 
     Plan/scale: ONE corpus scan; the d(d+1)/2 per-vector products are
     a narrow nested-transform projection (no exploded self-join)
@@ -2949,18 +2952,25 @@ def embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("spp").cast("decimal(38,0)").alias("spp")
     ).select(F.lit(-1).alias("label"), "i", "j", "spp")
     lv = m.unionByName(glob)
+    # the overflow-prone product is computed BEFORE the SUM so a
+    # decimal(38,0) NULL is countable: F.sum() silently SKIPS null
+    # inputs, so a guard on the aggregate alone would let an
+    # overflowed term vanish from fro2 and drift the ratio unseen
+    lv = lv.withColumn(
+        "sq_term",
+        F.when(
+            F.col("i") == F.col("j"), F.col("spp") * F.col("spp")
+        ).otherwise(F.lit(2) * F.col("spp") * F.col("spp")),
+    )
     t = lv.groupBy("label").agg(
         F.max("j").cast("long").alias("d"),
         F.sum(F.when(F.col("i") == F.col("j"), F.col("spp")))
         .cast("decimal(38,0)")
         .alias("tr"),
-        F.sum(
-            F.when(
-                F.col("i") == F.col("j"), F.col("spp") * F.col("spp")
-            ).otherwise(F.lit(2) * F.col("spp") * F.col("spp"))
-        )
-        .cast("decimal(38,0)")
-        .alias("fro2"),
+        F.sum("sq_term").cast("decimal(38,0)").alias("fro2"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.count("sq_term").alias("n_sq_ok"),
+        F.count("spp").alias("n_spp_ok"),
     )
     cnt = (
         emb.groupBy(
@@ -2973,11 +2983,21 @@ def embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("label"), "n_vecs"
         )
     )
-    # loud overflow guard (docstring bound): decimal(38,0) spp² or tr²
-    # overflow yields NULL under ANSI-off — fail, don't drift
+    # loud overflow guard (docstring bound): decimal(38,0) overflow
+    # yields NULL under ANSI-off — fail, don't drift. Per-TERM nulls
+    # are detected via the count mismatch (a null inside F.sum is
+    # skipped, never propagated), aggregate/quotient nulls directly.
     num = F.lit(1_000_000).cast("decimal(38,0)") * F.col("tr") * F.col("tr")
+    den_iso = F.col("d").cast("decimal(38,0)") * F.col("fro2")
+    overflow = (
+        (F.col("n_sq_ok") != F.col("n_terms"))
+        | (F.col("n_spp_ok") != F.col("n_terms"))
+        | num.isNull()
+        | F.col("fro2").isNull()
+        | den_iso.isNull()
+    )
     guarded = F.when(
-        num.isNull() | F.col("fro2").isNull(),
+        overflow,
         F.raise_error(
             F.lit(
                 "embed_isotropy: decimal(38,0) moment product overflowed "
@@ -2992,15 +3012,17 @@ def embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
             "d",
             F.col("tr").cast("long").alias("trace_q"),
-            F.coalesce(
+            F.when(
+                overflow, guarded
+            ).otherwise(
                 F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * tr * tr)"
-                       " div fro2 AS BIGINT)"),
-                guarded,
+                       " div fro2 AS BIGINT)")
             ).alias("pr_ppm"),
-            F.coalesce(
+            F.when(
+                overflow, guarded
+            ).otherwise(
                 F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * tr * tr)"
-                       " div (CAST(d AS DECIMAL(38,0)) * fro2) AS BIGINT)"),
-                guarded,
+                       " div (CAST(d AS DECIMAL(38,0)) * fro2) AS BIGINT)")
             ).alias("iso_ppm"),
         )
     )

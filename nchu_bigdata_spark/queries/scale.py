@@ -277,16 +277,12 @@ _ZP_DAY_LO, _ZP_DAY_HI = 8766, 8947  # [1994-01-01, 1994-07-01) epoch days
 
 
 def _zp_morton(x: str, y: str, shift: str) -> str:
-    """16-bit Morton interleave (sort_zorder's builder at write-key
-    width): engine-appropriate shift syntax via ``shift`` format."""
-    div = "//" if "<<" in shift else "DIV"
-    terms = []
-    for i in range(_ZP_BITS):
-        terms.append(shift.format(v=f"(({x} {div} {1 << i}) % 2)", n=2 * i))
-        terms.append(
-            shift.format(v=f"(({y} {div} {1 << i}) % 2)", n=2 * i + 1)
-        )
-    return " + ".join(terms)
+    """16-bit Morton interleave — sort_zorder's builder at this
+    op's write-key width (ONE interleave implementation; a second
+    copy could drift, the gate_constants rationale)."""
+    from nchu_bigdata_spark.queries.sets_sorts import _morton_terms
+
+    return _morton_terms(x, y, shift, bits=_ZP_BITS)
 
 
 @register(

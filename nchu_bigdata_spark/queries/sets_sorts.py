@@ -132,15 +132,16 @@ _Z_BITS = 8  # bits per dimension interleaved into the 16-bit Morton key
 _Z_BLOCKS = 64  # fixed-width key-range blocks (stand-ins for files)
 
 
-def _morton_terms(x: str, y: str, shift: str) -> str:
+def _morton_terms(x: str, y: str, shift: str, bits: int | None = None) -> str:
     """Bit-interleave expression `zkey = Σ ((x>>i)&1)<<2i | ((y>>i)&1)<<2i+1`
     rendered with engine-appropriate shift syntax: ``shift`` is a
     format string, e.g. ``"shiftleft({v}, {n})"`` (Spark) or
     ``"({v} << {n})"`` (DuckDB). Right shifts use the same renderer
     with negative semantics avoided by pre-shifting via integer DIV,
-    which both engines share."""
+    which both engines share. ``bits`` defaults to the block-stats
+    width (_Z_BITS); scan_zorder_pruned passes its write-key width."""
     terms = []
-    for i in range(_Z_BITS):
+    for i in range(_Z_BITS if bits is None else bits):
         # integer DIV is spelled differently: `//` (DuckDB) vs DIV (Spark)
         div = "//" if "<<" in shift else "DIV"
         terms.append(

@@ -36,10 +36,19 @@ GATES = {
 # contention-inflated headlines. Single source of truth shared with
 # bench.py's re-record loop (ADVICE r12 item 2 — a diverged copy here
 # silently decouples what the bench re-records from what this gate
-# rejects).
-if REPO not in sys.path:
-    sys.path.insert(0, REPO)
-from nchu_bigdata_spark.gate_constants import SPREAD_MAX  # noqa: E402
+# rejects). Loaded by FILE PATH, not package import: the package
+# __init__ pulls pyspark, and this tool must keep working (and stay
+# cheap) in artifact-only environments.
+import importlib.util as _ilu  # noqa: E402
+
+_gc_spec = _ilu.spec_from_file_location(
+    "nchu_gate_constants",
+    os.path.join(REPO, "nchu_bigdata_spark", "gate_constants.py"),
+)
+_gc = _ilu.module_from_spec(_gc_spec)
+_gc_spec.loader.exec_module(_gc)
+SPREAD_MAX = _gc.SPREAD_MAX
+bench_round_artifacts = _gc.bench_round_artifacts
 
 
 def bench_spread_gate(repo: str) -> dict:
@@ -53,19 +62,12 @@ def bench_spread_gate(repo: str) -> dict:
     the driver's job / a manual quiet-host run); this gate stops a
     noisy record from being the one the round publishes without anyone
     noticing."""
-    import glob
-    import re
-
     path = os.path.join(repo, "BENCH_LOCAL.json")
     if not os.path.exists(path):
-        best: tuple[int, str] | None = None
-        for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
-            m = re.search(r"BENCH_r(\d+)\.json$", p)
-            if m and (best is None or int(m.group(1)) > best[0]):
-                best = (int(m.group(1)), p)
-        if best is None:
+        rounds = bench_round_artifacts(repo)
+        if not rounds:
             return {"rc": 0, "note": "no bench artifact yet"}
-        path = best[1]
+        path = rounds[0][1]
     try:
         with open(path, encoding="utf-8") as f:
             d = json.load(f)
