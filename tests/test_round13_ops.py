@@ -314,3 +314,91 @@ def test_map_in_arrow_plan_and_non_ascii(spark, tmp_path, duck):
     # would inflate both
     assert got["click"][2] == 12 + 17
     assert got["view"][2] == 14
+
+
+# --------------------------------------------------------------------------
+# stream_range_join — cell-boundary semantics
+# --------------------------------------------------------------------------
+
+
+def test_stream_range_join_cell_boundaries(spark, tmp_path):
+    """Adversarial fixture pinned to the exact grid edges: events AT
+    the window open (included), one microsecond before close
+    (included), AT close (excluded), straddling a 128 s cell boundary
+    (must still match — the interval's second exploded cell carries
+    it), and in a far cell (no match). Batch form; the parity test
+    already proves stream==batch on the corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nchu_bigdata_spark.queries.joins import _RP_CELL_US, _RP_WIN_US
+
+    cell_ns = _RP_CELL_US * 1000
+    win_ns = _RP_WIN_US * 1000
+    # place the error 5 s before a cell boundary so its 120 s window
+    # crosses into the next cell
+    t_err = 10 * cell_ns - 5_000_000_000
+    rows = [
+        # (event_id, ts_ns, event_type)
+        (1, t_err, "error"),            # opens the window; also inside it
+        (2, t_err, "view"),             # exactly at lo -> included
+        (3, t_err + win_ns - 1000, "view"),  # lo + win - 1us -> included
+        (4, t_err + win_ns, "view"),    # exactly at hi -> EXCLUDED
+        (5, 10 * cell_ns + 1000, "view"),  # next cell, inside window
+        (6, 12 * cell_ns, "view"),      # far cell -> no match
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = sorted(
+        (r.incident_id, r.event_id)
+        for r in SPECS["stream_range_join"].fn(spark, str(tmp_path)).collect()
+    )
+    # window [lo, lo+120s): events 1 (itself), 2, 3, 5; NOT 4 (== hi),
+    # NOT 6 (far); and no pair is emitted twice despite the interval
+    # spanning two cells
+    assert got == [(1, 1), (1, 2), (1, 3), (1, 5)], got
+
+
+# --------------------------------------------------------------------------
+# scan_mor_positional — tiny-bucket edge (no deletable ordinals)
+# --------------------------------------------------------------------------
+
+
+def test_mor_positional_tiny_buckets(spark, tmp_path):
+    """Buckets with <= 2 rows have no ordinal >= 2 to delete: the
+    sequence guard must emit an empty delete set (not raise on an
+    empty sequence range) and every row survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 6 orderkeys spread across md5 buckets; every bucket ends up tiny
+    keys = list(range(1, 7))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(keys)),
+                "o_totalprice": pa.array([10.0 * k for k in keys], pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    rows = SPECS["scan_mor_positional"].fn(spark, str(tmp_path)).collect()
+    per_bucket = defaultdict(int)
+    for k in keys:
+        per_bucket[_bucket(k)] += 1
+    # replay: a bucket of n rows loses ordinals {2, 9, ...} < n
+    want_live = sum(n - len(range(2, n, 7)) for n in per_bucket.values())
+    assert sum(r.n_live for r in rows) == want_live
+    assert all(r.all_live_kept for r in rows)
