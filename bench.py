@@ -137,6 +137,12 @@ LLM_GROUP = [
     # Kendall births are tracked in the SQL group) (trend starts here)
     "text_heaps_law",
     "sample_neyman_alloc",
+    # born round 12: tokenizer fertility table, quality-gate yield
+    # sweep (trend starts here — r12 omitted them, a tracking gap)
+    "tokenize_fertility",
+    "curate_quality_gate_sweep",
+    # born round 13: second-moment isotropy screen (trend starts here)
+    "embed_isotropy",
 ]
 
 # Third tracked group (born round 6): SQL/warehouse/graph composites
@@ -323,6 +329,17 @@ SQL_GROUP = [
     "ts_ljung_box",
     "ts_kendall_tau",
     "events_welch_ttest",
+    # born round 12: no-equi-key interval join, bounded-radius kNN
+    # (trend starts here — r12 omitted them, a tracking gap)
+    "join_range_partitioned",
+    "geo_knn_join",
+    # born round 13: position-delete MoR read, dual-runtime interval
+    # pairs, z-order zone-map read, Arrow RecordBatch transform
+    # (trend starts here)
+    "scan_mor_positional",
+    "stream_range_join",
+    "scan_zorder_pruned",
+    "udtf_map_in_arrow",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative
