@@ -340,6 +340,7 @@ SQL_GROUP = [
     "stream_range_join",
     "scan_zorder_pruned",
     "udtf_map_in_arrow",
+    "agg_hll_portable",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative

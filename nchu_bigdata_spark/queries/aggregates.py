@@ -2953,3 +2953,189 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v_e6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_hll_portable — exactly-replayable HyperLogLog (round 13)
+# --------------------------------------------------------------------------
+
+_HLL_M = 256  # registers (b = 8 bucket bits; sigma = 1.04/16 = 6.5%)
+_HLL_B = 8
+_HLL_R = 60  # hash width: 15 md5 hex chars -> 60 bits (signed-safe)
+# alpha_m = 0.7213/(1 + 1.079/m) (Flajolet et al. 2007, HyperLogLog);
+# alpha_256 = 0.71827... pinned as an exact rational so both engines
+# compute the identical integer
+_HLL_ALPHA_NUM, _HLL_ALPHA_DEN = 71827, 100000
+
+
+@register(
+    "agg_hll_portable",
+    tags=("b4",),
+    oracle=f"""
+        -- HyperLogLog with every step replayable: md5-derived 60-bit
+        -- hash, low-6-bit register index, rank = leading-zero count of
+        -- the remaining 52 bits + 1 (via the binary-string length —
+        -- identical on both engines), registers maxed per group, and
+        -- the raw HLL estimate as ONE exact integer division (the
+        -- 2^-M sum is dyadic: sum(1 << (R - M)) over the full 256-
+        -- register spine, empty registers M=0). Unlike agg_approx's
+        -- opaque engine HLL this sketch is the oracle's equal — no
+        -- tolerance, exact row hashes. err_bp reports the estimator's
+        -- true accuracy against the exact distinct.
+        WITH h AS (
+            -- salted per group: each event_type gets an INDEPENDENT
+            -- hash draw (the corpus shares one user set across types;
+            -- unsalted, every group would repeat the same registers
+            -- and the same error)
+            SELECT event_type,
+                   ('0x' || substr(md5(event_type || ':' ||
+                                        user_id::VARCHAR), 1, 15))::BIGINT
+                       AS hv
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, hv % {_HLL_M} AS b,
+                   MAX({_HLL_R - _HLL_B} + 1
+                       - length(ltrim(bin(hv // {_HLL_M}), '0'))) AS m
+            FROM h GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT DISTINCT event_type, bb.b
+            FROM events, (SELECT unnest(range({_HLL_M})) AS b) bb
+        ),
+        regs AS (
+            SELECT s.event_type, COALESCE(r.m, 0) AS m
+            FROM spine s LEFT JOIN r ON r.event_type = s.event_type
+                                     AND r.b = s.b
+        ),
+        agg AS (
+            SELECT event_type,
+                   SUM(CAST((1::BIGINT << ({_HLL_R} - m)) AS HUGEINT))
+                       AS s2,
+                   SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v_empty
+            FROM regs GROUP BY event_type
+        ),
+        ex AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT a.event_type,
+               ex.n_exact,
+               CAST(({_HLL_ALPHA_NUM}::HUGEINT * {_HLL_M * _HLL_M}
+                     * (1::BIGINT << {_HLL_R})::HUGEINT)
+                    // ({_HLL_ALPHA_DEN}::HUGEINT * a.s2) AS BIGINT)
+                   AS hll_est,
+               CAST(ABS(CAST(({_HLL_ALPHA_NUM}::HUGEINT * {_HLL_M * _HLL_M}
+                     * (1::BIGINT << {_HLL_R})::HUGEINT)
+                    // ({_HLL_ALPHA_DEN}::HUGEINT * a.s2) AS BIGINT)
+                        - ex.n_exact) * 10000 // ex.n_exact AS BIGINT)
+                   AS err_bp,
+               CAST(a.v_empty AS BIGINT) AS v_empty,
+               CAST(a.v_empty > 0 AND
+                    CAST(({_HLL_ALPHA_NUM}::HUGEINT * {_HLL_M * _HLL_M}
+                          * (1::BIGINT << {_HLL_R})::HUGEINT)
+                         // ({_HLL_ALPHA_DEN}::HUGEINT * a.s2) AS BIGINT)
+                        * 2 < {5 * _HLL_M} AS BOOLEAN) AS lc_regime
+        FROM agg a JOIN ex ON ex.event_type = a.event_type
+    """,
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch with EVERY step replayable —
+    completing the portable-sketch family (count-min `agg_countmin`,
+    bloom `dedup_bloom`, minhash `dedup_minhash_estimate`): md5-salted
+    60-bit row hash, low-8-bit register index (m = 256), rank =
+    leading-zero count of the remaining 52 bits + 1 (computed as a
+    binary-string length, which both engines render identically),
+    per-group register MAX (hash salted per group so each group is an
+    independent draw), and the raw HLL estimate
+    α·m²/Σ2^(−M_j) as ONE exact integer division — the 2^(−M) sum is
+    dyadic, so Σ is the integer Σ 2^(R−M_j) over the FULL 256-register
+    spine (an unhit register is M = 0 and must contribute 2^R;
+    dropping empty registers is the classic silent HLL bug). α_256 =
+    0.71827 is Flajolet 2007's constant as an exact rational. The raw
+    estimator is used deliberately (no small-range linear-counting
+    switch — the LC value needs ln, which is not hash-stable across
+    engines); instead `lc_regime` flags, with a pure integer test,
+    every group where real HLL would switch (raw < 5m/2 with empty
+    registers), and v_empty/err_bp expose the raw regime's accuracy, and the oracle match is EXACT either way
+    because both engines replay the identical integers — the sketch
+    is certified, not trusted (`agg_approx` covers the engine-native
+    opaque HLL beside this).
+
+    Plan/scale: one (event_type, bucket)-keyed hash agg over the
+    events scan (map-side combined, ≤ groups×64 rows out), the
+    constant 256-row spine explodes from the group list, and the
+    estimate is arithmetic on a groups×64 frame. The register layout
+    is what a 1000-executor rollup would ship: 64 longs per group per
+    partition, mergeable by MAX — the whole point of HLL at 100 TB.
+
+    Ref parity: no counterpart in the reference (538-LoC k-means);
+    capability-closure operator per SURVEY.md §2.B-4."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substr(md5(concat(event_type, ':',"
+            " CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    regs = (
+        ev.select(
+            "event_type",
+            F.expr(f"hv % {_HLL_M}").alias("b"),
+            F.expr(
+                f"{_HLL_R - _HLL_B} + 1 - length(trim(LEADING '0' FROM"
+                f" bin(hv div {_HLL_M})))"
+            ).alias("rk"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.max("rk").alias("m"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("b"),
+        )
+    )
+    full = spine.join(regs, ["event_type", "b"], "left").select(
+        "event_type", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    agg = full.groupBy("event_type").agg(
+        F.sum(
+            F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_R} - m)"
+                   f" AS DECIMAL(38,0))")
+        ).alias("s2"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_empty"),
+    )
+    ex = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    num = (
+        f"CAST({_HLL_ALPHA_NUM * _HLL_M * _HLL_M} AS DECIMAL(38,0))"
+        f" * CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_R}) AS DECIMAL(38,0))"
+    )
+    est = f"CAST(({num}) div (CAST({_HLL_ALPHA_DEN} AS DECIMAL(38,0)) * s2) AS BIGINT)"
+    return (
+        agg.join(ex, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.expr(est).alias("hll_est"),
+            F.expr(
+                f"CAST(abs({est} - n_exact) * 10000 div n_exact AS BIGINT)"
+            ).alias("err_bp"),
+            "v_empty",
+            # raw < 5m/2 with empty registers = the regime where real
+            # HLL switches to linear counting (integer test; the LC
+            # value itself needs ln, which is not hash-stable)
+            F.expr(
+                f"v_empty > 0 AND {est} * 2 < {5 * _HLL_M}"
+            ).alias("lc_regime"),
+        )
+    )

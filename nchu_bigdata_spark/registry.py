@@ -105,24 +105,25 @@ def register(
 # round-7-born ids; r9 the round-8-born ids. 186 ids ever windowed,
 # 183 latest-green + 3 rows-only-by-design as of r9.
 #
-# Remaining ledger, RECOUNTED after the r12 rotation AND the five r13
+# Remaining ledger, RECOUNTED after the r12 rotation AND the six r13
 # births. After rotating the r12 window (50 consumed, all green), 63
 # never-checked ids remained; the r13 births (scan_mor_positional,
 # stream_range_join, embed_isotropy, scan_zorder_pruned,
-# udtf_map_in_arrow) queue at the tail of the never-checked block, so
-# 68 never-checked ids now lead, consumed head-first in two windows:
+# udtf_map_in_arrow, agg_hll_portable) queue at the tail of the
+# never-checked block, so 69 never-checked ids now lead, consumed
+# head-first in two windows:
 #   r13: ids [0:50)  — head: orders_returns_rate ... sink_dynamic_overwrite
-#   r14: ids [50:68) — the 18-id remainder: 9 pre-r12 ids
+#   r14: ids [50:69) — the 19-id remainder: 9 pre-r12 ids
 #        (events_peak_days, orders_rank_stability,
 #        tokenize_padding_waste, win_drawdown_duration,
 #        multimodal_audio_stats, multimodal_phash_clusters,
 #        multimodal_audio_vad, multimodal_image_stats,
 #        multimodal_scene_changes), the 4 r12 births
 #        (join_range_partitioned, tokenize_fertility,
-#        curate_quality_gate_sweep, geo_knn_join) and the 5 r13 births
-#        above, + 32 top-ups from the refresh queue (the tail below is
+#        curate_quality_gate_sweep, geo_knn_join) and the 6 r13 births
+#        above, + 31 top-ups from the refresh queue (the tail below is
 #        oldest-certification-first, so the top-ups are exactly the
-#        oldest 32 certified ids).
+#        oldest 31 certified ids).
 # After r14 every id holds a driver row and the list degenerates into
 # the oldest-green-first refresh cycle at the tail.
 # Each round: run `python tools/rotate_ledger.py --apply` after the
@@ -204,6 +205,7 @@ DRIVER_ORDER = [
     "embed_isotropy",
     "scan_zorder_pruned",
     "udtf_map_in_arrow",
+    "agg_hll_portable",
     "multimodal_resize",  # r5
     "udtf_python_arrow",  # r5
     "dedup_minhash",  # r5

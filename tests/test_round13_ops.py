@@ -402,3 +402,64 @@ def test_mor_positional_tiny_buckets(spark, tmp_path):
     want_live = sum(n - len(range(2, n, 7)) for n in per_bucket.values())
     assert sum(r.n_live for r in rows) == want_live
     assert all(r.all_live_kept for r in rows)
+
+
+# --------------------------------------------------------------------------
+# agg_hll_portable — exact pure-Python replay
+# --------------------------------------------------------------------------
+
+
+def test_hll_portable_exact_replay(spark, sf_dir, duck):
+    """Replay the whole sketch with Python bigints: salted md5 60-bit
+    hash, low-8-bit bucket, leading-zero rank, register MAX over the
+    full 256 spine, dyadic sum, one integer division. Every output
+    column must match exactly (the estimator itself is deterministic,
+    not just close)."""
+    from nchu_bigdata_spark.queries.aggregates import (
+        _HLL_ALPHA_DEN,
+        _HLL_ALPHA_NUM,
+        _HLL_B,
+        _HLL_M,
+        _HLL_R,
+    )
+
+    want = {}
+    groups = defaultdict(set)
+    for et, uid in duck.execute(
+        "SELECT event_type, user_id FROM events"
+    ).fetchall():
+        groups[et].add(uid)
+    for et, uids in groups.items():
+        regs = [0] * _HLL_M
+        for uid in uids:
+            hv = int(
+                hashlib.md5(f"{et}:{uid}".encode()).hexdigest()[:15], 16
+            )
+            b = hv % _HLL_M
+            w = hv // _HLL_M
+            rank = (_HLL_R - _HLL_B) + 1 - (w.bit_length())
+            regs[b] = max(regs[b], rank)
+        s2 = sum(1 << (_HLL_R - m) for m in regs)
+        est = (_HLL_ALPHA_NUM * _HLL_M * _HLL_M * (1 << _HLL_R)) // (
+            _HLL_ALPHA_DEN * s2
+        )
+        v = sum(1 for m in regs if m == 0)
+        n = len(uids)
+        want[et] = (
+            n,
+            est,
+            abs(est - n) * 10000 // n,
+            v,
+            v > 0 and est * 2 < 5 * _HLL_M,
+        )
+    got = {
+        r.event_type: (r.n_exact, r.hll_est, r.err_bp, r.v_empty, r.lc_regime)
+        for r in SPECS["agg_hll_portable"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # registers must merge by MAX: the estimate never undercounts by
+    # more than the sketch's design error in the raw regime; at tiny
+    # corpora lc_regime must be flagged
+    for et, (n, est, _, v, lc) in want.items():
+        if n < 100:
+            assert lc, f"{et}: small range must flag lc_regime"
