@@ -463,3 +463,44 @@ def test_hll_portable_exact_replay(spark, sf_dir, duck):
     for et, (n, est, _, v, lc) in want.items():
         if n < 100:
             assert lc, f"{et}: small range must flag lc_regime"
+
+
+def test_hll_portable_merge_property(duck):
+    """THE property that makes HLL a 100 TB structure: per-shard
+    register sets merged by element-wise MAX must equal the
+    single-pass registers EXACTLY (integer equality), so the merged
+    estimate is the single-pass estimate — partial aggregation loses
+    nothing. Replayed shard-by-shard in pure Python over a month
+    sharding the engine never saw."""
+    from nchu_bigdata_spark.queries.aggregates import (
+        _HLL_B,
+        _HLL_M,
+        _HLL_R,
+    )
+
+    def registers(pairs):
+        regs = [0] * _HLL_M
+        for et, uid in pairs:
+            hv = int(
+                hashlib.md5(f"{et}:{uid}".encode()).hexdigest()[:15], 16
+            )
+            b = hv % _HLL_M
+            rank = (_HLL_R - _HLL_B) + 1 - (hv // _HLL_M).bit_length()
+            regs[b] = max(regs[b], rank)
+        return regs
+
+    rows = duck.execute(
+        "SELECT event_type, user_id, epoch_us(ts) // 86400000000"
+        " FROM events WHERE event_type = 'click'"
+    ).fetchall()
+    assert rows
+    single = registers([(et, uid) for et, uid, _ in rows])
+    shards = defaultdict(list)
+    for et, uid, day in rows:
+        shards[day].append((et, uid))
+    assert len(shards) > 1, "need multiple shards for a real merge"
+    merged = [0] * _HLL_M
+    for pairs in shards.values():
+        for j, m in enumerate(registers(pairs)):
+            merged[j] = max(merged[j], m)
+    assert merged == single
