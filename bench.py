@@ -613,9 +613,18 @@ def main() -> None:
     # null both times). The full JSON lands in a committed file; stdout
     # gets only the COMPACT contract line (metric/value/unit/queries/
     # sf + a pointer) so the driver's tail can always parse it.
+    #
+    # ADVICE r13 item 1: BENCH_LOCAL.json is the gate's canonical
+    # spread record, so ONLY a canonical run (the bench SF the rounds
+    # compare at, with enough reps for a meaningful mean) may write
+    # it. Smoke/partial runs (sf0.01 iteration loops, reps=1 quick
+    # checks) land in BENCH_SMOKE.json instead — a cheap quiet record
+    # must never shadow the round's published artifact.
+    canonical = sf == "0.1" and reps >= 3
+    side_name = "BENCH_LOCAL.json" if canonical else "BENCH_SMOKE.json"
     try:
         side = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            os.path.dirname(os.path.abspath(__file__)), side_name
         )
         with open(side, "w", encoding="utf-8") as f:
             f.write(line + "\n")
@@ -624,7 +633,7 @@ def main() -> None:
     compact = {
         k: payload[k] for k in ("metric", "value", "unit", "queries", "sf")
     }
-    compact["detail"] = "BENCH_LOCAL.json"
+    compact["detail"] = side_name
     print(json.dumps(compact))
 
 

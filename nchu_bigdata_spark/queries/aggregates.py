@@ -2973,7 +2973,7 @@ _HLL_ALPHA_NUM, _HLL_ALPHA_DEN = 71827, 100000
     tags=("b4",),
     oracle=f"""
         -- HyperLogLog with every step replayable: md5-derived 60-bit
-        -- hash, low-6-bit register index, rank = leading-zero count of
+        -- hash, low-8-bit register index, rank = leading-zero count of
         -- the remaining 52 bits + 1 (via the binary-string length —
         -- identical on both engines), registers maxed per group, and
         -- the raw HLL estimate as ONE exact integer division (the
@@ -3064,11 +3064,12 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     opaque HLL beside this).
 
     Plan/scale: one (event_type, bucket)-keyed hash agg over the
-    events scan (map-side combined, ≤ groups×64 rows out), the
+    events scan (map-side combined, ≤ groups×256 rows out), the
     constant 256-row spine explodes from the group list, and the
-    estimate is arithmetic on a groups×64 frame. The register layout
-    is what a 1000-executor rollup would ship: 64 longs per group per
-    partition, mergeable by MAX — the whole point of HLL at 100 TB.
+    estimate is arithmetic on a groups×256 frame. The register layout
+    is what a 1000-executor rollup would ship: 256 (=_HLL_M) longs per
+    group per partition, mergeable by MAX — the whole point of HLL at
+    100 TB.
 
     Ref parity: no counterpart in the reference (538-LoC k-means);
     capability-closure operator per SURVEY.md §2.B-4."""

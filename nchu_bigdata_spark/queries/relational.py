@@ -16,6 +16,7 @@ round-trip fidelity is part of what's checked.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1415,13 +1416,36 @@ def scan_mor_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 16, 10) AS BIGINT) % 4 AS INT)"
         ),
     )
-    (
-        base.repartition("bucket")
-        .sortWithinPartitions("bucket", "o_orderkey")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(base_out)
-    )
+    # ADVICE r13 item 2: the delete ordinals are only valid against
+    # ONE data file per bucket — if spark.sql.files.maxRecordsPerFile
+    # is set (session config, user override), files split and
+    # _metadata.row_index restarts per file, silently landing deletes
+    # on wrong rows. Pin the conf to 0 (no split) for the write and
+    # assert the invariant on the produced layout before reading back.
+    _mrpf_key = "spark.sql.files.maxRecordsPerFile"
+    _mrpf_prev = spark.conf.get(_mrpf_key, None)
+    spark.conf.set(_mrpf_key, "0")
+    try:
+        (
+            base.repartition("bucket")
+            .sortWithinPartitions("bucket", "o_orderkey")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(base_out)
+        )
+    finally:
+        if _mrpf_prev is None:
+            spark.conf.unset(_mrpf_key)
+        else:
+            spark.conf.set(_mrpf_key, _mrpf_prev)
+    for bucket_dir in sorted(glob.glob(os.path.join(base_out, "bucket=*"))):
+        n_files = len(glob.glob(os.path.join(bucket_dir, "part-*.parquet")))
+        if n_files != 1:
+            raise AssertionError(
+                "scan_mor_positional: position-delete ordinals require "
+                f"exactly one data file per bucket; {bucket_dir} has "
+                f"{n_files}"
+            )
     # position-delete file: every 7th in-file ordinal starting at 2,
     # bounded by each file's row count (4 count rows -> tiny explode)
     (

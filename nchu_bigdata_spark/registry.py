@@ -132,59 +132,8 @@ def register(
 # moves the greens to the tail (the r9 unrotated-window incident is
 # the reason this is a tool, not a convention).
 DRIVER_ORDER = [
-    # rotated by tools/rotate_ledger.py after round 12: 50 green ids moved to the tail
-    # -- ROTATION LEDGER window r13: first 50 ids below (stuck ids from r12 lead) --
-    "orders_returns_rate",
-    "sub_not_in_null",
-    "win_change_runs",
-    "events_cuped",
-    "events_mann_whitney",
-    "graph_connected_components",
-    "events_ks_test",
-    "agg_gini",
-    "ts_cross_correlation",
-    "events_sample_size",
-    "sample_shard_assign",
-    "sim_ann_lsh",
-    "agg_ratio_pin",
-    "embed_pca_power",
-    "agg_percentile_hist",
-    "join_existence",
-    "events_velocity_flags",
-    "orders_interval_merge",
-    "dq_header_detail",
-    "multimodal_batch_plan",
-    "embed_matryoshka_eval",
-    "win_percent_of_parent",
-    "dq_join_fanout",
-    "win_topn_ties",
-    "graph_hits",
-    "text_feature_hashing",
-    "agg_ols_multi",
-    "win_vwap",
-    "set_union_by_name",
-    "sim_rrf_fusion",
-    "agg_bitmap_intersect",
-    "scan_csv_multiline",
-    "join_anti_range",
-    "fn_luhn_check",
-    "ts_theil_sen",
-    "ts_runs_test",
-    "dq_duplicate_billing",
-    "win_bollinger",
-    "fn_codecs",
-    "graph_label_propagation",
-    "text_vocab_mass_ladder",
-    "ts_ema_crossover",
-    "sample_curriculum",
-    "scan_txn_time_travel",
-    "fn_snowflake_decode",
-    "graph_pagerank_personalized",
-    "orders_perfect_rate",
-    "win_gap_to_leader",
-    "events_weekend_lift",
-    "sink_dynamic_overwrite",
-    # -- ids beyond the r13 window: consumed head-first, 50/round --
+    # rotated by tools/rotate_ledger.py after round 13: 50 green ids moved to the tail
+    # -- ROTATION LEDGER window r14: first 50 ids below (stuck ids from r13 lead) --
     "events_peak_days",
     "orders_rank_stability",
     "tokenize_padding_waste",
@@ -198,14 +147,17 @@ DRIVER_ORDER = [
     "tokenize_fertility",
     "curate_quality_gate_sweep",
     "geo_knn_join",
-    # r13 births queue behind the r12 births (windows consume as
-    # published; never-checked ids stay ahead of the certified tail)
     "scan_mor_positional",
     "stream_range_join",
     "embed_isotropy",
     "scan_zorder_pruned",
     "udtf_map_in_arrow",
     "agg_hll_portable",
+    # VERDICT r13 item 5: pulled ahead of the oldest-green top-ups so
+    # its stale r11 rows-only driver row (err: no_oracle, pre-dating
+    # the promoted exact zlib-replay oracle) is refreshed under the
+    # full value check this round.
+    "text_compression_ratio",  # r11 rows-only -> full check
     "multimodal_resize",  # r5
     "udtf_python_arrow",  # r5
     "dedup_minhash",  # r5
@@ -237,6 +189,7 @@ DRIVER_ORDER = [
     "sort_limit",  # r5
     "topk_per_group",  # r5
     "set_union",  # r5
+    # -- ids beyond the r14 window: consumed head-first, 50/round --
     "set_intersect",  # r5
     "set_except",  # r5
     "fn_string",  # r5
@@ -462,7 +415,6 @@ DRIVER_ORDER = [
     "text_template_prefix",  # r11
     "multimodal_phash",  # r11
     "multimodal_phash_pairs",  # r11
-    "text_compression_ratio",  # r11
     "agg_benford",  # r11
     "dedup_bloom",  # r11
     "events_session_hist",  # r11
@@ -539,6 +491,56 @@ DRIVER_ORDER = [
     "agg_tukey_fences",  # r12
     "dedup_minhash_estimate",  # r12
     "text_vocab_overlap",  # r12
+    "orders_returns_rate",  # r13
+    "sub_not_in_null",  # r13
+    "win_change_runs",  # r13
+    "events_cuped",  # r13
+    "events_mann_whitney",  # r13
+    "graph_connected_components",  # r13
+    "events_ks_test",  # r13
+    "agg_gini",  # r13
+    "ts_cross_correlation",  # r13
+    "events_sample_size",  # r13
+    "sample_shard_assign",  # r13
+    "sim_ann_lsh",  # r13
+    "agg_ratio_pin",  # r13
+    "embed_pca_power",  # r13
+    "agg_percentile_hist",  # r13
+    "join_existence",  # r13
+    "events_velocity_flags",  # r13
+    "orders_interval_merge",  # r13
+    "dq_header_detail",  # r13
+    "multimodal_batch_plan",  # r13
+    "embed_matryoshka_eval",  # r13
+    "win_percent_of_parent",  # r13
+    "dq_join_fanout",  # r13
+    "win_topn_ties",  # r13
+    "graph_hits",  # r13
+    "text_feature_hashing",  # r13
+    "agg_ols_multi",  # r13
+    "win_vwap",  # r13
+    "set_union_by_name",  # r13
+    "sim_rrf_fusion",  # r13
+    "agg_bitmap_intersect",  # r13
+    "scan_csv_multiline",  # r13
+    "join_anti_range",  # r13
+    "fn_luhn_check",  # r13
+    "ts_theil_sen",  # r13
+    "ts_runs_test",  # r13
+    "dq_duplicate_billing",  # r13
+    "win_bollinger",  # r13
+    "fn_codecs",  # r13
+    "graph_label_propagation",  # r13
+    "text_vocab_mass_ladder",  # r13
+    "ts_ema_crossover",  # r13
+    "sample_curriculum",  # r13
+    "scan_txn_time_travel",  # r13
+    "fn_snowflake_decode",  # r13
+    "graph_pagerank_personalized",  # r13
+    "orders_perfect_rate",  # r13
+    "win_gap_to_leader",  # r13
+    "events_weekend_lift",  # r13
+    "sink_dynamic_overwrite",  # r13
 ]
 
 

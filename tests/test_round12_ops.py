@@ -26,13 +26,14 @@ from nchu_bigdata_spark.registry import load_all_queries
 
 
 def test_bench_spread_gate_flags_noisy_artifact(tmp_path):
-    """VERDICT r11 item 6 + ADVICE r12 item 3: a bench artifact whose
-    value_mean/value exceeds SPREAD_MAX must fail the gate, the
-    driver-wrapped BENCH_r*.json shape (payload under 'parsed') must
-    be understood, and artifact selection must be DETERMINISTIC —
-    BENCH_LOCAL.json canonical when present, else the highest round
-    number from the filename; never filesystem mtime (arbitrary on a
-    fresh checkout)."""
+    """VERDICT r11 item 6 + ADVICE r12 item 3 + ADVICE r13 item 1: a
+    bench artifact whose value_mean/value exceeds SPREAD_MAX must fail
+    the gate, the driver-wrapped BENCH_r*.json shape (payload under
+    'parsed') must be understood, and the gate checks EVERY published
+    artifact — BENCH_LOCAL.json AND the highest-numbered BENCH_r*.json
+    (a quiet local record must not shadow a noisy round record);
+    round selection is by filename number, never filesystem mtime
+    (arbitrary on a fresh checkout)."""
     from round_gate import SPREAD_MAX, bench_spread_gate
 
     # SPREAD_MAX is the shared package constant, not a local copy
@@ -47,15 +48,20 @@ def test_bench_spread_gate_flags_noisy_artifact(tmp_path):
     out = bench_spread_gate(str(tmp_path))
     assert out["rc"] == 0 and out["spread"] == round(9.5 / 9.0, 3)
 
-    # a noisy driver-wrapped round artifact with a NEWER mtime does NOT
-    # shadow the canonical quiet-host record: BENCH_LOCAL.json is the
-    # re-record workflow's output, so it supersedes round artifacts
+    # ADVICE r13 item 1: a noisy driver-wrapped round artifact fails
+    # the gate EVEN WHEN a quiet BENCH_LOCAL.json exists — the round
+    # publishes both, so a quiet local record must not shadow the
+    # noisy official one
     noisy = {"rc": 0, "parsed": {"value": 9.764, "value_mean": 13.305}}
     (tmp_path / "BENCH_r11.json").write_text(json.dumps(noisy))
     os.utime(tmp_path / "BENCH_LOCAL.json", (1, 1))
     out = bench_spread_gate(str(tmp_path))
-    assert out["rc"] == 0
-    assert out["file"] == "BENCH_LOCAL.json"
+    assert out["rc"] == 1
+    assert out["file"] == "BENCH_r11.json"
+    assert {c["file"] for c in out["checked"]} == {
+        "BENCH_LOCAL.json",
+        "BENCH_r11.json",
+    }
 
     # without BENCH_LOCAL, the HIGHEST round number wins — even when an
     # older round's file carries a newer mtime (fresh-checkout order)
@@ -146,23 +152,58 @@ def test_driver_order_windows_recounted():
             for k in json.load(f):
                 latest[k] = max(latest.get(k, 0), rnd)
     never = [n for n in DRIVER_ORDER if n not in latest]
-    k = len(never)
-    assert DRIVER_ORDER[:k] == never, "never-checked ids must lead"
+    # Never-checked ids lead the order (they may interleave with
+    # explicitly pulled-forward certified ids inside the head window,
+    # but no never-checked id may sit behind the refresh tail): every
+    # never-checked id must appear before every certified id EXCEPT
+    # the documented pull-forwards.
+    pulled_forward = {
+        # VERDICT r13 item 5: stale r11 rows-only driver row refreshed
+        # under the promoted exact zlib-replay oracle in the r14 window.
+        "text_compression_ratio",
+    }
+    first_certified = min(
+        (
+            DRIVER_ORDER.index(n)
+            for n in DRIVER_ORDER
+            if n in latest and n not in pulled_forward
+        ),
+        default=len(DRIVER_ORDER),
+    )
+    assert all(
+        DRIVER_ORDER.index(n) < first_certified for n in never
+    ), "never-checked ids must lead the certified refresh tail"
     r12_births = [
         "join_range_partitioned",
         "tokenize_fertility",
         "curate_quality_gate_sweep",
         "geo_knn_join",
     ]
-    if set(r12_births) <= set(never):
-        # Until the r14 window runs, the births sit at the tail of the
-        # never-checked block — behind all 59 pre-r12 ids and outside
-        # the r13 head-50 window (later rounds' births append AFTER
-        # them, so assert position, not exact-tail).
-        assert never[59 : 59 + len(r12_births)] == r12_births
-        assert not set(r12_births) & set(DRIVER_ORDER[:50])
-        assert k >= 59 + len(r12_births), k
-    tail_rounds = [latest[n] for n in DRIVER_ORDER[k:]]
+    r13_births = [
+        "scan_mor_positional",
+        "stream_range_join",
+        "embed_isotropy",
+        "scan_zorder_pruned",
+        "udtf_map_in_arrow",
+        "agg_hll_portable",
+    ]
+    if set(r12_births) | set(r13_births) <= set(never):
+        # Births queue at the never-checked tail in birth-round order:
+        # every pre-r12 never-checked id precedes every r12 birth,
+        # which precedes every r13 birth (windows consume as published;
+        # exact indices shift with each rotation, so assert order).
+        pre = [n for n in never if n not in r12_births + r13_births]
+        idx = {n: never.index(n) for n in never}
+        assert max((idx[n] for n in pre), default=-1) < min(
+            idx[n] for n in r12_births
+        )
+        assert max(idx[n] for n in r12_births) < min(
+            idx[n] for n in r13_births
+        )
+    certified_tail = [
+        n for n in DRIVER_ORDER if n in latest and n not in pulled_forward
+    ]
+    tail_rounds = [latest[n] for n in certified_tail]
     assert all(a <= b for a, b in zip(tail_rounds, tail_rounds[1:]))
     assert set(DRIVER_ORDER) == set(load_all_queries())
 

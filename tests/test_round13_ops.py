@@ -251,7 +251,7 @@ def test_zorder_pruned_pushdown_and_envelopes(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def test_map_in_arrow_plan_and_non_ascii(spark, tmp_path, duck):
+def test_map_in_arrow_plan_and_non_ascii(spark, tmp_path, duck, sf_dir):
     """(a) Plan: the Arrow map runs partition-preserving — no exchange
     below the MapInArrow node (the only shuffle is the rollup's);
     (b) non-ASCII props: utf8_length counts CHARACTERS, so the engine
@@ -262,7 +262,7 @@ def test_map_in_arrow_plan_and_non_ascii(spark, tmp_path, duck):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    df = SPECS["udtf_map_in_arrow"].fn(spark, "/root/testdata/sf0.001")
+    df = SPECS["udtf_map_in_arrow"].fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]

@@ -51,23 +51,8 @@ SPREAD_MAX = _gc.SPREAD_MAX
 bench_round_artifacts = _gc.bench_round_artifacts
 
 
-def bench_spread_gate(repo: str) -> dict:
-    """Read the CANONICAL bench artifact and fail when
-    value_mean/value > SPREAD_MAX. Selection is deterministic (ADVICE
-    r12 item 3 — mtime order is arbitrary on a fresh checkout):
-    BENCH_LOCAL.json is the canonical current record when present (the
-    quiet-host re-record workflow writes it, so it supersedes any
-    driver-recorded round artifact); otherwise the highest-numbered
-    BENCH_r*.json. Pure file read — does NOT run the bench (that is
-    the driver's job / a manual quiet-host run); this gate stops a
-    noisy record from being the one the round publishes without anyone
-    noticing."""
-    path = os.path.join(repo, "BENCH_LOCAL.json")
-    if not os.path.exists(path):
-        rounds = bench_round_artifacts(repo)
-        if not rounds:
-            return {"rc": 0, "note": "no bench artifact yet"}
-        path = rounds[0][1]
+def _spread_check_one(path: str) -> dict:
+    """Spread-check a single bench artifact file (rc 0 = ok/skip)."""
     try:
         with open(path, encoding="utf-8") as f:
             d = json.load(f)
@@ -105,6 +90,34 @@ def bench_spread_gate(repo: str) -> dict:
             "bench spread exceeds the noise guard - re-record on a "
             "quiet host before publishing this artifact"
         )
+    return out
+
+
+def bench_spread_gate(repo: str) -> dict:
+    """Spread-check EVERY artifact the round publishes and fail when
+    ANY breaches value_mean/value > SPREAD_MAX (ADVICE r13 item 1: a
+    quiet BENCH_LOCAL.json must not shadow a noisy driver-recorded
+    BENCH_r*.json — the round ships both, so the gate inspects both).
+    Checked set: BENCH_LOCAL.json (the quiet-host re-record, when
+    present) AND the highest-numbered BENCH_r*.json (the driver's
+    official round record, when present). Pure file read — does NOT
+    run the bench (that is the driver's job / a manual quiet-host
+    run); this gate stops a noisy record from being one the round
+    publishes without anyone noticing."""
+    paths = []
+    local = os.path.join(repo, "BENCH_LOCAL.json")
+    if os.path.exists(local):
+        paths.append(local)
+    rounds = bench_round_artifacts(repo)
+    if rounds:
+        paths.append(rounds[0][1])
+    if not paths:
+        return {"rc": 0, "note": "no bench artifact yet"}
+    checks = [_spread_check_one(p) for p in paths]
+    worst = max(checks, key=lambda c: c["rc"])
+    out = dict(worst)
+    out["rc"] = max(c["rc"] for c in checks)
+    out["checked"] = checks
     return out
 
 
