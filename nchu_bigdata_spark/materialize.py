@@ -93,6 +93,54 @@ def shared_intermediate(tag: str, df: DataFrame, eager: bool = True) -> DataFram
     return out
 
 
+# tag -> live persisted DataFrame (shared_partitioned generations)
+_LIVE_DF: dict[str, DataFrame] = {}
+
+
+def shared_partitioned(tag: str, df: DataFrame) -> DataFrame:
+    """Persist (SQL columnar cache) instead of ``localCheckpoint`` for
+    the rare shared segment whose OUTPUT PARTITIONING downstream
+    consumers must see: a checkpointed segment scans back as
+    ``Scan ExistingRDD`` with unknown partitioning, so every consumer
+    join re-shuffles it, while ``InMemoryTableScan`` reports its
+    child's ``hashpartitioning`` and a co-partitioned SHUFFLE_HASH
+    join streams the cached side in place (graph_random_walk r14: 4
+    walk steps re-exchanged the 2.4M-row edge table once per step
+    under the checkpoint; cached + pre-partitioned, only the |V|-row
+    frontier moves). The general default stays ``shared_intermediate``
+    — the module-docstring measurements (columnar-cache build cost on
+    string-heavy millions-of-rows segments) still hold; use THIS only
+    when a preserved partitioning pays for the cache build.
+
+    Same bounded-storage contract: one live generation per tag. The
+    previous generation is unpersisted BEFORE the new persist — the
+    cache manager keys entries by analyzed plan, so for the common
+    rebuild-the-same-plan case an unpersist after the new persist
+    would evict the block the new generation just registered."""
+    spark = df.sparkSession
+    if CAPTURE_SEGMENT_PLANS:
+        import io as _io
+        from contextlib import redirect_stdout
+
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        SEGMENT_PLANS[tag] = buf.getvalue()
+    prev = _LIVE_DF.pop(tag, None)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    out = df.persist()
+    # eager: one materialization pass beats N concurrent consumer
+    # recomputes racing the cache (same rationale as the eager
+    # localCheckpoint above)
+    out.count()
+    _LIVE_DF[tag] = out
+    return out
+
+
 def range_pid_frozen(tag: str, df: DataFrame, *sort_cols) -> DataFrame:
     """Range-repartition ``df`` on ``sort_cols``, stamp
     ``spark_partition_id`` and FREEZE the result (eager
@@ -133,9 +181,15 @@ def release_all() -> None:
     spark = SparkSession.getActiveSession()
     if spark is None:
         _LIVE.clear()
+        _LIVE_DF.clear()
         return
     for tag in list(_LIVE):
         try:
             _release(spark.sparkContext, _LIVE.pop(tag))
+        except Exception:  # pragma: no cover
+            pass
+    for tag in list(_LIVE_DF):
+        try:
+            _LIVE_DF.pop(tag).unpersist(False)
         except Exception:  # pragma: no cover
             pass

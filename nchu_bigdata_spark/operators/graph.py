@@ -41,7 +41,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.io import table
-from nchu_bigdata_spark.materialize import shared_intermediate
+from nchu_bigdata_spark.materialize import (
+    shared_intermediate,
+    shared_partitioned,
+)
 from nchu_bigdata_spark.registry import register
 
 # Scaled-integer PageRank parameters: rank 1.0 == _PR_SCALE; damping
@@ -1187,13 +1190,21 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: each step is ONE equi join (frontier x edges on the
     current vertex) + a per-start rank-1 reduction — frontier stays
     exactly |V| rows every step, fan-out is bounded by degree before
-    the reduction collapses it back. {n} steps = {n} keyed shuffles;
-    state never leaves the cluster. The oracle replays the identical
+    the reduction collapses it back. {n} steps = {n} keyed shuffles of
+    the FRONTIER ONLY: edges are hash-partitioned on u once before the
+    checkpoint, so every step's SHUFFLE_HASH join streams the
+    (degree-heavy, avg ~120 at sf0.1) edge side partition-local with
+    the |V|-row frontier as build side — the edge table never moves
+    again, and nothing is broadcast (a frontier broadcast would be
+    driver-materialized data-sized state; measured r14, the
+    co-partitioned SHJ also beats it, 2.4 s vs 3.6 s vs 13.9 s for
+    the SMJ form at sf0.1 — SMJ paid a 2.4M-row sort per step).
+    State never leaves the cluster. The oracle replays the identical
     recurrence as an unrolled CTE chain (the `graph_pagerank`
     certification pattern).
     """
-    edges = shared_intermediate(
-        "walk_edges", _copurchase_edges(spark, sf_dir)
+    edges = shared_partitioned(
+        "walk_edges", _copurchase_edges(spark, sf_dir).repartition("u")
     )
     # The frontier CARRIES the accumulated hop columns, so each step is
     # exactly one frontier x edges join + one per-start argmin — no
@@ -1218,7 +1229,7 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pick")
         ] + [F.max(c).alias(c) for c in hops]
         walk = (
-            walk.join(edges, walk.cur == edges.u)
+            walk.hint("shuffle_hash").join(edges, walk.cur == edges.u)
             .select("start", *hops, "v")
             .groupBy("start")
             .agg(*picks)

@@ -928,14 +928,26 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Window", r"BroadcastNestedLoopJoin"],
         [r"CartesianProduct", r"SortMergeJoin"],
     ),
-    # random walks: per step ONE frontier x edges equi join + a
-    # per-start MIN(STRUCT) hash-agg argmin (r8: replaced the rank-1
-    # window — partial-aggregating hash agg beats the per-start sort,
-    # ~20% at sf0.1); edges checkpointed once (scan reuse). No Window
-    # and no sort anywhere in the plan.
+    # random walks: per step ONE frontier x edges SHUFFLE_HASH equi
+    # join + a per-start MIN(STRUCT) hash-agg argmin (r8: replaced the
+    # rank-1 window — partial-aggregating hash agg beats the per-start
+    # sort, ~20% at sf0.1; r14: edges pre-partitioned on u and CACHED
+    # (shared_partitioned — InMemoryTableScan keeps the partitioning a
+    # checkpoint would erase), so only the |V|-row frontier shuffles
+    # per step and the SHJ never sorts — 13.9 s -> 4.7 s at sf0.1).
+    # No Window, no sort-merge join, no sort anywhere in the plan.
     "graph_random_walk": (
-        [r"HashAggregate", r"hashpartitioning\(start"],
-        [r"CartesianProduct", r"rangepartitioning", r"Window"],
+        [
+            r"HashAggregate",
+            r"hashpartitioning\(start",
+            r"ShuffledHashJoin",
+        ],
+        [
+            r"CartesianProduct",
+            r"rangepartitioning",
+            r"Window",
+            r"SortMergeJoin",
+        ],
     ),
     # fingerprints: per-table projection + 1-row agg, unioned;
     # no join anywhere

@@ -210,6 +210,49 @@ def build_10x(spark, out_dir: str) -> None:
             os.symlink(os.path.abspath(os.path.join(BASE_SF, f)), link)
 
 
+def build_docs_nx(spark, out_dir: str, copies: int) -> None:
+    """documents-only structure-preserving blow-up at ``copies``×:
+    doc_id shifted i×SHIFT per copy, every token suffixed ``_c<i>``
+    for copies ≥ 1 (copies share no shingles — same construction as
+    build_10x's documents leg, expressed as ONE broadcast
+    copy-expansion join instead of a copies-way union so a 100-branch
+    plan never materializes). Everything but documents is symlinked
+    unchanged. SHIFT stays divisible by the doc_id % 10 / % 20 split
+    moduli, so e.g. dedup_incremental's corpus/batch split replicates
+    per copy."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    cp = F.col("cp")
+    big = (
+        docs.crossJoin(
+            F.broadcast(spark.range(copies).withColumnRenamed("id", "cp"))
+        )
+        .withColumn("doc_id", F.col("doc_id") + cp * F.lit(SHIFT))
+        .withColumn(
+            "text",
+            F.when(cp == F.lit(0), F.col("text")).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda t: F.concat(
+                            t, F.lit("_c"), cp.cast("string")
+                        ),
+                    ),
+                    " ",
+                )
+            ),
+        )
+        .drop("cp")
+    )
+    big.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    for f in os.listdir(BASE_SF):
+        link = os.path.join(out_dir, f)
+        if not os.path.lexists(link):
+            os.symlink(os.path.join(BASE_SF, f), link)
+
+
 def build_embed_synth(spark, out_dir: str, n: int) -> None:
     """Synthetic embeddings corpus for the LSH LINEARITY probe
     (VERDICT r9 item 7): 90% iid hash-noise vectors + 10% planted
@@ -276,6 +319,14 @@ def main() -> int:
         "10x->100x STEP ratio (both arms above the width floor)",
     )
     ap.add_argument(
+        "--docs100x",
+        action="store_true",
+        help="two-decade linearity probe (VERDICT r13 item 7): "
+        "documents at 10x AND 100x (copies shingle-disjoint), gating "
+        "the 10x->100x STEP ratio for a docs-only op (default "
+        "dedup_incremental, the batchxcorpus shape)",
+    )
+    ap.add_argument(
         "--geo10x",
         action="store_true",
         help="geo probe: 10x the CUSTOMER point set (the geo fact "
@@ -332,6 +383,40 @@ def main() -> int:
                 print(
                     f"| {name} | {tag} | {n} | {_lsh_bits(n)} | {t:.2f} "
                     f"| {r} | {step} |",
+                    flush=True,
+                )
+                prev = t
+        return 1 if breach else 0
+
+    if args.docs100x:
+        arms = []
+        for n in (10, 100):
+            d = os.path.join(repo, ".scratch", f"docs{n}x")
+            if not os.path.exists(os.path.join(d, "documents.parquet")):
+                t0 = time.perf_counter()
+                build_docs_nx(spark, d, n)
+                print(
+                    f"built docs {n}x in {time.perf_counter()-t0:.1f}s",
+                    flush=True,
+                )
+            arms.append((f"{n}x", d))
+        import bench
+
+        bench.warm(spark)
+        doc_ops = ops if args.ops is not None else ["dedup_incremental"]
+        print("| op | corpus | sec | rows | step ratio |")
+        print("|---|---|---|---|---|")
+        breach = False
+        for name in doc_ops:
+            prev = None
+            for tag, d in arms:
+                t, r = time_op(spark, specs, name, d, args.reps)
+                step = f"{t / prev:.1f}x" if prev else "-"
+                if prev and t / prev >= GATE_RATIO:
+                    step += "  **BREACH**"
+                    breach = True
+                print(
+                    f"| {name} | {tag} | {t:.2f} | {r} | {step} |",
                     flush=True,
                 )
                 prev = t
