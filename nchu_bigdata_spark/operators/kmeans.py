@@ -412,3 +412,202 @@ def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         dround("centroid_norm", 6).alias("centroid_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# kmeans_init_parallel — k-means|| oversampling initialization (round 14)
+# --------------------------------------------------------------------------
+
+_INIT_ROUNDS = 2
+_INIT_L = 4  # oversampling factor per round (Theta(k), k = 4 here)
+_INIT_POW = 1_152_921_504_606_846_976  # 2^60 — md5 draw domain
+_INIT_SCALE = 1_000_000  # d2 -> exact integer micro-units
+
+
+def _init_oracle_sql() -> str:
+    """Unrolled k-means|| replay: per round, min-distance to the
+    current candidate set, phi as an EXACT integer sum of
+    floor(d2*1e6), and the selection predicate h*phi < l*2^60*d2u as
+    a pure HUGEINT comparison — the identical integers the Spark side
+    compares (DECIMAL(38,0) there)."""
+    d2 = (
+        "list_sum(list_transform(range(1, len(p.v) + 1),"
+        " i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))"
+    )
+    parts = [
+        """
+        pts AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        c0 AS (SELECT vec_id, 0 AS rnd, v FROM pts WHERE vec_id = 0)"""
+    ]
+    prev = "c0"
+    for t in range(1, _INIT_ROUNDS + 1):
+        parts.append(f"""
+        d{t} AS (
+            SELECT p.vec_id, MIN({d2}) AS d2
+            FROM pts p CROSS JOIN {prev} c
+            GROUP BY p.vec_id
+        ),
+        u{t} AS (
+            SELECT vec_id,
+                   CAST(FLOOR(d2 * {_INIT_SCALE}) AS BIGINT) AS d2u
+            FROM d{t}
+        ),
+        phi{t} AS (SELECT CAST(SUM(d2u) AS HUGEINT) AS phi FROM u{t}),
+        s{t} AS (
+            SELECT u.vec_id, {t} AS rnd
+            FROM u{t} u, phi{t}
+            WHERE CAST(('0x' || substr(md5('init:{t}:' ||
+                            u.vec_id::VARCHAR), 1, 15))::BIGINT
+                       AS HUGEINT) * phi
+                  < {_INIT_L}::HUGEINT * {_INIT_POW} * u.d2u
+        ),
+        c{t} AS (
+            SELECT * FROM {prev}
+            UNION ALL
+            SELECT p.vec_id, s.rnd, p.v
+            FROM pts p JOIN s{t} s USING (vec_id)
+        )""")
+        prev = f"c{t}"
+    # candidate order: (round, vec_id); weights by argmin assignment
+    parts.append(f"""
+        cand AS (
+            SELECT vec_id, rnd, v,
+                   ROW_NUMBER() OVER (ORDER BY rnd, vec_id) AS ord
+            FROM {prev}
+        ),
+        a AS (
+            SELECT p.vec_id, c.ord,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY {d2}, c.ord
+                   ) AS rn
+            FROM pts p CROSS JOIN cand c
+        ),
+        wts AS (
+            SELECT ord, CAST(COUNT(*) AS BIGINT) AS weight
+            FROM a WHERE rn = 1 GROUP BY ord
+        )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+        SELECT c.vec_id, CAST(c.rnd AS INT) AS round_added,
+               COALESCE(w.weight, 0) AS weight
+        FROM cand c LEFT JOIN wts w USING (ord)
+        """
+    )
+
+
+@register("kmeans_init_parallel", tags=("b10", "ref-parity"),
+          oracle=_init_oracle_sql())
+def kmeans_init_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| initialization (Bahmani, Moseley, Vattani, Kumar &
+    Vassilvitskii, VLDB '12) — the SCALABLE seeding the reference's
+    k-means family lacks: instead of k sequential k-means++ passes
+    (k full scans, inherently serial) or the reference's fixed
+    preset-file seeds (``pm25.cluster.center.conf.txt``), each of R=2
+    rounds oversamples ~l=4 points with probability proportional to
+    their squared distance from the current candidate set, then the
+    candidate set (≈ 1 + R·l points) is weighted by assignment counts
+    — exactly what the paper's final recluster step consumes.
+
+    Determinism without RNG state: point x is selected in round t iff
+    h_x,t · phi < l · 2^60 · d2u_x, where h is a per-round md5 draw,
+    d2u = floor(d2·1e6) an exact integer, and phi = SUM(d2u) an exact
+    integer sum — the inequality is a pure DECIMAL(38,0)/HUGEINT
+    comparison both engines replay identically (no division, no float
+    threshold to straddle; already-selected candidates have d2u = 0,
+    so re-selection is impossible by construction). The only floats
+    are the d2 doubles themselves — fixed IEEE expression trees,
+    identical on both engines up to the floor-grid, same policy as
+    `kmeans_fit`'s certified Lloyd replay.
+
+    Plan/scale: per round ONE narrow scan with the candidate set
+    fused as literal projections (`distance_sql` — no join, no
+    shuffle), one map-side-combined 1-row phi aggregate, and one
+    expected-l-row candidate collect (the sanctioned ≤k-row driver
+    state every kmeans op uses); the final weighting is the standard
+    `assign` literal projection plus ONE keyed agg. Nothing
+    data-sized ever sits on the driver, and rounds are O(1) scans —
+    the whole point of k-means|| over k-means++ at 100 TB.
+
+    Ref parity: extends ref A3/A5 (seed handling + assignment,
+    ``hadoop_tutorial/src/Kmeans.java:50-130``) with the public
+    scalable-init algorithm; capability-closure operator per
+    SURVEY.md §2.B-10."""
+    emb = table(spark, sf_dir, "embeddings")
+    seed = (
+        emb.filter(F.col("vec_id") == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # (vec_id, round_added, vector) — candidate order is (round, vec_id)
+    cands: list[tuple[int, int, list[float]]] = [
+        (int(seed[0]["vec_id"]), 0, [float(x) for x in seed[0]["embedding"]])
+    ]
+    vec_sql = "transform(embedding, v_ -> CAST(v_ AS DOUBLE))"
+    for t in range(1, _INIT_ROUNDS + 1):
+        d2min = (
+            "array_min(array("
+            + ", ".join(
+                distance_sql(c, vec_sql, "sq_euclidean")
+                for _, _, c in cands
+            )
+            + "))"
+        )
+        u = emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                f"CAST(FLOOR({d2min} * {_INIT_SCALE}) AS BIGINT)"
+            ).alias("d2u"),
+        )
+        phi = int(
+            u.agg(
+                F.sum(F.col("d2u").cast("decimal(38,0)")).alias("phi")
+            ).collect()[0]["phi"]
+        )
+        sel = (
+            u.filter(
+                F.expr(
+                    "CAST(conv(substr(md5(concat('init:{t}:',"
+                    " CAST(vec_id AS STRING))), 1, 15), 16, 10)"
+                    " AS DECIMAL(38,0))".format(t=t)
+                    + f" * CAST({phi} AS DECIMAL(38,0))"
+                    f" < CAST({_INIT_L} AS DECIMAL(38,0))"
+                    f" * CAST({_INIT_POW} AS DECIMAL(38,0))"
+                    " * CAST(d2u AS DECIMAL(38,0))"
+                )
+            )
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        )
+        cands.extend(
+            (int(r["vec_id"]), t, [float(x) for x in r["embedding"]])
+            for r in sel
+        )
+    out = assign(
+        emb,
+        [c for _, _, c in cands],
+        "embedding",
+        "sq_euclidean",
+        cluster_col="ord",
+    )
+    wts = out.groupBy("ord").agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    cand_df = emb.sparkSession.createDataFrame(
+        [(vid, rnd, i + 1) for i, (vid, rnd, _) in enumerate(cands)],
+        "vec_id long, round_added int, ord int",
+    )
+    return (
+        cand_df.join(F.broadcast(wts), "ord", "left")
+        .select(
+            "vec_id",
+            "round_added",
+            F.coalesce("weight", F.lit(0).cast("long")).alias("weight"),
+        )
+    )

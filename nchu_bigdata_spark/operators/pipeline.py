@@ -2785,3 +2785,124 @@ def curate_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(10000 * r.tokens_kept div all_toks AS BIGINT)"
         ).alias("tokens_kept_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# sample_weighted_priority — deterministic priority sampling (round 14)
+# --------------------------------------------------------------------------
+
+_PRI_K = 8  # sample size per stratum
+
+
+@register(
+    "sample_weighted_priority",
+    tags=("b10",),
+    oracle=f"""
+        -- Priority sampling (Duffield/Lund/Thorup, JACM '07): per
+        -- language stratum draw k = {_PRI_K} docs with inclusion
+        -- probability increasing in weight (n_chars). Each doc gets a
+        -- deterministic 60-bit md5 draw h; its priority is the exact
+        -- integer floor(h / w) — small h or large w = small priority;
+        -- the k smallest priorities win. The 60-bit draw towers over
+        -- any realistic weight, so integer flooring keeps ~40+ bits
+        -- of resolution and everything stays inside BIGINT on both
+        -- engines. tau (the (k+1)-th priority) is the stratum
+        -- threshold the Horvitz-Thompson estimator needs: est_w =
+        -- max(w, tau-inverse) per kept doc. Everything is integer, so
+        -- both engines replay identical samples.
+        WITH d AS (
+            SELECT lang, doc_id, n_chars AS w,
+                   ('0x' || substr(md5('pri:' || doc_id::VARCHAR),
+                                   1, 15))::BIGINT AS h
+            FROM documents
+            WHERE n_chars > 0
+        ),
+        p AS (
+            SELECT lang, doc_id, w,
+                   CAST(h // w AS BIGINT) AS priority
+            FROM d
+        ),
+        r AS (
+            SELECT lang, doc_id, w, priority,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY priority, doc_id) AS rn
+            FROM p
+        ),
+        tau AS (
+            SELECT lang, priority AS tau
+            FROM r WHERE rn = {_PRI_K + 1}
+        )
+        SELECT r.lang, r.doc_id, r.w, r.priority,
+               CAST(r.rn AS INT) AS rank,
+               t.tau
+        FROM r LEFT JOIN tau t ON t.lang = r.lang
+        WHERE r.rn <= {_PRI_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT floats or RNG state: priority
+    sampling (Duffield, Lund & Thorup, JACM '07) with a deterministic
+    md5 draw — per language stratum, doc i gets priority
+    floor(h_i / w_i) and the k smallest priorities are the
+    sample, so heavier docs (here: n_chars — at a real 100 TB run,
+    token counts) are proportionally likelier to be kept. The
+    emitted `tau` ((k+1)-th priority, NULL when the stratum fits
+    entirely) is exactly what the downstream Horvitz-Thompson
+    estimator needs to reweight the sample into unbiased stratum
+    totals — the reason production pipelines use priority sampling
+    over ad-hoc weighted picks. The integer floor-division is exact
+    and identical in both engines (the 60-bit draw keeps 40+ bits of
+    resolution above any realistic weight), ties broken by
+    doc_id: the sample is a pure function of the corpus — stable
+    across retries, engines, and partitionings, like every sampler in
+    this module.
+
+    Plan/scale: one narrow projection computes priorities inside
+    whole-stage codegen (no RNG, no UDF), then the bottom-k window
+    runs under WindowGroupLimit rank pushdown — map tasks emit at
+    most k+1 rows per stratum before the single shuffle, so exchange
+    volume is partitions×(k+1)×strata regardless of corpus size. The
+    tau join is strata-sized and broadcasts.
+
+    Ref parity: no counterpart in the reference (538-LoC k-means);
+    capability-closure operator per SURVEY.md §2.B-10."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").alias("w"),
+            F.expr(
+                "CAST(conv(substr(md5(concat('pri:',"
+                " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+    )
+    p = d.select(
+        "lang",
+        "doc_id",
+        "w",
+        F.expr("h div w").alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    r = p.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _PRI_K + 1
+    )
+    tau = (
+        r.filter(F.col("rn") == _PRI_K + 1)
+        .select("lang", F.col("priority").alias("tau"))
+    )
+    return (
+        r.filter(F.col("rn") <= _PRI_K)
+        .join(F.broadcast(tau), "lang", "left")
+        .select(
+            "lang",
+            "doc_id",
+            "w",
+            "priority",
+            F.col("rn").cast("int").alias("rank"),
+            "tau",
+        )
+    )

@@ -3140,3 +3140,145 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lc_regime"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_kmv_distinct — exactly-replayable KMV (bottom-k) distinct sketch
+# (round 14)
+# --------------------------------------------------------------------------
+
+_KMV_K = 64  # bottom-k size (sigma ~ 1/sqrt(k-2) = 12.7%)
+_KMV_POW = 1152921504606846976  # 2^60 — the hash domain size
+
+_KMV_EST_SQL = (
+    # KMV estimator (Bar-Yossef et al. RANDOM'02; DataSketches theta):
+    # with fewer than k distinct hashes the sketch IS the exact set;
+    # otherwise est = (k-1) * 2^60 / kth_min as ONE exact integer
+    # floor-division (identical on both engines: Spark DECIMAL(38,0)
+    # `div`, DuckDB HUGEINT `//`)
+    f"CASE WHEN n_kept < {_KMV_K} THEN n_kept "
+    f"ELSE CAST((CAST({_KMV_K - 1} AS DECIMAL(38,0))"
+    f" * CAST({_KMV_POW} AS DECIMAL(38,0)))"
+    f" div CAST(kth_min AS DECIMAL(38,0)) AS BIGINT) END"
+)
+
+
+@register(
+    "agg_kmv_distinct",
+    tags=("b4",),
+    oracle=f"""
+        -- KMV / bottom-k distinct sketch with every step replayable —
+        -- the order-statistics counterpart of agg_hll_portable's
+        -- register sketch: md5-salted 60-bit hash per (group, user),
+        -- keep the k = {_KMV_K} SMALLEST distinct hashes per group,
+        -- estimate (k-1) * 2^60 / kth_min by exact integer division
+        -- (HUGEINT here, DECIMAL(38,0) in Spark — both floor). Groups
+        -- holding fewer than k distinct hashes report the exact count
+        -- (the sketch IS the set). err_bp certifies the estimator's
+        -- real accuracy against the exact distinct.
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   ('0x' || substr(md5(event_type || ':' ||
+                                        user_id::VARCHAR), 1, 15))::BIGINT
+                       AS hv
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, hv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY hv) AS rn
+            FROM h
+        ),
+        k AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   MAX(hv) AS kth_min
+            FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+        ),
+        ex AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY event_type
+        ),
+        est AS (
+            SELECT k.event_type, n_exact, n_kept, kth_min,
+                   CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                        ELSE CAST((CAST({_KMV_K - 1} AS HUGEINT)
+                                   * {_KMV_POW}) // kth_min AS BIGINT)
+                        END AS BIGINT) AS kmv_est
+            FROM k JOIN ex USING (event_type)
+        )
+        SELECT event_type, n_exact, n_kept, kth_min, kmv_est,
+               CAST(abs(kmv_est - n_exact) * 10000 // n_exact AS BIGINT)
+                   AS err_bp
+        FROM est
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch with
+    EVERY step replayable — completing the portable-sketch family's
+    order-statistics axis beside the register axis
+    (`agg_hll_portable`): per group keep the k = {k} smallest distinct
+    md5-salted 60-bit hashes; the k-th smallest value theta-izes the
+    hash domain and est = (k-1)·2^60 / kth_min as ONE exact integer
+    floor-division, so both engines replay identical integers — no
+    tolerance, exact row hashes (Bar-Yossef et al. RANDOM'02 is the
+    estimator; the theta-sketch family in Apache DataSketches is the
+    production shape). Groups with fewer than k distinct hashes are
+    EXACT (the sketch holds the whole set) — the `n_kept < k` regime
+    every KMV implementation special-cases. Salted per group so each
+    group draws an independent hash sequence (the corpus shares one
+    user set across event types).
+
+    Like HLL the sketch is MERGEABLE — union = k smallest of the
+    unioned bottom-k sets — which is what a 1000-executor rollup
+    ships: k longs per group per shard, merged by sorted-union-truncate
+    (tests/test_round14_ops.py pins shard-merge == single-pass).
+
+    Plan/scale: one distinct shuffle on (group, hash) — the same
+    volume `agg_distinct` pays — then the bottom-k window runs under
+    Spark's WindowGroupLimit rank pushdown: every map task emits at
+    most k rows per group BEFORE the window shuffle, so the second
+    exchange carries ≤ partitions×k×groups rows no matter the corpus
+    (the same two-stage top-k the similarity ops pin). Final agg is
+    groups-sized arithmetic.
+
+    Ref parity: no counterpart in the reference (538-LoC k-means);
+    capability-closure operator per SURVEY.md §2.B-4."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substr(md5(concat(event_type, ':',"
+            " CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    dh = ev.distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    bottom = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("hv").alias("kth_min"),
+        )
+    )
+    ex = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    return (
+        bottom.join(ex, "event_type")
+        .withColumn("kmv_est", F.expr(f"CAST({_KMV_EST_SQL} AS BIGINT)"))
+        .select(
+            "event_type",
+            "n_exact",
+            "n_kept",
+            "kth_min",
+            "kmv_est",
+            F.expr(
+                "CAST(abs(kmv_est - n_exact) * 10000 div n_exact"
+                " AS BIGINT)"
+            ).alias("err_bp"),
+        )
+    )

@@ -35,6 +35,43 @@ def scratch_dir(sf_dir: str, name: str) -> str:
     return os.path.join(_SCRATCH, sf_tag, name)
 
 
+def _write_one_file_per_bucket(
+    spark: SparkSession, df: DataFrame, out: str, *sort_cols: str
+) -> None:
+    """Write ``df`` partitioned by its ``bucket`` column with EXACTLY
+    one data file per bucket, rows ordered by ``sort_cols`` inside the
+    file — the physical invariant every row-ordinal delete format
+    (Iceberg position deletes, Delta deletion vectors) depends on.
+    ADVICE r13 item 2: spark.sql.files.maxRecordsPerFile (session
+    config, user override) silently splits files and restarts
+    _metadata.row_index per file, landing deletes on wrong rows — so
+    the conf is pinned to 0 (no split) around the write and the
+    produced layout is asserted before any reader trusts ordinals."""
+    key = "spark.sql.files.maxRecordsPerFile"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "0")
+    try:
+        (
+            df.repartition("bucket")
+            .sortWithinPartitions("bucket", *sort_cols)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    for bucket_dir in sorted(glob.glob(os.path.join(out, "bucket=*"))):
+        n_files = len(glob.glob(os.path.join(bucket_dir, "part-*.parquet")))
+        if n_files != 1:
+            raise AssertionError(
+                "row-ordinal delete formats require exactly one data "
+                f"file per bucket; {bucket_dir} has {n_files}"
+            )
+
+
 @register(
     "scan_parquet",
     tags=("b1",),
@@ -1416,36 +1453,7 @@ def scan_mor_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 16, 10) AS BIGINT) % 4 AS INT)"
         ),
     )
-    # ADVICE r13 item 2: the delete ordinals are only valid against
-    # ONE data file per bucket — if spark.sql.files.maxRecordsPerFile
-    # is set (session config, user override), files split and
-    # _metadata.row_index restarts per file, silently landing deletes
-    # on wrong rows. Pin the conf to 0 (no split) for the write and
-    # assert the invariant on the produced layout before reading back.
-    _mrpf_key = "spark.sql.files.maxRecordsPerFile"
-    _mrpf_prev = spark.conf.get(_mrpf_key, None)
-    spark.conf.set(_mrpf_key, "0")
-    try:
-        (
-            base.repartition("bucket")
-            .sortWithinPartitions("bucket", "o_orderkey")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(base_out)
-        )
-    finally:
-        if _mrpf_prev is None:
-            spark.conf.unset(_mrpf_key)
-        else:
-            spark.conf.set(_mrpf_key, _mrpf_prev)
-    for bucket_dir in sorted(glob.glob(os.path.join(base_out, "bucket=*"))):
-        n_files = len(glob.glob(os.path.join(bucket_dir, "part-*.parquet")))
-        if n_files != 1:
-            raise AssertionError(
-                "scan_mor_positional: position-delete ordinals require "
-                f"exactly one data file per bucket; {bucket_dir} has "
-                f"{n_files}"
-            )
+    _write_one_file_per_bucket(spark, base, base_out, "o_orderkey")
     # position-delete file: every 7th in-file ordinal starting at 2,
     # bounded by each file's row count (4 count rows -> tiny explode)
     (
@@ -1477,4 +1485,189 @@ def scan_mor_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all_live_kept"
         ),
         dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# scan_delete_vector — Delta-style deletion-vector read path (round 14)
+# --------------------------------------------------------------------------
+
+# scattered-but-deterministic delete rule: Knuth multiplicative hash of
+# the ordinal, mod 11 (~9% of rows deleted, no periodic stripe a plain
+# pos % k rule would create)
+_DV_MULT = 2654435761
+_DV_MOD = 11
+_DV_PICK = 3
+
+
+@register(
+    "scan_delete_vector",
+    tags=("b1",),
+    oracle=f"""
+        -- Delta-Lake-style DELETION VECTOR read path replayed from
+        -- source: the engine writes orders into one data file per
+        -- bucket (bucket = md5(o_orderkey) % 4, rows sorted by
+        -- o_orderkey in-file), builds a per-bucket BITMAP over row
+        -- ordinals (32-bit words packed into BIGINTs, ordinal p ->
+        -- word p//32 bit p%32) marking p deleted when
+        -- (p * {_DV_MULT}) % {_DV_MOD} = {_DV_PICK}, then reads the
+        -- base back and drops rows by PROBING the bitmap (no
+        -- anti-join). The oracle reconstructs the same ordinals
+        -- arithmetically (rank within bucket), so the parquet
+        -- round-trip, the writer's in-file order, the bitmap
+        -- encode/probe, and _metadata.row_index must all agree for
+        -- the hash to match.
+        WITH pos AS (
+            SELECT o_orderstatus, o_totalprice,
+                   ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                       % 4 AS bucket,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY
+                           ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))
+                               ::BIGINT % 4
+                       ORDER BY o_orderkey) - 1 AS pos
+            FROM orders
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(SUM(CASE WHEN (pos * {_DV_MULT}) % {_DV_MOD}
+                                  = {_DV_PICK} THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_live,
+               CAST(SUM(CASE WHEN (pos * {_DV_MULT}) % {_DV_MOD}
+                                  = {_DV_PICK} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deleted,
+               -- trivially TRUE here; on the Spark side this is
+               -- bit_count(words) == rows-the-probe-dropped, so a
+               -- broken encode or probe flips it and the hash diverges
+               CAST(TRUE AS BOOLEAN) AS popcount_ok,
+               CAST(SUM(CASE WHEN (pos * {_DV_MULT}) % {_DV_MOD}
+                                  = {_DV_PICK}
+                             THEN CAST(0 AS DECIMAL(20,6))
+                             ELSE CAST(o_totalprice AS DECIMAL(20,6)) END)
+                    AS DECIMAL(38,6)) AS sum_price
+        FROM pos
+        GROUP BY bucket
+    """,
+)
+def scan_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector merge-on-read — the THIRD delete-file contract
+    beside `scan_mor_deletes` (equality deletes) and
+    `scan_mor_positional` (position-delete lists): Delta Lake and
+    Iceberg v3 store deleted ROW ORDINALS as a compressed BITMAP per
+    data file, and the reader drops rows by an O(1) bitmap probe —
+    no anti-join at all. Here the vector is 32-bit words packed into
+    an array<long> (one DV row per bucket; 32-bit packing keeps every
+    word positive, sidestepping BIGINT sign-bit divergence between
+    engines), the base scan projects `_metadata.row_index`, a
+    BROADCAST join ships the 4-row DV table, and liveness is
+    `(words[p div 32] >> (p % 32)) & 1 = 0` inside whole-stage
+    codegen.
+
+    Why a third path matters at 100 TB: equality deletes shuffle a
+    join key, position-delete LISTS build a hash table sized by the
+    delete count — a deletion VECTOR is constant-size per file
+    (bits/row), probes in O(1) per row with zero shuffle, and
+    compacts lazily; it is what both public formats converged on for
+    high-churn tables. popcount_ok re-asserts bit_count(words) ==
+    the arithmetic delete count per bucket, certifying the encode
+    (the survivor hash certifies the probe).
+
+    The DV is BUILT from ordinal arithmetic the writer already knows
+    ((p*{m}) % {md} = {pk} — a Knuth multiplicative scatter, not a
+    periodic stripe), written as parquet, and read back — the full
+    container round-trip, like the other two MoR ops.
+
+    Ref parity: no counterpart in the reference (538-LoC k-means);
+    capability-closure operator per SURVEY.md §2.B-1."""
+    base_out = scratch_dir(sf_dir, "dv_base")
+    dv_out = scratch_dir(sf_dir, "dv_words")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.withColumn(
+        "bucket",
+        F.expr(
+            "CAST(CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 4 AS INT)"
+        ),
+    )
+    _write_one_file_per_bucket(spark, base, base_out, "o_orderkey")
+    # Build the deletion vector from per-bucket row counts (the writer
+    # knows ordinals; nothing re-scans the base): deleted ordinals ->
+    # (word, bit) -> packed 32-bit words -> DENSE word array (empty
+    # words materialize as 0 so the probe can index positionally).
+    counts = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    words = (
+        counts.select(
+            "bucket",
+            "n",
+            F.explode(
+                F.expr("sequence(CAST(0 AS BIGINT), n - 1)")
+            ).alias("pos"),
+        )
+        .filter(
+            F.expr(f"(pos * {_DV_MULT}) % {_DV_MOD} = {_DV_PICK}")
+        )
+        .select(
+            "bucket",
+            F.expr("pos div 32").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("v"),
+        )
+        .groupBy("bucket", "word")
+        .agg(F.sum("v").alias("w32"))  # bits unique per word: sum == or
+    )
+    dv = (
+        words.groupBy("bucket")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "w32"))
+            ).alias("m")
+        )
+        .join(counts, "bucket")
+        .select(
+            "bucket",
+            F.expr(
+                "transform(sequence(CAST(0 AS BIGINT),"
+                " (n + 31) div 32 - 1),"
+                " wi -> coalesce(element_at(m, wi), CAST(0 AS BIGINT)))"
+            ).alias("words"),
+        )
+    )
+    dv.write.mode("overwrite").parquet(dv_out)
+
+    b = spark.read.parquet(base_out).select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    d = spark.read.parquet(dv_out).withColumn(
+        "dv_popcount",
+        F.expr(
+            "aggregate(transform(words, w -> bit_count(w)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ),
+    )
+    probed = b.join(F.broadcast(d), "bucket").withColumn(
+        "deleted",
+        F.expr(
+            "(shiftright(element_at(words,"
+            " CAST(pos div 32 AS INT) + 1),"
+            " CAST(pos % 32 AS INT)) & 1) = 1"
+        ),
+    )
+    return probed.groupBy("bucket").agg(
+        F.sum((~F.col("deleted")).cast("long")).cast("long").alias("n_live"),
+        F.max("dv_popcount").cast("long").alias("n_deleted"),
+        # encode+probe cross-check: the bitmap's popcount must equal
+        # the number of rows the probe actually dropped
+        (
+            F.max("dv_popcount") == F.sum(F.col("deleted").cast("long"))
+        ).alias("popcount_ok"),
+        dsum(
+            F.when(F.col("deleted"), F.lit(0.0)).otherwise(
+                F.col("o_totalprice")
+            )
+        ).alias("sum_price"),
     )

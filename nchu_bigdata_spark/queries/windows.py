@@ -2148,3 +2148,109 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (10000 * sg) div (sg + sl) END AS BIGINT)"
         ).alias("rsi_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_time_weighted_avg — TWAP over irregular samples (round 14)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_time_weighted_avg",
+    tags=("b5",),
+    oracle="""
+        -- Time-weighted average over IRREGULARLY spaced samples, the
+        -- left-point (LOCF) rule: each observation holds until the
+        -- next one, so its weight is the microseconds to the next
+        -- event; the final observation carries no weight (nothing is
+        -- extrapolated past the last sample). twa = sum(v_i * dt_i) /
+        -- sum(dt_i) — TimescaleDB's time_weight('LOCF') semantics.
+        -- Exact arithmetic: dt is integer micros, v casts to
+        -- DECIMAL(20,6) before the weighted sum, and the single
+        -- division rounds last.
+        WITH d AS (
+            SELECT event_type, value,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_us(ts), event_id
+                   ) AS nxt_us
+            FROM events
+        ),
+        g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us,
+                   CAST(SUM(CAST(value AS DECIMAL(20,6))
+                            * COALESCE(nxt_us - ts_us, 0))
+                        AS DECIMAL(38,6)) AS wsum,
+                   CAST(SUM(COALESCE(nxt_us - ts_us, 0)) AS BIGINT)
+                       AS wtot,
+                   CAST(ROUND(AVG(value), 6) AS DECIMAL(18,6))
+                       AS plain_avg
+            FROM d GROUP BY event_type
+        )
+        SELECT event_type, n_events, span_us, plain_avg,
+               CASE WHEN wtot = 0 THEN NULL
+                    ELSE CAST(ROUND(wsum / wtot, 6) AS DECIMAL(18,6))
+               END AS twa
+        FROM g
+    """,
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of `value` per event type over
+    IRREGULAR sample spacing — the metric a plain AVG gets wrong the
+    moment sampling is bursty (a sensor that reports every second
+    while idle and every hour under load drowns the busy regime):
+    left-point/LOCF weighting, each sample weighted by the
+    microseconds until the NEXT sample, last sample unweighted
+    (TimescaleDB `time_weight('LOCF')` is the public reference
+    semantics; `plain_avg` ships beside `twa` so the divergence is
+    visible in the result).
+
+    Determinism: the LEAD ordering ties on event_id after ts; weights
+    are exact integer micros; the weighted sum follows the decimal-sum
+    policy (compat.py) and the one division rounds last — both
+    engines replay identical decimals.
+
+    Plan/scale: ONE window shuffle (partition event_type, order ts) to
+    stamp each row's holding interval, then a map-side-combined keyed
+    agg; no second shuffle (the agg reuses the window's partitioning).
+    At 100 TB the window state per group is one row of look-ahead —
+    streaming-friendly (`stream_*` ops use the same LOCF shape via
+    lag) — and nothing is collected or broadcast.
+
+    Ref parity: no counterpart in the reference (538-LoC k-means);
+    capability-closure operator per SURVEY.md §2.B-5."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = W.partitionBy("event_type").orderBy("ts_us", "event_id")
+    d = ev.withColumn("nxt_us", F.lead("ts_us").over(w)).withColumn(
+        "dt", F.coalesce(F.col("nxt_us") - F.col("ts_us"), F.lit(0))
+    )
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).cast("long").alias("span_us"),
+        F.sum(F.col("value").cast("decimal(20,6)") * F.col("dt"))
+        .cast("decimal(38,6)")
+        .alias("wsum"),
+        F.sum("dt").cast("long").alias("wtot"),
+        F.round(F.avg("value"), 6).cast("decimal(18,6)").alias("plain_avg"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "span_us",
+        "plain_avg",
+        F.when(
+            F.col("wtot") == 0, F.lit(None).cast("decimal(18,6)")
+        )
+        .otherwise(
+            F.round(F.col("wsum") / F.col("wtot"), 6).cast("decimal(18,6)")
+        )
+        .alias("twa"),
+    )

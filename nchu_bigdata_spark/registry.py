@@ -153,6 +153,14 @@ DRIVER_ORDER = [
     "scan_zorder_pruned",
     "udtf_map_in_arrow",
     "agg_hll_portable",
+    # r14 births, queued directly behind the r13 births so they enter
+    # THIS round's window and hold a driver row from birth (displacing
+    # the last five refresh top-ups to the r15 window).
+    "agg_kmv_distinct",
+    "win_time_weighted_avg",
+    "sample_weighted_priority",
+    "scan_delete_vector",
+    "kmeans_init_parallel",
     # VERDICT r13 item 5: pulled ahead of the oldest-green top-ups so
     # its stale r11 rows-only driver row (err: no_oracle, pre-dating
     # the promoted exact zlib-replay oracle) is refreshed under the

@@ -187,18 +187,30 @@ def test_driver_order_windows_recounted():
         "udtf_map_in_arrow",
         "agg_hll_portable",
     ]
-    if set(r12_births) | set(r13_births) <= set(never):
+    r14_births = [
+        "agg_kmv_distinct",
+        "win_time_weighted_avg",
+        "sample_weighted_priority",
+        "scan_delete_vector",
+        "kmeans_init_parallel",
+    ]
+    births = r12_births + r13_births + r14_births
+    if set(births) <= set(never):
         # Births queue at the never-checked tail in birth-round order:
         # every pre-r12 never-checked id precedes every r12 birth,
-        # which precedes every r13 birth (windows consume as published;
-        # exact indices shift with each rotation, so assert order).
-        pre = [n for n in never if n not in r12_births + r13_births]
+        # which precedes every r13 birth, which precedes every r14
+        # birth (windows consume as published; exact indices shift
+        # with each rotation, so assert order).
+        pre = [n for n in never if n not in births]
         idx = {n: never.index(n) for n in never}
         assert max((idx[n] for n in pre), default=-1) < min(
             idx[n] for n in r12_births
         )
         assert max(idx[n] for n in r12_births) < min(
             idx[n] for n in r13_births
+        )
+        assert max(idx[n] for n in r13_births) < min(
+            idx[n] for n in r14_births
         )
     certified_tail = [
         n for n in DRIVER_ORDER if n in latest and n not in pulled_forward

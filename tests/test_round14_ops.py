@@ -108,3 +108,217 @@ def test_random_walk_cache_does_not_leak(spark, sf_dir):
             "noop"
         ).mode("overwrite").save()
     assert jsc.getPersistentRDDs().size() == n1
+
+
+# --------------------------------------------------------------------------
+# agg_kmv_distinct
+# --------------------------------------------------------------------------
+
+
+def test_kmv_exact_python_replay_and_merge(spark, sf_dir, duck):
+    """(a) Exact replay: bottom-64 md5 hash sets computed in pure
+    Python match the operator's kth_min/est per group; (b) MERGE
+    property: sharding the corpus, taking per-shard bottom-k, and
+    merging (k smallest of the union) yields the identical sketch —
+    the property a 1000-executor rollup depends on."""
+    import hashlib
+
+    from nchu_bigdata_spark.queries.aggregates import _KMV_K, _KMV_POW
+
+    rows = duck.execute(
+        "SELECT DISTINCT event_type, user_id FROM events"
+    ).fetchall()
+    by_g = {}
+    for g, u in rows:
+        h = int(hashlib.md5(f"{g}:{u}".encode()).hexdigest()[:15], 16)
+        by_g.setdefault(g, set()).add(h)
+    want = {}
+    for g, hs in by_g.items():
+        bottom = sorted(hs)[:_KMV_K]
+        kth = bottom[-1]
+        n_kept = len(bottom)
+        est = (
+            n_kept
+            if n_kept < _KMV_K
+            else ((_KMV_K - 1) * _KMV_POW) // kth
+        )
+        want[g] = (n_kept, kth, est)
+        # merge property (python-side, exercises the documented
+        # sorted-union-truncate semantics)
+        sh0 = sorted(h for h in hs if h % 2 == 0)[:_KMV_K]
+        sh1 = sorted(h for h in hs if h % 2 == 1)[:_KMV_K]
+        merged = sorted(set(sh0) | set(sh1))[:_KMV_K]
+        assert merged == bottom
+
+    got = {
+        r.event_type: (r.n_kept, r.kth_min, r.kmv_est)
+        for r in SPECS["agg_kmv_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# win_time_weighted_avg
+# --------------------------------------------------------------------------
+
+
+def test_twap_irregular_and_degenerate(spark, tmp_path):
+    """Bursty sampling: a value held for a long interval dominates the
+    TWAP while the plain average is fooled; a single-sample group
+    (span 0) yields NULL twa, not a division error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = 1_755_000_000 * 1_000_000_000
+    s = 1_000_000_000  # one second in nanos
+    rows = [
+        # 'a': value 10 held 99 s, then 100 bursty 1-s samples of 0.0
+        (1, t0, 1, "a", 10.0, "{}"),
+        *[
+            (2 + i, t0 + (99 + i) * s, 1, "a", 0.0, "{}")
+            for i in range(100)
+        ],
+        # 'b': a single sample — zero span
+        (200, t0, 2, "b", 5.0, "{}"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r.event_type: r
+        for r in SPECS["win_time_weighted_avg"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    a = got["a"]
+    # 10.0 held for 99 of 198 weighted seconds -> twa = 5.0; the plain
+    # average is ~0.099 (one 10 among 101 samples)
+    assert abs(a.twa - 5.0) < 1e-9
+    assert a.plain_avg < 0.1
+    assert a.n_events == 101
+    b = got["b"]
+    assert b.twa is None and b.n_events == 1 and b.span_us == 0
+
+
+# --------------------------------------------------------------------------
+# sample_weighted_priority
+# --------------------------------------------------------------------------
+
+
+def test_priority_sample_exact_replay(spark, sf_dir, duck):
+    """Pure-Python replay of the deterministic priority draw: per
+    lang, bottom-8 of floor(md5_60bit / n_chars) with doc_id ties;
+    tau = 9th priority (None when the stratum fits)."""
+    import hashlib
+
+    from nchu_bigdata_spark.operators.pipeline import _PRI_K
+
+    rows = duck.execute(
+        "SELECT lang, doc_id, n_chars FROM documents WHERE n_chars > 0"
+    ).fetchall()
+    by_lang = {}
+    for lang, doc_id, w in rows:
+        h = int(
+            hashlib.md5(f"pri:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        by_lang.setdefault(lang, []).append((h // w, doc_id, w))
+    want = {}
+    for lang, cand in by_lang.items():
+        cand.sort()
+        tau = cand[_PRI_K][0] if len(cand) > _PRI_K else None
+        for rank, (pri, doc_id, w) in enumerate(cand[:_PRI_K], 1):
+            want[(lang, doc_id)] = (w, pri, rank, tau)
+    got = {
+        (r.lang, r.doc_id): (r.w, r.priority, r.rank, r.tau)
+        for r in SPECS["sample_weighted_priority"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    # weighting sanity: the selected docs are weight-biased — their
+    # mean weight exceeds the corpus mean (heavier docs get smaller
+    # priorities in expectation)
+    sel_w = [v[0] for v in got.values()]
+    all_w = [w for _, _, w in
+             (x for cand in by_lang.values() for x in cand)]
+    assert sum(sel_w) / len(sel_w) > sum(all_w) / len(all_w)
+
+
+# --------------------------------------------------------------------------
+# scan_delete_vector
+# --------------------------------------------------------------------------
+
+
+def test_delete_vector_bitmap_replay(spark, sf_dir, duck):
+    """Python replay of the bucket sizes and the Knuth-scatter delete
+    rule: n_live + n_deleted == bucket size, popcount certification
+    holds, and the rule exercises bit 31 and a partial final word."""
+    from nchu_bigdata_spark.queries.relational import (
+        _DV_MOD,
+        _DV_MULT,
+        _DV_PICK,
+    )
+
+    sizes = dict(
+        duck.execute(
+            "SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))"
+            "::BIGINT % 4 AS b, COUNT(*) FROM orders GROUP BY b"
+        ).fetchall()
+    )
+    got = {
+        r.bucket: r
+        for r in SPECS["scan_delete_vector"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(sizes)
+    for b, n in sizes.items():
+        dels = sum(
+            1 for p in range(n) if (p * _DV_MULT) % _DV_MOD == _DV_PICK
+        )
+        r = got[b]
+        assert r.popcount_ok
+        assert r.n_deleted == dels
+        assert r.n_live == n - dels
+        # the scatter hits high bits within words AND the final word
+        # is partial (n not a multiple of 32) somewhere in the layout
+        bits = {
+            p % 32
+            for p in range(n)
+            if (p * _DV_MULT) % _DV_MOD == _DV_PICK
+        }
+        assert 31 in bits or n < 32
+
+
+# --------------------------------------------------------------------------
+# kmeans_init_parallel
+# --------------------------------------------------------------------------
+
+
+def test_kmeans_init_parallel_properties(spark, sf_dir, duck):
+    """k-means|| invariants: the seed (vec_id 0) is round 0; no
+    candidate repeats (re-selection impossible: d2=0 after joining
+    the set); rounds bounded by R; assignment weights sum to the
+    corpus size; selection is weighted toward far points (every
+    later-round candidate had nonzero distance to the earlier set)."""
+    from nchu_bigdata_spark.operators.kmeans import _INIT_ROUNDS
+
+    rows = SPECS["kmeans_init_parallel"].fn(spark, sf_dir).collect()
+    n_vecs = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids)), "a candidate was re-selected"
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r.round_added, []).append(r)
+    assert [r.vec_id for r in by_round[0]] == [0]
+    assert set(by_round) <= set(range(_INIT_ROUNDS + 1))
+    assert sum(r.weight for r in rows) == n_vecs
+    assert len(rows) > 1, "no oversampling happened"

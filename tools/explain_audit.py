@@ -1286,6 +1286,41 @@ _EXPECT_EXTRA = {
         [r"HashAggregate", r"hashpartitioning\(cell"],
         [r"BroadcastNestedLoopJoin", r"rangepartitioning"],
     ),
+    # r14 births ------------------------------------------------------
+    # KMV sketch: distinct shuffle + bottom-k under WindowGroupLimit
+    # rank pushdown (map tasks emit <= k rows/group pre-shuffle); the
+    # groups-sized estimator join must never sort-merge
+    "agg_kmv_distinct": (
+        [r"WindowGroupLimit", r"HashAggregate",
+         r"hashpartitioning\(event_type"],
+        [r"SortMergeJoin", r"rangepartitioning"],
+    ),
+    # TWAP: ONE window shuffle (lead) + a keyed agg that reuses the
+    # window's partitioning — no join, no second exchange family
+    "win_time_weighted_avg": (
+        [r"Window", r"HashAggregate", r"hashpartitioning\(event_type"],
+        [r"Join", r"rangepartitioning"],
+    ),
+    # priority sampling: codegen priorities (no RNG/UDF), bottom-k
+    # under WindowGroupLimit, strata-sized tau join broadcasts
+    "sample_weighted_priority": (
+        [r"WindowGroupLimit", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"rangepartitioning"],
+    ),
+    # deletion vector: the 4-row DV table broadcasts and rows drop by
+    # bitmap PROBE — no anti join anywhere (that is the other two MoR
+    # ops' shape), no shuffle join
+    "scan_delete_vector": (
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"SortMergeJoin", r"LeftAnti", r"ShuffledHashJoin"],
+    ),
+    # k-means|| weighting: literal-projection assign + ONE keyed agg;
+    # candidate table is driver-built (<= 1+R*l rows) and the weight
+    # join broadcasts — no window, no shuffle join
+    "kmeans_init_parallel": (
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"Window", r"rangepartitioning"],
+    ),
 }
 EXPECT.update(_EXPECT_EXTRA)
 
