@@ -341,6 +341,14 @@ SQL_GROUP = [
     "scan_zorder_pruned",
     "udtf_map_in_arrow",
     "agg_hll_portable",
+    # born round 14: KMV bottom-k distinct sketch, irregular-spacing
+    # TWAP, priority sampling, deletion-vector read path, k-means||
+    # seeding (trend starts here)
+    "agg_kmv_distinct",
+    "win_time_weighted_avg",
+    "sample_weighted_priority",
+    "scan_delete_vector",
+    "kmeans_init_parallel",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative
