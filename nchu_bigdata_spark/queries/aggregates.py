@@ -3282,3 +3282,232 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_theta_intersect — theta-sketch set INTERSECTION estimate (round 14)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_theta_intersect",
+    tags=("b4",),
+    oracle=f"""
+        -- Theta-sketch intersection (Apache DataSketches theta shape;
+        -- KMV per Beyer et al. SIGMOD'07): one UNSALTED 60-bit md5
+        -- hash per user (shared across groups so set algebra is
+        -- meaningful), bottom-k = {_KMV_K} per event_type, theta_g =
+        -- kth smallest when the sketch is full else 2^60 (exact
+        -- regime). Pair estimate: theta = least(theta_a, theta_b),
+        -- n_common = |bottomA intersect bottomB strictly below theta|,
+        -- est = n_common * 2^60 // theta by exact integer division —
+        -- identical integers on both engines. The oracle is the NAIVE
+        -- self-join form; the engine never joins pair-wise at corpus
+        -- scale. inter_exact / err_bp certify the estimator.
+        WITH du AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        h AS (
+            SELECT event_type, user_id,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                       AS hv
+            FROM du
+        ),
+        r AS (
+            SELECT event_type, hv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY hv) AS rn
+            FROM h
+        ),
+        bottom AS (SELECT event_type, hv FROM r WHERE rn <= {_KMV_K}),
+        th AS (
+            SELECT event_type,
+                   CASE WHEN COUNT(*) < {_KMV_K}
+                        THEN CAST({_KMV_POW} AS BIGINT)
+                        ELSE MAX(hv) END AS theta
+            FROM bottom GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   least(a.theta, b.theta) AS theta
+            FROM th a JOIN th b ON a.event_type < b.event_type
+        ),
+        common AS (
+            SELECT p.type_a, p.type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM pairs p
+            JOIN bottom ba ON ba.event_type = p.type_a
+            JOIN bottom bb ON bb.event_type = p.type_b
+                          AND bb.hv = ba.hv
+            WHERE ba.hv < p.theta
+            GROUP BY p.type_a, p.type_b
+        ),
+        ex AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter_exact
+            FROM du a JOIN du b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT p.type_a, p.type_b, p.theta,
+                   COALESCE(n_common, 0) AS n_common,
+                   CAST(CAST(COALESCE(n_common, 0) AS HUGEINT)
+                        * {_KMV_POW} // p.theta AS BIGINT) AS inter_est,
+                   COALESCE(inter_exact, 0) AS inter_exact
+            FROM pairs p
+            LEFT JOIN common USING (type_a, type_b)
+            LEFT JOIN ex USING (type_a, type_b)
+        )
+        SELECT type_a, type_b, theta, n_common, inter_est, inter_exact,
+               CAST(abs(inter_est - inter_exact) * 10000
+                    // greatest(inter_exact, 1) AS BIGINT) AS err_bp
+        FROM est
+    """,
+)
+def agg_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET-INTERSECTION estimate between every pair of
+    event_type audiences — the set-algebra layer over the bottom-k
+    sketch family (`agg_kmv_distinct` is the cardinality axis;
+    `agg_bitmap_intersect` is the exact-bitmap twin): one UNSALTED
+    md5 60-bit hash per user (every group must draw the SAME hash for
+    a user or intersection is meaningless — the salting trade-off the
+    KMV op documents in reverse), bottom-k = {k} smallest per group,
+    theta_g = kth smallest (full regime) else 2^60 (exact regime),
+    and per pair est = |A_bottom ∩ B_bottom < theta| * 2^60 // theta
+    with theta = least(theta_a, theta_b) — one exact integer
+    floor-division, both engines replay identical integers (Apache
+    DataSketches theta intersection; Beyer et al. SIGMOD'07 KMV).
+    The strict `< theta` drop of the boundary hash is the correctness
+    subtlety every theta implementation carries. When BOTH sketches
+    are exact-regime the estimate IS the exact intersection.
+
+    Plan/scale — never a pair-wise join at corpus scale:
+    * ONE distinct shuffle on (event_type, user_id);
+    * exact-intersection audit counts come from per-user sorted
+      type-sets expanded IN-ROW (transform/slice pair explosion, the
+      events_overlap_matrix idiom) — per-user fanout bounded by the
+      label dimension squared, never a user-level self-join;
+    * bottom-k compiles to WindowGroupLimit rank pushdown (map tasks
+      emit <= k rows per group pre-shuffle);
+    * everything downstream of the sketch is <= groups*k rows: the
+      hash-membership pair expansion is in-row too, the pair frame is
+      a 1-row collect_list explode, and every join is a broadcast of
+      a groups^2-sized side;
+    * the sketch is frozen once (shared_intermediate localCheckpoint,
+      <= groups*k rows) so its three consumers read the checkpoint —
+      the corpus is scanned exactly twice (audit pass + sketch pass),
+      not once per consumer.
+
+    Ref parity: no counterpart in the reference (538-LoC k-means);
+    capability-closure operator per SURVEY.md §2.B-4."""
+    du = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    # exact intersection audit: in-row pair expansion per user
+    ex = (
+        du.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (a, i) ->"
+                    " transform(slice(ts, i + 2, size(ts)), b ->"
+                    " struct(a AS type_a, b AS type_b))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.type_a", "pr.type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    dh = du.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    bottom = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "hv")
+    )
+    # Freeze the <= groups*k-row sketch: th / pairs / common all read
+    # it, and without the checkpoint each consumer re-runs the
+    # corpus-sized distinct+window subtree (3 redundant corpus
+    # shuffles at 100 TB for a 320-row result).
+    bottom = shared_intermediate("agg_theta_intersect.bottom", bottom)
+    th = bottom.groupBy("event_type").agg(
+        F.expr(
+            f"CASE WHEN count(1) < {_KMV_K}"
+            f" THEN CAST({_KMV_POW} AS BIGINT) ELSE max(hv) END"
+        ).alias("theta")
+    )
+    # pair frame: groups-sized -> ONE row -> in-row pair explosion
+    pairs = (
+        th.select(F.struct("event_type", "theta").alias("gt"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("gt")).alias("gs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(gs, (a, i) ->"
+                    " transform(slice(gs, i + 2, size(gs)), b ->"
+                    " struct(a.event_type AS type_a,"
+                    " b.event_type AS type_b,"
+                    " least(a.theta, b.theta) AS theta))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.type_a", "pr.type_b", "pr.theta")
+    )
+    # common-hash membership: in-row pair expansion per hash
+    common = (
+        bottom.groupBy("hv")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("ts"))
+        .select(
+            "hv",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (a, i) ->"
+                    " transform(slice(ts, i + 2, size(ts)), b ->"
+                    " struct(a AS type_a, b AS type_b))))"
+                )
+            ).alias("pr"),
+        )
+        .join(
+            F.broadcast(pairs.withColumnRenamed("theta", "th_min")),
+            (F.col("pr.type_a") == F.col("type_a"))
+            & (F.col("pr.type_b") == F.col("type_b")),
+        )
+        .filter(F.col("hv") < F.col("th_min"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        pairs.join(F.broadcast(common), ["type_a", "type_b"], "left")
+        .join(F.broadcast(ex), ["type_a", "type_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .withColumn("inter_exact", F.coalesce("inter_exact", F.lit(0)))
+        .select(
+            "type_a",
+            "type_b",
+            "theta",
+            "n_common",
+            F.expr(
+                f"CAST(CAST(n_common AS DECIMAL(38,0)) * {_KMV_POW}"
+                " div theta AS BIGINT)"
+            ).alias("inter_est"),
+            "inter_exact",
+        )
+        .withColumn(
+            "err_bp",
+            F.expr(
+                "CAST(abs(inter_est - inter_exact) * 10000"
+                " div greatest(inter_exact, 1) AS BIGINT)"
+            ),
+        )
+    )

@@ -322,3 +322,60 @@ def test_kmeans_init_parallel_properties(spark, sf_dir, duck):
     assert set(by_round) <= set(range(_INIT_ROUNDS + 1))
     assert sum(r.weight for r in rows) == n_vecs
     assert len(rows) > 1, "no oversampling happened"
+
+
+# --------------------------------------------------------------------------
+# agg_theta_intersect
+# --------------------------------------------------------------------------
+
+
+def test_theta_intersect_exact_python_replay(spark, sf_dir, duck):
+    """Pure-Python replay of the full theta-intersection pipeline:
+    unsalted bottom-64 hash sets per group, theta = kth (full) or 2^60
+    (exact regime), pair estimate = |common < min-theta| * 2^60 //
+    theta — every emitted integer must match; and when BOTH sketches
+    are exact-regime the estimate must EQUAL the exact intersection
+    (the sketch-is-the-set property)."""
+    import hashlib
+
+    from nchu_bigdata_spark.queries.aggregates import _KMV_K, _KMV_POW
+
+    rows = duck.execute(
+        "SELECT DISTINCT event_type, user_id FROM events"
+    ).fetchall()
+    users, by_g = {}, {}
+    for g, u in rows:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        by_g.setdefault(g, set()).add(h)
+        users.setdefault(g, set()).add(u)
+    bottom, theta = {}, {}
+    for g, hs in by_g.items():
+        bottom[g] = set(sorted(hs)[:_KMV_K])
+        theta[g] = (
+            _KMV_POW if len(hs) < _KMV_K else sorted(hs)[_KMV_K - 1]
+        )
+    want = {}
+    for a in sorted(by_g):
+        for b in sorted(by_g):
+            if a >= b:
+                continue
+            th = min(theta[a], theta[b])
+            n_common = sum(
+                1 for h in bottom[a] & bottom[b] if h < th
+            )
+            est = n_common * _KMV_POW // th
+            exact = len(users[a] & users[b])
+            want[(a, b)] = (th, n_common, est, exact)
+            if theta[a] == _KMV_POW and theta[b] == _KMV_POW:
+                assert est == exact  # exact regime IS the set
+
+    got = {
+        (r.type_a, r.type_b): (
+            r.theta,
+            r.n_common,
+            r.inter_est,
+            r.inter_exact,
+        )
+        for r in SPECS["agg_theta_intersect"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -1321,6 +1321,15 @@ _EXPECT_EXTRA = {
         [r"HashAggregate", r"BroadcastHashJoin"],
         [r"SortMergeJoin", r"Window", r"rangepartitioning"],
     ),
+    # theta intersection: consumers read the frozen <= groups*k sketch
+    # (Scan ExistingRDD) and every pair-level join broadcasts a
+    # groups^2-sized side; the in-row pair expansion means no
+    # user-level self-join anywhere (the bottom-k WindowGroupLimit
+    # lives in the checkpointed segment — see SEGMENT_EXPECT)
+    "agg_theta_intersect": (
+        [r"BroadcastHashJoin", r"Scan ExistingRDD"],
+        [r"SortMergeJoin", r"ShuffledHashJoin", r"rangepartitioning"],
+    ),
 }
 EXPECT.update(_EXPECT_EXTRA)
 
@@ -1333,6 +1342,8 @@ EXPECT.update(_EXPECT_EXTRA)
 # plan would still show the Scan ExistingRDD the EXPECT table pins,
 # and only this assertion would catch the missing total order.
 SEGMENT_EXPECT: dict[str, tuple[list[str], list[str]]] = {
+    # the frozen sketch must actually be bottom-k under rank pushdown
+    "agg_theta_intersect": ([r"WindowGroupLimit"], [r"SortMergeJoin"]),
     "win_lorenz": ([r"rangepartitioning"], []),
     "agg_gini": ([r"rangepartitioning"], []),
     "orders_abc_class": ([r"rangepartitioning"], []),
