@@ -1912,3 +1912,137 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= _PPR_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# graph_bipartite_projection — weighted one-mode projection (round 14)
+# --------------------------------------------------------------------------
+
+_BIP_CAP = 8  # per-order fanout cap (pairs per order <= C(8,2) = 28)
+_BIP_TOP = 50  # reported strongest co-purchase edges
+
+
+@register(
+    "graph_bipartite_projection",
+    tags=("b11",),
+    oracle=f"""
+        -- Weighted one-mode projection of the order-part bipartite
+        -- graph (Newman PRE'01 'scientific collaboration networks'
+        -- shape): edge weight between two parts = number of orders
+        -- carrying BOTH. The quadratic hazard is hub orders (an
+        -- order of m parts emits C(m,2) pairs), so each order is
+        -- capped to its top {_BIP_CAP} parts by quantity (partkey
+        -- ties) BEFORE pairing — the fanout cap every production
+        -- projection applies. Oracle is the naive capped self-join;
+        -- the engine expands pairs in-row. Top {_BIP_TOP} edges by
+        -- shared-order count, part keys + names, deterministic ties.
+        WITH w AS (
+            SELECT l_orderkey AS o, l_partkey AS p,
+                   SUM(CAST(l_quantity AS BIGINT)) AS qty
+            FROM lineitem GROUP BY 1, 2
+        ),
+        capped AS (
+            SELECT o, p FROM (
+                SELECT o, p, ROW_NUMBER() OVER (
+                    PARTITION BY o ORDER BY qty DESC, p) AS rn
+                FROM w
+            ) WHERE rn <= {_BIP_CAP}
+        ),
+        pairs AS (
+            SELECT a.p AS part_a, b.p AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS co_orders
+            FROM capped a JOIN capped b
+              ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT * FROM pairs
+            ORDER BY co_orders DESC, part_a, part_b
+            LIMIT {_BIP_TOP}
+        )
+        SELECT part_a, part_b, pa.p_name AS name_a, pb.p_name AS name_b,
+               co_orders
+        FROM top
+        JOIN part pa ON pa.p_partkey = part_a
+        JOIN part pb ON pb.p_partkey = part_b
+    """,
+)
+def graph_bipartite_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted one-mode PROJECTION of the order-part bipartite graph
+    — "frequently bought together" edge weights (Newman PRE'01;
+    the co-occurrence projection behind every market-basket graph):
+    weight(part_a, part_b) = number of orders containing both. This
+    is the op that FEEDS the graph kernels above (their edge
+    derivation is this projection unweighted) promoted to a
+    first-class weighted output.
+
+    The quadratic hazard of any bipartite projection is hub
+    left-nodes: an order with m parts emits C(m,2) pairs, so m=10^4
+    hub orders emit 5*10^7 pairs EACH. The engine therefore caps each
+    order to its top {cap} parts by quantity (partkey ties,
+    deterministic) BEFORE pairing — ROW_NUMBER under Spark's
+    WindowGroupLimit rank pushdown, map tasks emit <= cap rows per
+    order pre-shuffle — bounding pair generation at C({cap},2) = 28
+    per order, linear in orders at any scale.
+
+    Plan/scale: per-(order,part) weights are ONE map-side-combined
+    agg; the capped parts collect per order (same orderkey
+    partitioning, AQE elides the exchange) and pairs expand IN-ROW
+    (sorted-array transform/slice, no lineitem self-join — the naive
+    self-join lives only in the oracle); pair counts map-side
+    combine; TakeOrderedAndProject keeps the top {top}; the part-name
+    dimension join broadcasts. No shuffle carries more than
+    orders x C(cap,2) rows.
+
+    Ref parity: no counterpart in the reference (538-LoC k-means);
+    capability-closure operator per SURVEY.md §2.B-11."""
+    w = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    win = Window.partitionBy("o").orderBy(
+        F.col("qty").desc(), F.col("p")
+    )
+    capped = (
+        w.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _BIP_CAP)
+        .select("o", "p")
+    )
+    pairs = (
+        capped.groupBy("o")
+        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (a, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)), b ->"
+                    " struct(a AS part_a, b AS part_b))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.part_a", "pr.part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_orders"))
+        .orderBy(
+            F.col("co_orders").desc(), F.col("part_a"), F.col("part_b")
+        )
+        .limit(_BIP_TOP)
+    )
+    names = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        pairs.join(
+            F.broadcast(names.withColumnRenamed("p_name", "name_a")),
+            pairs.part_a == F.col("p_partkey"),
+        )
+        .drop("p_partkey")
+        .join(
+            F.broadcast(names.withColumnRenamed("p_name", "name_b")),
+            F.col("part_b") == F.col("p_partkey"),
+        )
+        .drop("p_partkey")
+        .select("part_a", "part_b", "name_a", "name_b", "co_orders")
+    )

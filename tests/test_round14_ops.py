@@ -379,3 +379,83 @@ def test_theta_intersect_exact_python_replay(spark, sf_dir, duck):
         for r in SPECS["agg_theta_intersect"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# graph_bipartite_projection
+# --------------------------------------------------------------------------
+
+
+def test_bipartite_projection_fanout_cap_and_plan(spark, tmp_path, sf_dir):
+    """(a) Hub-order cap: an order carrying 20 parts contributes pairs
+    ONLY among its top-8 by quantity (partkey ties) — C(8,2) = 28
+    pairs, none touching the 12 dropped parts; (b) plan: the cap runs
+    under WindowGroupLimit, pairs expand in-row (no shuffle join
+    anywhere), top-k is TakeOrdered, name dims broadcast."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nchu_bigdata_spark.operators.graph import _BIP_CAP
+
+    # one hub order: parts 1..20, quantity = partkey (top-8 = 13..20)
+    li = {
+        "l_orderkey": [1] * 20,
+        "l_partkey": list(range(1, 21)),
+        "l_suppkey": [1] * 20,
+        "l_linenumber": list(range(1, 21)),
+        "l_quantity": [float(p) for p in range(1, 21)],
+        "l_extendedprice": [1.0] * 20,
+        "l_discount": [0.0] * 20,
+        "l_tax": [0.0] * 20,
+        "l_returnflag": ["N"] * 20,
+        "l_linestatus": ["O"] * 20,
+        "l_shipdate": [1_700_000_000 * 10**6] * 20,
+    }
+    sch = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("l_partkey", pa.int64()),
+            ("l_suppkey", pa.int64()),
+            ("l_linenumber", pa.int32()),
+            ("l_quantity", pa.float64()),
+            ("l_extendedprice", pa.float64()),
+            ("l_discount", pa.float64()),
+            ("l_tax", pa.float64()),
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("l_shipdate", pa.timestamp("us")),
+        ]
+    )
+    pq.write_table(pa.table(li, schema=sch), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(1, 21), pa.int64()),
+                "p_name": [f"part {p}" for p in range(1, 21)],
+                "p_brand": ["b"] * 20,
+                "p_type": ["t"] * 20,
+                "p_size": pa.array([1] * 20, pa.int32()),
+                "p_retailprice": [1.0] * 20,
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    rows = (
+        SPECS["graph_bipartite_projection"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    kept = set(range(21 - _BIP_CAP, 21))  # 13..20
+    assert len(rows) == _BIP_CAP * (_BIP_CAP - 1) // 2
+    for r in rows:
+        assert r.part_a in kept and r.part_b in kept
+        assert r.part_a < r.part_b and r.co_orders == 1
+        assert r.name_a == f"part {r.part_a}"
+
+    df = SPECS["graph_bipartite_projection"].fn(spark, sf_dir)
+    df.collect()
+    plan = _final_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan

@@ -1330,6 +1330,14 @@ _EXPECT_EXTRA = {
         [r"BroadcastHashJoin", r"Scan ExistingRDD"],
         [r"SortMergeJoin", r"ShuffledHashJoin", r"rangepartitioning"],
     ),
+    # bipartite projection: fanout cap under WindowGroupLimit, pairs
+    # expand in-row (never a lineitem self-join — no shuffle join at
+    # all), top-k via TakeOrdered, name dims broadcast
+    "graph_bipartite_projection": (
+        [r"WindowGroupLimit", r"TakeOrderedAndProject",
+         r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"ShuffledHashJoin"],
+    ),
 }
 EXPECT.update(_EXPECT_EXTRA)
 
