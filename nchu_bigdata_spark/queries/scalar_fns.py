@@ -1034,3 +1034,106 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ip").cast("long").alias("min_ip"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# fn_soundex — phonetic encoding / blocking key (round 14)
+# --------------------------------------------------------------------------
+
+# American Soundex letter→digit map, A..Z positionally: vowels (a e i o
+# u y) → '0' (separators: they break runs but are dropped from the
+# code), h/w → '9' (TRANSPARENT: digits separated only by h/w still
+# collapse — the Ashcraft→A261 rule), consonants → their Soundex class
+# 1-6 (bfpv=1 cgjkqsxz=2 dt=3 l=4 mn=5 r=6).
+_SOUNDEX_MAP = "01230129022455012623019202"
+
+
+def _soundex_sql(col: str, g: str) -> str:
+    """One shared Soundex expression for BOTH engines (``g`` is the
+    extra global-flag argument DuckDB's regexp_replace needs; Spark's
+    is global by default). The textbook algorithm, with the run
+    collapse done as SIX per-digit ``d(9*d)*`` regexp chains because
+    RE2 (DuckDB) has no backreferences — each chain collapses runs of
+    one digit, treating the h/w marker '9' as transparent. Collapsing
+    happens BEFORE the first code char is dropped, which is exactly
+    what gives the standard Pfister→P236 (first letter absorbs a
+    same-class successor) and Wright→W623 (leading h/w keeps the next
+    consonant) behaviors for free."""
+    up = f"upper({col})"
+    coll = f"translate({up}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_MAP}')"
+    for d in "123456":
+        coll = f"regexp_replace({coll}, '{d}(9*{d})*', '{d}'{g})"
+    tail = f"replace(replace(substr({coll}, 2), '9', ''), '0', '')"
+    return f"concat(substr({up}, 1, 1), rpad(substr({tail}, 1, 3), 3, '0'))"
+
+
+@register(
+    "fn_soundex",
+    tags=("b7",),
+    oracle=f"""
+        -- Soundex phonetic blocking over the document token
+        -- vocabulary: the classic record-linkage blocking key (group
+        -- spelling variants of the same-sounding word into one
+        -- block). The naive formulation compares every word to every
+        -- word; the blocked formulation groups the VOCABULARY by its
+        -- phonetic code, so candidate pairs only ever form inside a
+        -- block. Identical algorithm text on both engines (see
+        -- _soundex_sql).
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS w
+            FROM documents
+        ),
+        vocab AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM toks GROUP BY w
+        )
+        SELECT {_soundex_sql('w', ", 'g'")} AS sdx,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
+               MIN(w) AS sample_word
+        FROM vocab
+        GROUP BY 1
+    """,
+)
+def fn_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American Soundex phonetic encoding as a blocking key: encode
+    every distinct token of the corpus vocabulary and report, per
+    phonetic block, how many distinct words collapse into it and how
+    many corpus occurrences they carry — the fuzzy-matching /
+    record-linkage blocking step (same-sounding spelling variants land
+    in one block; candidate pairs never cross blocks).
+
+    Exactness: the full textbook algorithm — vowels separate, h/w
+    transparent, first letter kept and its class absorbed — built from
+    translate + six per-digit regexp chains + rpad, with IDENTICAL
+    expression text on both engines (``_soundex_sql``; the per-digit
+    chains exist because RE2 lacks backreferences). Pinned by an exact
+    Python textbook replay in tests/test_round14_ops.py.
+
+    Plan/scale: tokenize is a scan-side generator (explode of
+    regexp_extract_all — one pass, no Python); the FIRST aggregation
+    collapses the token stream to the distinct vocabulary (map-side
+    combine does the heavy lifting: per-partition token counts before
+    any shuffle), so the soundex projection and the second rollup run
+    on vocabulary-sized data (Heaps-law sublinear in corpus size). At
+    100 TB the only corpus-sized stage is the initial scan+combine;
+    everything after is vocab-bounded. All whole-stage codegen, zero
+    UDFs."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")
+        ).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    return (
+        vocab.select(
+            F.expr(_soundex_sql("w", "")).alias("sdx"), "w", "n_occ"
+        )
+        .groupBy("sdx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_occ").cast("long").alias("n_occurrences"),
+            F.min("w").alias("sample_word"),
+        )
+    )

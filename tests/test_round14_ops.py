@@ -459,3 +459,98 @@ def test_bipartite_projection_fanout_cap_and_plan(spark, tmp_path, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# fn_soundex
+# --------------------------------------------------------------------------
+
+
+def _py_soundex(w: str) -> str:
+    """Independent textbook American Soundex (h/w transparent, vowels
+    separate, first letter's class absorbed) — NOT the regex pipeline
+    under test."""
+    classes = {}
+    for s, d in (
+        ("bfpv", "1"),
+        ("cgjkqsxz", "2"),
+        ("dt", "3"),
+        ("l", "4"),
+        ("mn", "5"),
+        ("r", "6"),
+    ):
+        for c in s:
+            classes[c] = d
+    w = w.lower()
+    first = w[0].upper()
+    last = classes.get(w[0], "")
+    digits = []
+    for c in w[1:]:
+        if c in "hw":
+            continue  # transparent: `last` unchanged
+        d = classes.get(c)
+        if d is None:  # vowel: separator, resets the run
+            last = ""
+            continue
+        if d != last:
+            digits.append(d)
+        last = d
+    return (first + "".join(digits) + "000")[:4]
+
+
+def test_soundex_textbook_fixtures(spark):
+    """The classic published test vector (Robert/Rupert, the
+    h-transparency pair Ashcraft/Ashcroft, Tymczak's vowel-separated
+    double-2, Pfister's first-letter absorption, Wright's leading-W,
+    Honeyman) through the ACTUAL SQL expression."""
+    from nchu_bigdata_spark.queries.scalar_fns import _soundex_sql
+
+    fixtures = {
+        "robert": "R163",
+        "rupert": "R163",
+        "ashcraft": "A261",
+        "ashcroft": "A261",
+        "tymczak": "T522",
+        "pfister": "P236",
+        "wright": "W623",
+        "honeyman": "H555",
+        "a": "A000",
+        "lee": "L000",
+    }
+    df = spark.createDataFrame([(w,) for w in fixtures], ["w"])
+    got = {
+        r.w: r.sdx
+        for r in df.selectExpr("w", f"{_soundex_sql('w', '')} AS sdx").collect()
+    }
+    assert got == fixtures
+    for w, want in fixtures.items():
+        assert _py_soundex(w) == want, w
+
+
+def test_soundex_corpus_replay_and_plan(spark, sf_dir, duck):
+    """Full-corpus exactness: the Spark blocks equal a Python textbook
+    replay over the DuckDB-computed vocabulary; plan stays pure
+    codegen (no Python eval)."""
+    from collections import defaultdict
+
+    vocab = duck.execute(
+        """
+        SELECT w, COUNT(*) AS n FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS w
+            FROM documents
+        ) GROUP BY w
+        """
+    ).fetchall()
+    assert vocab
+    blocks = defaultdict(lambda: [0, 0, None])
+    for w, n in vocab:
+        b = blocks[_py_soundex(w)]
+        b[0] += 1
+        b[1] += n
+        b[2] = w if b[2] is None else min(b[2], w)
+    df = SPECS["fn_soundex"].fn(spark, sf_dir)
+    rows = df.collect()
+    got = {r.sdx: [r.n_words, r.n_occurrences, r.sample_word] for r in rows}
+    assert got == dict(blocks)
+    plan = _final_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
