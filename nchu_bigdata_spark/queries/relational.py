@@ -1671,3 +1671,164 @@ def scan_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_incremental_read — dataChange-flagged incremental consume (round 14)
+# --------------------------------------------------------------------------
+
+_INC_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.LongType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("file", T.StringType()),
+        T.StructField("data_change", T.BooleanType()),
+    ]
+)
+
+# deterministic "late-arriving rows" slice: md5(o_orderkey) % 7 == 0
+_INC_LATE = (
+    "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT) % 7 = 0"
+)
+
+
+@register(
+    "scan_incremental_read",
+    tags=("b1",),
+    oracle="""
+        -- Incremental (CDC-lite) snapshot-diff read: the engine
+        -- materializes a versioned action log over a partitioned
+        -- table (base adds; late-arriving appends for every 3rd
+        -- month; OPTIMIZE rewrites for every 4th month flagged
+        -- data_change=false, Delta's dataChange contract), then
+        -- consumes the window (v_base, v_head] -- reading ONLY the
+        -- files whose add action is a real data change and still
+        -- live at v_head. A naive reader that ignores the flag
+        -- re-reads every compacted base file and double-counts; the
+        -- oracle derives the true increment straight from orders
+        -- (late slice x every-3rd-month), so the log fold, the flag
+        -- filter, and the pruned multi-dir read must all be right.
+        WITH months AS (
+            SELECT mo, ROW_NUMBER() OVER (ORDER BY mo) - 1 AS i
+            FROM (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS mo
+                  FROM orders)
+        ),
+        late AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS mo, o_totalprice
+            FROM orders
+            WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                  % 7 = 0
+        )
+        SELECT l.mo,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6)))
+                    AS DECIMAL(38,6)) AS sum_price
+        FROM late l JOIN months m ON l.mo = m.mo
+        WHERE m.i % 3 = 0
+        GROUP BY l.mo
+    """,
+)
+def scan_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption of a log-structured table between two
+    snapshots — the Delta change-feed / Iceberg incremental-scan
+    contract: add actions carry a ``dataChange`` flag, OPTIMIZE
+    rewrites are flagged false, and an incremental reader consuming
+    the version window (v_base, v_head] reads exactly the
+    added-and-still-live files whose add WAS a data change. The trap
+    this certifies: compaction rewrites the same rows into new files,
+    so a reader that diffs file lists without the flag double-counts
+    every compacted partition — the flag is what makes "new files"
+    mean "new data".
+
+    Timeline materialized here (orders, month-partitioned):
+    base add per month at v=i (late slice withheld); late-arriving
+    appends for every 3rd month at v=200+i (data_change=true);
+    OPTIMIZE of every 4th month's base — remove at v=1000+i, re-add
+    at v=2000+i (data_change=false). v_base = last base version, so the window
+    holds exactly the late appends + the compactions; the increment
+    is the late slice of every 3rd month.
+
+    Plan/scale: the log fold is one file-keyed rank window over the
+    action log (log-length, not table-sized); the resulting file list
+    is a log-cardinality collect (sanctioned — it parameterizes the
+    scan, exactly what a table format's planning phase does); the data
+    read then touches ONLY the incremental partition dirs via
+    basePath-anchored pruning, so read volume is the increment's, not
+    the table's. At 100 TB the increment is whatever the window added
+    — independent of total table size, which is the entire point of
+    incremental reads."""
+    out = scratch_dir(sf_dir, "inc_table")
+    log_out = scratch_dir(sf_dir, "inc_log_json")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("mo"),
+        F.expr(_INC_LATE).alias("late"),
+    )
+    o.write.mode("overwrite").partitionBy("mo", "late").parquet(out)
+
+    months = (
+        o.select("mo")
+        .distinct()
+        .select(
+            "mo", (F.row_number().over(Window.orderBy("mo")) - 1).alias("i")
+        )
+    )
+    base_adds = months.select(
+        F.col("i").cast("long").alias("version"),
+        F.lit("add").alias("action"),
+        F.concat(F.lit("mo="), "mo", F.lit("/late=false")).alias("file"),
+        F.lit(True).alias("data_change"),
+    )
+    late_adds = months.filter(F.col("i") % 3 == 0).select(
+        (200 + F.col("i")).cast("long").alias("version"),
+        F.lit("add").alias("action"),
+        F.concat(F.lit("mo="), "mo", F.lit("/late=true")).alias("file"),
+        F.lit(True).alias("data_change"),
+    )
+    compact_removes = months.filter(F.col("i") % 4 == 2).select(
+        (1000 + F.col("i")).cast("long").alias("version"),
+        F.lit("remove").alias("action"),
+        F.concat(F.lit("mo="), "mo", F.lit("/late=false")).alias("file"),
+        F.lit(False).alias("data_change"),
+    )
+    # the rewrite's add sorts strictly AFTER its remove (2000+i vs
+    # 1000+i) so last-action-wins is unambiguous: the file is live
+    # post-OPTIMIZE, just not a data change
+    compact_readds = compact_removes.select(
+        (F.col("version") + 1000).alias("version"),
+        F.lit("add").alias("action"),
+        "file",
+        F.lit(False).alias("data_change"),
+    )
+    base_adds.unionAll(late_adds).unionAll(compact_removes).unionAll(
+        compact_readds
+    ).write.mode("overwrite").json(log_out)
+
+    log = spark.read.schema(_INC_SCHEMA).json(log_out)
+    # v_base as a broadcast scalar (no collect needed for the bound)
+    v_base = log.filter(F.col("version") < 200).agg(
+        F.max("version").alias("v_base")
+    )
+    windowed = log.crossJoin(F.broadcast(v_base)).filter(
+        F.col("version") > F.col("v_base")
+    )
+    w = Window.partitionBy("file").orderBy(F.desc("version"))
+    inc_files = (
+        windowed.select("*", F.row_number().over(w).alias("rk"))
+        .filter(
+            (F.col("rk") == 1)
+            & (F.col("action") == "add")
+            & F.col("data_change")
+        )
+        .select("file")
+    )
+    # log-cardinality collect: parameterizes the pruned scan (the
+    # planning phase of every table format does exactly this)
+    paths = [f"{out}/{r.file}" for r in inc_files.collect()]
+    inc = spark.read.option("basePath", out).parquet(*paths)
+    return inc.groupBy("mo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

@@ -554,3 +554,69 @@ def test_soundex_corpus_replay_and_plan(spark, sf_dir, duck):
     assert got == dict(blocks)
     plan = _final_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# scan_incremental_read
+# --------------------------------------------------------------------------
+
+
+def test_incremental_read_flag_semantics_and_pruning(spark, sf_dir, duck):
+    """(a) The increment reads ONLY late-append partition dirs (the
+    data_change=false OPTIMIZE re-adds are excluded, so no base dir is
+    touched — the double-count trap); (b) a flag-ignoring fold over
+    the same log WOULD include the compacted base dirs, proving the
+    flag is load-bearing; (c) totals equal the oracle's late-slice
+    every-3rd-month increment."""
+    from nchu_bigdata_spark.queries.relational import (
+        _INC_SCHEMA,
+        scan_incremental_read,
+        scratch_dir,
+    )
+
+    df = SPECS["scan_incremental_read"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for f in df.inputFiles():
+        assert "late=true" in f, f  # no base dir is ever read
+
+    # flag-ignoring fold: same window, same last-action-wins, no
+    # data_change filter -> the compacted base dirs reappear
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    log = spark.read.schema(_INC_SCHEMA).json(
+        scratch_dir(sf_dir, "inc_log_json")
+    )
+    v_base = log.filter(F2.col("version") < 200).agg(
+        F2.max("version").alias("v_base")
+    )
+    w = Window.partitionBy("file").orderBy(F2.desc("version"))
+    naive = (
+        log.crossJoin(F2.broadcast(v_base))
+        .filter(F2.col("version") > F2.col("v_base"))
+        .select("*", F2.row_number().over(w).alias("rk"))
+        .filter((F2.col("rk") == 1) & (F2.col("action") == "add"))
+    )
+    naive_files = {r.file for r in naive.select("file").collect()}
+    assert any("late=false" in f for f in naive_files)  # would double-count
+    flagged = {r.file for r in naive.filter("data_change").select("file").collect()}
+    assert all("late=true" in f for f in flagged)
+
+    got = {r.mo: (r.n_rows, float(r.sum_price)) for r in rows}
+    exp = duck.execute(
+        """
+        WITH months AS (
+            SELECT mo, ROW_NUMBER() OVER (ORDER BY mo) - 1 AS i
+            FROM (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS mo
+                  FROM orders)
+        )
+        SELECT strftime(o_orderdate, '%Y-%m') AS mo,
+               COUNT(*), ROUND(SUM(o_totalprice), 6)
+        FROM orders o JOIN months m ON strftime(o_orderdate, '%Y-%m') = m.mo
+        WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 7 = 0
+          AND m.i % 3 = 0
+        GROUP BY 1
+        """
+    ).fetchall()
+    assert got == {mo: (n, float(s)) for mo, n, s in exp}
