@@ -2546,3 +2546,105 @@ def orders_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * (n * n - 1))) END AS BIGINT)"
         ).alias("spearman_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_revenue_recognition — straight-line recognition ledger (round 14)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_revenue_recognition",
+    tags=("b4",),
+    oracle="""
+        -- Straight-line revenue recognition: each line item's charge
+        -- is recognized evenly across the calendar months from order
+        -- to ship (inclusive), in EXACT integer cents with the
+        -- accountant's remainder rule (every month gets cents // k;
+        -- the FINAL month absorbs the remainder, so the ledger sums
+        -- to the invoice to the cent by construction). The per-month
+        -- recognized ledger is the deferred-revenue waterfall a
+        -- finance warehouse reports; exactness is the whole game --
+        -- a float split leaks cents and the books don't close.
+        WITH li AS (
+            SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m0,
+                   GREATEST(
+                     (year(l_shipdate) * 12 + month(l_shipdate) - 1)
+                     - (year(o_orderdate) * 12 + month(o_orderdate) - 1),
+                     0) AS span,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        x AS (
+            SELECT m0 + j AS m, span + 1 AS k, j, cents
+            FROM li, unnest(generate_series(0, span)) AS t(j)
+        )
+        SELECT CAST((m // 12) * 100 + m % 12 + 1 AS BIGINT) AS ym,
+               CAST(COUNT(*) AS BIGINT) AS n_slices,
+               CAST(SUM(CASE WHEN j < k - 1 THEN cents // k
+                             ELSE cents - (k - 1) * (cents // k)
+                        END) AS BIGINT) AS recognized_cents
+        FROM x
+        GROUP BY 1
+    """,
+)
+def orders_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straight-line revenue recognition ledger: every line item's
+    extended price is recognized evenly across the calendar months
+    from order date to ship date inclusive, in EXACT integer cents
+    with the accountant's remainder rule — each month takes
+    ``cents div k`` and the final month absorbs the remainder, so the
+    recognized ledger reconciles to invoiced revenue to the cent BY
+    CONSTRUCTION (a float split leaks cents and the books don't
+    close). The deferred-revenue waterfall behind
+    `orders_backlog`/`orders_aging_wip`: those measure what is open;
+    this states when the revenue hits the books.
+
+    Exactness: month arithmetic is pure integer (y*12+m indexing,
+    inverted by div/mod), the split is integer floor division, and
+    the ship-before-order guard (GREATEST(span,0)) pins both engines
+    to the same one-month collapse — Spark's sequence() would emit a
+    DESCENDING range for a negative span where DuckDB's
+    generate_series emits empty, so the guard is load-bearing for
+    cross-engine agreement, not just hygiene.
+
+    Plan/scale: one orderkey-equi join (both sides shuffle on the
+    natural key, AQE-coalesced), then a scan-side sequence explode
+    bounded by the order→ship span (≤ 5 months in TPC-H shape — the
+    fan-out is a small constant, not data-dependent), then one
+    month-cardinality rollup that combines map-side. No windows, no
+    collects; at 100 TB the explode factor stays the calendar
+    constant."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").alias("m0"),
+        F.expr(
+            "GREATEST((year(l_shipdate) * 12 + month(l_shipdate) - 1)"
+            " - (year(o_orderdate) * 12 + month(o_orderdate) - 1), 0)"
+        ).alias("span"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    x = j.select(
+        "m0",
+        (F.col("span") + 1).alias("k"),
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.col("span"))).alias("jj"),
+    )
+    return (
+        x.select(
+            F.expr("CAST((m0 + jj) div 12 * 100 + (m0 + jj) % 12 + 1"
+                   " AS BIGINT)").alias("ym"),
+            F.expr(
+                "CASE WHEN jj < k - 1 THEN cents div k"
+                " ELSE cents - (k - 1) * (cents div k) END"
+            ).alias("recognized"),
+        )
+        .groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_slices"),
+            F.sum("recognized").cast("long").alias("recognized_cents"),
+        )
+    )

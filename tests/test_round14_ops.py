@@ -620,3 +620,51 @@ def test_incremental_read_flag_semantics_and_pruning(spark, sf_dir, duck):
         """
     ).fetchall()
     assert got == {mo: (n, float(s)) for mo, n, s in exp}
+
+
+# --------------------------------------------------------------------------
+# orders_revenue_recognition
+# --------------------------------------------------------------------------
+
+
+def test_revenue_recognition_books_close_and_negative_span(
+    spark, sf_dir, tmp_path, duck
+):
+    """(a) The ledger reconciles to invoiced revenue TO THE CENT
+    (the remainder rule's defining property); (b) a ship-before-order
+    row collapses to one month carrying the full charge (the
+    GREATEST guard that keeps Spark's descending sequence() from
+    diverging from DuckDB's empty generate_series)."""
+    from pyspark.sql import functions as F2
+
+    from nchu_bigdata_spark.io import table as _table
+
+    df = SPECS["orders_revenue_recognition"].fn(spark, sf_dir)
+    ledger_total = df.agg(F2.sum("recognized_cents")).collect()[0][0]
+    (invoiced,) = duck.execute(
+        """
+        SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """
+    ).fetchone()
+    assert ledger_total == invoiced
+
+    li = (
+        _table(spark, sf_dir, "lineitem")
+        .limit(1)
+        .withColumn("l_shipdate", F2.to_date(F2.lit("1993-02-10")))
+        .withColumn("l_extendedprice", F2.lit(100.07))
+    )
+    o = (
+        _table(spark, sf_dir, "orders")
+        .limit(1)
+        .withColumn("o_orderdate", F2.to_date(F2.lit("1993-06-25")))
+        .withColumn(
+            "o_orderkey", li.select("l_orderkey").collect()[0][0] + F2.lit(0)
+        )
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    o.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    rows = SPECS["orders_revenue_recognition"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].ym == 199306 and rows[0].recognized_cents == 10007
