@@ -668,3 +668,31 @@ def test_revenue_recognition_books_close_and_negative_span(
     rows = SPECS["orders_revenue_recognition"].fn(spark, str(tmp_path)).collect()
     assert len(rows) == 1
     assert rows[0].ym == 199306 and rows[0].recognized_cents == 10007
+
+
+# --------------------------------------------------------------------------
+# dq_key_discovery
+# --------------------------------------------------------------------------
+
+
+def test_key_discovery_verdicts(spark, sf_dir, duck):
+    """Verdicts equal independently-computed uniqueness evidence at
+    this sf (the generator does NOT honor TPC-H's declared
+    (l_orderkey, l_linenumber) key — exactly the declared-vs-actual
+    gap the profiler exists to expose), and the structural
+    invariants hold: consistent row counts, is_key <=> max_group==1,
+    single-column l_orderkey always ruled out."""
+    rows = {r.candidate: r for r in SPECS["dq_key_discovery"].fn(spark, sf_dir).collect()}
+    from nchu_bigdata_spark.queries.profiling import _KEY_CANDIDATES
+
+    for cols in _KEY_CANDIDATES:
+        (mx,) = duck.execute(
+            "SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM lineitem"
+            f" GROUP BY {', '.join(cols)})"
+        ).fetchone()
+        r = rows["+".join(cols)]
+        assert r.max_group == mx
+        assert r.is_key == (mx == 1)
+    assert not rows["l_orderkey"].is_key
+    assert rows["l_orderkey"].n_dup_rows > 0
+    assert len({r.n_rows for r in rows.values()}) == 1
