@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nchu_bigdata_spark.compat import dsum
 from nchu_bigdata_spark.io import table
 from nchu_bigdata_spark.registry import register
 
@@ -442,5 +443,127 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
             F.col("s_suppkey").cast("long").alias("s_suppkey"),
             F.col("d2").cast("long").alias("d2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# geo_point_in_polygon — exact containment aggregation (round 14)
+# --------------------------------------------------------------------------
+
+# Three convex CCW districts on the [0, 1e6)² grid (literal vertex
+# lists — the polygon layer of a district/geofence aggregation).
+# Orientation + convexity are pinned by a shoelace/cross test in
+# tests/test_round14_ops.py, because the containment predicate below
+# is only valid for convex CCW rings.
+_PIP_DISTRICTS = {
+    "tri": ((100_000, 100_000), (600_000, 150_000), (300_000, 500_000)),
+    "quad": (
+        (400_000, 400_000),
+        (900_000, 450_000),
+        (850_000, 900_000),
+        (450_000, 850_000),
+    ),
+    "pent": (
+        (50_000, 600_000),
+        (350_000, 550_000),
+        (500_000, 750_000),
+        (300_000, 950_000),
+        (80_000, 900_000),
+    ),
+}
+
+
+def _pip_sql(poly) -> str:
+    """Convex-CCW containment as an unrolled conjunction of integer
+    cross-product half-plane tests — every term is int64-exact
+    (|coords| < 1e6 ⇒ each product < 1e12), identical text on both
+    engines. Boundary points count as inside (>= 0)."""
+    n = len(poly)
+    terms = []
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        terms.append(
+            f"(({x2} - {x1}) * (y - {y1})"
+            f" - ({y2} - {y1}) * (x - {x1})) >= 0"
+        )
+    return " AND ".join(terms)
+
+
+def _pip_oracle() -> str:
+    arms = []
+    for name, poly in _PIP_DISTRICTS.items():
+        arms.append(f"""
+        SELECT '{name}' AS district,
+               CAST(COUNT(*) AS BIGINT) AS n_inside,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6)))
+                    AS DECIMAL(38,6)) AS sum_acctbal,
+               CAST(MIN(c_custkey) AS BIGINT) AS min_custkey
+        FROM (
+            SELECT c_custkey, c_acctbal,
+                   (c_custkey * {_AX}) % {_SPAN} AS x,
+                   (c_custkey * {_AY}) % {_SPAN} AS y
+            FROM customer
+        )
+        WHERE {_pip_sql(poly)}
+        GROUP BY 1
+        """)
+    return "\nUNION ALL\n".join(arms)
+
+
+@register(
+    "geo_point_in_polygon",
+    tags=("geo",),
+    oracle=_pip_oracle(),
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon aggregation — the geofence/district rollup:
+    count customers (derived grid geography, module header) inside
+    each of three literal convex districts and sum their balances.
+    The polygon layer the geo family was missing: `geo_cell_join` and
+    `geo_bbox_join` answer distance and rectangle predicates; this
+    answers true polygon containment.
+
+    Exactness: convex-CCW containment is an unrolled conjunction of
+    integer cross-product half-plane tests (`_pip_sql`) — no floats,
+    no trig, no ray-casting epsilon cases; boundary points are inside
+    by the >= 0 convention on both engines. Convexity + orientation
+    of the literal rings are pinned by test, since the conjunction
+    form is only valid for convex CCW rings.
+
+    Plan/scale: containment for ALL districts evaluates in-row inside
+    one whole-stage-codegen projection over the scan (stack unpivots
+    the three verdicts), so the only shuffle is the final
+    district-cardinality rollup — a 100 TB point table streams
+    through map-side; nothing is ever paired or replicated. For
+    polygon sets too large to unroll, the scale path is the cell-join
+    pattern (`geo_cell_join`) keyed by polygon bounding cells; three
+    literal districts don't need it."""
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.expr(f"(c_custkey * {_AX}) % {_SPAN}").alias("x"),
+        F.expr(f"(c_custkey * {_AY}) % {_SPAN}").alias("y"),
+    )
+    stack_args = ", ".join(
+        f"'{name}', ({_pip_sql(poly)})"
+        for name, poly in _PIP_DISTRICTS.items()
+    )
+    verdicts = pts.select(
+        "c_custkey",
+        "c_acctbal",
+        F.expr(
+            f"stack({len(_PIP_DISTRICTS)}, {stack_args})"
+        ).alias("district", "inside"),
+    )
+    return (
+        verdicts.filter("inside")
+        .groupBy("district")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_inside"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+            F.min("c_custkey").cast("long").alias("min_custkey"),
         )
     )

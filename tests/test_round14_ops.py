@@ -696,3 +696,74 @@ def test_key_discovery_verdicts(spark, sf_dir, duck):
     assert not rows["l_orderkey"].is_key
     assert rows["l_orderkey"].n_dup_rows > 0
     assert len({r.n_rows for r in rows.values()}) == 1
+
+
+# --------------------------------------------------------------------------
+# geo_point_in_polygon
+# --------------------------------------------------------------------------
+
+
+def test_pip_rings_are_convex_ccw_and_containment_exact(spark, sf_dir):
+    """(a) Every literal ring is convex and CCW (shoelace > 0, all
+    edge-pair crosses > 0) — the precondition the conjunction
+    containment form requires; (b) Spark verdicts equal a Python
+    integer replay of the same half-plane tests; (c) boundary
+    inclusiveness: a vertex itself tests inside."""
+    from nchu_bigdata_spark.queries.geo import (
+        _AX,
+        _AY,
+        _PIP_DISTRICTS,
+        _SPAN,
+        _pip_sql,
+    )
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    for name, poly in _PIP_DISTRICTS.items():
+        n = len(poly)
+        shoelace = sum(
+            poly[i][0] * poly[(i + 1) % n][1]
+            - poly[(i + 1) % n][0] * poly[i][1]
+            for i in range(n)
+        )
+        assert shoelace > 0, name  # CCW
+        for i in range(n):
+            assert cross(poly[i], poly[(i + 1) % n], poly[(i + 2) % n]) > 0, name
+
+    def inside(poly, x, y):
+        n = len(poly)
+        return all(
+            cross(poly[i], poly[(i + 1) % n], (x, y)) >= 0 for i in range(n)
+        )
+
+    rows = SPECS["geo_point_in_polygon"].fn(spark, sf_dir).collect()
+    got = {r.district: (r.n_inside, r.min_custkey) for r in rows}
+    keys = [
+        r.c_custkey
+        for r in __import__("pyspark").sql.SparkSession.getActiveSession()
+        .read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    ]
+    exp = {}
+    for name, poly in _PIP_DISTRICTS.items():
+        ins = [
+            k
+            for k in keys
+            if inside(poly, (k * _AX) % _SPAN, (k * _AY) % _SPAN)
+        ]
+        if ins:
+            exp[name] = (len(ins), min(ins))
+    assert got == exp
+
+    # vertex of each ring is inside its own ring (>= 0 convention);
+    # x/y as BIGINT columns like the operator's (all-literal
+    # substitution would overflow int32 on both engines)
+    for name, poly in _PIP_DISTRICTS.items():
+        vx, vy = poly[0]
+        df = spark.sql(
+            f"SELECT ({_pip_sql(poly)}) AS ok FROM"
+            f" (SELECT CAST({vx} AS BIGINT) AS x, CAST({vy} AS BIGINT) AS y)"
+        )
+        assert df.collect()[0].ok, name
