@@ -1832,3 +1832,118 @@ def scan_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_python_datasource — PySpark 4 custom Python data source (round 14)
+# --------------------------------------------------------------------------
+
+# Deterministic generator parameters, shared by source and oracle:
+# N rows across P splits, val = (id * A) % M (Knuth multiplier, prime
+# modulus — every product < 2^63).
+_PYDS_N = 200_000
+_PYDS_P = 8
+_PYDS_A = 2_654_435_761
+_PYDS_M = 1_000_003
+
+
+def _pyds_source():
+    """Build the DataSource class lazily (pyspark.sql.datasource
+    import stays off the module import path)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class RangeHashReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(_PYDS_P)]
+
+        def read(self, partition):
+            # Arrow-batch emission (the fast path the API exists
+            # for): one vectorized RecordBatch per split, zero
+            # per-row Python.
+            import numpy as np
+            import pyarrow as pa
+
+            ids = np.arange(partition.value, _PYDS_N, _PYDS_P, dtype=np.int64)
+            val = (ids * _PYDS_A) % _PYDS_M
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ids % 16, pa.int64()),
+                    pa.array(val, pa.int64()),
+                ],
+                names=["id", "bucket", "val"],
+            )
+
+    class RangeHashSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "range_hash"
+
+        def schema(self):
+            return "id BIGINT, bucket BIGINT, val BIGINT"
+
+        def reader(self, schema):
+            return RangeHashReader()
+
+    return RangeHashSource
+
+
+@register(
+    "scan_python_datasource",
+    tags=("b1",),
+    oracle=f"""
+        -- Custom PYTHON DATA SOURCE (PySpark 4 DataSource API): the
+        -- engine registers a user-defined source that emits one
+        -- vectorized Arrow RecordBatch per input split and reads it
+        -- through spark.read.format(...), proving the full connector
+        -- contract (name/schema/partitions/read) end to end. The
+        -- oracle replays the deterministic generator arithmetically,
+        -- so split coverage must be exact -- a dropped or doubled
+        -- split shifts every bucket's count and sum.
+        SELECT CAST(id % 16 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((id * {_PYDS_A}) % {_PYDS_M}) AS BIGINT) AS sum_val,
+               CAST(MIN((id * {_PYDS_A}) % {_PYDS_M}) AS BIGINT) AS min_val,
+               CAST(MAX((id * {_PYDS_A}) % {_PYDS_M}) AS BIGINT) AS max_val
+        FROM range(0, {_PYDS_N}) t(id)
+        GROUP BY 1
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined Python data source — the PySpark 4 DataSource API
+    (SPIP: python data source, public Spark 4.x surface): register a
+    source class, declare its schema, split it into 8 input
+    partitions, and emit each split as ONE vectorized Arrow
+    RecordBatch (no per-row Python — the Arrow path is why the API
+    is usable at scale), then read it back with
+    ``spark.read.format("range_hash")`` and aggregate. This is the
+    connector story for sources Spark has no built-in reader for
+    (internal services, proprietary formats): the split list is the
+    parallelism contract, the Arrow batch is the transfer contract.
+
+    Exactness: rows are a pure integer function of the id range
+    ((id*A) % M, Knuth multiplier / prime modulus, products < 2^63),
+    so the oracle replays the generator arithmetically — a dropped,
+    doubled, or misassigned split shifts counts and sums in some
+    bucket and the hash catches it.
+
+    Plan/scale: the source reads split-parallel (8 here; a real
+    deployment returns as many InputPartitions as the backend
+    shards); downstream is one map-side-combined 16-group rollup.
+    The Python worker cost is one Arrow batch per split — the same
+    batch-transfer shape as mapInArrow."""
+    try:
+        spark.dataSource.register(_pyds_source())
+    except Exception:
+        pass  # already registered in this session
+    df = spark.read.format("range_hash").load()
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.min("val").cast("long").alias("min_val"),
+        F.max("val").cast("long").alias("max_val"),
+    )

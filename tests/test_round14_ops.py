@@ -767,3 +767,35 @@ def test_pip_rings_are_convex_ccw_and_containment_exact(spark, sf_dir):
             f" (SELECT CAST({vx} AS BIGINT) AS x, CAST({vy} AS BIGINT) AS y)"
         )
         assert df.collect()[0].ok, name
+
+
+# --------------------------------------------------------------------------
+# scan_python_datasource
+# --------------------------------------------------------------------------
+
+
+def test_python_datasource_splits_and_coverage(spark, sf_dir):
+    """(a) The source reads with exactly its declared split count;
+    (b) id coverage is exact (count and sum of a permutation of
+    range(N)); (c) a second invocation (re-registration path) works."""
+    from pyspark.sql import functions as F2
+
+    from nchu_bigdata_spark.queries.relational import (
+        _PYDS_N,
+        _PYDS_P,
+        _pyds_source,
+    )
+
+    spark.dataSource.register(_pyds_source())
+    df = spark.read.format("range_hash").load()
+    assert df.rdd.getNumPartitions() == _PYDS_P
+    tot = df.agg(
+        F2.count(F2.lit(1)).alias("n"), F2.sum("id").alias("s")
+    ).collect()[0]
+    assert tot.n == _PYDS_N
+    assert tot.s == _PYDS_N * (_PYDS_N - 1) // 2
+
+    out1 = SPECS["scan_python_datasource"].fn(spark, sf_dir).collect()
+    out2 = SPECS["scan_python_datasource"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert len(out1) == 16
