@@ -963,3 +963,120 @@ def dq_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionAll(a)
     return out
+
+
+# --------------------------------------------------------------------------
+# dq_observe_inline — single-pass piggybacked DQ metrics (round 14)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_observe_inline",
+    tags=("b4",),
+    oracle="""
+        -- DQ metrics via Spark's Observation API: the engine attaches
+        -- observe() metrics to a REAL pipeline (filter+project+sink
+        -- of purchase events) and harvests them from the same pass --
+        -- zero extra scans, the production pattern for per-job DQ
+        -- without doubling read volume. Two metric points: the full
+        -- scan (row count, null/parse health, value bounds) and the
+        -- post-filter sink (rows and value mass actually written).
+        -- The oracle recomputes both points declaratively; if the
+        -- observation were attached at the wrong plan point (after
+        -- the filter, say) the scan row counts diverge and the hash
+        -- catches it.
+        SELECT 'scan' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_user,
+               CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_props,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events
+        UNION ALL
+        SELECT 'sink' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS n_null_user,
+               CAST(0 AS BIGINT) AS n_bad_props,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events WHERE event_type = 'purchase'
+    """,
+)
+def dq_observe_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-piggybacked DQ metrics — Spark's ``Observation`` /
+    ``Dataset.observe`` API: a real job (filter purchase events,
+    project, sink to parquet) carries TWO observation points, one on
+    the raw scan (row count, null users, unparseable props, exact
+    value mass in cents, timestamp bounds) and one on the post-filter
+    sink (rows and value mass actually written). The metrics ride the
+    job's own pass — zero additional scans, which is the entire
+    reason the API exists: at 100 TB a separate profiling query
+    doubles read volume, an observation is free.
+
+    The returned DataFrame IS the two harvested metric rows
+    (constant-size, driver-built — the sanctioned metrics-row shape).
+    Exactness: value mass as integer cents, timestamps as epoch
+    micros; the oracle recomputes both points declaratively, so an
+    observation attached at the wrong plan point (post-filter instead
+    of scan) diverges on n_rows and the hash catches it.
+
+    Plan/scale: one pass over events; observe() compiles to
+    accumulator-style aggregates evaluated inside the existing
+    whole-stage-codegen stages (CollectMetrics nodes), shuffling
+    nothing. The sink write is the job's real output, not test
+    scaffolding."""
+    from pyspark.sql import Observation
+
+    from nchu_bigdata_spark.queries.relational import scratch_dir
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    scan_obs = Observation("dq_scan")
+    sink_obs = Observation("dq_sink")
+    observed = ev.observe(
+        scan_obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long"))
+        .cast("long")
+        .alias("n_null_user"),
+        F.sum(F.get_json_object("props", "$.k").isNull().cast("long"))
+        .cast("long")
+        .alias("n_bad_props"),
+        F.sum(cents).cast("long").alias("value_cents"),
+        F.min(F.unix_micros("ts")).cast("long").alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).cast("long").alias("max_ts_us"),
+    )
+    filtered = observed.filter(F.col("event_type") == "purchase").observe(
+        sink_obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(0).cast("long").alias("n_null_user"),
+        F.lit(0).cast("long").alias("n_bad_props"),
+        F.sum(cents).cast("long").alias("value_cents"),
+        F.min(F.unix_micros("ts")).cast("long").alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).cast("long").alias("max_ts_us"),
+    )
+    out = scratch_dir(sf_dir, "observe_purchases")
+    filtered.select("event_id", "ts", "user_id", "value").write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    cols = [
+        "n_rows",
+        "n_null_user",
+        "n_bad_props",
+        "value_cents",
+        "min_ts_us",
+        "max_ts_us",
+    ]
+    rows = [
+        ("scan", *[scan_obs.get[c] for c in cols]),
+        ("sink", *[sink_obs.get[c] for c in cols]),
+    ]
+    schema = "stage STRING, " + ", ".join(f"{c} BIGINT" for c in cols)
+    return spark.createDataFrame(rows, schema)

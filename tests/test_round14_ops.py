@@ -799,3 +799,29 @@ def test_python_datasource_splits_and_coverage(spark, sf_dir):
     out2 = SPECS["scan_python_datasource"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
     assert len(out1) == 16
+
+
+# --------------------------------------------------------------------------
+# dq_observe_inline
+# --------------------------------------------------------------------------
+
+
+def test_observe_inline_single_pass_metrics(spark, sf_dir, duck):
+    """Scan-point metrics cover the FULL table (pre-filter), the sink
+    point only the written slice; both equal declarative recomputes.
+    The observation rides the job's own pass (CollectMetrics in the
+    sink job's plan), not a second scan."""
+    rows = {r.stage: r for r in SPECS["dq_observe_inline"].fn(spark, sf_dir).collect()}
+    (n_all, cents_all) = duck.execute(
+        "SELECT COUNT(*), SUM(CAST(round(value*100) AS BIGINT)) FROM events"
+    ).fetchone()
+    (n_p, cents_p) = duck.execute(
+        "SELECT COUNT(*), SUM(CAST(round(value*100) AS BIGINT))"
+        " FROM events WHERE event_type = 'purchase'"
+    ).fetchone()
+    assert rows["scan"].n_rows == n_all
+    assert rows["scan"].value_cents == cents_all
+    assert rows["sink"].n_rows == n_p
+    assert rows["sink"].value_cents == cents_p
+    assert rows["sink"].n_rows < rows["scan"].n_rows
+    assert rows["scan"].min_ts_us <= rows["sink"].min_ts_us
