@@ -1947,3 +1947,79 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").cast("long").alias("min_val"),
         F.max("val").cast("long").alias("max_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# sink_exactly_once — manifest-committed idempotent sink (round 14)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_exactly_once",
+    tags=("b1",),
+    oracle="""
+        -- Exactly-once sink semantics under retry: the engine writes
+        -- the SAME batch twice into attempt-tagged directories (a
+        -- driver retry after a failure mid-commit -- both attempts'
+        -- files exist on disk), then commits a manifest naming only
+        -- the winning attempt's files; the read path serves the
+        -- MANIFEST, not the directory listing. The oracle computes
+        -- the batch straight from events single-counted, so a reader
+        -- that lists the directory (and double-counts every row) or
+        -- a manifest that leaked attempt-1 files both break the
+        -- hash. This is the commit-protocol half of the sink family
+        -- (sink_partitioned/sink_dynamic_overwrite cover layout;
+        -- this covers atomicity under retry).
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once batch sink via manifest commit — the protocol
+    behind every transactional writer (Delta commit files, Iceberg
+    snapshots, Spark's own v2 commit coordinators): task/job attempts
+    write to attempt-tagged locations, and COMMIT is the atomic
+    publication of a manifest naming the winning attempt's files.
+    Retries are then idempotent by construction: a zombie attempt's
+    files sit on disk but are never served, because readers resolve
+    the manifest, never the directory listing.
+
+    Materialized here: the same batch written twice (attempt 1 = the
+    failed-and-retried job, attempt 2 = the winner), a JSON manifest
+    naming only attempt 2's files, and a manifest-driven read-back
+    aggregated per event type. The oracle computes the batch
+    single-counted from the source, so BOTH failure modes break the
+    hash: a directory-listing reader double-counts; a manifest that
+    leaked attempt-1 files double-counts.
+
+    Plan/scale: each attempt is one linear partitioned write; the
+    manifest is file-cardinality (written and collected as data — the
+    planning-phase collect every table format performs); the
+    read-back scans only manifest files. At 100 TB the retry cost is
+    the rewrite itself — the commit stays a file-list swap, which is
+    why production formats can retry cheaply."""
+    out = scratch_dir(sf_dir, "eo_sink")
+    manifest_out = scratch_dir(sf_dir, "eo_manifest")
+    batch = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    for attempt in (1, 2):
+        batch.write.mode("overwrite").parquet(f"{out}/attempt={attempt}")
+    committed = spark.read.parquet(f"{out}/attempt=2")
+    spark.createDataFrame(
+        [(f,) for f in committed.inputFiles()], "path STRING"
+    ).coalesce(1).write.mode("overwrite").json(manifest_out)
+
+    manifest = spark.read.schema("path STRING").json(manifest_out)
+    paths = [r.path for r in manifest.collect()]  # file-cardinality
+    served = spark.read.parquet(*paths)
+    return served.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )

@@ -825,3 +825,38 @@ def test_observe_inline_single_pass_metrics(spark, sf_dir, duck):
     assert rows["sink"].value_cents == cents_p
     assert rows["sink"].n_rows < rows["scan"].n_rows
     assert rows["scan"].min_ts_us <= rows["sink"].min_ts_us
+
+
+# --------------------------------------------------------------------------
+# sink_exactly_once
+# --------------------------------------------------------------------------
+
+
+def test_exactly_once_manifest_vs_directory(spark, sf_dir, duck):
+    """The directory holds BOTH attempts (a naive listing reader
+    double-counts exactly 2x); the manifest-served result is
+    single-counted and equals the source batch."""
+    from pyspark.sql import functions as F2
+
+    from nchu_bigdata_spark.queries.relational import scratch_dir
+
+    df = SPECS["sink_exactly_once"].fn(spark, sf_dir)
+    got = {r.event_type: (r.n_rows, r.value_cents) for r in df.collect()}
+    exp = {
+        t: (n, c)
+        for t, n, c in duck.execute(
+            "SELECT event_type, COUNT(*),"
+            " SUM(CAST(round(value*100) AS BIGINT))"
+            " FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == exp
+
+    naive = spark.read.parquet(scratch_dir(sf_dir, "eo_sink"))
+    naive_counts = {
+        r.event_type: r.n
+        for r in naive.groupBy("event_type")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    assert naive_counts == {t: 2 * n for t, (n, _) in got.items()}
