@@ -349,6 +349,22 @@ SQL_GROUP = [
     "sample_weighted_priority",
     "scan_delete_vector",
     "kmeans_init_parallel",
+    # born round 14, session 2: theta-sketch intersection, fanout-
+    # capped bipartite projection, phonetic blocking, dataChange
+    # incremental consume, exact-cents recognition ledger, key
+    # discovery, polygon containment, Python DataSource connector,
+    # observe()-piggybacked DQ, manifest-committed sink
+    # (trend starts here)
+    "agg_theta_intersect",
+    "graph_bipartite_projection",
+    "fn_soundex",
+    "scan_incremental_read",
+    "orders_revenue_recognition",
+    "dq_key_discovery",
+    "geo_point_in_polygon",
+    "scan_python_datasource",
+    "dq_observe_inline",
+    "sink_exactly_once",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative

@@ -1338,6 +1338,49 @@ _EXPECT_EXTRA = {
          r"BroadcastHashJoin"],
         [r"SortMergeJoin", r"ShuffledHashJoin"],
     ),
+    # soundex: scan-side explode + two vocab-bounded aggs, pure
+    # codegen — no joins, no windows, no Python
+    "fn_soundex": (
+        [r"Generate", r"HashAggregate"],
+        [r"Join", r"Window", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
+    # incremental consume: the CONSUMER plan is just the pruned
+    # parquet read + one rollup (the log fold ran in the planning
+    # job); nothing joins or windows at read time
+    "scan_incremental_read": (
+        [r"HashAggregate"],
+        [r"SortMergeJoin", r"Window"],
+    ),
+    # recognition ledger: natural-key equi join + bounded sequence
+    # explode + month rollup; no window, no range exchange
+    "orders_revenue_recognition": (
+        [r"Generate", r"HashAggregate"],
+        [r"Window", r"rangepartitioning", r"BroadcastNestedLoopJoin"],
+    ),
+    # key discovery: per-candidate two-level hash aggs unioned — no
+    # joins, no windows anywhere
+    "dq_key_discovery": (
+        [r"HashAggregate", r"Union"],
+        [r"Join", r"Window"],
+    ),
+    # polygon containment: in-row stack verdicts (Generate) + one
+    # district rollup; nothing is paired or replicated
+    "geo_point_in_polygon": (
+        [r"Generate", r"HashAggregate"],
+        [r"Join", r"Window", r"Exchange rangepartitioning"],
+    ),
+    # python datasource: the custom-source scan feeds one rollup;
+    # no joins/windows
+    "scan_python_datasource": (
+        [r"HashAggregate"],
+        [r"Join", r"Window"],
+    ),
+    # exactly-once sink: the served read is manifest-file parquet +
+    # one rollup; the attempt writes happen in planning jobs
+    "sink_exactly_once": (
+        [r"HashAggregate"],
+        [r"Join", r"Window"],
+    ),
 }
 EXPECT.update(_EXPECT_EXTRA)
 
