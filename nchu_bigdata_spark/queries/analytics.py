@@ -6142,3 +6142,233 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" WHEN {t2} > {_WT_Z2_E4} THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_alert_debounce — hysteresis alerting automaton (round 14)
+# --------------------------------------------------------------------------
+
+_DEB_N = 3  # consecutive breach days to FIRE
+_DEB_M = 2  # consecutive clear days to RESOLVE
+
+
+@register(
+    "events_alert_debounce",
+    tags=("b11",),
+    oracle=f"""
+        -- Debounced alerting automaton per event type: a day BREACHES
+        -- when its volume exceeds 110% of the series' spine mean
+        -- (cross-multiplied: 10*n*span > 11*total); an alert FIRES
+        -- only after {_DEB_N} consecutive breach days and RESOLVES
+        -- only after {_DEB_M} consecutive clears -- the hysteresis
+        -- that separates pages from flaps. The automaton's recurrence
+        -- decomposes exactly: fire points = breach runs reaching
+        -- length {_DEB_N}, resolve points = clear runs reaching
+        -- {_DEB_M}, active(t) = most recent fire beats most recent
+        -- resolve, episodes = fires from the inactive state. Days are
+        -- densified over the series span (a data gap is a CLEAR day
+        -- -- row-wise "consecutive" would lie across gaps).
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(d) AS d0, MAX(d) AS d1,
+                   MAX(d) - MIN(d) + 1 AS span, SUM(n) AS total
+            FROM daily GROUP BY 1
+        ),
+        grid AS (
+            SELECT b.event_type, s.d, b.span, b.total
+            FROM bounds b,
+                 unnest(generate_series(b.d0, b.d1)) AS s(d)
+        ),
+        spine AS (
+            SELECT g.event_type, g.d, g.span, g.total,
+                   COALESCE(dl.n, 0) AS n
+            FROM grid g
+            LEFT JOIN daily dl
+              ON dl.event_type = g.event_type AND dl.d = g.d
+        ),
+        flagged AS (
+            SELECT event_type, d,
+                   CASE WHEN 10 * n * span > 11 * total
+                        THEN 1 ELSE 0 END AS f
+            FROM spine
+        ),
+        runs AS (
+            SELECT event_type, d, f,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                   - ROW_NUMBER() OVER (PARTITION BY event_type, f
+                                        ORDER BY d) AS rid
+            FROM flagged
+        ),
+        marked AS (
+            SELECT event_type, d, f,
+                   CASE WHEN f = 1 AND ROW_NUMBER() OVER (
+                            PARTITION BY event_type, f, rid ORDER BY d
+                        ) = {_DEB_N} THEN 1 ELSE 0 END AS fire,
+                   CASE WHEN f = 0 AND ROW_NUMBER() OVER (
+                            PARTITION BY event_type, f, rid ORDER BY d
+                        ) = {_DEB_M} THEN 1 ELSE 0 END AS resolve
+            FROM runs
+        ),
+        state AS (
+            SELECT event_type, d, f, fire, resolve,
+                   MAX(CASE WHEN fire = 1 THEN d END) OVER w AS last_fire,
+                   MAX(CASE WHEN resolve = 1 THEN d END) OVER w AS last_res
+            FROM marked
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        act AS (
+            SELECT event_type, d, f, fire,
+                   CASE WHEN last_fire IS NOT NULL AND
+                             (last_res IS NULL OR last_fire > last_res)
+                        THEN 1 ELSE 0 END AS active
+            FROM state
+        ),
+        epi AS (
+            SELECT event_type, d, f, fire, active,
+                   CASE WHEN fire = 1 AND COALESCE(LAG(active) OVER (
+                            PARTITION BY event_type ORDER BY d
+                        ), 0) = 0 THEN 1 ELSE 0 END AS episode_start
+            FROM act
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS span_days,
+               CAST(SUM(f) AS BIGINT) AS n_breach_days,
+               CAST(SUM(fire) AS BIGINT) AS n_fires,
+               CAST(SUM(episode_start) AS BIGINT) AS n_episodes,
+               CAST(SUM(active) AS BIGINT) AS n_active_days,
+               CAST(MAX(CASE WHEN active = 1 THEN d END) AS BIGINT)
+                   AS last_active_day
+        FROM epi
+        GROUP BY event_type
+    """,
+)
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounced alerting with hysteresis — the automaton between a
+    threshold and a page: a day breaches when volume exceeds 110% of
+    the series' densified-span mean, but an alert FIRES only after
+    N=3 consecutive breach days and RESOLVES only after M=2
+    consecutive clear days, so one spiky day never pages and one
+    quiet day never closes a real incident. `events_incidents`
+    extracts simple threshold episodes; this is the flap-suppressed
+    form real alertmanagers (hysteresis / for-duration clauses) run.
+
+    The sequential recurrence state(t) = g(state(t-1), x_t)
+    DECOMPOSES exactly into window algebra: fire points are breach
+    runs reaching length N (gaps-and-islands run ids), resolve points
+    clear runs reaching M, active(t) = most-recent-fire beats
+    most-recent-resolve (running MAX over marked days), and episode
+    starts are fires from the inactive state (LAG of active) — no
+    iteration, no UDF, every comparison integer
+    (cross-multiplied threshold, epoch-day arithmetic, calendar
+    densification so a data gap counts as a clear day).
+
+    Plan/scale: facts collapse to (type, day) map-side first;
+    everything after runs on the densified day spine — series ×
+    span_days rows. All five window layers share ONE (event_type, d)
+    sort (same partitioning, consecutive-ordered), so the spine is
+    sorted once. At 100 TB the fact scan dominates and the automaton
+    cost is calendar-sized."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+        (F.max("d") - F.min("d") + 1).alias("span"),
+        F.sum("n").alias("total"),
+    )
+    spine = (
+        bounds.select(
+            "event_type",
+            "span",
+            "total",
+            F.explode(F.sequence("d0", "d1")).alias("d"),
+        )
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            "span",
+            "total",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    flagged = spine.select(
+        "event_type",
+        "d",
+        F.expr(
+            "CASE WHEN 10 * n * span > 11 * total THEN 1 ELSE 0 END"
+        ).alias("f"),
+    )
+    w_all = Window.partitionBy("event_type").orderBy("d")
+    w_flag = Window.partitionBy("event_type", "f").orderBy("d")
+    runs = flagged.select(
+        "*",
+        (F.row_number().over(w_all) - F.row_number().over(w_flag)).alias(
+            "rid"
+        ),
+    )
+    w_run = Window.partitionBy("event_type", "f", "rid").orderBy("d")
+    marked = runs.select(
+        "event_type",
+        "d",
+        "f",
+        F.row_number().over(w_run).alias("rl"),
+    ).select(
+        "event_type",
+        "d",
+        "f",
+        F.expr(
+            f"CASE WHEN f = 1 AND rl = {_DEB_N} THEN 1 ELSE 0 END"
+        ).alias("fire"),
+        F.expr(
+            f"CASE WHEN f = 0 AND rl = {_DEB_M} THEN 1 ELSE 0 END"
+        ).alias("resolve"),
+    )
+    w_run_cum = w_all.rowsBetween(Window.unboundedPreceding, 0)
+    state = marked.select(
+        "*",
+        F.max(F.when(F.col("fire") == 1, F.col("d"))).over(w_run_cum).alias(
+            "last_fire"
+        ),
+        F.max(F.when(F.col("resolve") == 1, F.col("d")))
+        .over(w_run_cum)
+        .alias("last_res"),
+    )
+    act = state.select(
+        "event_type",
+        "d",
+        "f",
+        "fire",
+        F.expr(
+            "CASE WHEN last_fire IS NOT NULL AND"
+            " (last_res IS NULL OR last_fire > last_res)"
+            " THEN 1 ELSE 0 END"
+        ).alias("active"),
+    )
+    epi = act.select(
+        "*",
+        F.expr(
+            "CASE WHEN fire = 1 AND"
+            " COALESCE(LAG(active) OVER"
+            " (PARTITION BY event_type ORDER BY d), 0) = 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("episode_start"),
+    )
+    return epi.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("span_days"),
+        F.sum("f").cast("long").alias("n_breach_days"),
+        F.sum("fire").cast("long").alias("n_fires"),
+        F.sum("episode_start").cast("long").alias("n_episodes"),
+        F.sum("active").cast("long").alias("n_active_days"),
+        F.max(F.when(F.col("active") == 1, F.col("d")))
+        .cast("long")
+        .alias("last_active_day"),
+    )

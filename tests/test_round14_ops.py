@@ -860,3 +860,49 @@ def test_exactly_once_manifest_vs_directory(spark, sf_dir, duck):
         .collect()
     }
     assert naive_counts == {t: 2 * n for t, (n, _) in got.items()}
+
+
+# --------------------------------------------------------------------------
+# events_alert_debounce
+# --------------------------------------------------------------------------
+
+
+def test_alert_debounce_hysteresis_fixture(spark, tmp_path):
+    """Crafted 12-day series: a 2-day breach does NOT fire (N=3
+    debounce), the 3-day breach fires once, a 1-day clear does NOT
+    resolve, the 2-day clear resolves; a later 1-day breach never
+    fires. Pins every transition of the automaton."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # volumes per day: breach iff 10*n*span > 11*total
+    # (span=12, total=660 -> breach iff n >= 61)
+    vols = [10, 100, 100, 10, 100, 100, 100, 10, 10, 100, 10, 10]
+    base_day = 19723  # 2024-01-01
+    ts, eid = [], []
+    for i, v in enumerate(vols):
+        for j in range(v):
+            ts.append((base_day + i) * 86_400_000_000 + j * 1_000)
+            eid.append(len(eid))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * len(eid), pa.int64()),
+                "event_type": pa.array(["err"] * len(eid)),
+                "value": pa.array([1.0] * len(eid), pa.float64()),
+                "props": pa.array(["{}"] * len(eid)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    rows = SPECS["events_alert_debounce"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.span_days == 12
+    assert r.n_breach_days == 6
+    assert r.n_fires == 1
+    assert r.n_episodes == 1
+    assert r.n_active_days == 2  # fire day + the 1-day-clear day
+    assert r.last_active_day == base_day + 7
