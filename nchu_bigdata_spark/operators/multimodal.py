@@ -1643,3 +1643,114 @@ def multimodal_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_item_bytes",
         "fill_bp",
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_audio_resample — integer block-mean decimation (round 14)
+# --------------------------------------------------------------------------
+
+_RS_K = 4  # decimation factor (8 kHz -> 2 kHz)
+
+_AUDIO_RS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_in", T.LongType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("sum_out", T.LongType()),
+        T.StructField("energy_out", T.LongType()),
+        T.StructField("peak_abs_out", T.LongType()),
+    ]
+)
+
+
+def _synth_and_resample(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            blob = encode_wav(bytes(payload))
+            pcm, _sr, _n_ch = _wav_pcm(blob)
+            s = pcm.astype(np.int64)
+            n = int(s.size)
+            idx = np.arange(0, n, _RS_K)
+            sums = np.add.reduceat(s, idx) if n else np.zeros(0, np.int64)
+            counts = np.diff(np.append(idx, n))
+            # TRUNC division (sign-split), matching DuckDB's integer
+            # `//`; numpy's // floors, which differs on the negative
+            # sums this corpus produces
+            r = np.sign(sums) * (np.abs(sums) // counts)
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "n_in": n,
+                    "n_out": int(r.size),
+                    "sum_out": int(np.sum(r)),
+                    "energy_out": int(np.sum(r * r)),
+                    "peak_abs_out": int(np.max(np.abs(r))) if r.size else 0,
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in _AUDIO_RS_SCHEMA])
+
+
+@register(
+    "multimodal_audio_resample",
+    tags=("b10",),
+    oracle=f"""
+        -- Block-mean decimation replayed from the sample spec:
+        -- s_i = (ascii(byte i) - 128) * 256, output sample j =
+        -- trunc-div(sum of its {_RS_K}-sample block, block size)
+        -- (tail block partial). DuckDB's integer // truncates toward
+        -- zero; the engine side sign-splits to match exactly.
+        WITH d AS (SELECT doc_id, text, length(text) AS n
+                   FROM documents WHERE doc_id % 3 = 2),
+        pxi AS (SELECT doc_id, text, n,
+                       unnest(generate_series(1, n)) AS i
+                FROM d),
+        px AS (
+            SELECT doc_id, n, (i - 1) // {_RS_K} AS b,
+                   (ascii(substr(text, CAST(i AS INT), 1)) - 128) * 256 AS s
+            FROM pxi
+        ),
+        bs AS (
+            SELECT doc_id, MAX(n) AS n, b,
+                   SUM(s) // COUNT(*) AS r
+            FROM px GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_in,
+               CAST(COUNT(*) AS BIGINT) AS n_out,
+               CAST(SUM(r) AS BIGINT) AS sum_out,
+               CAST(SUM(r * r) AS BIGINT) AS energy_out,
+               CAST(MAX(abs(r)) AS BIGINT) AS peak_abs_out
+        FROM bs GROUP BY doc_id
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer block-mean audio decimation (8 kHz → 2 kHz): each
+    output sample is the truncated mean of its 4-sample block
+    (partial tail block keeps its own size) — the sample-rate
+    normalization every mixed-provenance audio corpus runs before
+    batching clips into a model, and the transform that completes
+    modality symmetry: ``multimodal_resize`` downsamples the image
+    axis, this downsamples the time axis (stats+VAD ↔ stats+resample).
+
+    Exactness: int16 samples, int64 block sums, TRUNC division
+    sign-split on the engine side to match DuckDB's integer ``//``
+    exactly (numpy's ``//`` floors — one LSB off on every negative
+    block, which this all-ASCII corpus makes universal); output
+    statistics (count, sum, energy, peak) are pure integers, so the
+    resampled signal is certified sample-for-sample through its
+    moments. The sweep's pure-Python spec replay runs in addition.
+
+    Plan/scale: the blob family's shape — Arrow ``mapInPandas`` over
+    the payload column, partition-preserving, ZERO shuffle;
+    vectorized ``np.add.reduceat`` does the blocking, and six ints
+    per clip leave the stage, never samples. At 100 TB this runs at
+    scan locality like every other codec operator here."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    return with_payload(docs).mapInPandas(
+        _synth_and_resample, _AUDIO_RS_SCHEMA
+    )

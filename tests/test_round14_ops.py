@@ -906,3 +906,50 @@ def test_alert_debounce_hysteresis_fixture(spark, tmp_path):
     assert r.n_episodes == 1
     assert r.n_active_days == 2  # fire day + the 1-day-clear day
     assert r.last_active_day == base_day + 7
+
+
+# --------------------------------------------------------------------------
+# multimodal_audio_resample
+# --------------------------------------------------------------------------
+
+
+def test_audio_resample_trunc_div_both_signs_and_shape(spark, sf_dir):
+    """(a) The UDF's sign-split trunc division matches a scalar Python
+    replay on a crafted MIXED-SIGN payload (high bytes -> positive
+    samples; the corpus is all-ASCII so only this fixture exercises
+    the positive branch); (b) on the real corpus n_out = ceil(n_in/K)
+    for every clip."""
+    import math
+
+    import pandas as pd
+
+    from nchu_bigdata_spark.operators.multimodal import (
+        _RS_K,
+        _synth_and_resample,
+    )
+
+    payload = bytes([200, 10, 10, 10, 250, 250, 250, 250, 60, 61, 62])
+    [out] = list(
+        _synth_and_resample(
+            iter([pd.DataFrame({"doc_id": [7], "payload": [payload]})])
+        )
+    )
+    s = [(b - 128) * 256 for b in payload]
+    blocks = [
+        s[i : i + _RS_K] for i in range(0, len(s), _RS_K)
+    ]
+    def truncdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+    r = [truncdiv(sum(b), len(b)) for b in blocks]
+    row = out.iloc[0]
+    assert row.n_out == len(r) == math.ceil(len(s) / _RS_K)
+    assert row.sum_out == sum(r)
+    assert row.energy_out == sum(x * x for x in r)
+    assert row.peak_abs_out == max(abs(x) for x in r)
+    assert any(x > 0 for x in r) and any(x < 0 for x in r)  # both signs hit
+
+    rows = SPECS["multimodal_audio_resample"].fn(spark, sf_dir).collect()
+    assert rows
+    for rr in rows:
+        assert rr.n_out == -(-rr.n_in // _RS_K)
