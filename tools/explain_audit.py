@@ -1381,6 +1381,19 @@ _EXPECT_EXTRA = {
         [r"HashAggregate"],
         [r"Join", r"Window"],
     ),
+    # debounce automaton: calendar spine explode + five window layers
+    # sharing one (event_type, d) sort — all partitioned, no global
+    # window (single-task rule applies as everywhere)
+    "events_alert_debounce": (
+        [r"Generate", r"Window"],
+        [r"rangepartitioning"],
+    ),
+    # audio resample: partition-preserving Arrow mapInPandas over the
+    # payload scan — ZERO exchanges anywhere
+    "multimodal_audio_resample": (
+        [r"MapInPandas"],
+        [r"Exchange", r"Join", r"Window"],
+    ),
 }
 EXPECT.update(_EXPECT_EXTRA)
 
