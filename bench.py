@@ -365,6 +365,8 @@ SQL_GROUP = [
     "scan_python_datasource",
     "dq_observe_inline",
     "sink_exactly_once",
+    "events_alert_debounce",
+    "multimodal_audio_resample",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative
