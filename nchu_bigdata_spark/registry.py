@@ -198,6 +198,21 @@ DRIVER_ORDER = [
     "topk_per_group",  # r5
     "set_union",  # r5
     # -- ids beyond the r14 window: consumed head-first, 50/round --
+    # r14 session-2 births, queued at the head of the r15 window so
+    # they hold a driver row at the first opportunity (the same policy
+    # as every birth cohort before them)
+    "agg_theta_intersect",
+    "graph_bipartite_projection",
+    "fn_soundex",
+    "scan_incremental_read",
+    "orders_revenue_recognition",
+    "dq_key_discovery",
+    "geo_point_in_polygon",
+    "scan_python_datasource",
+    "dq_observe_inline",
+    "sink_exactly_once",
+    "events_alert_debounce",
+    "multimodal_audio_resample",
     "set_intersect",  # r5
     "set_except",  # r5
     "fn_string",  # r5
