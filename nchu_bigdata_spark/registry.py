@@ -113,19 +113,16 @@ def register(
 # never-checked block, so 69 never-checked ids now lead, consumed
 # head-first in two windows:
 #   r13: ids [0:50)  — head: orders_returns_rate ... sink_dynamic_overwrite
-#   r14: ids [50:69) — the 19-id remainder: 9 pre-r12 ids
-#        (events_peak_days, orders_rank_stability,
-#        tokenize_padding_waste, win_drawdown_duration,
-#        multimodal_audio_stats, multimodal_phash_clusters,
-#        multimodal_audio_vad, multimodal_image_stats,
-#        multimodal_scene_changes), the 4 r12 births
-#        (join_range_partitioned, tokenize_fertility,
-#        curate_quality_gate_sweep, geo_knn_join) and the 6 r13 births
-#        above, + 31 top-ups from the refresh queue (the tail below is
-#        oldest-certification-first, so the top-ups are exactly the
-#        oldest 31 certified ids).
-# After r14 every id holds a driver row and the list degenerates into
-# the oldest-green-first refresh cycle at the tail.
+#   r14: the 19-id never-checked remainder (9 pre-r12 ids, 4 r12
+#        births, 6 r13 births), then the SEVENTEEN r14 births (5
+#        session-1 + 12 session-2, queued behind them so each holds a
+#        driver row from birth), then the pulled-forward
+#        text_compression_ratio (stale r11 rows-only row refreshed
+#        under the promoted exact oracle), then 13 oldest-green
+#        refresh top-ups — 50 in all; the displaced top-ups shift to
+#        the r15 window.
+# After r14+r15 every id holds a driver row and the list degenerates
+# into the oldest-green-first refresh cycle at the tail.
 # Each round: run `python tools/rotate_ledger.py --apply` after the
 # driver's CORRECTNESS_rN lands — it verifies the window actually ran
 # as committed, keeps any non-green ids at the head for re-check, and
@@ -161,6 +158,22 @@ DRIVER_ORDER = [
     "sample_weighted_priority",
     "scan_delete_vector",
     "kmeans_init_parallel",
+    # r14 session-2 births, queued directly behind the session-1
+    # births (never-checked ids lead the certified tail — the ledger
+    # invariant; displaces twelve refresh top-ups to the r15 window,
+    # the same policy as every birth cohort before them)
+    "agg_theta_intersect",
+    "graph_bipartite_projection",
+    "fn_soundex",
+    "scan_incremental_read",
+    "orders_revenue_recognition",
+    "dq_key_discovery",
+    "geo_point_in_polygon",
+    "scan_python_datasource",
+    "dq_observe_inline",
+    "sink_exactly_once",
+    "events_alert_debounce",
+    "multimodal_audio_resample",
     # VERDICT r13 item 5: pulled ahead of the oldest-green top-ups so
     # its stale r11 rows-only driver row (err: no_oracle, pre-dating
     # the promoted exact zlib-replay oracle) is refreshed under the
@@ -198,21 +211,6 @@ DRIVER_ORDER = [
     "topk_per_group",  # r5
     "set_union",  # r5
     # -- ids beyond the r14 window: consumed head-first, 50/round --
-    # r14 session-2 births, queued at the head of the r15 window so
-    # they hold a driver row at the first opportunity (the same policy
-    # as every birth cohort before them)
-    "agg_theta_intersect",
-    "graph_bipartite_projection",
-    "fn_soundex",
-    "scan_incremental_read",
-    "orders_revenue_recognition",
-    "dq_key_discovery",
-    "geo_point_in_polygon",
-    "scan_python_datasource",
-    "dq_observe_inline",
-    "sink_exactly_once",
-    "events_alert_debounce",
-    "multimodal_audio_resample",
     "set_intersect",  # r5
     "set_except",  # r5
     "fn_string",  # r5

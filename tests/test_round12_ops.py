@@ -193,6 +193,19 @@ def test_driver_order_windows_recounted():
         "sample_weighted_priority",
         "scan_delete_vector",
         "kmeans_init_parallel",
+        # session 2
+        "agg_theta_intersect",
+        "graph_bipartite_projection",
+        "fn_soundex",
+        "scan_incremental_read",
+        "orders_revenue_recognition",
+        "dq_key_discovery",
+        "geo_point_in_polygon",
+        "scan_python_datasource",
+        "dq_observe_inline",
+        "sink_exactly_once",
+        "events_alert_debounce",
+        "multimodal_audio_resample",
     ]
     births = r12_births + r13_births + r14_births
     if set(births) <= set(never):
