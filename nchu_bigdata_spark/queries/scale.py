@@ -365,3 +365,68 @@ def scan_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("long").alias("n_custs"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# join_aqe_runtime_broadcast — AQE runtime SMJ→BHJ replan (round 14)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_aqe_runtime_broadcast",
+    tags=("b12",),
+    oracle=f"""
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {sql_dsum("l.l_extendedprice")} AS sum_price
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE strftime(o.o_orderdate, '%Y-%m') = '1996-06'
+        GROUP BY l.l_returnflag
+    """,
+)
+def join_aqe_runtime_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime join replanning — the adaptive half of the
+    broadcast story: static planning sees no reliable size for the
+    filtered dimension side (without CBO column stats a Filter keeps
+    its child's sizeInBytes estimate, so a selective predicate looks
+    as big as the whole table) and plans a sort-merge join; AQE then
+    OBSERVES the actual shuffle bytes of the filtered side at runtime
+    — one month of orders, a few tens of KB — and rewrites the
+    remaining stages to a broadcast-hash join before they execute.
+    This is the mechanism that saves the 100 TB deployment whose
+    dimension filters are data-dependent: nobody has to predict
+    selectivity, the replan happens per-query from measured sizes.
+
+    Demonstration pinning: static broadcast is disabled for THIS query
+    (threshold -1) while the ADAPTIVE threshold stays permissive, so
+    the initial plan MUST be SMJ and the final plan MUST be the
+    runtime-converted BHJ — both asserted by test on the two plan
+    sections; the registry wrapper re-pins the session defaults before
+    the next query, bounding the override's blast radius (the
+    join_bloom_prune pattern).
+
+    Plan/scale: the replanned query reads lineitem once with the
+    broadcast probe (no fact shuffle at all once converted — the SMJ
+    exchange that static planning scheduled is dropped by the
+    AQEShuffleRead); the rollup combines map-side."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", str(2 * 1024 * 1024)
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .filter(F.date_format("o_orderdate", "yyyy-MM") == "1996-06")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

@@ -953,3 +953,24 @@ def test_audio_resample_trunc_div_both_signs_and_shape(spark, sf_dir):
     assert rows
     for rr in rows:
         assert rr.n_out == -(-rr.n_in // _RS_K)
+
+
+# --------------------------------------------------------------------------
+# join_aqe_runtime_broadcast
+# --------------------------------------------------------------------------
+
+
+def test_aqe_runtime_broadcast_flip(spark, sf_dir):
+    """The initial (static) plan is a sort-merge join; the final
+    (adaptive) plan is the runtime-converted broadcast-hash join —
+    the flip is the entire point of the operator."""
+    df = SPECS["join_aqe_runtime_broadcast"].fn(spark, sf_dir)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in full, full[:500]
+    parts = full.split("== Initial Plan ==")
+    assert len(parts) == 2, full[:500]
+    final, initial = parts
+    assert "SortMergeJoin" in initial, initial[:800]
+    assert "BroadcastHashJoin" in final, final[:800]
+    assert "SortMergeJoin" not in final, final[:800]

@@ -1394,6 +1394,17 @@ _EXPECT_EXTRA = {
         [r"MapInPandas"],
         [r"Exchange", r"Join", r"Window"],
     ),
+    # AQE runtime replan: this audit reads the STATIC plan (pre-
+    # execution — AQE hasn't observed shuffle sizes yet), where the
+    # pin is the SET-UP of the demonstration: AQE wrapper present AND
+    # static planning declined the broadcast (SMJ, threshold -1
+    # took effect). The runtime SMJ→BHJ flip is asserted by
+    # test_aqe_runtime_broadcast_flip on the EXECUTED plan's two
+    # sections.
+    "join_aqe_runtime_broadcast": (
+        [r"AdaptiveSparkPlan", r"SortMergeJoin"],
+        [r"BroadcastHashJoin", r"ShuffledHashJoin"],
+    ),
 }
 EXPECT.update(_EXPECT_EXTRA)
 
