@@ -367,6 +367,8 @@ SQL_GROUP = [
     "sink_exactly_once",
     "events_alert_debounce",
     "multimodal_audio_resample",
+    "join_aqe_runtime_broadcast",
+    "tpch_q1",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative

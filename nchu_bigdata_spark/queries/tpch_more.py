@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nchu_bigdata_spark.compat import dround, dsum, sql_dround, sql_dsum
+from nchu_bigdata_spark.compat import davg, dround, dsum, sql_davg, sql_dround, sql_dsum
 from nchu_bigdata_spark.io import table
 from nchu_bigdata_spark.registry import register
 
@@ -1001,3 +1001,72 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
     return spark.sql(_Q2_SQL)
+
+
+# --------------------------------------------------------------------------
+# tpch_q1 — pricing summary report (round 14; completes all 22)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1",
+    tags=("b11",),
+    oracle=f"""
+        -- TPC-H Q1, the pricing-summary scan-heavy aggregate: one
+        -- pass over lineitem, date cutoff at the scan, 4-group
+        -- rollup of 8 aggregates including the two compound
+        -- per-row expressions. Decimal-policy sums (per-row double
+        -- products cast to DECIMAL(20,6) BEFORE summing -- identical
+        -- per-row values on both engines, then exact accumulation).
+        SELECT l_returnflag,
+               l_linestatus,
+               {sql_dsum("l_quantity")} AS sum_qty,
+               {sql_dsum("l_extendedprice")} AS sum_base_price,
+               {sql_dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+               {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+               {sql_davg("l_quantity")} AS avg_qty,
+               {sql_davg("l_extendedprice")} AS avg_price,
+               {sql_davg("l_discount")} AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — the canonical scan-heavy
+    aggregate and the last of the 22 official shapes (the suite is
+    now complete; `agg_hash` carries this shape's bench trend since
+    round 1). One full pass over lineitem with the ship-date cutoff
+    at the scan (PushedFilters), then a 4-group hash aggregate
+    carrying eight aggregates, two of them compound per-row pricing
+    expressions ((1-disc), (1-disc)(1+tax)) that stay inside
+    whole-stage codegen.
+
+    Exactness: compat decimal policy — per-row double products cast
+    to DECIMAL(20,6) before summing (identical per-row values on
+    both engines, then order-independent exact accumulation); the
+    three averages round at 1e-4 into decimals (house davg).
+
+    Plan/scale: THE map-side-combine showcase — 4 groups mean the
+    partial aggregate collapses each of P partitions to ≤4 rows
+    before the single tiny shuffle; at 100 TB this query is pure
+    scan bandwidth, which is exactly why the benchmark leads with
+    it."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )

@@ -206,6 +206,8 @@ def test_driver_order_windows_recounted():
         "sink_exactly_once",
         "events_alert_debounce",
         "multimodal_audio_resample",
+        "join_aqe_runtime_broadcast",
+        "tpch_q1",
     ]
     births = r12_births + r13_births + r14_births
     if set(births) <= set(never):

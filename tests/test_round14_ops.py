@@ -974,3 +974,22 @@ def test_aqe_runtime_broadcast_flip(spark, sf_dir):
     assert "SortMergeJoin" in initial, initial[:800]
     assert "BroadcastHashJoin" in final, final[:800]
     assert "SortMergeJoin" not in final, final[:800]
+
+
+# --------------------------------------------------------------------------
+# tpch_q1
+# --------------------------------------------------------------------------
+
+
+def test_tpch_q1_scan_pushdown_and_partial_agg(spark, sf_dir):
+    """The ship-date cutoff reaches the parquet scan (PushedFilters)
+    and the 4-group aggregate is two-level (partial map-side combine
+    before the exchange) — Q1's entire scale story."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    df = SPECS["tpch_q1"].fn(spark, sf_dir)
+    df.collect()
+    plan = _final_plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan[:1200]
+    assert plan.count("HashAggregate") >= 2, plan[:1200]
