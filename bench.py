@@ -369,6 +369,7 @@ SQL_GROUP = [
     "multimodal_audio_resample",
     "join_aqe_runtime_broadcast",
     "tpch_q1",
+    "udtf_lateral_python",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative

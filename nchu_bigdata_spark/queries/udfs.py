@@ -257,3 +257,79 @@ def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("sum_cents"),
         F.sum("props_len").cast("long").alias("sum_props_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# udtf_lateral_python — PySpark 4 Python UDTF in a LATERAL join (round 14)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "udtf_lateral_python",
+    tags=("b8",),
+    oracle="""
+        -- Python UDTF certification: the registered table function
+        -- explodes word bigrams per document and a LATERAL join
+        -- correlates it row-by-row; the oracle replays the same
+        -- bigram expansion with pure SQL position arithmetic, so the
+        -- UDTF's row-multiplication contract (every input row, every
+        -- adjacent pair, nothing dropped or doubled) is what's
+        -- certified. Top-20 by (count desc, bigram) is deterministic.
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents
+        ),
+        bi AS (
+            SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS w
+            FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+        )
+        SELECT w AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bi GROUP BY w
+        ORDER BY n DESC, bigram
+        LIMIT 20
+    """,
+)
+def udtf_lateral_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE function — the PySpark 4 ``@udtf`` API
+    (SQL-side ``LATERAL tf(col)``): a Python class whose ``eval``
+    yields zero-or-more rows per input row, registered into the SQL
+    namespace and correlated with a lateral join — the 1-to-N escape
+    hatch when row expansion logic genuinely needs Python (here the
+    demonstrator is bigram expansion, so the oracle can replay it with
+    position arithmetic and certify the row-multiplication contract
+    exactly). Completes the Python integration ladder's table-function
+    rung: scalar pandas_udf → grouped agg → applyInPandas →
+    mapInPandas → mapInArrow → THIS.
+
+    Honest cost accounting: a UDTF's ``eval`` is called once per
+    INPUT ROW (Arrow-optimized transfer, ``useArrow=True``, but
+    per-row dispatch) — one call per document here, each yielding its
+    bigram stream. That is coarser than per-token but finer than
+    mapInPandas' per-batch dispatch; when the expansion is expressible
+    with built-ins (as bigrams are — see text_ngram_stats' explode
+    form), the built-in wins at scale. The UDTF is for when it isn't.
+
+    Plan/scale: Generate-style row expansion feeding a vocab-bounded
+    map-side-combined count + TakeOrdered top-20; one scan, one
+    shuffle of bigram partials."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="w string", useArrow=True)
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield (toks[i] + " " + toks[i + 1],)
+
+    spark.udtf.register("doc_bigrams", Bigrams)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT t.w AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM udtf_docs_v d, LATERAL doc_bigrams(d.text) t
+        GROUP BY t.w
+        ORDER BY n DESC, bigram
+        LIMIT 20
+        """
+    )

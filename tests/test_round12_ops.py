@@ -208,6 +208,7 @@ def test_driver_order_windows_recounted():
         "multimodal_audio_resample",
         "join_aqe_runtime_broadcast",
         "tpch_q1",
+        "udtf_lateral_python",
     ]
     births = r12_births + r13_births + r14_births
     if set(births) <= set(never):

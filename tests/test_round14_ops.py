@@ -993,3 +993,30 @@ def test_tpch_q1_scan_pushdown_and_partial_agg(spark, sf_dir):
         "PushedFilters"
     )[1][:200], plan[:1200]
     assert plan.count("HashAggregate") >= 2, plan[:1200]
+
+
+# --------------------------------------------------------------------------
+# udtf_lateral_python
+# --------------------------------------------------------------------------
+
+
+def test_udtf_lateral_row_multiplication_contract(spark, sf_dir, duck):
+    """Total rows the UDTF emits across the corpus equals
+    sum(n_tokens - 1) exactly (nothing dropped or doubled), and a
+    single-token input yields zero rows without error."""
+    SPECS["udtf_lateral_python"].fn(spark, sf_dir).collect()  # registers
+    total = spark.sql(
+        "SELECT COUNT(*) AS n FROM udtf_docs_v d,"
+        " LATERAL doc_bigrams(d.text) t"
+    ).collect()[0].n
+    (exp,) = duck.execute(
+        "SELECT SUM(len(string_split(text, ' ')) - 1) FROM documents"
+    ).fetchone()
+    assert total == exp
+    assert (
+        spark.sql(
+            "SELECT t.w FROM VALUES ('single') AS v(s),"
+            " LATERAL doc_bigrams(s) t"
+        ).count()
+        == 0
+    )
