@@ -370,6 +370,7 @@ SQL_GROUP = [
     "join_aqe_runtime_broadcast",
     "tpch_q1",
     "udtf_lateral_python",
+    "fn_variant",
 ]
 
 # Fourth tracked group (round 10, VERDICT r9 item 4): the iterative

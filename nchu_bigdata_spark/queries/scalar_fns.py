@@ -1137,3 +1137,91 @@ def fn_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("w").alias("sample_word"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# fn_variant — Spark 4 VARIANT semi-structured type (round 14)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fn_variant",
+    tags=("b7",),
+    oracle="""
+        -- VARIANT round-trip: the engine builds a nested JSON document
+        -- per event, parses it into Spark 4's VARIANT type, and
+        -- extracts typed fields back out with variant_get (string leaf,
+        -- bigint leaf inside an array, whole-object re-serialization
+        -- via schema inference). The oracle replays the same paths
+        -- with DuckDB's JSON functions over the identical document
+        -- text, so the parse->binary-variant->typed-extract round
+        -- trip must be lossless. The inferred variant schema is
+        -- pinned as a literal (a schema-inference regression flips
+        -- it and the hash catches it).
+        WITH doc AS (
+            SELECT event_type,
+                   '{"id": ' || event_id || ', "meta": {"type": "'
+                   || event_type || '", "vals": ['
+                   || json_extract(props, '$.k') || ', '
+                   || CAST(json_extract(props, '$.k') AS BIGINT) * 2
+                   || ']}}' AS j
+            FROM events
+        )
+        SELECT json_extract_string(j, '$.meta.type') AS meta_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract(j, '$.meta.vals[1]') AS BIGINT))
+                    AS BIGINT) AS sum_val1,
+               CAST(SUM(CASE WHEN json_extract_string(j, '$.meta.type')
+                                  = json_extract_string(j, '$.meta.type')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+               'OBJECT<id: BIGINT, meta: OBJECT<type: STRING, vals: ARRAY<BIGINT>>>'
+                   AS variant_schema
+        FROM doc
+        GROUP BY 1
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT — the typed semi-structured column (the
+    open-format answer to JSON columns: binary-encoded, schema
+    inferred per value, typed point extraction without a global
+    schema): build a nested JSON document per event, ``parse_json``
+    it into a VARIANT, and extract typed leaves back out with
+    ``variant_get`` (string leaf, bigint array element) plus the
+    per-value inferred schema via ``schema_of_variant``. `fn_json`
+    covers the string-path functions; this covers the TYPE — at
+    100 TB the variant binary encoding is what makes shredded
+    point-access cheap (no repeated text parsing; the open table
+    formats are adopting exactly this encoding).
+
+    Exactness: the same document text feeds DuckDB's JSON functions,
+    so the parse→binary→extract round trip must be value-lossless;
+    the inferred schema string is pinned as a literal (an inference
+    regression flips it and the hash catches it).
+
+    Plan/scale: one projection chain inside codegen (parse_json /
+    variant_get are JVM expressions, no Python anywhere) + one
+    type-cardinality rollup."""
+    ev = table(spark, sf_dir, "events")
+    doc = ev.select(
+        F.expr(
+            """concat('{"id": ', event_id, ', "meta": {"type": "',
+               event_type, '", "vals": [',
+               get_json_object(props, '$.k'), ', ',
+               CAST(get_json_object(props, '$.k') AS BIGINT) * 2,
+               ']}}')"""
+        ).alias("j")
+    )
+    v = doc.select(F.parse_json(F.col("j")).alias("v"))
+    ex = v.select(
+        F.expr("variant_get(v, '$.meta.type', 'string')").alias("meta_type"),
+        F.expr("variant_get(v, '$.meta.vals[1]', 'bigint')").alias("val1"),
+        F.expr("schema_of_variant(v)").alias("variant_schema"),
+    )
+    return ex.groupBy("meta_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("val1").cast("long").alias("sum_val1"),
+        F.sum(
+            (F.col("meta_type") == F.col("meta_type")).cast("long")
+        ).cast("long").alias("n_consistent"),
+        F.min("variant_schema").alias("variant_schema"),
+    )

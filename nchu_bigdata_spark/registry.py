@@ -114,11 +114,11 @@ def register(
 # head-first in two windows:
 #   r13: ids [0:50)  — head: orders_returns_rate ... sink_dynamic_overwrite
 #   r14: the 19-id never-checked remainder (9 pre-r12 ids, 4 r12
-#        births, 6 r13 births), then the TWENTY r14 births (5
-#        session-1 + 15 session-2, queued behind them so each holds a
+#        births, 6 r13 births), then the TWENTY-ONE r14 births (5
+#        session-1 + 16 session-2, queued behind them so each holds a
 #        driver row from birth), then the pulled-forward
 #        text_compression_ratio (stale r11 rows-only row refreshed
-#        under the promoted exact oracle), then 10 oldest-green
+#        under the promoted exact oracle), then 9 oldest-green
 #        refresh top-ups — 50 in all; the displaced top-ups shift to
 #        the r15 window.
 # After r14+r15 every id holds a driver row and the list degenerates
@@ -160,7 +160,7 @@ DRIVER_ORDER = [
     "kmeans_init_parallel",
     # r14 session-2 births, queued directly behind the session-1
     # births (never-checked ids lead the certified tail — the ledger
-    # invariant; displaces fifteen refresh top-ups to the r15 window,
+    # invariant; displaces sixteen refresh top-ups to the r15 window,
     # the same policy as every birth cohort before them)
     "agg_theta_intersect",
     "graph_bipartite_projection",
@@ -177,6 +177,7 @@ DRIVER_ORDER = [
     "join_aqe_runtime_broadcast",
     "tpch_q1",
     "udtf_lateral_python",
+    "fn_variant",
     # VERDICT r13 item 5: pulled ahead of the oldest-green top-ups so
     # its stale r11 rows-only driver row (err: no_oracle, pre-dating
     # the promoted exact zlib-replay oracle) is refreshed under the

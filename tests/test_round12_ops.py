@@ -209,6 +209,7 @@ def test_driver_order_windows_recounted():
         "join_aqe_runtime_broadcast",
         "tpch_q1",
         "udtf_lateral_python",
+        "fn_variant",
     ]
     births = r12_births + r13_births + r14_births
     if set(births) <= set(never):

@@ -1020,3 +1020,32 @@ def test_udtf_lateral_row_multiplication_contract(spark, sf_dir, duck):
         ).count()
         == 0
     )
+
+
+# --------------------------------------------------------------------------
+# fn_variant
+# --------------------------------------------------------------------------
+
+
+def test_variant_type_and_missing_path(spark, sf_dir):
+    """The intermediate column really is VariantType (not a string
+    round-trip), a missing path extracts NULL (not an error), and the
+    registered op's pinned schema literal matches live inference."""
+    from pyspark.sql.types import VariantType
+
+    df = spark.sql(
+        "SELECT parse_json('{\"a\": 1}') AS v"
+    )
+    assert isinstance(df.schema["v"].dataType, VariantType)
+    row = spark.sql(
+        "SELECT variant_get(parse_json('{\"a\": 1}'), '$.missing',"
+        " 'bigint') AS m"
+    ).collect()[0]
+    assert row.m is None
+    out = SPECS["fn_variant"].fn(spark, sf_dir).collect()
+    assert out and all(
+        r.variant_schema
+        == "OBJECT<id: BIGINT, meta: OBJECT<type: STRING, vals: ARRAY<BIGINT>>>"
+        for r in out
+    )
+    assert all(r.n_consistent == r.n for r in out)
