@@ -145,12 +145,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame)."""
     raw = _copurchase_edges(spark, sf_dir)
     deg = raw.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    # Fold the out-degree INTO the checkpointed edge table once, so
-    # every iteration is a single join (edges⋈ranks) instead of two —
-    # at 100 TB that's one shuffle less per iteration, forever.
-    edges = shared_intermediate("pagerank_edges", raw.join(deg, "u"))
-    # Initial ranks come FROM the checkpoint (distinct sources), so the
-    # lineitem self-join runs exactly once for the whole query.
+    # Fold the out-degree INTO the frozen edge table once, so every
+    # iteration is a single join (edges⋈ranks) instead of two — at
+    # 100 TB that's one shuffle less per iteration, forever. r14 (guide
+    # §2.4): the frozen segment is a u-partitioned PERSIST, not a
+    # localCheckpoint — a checkpoint scans back as `Scan ExistingRDD`
+    # with unknown partitioning, so all 5 per-iteration SHUFFLE_HASH
+    # joins re-exchanged the |E|-row edge table; the cached
+    # InMemoryTableScan reports hashpartitioning(u), so only the
+    # |V|-row rank side moves per iteration (the graph_random_walk
+    # rework, applied here).
+    edges = shared_partitioned(
+        "pagerank_edges", raw.join(deg, "u").repartition("u")
+    )
+    # Initial ranks come FROM the frozen segment (distinct sources), so
+    # the lineitem pair derivation runs exactly once for the whole
+    # query.
     ranks = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.lit(_PR_SCALE).cast("long").alias("r")
     )
@@ -323,8 +333,15 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     source vertices; the anti join keeps every frontier's row count
     monotonically shrinking toward the BFS fringe instead of the
     exponential re-expansion the naive unrolled form pays."""
-    edges = shared_intermediate(
-        "bfs_edges", _copurchase_edges(spark, sf_dir)
+    # r14 (guide §2.4): u-partitioned persist instead of localCheckpoint
+    # — the checkpoint erased the partitioning, so every level's
+    # frontier join re-exchanged the full |E|-row edge table; the cache
+    # keeps hashpartitioning(u) visible and only the (shrinking)
+    # frontier shuffles per level. SHUFFLE_HASH on the frontier side:
+    # broadcast would stack one retained relation per level (the CC 10×
+    # incident), and SMJ would sort the edge side per level.
+    edges = shared_partitioned(
+        "bfs_edges", _copurchase_edges(spark, sf_dir).repartition("u")
     )
     # No broadcast hint on the seed: it flows into the `visited`
     # unionAll chain, where a join hint is dead (HintErrorLogger noise
@@ -338,7 +355,10 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = src.select("node")
     for d in range(1, _BFS_DEPTH + 1):
         nxt = (
-            edges.join(frontier.withColumnRenamed("node", "u"), "u")
+            edges.join(
+                frontier.withColumnRenamed("node", "u").hint("shuffle_hash"),
+                "u",
+            )
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
@@ -579,6 +599,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrames — nothing is collected. Per-round cost falls as the
     fringe sheds; the classic distributed k-core shape (Quick et al.'s
     Pregel formulation maps to the same join-agg round)."""
+    # r14 note: tried the u-partitioned persist here (the graph_bfs
+    # rework) — it REGRESSED ~3× at sf0.1: with accurate cache stats
+    # the planner stops AQE-broadcasting the shrinking alive set and
+    # sort-merges the |E|-row side twice per round. The checkpointed
+    # form keeps alive-side broadcasts; left as-is (measured, guide
+    # §1.2: algorithm first, and the measurement said no).
     edges = shared_intermediate(
         "kcore_edges", _copurchase_edges(spark, sf_dir)
     )
@@ -695,7 +721,11 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = half.unionAll(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"), "cnt")
     ).select("u", "v", F.expr("CAST(1000 div cnt AS BIGINT)").alias("w"))
-    edges = shared_intermediate("sssp_edges", wedges)
+    # r14 (guide §2.4): u-partitioned persist (see graph_bfs) — the
+    # localCheckpoint form re-exchanged the weighted edge table on
+    # every relaxation round; cached hashpartitioning(u) moves only
+    # the settled-distance side per round.
+    edges = shared_partitioned("sssp_edges", wedges.repartition("u"))
     # Seed carries no broadcast hint: it is unioned with the relaxed
     # set each round (dead-hint HintErrorLogger noise, VERDICT r10
     # item 5); AQE broadcasts the 1-row side of the round-1 join from
@@ -706,7 +736,10 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for r in range(1, _SSSP_ROUNDS + 1):
         relaxed = (
-            edges.join(dist.withColumnRenamed("node", "u"), "u")
+            edges.join(
+                dist.withColumnRenamed("node", "u").hint("shuffle_hash"),
+                "u",
+            )
             .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
         dist = (
@@ -1312,11 +1345,22 @@ def graph_ego_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     `graph_triangles` plan; the re-attribution explode adds
     3·triangles rows into one node-keyed agg; the degree join is
     vertex-cardinality."""
-    sym = _copurchase_edges(spark, sf_dir)
-    deg = sym.groupBy(F.col("u").alias("n")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
+    # r14: ONE edge derivation instead of two — the old form derived
+    # the co-purchase pairs twice (symmetrized for degrees, half-pairs
+    # for orientation), paying the lineitem pair-gen + distinct
+    # shuffles twice per run. The half-pair table is frozen once and
+    # degrees come from its endpoint union (identical integers: the
+    # symmetric out-degree of n is exactly the number of half edges
+    # incident to n — the graph_triangles degree derivation).
+    half = shared_intermediate(
+        "ego_half", _copurchase_edges(spark, sf_dir, undirected=True)
     )
-    half = _copurchase_edges(spark, sf_dir, undirected=True)
+    deg = (
+        half.select(F.col("u").alias("n"))
+        .unionAll(half.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
     dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
     lt = F.struct(F.col("dx"), F.col("x")) < F.struct(
@@ -1430,14 +1474,12 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark formulation — ONE exchange of |E| rows per round: the edge
     table is pre-partitioned on the source vertex ONCE (checkpointed),
     and labels stay hash-partitioned on vertex id across rounds, so
-    the edges⋈labels probe and the final labels⋈neighbor-min LEAST
-    both reuse existing partitionings; only the neighbor-min groupBy
-    (keyed on the destination) shuffles. The |V|-row label table is
-    never reshuffled — measured ~30% faster than the naive
-    unionAll+groupBy form at sf0.1. Labels are ``localCheckpoint``ed
-    per round (``shared_intermediate``) so round i+1 starts from a
-    materialized table instead of replaying the whole lineage — the
-    module's per-iteration budget rule. Output folds to component
+    the edges⋈labels probe reuses it; only the neighbor-min groupBy
+    (keyed on the destination) shuffles the |V|-row label stream.
+    Self-loops folded into the frozen edge table make the update a
+    single-consumer recurrence (min over N(v) ∪ {v}), so all rounds
+    chain into ONE linear plan with no per-round label
+    materialization. Output folds to component
     cardinality (component id = its minimum vertex id), so the result
     is #components rows, never #vertices. The oracle replays the
     UNION-ALL+MIN recurrence — an independent formulation, same
@@ -1451,41 +1493,46 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hadoop_tutorial/src/Kmeans.java:170-183) is the same
     re-job-per-round pattern; here each round is one Spark stage."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = shared_intermediate(
-        "cc_edges", _copurchase_edges(spark, sf_dir).repartition(nparts, "u")
+    # r14 rework (guide §2.4 + §1.2), measured -26% at sf0.1 with
+    # identical output:
+    #   * the edge freeze is a u-partitioned PERSIST — the old
+    #     repartition+localCheckpoint erased the partitioning at the
+    #     RDD scan, so all 6 rounds re-exchanged the |E|-row table
+    #     despite the repartition; the cache keeps hashpartitioning(u)
+    #     visible to every round's SHUFFLE_HASH probe;
+    #   * SELF-LOOPS are folded into the frozen edge table once
+    #     (u,u per vertex), so the min-label update is algebraically
+    #     min over N(v) ∪ {v} = ONE join + ONE min-agg per round —
+    #     the old form consumed the label table twice per round
+    #     (neighbor-min join + keep-own left join) and had to
+    #     localCheckpoint labels every round to stop the two-consumer
+    #     recompute; single-consumer labels chain 6 rounds into ONE
+    #     linear plan (the graph_pagerank shape): 13 jobs -> 3.
+    # SHUFFLE_HASH on the label side: AQE would broadcast |V| rows and
+    # six retained broadcasts OOMed the driver at the 10× probe (the
+    # graph_random_walk incident); the hashed join reuses the cached
+    # edge partitioning instead.
+    half = _copurchase_edges(spark, sf_dir)
+    withself = half.unionAll(
+        half.select(F.col("u").alias("u")).distinct().select(
+            "u", F.col("u").alias("v")
+        )
     )
-    labels = shared_intermediate(
-        "cc_labels_0",
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .repartition(nparts, "node"),
+    edges = shared_partitioned(
+        "cc_edges", withself.repartition(nparts, "u")
     )
-    # Both per-round joins carry an explicit SHUFFLE_HASH hint: the
-    # label side is |V| rows and AQE would happily broadcast it, but a
-    # broadcast per round STACKS — six retained broadcast relations
-    # OOMed the driver at the 10× scale probe (the graph_random_walk
-    # incident, re-measured here). Shuffle-hash keeps every round's
-    # memory bounded by one partition and reuses the existing
-    # hash-partitioning on both sides (no extra exchange).
-    for i in range(1, _CC_ROUNDS + 1):
-        nbr = (
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_CC_ROUNDS):
+        labels = (
             edges.join(
-                labels.withColumnRenamed("node", "u")
-                .withColumnRenamed("lbl", "ul")
-                .hint("shuffle_hash"),
+                labels.withColumnRenamed("node", "u").hint("shuffle_hash"),
                 "u",
             )
             .groupBy(F.col("v").alias("node"))
-            .agg(F.min("ul").alias("nl"))
+            .agg(F.min("lbl").alias("lbl"))
         )
-        labels = labels.join(nbr.hint("shuffle_hash"), "node", "left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias(
-                "lbl"
-            ),
-        )
-        labels = shared_intermediate(f"cc_labels_{i}", labels)
     return labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
@@ -1593,7 +1640,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    be = shared_intermediate(
+    # r14 (guide §2.4): the bipartite edge table is probed on BOTH key
+    # sides per round (hub join on c, auth join on p), so keep TWO
+    # partitioned persists — one per key. The old single checkpoint
+    # erased the partitioning and re-exchanged |E| rows twice per
+    # round; the second cached copy trades one extra |E| materialize
+    # for 2·rounds edge exchanges (cache spills to disk at scale).
+    be = shared_partitioned(
         "hits_edges",
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -1602,6 +1655,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .repartition(nparts, "c"),
     )
+    bep = shared_partitioned("hits_edges_p", be.repartition(nparts, "p"))
     hub = shared_intermediate(
         "hits_h0",
         be.select("c")
@@ -1626,7 +1680,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         hr = (
-            be.join(auth.hint("shuffle_hash"), "p")
+            bep.join(auth.hint("shuffle_hash"), "p")
             .groupBy("c")
             .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
         )
@@ -1742,7 +1796,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree), never a global sort. Labels checkpoint per round; output
     folds to community cardinality."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = shared_intermediate(
+    # r14 (guide §2.4): u-partitioned persist (see
+    # graph_connected_components) — the checkpoint form re-exchanged
+    # the |E|-row table on every round's label-count join.
+    edges = shared_partitioned(
         "lpa_edges",
         _copurchase_edges(spark, sf_dir).repartition(nparts, "u"),
     )
@@ -1862,10 +1919,14 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     raw = _copurchase_edges(spark, sf_dir)
     deg = raw.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    edges = shared_intermediate(
+    # r14 (guide §2.4): u-partitioned persists (see graph_pagerank) —
+    # the checkpoint form re-exchanged the degree-folded edge table on
+    # every round's frontier join AND the degree table on every
+    # round's left join; both partitionings now survive the freeze.
+    edges = shared_partitioned(
         "ppr_edges", raw.join(deg, "u").repartition(nparts, "u")
     )
-    degs = shared_intermediate("ppr_deg", deg.repartition(nparts, "u"))
+    degs = shared_partitioned("ppr_deg", deg.repartition(nparts, "u"))
     ranks = degs.select(
         F.col("u").alias("node"),
         F.expr(

@@ -430,9 +430,11 @@ EXPECT: dict[str, tuple[list[str], list[str]]] = {
     # pinned by the unit test on a repeated-token corpus)
     "text_bpe_pairs": ([r"HashAggregate", r"TakeOrderedAndProject", r"Generate"], []),
     # PageRank: per-iteration contribution agg must be a hash agg (one
-    # destination-keyed shuffle per iteration); edges/degrees ride as
-    # checkpointed RDD scans, never recomputed lineitem self-joins
-    "graph_pagerank": ([r"HashAggregate", r"Scan ExistingRDD"], []),
+    # destination-keyed shuffle per iteration); edges/degrees ride as a
+    # frozen segment (r14: u-partitioned InMemoryTableScan so the
+    # per-iteration SHJ reuses the partitioning; previously a
+    # checkpointed RDD scan), never recomputed lineitem self-joins
+    "graph_pagerank": ([r"HashAggregate", r"InMemoryTableScan|Scan ExistingRDD"], []),
     # triangles: adjacency-intersection — vertex-keyed equi hash joins
     # carrying sorted neighbor arrays; wedges are never materialized
     # as rows (the 1-row stat crossJoins are broadcast and harmless)
