@@ -2585,33 +2585,31 @@ def agg_median_ci_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     no RNG state, no sampling-without-replacement shuffle,
     bit-reproducible under retries), each replicate's EXACT lower
     weighted median, and the min/max/spread across replicates.
-    Replicate uniforms (r11 rework, 8.0s → ~2s at sf0.1): one md5 is
-    128 bits = FOUR independent 32-bit words, so TWO salted md5s per
-    row fund all {r} replicates (word r%4 of md5((r//4)|key)) — 2
-    hashes per row instead of one per (row, replicate), and u
-    materializes as a column so the 6-branch inverse-CDF CASE
-    evaluates it once. k=0 rows are dropped before the rollup (a
-    zero-weight price point changes no cumulative sum, no total, and
-    can never be the lower-median argmin), so ~1/e of exploded rows
-    never reach the shuffle.
+    Replicate uniforms (r11 rework): one md5 is 128 bits = FOUR
+    independent 32-bit words, so TWO salted md5s per row fund all {r}
+    replicates (word r%4 of md5((r//4)|key)) — 2 hashes per row
+    instead of one per (row, replicate).
 
     Exactness: multiplicities are pure key functions; each
     replicate's median is the smallest cents with 2·cum ≥ total over
     integer weights — the exact order-statistic rule, no
     interpolation.
 
-    Plan/scale: the replicate spine is an explode (×{r}) folded
-    immediately into a (flag, rep, cents) map-side rollup — bounded
-    by the price support × reps, not row count; the cumulative
-    windows run per (flag, rep) over that bounded support. Adding
-    replicates varies a hash salt, never re-scans."""
+    Plan/scale (r14 rework, 2× at sf0.1, guide §2.3): replicates ride
+    as {r} k COLUMNS per row — nothing row-scale is ever multiplied
+    by the replicate count; the phase-1 rollup sums all {r} columns
+    map-side per (flag, bucket) and the replicate axis becomes rows
+    only at bucket cardinality (stack). The cumulative windows run
+    per (flag, rep) over the bucket support; phase 2 rescans the
+    frozen row-cardinality k-vector table only where a replicate's
+    straddle bucket lands. Adding replicates widens a projection,
+    never re-scans."""
     from nchu_bigdata_spark.operators.pipeline import _pois_case_sql
 
     li = table(spark, sf_dir, "lineitem")
     # TWO salted md5s per ROW (not per row x replicate): each md5's
     # 128 bits are four independent 32-bit words, so salt r//4 + word
-    # r%4 funds all replicates. u materializes as a column so the
-    # 6-branch Poisson CASE evaluates the hash exactly once.
+    # r%4 funds all replicates.
     h = li.select(
         "l_returnflag",
         F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
@@ -2626,37 +2624,33 @@ def agg_median_ci_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(l_linenumber AS STRING))"
         ).alias("h1"),
     )
-    k = (
-        h.select(
-            "l_returnflag",
-            "cents",
-            "h0",
-            "h1",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))
-            ).alias("r"),
-        )
-        .withColumn(
-            "u",
-            F.expr(
-                "CAST(conv(substr(CASE WHEN r < 4 THEN h0 ELSE h1 END,"
-                " 1 + (r % 4) * 8, 8), 16, 10) AS BIGINT)"
-            ),
-        )
-        .withColumn("k", F.expr(_pois_case_sql("u")))
-        .drop("h0", "h1", "u")
-    )
-    # k = 0 rows are dropped pre-rollup: a zero-weight price point
-    # changes no cumulative sum, no total, and cannot be the lower
-    # median (its cum equals the previous row's, at a larger cents) --
-    # ~1/e of the exploded rows never reach any downstream stage. The
-    # filtered replicate stream is frozen ONCE (localCheckpoint, the
-    # shared_intermediate storage class) because both median phases
-    # scan it.
+    # r14 rework (guide §2.3 "aggregate before you shuffle", measured
+    # 2x at sf0.1, identical output): replicates ride as EIGHT k
+    # COLUMNS per row instead of an 8-way row explode — the explode
+    # multiplied the shuffle and the frozen intermediate by the
+    # replicate count before anything aggregated. The per-word u
+    # expressions are constant-position substrings (no per-row CASE on
+    # r), the frozen intermediate is the ROW-cardinality (flag, cents,
+    # k0..k7) table (narrower than lineitem and 8x fewer rows than the
+    # exploded form), and the replicate axis only becomes rows at
+    # BUCKET cardinality (stack after the phase-1 rollup).
+    u_cols = [
+        F.expr(
+            f"CAST(conv(substr({'h0' if r < 4 else 'h1'},"
+            f" {1 + (r % 4) * 8}, 8), 16, 10) AS BIGINT)"
+        ).alias(f"u{r}")
+        for r in range(_BOOT_REPS)
+    ]
+    hu = h.select("l_returnflag", "cents", *u_cols)
+    k_cols = [
+        F.expr(_pois_case_sql(f"u{r}")).alias(f"k{r}")
+        for r in range(_BOOT_REPS)
+    ]
     from nchu_bigdata_spark.materialize import shared_intermediate
 
     kc = shared_intermediate(
-        "agg_median_ci_bootstrap.k", k.filter(F.col("k") > 0)
+        "agg_median_ci_bootstrap.k",
+        hu.select("l_returnflag", "cents", *k_cols),
     )
 
     # Exact weighted median in TWO bucket phases (the distributed
@@ -2664,16 +2658,25 @@ def agg_median_ci_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (flag, r, cents) rollup + full-support cumulative window (the
     # r8 plan): cents values are ~unique per row, so that rollup
     # collapsed nothing and shuffled ~|rows x reps|. Phase 1 rolls up
-    # to (flag, r, cents div Q) -- map-side combinable to |buckets|
-    # groups -- and finds each replicate's STRADDLE bucket b* (the
-    # smallest with 2*cum >= tot) plus the cum OFFSET before it;
+    # to (flag, cents div Q) with one map-side-combined SUM PER
+    # REPLICATE COLUMN, unpivots the 8 sums to (flag, r, b, w) rows at
+    # bucket cardinality (w = 0 buckets dropped: a zero-weight bucket
+    # has the cumulative sum of its predecessor and can never be the
+    # straddle argmin), and finds each replicate's STRADDLE bucket b*
+    # (the smallest with 2*cum >= tot) plus the cum OFFSET before it;
     # phase 2 rescans only rows with cents div Q = b* (selectivity
     # ~1/|buckets|) and applies the same argmin rule with the offset.
     # Both shuffles are bucket-sized; nothing row-scale moves.
     q = 16384  # bucket width (cents)
-    b1 = kc.groupBy(
-        "l_returnflag", "r", F.expr(f"cents div {q}").alias("b")
-    ).agg(F.sum("k").alias("w"))
+    b1c = kc.groupBy(
+        "l_returnflag", F.expr(f"cents div {q}").alias("b")
+    ).agg(*[F.sum(f"k{r}").alias(f"w{r}") for r in range(_BOOT_REPS)])
+    stack = ", ".join(f"{r}, w{r}" for r in range(_BOOT_REPS))
+    b1 = b1c.select(
+        "l_returnflag",
+        "b",
+        F.expr(f"stack({_BOOT_REPS}, {stack}) AS (r, w)"),
+    ).filter(F.col("w") > 0)
     w_cumb = Window.partitionBy("l_returnflag", "r").orderBy("b")
     w_allb = Window.partitionBy("l_returnflag", "r")
     bsel = (
@@ -2693,9 +2696,29 @@ def agg_median_ci_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tot").alias("tot"),
         )
     )
+    # The straddle-bucket rescan dispatches the row's k vector on the
+    # broadcast (flag, r) -> b* table: rows land in phase 2 once per
+    # replicate whose straddle bucket contains them (~rows/|buckets|
+    # per replicate), with k = element r of the per-row k vector —
+    # identical weights to the exploded form, k = 0 rows dropped the
+    # same way.
+    karr = "array({})".format(
+        ", ".join(f"k{r}" for r in range(_BOOT_REPS))
+    )
+    bsel2 = bsel.select(
+        F.col("l_returnflag").alias("bf"), "r", "bstar", "off", "tot"
+    )
     p2 = (
-        kc.join(F.broadcast(bsel), ["l_returnflag", "r"])
-        .filter(F.expr(f"cents div {q} = bstar"))
+        kc.join(
+            F.broadcast(bsel2),
+            (F.col("l_returnflag") == F.col("bf"))
+            & (F.expr(f"cents div {q}") == F.col("bstar")),
+        )
+        .select(
+            "l_returnflag", "r", "cents", "off", "tot",
+            F.expr(f"element_at({karr}, CAST(r AS INT) + 1)").alias("k"),
+        )
+        .filter(F.col("k") > 0)
         .groupBy("l_returnflag", "r", "cents", "off", "tot")
         .agg(F.sum("k").alias("w"))
     )
