@@ -2176,26 +2176,37 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     sig = shared_intermediate("band_tuning.sigs", sig)
-    hsets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+    # r14: freeze hsets once — the verify stage joins it on BOTH sides
+    # of every config, and without the freeze the plan rebuilt the
+    # shingle-volume collect_set agg 8x (2 sides x 4 configs), each
+    # with its own broadcast (guide §2.4: compute shared subtrees
+    # once). One ObjectHashAggregate pass, 8 cheap RDD scans.
+    hsets = shared_intermediate(
+        "band_tuning.hsets",
+        sh.groupBy("doc_id").agg(F.collect_set("h").alias("hset")),
+    )
 
     per_config = []
     for b, r in _BT_CONFIGS:
-        keys = F.array(
-            *[
-                F.struct(
-                    F.lit(band).alias("band_id"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"m{band * r + i}").cast("string")
-                                for i in range(r)
-                            ],
-                        )
-                    ).alias("band_key"),
+        # One F.expr string instead of ~b*r stacked Column objects —
+        # identical semantics, but plan construction is a single Py4J
+        # call (the kmeans assign() precedent; r14, guide §1.2 "per-
+        # task work" applied to the driver: the 4-config loop built
+        # hundreds of Column handles per run).
+        keys = F.expr(
+            "array({})".format(
+                ", ".join(
+                    "named_struct('band_id', {band}, 'band_key',"
+                    " md5(concat_ws(',', {cols})))".format(
+                        band=band,
+                        cols=", ".join(
+                            f"CAST(m{band * r + i} AS STRING)"
+                            for i in range(r)
+                        ),
+                    )
+                    for band in range(b)
                 )
-                for band in range(b)
-            ]
+            )
         )
         bands = sig.select(
             "doc_id", F.explode(keys).alias("k")
