@@ -234,6 +234,29 @@ def parallel_table(
     return df
 
 
+def local_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small driver-side fixture table via the pandas/Arrow path.
+
+    ``spark.createDataFrame(list_of_tuples, ...)`` parallelizes the
+    collection into ``defaultParallelism`` PYTHON-RDD partitions, and
+    every downstream consumption pays one Python-worker round-trip per
+    partition — a 1-row manifest written through ``coalesce(1)`` chains
+    32 sequential round-trips into one task (~6-8 s measured on
+    local[32], r14). One pandas frame ships as a single Arrow batch
+    straight into the JVM instead (measured 0.2-0.3 s), with the
+    explicit schema pinning the exact column types either way."""
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    st = (
+        TT._parse_datatype_string(schema)
+        if isinstance(schema, str)
+        else schema
+    )
+    pdf = pd.DataFrame(list(rows), columns=st.names)
+    return spark.createDataFrame(pdf, schema=st)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -45,7 +45,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import dround, sql_dround
-from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.io import local_rows, table
 from nchu_bigdata_spark.registry import register
 
 Metric = str  # 'sq_euclidean' | 'sq_euclidean_abs' | 'normalized_sq'
@@ -400,7 +400,8 @@ def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # math.sqrt (correctly-rounded IEEE, same as DuckDB's sqrt) over a
     # left-fold sum — mirrors the oracle's sqrt(list_sum(...)); the
     # 6-decimal dround absorbs summation-order ulps per compat policy.
-    norms = spark.createDataFrame(
+    norms = local_rows(
+        spark,
         [
             (i + 1, math.sqrt(sum(v * v for v in c)))
             for i, c in enumerate(res.centers)
@@ -599,7 +600,8 @@ def kmeans_init_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_col="ord",
     )
     wts = out.groupBy("ord").agg(F.count(F.lit(1)).cast("long").alias("weight"))
-    cand_df = emb.sparkSession.createDataFrame(
+    cand_df = local_rows(
+        emb.sparkSession,
         [(vid, rnd, i + 1) for i, (vid, rnd, _) in enumerate(cands)],
         "vec_id long, round_added int, ord int",
     )

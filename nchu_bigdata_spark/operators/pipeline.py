@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import dround, sql_dround
-from nchu_bigdata_spark.io import parallel_table, table
+from nchu_bigdata_spark.io import local_rows, parallel_table, table
 from nchu_bigdata_spark.materialize import range_pid_frozen
 from nchu_bigdata_spark.operators.dedup import _h32
 from nchu_bigdata_spark.registry import register
@@ -1984,8 +1984,8 @@ def tokenize_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
     lad = F.broadcast(
-        spark.createDataFrame(
-            [(int(x),) for x in _TRUNC_LADDER], "max_len long"
+        local_rows(
+            spark, [(int(x),) for x in _TRUNC_LADDER], "max_len long"
         )
     )
     tot = d.agg(

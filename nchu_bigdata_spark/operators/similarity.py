@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import dround, sql_dround
-from nchu_bigdata_spark.io import parallel_table
+from nchu_bigdata_spark.io import local_rows, parallel_table
 from nchu_bigdata_spark.materialize import shared_intermediate
 from nchu_bigdata_spark.registry import register
 
@@ -1340,8 +1340,15 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: the pair stream (already verified, tiny vs corpus)
     crossed with an 11-row broadcast ladder, two hash aggs, and a
     ladder-sized merge join — everything past the shared chain is
-    bounded by 11 x pairs."""
-    pairs = dedup_embed_cosine(spark, sf_dir)
+    bounded by 11 x pairs. r14: the verified pair stream is frozen
+    once (shared_intermediate) — the n_pairs and n_docs branches both
+    scan it, and without the freeze the whole LSH + verify pipeline
+    ran twice per query (guide §2.4: shared subtrees compute once)."""
+    from nchu_bigdata_spark.materialize import shared_intermediate
+
+    pairs = shared_intermediate(
+        "threshold_sweep.pairs", dedup_embed_cosine(spark, sf_dir)
+    )
     lad = F.broadcast(
         spark.range(_SWEEP_N).select(
             (_SWEEP_LO_BP + _SWEEP_STEP_BP * F.col("id"))
@@ -1764,8 +1771,8 @@ def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim_topk(spark, sf_dir).select("q_id", "vec_id")
     n_exact = exact.count()  # nq*k-sized metadata, sanctioned
     lad = F.broadcast(
-        spark.createDataFrame(
-            [(int(p),) for p in _SWEEP_NPROBES], "nprobe long"
+        local_rows(
+            spark, [(int(p),) for p in _SWEEP_NPROBES], "nprobe long"
         )
     )
     deep = cand.crossJoin(lad).filter(F.col("prank") <= F.col("nprobe"))

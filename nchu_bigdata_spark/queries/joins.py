@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nchu_bigdata_spark.compat import dround, dsum
-from nchu_bigdata_spark.io import table
+from nchu_bigdata_spark.io import local_rows, table
 from nchu_bigdata_spark.registry import register
 
 
@@ -170,7 +170,8 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nchu_bigdata_spark.compat import davg
 
     part = table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = local_rows(
+        spark,
         [
             ("low", 0.0, 905.0),
             ("mid", 905.0, 910.0),

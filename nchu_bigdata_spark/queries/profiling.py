@@ -1079,4 +1079,6 @@ def dq_observe_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("sink", *[sink_obs.get[c] for c in cols]),
     ]
     schema = "stage STRING, " + ", ".join(f"{c} BIGINT" for c in cols)
-    return spark.createDataFrame(rows, schema)
+    from nchu_bigdata_spark.io import local_rows
+
+    return local_rows(spark, rows, schema)

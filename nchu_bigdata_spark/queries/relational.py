@@ -1766,7 +1766,14 @@ def scan_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("mo"),
         F.expr(_INC_LATE).alias("late"),
     )
-    o.write.mode("overwrite").partitionBy("mo", "late").parquet(out)
+    # r14 (guide §6): cluster by the partition keys before the
+    # partitioned write — without it every scan task appends to every
+    # (mo, late) dir (up to tasks x dirs tiny files; Iceberg's
+    # write.distribution-mode=hash is this exact shuffle). One file
+    # per partition dir, same rows, ~2x faster fixture write.
+    o.repartition("mo", "late").write.mode("overwrite").partitionBy(
+        "mo", "late"
+    ).parquet(out)
 
     months = (
         o.select("mo")
@@ -2012,8 +2019,10 @@ def sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     for attempt in (1, 2):
         batch.write.mode("overwrite").parquet(f"{out}/attempt={attempt}")
     committed = spark.read.parquet(f"{out}/attempt=2")
-    spark.createDataFrame(
-        [(f,) for f in committed.inputFiles()], "path STRING"
+    from nchu_bigdata_spark.io import local_rows
+
+    local_rows(
+        spark, [(f,) for f in committed.inputFiles()], "path STRING"
     ).coalesce(1).write.mode("overwrite").json(manifest_out)
 
     manifest = spark.read.schema("path STRING").json(manifest_out)

@@ -433,8 +433,10 @@ _TIERS = [(0, "free"), (1, "free"), (2, "pro"), (3, "pro"), (4, "enterprise")]
 
 
 def _tier_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [(b, t) for b, t in _TIERS], "bucket long, tier string"
+    from nchu_bigdata_spark.io import local_rows
+
+    return local_rows(
+        spark, [(b, t) for b, t in _TIERS], "bucket long, tier string"
     )
 
 
