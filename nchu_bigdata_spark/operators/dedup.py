@@ -436,30 +436,28 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per tag (materialize.py): no storage accumulation across repeated
     # invocations.
     sh = shared_intermediate("dedup_minhash.shingles", _doc_shingle_h32(docs))
-    sig = (
-        sh.groupBy("doc_id")
-        .agg(
-            *[
-                F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(_P)).alias(
-                    f"m{i}"
-                )
-                for i in range(_H)
-            ]
-        )
-    )
-    band_keys = F.array(
+    # Signature mins and band keys build as SQL expression strings (one
+    # Py4J call each) instead of ~_H stacked Column objects — identical
+    # semantics, measurably cheaper plan construction per bench rep
+    # (the kmeans assign() precedent; r14).
+    sig = sh.groupBy("doc_id").agg(
         *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{b * _ROWS + r}").cast("string")
-                        for r in range(_ROWS)
-                    ],
-                )
-            )
-            for b in range(_BANDS)
+            F.expr(f"min(({_A[i]} * h + {_B[i]}) % {_P})").alias(f"m{i}")
+            for i in range(_H)
         ]
+    )
+    band_keys = F.expr(
+        "array({})".format(
+            ", ".join(
+                "md5(concat_ws(',', {}))".format(
+                    ", ".join(
+                        f"CAST(m{b * _ROWS + r} AS STRING)"
+                        for r in range(_ROWS)
+                    )
+                )
+                for b in range(_BANDS)
+            )
+        )
     )
     band = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
