@@ -831,21 +831,32 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("doc_id")),
     )
+    # r14 (the graph_connected_components rework): self-loop edges
+    # (own=true) folded into the symmetric edge table make the
+    # min-label update single-consumer — min over N(v) ∪ {v} is ONE
+    # join + ONE agg per round instead of join + a second scan of the
+    # label table through the union. The self row still carries the
+    # own flag, so the convergence check (old_label) rides the same
+    # aggregation unchanged. Frozen ONCE per call (its own tag — it
+    # must NOT read the alternating label checkpoints, whose previous
+    # generation is released every round), so every round scans one
+    # materialized edge table instead of re-unioning the pair input.
+    sym2 = shared_intermediate(
+        "dedup_clusters.sym2",
+        sym.withColumn("own", F.lit(False)).union(
+            cur.select(
+                F.col("doc_id").alias("src"),
+                F.col("doc_id").alias("dst"),
+                F.lit(True).alias("own"),
+            )
+        ),
+    )
     converged = False
     for it in range(max_iters):
-        # new label = min(own, min over in-neighbors). The convergence
-        # check rides the same aggregation: self rows carry a flag so
-        # the group emits (new_label, old_label) together, making
-        # "changed" a narrow filter-count over the checkpointed result
-        # instead of a second shuffle join per round. Alternating
-        # checkpoint tags bound storage at two generations.
-        nbr = sym.join(cur.withColumnRenamed("doc_id", "dst"), "dst").select(
-            F.col("src").alias("doc_id"), "label", F.lit(False).alias("own")
-        )
         new = shared_intermediate(
             f"dedup_clusters.labels.{(it + 1) % 2}",
-            nbr.union(cur.withColumn("own", F.lit(True)))
-            .groupBy("doc_id")
+            sym2.join(cur.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
             .agg(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("own"), F.col("label"))).alias("old_label"),
