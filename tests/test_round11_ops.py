@@ -284,6 +284,7 @@ def test_graph_checkpoint_count_invariant(spark, monkeypatch):
     equality."""
     import nchu_bigdata_spark.operators.graph as G
     from nchu_bigdata_spark.materialize import shared_intermediate as orig
+    from nchu_bigdata_spark.materialize import shared_partitioned as orig_p
     from nchu_bigdata_spark.registry import load_all_queries
 
     calls: list[str] = []
@@ -292,7 +293,12 @@ def test_graph_checkpoint_count_invariant(spark, monkeypatch):
         calls.append(tag)
         return orig(tag, df, eager)
 
+    def counting_p(tag, df):
+        calls.append(tag)
+        return orig_p(tag, df)
+
     monkeypatch.setattr(G, "shared_intermediate", counting)
+    monkeypatch.setattr(G, "shared_partitioned", counting_p)
     specs = load_all_queries()
     counts = {}
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
@@ -306,13 +312,13 @@ def test_graph_checkpoint_count_invariant(spark, monkeypatch):
         a = counts[(name, "/root/testdata/sf0.001")]
         b = counts[(name, "/root/testdata/sf0.01")]
         assert a == b > 0, (name, a, b)
-    # the budget is the committed constant: edges + labels0 + one per
-    # round for CC; pagerank checkpoints ONLY the degree-joined edge
-    # table and unrolls its fixed iterations into a single bounded plan
-    from nchu_bigdata_spark.operators.graph import _CC_ROUNDS
-
+    # the budget is the committed constant (r14 rework): both kernels
+    # freeze ONLY the u-partitioned edge table (shared_partitioned)
+    # and unroll their fixed rounds into a single bounded plan — CC's
+    # per-round label checkpoints were retired by the self-loop
+    # single-consumer recurrence.
     assert counts[("graph_connected_components", "/root/testdata/sf0.001")] \
-        == 2 + _CC_ROUNDS
+        == 1
     assert counts[("graph_pagerank", "/root/testdata/sf0.001")] == 1
 
 
