@@ -129,69 +129,8 @@ def register(
 # moves the greens to the tail (the r9 unrotated-window incident is
 # the reason this is a tool, not a convention).
 DRIVER_ORDER = [
-    # rotated by tools/rotate_ledger.py after round 13: 50 green ids moved to the tail
-    # -- ROTATION LEDGER window r14: first 50 ids below (stuck ids from r13 lead) --
-    "events_peak_days",
-    "orders_rank_stability",
-    "tokenize_padding_waste",
-    "win_drawdown_duration",
-    "multimodal_audio_stats",
-    "multimodal_phash_clusters",
-    "multimodal_audio_vad",
-    "multimodal_image_stats",
-    "multimodal_scene_changes",
-    "join_range_partitioned",
-    "tokenize_fertility",
-    "curate_quality_gate_sweep",
-    "geo_knn_join",
-    "scan_mor_positional",
-    "stream_range_join",
-    "embed_isotropy",
-    "scan_zorder_pruned",
-    "udtf_map_in_arrow",
-    "agg_hll_portable",
-    # r14 births, queued directly behind the r13 births so they enter
-    # THIS round's window and hold a driver row from birth (displacing
-    # the last five refresh top-ups to the r15 window).
-    "agg_kmv_distinct",
-    "win_time_weighted_avg",
-    "sample_weighted_priority",
-    "scan_delete_vector",
-    "kmeans_init_parallel",
-    # r14 session-2 births, queued directly behind the session-1
-    # births (never-checked ids lead the certified tail — the ledger
-    # invariant; displaces sixteen refresh top-ups to the r15 window,
-    # the same policy as every birth cohort before them)
-    "agg_theta_intersect",
-    "graph_bipartite_projection",
-    "fn_soundex",
-    "scan_incremental_read",
-    "orders_revenue_recognition",
-    "dq_key_discovery",
-    "geo_point_in_polygon",
-    "scan_python_datasource",
-    "dq_observe_inline",
-    "sink_exactly_once",
-    "events_alert_debounce",
-    "multimodal_audio_resample",
-    "join_aqe_runtime_broadcast",
-    "tpch_q1",
-    "udtf_lateral_python",
-    "fn_variant",
-    # VERDICT r13 item 5: pulled ahead of the oldest-green top-ups so
-    # its stale r11 rows-only driver row (err: no_oracle, pre-dating
-    # the promoted exact zlib-replay oracle) is refreshed under the
-    # full value check this round.
-    "text_compression_ratio",  # r11 rows-only -> full check
-    "multimodal_resize",  # r5
-    "udtf_python_arrow",  # r5
-    "dedup_minhash",  # r5
-    "dedup_clusters",  # r5
-    "dedup_simhash",  # r5
-    "sim_ann_ivf",  # r5
-    "pack_sequences",  # r5
-    "curate_corpus",  # r5
-    "sample_stratified",  # r5
+    # rotated by tools/rotate_ledger.py after round 14: 50 green ids moved to the tail
+    # -- ROTATION LEDGER window r15: first 50 ids below (stuck ids from r14 lead) --
     "text_repetition",  # r5
     "kmeans_assign",  # r5
     "tpch_q3",  # r5
@@ -214,7 +153,6 @@ DRIVER_ORDER = [
     "sort_limit",  # r5
     "topk_per_group",  # r5
     "set_union",  # r5
-    # -- ids beyond the r14 window: consumed head-first, 50/round --
     "set_intersect",  # r5
     "set_except",  # r5
     "fn_string",  # r5
@@ -243,6 +181,7 @@ DRIVER_ORDER = [
     "stream_session",  # r6
     "stream_dedup",  # r6
     "stream_stateful",  # r6
+    # -- ids beyond the r15 window: consumed head-first, 50/round --
     "stream_watermark_late",  # r6
     "stream_tumbling",  # r6
     "agg_distinct",  # r6
@@ -566,6 +505,56 @@ DRIVER_ORDER = [
     "win_gap_to_leader",  # r13
     "events_weekend_lift",  # r13
     "sink_dynamic_overwrite",  # r13
+    "events_peak_days",  # r14
+    "orders_rank_stability",  # r14
+    "tokenize_padding_waste",  # r14
+    "win_drawdown_duration",  # r14
+    "multimodal_audio_stats",  # r14
+    "multimodal_phash_clusters",  # r14
+    "multimodal_audio_vad",  # r14
+    "multimodal_image_stats",  # r14
+    "multimodal_scene_changes",  # r14
+    "join_range_partitioned",  # r14
+    "tokenize_fertility",  # r14
+    "curate_quality_gate_sweep",  # r14
+    "geo_knn_join",  # r14
+    "scan_mor_positional",  # r14
+    "stream_range_join",  # r14
+    "embed_isotropy",  # r14
+    "scan_zorder_pruned",  # r14
+    "udtf_map_in_arrow",  # r14
+    "agg_hll_portable",  # r14
+    "agg_kmv_distinct",  # r14
+    "win_time_weighted_avg",  # r14
+    "sample_weighted_priority",  # r14
+    "scan_delete_vector",  # r14
+    "kmeans_init_parallel",  # r14
+    "agg_theta_intersect",  # r14
+    "graph_bipartite_projection",  # r14
+    "fn_soundex",  # r14
+    "scan_incremental_read",  # r14
+    "orders_revenue_recognition",  # r14
+    "dq_key_discovery",  # r14
+    "geo_point_in_polygon",  # r14
+    "scan_python_datasource",  # r14
+    "dq_observe_inline",  # r14
+    "sink_exactly_once",  # r14
+    "events_alert_debounce",  # r14
+    "multimodal_audio_resample",  # r14
+    "join_aqe_runtime_broadcast",  # r14
+    "tpch_q1",  # r14
+    "udtf_lateral_python",  # r14
+    "fn_variant",  # r14
+    "text_compression_ratio",  # r14
+    "multimodal_resize",  # r14
+    "udtf_python_arrow",  # r14
+    "dedup_minhash",  # r14
+    "dedup_clusters",  # r14
+    "dedup_simhash",  # r14
+    "sim_ann_ivf",  # r14
+    "pack_sequences",  # r14
+    "curate_corpus",  # r14
+    "sample_stratified",  # r14
 ]
 
 
