@@ -245,30 +245,78 @@ def _parse_bytes(s: str, default: int) -> int:
         return default
 
 
+def _list_data_file_sizes(spark: SparkSession, path: str) -> list[int]:
+    """Data-file sizes under ``path``, one directory level deep (covers
+    flat tables AND single-level partitioned layouts like
+    ``mo=.../part-*.parquet``). Hidden entries (``_``/``.`` prefixes —
+    ``_SUCCESS``, ``.crc``) are skipped like Spark's InMemoryFileIndex
+    does. Local paths list via ``os.scandir``; any other scheme lists
+    through the Hadoop ``FileSystem`` API on the JVM gateway — a
+    metadata-only RPC per directory, NOT the full plan + RDD conversion
+    the pre-r15 fallback paid (``read.parquet().rdd`` re-instated the
+    exact probe on every non-local call, the cost r14 removed)."""
+    import os
+
+    def _scan_local(d: str, depth: int) -> list[int]:
+        out: list[int] = []
+        with os.scandir(d) as it:
+            for e in it:
+                if e.name.startswith(("_", ".")):
+                    continue
+                if e.is_file():
+                    out.append(e.stat().st_size)
+                elif e.is_dir() and depth > 0:
+                    out.extend(_scan_local(e.path, depth - 1))
+        return out
+
+    if os.path.isfile(path):
+        return [os.path.getsize(path)]
+    if os.path.isdir(path):
+        return _scan_local(path, 1)
+    # Non-local scheme (s3a://, hdfs://, ...): Hadoop FileSystem listing.
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+    def _scan_fs(p, depth: int) -> list[int]:
+        out: list[int] = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isDirectory():
+                if depth > 0:
+                    out.extend(_scan_fs(st.getPath(), depth - 1))
+            else:
+                out.append(int(st.getLen()))
+        return out
+
+    if not fs.exists(jpath):
+        return []
+    st = fs.getFileStatus(jpath)
+    if not st.isDirectory():
+        return [int(st.getLen())]
+    return _scan_fs(jpath, 1)
+
+
 def _scan_splits_estimate(spark: SparkSession, path: str) -> int:
-    """Estimated scan-partition count from local file sizes (Spark's
-    FilePartition.maxSplitBytes formula). The previous probe —
+    """Scan-partition count from file sizes — Spark's own
+    ``FilePartition`` algorithm (maxSplitBytes formula + greedy
+    size-descending bin-packing with the per-file open cost), replayed
+    over a metadata listing. The previous probe —
     ``df.rdd.getNumPartitions()`` — forced a full physical plan + RDD
     conversion per call (measured 90-480 ms on local[32], paid by
     every parallel_table caller on every bench rep; r14). Only the
     BRANCH matters (is the scan underparallelized?), and at production
-    scale many-files inputs estimate far above core count either way,
-    so an estimate is as good as the exact count. Falls back to the
-    exact probe for non-local paths."""
-    import math
-    import os
-
-    if os.path.isdir(path):
-        sizes = [
-            os.path.getsize(os.path.join(path, f))
-            for f in os.listdir(path)
-            if not f.startswith(("_", "."))
-            and os.path.isfile(os.path.join(path, f))
-        ]
-    elif os.path.isfile(path):
-        sizes = [os.path.getsize(path)]
-    else:  # non-local filesystem: pay the exact probe
-        return spark.read.parquet(path).rdd.getNumPartitions()
+    scale many-files inputs estimate far above core count either way.
+    r15: the listing goes through the Hadoop FileSystem API for
+    non-local schemes and recurses one partition-directory level, and
+    the per-file ``ceil`` shortcut (which overcounted many-small-files
+    inputs vs Spark's bin-packing) is replaced by the exact packing
+    replay, asserted estimate == actual for every testdata table in
+    tests/test_round15_ops.py. Returns 0 for an empty/missing listing
+    (callers treat that as "underparallelized")."""
+    sizes = _list_data_file_sizes(spark, path)
     if not sizes:
         return 0
     open_cost = _parse_bytes(
@@ -284,8 +332,29 @@ def _scan_splits_estimate(spark: SparkSession, path: str) -> int:
     except Exception:  # unset (validated conf rejects sentinel defaults)
         min_parts = spark.sparkContext.defaultParallelism
     total = sum(s + open_cost for s in sizes)
-    max_split = min(max_pb, max(open_cost, total // max(min_parts, 1)))
-    return sum(math.ceil(s / max_split) for s in sizes if s) or 1
+    bytes_per_core = total // max(min_parts, 1)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    # Split each file into <= max_split chunks, then pack size-DESC:
+    # a chunk that would push the current bin past max_split closes it,
+    # and every chunk charges its open cost to the bin it lands in —
+    # the exact loop in FilePartition.getFilePartitions.
+    chunks: list[int] = []
+    for s in sizes:
+        while s > max_split:
+            chunks.append(max_split)
+            s -= max_split
+        if s > 0:
+            chunks.append(s)
+    chunks.sort(reverse=True)
+    n, cur = 0, 0
+    for c in chunks:
+        if cur + c > max_split:
+            n += 1
+            cur = 0
+        cur += c + open_cost
+    if cur > 0:
+        n += 1
+    return n or 1
 
 
 def local_rows(spark: SparkSession, rows, schema) -> DataFrame:
@@ -298,7 +367,14 @@ def local_rows(spark: SparkSession, rows, schema) -> DataFrame:
     32 sequential round-trips into one task (~6-8 s measured on
     local[32], r14). One pandas frame ships as a single Arrow batch
     straight into the JVM instead (measured 0.2-0.3 s), with the
-    explicit schema pinning the exact column types either way."""
+    explicit schema pinning the exact column types either way.
+
+    Assumes ``spark.sql.execution.arrow.pyspark.enabled=true`` (pinned
+    in session.py): on the Arrow path the explicit schema drives the
+    conversion, so pandas' None→NaN coercion in integer columns is
+    recovered as a proper NULL. A session built with Arrow disabled
+    would both lose the single-batch speedup and risk a float-to-long
+    safe-cast failure on such rows (ADVICE r14)."""
     import pandas as pd
     from pyspark.sql import types as TT
 

@@ -1344,8 +1344,6 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (shared_intermediate) — the n_pairs and n_docs branches both
     scan it, and without the freeze the whole LSH + verify pipeline
     ran twice per query (guide §2.4: shared subtrees compute once)."""
-    from nchu_bigdata_spark.materialize import shared_intermediate
-
     pairs = shared_intermediate(
         "threshold_sweep.pairs", dedup_embed_cosine(spark, sf_dir)
     )

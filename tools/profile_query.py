@@ -54,28 +54,12 @@ def main() -> None:
 
     materialize.shared_intermediate = _timed_si
     materialize.shared_partitioned = _timed_sp
-    # operators import the helpers by name; patch those references too
-    import importlib
-    import pkgutil
-
-    import nchu_bigdata_spark
-
-    for mod in list(sys.modules.values()):
-        if mod is None or not getattr(mod, "__name__", "").startswith(
-            "nchu_bigdata_spark"
-        ):
-            continue
-        for attr in ("shared_intermediate", "shared_partitioned"):
-            if getattr(mod, attr, None) in (_orig_si, _orig_sp):
-                setattr(
-                    mod,
-                    attr,
-                    _timed_si if attr == "shared_intermediate" else _timed_sp,
-                )
 
     spark = get_session("profile")
     specs = load_all_queries()
-    # touch every module AFTER load so late imports get patched refs too
+    # operators import the helpers by name; patch those references AFTER
+    # load_all_queries so late imports get patched refs too (this loop
+    # subsumes a pre-load pass — ADVICE r14)
     for mod in list(sys.modules.values()):
         if mod is None or not getattr(mod, "__name__", "").startswith(
             "nchu_bigdata_spark"
