@@ -235,31 +235,61 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, and the Σ|N(u)|+|N(v)| intersection work runs inside
     whole-stage codegen. The oracle replays the wedge-join SQL form —
     same count, independent mechanism."""
-    pairs = _copurchase_edges(spark, sf_dir, undirected=True).select(
-        F.col("u").alias("x"), F.col("v").alias("y")
+    half, deg, o = _oriented_adjacency(spark, sf_dir, "triangles")
+    tri = _tri_count(o)
+    counts = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        F.broadcast(o.agg(F.count(F.lit(1)).alias("n_edges")))
+    )
+    return F.broadcast(counts).crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def _oriented_adjacency(spark: SparkSession, sf_dir: str, tag: str):
+    """Shared triangle machinery: ONE frozen half-pair derivation
+    (r15, guide §2.4 — the old graph_triangles plan re-ran the
+    lineitem pair-gen + distinct chain 5× because the degree union
+    scans the pair table twice and is itself instantiated as dx, dy
+    and n_nodes; 14 parquet scans in the before plan), undirected
+    degrees from the frozen table's endpoint union (identical
+    integers: the half-pair count incident to n IS its symmetric
+    degree), and the degree-oriented edge table as a u-partitioned
+    persist instead of a localCheckpoint (r15 A/B at sf0.1: 4.41 →
+    3.63 s min — the adjacency groupBy(u) and the per-edge u-join
+    both read the preserved hashpartitioning, erasing two |E|
+    exchanges; same §2.4 mechanism the r14 iterative kernels
+    adopted)."""
+    half = shared_intermediate(
+        f"{tag}_half", _copurchase_edges(spark, sf_dir, undirected=True)
     )
     deg = (
-        pairs.select(F.col("x").alias("n"))
-        .unionAll(pairs.select(F.col("y").alias("n")))
+        half.select(F.col("u").alias("n"))
+        .unionAll(half.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
     dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
     lt = F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
-    o = shared_intermediate(
-        "triangles_oriented",
-        pairs.join(dx, "x")
+    o = shared_partitioned(
+        f"{tag}_oriented",
+        half.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .join(dx, "x")
         .join(dy, "y")
         .select(
             F.when(lt, F.col("x")).otherwise(F.col("y")).alias("u"),
             F.when(lt, F.col("y")).otherwise(F.col("x")).alias("v"),
-        ),
+        )
+        .repartition("u"),
     )
+    return half, deg, o
+
+
+def _tri_count(o: DataFrame) -> DataFrame:
+    """1-row triangle count over a degree-oriented edge table via
+    sorted-adjacency intersection (the audited round-7 formulation)."""
     adj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nb"))
     au = adj.select("u", F.col("nb").alias("nu"))
     av = adj.select(F.col("u").alias("v"), F.col("nb").alias("nv"))
-    tri = (
+    return (
         o.join(au, "u")
         .join(av, "v")  # inner: a v without out-edges closes no triangle
         .agg(
@@ -270,10 +300,6 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_triangles")
         )
     )
-    counts = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
-        F.broadcast(o.agg(F.count(F.lit(1)).alias("n_edges")))
-    )
-    return F.broadcast(counts).crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 
 
 # --------------------------------------------------------------------------
@@ -488,13 +514,21 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_intersect`` — the dedup_ngram_jaccard hot-set pattern.
     Work is Σ_edges(du+dv) = O(Σd²) wedge volume, the same inherent
     bound as triangle counting; hub rows are single wide rows, not
-    row blow-ups, so AQE's skew splitter handles power-law tails."""
-    sym = _copurchase_edges(spark, sf_dir)
+    row blow-ups, so AQE's skew splitter handles power-law tails.
+    r15 (§2.4): the half-pair table is frozen ONCE and the symmetric
+    table is its swap-union — the old form ran the full lineitem
+    pair-gen + distinct chain twice (once symmetrized for adjacency,
+    once as half-pairs for the edge stream)."""
+    half = shared_intermediate(
+        "nj_half", _copurchase_edges(spark, sf_dir, undirected=True)
+    )
+    sym = half.unionAll(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     nbr = sym.groupBy("u").agg(
         F.array_sort(F.collect_set("v")).alias("ns"),
         F.count(F.lit(1)).alias("d"),
     )
-    half = _copurchase_edges(spark, sf_dir, undirected=True)
     a = nbr.select(
         F.col("u").alias("au"), F.col("ns").alias("a_ns"),
         F.col("d").alias("degree_u"),
@@ -894,9 +928,13 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectations and validates the co-purchase graph against random-
     graph nulls (G(n,p) would sit near d̄/n).
 
-    Composition: the triangle count comes from the registered
-    `graph_triangles` pipeline UNCHANGED (1-row output); wedges are
-    one Σ d(d−1)/2 agg over the undirected degree table. The oracle
+    Composition: the triangle count comes from the same
+    `_oriented_adjacency`/`_tri_count` machinery as the registered
+    `graph_triangles` (1-row output); wedges are one Σ d(d−1)/2 agg
+    over the SAME undirected degree table (r15, §2.4 — the old form
+    called graph_triangles() and then re-derived the symmetric edge
+    table once more just for degrees; endpoint-union degree over the
+    frozen half-pair table is the identical integer). The oracle
     shares `_EDGES_SQL` + the same orientation chain, so the
     coefficient can never drift from the counts it divides.
     3·T·10⁴ routes through HUGEINT/decimal(38,0) (T can reach 10¹²
@@ -905,12 +943,12 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: adds one degree agg + a 1-row×1-row broadcast join on
     top of the audited triangle plan — cost is the triangle count
     itself, which is inherent (wedge enumeration)."""
-    tri = graph_triangles(spark, sf_dir).select("n_triangles")
-    deg = _copurchase_edges(spark, sf_dir).groupBy("u").agg(
-        F.count(F.lit(1)).cast("long").alias("d")
-    )
+    half, deg, o = _oriented_adjacency(spark, sf_dir, "gcc")
+    tri = _tri_count(o)
     wedge = deg.agg(
-        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+        F.sum(F.expr("CAST(d AS BIGINT) * (d - 1) div 2"))
+        .cast("long")
+        .alias("n_wedges")
     )
     return (
         F.broadcast(tri)
@@ -997,8 +1035,17 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deg > {cap}) are excluded up front — that caps per-center fan-out
     at C({cap}, 2) rows and drops only contributions <=
     {scale}/{cap} apiece, the standard RA truncation at scale.
-    Total ties at rank {k} break by (u, v) on both engines."""
-    sym = _copurchase_edges(spark, sf_dir)
+    Total ties at rank {k} break by (u, v) on both engines.
+    r15 (§2.4): the symmetric edge table is consumed twice (neighbor-
+    set agg + the existing-edge anti join), so the half-pair table is
+    frozen once and symmetrized by swap-union — one lineitem pair
+    derivation instead of two."""
+    half = shared_intermediate(
+        "lp_half", _copurchase_edges(spark, sf_dir, undirected=True)
+    )
+    sym = half.unionAll(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     nb = sym.groupBy(F.col("u").alias("w")).agg(
         F.collect_set("v").alias("ns")
     )
@@ -1109,9 +1156,15 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan/scale: the brand label table is part-dimension-sized (one
     broadcast-friendly join per endpoint); degree and within aggs
-    are map-side combined over the edge stream; output is brand
-    cardinality. No per-community state beyond one row."""
-    half = _copurchase_edges(spark, sf_dir, undirected=True)
+    are FUSED into one map-side-combined pass over the edge stream
+    (r15, §2.3 — the old form instantiated the labeled edge join
+    twice, once per agg, plus a third edge derivation for 2m; with
+    the half-pair table frozen the whole query is one derivation +
+    one grouped pass); output is brand cardinality. No per-community
+    state beyond one row."""
+    half = shared_intermediate(
+        "mod_half", _copurchase_edges(spark, sf_dir, undirected=True)
+    )
     edges = half.unionAll(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -1122,23 +1175,18 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     la = lab
     lb = lab.select(F.col("u").alias("v"), F.col("brand").alias("brand_b"))
     ed = edges.join(la, "u").join(lb, "v")
-    deg = ed.groupBy("brand").agg(
-        F.count(F.lit(1)).cast("long").alias("d_c")
-    )
-    win = (
-        ed.filter(F.col("brand") == F.col("brand_b"))
-        .groupBy("brand")
-        .agg(F.count(F.lit(1)).cast("long").alias("e2_c"))
-    )
-    c = (
-        deg.join(win, "brand", "left")
-        .select(
-            "brand",
-            "d_c",
-            F.coalesce("e2_c", F.lit(0)).cast("long").alias("e2_c"),
+    # one fused pass: d_c = all rows per brand, e2_c = the within-brand
+    # subset — identical integers to the old separate deg/win aggs
+    # (sum-of-indicator == count-after-filter, 0 when none matches the
+    # old COALESCE(left join, 0))
+    c = ed.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("d_c"),
+        F.sum(
+            F.when(F.col("brand") == F.col("brand_b"), 1).otherwise(0)
         )
-        .join(F.broadcast(m2))
-    )
+        .cast("long")
+        .alias("e2_c"),
+    ).join(F.broadcast(m2))
     num = F.expr(
         "CAST(CAST(m2 AS decimal(38,0)) * e2_c"
         " - CAST(d_c AS decimal(38,0)) * d_c AS decimal(38,0))"
@@ -1635,8 +1683,9 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     a |V|-row score side stacks one retained broadcast per round and
     OOMs the driver; hashed joins reuse the existing key partitioning
     instead. The per-side max is a 1-row agg broadcast back (never a
-    global window over |V| rows). Score tables are checkpointed per
-    round. Output is the top-{t} of each side via WindowGroupLimit."""
+    global window over |V| rows). Raw per-side sums are checkpointed
+    per half-round (the normalized views are cheap projections over
+    them). Output is the top-{t} of each side via WindowGroupLimit."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -1656,43 +1705,49 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(nparts, "c"),
     )
     bep = shared_partitioned("hits_edges_p", be.repartition(nparts, "p"))
-    hub = shared_intermediate(
-        "hits_h0",
+    # r15 (VERDICT r14 item 4, guide §2.4): freeze the RAW per-side
+    # sums (ar/hr) instead of the NORMALIZED scores. The old loop
+    # checkpointed auth/hub, but each checkpoint build consumed the
+    # un-frozen ar/hr twice (once for the 1-row max agg, once inside
+    # the normalize projection), so every half-round ran its |E|-row
+    # join + agg TWICE. Frozen-raw, the join+agg runs once; the max
+    # agg and the normalize projection are cheap reads of the frozen
+    # |V|-row table, so auth/hub stay unfrozen views (≤2 consumers,
+    # each a broadcast-join + map). The single-consumer h0 freeze is
+    # dropped for the same reason. Same freeze-job count per round,
+    # half the half-round join work, identical integers.
+    hub = (
         be.select("c")
         .distinct()
-        .select("c", F.lit(_HITS_SCALE).cast("decimal(38,0)").alias("h")),
+        .select("c", F.lit(_HITS_SCALE).cast("decimal(38,0)").alias("h"))
     )
     auth = None
     for i in range(1, _HITS_ROUNDS + 1):
-        ar = (
+        ar = shared_intermediate(
+            f"hits_a{i}",
             be.join(hub.hint("shuffle_hash"), "c")
             .groupBy("p")
-            .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+            .agg(F.sum("h").cast("decimal(38,0)").alias("a")),
         )
         amx = F.broadcast(ar.agg(F.max("a").alias("amx")))
-        auth = shared_intermediate(
-            f"hits_a{i}",
-            ar.join(amx).select(
-                "p",
-                F.expr(
-                    f"CAST(a * {_HITS_SCALE} div amx AS decimal(38,0))"
-                ).alias("a"),
-            ),
+        auth = ar.join(amx).select(
+            "p",
+            F.expr(
+                f"CAST(a * {_HITS_SCALE} div amx AS decimal(38,0))"
+            ).alias("a"),
         )
-        hr = (
+        hr = shared_intermediate(
+            f"hits_h{i}",
             bep.join(auth.hint("shuffle_hash"), "p")
             .groupBy("c")
-            .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+            .agg(F.sum("a").cast("decimal(38,0)").alias("h")),
         )
         hmx = F.broadcast(hr.agg(F.max("h").alias("hmx")))
-        hub = shared_intermediate(
-            f"hits_h{i}",
-            hr.join(hmx).select(
-                "c",
-                F.expr(
-                    f"CAST(h * {_HITS_SCALE} div hmx AS decimal(38,0))"
-                ).alias("h"),
-            ),
+        hub = hr.join(hmx).select(
+            "c",
+            F.expr(
+                f"CAST(h * {_HITS_SCALE} div hmx AS decimal(38,0))"
+            ).alias("h"),
         )
     ranked = (
         auth.select(
