@@ -1241,6 +1241,13 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("marker"),
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    # r15 measured rejection (§1.2): parallelizing these writes with a
+    # keyed (flag, salt) repartition was consistently ~10% SLOWER at
+    # sf0.1 (interleaved min-of-4 A/B: 1.28 vs 1.45 s build) — only 3
+    # partition dirs exist, so the serial-writer penalty is small and
+    # the added exchange dominates. Kept as the scan-aligned write; at
+    # production scale the scan itself has >= cores splits and the
+    # write parallelism follows it.
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     batch = li.filter(F.col("l_returnflag") == "R").withColumn(
         "marker", F.col("marker") * 2
@@ -1340,9 +1347,15 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("doc_id") % _COMPACT_BUCKETS).alias("bucket"),
     )
-    docs.repartition("lang", "bucket").write.mode("overwrite").partitionBy(
-        "lang", "bucket"
-    ).parquet(out)
+    # r15 (§2.4/§6): explicit partition count — without it AQE
+    # coalesces the tiny keyed shuffle to one task that writes all
+    # ~80 (lang, bucket) dirs serially (measured 6.9 → 3.0 s). Each
+    # key still lands wholly in one task, preserving the
+    # one-file-per-bucket contract the manifest (and the packing
+    # test) depends on.
+    docs.repartition(
+        spark.sparkContext.defaultParallelism, "lang", "bucket"
+    ).write.mode("overwrite").partitionBy("lang", "bucket").parquet(out)
     back = spark.read.parquet(out).select(
         "lang", "bucket", F.col("_metadata.file_path").alias("fp")
     )
@@ -1771,9 +1784,15 @@ def scan_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (mo, late) dir (up to tasks x dirs tiny files; Iceberg's
     # write.distribution-mode=hash is this exact shuffle). One file
     # per partition dir, same rows, ~2x faster fixture write.
-    o.repartition("mo", "late").write.mode("overwrite").partitionBy(
-        "mo", "late"
-    ).parquet(out)
+    # r15 (§2.4/§6): EXPLICIT partition count — the keyed form lets AQE
+    # coalesce the tiny shuffle to ONE task that then writes all ~154
+    # partition dirs serially (profiled: the dominant cost of this
+    # query's 12 s build). An explicit N is exempt from AQE coalescing;
+    # each (mo, late) key still lands wholly in one task, so the
+    # one-file-per-dir layout the log describes is unchanged.
+    o.repartition(
+        spark.sparkContext.defaultParallelism, "mo", "late"
+    ).write.mode("overwrite").partitionBy("mo", "late").parquet(out)
 
     months = (
         o.select("mo")

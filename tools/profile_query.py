@@ -49,8 +49,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("queries", nargs="+")
+    ap.add_argument(
+        "--rank-build",
+        type=int,
+        default=0,
+        metavar="N",
+        help="sweep EVERY registered query, time one DataFrame "
+        "construction (py4j + analysis; eager freeze segments "
+        "subtracted), print the top N by pure build time — the "
+        "VERDICT r14 item-9 plan-construction-tail ranking",
+    )
+    ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
+    if not args.rank_build and not args.queries:
+        ap.error("name queries to profile, or pass --rank-build N")
 
     materialize.shared_intermediate = _timed_si
     materialize.shared_partitioned = _timed_sp
@@ -77,6 +89,29 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+
+    if args.rank_build:
+        ranked = []
+        for name in sorted(specs):
+            SEG_TIMES.clear()
+            spark.sparkContext.setJobDescription(f"rank-build:{name}")
+            t0 = time.perf_counter()
+            try:
+                specs[name].fn(spark, args.sf)
+            except Exception as e:  # streaming-only ops etc.
+                print(f"?? {name}: build failed: {e}")
+                continue
+            wall = time.perf_counter() - t0
+            seg = sum(s for _, s in SEG_TIMES)
+            ranked.append((wall - seg, seg, name))
+        ranked.sort(reverse=True)
+        print("| query | pure build s | freeze segs s |")
+        print("|---|---|---|")
+        for pure, seg, name in ranked[: args.rank_build]:
+            print(f"| {name} | {pure:.3f} | {seg:.3f} |")
+        total = sum(p for p, _, _ in ranked)
+        print(f"(swept {len(ranked)} queries, total pure build {total:.1f}s)")
+        return
 
     for name in args.queries:
         if name not in specs:

@@ -253,6 +253,42 @@ def build_docs_nx(spark, out_dir: str, copies: int) -> None:
             os.symlink(os.path.join(BASE_SF, f), link)
 
 
+def build_lineitem_nx(spark, out_dir: str, copies: int) -> None:
+    """lineitem-only structure-preserving blow-up at ``copies``×:
+    ``l_orderkey``/``l_partkey`` shifted i×SHIFT per copy (the same
+    construction as build_10x's lineitem leg, expressed as ONE
+    broadcast copy-expansion join so a 100-branch union plan never
+    materializes). The part co-purchase graph becomes ``copies``
+    disjoint isomorphic subgraphs — no new hubs, |V| and |E| exactly
+    ×copies. Key dtypes are cast back to the source schema so the
+    blown table is byte-compatible (100×SHIFT = 10⁹ still fits int32).
+    Everything but lineitem symlinks to sf0.1 unchanged."""
+    os.makedirs(out_dir, exist_ok=True)
+    li = spark.read.parquet(os.path.join(BASE_SF, "lineitem.parquet"))
+    ok_t = li.schema["l_orderkey"].dataType.simpleString()
+    pk_t = li.schema["l_partkey"].dataType.simpleString()
+    cp = F.col("cp")
+    big = (
+        li.crossJoin(
+            F.broadcast(spark.range(copies).withColumnRenamed("id", "cp"))
+        )
+        .withColumn(
+            "l_orderkey", (F.col("l_orderkey") + cp * F.lit(SHIFT)).cast(ok_t)
+        )
+        .withColumn(
+            "l_partkey", (F.col("l_partkey") + cp * F.lit(SHIFT)).cast(pk_t)
+        )
+        .drop("cp")
+    )
+    big.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+    for f in os.listdir(BASE_SF):
+        link = os.path.join(out_dir, f)
+        if not os.path.lexists(link):
+            os.symlink(os.path.abspath(os.path.join(BASE_SF, f)), link)
+
+
 def build_embed_synth(spark, out_dir: str, n: int) -> None:
     """Synthetic embeddings corpus for the LSH LINEARITY probe
     (VERDICT r9 item 7): 90% iid hash-noise vectors + 10% planted
@@ -325,6 +361,16 @@ def main() -> int:
         "documents at 10x AND 100x (copies shingle-disjoint), gating "
         "the 10x->100x STEP ratio for a docs-only op (default "
         "dedup_incremental, the batchxcorpus shape)",
+    )
+    ap.add_argument(
+        "--graph100x",
+        action="store_true",
+        help="two-decade graph probe (VERDICT r14 item 1): lineitem at "
+        "10x AND 100x (disjoint isomorphic co-purchase subgraphs), "
+        "gating the 10x->100x STEP ratio for the persist-reworked "
+        "iterative kernels (default graph_pagerank + "
+        "graph_connected_components — the cached-|E| freeze must "
+        "degrade gracefully, not OOM, as |E| outgrows memory share)",
     )
     ap.add_argument(
         "--geo10x",
@@ -413,6 +459,49 @@ def main() -> int:
                 t, r = time_op(spark, specs, name, d, args.reps)
                 step = f"{t / prev:.1f}x" if prev else "-"
                 if prev and t / prev >= GATE_RATIO:
+                    step += "  **BREACH**"
+                    breach = True
+                print(
+                    f"| {name} | {tag} | {t:.2f} | {r} | {step} |",
+                    flush=True,
+                )
+                prev = t
+        return 1 if breach else 0
+
+    if args.graph100x:
+        arms = []
+        for n in (10, 100):
+            d = os.path.join(repo, ".scratch", f"li{n}x")
+            # _SUCCESS, not the dir: a crash mid-write must not leave a
+            # partial lineitem.parquet a bare-dir check would adopt
+            if not os.path.exists(
+                os.path.join(d, "lineitem.parquet", "_SUCCESS")
+            ):
+                t0 = time.perf_counter()
+                build_lineitem_nx(spark, d, n)
+                print(
+                    f"built lineitem {n}x in {time.perf_counter()-t0:.1f}s",
+                    flush=True,
+                )
+            arms.append((f"{n}x", d))
+        import bench
+
+        bench.warm(spark)
+        g_ops = (
+            ops
+            if args.ops is not None
+            else ["graph_pagerank", "graph_connected_components"]
+        )
+        print("| op | corpus | sec | rows | step ratio |")
+        print("|---|---|---|---|---|")
+        breach = False
+        for name in g_ops:
+            prev, _ = time_op(spark, specs, name, BASE_SF, args.reps)
+            print(f"| {name} | 1x | {prev:.2f} | - | - |", flush=True)
+            for tag, d in arms:
+                t, r = time_op(spark, specs, name, d, args.reps)
+                step = f"{t / prev:.1f}x"
+                if t / prev >= GATE_RATIO:
                     step += "  **BREACH**"
                     breach = True
                 print(
